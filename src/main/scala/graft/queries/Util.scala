@@ -1,0 +1,45 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Shared helpers for the oracle-gated query packs.
+  *
+  * Determinism contract with the DuckDB oracle (the driver hash-compares
+  * values): all monetary/double aggregations go through an exact
+  * DECIMAL(18,2) sum and only then cast back to double, so the result is
+  * bit-identical regardless of Spark's partial-aggregation order. The
+  * testdata's double columns are all exact 2-decimal values, so the
+  * decimal cast itself is lossless.
+  */
+object Util {
+  /** Load one testdata table. Column pruning + filter pushdown reach the
+    * parquet scan because this is a plain declarative reader.
+    *
+    * `events.parquet` stores TIMESTAMP(NANOS), which Spark 4 rejects by
+    * default — read it as long nanos and convert to a microsecond
+    * TimestampType column (integer division, no precision loss).
+    */
+  def t(s: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else s.read.parquet(s"$dir/$name.parquet")
+
+  private val dec = DecimalType(18, 2)
+
+  /** Order-insensitive exact sum of a 2-decimal double column. */
+  def dsum(c: Column): Column = sum(c.cast(dec)).cast("double")
+
+  /** Exact sum of a product of two 2-decimal columns. */
+  def dsumProd(a: Column, b: Column): Column =
+    sum(a.cast(dec) * b.cast(dec)).cast("double")
+
+  /** A query pack: named queries + their DuckDB oracle SQL. */
+  trait QueryPack {
+    def queries: Map[String, (SparkSession, String) => DataFrame]
+    def oracleSql: Map[String, String]
+  }
+}

@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/selfcheck.py [sfdir] [outdir]
+Assumes `sbt "runMain graft.Verify <sfdir> <outdir>"` has already run
+(or run with --run to invoke it).
+"""
+import sys, os, json, glob, subprocess
+import duckdb
+
+sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+if "--run" in sys.argv:
+    r = subprocess.run(
+        ["sbt", "-batch", f'runMain graft.Verify {sfdir} {outdir}'],
+        cwd="/root/repo", capture_output=True, text=True, timeout=1800)
+    if r.returncode != 0:
+        print(r.stdout[-3000:]); print(r.stderr[-3000:]); sys.exit(1)
+    for line in r.stdout.splitlines():
+        if "[verify]" in line: print(line)
+
+con = duckdb.connect()
+tables = ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]
+for t in tables:
+    p = f"{sfdir}/{t}.parquet"
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+
+def canon(rows, cols):
+    # driver sorts columns by name before hashing values
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(repr(r[i]) for i in order))
+    return sorted(out), [cols[i] for i in order]
+
+fails = []
+for name in sorted(oracle):
+    res_dir = f"{outdir}/{name}"
+    files = glob.glob(f"{res_dir}/*.parquet")
+    if not files:
+        fails.append((name, "no spark output")); continue
+    got = con.sql(f"SELECT * FROM '{res_dir}/*.parquet'")
+    gcols, grows = got.columns, got.fetchall()
+    try:
+        exp = con.sql(oracle[name])
+        ecols, erows = exp.columns, exp.fetchall()
+    except Exception as e:
+        fails.append((name, f"oracle error: {e}")); continue
+    gc, gcn = canon(grows, gcols)
+    ec, ecn = canon(erows, ecols)
+    if gcn != ecn:
+        fails.append((name, f"schema: spark={gcn} oracle={ecn}")); continue
+    if len(gc) != len(ec):
+        fails.append((name, f"rowcount: spark={len(gc)} oracle={len(ec)}")); continue
+    if gc != ec:
+        bad = next((i for i, (a, b) in enumerate(zip(gc, ec)) if a != b), None)
+        fails.append((name, f"values differ at sorted-row {bad}:\n  spark : {gc[bad]}\n  oracle: {ec[bad]}"))
+        continue
+    print(f"PASS {name} ({len(gc)} rows)")
+
+missing_oracle = [n for n in glob.glob(f"{outdir}/*") if os.path.isdir(n)
+                  and os.path.basename(n) not in oracle]
+for n in missing_oracle:
+    files = glob.glob(f"{n}/*.parquet")
+    nm = os.path.basename(n)
+    if files:
+        cnt = con.sql(f"SELECT count(*) FROM '{n}/*.parquet'").fetchone()[0]
+        print(f"ROWS-ONLY {nm}: {cnt} rows {'OK' if cnt > 0 else 'EMPTY!'}")
+    else:
+        fails.append((nm, "rows-only query produced no output"))
+
+print()
+if fails:
+    print(f"{len(fails)} FAILURES:")
+    for n, m in fails: print(f"FAIL {n}: {m}")
+    sys.exit(2)
+print("ALL PASS")
