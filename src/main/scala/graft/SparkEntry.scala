@@ -10,7 +10,9 @@ import graft.queries.Util.QueryPack
   */
 object SparkEntry {
   private def packs: Seq[QueryPack] = Seq(
-    graft.queries.Relational
+    graft.queries.Relational,
+    graft.queries.TextOps,
+    graft.queries.SimilarityOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

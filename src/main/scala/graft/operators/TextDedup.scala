@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text deduplication operators for large-scale training-data pipelines.
+  *
+  * All operators are declarative DataFrame transforms (no driver-side
+  * loops), so they scale by partitioning: the shingle inverted index and
+  * the LSH band buckets are shuffle keys, and every aggregation is
+  * map-side-combinable. Hash functions are md5 (stable across engines
+  * and runs) — signatures are reproducible and oracle-checkable.
+  */
+object TextDedup {
+
+  /** Word k-shingles of a text column (k consecutive tokens joined by a
+    * space). Empty array when the document has fewer than k tokens —
+    * guarded because Spark's `sequence(1, n)` would count DOWN for n<1. */
+  def wordShingles(text: Column, k: Int = 3): Column = {
+    val words = split(text, " ")
+    val n = size(words) - (k - 1)
+    when(n >= 1,
+      transform(sequence(lit(1), n),
+        i => concat_ws(" ", (0 until k).map(off => element_at(words, i + off)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact dedup: group identical texts by content hash, keep the lowest
+    * id as canonical. Single shuffle on the hash; map-side combine. */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct (doc, shingle) pairs — the inverted-index input. */
+  def shingleIndex(docs: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(array_distinct(wordShingles(col(textCol), k))).as("shingle"))
+
+  /** Exact n-gram Jaccard near-dup pairs via inverted-index self-join
+    * (shuffle on shingle, never an all-pairs cross product). Returns
+    * (doc_a, doc_b, jaccard) with doc_a < doc_b and jaccard >= threshold.
+    *
+    * Scale note: at 100 TB, very frequent shingles explode the pair
+    * count; use `minHashLshPairs` (banded, constant work per doc) as the
+    * scale path, or cap shingle document-frequency first. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, k: Int = 3): DataFrame = {
+    val sh = shingleIndex(docs, idCol, textCol, k)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("c").cast("double") / (col("sa.n") + col("sb.n") - col("c"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash signature: for seed i, sig[i] = min over shingles of
+    * md5(i + ":" + shingle). Lexicographic min over hex = uniform min
+    * over the hash space. Deterministic and engine-portable. */
+  def minHashSignature(shingleArr: Column, numHashes: Int = 16): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(shingleArr, s => md5(concat(i.cast("string"), lit(":"), s)))))
+
+  /** Docs + minhash signature column `sig` (array of hex strings). */
+  def withMinHash(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, k: Int = 3): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      minHashSignature(array_distinct(wordShingles(col(textCol), k)), numHashes).as("sig"))
+
+  /** MinHash-LSH candidate pairs, verified with exact Jaccard.
+    * numHashes = bands * rowsPerBand; a pair is a candidate iff some band
+    * of the signature matches exactly (bucket join on the band hash —
+    * constant work per document, the 100 TB-scale dedup path).
+    * Verification joins candidates back to the exact Jaccard, so output
+    * has no false positives (recall is the LSH knob: with 8 bands x 2
+    * rows, P(candidate | j=0.5) ≈ 0.90, ≈ 1.0 for j ≥ 0.8). */
+  def minHashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, bands: Int = 8, rowsPerBand: Int = 2, k: Int = 3): DataFrame = {
+    val sigs = withMinHash(docs, idCol, textCol, bands * rowsPerBand, k)
+    val banded = sigs.select(col("doc_id"), posexplode(
+        array((0 until bands).map(b =>
+          md5(concat_ws("|", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
+    val exact = ngramJaccardPairs(docs, idCol, textCol, threshold, k)
+    exact.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+  }
+
+  /** 64-bit SimHash over whitespace tokens: each token votes its md5
+    * bits; the sign of each bit-position sum forms the fingerprint.
+    * Pure Scala UDF (md5 via MessageDigest) — deterministic. */
+  val simHash64: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((tokens: Seq[String]) => {
+      val votes = new Array[Int](64)
+      val mdProto = java.security.MessageDigest.getInstance("MD5")
+      tokens.foreach { tk =>
+        val d = mdProto.digest(tk.getBytes("UTF-8"))
+        var h = 0L
+        var i = 0
+        while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+      out
+    })
+
+  /** SimHash near-dup pairs: band the 64-bit fingerprint into 4 x 16-bit
+    * chunks; pairs agreeing on any chunk are candidates (guaranteed to
+    * include all pairs with hamming distance <= 3), verified by exact
+    * hamming distance <= maxHamming. */
+  def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 6): DataFrame = {
+    val sigs = docs.select(col(idCol).as("doc_id"),
+      simHash64(split(col(textCol), " ")).as("sim"))
+    // chunk b = bits [16b, 16b+16): extract with shift+mask
+    val chunks = sigs.select(col("doc_id"), col("sim"), posexplode(
+        array((0 until 4).map(b =>
+          pmod(shiftrightunsigned(col("sim"), b * 16), lit(65536L))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+    val cand = chunks.as("x").join(chunks.as("y"),
+        col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("x.sim").as("sim_a"),
+        col("y.doc_id").as("doc_b"), col("y.sim").as("sim_b")).distinct()
+    cand
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+}

@@ -1,0 +1,68 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import Util._
+
+/** Vector-similarity operators over the `embeddings` table (64-dim
+  * float vectors): brute-force cosine top-k (baseline), embedding
+  * near-dup pairs, and SRP-LSH bucketed ANN (the scale path).
+  *
+  * Oracle note: DuckDB's list_cosine_similarity accumulates in float32
+  * (~1e-7 off a double fold), so oracles spell out the same
+  * left-to-right double fold our operators use; emitted cosines round
+  * to 6 decimals on both sides.
+  */
+object SimilarityOps extends QueryPack {
+
+  private val dim = 64
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s41_knn_brute" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnBrute(emb, emb.filter($"vec_id" < 10), k = 5)
+        .orderBy($"qid", $"rank")
+    }),
+
+    "s42_cosine_dup_pairs" -> ((s, dir) => {
+      import s.implicits._
+      Similarity.cosineDupPairs(t(s, dir, "embeddings"), 0.4)
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // LSH recall < 1 by design — rows-only check (recall measured in the
+    // ScalaTest suite against s41).
+    "s43_knn_lsh" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnLsh(emb, emb.filter($"vec_id" < 10), k = 5, dim = dim)
+        .orderBy($"qid", $"rank")
+    })
+  )
+
+  private val dot =
+    """list_sum(list_transform(range(1, 65), i ->
+      CAST(%s[i] AS DOUBLE) * CAST(%s[i] AS DOUBLE)))"""
+
+  private def cosSql(a: String, b: String): String =
+    s"round(${dot.format(a, b)} / (sqrt(${dot.format(a, a)}) * sqrt(${dot.format(b, b)})), 6)"
+
+  def oracleSql: Map[String, String] = Map(
+    "s41_knn_brute" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        scored AS (SELECT qid, vec_id, ${cosSql("qv", "embedding")} AS cos_sim
+          FROM q, embeddings WHERE vec_id <> qid),
+        ranked AS (SELECT *, row_number() OVER
+          (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rank FROM scored)
+        SELECT qid, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
+        ORDER BY qid, rank""",
+    "s42_cosine_dup_pairs" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        ${cosSql("a.embedding", "b.embedding")} AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4
+        ORDER BY id_a, id_b"""
+  )
+}

@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{TextAnalysis, TextDedup}
+import Util._
+
+/** LLM-training-data text operators over the `documents` table: exact
+  * and near dedup (n-gram Jaccard, MinHash+LSH, SimHash), token stats,
+  * quality scoring, language ID, fingerprints. Oracle SQL is provided
+  * wherever DuckDB can express the same deterministic computation;
+  * md5-based hashing keeps signatures engine-portable.
+  */
+object TextOps extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t31_dedup_exact" -> ((s, dir) => {
+      import s.implicits._
+      TextDedup.exactDedup(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy($"text_hash")
+    }),
+
+    "t32_token_stats" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.tokenStats(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy($"doc_id")
+    }),
+
+    "t33_quality_score" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.qualityScore(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy($"doc_id")
+    }),
+
+    // Heuristic — no SQL oracle; rows-only check.
+    "t34_langid" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.languageId(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy($"doc_id")
+    }),
+
+    "t35_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.fingerprint(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy($"doc_id")
+    }),
+
+    "t36_ngram_jaccard" -> ((s, dir) => {
+      import s.implicits._
+      TextDedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", 0.5)
+        .orderBy($"doc_a", $"doc_b")
+    }),
+
+    "t37_minhash_sig" -> ((s, dir) => {
+      import s.implicits._
+      TextDedup.withMinHash(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy($"doc_id")
+    }),
+
+    // LSH recall < 1 by construction — rows-only check (cross-validated
+    // against t36 in the ScalaTest suite).
+    "t38_minhash_lsh_pairs" -> ((s, dir) => {
+      import s.implicits._
+      TextDedup.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text", 0.5)
+        .orderBy($"doc_a", $"doc_b")
+    }),
+
+    // UDF-based fingerprint — rows-only check.
+    "t39_simhash_pairs" -> ((s, dir) => {
+      import s.implicits._
+      TextDedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text", 6)
+        .orderBy($"doc_a", $"doc_b")
+    }),
+
+    // Fold-based hash (no DuckDB fold primitive) — rows-only check.
+    "t40_rolling_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.rollingFingerprint(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy($"doc_id")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "t31_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY md5(text) ORDER BY text_hash""",
+    "t32_token_stats" ->
+      """SELECT doc_id,
+        len(string_split(text, ' ')) AS n_tokens,
+        len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+        CAST(list_sum(list_transform(string_split(text, ' '),
+          x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS n_subtokens,
+        length(text) AS n_chars
+        FROM documents ORDER BY doc_id""",
+    "t33_quality_score" ->
+      """SELECT doc_id,
+        CAST(length(regexp_replace(text, '[^.!?,;]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+        CAST(len(list_filter(string_split(text, ' '),
+          x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+          / len(string_split(text, ' ')) AS stopword_ratio,
+        CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS DOUBLE)
+          / len(string_split(text, ' ')) AS mean_token_len
+        FROM documents ORDER BY doc_id""",
+    "t35_fingerprint" ->
+      """SELECT doc_id,
+        md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+        FROM documents ORDER BY doc_id""",
+    "t36_ngram_jaccard" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle FROM words),
+        d AS (SELECT DISTINCT doc_id, shingle FROM sh),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM d GROUP BY doc_id),
+        common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+          FROM d a JOIN d b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+        SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+        FROM common
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+        ORDER BY doc_a, doc_b""",
+    "t37_minhash_sig" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (SELECT doc_id, list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shingles FROM words)
+        SELECT doc_id,
+          list_transform(range(0, 16), i ->
+            list_aggregate(list_transform(shingles,
+              s -> md5(CAST(i AS VARCHAR) || ':' || s)), 'min')) AS sig
+        FROM sh ORDER BY doc_id"""
+  )
+}
