@@ -12,7 +12,8 @@ object SparkEntry {
   private def packs: Seq[QueryPack] = Seq(
     graft.queries.Relational,
     graft.queries.TextOps,
-    graft.queries.SimilarityOps
+    graft.queries.SimilarityOps,
+    graft.queries.EvmOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

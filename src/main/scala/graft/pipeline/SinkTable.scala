@@ -1,0 +1,84 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Parquet-backed sink with ReplacingMergeTree semantics (reference:
+  * `create table … engine = ReplacingMergeTree order by (keys) partition
+  * by toYYYYMM(timestamp)`, examples/ethereum_blocks/create_table.sql:30-32).
+  *
+  * Writes are append-only and carry a monotonic `_ingest_seq` (the batch
+  * number); duplicate keys from re-runs are resolved on read by
+  * last-write-wins over the order keys — exactly the
+  * at-least-once-write / effectively-once-read contract of the reference.
+  * At scale: monthly partition pruning via the derived `_part` column,
+  * row-group stats give key-range skipping, and `compact()` rewrites a
+  * partition to physically drop superseded versions.
+  */
+final case class SinkTable(
+    path: String,
+    orderKeys: Seq[String],
+    partitionColumn: Option[String] = None) {
+
+  private def partCol(df: DataFrame): Option[Column] =
+    partitionColumn.filter(df.columns.contains).map(c =>
+      date_format(col(c), "yyyyMM").as("_part"))
+
+  /** Append one batch (idempotent under re-runs thanks to read-side dedup). */
+  def append(df: DataFrame, ingestSeq: Long): Unit = {
+    val withSeq = df.withColumn("_ingest_seq", lit(ingestSeq))
+    val out = partCol(df) match {
+      case Some(p) => withSeq.withColumn("_part", p)
+      case None => withSeq
+    }
+    val writer = out.write.mode("append")
+    (if (out.columns.contains("_part")) writer.partitionBy("_part") else writer)
+      .parquet(path)
+  }
+
+  def exists(spark: SparkSession): Boolean =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(path))
+
+  /** Raw append-only contents (may contain superseded versions). */
+  def readRaw(spark: SparkSession): DataFrame = spark.read.parquet(path)
+
+  /** Dedup-on-read view: latest `_ingest_seq` wins per order key. */
+  def read(spark: SparkSession): DataFrame = {
+    val w = Window.partitionBy(orderKeys.map(col): _*)
+      .orderBy(col("_ingest_seq").desc)
+    readRaw(spark)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_ingest_seq", "_part")
+  }
+
+  /** Resume probe: max(keyCol) over the sink, None when absent/empty —
+    * the `start.sql` contract (examples/ethereum_blocks/start.sql:1-3). */
+  def maxKey(spark: SparkSession, keyCol: String): Option[Long] = {
+    if (!exists(spark)) return None
+    val row = readRaw(spark).agg(max(col(keyCol))).head()
+    if (row.isNullAt(0)) None
+    else Some(row.get(0).asInstanceOf[Number].longValue)
+  }
+
+  /** Optional compaction: physically drop superseded versions, keeping
+    * `_ingest_seq` so subsequent appends still dedup correctly (the
+    * ReplacingMergeTree background merge made explicit). */
+  def compact(spark: SparkSession): Unit = {
+    val w = Window.partitionBy(orderKeys.map(col): _*)
+      .orderBy(col("_ingest_seq").desc)
+    val kept = readRaw(spark)
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+    val tmp = path + "_compact"
+    val writer = kept.write.mode("overwrite")
+    (if (kept.columns.contains("_part")) writer.partitionBy("_part") else writer)
+      .parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+  }
+}

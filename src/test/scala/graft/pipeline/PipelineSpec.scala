@@ -1,0 +1,178 @@
+package graft.pipeline
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.PipelineRunner.{Batch, Config}
+
+/** End-to-end pipeline tests against the deterministic fake chain
+  * (SURVEY.md §5: goldens derive from the stub transport since the
+  * reference ships no fixtures). */
+class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"graft-$name").resolve("sink").toString
+
+  private val endpoint = "fake://chain?tip=25#fail-on-error=true&fail-on-null=true"
+
+  test("plan splits ranges like the reference Batcher") {
+    val batches = PipelineRunner.plan(0, 25, 10)
+    assert(batches == Seq(Batch(0, 0, 9), Batch(1, 10, 19), Batch(2, 20, 25)))
+    assert(PipelineRunner.plan(5, 4, 10).isEmpty)
+  }
+
+  test("sequencer commits in order under out-of-order completion") {
+    val seq = new PipelineRunner.Sequencer(0)
+    val order = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val threads = (0 until 8).reverse.map { i =>
+      new Thread(() => {
+        Thread.sleep((8 - i) * 10L) // later batches finish first
+        if (seq.awaitTurn(i)) { order.add(i); seq.release(i) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(order.toArray.toSeq == (0 until 8).map(_.toLong))
+  }
+
+  test("blocks pipeline: end-to-end, resume, idempotent re-run") {
+    val path = tmp("blocks")
+    val defn = EthereumPipelines.blocks(endpoint, path)
+    val sink = SinkTable(path, Seq("number"), Some("timestamp"))
+
+    val r1 = PipelineRunner.run(spark, defn,
+      Config(maxBatchSize = 10, workers = 3))
+    assert(r1.batches == 3 && r1.items == 26)
+    val rows = sink.read(spark)
+    assert(rows.count() == 26)
+    // spot-check block 7 against the fake chain's pure functions
+    val b7 = rows.filter(org.apache.spark.sql.functions.col("number") === 7).head()
+    assert(b7.getAs[java.sql.Timestamp]("timestamp").getTime ==
+      graft.evm.FakeChain.timestampOf(7) * 1000)
+    assert(b7.getAs[Array[Byte]]("hash")
+      .sameElements(graft.evm.FakeChain.h32("block7")))
+
+    // resume: nothing new below tip → zero batches
+    val r2 = PipelineRunner.run(spark, defn, Config(maxBatchSize = 10))
+    assert(r2.batches == 0)
+    assert(sink.read(spark).count() == 26)
+
+    // forced overlap re-run: at-least-once writes, effectively-once reads
+    val r3 = PipelineRunner.run(spark, defn,
+      Config(maxBatchSize = 10, forceStart = Some(20)))
+    assert(r3.items == 6)
+    assert(sink.readRaw(spark).count() == 32) // 26 + 6 duplicates
+    assert(sink.read(spark).count() == 26) // dedup view unchanged
+  }
+
+  test("logs pipeline produces one Transfer log per fake tx") {
+    val path = tmp("logs")
+    val defn = EthereumPipelines.logs(endpoint, path)
+    PipelineRunner.run(spark, defn, Config(maxBatchSize = 10, workers = 2))
+    val sink = SinkTable(path, Seq("block_number", "log_index"))
+    val logs = sink.read(spark)
+    // fake chain: block n has n % 3 txs, each with exactly one log
+    val expected = (0L to 25L).map(_ % 3).sum
+    assert(logs.count() == expected)
+    import org.apache.spark.sql.functions._
+    assert(logs.filter(size(col("topics")) === 3).count() == expected)
+  }
+
+  test("transactions pipeline zips txs with receipts positionally") {
+    val path = tmp("tx")
+    val defn = EthereumPipelines.transactions(endpoint, path)
+    PipelineRunner.run(spark, defn, Config(maxBatchSize = 13))
+    val sink = SinkTable(path, Seq("block_number", "transaction_index"))
+    val txs = sink.read(spark)
+    import org.apache.spark.sql.functions._
+    val expected = (0L to 25L).map(_ % 3).sum
+    assert(txs.count() == expected)
+    // positional zip correctness: receipt status belongs to the same index
+    assert(txs.filter(col("status") =!= 1).count() == 0)
+    assert(txs.filter(col("cumulative_gas_used") ===
+      (col("transaction_index") + 1) * 21000).count() == expected)
+  }
+
+  test("traces pipeline decodes action/result sections") {
+    val path = tmp("traces")
+    val defn = EthereumPipelines.traces(endpoint, path)
+    PipelineRunner.run(spark, defn, Config(maxBatchSize = 26))
+    val sink = SinkTable(path,
+      Seq("block_number", "transaction_index", "trace_address"))
+    val traces = sink.read(spark)
+    import org.apache.spark.sql.functions._
+    assert(traces.count() == (0L to 25L).map(_ % 3).sum)
+    assert(traces.filter(col("type") === "call").count() == traces.count())
+    assert(traces.filter(col("gas_used") === 20000L).count() == traces.count())
+  }
+
+  test("decoded logs pipeline: dictionary decode keeps only matches") {
+    val logsPath = tmp("logs2")
+    PipelineRunner.run(spark, EthereumPipelines.logs(endpoint, logsPath),
+      Config(maxBatchSize = 26))
+    val decodedPath = tmp("decoded")
+    val defn = DerivedPipelines.decodedLogs(logsPath, decodedPath,
+      DerivedPipelines.AbiDictionary.builtin)
+    PipelineRunner.run(spark, defn, Config(maxBatchSize = 1000))
+    val decoded = SinkTable(decodedPath,
+      Seq("address", "signature", "block_number", "log_index")).read(spark)
+    import org.apache.spark.sql.functions._
+    assert(decoded.count() == (0L to 25L).map(_ % 3).sum)
+    assert(decoded.filter(col("signature") === "Transfer(address,address,uint256)")
+      .count() == decoded.count())
+    // inputs JSON contains the deterministic amount for a known row
+    val row = decoded.filter(col("block_number") === 7 && col("log_index") === 0).head()
+    val amount = graft.evm.FakeChain.amountOf(7, 0)
+    assert(row.getAs[String]("inputs").contains(s""""arg2":$amount"""))
+  }
+
+  test("erc20 balances pipeline: dedup-then-rpc with token metadata join") {
+    val logsPath = tmp("logs3")
+    PipelineRunner.run(spark, EthereumPipelines.logs(endpoint, logsPath),
+      Config(maxBatchSize = 26))
+    val balPath = tmp("balances")
+    val defn = DerivedPipelines.erc20Balances(logsPath, balPath, endpoint)
+    PipelineRunner.run(spark, defn, Config(maxBatchSize = 1000))
+    val bal = SinkTable(balPath,
+      Seq("wallet_address", "token_address", "block_number")).read(spark)
+    import org.apache.spark.sql.functions._
+    assert(bal.count() > 0)
+    assert(bal.filter(col("token_symbol").isin("TOK0", "TOK1")).count() == bal.count())
+    assert(bal.filter(col("token_decimals").isin(6.toByte, 18.toByte)).count() == bal.count())
+    assert(bal.filter(col("raw_balance").isNull).count() == 0)
+    // balance = raw / 10^decimals
+    val r = bal.head()
+    val raw = r.getAs[java.math.BigDecimal]("raw_balance").doubleValue()
+    val dec = r.getAs[Byte]("token_decimals").toInt
+    assert(math.abs(r.getAs[Double]("balance") - raw / math.pow(10, dec)) < 1e-9)
+  }
+
+  test("retrier shrinks batch size and recovers") {
+    val attempts = new java.util.concurrent.atomic.AtomicInteger()
+    val committed = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val defn = new PipelineRunner.Definition {
+      def resume(s: SparkSession): Option[Long] = None
+      def tip(s: SparkSession): Long = 19
+      def transform(s: SparkSession, b: Batch) = {
+        if (attempts.getAndIncrement() == 0)
+          throw new RuntimeException("simulated memory limit")
+        s.range(b.start, b.end + 1).toDF("n")
+      }
+      def commit(s: SparkSession, b: Batch, df: org.apache.spark.sql.DataFrame): Unit =
+        committed.add(b.number)
+    }
+    val r = PipelineRunner.runWithRetry(spark, defn,
+      Config(maxBatchSize = 10), maxRetries = 2)
+    assert(r.items == 20)
+    assert(r.batches == 3) // 20 items at shrunken size 8 → 3 batches
+  }
+}
