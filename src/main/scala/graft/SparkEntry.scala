@@ -13,7 +13,8 @@ object SparkEntry {
     graft.queries.Relational,
     graft.queries.TextOps,
     graft.queries.SimilarityOps,
-    graft.queries.EvmOps
+    graft.queries.EvmOps,
+    graft.queries.StreamingOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -59,5 +59,8 @@ object Hex {
     "0x" + n.toString(16)
   }
 
-  def encodeQuantity(n: Long): String = encodeQuantity(BigInt(n))
+  def encodeQuantity(n: Long): String = {
+    require(n >= 0, s"negative quantity $n")
+    "0x" + java.lang.Long.toHexString(n)
+  }
 }

@@ -42,16 +42,58 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Embedding near-duplicate pairs above a cosine threshold, via the
-    * shingle-free all-pairs join (corpus must be modest) — exact. */
+  /** Left-to-right double fold over float vectors — the same operation
+    * order as the `cosine` Column expression and the DuckDB oracle's
+    * list_sum fold, but as a tight primitive loop. */
+  private def dotKernel(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = a.length
+    while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Embedding near-duplicate pairs above a cosine threshold — exact
+    * all-pairs, computed as a broadcast-loop: the corpus vectors are
+    * broadcast once (id, vector, norm) and each partition streams its
+    * rows against them in a primitive-array kernel. Quadratic by nature;
+    * the 100 TB-scale path is `srpBucket` candidate generation first —
+    * this is the exact baseline and the per-bucket verifier. */
   def cosineDupPairs(corpus: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
-    a.join(b, col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(cosine(col("va"), col("vb")), 6).as("cos_sim"))
-      .filter(col("cos_sim") >= threshold)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val rows = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Seq[Float])]
+    val side = rows.collect().sortBy(_._1)
+      .map { case (id, v) => val a = v.toArray; (id, a, math.sqrt(dotKernel(a, a))) }
+    val bc = spark.sparkContext.broadcast(side)
+    rows.mapPartitions { it =>
+      val all = bc.value
+      it.flatMap { case (idA, vaSeq) =>
+        val va = vaSeq.toArray
+        val na = math.sqrt(dotKernel(va, va))
+        val out = Seq.newBuilder[(Long, Long, Double)]
+        var j = 0
+        while (j < all.length) {
+          val (idB, vb, nb) = all(j)
+          if (idB > idA) {
+            val raw = dotKernel(va, vb) / (na * nb)
+            // round-then-threshold, matching the oracle's WHERE on the
+            // rounded value (boundary values round up into the set)
+            if (raw >= threshold - 1e-6) {
+              val r = round6(raw)
+              if (r >= threshold) out += ((idA, idB, r))
+            }
+          }
+          j += 1
+        }
+        out.result()
+      }
+    }.toDF("id_a", "id_b", "cos_sim")
   }
 
   /** Sign-random-projection (hyperplane) LSH bucket key: `nBits` signs of

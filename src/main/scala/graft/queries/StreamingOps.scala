@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.{Multimodal, Sessionize}
+import Util._
+
+/** Structured Streaming + stateful + multimodal surface.
+  *
+  * st61 runs a REAL streaming query (file source → event-time window agg
+  * → memory sink, drained with processAllAvailable) whose final table
+  * must equal the batch oracle — the micro-batch model's correctness
+  * contract. st62 is keyed stateful sessionization (the
+  * flatMapGroupsWithState walk, run as one sorted pass per key). st63
+  * exercises tip-follow catch-up of the chain pipeline. m7x are the
+  * multimodal binary-column operators.
+  */
+object StreamingOps extends QueryPack {
+
+  private val eventsRawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st61_stream_window" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val name = "st61_out"
+      // the file source requires a directory — stage the table into one
+      val staged = java.nio.file.Files.createTempDirectory("graft-stream-events")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        staged.resolve("events.parquet"))
+      val stream = s.readStream.schema(eventsRawSchema)
+        .parquet(staged.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts", "1 day")
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      val q = stream.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+      s.table(name)
+        .select(col("w.start").as("day_start"), col("event_type"), col("n"),
+          col("total_value"))
+        .orderBy(col("day_start"), col("event_type"))
+    }),
+
+    "st62_sessionize" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Sessionize.sessions(t(s, dir, "events"), gapSeconds = 1800).toDF()
+        .orderBy(col("user_id"), col("session_seq"))
+    }),
+
+    // Chain pipeline catches up as the tip advances — rows-only.
+    "st63_tip_catchup" -> ((s, _) => {
+      import graft.pipeline.{EthereumPipelines, PipelineRunner, SinkTable}
+      val path = java.nio.file.Files.createTempDirectory("graft-q-catchup")
+        .resolve("sink").toString
+      def ep(tip: Int) = s"fake://chain?tip=$tip#fail-on-error=true"
+      PipelineRunner.run(s, EthereumPipelines.blocks(ep(10), path),
+        PipelineRunner.Config(maxBatchSize = 4))
+      PipelineRunner.run(s, EthereumPipelines.blocks(ep(18), path),
+        PipelineRunner.Config(maxBatchSize = 4))
+      SinkTable(path, Seq("number"), Some("timestamp")).read(s)
+        .select(col("number"), col("gas_used")).orderBy(col("number"))
+    }),
+
+    "m71_media_meta" -> ((s, dir) => {
+      Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("media_meta.n_bytes").as("n_bytes"),
+          col("media_meta.mime").as("mime"),
+          col("media_meta.content_hash").as("content_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // mapPartitions feature extraction over binary payloads — rows-only.
+    "m72_media_features" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Multimodal.extractFeatures(
+        Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text"))
+        .toDF().orderBy(col("doc_id"))
+    }),
+
+    // frame sampling over binary payloads — rows-only.
+    "m73_frame_sample" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Multimodal.sampleFrames(
+        Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text"))
+        .toDF()
+        .select(col("doc_id"), col("frame_idx"), md5(col("frame")).as("frame_hash"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "st61_stream_window" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start, event_type,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events GROUP BY 1, 2 ORDER BY day_start, event_type""",
+    "st62_sessionize" ->
+      """WITH ordered AS (
+          SELECT user_id, event_id, ts, value,
+            CASE WHEN lag(ts) OVER w IS NULL
+                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                 THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+          SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) - 1 AS session_seq
+          FROM ordered
+        )
+        SELECT user_id, session_seq, COUNT(*) AS n_events,
+          CAST(floor(epoch(MIN(ts))) AS BIGINT) AS start_s,
+          CAST(floor(epoch(MAX(ts))) AS BIGINT) AS end_s,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM sess GROUP BY user_id, session_seq
+        ORDER BY user_id, session_seq""",
+    "m71_media_meta" ->
+      """SELECT doc_id, length(text) AS n_bytes, 'text/plain' AS mime,
+        md5(text) AS content_hash
+        FROM documents ORDER BY doc_id"""
+  )
+}
