@@ -200,15 +200,23 @@ object DerivedPipelines {
     val source: SinkTable = SinkTable(sourcePath, sourceKeys)
 
     def resume(spark: SparkSession): Option[Long] = {
-      // start.sql:2-12: probe already-exported partitions
+      // start.sql:2-12: probe already-exported partitions; empty target →
+      // start from the source's first day (NOT day ordinal 0/1970, which
+      // would plan ~20k empty one-day batches)
       val fs = new org.apache.hadoop.fs.Path(targetPath)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(new org.apache.hadoop.fs.Path(targetPath))) None
-      else {
-        val days = spark.read.parquet(targetPath)
-          .select(datediff(col("date"), lit("1970-01-01")).cast("long").as("d"))
-          .agg(max(col("d"))).head()
-        if (days.isNullAt(0)) None else Some(days.getLong(0) + 1)
+      val exported =
+        if (!fs.exists(new org.apache.hadoop.fs.Path(targetPath))) None
+        else {
+          val days = spark.read.parquet(targetPath)
+            .select(datediff(col("date"), lit("1970-01-01")).cast("long").as("d"))
+            .agg(max(col("d"))).head()
+          if (days.isNullAt(0)) None else Some(days.getLong(0) + 1)
+        }
+      exported.orElse {
+        val row = source.read(spark)
+          .agg(min(datediff(to_date(col("timestamp")), lit("1970-01-01")))).head()
+        if (row.isNullAt(0)) None else Some(row.getInt(0).toLong)
       }
     }
 

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.U256
+
+/** Cross-validation of the approximate operators against their exact
+  * baselines, plus behavior pins promised in FIXTURES.md §A4. */
+class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+  private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("minhash LSH pairs recover the exact jaccard pairs at j>=0.5") {
+    val exact = TextDedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = TextDedup.minHashLshPairs(docs, "doc_id", "text", 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH must have no false positives after verification")
+    val recall = if (exact.isEmpty) 1.0 else lsh.size.toDouble / exact.size
+    assert(recall >= 0.8, s"LSH recall $recall below expected (8 bands x 2 rows)")
+  }
+
+  test("SRP-LSH knn results are a subset of brute-force scoring") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.knnBrute(emb, queries, k = 50)
+      .select("qid", "vec_id", "cos_sim").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val lsh = Similarity.knnLsh(emb, queries, k = 5, dim = 64)
+      .select("qid", "vec_id", "cos_sim").collect()
+    assert(lsh.nonEmpty)
+    // every LSH hit's cosine matches the brute-force value exactly
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      brute.get(key).foreach(c => assert(c == r.getDouble(2)))
+    }
+  }
+
+  test("zip-explode pins arrays_zip padding semantics on length mismatch") {
+    import spark.implicits._
+    val df = Seq((Seq("a", "b", "c"), Seq(1, 2))).toDF("xs", "ys")
+      .select(explode(arrays_zip(col("xs"), col("ys"))).as("z"))
+      .select(col("z.xs"), col("z.ys"))
+    val rows = df.collect().map(r => (r.getString(0), if (r.isNullAt(1)) -1 else r.getInt(1)))
+    // shorter array pads with null (vs ClickHouse which errors) — pinned
+    assert(rows.toSeq == Seq(("a", 1), ("b", 2), ("c", -1)))
+  }
+
+  test("simhash of identical token streams has hamming distance 0") {
+    import spark.implicits._
+    val d = Seq((1L, "spark scale shuffle join"), (2L, "spark scale shuffle join"),
+      (3L, "completely different words here")).toDF("doc_id", "text")
+    val pairs = TextDedup.simHashPairs(d, "doc_id", "text", maxHamming = 0).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq ==
+      Seq((1L, 2L, 0)))
+  }
+
+  test("language ID prefers en for English-function-word text") {
+    import spark.implicits._
+    val d = Seq((1L, "the cat sat of the mat and it is a cat"),
+      (2L, "der hund ist nicht ein katze und der")).toDF("doc_id", "text")
+    val out = TextAnalysis.languageId(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "de")
+  }
+
+  test("sessionize splits on gaps and accumulates exactly") {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val events = Seq(
+      (1L, 10L, new java.sql.Timestamp(base), 1.25),
+      (1L, 11L, new java.sql.Timestamp(base + 60 * 1000), 2.50), // same session
+      (1L, 12L, new java.sql.Timestamp(base + 3 * 3600 * 1000), 4.00), // new session
+      (2L, 20L, new java.sql.Timestamp(base), 0.75))
+      .toDF("user_id", "event_id", "ts", "value")
+    val out = Sessionize.sessions(events, gapSeconds = 1800).collect()
+      .map(x => (x.user_id, x.session_seq, x.n_events, x.total_value)).sortBy(t => (t._1, t._2))
+    assert(out.toSeq == Seq((1L, 0L, 2L, 3.75), (1L, 1L, 1L, 4.0), (2L, 0L, 1L, 0.75)))
+  }
+
+  test("daily export partitions by date and resumes past exported days") {
+    import graft.pipeline.{DerivedPipelines, PipelineRunner, SinkTable}
+    val src = java.nio.file.Files.createTempDirectory("graft-exp-src").resolve("sink").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft-exp-dst").resolve("out").toString
+    // source sink: 3 days of rows
+    import spark.implicits._
+    val rows = (0 until 6).map { i =>
+      (java.sql.Timestamp.valueOf(s"2024-01-0${1 + i / 2} 0$i:00:00"), i.toLong, i * 1.0)
+    }.toDF("timestamp", "block_number", "v")
+    val sink = SinkTable(src, Seq("block_number"))
+    sink.append(rows, 0)
+    val defn = DerivedPipelines.dailyExport(src, Seq("block_number"), dst)
+    // tip = yesterday of max(ts) → exports days 1 and 2, withholds day 3
+    val r1 = PipelineRunner.run(spark, defn, PipelineRunner.Config(maxBatchSize = 1))
+    assert(r1.batches == 2)
+    val exported = spark.read.parquet(dst)
+    assert(exported.select("date").distinct().count() == 2)
+    assert(exported.count() == 4)
+    // re-run: nothing new
+    val r2 = PipelineRunner.run(spark, defn, PipelineRunner.Config(maxBatchSize = 1))
+    assert(r2.batches == 0)
+  }
+
+  test("u256: canonical binary ordering is numeric; arithmetic is mod 2^256") {
+    import spark.implicits._
+    val big1 = BigInt("115792089237316195423570985008687907853269984665640564039457584007913129639935") // 2^256-1
+    val big2 = BigInt("340282366920938463463374607431768211456") // 2^128
+    val df = Seq("0x" + big2.toString(16), big1.toString, "1000", "999")
+      .toDF("s").select(U256.u256FromString(col("s")).as("u"))
+    // native max over binary = numeric max
+    val maxRow = df.agg(max(col("u"))).head().getAs[Array[Byte]](0)
+    assert(U256.toBigInt(maxRow) == big1)
+    val sorted = df.orderBy(col("u")).collect().map(r => U256.toBigInt(r.getAs[Array[Byte]](0)))
+    assert(sorted.toSeq == Seq(BigInt(999), BigInt(1000), big2, big1))
+    // modular add wraps
+    val wrap = Seq((1, 1)).toDF("a", "b")
+      .select(U256.u256Add(U256.u256FromString(lit(big1.toString)),
+        U256.u256FromLong(lit(1L))).as("w"))
+      .head().getAs[Array[Byte]]("w")
+    assert(U256.toBigInt(wrap) == BigInt(0))
+    // round-trip through decimal string
+    val s = Seq(1).toDF("x")
+      .select(U256.u256ToString(U256.u256FromString(lit(big1.toString))))
+      .head().getString(0)
+    assert(s == big1.toString)
+  }
+}
