@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernels shared by interpreted eval and generated Java — the
+  * generated code calls these directly, so the whole projection stays
+  * inside whole-stage codegen with no UDF serialization/row-conversion
+  * overhead. */
+object HexKernels {
+  /** "0x…" (odd length ok) → bytes. */
+  def decode(s: UTF8String): Array[Byte] = graft.evm.Hex.decode(s.toString)
+
+  def decodeLong(s: UTF8String): Long = graft.evm.Hex.decodeLong(s.toString)
+
+  def encode(b: Array[Byte]): UTF8String =
+    UTF8String.fromString(graft.evm.Hex.encode(b))
+
+  def encodeQuantity(n: Long): UTF8String =
+    UTF8String.fromString(graft.evm.Hex.encodeQuantity(n))
+}
+
+/** Native Catalyst expressions for the EVM hex codec — the codegen'd
+  * fast path for the reference's highest-frequency UDFs (46+57 call
+  * sites of evm_hex_decode/_int, SURVEY.md §2.D). The UDF registrations
+  * in EvmFunctions remain the semantic reference; these are the hot-path
+  * equivalents (same underlying Hex kernel, so behavior is identical).
+  */
+case class EvmHexDecodeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"evm_hex_decode expects STRING, got ${child.dataType.sql}")
+  override def nullSafeEval(input: Any): Any =
+    HexKernels.decode(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HexKernels.decode($c)")
+  override protected def withNewChildInternal(newChild: Expression): EvmHexDecodeExpr =
+    copy(child = newChild)
+}
+
+case class EvmHexDecodeLongExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"evm_hex_decode_int expects STRING, got ${child.dataType.sql}")
+  override def nullSafeEval(input: Any): Any =
+    HexKernels.decodeLong(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HexKernels.decodeLong($c)")
+  override protected def withNewChildInternal(newChild: Expression): EvmHexDecodeLongExpr =
+    copy(child = newChild)
+}
+
+case class EvmHexEncodeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"evm_hex_encode expects BINARY, got ${child.dataType.sql}")
+  override def nullSafeEval(input: Any): Any =
+    HexKernels.encode(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HexKernels.encode($c)")
+  override protected def withNewChildInternal(newChild: Expression): EvmHexEncodeExpr =
+    copy(child = newChild)
+}
+
+case class EvmHexEncodeQuantityExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"evm_hex_encode_int expects BIGINT, got ${child.dataType.sql}")
+  override def nullSafeEval(input: Any): Any =
+    HexKernels.encodeQuantity(input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HexKernels.encodeQuantity($c)")
+  override protected def withNewChildInternal(newChild: Expression): EvmHexEncodeQuantityExpr =
+    copy(child = newChild)
+}
+
+/** Column-level API + SQL registration for the native expressions. */
+object HexExpressions {
+  def evmHexDecodeN(c: Column): Column =
+    ColumnBridge.column(EvmHexDecodeExpr(ColumnBridge.expression(c)))
+  def evmHexDecodeLongN(c: Column): Column =
+    ColumnBridge.column(EvmHexDecodeLongExpr(ColumnBridge.expression(c)))
+  def evmHexEncodeN(c: Column): Column =
+    ColumnBridge.column(EvmHexEncodeExpr(ColumnBridge.expression(c)))
+  def evmHexEncodeQuantityN(c: Column): Column =
+    ColumnBridge.column(EvmHexEncodeQuantityExpr(ColumnBridge.expression(c)))
+
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("evm_hex_decode_n",
+      exprs => EvmHexDecodeExpr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("evm_hex_decode_int_n",
+      exprs => EvmHexDecodeLongExpr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("evm_hex_encode_n",
+      exprs => EvmHexEncodeExpr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("evm_hex_encode_int_n",
+      exprs => EvmHexEncodeQuantityExpr(exprs.head), "built-in")
+  }
+}

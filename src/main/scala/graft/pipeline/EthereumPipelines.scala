@@ -48,11 +48,12 @@ object EthereumPipelines {
     spark.range(batch.start, batch.end + 1, 1, parts).toDF("n")
   }
 
-  private def decodeHex(c: Column): Column = evmHexDecode(c)
-  private def decodeLongCol(c: Column): Column = evmHexDecodeInt(c)
+  // native codegen'd expressions on the hot decode path (UDF-free)
+  private def decodeHex(c: Column): Column = graft.functions.HexExpressions.evmHexDecodeN(c)
+  private def decodeLongCol(c: Column): Column = graft.functions.HexExpressions.evmHexDecodeLongN(c)
   private def decodeBig(c: Column): Column = evmHexDecodeBig(c)
   private def tsOf(c: Column): Column =
-    timestamp_seconds(evmHexDecodeInt(c))
+    timestamp_seconds(decodeLongCol(c))
 
   // ---------------------------------------------------------------- blocks
 
@@ -68,10 +69,17 @@ object EthereumPipelines {
   private def rpcValue(resp: Column, schema: DataType): Column =
     from_json(get_json_object(resp, "$.value"), schema)
 
-  def blocksTransform(spark: SparkSession, batch: Batch, endpoint: String): DataFrame = {
-    val raw = blockNumbers(spark, batch).withColumn("resp",
+  def blocksTransform(spark: SparkSession, batch: Batch, endpoint: String): DataFrame =
+    blocksProject(blockNumbers(spark, batch), endpoint)
+
+  /** The fetch+typed-extraction projection over any DataFrame of block
+    * numbers `n` — shared by the batch pipeline and the `graft-blocks`
+    * streaming source (composability: stream and batch run the SAME
+    * declarative transform). */
+  def blocksProject(numbers: DataFrame, endpoint: String): DataFrame = {
+    val raw = numbers.withColumn("resp",
       ethereumRpc(lit("eth_getBlockByNumber"),
-        array(evmHexEncodeInt(col("n")), lit("false")), lit(endpoint)))
+        array(graft.functions.HexExpressions.evmHexEncodeQuantityN(col("n")), lit("false")), lit(endpoint)))
     val b = rpcValue(col("resp"), blockHeaderSchema)
     raw.select(
       tsOf(b("timestamp")).as("timestamp"),
@@ -138,7 +146,7 @@ object EthereumPipelines {
     val d = rpcValue(col("resp"), headerDepSchema)
     blockNumbers(spark, batch).withColumn("resp",
         ethereumRpc(lit("eth_getBlockByNumber"),
-          array(evmHexEncodeInt(col("n")), lit("false")), lit(endpoint)))
+          array(graft.functions.HexExpressions.evmHexEncodeQuantityN(col("n")), lit("false")), lit(endpoint)))
       .select(col("n"), tsOf(d("timestamp")).as("timestamp"),
         decodeHex(d("hash")).as("block_hash"),
         decodeLongCol(d("number")).as("block_number"))
@@ -148,7 +156,7 @@ object EthereumPipelines {
     val deps = headerDeps(spark, batch, endpoint)
     val logs = blockNumbers(spark, batch).withColumn("resp",
         ethereumRpc(lit("eth_getBlockReceipts"),
-          array(evmHexEncodeInt(col("n"))), lit(endpoint)))
+          array(graft.functions.HexExpressions.evmHexEncodeQuantityN(col("n"))), lit(endpoint)))
       .select(col("n"), explode(rpcValue(col("resp"), receiptLogsSchema)).as("r"))
       .select(col("n"),
         decodeHex(col("r.from")).as("transaction_from"),
@@ -229,7 +237,7 @@ object EthereumPipelines {
       .withColumn("block_resp", ethereumRpc(lit("eth_getBlockByNumber"),
         array(evmHexEncodeInt(col("n")), lit("true")), lit(endpoint)))
       .withColumn("rcpt_resp", ethereumRpc(lit("eth_getBlockReceipts"),
-        array(evmHexEncodeInt(col("n"))), lit(endpoint)))
+        array(graft.functions.HexExpressions.evmHexEncodeQuantityN(col("n"))), lit(endpoint)))
     val block = rpcValue(col("block_resp"), txSchema)
     raw
       .select(col("n"), tsOf(block("timestamp")).as("timestamp"),
@@ -306,7 +314,7 @@ object EthereumPipelines {
     val deps = headerDeps(spark, batch, endpoint)
     val traces = blockNumbers(spark, batch).withColumn("resp",
         ethereumRpc(lit("trace_block"),
-          array(evmHexEncodeInt(col("n"))), lit(endpoint)))
+          array(graft.functions.HexExpressions.evmHexEncodeQuantityN(col("n"))), lit(endpoint)))
       .select(col("n"), explode(rpcValue(col("resp"), traceSchema)).as("t"))
       .select(col("n"),
         col("t.transactionPosition").cast("int").as("transaction_index"),

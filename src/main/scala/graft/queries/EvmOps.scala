@@ -21,10 +21,11 @@ object EvmOps extends QueryPack {
     // hex quantity codec — oracle-able against DuckDB to_hex.
     "e51_hex_codec" -> ((s, dir) => {
       import s.implicits._
+      import graft.functions.HexExpressions._
       t(s, dir, "orders")
         .select($"o_orderkey",
-          evmHexEncodeInt($"o_orderkey").as("hex_q"),
-          evmHexDecodeInt(evmHexEncodeInt($"o_orderkey")).as("roundtrip"))
+          evmHexEncodeQuantityN($"o_orderkey").as("hex_q"),
+          evmHexDecodeLongN(evmHexEncodeQuantityN($"o_orderkey")).as("roundtrip"))
         .orderBy($"o_orderkey")
     }),
 
