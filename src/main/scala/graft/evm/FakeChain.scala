@@ -85,7 +85,7 @@ final class FakeChain(tip: Long) extends Rpc.Transport {
       "stateRoot" -> Hex.encode(h32(s"state$n")),
       "totalDifficulty" -> qb(BigInt(n) * 1000),
       "transactionsRoot" -> Hex.encode(h32(s"txroot$n")),
-      "uncles" -> Nil,
+      "uncles" -> (if (n % 5 == 0 && n > 0) List(Hex.encode(h32(s"uncle$n"))) else Nil),
       "withdrawalsRoot" -> Hex.encode(h32(s"wroot$n")))
     if (!full) base + ("transactions" -> (0 until nTx(n)).map(i => Hex.encode(h32(s"tx$n-$i"))).toList)
     else base + ("transactions" -> (0 until nTx(n)).map(i => txDoc(n, i)).toList)
@@ -111,7 +111,9 @@ final class FakeChain(tip: Long) extends Rpc.Transport {
     "type" -> q(2L),
     "v" -> q(1L),
     "value" -> q(0L),
-    "yParity" -> q(1L))
+    "yParity" -> q(1L),
+    "maxFeePerBlobGas" -> q(1L),
+    "blobVersionedHashes" -> Nil)
 
   /** ERC-20 transfer(address,uint256) calldata for tx (n, i). */
   private def transferInput(n: Long, i: Int): String = {
@@ -153,25 +155,41 @@ final class FakeChain(tip: Long) extends Rpc.Transport {
     out
   }
 
+  def isCreateTrace(n: Long, i: Int): Boolean = (n + i) % 7 == 0
+
   private def tracesDoc(n: Long): List[Any] =
     (0 until nTx(n)).map { i =>
-      Map[String, Any](
+      val base = Map[String, Any](
         "transactionPosition" -> BigDecimal(i),
         "transactionHash" -> Hex.encode(h32(s"tx$n-$i")),
         "subtraces" -> BigDecimal(0),
         "traceAddress" -> Nil,
-        "type" -> "call",
-        "error" -> "",
-        "action" -> Map[String, Any](
-          "callType" -> "call",
-          "from" -> Hex.encode(walletAddress(n, i, 0)),
-          "gas" -> q(21000L),
-          "input" -> transferInput(n, i),
-          "to" -> Hex.encode(tokenAddress(i)),
-          "value" -> q(0L)),
-        "result" -> Map[String, Any](
-          "gasUsed" -> q(20000L),
-          "output" -> Hex.encode(Abi.encodeStatic(BoolType, BoolV(true)))))
+        "error" -> "")
+      if (isCreateTrace(n, i))
+        base ++ Map[String, Any](
+          "type" -> "create",
+          "action" -> Map[String, Any](
+            "from" -> Hex.encode(walletAddress(n, i, 0)),
+            "gas" -> q(53000L),
+            "init" -> Hex.encode(h32(s"initcode$n-$i").take(8)),
+            "value" -> q(0L)),
+          "result" -> Map[String, Any](
+            "address" -> Hex.encode(addr(s"created$n-$i")),
+            "code" -> Hex.encode(h32(s"deployed$n-$i").take(8)),
+            "gasUsed" -> q(50000L)))
+      else
+        base ++ Map[String, Any](
+          "type" -> "call",
+          "action" -> Map[String, Any](
+            "callType" -> "call",
+            "from" -> Hex.encode(walletAddress(n, i, 0)),
+            "gas" -> q(21000L),
+            "input" -> transferInput(n, i),
+            "to" -> Hex.encode(tokenAddress(i)),
+            "value" -> q(0L)),
+          "result" -> Map[String, Any](
+            "gasUsed" -> q(20000L),
+            "output" -> Hex.encode(Abi.encodeStatic(BoolType, BoolV(true)))))
     }.toList
 
   /** symbol() / decimals() / balanceOf(address) on the two fake tokens. */

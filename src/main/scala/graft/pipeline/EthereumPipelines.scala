@@ -216,7 +216,12 @@ object EthereumPipelines {
       StructField("type", StringType),
       StructField("v", StringType),
       StructField("value", StringType),
-      StructField("yParity", StringType)))))))
+      StructField("yParity", StringType),
+      StructField("maxFeePerBlobGas", StringType),
+      StructField("blobVersionedHashes", ArrayType(StringType)),
+      StructField("sourceHash", StringType),
+      StructField("mint", StringType),
+      StructField("isSystemTx", StringType)))))))
 
   /** Flat receipt projection
     * (examples/ethereum_transactions/create_buffer.sql:73-99). */
@@ -269,6 +274,9 @@ object EthereumPipelines {
         decodeHex(col("z.tx.v")).as("v"),
         decodeBig(col("z.tx.value")).as("value"),
         decodeLongCol(col("z.tx.yParity")).cast("byte").as("y_parity"),
+        decodeBig(col("z.tx.maxFeePerBlobGas")).as("max_fee_per_blob_gas"),
+        transform(col("z.tx.blobVersionedHashes"), h => decodeHex(h))
+          .as("blob_versioned_hashes"),
         decodeHex(col("z.r.contractAddress")).as("contract_address"),
         decodeLongCol(col("z.r.cumulativeGasUsed")).as("cumulative_gas_used"),
         decodeBig(col("z.r.effectiveGasPrice")).as("effective_gas_price"),
@@ -305,10 +313,18 @@ object EthereumPipelines {
       StructField("gas", StringType),
       StructField("input", StringType),
       StructField("to", StringType),
-      StructField("value", StringType)))),
+      StructField("value", StringType),
+      StructField("address", StringType),
+      StructField("balance", StringType),
+      StructField("refundAddress", StringType),
+      StructField("author", StringType),
+      StructField("rewardType", StringType),
+      StructField("init", StringType)))),
     StructField("result", StructType(Seq(
       StructField("gasUsed", StringType),
-      StructField("output", StringType)))))))
+      StructField("output", StringType),
+      StructField("address", StringType),
+      StructField("code", StringType)))))))
 
   def tracesTransform(spark: SparkSession, batch: Batch, endpoint: String): DataFrame = {
     val deps = headerDeps(spark, batch, endpoint)
@@ -329,12 +345,22 @@ object EthereumPipelines {
         decodeHex(col("t.action.input")).as("input"),
         decodeHex(col("t.action.to")).as("to"),
         decodeBig(col("t.action.value")).as("value"),
+        decodeHex(col("t.action.address")).as("address"),
+        decodeBig(col("t.action.balance")).as("balance"),
+        decodeHex(col("t.action.refundAddress")).as("refund_address"),
+        decodeHex(col("t.action.author")).as("author"),
+        col("t.action.rewardType").as("reward_type"),
+        decodeHex(col("t.action.init")).as("init"),
+        decodeHex(col("t.result.address")).as("result_address"),
+        decodeHex(col("t.result.code")).as("result_code"),
         decodeLongCol(col("t.result.gasUsed")).as("gas_used"),
         decodeHex(col("t.result.output")).as("output"))
     traces.join(broadcast(deps), Seq("n"), "left")
       .select("timestamp", "block_hash", "block_number", "transaction_index",
         "transaction_hash", "subtraces", "trace_address", "type", "error",
-        "call_type", "from", "gas", "input", "to", "value", "gas_used", "output")
+        "call_type", "from", "gas", "input", "to", "value", "address",
+        "balance", "refund_address", "author", "reward_type", "init",
+        "result_address", "result_code", "gas_used", "output")
   }
 
   def traces(endpoint: String, sinkPath: String): Definition = new Definition {

@@ -111,8 +111,17 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val traces = sink.read(spark)
     import org.apache.spark.sql.functions._
     assert(traces.count() == (0L to 25L).map(_ % 3).sum)
-    assert(traces.filter(col("type") === "call").count() == traces.count())
-    assert(traces.filter(col("gas_used") === 20000L).count() == traces.count())
+    val expectedCreates = (0L to 25L).flatMap(n =>
+      (0 until graft.evm.FakeChain.nTx(n)).map(i => (n, i)))
+      .count { case (n, i) => (n + i) % 7 == 0 }
+    val creates = traces.filter(col("type") === "create")
+    assert(creates.count() == expectedCreates)
+    // contract-creation traces carry init + result address/code
+    assert(creates.filter(col("result_address").isNull || col("init").isNull)
+      .count() == 0)
+    assert(creates.filter(col("call_type").isNotNull).count() == 0)
+    val calls = traces.filter(col("type") === "call")
+    assert(calls.filter(col("gas_used") === 20000L).count() == calls.count())
   }
 
   test("decoded logs pipeline: dictionary decode keeps only matches") {
