@@ -11,6 +11,7 @@ import graft.queries.Util.QueryPack
 object SparkEntry {
   private def packs: Seq[QueryPack] = Seq(
     graft.queries.Relational,
+    graft.queries.Relational2,
     graft.queries.TextOps,
     graft.queries.SimilarityOps,
     graft.queries.EvmOps,

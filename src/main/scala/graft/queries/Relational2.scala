@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Util._
+
+/** Second relational pack: the "free in Spark" operators SURVEY.md §2.C
+  * notes the corpus never uses but a complete engine must offer —
+  * rollup/cube/grouping sets, pivot, exact percentiles, regex functions,
+  * set operators, lateral subqueries, sorted array set ops.
+  */
+object Relational2 extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_rollup" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum($"l_quantity").as("sum_qty"))
+        .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    }),
+
+    "q32_cube" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
+        .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+    }),
+
+    "q33_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("events")
+      s.sql("""
+        SELECT event_type, user_id % 10 AS user_bucket, COUNT(*) AS n
+        FROM events
+        GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+        ORDER BY event_type ASC NULLS FIRST, user_bucket ASC NULLS FIRST""")
+    }),
+
+    "q34_pivot" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy($"user_id")
+        .pivot("event_type", Seq("click", "view", "purchase"))
+        .agg(dsum($"value"))
+        .orderBy($"user_id")
+    }),
+
+    "q35_percentile" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(percentile($"l_quantity", lit(0.5)).as("median_qty"),
+          percentile($"l_extendedprice", lit(0.9)).as("p90_price"))
+        .orderBy($"l_returnflag")
+    }),
+
+    "q36_regexp" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id",
+          regexp_extract($"text", "([a-z]+a[a-z]*)", 1).as("first_a_word"),
+          length(regexp_replace($"text", "[aeiou]", "")).as("consonant_len"))
+        .orderBy($"doc_id")
+    }),
+
+    "q37_set_ops" -> ((s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders")
+      val big = o.filter($"o_totalprice" > 100000.0).select($"o_custkey")
+      val urgent = o.filter($"o_orderpriority" === "1-URGENT").select($"o_custkey")
+      big.intersect(urgent)
+        .unionByName(big.except(urgent).limit(0)) // keep INTERSECT ∪ EXCEPT shape
+        .orderBy($"o_custkey")
+    }),
+
+    "q38_lateral" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""
+        SELECT o_orderkey, o_totalprice, l.price_band
+        FROM orders,
+        LATERAL (SELECT CASE WHEN o_totalprice > 200000 THEN 'hi'
+                             WHEN o_totalprice > 50000 THEN 'mid'
+                             ELSE 'lo' END AS price_band)
+        AS l
+        ORDER BY o_orderkey""")
+    }),
+
+    "q39_array_set_ops" -> ((s, dir) => {
+      import s.implicits._
+      val words = array_distinct(split($"text", " "))
+      val stop = array(Seq("the", "a", "of", "and", "to").map(lit): _*)
+      t(s, dir, "documents")
+        .select($"doc_id",
+          array_sort(array_intersect(words, stop)).as("stop_hits"),
+          size(array_except(words, stop)).as("n_content_words"))
+        .orderBy($"doc_id")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q31_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q32_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+    "q33_grouping_sets" ->
+      """SELECT event_type, user_id % 10 AS user_bucket, COUNT(*) AS n
+        FROM events
+        GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+        ORDER BY event_type ASC NULLS FIRST, user_bucket ASC NULLS FIRST""",
+    "q34_pivot" ->
+      """SELECT user_id,
+        CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click,
+        CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS view,
+        CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase
+        FROM events GROUP BY user_id ORDER BY user_id""",
+    "q35_percentile" ->
+      """SELECT l_returnflag,
+        quantile_cont(l_quantity, 0.5) AS median_qty,
+        quantile_cont(l_extendedprice, 0.9) AS p90_price
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q36_regexp" ->
+      """SELECT doc_id,
+        regexp_extract(text, '([a-z]+a[a-z]*)', 1) AS first_a_word,
+        length(regexp_replace(text, '[aeiou]', '', 'g')) AS consonant_len
+        FROM documents ORDER BY doc_id""",
+    "q37_set_ops" ->
+      """SELECT o_custkey FROM orders WHERE o_totalprice > 100000.0
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        ORDER BY o_custkey""",
+    "q38_lateral" ->
+      """SELECT o_orderkey, o_totalprice, l.price_band
+        FROM orders,
+        LATERAL (SELECT CASE WHEN o_totalprice > 200000 THEN 'hi'
+                             WHEN o_totalprice > 50000 THEN 'mid'
+                             ELSE 'lo' END AS price_band) AS l
+        ORDER BY o_orderkey""",
+    "q39_array_set_ops" ->
+      """SELECT doc_id,
+        list_sort(list_intersect(list_distinct(string_split(text, ' ')),
+          ['the','a','of','and','to'])) AS stop_hits,
+        len(list_filter(list_distinct(string_split(text, ' ')),
+          w -> NOT list_contains(['the','a','of','and','to'], w))) AS n_content_words
+        FROM documents ORDER BY doc_id"""
+  )
+}
