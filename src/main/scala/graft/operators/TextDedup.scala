@@ -106,11 +106,50 @@ object TextDedup {
     false
   }
 
+  /** Fully fused text→signature kernel: tokenize, shingle, dedupe and
+    * minhash in one pass with no intermediate Catalyst arrays. Produces
+    * exactly the same signature as shingling via `wordShingles` +
+    * `minHashKernel` (same join separator, same dedup). */
+  private def minHashTextKernel(numHashes: Int, k: Int) =
+    udf((text: String) => {
+      val words = text.split(" ", -1)
+      val seen = new java.util.HashSet[String]()
+      val sbytes = new scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+      var i = 0
+      while (i + k <= words.length) {
+        val sh = {
+          val sb = new java.lang.StringBuilder(words(i))
+          var j = 1
+          while (j < k) { sb.append(' ').append(words(i + j)); j += 1 }
+          sb.toString
+        }
+        if (seen.add(sh)) sbytes += sh.getBytes("UTF-8")
+        i += 1
+      }
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val out = new Array[String](numHashes)
+      var h = 0
+      while (h < numHashes) {
+        val prefix = (h.toString + ":").getBytes("UTF-8")
+        var best: Array[Byte] = null
+        var j = 0
+        while (j < sbytes.length) {
+          md.reset(); md.update(prefix); md.update(sbytes(j))
+          val d = md.digest()
+          if (best == null || unsignedLess(d, best)) best = d
+          j += 1
+        }
+        out(h) = if (best == null) null else graft.evm.Hex.encode(best).substring(2)
+        h += 1
+      }
+      out.toSeq
+    })
+
   /** Docs + minhash signature column `sig` (array of hex strings). */
   def withMinHash(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16, k: Int = 3): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-      minHashKernel(numHashes)(array_distinct(wordShingles(col(textCol), k))).as("sig"))
+      minHashTextKernel(numHashes, k)(col(textCol)).as("sig"))
 
   /** MinHash-LSH candidate pairs, verified with exact Jaccard.
     * numHashes = bands * rowsPerBand; a pair is a candidate iff some band
