@@ -103,14 +103,29 @@ object Similarity {
     * this is the corpus-x-corpus candidate generator (shuffle on the
     * bucket key replaces the quadratic cross join). */
   def srpBucket(vec: Column, dim: Int, nBits: Int = 16, seed: Long = 42L): Column = {
+    // kernel UDF: a nBits x dim expression tree would dominate runtime in
+    // janino compilation alone; the planes are deterministic from `seed`
+    // and regenerated identically inside each executor
+    val f = udf((v: Seq[Float]) => {
+      val planes = srpPlanes(nBits, dim, seed)
+      var bucket = 0L
+      var j = 0
+      while (j < nBits) {
+        val p = planes(j)
+        var dot = 0.0
+        var i = 0
+        while (i < dim) { dot += v(i).toDouble * p(i); i += 1 }
+        if (dot >= 0) bucket |= (1L << j)
+        j += 1
+      }
+      bucket
+    })
+    f(vec)
+  }
+
+  private def srpPlanes(nBits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(nBits, dim)(rnd.nextGaussian())
-    val bits = (0 until nBits).map { j =>
-      val dot = (0 until dim).map(i =>
-        element_at(vec, i + 1).cast("double") * lit(planes(j)(i))).reduce(_ + _)
-      when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    bits.reduce(_.bitwiseOR(_))
+    Array.fill(nBits, dim)(rnd.nextGaussian())
   }
 
   /** ANN top-k restricted to same-SRP-bucket candidates (the scale path;

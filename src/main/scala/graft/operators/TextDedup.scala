@@ -36,6 +36,16 @@ object TextDedup {
     docs.select(col(idCol).as("doc_id"),
         explode(array_distinct(wordShingles(col(textCol), k))).as("shingle"))
 
+  /** Same index with the shingle replaced by its 64-bit xxhash: the join
+    * and aggregation keys become fixed-width longs instead of strings,
+    * which cuts shuffle bytes and comparison cost on the pair-counting
+    * path. Collision risk at 64 bits is ~n²/2⁶⁵ (≈1e-10 for 100k distinct
+    * shingles) — identical pair counts in practice. */
+  def shingleHashIndex(docs: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(array_distinct(transform(wordShingles(col(textCol), k),
+          s => xxhash64(s)))).as("shingle"))
+
   /** Exact n-gram Jaccard near-dup pairs via inverted-index self-join
     * (shuffle on shingle, never an all-pairs cross product). Returns
     * (doc_a, doc_b, jaccard) with doc_a < doc_b and jaccard >= threshold.
@@ -45,7 +55,7 @@ object TextDedup {
     * scale path, or cap shingle document-frequency first. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, k: Int = 3): DataFrame = {
-    val sh = shingleIndex(docs, idCol, textCol, k)
+    val sh = shingleHashIndex(docs, idCol, textCol, k)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -180,7 +190,7 @@ object TextDedup {
       cand: DataFrame, threshold: Double, k: Int = 3): DataFrame = {
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val sh = shingleIndex(docs, idCol, textCol, k)
+    val sh = shingleHashIndex(docs, idCol, textCol, k)
       .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = sh.as("a").join(sh.as("b"),
