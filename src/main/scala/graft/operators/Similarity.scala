@@ -128,6 +128,81 @@ object Similarity {
     Array.fill(nBits, dim)(rnd.nextGaussian())
   }
 
+  /** IVF-style coarse quantization: assign every vector to its nearest
+    * of K fixed centroid vectors (here: a deterministic sample — the
+    * vectors with the K lowest ids — standing in for trained centroids;
+    * the index structure and probe path are identical to a trained IVF).
+    * Distances are rounded left-to-right double folds, ties broken by
+    * centroid id, so assignment is engine-reproducible. */
+  def ivfAssign(corpus: DataFrame, k: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1).take(k)
+      .map { case (id, v) => (id, v.toArray) }
+    val bc = spark.sparkContext.broadcast(cents)
+    corpus.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Seq[Float])]
+      .map { case (id, vSeq) =>
+        val v = vSeq.toArray
+        var bestId = -1L
+        var bestDist = Double.MaxValue
+        bc.value.foreach { case (cid, c) =>
+          var d = 0.0
+          var i = 0
+          while (i < v.length) {
+            val diff = v(i).toDouble - c(i).toDouble
+            d += diff * diff
+            i += 1
+          }
+          val r = round6(d)
+          if (r < bestDist || (r == bestDist && cid < bestId)) {
+            bestDist = r; bestId = cid
+          }
+        }
+        (id, bestId, bestDist)
+      }.toDF(idCol, "centroid_id", "dist_sq")
+  }
+
+  /** IVF probe search: score queries only against vectors whose
+    * centroid is one of the query's `nprobe` nearest lists — the
+    * sub-linear ANN path (per-query work ∝ probed lists, not corpus). */
+  def ivfSearch(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int = 8, nprobe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = corpus.join(
+      ivfAssign(corpus, nCentroids, idCol, vecCol).select(col(idCol), col("centroid_id")),
+      Seq(idCol))
+    // query → its nprobe nearest centroid lists
+    val probes = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .crossJoin(assigned.select(col("centroid_id")).distinct())
+    val w0 = Window.partitionBy(col("qid")).orderBy(col("cdist"), col("centroid_id"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1).take(nCentroids)
+      .map { case (id, v) => (id, v.toArray) }
+    val bc = spark.sparkContext.broadcast(cents.toMap)
+    val cdist = udf((qv: Seq[Float], cid: Long) => {
+      val c = bc.value(cid)
+      var d = 0.0
+      var i = 0
+      while (i < qv.length) { val x = qv(i).toDouble - c(i).toDouble; d += x * x; i += 1 }
+      round6(d)
+    })
+    val probed = probes.withColumn("cdist", cdist(col("qv"), col("centroid_id")))
+      .withColumn("probe_rank", row_number().over(w0))
+      .filter(col("probe_rank") <= nprobe)
+      .select(col("qid"), col("qv"), col("centroid_id"))
+    val scored = probed.join(assigned, Seq("centroid_id"))
+      .filter(col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol),
+        round(cosine(col("qv"), col(vecCol)), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** ANN top-k restricted to same-SRP-bucket candidates (the scale path;
     * recall < 1 by design, traded for a bucket-local join). */
   def knnLsh(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,

@@ -39,6 +39,21 @@ object SimilarityOps extends QueryPack {
       val emb = t(s, dir, "embeddings")
       Similarity.knnLsh(emb, emb.filter($"vec_id" < 10), k = 5, dim = dim)
         .orderBy($"qid", $"rank")
+    }),
+
+    // IVF coarse quantization: every vector → nearest of 8 centroids.
+    "s44_ivf_assign" -> ((s, dir) => {
+      import s.implicits._
+      Similarity.ivfAssign(t(s, dir, "embeddings"), k = 8)
+        .orderBy($"vec_id")
+    }),
+
+    // IVF probe search (sub-linear ANN) — rows-only (probe recall < 1).
+    "s45_ivf_search" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfSearch(emb, emb.filter($"vec_id" < 10), k = 5)
+        .orderBy($"qid", $"rank")
     })
   )
 
@@ -63,6 +78,18 @@ object SimilarityOps extends QueryPack {
         ${cosSql("a.embedding", "b.embedding")} AS cos_sim
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4
-        ORDER BY id_a, id_b"""
+        ORDER BY id_a, id_b""",
+    "s44_ivf_assign" ->
+      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+          WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+        dists AS (SELECT e.vec_id, c.cid,
+          round(list_sum(list_transform(range(1, 65), i ->
+            (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)) *
+            (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)))), 6) AS d
+          FROM embeddings e, cents c),
+        ranked AS (SELECT *, row_number() OVER
+          (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM dists)
+        SELECT vec_id, cid AS centroid_id, d AS dist_sq
+        FROM ranked WHERE rn = 1 ORDER BY vec_id"""
   )
 }

@@ -77,6 +77,22 @@ object TextOps extends QueryPack {
       import s.implicits._
       TextAnalysis.rollingFingerprint(t(s, dir, "documents"), "doc_id", "text")
         .orderBy($"doc_id")
+    }),
+
+    // near-dup pairs → connected components (min-label propagation).
+    "t41_dedup_clusters" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = TextDedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", 0.5)
+      graft.operators.DedupCluster.components(pairs).orderBy($"doc_id")
+    }),
+
+    // full dedup resolution: cluster + keep best by length, tie → low id.
+    "t42_dedup_resolve" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val pairs = TextDedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5)
+      graft.operators.DedupCluster.resolve(docs, pairs, "doc_id", "n_chars")
+        .orderBy($"doc_id")
     })
   )
 
@@ -120,6 +136,60 @@ object TextOps extends QueryPack {
         JOIN sizes sb ON doc_b = sb.doc_id
         WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
         ORDER BY doc_a, doc_b""",
+    "t41_dedup_clusters" ->
+      """WITH RECURSIVE pairs AS (
+          WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          sh AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle FROM words),
+          d AS (SELECT DISTINCT doc_id, shingle FROM sh),
+          sizes AS (SELECT doc_id, COUNT(*) AS n FROM d GROUP BY doc_id),
+          common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+            FROM d a JOIN d b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id)
+          SELECT doc_a, doc_b FROM common
+          JOIN sizes sa ON doc_a = sa.doc_id
+          JOIN sizes sb ON doc_b = sb.doc_id
+          WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+        ),
+        nodes AS (SELECT doc_a AS id FROM pairs UNION SELECT doc_b FROM pairs),
+        edges AS (SELECT doc_a AS x, doc_b AS y FROM pairs
+                  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        reach(id, lab) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT e.x, r.lab FROM edges e JOIN reach r ON r.id = e.y
+        )
+        SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY id
+        ORDER BY doc_id""",
+    "t42_dedup_resolve" ->
+      """WITH RECURSIVE pairs AS (
+          WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          sh AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle FROM words),
+          d AS (SELECT DISTINCT doc_id, shingle FROM sh),
+          sizes AS (SELECT doc_id, COUNT(*) AS n FROM d GROUP BY doc_id),
+          common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+            FROM d a JOIN d b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id)
+          SELECT doc_a, doc_b FROM common
+          JOIN sizes sa ON doc_a = sa.doc_id
+          JOIN sizes sb ON doc_b = sb.doc_id
+          WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+        ),
+        nodes AS (SELECT doc_a AS id FROM pairs UNION SELECT doc_b FROM pairs),
+        edges AS (SELECT doc_a AS x, doc_b AS y FROM pairs
+                  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        reach(id, lab) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT e.x, r.lab FROM edges e JOIN reach r ON r.id = e.y
+        ),
+        comp AS (SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY id)
+        SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id, d.n_chars,
+          row_number() OVER (PARTITION BY COALESCE(c.cluster_id, d.doc_id)
+            ORDER BY d.n_chars DESC, d.doc_id ASC) = 1 AS keep
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+        ORDER BY d.doc_id""",
     "t37_minhash_sig" ->
       """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         sh AS (SELECT doc_id, list_transform(range(1, greatest(len(w) - 2, 0) + 1),
