@@ -60,9 +60,9 @@ object StreamingOps extends QueryPack {
         .resolve("sink").toString
       def ep(tip: Int) = s"fake://chain?tip=$tip#fail-on-error=true"
       PipelineRunner.run(s, EthereumPipelines.blocks(ep(10), path),
-        PipelineRunner.Config(maxBatchSize = 4))
+        PipelineRunner.Config(maxBatchSize = 6, workers = 2))
       PipelineRunner.run(s, EthereumPipelines.blocks(ep(18), path),
-        PipelineRunner.Config(maxBatchSize = 4))
+        PipelineRunner.Config(maxBatchSize = 6, workers = 2))
       SinkTable(path, Seq("number"), Some("timestamp")).read(s)
         .select(col("number"), col("gas_used")).orderBy(col("number"))
     }),
