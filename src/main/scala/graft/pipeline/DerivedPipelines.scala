@@ -66,6 +66,24 @@ object DerivedPipelines {
       .drop("evt_json", "topics", "data")
   }
 
+  /** Variant-typed flavor (SURVEY.md §7 hard part #5): the open-schema
+    * `inputs` column lands as Spark 4 VariantType (the analog of the
+    * reference's experimental JSON column type,
+    * examples/ethereum_decoded_logs/create_table.sql:12) — binary-encoded,
+    * shreddable, queryable with variant_get without re-parsing. */
+  def decodedLogsVariantTransform(spark: SparkSession, batch: Batch,
+      source: SinkTable, dict: AbiDictionary): DataFrame = {
+    val lookup = dict.lookupUdf(spark)
+    sourceRange(source, spark, batch)
+      .filter(size(col("topics")) > 0)
+      .withColumn("evt_json", evmDecodeEvent(col("topics"), col("data"),
+        lookup(element_at(col("topics"), 1))))
+      .filter(get_json_object(col("evt_json"), "$.error").isNull)
+      .withColumn("signature", get_json_object(col("evt_json"), "$.value.signature"))
+      .withColumn("inputs", parse_json(get_json_object(col("evt_json"), "$.value.inputs")))
+      .drop("evt_json", "topics", "data")
+  }
+
   def decodedLogs(sourcePath: String, sinkPath: String, dict: AbiDictionary): Definition =
     new Definition {
       val source: SinkTable = SinkTable(sourcePath, Seq("block_number", "log_index"))

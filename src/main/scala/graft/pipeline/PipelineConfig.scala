@@ -50,12 +50,12 @@ object PipelineConfig {
     else t.toLong
   }
 
-  /** ClickHouse settings with a Spark analog (best-effort mapping). */
+  /** ClickHouse settings with a direct Spark conf analog. Spark has no
+    * per-query wall-clock kill switch, so `max_execution_time` stays in
+    * `settings` for callers to enforce (e.g. a watchdog cancelling the
+    * job group — PipelineRunner tags every batch with one). */
   private def toSparkConf(settings: Map[String, String]): Map[String, String] =
     settings.flatMap {
-      case ("max_execution_time", v) =>
-        // seconds → ms; closest Spark knob kills over-budget queries
-        Some("spark.sql.execution.timeout" -> (v.toLong * 1000).toString)
       case ("output_format_parquet_compression_method", v) =>
         Some("spark.sql.parquet.compression.codec" -> v)
       case _ => None

@@ -103,6 +103,22 @@ object EvmOps extends QueryPack {
         .orderBy(col("block_number"), col("transaction_index"))
     }),
 
+    // VariantType open-schema decode: inputs as Spark 4 variant, fields
+    // extracted with variant_get (no JSON re-parse) — rows-only.
+    "e60_decoded_logs_variant" -> ((s, _) => {
+      val logsPath = java.nio.file.Files.createTempDirectory("graft-q-vlogs")
+        .resolve("sink").toString
+      PipelineRunner.run(s, EthereumPipelines.logs(endpoint, logsPath),
+        Config(maxBatchSize = 21))
+      val source = SinkTable(logsPath, Seq("block_number", "log_index"))
+      DerivedPipelines.decodedLogsVariantTransform(s, Batch(0, 0, 20), source,
+          DerivedPipelines.AbiDictionary.builtin)
+        .select(col("block_number"), col("log_index"), col("signature"),
+          expr("variant_get(inputs, '$.arg2', 'decimal(38,0)')").as("amount"),
+          expr("variant_get(inputs, '$.arg0', 'string')").as("sender"))
+        .orderBy(col("block_number"), col("log_index"))
+    }),
+
     // dedup-then-RPC: erc20 balances over a fake-chain logs sink.
     "e59_erc20_balances" -> ((s, _) => {
       val logsPath = java.nio.file.Files.createTempDirectory("graft-q-logs")

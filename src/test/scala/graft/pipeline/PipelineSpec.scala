@@ -100,6 +100,10 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(txs.filter(col("status") =!= 1).count() == 0)
     assert(txs.filter(col("cumulative_gas_used") ===
       (col("transaction_index") + 1) * 21000).count() == expected)
+    // Dencun optional columns decode (fake chain emits maxFeePerBlobGas=1)
+    assert(txs.filter(col("max_fee_per_blob_gas") === 1).count() == expected)
+    assert(txs.filter(org.apache.spark.sql.functions.size(
+      col("blob_versioned_hashes")) === 0).count() == expected)
   }
 
   test("traces pipeline decodes action/result sections") {
