@@ -62,6 +62,21 @@ object TextAnalysis {
       greatest(scored: _*).getField("score").as("marker_hits"))
   }
 
+  /** Deterministic train/val/test assignment: bucket = first 4 hex
+    * digits of md5(id) mod 100 — a pure function of the id, so the split
+    * is stable across runs, engines, cluster sizes, and data order (the
+    * property random() sampling lacks). Weights are integer percents. */
+  def deterministicSplit(docs: DataFrame, idCol: String,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val bucket = (conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+      .cast("int") % 100).as("bucket")
+    docs.select(col(idCol), bucket)
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
+
   /** Content-defined document fingerprint: md5 over the sorted distinct
     * token set — stable under token reordering, engine-portable. */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =

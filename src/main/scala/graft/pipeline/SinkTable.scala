@@ -19,7 +19,8 @@ import org.apache.spark.sql.functions._
 final case class SinkTable(
     path: String,
     orderKeys: Seq[String],
-    partitionColumn: Option[String] = None) {
+    partitionColumn: Option[String] = None,
+    bloomFilterCols: Seq[String] = Nil) {
 
   private def partCol(df: DataFrame): Option[Column] =
     partitionColumn.filter(df.columns.contains).map(c =>
@@ -32,7 +33,11 @@ final case class SinkTable(
       case Some(p) => withSeq.withColumn("_part", p)
       case None => withSeq
     }
-    val writer = out.write.mode("append")
+    // point-lookup columns get parquet bloom filters — the skipping-index
+    // analog (examples/ethereum_logs/create_table.sql:15-20)
+    val writer = bloomFilterCols.foldLeft(out.write.mode("append")) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+    }
     (if (out.columns.contains("_part")) writer.partitionBy("_part") else writer)
       .parquet(path)
   }

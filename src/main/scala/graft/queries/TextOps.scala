@@ -106,6 +106,13 @@ object TextOps extends QueryPack {
       graft.operators.DedupCluster.resolve(t(s, dir, "documents"),
         jaccardPairs(s, dir), "doc_id", "n_chars")
         .orderBy($"doc_id")
+    }),
+
+    // deterministic hash-based train/val/test split.
+    "t43_split" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.deterministicSplit(t(s, dir, "documents"), "doc_id")
+        .orderBy($"doc_id")
     })
   )
 
@@ -203,6 +210,13 @@ object TextOps extends QueryPack {
             ORDER BY d.n_chars DESC, d.doc_id ASC) = 1 AS keep
         FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
         ORDER BY d.doc_id""",
+    "t43_split" ->
+      """SELECT doc_id,
+        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 AS bucket,
+        CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 < 80 THEN 'train'
+             WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 < 90 THEN 'val'
+             ELSE 'test' END AS split
+        FROM documents ORDER BY doc_id""",
     "t37_minhash_sig" ->
       """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         sh AS (SELECT doc_id, list_transform(range(1, greatest(len(w) - 2, 0) + 1),
