@@ -1,0 +1,106 @@
+package graft.pipeline
+
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.PipelineRunner.{Batch, Config}
+
+/** SURVEY.md §5 property 3: for random tips, batch sizes, worker counts
+  * and crash points — the committed range is gap-free and in order, and
+  * a re-run from the resume probe never loses or duplicates rows after
+  * dedup (mirrors sequencer.go + start.sql semantics).
+  */
+class PipelinePropertySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** In-memory "sink": records appended ranges in commit order. */
+  private final class MemSink {
+    val commits = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
+    def maxEnd: Option[Long] =
+      commits.toArray(Array.empty[(Long, Long, Long)]) match {
+        case a if a.isEmpty => None
+        case a => Some(a.map(_._3).max)
+      }
+  }
+
+  private def defn(sink: MemSink, tipVal: Long,
+      crashAtBatch: Option[Long], crashes: AtomicInteger): PipelineRunner.Definition =
+    new PipelineRunner.Definition {
+      def resume(s: SparkSession): Option[Long] = sink.maxEnd.map(_ + 1)
+      def tip(s: SparkSession): Long = tipVal
+      def transform(s: SparkSession, b: Batch): DataFrame = {
+        if (crashAtBatch.contains(b.number) && crashes.getAndIncrement() == 0)
+          throw new RuntimeException(s"injected crash at batch ${b.number}")
+        s.range(b.start, b.end + 1).toDF("n")
+      }
+      def commit(s: SparkSession, b: Batch, df: DataFrame): Unit =
+        sink.commits.add((b.number, b.start, b.end))
+    }
+
+  test("gap-free ordered commits; crash + retry never loses or dups") {
+    val rnd = new scala.util.Random(42) // deterministic property sweep
+    (1 to 25).foreach { _ =>
+      val tip = rnd.nextLong(61)
+      val batchSize = 1L + rnd.nextLong(17)
+      val workers = 1 + rnd.nextInt(4)
+      val crash = if (rnd.nextBoolean()) Some(rnd.nextLong(7)) else None
+      val sink = new MemSink
+      val crashes = new AtomicInteger()
+      val d = defn(sink, tip, crash, crashes)
+      PipelineRunner.runWithRetry(spark, d,
+        Config(maxBatchSize = batchSize, workers = workers), maxRetries = 3)
+
+      val commits = sink.commits.toArray(Array.empty[(Long, Long, Long)]).toSeq
+      // in order: batch numbers strictly increase in commit sequence per run
+      // (a retry restarts numbering — check the covered ranges instead)
+      val covered = commits.flatMap { case (_, s, e) => s to e }
+      // every offset 0..tip covered at least once (no gaps, no loss)
+      assert(covered.toSet == (0L to tip).toSet,
+        s"tip=$tip size=$batchSize workers=$workers crash=$crash")
+      // dedup-on-read: after dropping duplicates the range is exact
+      assert(covered.distinct.sorted == (0L to tip),
+        s"dup-check tip=$tip size=$batchSize workers=$workers")
+      // commit order within each run attempt is monotonic in start offset
+      val starts = commits.map(_._2)
+      val monotonicViolations = starts.sliding(2).count {
+        case Seq(a, b) => b < a && b != 0 // a retry legitimately restarts
+        case _ => false
+      }
+      assert(monotonicViolations == 0, s"out-of-order commit: $starts")
+    }
+  }
+
+  test("followTip polls until the moving tip is reached") {
+    val sink = new MemSink
+    val tipSource = new AtomicLong(5L)
+    val d = new PipelineRunner.Definition {
+      def resume(s: SparkSession): Option[Long] = sink.maxEnd.map(_ + 1)
+      def tip(s: SparkSession): Long = {
+        val t = tipSource.get()
+        // tip advances on each poll until 15
+        if (t < 15) tipSource.addAndGet(5)
+        t
+      }
+      def transform(s: SparkSession, b: Batch): DataFrame =
+        s.range(b.start, b.end + 1).toDF("n")
+      def commit(s: SparkSession, b: Batch, df: DataFrame): Unit =
+        sink.commits.add((b.number, b.start, b.end))
+    }
+    val r = PipelineRunner.run(spark, d,
+      Config(maxBatchSize = 4, followTip = true, tipPollIntervalMs = 10,
+        stopAfterBatches = Some(20)))
+    val covered = sink.commits.toArray(Array.empty[(Long, Long, Long)])
+      .flatMap { case (_, s, e) => s to e }.toSet
+    assert(covered.min == 0L)
+    assert(covered.max >= 15L, s"tip-follow should pass the moving tip, got ${covered.max}")
+    assert(r.items == covered.size)
+  }
+}
