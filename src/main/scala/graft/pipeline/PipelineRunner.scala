@@ -145,8 +145,19 @@ object PipelineRunner {
                 .persist(StorageLevel.MEMORY_AND_DISK)
               df.count() // materialize the buffer before taking the commit lock
               if (seq.awaitTurn(batch.number)) {
-                try defn.commit(spark, batch, df)
-                finally seq.release(batch.number)
+                // Record a commit failure BEFORE releasing the gate and
+                // re-check under it: otherwise a later batch could commit
+                // after an earlier one failed, and the next resume
+                // (max(key)+1) would silently skip the failed range — a
+                // gap. awaitTurn/release synchronize, so the failure
+                // write is visible to the next waiter.
+                try {
+                  if (failure.get() == null) defn.commit(spark, batch, df)
+                } catch {
+                  case NonFatal(e) =>
+                    failure.compareAndSet(null, e)
+                    throw e
+                } finally seq.release(batch.number)
               }
               df.unpersist(blocking = false)
             } else if (batch != null) {

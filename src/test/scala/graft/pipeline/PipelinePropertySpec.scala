@@ -78,6 +78,29 @@ class PipelinePropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("a commit failure blocks all later commits (no resume gap)") {
+    val committed = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val d = new PipelineRunner.Definition {
+      def resume(s: SparkSession): Option[Long] = None
+      def tip(s: SparkSession): Long = 15 // 4 batches of 4
+      def transform(s: SparkSession, b: Batch): DataFrame =
+        s.range(b.start, b.end + 1).toDF("n")
+      def commit(s: SparkSession, b: Batch, df: DataFrame): Unit = {
+        if (b.number == 1) throw new RuntimeException("commit failed")
+        committed.add(b.number)
+      }
+    }
+    val thrown = intercept[RuntimeException] {
+      PipelineRunner.run(spark, d, Config(maxBatchSize = 4, workers = 4))
+    }
+    assert(thrown.getMessage == "commit failed")
+    // batch 0 may commit (it precedes the failure); 2 and 3 must NOT —
+    // otherwise resume would read max(key)+1 past the failed range
+    val got = scala.jdk.CollectionConverters.CollectionHasAsScala(committed)
+      .asScala.toSet
+    assert(!got.contains(2L) && !got.contains(3L), s"gap risk: committed $got")
+  }
+
   test("followTip polls until the moving tip is reached") {
     val sink = new MemSink
     val tipSource = new AtomicLong(5L)
