@@ -50,6 +50,10 @@ object DedupCluster {
       converged = changed == 0
       iter += 1
     }
+    // pin the result, then free the intermediates it was built from
+    labels.count()
+    adj.unpersist(blocking = false)
+    edges.unpersist(blocking = false)
     labels
   }
 
