@@ -90,6 +90,21 @@ case class EvmHexEncodeQuantityExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+case class Keccak256Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"keccak256 expects BINARY, got ${child.dataType.sql}")
+  override def nullSafeEval(input: Any): Any =
+    graft.evm.Keccak256.hash(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.evm.Keccak256.hash($c)")
+  override protected def withNewChildInternal(newChild: Expression): Keccak256Expr =
+    copy(child = newChild)
+}
+
 /** Column-level API + SQL registration for the native expressions. */
 object HexExpressions {
   def evmHexDecodeN(c: Column): Column =
@@ -100,6 +115,9 @@ object HexExpressions {
     ColumnBridge.column(EvmHexEncodeExpr(ColumnBridge.expression(c)))
   def evmHexEncodeQuantityN(c: Column): Column =
     ColumnBridge.column(EvmHexEncodeQuantityExpr(ColumnBridge.expression(c)))
+  /** keccak256 over binary (cast strings first: keccak256N(c.cast("binary"))). */
+  def keccak256N(c: Column): Column =
+    ColumnBridge.column(Keccak256Expr(ColumnBridge.expression(c)))
 
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -111,5 +129,7 @@ object HexExpressions {
       exprs => EvmHexEncodeExpr(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("evm_hex_encode_int_n",
       exprs => EvmHexEncodeQuantityExpr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("keccak256_n",
+      exprs => Keccak256Expr(exprs.head), "built-in")
   }
 }

@@ -29,11 +29,14 @@ object EvmOps extends QueryPack {
         .orderBy($"o_orderkey")
     }),
 
-    // keccak256 over table data — rows-only (no DuckDB keccak).
+    // keccak256 over table data (native codegen'd expression) —
+    // rows-only (no DuckDB keccak).
     "e52_keccak256" -> ((s, dir) => {
       import s.implicits._
+      import graft.functions.HexExpressions._
       t(s, dir, "part")
-        .select($"p_partkey", evmHexEncode(keccak256Str($"p_name")).as("name_hash"))
+        .select($"p_partkey",
+          evmHexEncodeN(keccak256N($"p_name".cast("binary"))).as("name_hash"))
         .orderBy($"p_partkey")
     }),
 

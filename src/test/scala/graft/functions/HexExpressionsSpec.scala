@@ -52,6 +52,19 @@ class HexExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.evm.Hex.encode(b) == "0xdeadbeef")
   }
 
+  test("native keccak256 matches the UDF and the known vector") {
+    import spark.implicits._
+    val df = Seq("", "Transfer(address,address,uint256)").toDF("s")
+      .select(col("s"),
+        EvmFunctions.keccak256Str(col("s")).as("udf_hash"),
+        HexExpressions.keccak256N(col("s").cast("binary")).as("native_hash"))
+    assert(df.filter(col("udf_hash") =!= col("native_hash")).count() == 0)
+    val empty = df.filter(length(col("s")) === 0)
+      .select(HexExpressions.evmHexEncodeN(col("native_hash"))).head().getString(0)
+    assert(empty ==
+      "0xc5d2460186f7233c927e7db2dcc703c0e500b653ca82273b7bfad8045d85a470")
+  }
+
   test("null propagates, malformed input raises") {
     import spark.implicits._
     val withNull = Seq[Option[String]](Some("0x10"), None).toDF("s")
