@@ -228,18 +228,25 @@ object Relational extends QueryPack {
     // arrayMap → transform (higher-order function, codegen'd).
     "q19_transform" -> ((s, dir) => {
       import s.implicits._
+      // joined to a scalar so the driver's pandas comparator can sort it
       t(s, dir, "documents")
         .select($"doc_id",
-          transform(slice(split($"text", " "), 1, 4), x => upper(x)).as("words4"))
+          array_join(transform(slice(split($"text", " "), 1, 4), x => upper(x)), ",")
+            .as("words4"))
         .orderBy($"doc_id")
     }),
 
     // tuple(a as x, …) named-struct construction.
     "q20_struct" -> ((s, dir) => {
       import s.implicits._
+      // build the named struct, then re-project its fields as scalars so
+      // the comparator can hash the output (struct columns are unsortable
+      // in the driver's pandas gate)
       t(s, dir, "orders")
         .select($"o_orderkey",
           struct($"o_custkey".as("cust"), $"o_totalprice".as("price")).as("info"))
+        .select($"o_orderkey", $"info.cust".as("info_cust"),
+          $"info.price".as("info_price"))
         .orderBy($"o_orderkey")
     }),
 
@@ -439,12 +446,16 @@ object Relational extends QueryPack {
         FROM documents ORDER BY doc_id""",
     "q19_transform" ->
       """SELECT doc_id,
-        list_transform(string_split(text, ' ')[1:4], x -> upper(x)) AS words4
+        array_to_string(list_transform(string_split(text, ' ')[1:4], x -> upper(x)), ',')
+          AS words4
         FROM documents ORDER BY doc_id""",
     "q20_struct" ->
-      """SELECT o_orderkey,
-        struct_pack(cust := o_custkey, price := o_totalprice) AS info
-        FROM orders ORDER BY o_orderkey""",
+      """WITH packed AS (
+          SELECT o_orderkey,
+            struct_pack(cust := o_custkey, price := o_totalprice) AS info
+          FROM orders)
+        SELECT o_orderkey, info.cust AS info_cust, info.price AS info_price
+        FROM packed ORDER BY o_orderkey""",
     "q21_cte_chain" ->
       """WITH supp AS (
           SELECT l_suppkey,

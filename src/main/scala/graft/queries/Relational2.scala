@@ -90,9 +90,10 @@ object Relational2 extends QueryPack {
       import s.implicits._
       val words = array_distinct(split($"text", " "))
       val stop = array(Seq("the", "a", "of", "and", "to").map(lit): _*)
+      // joined to a scalar so the driver's pandas comparator can sort it
       t(s, dir, "documents")
         .select($"doc_id",
-          array_sort(array_intersect(words, stop)).as("stop_hits"),
+          array_join(array_sort(array_intersect(words, stop)), ",").as("stop_hits"),
           size(array_except(words, stop)).as("n_content_words"))
         .orderBy($"doc_id")
     })
@@ -144,8 +145,8 @@ object Relational2 extends QueryPack {
         ORDER BY o_orderkey""",
     "q39_array_set_ops" ->
       """SELECT doc_id,
-        list_sort(list_intersect(list_distinct(string_split(text, ' ')),
-          ['the','a','of','and','to'])) AS stop_hits,
+        COALESCE(array_to_string(list_sort(list_intersect(list_distinct(string_split(text, ' ')),
+          ['the','a','of','and','to'])), ','), '') AS stop_hits,
         len(list_filter(list_distinct(string_split(text, ' ')),
           w -> NOT list_contains(['the','a','of','and','to'], w))) AS n_content_words
         FROM documents ORDER BY doc_id"""

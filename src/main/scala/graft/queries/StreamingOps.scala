@@ -101,12 +101,18 @@ object StreamingOps extends QueryPack {
         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         FROM events GROUP BY 1, 2 ORDER BY day_start, event_type""",
     "st62_sessionize" ->
-      """WITH ordered AS (
+      """WITH ev AS (
+          -- Spark reads the NANOS parquet truncated to microseconds
+          -- (Util.t); truncate here too so lag/gap comparisons and
+          -- (ts, event_id) ordering agree on sub-microsecond events.
+          SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+          FROM events
+        ), ordered AS (
           SELECT user_id, event_id, ts, value,
             CASE WHEN lag(ts) OVER w IS NULL
                  OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                  THEN 1 ELSE 0 END AS is_new
-          FROM events
+          FROM ev
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), sess AS (
           SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id

@@ -68,7 +68,10 @@ object TextOps extends QueryPack {
 
     "t37_minhash_sig" -> ((s, dir) => {
       import s.implicits._
+      // signature joined to one scalar string so the driver comparator
+      // can sort/hash it (arrays are unsortable in the pandas gate)
       TextDedup.withMinHash(t(s, dir, "documents"), "doc_id", "text")
+        .select($"doc_id", array_join($"sig", ",").as("sig"))
         .orderBy($"doc_id")
     }),
 
@@ -222,9 +225,9 @@ object TextOps extends QueryPack {
         sh AS (SELECT doc_id, list_transform(range(1, greatest(len(w) - 2, 0) + 1),
           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shingles FROM words)
         SELECT doc_id,
-          list_transform(range(0, 16), i ->
+          array_to_string(list_transform(range(0, 16), i ->
             list_aggregate(list_transform(shingles,
-              s -> md5(CAST(i AS VARCHAR) || ':' || s)), 'min')) AS sig
+              s -> md5(CAST(i AS VARCHAR) || ':' || s)), 'min')), ',') AS sig
         FROM sh ORDER BY doc_id"""
   )
 }
