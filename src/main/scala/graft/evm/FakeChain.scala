@@ -113,7 +113,10 @@ final class FakeChain(tip: Long) extends Rpc.Transport {
     "value" -> q(0L),
     "yParity" -> q(1L),
     "maxFeePerBlobGas" -> q(1L),
-    "blobVersionedHashes" -> Nil)
+    "blobVersionedHashes" -> Nil,
+    "sourceHash" -> Hex.encode(h32(s"source$n-$i")),
+    "mint" -> q(0L),
+    "isSystemTx" -> false)
 
   /** ERC-20 transfer(address,uint256) calldata for tx (n, i). */
   private def transferInput(n: Long, i: Int): String = {
@@ -138,6 +141,17 @@ final class FakeChain(tip: Long) extends Rpc.Transport {
         "transactionIndex" -> q(i.toLong),
         "type" -> q(2L),
         "root" -> Hex.encode(h32(s"root$n-$i")),
+        "blobGasUsed" -> q(0L),
+        "blobGasPrice" -> q(1L),
+        "depositNonce" -> q(n + i),
+        "depositReceiptVersion" -> q(1L),
+        "l1GasPrice" -> q(30000000L + n),
+        "l1GasUsed" -> q(1600L + i),
+        "l1Fee" -> qb(BigInt(48000000000L) + BigInt(n) * 100 + i),
+        "l1FeeScalar" -> q(684000L),
+        "l1BlobBaseFee" -> q(1L),
+        "l1BaseFeeScalar" -> q(1368L),
+        "l1BlobBaseFeeScalar" -> q(810949L),
         "logs" -> List(Map[String, Any](
           "removed" -> false,
           "logIndex" -> q(i.toLong),

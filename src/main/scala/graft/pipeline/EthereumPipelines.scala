@@ -189,9 +189,9 @@ object EthereumPipelines {
 
   // ---------------------------------------------------------- transactions
 
-  /** eth_getBlockByNumber(true) tx schema — the subset of
-    * examples/ethereum_transactions/create_buffer.sql:22-64 the fake
-    * chain models (Dencun/OP-stack conditionals omitted round 1). */
+  /** eth_getBlockByNumber(true) tx schema
+    * (examples/ethereum_transactions/create_buffer.sql:22-64 plus the
+    * Dencun/OP-stack tx-side optional fields). */
   val txSchema: DataType = StructType(Seq(
     StructField("timestamp", StringType),
     StructField("transactions", ArrayType(StructType(Seq(
@@ -224,32 +224,68 @@ object EthereumPipelines {
       StructField("isSystemTx", StringType)))))))
 
   /** Flat receipt projection
-    * (examples/ethereum_transactions/create_buffer.sql:73-99). */
+    * (examples/ethereum_transactions/create_buffer.sql:73-99), including
+    * the Dencun + OP-stack optional receipt fields (:140-161) — absent
+    * keys parse to null, so the schema is safe on any chain. */
   val receiptFlatSchema: DataType = ArrayType(StructType(Seq(
     StructField("contractAddress", StringType),
     StructField("cumulativeGasUsed", StringType),
     StructField("effectiveGasPrice", StringType),
     StructField("gasUsed", StringType),
     StructField("root", StringType),
-    StructField("status", StringType))))
+    StructField("status", StringType),
+    StructField("blobGasUsed", StringType),
+    StructField("blobGasPrice", StringType),
+    StructField("depositNonce", StringType),
+    StructField("depositReceiptVersion", StringType),
+    StructField("l1GasPrice", StringType),
+    StructField("l1GasUsed", StringType),
+    StructField("l1Fee", StringType),
+    StructField("l1FeeScalar", StringType),
+    StructField("l1BlobBaseFee", StringType),
+    StructField("l1BaseFeeScalar", StringType),
+    StructField("l1BlobBaseFeeScalar", StringType))))
 
   /** The parallel ARRAY JOIN (`array join block.transactions as tx,
     * receipts as r`, examples/ethereum_transactions/create_buffer.sql:161):
     * equal-length arrays zip POSITIONALLY — arrays_zip + one explode,
     * never a cross product (SURVEY.md §7 trap #3). */
-  def transactionsTransform(spark: SparkSession, batch: Batch, endpoint: String): DataFrame = {
+  def transactionsTransform(spark: SparkSession, batch: Batch, endpoint: String,
+      enableDencun: Boolean = true, enableOpStack: Boolean = false): DataFrame = {
     val raw = blockNumbers(spark, batch)
       .withColumn("block_resp", ethereumRpc(lit("eth_getBlockByNumber"),
         array(evmHexEncodeInt(col("n")), lit("true")), lit(endpoint)))
       .withColumn("rcpt_resp", ethereumRpc(lit("eth_getBlockReceipts"),
         array(graft.functions.HexExpressions.evmHexEncodeQuantityN(col("n"))), lit(endpoint)))
     val block = rpcValue(col("block_resp"), txSchema)
-    raw
-      .select(col("n"), tsOf(block("timestamp")).as("timestamp"),
-        explode(arrays_zip(
-          block("transactions").as("tx"),
-          rpcValue(col("rcpt_resp"), receiptFlatSchema).as("r"))).as("z"))
-      .select(
+    // {{ if .ENABLE_DENCUN }} column family
+    // (examples/ethereum_transactions/create_buffer.sql:140-145)
+    val dencunCols =
+      if (!enableDencun) Seq.empty[Column]
+      else Seq(
+        decodeBig(col("z.tx.maxFeePerBlobGas")).as("max_fee_per_blob_gas"),
+        transform(col("z.tx.blobVersionedHashes"), h => decodeHex(h))
+          .as("blob_versioned_hashes"),
+        decodeLongCol(col("z.r.blobGasUsed")).as("blob_gas_used"),
+        decodeBig(col("z.r.blobGasPrice")).as("blob_gas_price"))
+    // {{ if .ENABLE_OP_STACK }} column family (:147-160)
+    val opStackCols =
+      if (!enableOpStack) Seq.empty[Column]
+      else Seq(
+        decodeHex(col("z.tx.sourceHash")).as("source_hash"),
+        decodeBig(col("z.tx.mint")).as("mint"),
+        when(length(col("z.tx.isSystemTx")) > 0, col("z.tx.isSystemTx"))
+          .otherwise(lit("false")).cast("boolean").as("is_system_tx"),
+        decodeBig(col("z.r.depositNonce")).as("deposit_nonce"),
+        decodeLongCol(col("z.r.depositReceiptVersion")).as("deposit_receipt_version"),
+        decodeBig(col("z.r.l1GasPrice")).as("l1_gas_price"),
+        decodeLongCol(col("z.r.l1GasUsed")).as("l1_gas_used"),
+        decodeBig(col("z.r.l1Fee")).as("l1_fee"),
+        decodeLongCol(col("z.r.l1FeeScalar")).as("l1_fee_scalar"),
+        decodeBig(col("z.r.l1BlobBaseFee")).as("l1_blob_base_fee"),
+        decodeLongCol(col("z.r.l1BaseFeeScalar")).as("l1_base_fee_scalar"),
+        decodeLongCol(col("z.r.l1BlobBaseFeeScalar")).as("l1_blob_base_fee_scalar"))
+    val baseCols = Seq(
         col("timestamp"),
         transform(col("z.tx.accessList"), a => struct(
           decodeHex(a.getField("address")).as("address"),
@@ -274,27 +310,32 @@ object EthereumPipelines {
         decodeHex(col("z.tx.v")).as("v"),
         decodeBig(col("z.tx.value")).as("value"),
         decodeLongCol(col("z.tx.yParity")).cast("byte").as("y_parity"),
-        decodeBig(col("z.tx.maxFeePerBlobGas")).as("max_fee_per_blob_gas"),
-        transform(col("z.tx.blobVersionedHashes"), h => decodeHex(h))
-          .as("blob_versioned_hashes"),
         decodeHex(col("z.r.contractAddress")).as("contract_address"),
         decodeLongCol(col("z.r.cumulativeGasUsed")).as("cumulative_gas_used"),
         decodeBig(col("z.r.effectiveGasPrice")).as("effective_gas_price"),
         decodeLongCol(col("z.r.gasUsed")).as("gas_used"),
         decodeHex(col("z.r.root")).as("root"),
         decodeLongCol(col("z.r.status")).cast("byte").as("status"))
+    raw
+      .select(col("n"), tsOf(block("timestamp")).as("timestamp"),
+        explode(arrays_zip(
+          block("transactions").as("tx"),
+          rpcValue(col("rcpt_resp"), receiptFlatSchema).as("r"))).as("z"))
+      .select(baseCols ++ dencunCols ++ opStackCols: _*)
   }
 
-  def transactions(endpoint: String, sinkPath: String): Definition = new Definition {
-    val sink: SinkTable =
-      SinkTable(sinkPath, Seq("block_number", "transaction_index"), Some("timestamp"))
-    def resume(spark: SparkSession): Option[Long] = sink.maxKey(spark, "block_number").map(_ + 1)
-    def tip(spark: SparkSession): Long = rpcTip(endpoint)
-    def transform(spark: SparkSession, batch: Batch): DataFrame =
-      transactionsTransform(spark, batch, endpoint)
-    def commit(spark: SparkSession, batch: Batch, df: DataFrame): Unit =
-      sink.append(df, batch.number)
-  }
+  def transactions(endpoint: String, sinkPath: String,
+      enableDencun: Boolean = true, enableOpStack: Boolean = false): Definition =
+    new Definition {
+      val sink: SinkTable =
+        SinkTable(sinkPath, Seq("block_number", "transaction_index"), Some("timestamp"))
+      def resume(spark: SparkSession): Option[Long] = sink.maxKey(spark, "block_number").map(_ + 1)
+      def tip(spark: SparkSession): Long = rpcTip(endpoint)
+      def transform(spark: SparkSession, batch: Batch): DataFrame =
+        transactionsTransform(spark, batch, endpoint, enableDencun, enableOpStack)
+      def commit(spark: SparkSession, batch: Batch, df: DataFrame): Unit =
+        sink.append(df, batch.number)
+    }
 
   // ---------------------------------------------------------------- traces
 
@@ -326,15 +367,30 @@ object EthereumPipelines {
       StructField("address", StringType),
       StructField("code", StringType)))))))
 
+  /** Per-block receipts kept as an UNEXPLODED array so traces can do the
+    * computed-index lookup `receipts[transaction_position + 1]`
+    * (examples/ethereum_traces/create_buffer.sql:136-139). */
+  val receiptRefSchema: DataType = ArrayType(StructType(Seq(
+    StructField("from", StringType),
+    StructField("status", StringType),
+    StructField("transactionHash", StringType),
+    StructField("transactionIndex", StringType))))
+
+  def receiptDeps(spark: SparkSession, batch: Batch, endpoint: String): DataFrame =
+    blockNumbers(spark, batch).withColumn("resp",
+        ethereumRpc(lit("eth_getBlockReceipts"),
+          array(graft.functions.HexExpressions.evmHexEncodeQuantityN(col("n"))), lit(endpoint)))
+      .select(col("n"), rpcValue(col("resp"), receiptRefSchema).as("receipts"))
+
   def tracesTransform(spark: SparkSession, batch: Batch, endpoint: String): DataFrame = {
     val deps = headerDeps(spark, batch, endpoint)
+    val rdeps = receiptDeps(spark, batch, endpoint)
     val traces = blockNumbers(spark, batch).withColumn("resp",
         ethereumRpc(lit("trace_block"),
           array(graft.functions.HexExpressions.evmHexEncodeQuantityN(col("n"))), lit(endpoint)))
       .select(col("n"), explode(rpcValue(col("resp"), traceSchema)).as("t"))
       .select(col("n"),
         col("t.transactionPosition").cast("int").as("transaction_index"),
-        decodeHex(col("t.transactionHash")).as("transaction_hash"),
         col("t.subtraces").as("subtraces"),
         col("t.traceAddress").as("trace_address"),
         col("t.type").as("type"),
@@ -355,9 +411,19 @@ object EthereumPipelines {
         decodeHex(col("t.result.code")).as("result_code"),
         decodeLongCol(col("t.result.gasUsed")).as("gas_used"),
         decodeHex(col("t.result.output")).as("output"))
+    // Computed-index array access: the 1-based receipts[pos + 1] lookup is
+    // Spark's 0-based get(receipts, pos) — null-safe on missing positions
+    // (reward traces) and out-of-range, with no ANSI index error.
+    val rcpt = get(col("receipts"), col("transaction_index"))
     traces.join(broadcast(deps), Seq("n"), "left")
-      .select("timestamp", "block_hash", "block_number", "transaction_index",
-        "transaction_hash", "subtraces", "trace_address", "type", "error",
+      .join(broadcast(rdeps), Seq("n"), "left")
+      .withColumn("transaction_from", decodeHex(rcpt.getField("from")))
+      .withColumn("transaction_status",
+        decodeLongCol(rcpt.getField("status")).cast("byte"))
+      .withColumn("transaction_hash", decodeHex(rcpt.getField("transactionHash")))
+      .select("timestamp", "block_hash", "block_number", "transaction_from",
+        "transaction_status", "transaction_hash", "transaction_index",
+        "subtraces", "trace_address", "type", "error",
         "call_type", "from", "gas", "input", "to", "value", "address",
         "balance", "refund_address", "author", "reward_type", "init",
         "result_address", "result_code", "gas_used", "output")

@@ -57,11 +57,15 @@ object EvmOps extends QueryPack {
         .orderBy(col("block_number"), col("log_index"))
     }),
 
-    // transactions: the parallel zip-explode of txs with receipts.
+    // transactions: the parallel zip-explode of txs with receipts,
+    // including the Dencun + OP-stack conditional column families.
     "e55_transactions_transform" -> ((s, _) => {
-      EthereumPipelines.transactionsTransform(s, batch021, endpoint)
+      EthereumPipelines.transactionsTransform(s, batch021, endpoint,
+          enableDencun = true, enableOpStack = true)
         .select(col("block_number"), col("transaction_index"), col("gas"),
-          col("cumulative_gas_used"), col("status"), col("value"))
+          col("cumulative_gas_used"), col("status"), col("value"),
+          col("blob_gas_used"), col("is_system_tx"), col("l1_gas_used"),
+          col("deposit_nonce"))
         .orderBy(col("block_number"), col("transaction_index"))
     }),
 
@@ -101,6 +105,8 @@ object EvmOps extends QueryPack {
           lookup(substring(col("input"), 1, 4))))
         .filter(get_json_object(col("call_json"), "$.error").isNull)
         .select(col("block_number"), col("transaction_index"),
+          evmHexEncode(col("transaction_from")).as("transaction_from"),
+          col("transaction_status"),
           get_json_object(col("call_json"), "$.value.signature").as("signature"),
           get_json_object(col("call_json"), "$.value.outputs.arg0").as("success"))
         .orderBy(col("block_number"), col("transaction_index"))

@@ -126,6 +126,29 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(creates.filter(col("call_type").isNotNull).count() == 0)
     val calls = traces.filter(col("type") === "call")
     assert(calls.filter(col("gas_used") === 20000L).count() == calls.count())
+    // receipts[transaction_position + 1] computed-index enrichment: the
+    // receipt at the trace's position carries the tx sender and status=1,
+    // and its hash agrees with the trace's own transaction hash
+    assert(traces.filter(col("transaction_status") =!= 1).count() == 0)
+    assert(traces.filter(col("transaction_from") === col("from"))
+      .count() == traces.count())
+    assert(traces.filter(col("transaction_hash").isNull).count() == 0)
+  }
+
+  test("transactions op-stack conditional family decodes receipt fields") {
+    val batch = PipelineRunner.Batch(0, 0, 12)
+    val txs = EthereumPipelines.transactionsTransform(spark, batch, endpoint,
+      enableDencun = true, enableOpStack = true)
+    import org.apache.spark.sql.functions._
+    assert(txs.columns.contains("l1_fee") && txs.columns.contains("source_hash"))
+    assert(txs.filter(col("is_system_tx")).count() == 0)
+    assert(txs.filter(col("l1_gas_used") === col("transaction_index") + 1600)
+      .count() == txs.count())
+    // flags off → the families are absent (template-var keyed projection)
+    val bare = EthereumPipelines.transactionsTransform(spark, batch, endpoint,
+      enableDencun = false, enableOpStack = false)
+    assert(!bare.columns.contains("max_fee_per_blob_gas"))
+    assert(!bare.columns.contains("l1_fee"))
   }
 
   test("decoded logs pipeline: dictionary decode keeps only matches") {
