@@ -27,7 +27,9 @@ object SparkEntry {
     packs.flatMap(_.queries).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    * Fake-chain queries (no SQL-derivable oracle) are gated by pinned
+    * VALUES goldens instead — see PinnedGoldens. */
   def oracleSql: Map[String, String] =
-    packs.flatMap(_.oracleSql).toMap
+    packs.flatMap(_.oracleSql).toMap ++ graft.queries.PinnedGoldens.sql
 }

@@ -29,12 +29,14 @@ object EvmOps extends QueryPack {
         .orderBy($"o_orderkey")
     }),
 
-    // keccak256 over table data (native codegen'd expression) —
-    // rows-only (no DuckDB keccak).
+    // keccak256 over table data (native codegen'd expression). DuckDB
+    // has no keccak, so the gate is a pinned 50-row golden
+    // (PinnedGoldens) over a deterministic key sample.
     "e52_keccak256" -> ((s, dir) => {
       import s.implicits._
       import graft.functions.HexExpressions._
       t(s, dir, "part")
+        .filter($"p_partkey" % 40 === 0)
         .select($"p_partkey",
           evmHexEncodeN(keccak256N($"p_name".cast("binary"))).as("name_hash"))
         .orderBy($"p_partkey")

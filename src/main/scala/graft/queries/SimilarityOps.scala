@@ -48,7 +48,8 @@ object SimilarityOps extends QueryPack {
         .orderBy($"vec_id")
     }),
 
-    // IVF probe search (sub-linear ANN) — rows-only (probe recall < 1).
+    // IVF probe search (sub-linear ANN; fully deterministic, so the
+    // oracle replays the probe ladder in SQL).
     "s45_ivf_search" -> ((s, dir) => {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
@@ -90,6 +91,36 @@ object SimilarityOps extends QueryPack {
         ranked AS (SELECT *, row_number() OVER
           (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM dists)
         SELECT vec_id, cid AS centroid_id, d AS dist_sq
-        FROM ranked WHERE rn = 1 ORDER BY vec_id"""
+        FROM ranked WHERE rn = 1 ORDER BY vec_id""",
+    "s45_ivf_search" ->
+      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+          WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+        dists AS (SELECT e.vec_id, c.cid,
+          round(list_sum(list_transform(range(1, 65), i ->
+            (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)) *
+            (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)))), 6) AS d
+          FROM embeddings e, cents c),
+        assigned AS (SELECT vec_id, cid AS centroid_id FROM
+          (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+           FROM dists) WHERE rn = 1),
+        q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        qd AS (SELECT q.qid, q.qv, c.cid,
+          round(list_sum(list_transform(range(1, 65), i ->
+            (CAST(q.qv[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)) *
+            (CAST(q.qv[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)))), 6) AS cd
+          FROM q, cents c),
+        probes AS (SELECT qid, qv, cid FROM
+          (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cd, cid) AS pr
+           FROM qd) WHERE pr <= 2),
+        scored AS (SELECT p.qid, a.vec_id,
+            ${cosSql("p.qv", "e.embedding")} AS cos_sim
+          FROM probes p
+          JOIN assigned a ON a.centroid_id = p.cid
+          JOIN embeddings e ON e.vec_id = a.vec_id
+          WHERE a.vec_id <> p.qid),
+        ranked AS (SELECT *, row_number() OVER
+          (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rank FROM scored)
+        SELECT qid, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
+        ORDER BY qid, rank"""
   )
 }

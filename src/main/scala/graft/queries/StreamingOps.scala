@@ -83,7 +83,8 @@ object StreamingOps extends QueryPack {
         .toDF().orderBy(col("doc_id"))
     }),
 
-    // frame sampling over binary payloads — rows-only.
+    // frame sampling over binary payloads; the oracle replays the
+    // fixed-size-frame slicing with substr + md5.
     "m73_frame_sample" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       Multimodal.sampleFrames(
@@ -128,6 +129,13 @@ object StreamingOps extends QueryPack {
     "m71_media_meta" ->
       """SELECT doc_id, length(text) AS n_bytes, 'text/plain' AS mime,
         md5(text) AS content_hash
-        FROM documents ORDER BY doc_id"""
+        FROM documents ORDER BY doc_id""",
+    "m73_frame_sample" ->
+      """WITH f AS (SELECT doc_id, text,
+          unnest(range(0, length(text)//16, 4)) AS fi
+        FROM documents)
+        SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
+          md5(substr(text, CAST(fi*16+1 AS INTEGER), 16)) AS frame_hash
+        FROM f ORDER BY doc_id, frame_idx"""
   )
 }

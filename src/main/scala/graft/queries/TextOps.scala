@@ -75,22 +75,23 @@ object TextOps extends QueryPack {
         .orderBy($"doc_id")
     }),
 
-    // LSH recall < 1 by construction — rows-only check (cross-validated
-    // against t36 in the ScalaTest suite).
+    // LSH band/bucket/verify ladder replayed exactly by the SQL oracle
+    // (also cross-validated against t36 in the ScalaTest suite).
     "t38_minhash_lsh_pairs" -> ((s, dir) => {
       import s.implicits._
       TextDedup.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text", 0.5)
         .orderBy($"doc_a", $"doc_b")
     }),
 
-    // UDF-based fingerprint — rows-only check.
+    // UDF-based fingerprint; oracle replays the md5-bit votes + chunk
+    // banding in SQL.
     "t39_simhash_pairs" -> ((s, dir) => {
       import s.implicits._
       TextDedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text", 6)
         .orderBy($"doc_a", $"doc_b")
     }),
 
-    // Fold-based hash (no DuckDB fold primitive) — rows-only check.
+    // Fold-based hash; oracle uses DuckDB list_reduce for the same fold.
     "t40_rolling_fingerprint" -> ((s, dir) => {
       import s.implicits._
       TextAnalysis.rollingFingerprint(t(s, dir, "documents"), "doc_id", "text")
@@ -140,6 +141,73 @@ object TextOps extends QueryPack {
         CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS DOUBLE)
           / len(string_split(text, ' ')) AS mean_token_len
         FROM documents ORDER BY doc_id""",
+    "t38_minhash_lsh_pairs" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (SELECT doc_id, list_transform(range(1, greatest(len(w)-2,0)+1),
+          i -> w[i]||' '||w[i+1]||' '||w[i+2]) AS shingles FROM words),
+        sigs AS (SELECT doc_id, list_transform(range(0,16),
+          i -> list_aggregate(list_transform(shingles,
+            s -> md5(CAST(i AS VARCHAR)||':'||s)), 'min')) AS sig FROM sh),
+        bands AS (SELECT doc_id, b, md5(sig[b*2+1]||'|'||sig[b*2+2]) AS band_key
+          FROM sigs, range(0,8) t(b)),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+          FROM bands a JOIN bands b2 ON a.b = b2.b AND a.band_key = b2.band_key
+            AND a.doc_id < b2.doc_id),
+        d AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM d GROUP BY doc_id),
+        common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+          FROM d a JOIN d b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+        jac AS (SELECT common.doc_a, common.doc_b,
+            CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+          FROM common
+          JOIN cand ON common.doc_a = cand.doc_a AND common.doc_b = cand.doc_b
+          JOIN sizes sa ON common.doc_a = sa.doc_id
+          JOIN sizes sb ON common.doc_b = sb.doc_id)
+        SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5
+        ORDER BY doc_a, doc_b""",
+    "t39_simhash_pairs" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        sims AS (SELECT doc_id,
+          list_sum(list_transform(range(0,64), b ->
+            CASE WHEN list_sum(list_transform(tk, t ->
+                CASE WHEN (CAST('0x'||substr(md5(t),1,16) AS UBIGINT) >> b) & 1 = 1
+                THEN 1 ELSE -1 END)) > 0
+            THEN (CAST(1 AS UBIGINT) << b) ELSE CAST(0 AS UBIGINT) END)) AS sim
+          FROM toks),
+        pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            CAST(bit_count(xor(CAST(a.sim AS UBIGINT), CAST(b.sim AS UBIGINT)))
+              AS INTEGER) AS hamming
+          FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+          WHERE ((CAST(a.sim AS UBIGINT) >> 0) & 65535) = ((CAST(b.sim AS UBIGINT) >> 0) & 65535)
+             OR ((CAST(a.sim AS UBIGINT) >> 16) & 65535) = ((CAST(b.sim AS UBIGINT) >> 16) & 65535)
+             OR ((CAST(a.sim AS UBIGINT) >> 32) & 65535) = ((CAST(b.sim AS UBIGINT) >> 32) & 65535)
+             OR ((CAST(a.sim AS UBIGINT) >> 48) & 65535) = ((CAST(b.sim AS UBIGINT) >> 48) & 65535))
+        SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 6
+        ORDER BY doc_a, doc_b""",
+    "t40_rolling_fingerprint" ->
+      """SELECT doc_id,
+        list_reduce(
+          list_prepend(CAST(17 AS BIGINT), list_transform(string_split(text,' '),
+            tk -> CAST(list_sum(list_transform(range(1, length(tk)+1),
+                    i -> ascii(tk[i]))) AS BIGINT))),
+          (acc, x) -> (acc * 31 + x) % 2147483648) AS rolling_hash
+        FROM documents ORDER BY doc_id""",
+    "t34_langid" ->
+      """WITH w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS wl
+          FROM documents),
+        langs(lang, marks) AS (VALUES
+          ('en', ['the','a','of','and','to','is','in','it']),
+          ('de', ['der','die','das','und','ist','nicht','ein']),
+          ('es', ['el','la','de','que','y','es','un']),
+          ('fr', ['le','la','les','et','est','un','une']),
+          ('zh', ['de5','shi4','le5','zai4','he2'])),
+        scores AS (SELECT doc_id, lang, len(list_intersect(wl, marks)) AS score
+          FROM w, langs),
+        ranked AS (SELECT *, row_number() OVER
+          (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn FROM scores)
+        SELECT doc_id, lang AS predicted_lang, CAST(score AS INTEGER) AS marker_hits
+        FROM ranked WHERE rn = 1 ORDER BY doc_id""",
     "t35_fingerprint" ->
       """SELECT doc_id,
         md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
