@@ -8,8 +8,9 @@ import org.apache.spark.sql.functions._
   * `create table … engine = ReplacingMergeTree order by (keys) partition
   * by toYYYYMM(timestamp)`, examples/ethereum_blocks/create_table.sql:30-32).
   *
-  * Writes are append-only and carry a monotonic `_ingest_seq` (the batch
-  * number); duplicate keys from re-runs are resolved on read by
+  * Writes are append-only and carry a monotonic `_ingest_seq` (run base
+  * + batch number, where the base is max existing seq + 1 at the run's
+  * first append); duplicate keys from re-runs are resolved on read by
   * last-write-wins over the order keys — exactly the
   * at-least-once-write / effectively-once-read contract of the reference.
   * At scale: monthly partition pruning via the derived `_part` column,
@@ -26,9 +27,28 @@ final case class SinkTable(
     partitionColumn.filter(df.columns.contains).map(c =>
       date_format(col(c), "yyyyMM").as("_part"))
 
+  /** First-append-of-this-run base for `_ingest_seq`: max existing
+    * seq + 1. Batch numbers restart at 0 every run, so without the base a
+    * re-ingest of an old key range (e.g. forceStart after a transform
+    * fix) would LOSE last-write-wins to the prior run's higher seqs. */
+  @volatile private var seqBase: Long = -1L
+  private def sequenceBase(spark: SparkSession): Long = {
+    if (seqBase < 0L) synchronized {
+      if (seqBase < 0L)
+        seqBase =
+          if (!exists(spark)) 0L
+          else {
+            val row = readRaw(spark).agg(max(col("_ingest_seq"))).head()
+            if (row.isNullAt(0)) 0L else row.getLong(0) + 1L
+          }
+    }
+    seqBase
+  }
+
   /** Append one batch (idempotent under re-runs thanks to read-side dedup). */
   def append(df: DataFrame, ingestSeq: Long): Unit = {
-    val withSeq = df.withColumn("_ingest_seq", lit(ingestSeq))
+    val withSeq = df.withColumn("_ingest_seq",
+      lit(sequenceBase(df.sparkSession) + ingestSeq))
     val out = partCol(df) match {
       case Some(p) => withSeq.withColumn("_part", p)
       case None => withSeq

@@ -1,0 +1,217 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.jdk.CollectionConverters._
+
+/** Config-driven pipeline: load `pipeline.yaml` + a directory of SQL
+  * templates and run them WITHOUT recompiling — the reference's core UX
+  * (`pipeline <url>`, cmd/pipeline/pipeline.go:43-159; template loading
+  * internal/utils/utils.go:77-106). A user defines a new pipeline as
+  * data: yaml for the runtime knobs, Spark-SQL-dialect templates for the
+  * steps.
+  *
+  * Spark-dialect step contract (file names follow the reference corpus):
+  *  - `start.sql`  — scalar SELECT over the `sink` view → resume offset
+  *  - `tip.sql`    — scalar SELECT → highest processable offset
+  *  - first Stage's files (e.g. `create_buffer.sql`) — each file is
+  *    either `create temporary table/view NAME as (SELECT …)` (the
+  *    reference's buffer idiom; NAME is registered as a temp view over
+  *    the persisted batch) or a bare SELECT; the last SELECT becomes the
+  *    batch buffer
+  *  - post-Sequencer files — `insert into sink SELECT …` appends to the
+  *    sink (ordered commit), `drop temporary table/view NAME` drops the
+  *    buffer view, anything else runs via spark.sql
+  *
+  * Sink identity comes from the yaml `Sink:` section
+  * ({Path, Keys, VersionColumn}, values templated with vars) — the Spark
+  * analog of the reference's `create_remote_table.sql` setup DDL, which
+  * is ClickHouse-specific. Template vars come from explicit bindings plus
+  * AGN_* environment variables, exactly like the reference CLI.
+  */
+object SqlPipeline {
+
+  final case class SinkSpec(path: String, keys: Seq[String], version: Option[String]) {
+    def table: SinkTable = SinkTable(path, keys, version)
+  }
+
+  /** Parse the engine-specific `Sink:` yaml section (vars-templated). */
+  def sinkSpec(yamlText: String, vars: Map[String, String]): SinkSpec = {
+    val root = new org.yaml.snakeyaml.Yaml()
+      .load[java.util.Map[String, Any]](yamlText)
+    val doc = Option(root).map(_.asScala.toMap).getOrElse(Map.empty[String, Any])
+    val sink = doc.get("Sink") match {
+      case Some(m: java.util.Map[_, _]) =>
+        m.asScala.map { case (k, v) => k.toString -> String.valueOf(v) }.toMap
+      case _ => Map.empty[String, String]
+    }
+    def fromVars(k: String) = vars.get(k)
+    val path = sink.get("Path").map(Templates.render(_, vars))
+      .orElse(fromVars("SINK_PATH"))
+      .getOrElse(throw new IllegalArgumentException(
+        "sink path missing: add a Sink.Path yaml entry or a SINK_PATH var"))
+    val keys = sink.get("Keys").map(_.split(",").map(_.trim).toSeq)
+      .orElse(fromVars("SINK_KEYS").map(_.split(",").map(_.trim).toSeq))
+      .getOrElse(Seq("number"))
+    val version = sink.get("VersionColumn").orElse(fromVars("SINK_VERSION"))
+    SinkSpec(path, keys, version)
+  }
+
+  private val createBufferRe =
+    """(?is)^\s*create\s+(?:or\s+replace\s+)?temp(?:orary)?\s+(?:table|view)\s+(\S+)\s+as\s*(.*)$""".r
+  private val insertSinkRe =
+    """(?is)^\s*insert\s+into\s+sink\s+(.*)$""".r
+  private val dropRe =
+    """(?is)^\s*drop\s+temp(?:orary)?\s+(?:table|view)\s+(?:if\s+exists\s+)?(\S+)\s*$""".r
+
+  /** Strip one optional level of wrapping parens: `( select … )`. */
+  private def unwrap(sql: String): String = {
+    val t = sql.trim
+    if (t.startsWith("(") && t.endsWith(")")) t.drop(1).dropRight(1) else t
+  }
+
+  /** Drop leading `--` comment lines so statement classification sees
+    * the first real token (comments elsewhere stay — Spark parses them). */
+  private def stripLeading(sql: String): String =
+    sql.linesIterator
+      .dropWhile(l => l.trim.isEmpty || l.trim.startsWith("--"))
+      .mkString("\n")
+
+  private def scalarLong(spark: SparkSession, sql: String): Option[Long] = {
+    val row = spark.sql(sql).head()
+    if (row.isNullAt(0)) None else Some(row.get(0).asInstanceOf[Number].longValue)
+  }
+
+  /** Build a PipelineRunner.Definition from a pipeline directory. */
+  def definition(dir: String, vars: Map[String, String]): PipelineRunner.Definition = {
+    val yamlText = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "pipeline.yaml"))
+    val config = PipelineConfig.parse(yamlText)
+    val templates = Templates.loadDir(dir)
+    val sinkTab = sinkSpec(yamlText, vars).table
+
+    def rendered(name: String, batchVars: Map[String, String] = Map.empty): String =
+      Templates.render(
+        templates.getOrElse(name, throw new IllegalArgumentException(
+          s"pipeline dir $dir is missing $name")),
+        vars ++ batchVars)
+
+    val stages = config.steps.collect { case s: PipelineConfig.Stage => s }
+    val transformFiles = stages.headOption.map(_.files).getOrElse(Nil)
+    val commitFiles = stages.drop(1).flatMap(_.files)
+
+    def batchVars(b: PipelineRunner.Batch) = Map(
+      "START" -> b.start.toString,
+      "END" -> b.end.toString,
+      "NUMBER" -> b.number.toString)
+
+    new PipelineRunner.Definition {
+      val sink: SinkTable = sinkTab
+
+      def resume(spark: SparkSession): Option[Long] = {
+        if (!sink.exists(spark)) return None
+        sink.read(spark).createOrReplaceTempView("sink")
+        scalarLong(spark, stripLeading(rendered("start.sql")))
+      }
+
+      def tip(spark: SparkSession): Long =
+        scalarLong(spark, stripLeading(rendered("tip.sql")))
+          .getOrElse(throw new IllegalStateException("tip.sql returned null"))
+
+      def transform(spark: SparkSession, batch: PipelineRunner.Batch): DataFrame = {
+        var buffer: Option[DataFrame] = None
+        transformFiles.foreach { f =>
+          stripLeading(rendered(f, batchVars(batch))) match {
+            case createBufferRe(name, select) =>
+              val df = spark.sql(unwrap(select))
+              df.createOrReplaceTempView(name)
+              buffer = Some(df)
+            case sql =>
+              buffer = Some(spark.sql(sql))
+          }
+        }
+        buffer.getOrElse(throw new IllegalArgumentException(
+          s"stage files $transformFiles produced no buffer SELECT"))
+      }
+
+      def commit(spark: SparkSession, batch: PipelineRunner.Batch, df: DataFrame): Unit = {
+        // re-register over the PERSISTED buffer so commit SQL reads the
+        // materialized batch, not a recomputation
+        transformFiles.foreach { f =>
+          stripLeading(rendered(f, batchVars(batch))) match {
+            case createBufferRe(name, _) => df.createOrReplaceTempView(name)
+            case _ => ()
+          }
+        }
+        commitFiles.foreach { f =>
+          stripLeading(rendered(f, batchVars(batch))) match {
+            case insertSinkRe(select) =>
+              sink.append(spark.sql(unwrap(select)), batch.number)
+            case dropRe(name) =>
+              spark.catalog.dropTempView(name); ()
+            case sql =>
+              spark.sql(sql); ()
+          }
+        }
+      }
+    }
+  }
+
+  /** Load + run a pipeline directory end-to-end (setup files first). */
+  def run(spark: SparkSession, dir: String, vars: Map[String, String],
+      overrides: PipelineRunner.Config => PipelineRunner.Config = identity)
+      : PipelineRunner.Result = {
+    val config = PipelineConfig.load(s"$dir/pipeline.yaml")
+    config.sparkConf.foreach { case (k, v) => spark.conf.set(k, v) }
+    val templates = Templates.loadDir(dir)
+    config.setupFiles.foreach { f =>
+      templates.get(f).foreach(t => spark.sql(Templates.render(t, vars)))
+    }
+    PipelineRunner.runWithRetry(spark, definition(dir, vars),
+      overrides(config.toRunnerConfig))
+  }
+}
+
+/** CLI parity with the reference's `pipeline <path>` command
+  * (cmd/pipeline/pipeline.go:43-159): vars from --var K=V and AGN_* env;
+  * runs to tip once by default, --follow to keep tracking. */
+object PipelineMain {
+  def main(args: Array[String]): Unit = {
+    var dir: Option[String] = None
+    var vars = Templates.envVars()
+    var follow = false
+    var forceStart: Option[Long] = None
+    var stopAfter: Option[Long] = None
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--var" =>
+          val Array(k, v) = args(i + 1).split("=", 2); vars += (k -> v); i += 2
+        case "--follow" => follow = true; i += 1
+        case "--force-start" => forceStart = Some(args(i + 1).toLong); i += 2
+        case "--stop-after-batches" => stopAfter = Some(args(i + 1).toLong); i += 2
+        case other => dir = Some(other); i += 1
+      }
+    }
+    val d = dir.getOrElse {
+      System.err.println(
+        "usage: PipelineMain <dir> [--var K=V]... [--follow] " +
+          "[--force-start N] [--stop-after-batches N]")
+      sys.exit(2)
+    }
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.EvmFunctions.registerAll(spark)
+    graft.functions.HexExpressions.registerAll(spark)
+    val res = SqlPipeline.run(spark, d, vars,
+      c => c.copy(followTip = follow, forceStart = forceStart,
+        stopAfterBatches = stopAfter))
+    println(s"[pipeline] batches=${res.batches} items=${res.items} " +
+      f"items/sec=${res.itemsPerSec}%.1f")
+    spark.stop()
+  }
+}

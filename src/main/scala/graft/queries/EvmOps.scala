@@ -82,6 +82,26 @@ object EvmOps extends QueryPack {
         .orderBy(col("number"))
     }),
 
+    // config-driven pipeline: yaml + Spark-SQL templates, no compiled
+    // pipeline code (reference `pipeline <url>` UX).
+    "e61_config_pipeline" -> ((s, _) => {
+      graft.functions.EvmFunctions.registerAll(s)
+      graft.functions.HexExpressions.registerAll(s)
+      val dir = {
+        val local = new java.io.File("examples/ethereum_blocks_spark")
+        if (local.isDirectory) local.getPath
+        else "/root/repo/examples/ethereum_blocks_spark"
+      }
+      val path = java.nio.file.Files.createTempDirectory("graft-q-sqlpipe")
+        .resolve("sink").toString
+      graft.pipeline.SqlPipeline.run(s, dir,
+        Map("RPC_ENDPOINT" -> "fake://chain?tip=20", "SINK_PATH" -> path),
+        c => c.copy(maxBatchSize = 7, workers = 2))
+      SinkTable(path, Seq("number"), Some("timestamp")).read(s)
+        .select(col("number"), col("gas_used"), col("size"))
+        .orderBy(col("number"))
+    }),
+
     // ABI event decode against the dictionary (signature + inputs JSON).
     "e57_decoded_logs" -> ((s, _) => {
       val dict = DerivedPipelines.AbiDictionary.builtin
