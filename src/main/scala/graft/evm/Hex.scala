@@ -14,15 +14,21 @@ object Hex {
       s.substring(2)
     else s
 
-  /** "0x…" (or bare) hex → bytes; odd-length input is left-padded. */
+  /** "0x…" (or bare) hex → bytes; odd-length input is left-padded.
+    * Invalid characters throw (the reference UDF errors on bad hex —
+    * silently producing garbage bytes would corrupt addresses/hashes
+    * undetected downstream). */
   def decode(s: String): Array[Byte] = {
     val h0 = stripPrefix(s)
     val h = if (h0.length % 2 == 1) "0" + h0 else h0
     val out = new Array[Byte](h.length / 2)
     var i = 0
     while (i < out.length) {
-      out(i) = ((Character.digit(h.charAt(2 * i), 16) << 4) |
-        Character.digit(h.charAt(2 * i + 1), 16)).toByte
+      val hi = Character.digit(h.charAt(2 * i), 16)
+      val lo = Character.digit(h.charAt(2 * i + 1), 16)
+      if (hi < 0 || lo < 0)
+        throw new IllegalArgumentException(s"invalid hex input: $s")
+      out(i) = ((hi << 4) | lo).toByte
       i += 1
     }
     out

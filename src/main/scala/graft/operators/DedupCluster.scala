@@ -10,8 +10,10 @@ import org.apache.spark.storage.StorageLevel
   *
   * Components via iterative min-label propagation — each iteration is a
   * self-contained shuffle-on-key round (scales to any pair count; the
-  * iteration count is O(log(diameter)), and dup clusters in practice have
-  * tiny diameters). No driver-side union-find.
+  * iteration count is O(diameter) — a label moves one hop per round —
+  * and dup clusters in practice have tiny diameters). Non-convergence
+  * within maxIter throws rather than returning split clusters. No
+  * driver-side union-find.
   */
 object DedupCluster {
 
@@ -50,6 +52,12 @@ object DedupCluster {
       converged = changed == 0
       iter += 1
     }
+    if (!converged)
+      // a component with diameter > maxIter would be returned SPLIT;
+      // surface it instead of silently emitting wrong clusters
+      throw new IllegalStateException(
+        s"label propagation did not converge after $maxIter iterations; " +
+          "raise maxIter (components with diameter > maxIter exist)")
     // pin the result, then free the intermediates it was built from
     labels.count()
     adj.unpersist(blocking = false)

@@ -100,10 +100,14 @@ object PipelineRunner {
     var totalBatches = 0L
     var from = start
     var continue = true
+    // ONE tip probe per loop turn (tip.sql is an RPC round-trip; probing
+    // again after each pass doubled per-iteration latency)
     while (continue) {
       val tip = defn.tip(spark)
-      if (from > tip) continue = false
-      else {
+      if (from > tip) {
+        if (!conf.followTip) continue = false
+        else Thread.sleep(conf.tipPollIntervalMs)
+      } else {
         var batches = plan(from, tip, conf.maxBatchSize, firstNumber = totalBatches)
         conf.stopAfterBatches.foreach { lim =>
           batches = batches.take(math.max(0, (lim - totalBatches)).toInt)
@@ -116,10 +120,6 @@ object PipelineRunner {
           from = batches.last.end + 1
           if (conf.stopAfterBatches.exists(totalBatches >= _)) continue = false
         }
-      }
-      if (continue && from > defn.tip(spark)) {
-        if (!conf.followTip) continue = false
-        else Thread.sleep(conf.tipPollIntervalMs)
       }
     }
     Result(totalBatches, totalItems, (System.nanoTime() - t0) / 1e9)
@@ -179,9 +179,28 @@ object PipelineRunner {
     if (err != null) throw err
   }
 
+  /** Memory-class failure detector, mirroring the reference's retry
+    * trigger (pipeline_retrier.go:47 retries ONLY MemoryLimitExceeded).
+    * A deterministic bug must surface on attempt 1, not after 3 full
+    * re-runs; transient shuffle-fetch loss is included because a shrunk
+    * re-run also heals executor-loss-by-OOM. */
+  def isMemoryClass(e: Throwable): Boolean = {
+    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    chain.exists { t =>
+      t.isInstanceOf[OutOfMemoryError] ||
+      t.getClass.getName.contains("OutOfMemory") || {
+        val m = Option(t.getMessage).getOrElse("")
+        m.contains("MemoryLimitExceeded") || m.contains("memory limit") ||
+        m.contains("maxResultSize") || m.contains("OutOfMemory") ||
+        m.contains("FetchFailed")
+      }
+    }
+  }
+
   /** Retry wrapper (internal/pipeline_retrier/pipeline_retrier.go:20-64):
-    * on failure, shrink the batch size ×factor and re-run the WHOLE
-    * pipeline — safe because resume() re-reads the sink. */
+    * on a memory-class failure, shrink the batch size ×factor and re-run
+    * the WHOLE pipeline — safe because resume() re-reads the sink. Any
+    * other failure propagates immediately. */
   def runWithRetry(spark: SparkSession, defn: Definition, conf: Config,
       maxRetries: Int = 3, shrinkFactor: Double = 0.8): Result = {
     var attempt = 0
@@ -189,7 +208,7 @@ object PipelineRunner {
     while (true) {
       try return run(spark, defn, c)
       catch {
-        case NonFatal(e) if attempt < maxRetries =>
+        case NonFatal(e) if attempt < maxRetries && isMemoryClass(e) =>
           attempt += 1
           c = c.copy(maxBatchSize = math.max(1, (c.maxBatchSize * shrinkFactor).toLong))
       }

@@ -45,13 +45,23 @@ final case class SinkTable(
     seqBase
   }
 
+  /** Rows per output file target: small batches coalesce to one file
+    * (a 6-row micro-batch from 32 shuffle partitions would otherwise
+    * write 32 near-empty parquet files, fragmenting every later sink
+    * read); large batches keep their write parallelism. */
+  private val rowsPerFile = 500000L
+
   /** Append one batch (idempotent under re-runs thanks to read-side dedup). */
   def append(df: DataFrame, ingestSeq: Long): Unit = {
     val withSeq = df.withColumn("_ingest_seq",
       lit(sequenceBase(df.sparkSession) + ingestSeq))
+    val rows = df.count() // cheap: the runner commits persisted buffers
+    val parts = math.max(1L, math.min(withSeq.rdd.getNumPartitions.toLong,
+      (rows + rowsPerFile - 1) / rowsPerFile)).toInt
+    val sized = if (parts < withSeq.rdd.getNumPartitions) withSeq.coalesce(parts) else withSeq
     val out = partCol(df) match {
-      case Some(p) => withSeq.withColumn("_part", p)
-      case None => withSeq
+      case Some(p) => sized.withColumn("_part", p)
+      case None => sized
     }
     // point-lookup columns get parquet bloom filters — the skipping-index
     // analog (examples/ethereum_logs/create_table.sql:15-20)

@@ -108,7 +108,10 @@ final class BlockNumbersStream(endpoint: String, startBlock: Long,
       case m: ReadMaxRows => s + m.maxRows()
       case _ => head
     }
-    BlockOffset(math.min(head, math.max(s, cap)))
+    // clamp to >= start: if the endpoint's tip regresses below the
+    // committed offset (reorg / load-balanced nodes), the offset log
+    // must stay monotonic — emit an empty batch, never move backwards
+    BlockOffset(math.max(s, math.min(head, cap)))
   }
 
   override def reportLatestOffset(): Offset = BlockOffset(tip() + 1)

@@ -200,7 +200,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       def tip(s: SparkSession): Long = 19
       def transform(s: SparkSession, b: Batch) = {
         if (attempts.getAndIncrement() == 0)
-          throw new RuntimeException("simulated memory limit")
+          throw new RuntimeException("simulated MemoryLimitExceeded")
         s.range(b.start, b.end + 1).toDF("n")
       }
       def commit(s: SparkSession, b: Batch, df: org.apache.spark.sql.DataFrame): Unit =
@@ -210,5 +210,23 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       Config(maxBatchSize = 10), maxRetries = 2)
     assert(r.items == 20)
     assert(r.batches == 3) // 20 items at shrunken size 8 → 3 batches
+  }
+
+  test("retrier does NOT retry deterministic failures") {
+    val attempts = new java.util.concurrent.atomic.AtomicInteger()
+    val defn = new PipelineRunner.Definition {
+      def resume(s: SparkSession): Option[Long] = None
+      def tip(s: SparkSession): Long = 9
+      def transform(s: SparkSession, b: Batch) = {
+        attempts.incrementAndGet()
+        throw new IllegalStateException("schema mismatch: deterministic bug")
+      }
+      def commit(s: SparkSession, b: Batch, df: org.apache.spark.sql.DataFrame): Unit = ()
+    }
+    val e = intercept[IllegalStateException] {
+      PipelineRunner.runWithRetry(spark, defn, Config(maxBatchSize = 10))
+    }
+    assert(e.getMessage.contains("deterministic bug"))
+    assert(attempts.get() == 1) // surfaced on attempt 1, no 3x re-run
   }
 }
