@@ -97,15 +97,20 @@ object Similarity {
   }
 
   /** Sign-random-projection (hyperplane) LSH bucket key: `nBits` signs of
-    * dot(v, plane_j), planes drawn from a seeded RNG on the driver and
-    * broadcast as literals — deterministic across runs and cluster sizes.
-    * Same-bucket vectors are cosine-close with high probability; at scale
-    * this is the corpus-x-corpus candidate generator (shuffle on the
-    * bucket key replaces the quadratic cross join). */
+    * dot(v, plane_j). Plane coordinates are md5-derived uniforms in
+    * [-1, 1) — a pure function of (seed, j, i), so the buckets are
+    * identical across runs, cluster sizes, JVMs, AND engines (the DuckDB
+    * oracle replays the exact derivation; a JVM RNG would not be
+    * portable). Uniform instead of Gaussian coordinates leaves the SRP
+    * guarantee intact: the distribution is symmetric around 0, which is
+    * all the sign test needs. Same-bucket vectors are cosine-close with
+    * high probability; at scale this is the corpus-x-corpus candidate
+    * generator (shuffle on the bucket key replaces the quadratic cross
+    * join). */
   def srpBucket(vec: Column, dim: Int, nBits: Int = 16, seed: Long = 42L): Column = {
     // kernel UDF: a nBits x dim expression tree would dominate runtime in
-    // janino compilation alone; the planes are deterministic from `seed`
-    // and regenerated identically inside each executor
+    // janino compilation alone; the (memoized) planes are deterministic
+    // from `seed` and derived identically inside each executor
     val f = udf((v: Seq[Float]) => {
       val planes = srpPlanes(nBits, dim, seed)
       var bucket = 0L
@@ -123,10 +128,23 @@ object Similarity {
     f(vec)
   }
 
-  private def srpPlanes(nBits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
-    val rnd = new scala.util.Random(seed)
-    Array.fill(nBits, dim)(rnd.nextGaussian())
-  }
+  private val planesCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), Array[Array[Double]]]
+
+  /** plane(j)(i) = 2 * (first53bits(md5("srp:seed:j:i")) / 2^53) - 1.
+    * Every step (integer → double, scale, shift) is exact in IEEE754, so
+    * any engine deriving from the same md5 gets bit-identical planes. */
+  private def srpPlanes(nBits: Int, dim: Int, seed: Long): Array[Array[Double]] =
+    planesCache.computeIfAbsent((nBits, dim, seed), _ => {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(nBits, dim) { (j, i) =>
+        val d = md.digest(s"srp:$seed:$j:$i".getBytes("UTF-8"))
+        var h = 0L
+        var b = 0
+        while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+        2.0 * ((h >>> 11).toDouble / 9007199254740992.0) - 1.0
+      }
+    })
 
   /** IVF-style coarse quantization: assign every vector to its nearest
     * of K fixed centroid vectors (here: a deterministic sample — the

@@ -38,7 +38,8 @@ object PipelineRunner {
       forceStart: Option[Long] = None, // internal/pipeline/init.go:33
       stopAfterBatches: Option[Long] = None, // tip_tracker.go:86 analog
       tipPollIntervalMs: Long = 10000, // tip_tracker.go:26
-      followTip: Boolean = false) // false = run-to-tip once (AvailableNow)
+      followTip: Boolean = false, // false = run-to-tip once (AvailableNow)
+      maxIdlePolls: Long = 1) // followTip stall budget; MaxValue = follow forever
 
   final case class Result(batches: Long, items: Long, elapsedSec: Double) {
     def itemsPerSec: Double = if (elapsedSec > 0) items / elapsedSec else 0
@@ -100,14 +101,18 @@ object PipelineRunner {
     var totalBatches = 0L
     var from = start
     var continue = true
+    var idlePolls = 0L
     // ONE tip probe per loop turn (tip.sql is an RPC round-trip; probing
-    // again after each pass doubled per-iteration latency)
+    // again after each pass doubled per-iteration latency). followTip
+    // sleeps between polls and gives up after `maxIdlePolls` stalled
+    // polls (MaxValue = daemon-style follow-forever).
     while (continue) {
       val tip = defn.tip(spark)
       if (from > tip) {
-        if (!conf.followTip) continue = false
-        else Thread.sleep(conf.tipPollIntervalMs)
+        if (!conf.followTip || idlePolls >= conf.maxIdlePolls) continue = false
+        else { Thread.sleep(conf.tipPollIntervalMs); idlePolls += 1 }
       } else {
+        idlePolls = 0L
         var batches = plan(from, tip, conf.maxBatchSize, firstNumber = totalBatches)
         conf.stopAfterBatches.foreach { lim =>
           batches = batches.take(math.max(0, (lim - totalBatches)).toInt)

@@ -209,7 +209,9 @@ object PipelineMain {
     graft.functions.HexExpressions.registerAll(spark)
     val res = SqlPipeline.run(spark, d, vars,
       c => c.copy(followTip = follow, forceStart = forceStart,
-        stopAfterBatches = stopAfter))
+        stopAfterBatches = stopAfter,
+        // --follow is daemon semantics: keep polling through stalls
+        maxIdlePolls = if (follow) Long.MaxValue else 1))
     println(s"[pipeline] batches=${res.batches} items=${res.items} " +
       f"items/sec=${res.itemsPerSec}%.1f")
     spark.stop()

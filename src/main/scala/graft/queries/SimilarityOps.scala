@@ -32,8 +32,9 @@ object SimilarityOps extends QueryPack {
         .orderBy($"id_a", $"id_b")
     }),
 
-    // LSH recall < 1 by design — rows-only check (recall measured in the
-    // ScalaTest suite against s41).
+    // LSH with md5-derived hyperplanes: fully deterministic, so the
+    // oracle replays the plane derivation + bucket join in SQL (recall
+    // vs s41 is additionally measured in the ScalaTest suite).
     "s43_knn_lsh" -> ((s, dir) => {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
@@ -66,6 +67,29 @@ object SimilarityOps extends QueryPack {
     s"round(${dot.format(a, b)} / (sqrt(${dot.format(a, a)}) * sqrt(${dot.format(b, b)})), 6)"
 
   def oracleSql: Map[String, String] = Map(
+    "s43_knn_lsh" ->
+      s"""WITH planes AS (
+          SELECT j, list_transform(range(0, 64), i ->
+            2.0 * ((CAST('0x' || substr(md5('srp:42:' || j || ':' || i), 1, 16) AS UBIGINT) >> 11)
+                   / 9007199254740992.0) - 1.0) AS p
+          FROM range(0, 8) t(j)),
+        sgn AS (SELECT e.vec_id, pl.j,
+            CASE WHEN list_sum(list_transform(range(1, 65), i ->
+                CAST(e.embedding[i] AS DOUBLE) * pl.p[i])) >= 0
+              THEN (CAST(1 AS BIGINT) << pl.j) ELSE 0 END AS bit
+          FROM embeddings e, planes pl),
+        buckets AS (SELECT vec_id, CAST(SUM(bit) AS BIGINT) AS bucket
+          FROM sgn GROUP BY vec_id),
+        q AS (SELECT b.vec_id AS qid, e.embedding AS qv, b.bucket
+          FROM buckets b JOIN embeddings e ON e.vec_id = b.vec_id
+          WHERE b.vec_id < 10),
+        scored AS (SELECT q.qid, cb.vec_id, ${cosSql("q.qv", "c.embedding")} AS cos_sim
+          FROM q JOIN buckets cb ON cb.bucket = q.bucket AND cb.vec_id <> q.qid
+          JOIN embeddings c ON c.vec_id = cb.vec_id),
+        ranked AS (SELECT *, row_number() OVER
+          (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rank FROM scored)
+        SELECT qid, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
+        ORDER BY qid, rank""",
     "s41_knn_brute" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
         scored AS (SELECT qid, vec_id, ${cosSql("qv", "embedding")} AS cos_sim

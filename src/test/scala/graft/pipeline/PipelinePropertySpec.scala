@@ -37,8 +37,11 @@ class PipelinePropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       def resume(s: SparkSession): Option[Long] = sink.maxEnd.map(_ + 1)
       def tip(s: SparkSession): Long = tipVal
       def transform(s: SparkSession, b: Batch): DataFrame = {
+        // memory-class message so the narrowed retrier (which surfaces
+        // deterministic bugs immediately) still exercises crash+resume
         if (crashAtBatch.contains(b.number) && crashes.getAndIncrement() == 0)
-          throw new RuntimeException(s"injected crash at batch ${b.number}")
+          throw new RuntimeException(
+            s"injected OutOfMemory crash at batch ${b.number}")
         s.range(b.start, b.end + 1).toDF("n")
       }
       def commit(s: SparkSession, b: Batch, df: DataFrame): Unit =
