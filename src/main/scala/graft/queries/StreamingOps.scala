@@ -53,7 +53,36 @@ object StreamingOps extends QueryPack {
         .orderBy(col("user_id"), col("session_seq"))
     }),
 
-    // Chain pipeline catches up as the tip advances — rows-only.
+    // NATIVE streaming session windows: a real streaming query using
+    // session_window() state merging (the built-in analog of the
+    // flatMapGroupsWithState walk in st62). Boundary semantics differ
+    // from st62 by design: session_window opens a new session at
+    // gap >= 30min (window overlap), the stateful walk at gap > 30min —
+    // the oracle encodes the >= form.
+    "st64_stream_session_window" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val name = "st64_out"
+      val staged = java.nio.file.Files.createTempDirectory("graft-stream-sess")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        staged.resolve("events.parquet"))
+      val stream = s.readStream.schema(eventsRawSchema)
+        .parquet(staged.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      val q = stream.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+      s.table(name)
+        .select(col("user_id"),
+          expr("unix_micros(w.start) div 1000000").as("start_s"),
+          expr("unix_micros(w.end - INTERVAL 30 MINUTES) div 1000000").as("end_s"),
+          col("n_events"), col("total_value"))
+        .orderBy(col("user_id"), col("start_s"))
+    }),
+
+    // Chain pipeline catches up as the tip advances — pinned golden.
     "st63_tip_catchup" -> ((s, _) => {
       import graft.pipeline.{EthereumPipelines, PipelineRunner, SinkTable}
       val path = java.nio.file.Files.createTempDirectory("graft-q-catchup")
@@ -75,7 +104,10 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
-    // mapPartitions feature extraction over binary payloads — rows-only.
+    // mapPartitions feature extraction over binary payloads; the oracle
+    // replays the byte histogram + entropy fold (ascending byte order,
+    // ln(p)/ln(2)) — bit-identical because both sides fold in the same
+    // order with the same libm-rounded ops.
     "m72_media_features" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       Multimodal.extractFeatures(
@@ -130,6 +162,44 @@ object StreamingOps extends QueryPack {
       """SELECT doc_id, length(text) AS n_bytes, 'text/plain' AS mime,
         md5(text) AS content_hash
         FROM documents ORDER BY doc_id""",
+    "st64_stream_session_window" ->
+      """WITH ev AS (
+          SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+          FROM events
+        ), ordered AS (
+          SELECT user_id, event_id, ts, value,
+            CASE WHEN lag(ts) OVER w IS NULL
+                 OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                 THEN 1 ELSE 0 END AS is_new
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+          SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS sid
+          FROM ordered
+        )
+        SELECT user_id,
+          CAST(floor(epoch(MIN(ts))) AS BIGINT) AS start_s,
+          CAST(floor(epoch(MAX(ts))) AS BIGINT) AS end_s,
+          COUNT(*) AS n_events,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM sess GROUP BY user_id, sid
+        ORDER BY user_id, start_s""",
+    "m72_media_features" ->
+      """WITH counts AS (
+          SELECT doc_id, length(text) AS n,
+            list_filter(list_transform(range(0, 256), b ->
+              length(text) - length(replace(text, chr(CAST(b AS INTEGER)), ''))),
+              c -> c > 0) AS cs
+          FROM documents)
+        SELECT doc_id, CAST(n AS INTEGER) AS n_bytes,
+          CAST(list_sum(list_transform(range(1, n + 1), i -> ascii(text[i])))
+            AS DOUBLE) / n AS mean_byte,
+          -list_sum(list_transform(cs,
+            c -> (CAST(c AS DOUBLE)/n) * ln(CAST(c AS DOUBLE)/n) / ln(2)))
+            AS byte_entropy,
+          CAST(len(cs) AS INTEGER) AS distinct_bytes
+        FROM documents JOIN counts USING (doc_id) ORDER BY doc_id""",
     "m73_frame_sample" ->
       """WITH f AS (SELECT doc_id, text,
           unnest(range(0, length(text)//16, 4)) AS fi
