@@ -31,6 +31,7 @@ object HexKernels {
   * equivalents (same underlying Hex kernel, so behavior is identical).
   */
 case class EvmHexDecodeExpr(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "evm_hex_decode"
   override def dataType: DataType = BinaryType
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (child.dataType == StringType)
@@ -46,6 +47,7 @@ case class EvmHexDecodeExpr(child: Expression) extends UnaryExpression {
 }
 
 case class EvmHexDecodeLongExpr(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "evm_hex_decode_int"
   override def dataType: DataType = LongType
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (child.dataType == StringType)
@@ -61,6 +63,7 @@ case class EvmHexDecodeLongExpr(child: Expression) extends UnaryExpression {
 }
 
 case class EvmHexEncodeExpr(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "evm_hex_encode"
   override def dataType: DataType = StringType
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (child.dataType == BinaryType)
@@ -76,6 +79,7 @@ case class EvmHexEncodeExpr(child: Expression) extends UnaryExpression {
 }
 
 case class EvmHexEncodeQuantityExpr(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "evm_hex_encode_int"
   override def dataType: DataType = StringType
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (child.dataType == LongType)
@@ -91,6 +95,7 @@ case class EvmHexEncodeQuantityExpr(child: Expression) extends UnaryExpression {
 }
 
 case class Keccak256Expr(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "keccak256"
   override def dataType: DataType = BinaryType
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (child.dataType == BinaryType)
