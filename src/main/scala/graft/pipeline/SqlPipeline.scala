@@ -181,6 +181,7 @@ object PipelineMain {
     var follow = false
     var forceStart: Option[Long] = None
     var stopAfter: Option[Long] = None
+    var promPort = 9999 // reference default (cmd/pipeline/pipeline.go:104)
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -189,6 +190,8 @@ object PipelineMain {
         case "--follow" => follow = true; i += 1
         case "--force-start" => forceStart = Some(args(i + 1).toLong); i += 2
         case "--stop-after-batches" => stopAfter = Some(args(i + 1).toLong); i += 2
+        case "--prom-port" => promPort = args(i + 1).toInt; i += 2
+        case "--no-prom" => promPort = -1; i += 1
         case other => dir = Some(other); i += 1
       }
     }
@@ -207,6 +210,14 @@ object PipelineMain {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.EvmFunctions.registerAll(spark)
     graft.functions.HexExpressions.registerAll(spark)
+    // scrape endpoint up-front, like the reference's :9999 server
+    val prom =
+      if (promPort < 0) None
+      else try Some(PrometheusEndpoint.start(spark, promPort))
+      catch { case e: java.io.IOException =>
+        System.err.println(s"[pipeline] prometheus bind failed: ${e.getMessage}")
+        None
+      }
     val res = SqlPipeline.run(spark, d, vars,
       c => c.copy(followTip = follow, forceStart = forceStart,
         stopAfterBatches = stopAfter,
@@ -214,6 +225,7 @@ object PipelineMain {
         maxIdlePolls = if (follow) Long.MaxValue else 1))
     println(s"[pipeline] batches=${res.batches} items=${res.items} " +
       f"items/sec=${res.itemsPerSec}%.1f")
+    prom.foreach(_.stop())
     spark.stop()
   }
 }

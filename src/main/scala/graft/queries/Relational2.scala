@@ -86,6 +86,21 @@ object Relational2 extends QueryPack {
         ORDER BY o_orderkey""")
     }),
 
+    // Salted skew join: results must be IDENTICAL to the plain join —
+    // only the shuffle distribution changes (the salt spreads each hot
+    // l_suppkey over 8 partitions).
+    "q40_salted_join" -> ((s, dir) => {
+      import s.implicits._
+      import graft.queries.Util.dsum
+      graft.operators.Skew.saltedJoin(
+          t(s, dir, "lineitem").select($"l_suppkey", $"l_quantity", $"l_extendedprice"),
+          t(s, dir, "supplier").select($"s_suppkey".as("l_suppkey"), $"s_name"),
+          "l_suppkey", salt = 8)
+        .groupBy($"l_suppkey", $"s_name")
+        .agg(count(lit(1)).as("n"), dsum($"l_extendedprice").as("total"))
+        .orderBy($"l_suppkey")
+    }),
+
     "q39_array_set_ops" -> ((s, dir) => {
       import s.implicits._
       val words = array_distinct(split($"text", " "))
@@ -143,6 +158,11 @@ object Relational2 extends QueryPack {
                              WHEN o_totalprice > 50000 THEN 'mid'
                              ELSE 'lo' END AS price_band) AS l
         ORDER BY o_orderkey""",
+    "q40_salted_join" ->
+      """SELECT l_suppkey, s_name, COUNT(*) AS n,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY l_suppkey, s_name ORDER BY l_suppkey""",
     "q39_array_set_ops" ->
       """SELECT doc_id,
         COALESCE(array_to_string(list_sort(list_intersect(list_distinct(string_split(text, ' ')),

@@ -138,4 +138,18 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .head().getString(0)
     assert(s == big1.toString)
   }
+
+  test("salted join equals the plain join and shuffles on (key, salt)") {
+    import spark.implicits._
+    val large = spark.range(0, 10000).toDF("k")
+      .withColumn("k", when($"k" % 10 < 9, lit(1L)).otherwise($"k")) // 90% hot key
+      .withColumn("v", $"k" * 2)
+    val small = spark.range(0, 200).toDF("k").withColumn("name", concat(lit("s"), $"k"))
+    val salted = graft.operators.Skew.saltedJoin(large, small, "k", salt = 8)
+    val plain = large.join(small, Seq("k"))
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    // the join's shuffle key includes the salt column
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("_salt"), s"expected salted shuffle, got:\n$plan")
+  }
 }
