@@ -60,7 +60,7 @@ object Similarity {
     * all-pairs, computed as a broadcast-loop: the corpus vectors are
     * broadcast once (id, vector, norm) and each partition streams its
     * rows against them in a primitive-array kernel. Quadratic by nature;
-    * the 100 TB-scale path is `srpBucket` candidate generation first —
+    * the 100 TB-scale path is `cosineDupPairsLsh` (SRP-bucketed) —
     * this is the exact baseline and the per-bucket verifier. */
   def cosineDupPairs(corpus: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -219,6 +219,33 @@ object Similarity {
         round(cosine(col("qv"), col(vecCol)), 6).as("cos_sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col(idCol))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Corpus×corpus embedding near-dup pairs, SRP-bucketed: candidates
+    * are same-bucket pairs in ANY of `tables` independent hash tables
+    * (seeds seed..seed+tables-1), verified by exact cosine >= threshold.
+    * The scale companion of `cosineDupPairs`: per-table work is a
+    * bucket-key shuffle join — never a quadratic cross join — and the
+    * union of tables drives recall toward 1 for genuinely-near pairs
+    * (cos 0.9 ≈ 26°: one 6-bit table catches ~42%, four catch ~92%).
+    * Low-threshold sweeps remain recall-limited by design. */
+  def cosineDupPairsLsh(corpus: DataFrame, threshold: Double, dim: Int,
+      nBits: Int = 6, tables: Int = 4, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val base = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+    val cand = (0 until tables).map { t =>
+      val b = base.select(col("vec_id"), col("v"),
+        srpBucket(col("v"), dim, nBits, seed + t).as("bucket"))
+      b.as("x").join(b.as("y"),
+          col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+    }.reduce(_ unionByName _).distinct()
+    cand
+      .join(base.select(col("vec_id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(base.select(col("vec_id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("va"), col("vb")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
   }
 
   /** ANN top-k restricted to same-SRP-bucket candidates (the scale path;

@@ -42,6 +42,14 @@ object SimilarityOps extends QueryPack {
         .orderBy($"qid", $"rank")
     }),
 
+    // corpus-x-corpus near-dup via SRP buckets — the scale companion of
+    // s42; deterministic md5 planes, so the oracle replays it exactly.
+    "s46_cosine_dup_lsh" -> ((s, dir) => {
+      import s.implicits._
+      Similarity.cosineDupPairsLsh(t(s, dir, "embeddings"), 0.4, dim)
+        .orderBy($"id_a", $"id_b")
+    }),
+
     // IVF coarse quantization: every vector → nearest of 8 centroids.
     "s44_ivf_assign" -> ((s, dir) => {
       import s.implicits._
@@ -90,6 +98,29 @@ object SimilarityOps extends QueryPack {
           (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rank FROM scored)
         SELECT qid, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
         ORDER BY qid, rank""",
+    "s46_cosine_dup_lsh" ->
+      s"""WITH planes AS (
+          SELECT s, j, list_transform(range(0, 64), i ->
+            2.0 * ((CAST('0x' || substr(md5('srp:' || s || ':' || j || ':' || i), 1, 16) AS UBIGINT) >> 11)
+                   / 9007199254740992.0) - 1.0) AS p
+          FROM range(42, 46) ts(s), range(0, 6) t(j)),
+        sgn AS (SELECT e.vec_id, pl.s, pl.j,
+            CASE WHEN list_sum(list_transform(range(1, 65), i ->
+                CAST(e.embedding[i] AS DOUBLE) * pl.p[i])) >= 0
+              THEN (CAST(1 AS BIGINT) << pl.j) ELSE 0 END AS bit
+          FROM embeddings e, planes pl),
+        buckets AS (SELECT vec_id, s, CAST(SUM(bit) AS BIGINT) AS bucket
+          FROM sgn GROUP BY vec_id, s),
+        cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM buckets a JOIN buckets b
+            ON a.s = b.s AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        scored AS (SELECT cand.id_a, cand.id_b,
+            ${cosSql("x.embedding", "y.embedding")} AS cos_sim
+          FROM cand
+          JOIN embeddings x ON x.vec_id = cand.id_a
+          JOIN embeddings y ON y.vec_id = cand.id_b)
+        SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.4
+        ORDER BY id_a, id_b""",
     "s41_knn_brute" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
         scored AS (SELECT qid, vec_id, ${cosSql("qv", "embedding")} AS cos_sim

@@ -152,4 +152,17 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = salted.queryExecution.executedPlan.toString
     assert(plan.contains("_salt"), s"expected salted shuffle, got:\n$plan")
   }
+
+  test("cosine LSH dup pairs are a subset of exact pairs; multi-table beats one") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = graft.operators.Similarity.cosineDupPairs(emb, 0.4)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val one = graft.operators.Similarity.cosineDupPairsLsh(emb, 0.4, dim = 64, tables = 1)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val four = graft.operators.Similarity.cosineDupPairsLsh(emb, 0.4, dim = 64, tables = 4)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(one.subsetOf(exact) && four.subsetOf(exact), "no false positives")
+    assert(one.subsetOf(four), "tables union only adds candidates")
+  }
 }
