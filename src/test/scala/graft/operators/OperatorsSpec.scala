@@ -165,4 +165,14 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one.subsetOf(exact) && four.subsetOf(exact), "no false positives")
     assert(one.subsetOf(four), "tables union only adds candidates")
   }
+
+  test("ivf k-means training monotonically reduces quantization cost") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (cents, costs) = graft.operators.Similarity.ivfTrain(emb, k = 8, iters = 4)
+    assert(cents.length == 8 && cents.head.length == 64)
+    assert(costs.size == 4)
+    costs.sliding(2).foreach { case Seq(a, b) => assert(b <= a + 1e-9,
+      s"Lloyd cost must not increase: $costs") }
+    assert(costs.last < costs.head, s"training should improve cost: $costs")
+  }
 }

@@ -229,4 +229,24 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("deterministic bug"))
     assert(attempts.get() == 1) // surfaced on attempt 1, no 3x re-run
   }
+
+  test("sink compact drops superseded versions but keeps dedup semantics") {
+    val path = tmp("compact")
+    val sink = SinkTable(path, Seq("k"), Some("ts"))
+    import org.apache.spark.sql.functions._
+    def batch(seq: Long, v: String) =
+      sink.append(spark.range(0, 100).toDF("k")
+        .withColumn("ts", to_timestamp(lit("2024-01-01")))
+        .withColumn("v", lit(v)), seq)
+    batch(0, "old"); batch(1, "new") // same keys, superseding write
+    val before = sink.readRaw(spark).count()
+    assert(before == 200)
+    sink.compact(spark)
+    assert(sink.readRaw(spark).count() == 100) // superseded rows gone
+    val read = sink.read(spark)
+    assert(read.count() == 100)
+    assert(read.filter(col("v") =!= "new").count() == 0) // winners kept
+    batch(2, "newer") // appends after compact still dedup correctly
+    assert(sink.read(spark).filter(col("v") =!= "newer").count() == 0)
+  }
 }
