@@ -287,19 +287,25 @@ object Similarity {
   def cosineDupPairsLsh(corpus: DataFrame, threshold: Double, dim: Int,
       nBits: Int = 6, tables: Int = 4, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val base = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+    // norms once per VECTOR, not per pair — the verify join then does
+    // one dot product per candidate (same doubles, 3x less work)
+    val base = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+      l2Norm(col(vecCol)).as("nrm"))
     val cand = (0 until tables).map { t =>
-      val b = base.select(col("vec_id"), col("v"),
+      val b = base.select(col("vec_id"),
         srpBucket(col("v"), dim, nBits, seed + t).as("bucket"))
       b.as("x").join(b.as("y"),
           col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
     }.reduce(_ unionByName _).distinct()
     cand
-      .join(base.select(col("vec_id").as("id_a"), col("v").as("va")), Seq("id_a"))
-      .join(base.select(col("vec_id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .join(base.select(col("vec_id").as("id_a"), col("v").as("va"),
+        col("nrm").as("na")), Seq("id_a"))
+      .join(base.select(col("vec_id").as("id_b"), col("v").as("vb"),
+        col("nrm").as("nb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(cosine(col("va"), col("vb")), 6).as("cos_sim"))
+        round(dotProduct(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+          .as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 
