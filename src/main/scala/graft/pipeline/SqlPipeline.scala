@@ -34,16 +34,20 @@ object SqlPipeline {
     def table: SinkTable = SinkTable(path, keys, version)
   }
 
-  /** Parse the engine-specific `Sink:` yaml section (vars-templated). */
-  def sinkSpec(yamlText: String, vars: Map[String, String]): SinkSpec = {
+  private def yamlSection(yamlText: String, key: String): Map[String, String] = {
     val root = new org.yaml.snakeyaml.Yaml()
       .load[java.util.Map[String, Any]](yamlText)
     val doc = Option(root).map(_.asScala.toMap).getOrElse(Map.empty[String, Any])
-    val sink = doc.get("Sink") match {
+    doc.get(key) match {
       case Some(m: java.util.Map[_, _]) =>
         m.asScala.map { case (k, v) => k.toString -> String.valueOf(v) }.toMap
       case _ => Map.empty[String, String]
     }
+  }
+
+  /** Parse the engine-specific `Sink:` yaml section (vars-templated). */
+  def sinkSpec(yamlText: String, vars: Map[String, String]): SinkSpec = {
+    val sink = yamlSection(yamlText, "Sink")
     def fromVars(k: String) = vars.get(k)
     val path = sink.get("Path").map(Templates.render(_, vars))
       .orElse(fromVars("SINK_PATH"))
@@ -54,6 +58,18 @@ object SqlPipeline {
       .getOrElse(Seq("number"))
     val version = sink.get("VersionColumn").orElse(fromVars("SINK_VERSION"))
     SinkSpec(path, keys, version)
+  }
+
+  /** Optional `Source:` yaml section — an upstream sink exposed to every
+    * step's SQL as the `source` view (the derived-pipeline family:
+    * decoded logs/traces read a chain sink instead of RPC). */
+  def sourceSpec(yamlText: String, vars: Map[String, String]): Option[SinkSpec] = {
+    val src = yamlSection(yamlText, "Source")
+    src.get("Path").map(Templates.render(_, vars)).map { path =>
+      SinkSpec(path,
+        src.get("Keys").map(_.split(",").map(_.trim).toSeq).getOrElse(Seq("number")),
+        src.get("VersionColumn"))
+    }
   }
 
   private val createBufferRe =
@@ -88,6 +104,7 @@ object SqlPipeline {
     val config = PipelineConfig.parse(yamlText)
     val templates = Templates.loadDir(dir)
     val sinkTab = sinkSpec(yamlText, vars).table
+    val sourceTab = sourceSpec(yamlText, vars).map(_.table)
 
     def rendered(name: String, batchVars: Map[String, String] = Map.empty): String =
       Templates.render(
@@ -107,17 +124,23 @@ object SqlPipeline {
     new PipelineRunner.Definition {
       val sink: SinkTable = sinkTab
 
+      private def registerSource(spark: SparkSession): Unit =
+        sourceTab.foreach(s => s.read(spark).createOrReplaceTempView("source"))
+
       def resume(spark: SparkSession): Option[Long] = {
         if (!sink.exists(spark)) return None
         sink.read(spark).createOrReplaceTempView("sink")
         scalarLong(spark, stripLeading(rendered("start.sql")))
       }
 
-      def tip(spark: SparkSession): Long =
+      def tip(spark: SparkSession): Long = {
+        registerSource(spark)
         scalarLong(spark, stripLeading(rendered("tip.sql")))
           .getOrElse(throw new IllegalStateException("tip.sql returned null"))
+      }
 
       def transform(spark: SparkSession, batch: PipelineRunner.Batch): DataFrame = {
+        registerSource(spark)
         var buffer: Option[DataFrame] = None
         transformFiles.foreach { f =>
           stripLeading(rendered(f, batchVars(batch))) match {

@@ -102,6 +102,33 @@ object EvmOps extends QueryPack {
         .orderBy(col("number"))
     }),
 
+    // config-driven DERIVED pipeline: upstream logs sink → decoded sink,
+    // defined entirely as yaml + SQL templates (Source section).
+    "e62_config_derived" -> ((s, _) => {
+      graft.functions.EvmFunctions.registerAll(s)
+      graft.functions.HexExpressions.registerAll(s)
+      val logsPath = java.nio.file.Files.createTempDirectory("graft-q-dl-src")
+        .resolve("sink").toString
+      PipelineRunner.run(s, EthereumPipelines.logs(endpoint, logsPath),
+        Config(maxBatchSize = 21))
+      val dir = {
+        val local = new java.io.File("examples/ethereum_decoded_logs_spark")
+        if (local.isDirectory) local.getPath
+        else "/root/repo/examples/ethereum_decoded_logs_spark"
+      }
+      val sinkPath = java.nio.file.Files.createTempDirectory("graft-q-dl-out")
+        .resolve("sink").toString
+      graft.pipeline.SqlPipeline.run(s, dir, Map(
+        "SOURCE_PATH" -> logsPath,
+        "SINK_PATH" -> sinkPath,
+        "EVENT_SIGS" -> "'event Transfer(address indexed,address indexed,uint256)'"))
+      SinkTable(sinkPath, Seq("address", "signature", "block_number", "log_index"))
+        .read(s)
+        .select(col("block_number"), col("log_index"), col("signature"),
+          get_json_object(col("inputs"), "$.arg2").cast("decimal(38,0)").as("amount"))
+        .orderBy(col("block_number"), col("log_index"))
+    }),
+
     // ABI event decode against the dictionary (signature + inputs JSON).
     "e57_decoded_logs" -> ((s, _) => {
       val dict = DerivedPipelines.AbiDictionary.builtin

@@ -56,6 +56,36 @@ class SqlPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(res2.items == 0)
   }
 
+  test("derived pipeline (decoded logs) runs from config over a source sink") {
+    graft.functions.EvmFunctions.registerAll(spark)
+    graft.functions.HexExpressions.registerAll(spark)
+    // upstream logs sink via the compiled pipeline
+    val logsPath = tmp("dl-logs")
+    PipelineRunner.run(spark,
+      EthereumPipelines.logs("fake://chain?tip=20", logsPath),
+      PipelineRunner.Config(maxBatchSize = 21))
+    val dir = {
+      val local = new java.io.File("examples/ethereum_decoded_logs_spark")
+      if (local.isDirectory) local.getPath
+      else "/root/repo/examples/ethereum_decoded_logs_spark"
+    }
+    val sinkPath = tmp("dl-decoded")
+    val res = SqlPipeline.run(spark, dir, Map(
+      "SOURCE_PATH" -> logsPath,
+      "SINK_PATH" -> sinkPath,
+      "EVENT_SIGS" -> "'event Transfer(address indexed,address indexed,uint256)'"))
+    assert(res.items == 21)
+    val decoded = SinkTable(sinkPath,
+      Seq("address", "signature", "block_number", "log_index")).read(spark)
+    // one Transfer log per fake tx, all decode against the candidate sig
+    val expected = (0L to 20L).map(_ % 3).sum
+    assert(decoded.count() == expected)
+    assert(decoded.filter(col("signature") =!=
+      "Transfer(address,address,uint256)").count() == 0)
+    assert(decoded.filter(get_json_object(col("inputs"), "$.arg2").isNull)
+      .count() == 0)
+  }
+
   test("sink spec falls back to SINK_* vars when yaml has no Sink section") {
     val spec = SqlPipeline.sinkSpec("Batcher:\n  MaxBatchSize: 5\n",
       Map("SINK_PATH" -> "/tmp/x", "SINK_KEYS" -> "a, b", "SINK_VERSION" -> "ts"))
