@@ -1,7 +1,7 @@
 -- Spark-dialect translation of examples/ethereum_blocks/create_buffer.sql:
 -- generate_series -> range(); JSONExtract 'Tuple(...)' -> from_json with a
 -- DDL schema; evm_hex_decode_int(x, 'UIntN') -> evm_hex_decode_int_n /
--- evm_hex_decode_big; arrayMap -> transform.
+-- evm_hex_decode_u256_n (UInt256 -> canonical 32-byte binary); arrayMap -> transform.
 create temporary table buffer_{{.START}}_{{.END}} as (
     with block_numbers as (
         select id as n from range({{.START}}, {{.END}} + 1)
@@ -34,9 +34,9 @@ create temporary table buffer_{{.START}}_{{.END}} as (
 
     select
         timestamp_seconds(evm_hex_decode_int_n(b.timestamp)) as timestamp,
-        evm_hex_decode_big(b.baseFeePerGas) as base_fee_per_gas,
+        evm_hex_decode_u256_n(b.baseFeePerGas) as base_fee_per_gas,
         evm_hex_decode_int_n(b.blobGasUsed) as blob_gas_used,
-        evm_hex_decode_big(b.difficulty) as difficulty,
+        evm_hex_decode_u256_n(b.difficulty) as difficulty,
         evm_hex_decode_int_n(b.excessBlobGas) as excess_blob_gas,
         evm_hex_decode_n(b.extraData) as extra_data,
         evm_hex_decode_int_n(b.gasLimit) as gas_limit,
@@ -44,7 +44,7 @@ create temporary table buffer_{{.START}}_{{.END}} as (
         evm_hex_decode_n(b.hash) as hash,
         evm_hex_decode_n(b.miner) as miner,
         evm_hex_decode_n(b.mixHash) as mix_hash,
-        evm_hex_decode_big(b.nonce) as nonce,
+        evm_hex_decode_u256_n(b.nonce) as nonce,
         evm_hex_decode_int_n(b.number) as number,
         evm_hex_decode_n(b.parentBeaconBlockRoot) as parent_beacon_block_root,
         evm_hex_decode_n(b.parentHash) as parent_hash,
@@ -52,7 +52,7 @@ create temporary table buffer_{{.START}}_{{.END}} as (
         evm_hex_decode_n(b.sha3Uncles) as sha3_uncles,
         evm_hex_decode_int_n(b.size) as size,
         evm_hex_decode_n(b.stateRoot) as state_root,
-        evm_hex_decode_big(b.totalDifficulty) as total_difficulty,
+        evm_hex_decode_u256_n(b.totalDifficulty) as total_difficulty,
         evm_hex_decode_n(b.transactionsRoot) as transactions_root,
         transform(b.uncles, x -> evm_hex_decode_n(x)) as uncles,
         evm_hex_decode_n(b.withdrawalsRoot) as withdrawals_root

@@ -30,6 +30,13 @@ object FakeChain {
   def nTx(n: Long): Int = (n % 3).toInt
   def timestampOf(n: Long): Long = 1700000000L + 12 * n
   def amountOf(n: Long, i: Int): BigInt = BigInt(n) * 1000 + i + 1
+
+  /** tx value in wei. Blocks where n % 5 == 2 carry whale transfers
+    * (> 1e20 wei — beyond DECIMAL(38,18)'s integer range), so any
+    * lossy UInt256 representation overflows visibly in tests. */
+  def valueOf(n: Long, i: Int): BigInt =
+    if (n % 5 == 2) BigInt(10).pow(21) * (i + 1) + BigInt(n)
+    else BigInt(n) * 1000000000L + i
 }
 
 final class FakeChain(tip: Long) extends Rpc.Transport {
@@ -110,7 +117,7 @@ final class FakeChain(tip: Long) extends Rpc.Transport {
     "transactionIndex" -> q(i.toLong),
     "type" -> q(2L),
     "v" -> q(1L),
-    "value" -> q(0L),
+    "value" -> qb(valueOf(n, i)),
     "yParity" -> q(1L),
     "maxFeePerBlobGas" -> q(1L),
     "blobVersionedHashes" -> Nil,

@@ -26,10 +26,14 @@ object EvmFunctions {
     udf((s: String) => if (s == null) null.asInstanceOf[java.lang.Long]
       else java.lang.Long.valueOf(Hex.decodeLong(s)))
 
-  /** UInt256-ranged decode → Decimal(38,0) convenience view (lossy above
-    * 38 digits; canonical form is the 32-byte binary, SURVEY.md §7). */
-  val evmHexDecodeBig: UserDefinedFunction =
-    udf((s: String) => if (s == null) null else BigDecimal(Hex.decodeQuantity(s)))
+  /** UInt256-ranged decode → Decimal(38,0) convenience view, built from
+    * the native U256 expressions + an ANSI cast (throws above 38 digits
+    * rather than silently nulling). The canonical full-range form is the
+    * 32-byte binary (`evm_hex_decode_u256_n` / U256.scala, wired into
+    * every pipeline transform — SURVEY.md §7 hard part #1). */
+  def evmHexDecodeBig(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    HexExpressions.u256ToStringN(HexExpressions.evmHexDecodeU256N(c))
+      .cast(org.apache.spark.sql.types.DecimalType(38, 0))
 
   val evmHexEncode: UserDefinedFunction =
     udf((b: Array[Byte]) => if (b == null) null else Hex.encode(b))
@@ -65,7 +69,13 @@ object EvmFunctions {
   def registerAll(spark: SparkSession): Unit = {
     spark.udf.register("evm_hex_decode", evmHexDecode)
     spark.udf.register("evm_hex_decode_int", evmHexDecodeInt)
-    spark.udf.register("evm_hex_decode_big", evmHexDecodeBig)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "evm_hex_decode_big",
+      exprs => org.apache.spark.sql.catalyst.expressions.Cast(
+        U256ToStringExpr(EvmHexDecodeU256Expr(exprs.head)),
+        org.apache.spark.sql.types.DecimalType(38, 0)),
+      "built-in")
+    graft.functions.U256.registerAll(spark)
     spark.udf.register("evm_hex_encode", evmHexEncode)
     spark.udf.register("evm_hex_encode_int", evmHexEncodeInt)
     spark.udf.register("keccak256", keccak256)

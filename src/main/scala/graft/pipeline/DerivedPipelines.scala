@@ -203,8 +203,7 @@ object DerivedPipelines {
       col("address").as("token_address"),
       get_json_object(col("evt_json"), "$.value.inputs.arg0").as("sender"),
       get_json_object(col("evt_json"), "$.value.inputs.arg1").as("recipient"),
-      get_json_object(col("evt_json"), "$.value.inputs.arg2").cast("decimal(38,0)")
-        .as("amount"))
+      get_json_object(col("evt_json"), "$.value.inputs.arg2").as("amount"))
     // UNION ALL of both sides, then multi-key dedup (:74-88)
     val touched = transfers
       .select(col("timestamp"), col("block_hash"), col("block_number"),
@@ -222,21 +221,22 @@ object DerivedPipelines {
       .withColumn("decimals", get_json_object(
         ethereumRpcCall(col("token_hex"), lit("function decimals()(uint8)"),
           lit(""), lit(-1L), lit(endpoint)), "$.value.arg0").cast("int"))
+    // raw_balance is UInt256: canonical 32-byte binary in the sink (the
+    // exact wire value), with the Float64 `balance` convenience alongside.
     val balances = touched
-      .withColumn("raw_balance", get_json_object(
+      .withColumn("raw_balance_str", get_json_object(
         ethereumRpcCall(evmHexEncode(col("token_address")),
           lit("function balanceOf(address)(uint256)"),
           to_json(array(col("wallet_address"))),
-          col("block_number"), lit(endpoint)), "$.value.arg0")
-        .cast("decimal(38,0)"))
+          col("block_number"), lit(endpoint)), "$.value.arg0"))
     balances.join(broadcast(tokens.drop("token_hex")), Seq("token_address"), "left")
       .select(col("timestamp"), col("block_hash"), col("block_number"),
         evmHexDecode(col("wallet_address")).as("wallet_address"),
         col("token_address"),
         col("symbol").as("token_symbol"),
         col("decimals").cast("byte").as("token_decimals"),
-        col("raw_balance"),
-        (col("raw_balance").cast("double") / pow(lit(10.0), col("decimals")))
+        graft.functions.U256.u256FromString(col("raw_balance_str")).as("raw_balance"),
+        (col("raw_balance_str").cast("double") / pow(lit(10.0), col("decimals")))
           .as("balance"))
   }
 

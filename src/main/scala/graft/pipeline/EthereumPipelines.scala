@@ -51,7 +51,13 @@ object EthereumPipelines {
   // native codegen'd expressions on the hot decode path (UDF-free)
   private def decodeHex(c: Column): Column = graft.functions.HexExpressions.evmHexDecodeN(c)
   private def decodeLongCol(c: Column): Column = graft.functions.HexExpressions.evmHexDecodeLongN(c)
-  private def decodeBig(c: Column): Column = evmHexDecodeBig(c)
+  /** UInt256-ranged quantities (tx value, gas_price, difficulty, fee
+    * fields…) land as canonical 32-byte binary (functions/U256.scala —
+    * full 2^256 range, numeric ordering under binary compare). The old
+    * DECIMAL(38,18) view capped the integer part below 1e20, silently
+    * overflowing e.g. a 1,000-ETH transfer (1e21 wei). */
+  private def decodeBig(c: Column): Column =
+    graft.functions.HexExpressions.evmHexDecodeU256N(c)
   private def tsOf(c: Column): Column =
     timestamp_seconds(decodeLongCol(c))
 

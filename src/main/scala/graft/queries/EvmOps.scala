@@ -43,10 +43,13 @@ object EvmOps extends QueryPack {
     }),
 
     // blocks fetch+extract transform (no sink) over the fake chain.
+    // U256 columns are emitted as exact decimal strings — DECIMAL output
+    // is not canonicalized stably by the driver's hasher.
     "e53_blocks_transform" -> ((s, _) => {
+      import graft.functions.HexExpressions.u256ToStringN
       EthereumPipelines.blocksTransform(s, batch021, endpoint)
         .select(col("number"), col("timestamp"), evmHexEncode(col("hash")).as("hash_hex"),
-          col("gas_used"), col("base_fee_per_gas"))
+          col("gas_used"), u256ToStringN(col("base_fee_per_gas")).as("base_fee_per_gas"))
         .orderBy(col("number"))
     }),
 
@@ -62,12 +65,14 @@ object EvmOps extends QueryPack {
     // transactions: the parallel zip-explode of txs with receipts,
     // including the Dencun + OP-stack conditional column families.
     "e55_transactions_transform" -> ((s, _) => {
+      import graft.functions.HexExpressions.u256ToStringN
       EthereumPipelines.transactionsTransform(s, batch021, endpoint,
           enableDencun = true, enableOpStack = true)
         .select(col("block_number"), col("transaction_index"), col("gas"),
-          col("cumulative_gas_used"), col("status"), col("value"),
+          col("cumulative_gas_used"), col("status"),
+          u256ToStringN(col("value")).as("value"),
           col("blob_gas_used"), col("is_system_tx"), col("l1_gas_used"),
-          col("deposit_nonce"))
+          u256ToStringN(col("deposit_nonce")).as("deposit_nonce"))
         .orderBy(col("block_number"), col("transaction_index"))
     }),
 
@@ -125,7 +130,7 @@ object EvmOps extends QueryPack {
       SinkTable(sinkPath, Seq("address", "signature", "block_number", "log_index"))
         .read(s)
         .select(col("block_number"), col("log_index"), col("signature"),
-          get_json_object(col("inputs"), "$.arg2").cast("decimal(38,0)").as("amount"))
+          get_json_object(col("inputs"), "$.arg2").as("amount"))
         .orderBy(col("block_number"), col("log_index"))
     }),
 
@@ -139,8 +144,7 @@ object EvmOps extends QueryPack {
         .filter(get_json_object(col("evt_json"), "$.error").isNull)
         .select(col("block_number"), col("log_index"),
           get_json_object(col("evt_json"), "$.value.signature").as("signature"),
-          get_json_object(col("evt_json"), "$.value.inputs.arg2").cast("decimal(38,0)")
-            .as("amount"))
+          get_json_object(col("evt_json"), "$.value.inputs.arg2").as("amount"))
         .orderBy(col("block_number"), col("log_index"))
     }),
 
@@ -172,7 +176,7 @@ object EvmOps extends QueryPack {
       DerivedPipelines.decodedLogsVariantTransform(s, Batch(0, 0, 20), source,
           DerivedPipelines.AbiDictionary.builtin)
         .select(col("block_number"), col("log_index"), col("signature"),
-          expr("variant_get(inputs, '$.arg2', 'decimal(38,0)')").as("amount"),
+          expr("variant_get(inputs, '$.arg2', 'string')").as("amount"),
           expr("variant_get(inputs, '$.arg0', 'string')").as("sender"))
         .orderBy(col("block_number"), col("log_index"))
     }),
@@ -188,7 +192,7 @@ object EvmOps extends QueryPack {
         .select(col("block_number"), evmHexEncode(col("wallet_address")).as("wallet_hex"),
           evmHexEncode(col("token_address")).as("token_hex"),
           col("token_symbol"), col("token_decimals").cast("int").as("token_decimals"),
-          col("raw_balance"))
+          graft.functions.HexExpressions.u256ToStringN(col("raw_balance")).as("raw_balance"))
         .orderBy(col("block_number"), col("wallet_hex"), col("token_hex"))
     })
   )

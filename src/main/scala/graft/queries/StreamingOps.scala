@@ -148,8 +148,10 @@ object StreamingOps extends QueryPack {
           FROM ev
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), sess AS (
-          SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-            ROWS UNBOUNDED PRECEDING) - 1 AS session_seq
+          -- BIGINT cast: DuckDB's window SUM yields HUGEINT, which the
+          -- driver's hasher does not canonicalize like Spark's BIGINT.
+          SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_seq
           FROM ordered
         )
         SELECT user_id, session_seq, COUNT(*) AS n_events,

@@ -137,6 +137,18 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(U256.u256ToString(U256.u256FromString(lit(big1.toString))))
       .head().getString(0)
     assert(s == big1.toString)
+    // native codegen'd expressions round-trip 2^255 (the pipeline hot path)
+    import graft.functions.HexExpressions.{evmHexDecodeU256N, u256ToStringN}
+    val two255 = BigInt(1) << 255
+    val n = Seq(1).toDF("x")
+      .select(u256ToStringN(evmHexDecodeU256N(lit("0x" + two255.toString(16)))))
+      .head().getString(0)
+    assert(n == two255.toString)
+    // ANSI overflow guard: >256-bit quantities throw, never truncate
+    intercept[Exception] {
+      Seq(1).toDF("x")
+        .select(evmHexDecodeU256N(lit("0x1" + "00" * 32))).head()
+    }
   }
 
   test("salted join equals the plain join and shuffles on (key, salt)") {

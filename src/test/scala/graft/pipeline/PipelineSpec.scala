@@ -100,8 +100,11 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(txs.filter(col("status") =!= 1).count() == 0)
     assert(txs.filter(col("cumulative_gas_used") ===
       (col("transaction_index") + 1) * 21000).count() == expected)
-    // Dencun optional columns decode (fake chain emits maxFeePerBlobGas=1)
-    assert(txs.filter(col("max_fee_per_blob_gas") === 1).count() == expected)
+    // Dencun optional columns decode (fake chain emits maxFeePerBlobGas=1;
+    // U256 columns are canonical 32-byte binary)
+    import graft.functions.HexExpressions.u256ToStringN
+    assert(txs.filter(u256ToStringN(col("max_fee_per_blob_gas")) === "1")
+      .count() == expected)
     assert(txs.filter(org.apache.spark.sql.functions.size(
       col("blob_versioned_hashes")) === 0).count() == expected)
   }
@@ -144,6 +147,13 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(txs.filter(col("is_system_tx")).count() == 0)
     assert(txs.filter(col("l1_gas_used") === col("transaction_index") + 1600)
       .count() == txs.count())
+    // whale transfers (>1e20 wei — beyond DECIMAL(38,18)) survive the
+    // canonical U256 binary form exactly (round-2 overflow landmine)
+    import graft.functions.HexExpressions.u256ToStringN
+    val whale = txs.filter(col("block_number") === 2 && col("transaction_index") === 1)
+      .select(u256ToStringN(col("value"))).head().getString(0)
+    assert(whale == graft.evm.FakeChain.valueOf(2, 1).toString)
+    assert(BigInt(whale) > BigInt(10).pow(20))
     // flags off → the families are absent (template-var keyed projection)
     val bare = EthereumPipelines.transactionsTransform(spark, batch, endpoint,
       enableDencun = false, enableOpStack = false)
@@ -185,9 +195,9 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bal.filter(col("token_symbol").isin("TOK0", "TOK1")).count() == bal.count())
     assert(bal.filter(col("token_decimals").isin(6.toByte, 18.toByte)).count() == bal.count())
     assert(bal.filter(col("raw_balance").isNull).count() == 0)
-    // balance = raw / 10^decimals
+    // balance = raw / 10^decimals (raw_balance is canonical U256 binary)
     val r = bal.head()
-    val raw = r.getAs[java.math.BigDecimal]("raw_balance").doubleValue()
+    val raw = graft.functions.U256.toBigInt(r.getAs[Array[Byte]]("raw_balance")).toDouble
     val dec = r.getAs[Byte]("token_decimals").toInt
     assert(math.abs(r.getAs[Double]("balance") - raw / math.pow(10, dec)) < 1e-9)
   }

@@ -51,6 +51,21 @@ for name in sorted(oracle):
         ecols, erows = exp.columns, exp.fetchall()
     except Exception as e:
         fails.append((name, f"oracle error: {e}")); continue
+    # Driver-hash canonicalization gap (round-2 verdict): the driver's
+    # hasher canonicalizes DECIMAL / HUGEINT differently on the Spark and
+    # oracle sides, so value-identical outputs still hash-FAIL. repr()
+    # compare can't see it — flag the TYPE itself as a hard failure.
+    gtypes = [str(t).upper() for t in got.types]
+    etypes = [str(t).upper() for t in exp.types]
+    bad_types = (
+        [f"spark {c}:{t}" for c, t in zip(gcols, gtypes)
+         if "DECIMAL" in t or "HUGEINT" in t] +
+        [f"oracle {c}:{t}" for c, t in zip(ecols, etypes)
+         if "DECIMAL" in t or "HUGEINT" in t])
+    if bad_types:
+        fails.append((name, "driver-unstable output type (cast to BIGINT/"
+                      f"VARCHAR on both sides): {', '.join(bad_types)}"))
+        continue
     gc, gcn = canon(grows, gcols)
     ec, ecn = canon(erows, ecols)
     if gcn != ecn:
