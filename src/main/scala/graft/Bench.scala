@@ -25,7 +25,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    val nIsolated = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATED", "8").toInt
+    val nIsolated = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATED", "12").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -61,15 +61,26 @@ object Bench {
     // Overlap queries with a small driver pool (the engine's concurrent-
     // jobs capability — the same overlap the micro-batch runtime uses
     // for batches): small queries fill scheduler gaps left by large ones.
+    // PipelineRunner-based queries carry their own worker thread pools and
+    // multi-batch commit barriers; running six of them at once smears
+    // every lane timing (round-2: 10-20s lane vs 1-2s isolated), so they
+    // get a dedicated 2-wide pool while pure queries share the rest.
     val lanes = sys.env.getOrElse("SPARK_GRAFT_BENCH_LANES", "6").toInt
+    val pipelineQueries = Set("e56_blocks_pipeline", "e59_erc20_balances",
+      "e60_decoded_logs_variant", "e61_config_pipeline", "e62_config_derived",
+      "st63_tip_catchup")
+    val pipeLanes = math.min(2, lanes - 1)
     val wall0 = System.nanoTime()
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(lanes)
+    val pipePool = java.util.concurrent.Executors.newFixedThreadPool(pipeLanes)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, lanes - pipeLanes))
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> pool.submit(new java.util.concurrent.Callable[(Double, Boolean)] {
+      val p = if (pipelineQueries(name)) pipePool else pool
+      name -> p.submit(new java.util.concurrent.Callable[(Double, Boolean)] {
         def call(): (Double, Boolean) = time(name, fn)
       })
     }.map { case (name, fut) => val (sec, ok) = fut.get(); (name, sec, ok) }
-    pool.shutdown()
+    pool.shutdown(); pipePool.shutdown()
     val wall = (System.nanoTime() - wall0) / 1e9
 
     // sequential re-timings of the slowest queries: contention-free

@@ -59,16 +59,26 @@ object Similarity {
   /** Embedding near-duplicate pairs above a cosine threshold — exact
     * all-pairs, computed as a broadcast-loop: the corpus vectors are
     * broadcast once (id, vector, norm) and each partition streams its
-    * rows against them in a primitive-array kernel. Quadratic by nature;
-    * the 100 TB-scale path is `cosineDupPairsLsh` (SRP-bucketed) —
-    * this is the exact baseline and the per-bucket verifier. */
+    * rows against them in a primitive-array kernel.
+    *
+    * TEST-SCALE ONLY: quadratic by nature, and the broadcast side holds
+    * the whole corpus — `maxRows` hard-fails beyond the ceiling instead
+    * of OOMing the driver. The 100 TB-scale path is `cosineDupPairsLsh`
+    * (SRP-bucketed); this is the exact baseline and per-bucket verifier. */
   def cosineDupPairs(corpus: DataFrame, threshold: Double,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxRows: Int = 1000000): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val rows = corpus.select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Seq[Float])]
-    val side = rows.collect().sortBy(_._1)
+    // limit BEFORE collect: the driver never receives more than the
+    // ceiling + 1 rows even when the corpus is far larger
+    val collected = rows.limit(maxRows + 1).collect()
+    require(collected.length <= maxRows,
+      s"cosineDupPairs is the exact test-scale baseline (corpus > $maxRows rows); " +
+        "use cosineDupPairsLsh for large corpora")
+    val side = collected.sortBy(_._1)
       .map { case (id, v) => val a = v.toArray; (id, a, math.sqrt(dotKernel(a, a))) }
     val bc = spark.sparkContext.broadcast(side)
     rows.mapPartitions { it =>
@@ -146,6 +156,23 @@ object Similarity {
       }
     })
 
+  /** The K lowest-id vectors as a bounded plan: orderBy + limit compiles
+    * to TakeOrderedAndProject (per-partition top-K, then a K-row merge on
+    * the driver) — the driver receives K·dim floats, never the corpus.
+    * Package-visible so the spec can assert the plan stays limited. */
+  private[operators] def seedFrame(corpus: DataFrame, k: Int,
+      idCol: String, vecCol: String): DataFrame =
+    corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .orderBy(col("id")).limit(k)
+
+  private def seedVectors(corpus: DataFrame, k: Int,
+      idCol: String, vecCol: String): Array[(Long, Array[Float])] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    seedFrame(corpus, k, idCol, vecCol).as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => (id, v.toArray) }
+  }
+
   /** IVF-style coarse quantization: assign every vector to its nearest
     * of K fixed centroid vectors (here: a deterministic sample — the
     * vectors with the K lowest ids — standing in for trained centroids;
@@ -156,9 +183,7 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cents = corpus.select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Seq[Float])].collect().sortBy(_._1).take(k)
-      .map { case (id, v) => (id, v.toArray) }
+    val cents = seedVectors(corpus, k, idCol, vecCol)
     val bc = spark.sparkContext.broadcast(cents)
     corpus.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Seq[Float])]
       .map { case (id, vSeq) =>
@@ -199,8 +224,8 @@ object Similarity {
     import spark.implicits._
     val vecs = corpus.select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Seq[Float])]
-    var cents: Array[Array[Double]] = vecs.collect().sortBy(_._1).take(k)
-      .map(_._2.toArray.map(_.toDouble))
+    var cents: Array[Array[Double]] = seedVectors(corpus, k, idCol, vecCol)
+      .map(_._2.map(_.toDouble))
     val costs = Seq.newBuilder[Double]
     (0 until iters).foreach { _ =>
       val bc = spark.sparkContext.broadcast(cents)
@@ -252,10 +277,7 @@ object Similarity {
       .crossJoin(assigned.select(col("centroid_id")).distinct())
     val w0 = Window.partitionBy(col("qid")).orderBy(col("cdist"), col("centroid_id"))
     val spark = corpus.sparkSession
-    import spark.implicits._
-    val cents = corpus.select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Seq[Float])].collect().sortBy(_._1).take(nCentroids)
-      .map { case (id, v) => (id, v.toArray) }
+    val cents = seedVectors(corpus, nCentroids, idCol, vecCol)
     val bc = spark.sparkContext.broadcast(cents.toMap)
     val cdist = udf((qv: Seq[Float], cid: Long) => {
       val c = bc.value(cid)

@@ -59,10 +59,19 @@ object TextDedup {
     * barely moving Jaccard for genuinely-near-dup pairs, which share
     * plenty of rare shingles too). */
   private def pairCounts(sh: DataFrame, maxDf: Int): DataFrame = {
-    val postings = sh.groupBy(col("shingle"))
+    // df-cap BEFORE collect_list: count document frequency (map-side
+    // combinable), drop hot shingles, THEN build posting lists — a
+    // stop-word-grade shingle never materializes its giant array in a
+    // single aggregation row.
+    val indexed =
+      if (maxDf <= 0) sh
+      else sh.join(
+        sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf).select(col("shingle")),
+        Seq("shingle"), "left_semi")
+    val kept = indexed.groupBy(col("shingle"))
       .agg(collect_list(col("doc_id")).as("ds"))
       .filter(size(col("ds")) >= 2)
-    val kept = if (maxDf > 0) postings.filter(size(col("ds")) <= maxDf) else postings
     val ds = array_sort(col("ds"))
     val pairs = kept.select(explode(flatten(transform(ds, (x, i) =>
         transform(slice(ds, i + lit(2), greatest(size(ds) - i - 1, lit(0))),
@@ -177,11 +186,20 @@ object TextDedup {
       out.toSeq
     })
 
-  /** Docs + minhash signature column `sig` (array of hex strings). */
+  /** Docs + minhash signature column `sig` (array of hex strings).
+    *
+    * The kernel is CPU-bound per document, so parallelism = input
+    * partitions; a small parquet (one row group → ONE partition) would
+    * otherwise run it single-threaded on the whole corpus. Spread the
+    * rows first when the source has fewer partitions than cores — at
+    * real scale the input already has plenty and this is a no-op. */
   def withMinHash(docs: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 16, k: Int = 3): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
+      numHashes: Int = 16, k: Int = 3): DataFrame = {
+    val p = docs.sparkSession.sparkContext.defaultParallelism
+    val spread = if (docs.rdd.getNumPartitions < p) docs.repartition(p) else docs
+    spread.select(col(idCol).as("doc_id"),
       minHashTextKernel(numHashes, k)(col(textCol)).as("sig"))
+  }
 
   /** MinHash-LSH candidate pairs, verified with exact Jaccard.
     * numHashes = bands * rowsPerBand; a pair is a candidate iff some band
@@ -193,14 +211,20 @@ object TextDedup {
   def minHashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, bands: Int = 8, rowsPerBand: Int = 2, k: Int = 3): DataFrame = {
     val sigs = withMinHash(docs, idCol, textCol, bands * rowsPerBand, k)
+    // persist: the band self-join would otherwise run the text→signature
+    // kernel TWICE (once per side) — the whole minhash cost, doubled.
     val banded = sigs.select(col("doc_id"), posexplode(
         array((0 until bands).map(b =>
           md5(concat_ws("|", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cand.count() // materialize candidates, then free the banded signatures
+    banded.unpersist(blocking = false)
     verifyJaccard(docs, idCol, textCol, cand, threshold, k)
   }
 

@@ -39,7 +39,11 @@ object PipelineRunner {
       stopAfterBatches: Option[Long] = None, // tip_tracker.go:86 analog
       tipPollIntervalMs: Long = 10000, // tip_tracker.go:26
       followTip: Boolean = false, // false = run-to-tip once (AvailableNow)
-      maxIdlePolls: Long = 1) // followTip stall budget; MaxValue = follow forever
+      /** followTip stall budget: polls with no tip movement before giving
+        * up. Defaults to follow-FOREVER (the reference's tip_tracker
+        * semantics) — run-to-tip-once callers should use followTip=false,
+        * not a small idle budget; tests may bound it explicitly. */
+      maxIdlePolls: Long = Long.MaxValue)
 
   final case class Result(batches: Long, items: Long, elapsedSec: Double) {
     def itemsPerSec: Double = if (elapsedSec > 0) items / elapsedSec else 0

@@ -53,23 +53,30 @@ final case class SinkTable(
 
   /** Append one batch (idempotent under re-runs thanks to read-side dedup). */
   def append(df: DataFrame, ingestSeq: Long): Unit = {
-    val withSeq = df.withColumn("_ingest_seq",
-      lit(sequenceBase(df.sparkSession) + ingestSeq))
-    val rows = df.count() // cheap: the runner commits persisted buffers
-    val parts = math.max(1L, math.min(withSeq.rdd.getNumPartitions.toLong,
-      (rows + rowsPerFile - 1) / rowsPerFile)).toInt
-    val sized = if (parts < withSeq.rdd.getNumPartitions) withSeq.coalesce(parts) else withSeq
-    val out = partCol(df) match {
-      case Some(p) => sized.withColumn("_part", p)
-      case None => sized
-    }
-    // point-lookup columns get parquet bloom filters — the skipping-index
-    // analog (examples/ethereum_logs/create_table.sql:15-20)
-    val writer = bloomFilterCols.foldLeft(out.write.mode("append")) { (w, c) =>
-      w.option(s"parquet.bloom.filter.enabled#$c", "true")
-    }
-    (if (out.columns.contains("_part")) writer.partitionBy("_part") else writer)
-      .parquet(path)
+    // the sizing count must not recompute the transform: persist unless
+    // the caller (e.g. PipelineRunner's buffer) already did
+    val needPersist = df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val base = if (needPersist)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else df
+    try {
+      val withSeq = base.withColumn("_ingest_seq",
+        lit(sequenceBase(base.sparkSession) + ingestSeq))
+      val rows = base.count()
+      val parts = math.max(1L, math.min(withSeq.rdd.getNumPartitions.toLong,
+        (rows + rowsPerFile - 1) / rowsPerFile)).toInt
+      val sized = if (parts < withSeq.rdd.getNumPartitions) withSeq.coalesce(parts) else withSeq
+      val out = partCol(base) match {
+        case Some(p) => sized.withColumn("_part", p)
+        case None => sized
+      }
+      // point-lookup columns get parquet bloom filters — the skipping-index
+      // analog (examples/ethereum_logs/create_table.sql:15-20)
+      val writer = bloomFilterCols.foldLeft(out.write.mode("append")) { (w, c) =>
+        w.option(s"parquet.bloom.filter.enabled#$c", "true")
+      }
+      (if (out.columns.contains("_part")) writer.partitionBy("_part") else writer)
+        .parquet(path)
+    } finally if (needPersist) base.unpersist(blocking = false)
   }
 
   def exists(spark: SparkSession): Boolean =

@@ -151,6 +151,23 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ivf seed selection is a bounded plan, never a full-corpus collect") {
+    import spark.implicits._
+    val corpus = spark.range(0, 1000)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(3)),
+          i => (col("id") + i).cast("float")).as("embedding"))
+    val plan = Similarity.seedFrame(corpus, 8, "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    // orderBy+limit must compile to a top-K (per-partition K, K-row
+    // merge) — the driver receives K rows, not the corpus
+    assert(plan.contains("TakeOrderedAndProject") || plan.contains("GlobalLimit"), plan)
+    // the exact-cosine baseline refuses oversized corpora outright
+    intercept[IllegalArgumentException] {
+      Similarity.cosineDupPairs(corpus, 0.9, maxRows = 100)
+    }
+  }
+
   test("salted join equals the plain join and shuffles on (key, salt)") {
     import spark.implicits._
     val large = spark.range(0, 10000).toDF("k")

@@ -122,7 +122,7 @@ class PipelinePropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     val r = PipelineRunner.run(spark, d,
       Config(maxBatchSize = 4, followTip = true, tipPollIntervalMs = 10,
-        stopAfterBatches = Some(20)))
+        stopAfterBatches = Some(20), maxIdlePolls = 2))
     val covered = sink.commits.toArray(Array.empty[(Long, Long, Long)])
       .flatMap { case (_, s, e) => s to e }.toSet
     assert(covered.min == 0L)
