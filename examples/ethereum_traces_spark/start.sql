@@ -1,0 +1,3 @@
+-- reference examples/ethereum_traces/start.sql:1-3
+select max(block_number) + 1 as start
+from sink

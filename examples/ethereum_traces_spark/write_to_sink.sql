@@ -1,0 +1,3 @@
+-- reference examples/ethereum_traces/write_to_sink.sql:1-2
+insert into sink
+select * from buffer_{{.START}}_{{.END}}

@@ -16,7 +16,11 @@ object FakeChain {
 
   def fromUrl(url: String): FakeChain = {
     val tip = "tip=(\\d+)".r.findFirstMatchIn(url).map(_.group(1).toLong).getOrElse(1000L)
-    new FakeChain(tip)
+    // block spacing in seconds (default mainnet-ish 12s); raise it (e.g.
+    // blocktime=14400) to make a short chain span several DAYS, which the
+    // daily-export pipelines need
+    val bt = "blocktime=(\\d+)".r.findFirstMatchIn(url).map(_.group(1).toLong).getOrElse(12L)
+    new FakeChain(tip, bt)
   }
 
   def addr(tag: String): Array[Byte] = Keccak256.hash(tag).take(20)
@@ -39,8 +43,10 @@ object FakeChain {
     else BigInt(n) * 1000000000L + i
 }
 
-final class FakeChain(tip: Long) extends Rpc.Transport {
+final class FakeChain(tip: Long, blockTime: Long = 12L) extends Rpc.Transport {
   import FakeChain._
+
+  private def ts(n: Long): Long = 1700000000L + blockTime * n
 
   def call(method: String, params: List[Any]): String = method match {
     case "eth_getBlockByNumber" =>
@@ -71,7 +77,7 @@ final class FakeChain(tip: Long) extends Rpc.Transport {
 
   private def blockDoc(n: Long, full: Boolean): Map[String, Any] = {
     val base = Map[String, Any](
-      "timestamp" -> q(timestampOf(n)),
+      "timestamp" -> q(ts(n)),
       "baseFeePerGas" -> q(1000000000L + n),
       "blobGasUsed" -> q(0L),
       "difficulty" -> q(0L),

@@ -293,7 +293,11 @@ object DerivedPipelines {
     }
 
     def transform(spark: SparkSession, batch: Batch): DataFrame =
-      source.read(spark)
+      // batch offsets are epoch days → prune the source scan to the
+      // yyyyMM `_part` partitions covering them; without this every
+      // 1-day batch re-lists and row-group-scans the ENTIRE table
+      source.readPruned(spark,
+          Some(source.monthsOfDayRange(batch.start, batch.end)))
         .withColumn("date", to_date(col("timestamp")))
         .filter(datediff(col("date"), lit("1970-01-01")).between(batch.start, batch.end))
 

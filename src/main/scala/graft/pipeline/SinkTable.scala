@@ -88,13 +88,36 @@ final case class SinkTable(
   def readRaw(spark: SparkSession): DataFrame = spark.read.parquet(path)
 
   /** Dedup-on-read view: latest `_ingest_seq` wins per order key. */
-  def read(spark: SparkSession): DataFrame = {
+  def read(spark: SparkSession): DataFrame = readPruned(spark, None)
+
+  /** Dedup-on-read restricted to the given `_part` (yyyyMM) partitions —
+    * the filter lands BEFORE the dedup window, so it is a real partition-
+    * pruning predicate on the parquet scan (a post-window filter on a
+    * non-key column cannot push through row_number). Dedup then runs
+    * partition-local, which matches ReplacingMergeTree: ClickHouse merges
+    * (and therefore replaces) only within a partition too. No-op when the
+    * sink was written without a partition column. */
+  def readPruned(spark: SparkSession, parts: Option[Seq[String]]): DataFrame = {
+    val raw0 = readRaw(spark)
+    val raw = parts match {
+      case Some(ps) if raw0.columns.contains("_part") =>
+        raw0.filter(col("_part").isin(ps: _*))
+      case _ => raw0
+    }
     val w = Window.partitionBy(orderKeys.map(col): _*)
       .orderBy(col("_ingest_seq").desc)
-    readRaw(spark)
-      .withColumn("_rn", row_number().over(w))
+    raw.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .drop("_rn", "_ingest_seq", "_part")
+  }
+
+  /** yyyyMM strings covering an epoch-day range — the `_part` values a
+    * day-batched export needs (PARTITION pruning input). */
+  def monthsOfDayRange(startDay: Long, endDay: Long): Seq[String] = {
+    val s = java.time.LocalDate.ofEpochDay(startDay).withDayOfMonth(1)
+    val e = java.time.LocalDate.ofEpochDay(endDay)
+    Iterator.iterate(s)(_.plusMonths(1)).takeWhile(!_.isAfter(e))
+      .map(d => f"${d.getYear}%04d${d.getMonthValue}%02d").toSeq
   }
 
   /** Resume probe: max(keyCol) over the sink, None when absent/empty —

@@ -30,8 +30,15 @@ import scala.jdk.CollectionConverters._
   */
 object SqlPipeline {
 
-  final case class SinkSpec(path: String, keys: Seq[String], version: Option[String]) {
+  /** mode "replacing" (default): ReplacingMergeTree-style SinkTable.
+    * mode "daily_parquet": partitioned parquet export (the reference's
+    * *_to_daily_parquet_file family — `insert into s3(… date={_partition_id}
+    * …) partition by toDate(timestamp)`); batch offsets are epoch days and
+    * commit writes the buffer partitioned by `partitionCol`. */
+  final case class SinkSpec(path: String, keys: Seq[String], version: Option[String],
+      mode: String = "replacing", partitionCol: String = "date") {
     def table: SinkTable = SinkTable(path, keys, version)
+    def isExport: Boolean = mode == "daily_parquet"
   }
 
   private def yamlSection(yamlText: String, key: String): Map[String, String] = {
@@ -53,11 +60,17 @@ object SqlPipeline {
       .orElse(fromVars("SINK_PATH"))
       .getOrElse(throw new IllegalArgumentException(
         "sink path missing: add a Sink.Path yaml entry or a SINK_PATH var"))
-    val keys = sink.get("Keys").map(_.split(",").map(_.trim).toSeq)
-      .orElse(fromVars("SINK_KEYS").map(_.split(",").map(_.trim).toSeq))
+    val keys = sink.get("Keys").map(Templates.render(_, vars))
+      .orElse(fromVars("SINK_KEYS"))
+      .map(_.split(",").map(_.trim).toSeq)
       .getOrElse(Seq("number"))
-    val version = sink.get("VersionColumn").orElse(fromVars("SINK_VERSION"))
-    SinkSpec(path, keys, version)
+    val version = sink.get("VersionColumn").map(Templates.render(_, vars))
+      .orElse(fromVars("SINK_VERSION"))
+    val mode = sink.get("Mode").map(_.trim.toLowerCase.replace("-", "_"))
+      .map { case "dailyparquet" => "daily_parquet"; case m => m }
+      .getOrElse("replacing")
+    val partCol = sink.get("PartitionColumn").getOrElse("date")
+    SinkSpec(path, keys, version, mode, partCol)
   }
 
   /** Optional `Source:` yaml section — an upstream sink exposed to every
@@ -67,8 +80,9 @@ object SqlPipeline {
     val src = yamlSection(yamlText, "Source")
     src.get("Path").map(Templates.render(_, vars)).map { path =>
       SinkSpec(path,
-        src.get("Keys").map(_.split(",").map(_.trim).toSeq).getOrElse(Seq("number")),
-        src.get("VersionColumn"))
+        src.get("Keys").map(Templates.render(_, vars))
+          .map(_.split(",").map(_.trim).toSeq).getOrElse(Seq("number")),
+        src.get("VersionColumn").map(Templates.render(_, vars)))
     }
   }
 
@@ -103,7 +117,8 @@ object SqlPipeline {
       java.nio.file.Paths.get(dir, "pipeline.yaml"))
     val config = PipelineConfig.parse(yamlText)
     val templates = Templates.loadDir(dir)
-    val sinkTab = sinkSpec(yamlText, vars).table
+    val spec = sinkSpec(yamlText, vars)
+    val sinkTab = spec.table
     val sourceTab = sourceSpec(yamlText, vars).map(_.table)
 
     def rendered(name: String, batchVars: Map[String, String] = Map.empty): String =
@@ -124,12 +139,37 @@ object SqlPipeline {
     new PipelineRunner.Definition {
       val sink: SinkTable = sinkTab
 
-      private def registerSource(spark: SparkSession): Unit =
-        sourceTab.foreach(s => s.read(spark).createOrReplaceTempView("source"))
+      /** For export mode, prune the source view to the `_part` (yyyyMM)
+        * partitions covering the batch's epoch-day range — every 1-day
+        * batch would otherwise scan the ENTIRE upstream sink. */
+      private def registerSource(spark: SparkSession,
+          batch: Option[PipelineRunner.Batch] = None): Unit =
+        sourceTab.foreach { s =>
+          val pruned = batch.filter(_ => spec.isExport).map(b =>
+            s.readPruned(spark, Some(s.monthsOfDayRange(b.start, b.end))))
+          pruned.getOrElse(s.read(spark)).createOrReplaceTempView("source")
+        }
+
+      /** Export target as a probe-able `target` view (the reference's
+        * s3-listing start.sql); empty stub when nothing is exported yet. */
+      private def registerTarget(spark: SparkSession): Unit = {
+        val fs = new org.apache.hadoop.fs.Path(spec.path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val df =
+          if (fs.exists(new org.apache.hadoop.fs.Path(spec.path)))
+            spark.read.parquet(spec.path)
+          else spark.range(0).selectExpr(s"cast(null as date) as ${spec.partitionCol}")
+        df.createOrReplaceTempView("target")
+      }
 
       def resume(spark: SparkSession): Option[Long] = {
-        if (!sink.exists(spark)) return None
-        sink.read(spark).createOrReplaceTempView("sink")
+        if (spec.isExport) {
+          registerSource(spark)
+          registerTarget(spark)
+        } else {
+          if (!sink.exists(spark)) return None
+          sink.read(spark).createOrReplaceTempView("sink")
+        }
         scalarLong(spark, stripLeading(rendered("start.sql")))
       }
 
@@ -140,7 +180,7 @@ object SqlPipeline {
       }
 
       def transform(spark: SparkSession, batch: PipelineRunner.Batch): DataFrame = {
-        registerSource(spark)
+        registerSource(spark, Some(batch))
         var buffer: Option[DataFrame] = None
         transformFiles.foreach { f =>
           stripLeading(rendered(f, batchVars(batch))) match {
@@ -157,6 +197,14 @@ object SqlPipeline {
       }
 
       def commit(spark: SparkSession, batch: PipelineRunner.Batch, df: DataFrame): Unit = {
+        if (spec.isExport) {
+          // one directory per partition value, appended in batch order —
+          // the `partition by toDate(timestamp)` s3 insert of the
+          // reference's daily-export transform.sql
+          df.repartition(org.apache.spark.sql.functions.col(spec.partitionCol))
+            .write.mode("append").partitionBy(spec.partitionCol).parquet(spec.path)
+          return
+        }
         // re-register over the PERSISTED buffer so commit SQL reads the
         // materialized batch, not a recomputation
         transformFiles.foreach { f =>

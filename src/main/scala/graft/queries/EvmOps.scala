@@ -17,6 +17,19 @@ object EvmOps extends QueryPack {
   private val endpoint = "fake://chain?tip=20#fail-on-error=true&fail-on-null=true"
   private def batch021 = Batch(0, 0, 20)
 
+  private def exampleDir(name: String): String = {
+    val local = new java.io.File(s"examples/$name")
+    if (local.isDirectory) local.getPath else s"/root/repo/examples/$name"
+  }
+
+  private def registerFns(s: SparkSession): Unit = {
+    graft.functions.EvmFunctions.registerAll(s)
+    graft.functions.HexExpressions.registerAll(s)
+  }
+
+  private def tmpSink(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-q-$tag").resolve("sink").toString
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // hex quantity codec — oracle-able against DuckDB to_hex.
     "e51_hex_codec" -> ((s, dir) => {
@@ -194,6 +207,146 @@ object EvmOps extends QueryPack {
           col("token_symbol"), col("token_decimals").cast("int").as("token_decimals"),
           graft.functions.HexExpressions.u256ToStringN(col("raw_balance")).as("raw_balance"))
         .orderBy(col("block_number"), col("wallet_hex"), col("token_hex"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Config-dir ports of the remaining reference pipelines (e63-e69):
+    // each runs a yaml+SQL-template directory via SqlPipeline (no
+    // compiled transform) and projects driver-stable columns.
+
+    // zip-explode + Dencun/OP conditional families, in template form.
+    "e63_config_transactions" -> ((s, _) => {
+      import graft.functions.HexExpressions.u256ToStringN
+      registerFns(s)
+      val path = tmpSink("cfg-txs")
+      graft.pipeline.SqlPipeline.run(s, exampleDir("ethereum_transactions_spark"),
+        Map("RPC_ENDPOINT" -> "fake://chain?tip=20", "SINK_PATH" -> path,
+          "ENABLE_DENCUN" -> "true", "ENABLE_OP_STACK" -> "true"),
+        c => c.copy(maxBatchSize = 7, workers = 2))
+      SinkTable(path, Seq("block_number", "transaction_index"), Some("timestamp"))
+        .read(s)
+        .select(col("block_number"), col("transaction_index"), col("gas"),
+          col("cumulative_gas_used"), col("status"),
+          u256ToStringN(col("value")).as("value"),
+          col("blob_gas_used"), col("is_system_tx"), col("l1_gas_used"),
+          u256ToStringN(col("deposit_nonce")).as("deposit_nonce"))
+        .orderBy(col("block_number"), col("transaction_index"))
+    }),
+
+    // chained ARRAY JOIN (receipts → logs) in template form.
+    "e64_config_logs" -> ((s, _) => {
+      registerFns(s)
+      val path = tmpSink("cfg-logs")
+      graft.pipeline.SqlPipeline.run(s, exampleDir("ethereum_logs_spark"),
+        Map("RPC_ENDPOINT" -> "fake://chain?tip=20", "SINK_PATH" -> path),
+        c => c.copy(maxBatchSize = 7, workers = 2))
+      SinkTable(path, Seq("block_number", "log_index"), Some("timestamp")).read(s)
+        .select(col("block_number"), col("log_index"),
+          evmHexEncode(col("address")).as("address_hex"),
+          size(col("topics")).as("n_topics"))
+        .orderBy(col("block_number"), col("log_index"))
+    }),
+
+    // computed-index receipts[pos+1] lookup in template form.
+    "e65_config_traces" -> ((s, _) => {
+      import graft.functions.HexExpressions.u256ToStringN
+      registerFns(s)
+      val path = tmpSink("cfg-traces")
+      graft.pipeline.SqlPipeline.run(s, exampleDir("ethereum_traces_spark"),
+        Map("RPC_ENDPOINT" -> "fake://chain?tip=20", "SINK_PATH" -> path),
+        c => c.copy(maxBatchSize = 7, workers = 2))
+      SinkTable(path, Seq("block_number", "transaction_index", "trace_address"),
+          Some("timestamp")).read(s)
+        .select(col("block_number"), col("transaction_index"), col("type"),
+          col("gas"), col("gas_used"),
+          u256ToStringN(col("value")).as("value"),
+          evmHexEncode(col("transaction_from")).as("transaction_from"),
+          col("transaction_status"))
+        .orderBy(col("block_number"), col("transaction_index"))
+    }),
+
+    // derived call-decode over a traces sink, in template form.
+    "e66_config_decoded_traces" -> ((s, _) => {
+      registerFns(s)
+      val tracesPath = tmpSink("cfg-dtr-src")
+      PipelineRunner.run(s, EthereumPipelines.traces(endpoint, tracesPath),
+        Config(maxBatchSize = 21))
+      val path = tmpSink("cfg-dtr-out")
+      graft.pipeline.SqlPipeline.run(s, exampleDir("ethereum_decoded_traces_spark"),
+        Map("SOURCE_PATH" -> tracesPath, "SINK_PATH" -> path,
+          "CALL_SIGS" -> "'function transfer(address,uint256)(bool)'"))
+      SinkTable(path,
+          Seq("to", "signature", "block_number", "transaction_index", "trace_address"),
+          Some("timestamp")).read(s)
+        .select(col("block_number"), col("transaction_index"), col("signature"),
+          get_json_object(col("outputs"), "$.arg0").as("success"),
+          get_json_object(col("inputs"), "$.arg1").as("amount"))
+        .orderBy(col("block_number"), col("transaction_index"))
+    }),
+
+    // the 5-CTE aggregate-then-RPC chain, in template form.
+    "e67_config_erc20_balances" -> ((s, _) => {
+      import graft.functions.HexExpressions.u256ToStringN
+      registerFns(s)
+      val logsPath = tmpSink("cfg-bal-src")
+      PipelineRunner.run(s, EthereumPipelines.logs(endpoint, logsPath),
+        Config(maxBatchSize = 21))
+      val path = tmpSink("cfg-bal-out")
+      graft.pipeline.SqlPipeline.run(s,
+        exampleDir("ethereum_token_erc20_balances_spark"),
+        Map("SOURCE_PATH" -> logsPath, "SINK_PATH" -> path,
+          "RPC_ENDPOINT" -> endpoint))
+      SinkTable(path, Seq("wallet_address", "token_address", "block_number"),
+          Some("timestamp")).read(s)
+        .select(col("block_number"), evmHexEncode(col("wallet_address")).as("wallet_hex"),
+          evmHexEncode(col("token_address")).as("token_hex"),
+          col("token_symbol"), col("token_decimals").cast("int").as("token_decimals"),
+          u256ToStringN(col("raw_balance")).as("raw_balance"))
+        .orderBy(col("block_number"), col("wallet_hex"), col("token_hex"))
+    }),
+
+    // daily-parquet export of an events sink — COMPUTED DuckDB oracle
+    // (the only e6x whose inputs come from the sf dir, not the fake
+    // chain). Bounded to the first 10 source days so the 1-day batches
+    // stay cheap at any sf.
+    "e68_config_daily_export" -> ((s, dir) => {
+      registerFns(s)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts").as("timestamp"))
+      val minDay = ev.agg(min(to_date(col("timestamp")))).head().getDate(0)
+      val bounded = ev.filter(to_date(col("timestamp")) < date_add(lit(minDay), 10))
+      val srcPath = tmpSink("cfg-exp-src")
+      SinkTable(srcPath, Seq("event_id"), Some("timestamp")).append(bounded, 0)
+      val targetPath = tmpSink("cfg-exp-out")
+      graft.pipeline.SqlPipeline.run(s, exampleDir("table_to_daily_parquet_file_spark"),
+        Map("SOURCE_PATH" -> srcPath, "SOURCE_KEYS" -> "event_id",
+          "TARGET_PATH" -> targetPath))
+      s.read.parquet(targetPath)
+        .select(col("event_id"), col("date").cast("string").as("date"))
+        .orderBy(col("event_id"))
+    }),
+
+    // daily-parquet export of a decoded-logs sink over a slow multi-day
+    // fake chain (blocktime=14400 → 6 blocks/day).
+    "e69_config_decoded_logs_export" -> ((s, _) => {
+      registerFns(s)
+      val multi = "fake://chain?tip=20&blocktime=14400"
+      val logsPath = tmpSink("cfg-dexp-logs")
+      PipelineRunner.run(s, EthereumPipelines.logs(multi, logsPath),
+        Config(maxBatchSize = 21))
+      val decodedPath = tmpSink("cfg-dexp-dec")
+      PipelineRunner.run(s, DerivedPipelines.decodedLogs(logsPath, decodedPath,
+        DerivedPipelines.AbiDictionary.builtin), Config(maxBatchSize = 21))
+      val targetPath = tmpSink("cfg-dexp-out")
+      graft.pipeline.SqlPipeline.run(s,
+        exampleDir("decoded_logs_to_daily_parquet_file_spark"),
+        Map("SOURCE_PATH" -> decodedPath, "TARGET_PATH" -> targetPath))
+      s.read.parquet(targetPath)
+        .select(col("block_number"), col("log_index"), col("signature"),
+          get_json_object(col("inputs"), "$.arg2").as("amount"),
+          col("date").cast("string").as("date"))
+        .orderBy(col("block_number"), col("log_index"))
     })
   )
 
@@ -201,6 +354,15 @@ object EvmOps extends QueryPack {
     "e51_hex_codec" ->
       """SELECT o_orderkey, '0x' || lower(to_hex(o_orderkey)) AS hex_q,
         o_orderkey AS roundtrip
-        FROM orders ORDER BY o_orderkey"""
+        FROM orders ORDER BY o_orderkey""",
+    // the export withholds the newest day of the 10-day bounded slice
+    // (tip = yesterday), so exported days are [d0, d0+9)
+    "e68_config_daily_export" ->
+      """WITH b AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events)
+        SELECT e.event_id,
+               CAST(CAST(e.ts AS DATE) AS VARCHAR) AS date
+        FROM events e, b
+        WHERE CAST(e.ts AS DATE) < b.d0 + 9
+        ORDER BY e.event_id"""
   )
 }

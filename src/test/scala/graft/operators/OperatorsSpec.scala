@@ -101,9 +101,16 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rows = (0 until 6).map { i =>
       (java.sql.Timestamp.valueOf(s"2024-01-0${1 + i / 2} 0$i:00:00"), i.toLong, i * 1.0)
     }.toDF("timestamp", "block_number", "v")
-    val sink = SinkTable(src, Seq("block_number"))
+    val sink = SinkTable(src, Seq("block_number"), Some("timestamp"))
     sink.append(rows, 0)
     val defn = DerivedPipelines.dailyExport(src, Seq("block_number"), dst)
+    // the per-day batch reads ONLY the yyyyMM partitions covering its day
+    // range — a real PartitionFilters entry on the parquet scan, not a
+    // post-scan filter (the whole point of deriving _part from the batch)
+    val day0 = java.time.LocalDate.of(2024, 1, 1).toEpochDay
+    val plan = defn.transform(spark,
+      PipelineRunner.Batch(0, day0, day0)).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("_part"), plan)
     // tip = yesterday of max(ts) → exports days 1 and 2, withholds day 3
     val r1 = PipelineRunner.run(spark, defn, PipelineRunner.Config(maxBatchSize = 1))
     assert(r1.batches == 2)

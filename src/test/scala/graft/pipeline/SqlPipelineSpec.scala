@@ -86,6 +86,160 @@ class SqlPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count() == 0)
   }
 
+  private def dirOf(name: String): String = {
+    val local = new java.io.File(s"examples/$name")
+    if (local.isDirectory) local.getPath else s"/root/repo/examples/$name"
+  }
+
+  private def register(): Unit = {
+    graft.functions.EvmFunctions.registerAll(spark)
+    graft.functions.HexExpressions.registerAll(spark)
+  }
+
+  private def assertParity(got: org.apache.spark.sql.DataFrame,
+      expected: org.apache.spark.sql.DataFrame): Unit = {
+    assert(got.columns.toSeq == expected.columns.toSeq,
+      s"columns: ${got.columns.toSeq} vs ${expected.columns.toSeq}")
+    val cols = expected.columns.map(col).toSeq
+    assert(got.select(cols: _*).exceptAll(expected).isEmpty)
+    assert(expected.exceptAll(got.select(cols: _*)).isEmpty)
+  }
+
+  private val endpoint = "fake://chain?tip=20"
+
+  test("ethereum_logs example matches the compiled logs transform") {
+    register()
+    val sinkPath = tmp("cfg-logs")
+    val res = SqlPipeline.run(spark, dirOf("ethereum_logs_spark"),
+      Map("RPC_ENDPOINT" -> endpoint, "SINK_PATH" -> sinkPath),
+      c => c.copy(maxBatchSize = 7, workers = 2))
+    assert(res.batches == 3)
+    val got = SinkTable(sinkPath, Seq("block_number", "log_index"),
+      Some("timestamp")).read(spark)
+    assertParity(got,
+      EthereumPipelines.logsTransform(spark, PipelineRunner.Batch(0, 0, 20), endpoint))
+  }
+
+  test("ethereum_transactions example matches the compiled transform incl. conditionals") {
+    register()
+    val sinkPath = tmp("cfg-txs")
+    val vars = Map("RPC_ENDPOINT" -> endpoint, "SINK_PATH" -> sinkPath,
+      "ENABLE_DENCUN" -> "true", "ENABLE_OP_STACK" -> "true")
+    SqlPipeline.run(spark, dirOf("ethereum_transactions_spark"), vars,
+      c => c.copy(maxBatchSize = 7, workers = 2))
+    val got = SinkTable(sinkPath, Seq("block_number", "transaction_index"),
+      Some("timestamp")).read(spark)
+    assertParity(got, EthereumPipelines.transactionsTransform(spark,
+      PipelineRunner.Batch(0, 0, 20), endpoint,
+      enableDencun = true, enableOpStack = true))
+    // template conditionals gate the column families off too
+    val bare = SqlPipeline.definition(dirOf("ethereum_transactions_spark"),
+        Map("RPC_ENDPOINT" -> endpoint, "SINK_PATH" -> tmp("cfg-txs-bare")))
+      .transform(spark, PipelineRunner.Batch(0, 0, 2))
+    assert(!bare.columns.contains("max_fee_per_blob_gas"))
+    assert(!bare.columns.contains("l1_fee"))
+  }
+
+  test("ethereum_traces example matches the compiled transform (computed-index receipts)") {
+    register()
+    val sinkPath = tmp("cfg-traces")
+    SqlPipeline.run(spark, dirOf("ethereum_traces_spark"),
+      Map("RPC_ENDPOINT" -> endpoint, "SINK_PATH" -> sinkPath),
+      c => c.copy(maxBatchSize = 7, workers = 2))
+    val got = SinkTable(sinkPath,
+      Seq("block_number", "transaction_index", "trace_address"),
+      Some("timestamp")).read(spark)
+    assertParity(got,
+      EthereumPipelines.tracesTransform(spark, PipelineRunner.Batch(0, 0, 20), endpoint))
+  }
+
+  test("ethereum_decoded_traces example matches the compiled derived transform") {
+    register()
+    val tracesPath = tmp("cfg-dtr-src")
+    PipelineRunner.run(spark, EthereumPipelines.traces(endpoint, tracesPath),
+      PipelineRunner.Config(maxBatchSize = 21))
+    val sinkPath = tmp("cfg-dtr-out")
+    val res = SqlPipeline.run(spark, dirOf("ethereum_decoded_traces_spark"), Map(
+      "SOURCE_PATH" -> tracesPath,
+      "SINK_PATH" -> sinkPath,
+      "CALL_SIGS" -> "'function transfer(address,uint256)(bool)'"))
+    assert(res.items > 0)
+    val got = SinkTable(sinkPath,
+      Seq("to", "signature", "block_number", "transaction_index", "trace_address"),
+      Some("timestamp")).read(spark)
+    // the reference's q0 projects a SUBSET of trace columns
+    // (create_buffer.sql:5-25); the compiled transform keeps them all —
+    // compare on the config dir's (reference-faithful) column set
+    val expected = DerivedPipelines.decodedTracesTransform(spark,
+      PipelineRunner.Batch(0, 0, 20),
+      SinkTable(tracesPath, Seq("block_number", "transaction_index", "trace_address")),
+      DerivedPipelines.AbiDictionary.builtin)
+    val common = got.columns.filter(expected.columns.contains).toSeq
+    assertParity(got.select(common.map(col): _*), expected.select(common.map(col): _*))
+  }
+
+  test("ethereum_token_erc20_balances example matches the compiled derived transform") {
+    register()
+    val logsPath = tmp("cfg-bal-src")
+    PipelineRunner.run(spark, EthereumPipelines.logs(endpoint, logsPath),
+      PipelineRunner.Config(maxBatchSize = 21))
+    val sinkPath = tmp("cfg-bal-out")
+    val res = SqlPipeline.run(spark, dirOf("ethereum_token_erc20_balances_spark"), Map(
+      "SOURCE_PATH" -> logsPath,
+      "SINK_PATH" -> sinkPath,
+      "RPC_ENDPOINT" -> endpoint))
+    assert(res.items > 0)
+    val got = SinkTable(sinkPath,
+      Seq("wallet_address", "token_address", "block_number"),
+      Some("timestamp")).read(spark)
+    assertParity(got, DerivedPipelines.erc20BalancesTransform(spark,
+      PipelineRunner.Batch(0, 0, 20),
+      SinkTable(logsPath, Seq("block_number", "log_index")), endpoint))
+  }
+
+  test("table_to_daily_parquet_file example exports day partitions up to yesterday") {
+    register()
+    // blocktime=14400 → 6 blocks/day → 21 blocks span ~3.5 days
+    val multi = "fake://chain?tip=20&blocktime=14400"
+    val blocksPath = tmp("cfg-exp-src")
+    PipelineRunner.run(spark, EthereumPipelines.blocks(multi, blocksPath),
+      PipelineRunner.Config(maxBatchSize = 21))
+    val targetPath = tmp("cfg-exp-out")
+    val vars = Map("SOURCE_PATH" -> blocksPath, "SOURCE_KEYS" -> "number",
+      "TARGET_PATH" -> targetPath)
+    val res = SqlPipeline.run(spark, dirOf("table_to_daily_parquet_file_spark"), vars)
+    assert(res.batches > 0)
+    val out = spark.read.parquet(targetPath)
+    // everything before the newest source day is exported, nothing after
+    val src = SinkTable(blocksPath, Seq("number")).read(spark)
+      .withColumn("d", to_date(col("timestamp")))
+    val maxDay = src.agg(max(col("d"))).head().getDate(0)
+    val expected = src.filter(col("d") < lit(maxDay)).count()
+    assert(out.count() == expected && expected > 0)
+    assert(out.select(col("date")).distinct().count() >= 3)
+    // resume: nothing new to export on a second run
+    assert(SqlPipeline.run(spark, dirOf("table_to_daily_parquet_file_spark"), vars).items == 0)
+  }
+
+  test("decoded_logs_to_daily_parquet_file example exports the decoded sink") {
+    register()
+    val multi = "fake://chain?tip=20&blocktime=14400"
+    val logsPath = tmp("cfg-dexp-logs")
+    PipelineRunner.run(spark, EthereumPipelines.logs(multi, logsPath),
+      PipelineRunner.Config(maxBatchSize = 21))
+    val decodedPath = tmp("cfg-dexp-dec")
+    PipelineRunner.run(spark, DerivedPipelines.decodedLogs(logsPath, decodedPath,
+      DerivedPipelines.AbiDictionary.builtin), PipelineRunner.Config(maxBatchSize = 21))
+    val targetPath = tmp("cfg-dexp-out")
+    val res = SqlPipeline.run(spark,
+      dirOf("decoded_logs_to_daily_parquet_file_spark"),
+      Map("SOURCE_PATH" -> decodedPath, "TARGET_PATH" -> targetPath))
+    assert(res.batches > 0)
+    val out = spark.read.parquet(targetPath)
+    assert(out.count() > 0)
+    assert(out.columns.contains("inputs") && out.columns.contains("date"))
+  }
+
   test("sink spec falls back to SINK_* vars when yaml has no Sink section") {
     val spec = SqlPipeline.sinkSpec("Batcher:\n  MaxBatchSize: 5\n",
       Map("SINK_PATH" -> "/tmp/x", "SINK_KEYS" -> "a, b", "SINK_VERSION" -> "ts"))
