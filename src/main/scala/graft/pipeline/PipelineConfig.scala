@@ -33,7 +33,15 @@ final case class PipelineConfig(
 
 object PipelineConfig {
   sealed trait Step
-  final case class Stage(files: Seq[String], workers: Int) extends Step
+  /** `settings` = the reference's per-stage ClickhouseSettings
+    * (internal/pipeline/stage.go:66,88-90: applied to every query the
+    * stage runs, not to the whole pipeline). Spark-analog keys are
+    * mapped; raw spark.* keys pass through. */
+  final case class Stage(files: Seq[String], workers: Int,
+      settings: Map[String, String] = Map.empty) extends Step {
+    def sparkConf: Map[String, String] =
+      settings.filter(_._1.startsWith("spark.")) ++ toSparkConf(settings)
+  }
   case object Sequencer extends Step
 
   private val DefaultMaxBatchSize = 100L // internal/pipeline/batcher.go:18
@@ -54,7 +62,7 @@ object PipelineConfig {
     * per-query wall-clock kill switch, so `max_execution_time` stays in
     * `settings` for callers to enforce (e.g. a watchdog cancelling the
     * job group — PipelineRunner tags every batch with one). */
-  private def toSparkConf(settings: Map[String, String]): Map[String, String] =
+  private[pipeline] def toSparkConf(settings: Map[String, String]): Map[String, String] =
     settings.flatMap {
       case ("output_format_parquet_compression_method", v) =>
         Some("spark.sql.parquet.compression.codec" -> v)
@@ -101,7 +109,13 @@ object PipelineConfig {
             }
             val workers = m.get("Workers").map(w => w.toString.toInt)
               .getOrElse(DefaultWorkers)
-            Stage(files, workers)
+            val stageSettings =
+              (stage.get("ClickhouseSettings") orElse stage.get("Settings")) match {
+                case Some(sm: java.util.Map[_, _]) =>
+                  sm.asScala.map { case (k, v) => k.toString -> String.valueOf(v) }.toMap
+                case _ => Map.empty[String, String]
+              }
+            Stage(files, workers, stageSettings)
           }
         }
       case _ => Nil

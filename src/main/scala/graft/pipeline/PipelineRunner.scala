@@ -59,7 +59,24 @@ object PipelineRunner {
     def transform(spark: SparkSession, batch: Batch): DataFrame
     /** Ordered commit (write_to_sink.sql). */
     def commit(spark: SparkSession, batch: Batch, df: DataFrame): Unit
+    /** Session conf scoped around the fetch stage's transform AND its
+      * materialization — the reference's per-stage ClickhouseSettings
+      * (internal/pipeline/stage.go:66,88-90). Restored after the batch. */
+    def transformConf: Map[String, String] = Map.empty
   }
+
+  /** Apply conf pairs, run body, restore previous values. */
+  def withSessionConf[T](spark: SparkSession, conf: Map[String, String])(body: => T): T =
+    if (conf.isEmpty) body
+    else {
+      val prev = conf.keys.map(k => k -> spark.conf.getOption(k)).toMap
+      conf.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body
+      finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => try spark.conf.unset(k) catch { case _: Exception => () }
+      }
+    }
 
   /** Split [start, tip] into closed ranges of maxBatchSize
     * (internal/pipeline/batcher.go:59-91). */
@@ -150,9 +167,13 @@ object PipelineRunner {
             if (batch != null && failure.get() == null) {
               spark.sparkContext.setJobGroup(s"batch-${batch.number}",
                 s"batch ${batch.number} [${batch.start}, ${batch.end}]")
-              val df = defn.transform(spark, batch)
-                .persist(StorageLevel.MEMORY_AND_DISK)
-              df.count() // materialize the buffer before taking the commit lock
+              // per-stage settings cover transform + materialization (the
+              // cache is built here, so lazily-read confs bind in-scope)
+              val df = withSessionConf(spark, defn.transformConf) {
+                val d = defn.transform(spark, batch).persist(StorageLevel.MEMORY_AND_DISK)
+                d.count() // materialize the buffer before taking the commit lock
+                d
+              }
               if (seq.awaitTurn(batch.number)) {
                 // Record a commit failure BEFORE releasing the gate and
                 // re-check under it: otherwise a later batch could commit

@@ -111,12 +111,53 @@ object SqlPipeline {
     if (row.isNullAt(0)) None else Some(row.get(0).asInstanceOf[Number].longValue)
   }
 
+  private def isUrl(dir: String): Boolean =
+    dir.startsWith("http://") || dir.startsWith("https://")
+
+  private def fetch(url: String): String = {
+    val in = java.net.URI.create(url).toURL.openStream()
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  /** Load pipeline.yaml + templates from a local dir OR an http(s) base
+    * URL — the reference loads configs from object storage
+    * (cmd/main.go:25 OBJSTR context, cmd/pipeline/pipeline.go:63-69).
+    * HTTP cannot list, so the template set is the yaml's own file
+    * references (stage files + Init.Setup) plus the standard probes —
+    * exactly the files the runtime ever renders. */
+  def loadPipeline(dir: String): (String, Map[String, String]) =
+    if (isUrl(dir)) {
+      val base = dir.stripSuffix("/")
+      val yamlText = fetch(s"$base/pipeline.yaml")
+      val config = PipelineConfig.parse(yamlText)
+      val names = (config.steps.collect { case s: PipelineConfig.Stage => s.files }
+        .flatten ++ config.setupFiles ++ Seq("start.sql", "tip.sql")).distinct
+      val templates = names.flatMap { n =>
+        try Some(n -> fetch(s"$base/$n"))
+        catch { case _: java.io.FileNotFoundException => None }
+      }.toMap
+      (yamlText, templates)
+    } else {
+      (java.nio.file.Files.readString(java.nio.file.Paths.get(dir, "pipeline.yaml")),
+        Templates.loadDir(dir))
+    }
+
+  /** Per-stage settings scope — the reference's ClickhouseSettings
+    * (stage.go:88-90). The runner ALSO wraps transform+materialization
+    * via Definition.transformConf, so lazily-planned batch execution
+    * binds the stage conf; this wrapper covers direct statement
+    * execution (commit stage inserts, ad-hoc transform calls). Spark
+    * session conf is global, so stages running CONCURRENTLY with
+    * conflicting settings are a caller error, same as two ClickHouse
+    * contexts fighting over one session would be. */
+  private def withConf[T](spark: SparkSession, conf: Map[String, String])(body: => T): T =
+    PipelineRunner.withSessionConf(spark, conf)(body)
+
   /** Build a PipelineRunner.Definition from a pipeline directory. */
   def definition(dir: String, vars: Map[String, String]): PipelineRunner.Definition = {
-    val yamlText = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(dir, "pipeline.yaml"))
+    val (yamlText, templates) = loadPipeline(dir)
     val config = PipelineConfig.parse(yamlText)
-    val templates = Templates.loadDir(dir)
     val spec = sinkSpec(yamlText, vars)
     val sinkTab = spec.table
     val sourceTab = sourceSpec(yamlText, vars).map(_.table)
@@ -128,8 +169,9 @@ object SqlPipeline {
         vars ++ batchVars)
 
     val stages = config.steps.collect { case s: PipelineConfig.Stage => s }
-    val transformFiles = stages.headOption.map(_.files).getOrElse(Nil)
-    val commitFiles = stages.drop(1).flatMap(_.files)
+    val transformStage = stages.headOption
+    val transformFiles = transformStage.map(_.files).getOrElse(Nil)
+    val commitStages = stages.drop(1)
 
     def batchVars(b: PipelineRunner.Batch) = Map(
       "START" -> b.start.toString,
@@ -138,6 +180,9 @@ object SqlPipeline {
 
     new PipelineRunner.Definition {
       val sink: SinkTable = sinkTab
+
+      override def transformConf: Map[String, String] =
+        transformStage.map(_.sparkConf).getOrElse(Map.empty)
 
       /** For export mode, prune the source view to the `_part` (yyyyMM)
         * partitions covering the batch's epoch-day range — every 1-day
@@ -179,22 +224,27 @@ object SqlPipeline {
           .getOrElse(throw new IllegalStateException("tip.sql returned null"))
       }
 
-      def transform(spark: SparkSession, batch: PipelineRunner.Batch): DataFrame = {
-        registerSource(spark, Some(batch))
-        var buffer: Option[DataFrame] = None
-        transformFiles.foreach { f =>
-          stripLeading(rendered(f, batchVars(batch))) match {
-            case createBufferRe(name, select) =>
-              val df = spark.sql(unwrap(select))
-              df.createOrReplaceTempView(name)
-              buffer = Some(df)
-            case sql =>
-              buffer = Some(spark.sql(sql))
+      def transform(spark: SparkSession, batch: PipelineRunner.Batch): DataFrame =
+        withConf(spark, transformStage.map(_.sparkConf).getOrElse(Map.empty)) {
+          registerSource(spark, Some(batch))
+          var buffer: Option[DataFrame] = None
+          transformFiles.foreach { f =>
+            stripLeading(rendered(f, batchVars(batch))) match {
+              case createBufferRe(name, select) =>
+                val df = spark.sql(unwrap(select))
+                df.createOrReplaceTempView(name)
+                buffer = Some(df)
+              case sql =>
+                buffer = Some(spark.sql(sql))
+            }
           }
+          val out = buffer.getOrElse(throw new IllegalArgumentException(
+            s"stage files $transformFiles produced no buffer SELECT"))
+          // pin the physical plan while the stage settings are in force —
+          // lazily planning it later would read the restored conf
+          out.queryExecution.executedPlan
+          out
         }
-        buffer.getOrElse(throw new IllegalArgumentException(
-          s"stage files $transformFiles produced no buffer SELECT"))
-      }
 
       def commit(spark: SparkSession, batch: PipelineRunner.Batch, df: DataFrame): Unit = {
         if (spec.isExport) {
@@ -213,27 +263,32 @@ object SqlPipeline {
             case _ => ()
           }
         }
-        commitFiles.foreach { f =>
-          stripLeading(rendered(f, batchVars(batch))) match {
-            case insertSinkRe(select) =>
-              sink.append(spark.sql(unwrap(select)), batch.number)
-            case dropRe(name) =>
-              spark.catalog.dropTempView(name); ()
-            case sql =>
-              spark.sql(sql); ()
+        commitStages.foreach { stage =>
+          withConf(spark, stage.sparkConf) {
+            stage.files.foreach { f =>
+              stripLeading(rendered(f, batchVars(batch))) match {
+                case insertSinkRe(select) =>
+                  sink.append(spark.sql(unwrap(select)), batch.number)
+                case dropRe(name) =>
+                  spark.catalog.dropTempView(name); ()
+                case sql =>
+                  spark.sql(sql); ()
+              }
+            }
           }
         }
       }
     }
   }
 
-  /** Load + run a pipeline directory end-to-end (setup files first). */
+  /** Load + run a pipeline directory (or http(s) base URL) end-to-end
+    * (setup files first). */
   def run(spark: SparkSession, dir: String, vars: Map[String, String],
       overrides: PipelineRunner.Config => PipelineRunner.Config = identity)
       : PipelineRunner.Result = {
-    val config = PipelineConfig.load(s"$dir/pipeline.yaml")
+    val (yamlText, templates) = loadPipeline(dir)
+    val config = PipelineConfig.parse(yamlText)
     config.sparkConf.foreach { case (k, v) => spark.conf.set(k, v) }
-    val templates = Templates.loadDir(dir)
     config.setupFiles.foreach { f =>
       templates.get(f).foreach(t => spark.sql(Templates.render(t, vars)))
     }

@@ -240,6 +240,76 @@ class SqlPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.columns.contains("inputs") && out.columns.contains("date"))
   }
 
+  test("pipeline config loads from an http URL (reference OBJSTR loading)") {
+    register()
+    // serve the blocks example dir over HTTP; the loader fetches
+    // pipeline.yaml, derives the template set from it, fetches each
+    val dirFile = new java.io.File(exampleDir)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(0), 0)
+    server.createContext("/pipe/", { exchange =>
+      val name = exchange.getRequestURI.getPath.stripPrefix("/pipe/")
+      val f = new java.io.File(dirFile, name)
+      if (f.isFile) {
+        val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+        exchange.sendResponseHeaders(200, bytes.length)
+        exchange.getResponseBody.write(bytes)
+      } else exchange.sendResponseHeaders(404, -1)
+      exchange.close()
+    })
+    server.start()
+    try {
+      val url = s"http://localhost:${server.getAddress.getPort}/pipe"
+      val sinkPath = tmp("url-blocks")
+      val res = SqlPipeline.run(spark, url,
+        Map("RPC_ENDPOINT" -> "fake://chain?tip=20", "SINK_PATH" -> sinkPath),
+        c => c.copy(maxBatchSize = 7, workers = 2))
+      assert(res.items == 21)
+      assert(SinkTable(sinkPath, Seq("number"), Some("timestamp"))
+        .read(spark).count() == 21)
+    } finally server.stop(0)
+  }
+
+  test("per-stage settings apply during the stage and restore after") {
+    register()
+    val dir = java.nio.file.Files.createTempDirectory("graft-stageconf")
+    def write(name: String, text: String): Unit =
+      java.nio.file.Files.writeString(dir.resolve(name), text)
+    write("pipeline.yaml",
+      """Batcher:
+        |  MaxBatchSize: 10
+        |Sink:
+        |  Path: "{{.SINK_PATH}}"
+        |  Keys: n
+        |Steps:
+        |  - Stage:
+        |      Files:
+        |        - create_buffer.sql
+        |      ClickhouseSettings:
+        |        spark.sql.session.timeZone: UTC+05:00
+        |  - Sequencer: {}
+        |  - Stage:
+        |      Files:
+        |        - write_to_sink.sql
+        |""".stripMargin)
+    write("create_buffer.sql",
+      """create temporary table buffer_{{.START}}_{{.END}} as (
+        |  select id as n, current_timezone() as tz
+        |  from range({{.START}}, {{.END}} + 1))""".stripMargin)
+    write("write_to_sink.sql", "insert into sink select * from buffer_{{.START}}_{{.END}}")
+    write("start.sql", "select max(n) + 1 as start from sink")
+    write("tip.sql", "select 4 as tip")
+    val before = spark.conf.get("spark.sql.session.timeZone")
+    val sinkPath = tmp("stageconf")
+    SqlPipeline.run(spark, dir.toString, Map("SINK_PATH" -> sinkPath))
+    // the stage's statements ran (and were planned) under the scoped
+    // setting; the session value is restored afterwards
+    val got = SinkTable(sinkPath, Seq("n")).read(spark)
+    assert(got.count() == 5)
+    assert(got.filter(col("tz") === "UTC+05:00").count() == 5)
+    assert(spark.conf.get("spark.sql.session.timeZone") == before)
+  }
+
   test("sink spec falls back to SINK_* vars when yaml has no Sink section") {
     val spec = SqlPipeline.sinkSpec("Batcher:\n  MaxBatchSize: 5\n",
       Map("SINK_PATH" -> "/tmp/x", "SINK_KEYS" -> "a, b", "SINK_VERSION" -> "ts"))
