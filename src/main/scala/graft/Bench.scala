@@ -65,11 +65,14 @@ object Bench {
     // multi-batch commit barriers; running six of them at once smears
     // every lane timing (round-2: 10-20s lane vs 1-2s isolated), so they
     // get a dedicated 2-wide pool while pure queries share the rest.
-    val lanes = sys.env.getOrElse("SPARK_GRAFT_BENCH_LANES", "6").toInt
+    val lanes = sys.env.getOrElse("SPARK_GRAFT_BENCH_LANES", "8").toInt
     val pipelineQueries = Set("e56_blocks_pipeline", "e59_erc20_balances",
       "e60_decoded_logs_variant", "e61_config_pipeline", "e62_config_derived",
+      "e63_config_transactions", "e64_config_logs", "e65_config_traces",
+      "e66_config_decoded_traces", "e67_config_erc20_balances",
+      "e68_config_daily_export", "e69_config_decoded_logs_export",
       "st63_tip_catchup")
-    val pipeLanes = math.min(2, lanes - 1)
+    val pipeLanes = math.min(3, lanes - 1)
     val wall0 = System.nanoTime()
     val pipePool = java.util.concurrent.Executors.newFixedThreadPool(pipeLanes)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(

@@ -282,17 +282,27 @@ object SqlPipeline {
   }
 
   /** Load + run a pipeline directory (or http(s) base URL) end-to-end
-    * (setup files first). */
+    * (setup files first).
+    *
+    * Runs in its OWN child session (`spark.newSession()`: shared
+    * SparkContext + cache, isolated temp views and conf) so concurrent
+    * pipelines can't collide on the `source`/`buffer_N_M` view names or
+    * on scoped per-stage settings — the Spark analog of the reference
+    * giving every pipeline its own ClickHouse connection context. */
   def run(spark: SparkSession, dir: String, vars: Map[String, String],
       overrides: PipelineRunner.Config => PipelineRunner.Config = identity)
       : PipelineRunner.Result = {
+    val session = spark.newSession()
+    // function registrations are session-state; re-register in the child
+    graft.functions.EvmFunctions.registerAll(session)
+    graft.functions.HexExpressions.registerAll(session)
     val (yamlText, templates) = loadPipeline(dir)
     val config = PipelineConfig.parse(yamlText)
-    config.sparkConf.foreach { case (k, v) => spark.conf.set(k, v) }
+    config.sparkConf.foreach { case (k, v) => session.conf.set(k, v) }
     config.setupFiles.foreach { f =>
-      templates.get(f).foreach(t => spark.sql(Templates.render(t, vars)))
+      templates.get(f).foreach(t => session.sql(Templates.render(t, vars)))
     }
-    PipelineRunner.runWithRetry(spark, definition(dir, vars),
+    PipelineRunner.runWithRetry(session, definition(dir, vars),
       overrides(config.toRunnerConfig))
   }
 }

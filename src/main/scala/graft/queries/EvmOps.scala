@@ -315,7 +315,7 @@ object EvmOps extends QueryPack {
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value"), col("ts").as("timestamp"))
       val minDay = ev.agg(min(to_date(col("timestamp")))).head().getDate(0)
-      val bounded = ev.filter(to_date(col("timestamp")) < date_add(lit(minDay), 10))
+      val bounded = ev.filter(to_date(col("timestamp")) < date_add(lit(minDay), 6))
       val srcPath = tmpSink("cfg-exp-src")
       SinkTable(srcPath, Seq("event_id"), Some("timestamp")).append(bounded, 0)
       val targetPath = tmpSink("cfg-exp-out")
@@ -355,14 +355,14 @@ object EvmOps extends QueryPack {
       """SELECT o_orderkey, '0x' || lower(to_hex(o_orderkey)) AS hex_q,
         o_orderkey AS roundtrip
         FROM orders ORDER BY o_orderkey""",
-    // the export withholds the newest day of the 10-day bounded slice
-    // (tip = yesterday), so exported days are [d0, d0+9)
+    // the export withholds the newest day of the 6-day bounded slice
+    // (tip = yesterday), so exported days are [d0, d0+5)
     "e68_config_daily_export" ->
       """WITH b AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events)
         SELECT e.event_id,
                CAST(CAST(e.ts AS DATE) AS VARCHAR) AS date
         FROM events e, b
-        WHERE CAST(e.ts AS DATE) < b.d0 + 9
+        WHERE CAST(e.ts AS DATE) < b.d0 + 5
         ORDER BY e.event_id"""
   )
 }
