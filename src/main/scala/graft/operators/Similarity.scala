@@ -331,6 +331,30 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** Symmetric int8 scalar quantization of an embedding column — the
+    * storage/bandwidth path for billion-vector corpora (4 bytes → 1 byte
+    * per dimension). scale = max|x| / 127; q_i = floor(x_i/scale + 0.5)
+    * (round-half-up — exact and identical across engines, unlike
+    * banker's rounding). Pure column expressions: codegen'd, no shuffle,
+    * deterministic — the quantized corpus is reproducible bit-for-bit.
+    * Zero vectors quantize to zeros with scale 0 (guarded division). */
+  def quantizeInt8(corpus: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val absMax = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
+    val scale = absMax / lit(127.0)
+    val q = transform(col(vecCol), x =>
+      when(scale === 0.0, lit(0L))
+        .otherwise(floor(x.cast("double") / scale + lit(0.5)))
+        .cast("int"))
+    corpus.select(col(idCol).as("vec_id"),
+      scale.as("scale"),
+      q.as("qvec"),
+      // worst-case reconstruction error — the quality signal a
+      // quantized-index builder thresholds on
+      array_max(zip_with(col(vecCol), q, (x, qi) =>
+        abs(x.cast("double") - qi.cast("double") * scale))).as("max_abs_err"))
+  }
+
   /** ANN top-k restricted to same-SRP-bucket candidates (the scale path;
     * recall < 1 by design, traded for a bucket-local join). */
   def knnLsh(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,

@@ -77,6 +77,70 @@ object TextAnalysis {
           .otherwise("test"))
   }
 
+  /** Uniform hash in [0, 1): the first 52 bits (13 hex digits) of
+    * md5(seed + ":" + id), divided by 2^52. Every step is exact in
+    * IEEE754 doubles, so the value is bit-identical across runs,
+    * engines, and cluster sizes — the property random() lacks. */
+  def hashUniform(id: Column, seed: Long = 42L): Column =
+    conv(substring(md5(concat(lit(seed.toString), lit(":"), id.cast("string"))), 1, 13),
+      16, 10).cast("long").cast("double") / lit(4503599627370496.0) // 2^52
+
+  /** Deterministic stratified sampling — the dataset-mixing primitive:
+    * keep a row iff hashUniform(id) < rate(stratum). Per-stratum rates
+    * compile to a when-chain (a broadcast lookup in expression form), so
+    * the operator is a pure filter: no shuffle, full codegen, prunes at
+    * the scan when combined with partition columns. Re-weighting a mix
+    * = re-running with new rates; membership for unchanged rates is
+    * stable because the hash ignores everything but (seed, id). */
+  def stratifiedSample(docs: DataFrame, idCol: String, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double = 0.0,
+      seed: Long = 42L): DataFrame = {
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
+      case (acc, (stratum, r)) => when(col(strataCol) === stratum, lit(r)).otherwise(acc)
+    }
+    docs.filter(hashUniform(col(idCol), seed) < rate)
+  }
+
+  /** Sequence packing — the standard pretraining layout: documents are
+    * concatenated in id order and the token stream is cut every
+    * `capacity` tokens; each document reports the context-window chunk
+    * its FIRST token lands in plus its offset there.
+    *
+    * Distributed prefix sum, not a global window: a single
+    * `Window.orderBy(id)` would collapse 100 TB onto one partition.
+    * Instead ids are range-bucketed; the running sum is (cumsum within
+    * bucket) + (offset of the bucket), where the bucket offsets come
+    * from a P-row aggregate — the only global step is a window over
+    * those P rows. */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      capacity: Int, buckets: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val maxId = docs.agg(max(col(idCol))).head().getLong(0)
+    val span = math.max(1L, maxId / buckets + 1)
+    val base = docs.select(col(idCol).as("doc_id"),
+        size(tokens(col(textCol))).as("n_tokens"))
+      .withColumn("pbucket", floor(col("doc_id") / lit(span)))
+    val inBucket = Window.partitionBy(col("pbucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bucketTotals = base.groupBy(col("pbucket"))
+      .agg(sum(col("n_tokens")).as("bucket_tokens"))
+    val bucketOffsets = bucketTotals.withColumn("bucket_offset",
+      coalesce(sum(col("bucket_tokens")).over(
+        Window.orderBy(col("pbucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    base
+      .withColumn("cum_in_bucket", sum(col("n_tokens")).over(inBucket))
+      .join(broadcast(bucketOffsets.select(col("pbucket"), col("bucket_offset"))),
+        Seq("pbucket"))
+      .withColumn("start_token",
+        col("bucket_offset") + col("cum_in_bucket") - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("start_token"),
+        // `div` = exact integer division (a double `/` would round at
+        // token offsets beyond 2^53)
+        expr(s"start_token div $capacity").as("chunk_id"),
+        pmod(col("start_token"), lit(capacity.toLong)).as("chunk_offset"))
+  }
+
   /** Content-defined document fingerprint: md5 over the sorted distinct
     * token set — stable under token reordering, engine-portable. */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -64,6 +64,18 @@ object SimilarityOps extends QueryPack {
       val emb = t(s, dir, "embeddings")
       Similarity.ivfSearch(emb, emb.filter($"vec_id" < 10), k = 5)
         .orderBy($"qid", $"rank")
+    }),
+
+    // int8 scalar quantization (4 bytes → 1 byte per dim): codegen'd
+    // column expressions, deterministic round-half-up, replayed exactly
+    // by the oracle. qvec serialized to a scalar for the comparator.
+    "s47_quantize_int8" -> ((s, dir) => {
+      import s.implicits._
+      Similarity.quantizeInt8(t(s, dir, "embeddings"))
+        .select($"vec_id", $"scale",
+          array_join(transform($"qvec", x => x.cast("string")), ",").as("q_str"),
+          $"max_abs_err")
+        .orderBy($"vec_id")
     })
   )
 
@@ -176,6 +188,22 @@ object SimilarityOps extends QueryPack {
         ranked AS (SELECT *, row_number() OVER
           (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rank FROM scored)
         SELECT qid, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
-        ORDER BY qid, rank"""
+        ORDER BY qid, rank""",
+    // scale = max|x|/127; q_i = floor(x/scale + 0.5) — every op a single
+    // exact double step, so values are bit-identical across engines
+    "s47_quantize_int8" ->
+      """WITH q AS (SELECT vec_id, embedding,
+          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+          FROM embeddings)
+        SELECT vec_id, scale,
+          array_to_string(list_transform(embedding, x ->
+            CAST(CASE WHEN scale = 0 THEN 0
+                 ELSE floor(CAST(x AS DOUBLE) / scale + 0.5) END AS INTEGER)), ',') AS q_str,
+          list_max(list_transform(embedding, x ->
+            abs(CAST(x AS DOUBLE) -
+              CAST(CASE WHEN scale = 0 THEN 0
+                   ELSE floor(CAST(x AS DOUBLE) / scale + 0.5) END AS INTEGER) * scale)))
+            AS max_abs_err
+        FROM q ORDER BY vec_id"""
   )
 }

@@ -128,6 +128,24 @@ object TextOps extends QueryPack {
       import s.implicits._
       TextAnalysis.deterministicSplit(t(s, dir, "documents"), "doc_id")
         .orderBy($"doc_id")
+    }),
+
+    // dataset mixing: per-language sampling rates, membership a pure
+    // function of (seed, id) — stable across runs/engines/cluster sizes.
+    "t44_stratified_sample" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.stratifiedSample(t(s, dir, "documents"), "doc_id", "lang",
+          Map("en" -> 0.5, "de" -> 0.25, "es" -> 0.1), defaultRate = 0.05)
+        .select($"doc_id", $"lang")
+        .orderBy($"doc_id")
+    }),
+
+    // pretraining sequence packing: concat-in-id-order, cut every 512
+    // tokens; distributed prefix sum (range buckets + P-row offsets).
+    "t45_pack_sequences" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.packSequences(t(s, dir, "documents"), "doc_id", "text", 512)
+        .orderBy($"doc_id")
     })
   )
 
@@ -307,6 +325,27 @@ object TextOps extends QueryPack {
           array_to_string(list_transform(range(0, 16), i ->
             list_aggregate(list_transform(shingles,
               s -> md5(CAST(i AS VARCHAR) || ':' || s)), 'min')), ',') AS sig
-        FROM sh ORDER BY doc_id"""
+        FROM sh ORDER BY doc_id""",
+    // hashUniform = first 52 bits of md5('seed:id') / 2^52 — every step
+    // exact in doubles, so the filter replays bit-identically
+    "t44_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        WHERE CAST('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 13) AS UBIGINT)
+                / 4503599627370496.0
+              < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+                          WHEN 'es' THEN 0.1 ELSE 0.05 END
+        ORDER BY doc_id""",
+    // the oracle's single global window IS the semantic spec; the Spark
+    // side computes the same prefix sum distributed
+    "t45_pack_sequences" ->
+      """WITH n AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+          FROM documents),
+        c AS (SELECT doc_id, n_tokens,
+          CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+            - n_tokens AS BIGINT) AS start_token FROM n)
+        SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens, start_token,
+          CAST(start_token // 512 AS BIGINT) AS chunk_id,
+          CAST(start_token % 512 AS BIGINT) AS chunk_offset
+        FROM c ORDER BY doc_id"""
   )
 }

@@ -122,6 +122,29 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r2.batches == 0)
   }
 
+  test("sequence packing: distributed prefix sum equals the global-window spec") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // sparse, uneven ids so bucket boundaries are non-trivial
+    val docs = (0 until 100).map(i => (i.toLong * 7, ("tok " * (i % 13 + 1)).trim))
+      .toDF("doc_id", "text")
+    val packed = TextAnalysis.packSequences(docs, "doc_id", "text", 32, buckets = 8)
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val spec = docs.select($"doc_id", size(split($"text", " ")).as("n"))
+      .withColumn("start_spec", coalesce(sum($"n").over(w), lit(0L)))
+    val joined = packed.join(spec, "doc_id")
+    assert(joined.filter($"start_token" =!= $"start_spec").count() == 0)
+    assert(joined.filter($"chunk_id" =!= ($"start_spec" / 32).cast("long")).count() == 0)
+    // sampling membership is a pure function of (seed, id): two runs agree
+    val docs2 = docs.withColumn("lang", lit("en"))
+    val a = TextAnalysis.stratifiedSample(docs2, "doc_id", "lang", Map("en" -> 0.3))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = TextAnalysis.stratifiedSample(docs2, "doc_id", "lang", Map("en" -> 0.3))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b && a.nonEmpty && a.size < 100)
+  }
+
   test("u256: canonical binary ordering is numeric; arithmetic is mod 2^256") {
     import spark.implicits._
     val big1 = BigInt("115792089237316195423570985008687907853269984665640564039457584007913129639935") // 2^256-1
