@@ -340,19 +340,22 @@ object Similarity {
     * Zero vectors quantize to zeros with scale 0 (guarded division). */
   def quantizeInt8(corpus: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val absMax = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
-    val scale = absMax / lit(127.0)
-    val q = transform(col(vecCol), x =>
-      when(scale === 0.0, lit(0L))
-        .otherwise(floor(x.cast("double") / scale + lit(0.5)))
+    // scale materializes as its own projection FIRST: referenced inside
+    // the per-element lambdas below, an inline subexpression would be
+    // re-evaluated (array_max over the vector) for every element
+    val withScale = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+      (array_max(transform(col(vecCol), x => abs(x.cast("double")))) / lit(127.0))
+        .as("scale"))
+    val q = transform(col("v"), x =>
+      when(col("scale") === 0.0, lit(0L))
+        .otherwise(floor(x.cast("double") / col("scale") + lit(0.5)))
         .cast("int"))
-    corpus.select(col(idCol).as("vec_id"),
-      scale.as("scale"),
+    withScale.select(col("vec_id"), col("scale"),
       q.as("qvec"),
       // worst-case reconstruction error — the quality signal a
       // quantized-index builder thresholds on
-      array_max(zip_with(col(vecCol), q, (x, qi) =>
-        abs(x.cast("double") - qi.cast("double") * scale))).as("max_abs_err"))
+      array_max(zip_with(col("v"), q, (x, qi) =>
+        abs(x.cast("double") - qi.cast("double") * col("scale")))).as("max_abs_err"))
   }
 
   /** ANN top-k restricted to same-SRP-bucket candidates (the scale path;
