@@ -77,6 +77,60 @@ object TextAnalysis {
           .otherwise("test"))
   }
 
+  /** Repetition signals (the Gopher/C4 filter family, token-level):
+    * fraction of tokens covered by the single most frequent token and
+    * bigram, and the duplicate-trigram fraction. Heavily repeated
+    * boilerplate scores high on all three; the per-document work is
+    * quadratic in DISTINCT n-grams but documents are short and the whole
+    * computation is column expressions — no shuffle, no UDF. */
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = tokens(col(textCol))
+    def grams(k: Int): Column =
+      when(size(w) - (k - 1) >= 1,
+        transform(sequence(lit(1), size(w) - (k - 1)),
+          i => concat_ws(" ", (0 until k).map(off => element_at(w, i + off)): _*)))
+        .otherwise(array().cast("array<string>"))
+    def topFraction(g: Column): Column =
+      when(size(g) === 0, lit(0.0)).otherwise(
+        array_max(transform(array_distinct(g),
+          d => size(filter(g, x => x === d)))).cast("double") / size(g))
+    def dupFraction(g: Column): Column =
+      when(size(g) === 0, lit(0.0)).otherwise(
+        (size(g) - size(array_distinct(g))).cast("double") / size(g))
+    docs.select(col(idCol).as("doc_id"),
+      topFraction(w).as("top_token_fraction"),
+      topFraction(grams(2)).as("top_bigram_fraction"),
+      dupFraction(grams(3)).as("dup_trigram_fraction"))
+  }
+
+  /** Gopher-style quality gate: token-count bounds, mean-token-length
+    * bounds, stopword evidence, symbol ratio. Emits the individual
+    * boolean signals plus the combined keep flag so downstream mixes can
+    * re-weight rather than re-filter. Exact integer-ratio arithmetic —
+    * bit-stable across engines. */
+  def gopherQualityFlags(docs: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 5, maxTokens: Int = 100000,
+      minMeanLen: Double = 2.0, maxMeanLen: Double = 12.0,
+      minStopwordHits: Int = 1, maxSymbolRatio: Double = 0.1): DataFrame = {
+    val w = tokens(col(textCol))
+    val nTok = size(w)
+    val meanLen = aggregate(transform(w, x => length(x)), lit(0),
+      (acc, x) => acc + x).cast("double") / nTok
+    val stopHits = size(filter(w, x => x.isin(stopwords: _*)))
+    val symbolRatio = length(regexp_replace(col(textCol), "[^#…|<>{}]", ""))
+      .cast("double") / length(col(textCol))
+    val okTokens = nTok.between(minTokens, maxTokens)
+    val okMeanLen = meanLen.between(minMeanLen, maxMeanLen)
+    val okStop = stopHits >= minStopwordHits
+    val okSymbols = symbolRatio <= maxSymbolRatio
+    docs.select(col(idCol).as("doc_id"),
+      okTokens.as("ok_token_count"),
+      okMeanLen.as("ok_mean_token_len"),
+      okStop.as("ok_stopwords"),
+      okSymbols.as("ok_symbol_ratio"),
+      (okTokens && okMeanLen && okStop && okSymbols).as("keep"))
+  }
+
   /** Uniform hash in [0, 1): the first 52 bits (13 hex digits) of
     * md5(seed + ":" + id), divided by 2^52. Every step is exact in
     * IEEE754 doubles, so the value is bit-identical across runs,

@@ -146,6 +146,22 @@ object TextOps extends QueryPack {
       import s.implicits._
       TextAnalysis.packSequences(t(s, dir, "documents"), "doc_id", "text", 512)
         .orderBy($"doc_id")
+    }),
+
+    // Gopher/C4-style repetition signals: top-token/bigram coverage and
+    // duplicate-trigram fraction, as pure column expressions.
+    "t46_repetition" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.repetitionSignals(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy($"doc_id")
+    }),
+
+    // Gopher-style quality gate: individual boolean signals + keep flag.
+    "t47_quality_gate" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.gopherQualityFlags(t(s, dir, "documents"), "doc_id", "text",
+          minTokens = 10, maxMeanLen = 6.0)
+        .orderBy($"doc_id")
     })
   )
 
@@ -346,6 +362,43 @@ object TextOps extends QueryPack {
         SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens, start_token,
           CAST(start_token // 512 AS BIGINT) AS chunk_id,
           CAST(start_token % 512 AS BIGINT) AS chunk_offset
-        FROM c ORDER BY doc_id"""
+        FROM c ORDER BY doc_id""",
+    "t46_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        g AS (SELECT doc_id, tk,
+          list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
+            i -> tk[i] || ' ' || tk[i+1]) AS bg,
+          list_transform(range(1, greatest(len(tk) - 2, 0) + 1),
+            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS tg
+          FROM w)
+        SELECT doc_id,
+          CASE WHEN len(tk) = 0 THEN 0.0 ELSE
+            CAST(list_max(list_transform(list_distinct(tk),
+              d -> len(list_filter(tk, x -> x = d)))) AS DOUBLE) / len(tk) END
+            AS top_token_fraction,
+          CASE WHEN len(bg) = 0 THEN 0.0 ELSE
+            CAST(list_max(list_transform(list_distinct(bg),
+              d -> len(list_filter(bg, x -> x = d)))) AS DOUBLE) / len(bg) END
+            AS top_bigram_fraction,
+          CASE WHEN len(tg) = 0 THEN 0.0 ELSE
+            CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE) / len(tg) END
+            AS dup_trigram_fraction
+        FROM g ORDER BY doc_id""",
+    "t47_quality_gate" ->
+      """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
+        sig AS (SELECT doc_id,
+          len(tk) BETWEEN 10 AND 100000 AS ok_token_count,
+          CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / len(tk)
+            BETWEEN 2.0 AND 6.0 AS ok_mean_token_len,
+          len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is'))) >= 1
+            AS ok_stopwords,
+          CAST(length(regexp_replace(text, '[^#…|<>{}]', '', 'g')) AS DOUBLE)
+            / length(text) <= 0.1 AS ok_symbol_ratio
+          FROM w)
+        SELECT doc_id, ok_token_count, ok_mean_token_len, ok_stopwords,
+          ok_symbol_ratio,
+          ok_token_count AND ok_mean_token_len AND ok_stopwords
+            AND ok_symbol_ratio AS keep
+        FROM sig ORDER BY doc_id"""
   )
 }
