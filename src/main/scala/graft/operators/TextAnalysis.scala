@@ -79,28 +79,34 @@ object TextAnalysis {
 
   /** Repetition signals (the Gopher/C4 filter family, token-level):
     * fraction of tokens covered by the single most frequent token and
-    * bigram, and the duplicate-trigram fraction. Heavily repeated
-    * boilerplate scores high on all three; the per-document work is
-    * quadratic in DISTINCT n-grams but documents are short and the whole
-    * computation is column expressions — no shuffle, no UDF. */
+    * bigram, and the duplicate-trigram fraction.
+    *
+    * Shape: explode n-grams → count per (doc, gram) → per-doc
+    * max/sum/distinct — two map-side-combinable aggregations on
+    * (doc_id, gram), which is also the 100 TB shape (work is linear in
+    * corpus tokens; a per-row nested-lambda mode computation re-evaluates
+    * the gram expression per DISTINCT element and goes cubic). */
   def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = tokens(col(textCol))
-    def grams(k: Int): Column =
-      when(size(w) - (k - 1) >= 1,
-        transform(sequence(lit(1), size(w) - (k - 1)),
-          i => concat_ws(" ", (0 until k).map(off => element_at(w, i + off)): _*)))
-        .otherwise(array().cast("array<string>"))
-    def topFraction(g: Column): Column =
-      when(size(g) === 0, lit(0.0)).otherwise(
-        array_max(transform(array_distinct(g),
-          d => size(filter(g, x => x === d)))).cast("double") / size(g))
-    def dupFraction(g: Column): Column =
-      when(size(g) === 0, lit(0.0)).otherwise(
-        (size(g) - size(array_distinct(g))).cast("double") / size(g))
-    docs.select(col(idCol).as("doc_id"),
-      topFraction(w).as("top_token_fraction"),
-      topFraction(grams(2)).as("top_bigram_fraction"),
-      dupFraction(grams(3)).as("dup_trigram_fraction"))
+    def gramStats(k: Int): DataFrame =
+      docs.select(col(idCol).as("doc_id"),
+          explode(TextDedup.wordShingles(col(textCol), k)).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("top"),
+          sum(col("c")).as("n"), count(lit(1)).as("ndist"))
+    def frac(a: Column, b: Column): Column =
+      coalesce(a.cast("double") / b, lit(0.0))
+    val t1 = gramStats(1).select(col("doc_id"),
+      frac(col("top"), col("n")).as("top_token_fraction"))
+    val t2 = gramStats(2).select(col("doc_id"),
+      frac(col("top"), col("n")).as("top_bigram_fraction"))
+    val t3 = gramStats(3).select(col("doc_id"),
+      frac(col("n") - col("ndist"), col("n")).as("dup_trigram_fraction"))
+    // docs too short for a k-gram have no exploded rows → 0.0
+    docs.select(col(idCol).as("doc_id"))
+      .join(t1, Seq("doc_id"), "left").join(t2, Seq("doc_id"), "left")
+      .join(t3, Seq("doc_id"), "left")
+      .na.fill(0.0, Seq("top_token_fraction", "top_bigram_fraction",
+        "dup_trigram_fraction"))
   }
 
   /** Gopher-style quality gate: token-count bounds, mean-token-length
@@ -169,8 +175,12 @@ object TextAnalysis {
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
       capacity: Int, buckets: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val maxId = docs.agg(max(col(idCol))).head().getLong(0)
-    val span = math.max(1L, maxId / buckets + 1)
+    val maxIdRow = docs.agg(max(col(idCol).cast("long"))).head()
+    if (maxIdRow.isNullAt(0))
+      return docs.sparkSession.emptyDataFrame.select(
+        lit(0L).as("doc_id"), lit(0).as("n_tokens"), lit(0L).as("start_token"),
+        lit(0L).as("chunk_id"), lit(0L).as("chunk_offset")).limit(0)
+    val span = math.max(1L, maxIdRow.getLong(0) / buckets + 1)
     val base = docs.select(col(idCol).as("doc_id"),
         size(tokens(col(textCol))).as("n_tokens"))
       .withColumn("pbucket", floor(col("doc_id") / lit(span)))

@@ -237,8 +237,10 @@ object TextDedup {
     val candDocs = cand.select(col("doc_a").as("_cand_id"))
       .union(cand.select(col("doc_b").as("_cand_id"))).distinct()
     // prune docs BEFORE shingling: verification cost scales with the
-    // candidate set, not the corpus
-    val docsSub = docs.join(broadcast(candDocs),
+    // candidate set, not the corpus. No broadcast hint — Catalyst
+    // broadcasts small candidate sets and falls back to a shuffled semi
+    // join when the candidate list itself outgrows the driver.
+    val docsSub = docs.join(candDocs,
       col(idCol) === col("_cand_id"), "left_semi")
     val sh = shingleHashIndex(docsSub, idCol, textCol, k)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))

@@ -363,27 +363,31 @@ object TextOps extends QueryPack {
           CAST(start_token // 512 AS BIGINT) AS chunk_id,
           CAST(start_token % 512 AS BIGINT) AS chunk_offset
         FROM c ORDER BY doc_id""",
+    // same explode → count → max/sum shape as the Spark side: linear in
+    // corpus tokens (a per-row list-mode computation is quadratic+)
     "t46_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-        g AS (SELECT doc_id, tk,
-          list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
-            i -> tk[i] || ' ' || tk[i+1]) AS bg,
-          list_transform(range(1, greatest(len(tk) - 2, 0) + 1),
-            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS tg
-          FROM w)
-        SELECT doc_id,
-          CASE WHEN len(tk) = 0 THEN 0.0 ELSE
-            CAST(list_max(list_transform(list_distinct(tk),
-              d -> len(list_filter(tk, x -> x = d)))) AS DOUBLE) / len(tk) END
-            AS top_token_fraction,
-          CASE WHEN len(bg) = 0 THEN 0.0 ELSE
-            CAST(list_max(list_transform(list_distinct(bg),
-              d -> len(list_filter(bg, x -> x = d)))) AS DOUBLE) / len(bg) END
-            AS top_bigram_fraction,
-          CASE WHEN len(tg) = 0 THEN 0.0 ELSE
-            CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE) / len(tg) END
-            AS dup_trigram_fraction
-        FROM g ORDER BY doc_id""",
+        c1 AS (SELECT doc_id, g, count(*) AS c FROM (
+            SELECT doc_id, unnest(tk) AS g FROM w) GROUP BY doc_id, g),
+        s1 AS (SELECT doc_id, max(c) AS top, sum(c) AS n FROM c1 GROUP BY doc_id),
+        c2 AS (SELECT doc_id, g, count(*) AS c FROM (
+            SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk)-1,0)+1),
+              i -> tk[i] || ' ' || tk[i+1])) AS g FROM w) GROUP BY doc_id, g),
+        s2 AS (SELECT doc_id, max(c) AS top, sum(c) AS n FROM c2 GROUP BY doc_id),
+        c3 AS (SELECT doc_id, g, count(*) AS c FROM (
+            SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk)-2,0)+1),
+              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g FROM w)
+            GROUP BY doc_id, g),
+        s3 AS (SELECT doc_id, max(c) AS top, sum(c) AS n, count(*) AS ndist
+          FROM c3 GROUP BY doc_id)
+        SELECT w.doc_id,
+          COALESCE(CAST(s1.top AS DOUBLE) / s1.n, 0.0) AS top_token_fraction,
+          COALESCE(CAST(s2.top AS DOUBLE) / s2.n, 0.0) AS top_bigram_fraction,
+          COALESCE(CAST(s3.n - s3.ndist AS DOUBLE) / s3.n, 0.0) AS dup_trigram_fraction
+        FROM w LEFT JOIN s1 ON w.doc_id = s1.doc_id
+          LEFT JOIN s2 ON w.doc_id = s2.doc_id
+          LEFT JOIN s3 ON w.doc_id = s3.doc_id
+        ORDER BY w.doc_id""",
     "t47_quality_gate" ->
       """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
         sig AS (SELECT doc_id,
