@@ -140,7 +140,13 @@ object PipelineRunner {
         }
         if (batches.isEmpty) continue = false
         else {
-          runBatches(spark, defn, conf, batches)
+          // fetch-stage settings scope the WHOLE batch pass, not each
+          // batch: with workers > 1 a per-batch set/restore would strip
+          // the conf from a still-running peer (the reference avoids
+          // this with per-conn settings; Spark session conf is global)
+          withSessionConf(spark, defn.transformConf) {
+            runBatches(spark, defn, conf, batches)
+          }
           totalBatches += batches.length
           totalItems += batches.map(b => b.end - b.start + 1).sum
           from = batches.last.end + 1
@@ -167,13 +173,9 @@ object PipelineRunner {
             if (batch != null && failure.get() == null) {
               spark.sparkContext.setJobGroup(s"batch-${batch.number}",
                 s"batch ${batch.number} [${batch.start}, ${batch.end}]")
-              // per-stage settings cover transform + materialization (the
-              // cache is built here, so lazily-read confs bind in-scope)
-              val df = withSessionConf(spark, defn.transformConf) {
-                val d = defn.transform(spark, batch).persist(StorageLevel.MEMORY_AND_DISK)
-                d.count() // materialize the buffer before taking the commit lock
-                d
-              }
+              val df = defn.transform(spark, batch)
+                .persist(StorageLevel.MEMORY_AND_DISK)
+              df.count() // materialize the buffer before taking the commit lock
               if (seq.awaitTurn(batch.number)) {
                 // Record a commit failure BEFORE releasing the gate and
                 // re-check under it: otherwise a later batch could commit
