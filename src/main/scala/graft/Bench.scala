@@ -36,8 +36,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def time(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : (Double, Boolean) = {
+    def time(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        pool: String = "default"): (Double, Boolean) = {
+      // FAIR pools share the CPU equally: the many-small-jobs pipeline
+      // queries get their own pool so the heavy scan/join lanes can't
+      // starve their per-batch jobs (round-3: e56 14s lane vs 1.3s
+      // isolated under a single shared pool)
+      spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool)
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -78,9 +83,11 @@ object Bench {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.max(1, lanes - pipeLanes))
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val p = if (pipelineQueries(name)) pipePool else pool
+      val isPipe = pipelineQueries(name)
+      val p = if (isPipe) pipePool else pool
       name -> p.submit(new java.util.concurrent.Callable[(Double, Boolean)] {
-        def call(): (Double, Boolean) = time(name, fn)
+        def call(): (Double, Boolean) =
+          time(name, fn, if (isPipe) "pipe" else "default")
       })
     }.map { case (name, fut) => val (sec, ok) = fut.get(); (name, sec, ok) }
     pool.shutdown(); pipePool.shutdown()
