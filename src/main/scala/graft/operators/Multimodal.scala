@@ -57,6 +57,28 @@ object Multimodal {
       .mapPartitions(rows => rows.map(stubDecodeFeatures))
   }
 
+  case class Resized(doc_id: Long, payload: Array[Byte], n_bytes: Int,
+      orig_bytes: Int, factor: Int)
+
+  /** STUB RESIZE: a real implementation would decode, downscale
+    * (bilinear/area), and re-encode. This deterministic fake keeps every
+    * `factor`-th byte — same contract shape: payload shrinks ~1/factor,
+    * output is a pure function of the input, metadata carries both
+    * sizes. The batch iteration, schema, and partition alignment are the
+    * real thing a codec-backed version would inherit unchanged. */
+  def resize(media: DataFrame, factor: Int = 4)
+      (implicit s: SparkSession): Dataset[Resized] = {
+    import s.implicits._
+    require(factor >= 1, "resize factor must be >= 1")
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions(rows => rows.map { r =>
+        val out = new Array[Byte]((r.payload.length + factor - 1) / factor)
+        var i = 0
+        while (i < out.length) { out(i) = r.payload(i * factor); i += 1 }
+        Resized(r.doc_id, out, out.length, r.payload.length, factor)
+      })
+  }
+
   /** Frame sampling: treat the payload as fixed-size frames, emit every
     * `stride`-th one — the video keyframe-sampling shape (explodes rows,
     * so output partitioning stays aligned with input). */

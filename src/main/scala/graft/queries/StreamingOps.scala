@@ -124,6 +124,18 @@ object StreamingOps extends QueryPack {
         .toDF()
         .select(col("doc_id"), col("frame_idx"), md5(col("frame")).as("frame_hash"))
         .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    // stubbed resize (every factor-th byte): the oracle rebuilds the
+    // downsampled payload with substr and hashes it.
+    "m74_media_resize" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Multimodal.resize(
+        Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text"), factor = 4)
+        .toDF()
+        .select(col("doc_id"), col("n_bytes"), col("orig_bytes"),
+          md5(col("payload")).as("resized_hash"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -163,6 +175,14 @@ object StreamingOps extends QueryPack {
     "m71_media_meta" ->
       """SELECT doc_id, length(text) AS n_bytes, 'text/plain' AS mime,
         md5(text) AS content_hash
+        FROM documents ORDER BY doc_id""",
+    "m74_media_resize" ->
+      """SELECT doc_id,
+        CAST((length(text) + 3) // 4 AS INTEGER) AS n_bytes,
+        CAST(length(text) AS INTEGER) AS orig_bytes,
+        md5(array_to_string(list_transform(
+          range(0, (length(text) + 3) // 4), i -> substr(text, i*4 + 1, 1)), ''))
+          AS resized_hash
         FROM documents ORDER BY doc_id""",
     "st64_stream_session_window" ->
       """WITH ev AS (
