@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins Spark lacks as built-ins, expressed as compositions
+  * (the brief's preference order: compose existing operators when
+  * semantics allow — both forms below are single-shuffle and survive
+  * scale, unlike the naive theta-join formulations).
+  */
+object AsOfJoin {
+
+  /** As-of (backward) join: for every left row, the LATEST right row
+    * with rightTime <= leftTime on the same key — "the price/state as of
+    * this event". One union + one window over (keys, time): a single
+    * shuffle on the key columns, no range cross product, no skew beyond
+    * the key distribution itself.
+    *
+    * Mechanics: right rows sort BEFORE left rows at equal timestamps
+    * (side 0 < 1), so the inclusive <= matches DuckDB/kdb ASOF
+    * semantics; `last(value, ignoreNulls)` carries the most recent right
+    * values forward onto each left row.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, valueCols: Seq[String]): DataFrame = {
+    val lCols = left.columns.toSeq
+    val lTagged = left
+      .withColumn("_t", col(leftTime))
+      .withColumn("_side", lit(1))
+      .select((lCols.map(col) ++ Seq(col("_t"), col("_side")) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c))): _*)
+    val rTagged = right
+      .withColumn("_t", col(rightTime))
+      .withColumn("_side", lit(0))
+      .select((lCols.map(c => if (keys.contains(c)) col(c)
+          else lit(null).cast(left.schema(c).dataType).as(c)) ++
+        Seq(col("_t"), col("_side")) ++ valueCols.map(col)): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = valueCols.foldLeft(lTagged.unionByName(rTagged)) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("_side") === 1).drop("_t", "_side")
+  }
+
+  /** Range (interval) join: left rows whose point time falls in
+    * [start, end) of a right interval. Binned equi-join, not a theta
+    * join: each point carries ONE bin, each interval explodes to the
+    * bins it covers, the join runs on the bin key and the residual
+    * range predicate filters inside the matched bin. Work scales with
+    * points + interval-bin coverage — never |left| × |right|.
+    * Points are never duplicated (one bin per point), so no dedup pass. */
+  def rangeJoin(left: DataFrame, pointTime: String,
+      right: DataFrame, startCol: String, endCol: String,
+      binSeconds: Long = 3600): DataFrame = {
+    val lBinned = left.withColumn("_bin",
+      floor(unix_timestamp(col(pointTime)) / binSeconds))
+    val rBinned = right.withColumn("_bin",
+      explode(sequence(
+        floor(unix_timestamp(col(startCol)) / binSeconds),
+        floor(unix_timestamp(col(endCol)) / binSeconds))))
+    lBinned.join(rBinned, Seq("_bin"))
+      .filter(col(pointTime) >= col(startCol) && col(pointTime) < col(endCol))
+      .drop("_bin")
+  }
+}

@@ -111,6 +111,51 @@ object Relational2 extends QueryPack {
           array_join(array_sort(array_intersect(words, stop)), ",").as("stop_hits"),
           size(array_except(words, stop)).as("n_content_words"))
         .orderBy($"doc_id")
+    }),
+
+    // as-of join (composed: union + one keyed window — single shuffle):
+    // each event picks up the latest per-type daily stats at or before
+    // its timestamp. DuckDB's native ASOF JOIN is the oracle.
+    "q41_asof_join" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events").select($"event_id", $"event_type", $"ts")
+      val stats = t(s, dir, "events")
+        .groupBy($"event_type", date_trunc("DAY", $"ts").as("day_ts"))
+        .agg(dsum($"value").as("day_total"))
+        .select($"event_type", $"day_ts", $"day_ts".as("stat_ts"), $"day_total")
+      graft.operators.AsOfJoin.asofJoin(ev, stats, Seq("event_type"),
+          leftTime = "ts", rightTime = "day_ts",
+          valueCols = Seq("stat_ts", "day_total"))
+        .select($"event_id", $"event_type", $"stat_ts", $"day_total")
+        .orderBy($"event_id")
+    }),
+
+    // range join (binned equi-join on an hour key + residual predicate —
+    // never |points| x |intervals|): events inside each day's 06-18h
+    // working window.
+    "q42_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events").select($"event_id", $"ts")
+      val intervals = ev.select(to_date($"ts").as("d")).distinct()
+        .select(datediff($"d", lit("1970-01-01")).cast("long").as("interval_id"),
+          ($"d".cast("timestamp") + expr("INTERVAL 6 HOURS")).as("start_ts"),
+          ($"d".cast("timestamp") + expr("INTERVAL 18 HOURS")).as("end_ts"))
+      graft.operators.AsOfJoin.rangeJoin(ev, "ts", intervals, "start_ts", "end_ts")
+        .select($"event_id", $"interval_id")
+        .orderBy($"event_id")
+    }),
+
+    // KMV distinct sketch — custom typed Aggregator (bounded k-string
+    // state, mergeable partials); estimate is md5-derived and exact in
+    // doubles, so the oracle replays it to the bit (HLL could not be).
+    "q43_kmv_distinct" -> ((s, dir) => {
+      import s.implicits._
+      val kmv = graft.functions.KmvSketch.kmvDistinct(64)
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(kmv($"l_partkey".cast("string")).as("kmv_est"),
+          countDistinct($"l_partkey").as("exact_distinct"))
+        .orderBy($"l_returnflag")
     })
   )
 
@@ -169,6 +214,39 @@ object Relational2 extends QueryPack {
           ['the','a','of','and','to'])), ','), '') AS stop_hits,
         len(list_filter(list_distinct(string_split(text, ' ')),
           w -> NOT list_contains(['the','a','of','and','to'], w))) AS n_content_words
-        FROM documents ORDER BY doc_id"""
+        FROM documents ORDER BY doc_id""",
+    "q41_asof_join" ->
+      """WITH ev AS (SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
+          FROM events),
+        stats AS (SELECT event_type,
+            CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_ts,
+            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_total
+          FROM ev GROUP BY event_type, date_trunc('day', ts))
+        SELECT e.event_id, e.event_type, s.day_ts AS stat_ts, s.day_total
+        FROM ev e ASOF LEFT JOIN stats s
+          ON e.event_type = s.event_type AND e.ts >= s.day_ts
+        ORDER BY e.event_id""",
+    "q42_range_join" ->
+      """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        iv AS (SELECT datediff('day', DATE '1970-01-01', d) AS interval_id,
+            CAST(d AS TIMESTAMP) + INTERVAL 6 HOUR AS start_ts,
+            CAST(d AS TIMESTAMP) + INTERVAL 18 HOUR AS end_ts
+          FROM (SELECT DISTINCT CAST(ts AS DATE) AS d FROM ev))
+        SELECT e.event_id, i.interval_id
+        FROM ev e JOIN iv i ON e.ts >= i.start_ts AND e.ts < i.end_ts
+        ORDER BY e.event_id""",
+    "q43_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT l_returnflag,
+            md5(CAST(l_partkey AS VARCHAR)) AS h
+          FROM lineitem),
+        k AS (SELECT l_returnflag, list_sort(list(h))[64] AS kth,
+            count(*) AS nd
+          FROM h GROUP BY l_returnflag)
+        SELECT l_returnflag,
+          CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+               ELSE 63.0 / (CAST('0x' || substr(kth, 1, 13) AS UBIGINT)
+                            / 4503599627370496.0) END AS kmv_est,
+          nd AS exact_distinct
+        FROM k ORDER BY l_returnflag"""
   )
 }

@@ -145,6 +145,20 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b && a.nonEmpty && a.size < 100)
   }
 
+  test("asof join: inclusive at equal timestamps, null before first right row") {
+    import spark.implicits._
+    import graft.operators.AsOfJoin
+    def ts(x: Int) = new java.sql.Timestamp(x * 1000L)
+    val left = Seq(("A", ts(1), 1L), ("A", ts(5), 2L), ("A", ts(10), 3L),
+      ("B", ts(7), 4L)).toDF("k", "t", "row_id")
+    val right = Seq(("A", ts(5), 50.0), ("A", ts(8), 80.0))
+      .toDF("k", "rt", "v")
+    val out = AsOfJoin.asofJoin(left, right, Seq("k"), "t", "rt", Seq("v"))
+      .orderBy($"row_id").collect()
+    assert(out.map(r => Option(r.getAs[Any]("v"))).toSeq ==
+      Seq(None, Some(50.0), Some(80.0), None)) // t=5 matches rt=5 (inclusive)
+  }
+
   test("u256: canonical binary ordering is numeric; arithmetic is mod 2^256") {
     import spark.implicits._
     val big1 = BigInt("115792089237316195423570985008687907853269984665640564039457584007913129639935") // 2^256-1
