@@ -29,20 +29,31 @@ object KmvSketch {
     else (k - 1).toDouble / uniform(hashes.last)
 
   final class KmvAgg(k: Int) extends Aggregator[String, Buf, Double] {
+    @transient private lazy val mdLocal =
+      new ThreadLocal[java.security.MessageDigest] {
+        override def initialValue(): java.security.MessageDigest =
+          java.security.MessageDigest.getInstance("MD5")
+      }
+    private val hexChars = "0123456789abcdef".toCharArray
+
     private def md5hex(s: String): String = {
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8"))
-      val sb = new java.lang.StringBuilder(32)
-      d.foreach(b => sb.append(f"${b & 0xff}%02x"))
-      sb.toString
+      val d = mdLocal.get().digest(s.getBytes("UTF-8"))
+      val out = new Array[Char](32)
+      var i = 0
+      while (i < 16) {
+        out(2 * i) = hexChars((d(i) >> 4) & 0xf)
+        out(2 * i + 1) = hexChars(d(i) & 0xf)
+        i += 1
+      }
+      new String(out)
     }
 
     private def insert(b: Buf, h: String): Buf =
-      if (b.hashes.contains(h)) b
-      else {
-        val merged = (h :: b.hashes).sorted
-        Buf(if (merged.size > k) merged.take(k) else merged)
-      }
+      // fast reject: once the sketch is full, almost every hash sorts
+      // after the kth minimum — O(1) amortized instead of sort-per-row
+      if (b.hashes.size >= k && h >= b.hashes.last) b
+      else if (b.hashes.contains(h)) b
+      else Buf(((h :: b.hashes).sorted).take(k))
 
     def zero: Buf = Buf(Nil)
     def reduce(b: Buf, a: String): Buf = if (a == null) b else insert(b, md5hex(a))
