@@ -253,6 +253,30 @@ object TextDedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Benchmark decontamination check: per corpus document, how many of
+    * its distinct k-shingles appear anywhere in the probe set (an eval
+    * benchmark) — the n-gram-overlap screen run before training on a
+    * scraped corpus. Shapes like the dedup index: one shuffle on the
+    * shingle hash, probe side aggregated to its DISTINCT shingles first
+    * (eval sets are tiny next to the corpus, so the semi-joined side
+    * stays small); zero-overlap docs come back via left join, so the
+    * output covers the whole corpus. */
+  def contaminationOverlap(docs: DataFrame, idCol: String, textCol: String,
+      probes: DataFrame, probeTextCol: String, k: Int = 3): DataFrame = {
+    val corpusSh = shingleHashIndex(docs, idCol, textCol, k)
+    val probeSh = shingleHashIndex(
+      probes.select(lit(0L).as("_pid"), col(probeTextCol)), "_pid", probeTextCol, k)
+      .select(col("shingle")).distinct()
+    val perDoc = corpusSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val hits = corpusSh.join(probeSh, Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+    perDoc.join(hits, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_contaminated"))
+      .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+        (col("n_contaminated").cast("double") / col("n_shingles"))
+          .as("contaminated_fraction"))
+  }
+
   /** 64-bit SimHash over whitespace tokens: each token votes its md5
     * bits; the sign of each bit-position sum forms the fingerprint.
     * Pure Scala UDF (md5 via MessageDigest) — deterministic. */

@@ -162,6 +162,17 @@ object TextOps extends QueryPack {
       TextAnalysis.gopherQualityFlags(t(s, dir, "documents"), "doc_id", "text",
           minTokens = 10, maxMeanLen = 6.0)
         .orderBy($"doc_id")
+    }),
+
+    // benchmark decontamination: 3-shingle overlap of every corpus doc
+    // against a probe set (here: the 5 lowest-id docs standing in for an
+    // eval benchmark).
+    "t48_decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      TextDedup.contaminationOverlap(docs, "doc_id", "text",
+          docs.filter($"doc_id" < 5), "text")
+        .orderBy($"doc_id")
     })
   )
 
@@ -388,6 +399,24 @@ object TextOps extends QueryPack {
           LEFT JOIN s2 ON w.doc_id = s2.doc_id
           LEFT JOIN s3 ON w.doc_id = s3.doc_id
         ORDER BY w.doc_id""",
+    "t48_decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        sh AS (SELECT DISTINCT doc_id, g FROM (
+          SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk)-2,0)+1),
+            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g FROM w)),
+        probe AS (SELECT DISTINCT g FROM (
+            SELECT unnest(list_transform(range(1, greatest(len(tk)-2,0)+1),
+              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+            FROM w WHERE doc_id < 5)),
+        per AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+        hit AS (SELECT s.doc_id, count(*) AS n_contaminated
+          FROM sh s JOIN probe p ON s.g = p.g GROUP BY s.doc_id)
+        SELECT per.doc_id, per.n_shingles,
+          COALESCE(hit.n_contaminated, 0) AS n_contaminated,
+          CAST(COALESCE(hit.n_contaminated, 0) AS DOUBLE) / per.n_shingles
+            AS contaminated_fraction
+        FROM per LEFT JOIN hit ON per.doc_id = hit.doc_id
+        ORDER BY per.doc_id""",
     "t47_quality_gate" ->
       """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
         sig AS (SELECT doc_id,
