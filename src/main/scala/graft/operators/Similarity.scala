@@ -331,6 +331,31 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** SemDeDup-style semantic dedup: coarse-cluster the corpus with the
+    * IVF quantizer, then compare cosine ONLY within each cluster — the
+    * published recipe for embedding-level dedup at corpus scale
+    * (per-cluster work is |cluster|², never |corpus|²; clusters are the
+    * shuffle key). Complements `cosineDupPairsLsh`: k-means clusters
+    * give coherent semantic buckets where SRP gives random directional
+    * ones. Recall is bounded by cluster purity — near-dups split across
+    * a cluster boundary are missed, the documented SemDeDup trade. */
+  def semanticDupPairs(corpus: DataFrame, threshold: Double, nCentroids: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val assigned = corpus.join(
+      ivfAssign(corpus, nCentroids, idCol, vecCol)
+        .select(col(idCol), col("centroid_id")), Seq(idCol))
+      .select(col(idCol).as("vid"), col(vecCol).as("v"), col("centroid_id"),
+        l2Norm(col(vecCol)).as("nrm"))
+    assigned.as("a").join(assigned.as("b"),
+        col("a.centroid_id") === col("b.centroid_id") &&
+          col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"),
+        col("a.centroid_id").as("centroid_id"),
+        round(dotProduct(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6)
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
   /** Symmetric int8 scalar quantization of an embedding column — the
     * storage/bandwidth path for billion-vector corpora (4 bytes → 1 byte
     * per dimension). scale = max|x| / 127; q_i = floor(x_i/scale + 0.5)

@@ -66,6 +66,14 @@ object SimilarityOps extends QueryPack {
         .orderBy($"qid", $"rank")
     }),
 
+    // SemDeDup: IVF-cluster then within-cluster cosine pairs (published
+    // semantic-dedup recipe; per-cluster quadratic, corpus-linear).
+    "s48_semantic_dedup" -> ((s, dir) => {
+      import s.implicits._
+      Similarity.semanticDupPairs(t(s, dir, "embeddings"), 0.3)
+        .orderBy($"id_a", $"id_b")
+    }),
+
     // int8 scalar quantization (4 bytes → 1 byte per dim): codegen'd
     // column expressions, deterministic round-half-up, replayed exactly
     // by the oracle. qvec serialized to a scalar for the comparator.
@@ -189,6 +197,26 @@ object SimilarityOps extends QueryPack {
           (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rank FROM scored)
         SELECT qid, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
         ORDER BY qid, rank""",
+    "s48_semantic_dedup" ->
+      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+          WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+        dists AS (SELECT e.vec_id, c.cid,
+          round(list_sum(list_transform(range(1, 65), i ->
+            (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)) *
+            (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)))), 6) AS d
+          FROM embeddings e, cents c),
+        assigned AS (SELECT vec_id, cid AS centroid_id FROM
+          (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+           FROM dists) WHERE rn = 1),
+        sides AS (SELECT a.vec_id, a.centroid_id, e.embedding
+          FROM assigned a JOIN embeddings e ON e.vec_id = a.vec_id),
+        pairs AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+            x.centroid_id,
+            ${cosSql("x.embedding", "y.embedding")} AS cos_sim
+          FROM sides x JOIN sides y
+            ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id)
+        SELECT id_a, id_b, centroid_id, cos_sim FROM pairs
+        WHERE cos_sim >= 0.3 ORDER BY id_a, id_b""",
     // scale = max|x|/127; q_i = floor(x/scale + 0.5) — every op a single
     // exact double step, so values are bit-identical across engines
     "s47_quantize_int8" ->
