@@ -56,18 +56,6 @@ object Similarity {
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
-  /** Same left-to-right fold as `dotProduct`, as a compiled kernel —
-    * Catalyst interprets higher-order functions, so on millions of
-    * candidate pairs the expression form costs ~5× this UDF. Values are
-    * bit-identical (identical operation order). */
-  private val dotUdf = udf((a: Seq[Float], b: Seq[Float]) => {
-    var acc = 0.0
-    var i = 0
-    val n = a.length
-    while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
-    acc
-  })
-
   /** Embedding near-duplicate pairs above a cosine threshold — exact
     * all-pairs, computed as a broadcast-loop: the corpus vectors are
     * broadcast once (id, vector, norm) and each partition streams its
