@@ -145,6 +145,27 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b && a.nonEmpty && a.size < 100)
   }
 
+  test("decontamination: probe docs fully contaminated; kmv estimate is close") {
+    import spark.implicits._
+    val docs = (0L until 60L).map(i =>
+      (i, (0 until 12).map(j => s"w${(i * 7 + j * 3) % 97}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextDedup.contaminationOverlap(
+      docs, "doc_id", "text", docs.filter($"doc_id" < 5), "text")
+    // a probe document's own shingles are all in the probe set
+    assert(out.filter($"doc_id" < 5)
+      .filter($"contaminated_fraction" =!= 1.0).count() == 0)
+    assert(out.count() == 60)
+    // KMV: ~2000 distinct values, k=64 → estimate within 25% of exact
+    val kmv = graft.functions.KmvSketch.kmvDistinct(64)
+    val row = spark.range(0, 50000)
+      .select((col("id") % 2000).cast("string").as("v"))
+      .agg(kmv(col("v")).as("est"), countDistinct(col("v")).as("exact"))
+      .head()
+    val (est, exact) = (row.getDouble(0), row.getLong(1))
+    assert(math.abs(est - exact) / exact < 0.25, s"est=$est exact=$exact")
+  }
+
   test("asof join: inclusive at equal timestamps, null before first right row") {
     import spark.implicits._
     import graft.operators.AsOfJoin
