@@ -77,16 +77,77 @@ object TextAnalysis {
           .otherwise("test"))
   }
 
+  /** Fused single-pass repetition kernel: all three signals are
+    * document-LOCAL statistics, so one traversal of the token array with
+    * two count-maps and a trigram set computes them with ZERO shuffles —
+    * embarrassingly parallel, work linear in corpus tokens, strictly
+    * better than exploding n-grams through three aggregations at any
+    * scale. Tokenization matches `split(text, " ")` exactly (split limit
+    * -1 keeps trailing empties), so results are bit-identical to
+    * [[repetitionSignalsExploded]] and the DuckDB oracle. */
+  private val repetitionKernel =
+    udf((text: String) => {
+      if (text == null) (0.0, 0.0, 0.0)
+      else {
+        val tk = text.split(" ", -1)
+        val n1 = tk.length
+        val n2 = n1 - 1
+        val n3 = n1 - 2
+        val uni = new java.util.HashMap[String, Int](n1 * 2)
+        var topU = 0
+        var i = 0
+        while (i < n1) {
+          val c = uni.getOrDefault(tk(i), 0) + 1
+          uni.put(tk(i), c)
+          if (c > topU) topU = c
+          i += 1
+        }
+        var topB = 0
+        if (n2 > 0) {
+          val bi = new java.util.HashMap[String, Int](n2 * 2)
+          i = 0
+          while (i < n2) {
+            val g = tk(i) + " " + tk(i + 1)
+            val c = bi.getOrDefault(g, 0) + 1
+            bi.put(g, c)
+            if (c > topB) topB = c
+            i += 1
+          }
+        }
+        var dist3 = 0
+        if (n3 > 0) {
+          val tri = new java.util.HashSet[String](n3 * 2)
+          i = 0
+          while (i < n3) {
+            tri.add(tk(i) + " " + tk(i + 1) + " " + tk(i + 2))
+            i += 1
+          }
+          dist3 = tri.size
+        }
+        (if (n1 > 0) topU.toDouble / n1 else 0.0,
+          if (n2 > 0) topB.toDouble / n2 else 0.0,
+          if (n3 > 0) (n3 - dist3).toDouble / n3 else 0.0)
+      }
+    })
+
   /** Repetition signals (the Gopher/C4 filter family, token-level):
     * fraction of tokens covered by the single most frequent token and
-    * bigram, and the duplicate-trigram fraction.
-    *
-    * Shape: explode n-grams → count per (doc, gram) → per-doc
-    * max/sum/distinct — two map-side-combinable aggregations on
-    * (doc_id, gram), which is also the 100 TB shape (work is linear in
-    * corpus tokens; a per-row nested-lambda mode computation re-evaluates
-    * the gram expression per DISTINCT element and goes cubic). */
-  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * bigram, and the duplicate-trigram fraction. Computed by the fused
+    * per-doc kernel — a pure map, no shuffle. */
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), repetitionKernel(col(textCol)).as("_r"))
+      .select(col("doc_id"),
+        col("_r._1").as("top_token_fraction"),
+        col("_r._2").as("top_bigram_fraction"),
+        col("_r._3").as("dup_trigram_fraction"))
+
+  /** Reference implementation of [[repetitionSignals]] as relational
+    * explode → per-(doc, gram) count → per-doc max/sum/distinct. Kept as
+    * the semantic spec (the cross-check test asserts bit-identical
+    * output); the fused kernel wins at every scale because the signals
+    * are doc-local — this shape pays three shuffles of exploded n-grams
+    * for them. */
+  def repetitionSignalsExploded(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     def gramStats(k: Int): DataFrame =
       docs.select(col(idCol).as("doc_id"),
           explode(TextDedup.wordShingles(col(textCol), k)).as("g"))

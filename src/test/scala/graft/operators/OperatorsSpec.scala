@@ -166,6 +166,22 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(est - exact) / exact < 0.25, s"est=$est exact=$exact")
   }
 
+  test("fused repetition kernel is bit-identical to the exploded relational spec") {
+    import spark.implicits._
+    // real corpus + adversarial edges: empty text, single token, all-same
+    // tokens, exactly-2 and exactly-3 token docs
+    val edges = Seq((100001L, ""), (100002L, "solo"), (100003L, "x x x x x x"),
+      (100004L, "a b"), (100005L, "a b c"), (100006L, "a b a b a b"))
+      .toDF("doc_id", "text")
+    val d = docs.select($"doc_id", $"text").union(edges)
+    val fused = TextAnalysis.repetitionSignals(d, "doc_id", "text")
+    val spec = TextAnalysis.repetitionSignalsExploded(d, "doc_id", "text")
+    assert(fused.exceptAll(spec).isEmpty && spec.exceptAll(fused).isEmpty)
+    // the fused plan is a pure map: no exchange anywhere
+    val plan = fused.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"fused kernel must not shuffle:\n$plan")
+  }
+
   test("asof join: inclusive at equal timestamps, null before first right row") {
     import spark.implicits._
     import graft.operators.AsOfJoin
