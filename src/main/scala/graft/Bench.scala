@@ -21,11 +21,40 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private def r3(d: Double): Double = math.rint(d * 1000) / 1000
 
+  /** 1-minute loadavg, or 0.0 where /proc is unavailable (non-Linux). */
+  private def loadAvg1(): Double =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split("\\s+")(0).toDouble
+    catch { case _: Throwable => 0.0 }
+
+  /** Wait for the machine to go idle before the timed pass. A bench
+    * captured under external load is not a measurement of the engine
+    * (round-3: the committed artifact read 88.9s for code that measures
+    * 35.4s idle — per-lane contention 5-8x). Retries until loadavg drops
+    * below the threshold or the budget runs out; either way the observed
+    * load is recorded in the JSON so the artifact is self-describing.
+    */
+  private def awaitIdle(maxLoad: Double, maxWaitSec: Int): Double = {
+    val deadline = System.nanoTime() + maxWaitSec * 1e9.toLong
+    var load = loadAvg1()
+    while (load > maxLoad && System.nanoTime() < deadline) {
+      System.err.println(f"[bench] loadavg $load%.2f > $maxLoad%.2f - waiting for idle machine")
+      Thread.sleep(15000)
+      load = loadAvg1()
+    }
+    if (load > maxLoad)
+      System.err.println(f"[bench] proceeding under load $load%.2f (wait budget exhausted) - timings will overstate")
+    load
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val nIsolated = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATED", "12").toInt
+    val maxLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOAD", "1.0").toDouble
+    val maxWait = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_WAIT_SEC", "300").toInt
+    val loadBefore = awaitIdle(maxLoad, maxWait)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -77,11 +106,15 @@ object Bench {
       "e66_config_decoded_traces", "e67_config_erc20_balances",
       "e68_config_daily_export", "e69_config_decoded_logs_export",
       "st63_tip_catchup")
+    // lanes=1 degenerates to one shared single-thread pool (a 0-thread
+    // pipe pool is both invalid and pointless)
     val pipeLanes = math.min(3, lanes - 1)
     val wall0 = System.nanoTime()
-    val pipePool = java.util.concurrent.Executors.newFixedThreadPool(pipeLanes)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.max(1, lanes - pipeLanes))
+      math.max(1, lanes - math.max(0, pipeLanes)))
+    val pipePool =
+      if (pipeLanes < 1) pool
+      else java.util.concurrent.Executors.newFixedThreadPool(pipeLanes)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val isPipe = pipelineQueries(name)
       val p = if (isPipe) pipePool else pool
@@ -108,6 +141,7 @@ object Bench {
       s""""isolated":${jmap(isolated)},""" +
       s""""failed":[${failed.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""sum_sec":${r3(results.map(_._2).sum)},""" +
+      s""""load":${r3(loadBefore)},""" +
       s""""lanes":$lanes,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
     println(json)

@@ -138,6 +138,21 @@ object Similarity {
     f(vec)
   }
 
+  /** SRP bits for a corpus of `n` vectors targeting ~`targetBucket`
+    * members per bucket: the smallest b with 2^b * targetBucket >= n,
+    * floored at 6 (recall at tiny corpora) and capped at 48. Integer
+    * arithmetic only — a float log2 could round differently across
+    * engines at exact powers of two, and the oracle replays this
+    * derivation in SQL (length(bin(m-1))). A fixed bucket count is the
+    * scale-killer the derived form removes: with constant bits the
+    * per-bucket candidate count grows quadratically in n; with
+    * bits ~ log2(n) it stays ~linear. */
+  def deriveSrpBits(n: Long, targetBucket: Int = 8): Int = {
+    val m = (n + targetBucket - 1) / targetBucket // ceil(n / target)
+    val bits = if (m <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
+    math.min(48, math.max(6, bits))
+  }
+
   private val planesCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), Array[Array[Double]]]
 
