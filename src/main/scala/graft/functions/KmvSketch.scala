@@ -7,26 +7,30 @@ import org.apache.spark.sql.expressions.Aggregator
   * Aggregator — the "novel sketch as a custom agg function" path from
   * the brief (a TypedColumn/udaf, not a UDF over collected data).
   *
-  * State = the k smallest DISTINCT md5 hex hashes seen (bounded: k
-  * strings, mergeable, so partial aggregation and shuffle volume are
-  * O(k) per group regardless of group size). Estimate = (k-1) / u(kth)
-  * where u maps the kth-smallest hash to (0,1) via its first 52 bits —
-  * every step exact in doubles, so the estimate is REPRODUCIBLE across
-  * partitionings and engines (unlike HLL, whose register layout is
-  * implementation-defined); a DuckDB oracle can replay it exactly.
-  * Groups with fewer than k distinct values return the exact count.
+  * State = the k smallest DISTINCT md5 hex hashes seen, kept as a
+  * SORTED ASCENDING array (bounded: k strings, mergeable, so partial
+  * aggregation and shuffle volume are O(k) per group regardless of
+  * group size). Per-row cost once the sketch is full is one string
+  * compare against the kth minimum (almost every hash sorts after it);
+  * an accepted insert is a binary search + one arraycopy — never a
+  * re-sort. Estimate = (k-1) / u(kth) where u maps the kth-smallest
+  * hash to (0,1) via its first 52 bits — every step exact in doubles,
+  * so the estimate is REPRODUCIBLE across partitionings and engines
+  * (unlike HLL, whose register layout is implementation-defined); a
+  * DuckDB oracle can replay it exactly. Groups with fewer than k
+  * distinct values return the exact count.
   */
 object KmvSketch {
 
-  final case class Buf(hashes: List[String])
+  final case class Buf(hashes: Array[String])
 
   /** First 52 bits of the hex hash as a uniform in (0, 1]. */
   def uniform(hex: String): Double =
     java.lang.Long.parseLong(hex.substring(0, 13), 16).toDouble / 4503599627370496.0
 
-  def estimate(hashes: List[String], k: Int): Double =
-    if (hashes.size < k) hashes.size.toDouble
-    else (k - 1).toDouble / uniform(hashes.last)
+  def estimate(hashes: Array[String], k: Int): Double =
+    if (hashes.length < k) hashes.length.toDouble
+    else (k - 1).toDouble / uniform(hashes(hashes.length - 1))
 
   final class KmvAgg(k: Int) extends Aggregator[String, Buf, Double] {
     @transient private lazy val mdLocal =
@@ -48,18 +52,53 @@ object KmvSketch {
       new String(out)
     }
 
-    private def insert(b: Buf, h: String): Buf =
-      // fast reject: once the sketch is full, almost every hash sorts
-      // after the kth minimum — O(1) amortized instead of sort-per-row
-      if (b.hashes.size >= k && h >= b.hashes.last) b
-      else if (b.hashes.contains(h)) b
-      else Buf(((h :: b.hashes).sorted).take(k))
+    /** arr sorted ascending; returns insertion point, or -1 if present. */
+    private def insertionPoint(arr: Array[String], h: String): Int = {
+      var lo = 0
+      var hi = arr.length - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val c = arr(mid).compareTo(h)
+        if (c < 0) lo = mid + 1
+        else if (c > 0) hi = mid - 1
+        else return -1
+      }
+      lo
+    }
 
-    def zero: Buf = Buf(Nil)
+    private def insert(b: Buf, h: String): Buf = {
+      val arr = b.hashes
+      val n = arr.length
+      // fast reject: once the sketch is full, almost every hash sorts
+      // after the kth minimum — one compare per row
+      if (n >= k && h.compareTo(arr(n - 1)) >= 0) return b
+      val ip = insertionPoint(arr, h)
+      if (ip < 0) return b // already present
+      val outLen = math.min(k, n + 1)
+      val out = new Array[String](outLen)
+      System.arraycopy(arr, 0, out, 0, ip)
+      out(ip) = h
+      System.arraycopy(arr, ip, out, ip + 1, outLen - ip - 1)
+      Buf(out)
+    }
+
+    def zero: Buf = Buf(Array.empty)
     def reduce(b: Buf, a: String): Buf = if (a == null) b else insert(b, md5hex(a))
     def merge(a: Buf, b: Buf): Buf = {
-      val merged = (a.hashes ++ b.hashes).distinct.sorted
-      Buf(if (merged.size > k) merged.take(k) else merged)
+      // merge two sorted distinct arrays, keep the k smallest
+      val xa = a.hashes; val xb = b.hashes
+      val out = new Array[String](math.min(k, xa.length + xb.length))
+      var i = 0; var j = 0; var o = 0
+      while (o < out.length && (i < xa.length || j < xb.length)) {
+        val c =
+          if (i >= xa.length) 1
+          else if (j >= xb.length) -1
+          else xa(i).compareTo(xb(j))
+        if (c < 0) { out(o) = xa(i); i += 1; o += 1 }
+        else if (c > 0) { out(o) = xb(j); j += 1; o += 1 }
+        else { out(o) = xa(i); i += 1; j += 1; o += 1 }
+      }
+      if (o == out.length) Buf(out) else Buf(java.util.Arrays.copyOf(out, o))
     }
     def finish(b: Buf): Double = estimate(b.hashes, k)
     def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]

@@ -218,12 +218,16 @@ object TextDedup {
           md5(concat_ws("|", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager localCheckpoint: materializes the (small) candidate set in
+    // one pass AND truncates lineage, so the banded signatures can be
+    // freed immediately and no recompute can reach back through the
+    // join; its blocks are reclaimed with the DataFrame, unlike the
+    // persist+count() it replaces, which leaked the cache entry
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cand.count() // materialize candidates, then free the banded signatures
+      .localCheckpoint(true)
     banded.unpersist(blocking = false)
     verifyJaccard(docs, idCol, textCol, cand, threshold, k)
   }
@@ -256,22 +260,21 @@ object TextDedup {
   /** Benchmark decontamination check: per corpus document, how many of
     * its distinct k-shingles appear anywhere in the probe set (an eval
     * benchmark) — the n-gram-overlap screen run before training on a
-    * scraped corpus. Shapes like the dedup index: one shuffle on the
-    * shingle hash, probe side aggregated to its DISTINCT shingles first
-    * (eval sets are tiny next to the corpus, so the semi-joined side
-    * stays small); zero-overlap docs come back via left join, so the
-    * output covers the whole corpus. */
+    * scraped corpus. ONE corpus scan, ONE shuffle: the probe set's
+    * distinct shingles (eval benchmarks are tiny next to a training
+    * corpus, so the broadcast is bounded by design) left-join onto the
+    * corpus shingle index as a hit flag, then a single per-doc
+    * aggregation counts total and hit shingles together — no second
+    * pass, no second aggregation, no post-join. */
   def contaminationOverlap(docs: DataFrame, idCol: String, textCol: String,
       probes: DataFrame, probeTextCol: String, k: Int = 3): DataFrame = {
     val corpusSh = shingleHashIndex(docs, idCol, textCol, k)
     val probeSh = shingleHashIndex(
       probes.select(lit(0L).as("_pid"), col(probeTextCol)), "_pid", probeTextCol, k)
-      .select(col("shingle")).distinct()
-    val perDoc = corpusSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    val hits = corpusSh.join(probeSh, Seq("shingle"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
-    perDoc.join(hits, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("n_contaminated"))
+      .select(col("shingle")).distinct().withColumn("_hit", lit(1))
+    corpusSh.join(broadcast(probeSh), Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("_hit")).as("n_contaminated"))
       .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
         (col("n_contaminated").cast("double") / col("n_shingles"))
           .as("contaminated_fraction"))

@@ -148,13 +148,19 @@ object Relational2 extends QueryPack {
     // KMV distinct sketch — custom typed Aggregator (bounded k-string
     // state, mergeable partials); estimate is md5-derived and exact in
     // doubles, so the oracle replays it to the bit (HLL could not be).
+    // Distinct-first: KMV is insensitive to duplicates, so aggregating
+    // the distinct (flag, partkey) pairs gives the identical sketch
+    // while hashing each value once — and the exact-count comparison
+    // column becomes a plain count(*) instead of a countDistinct
+    // (whose expand/sort-agg would drag the object sketch with it).
     "q43_kmv_distinct" -> ((s, dir) => {
       import s.implicits._
       val kmv = graft.functions.KmvSketch.kmvDistinct(64)
       t(s, dir, "lineitem")
+        .select($"l_returnflag", $"l_partkey").distinct()
         .groupBy($"l_returnflag")
         .agg(kmv($"l_partkey".cast("string")).as("kmv_est"),
-          countDistinct($"l_partkey").as("exact_distinct"))
+          count(lit(1)).as("exact_distinct"))
         .orderBy($"l_returnflag")
     })
   )
