@@ -188,17 +188,35 @@ object Similarity {
       .map { case (id, v) => (id, v.toArray) }
   }
 
+  /** Centroid set for the IVF operators: explicit (trained) centroids
+    * when given, else the deterministic K-lowest-id seed vectors. The
+    * driver only ever holds K·dim doubles either way. */
+  private def centroidSet(corpus: DataFrame, k: Int, idCol: String, vecCol: String,
+      centroids: Option[Array[(Long, Array[Double])]]): Array[(Long, Array[Double])] =
+    centroids.getOrElse(seedVectors(corpus, k, idCol, vecCol)
+      .map { case (id, v) => (id, v.map(_.toDouble)) })
+
+  /** `ivfTrain` output shaped for the `centroids` parameter of
+    * `ivfAssign`/`ivfSearch`: trained centroid j gets id j. */
+  def trainedCentroids(corpus: DataFrame, k: Int = 8, iters: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : Array[(Long, Array[Double])] =
+    ivfTrain(corpus, k, iters, idCol, vecCol)._1.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+
   /** IVF-style coarse quantization: assign every vector to its nearest
-    * of K fixed centroid vectors (here: a deterministic sample — the
-    * vectors with the K lowest ids — standing in for trained centroids;
-    * the index structure and probe path are identical to a trained IVF).
-    * Distances are rounded left-to-right double folds, ties broken by
-    * centroid id, so assignment is engine-reproducible. */
+    * of K centroid vectors — trained centroids when `centroids` is
+    * given (see `trainedCentroids`), else a deterministic sample (the
+    * vectors with the K lowest ids); the index structure and probe path
+    * are identical either way. Distances are rounded left-to-right
+    * double folds, ties broken by centroid id, so assignment is
+    * engine-reproducible. */
   def ivfAssign(corpus: DataFrame, k: Int = 8,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centroids: Option[Array[(Long, Array[Double])]] = None): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cents = seedVectors(corpus, k, idCol, vecCol)
+    val cents = centroidSet(corpus, k, idCol, vecCol, centroids)
     val bc = spark.sparkContext.broadcast(cents)
     corpus.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Seq[Float])]
       .map { case (id, vSeq) =>
@@ -209,7 +227,7 @@ object Similarity {
           var d = 0.0
           var i = 0
           while (i < v.length) {
-            val diff = v(i).toDouble - c(i).toDouble
+            val diff = v(i).toDouble - c(i)
             d += diff * diff
             i += 1
           }
@@ -282,23 +300,25 @@ object Similarity {
     * sub-linear ANN path (per-query work ∝ probed lists, not corpus). */
   def ivfSearch(corpus: DataFrame, queries: DataFrame, k: Int,
       nCentroids: Int = 8, nprobe: Int = 2,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centroids: Option[Array[(Long, Array[Double])]] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val assigned = corpus.join(
-      ivfAssign(corpus, nCentroids, idCol, vecCol).select(col(idCol), col("centroid_id")),
+      ivfAssign(corpus, nCentroids, idCol, vecCol, centroids)
+        .select(col(idCol), col("centroid_id")),
       Seq(idCol))
     // query → its nprobe nearest centroid lists
     val probes = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
       .crossJoin(assigned.select(col("centroid_id")).distinct())
     val w0 = Window.partitionBy(col("qid")).orderBy(col("cdist"), col("centroid_id"))
     val spark = corpus.sparkSession
-    val cents = seedVectors(corpus, nCentroids, idCol, vecCol)
+    val cents = centroidSet(corpus, nCentroids, idCol, vecCol, centroids)
     val bc = spark.sparkContext.broadcast(cents.toMap)
     val cdist = udf((qv: Seq[Float], cid: Long) => {
       val c = bc.value(cid)
       var d = 0.0
       var i = 0
-      while (i < qv.length) { val x = qv(i).toDouble - c(i).toDouble; d += x * x; i += 1 }
+      while (i < qv.length) { val x = qv(i).toDouble - c(i); d += x * x; i += 1 }
       round6(d)
     })
     val probed = probes.withColumn("cdist", cdist(col("qv"), col("centroid_id")))
@@ -313,28 +333,54 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Same-bucket candidate pairs across `tables` independent SRP hash
+    * tables, generated from posting lists: ONE pass keys every vector
+    * with its `tables` bucket ids (posexplode), one groupBy builds the
+    * (table, bucket) member lists, and each sorted list expands to its
+    * ordered pairs — the `TextDedup.pairCounts` shape. Two shuffles
+    * total for all tables, versus `tables` hash joins that each
+    * re-hash the corpus; per-bucket work is |bucket|², which the
+    * caller bounds by deriving nBits from the corpus size. */
+  private[operators] def srpCandidates(base: DataFrame, dim: Int, nBits: Int,
+      tables: Int, seed: Long): DataFrame = {
+    val keyed = base.select(col("vec_id"), posexplode(
+        array((0 until tables).map(t => srpBucket(col("v"), dim, nBits, seed + t)): _*))
+        .as(Seq("tbl", "bucket")))
+    val kept = keyed.groupBy(col("tbl"), col("bucket"))
+      .agg(collect_list(col("vec_id")).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    val ds = array_sort(col("ds"))
+    kept.select(explode(flatten(transform(ds, (x, i) =>
+        transform(slice(ds, i + lit(2), greatest(size(ds) - i - 1, lit(0))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
+  }
+
   /** Corpus×corpus embedding near-dup pairs, SRP-bucketed: candidates
     * are same-bucket pairs in ANY of `tables` independent hash tables
     * (seeds seed..seed+tables-1), verified by exact cosine >= threshold.
-    * The scale companion of `cosineDupPairs`: per-table work is a
-    * bucket-key shuffle join — never a quadratic cross join — and the
-    * union of tables drives recall toward 1 for genuinely-near pairs
-    * (cos 0.9 ≈ 26°: one 6-bit table catches ~42%, four catch ~92%).
-    * Low-threshold sweeps remain recall-limited by design. */
+    * The scale companion of `cosineDupPairs`: candidates come from
+    * posting lists over the bucket key — never a quadratic cross
+    * join — and the union of tables drives recall toward 1 for
+    * genuinely-near pairs (cos 0.9 ≈ 26°: one 6-bit table catches
+    * ~42%, four catch ~92%). Low-threshold sweeps remain
+    * recall-limited by design.
+    *
+    * nBits <= 0 (the default) derives the bucket count from the corpus
+    * size via `deriveSrpBits` — the knob that keeps expected bucket
+    * membership (and so per-bucket quadratic work) CONSTANT as the
+    * corpus grows, making total candidate volume ~linear in N. A fixed
+    * bucket count would grow candidates ~N²/2^bits. */
   def cosineDupPairsLsh(corpus: DataFrame, threshold: Double, dim: Int,
-      nBits: Int = 6, tables: Int = 4, seed: Long = 42L,
+      nBits: Int = 0, tables: Int = 4, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bits = if (nBits > 0) nBits else deriveSrpBits(corpus.count())
     // norms once per VECTOR, not per pair — the verify join then does
     // one dot product per candidate (same doubles, 3x less work)
     val base = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
       l2Norm(col(vecCol)).as("nrm"))
-    val cand = (0 until tables).map { t =>
-      val b = base.select(col("vec_id"),
-        srpBucket(col("v"), dim, nBits, seed + t).as("bucket"))
-      b.as("x").join(b.as("y"),
-          col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
-        .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
-    }.reduce(_ unionByName _).distinct()
+    val cand = srpCandidates(base, dim, bits, tables, seed)
     cand
       .join(base.select(col("vec_id").as("id_a"), col("v").as("va"),
         col("nrm").as("na")), Seq("id_a"))
@@ -355,25 +401,22 @@ object Similarity {
     * ones. Recall is bounded by cluster purity — near-dups split across
     * a cluster boundary are missed, the documented SemDeDup trade. */
   def semanticDupPairs(corpus: DataFrame, threshold: Double, nCentroids: Int = 8,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Int = 64, maxCluster: Int = 5000): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val assigned = corpus.join(
-      ivfAssign(corpus, nCentroids, idCol, vecCol)
-        .select(col(idCol), col("centroid_id")), Seq(idCol))
-      .select(col("centroid_id"), col(idCol).cast("long").as("vid"),
-        col(vecCol).as("v"))
-    // one row per cluster, pairs generated in a primitive-array kernel:
-    // a relational self-join would carry both 64-float vectors through
-    // the join for every candidate pair (measured 9-17s at sf0.1 for
-    // either the HOF-expression or UDF dot product; this shape is ~1s).
-    // Cluster membership is the shuffle key; a cluster's members must
-    // fit one task's memory — true by construction when nCentroids
-    // scales with the corpus (K ≈ √N), the same contract SemDeDup has.
-    assigned.groupBy(col("centroid_id"))
+    // one row per (cluster, sub-bucket), pairs generated in a
+    // primitive-array kernel: a relational self-join would carry both
+    // 64-float vectors through the join for every candidate pair
+    // (measured 9-17s at sf0.1 for either the HOF-expression or UDF dot
+    // product; this shape is ~1s). Cluster membership is the shuffle
+    // key; the skew guard below caps how many rows any one
+    // aggregation task can receive.
+    semanticClusterKeys(corpus, nCentroids, idCol, vecCol, dim, maxCluster)
+      .groupBy(col("centroid_id"), col("_sub"))
       .agg(collect_list(struct(col("vid"), col("v"))).as("ms"))
-      .as[(Long, Seq[(Long, Seq[Float])])]
-      .flatMap { case (cid, ms) =>
+      .as[(Long, Long, Seq[(Long, Seq[Float])])]
+      .flatMap { case (cid, _, ms) =>
         val sorted = ms.sortBy(_._1).toArray
         val vecs = sorted.map(_._2.toArray)
         val norms = vecs.map(v => math.sqrt(dotKernel(v, v)))
@@ -396,6 +439,41 @@ object Similarity {
         out.result()
       }
       .toDF("id_a", "id_b", "centroid_id", "cos_sim")
+  }
+
+  /** Cluster keys for `semanticDupPairs` with a count-first skew guard:
+    * cluster sizes are one cheap map-side-combinable aggregation; any
+    * cluster larger than `maxCluster` is split into ~size/maxCluster
+    * SRP sub-buckets (masking a 16-bit SRP key to b low bits IS the
+    * b-plane bucket, so sub-buckets nest deterministically). Without
+    * the guard, one skewed cluster = one task holding the whole
+    * cluster's vectors — the collect_list OOM the K≈√N contract only
+    * promises away on well-behaved data. Pairs split across sub-buckets
+    * of an oversized cluster are missed — the same recall trade
+    * SemDeDup already makes at cluster boundaries, paid only when the
+    * guard actually triggers. The cluster assignment is computed twice
+    * (sizes + keys) to keep the operator lazy; a production run over a
+    * persisted corpus would checkpoint the assignment first. */
+  private[operators] def semanticClusterKeys(corpus: DataFrame, nCentroids: Int,
+      idCol: String, vecCol: String, dim: Int, maxCluster: Int,
+      seed: Long = 1042L): DataFrame = {
+    val assigned = corpus.join(
+      ivfAssign(corpus, nCentroids, idCol, vecCol)
+        .select(col(idCol), col("centroid_id")), Seq(idCol))
+      .select(col("centroid_id"), col(idCol).cast("long").as("vid"),
+        col(vecCol).as("v"))
+    val bits = least(lit(16),
+      ceil(log(2.0, ceil(col("_csz").cast("double") / maxCluster)))).cast("int")
+    val sizes = assigned.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("_csz"))
+      .select(col("centroid_id"), bits.as("_bits"))
+    assigned.join(broadcast(sizes), Seq("centroid_id"))
+      .withColumn("_sub",
+        when(col("_bits") > 0,
+          pmod(srpBucket(col("v"), dim, 16, seed),
+            pow(lit(2.0), col("_bits")).cast("long")))
+          .otherwise(lit(0L)))
+      .drop("_bits")
   }
 
   /** Symmetric int8 scalar quantization of an embedding column — the

@@ -118,12 +118,19 @@ object SimilarityOps extends QueryPack {
           (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rank FROM scored)
         SELECT qid, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
         ORDER BY qid, rank""",
+    // nb replays Similarity.deriveSrpBits exactly: m = ceil(n/8) in
+    // integer arithmetic, bits = position of m-1's highest set bit
+    // (length of its binary form), clamped to [6, 48]
     "s46_cosine_dup_lsh" ->
-      s"""WITH planes AS (
+      s"""WITH nb AS (
+          SELECT GREATEST(6, LEAST(48,
+              CASE WHEN m <= 1 THEN 6 ELSE length(bin(m - 1)) END)) AS bits
+          FROM (SELECT (count(*) + 7) // 8 AS m FROM embeddings)),
+        planes AS (
           SELECT s, j, list_transform(range(0, 64), i ->
             2.0 * ((CAST('0x' || substr(md5('srp:' || s || ':' || j || ':' || i), 1, 16) AS UBIGINT) >> 11)
                    / 9007199254740992.0) - 1.0) AS p
-          FROM range(42, 46) ts(s), range(0, 6) t(j)),
+          FROM range(42, 46) ts(s), range(0, 48) t(j), nb WHERE t.j < nb.bits),
         sgn AS (SELECT e.vec_id, pl.s, pl.j,
             CASE WHEN list_sum(list_transform(range(1, 65), i ->
                 CAST(e.embedding[i] AS DOUBLE) * pl.p[i])) >= 0
