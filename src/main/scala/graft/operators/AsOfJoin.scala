@@ -19,30 +19,36 @@ object AsOfJoin {
     *
     * Mechanics: right rows sort BEFORE left rows at equal timestamps
     * (side 0 < 1), so the inclusive <= matches DuckDB/kdb ASOF
-    * semantics; `last(value, ignoreNulls)` carries the most recent right
-    * values forward onto each left row.
+    * semantics. ALL value columns travel as ONE struct per right row
+    * carried by a single `last(ignoreNulls)` — per-column carries would
+    * stitch values from DIFFERENT right rows whenever the matched row
+    * has NULLs in some value columns (an older row's non-null would
+    * leak through), which violates the ASOF contract: the matched row's
+    * values, nulls included.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, valueCols: Seq[String]): DataFrame = {
     val lCols = left.columns.toSeq
-    val lTagged = left
-      .withColumn("_t", col(leftTime))
-      .withColumn("_side", lit(1))
-      .select((lCols.map(col) ++ Seq(col("_t"), col("_side")) ++
-        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c))): _*)
     val rTagged = right
       .withColumn("_t", col(rightTime))
       .withColumn("_side", lit(0))
       .select((lCols.map(c => if (keys.contains(c)) col(c)
           else lit(null).cast(left.schema(c).dataType).as(c)) ++
-        Seq(col("_t"), col("_side")) ++ valueCols.map(col)): _*)
+        Seq(col("_t"), col("_side"),
+          struct(valueCols.map(col): _*).as("_vs"))): _*)
+    val vsType = rTagged.schema("_vs").dataType
+    val lTagged = left
+      .withColumn("_t", col(leftTime))
+      .withColumn("_side", lit(1))
+      .select((lCols.map(col) ++ Seq(col("_t"), col("_side"),
+        lit(null).cast(vsType).as("_vs"))): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_t"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(lTagged.unionByName(rTagged)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("_side") === 1).drop("_t", "_side")
+    val carried = lTagged.unionByName(rTagged)
+      .withColumn("_vs", last(col("_vs"), ignoreNulls = true).over(w))
+    carried.filter(col("_side") === 1)
+      .select((lCols.map(col) ++ valueCols.map(c => col(s"_vs.$c").as(c))): _*)
   }
 
   /** Range (interval) join: left rows whose point time falls in

@@ -8,11 +8,53 @@ import org.apache.spark.sql.functions._
   * `mapPartitions` (the Scala analog of arrow-batched Python UDFs — one
   * iterator pass per partition, no per-row task overhead).
   *
-  * The actual media DECODE is a clearly-marked deterministic stub (no
-  * codec libraries in this environment); everything around it — schema,
-  * partitioning, batch iteration, output shape — is real and tested.
+  * Image payloads (PNG/JPEG/GIF/BMP, sniffed by magic bytes) are REALLY
+  * decoded via JDK `javax.imageio` — features and resize operate on the
+  * decoded pixel plane. Non-image payloads fall back to a clearly-marked
+  * deterministic byte-level stub (audio/video codecs aren't in this
+  * environment), so the distributed plumbing is exercised for every
+  * payload either way.
   */
 object Multimodal {
+
+  /** Magic-byte sniff for the formats `javax.imageio` ships decoders
+    * for: PNG, JPEG, GIF, BMP. */
+  private[operators] def sniffImage(b: Array[Byte]): Boolean =
+    (b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+      (b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 && (b(2) & 0xff) == 0xff) ||
+      (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||
+      (b.length >= 2 && b(0) == 'B' && b(1) == 'M')
+
+  private def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (!sniffImage(payload)) None
+    else
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+      catch { case _: java.io.IOException => None } // corrupt image → stub path
+
+  /** BT.601 integer luma plane of a decoded image, row-major — integer
+    * arithmetic on lossless-decoded pixels, so deterministic across
+    * runs and engines. */
+  private[operators] def lumaPlane(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new Array[Byte](w * h)
+    var y = 0
+    var i = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff
+        val g = (rgb >> 8) & 0xff
+        val b = rgb & 0xff
+        out(i) = ((r * 299 + g * 587 + b * 114) / 1000).toByte
+        i += 1
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
 
   case class MediaRow(doc_id: Long, payload: Array[Byte])
   case class MediaFeatures(doc_id: Long, n_bytes: Int, mean_byte: Double,
@@ -29,14 +71,11 @@ object Multimodal {
         lit("text/plain").as("mime"),
         md5(col(contentCol).cast("binary")).as("content_hash")).as("media_meta"))
 
-  /** STUB DECODE: a real implementation would decode image/audio bytes
-    * here (pixel tensor / PCM). This deterministic fake derives features
-    * from the raw bytes so the distributed plumbing is fully exercised. */
-  private def stubDecodeFeatures(r: MediaRow): MediaFeatures = {
+  private def byteFeatures(docId: Long, bytes: Array[Byte]): MediaFeatures = {
     val counts = new Array[Long](256)
-    r.payload.foreach(b => counts(b & 0xff) += 1)
-    val n = r.payload.length
-    val mean = if (n == 0) 0.0 else r.payload.map(b => (b & 0xff).toLong).sum.toDouble / n
+    bytes.foreach(b => counts(b & 0xff) += 1)
+    val n = bytes.length
+    val mean = if (n == 0) 0.0 else bytes.map(b => (b & 0xff).toLong).sum.toDouble / n
     var entropy = 0.0
     var distinct = 0
     counts.foreach { c =>
@@ -46,37 +85,122 @@ object Multimodal {
         entropy -= p * math.log(p) / math.log(2)
       }
     }
-    MediaFeatures(r.doc_id, n, mean, entropy, distinct)
+    MediaFeatures(docId, n, mean, entropy, distinct)
   }
+
+  /** Image payloads DECODE (javax.imageio) and report features over the
+    * BT.601 luma plane: n_bytes = pixel count, mean/entropy/distinct
+    * over 8-bit luma. Non-image payloads fall back to the STUB path —
+    * the same statistics over the raw bytes (a real audio/video build
+    * would decode to PCM/frames here; those codecs aren't in this
+    * environment). */
+  private def decodeFeatures(r: MediaRow): MediaFeatures =
+    decodeImage(r.payload) match {
+      case Some(img) => byteFeatures(r.doc_id, lumaPlane(img))
+      case None => byteFeatures(r.doc_id, r.payload)
+    }
 
   /** Feature extraction: one partition = one batch, client state (here
     * the histogram buffer) amortized across the partition. */
   def extractFeatures(media: DataFrame)(implicit s: SparkSession): Dataset[MediaFeatures] = {
     import s.implicits._
     media.select(col("doc_id"), col("payload")).as[MediaRow]
-      .mapPartitions(rows => rows.map(stubDecodeFeatures))
+      .mapPartitions(rows => rows.map(decodeFeatures))
   }
 
   case class Resized(doc_id: Long, payload: Array[Byte], n_bytes: Int,
       orig_bytes: Int, factor: Int)
 
-  /** STUB RESIZE: a real implementation would decode, downscale
-    * (bilinear/area), and re-encode. This deterministic fake keeps every
-    * `factor`-th byte — same contract shape: payload shrinks ~1/factor,
-    * output is a pure function of the input, metadata carries both
-    * sizes. The batch iteration, schema, and partition alignment are the
-    * real thing a codec-backed version would inherit unchanged. */
+  /** Area-average downscale of a decoded image by `factor`: each output
+    * pixel is the integer mean of its factor×factor source block (edge
+    * blocks truncate) — pure integer arithmetic on lossless pixels, so
+    * the resized image is deterministic; re-encoded as PNG (lossless,
+    * so a decode of the output recovers the block means exactly). */
+  private[operators] def areaDownscale(img: java.awt.image.BufferedImage,
+      factor: Int): java.awt.image.BufferedImage = {
+    val w = math.max(1, img.getWidth / factor)
+    val h = math.max(1, img.getHeight / factor)
+    val out = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var oy = 0
+    while (oy < h) {
+      var ox = 0
+      while (ox < w) {
+        var rs = 0L; var gs = 0L; var bs = 0L; var cnt = 0
+        var y = oy * factor
+        val yEnd = math.min(img.getHeight, (oy + 1) * factor)
+        while (y < yEnd) {
+          var x = ox * factor
+          val xEnd = math.min(img.getWidth, (ox + 1) * factor)
+          while (x < xEnd) {
+            val rgb = img.getRGB(x, y)
+            rs += (rgb >> 16) & 0xff; gs += (rgb >> 8) & 0xff; bs += rgb & 0xff
+            cnt += 1
+            x += 1
+          }
+          y += 1
+        }
+        out.setRGB(ox, oy,
+          (((rs / cnt).toInt & 0xff) << 16) | (((gs / cnt).toInt & 0xff) << 8) |
+            ((bs / cnt).toInt & 0xff))
+        ox += 1
+      }
+      oy += 1
+    }
+    out
+  }
+
+  private def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Resize: image payloads decode → area-average downscale → PNG
+    * re-encode (the real codec path, JDK-only). Non-image payloads use
+    * the STUB path — keep every `factor`-th byte (payload shrinks
+    * ~1/factor; a real audio build would resample PCM here). Both paths
+    * are pure functions of the input; the batch iteration, schema, and
+    * partition alignment are shared. */
   def resize(media: DataFrame, factor: Int = 4)
       (implicit s: SparkSession): Dataset[Resized] = {
     import s.implicits._
     require(factor >= 1, "resize factor must be >= 1")
     media.select(col("doc_id"), col("payload")).as[MediaRow]
       .mapPartitions(rows => rows.map { r =>
-        val out = new Array[Byte]((r.payload.length + factor - 1) / factor)
-        var i = 0
-        while (i < out.length) { out(i) = r.payload(i * factor); i += 1 }
-        Resized(r.doc_id, out, out.length, r.payload.length, factor)
+        decodeImage(r.payload) match {
+          case Some(img) =>
+            val out = encodePng(areaDownscale(img, factor))
+            Resized(r.doc_id, out, out.length, r.payload.length, factor)
+          case None =>
+            val out = new Array[Byte]((r.payload.length + factor - 1) / factor)
+            var i = 0
+            while (i < out.length) { out(i) = r.payload(i * factor); i += 1 }
+            Resized(r.doc_id, out, out.length, r.payload.length, factor)
+        }
       })
+  }
+
+  /** Deterministic RGB test image for doc `id`: channel values are pure
+    * integer functions of (id, x, y), PNG-encoded (lossless, so every
+    * decoder recovers the exact pixels). Feeds the m75 pinned-golden
+    * decode gate and the resize spec — no image fixtures on disk. */
+  def syntheticPng(id: Long, w: Int = 16, h: Int = 16): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((id * 7 + x * 13 + y * 31) % 256).toInt
+        val g = ((id * 11 + x * 3 + y * 17) % 256).toInt
+        val b = ((id * 5 + x * 29 + y * 7) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    encodePng(img)
   }
 
   /** Frame sampling: treat the payload as fixed-size frames, emit every

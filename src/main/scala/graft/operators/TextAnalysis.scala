@@ -133,7 +133,14 @@ object TextAnalysis {
   /** Repetition signals (the Gopher/C4 filter family, token-level):
     * fraction of tokens covered by the single most frequent token and
     * bigram, and the duplicate-trigram fraction. Computed by the fused
-    * per-doc kernel — a pure map, no shuffle. */
+    * per-doc kernel — a pure map, no shuffle.
+    *
+    * PRECONDITION: `idCol` must be unique per row. The kernel computes
+    * per-ROW statistics; [[repetitionSignalsExploded]] pools grams per
+    * doc_id before computing fractions, so on duplicated ids the two
+    * diverge (one row per duplicate here, one pooled row there). The
+    * per-row form is canonical — a document is a row, and pooling
+    * unrelated rows that share an id is never the intended signal. */
   def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"), repetitionKernel(col(textCol)).as("_r"))
       .select(col("doc_id"),

@@ -136,6 +136,18 @@ object StreamingOps extends QueryPack {
         .select(col("doc_id"), col("n_bytes"), col("orig_bytes"),
           md5(col("payload")).as("resized_hash"))
         .orderBy(col("doc_id"))
+    }),
+
+    // REAL image decode (javax.imageio): deterministic generated PNGs →
+    // BT.601 luma-plane features. Pure function of doc_id (independent
+    // of the sf tables), gated by a pinned golden (PinnedGoldens) — the
+    // codec path a DuckDB oracle cannot replay in SQL.
+    "m75_image_decode" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val png = udf((id: Long) => Multimodal.syntheticPng(id))
+      val media = s.range(0, 40)
+        .select(col("id").as("doc_id"), png(col("id")).as("payload"))
+      Multimodal.extractFeatures(media).toDF().orderBy(col("doc_id"))
     })
   )
 
