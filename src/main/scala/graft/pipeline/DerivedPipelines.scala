@@ -302,7 +302,12 @@ object DerivedPipelines {
         .filter(datediff(col("date"), lit("1970-01-01")).between(batch.start, batch.end))
 
     def commit(spark: SparkSession, batch: Batch, df: DataFrame): Unit =
-      df.repartition(col("date")).write.mode("append")
+      // dynamic partition overwrite, not append: a crashed-then-retried
+      // day batch REPLACES exactly the day partitions it writes, so
+      // re-running a committed day leaves one copy (the export analog
+      // of the replacing sink's _ingest_seq dedup)
+      df.repartition(col("date")).write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("date").parquet(targetPath)
   }
 }

@@ -114,20 +114,49 @@ object SqlPipeline {
   private def isUrl(dir: String): Boolean =
     dir.startsWith("http://") || dir.startsWith("https://")
 
+  /** Any non-http URI scheme (s3a://, gs://, hdfs://, file://, …) is
+    * resolved through the Hadoop FileSystem API — the deploy shape the
+    * reference gets from its OBJSTR_* object-store loader. */
+  private def isFsUrl(dir: String): Boolean =
+    !isUrl(dir) && dir.matches("^[A-Za-z][A-Za-z0-9+.-]*://.*")
+
   private def fetch(url: String): String = {
     val in = java.net.URI.create(url).toURL.openStream()
     try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
     finally in.close()
   }
 
-  /** Load pipeline.yaml + templates from a local dir OR an http(s) base
-    * URL — the reference loads configs from object storage
-    * (cmd/main.go:25 OBJSTR context, cmd/pipeline/pipeline.go:63-69).
-    * HTTP cannot list, so the template set is the yaml's own file
-    * references (stage files + Init.Setup) plus the standard probes —
-    * exactly the files the runtime ever renders. */
+  /** Read pipeline.yaml + every *.sql sibling via Hadoop FS (unlike
+    * http, object stores CAN list — same file set as the local loader).
+    * Uses the active session's hadoopConfiguration when one exists, so
+    * s3a credentials/endpoint config thread through untouched. */
+  private def loadFs(dir: String): (String, Map[String, String]) = {
+    val conf = SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val base = new org.apache.hadoop.fs.Path(dir.stripSuffix("/"))
+    val fs = base.getFileSystem(conf)
+    def read(p: org.apache.hadoop.fs.Path): String = {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    val templates = fs.listStatus(base).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".sql"))
+      .map(s => s.getPath.getName -> read(s.getPath)).toMap
+    (read(new org.apache.hadoop.fs.Path(base, "pipeline.yaml")), templates)
+  }
+
+  /** Load pipeline.yaml + templates from a local dir, an object-store /
+    * Hadoop-FS URL (s3a://…, file://…), OR an http(s) base URL — the
+    * reference loads configs from object storage (cmd/main.go:25
+    * OBJSTR context, cmd/pipeline/pipeline.go:63-69). HTTP cannot
+    * list, so there the template set is the yaml's own file references
+    * (stage files + Init.Setup) plus the standard probes — exactly the
+    * files the runtime ever renders. */
   def loadPipeline(dir: String): (String, Map[String, String]) =
-    if (isUrl(dir)) {
+    if (isFsUrl(dir)) loadFs(dir)
+    else if (isUrl(dir)) {
       val base = dir.stripSuffix("/")
       val yamlText = fetch(s"$base/pipeline.yaml")
       val config = PipelineConfig.parse(yamlText)
@@ -248,11 +277,19 @@ object SqlPipeline {
 
       def commit(spark: SparkSession, batch: PipelineRunner.Batch, df: DataFrame): Unit = {
         if (spec.isExport) {
-          // one directory per partition value, appended in batch order —
+          // one directory per partition value, committed in batch order —
           // the `partition by toDate(timestamp)` s3 insert of the
-          // reference's daily-export transform.sql
+          // reference's daily-export transform.sql. DYNAMIC partition
+          // overwrite (not append): a crashed-then-retried day batch
+          // REPLACES exactly the partitions it writes, so re-running a
+          // committed day leaves one copy — the export-mode analog of
+          // the replacing sink's _ingest_seq dedup; resume at
+          // max(date)+1 after a partial day no longer strands
+          // double-written rows
           df.repartition(org.apache.spark.sql.functions.col(spec.partitionCol))
-            .write.mode("append").partitionBy(spec.partitionCol).parquet(spec.path)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(spec.partitionCol).parquet(spec.path)
           return
         }
         // re-register over the PERSISTED buffer so commit SQL reads the
@@ -311,6 +348,14 @@ object SqlPipeline {
   * (cmd/pipeline/pipeline.go:43-159): vars from --var K=V and AGN_* env;
   * runs to tip once by default, --follow to keep tracking. */
 object PipelineMain {
+  /** Cluster deploy knob (reference RemoteEngine,
+    * internal/engine/impl/remote/remote_engine.go:10-45): SPARK_MASTER
+    * threads through to the session builder verbatim — `spark://…`,
+    * `yarn`, `k8s://…` — defaulting to local. Factored out so the
+    * cluster-config smoke test covers the exact resolution the CLI uses. */
+  private[pipeline] def resolveMaster(env: Map[String, String]): String =
+    env.getOrElse("SPARK_MASTER", "local[*]")
+
   def main(args: Array[String]): Unit = {
     var dir: Option[String] = None
     var vars = Templates.envVars()
@@ -338,7 +383,7 @@ object PipelineMain {
       sys.exit(2)
     }
     val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .master(resolveMaster(sys.env))
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
