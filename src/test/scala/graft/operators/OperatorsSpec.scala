@@ -120,6 +120,16 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // re-run: nothing new
     val r2 = PipelineRunner.run(spark, defn, PipelineRunner.Config(maxBatchSize = 1))
     assert(r2.batches == 0)
+    // crash/retry: re-committing an ALREADY-EXPORTED day must replace its
+    // partition, not append a second copy (dynamic partition overwrite —
+    // the export analog of the sink's _ingest_seq dedup)
+    val redo = PipelineRunner.Batch(0, day0, day0)
+    defn.commit(spark, redo, defn.transform(spark, redo))
+    val after = spark.read.parquet(dst)
+    assert(after.count() == 4, "retried day batch must not duplicate rows")
+    assert(after.filter(col("date") === "2024-01-01").count() == 2)
+    // ...and only the retried day's partition was touched
+    assert(after.select("date").distinct().count() == 2)
   }
 
   test("sequence packing: distributed prefix sum equals the global-window spec") {

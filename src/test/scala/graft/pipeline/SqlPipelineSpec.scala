@@ -310,6 +310,47 @@ class SqlPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.conf.get("spark.sql.session.timeZone") == before)
   }
 
+  test("pipeline config loads from a Hadoop-FS URL (object-store deploy shape)") {
+    register()
+    // file:// is resolved through the same Hadoop FileSystem API an
+    // s3a:// / gs:// deploy would hit (the reference's OBJSTR loader,
+    // cmd/main.go:25) — unlike http, the FS can LIST, so the template
+    // set matches the local loader's exactly
+    val absDir = new java.io.File(exampleDir).getAbsolutePath
+    val (localYaml, localTemplates) = SqlPipeline.loadPipeline(absDir)
+    val (fsYaml, fsTemplates) = SqlPipeline.loadPipeline(s"file://$absDir")
+    assert(fsYaml == localYaml)
+    assert(fsTemplates == localTemplates)
+    // and the whole pipeline runs end-to-end from the FS URL
+    val sinkPath = tmp("fs-blocks")
+    val res = SqlPipeline.run(spark, s"file://$absDir",
+      Map("RPC_ENDPOINT" -> "fake://chain?tip=20", "SINK_PATH" -> sinkPath),
+      c => c.copy(maxBatchSize = 7, workers = 2))
+    assert(res.items == 21)
+    assert(SinkTable(sinkPath, Seq("number"), Some("timestamp"))
+      .read(spark).count() == 21)
+  }
+
+  test("cluster config: spark:// master and s3a:// sink path thread through unchanged") {
+    // SPARK_MASTER is the reference's RemoteEngine knob
+    // (internal/engine/impl/remote/remote_engine.go:10-45) — the CLI
+    // must hand it to the session builder verbatim
+    assert(PipelineMain.resolveMaster(
+      Map("SPARK_MASTER" -> "spark://controller:7077")) == "spark://controller:7077")
+    assert(PipelineMain.resolveMaster(
+      Map("SPARK_MASTER" -> "k8s://https://api:6443")) == "k8s://https://api:6443")
+    assert(PipelineMain.resolveMaster(Map.empty) == "local[*]")
+    // an object-store sink path must reach the writer untouched (no
+    // local-path normalization): scheme, bucket, templated suffix intact
+    val spec = SqlPipeline.sinkSpec(
+      """Sink:
+        |  Path: "s3a://warehouse/eth/{{.TABLE}}"
+        |  Keys: number
+        |""".stripMargin, Map("TABLE" -> "blocks"))
+    assert(spec.path == "s3a://warehouse/eth/blocks")
+    assert(spec.table.path == "s3a://warehouse/eth/blocks")
+  }
+
   test("sink spec falls back to SINK_* vars when yaml has no Sink section") {
     val spec = SqlPipeline.sinkSpec("Batcher:\n  MaxBatchSize: 5\n",
       Map("SINK_PATH" -> "/tmp/x", "SINK_KEYS" -> "a, b", "SINK_VERSION" -> "ts"))
