@@ -39,7 +39,9 @@ object Bench {
     var load = loadAvg1()
     while (load > maxLoad && System.nanoTime() < deadline) {
       System.err.println(f"[bench] loadavg $load%.2f > $maxLoad%.2f - waiting for idle machine")
-      Thread.sleep(15000)
+      // never overshoot the wait budget by a full interval
+      Thread.sleep(math.min(15000L,
+        math.max(1L, (deadline - System.nanoTime()) / 1000000L)))
       load = loadAvg1()
     }
     if (load > maxLoad)
@@ -132,6 +134,11 @@ object Bench {
       name -> time(name, SparkEntry.queries(name))._1
     }
 
+    // load sampled AFTER the timed pass too: a contention spike that
+    // arrives mid-run (the round-3 88.9s-vs-35.4s artifact) is then
+    // visible from the JSON alone — load ≈ lanes is the engine itself,
+    // load >> lanes means external contention smeared the timings
+    val loadAfter = loadAvg1()
     val failed = results.filter(!_._3).map(_._1)
     def jmap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
@@ -141,7 +148,7 @@ object Bench {
       s""""isolated":${jmap(isolated)},""" +
       s""""failed":[${failed.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""sum_sec":${r3(results.map(_._2).sum)},""" +
-      s""""load":${r3(loadBefore)},""" +
+      s""""load":${r3(loadBefore)},"load_after":${r3(loadAfter)},""" +
       s""""lanes":$lanes,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
     println(json)
