@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact interpolated quantiles (the `quantile_cont` contract) as a
+  * two-pass histogram walk, replacing the built-in `percentile`
+  * aggregate on the hot path.
+  *
+  * `percentile` buffers every (distinct value → count) of a group in
+  * ONE aggregation buffer — a memory hazard on giant groups when the
+  * value column is near-unique (l_extendedprice: the buffer IS the
+  * group). Here the same exact result comes from shuffle-safe pieces:
+  *
+  *   1. histogram: groupBy (key, value) count — map-side combinable,
+  *      shuffle carries at most |distinct values| rows;
+  *   2. CDF: cumulative count over a per-key window ORDERED BY value —
+  *      a spillable SORT, not a buffer, so a near-unique column sorts
+  *      through disk instead of filling one task's heap;
+  *   3. pick: the rows whose rank interval brackets p*(n-1), linearly
+  *      interpolated in doubles — `lo + (hi - lo) * frac`, the same
+  *      formula Spark's percentile and DuckDB's quantile_cont use, so
+  *      results are bit-identical to both.
+  *
+  * Stays exact at any scale; the cost model is a sort per key (Spark
+  * windows spill) versus the built-in's O(distinct) driver-side-ish
+  * buffer per group. */
+object ExactQuantile {
+
+  /** One quantile per `keyCol` group: `p`-quantile of `valCol`,
+    * continuous interpolation. Output: keyCol, <outName>. */
+  def groupQuantile(df: DataFrame, keyCol: String, valCol: String,
+      p: Double, outName: String): DataFrame = {
+    val hist = df.groupBy(col(keyCol), col(valCol).cast("double").as("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("_v"))
+    // ranks covered by this value: [_hi - _c, _hi) in 0-based order
+    val cdf = hist
+      .withColumn("_hi", sum(col("_c")).over(w))
+      .withColumn("_n", sum(col("_c")).over(Window.partitionBy(col(keyCol))))
+      .withColumn("_r", lit(p) * (col("_n") - 1).cast("double"))
+      .withColumn("_lo_rank", floor(col("_r")).cast("long"))
+      .withColumn("_hi_rank", ceil(col("_r")).cast("long"))
+    val vLo = cdf.filter(col("_hi") - col("_c") <= col("_lo_rank") &&
+        col("_lo_rank") < col("_hi"))
+      .select(col(keyCol), col("_v").as("_vlo"), col("_r"))
+    val vHi = cdf.filter(col("_hi") - col("_c") <= col("_hi_rank") &&
+        col("_hi_rank") < col("_hi"))
+      .select(col(keyCol), col("_v").as("_vhi"))
+    vLo.join(vHi, keyCol)
+      .select(col(keyCol),
+        (col("_vlo") + (col("_vhi") - col("_vlo")) *
+          (col("_r") - floor(col("_r")))).as(outName))
+  }
+
+  /** Several (valCol, p) quantiles per key in one result row, joined on
+    * the key — each quantile is its own two-pass pipeline (different
+    * value columns sort independently anyway). */
+  def groupQuantiles(df: DataFrame, keyCol: String,
+      specs: Seq[(String, Double, String)]): DataFrame =
+    specs.map { case (valCol, p, outName) =>
+      groupQuantile(df, keyCol, valCol, p, outName)
+    }.reduce(_.join(_, keyCol))
+}

@@ -15,15 +15,24 @@ object TextDedup {
 
   /** Word k-shingles of a text column (k consecutive tokens joined by a
     * space). Empty array when the document has fewer than k tokens —
-    * guarded because Spark's `sequence(1, n)` would count DOWN for n<1. */
-  def wordShingles(text: Column, k: Int = 3): Column = {
-    val words = split(text, " ")
-    val n = size(words) - (k - 1)
-    when(n >= 1,
-      transform(sequence(lit(1), n),
-        i => concat_ws(" ", (0 until k).map(off => element_at(words, i + off)): _*)))
-      .otherwise(array().cast("array<string>"))
-  }
+    * guarded because Spark's `sequence(1, n)` would count DOWN for n<1.
+    *
+    * The split array is BOUND ONCE as a lambda variable (the
+    * one-element-array + transform + unwrap shape): higher-order
+    * function bodies are interpreted, not codegen'd, so a bare `split`
+    * subtree referenced k times inside the shingle lambda would
+    * re-split the full text for every token of every shingle —
+    * measured 6x on the t48 corpus scan. */
+  def wordShingles(text: Column, k: Int = 3): Column =
+    element_at(
+      transform(array(split(text, " ")), { words =>
+        val n = size(words) - (k - 1)
+        when(n >= 1,
+          transform(sequence(lit(1), n),
+            i => concat_ws(" ", (0 until k).map(off => element_at(words, i + off)): _*)))
+          .otherwise(array().cast("array<string>"))
+      }),
+      1)
 
   /** Exact dedup: group identical texts by content hash, keep the lowest
     * id as canonical. Single shuffle on the hash; map-side combine. */

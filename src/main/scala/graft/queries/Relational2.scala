@@ -46,13 +46,17 @@ object Relational2 extends QueryPack {
         .orderBy($"user_id")
     }),
 
+    // exact interpolated quantiles via the two-pass histogram walk
+    // (ExactQuantile): same bits as percentile/quantile_cont, but the
+    // near-unique price column flows through a spillable window sort
+    // instead of one giant in-memory aggregation buffer per group
     "q35_percentile" -> ((s, dir) => {
       import s.implicits._
-      t(s, dir, "lineitem")
-        .groupBy($"l_returnflag")
-        .agg(percentile($"l_quantity", lit(0.5)).as("median_qty"),
-          percentile($"l_extendedprice", lit(0.9)).as("p90_price"))
-        .orderBy($"l_returnflag")
+      graft.operators.ExactQuantile.groupQuantiles(
+          t(s, dir, "lineitem"), "l_returnflag",
+          Seq(("l_quantity", 0.5, "median_qty"),
+            ("l_extendedprice", 0.9, "p90_price")))
+        .repartition(1).sortWithinPartitions($"l_returnflag")
     }),
 
     "q36_regexp" -> ((s, dir) => {
@@ -161,7 +165,7 @@ object Relational2 extends QueryPack {
         .groupBy($"l_returnflag")
         .agg(kmv($"l_partkey".cast("string")).as("kmv_est"),
           count(lit(1)).as("exact_distinct"))
-        .orderBy($"l_returnflag")
+        .repartition(1).sortWithinPartitions($"l_returnflag")
     })
   )
 

@@ -46,8 +46,11 @@ object SimilarityOps extends QueryPack {
     // s42; deterministic md5 planes, so the oracle replays it exactly.
     "s46_cosine_dup_lsh" -> ((s, dir) => {
       import s.implicits._
+      // single-partition sort: the pair set is tiny, and a global
+      // orderBy's range sampling would re-execute the whole candidate
+      // pipeline just to pick boundaries for a handful of rows
       Similarity.cosineDupPairsLsh(t(s, dir, "embeddings"), 0.4, dim)
-        .orderBy($"id_a", $"id_b")
+        .repartition(1).sortWithinPartitions($"id_a", $"id_b")
     }),
 
     // IVF coarse quantization: every vector → nearest of 8 centroids.

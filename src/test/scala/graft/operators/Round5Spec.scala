@@ -169,6 +169,24 @@ class Round5Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stub.n_bytes == 16)
   }
 
+  test("two-pass exact quantile is bit-identical to the builtin percentile") {
+    import spark.implicits._
+    // adversarial shapes: dup-heavy ints, near-unique doubles, a
+    // single-row group, and a group where p*(n-1) is exactly integral
+    val r = new java.util.Random(7)
+    val rows = (0 until 5000).map { i =>
+      val k = if (i == 4999) "solo" else s"g${i % 3}"
+      (k, (r.nextInt(50) + 1).toDouble, r.nextDouble() * 1e5)
+    }
+    val df = rows.toDF("k", "qty", "price")
+    val got = ExactQuantile.groupQuantiles(df, "k",
+      Seq(("qty", 0.5, "median_qty"), ("price", 0.9, "p90_price")))
+    val want = df.groupBy($"k")
+      .agg(percentile($"qty", lit(0.5)).as("median_qty"),
+        percentile($"price", lit(0.9)).as("p90_price"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("kmv sorted-array kernel matches the naive reference sketch") {
     import graft.functions.KmvSketch
     val k = 32
