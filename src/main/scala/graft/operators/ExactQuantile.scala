@@ -42,13 +42,16 @@ object ExactQuantile {
       .withColumn("_r", lit(p) * (col("_n") - 1).cast("double"))
       .withColumn("_lo_rank", floor(col("_r")).cast("long"))
       .withColumn("_hi_rank", ceil(col("_r")).cast("long"))
-    val vLo = cdf.filter(col("_hi") - col("_c") <= col("_lo_rank") &&
-        col("_lo_rank") < col("_hi"))
-      .select(col(keyCol), col("_v").as("_vlo"), col("_r"))
-    val vHi = cdf.filter(col("_hi") - col("_c") <= col("_hi_rank") &&
-        col("_hi_rank") < col("_hi"))
-      .select(col(keyCol), col("_v").as("_vhi"))
-    vLo.join(vHi, keyCol)
+    // one pass picks BOTH bracketing values (at most 2 rows per key
+    // survive the filter) — separate vLo/vHi branches would re-scan the
+    // input and rebuild the histogram+window once per bound
+    def covers(rank: Column) =
+      col("_hi") - col("_c") <= rank && rank < col("_hi")
+    cdf.filter(covers(col("_lo_rank")) || covers(col("_hi_rank")))
+      .groupBy(col(keyCol))
+      .agg(max(when(covers(col("_lo_rank")), col("_v"))).as("_vlo"),
+        max(when(covers(col("_hi_rank")), col("_v"))).as("_vhi"),
+        first(col("_r")).as("_r"))
       .select(col(keyCol),
         (col("_vlo") + (col("_vhi") - col("_vlo")) *
           (col("_r") - floor(col("_r")))).as(outName))
