@@ -1,0 +1,86 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Empirical scaling sweep for the LLM-pipeline operators: run each op
+  * at N, 4N, 16N rows of synthetic data and report wall time + output
+  * size. The point is the GROWTH CURVE, not the absolute numbers — an
+  * operator whose time grows ~linearly (after the fixed job overhead)
+  * has no hidden quadratic; one that bends super-linear is a scale bug.
+  * Results are recorded in PLANS.md (Round 5 scaling evidence).
+  *
+  * Synthetic data is a pure function of the row id (java.util.Random
+  * seeded per id — the LCG sequence is JVM-spec-fixed), so runs are
+  * reproducible. ~3% of documents are near-duplicate mutations and 1%
+  * exact copies, so dedup ops have real work at every N. */
+object ScaleCheck {
+
+  def docs(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(0, n).map { id =>
+      val r = new java.util.Random(id % (n / 8 * 7)) // ~1/8 exact dups
+      val len = 40 + r.nextInt(80)
+      val words = Seq.fill(len)(s"w${r.nextInt(4000)}")
+      // ~3%: mutate a copy of another doc (near-dup for jaccard/minhash)
+      val text =
+        if (id % 31 == 0) {
+          val base = new java.util.Random(id / 31)
+          val blen = 40 + base.nextInt(80)
+          val bw = Array.fill(blen)(s"w${base.nextInt(4000)}")
+          bw(blen / 2) = "mutated"
+          bw.mkString(" ")
+        } else words.mkString(" ")
+      (id, text)
+    }.toDF("doc_id", "text")
+  }
+
+  def embs(spark: SparkSession, n: Int, dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    spark.range(0, n).map { id =>
+      val r = new java.util.Random(id % (n / 10 * 9)) // ~10% exact dups
+      (id, Seq.fill(dim)(r.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.map(_.toInt).getOrElse(30000)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "16g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(name: String, n: Int)(df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val cnt = df.count()
+      println(f"[scale] $name%-28s n=$n%9d  ${(System.nanoTime() - t0) / 1e9}%8.2f s  out=$cnt%10d")
+    }
+
+    for (mult <- Seq(1, 4, 16)) {
+      val n = base * mult
+      val d = docs(spark, n).persist()
+      val e = embs(spark, n / 4).persist()
+      d.count(); e.count() // materialize inputs outside the timings
+      run("exactDedup", n)(TextDedup.exactDedup(d, "doc_id", "text"))
+      run("minHashLshPairs", n)(TextDedup.minHashLshPairs(d, "doc_id", "text", 0.5))
+      run("simHashPairs", n)(TextDedup.simHashPairs(d, "doc_id", "text", 3))
+      run("contaminationOverlap", n)(TextDedup.contaminationOverlap(
+        d, "doc_id", "text", d.filter(col("doc_id") < 50), "text"))
+      run("ngramJaccardPairs(df500)", n)(TextDedup.ngramJaccardPairs(
+        d, "doc_id", "text", 0.5, maxDf = 500))
+      run("cosineDupPairsLsh", n / 4)(Similarity.cosineDupPairsLsh(e, 0.9, dim = 64))
+      run("semanticDupPairs", n / 4)(Similarity.semanticDupPairs(e, 0.9,
+        nCentroids = math.max(8, math.sqrt(n / 4).toInt / 2)))
+      run("packSequences", n)(TextAnalysis.packSequences(d, "doc_id", "text", 2048))
+      run("repetitionSignals", n)(TextAnalysis.repetitionSignals(d, "doc_id", "text"))
+      d.unpersist(); e.unpersist()
+    }
+    spark.stop()
+  }
+}

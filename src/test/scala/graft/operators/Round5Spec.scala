@@ -187,6 +187,20 @@ class Round5Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("repetition signals are per-ROW on duplicated doc_ids (canonical semantics)") {
+    import spark.implicits._
+    // same id, different texts: the fused kernel must emit one row per
+    // input row with THAT row's statistics — never pool grams across
+    // rows sharing an id (the documented precondition/divergence from
+    // the exploded spec, which groups by id)
+    val d = Seq((1L, "a a a a"), (1L, "b c d e"), (2L, "x y")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(d, "doc_id", "text")
+      .select($"doc_id", $"top_token_fraction").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(t => (t._1, t._2))
+    assert(out.length == 3, "one output row per input row")
+    assert(out.toSeq == Seq((1L, 0.25), (1L, 1.0), (2L, 0.5)))
+  }
+
   test("kmv sorted-array kernel matches the naive reference sketch") {
     import graft.functions.KmvSketch
     val k = 32
