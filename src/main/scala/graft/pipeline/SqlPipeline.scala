@@ -126,51 +126,67 @@ object SqlPipeline {
     finally in.close()
   }
 
-  /** Read pipeline.yaml + every *.sql sibling via Hadoop FS (unlike
-    * http, object stores CAN list — same file set as the local loader).
-    * Uses the active session's hadoopConfiguration when one exists, so
-    * s3a credentials/endpoint config thread through untouched. */
-  private def loadFs(dir: String): (String, Map[String, String]) = {
+  /** Read a file + every *.sql under the template base via Hadoop FS
+    * (unlike http, object stores CAN list — same file set as the local
+    * loader). Uses the active session's hadoopConfiguration when one
+    * exists, so s3a credentials/endpoint config thread through
+    * untouched. */
+  private def loadFs(base: String, yamlName: String, tmplBase: String)
+      : (String, Map[String, String]) = {
     val conf = SparkSession.getActiveSession
       .map(_.sparkContext.hadoopConfiguration)
       .getOrElse(new org.apache.hadoop.conf.Configuration())
-    val base = new org.apache.hadoop.fs.Path(dir.stripSuffix("/"))
-    val fs = base.getFileSystem(conf)
     def read(p: org.apache.hadoop.fs.Path): String = {
-      val in = fs.open(p)
+      val in = p.getFileSystem(conf).open(p)
       try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
       finally in.close()
     }
-    val templates = fs.listStatus(base).toSeq
+    val tmplDir = new org.apache.hadoop.fs.Path(tmplBase.stripSuffix("/"))
+    val templates = tmplDir.getFileSystem(conf).listStatus(tmplDir).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".sql"))
       .map(s => s.getPath.getName -> read(s.getPath)).toMap
-    (read(new org.apache.hadoop.fs.Path(base, "pipeline.yaml")), templates)
+    (read(new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(base.stripSuffix("/")), yamlName)), templates)
   }
 
-  /** Load pipeline.yaml + templates from a local dir, an object-store /
-    * Hadoop-FS URL (s3a://…, file://…), OR an http(s) base URL — the
-    * reference loads configs from object storage (cmd/main.go:25
-    * OBJSTR context, cmd/pipeline/pipeline.go:63-69). HTTP cannot
-    * list, so there the template set is the yaml's own file references
-    * (stage files + Init.Setup) plus the standard probes — exactly the
-    * files the runtime ever renders. */
-  def loadPipeline(dir: String): (String, Map[String, String]) =
-    if (isFsUrl(dir)) loadFs(dir)
-    else if (isUrl(dir)) {
-      val base = dir.stripSuffix("/")
-      val yamlText = fetch(s"$base/pipeline.yaml")
+  /** Load the pipeline yaml + templates from a local dir, an
+    * object-store / Hadoop-FS URL (s3a://…, file://…), OR an http(s)
+    * base URL — the reference loads configs from object storage
+    * (cmd/main.go:25 OBJSTR context, cmd/pipeline/pipeline.go:63-69).
+    *
+    * Reference CLI shape (cmd/pipeline/pipeline.go:50-85): `path` may
+    * be the yaml FILE itself — templates then come from its parent
+    * directory, overridable with `templatePath` (the `--template-path`
+    * flag). A directory path implies `pipeline.yaml` inside it.
+    *
+    * HTTP cannot list, so there the template set is the yaml's own
+    * file references (stage files + Init.Setup) plus the standard
+    * probes — exactly the files the runtime ever renders. */
+  def loadPipeline(path: String, templatePath: Option[String] = None)
+      : (String, Map[String, String]) = {
+    val norm = path.stripSuffix("/")
+    val (base, yamlName) =
+      if (norm.endsWith(".yaml") || norm.endsWith(".yml")) {
+        val slash = norm.lastIndexOf('/')
+        (if (slash < 0) "." else norm.substring(0, slash), norm.substring(slash + 1))
+      } else (norm, "pipeline.yaml")
+    val tmplBase = templatePath.map(_.stripSuffix("/")).getOrElse(base)
+    if (isFsUrl(base)) loadFs(base, yamlName, tmplBase)
+    else if (isUrl(base)) {
+      val yamlText = fetch(s"$base/$yamlName")
       val config = PipelineConfig.parse(yamlText)
       val names = (config.steps.collect { case s: PipelineConfig.Stage => s.files }
         .flatten ++ config.setupFiles ++ Seq("start.sql", "tip.sql")).distinct
       val templates = names.flatMap { n =>
-        try Some(n -> fetch(s"$base/$n"))
+        try Some(n -> fetch(s"$tmplBase/$n"))
         catch { case _: java.io.FileNotFoundException => None }
       }.toMap
       (yamlText, templates)
     } else {
-      (java.nio.file.Files.readString(java.nio.file.Paths.get(dir, "pipeline.yaml")),
-        Templates.loadDir(dir))
+      (java.nio.file.Files.readString(java.nio.file.Paths.get(base, yamlName)),
+        Templates.loadDir(tmplBase))
     }
+  }
 
   /** Per-stage settings scope — the reference's ClickhouseSettings
     * (stage.go:88-90). The runner ALSO wraps transform+materialization
@@ -183,9 +199,11 @@ object SqlPipeline {
   private def withConf[T](spark: SparkSession, conf: Map[String, String])(body: => T): T =
     PipelineRunner.withSessionConf(spark, conf)(body)
 
-  /** Build a PipelineRunner.Definition from a pipeline directory. */
-  def definition(dir: String, vars: Map[String, String]): PipelineRunner.Definition = {
-    val (yamlText, templates) = loadPipeline(dir)
+  /** Build a PipelineRunner.Definition from a pipeline directory (or
+    * direct yaml path — see loadPipeline). */
+  def definition(dir: String, vars: Map[String, String],
+      templatePath: Option[String] = None): PipelineRunner.Definition = {
+    val (yamlText, templates) = loadPipeline(dir, templatePath)
     val config = PipelineConfig.parse(yamlText)
     val spec = sinkSpec(yamlText, vars)
     val sinkTab = spec.table
@@ -327,19 +345,20 @@ object SqlPipeline {
     * on scoped per-stage settings — the Spark analog of the reference
     * giving every pipeline its own ClickHouse connection context. */
   def run(spark: SparkSession, dir: String, vars: Map[String, String],
-      overrides: PipelineRunner.Config => PipelineRunner.Config = identity)
+      overrides: PipelineRunner.Config => PipelineRunner.Config = identity,
+      templatePath: Option[String] = None)
       : PipelineRunner.Result = {
     val session = spark.newSession()
     // function registrations are session-state; re-register in the child
     graft.functions.EvmFunctions.registerAll(session)
     graft.functions.HexExpressions.registerAll(session)
-    val (yamlText, templates) = loadPipeline(dir)
+    val (yamlText, templates) = loadPipeline(dir, templatePath)
     val config = PipelineConfig.parse(yamlText)
     config.sparkConf.foreach { case (k, v) => session.conf.set(k, v) }
     config.setupFiles.foreach { f =>
       templates.get(f).foreach(t => session.sql(Templates.render(t, vars)))
     }
-    PipelineRunner.runWithRetry(session, definition(dir, vars),
+    PipelineRunner.runWithRetry(session, definition(dir, vars, templatePath),
       overrides(config.toRunnerConfig))
   }
 }
@@ -363,6 +382,7 @@ object PipelineMain {
     var forceStart: Option[Long] = None
     var stopAfter: Option[Long] = None
     var promPort = 9999 // reference default (cmd/pipeline/pipeline.go:104)
+    var templatePath: Option[String] = None // --template-path flag parity
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -373,13 +393,14 @@ object PipelineMain {
         case "--stop-after-batches" => stopAfter = Some(args(i + 1).toLong); i += 2
         case "--prom-port" => promPort = args(i + 1).toInt; i += 2
         case "--no-prom" => promPort = -1; i += 1
+        case "--template-path" => templatePath = Some(args(i + 1)); i += 2
         case other => dir = Some(other); i += 1
       }
     }
     val d = dir.getOrElse {
       System.err.println(
-        "usage: PipelineMain <dir> [--var K=V]... [--follow] " +
-          "[--force-start N] [--stop-after-batches N]")
+        "usage: PipelineMain <dir|pipeline.yaml> [--var K=V]... [--follow] " +
+          "[--force-start N] [--stop-after-batches N] [--template-path DIR]")
       sys.exit(2)
     }
     val spark = SparkSession.builder()
@@ -403,7 +424,8 @@ object PipelineMain {
       c => c.copy(followTip = follow, forceStart = forceStart,
         stopAfterBatches = stopAfter,
         // --follow is daemon semantics: keep polling through stalls
-        maxIdlePolls = if (follow) Long.MaxValue else 1))
+        maxIdlePolls = if (follow) Long.MaxValue else 1),
+      templatePath)
     println(s"[pipeline] batches=${res.batches} items=${res.items} " +
       f"items/sec=${res.itemsPerSec}%.1f")
     prom.foreach(_.stop())

@@ -74,7 +74,13 @@ object RenderSql {
     }
     val glob = filter.map(f =>
       java.nio.file.FileSystems.getDefault.getPathMatcher(s"glob:$f"))
-    Templates.loadDir(d).toSeq.sortBy(_._1).foreach { case (name, tmpl) =>
+    // URL-shaped paths (s3a://…, file://…, http://…) resolve through the
+    // pipeline loader, like the reference render's objstr LoadTemplates
+    // (cmd/render/render.go:34); bare paths stay a plain dir listing
+    val templates =
+      if (d.matches("^[A-Za-z][A-Za-z0-9+.-]*://.*")) SqlPipeline.loadPipeline(d)._2
+      else Templates.loadDir(d)
+    templates.toSeq.sortBy(_._1).foreach { case (name, tmpl) =>
       if (glob.forall(_.matches(java.nio.file.Paths.get(name)))) {
         println(s"-- $name")
         println(Templates.render(tmpl, vars))

@@ -321,6 +321,15 @@ class SqlPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (fsYaml, fsTemplates) = SqlPipeline.loadPipeline(s"file://$absDir")
     assert(fsYaml == localYaml)
     assert(fsTemplates == localTemplates)
+    // reference CLI shape: the path may be the yaml FILE itself
+    // (templates from its parent dir), and --template-path overrides
+    // the template dir independently of the yaml location
+    val (yamlDirect, tmplDirect) =
+      SqlPipeline.loadPipeline(s"file://$absDir/pipeline.yaml")
+    assert(yamlDirect == localYaml && tmplDirect == localTemplates)
+    val (yamlTp, tmplTp) = SqlPipeline.loadPipeline(
+      s"$absDir/pipeline.yaml", templatePath = Some(absDir))
+    assert(yamlTp == localYaml && tmplTp == localTemplates)
     // and the whole pipeline runs end-to-end from the FS URL
     val sinkPath = tmp("fs-blocks")
     val res = SqlPipeline.run(spark, s"file://$absDir",
