@@ -375,7 +375,14 @@ object Similarity {
   def cosineDupPairsLsh(corpus: DataFrame, threshold: Double, dim: Int,
       nBits: Int = 0, tables: Int = 4, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val bits = if (nBits > 0) nBits else deriveSrpBits(corpus.count())
+    // the bucket count is a PLANNING input (the plan's shape depends on
+    // it, like AQE's stats): prefer Catalyst's row-count statistic when
+    // the source carries one, else a metadata-only count job — never a
+    // data scan either way
+    val bits =
+      if (nBits > 0) nBits
+      else deriveSrpBits(corpus.queryExecution.optimizedPlan.stats.rowCount
+        .map(_.toLong).getOrElse(corpus.count()))
     // norms once per VECTOR, not per pair — the verify join then does
     // one dot product per candidate (same doubles, 3x less work)
     val base = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
