@@ -29,6 +29,19 @@ final case class PipelineConfig(
       maxBatchSize = maxBatchSize,
       workers = fetchWorkers,
       tipPollIntervalMs = tipPollIntervalMs)
+
+  /** Env-var config overrides, the reference's cnf AGN_ provider
+    * (cmd/pipeline/pipeline.go:63-69 `env.NewEnvProvider("AGN")`): a
+    * deploy tunes batching without editing the yaml. Names follow the
+    * reference struct paths — AGN_BATCHER_MAXBATCHSIZE
+    * (internal/pipeline/batcher.go:12), AGN_TIPTRACKER_POLLINTERVAL
+    * (internal/pipeline/tip_tracker.go:16, duration syntax). */
+  def withEnvOverrides(env: Map[String, String] = sys.env): PipelineConfig =
+    copy(
+      maxBatchSize = env.get("AGN_BATCHER_MAXBATCHSIZE")
+        .map(_.trim.toLong).getOrElse(maxBatchSize),
+      tipPollIntervalMs = env.get("AGN_TIPTRACKER_POLLINTERVAL")
+        .map(PipelineConfig.parseDuration).getOrElse(tipPollIntervalMs))
 }
 
 object PipelineConfig {

@@ -353,7 +353,7 @@ object SqlPipeline {
     graft.functions.EvmFunctions.registerAll(session)
     graft.functions.HexExpressions.registerAll(session)
     val (yamlText, templates) = loadPipeline(dir, templatePath)
-    val config = PipelineConfig.parse(yamlText)
+    val config = PipelineConfig.parse(yamlText).withEnvOverrides()
     config.sparkConf.foreach { case (k, v) => session.conf.set(k, v) }
     config.setupFiles.foreach { f =>
       templates.get(f).foreach(t => session.sql(Templates.render(t, vars)))

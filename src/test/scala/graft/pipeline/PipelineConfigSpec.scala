@@ -57,4 +57,15 @@ class PipelineConfigSpec extends AnyFunSuite {
     assert(PipelineConfig.parseDuration("1h") == 3600000)
     assert(PipelineConfig.parseDuration("250ms") == 250)
   }
+  test("AGN_ env vars override batcher/tip config (reference cnf provider)") {
+    val c = PipelineConfig.parse("Batcher:\n  MaxBatchSize: 100\n")
+    val o = c.withEnvOverrides(Map(
+      "AGN_BATCHER_MAXBATCHSIZE" -> "250",
+      "AGN_TIPTRACKER_POLLINTERVAL" -> "30s"))
+    assert(o.maxBatchSize == 250)
+    assert(o.tipPollIntervalMs == 30000)
+    // no env -> untouched
+    assert(c.withEnvOverrides(Map.empty) == c)
+  }
+
 }
