@@ -29,10 +29,13 @@ import org.apache.spark.sql.functions._
 object ExactQuantile {
 
   /** One quantile per `keyCol` group: `p`-quantile of `valCol`,
-    * continuous interpolation. Output: keyCol, <outName>. */
+    * continuous interpolation. Output: keyCol, <outName>. NULL values
+    * are ignored (the percentile contract); a group whose values are
+    * ALL null still appears, with a null quantile. */
   def groupQuantile(df: DataFrame, keyCol: String, valCol: String,
       p: Double, outName: String): DataFrame = {
-    val hist = df.groupBy(col(keyCol), col(valCol).cast("double").as("_v"))
+    val hist = df.filter(col(valCol).isNotNull)
+      .groupBy(col(keyCol), col(valCol).cast("double").as("_v"))
       .agg(count(lit(1)).as("_c"))
     val w = Window.partitionBy(col(keyCol)).orderBy(col("_v"))
     // ranks covered by this value: [_hi - _c, _hi) in 0-based order
@@ -47,7 +50,7 @@ object ExactQuantile {
     // input and rebuild the histogram+window once per bound
     def covers(rank: Column) =
       col("_hi") - col("_c") <= rank && rank < col("_hi")
-    cdf.filter(covers(col("_lo_rank")) || covers(col("_hi_rank")))
+    val picked = cdf.filter(covers(col("_lo_rank")) || covers(col("_hi_rank")))
       .groupBy(col(keyCol))
       .agg(max(when(covers(col("_lo_rank")), col("_v"))).as("_vlo"),
         max(when(covers(col("_hi_rank")), col("_v"))).as("_vhi"),
@@ -55,6 +58,10 @@ object ExactQuantile {
       .select(col(keyCol),
         (col("_vlo") + (col("_vhi") - col("_vlo")) *
           (col("_r") - floor(col("_r")))).as(outName))
+    // all-null groups have no histogram rows; left-join from the key
+    // set so they surface with a null quantile, exactly as percentile
+    // emits them (and so groupQuantiles' join cannot drop the group)
+    df.select(col(keyCol)).distinct().join(picked, Seq(keyCol), "left")
   }
 
   /** Several (valCol, p) quantiles per key in one result row, joined on

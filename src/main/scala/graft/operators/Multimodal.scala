@@ -28,8 +28,13 @@ object Multimodal {
   private def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
     if (!sniffImage(payload)) None
     else
+      // NonFatal, not just IOException: the JDK GIF/BMP/JPEG readers
+      // throw runtime exceptions (AIOOBE, NegativeArraySize, IAE) on
+      // malformed headers, and the sniff is only 2-8 magic bytes —
+      // arbitrary binary that happens to start with "BM"/"GIF8" must
+      // fall back to the stub path, never fail the task
       try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
-      catch { case _: java.io.IOException => None } // corrupt image → stub path
+      catch { case scala.util.control.NonFatal(_) => None }
 
   /** BT.601 integer luma plane of a decoded image, row-major — integer
     * arithmetic on lossless-decoded pixels, so deterministic across

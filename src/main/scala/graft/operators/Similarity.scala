@@ -129,7 +129,11 @@ object Similarity {
         val p = planes(j)
         var dot = 0.0
         var i = 0
-        while (i < dim) { dot += v(i).toDouble * p(i); i += 1 }
+        // min(dim, |v|): a vector shorter than the declared dim hashes
+        // on its own components instead of crashing the task (the skew
+        // guard calls this with a caller-supplied dim)
+        val lim = math.min(dim, v.length)
+        while (i < lim) { dot += v(i).toDouble * p(i); i += 1 }
         if (dot >= 0) bucket |= (1L << j)
         j += 1
       }
@@ -349,11 +353,20 @@ object Similarity {
     val kept = keyed.groupBy(col("tbl"), col("bucket"))
       .agg(collect_list(col("vec_id")).as("ds"))
       .filter(size(col("ds")) >= 2)
-    val ds = array_sort(col("ds"))
-    kept.select(explode(flatten(transform(ds, (x, i) =>
-        transform(slice(ds, i + lit(2), greatest(size(ds) - i - 1, lit(0))),
-          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+    // bind the SORTED list once as a lambda variable (the wordShingles
+    // trick): HOF bodies are interpreted, so a bare array_sort subtree
+    // inside the pair lambda would re-sort the posting list per element
+    val pairs = element_at(transform(array(array_sort(col("ds"))), { sds =>
+      flatten(transform(sds, (x, i) =>
+        transform(slice(sds, i + lit(2), greatest(size(sds) - i - 1, lit(0))),
+          y => struct(x.as("id_a"), y.as("id_b")))))
+    }), 1)
+    kept.select(explode(pairs).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      // a duplicated vec_id puts equal ids adjacent in the sorted list;
+      // the old strict `x.vec_id < y.vec_id` join never emitted (a,a)
+      // self-pairs, so neither do we
+      .filter(col("id_a") =!= col("id_b"))
       .distinct()
   }
 
@@ -376,13 +389,12 @@ object Similarity {
       nBits: Int = 0, tables: Int = 4, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // the bucket count is a PLANNING input (the plan's shape depends on
-    // it, like AQE's stats): prefer Catalyst's row-count statistic when
-    // the source carries one, else a metadata-only count job — never a
-    // data scan either way
-    val bits =
-      if (nBits > 0) nBits
-      else deriveSrpBits(corpus.queryExecution.optimizedPlan.stats.rowCount
-        .map(_.toLong).getOrElse(corpus.count()))
+    // it): an EXACT count, not Catalyst's stats.rowCount — under CBO
+    // that statistic can be a filter-selectivity estimate, which would
+    // silently diverge from the oracle's count(*)-based derivation and
+    // from the constant-occupancy contract. Parquet counts are
+    // metadata-only, so this never scans data.
+    val bits = if (nBits > 0) nBits else deriveSrpBits(corpus.count())
     // norms once per VECTOR, not per pair — the verify join then does
     // one dot product per candidate (same doubles, 3x less work)
     val base = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
@@ -406,7 +418,11 @@ object Similarity {
     * shuffle key). Complements `cosineDupPairsLsh`: k-means clusters
     * give coherent semantic buckets where SRP gives random directional
     * ones. Recall is bounded by cluster purity — near-dups split across
-    * a cluster boundary are missed, the documented SemDeDup trade. */
+    * a cluster boundary are missed, the documented SemDeDup trade.
+    *
+    * `dim` sizes the skew guard's SRP planes; pass the embedding length
+    * (shorter vectors hash on their own components, longer ones on the
+    * first `dim`). */
   def semanticDupPairs(corpus: DataFrame, threshold: Double, nCentroids: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding",
       dim: Int = 64, maxCluster: Int = 5000): DataFrame = {

@@ -231,7 +231,10 @@ object TextDedup {
     // one pass AND truncates lineage, so the banded signatures can be
     // freed immediately and no recompute can reach back through the
     // join; its blocks are reclaimed with the DataFrame, unlike the
-    // persist+count() it replaces, which leaked the cache entry
+    // persist+count() it replaces, which leaked the cache entry.
+    // Trade: truncated lineage means a lost executor cannot recompute
+    // its blocks — on a preemptible cluster, set a reliable checkpoint
+    // dir and swap to checkpoint(), same shape
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -281,7 +284,11 @@ object TextDedup {
     val probeSh = shingleHashIndex(
       probes.select(lit(0L).as("_pid"), col(probeTextCol)), "_pid", probeTextCol, k)
       .select(col("shingle")).distinct().withColumn("_hit", lit(1))
-    corpusSh.join(broadcast(probeSh), Seq("shingle"), "left")
+    // no forced broadcast hint: eval benchmarks are tiny so AQE promotes
+    // the join to broadcast on its own, but a caller decontaminating
+    // against a LARGE probe corpus still gets a shuffle join instead of
+    // a driver-OOM-ing mandatory broadcast
+    corpusSh.join(probeSh, Seq("shingle"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"), count(col("_hit")).as("n_contaminated"))
       .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),

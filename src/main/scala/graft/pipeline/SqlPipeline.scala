@@ -131,23 +131,31 @@ object SqlPipeline {
     * loader). Uses the active session's hadoopConfiguration when one
     * exists, so s3a credentials/endpoint config thread through
     * untouched. */
-  private def loadFs(base: String, yamlName: String, tmplBase: String)
-      : (String, Map[String, String]) = {
-    val conf = SparkSession.getActiveSession
+  private def hadoopConf: org.apache.hadoop.conf.Configuration =
+    SparkSession.getActiveSession
       .map(_.sparkContext.hadoopConfiguration)
       .getOrElse(new org.apache.hadoop.conf.Configuration())
-    def read(p: org.apache.hadoop.fs.Path): String = {
-      val in = p.getFileSystem(conf).open(p)
-      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-      finally in.close()
-    }
-    val tmplDir = new org.apache.hadoop.fs.Path(tmplBase.stripSuffix("/"))
-    val templates = tmplDir.getFileSystem(conf).listStatus(tmplDir).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".sql"))
-      .map(s => s.getPath.getName -> read(s.getPath)).toMap
-    (read(new org.apache.hadoop.fs.Path(
-      new org.apache.hadoop.fs.Path(base.stripSuffix("/")), yamlName)), templates)
+
+  private def readFs(p: org.apache.hadoop.fs.Path): String = {
+    val in = p.getFileSystem(hadoopConf).open(p)
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
   }
+
+  /** List + read every *.sql under a Hadoop-FS URL — shared by the
+    * pipeline loader and RenderSql (which needs no pipeline.yaml). */
+  private[pipeline] def listFsTemplates(tmplBase: String): Map[String, String] = {
+    val tmplDir = new org.apache.hadoop.fs.Path(tmplBase.stripSuffix("/"))
+    tmplDir.getFileSystem(hadoopConf).listStatus(tmplDir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".sql"))
+      .map(s => s.getPath.getName -> readFs(s.getPath)).toMap
+  }
+
+  private def loadFs(base: String, yamlName: String, tmplBase: String)
+      : (String, Map[String, String]) =
+    (readFs(new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(base.stripSuffix("/")), yamlName)),
+      listFsTemplates(tmplBase))
 
   /** Load the pipeline yaml + templates from a local dir, an
     * object-store / Hadoop-FS URL (s3a://…, file://…), OR an http(s)

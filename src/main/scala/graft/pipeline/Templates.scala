@@ -74,11 +74,16 @@ object RenderSql {
     }
     val glob = filter.map(f =>
       java.nio.file.FileSystems.getDefault.getPathMatcher(s"glob:$f"))
-    // URL-shaped paths (s3a://…, file://…, http://…) resolve through the
-    // pipeline loader, like the reference render's objstr LoadTemplates
-    // (cmd/render/render.go:34); bare paths stay a plain dir listing
+    // URL-shaped paths (s3a://…, file://…) list *.sql via Hadoop FS,
+    // like the reference render's objstr LoadTemplates
+    // (cmd/render/render.go:34) — no pipeline.yaml required, matching
+    // the local dir listing; http(s) cannot list, so there the set
+    // derives from the pipeline config
     val templates =
-      if (d.matches("^[A-Za-z][A-Za-z0-9+.-]*://.*")) SqlPipeline.loadPipeline(d)._2
+      if (d.startsWith("http://") || d.startsWith("https://"))
+        SqlPipeline.loadPipeline(d)._2
+      else if (d.matches("^[A-Za-z][A-Za-z0-9+.-]*://.*"))
+        SqlPipeline.listFsTemplates(d)
       else Templates.loadDir(d)
     templates.toSeq.sortBy(_._1).foreach { case (name, tmpl) =>
       if (glob.forall(_.matches(java.nio.file.Paths.get(name)))) {

@@ -176,8 +176,11 @@ class Round5Spec extends AnyFunSuite with BeforeAndAfterAll {
     val r = new java.util.Random(7)
     val rows = (0 until 5000).map { i =>
       val k = if (i == 4999) "solo" else s"g${i % 3}"
-      (k, (r.nextInt(50) + 1).toDouble, r.nextDouble() * 1e5)
-    }
+      // sprinkle NULLs (ignored by the percentile contract) and one
+      // all-null group (must surface with a null quantile, not vanish)
+      val qty: java.lang.Double = if (i % 17 == 0) null else (r.nextInt(50) + 1).toDouble
+      (k, qty, r.nextDouble() * 1e5)
+    } :+ (("allnull", null: java.lang.Double, 1.0))
     val df = rows.toDF("k", "qty", "price")
     val got = ExactQuantile.groupQuantiles(df, "k",
       Seq(("qty", 0.5, "median_qty"), ("price", 0.9, "p90_price")))
