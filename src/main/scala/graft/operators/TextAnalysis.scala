@@ -273,6 +273,65 @@ object TextAnalysis {
         pmod(col("start_token"), lit(capacity.toLong)).as("chunk_offset"))
   }
 
+  /** Per-(doc, token) occurrence counts with the corpus-wide term
+    * frequency (`tf`) and document frequency (`df`) attached via ONE
+    * window over the token partition — no self-join, no second scan of
+    * the exploded token stream. Shuffle shape at scale: explode →
+    * hash-agg on (doc_id, token) with map-side combine (the only
+    * pass over the raw tokens) → one exchange on token for the window.
+    * Hot stopword tokens skew the token partition; AQE's skew handling
+    * applies, and the windowed frame is distinct (doc, token) pairs —
+    * already vocabulary×docs-bounded, far smaller than the token
+    * stream itself. */
+  private def docTokenFreq(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val byToken = org.apache.spark.sql.expressions.Window.partitionBy("token")
+    docs.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+      .withColumn("tf", sum("c").over(byToken))
+      .withColumn("df", count(lit(1)).over(byToken))
+  }
+
+  /** Corpus-frequency rarity profile per document: how common are this
+    * document's tokens in the whole corpus? Training-data pipelines use
+    * this as a quality/novelty signal (high hapax fraction ≈ unusual or
+    * noisy text; high average term frequency ≈ boilerplate). All
+    * outputs derive from integer counts — the two ratios are single
+    * IEEE divisions of exact longs, so results are bit-stable across
+    * engines (no float sums, no logs). */
+  def unigramRarity(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docTokenFreq(docs, idCol, textCol)
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"),
+        sum(col("c") * col("tf")).as("sum_tf"),
+        sum(when(col("tf") === 1L, col("c")).otherwise(0L)).as("n_hapax"),
+        min("tf").as("min_tf"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("sum_tf").cast("double") / col("n_tokens")).as("avg_tf"),
+        (col("n_hapax").cast("double") / col("n_tokens")).as("hapax_frac"),
+        col("min_tf"))
+
+  /** Top-k terms per document by a TF-IDF-style score. To stay
+    * bit-stable across engines the idf is kept rational: score =
+    * tf·N/df computed as one long multiply (exact below 2^53) followed
+    * by ONE double division — no log, no float accumulation. Ties
+    * break on the token string, so the top-k set is deterministic.
+    * row_number is a per-doc window; the frame entering it is the
+    * (doc, token) tf table, not the token stream. */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = docTokenFreq(docs, idCol, textCol)
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", (col("c") * col("n_docs")).cast("double") / col("df"))
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("token"))
+    scored.withColumn("rank", row_number().over(byDoc))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("token"), col("c").as("tf_doc"),
+        col("df"), col("score"), col("rank"))
+  }
+
   /** Content-defined document fingerprint: md5 over the sorted distinct
     * token set — stable under token reordering, engine-portable. */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =

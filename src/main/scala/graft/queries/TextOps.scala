@@ -173,6 +173,18 @@ object TextOps extends QueryPack {
       TextDedup.contaminationOverlap(docs, "doc_id", "text",
           docs.filter($"doc_id" < 5), "text")
         .orderBy($"doc_id")
+    }),
+
+    "t49_unigram_rarity" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.unigramRarity(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy($"doc_id")
+    }),
+
+    "t50_tfidf_topterms" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", 3)
+        .orderBy($"doc_id", $"rank")
     })
   )
 
@@ -432,6 +444,32 @@ object TextOps extends QueryPack {
           ok_symbol_ratio,
           ok_token_count AND ok_mean_token_len AND ok_stopwords
             AND ok_symbol_ratio AS keep
-        FROM sig ORDER BY doc_id"""
+        FROM sig ORDER BY doc_id""",
+    "t49_unigram_rarity" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents),
+        td AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY doc_id, token),
+        wt AS (SELECT doc_id, c, sum(c) OVER (PARTITION BY token) AS tf FROM td)
+        SELECT doc_id,
+          CAST(sum(c) AS BIGINT) AS n_tokens,
+          CAST(CAST(sum(c * tf) AS BIGINT) AS DOUBLE) / CAST(sum(c) AS BIGINT)
+            AS avg_tf,
+          CAST(CAST(sum(CASE WHEN tf = 1 THEN c ELSE 0 END) AS BIGINT) AS DOUBLE)
+            / CAST(sum(c) AS BIGINT) AS hapax_frac,
+          CAST(min(tf) AS BIGINT) AS min_tf
+        FROM wt GROUP BY doc_id ORDER BY doc_id""",
+    "t50_tfidf_topterms" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents),
+        td AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY doc_id, token),
+        wt AS (SELECT doc_id, token, c,
+            CAST(count(*) OVER (PARTITION BY token) AS BIGINT) AS df FROM td),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (SELECT doc_id, token, c AS tf_doc, df,
+            CAST(c * n_docs AS DOUBLE) / df AS score FROM wt, n),
+        ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, token) AS INTEGER) AS rank FROM scored)
+        SELECT doc_id, token, tf_doc, df, score, rank
+        FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank"""
   )
 }

@@ -286,6 +286,33 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one.subsetOf(four), "tables union only adds candidates")
   }
 
+  test("unigram rarity: hand-computed corpus, ratios exact") {
+    import spark.implicits._
+    // corpus tf: a=3 (docs 1,2), b=2, c=1 (hapax), d=1 (hapax)
+    val tiny = Seq((1L, "a b a c"), (2L, "a b d")).toDF("doc_id", "text")
+    val r = TextAnalysis.unigramRarity(tiny, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // doc 1: tokens a,b,a,c → tf 3,2,3,1; sum_tf=9, hapax c → 1/4
+    assert(r(0).getLong(1) == 4 && r(0).getDouble(2) == 9.0 / 4 &&
+      r(0).getDouble(3) == 1.0 / 4 && r(0).getLong(4) == 1L)
+    // doc 2: a,b,d → tf 3,2,1; sum_tf=6, hapax d → 1/3
+    assert(r(1).getLong(1) == 3 && r(1).getDouble(2) == 2.0 &&
+      r(1).getDouble(3) == 1.0 / 3 && r(1).getLong(4) == 1L)
+  }
+
+  test("tfidf top terms: rare tokens outrank common, ties break on token") {
+    import spark.implicits._
+    val tiny = Seq((1L, "x x common rare"), (2L, "common common y")).toDF("doc_id", "text")
+    val r = TextAnalysis.tfidfTopTerms(tiny, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rank").collect()
+    // doc 1: x tf=2 df=1 score=4; rare tf=1 df=1 score=2; common tf=1 df=2 score=1
+    assert(r(0).getString(1) == "x" && r(0).getDouble(4) == 4.0)
+    assert(r(1).getString(1) == "rare" && r(1).getDouble(4) == 2.0)
+    // doc 2: common tf=2 df=2 score=2; y tf=1 df=1 score=2 — tie, token order
+    assert(r(2).getString(1) == "common" && r(3).getString(1) == "y")
+    assert(r.forall(_.getInt(5) <= 2))
+  }
+
   test("ivf k-means training monotonically reduces quantization cost") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val (cents, costs) = graft.operators.Similarity.ivfTrain(emb, k = 8, iters = 4)
