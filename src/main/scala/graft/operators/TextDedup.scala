@@ -296,6 +296,53 @@ object TextDedup {
           .as("contaminated_fraction"))
   }
 
+  /** Duplicated-substring coverage (the exact-substring dedup signal
+    * from Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better"): hash every k-token window, mark windows whose
+    * exact text occurs ≥2 times anywhere in the corpus (including
+    * within one document), and report per document the fraction of its
+    * tokens covered by the UNION of duplicated windows — the quantity
+    * substring dedup would remove.
+    *
+    * Shape at scale: the split array binds once per row; windows
+    * shuffle as 8-byte xxhash64 keys (never strings) for the one
+    * corpus-wide occurrence-count window; surviving (duplicated)
+    * windows — a small subset — flow to a per-doc interval-union
+    * window (running max of window end over start order) and one
+    * aggregation. Hot window hashes (boilerplate) skew the hash
+    * partition; AQE's skew handling applies, and nothing quadratic
+    * exists anywhere: cost is windows-in, duplicated-windows out. */
+  def dupSubstringCoverage(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("tk"))
+    val winType = "array<struct<start:bigint,wh:bigint>>"
+    val wins = base.select(col("doc_id"),
+      explode(when(size(col("tk")) >= k,
+          transform(sequence(lit(1), size(col("tk")) - (k - 1)),
+            i => struct((i - 1).cast("long").as("start"),
+              xxhash64(concat_ws(" ", slice(col("tk"), i, lit(k)))).as("wh"))))
+        .otherwise(array().cast(winType))).as("w"))
+      .select(col("doc_id"), col("w.start").as("start"), col("w.wh").as("wh"))
+    val dup = wins
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("wh")))
+      .filter(col("cnt") >= 2)
+    val byDoc = Window.partitionBy("doc_id").orderBy("start")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val covered = dup
+      .withColumn("prev_end", max(col("start") + k).over(byDoc))
+      .withColumn("add", greatest(lit(0L), col("start") + k -
+        greatest(col("start"), coalesce(col("prev_end"), lit(0L)))))
+      .groupBy("doc_id").agg(sum("add").as("covered_tokens"))
+    base.select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        (coalesce(col("covered_tokens"), lit(0L)).cast("double") /
+          col("n_tokens")).as("dup_coverage"))
+  }
+
   /** 64-bit SimHash over whitespace tokens: each token votes its md5
     * bits; the sign of each bit-position sum forms the fingerprint.
     * Pure Scala UDF (md5 via MessageDigest) — deterministic. */

@@ -185,6 +185,12 @@ object TextOps extends QueryPack {
       import s.implicits._
       TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", 3)
         .orderBy($"doc_id", $"rank")
+    }),
+
+    "t51_dup_substring" -> ((s, dir) => {
+      import s.implicits._
+      TextDedup.dupSubstringCoverage(t(s, dir, "documents"), "doc_id", "text", 8)
+        .orderBy($"doc_id")
     })
   )
 
@@ -470,6 +476,28 @@ object TextOps extends QueryPack {
         ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
             ORDER BY score DESC, token) AS INTEGER) AS rank FROM scored)
         SELECT doc_id, token, tf_doc, df, score, rank
-        FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank"""
+        FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""",
+    // t51: the oracle keys windows by the window STRING where Spark uses
+    // xxhash64 of it — identical counts barring 64-bit collisions (the
+    // same portability trick t48's oracle uses for shingles)
+    "t51_dup_substring" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        win AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS start,
+            array_to_string(tk[i:i+7], ' ') AS g
+          FROM w, LATERAL (SELECT unnest(range(1, greatest(len(tk) - 7, 0) + 1)) AS i)),
+        dup AS (SELECT doc_id, start FROM (
+          SELECT doc_id, start, count(*) OVER (PARTITION BY g) AS cnt FROM win)
+          WHERE cnt >= 2),
+        cov AS (SELECT doc_id, greatest(0, (start + 8) - greatest(start,
+            coalesce(max(start + 8) OVER (PARTITION BY doc_id ORDER BY start
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))) AS adds
+          FROM dup),
+        agg AS (SELECT doc_id, CAST(sum(adds) AS BIGINT) AS covered_tokens
+          FROM cov GROUP BY doc_id)
+        SELECT w.doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+          COALESCE(agg.covered_tokens, 0) AS covered_tokens,
+          CAST(COALESCE(agg.covered_tokens, 0) AS DOUBLE) / len(tk)
+            AS dup_coverage
+        FROM w LEFT JOIN agg ON w.doc_id = agg.doc_id ORDER BY w.doc_id"""
   )
 }

@@ -45,7 +45,10 @@ object ScaleCheck {
   }
 
   def main(args: Array[String]): Unit = {
-    val base = args.headOption.map(_.toInt).getOrElse(30000)
+    val base = args.headOption.filter(_.forall(_.isDigit)).map(_.toInt).getOrElse(30000)
+    // optional further args: only run ops whose name contains one of them
+    val only = args.filterNot(_.forall(_.isDigit))
+    def wanted(name: String): Boolean = only.isEmpty || only.exists(name.contains)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -56,7 +59,7 @@ object ScaleCheck {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def run(name: String, n: Int)(df: => DataFrame): Unit = {
+    def run(name: String, n: Int)(df: => DataFrame): Unit = if (wanted(name)) {
       val t0 = System.nanoTime()
       val cnt = df.count()
       println(f"[scale] $name%-28s n=$n%9d  ${(System.nanoTime() - t0) / 1e9}%8.2f s  out=$cnt%10d")
@@ -79,6 +82,13 @@ object ScaleCheck {
         nCentroids = math.max(8, math.sqrt(n / 4).toInt / 2)))
       run("packSequences", n)(TextAnalysis.packSequences(d, "doc_id", "text", 2048))
       run("repetitionSignals", n)(TextAnalysis.repetitionSignals(d, "doc_id", "text"))
+      run("unigramRarity", n)(TextAnalysis.unigramRarity(d, "doc_id", "text"))
+      run("tfidfTopTerms", n)(TextAnalysis.tfidfTopTerms(d, "doc_id", "text", 3))
+      // the filter references the join output — without it count() lets
+      // Catalyst eliminate the unique-key left join (and the whole
+      // dup-detection pipeline behind it) and the timing measures nothing
+      run("dupSubstringCoverage", n)(TextDedup.dupSubstringCoverage(d, "doc_id", "text", 8)
+        .filter(col("covered_tokens") >= 0))
       d.unpersist(); e.unpersist()
     }
     spark.stop()

@@ -313,6 +313,23 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.forall(_.getInt(5) <= 2))
   }
 
+  test("dup substring coverage: overlapping windows merge, within-doc repeats count") {
+    import spark.implicits._
+    val nine = "a b c d e f g h i" // 9-token run shared by docs 1 and 2
+    val tiny = Seq(
+      (1L, s"$nine x1 x2 x3"),          // 12 tokens, covered 0..8 → 9/12
+      (2L, s"y1 $nine"),                // 10 tokens, covered 1..9 → 9/10
+      (3L, "m1 m2 m3 m4 m5 m6 m7 m8 m1 m2 m3 m4 m5 m6 m7 m8"), // self-repeat → 16/16
+      (4L, "u1 u2 u3 u4 u5 u6 u7 u8 u9"), // unique → 0
+      (5L, "short doc")                  // < k tokens → 0 windows, 0 coverage
+    ).toDF("doc_id", "text")
+    val r = TextDedup.dupSubstringCoverage(tiny, "doc_id", "text", 8)
+      .orderBy("doc_id").collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq == Seq(
+      (1L, 12L, 9L), (2L, 10L, 9L), (3L, 16L, 16L), (4L, 9L, 0L), (5L, 2L, 0L)))
+    assert(r(0).getDouble(3) == 9.0 / 12 && r(2).getDouble(3) == 1.0)
+  }
+
   test("ivf k-means training monotonically reduces quantization cost") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val (cents, costs) = graft.operators.Similarity.ivfTrain(emb, k = 8, iters = 4)
