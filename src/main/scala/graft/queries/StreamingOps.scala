@@ -82,6 +82,39 @@ object StreamingOps extends QueryPack {
         .orderBy(col("user_id"), col("start_s"))
     }),
 
+    // Streaming ingest dedup: the same file lands TWICE (the
+    // re-delivery / crash-retry shape a scraped-corpus ingest sees);
+    // maxFilesPerTrigger=1 forces the copies into different
+    // micro-batches so dropDuplicates must dedup across batches via
+    // the state store, not within one batch. The memory sink then
+    // holds each event exactly once and a batch aggregation over it
+    // must equal the plain batch oracle on the single-copy table. At
+    // scale the same plan runs with dropDuplicatesWithinWatermark so
+    // state is evicted past the re-delivery horizon; the unbounded
+    // form here keeps the oracle exact.
+    "st65_stream_dedup" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val name = "st65_out"
+      val staged = java.nio.file.Files.createTempDirectory("graft-stream-dedup")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        staged.resolve("a.parquet"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        staged.resolve("b.parquet"))
+      val stream = s.readStream.schema(eventsRawSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged.toString)
+        .dropDuplicates("event_id")
+      val q = stream.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+      s.table(name)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // Chain pipeline catches up as the tip advances — pinned golden.
     "st63_tip_catchup" -> ((s, _) => {
       import graft.pipeline.{EthereumPipelines, PipelineRunner, SinkTable}
@@ -157,6 +190,13 @@ object StreamingOps extends QueryPack {
         COUNT(*) AS n,
         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         FROM events GROUP BY 1, 2 ORDER BY day_start, event_type""",
+    // st65 ingests every event twice (two staged copies of the file);
+    // the oracle aggregates the single-copy table — equality holds only
+    // if the streaming dedup state dropped the second delivery.
+    "st65_stream_dedup" ->
+      """SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events GROUP BY event_type ORDER BY event_type""",
     "st62_sessionize" ->
       """WITH ev AS (
           -- Spark reads the NANOS parquet truncated to microseconds
