@@ -224,4 +224,38 @@ class Round5Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(agg.merge(b2, b1).hashes.toSeq == naive)
     assert(merged.hashes.length == k)
   }
+
+  test("dup substring coverage matches a brute-force reference on random corpora") {
+    import spark.implicits._
+    // tiny vocab so k-token windows genuinely repeat across random docs
+    val rnd = new scala.util.Random(20260812L)
+    val k = 4
+    for (round <- 0 until 3) {
+      val docs = (0 until 60).map { id =>
+        val len = 2 + rnd.nextInt(20) // includes docs shorter than k
+        (id.toLong, Seq.fill(len)(s"v${rnd.nextInt(5)}").mkString(" "))
+      }
+      // brute force: window multiset over all docs, then interval union
+      val all = docs.flatMap { case (id, text) =>
+        val tk = text.split(" ", -1)
+        (0 to tk.length - k).map(i => (id, i, tk.slice(i, i + k).mkString(" ")))
+      }
+      val counts = all.groupBy(_._3).view.mapValues(_.size).toMap
+      val expected = docs.map { case (id, text) =>
+        val n = text.split(" ", -1).length
+        val spans = all.filter(w => w._1 == id && counts(w._3) >= 2)
+          .map(w => (w._2, w._2 + k)).sortBy(_._1)
+        val covered = spans.foldLeft((0L, 0)) { case ((acc, reach), (s, e)) =>
+          (acc + math.max(0, e - math.max(s, reach)), math.max(reach, e))
+        }._1
+        (id, n.toLong, covered)
+      }.sortBy(_._1)
+      val got = TextDedup.dupSubstringCoverage(
+          docs.toDF("doc_id", "text"), "doc_id", "text", k)
+        .orderBy("doc_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == expected, s"round $round diverged from brute force")
+    }
+  }
 }
