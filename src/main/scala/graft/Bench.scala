@@ -117,7 +117,22 @@ object Bench {
     val pipePool =
       if (pipeLanes < 1) pool
       else java.util.concurrent.Executors.newFixedThreadPool(pipeLanes)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Longest-first submission (LPT makespan heuristic): alphabetical
+    // order put the multi-batch exports and streaming queries at the
+    // END of their pools, so the wall was "everything else" + a late
+    // heavy tail. The list is a static cost hint from measured lane
+    // times, not a timing input — unknown names just sort after it.
+    val heavyFirst = Seq(
+      "e68_config_daily_export", "e69_config_decoded_logs_export",
+      "e67_config_erc20_balances", "e66_config_decoded_traces",
+      "e62_config_derived", "e63_config_transactions", "e56_blocks_pipeline",
+      "st64_stream_session_window", "st61_stream_window", "st65_stream_dedup",
+      "t38_minhash_lsh_pairs", "t39_simhash_pairs", "t42_dedup_resolve",
+      "t41_dedup_clusters", "s46_cosine_dup_lsh", "t48_decontaminate"
+    ).zipWithIndex.toMap
+    val results = SparkEntry.queries.toSeq
+      .sortBy { case (n, _) => (heavyFirst.getOrElse(n, Int.MaxValue), n) }
+      .map { case (name, fn) =>
       val isPipe = pipelineQueries(name)
       val p = if (isPipe) pipePool else pool
       name -> p.submit(new java.util.concurrent.Callable[(Double, Boolean)] {
