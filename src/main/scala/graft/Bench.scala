@@ -101,7 +101,9 @@ object Bench {
     // multi-batch commit barriers; running six of them at once smears
     // every lane timing (round-2: 10-20s lane vs 1-2s isolated), so they
     // get a dedicated 2-wide pool while pure queries share the rest.
-    val lanes = sys.env.getOrElse("SPARK_GRAFT_BENCH_LANES", "8").toInt
+    // 10 measured best on local[32] with the LPT ordering (19.9s wall vs
+    // 23.8s at 8 and 21.9s at 12); more lanes thrash the FAIR scheduler
+    val lanes = sys.env.getOrElse("SPARK_GRAFT_BENCH_LANES", "10").toInt
     val pipelineQueries = Set("e56_blocks_pipeline", "e59_erc20_balances",
       "e60_decoded_logs_variant", "e61_config_pipeline", "e62_config_derived",
       "e63_config_transactions", "e64_config_logs", "e65_config_traces",
