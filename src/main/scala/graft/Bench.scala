@@ -112,7 +112,8 @@ object Bench {
       "st63_tip_catchup")
     // lanes=1 degenerates to one shared single-thread pool (a 0-thread
     // pipe pool is both invalid and pointless)
-    val pipeLanes = math.min(3, lanes - 1)
+    val pipeLanes = math.min(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PIPE_LANES", "3").toInt, lanes - 1)
     val wall0 = System.nanoTime()
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.max(1, lanes - math.max(0, pipeLanes)))
