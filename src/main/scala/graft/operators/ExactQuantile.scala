@@ -19,9 +19,13 @@ import org.apache.spark.sql.functions._
   *      a spillable SORT, not a buffer, so a near-unique column sorts
   *      through disk instead of filling one task's heap;
   *   3. pick: the rows whose rank interval brackets p*(n-1), linearly
-  *      interpolated in doubles — `lo + (hi - lo) * frac`, the same
-  *      formula Spark's percentile and DuckDB's quantile_cont use, so
-  *      results are bit-identical to both.
+  *      interpolated in doubles as `lo*(1-frac) + hi*frac` — DuckDB's
+  *      quantile_cont operation order, so results are bit-identical to
+  *      the oracle. (Spark's builtin percentile computes
+  *      `lo + (hi-lo)*frac`, which can differ in the final ulp — e.g.
+  *      lo=93277.08, hi=93315.21, frac=0.10000000000013642 gives
+  *      ...89300000001 additive vs ...893 lerp; the builtin agrees to
+  *      1e-12 relative but not always bit-for-bit.)
   *
   * Stays exact at any scale; the cost model is a sort per key (Spark
   * windows spill) versus the built-in's O(distinct) driver-side-ish
@@ -55,9 +59,10 @@ object ExactQuantile {
       .agg(max(when(covers(col("_lo_rank")), col("_v"))).as("_vlo"),
         max(when(covers(col("_hi_rank")), col("_v"))).as("_vhi"),
         first(col("_r")).as("_r"))
-      .select(col(keyCol),
-        (col("_vlo") + (col("_vhi") - col("_vlo")) *
-          (col("_r") - floor(col("_r")))).as(outName))
+      .select(col(keyCol), {
+        val frac = col("_r") - floor(col("_r"))
+        (col("_vlo") * (lit(1.0) - frac) + col("_vhi") * frac).as(outName)
+      })
     // all-null groups have no histogram rows; left-join from the key
     // set so they surface with a null quantile, exactly as percentile
     // emits them (and so groupQuantiles' join cannot drop the group)

@@ -169,7 +169,7 @@ class Round5Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stub.n_bytes == 16)
   }
 
-  test("two-pass exact quantile is bit-identical to the builtin percentile") {
+  test("two-pass exact quantile matches the builtin percentile (1 ulp) and DuckDB's lerp exactly") {
     import spark.implicits._
     // adversarial shapes: dup-heavy ints, near-unique doubles, a
     // single-row group, and a group where p*(n-1) is exactly integral
@@ -184,10 +184,32 @@ class Round5Spec extends AnyFunSuite with BeforeAndAfterAll {
     val df = rows.toDF("k", "qty", "price")
     val got = ExactQuantile.groupQuantiles(df, "k",
       Seq(("qty", 0.5, "median_qty"), ("price", 0.9, "p90_price")))
+      .orderBy("k").collect()
+    // builtin percentile interpolates lo+(hi-lo)*f; we use DuckDB's
+    // lo*(1-f)+hi*f (the oracle's operation order, sf0.001-caught) —
+    // mathematically equal, so the two agree to the final ulp
     val want = df.groupBy($"k")
       .agg(percentile($"qty", lit(0.5)).as("median_qty"),
         percentile($"price", lit(0.9)).as("p90_price"))
-    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+      .orderBy("k").collect()
+    def ulpEq(a: java.lang.Double, b: java.lang.Double): Boolean =
+      (a == null && b == null) ||
+        (a != null && b != null && math.abs(a - b) <= math.ulp(b))
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getString(0) == w.getString(0))
+      assert(ulpEq(g.getAs[java.lang.Double](1), w.getAs[java.lang.Double](1)), s"qty ${g} vs ${w}")
+      assert(ulpEq(g.getAs[java.lang.Double](2), w.getAs[java.lang.Double](2)), s"price ${g} vs ${w}")
+    }
+    // and exact-bit equality with the lerp reference on the raw values
+    val priceByKey = rows.groupBy(_._1).map { case (k, rs) => k -> rs.map(_._3).sorted }
+    for ((k, vs) <- priceByKey if k != "allnull") {
+      val rr = 0.9 * (vs.length - 1)
+      val (lo, hi) = (vs(rr.toInt), vs(math.ceil(rr).toInt))
+      val f = rr - math.floor(rr)
+      val exp = lo * (1 - f) + hi * f
+      val gotV = got.find(_.getString(0) == k).get.getDouble(2)
+      assert(gotV == exp, s"$k: $gotV != $exp")
+    }
   }
 
   test("repetition signals are per-ROW on duplicated doc_ids (canonical semantics)") {
