@@ -147,8 +147,13 @@ object Bench {
       val isPipe = pipelineQueries(name)
       val p = if (isPipe) pipePool else pool
       name -> p.submit(new java.util.concurrent.Callable[(Double, Boolean)] {
+        // per-query pools for the pipeline family: FAIR schedules
+        // ACROSS pools but FIFO within one, so a single shared "pipe"
+        // pool serialized the three exports' many tiny jobs behind
+        // each other; one pool per query lets each pipeline's job
+        // stream proceed at its own pace
         def call(): (Double, Boolean) =
-          time(name, fn, if (isPipe) "pipe" else "default")
+          time(name, fn, if (isPipe) s"pipe-$name" else "default")
       })
     }.map { case (name, fut) => val (sec, ok) = fut.get(); (name, sec, ok) }
     pool.shutdown(); pipePool.shutdown()
