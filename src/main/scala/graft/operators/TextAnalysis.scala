@@ -24,6 +24,27 @@ object TextAnalysis {
       length(col(textCol)).as("n_chars"))
   }
 
+  /** GPT-2-shaped pretokenizer pattern: contraction suffix, space-
+    * prefixed letter runs, digit runs, punctuation runs, residual
+    * spaces. Restricted to constructs with identical semantics in Java
+    * regex (Spark) and RE2 (DuckDB) — no lookaround, no \p classes —
+    * so the oracle replays it verbatim. */
+  private val bpePretokenPattern = "'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
+  /** BPE-style pretokenizer counts — the regex-sharded token estimate
+    * real tokenizers (GPT-2/tiktoken family) apply before merges, a
+    * closer proxy for training-token cost than whitespace words. Pure
+    * per-row expressions, no shuffle; ratios are exact integer counts
+    * through one IEEE division. */
+  def bpePretokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = regexp_extract_all(col(textCol), lit(bpePretokenPattern), lit(0))
+    docs.select(col(idCol).as("doc_id"),
+      size(toks).as("n_pretokens"),
+      size(array_distinct(toks)).as("n_distinct_pretokens"),
+      (aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x)
+        .cast("double") / size(toks)).as("mean_pretoken_len"))
+  }
+
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
   /** Quality signals: punctuation ratio, stopword ratio, mean token

@@ -191,6 +191,12 @@ object TextOps extends QueryPack {
       import s.implicits._
       TextDedup.dupSubstringCoverage(t(s, dir, "documents"), "doc_id", "text", 8)
         .orderBy($"doc_id")
+    }),
+
+    "t52_bpe_pretokens" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.bpePretokenStats(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy($"doc_id")
     })
   )
 
@@ -498,6 +504,17 @@ object TextOps extends QueryPack {
           COALESCE(agg.covered_tokens, 0) AS covered_tokens,
           CAST(COALESCE(agg.covered_tokens, 0) AS DOUBLE) / len(tk)
             AS dup_coverage
-        FROM w LEFT JOIN agg ON w.doc_id = agg.doc_id ORDER BY w.doc_id"""
+        FROM w LEFT JOIN agg ON w.doc_id = agg.doc_id ORDER BY w.doc_id""",
+    "t52_bpe_pretokens" ->
+      """WITH p AS (SELECT doc_id,
+          regexp_extract_all(text,
+            '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +') AS toks
+        FROM documents)
+        SELECT doc_id,
+          len(toks) AS n_pretokens,
+          len(list_distinct(toks)) AS n_distinct_pretokens,
+          CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+            / len(toks) AS mean_pretoken_len
+        FROM p ORDER BY doc_id"""
   )
 }

@@ -330,6 +330,15 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(0).getDouble(3) == 9.0 / 12 && r(2).getDouble(3) == 1.0)
   }
 
+  test("bpe pretokenizer: contractions, digits, punctuation split as GPT-2-shaped runs") {
+    import spark.implicits._
+    val tiny = Seq((1L, "don't stop, now 42!")).toDF("doc_id", "text")
+    val r = TextAnalysis.bpePretokenStats(tiny, "doc_id", "text").collect()(0)
+    // pretokens: don / 't / ( stop) / , / ( now) / ( 42) / !  → 7
+    assert(r.getInt(1) == 7 && r.getInt(2) == 7)
+    assert(r.getDouble(3) == 19.0 / 7)
+  }
+
   test("ivf k-means training monotonically reduces quantization cost") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val (cents, costs) = graft.operators.Similarity.ivfTrain(emb, k = 8, iters = 4)
