@@ -197,6 +197,37 @@ object TextOps extends QueryPack {
       import s.implicits._
       TextAnalysis.bpePretokenStats(t(s, dir, "documents"), "doc_id", "text")
         .orderBy($"doc_id")
+    }),
+
+    // The flagship curation composition — the end-to-end shape a
+    // training-data pipeline actually runs, chained from the operators
+    // above: exact dedup → decontamination screen (vs the doc_id<5
+    // probe set, which drops the probes themselves at fraction 1.0) →
+    // Gopher quality gate → deterministic split + token counts. Every
+    // stage is the same operator its standalone query gates, so the
+    // composite checks INTEROP (column contracts, join keys), not new
+    // math.
+    "t53_curate_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val keep = TextDedup.exactDedup(docs, "doc_id", "text")
+        .select($"keep_id".as("doc_id"))
+      val deduped = docs.join(keep, Seq("doc_id"), "left_semi")
+      val clean = TextDedup.contaminationOverlap(deduped, "doc_id", "text",
+          docs.filter($"doc_id" < 5), "text")
+        .filter($"contaminated_fraction" <= 0.5)
+        .select($"doc_id")
+      val gated = TextAnalysis.gopherQualityFlags(deduped, "doc_id", "text",
+          minTokens = 10, maxMeanLen = 6.0)
+        .filter($"keep").select($"doc_id")
+      val survivors = deduped
+        .join(clean, Seq("doc_id"), "left_semi")
+        .join(gated, Seq("doc_id"), "left_semi")
+      TextAnalysis.deterministicSplit(survivors, "doc_id")
+        .select($"doc_id", $"split")
+        .join(TextAnalysis.tokenStats(survivors, "doc_id", "text")
+          .select($"doc_id", $"n_tokens"), "doc_id")
+        .orderBy($"doc_id")
     })
   )
 
@@ -515,6 +546,40 @@ object TextOps extends QueryPack {
           len(list_distinct(toks)) AS n_distinct_pretokens,
           CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
             / len(toks) AS mean_pretoken_len
-        FROM p ORDER BY doc_id"""
+        FROM p ORDER BY doc_id""",
+    "t53_curate_pipeline" ->
+      """WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        d AS (SELECT doc_id, text FROM documents
+          WHERE doc_id IN (SELECT doc_id FROM keep)),
+        w AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM d),
+        sh AS (SELECT DISTINCT doc_id, g FROM (
+          SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk)-2,0)+1),
+            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g FROM w)),
+        probe AS (SELECT DISTINCT g FROM (
+          SELECT unnest(list_transform(range(1, greatest(len(tk)-2,0)+1),
+            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+          FROM (SELECT string_split(text, ' ') AS tk FROM documents WHERE doc_id < 5))),
+        per AS (SELECT s.doc_id, count(*) AS n_sh, count(p.g) AS n_hit
+          FROM sh s LEFT JOIN probe p ON s.g = p.g GROUP BY s.doc_id),
+        clean AS (SELECT doc_id FROM per WHERE CAST(n_hit AS DOUBLE)/n_sh <= 0.5),
+        q AS (SELECT doc_id FROM (SELECT doc_id,
+            len(tk) BETWEEN 10 AND 100000 AS ok1,
+            CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)/len(tk)
+              BETWEEN 2.0 AND 6.0 AS ok2,
+            len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is'))) >= 1 AS ok3,
+            CAST(length(regexp_replace(text, '[^#…|<>{}]', '', 'g')) AS DOUBLE)
+              / length(text) <= 0.1 AS ok4
+          FROM w) WHERE ok1 AND ok2 AND ok3 AND ok4),
+        surv AS (SELECT w.doc_id, w.tk FROM w
+          JOIN clean ON w.doc_id = clean.doc_id
+          JOIN q ON w.doc_id = q.doc_id)
+        SELECT doc_id,
+          CASE WHEN bucket < 80 THEN 'train'
+               WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+          len(tk) AS n_tokens
+        FROM (SELECT doc_id, tk,
+          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100
+            AS bucket FROM surv)
+        ORDER BY doc_id"""
   )
 }
