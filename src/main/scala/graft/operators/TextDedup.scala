@@ -312,22 +312,62 @@ object TextDedup {
     * aggregation. Hot window hashes (boilerplate) skew the hash
     * partition; AQE's skew handling applies, and nothing quadratic
     * exists anywhere: cost is windows-in, duplicated-windows out. */
+  /** Fused per-doc window-hash kernel (the t46 precedent: interpreted
+    * HOF bodies re-evaluate per element; a compiled loop is ~50x
+    * cheaper): FNV-1a-64 each token ONCE, then combine the k token
+    * hashes per window — O(chars + windows·k) long ops per doc. The
+    * hash is engine-internal (the oracle keys on the window STRING),
+    * so the function choice only has to be deterministic and
+    * collision-sparse; 64 bits gives ~n²/2⁶⁵ collision odds, the same
+    * budget shingleHashIndex documents. */
+  private val windowHashKernel =
+    udf((text: String, k: Int) => {
+      if (text == null) Seq.empty[(Long, Long)]
+      else {
+        val tk = text.split(" ", -1)
+        val n = tk.length - k + 1
+        if (n <= 0) Seq.empty[(Long, Long)]
+        else {
+          val th = new Array[Long](tk.length)
+          var j = 0
+          while (j < tk.length) {
+            var h = 0xcbf29ce484222325L
+            val s = tk(j)
+            var c = 0
+            while (c < s.length) { h ^= s.charAt(c); h *= 0x100000001b3L; c += 1 }
+            th(j) = h
+            j += 1
+          }
+          (0 until n).map { i =>
+            var h = 0xcbf29ce484222325L
+            var w = i
+            while (w < i + k) { h ^= th(w); h *= 0x100000001b3L; w += 1 }
+            (i.toLong, h)
+          }
+        }
+      }
+    })
+
   def dupSubstringCoverage(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = docs.select(col(idCol).as("doc_id"),
       split(col(textCol), " ").as("tk"))
-    val winType = "array<struct<start:bigint,wh:bigint>>"
-    val wins = base.select(col("doc_id"),
-      explode(when(size(col("tk")) >= k,
-          transform(sequence(lit(1), size(col("tk")) - (k - 1)),
-            i => struct((i - 1).cast("long").as("start"),
-              xxhash64(concat_ws(" ", slice(col("tk"), i, lit(k)))).as("wh"))))
-        .otherwise(array().cast(winType))).as("w"))
-      .select(col("doc_id"), col("w.start").as("start"), col("w.wh").as("wh"))
-    val dup = wins
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("wh")))
-      .filter(col("cnt") >= 2)
+    val wins = docs.select(col(idCol).as("doc_id"),
+        explode(windowHashKernel(col(textCol), lit(k))).as("w"))
+      .select(col("doc_id"), col("w._1").as("start"), col("w._2").as("wh"))
+      // both the occurrence count and the join probe read this frame;
+      // materialize the (narrow: doc_id, start, wh) rows once instead
+      // of running the explode+hash twice (minHashLshPairs precedent)
+      .localCheckpoint(true)
+    // duplicated-window detection as hash-agg + semi-join, NOT a
+    // count-over-hash window: the window form sorts every window
+    // occurrence by hash; the aggregate combines map-side and the join
+    // probe side is only the (small) duplicated-hash set, which AQE
+    // broadcasts when it fits
+    val dupWh = wins.groupBy("wh").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select("wh")
+    val dup = wins.join(dupWh, Seq("wh"), "left_semi")
     val byDoc = Window.partitionBy("doc_id").orderBy("start")
       .rowsBetween(Window.unboundedPreceding, -1)
     val covered = dup
