@@ -115,6 +115,35 @@ object StreamingOps extends QueryPack {
         .orderBy(col("event_type"))
     }),
 
+    // Streaming ingest quality gate: the documents table flows through
+    // gopherQualityFlags as a STREAM (pure per-row expressions — the
+    // stateless map every streaming curation pipeline starts with);
+    // the memory sink's gate decisions aggregate to exactly the batch
+    // oracle. Demonstrates the text operators compose with readStream
+    // unchanged — same Column expressions, same results.
+    "st66_stream_quality_gate" -> ((s, dir) => {
+      val name = "st66_out"
+      val staged = java.nio.file.Files.createTempDirectory("graft-stream-gate")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/documents.parquet"),
+        staged.resolve("documents.parquet"))
+      val docsSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val stream = graft.operators.TextAnalysis.gopherQualityFlags(
+        s.readStream.schema(docsSchema).parquet(staged.toString),
+        "doc_id", "text", minTokens = 10, maxMeanLen = 6.0)
+      val q = stream.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+      s.table(name)
+        .groupBy(col("keep"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("ok_stopwords"), 1L).otherwise(0L)).as("n_ok_stopwords"))
+        .orderBy(col("keep"))
+    }),
+
     // Chain pipeline catches up as the tip advances — pinned golden.
     "st63_tip_catchup" -> ((s, _) => {
       import graft.pipeline.{EthereumPipelines, PipelineRunner, SinkTable}
@@ -197,6 +226,22 @@ object StreamingOps extends QueryPack {
       """SELECT event_type, COUNT(*) AS n,
         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         FROM events GROUP BY event_type ORDER BY event_type""",
+    // st66 streams documents through the gate; the oracle replays the
+    // t47 gate batch-side and aggregates the decisions.
+    "st66_stream_quality_gate" ->
+      """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
+        sig AS (SELECT doc_id,
+          len(tk) BETWEEN 10 AND 100000 AS ok1,
+          CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / len(tk)
+            BETWEEN 2.0 AND 6.0 AS ok2,
+          len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is'))) >= 1
+            AS ok3,
+          CAST(length(regexp_replace(text, '[^#…|<>{}]', '', 'g')) AS DOUBLE)
+            / length(text) <= 0.1 AS ok4
+          FROM w)
+        SELECT (ok1 AND ok2 AND ok3 AND ok4) AS keep, COUNT(*) AS n,
+          CAST(SUM(CASE WHEN ok3 THEN 1 ELSE 0 END) AS BIGINT) AS n_ok_stopwords
+        FROM sig GROUP BY 1 ORDER BY keep""",
     "st62_sessionize" ->
       """WITH ev AS (
           -- Spark reads the NANOS parquet truncated to microseconds
