@@ -247,6 +247,42 @@ class Round5Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(merged.hashes.length == k)
   }
 
+  test("unigram rarity and tfidf match brute-force references on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77L)
+    val docs = (0 until 50).map { id =>
+      (id.toLong, Seq.fill(3 + rnd.nextInt(12))(s"w${rnd.nextInt(8)}").mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val corpusTf = docs.flatMap(_._2.split(" ", -1)).groupBy(identity).view.mapValues(_.size).toMap
+    // rarity: per doc, avg corpus-tf over token instances + hapax fraction
+    val rar = TextAnalysis.unigramRarity(df, "doc_id", "text").orderBy("doc_id").collect()
+    docs.foreach { case (id, text) =>
+      val tk = text.split(" ", -1)
+      val r = rar(id.toInt)
+      assert(r.getLong(1) == tk.length)
+      assert(r.getDouble(2) == tk.map(corpusTf(_).toLong).sum.toDouble / tk.length)
+      assert(r.getDouble(3) == tk.count(corpusTf(_) == 1).toDouble / tk.length)
+      assert(r.getLong(4) == tk.map(corpusTf(_).toLong).min)
+    }
+    // tfidf: top-3 by tf*N/df with token tie-break
+    val df50 = docs.flatMap { case (id, text) =>
+      text.split(" ", -1).distinct.map(t => (t, id)) }
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    val got = TextAnalysis.tfidfTopTerms(df, "doc_id", "text", 3)
+      .orderBy("doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(4))).toSeq
+    val want = docs.flatMap { case (id, text) =>
+      val tk = text.split(" ", -1)
+      tk.groupBy(identity).view.mapValues(_.size).toSeq
+        .map { case (t, c) => (t, c.toLong * docs.size / df50(t).toDouble, c) }
+        .map { case (t, s, _) => (t, s) }
+        .sortBy { case (t, s) => (-s, t) }.take(3)
+        .map { case (t, s) => (id, t, s) }
+    }
+    assert(got == want)
+  }
+
   test("dup substring coverage matches a brute-force reference on random corpora") {
     import spark.implicits._
     // tiny vocab so k-token windows genuinely repeat across random docs
