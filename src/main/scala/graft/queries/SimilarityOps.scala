@@ -87,6 +87,27 @@ object SimilarityOps extends QueryPack {
           array_join(transform($"qvec", x => x.cast("string")), ",").as("q_str"),
           $"max_abs_err")
         .orderBy($"vec_id")
+    }),
+
+    // The embedding-side curation composition (the s-series analog of
+    // t53): exact dedup on identical vectors → near-dup removal via
+    // the SCALE path (SRP-LSH with bits derived from the DEDUPED
+    // count — the oracle replays the derivation from the same set) →
+    // int8 quantization of the survivors. Drop policy: the higher id
+    // of every near-dup pair, the standard keep-first resolve.
+    "s49_embed_curate" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val keep = emb.groupBy($"embedding").agg(min($"vec_id").as("vec_id"))
+        .select($"vec_id")
+      val deduped = emb.join(keep, Seq("vec_id"), "left_semi")
+      val drops = Similarity.cosineDupPairsLsh(deduped, 0.4, dim)
+        .select($"id_b".as("vec_id")).distinct()
+      val survivors = deduped.join(drops, Seq("vec_id"), "left_anti")
+      Similarity.quantizeInt8(survivors)
+        .select($"vec_id", $"scale",
+          array_join(transform($"qvec", x => x.cast("string")), ",").as("q_str"))
+        .orderBy($"vec_id")
     })
   )
 
@@ -242,6 +263,46 @@ object SimilarityOps extends QueryPack {
               CAST(CASE WHEN scale = 0 THEN 0
                    ELSE floor(CAST(x AS DOUBLE) / scale + 0.5) END AS INTEGER) * scale)))
             AS max_abs_err
+        FROM q ORDER BY vec_id""",
+    // s49 composes the proven fragments: identical-vector dedup, the
+    // s46 SRP replay with nb/sgn derived from the DEDUPED set d, the
+    // keep-first drop, and the s47 quantization of survivors.
+    "s49_embed_curate" ->
+      s"""WITH keep AS (SELECT MIN(vec_id) AS vec_id FROM embeddings GROUP BY embedding),
+        d AS (SELECT vec_id, embedding FROM embeddings
+          WHERE vec_id IN (SELECT vec_id FROM keep)),
+        nb AS (
+          SELECT GREATEST(6, LEAST(48,
+              CASE WHEN m <= 1 THEN 6 ELSE length(bin(m - 1)) END)) AS bits
+          FROM (SELECT (count(*) + 7) // 8 AS m FROM d)),
+        planes AS (
+          SELECT s, j, list_transform(range(0, 64), i ->
+            2.0 * ((CAST('0x' || substr(md5('srp:' || s || ':' || j || ':' || i), 1, 16) AS UBIGINT) >> 11)
+                   / 9007199254740992.0) - 1.0) AS p
+          FROM range(42, 46) ts(s), range(0, 48) t(j), nb WHERE t.j < nb.bits),
+        sgn AS (SELECT e.vec_id, pl.s, pl.j,
+            CASE WHEN list_sum(list_transform(range(1, 65), i ->
+                CAST(e.embedding[i] AS DOUBLE) * pl.p[i])) >= 0
+              THEN (CAST(1 AS BIGINT) << pl.j) ELSE 0 END AS bit
+          FROM d e, planes pl),
+        buckets AS (SELECT vec_id, s, CAST(SUM(bit) AS BIGINT) AS bucket
+          FROM sgn GROUP BY vec_id, s),
+        cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM buckets a JOIN buckets b
+            ON a.s = b.s AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        drops AS (SELECT DISTINCT cand.id_b AS vec_id FROM cand
+          JOIN d x ON x.vec_id = cand.id_a
+          JOIN d y ON y.vec_id = cand.id_b
+          WHERE ${cosSql("x.embedding", "y.embedding")} >= 0.4),
+        surv AS (SELECT vec_id, embedding FROM d
+          WHERE vec_id NOT IN (SELECT vec_id FROM drops)),
+        q AS (SELECT vec_id, embedding,
+          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+          FROM surv)
+        SELECT vec_id, scale,
+          array_to_string(list_transform(embedding, x ->
+            CAST(CASE WHEN scale = 0 THEN 0
+                 ELSE floor(CAST(x AS DOUBLE) / scale + 0.5) END AS INTEGER)), ',') AS q_str
         FROM q ORDER BY vec_id"""
   )
 }
