@@ -526,6 +526,41 @@ object Similarity {
         abs(x.cast("double") - qi.cast("double") * col("scale")))).as("max_abs_err"))
   }
 
+  /** Integer dot product of two int vectors, accumulated in long. */
+  private def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")), lit(0L),
+      (acc, v) => acc + v)
+
+  /** Brute-force cosine top-k over int8-QUANTIZED vectors — the search
+    * side of the `quantizeInt8` storage path (1 byte/dim corpora). The
+    * per-vector scales CANCEL in the cosine: cos_q(a,b) =
+    * (s_a·s_b·dot(qa,qb)) / (s_a·|qa| · s_b·|qb|) = dot(qa,qb)/(|qa||qb|),
+    * so scoring needs only the int8 codes — integer dot products (exact
+    * in long) through one sqrt/divide, bit-stable across engines. Result
+    * ranks approximate the float ranks within quantization error (the
+    * spec measures recall vs `knnBrute`); zero-quantized vectors score 0
+    * (guarded divide). Same broadcast-queries shape as `knnBrute` — the
+    * corpus scan stays pipelined, no shuffle — but the scanned bytes are
+    * 4x smaller, which at 100 TB is the difference that matters. */
+  def knnQuantized(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qc = quantizeInt8(corpus, idCol, vecCol)
+      .select(col("vec_id"), col("qvec").as("cq"))
+    val qq = quantizeInt8(queries, idCol, vecCol)
+      .select(col("vec_id").as("qid"), col("qvec").as("qv"))
+    val denom = sqrt(intDot(col("cq"), col("cq")).cast("double")) *
+      sqrt(intDot(col("qv"), col("qv")).cast("double"))
+    val scored = qc.join(broadcast(qq), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        when(denom === 0.0, lit(0.0))
+          .otherwise(round(intDot(col("qv"), col("cq")).cast("double") / denom, 6))
+          .as("qcos_sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("qcos_sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** ANN top-k restricted to same-SRP-bucket candidates (the scale path;
     * recall < 1 by design, traded for a bucket-local join). */
   def knnLsh(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,

@@ -353,6 +353,73 @@ object TextAnalysis {
         col("df"), col("score"), col("rank"))
   }
 
+  /** PII patterns restricted to constructs with identical semantics in
+    * Java regex (Spark) and RE2 (DuckDB): character classes, bounded
+    * repetition, \b word boundaries — no lookaround, no backreferences.
+    * Greedy matching on these patterns backtracks to the same leftmost
+    * match in both engines, so counts and redactions replay exactly. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII detection + redaction — the scrub pass every shared-corpus
+    * pipeline runs before training: emails and IPv4 literals are
+    * counted, then replaced with typed placeholder tokens (emails
+    * first, so an address's host part can never half-match the IP
+    * pattern after partial rewriting). Pure per-row regex expressions —
+    * codegen'd, no shuffle, no UDF — so the scrub adds a map stage and
+    * nothing else at any scale. Emits counts, the redacted text, and
+    * its length (the audit columns a removal report needs). */
+  def piiScrub(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val redacted = regexp_replace(
+      regexp_replace(col(textCol), emailPattern, "<EMAIL>"),
+      ipv4Pattern, "<IP>")
+    docs.select(col(idCol).as("doc_id"),
+      size(regexp_extract_all(col(textCol), lit(emailPattern), lit(0)))
+        .as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(ipv4Pattern), lit(0)))
+        .as("n_ipv4"),
+      redacted.as("redacted_text"),
+      length(redacted).as("n_chars_redacted"))
+  }
+
+  /** Exact-quota dataset mixing: select per-source document counts that
+    * realize target proportions `weights` (integer percents) at the
+    * largest total the corpus supports. The budget is the bottleneck
+    * source's capacity — B = min_s floor(100·n_s / w_s) — and each
+    * source contributes its k_s = floor(w_s·B / 100) lowest-md5-hash
+    * documents: integer arithmetic end to end (no float rates), and the
+    * hash order makes the selected set a pure function of (seed, ids).
+    *
+    * Scale shape: the per-source counts are one map-side-combined
+    * aggregation over few keys (broadcast back); the per-source rank is
+    * ONE window partitioned by source. With few huge sources that
+    * window sorts each source's rows — the exact-quota price; when an
+    * approximate mix suffices at 100 TB, [[stratifiedSample]] is the
+    * windowless rate-threshold form of the same hash. */
+  def sourceMixSample(docs: DataFrame, idCol: String, srcCol: String,
+      weights: Map[String, Int], defaultWeight: Int = 1,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val weight = weights.toSeq.sortBy(_._1).foldLeft(lit(defaultWeight)) {
+      case (acc, (src, w)) => when(col(srcCol) === src, lit(w)).otherwise(acc)
+    }
+    val caps = docs.groupBy(col(srcCol)).agg(count(lit(1)).as("n_src"))
+      .select(col(srcCol), col("n_src"),
+        expr("100 * n_src").as("cap100"), weight.as("w"))
+      .select(col(srcCol), col("w"), expr("cap100 div w").as("cap"))
+    val budget = caps.agg(min(col("cap")).as("budget"))
+    val quotas = caps.crossJoin(broadcast(budget))
+      .select(col(srcCol), expr("(w * budget) div 100").as("quota"))
+    val bySrc = Window.partitionBy(col(srcCol))
+      .orderBy(md5(concat(lit(seed.toString), lit(":"),
+        col(idCol).cast("string"))), col(idCol))
+    docs.select(col(idCol).as("doc_id"), col(srcCol))
+      .withColumn("sample_rank", row_number().over(bySrc))
+      .join(broadcast(quotas), Seq(srcCol))
+      .filter(col("sample_rank") <= col("quota"))
+      .select(col("doc_id"), col(srcCol).as("source"), col("sample_rank"))
+  }
+
   /** Content-defined document fingerprint: md5 over the sorted distinct
     * token set — stable under token reordering, engine-portable. */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =

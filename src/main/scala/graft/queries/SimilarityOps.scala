@@ -89,6 +89,17 @@ object SimilarityOps extends QueryPack {
         .orderBy($"vec_id")
     }),
 
+    // top-k over int8-QUANTIZED vectors — the search side of the s47
+    // storage path. Per-vector scales cancel in the cosine, so scoring
+    // is integer dot products (exact) through one sqrt/divide; the
+    // oracle replays quantization + integer scoring bit-for-bit.
+    "s50_quantized_knn" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnQuantized(emb, emb.filter($"vec_id" < 10), k = 5)
+        .orderBy($"qid", $"rank")
+    }),
+
     // The embedding-side curation composition (the s-series analog of
     // t53): exact dedup on identical vectors → near-dup removal via
     // the SCALE path (SRP-LSH with bits derived from the DEDUPED
@@ -264,6 +275,33 @@ object SimilarityOps extends QueryPack {
                    ELSE floor(CAST(x AS DOUBLE) / scale + 0.5) END AS INTEGER) * scale)))
             AS max_abs_err
         FROM q ORDER BY vec_id""",
+    // quantize (the s47 fragment, q as BIGINT list), then score with
+    // integer dots; denominator multiplied corpus-norm-first to mirror
+    // the Spark operand order (IEEE multiply is commutative, so the
+    // order is cosmetic — kept identical anyway)
+    "s50_quantized_knn" ->
+      """WITH q0 AS (SELECT vec_id, embedding,
+          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+          FROM embeddings),
+        qz AS (SELECT vec_id, list_transform(embedding, x ->
+            CAST(CASE WHEN scale = 0 THEN 0
+                 ELSE floor(CAST(x AS DOUBLE) / scale + 0.5) END AS BIGINT)) AS q
+          FROM q0),
+        n AS (SELECT vec_id, q,
+            sqrt(CAST(list_sum(list_transform(range(1, 65), i -> q[i] * q[i]))
+              AS DOUBLE)) AS nrm
+          FROM qz),
+        scored AS (SELECT a.vec_id AS qid, b.vec_id,
+            CASE WHEN b.nrm * a.nrm = 0 THEN 0.0
+              ELSE round(CAST(list_sum(list_transform(range(1, 65),
+                  i -> a.q[i] * b.q[i])) AS DOUBLE) / (b.nrm * a.nrm), 6)
+              END AS qcos_sim
+          FROM n a JOIN n b ON b.vec_id <> a.vec_id
+          WHERE a.vec_id < 10),
+        ranked AS (SELECT *, row_number() OVER
+          (PARTITION BY qid ORDER BY qcos_sim DESC, vec_id) AS rank FROM scored)
+        SELECT qid, vec_id, qcos_sim, rank FROM ranked WHERE rank <= 5
+        ORDER BY qid, rank""",
     // s49 composes the proven fragments: identical-vector dedup, the
     // s46 SRP replay with nb/sgn derived from the DEDUPED set d, the
     // keep-first drop, and the s47 quantization of survivors.

@@ -144,6 +144,40 @@ object StreamingOps extends QueryPack {
         .orderBy(col("keep"))
     }),
 
+    // Streaming decontamination screen: documents arrive as a STREAM
+    // and every 3-shingle instance is checked against a STATIC probe
+    // set (the doc_id<5 stand-in benchmark) via a stream-static
+    // broadcast join — the stateless realtime form of t48's batch
+    // screen (explode + broadcast-semi-join; no streaming state at
+    // all). The memory sink's hit rows aggregate to exactly the batch
+    // oracle's per-doc contaminated-instance counts.
+    "st67_stream_decontaminate" -> ((s, dir) => {
+      val name = "st67_out"
+      val staged = java.nio.file.Files.createTempDirectory("graft-stream-decon")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/documents.parquet"),
+        staged.resolve("documents.parquet"))
+      val docsSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val probe = t(s, dir, "documents").filter(col("doc_id") < 5)
+        .select(explode(graft.operators.TextDedup.wordShingles(col("text"), 3))
+          .as("g"))
+        .distinct()
+      val stream = s.readStream.schema(docsSchema).parquet(staged.toString)
+        .select(col("doc_id"),
+          explode(graft.operators.TextDedup.wordShingles(col("text"), 3)).as("g"))
+        .join(broadcast(probe), Seq("g"))
+      val q = stream.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+      s.table(name)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Chain pipeline catches up as the tip advances — pinned golden.
     "st63_tip_catchup" -> ((s, _) => {
       import graft.pipeline.{EthereumPipelines, PipelineRunner, SinkTable}
@@ -242,6 +276,17 @@ object StreamingOps extends QueryPack {
         SELECT (ok1 AND ok2 AND ok3 AND ok4) AS keep, COUNT(*) AS n,
           CAST(SUM(CASE WHEN ok3 THEN 1 ELSE 0 END) AS BIGINT) AS n_ok_stopwords
         FROM sig GROUP BY 1 ORDER BY keep""",
+    // st67 streams shingle instances through the static probe join; the
+    // oracle counts contaminated shingle INSTANCES per doc batch-side
+    // (probe distinct, so each instance matches at most once)
+    "st67_stream_decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        sh AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk)-2,0)+1),
+          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g FROM w),
+        probe AS (SELECT DISTINCT g FROM sh WHERE doc_id < 5)
+        SELECT s.doc_id, count(*) AS n_hits
+        FROM sh s JOIN probe p ON s.g = p.g
+        GROUP BY s.doc_id ORDER BY s.doc_id""",
     "st62_sessionize" ->
       """WITH ev AS (
           -- Spark reads the NANOS parquet truncated to microseconds

@@ -199,6 +199,36 @@ object TextOps extends QueryPack {
         .orderBy($"doc_id")
     }),
 
+    // PII scrub over documents with deterministically INJECTED PII
+    // (the base corpus is digit-free word soup, so both engines build
+    // the same email/IP-bearing text from (doc_id, text) and the regex
+    // path is exercised with non-trivial counts).
+    "t54_pii_scrub" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val withPii = docs.select($"doc_id", concat($"text",
+        when($"doc_id" % 3 === 0,
+          concat(lit(" contact user"), $"doc_id".cast("string"),
+            lit("@mail.example.com"))).otherwise(lit("")),
+        when($"doc_id" % 4 === 0,
+          concat(lit(" from 10.0."), ($"doc_id" % 200).cast("string"),
+            lit(".7"))).otherwise(lit(""))).as("text"))
+      TextAnalysis.piiScrub(withPii, "doc_id", "text")
+        .select($"doc_id", $"n_emails", $"n_ipv4", $"n_chars_redacted",
+          md5($"redacted_text").as("redacted_hash"))
+        .orderBy($"doc_id")
+    }),
+
+    // exact-quota dataset mixing toward integer target weights; the
+    // selected set is a pure function of (seed, ids), replayed by the
+    // oracle's identical integer budget/quota arithmetic.
+    "t55_source_mix" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.sourceMixSample(t(s, dir, "documents"), "doc_id", "source",
+          Map("src0" -> 10, "src1" -> 8, "src2" -> 6), defaultWeight = 4)
+        .orderBy($"source", $"sample_rank")
+    }),
+
     // The flagship curation composition — the end-to-end shape a
     // training-data pipeline actually runs, chained from the operators
     // above: exact dedup → decontamination screen (vs the doc_id<5
@@ -547,6 +577,50 @@ object TextOps extends QueryPack {
           CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
             / len(toks) AS mean_pretoken_len
         FROM p ORDER BY doc_id""",
+    // the oracle rebuilds the same injected-PII text, then replays the
+    // two-stage redaction (emails first) with RE2 'g' replaces — the
+    // patterns are restricted to the Java-regex/RE2 common subset
+    "t54_pii_scrub" ->
+      """WITH pii AS (SELECT doc_id,
+          text ||
+          CASE WHEN doc_id % 3 = 0
+               THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+               ELSE '' END ||
+          CASE WHEN doc_id % 4 = 0
+               THEN ' from 10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.7'
+               ELSE '' END AS text
+          FROM documents),
+        r AS (SELECT doc_id, text,
+          regexp_replace(regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS red
+          FROM pii)
+        SELECT doc_id,
+          len(regexp_extract_all(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+          len(regexp_extract_all(text,
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+          length(red) AS n_chars_redacted,
+          md5(red) AS redacted_hash
+        FROM r ORDER BY doc_id""",
+    // budget B = min_s floor(100*n_s/w_s), quota_s = floor(w_s*B/100) —
+    // integer // end to end; rank order = (md5('42:'||id), id)
+    "t55_source_mix" ->
+      """WITH w(src, wt) AS (VALUES ('src0', 10), ('src1', 8), ('src2', 6)),
+        counts AS (SELECT source, count(*) AS n_src FROM documents GROUP BY source),
+        caps AS (SELECT c.source, COALESCE(w.wt, 4) AS wt,
+            (100 * n_src) // COALESCE(w.wt, 4) AS cap
+          FROM counts c LEFT JOIN w ON c.source = w.src),
+        b AS (SELECT min(cap) AS budget FROM caps),
+        quotas AS (SELECT source, (wt * budget) // 100 AS quota FROM caps, b),
+        ranked AS (SELECT doc_id, source,
+            row_number() OVER (PARTITION BY source
+              ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+          FROM documents)
+        SELECT r.doc_id, r.source, CAST(r.sample_rank AS INTEGER) AS sample_rank
+        FROM ranked r JOIN quotas q ON r.source = q.source
+        WHERE r.sample_rank <= q.quota
+        ORDER BY r.source, r.sample_rank""",
     "t53_curate_pipeline" ->
       """WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
         d AS (SELECT doc_id, text FROM documents
