@@ -10,13 +10,24 @@ import org.apache.spark.sql.SparkSession
   * capture can't lose the artifact.
   *
   * Reported fields:
-  *  - value: wall-clock of the concurrent pass (6 FAIR lanes — the
+  *  - value: wall-clock of the concurrent pass (FAIR lanes — the
   *    engine's realistic concurrent-jobs throughput)
   *  - queries: per-query seconds measured UNDER that concurrency
   *    (overcounts scheduler contention; see isolated)
-  *  - isolated: sequential re-timings of the slowest queries — the
-  *    honest per-query signal
+  *  - isolated: sequential re-timings of the slowest queries PLUS the
+  *    whole pipeline/streaming family — the honest per-query signal
+  *  - ext_cores / ext_cores_isolated: external (non-self) CPU cores
+  *    observed busy during each pass; >~2 means another process smeared
+  *    the timings. The concurrent pass AUTO-RERUNS once if contended
+  *    (round-5: a loaded artifact read 64.7s for code that re-measures
+  *    32.5s idle — neither the artifact nor a hand-retime was the truth)
   *  - failed: queries that threw (their timings are excluded)
+  *
+  * Single-query mode: SPARK_GRAFT_BENCH_ONLY=<substr> skips the
+  * concurrent pass and times each matching query
+  * SPARK_GRAFT_BENCH_ITERS (default 3) times warm, so one query can be
+  * retimed honestly in one command and the numbers land in a committed
+  * JSON instead of a shell scrollback.
   */
 object Bench {
   private def r3(d: Double): Double = math.rint(d * 1000) / 1000
@@ -27,26 +38,52 @@ object Bench {
       .split("\\s+")(0).toDouble
     catch { case _: Throwable => 0.0 }
 
-  /** Wait for the machine to go idle before the timed pass. A bench
-    * captured under external load is not a measurement of the engine
-    * (round-3: the committed artifact read 88.9s for code that measures
-    * 35.4s idle — per-lane contention 5-8x). Retries until loadavg drops
-    * below the threshold or the budget runs out; either way the observed
-    * load is recorded in the JSON so the artifact is self-describing.
-    */
-  private def awaitIdle(maxLoad: Double, maxWaitSec: Int): Double = {
-    val deadline = System.nanoTime() + maxWaitSec * 1e9.toLong
-    var load = loadAvg1()
-    while (load > maxLoad && System.nanoTime() < deadline) {
-      System.err.println(f"[bench] loadavg $load%.2f > $maxLoad%.2f - waiting for idle machine")
-      // never overshoot the wait budget by a full interval
-      Thread.sleep(math.min(15000L,
-        math.max(1L, (deadline - System.nanoTime()) / 1000000L)))
-      load = loadAvg1()
+  /** (machine busy jiffies, self jiffies): /proc/stat cpu line minus
+    * idle+iowait, and /proc/self/stat utime+stime. Spark local[*] runs
+    * entirely in this JVM, so busy-minus-self is EXTERNAL load — the
+    * 1-min loadavg can't make that distinction right after our own
+    * 32-thread pass, which is why round-5's load_after check was
+    * inconclusive. */
+  private def cpuJiffies(): (Long, Long) = {
+    try {
+      val stat = java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/stat"))
+        .linesIterator.next().split("\\s+").drop(1).map(_.toLong)
+      val busy = stat.sum - stat(3) - (if (stat.length > 4) stat(4) else 0L)
+      val self = java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/self/stat"))
+        .split("\\s+")
+      (busy, self(13).toLong + self(14).toLong)
+    } catch { case _: Throwable => (0L, 0L) }
+  }
+  private val UserHz = 100.0
+
+  /** External busy cores averaged over the window since `start`. */
+  private def extCores(start: (Long, Long), elapsedSec: Double): Double =
+    if (start == ((0L, 0L)) || elapsedSec <= 0) 0.0
+    else {
+      val (b1, s1) = cpuJiffies()
+      math.max(0.0, ((b1 - start._1) - (s1 - start._2)) / UserHz / elapsedSec)
     }
-    if (load > maxLoad)
-      System.err.println(f"[bench] proceeding under load $load%.2f (wait budget exhausted) - timings will overstate")
-    load
+
+  /** Sample external load over short windows until it drops below
+    * maxExt cores or the budget runs out. Used before the timed passes:
+    * unlike loadavg (decays over minutes, poisoned by our own previous
+    * pass), this settles within a couple of seconds of the machine
+    * actually going quiet. */
+  private def awaitExternalIdle(maxExt: Double, maxWaitSec: Int, tag: String): Double = {
+    val deadline = System.nanoTime() + maxWaitSec * 1e9.toLong
+    var ext = Double.MaxValue
+    var first = true
+    while (ext > maxExt && (first || System.nanoTime() < deadline)) {
+      first = false
+      val t0 = System.nanoTime(); val j0 = cpuJiffies()
+      Thread.sleep(2000)
+      ext = extCores(j0, (System.nanoTime() - t0) / 1e9)
+      if (ext > maxExt)
+        System.err.println(f"[bench] $tag: external load $ext%.2f cores > $maxExt%.2f - waiting")
+    }
+    if (ext > maxExt)
+      System.err.println(f"[bench] $tag: proceeding under external load $ext%.2f cores (wait budget exhausted) - timings will overstate")
+    ext
   }
 
   def main(args: Array[String]): Unit = {
@@ -54,9 +91,10 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val nIsolated = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATED", "12").toInt
-    val maxLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOAD", "1.0").toDouble
+    val maxExt = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_EXT_CORES", "2.0").toDouble
     val maxWait = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_WAIT_SEC", "300").toInt
-    val loadBefore = awaitIdle(maxLoad, maxWait)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.trim).filter(_.nonEmpty)
+    awaitExternalIdle(maxExt, maxWait, "start")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -83,92 +121,151 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, ok)
     }
 
-    // Kick off the shared pair-set materialization so it OVERLAPS the
-    // lanes (serializing it first wastes idle cores; measured: 46s total
-    // serialized vs 25s overlapped). Wall-clock therefore includes every
-    // byte of work the suite does — nothing is excluded — and the
-    // isolated re-timings below give the contention-free per-query view.
-    val prewarm = new Thread(() =>
-      try graft.queries.TextOps.prewarmPairs(spark, sfDir)
-      catch { case e: Throwable => System.err.println(s"[bench] prewarm: $e") })
-    prewarm.setDaemon(true)
-    prewarm.start()
+    // ---- single-query mode: SPARK_GRAFT_BENCH_ONLY=<substr> ----------
+    only.foreach { substr =>
+      val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+      val matching = SparkEntry.queries.toSeq.filter(_._1.contains(substr)).sortBy(_._1)
+      if (matching.isEmpty) {
+        System.err.println(s"[bench] BENCH_ONLY '$substr' matches no query"); sys.exit(2)
+      }
+      if (matching.exists(q => Set("t36_ngram_jaccard", "t41_dedup_clusters",
+          "t42_dedup_resolve").contains(q._1)))
+        graft.queries.TextOps.prewarmPairs(spark, sfDir)
+      val runs = matching.map { case (name, fn) =>
+        // first run is the warm-up (scan cache, codegen, broadcast);
+        // report it too — the reader can see cold vs warm
+        val j0 = cpuJiffies(); val t0 = System.nanoTime()
+        val times = (0 until math.max(1, iters)).map(_ => time(name, fn)._1)
+        val ext = extCores(j0, (System.nanoTime() - t0) / 1e9)
+        (name, times, ext)
+      }
+      val json =
+        s"""{"metric":"only","filter":"$substr","iters":${math.max(1, iters)},""" +
+        s""""queries":{${runs.map { case (n, ts, _) =>
+            "\"" + n + "\":[" + ts.map(r3).mkString(",") + "]" }.mkString(",")}},""" +
+        s""""ext_cores":{${runs.map { case (n, _, e) =>
+            "\"" + n + "\":" + r3(e) }.mkString(",")}},""" +
+        s""""sf":"$sfDir"}"""
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
+      println(json)
+      spark.stop()
+      sys.exit(0)
+    }
 
-    // Overlap queries with a small driver pool (the engine's concurrent-
-    // jobs capability — the same overlap the micro-batch runtime uses
-    // for batches): small queries fill scheduler gaps left by large ones.
-    // PipelineRunner-based queries carry their own worker thread pools and
-    // multi-batch commit barriers; running six of them at once smears
-    // every lane timing (round-2: 10-20s lane vs 1-2s isolated), so they
-    // get a dedicated 2-wide pool while pure queries share the rest.
-    // 10 measured best on local[32] with the LPT ordering (19.9s wall vs
-    // 23.8s at 8 and 21.9s at 12); more lanes thrash the FAIR scheduler
-    val lanes = sys.env.getOrElse("SPARK_GRAFT_BENCH_LANES", "10").toInt
     val pipelineQueries = Set("e56_blocks_pipeline", "e59_erc20_balances",
       "e60_decoded_logs_variant", "e61_config_pipeline", "e62_config_derived",
       "e63_config_transactions", "e64_config_logs", "e65_config_traces",
       "e66_config_decoded_traces", "e67_config_erc20_balances",
       "e68_config_daily_export", "e69_config_decoded_logs_export",
       "st63_tip_catchup")
-    // lanes=1 degenerates to one shared single-thread pool (a 0-thread
-    // pipe pool is both invalid and pointless)
-    val pipeLanes = math.min(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_PIPE_LANES", "3").toInt, lanes - 1)
-    val wall0 = System.nanoTime()
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.max(1, lanes - math.max(0, pipeLanes)))
-    val pipePool =
-      if (pipeLanes < 1) pool
-      else java.util.concurrent.Executors.newFixedThreadPool(pipeLanes)
-    // Longest-first submission (LPT makespan heuristic): alphabetical
-    // order put the multi-batch exports and streaming queries at the
-    // END of their pools, so the wall was "everything else" + a late
-    // heavy tail. The list is a static cost hint from measured lane
-    // times, not a timing input — unknown names just sort after it.
-    val heavyFirst = Seq(
-      "e68_config_daily_export", "e69_config_decoded_logs_export",
-      "e67_config_erc20_balances", "e66_config_decoded_traces",
-      "e62_config_derived", "e63_config_transactions", "e56_blocks_pipeline",
-      "st64_stream_session_window", "st61_stream_window", "st65_stream_dedup",
-      "st66_stream_quality_gate", "t38_minhash_lsh_pairs", "t39_simhash_pairs",
-      "s46_cosine_dup_lsh", "t48_decontaminate"
-    ).zipWithIndex.toMap
-    // the pair-cache consumers block on the prewarm future — submitted
-    // early they'd HOLD a lane idle until the shared pair set
-    // materializes; submitted last the prewarm overlaps everything else
-    // and they start against a warm cache
-    val pairConsumers = Set("t36_ngram_jaccard", "t41_dedup_clusters",
-      "t42_dedup_resolve")
-    val results = SparkEntry.queries.toSeq
-      .sortBy { case (n, _) =>
-        (if (pairConsumers(n)) Int.MaxValue else heavyFirst.getOrElse(n, 1000), n)
-      }
-      .map { case (name, fn) =>
-      val isPipe = pipelineQueries(name)
-      val p = if (isPipe) pipePool else pool
-      name -> p.submit(new java.util.concurrent.Callable[(Double, Boolean)] {
-        // per-query pools for the pipeline family: FAIR schedules
-        // ACROSS pools but FIFO within one, so a single shared "pipe"
-        // pool serialized the three exports' many tiny jobs behind
-        // each other; one pool per query lets each pipeline's job
-        // stream proceed at its own pace
-        def call(): (Double, Boolean) =
-          time(name, fn, if (isPipe) s"pipe-$name" else "default")
-      })
-    }.map { case (name, fut) => val (sec, ok) = fut.get(); (name, sec, ok) }
-    pool.shutdown(); pipePool.shutdown()
-    val wall = (System.nanoTime() - wall0) / 1e9
 
-    // sequential re-timings of the slowest queries: contention-free
-    val slowest = results.filter(_._3).sortBy(-_._2).take(nIsolated).map(_._1)
-    val isolated = slowest.map { name =>
-      name -> time(name, SparkEntry.queries(name))._1
+    /** One full concurrent pass; returns (wall, per-query results, external cores). */
+    def concurrentPass(): (Double, Seq[(String, Double, Boolean)], Double) = {
+      // Kick off the shared pair-set materialization so it OVERLAPS the
+      // lanes (serializing it first wastes idle cores; measured: 46s total
+      // serialized vs 25s overlapped). Wall-clock therefore includes every
+      // byte of work the suite does — nothing is excluded — and the
+      // isolated re-timings below give the contention-free per-query view.
+      val prewarm = new Thread(() =>
+        try graft.queries.TextOps.prewarmPairs(spark, sfDir)
+        catch { case e: Throwable => System.err.println(s"[bench] prewarm: $e") })
+      prewarm.setDaemon(true)
+      prewarm.start()
+
+      // Overlap queries with a small driver pool (the engine's concurrent-
+      // jobs capability — the same overlap the micro-batch runtime uses
+      // for batches): small queries fill scheduler gaps left by large ones.
+      // PipelineRunner-based queries carry their own worker thread pools and
+      // multi-batch commit barriers; running six of them at once smears
+      // every lane timing (round-2: 10-20s lane vs 1-2s isolated), so they
+      // get a dedicated pool while pure queries share the rest.
+      // 10 measured best on local[32] with the LPT ordering (19.9s wall vs
+      // 23.8s at 8 and 21.9s at 12); more lanes thrash the FAIR scheduler
+      val lanes = sys.env.getOrElse("SPARK_GRAFT_BENCH_LANES", "10").toInt
+      // lanes=1 degenerates to one shared single-thread pool (a 0-thread
+      // pipe pool is both invalid and pointless)
+      val pipeLanes = math.min(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_PIPE_LANES", "3").toInt, lanes - 1)
+      val jiff0 = cpuJiffies()
+      val wall0 = System.nanoTime()
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(1, lanes - math.max(0, pipeLanes)))
+      val pipePool =
+        if (pipeLanes < 1) pool
+        else java.util.concurrent.Executors.newFixedThreadPool(pipeLanes)
+      // Longest-first submission (LPT makespan heuristic): alphabetical
+      // order put the multi-batch exports and streaming queries at the
+      // END of their pools, so the wall was "everything else" + a late
+      // heavy tail. The list is a static cost hint from measured lane
+      // times, not a timing input — unknown names just sort after it.
+      val heavyFirst = Seq(
+        "e68_config_daily_export", "e69_config_decoded_logs_export",
+        "e67_config_erc20_balances", "e66_config_decoded_traces",
+        "e62_config_derived", "e63_config_transactions", "e56_blocks_pipeline",
+        "st64_stream_session_window", "st61_stream_window", "st65_stream_dedup",
+        "st66_stream_quality_gate", "st68_stream_neardup", "t38_minhash_lsh_pairs",
+        "t39_simhash_pairs", "s46_cosine_dup_lsh", "t48_decontaminate"
+      ).zipWithIndex.toMap
+      // the pair-cache consumers block on the prewarm future — submitted
+      // early they'd HOLD a lane idle until the shared pair set
+      // materializes; submitted last the prewarm overlaps everything else
+      // and they start against a warm cache
+      val pairConsumers = Set("t36_ngram_jaccard", "t41_dedup_clusters",
+        "t42_dedup_resolve")
+      val results = SparkEntry.queries.toSeq
+        .sortBy { case (n, _) =>
+          (if (pairConsumers(n)) Int.MaxValue else heavyFirst.getOrElse(n, 1000), n)
+        }
+        .map { case (name, fn) =>
+        val isPipe = pipelineQueries(name)
+        val p = if (isPipe) pipePool else pool
+        name -> p.submit(new java.util.concurrent.Callable[(Double, Boolean)] {
+          // per-query pools for the pipeline family: FAIR schedules
+          // ACROSS pools but FIFO within one, so a single shared "pipe"
+          // pool serialized the three exports' many tiny jobs behind
+          // each other; one pool per query lets each pipeline's job
+          // stream proceed at its own pace
+          def call(): (Double, Boolean) =
+            time(name, fn, if (isPipe) s"pipe-$name" else "default")
+        })
+      }.map { case (name, fut) => val (sec, ok) = fut.get(); (name, sec, ok) }
+      pool.shutdown(); pipePool.shutdown()
+      val wall = (System.nanoTime() - wall0) / 1e9
+      (wall, results, extCores(jiff0, wall))
     }
 
-    // load sampled AFTER the timed pass too: a contention spike that
-    // arrives mid-run (the round-3 88.9s-vs-35.4s artifact) is then
-    // visible from the JSON alone — load ≈ lanes is the engine itself,
-    // load >> lanes means external contention smeared the timings
+    var (wall, results, extConc) = concurrentPass()
+    var rerun = false
+    var wallFirst = wall
+    if (extConc > maxExt) {
+      // the pass ran while another process held >maxExt cores: its
+      // numbers overstate the engine. Wait for quiet and re-run ONCE —
+      // the artifact records both walls so the decision is auditable.
+      System.err.println(f"[bench] concurrent pass contended (ext $extConc%.2f cores) - re-running once")
+      rerun = true
+      awaitExternalIdle(maxExt, maxWait, "rerun")
+      val (w2, r2, e2) = concurrentPass()
+      wall = w2; results = r2; extConc = e2
+    }
+
+    // sequential re-timings: the slowest queries by lane time PLUS the
+    // whole pipeline/streaming family (their lane numbers overstate
+    // worst — multi-batch orchestration under FAIR contention; round-5
+    // shipped st63 at 8.2s lane with no isolated figure to correct it)
+    val ok = results.filter(_._3)
+    val slowest = ok.sortBy(-_._2).take(nIsolated).map(_._1)
+    val family = ok.map(_._1).filter(n => pipelineQueries(n) || n.startsWith("st"))
+    val isoNames = (slowest ++ family).distinct
+    // isolated numbers are only honest on a quiet machine: re-check
+    // external load first (our own previous pass no longer pollutes the
+    // signal the way it polluted loadavg)
+    awaitExternalIdle(maxExt, 60, "isolated")
+    val isoJiff = cpuJiffies(); val isoT0 = System.nanoTime()
+    val isolated = isoNames.map { name =>
+      name -> time(name, SparkEntry.queries(name))._1
+    }
+    val extIso = extCores(isoJiff, (System.nanoTime() - isoT0) / 1e9)
+
     val loadAfter = loadAvg1()
     val failed = results.filter(!_._3).map(_._1)
     def jmap(kvs: Seq[(String, Double)]): String =
@@ -179,8 +276,10 @@ object Bench {
       s""""isolated":${jmap(isolated)},""" +
       s""""failed":[${failed.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""sum_sec":${r3(results.map(_._2).sum)},""" +
-      s""""load":${r3(loadBefore)},"load_after":${r3(loadAfter)},""" +
-      s""""lanes":$lanes,"sf":"$sfDir"}"""
+      s""""ext_cores":${r3(extConc)},"ext_cores_isolated":${r3(extIso)},""" +
+      s""""contended_rerun":$rerun,"wall_first":${r3(wallFirst)},""" +
+      s""""load_after":${r3(loadAfter)},""" +
+      s""""lanes":${sys.env.getOrElse("SPARK_GRAFT_BENCH_LANES", "10")},"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
     println(json)
     spark.stop()

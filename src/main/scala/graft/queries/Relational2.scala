@@ -46,13 +46,14 @@ object Relational2 extends QueryPack {
         .orderBy($"user_id")
     }),
 
-    // exact interpolated quantiles via the two-pass histogram walk
-    // (ExactQuantile): same bits as percentile/quantile_cont, but the
-    // near-unique price column flows through a spillable window sort
-    // instead of one giant in-memory aggregation buffer per group
+    // exact interpolated quantiles via bounded bin-histogram selection
+    // (ExactQuantile.groupQuantilesBinned): same bits as percentile/
+    // quantile_cont, but no per-group sort and no giant aggregation
+    // buffer — the returnflag GROUP BY is 3 groups, the binned path's
+    // home turf (the any-cardinality window path is groupQuantiles)
     "q35_percentile" -> ((s, dir) => {
       import s.implicits._
-      graft.operators.ExactQuantile.groupQuantiles(
+      graft.operators.ExactQuantile.groupQuantilesBinned(
           t(s, dir, "lineitem"), "l_returnflag",
           Seq(("l_quantity", 0.5, "median_qty"),
             ("l_extendedprice", 0.9, "p90_price")))

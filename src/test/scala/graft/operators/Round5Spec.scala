@@ -212,6 +212,35 @@ class Round5Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("binned quantile selection matches the window path bit-for-bit (incl. null groups)") {
+    import spark.implicits._
+    val r = new java.util.Random(11)
+    val rows = (0 until 5000).map { i =>
+      val k = if (i == 4999) "solo" else s"g${i % 3}"
+      val qty: java.lang.Double = if (i % 17 == 0) null else (r.nextInt(50) + 1).toDouble
+      // negatives + zero exercise the orderedBits sign handling
+      val price: java.lang.Double = (r.nextDouble() - 0.5) * 1e5
+      (k, qty, price)
+    } :+ (("allnull", null: java.lang.Double, null: java.lang.Double))
+    val df = rows.toDF("k", "qty", "price")
+    val specs = Seq(("qty", 0.5, "median_qty"), ("price", 0.9, "p90_price"))
+    val fromWindow = ExactQuantile.groupQuantiles(df, "k", specs).orderBy("k").collect()
+    val fromBins = ExactQuantile.groupQuantilesBinned(df, "k", specs).orderBy("k").collect()
+    assert(fromWindow.length == fromBins.length)
+    fromWindow.zip(fromBins).foreach { case (w, b) =>
+      assert(w.getString(0) == b.getString(0))
+      (1 to 2).foreach { i =>
+        assert(w.getAs[java.lang.Double](i) == b.getAs[java.lang.Double](i),
+          s"${w.getString(0)} col$i: $w vs $b")
+      }
+    }
+    // ceilings hard-fail with guidance instead of risking driver memory
+    val boom = intercept[Exception] {
+      ExactQuantile.groupQuantilesBinned(df, "k", specs, maxBinRows = 2).count()
+    }
+    assert(boom.getMessage.contains("groupQuantiles"))
+  }
+
   test("repetition signals are per-ROW on duplicated doc_ids (canonical semantics)") {
     import spark.implicits._
     // same id, different texts: the fused kernel must emit one row per
