@@ -299,6 +299,35 @@ object Similarity {
     (cents, costs.result())
   }
 
+  /** (qid, qv, centroid_id): each query keyed to its `nprobe` nearest
+    * centroid lists — the shared probe ladder of `ivfSearch` and
+    * `ivfSearchQuantized`. Centroid distances are computed against the
+    * broadcast centroid set (K·dim doubles), ties broken by centroid
+    * id, distances rounded — engine-reproducible like `ivfAssign`. */
+  private def probeLists(corpus: DataFrame, queries: DataFrame,
+      nCentroids: Int, nprobe: Int, idCol: String, vecCol: String,
+      centroids: Option[Array[(Long, Array[Double])]],
+      liveCentroids: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probes = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .crossJoin(liveCentroids)
+    val w0 = Window.partitionBy(col("qid")).orderBy(col("cdist"), col("centroid_id"))
+    val spark = corpus.sparkSession
+    val cents = centroidSet(corpus, nCentroids, idCol, vecCol, centroids)
+    val bc = spark.sparkContext.broadcast(cents.toMap)
+    val cdist = udf((qv: Seq[Float], cid: Long) => {
+      val c = bc.value(cid)
+      var d = 0.0
+      var i = 0
+      while (i < qv.length) { val x = qv(i).toDouble - c(i); d += x * x; i += 1 }
+      round6(d)
+    })
+    probes.withColumn("cdist", cdist(col("qv"), col("centroid_id")))
+      .withColumn("probe_rank", row_number().over(w0))
+      .filter(col("probe_rank") <= nprobe)
+      .select(col("qid"), col("qv"), col("centroid_id"))
+  }
+
   /** IVF probe search: score queries only against vectors whose
     * centroid is one of the query's `nprobe` nearest lists — the
     * sub-linear ANN path (per-query work ∝ probed lists, not corpus). */
@@ -311,29 +340,56 @@ object Similarity {
       ivfAssign(corpus, nCentroids, idCol, vecCol, centroids)
         .select(col(idCol), col("centroid_id")),
       Seq(idCol))
-    // query → its nprobe nearest centroid lists
-    val probes = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
-      .crossJoin(assigned.select(col("centroid_id")).distinct())
-    val w0 = Window.partitionBy(col("qid")).orderBy(col("cdist"), col("centroid_id"))
-    val spark = corpus.sparkSession
-    val cents = centroidSet(corpus, nCentroids, idCol, vecCol, centroids)
-    val bc = spark.sparkContext.broadcast(cents.toMap)
-    val cdist = udf((qv: Seq[Float], cid: Long) => {
-      val c = bc.value(cid)
-      var d = 0.0
-      var i = 0
-      while (i < qv.length) { val x = qv(i).toDouble - c(i); d += x * x; i += 1 }
-      round6(d)
-    })
-    val probed = probes.withColumn("cdist", cdist(col("qv"), col("centroid_id")))
-      .withColumn("probe_rank", row_number().over(w0))
-      .filter(col("probe_rank") <= nprobe)
-      .select(col("qid"), col("qv"), col("centroid_id"))
+    val probed = probeLists(corpus, queries, nCentroids, nprobe, idCol, vecCol,
+      centroids, assigned.select(col("centroid_id")).distinct())
     val scored = probed.join(assigned, Seq("centroid_id"))
       .filter(col(idCol) =!= col("qid"))
       .select(col("qid"), col(idCol),
         round(cosine(col("qv"), col(vecCol)), 6).as("cos_sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** IVF probe search over int8-QUANTIZED codes — the FAISS IVF+SQ8
+    * memory shape for billion-vector corpora: the probed lists scan
+    * 1-byte-per-dimension codes instead of 4-byte floats, and the
+    * per-vector scales cancel in the cosine exactly as in
+    * `knnQuantized`, so scoring is integer dot products through one
+    * sqrt/divide. The probe ladder itself runs on the float query
+    * against the K float centroids (K·dim doubles — negligible).
+    *
+    * Here the codes and the coarse assignment are derived from the
+    * float corpus inline (this sandbox stores only float vectors); a
+    * production deployment precomputes both at ingest and never ships
+    * the floats to the searchers — the spec asserts the 4x storage
+    * reduction on the materialized codes. Code norms are projected once
+    * per VECTOR before the probe join (never recomputed per pair). */
+  def ivfSearchQuantized(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int = 8, nprobe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centroids: Option[Array[(Long, Array[Double])]] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val codes = quantizeInt8(corpus, idCol, vecCol)
+      .select(col("vec_id"), col("qvec").as("cq"),
+        sqrt(intDot(col("qvec"), col("qvec")).cast("double")).as("cnrm"))
+    val assigned = codes.join(
+      ivfAssign(corpus, nCentroids, idCol, vecCol, centroids)
+        .select(col(idCol).as("vec_id"), col("centroid_id")), Seq("vec_id"))
+    val probed = probeLists(corpus, queries, nCentroids, nprobe, idCol, vecCol,
+        centroids, assigned.select(col("centroid_id")).distinct())
+      .select(col("qid"), col("centroid_id"))
+    val qcodes = quantizeInt8(queries, idCol, vecCol)
+      .select(col("vec_id").as("qid"), col("qvec").as("qq"),
+        sqrt(intDot(col("qvec"), col("qvec")).cast("double")).as("qnrm"))
+    val denom = col("cnrm") * col("qnrm")
+    val scored = probed.join(broadcast(qcodes), Seq("qid"))
+      .join(assigned, Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        when(denom === 0.0, lit(0.0))
+          .otherwise(round(intDot(col("qq"), col("cq")).cast("double") / denom, 6))
+          .as("qcos_sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("qcos_sim").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
@@ -540,17 +596,29 @@ object Similarity {
     * ranks approximate the float ranks within quantization error (the
     * spec measures recall vs `knnBrute`); zero-quantized vectors score 0
     * (guarded divide). Same broadcast-queries shape as `knnBrute` — the
-    * corpus scan stays pipelined, no shuffle — but the scanned bytes are
-    * 4x smaller, which at 100 TB is the difference that matters. */
+    * corpus scan stays pipelined, no shuffle. Norms are projected once
+    * per VECTOR before the join (a norm inside the post-join projection
+    * would re-fold the 64-element aggregate for every (query, corpus)
+    * pair — the cosineDupPairsLsh lesson).
+    *
+    * `preQuantized = true` reads `corpus` as ALREADY holding codes in
+    * column `qvec` (the `quantizeInt8` output, e.g. loaded from a
+    * 1-byte-per-dim store) — the storage path where the 4x scan-byte
+    * reduction is real; the default quantizes the float corpus inline
+    * (this sandbox's tables store only floats). */
   def knnQuantized(corpus: DataFrame, queries: DataFrame, k: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      preQuantized: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val qc = quantizeInt8(corpus, idCol, vecCol)
-      .select(col("vec_id"), col("qvec").as("cq"))
+    val codes =
+      if (preQuantized) corpus.select(col(idCol).as("vec_id"), col("qvec"))
+      else quantizeInt8(corpus, idCol, vecCol).select(col("vec_id"), col("qvec"))
+    val qc = codes.select(col("vec_id"), col("qvec").as("cq"),
+      sqrt(intDot(col("qvec"), col("qvec")).cast("double")).as("cnrm"))
     val qq = quantizeInt8(queries, idCol, vecCol)
-      .select(col("vec_id").as("qid"), col("qvec").as("qv"))
-    val denom = sqrt(intDot(col("cq"), col("cq")).cast("double")) *
-      sqrt(intDot(col("qv"), col("qv")).cast("double"))
+      .select(col("vec_id").as("qid"), col("qvec").as("qv"),
+        sqrt(intDot(col("qvec"), col("qvec")).cast("double")).as("qnrm"))
+    val denom = col("cnrm") * col("qnrm")
     val scored = qc.join(broadcast(qq), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         when(denom === 0.0, lit(0.0))

@@ -348,11 +348,11 @@ object TextDedup {
       }
     })
 
-  def dupSubstringCoverage(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val base = docs.select(col(idCol).as("doc_id"),
-      split(col(textCol), " ").as("tk"))
+  /** (doc_id, start) of every duplicated k-token window — the shared
+    * candidate pipeline of `dupSubstringCoverage` (measures) and
+    * `dupSubstringRemove` (edits). */
+  private def dupWindowStarts(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
     val wins = docs.select(col(idCol).as("doc_id"),
         explode(windowHashKernel(col(textCol), lit(k))).as("w"))
       .select(col("doc_id"), col("w._1").as("start"), col("w._2").as("wh"))
@@ -367,7 +367,15 @@ object TextDedup {
     // broadcasts when it fits
     val dupWh = wins.groupBy("wh").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2).select("wh")
-    val dup = wins.join(dupWh, Seq("wh"), "left_semi")
+    wins.join(dupWh, Seq("wh"), "left_semi")
+  }
+
+  def dupSubstringCoverage(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("tk"))
+    val dup = dupWindowStarts(docs, idCol, textCol, k)
     val byDoc = Window.partitionBy("doc_id").orderBy("start")
       .rowsBetween(Window.unboundedPreceding, -1)
     val covered = dup
@@ -381,6 +389,60 @@ object TextDedup {
         coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
         (coalesce(col("covered_tokens"), lit(0L)).cast("double") /
           col("n_tokens")).as("dup_coverage"))
+  }
+
+  /** Exact-substring dedup REMOVAL (the operation Lee et al. actually
+    * perform, where `dupSubstringCoverage` only measures): cut every
+    * token covered by the union of duplicated k-token windows and emit
+    * each document's kept text — the complement of the duplicated
+    * spans, fragments joined back with single spaces.
+    *
+    * Shape at scale: the duplicated starts come from the shared
+    * hash-agg + semi-join pipeline (nothing quadratic); span union is
+    * gaps-and-islands over a per-doc window (running is-new-island
+    * flag, one running sum, one groupBy to merged [s,e) islands); the
+    * complement is computed per document from the sorted island array
+    * with ONE fold over it (few islands per doc), never a per-token
+    * join. A token-level anti-join would shuffle every token of the
+    * corpus; this shuffles only the duplicated window starts and the
+    * island summaries. */
+  def dupSubstringRemove(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("tk"))
+    val dup = dupWindowStarts(docs, idCol, textCol, k)
+    val prevW = Window.partitionBy("doc_id").orderBy("start")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val runW = Window.partitionBy("doc_id").orderBy("start")
+    // merged islands of overlapping/adjacent [start, start+k) spans
+    val islands = dup
+      .withColumn("prev_end", max(col("start") + k).over(prevW))
+      .withColumn("new_island",
+        (col("start") > coalesce(col("prev_end"), lit(Long.MinValue))).cast("int"))
+      .withColumn("island", sum(col("new_island")).over(runW))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("start")).as("s"), (max(col("start")) + k).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("s"), col("e")))).as("isl"))
+    // kept text = fold over the island array: emit the gap before each
+    // island, track the consumed position, then the tail after the last
+    val kept = aggregate(col("isl"),
+      struct(lit(0L).as("pos"), array().cast("array<string>").as("arr")),
+      (acc, i) => struct(
+        i.getField("e").as("pos"),
+        concat(acc.getField("arr"),
+          slice(col("tk"), acc.getField("pos") + 1,
+            greatest(i.getField("s") - acc.getField("pos"), lit(0L)))).as("arr")),
+      acc => concat(acc.getField("arr"),
+        slice(col("tk"), acc.getField("pos") + 1,
+          greatest(size(col("tk")) - acc.getField("pos"), lit(0L)))))
+    base.join(islands, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"),
+        when(col("isl").isNull, col("tk")).otherwise(kept).as("_kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("_kept")).cast("long").as("kept_tokens"),
+        array_join(col("_kept"), " ").as("kept_text"))
   }
 
   /** 64-bit SimHash over whitespace tokens: each token votes its md5

@@ -100,6 +100,17 @@ object SimilarityOps extends QueryPack {
         .orderBy($"qid", $"rank")
     }),
 
+    // IVF probe search over int8 codes (FAISS IVF+SQ8 shape): the s45
+    // probe ladder scoring s47's integer codes — probed lists scan
+    // 1 byte/dim. Fully deterministic; the oracle replays assignment,
+    // probes, quantization, and integer scoring.
+    "s51_ivf_quantized" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfSearchQuantized(emb, emb.filter($"vec_id" < 10), k = 5)
+        .orderBy($"qid", $"rank")
+    }),
+
     // The embedding-side curation composition (the s-series analog of
     // t53): exact dedup on identical vectors → near-dup removal via
     // the SCALE path (SRP-LSH with bits derived from the DEDUPED
@@ -298,6 +309,53 @@ object SimilarityOps extends QueryPack {
               END AS qcos_sim
           FROM n a JOIN n b ON b.vec_id <> a.vec_id
           WHERE a.vec_id < 10),
+        ranked AS (SELECT *, row_number() OVER
+          (PARTITION BY qid ORDER BY qcos_sim DESC, vec_id) AS rank FROM scored)
+        SELECT qid, vec_id, qcos_sim, rank FROM ranked WHERE rank <= 5
+        ORDER BY qid, rank""",
+    // s51 composes the s45 probe fragments (float assignment + probe
+    // ladder) with the s47/s50 quantized-integer scoring
+    "s51_ivf_quantized" ->
+      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+          WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+        dists AS (SELECT e.vec_id, c.cid,
+          round(list_sum(list_transform(range(1, 65), i ->
+            (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)) *
+            (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)))), 6) AS d
+          FROM embeddings e, cents c),
+        assigned AS (SELECT vec_id, cid AS centroid_id FROM
+          (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+           FROM dists) WHERE rn = 1),
+        q0 AS (SELECT vec_id, embedding,
+          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+          FROM embeddings),
+        qz AS (SELECT vec_id, list_transform(embedding, x ->
+            CAST(CASE WHEN scale = 0 THEN 0
+                 ELSE floor(CAST(x AS DOUBLE) / scale + 0.5) END AS BIGINT)) AS q
+          FROM q0),
+        n AS (SELECT vec_id, q,
+            sqrt(CAST(list_sum(list_transform(range(1, 65), i -> q[i] * q[i]))
+              AS DOUBLE)) AS nrm
+          FROM qz),
+        qf AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        qd AS (SELECT qf.qid, c.cid,
+          round(list_sum(list_transform(range(1, 65), i ->
+            (CAST(qf.qv[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)) *
+            (CAST(qf.qv[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)))), 6) AS cd
+          FROM qf, cents c),
+        probes AS (SELECT qid, cid FROM
+          (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cd, cid) AS pr
+           FROM qd) WHERE pr <= 2),
+        scored AS (SELECT p.qid, a.vec_id,
+            CASE WHEN cn.nrm * qn.nrm = 0 THEN 0.0
+              ELSE round(CAST(list_sum(list_transform(range(1, 65),
+                  i -> qn.q[i] * cn.q[i])) AS DOUBLE) / (cn.nrm * qn.nrm), 6)
+              END AS qcos_sim
+          FROM probes p
+          JOIN assigned a ON a.centroid_id = p.cid
+          JOIN n cn ON cn.vec_id = a.vec_id
+          JOIN n qn ON qn.vec_id = p.qid
+          WHERE a.vec_id <> p.qid),
         ranked AS (SELECT *, row_number() OVER
           (PARTITION BY qid ORDER BY qcos_sim DESC, vec_id) AS rank FROM scored)
         SELECT qid, vec_id, qcos_sim, rank FROM ranked WHERE rank <= 5

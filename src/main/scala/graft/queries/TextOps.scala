@@ -193,6 +193,16 @@ object TextOps extends QueryPack {
         .orderBy($"doc_id")
     }),
 
+    // exact-substring dedup REMOVAL (t51 measures; this edits): kept
+    // text after cutting the union of duplicated 8-token windows. The
+    // oracle reformulates independently at token level (NOT EXISTS
+    // against the duplicated spans) vs Spark's island fold.
+    "t56_dup_substring_remove" -> ((s, dir) => {
+      import s.implicits._
+      TextDedup.dupSubstringRemove(t(s, dir, "documents"), "doc_id", "text", 8)
+        .orderBy($"doc_id")
+    }),
+
     "t52_bpe_pretokens" -> ((s, dir) => {
       import s.implicits._
       TextAnalysis.bpePretokenStats(t(s, dir, "documents"), "doc_id", "text")
@@ -566,6 +576,29 @@ object TextOps extends QueryPack {
           CAST(COALESCE(agg.covered_tokens, 0) AS DOUBLE) / len(tk)
             AS dup_coverage
         FROM w LEFT JOIN agg ON w.doc_id = agg.doc_id ORDER BY w.doc_id""",
+    // independent token-level reformulation: a token survives iff NO
+    // duplicated window covers its index (the Spark side folds the
+    // island complement instead — agreement checks both formulations)
+    "t56_dup_substring_remove" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        win AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS start,
+            array_to_string(tk[i:i+7], ' ') AS g
+          FROM w, LATERAL (SELECT unnest(range(1, greatest(len(tk) - 7, 0) + 1)) AS i)),
+        dup AS (SELECT doc_id, start FROM (
+          SELECT doc_id, start, count(*) OVER (PARTITION BY g) AS cnt FROM win)
+          WHERE cnt >= 2),
+        tok AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS idx, tk[i] AS tok
+          FROM w, LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i)),
+        keep AS (SELECT t.doc_id, t.idx, t.tok FROM tok t
+          WHERE NOT EXISTS (SELECT 1 FROM dup d
+            WHERE d.doc_id = t.doc_id AND d.start <= t.idx AND t.idx < d.start + 8)),
+        ka AS (SELECT doc_id, count(*) AS kept_tokens,
+            string_agg(tok, ' ' ORDER BY idx) AS kept_text
+          FROM keep GROUP BY doc_id)
+        SELECT w.doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+          CAST(COALESCE(ka.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+          COALESCE(ka.kept_text, '') AS kept_text
+        FROM w LEFT JOIN ka ON w.doc_id = ka.doc_id ORDER BY w.doc_id""",
     "t52_bpe_pretokens" ->
       """WITH p AS (SELECT doc_id,
           regexp_extract_all(text,

