@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One near-dup verdict per (document, LSH band): `dup_src` is the
+  * lowest earlier document this one is a near-duplicate of (by minhash
+  * agreement in this band's bucket), or None. */
+case class BandVerdict(doc_id: Long, band: Int, dup_src: Option[Long])
+
+/** Streaming NEAR-dup dedup across micro-batches — the ingest-pipeline
+  * operator st65's exact `dropDuplicates` cannot express: a re-delivered
+  * document that was also EDITED (tail appended, boilerplate injected)
+  * hashes to a different exact key but lands in the same MinHash band
+  * buckets.
+  *
+  * Shape: text → fused minhash kernel → band keys (the
+  * `minHashLshPairs` banding, bit-identical) → `flatMapGroupsWithState`
+  * keyed by (band, band_key). Each bucket's state holds the
+  * (doc_id, signature) list of every document seen; an arriving
+  * document is a duplicate if its signature agrees with an earlier one
+  * on >= `estThreshold` of the components (the standard MinHash Jaccard
+  * estimator — the streaming stand-in for the batch path's exact
+  * verify, which would need full texts in state). All documents
+  * register in state, dropped or not, so chains (A<-B<-C) resolve the
+  * way the batch replay does.
+  *
+  * Determinism: groups process their rows in doc_id order, and a
+  * verdict depends only on lower-id documents — so the result is
+  * IDENTICAL however ingestion splits into micro-batches, and a batch
+  * run over the union equals the streaming run (the Round6 spec
+  * asserts it; the st68 oracle replays the whole ladder in SQL).
+  *
+  * Scale: state per bucket grows with its membership — bounded in
+  * practice by bucket occupancy (bands spread documents across 2^128
+  * md5 keys); an unbounded-retention ingest would swap NoTimeout for a
+  * watermark/TTL past the re-delivery horizon, the same trade st65
+  * documents for `dropDuplicatesWithinWatermark`. */
+object StreamingNearDup {
+
+  def bandVerdicts(docs: DataFrame, idCol: String, textCol: String,
+      bands: Int = 8, rowsPerBand: Int = 2, k: Int = 3,
+      estThreshold: Double = 0.5): Dataset[BandVerdict] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val numHashes = bands * rowsPerBand
+    val sigs = docs.select(col(idCol).cast("long").as("doc_id"),
+      TextDedup.minHashTextKernel(numHashes, k)(col(textCol)).as("sig"))
+    val banded = sigs.select(col("doc_id"), col("sig"), posexplode(
+        array((0 until bands).map(b =>
+          md5(concat_ws("|", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))): _*)))
+      .as[(Long, Seq[String], Int, String)]
+    banded.groupByKey { case (_, _, band, key) => (band, key) }
+      .flatMapGroupsWithState[List[(Long, Seq[String])], BandVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((band, _), rows, state: GroupState[List[(Long, Seq[String])]]) =>
+          var seen = state.getOption.getOrElse(Nil)
+          // id order makes the fold batch-boundary-independent: each
+          // verdict consults only lower ids, which sort earlier here
+          // and arrive in earlier micro-batches otherwise
+          val out = rows.toSeq.sortBy(_._1).map { case (id, sig, _, _) =>
+            val dupSrc = seen.collect {
+              case (eid, esig) if {
+                var eq = 0
+                var i = 0
+                // null components (zero-shingle docs) never match —
+                // mirrors the oracle's IS NOT NULL guard
+                while (i < sig.length) {
+                  if (sig(i) != null && sig(i) == esig(i)) eq += 1
+                  i += 1
+                }
+                eq.toDouble / numHashes >= estThreshold
+              } => eid
+            } match { case Nil => None; case xs => Some(xs.min) }
+            seen = (id, sig) :: seen
+            BandVerdict(id, band, dupSrc)
+          }
+          state.update(seen)
+          out.iterator
+      }
+  }
+}

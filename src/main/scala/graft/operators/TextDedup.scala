@@ -160,7 +160,7 @@ object TextDedup {
     * minhash in one pass with no intermediate Catalyst arrays. Produces
     * exactly the same signature as shingling via `wordShingles` +
     * `minHashKernel` (same join separator, same dedup). */
-  private def minHashTextKernel(numHashes: Int, k: Int) =
+  private[operators] def minHashTextKernel(numHashes: Int, k: Int) =
     udf((text: String) => {
       val words = text.split(" ", -1)
       val seen = new java.util.HashSet[String]()

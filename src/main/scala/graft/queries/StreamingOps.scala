@@ -23,15 +23,33 @@ object StreamingOps extends QueryPack {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
+  private val docsSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Temp staging dir for the file-source queries, registered for
+    * JVM-exit cleanup (files registered as they are staged — without
+    * this every run leaked one copied parquet per staged query). */
+  private def stagingDir(prefix: String): java.nio.file.Path = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    d.toFile.deleteOnExit()
+    d
+  }
+
+  private def stageCopy(src: String, dir: java.nio.file.Path, name: String): Unit = {
+    val dst = dir.resolve(name)
+    java.nio.file.Files.copy(java.nio.file.Paths.get(src), dst)
+    dst.toFile.deleteOnExit()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st61_stream_window" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val name = "st61_out"
       // the file source requires a directory — stage the table into one
-      val staged = java.nio.file.Files.createTempDirectory("graft-stream-events")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        staged.resolve("events.parquet"))
+      val staged = stagingDir("graft-stream-events")
+      stageCopy(s"$dir/events.parquet", staged, "events.parquet")
       val stream = s.readStream.schema(eventsRawSchema)
         .parquet(staged.toString)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -62,10 +80,8 @@ object StreamingOps extends QueryPack {
     "st64_stream_session_window" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val name = "st64_out"
-      val staged = java.nio.file.Files.createTempDirectory("graft-stream-sess")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        staged.resolve("events.parquet"))
+      val staged = stagingDir("graft-stream-sess")
+      stageCopy(s"$dir/events.parquet", staged, "events.parquet")
       val stream = s.readStream.schema(eventsRawSchema)
         .parquet(staged.toString)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -95,13 +111,9 @@ object StreamingOps extends QueryPack {
     "st65_stream_dedup" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val name = "st65_out"
-      val staged = java.nio.file.Files.createTempDirectory("graft-stream-dedup")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        staged.resolve("a.parquet"))
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        staged.resolve("b.parquet"))
+      val staged = stagingDir("graft-stream-dedup")
+      stageCopy(s"$dir/events.parquet", staged, "a.parquet")
+      stageCopy(s"$dir/events.parquet", staged, "b.parquet")
       val stream = s.readStream.schema(eventsRawSchema)
         .option("maxFilesPerTrigger", "1")
         .parquet(staged.toString)
@@ -123,14 +135,8 @@ object StreamingOps extends QueryPack {
     // unchanged — same Column expressions, same results.
     "st66_stream_quality_gate" -> ((s, dir) => {
       val name = "st66_out"
-      val staged = java.nio.file.Files.createTempDirectory("graft-stream-gate")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/documents.parquet"),
-        staged.resolve("documents.parquet"))
-      val docsSchema = StructType(Seq(
-        StructField("doc_id", LongType), StructField("text", StringType),
-        StructField("lang", StringType), StructField("source", StringType),
-        StructField("n_chars", LongType)))
+      val staged = stagingDir("graft-stream-gate")
+      stageCopy(s"$dir/documents.parquet", staged, "documents.parquet")
       val stream = graft.operators.TextAnalysis.gopherQualityFlags(
         s.readStream.schema(docsSchema).parquet(staged.toString),
         "doc_id", "text", minTokens = 10, maxMeanLen = 6.0)
@@ -153,14 +159,8 @@ object StreamingOps extends QueryPack {
     // oracle's per-doc contaminated-instance counts.
     "st67_stream_decontaminate" -> ((s, dir) => {
       val name = "st67_out"
-      val staged = java.nio.file.Files.createTempDirectory("graft-stream-decon")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/documents.parquet"),
-        staged.resolve("documents.parquet"))
-      val docsSchema = StructType(Seq(
-        StructField("doc_id", LongType), StructField("text", StringType),
-        StructField("lang", StringType), StructField("source", StringType),
-        StructField("n_chars", LongType)))
+      val staged = stagingDir("graft-stream-decon")
+      stageCopy(s"$dir/documents.parquet", staged, "documents.parquet")
       val probe = t(s, dir, "documents").filter(col("doc_id") < 5)
         .select(explode(graft.operators.TextDedup.wordShingles(col("text"), 3))
           .as("g"))
@@ -175,6 +175,52 @@ object StreamingOps extends QueryPack {
       s.table(name)
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_hits"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Streaming NEAR-dup dedup (extends st65 beyond exact keys): the
+    // second delivery is EDITED (ids shifted, a tail appended), so
+    // dropDuplicates can't catch it — MinHash band state across
+    // micro-batches does (StreamingNearDup). mtimes force the original
+    // file into micro-batch 1 (the file source lists oldest-first), and
+    // the verdict fold is id-ordered, so the oracle replays the whole
+    // ladder: signatures, band buckets, >= 8-of-16 component agreement
+    // against any lower-id document sharing a band.
+    "st68_stream_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val name = "st68_out"
+      val staged = stagingDir("graft-stream-neardup")
+      stageCopy(s"$dir/documents.parquet", staged, "a.parquet")
+      // near-dup second delivery: batch-write the mutated copy, move its
+      // single part file in as b.parquet
+      val mutTmp = staged.resolve("mut")
+      t(s, dir, "documents")
+        .select(($"doc_id" + 1000000L).as("doc_id"),
+          concat($"text", lit(" streamdup tail")).as("text"),
+          $"lang", $"source", $"n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(mutTmp.toString)
+      val part = new java.io.File(mutTmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, staged.resolve("b.parquet"))
+      staged.resolve("b.parquet").toFile.deleteOnExit()
+      org.apache.commons.io.FileUtils.deleteDirectory(mutTmp.toFile)
+      java.nio.file.Files.setLastModifiedTime(staged.resolve("a.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 120000))
+      // repartition BEFORE the minhash kernel: the per-trigger file scan
+      // is one partition, and the kernel is the CPU cost
+      val stream = s.readStream.schema(docsSchema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+        .repartition(col("doc_id"))
+      val verdicts = graft.operators.StreamingNearDup.bandVerdicts(
+        stream, "doc_id", "text")
+      val q = verdicts.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+      s.table(name)
+        .groupBy(col("doc_id"))
+        .agg(max(when(col("dup_src").isNotNull, 1).otherwise(0)).as("_dropped"))
+        .select(col("doc_id"), (col("_dropped") === 0).as("kept"))
         .orderBy(col("doc_id"))
     }),
 
@@ -287,6 +333,37 @@ object StreamingOps extends QueryPack {
         SELECT s.doc_id, count(*) AS n_hits
         FROM sh s JOIN probe p ON s.g = p.g
         GROUP BY s.doc_id ORDER BY s.doc_id""",
+    // st68 replays the streaming near-dup ladder batch-side: both
+    // deliveries unioned, t37's signature derivation, t38's band keys,
+    // and the drop rule — a document is dropped iff some LOWER-id
+    // document shares a band bucket and >= 8 of 16 signature components
+    // agree (the MinHash Jaccard estimate at 0.5). Null components
+    // (zero-shingle docs) never agree on either side.
+    "st68_stream_neardup" ->
+      """WITH all_docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id, text || ' streamdup tail' AS text
+          FROM documents),
+        words AS (SELECT doc_id, string_split(text, ' ') AS w FROM all_docs),
+        sh AS (SELECT doc_id, list_transform(range(1, greatest(len(w)-2,0)+1),
+          i -> w[i]||' '||w[i+1]||' '||w[i+2]) AS shingles FROM words),
+        sigs AS (SELECT doc_id, list_transform(range(0,16),
+          i -> list_aggregate(list_transform(shingles,
+            s -> md5(CAST(i AS VARCHAR)||':'||s)), 'min')) AS sig FROM sh),
+        bands AS (SELECT doc_id, b, md5(sig[b*2+1]||'|'||sig[b*2+2]) AS band_key
+          FROM sigs, range(0,8) t(b)),
+        dropped AS (SELECT DISTINCT l.doc_id
+          FROM bands l
+          JOIN bands e ON l.b = e.b AND l.band_key = e.band_key
+            AND e.doc_id < l.doc_id
+          JOIN sigs sl ON sl.doc_id = l.doc_id
+          JOIN sigs se ON se.doc_id = e.doc_id
+          WHERE len(list_filter(range(1, 17), i ->
+            sl.sig[i] IS NOT NULL AND sl.sig[i] = se.sig[i])) >= 8)
+        SELECT a.doc_id, (dropped.doc_id IS NULL) AS kept
+        FROM all_docs a LEFT JOIN dropped ON a.doc_id = dropped.doc_id
+        ORDER BY a.doc_id""",
     "st62_sessionize" ->
       """WITH ev AS (
           -- Spark reads the NANOS parquet truncated to microseconds

@@ -112,6 +112,31 @@ class Round6Spec extends AnyFunSuite with BeforeAndAfterAll {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("streaming near-dup verdicts: id-ordered fold, mutants dropped, distinct kept") {
+    import spark.implicits._
+    val long1 = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val long2 = (1 to 40).map(i => s"other$i").mkString(" ")
+    val docs = Seq(
+      (1L, long1),
+      (2L, long2),
+      (3L, long1 + " appended tail"), // near-dup of 1
+      (4L, "tiny doc"),               // zero shingles at k=3... (2 tokens)
+      (5L, "tiny doc")                // also zero shingles: must NOT match 4
+    ).toDF("doc_id", "text")
+    val verdicts = StreamingNearDup.bandVerdicts(docs, "doc_id", "text")
+      .collect().groupBy(_.doc_id)
+    def droppedBy(id: Long): Set[Long] =
+      verdicts(id).flatMap(_.dup_src).toSet
+    assert(droppedBy(1L).isEmpty, "first doc must be kept")
+    assert(droppedBy(2L).isEmpty, "unrelated doc must be kept")
+    assert(droppedBy(3L) == Set(1L), "appended-tail mutant must dedup to doc 1")
+    // zero-shingle docs have all-null signatures: never near anything
+    assert(droppedBy(4L).isEmpty && droppedBy(5L).isEmpty)
+    // the verdict depends only on LOWER ids, so any batch split yields
+    // the same outcome — re-run on each half with carried state shape
+    // is exercised end-to-end by the st68 oracle gate
+  }
+
   test("knnQuantized: recall vs knnBrute, and the pre-quantized path is identical") {
     import spark.implicits._
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
