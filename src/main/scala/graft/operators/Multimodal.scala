@@ -208,19 +208,87 @@ object Multimodal {
     encodePng(img)
   }
 
-  /** Frame sampling: treat the payload as fixed-size frames, emit every
-    * `stride`-th one — the video keyframe-sampling shape (explodes rows,
-    * so output partitioning stays aligned with input). */
+  /** All frames of a multi-image GIF via the JDK reader (the one
+    * animated format `javax.imageio` decodes natively), None for
+    * non-GIF or malformed payloads. */
+  private[operators] def decodeGifFrames(
+      payload: Array[Byte]): Option[Seq[java.awt.image.BufferedImage]] =
+    if (!(payload.length >= 6 && payload(0) == 'G' && payload(1) == 'I' &&
+        payload(2) == 'F' && payload(3) == '8')) None
+    else try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); None }
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, false, true)
+          val n = reader.getNumImages(true)
+          val frames = (0 until n).map(reader.read(_))
+          if (frames.isEmpty) None else Some(frames)
+        } finally { reader.dispose(); iis.close() }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Frame sampling, emitting every `stride`-th frame. GIF payloads get
+    * REAL frames: each one decodes via the JDK reader and emits its
+    * BT.601 luma plane (the analysis-ready representation the feature
+    * operators consume). Everything else falls back to the byte-stub
+    * frame model — `frameBytes`-sized slices (a real video build would
+    * put its codec behind the same sniff; those aren't in the JDK).
+    * Both paths explode rows in one partition pass, so output
+    * partitioning stays aligned with input. */
   def sampleFrames(media: DataFrame, frameBytes: Int = 16, stride: Int = 4)
       (implicit s: SparkSession): Dataset[Frame] = {
     import s.implicits._
     media.select(col("doc_id"), col("payload")).as[MediaRow]
       .mapPartitions(rows => rows.flatMap { r =>
-        val nFrames = r.payload.length / frameBytes
-        (0 until nFrames by stride).iterator.map { i =>
-          Frame(r.doc_id, i,
-            java.util.Arrays.copyOfRange(r.payload, i * frameBytes, (i + 1) * frameBytes))
+        decodeGifFrames(r.payload) match {
+          case Some(frames) =>
+            (0 until frames.length by stride).iterator.map { i =>
+              Frame(r.doc_id, i, lumaPlane(frames(i)))
+            }
+          case None =>
+            val nFrames = r.payload.length / frameBytes
+            (0 until nFrames by stride).iterator.map { i =>
+              Frame(r.doc_id, i,
+                java.util.Arrays.copyOfRange(r.payload, i * frameBytes, (i + 1) * frameBytes))
+            }
         }
       })
+  }
+
+  /** Deterministic multi-frame grayscale GIF for doc `id`: frame f's
+    * pixel (x,y) is a pure integer function of (id, f, x, y). Gray in =
+    * gray out (the GIF palette covers all 256 grays, and BT.601 luma of
+    * (g,g,g) is exactly g), so decoded frames recover the generator
+    * values bit-for-bit — feeds the m76 pinned-golden frame gate with
+    * no fixtures on disk. */
+  def syntheticGif(id: Long, w: Int = 16, h: Int = 16, nFrames: Int = 4): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      (0 until nFrames).foreach { f =>
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0, ((id * 7 + f * 41 + x * 13 + y * 31) % 256).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
   }
 }

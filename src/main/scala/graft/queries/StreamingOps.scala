@@ -280,6 +280,22 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL multi-frame GIF decode: deterministic generated 4-frame
+    // grayscale GIFs → every 2nd frame's luma plane, hashed. Pure
+    // function of doc_id, gated by a pinned golden — the animated-codec
+    // path a DuckDB oracle cannot replay in SQL.
+    "m76_gif_frames" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val gif = udf((id: Long) => Multimodal.syntheticGif(id))
+      val media = s.range(0, 20)
+        .select(col("id").as("doc_id"), gif(col("id")).as("payload"))
+      Multimodal.sampleFrames(media, stride = 2).toDF()
+        .select(col("doc_id"), col("frame_idx"),
+          length(col("frame")).as("n_luma_bytes"),
+          md5(col("frame")).as("frame_hash"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
     // REAL image decode (javax.imageio): deterministic generated PNGs →
     // BT.601 luma-plane features. Pure function of doc_id (independent
     // of the sf tables), gated by a pinned golden (PinnedGoldens) — the

@@ -137,6 +137,32 @@ class Round6Spec extends AnyFunSuite with BeforeAndAfterAll {
     // is exercised end-to-end by the st68 oracle gate
   }
 
+  test("GIF multi-frame decode: synthetic GIF roundtrips the generator pixels exactly") {
+    import spark.implicits._
+    val gif = Multimodal.syntheticGif(5L)
+    assert(Multimodal.sniffImage(gif))
+    val frames = Multimodal.decodeGifFrames(gif).get
+    assert(frames.length == 4)
+    frames.zipWithIndex.foreach { case (img, f) =>
+      assert(img.getWidth == 16 && img.getHeight == 16)
+      val luma = Multimodal.lumaPlane(img)
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val want = ((5L * 7 + f * 41 + x * 13 + y * 31) % 256).toInt
+        assert((luma(y * 16 + x) & 0xff) == want, s"frame $f pixel ($x,$y)")
+      }
+    }
+    // the operator takes the GIF path (real frames, luma-plane bytes),
+    // and non-GIF payloads still use the byte-slice fallback
+    implicit val sp: SparkSession = spark
+    val media = Seq((1L, gif), (2L, Array.fill[Byte](64)(7))).toDF("doc_id", "payload")
+    val out = Multimodal.sampleFrames(media, frameBytes = 16, stride = 2)
+      .collect().groupBy(_.doc_id)
+    assert(out(1L).map(_.frame_idx).sorted.toSeq == Seq(0, 2))
+    assert(out(1L).forall(_.frame.length == 256))
+    assert(out(2L).map(_.frame_idx).sorted.toSeq == Seq(0, 2))
+    assert(out(2L).forall(_.frame.length == 16))
+  }
+
   test("knnQuantized: recall vs knnBrute, and the pre-quantized path is identical") {
     import spark.implicits._
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
