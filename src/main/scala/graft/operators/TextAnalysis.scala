@@ -357,7 +357,16 @@ object TextAnalysis {
     * Java regex (Spark) and RE2 (DuckDB): character classes, bounded
     * repetition, \b word boundaries — no lookaround, no backreferences.
     * Greedy matching on these patterns backtracks to the same leftmost
-    * match in both engines, so counts and redactions replay exactly. */
+    * match in both engines, so counts and redactions replay exactly.
+    *
+    * Known imprecision (accepted for a scrub audit, where over-matching
+    * errs safe): the IPv4 pattern takes any 1-3-digit octets, so it
+    * also redacts non-addresses like `999.999.999.999`, and it matches
+    * the leading four octets of longer dotted runs (`1.2.3.4.5` →
+    * `<IP>.5`) — version strings can inflate `n_ipv4`. A strict form
+    * would swap each `\d{1,3}` for the octet-range alternation
+    * `(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)` (still in the Java/RE2 common
+    * subset). */
   val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
@@ -400,6 +409,11 @@ object TextAnalysis {
       weights: Map[String, Int], defaultWeight: Int = 1,
       seed: Long = 42L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // a zero/negative weight makes `cap100 div w` null or negative —
+    // silently swallowed by min() here but an error in the DuckDB
+    // replay; fail fast instead of diverging on invalid input
+    require(weights.values.forall(_ > 0) && defaultWeight > 0,
+      "sourceMixSample weights must all be positive")
     val weight = weights.toSeq.sortBy(_._1).foldLeft(lit(defaultWeight)) {
       case (acc, (src, w)) => when(col(srcCol) === src, lit(w)).otherwise(acc)
     }

@@ -137,6 +137,45 @@ class Round6Spec extends AnyFunSuite with BeforeAndAfterAll {
     // is exercised end-to-end by the st68 oracle gate
   }
 
+  test("piiScrub edge cases: order of passes, dotted-run over-match, counts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail a.b+c@x.co now"),          // email with class chars
+      (2L, "ip 10.0.200.7 and 999.999.999.999"), // octets unchecked (documented)
+      (3L, "ver 1.2.3.4.5 ok"),             // leading 4 octets match
+      (4L, "host user@10.0.0.1.example.org"), // email redacts FIRST, no half-IP
+      (5L, "clean text")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrub(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(out(1L) == ((1, 0, "mail <EMAIL> now")))
+    assert(out(2L) == ((0, 2, "ip <IP> and <IP>")))
+    assert(out(3L) == ((0, 1, "ver <IP>.5 ok")))
+    // counts audit the ORIGINAL text (the dotted host tail counts as an
+    // IP there), but redaction is email-first: the whole address is one
+    // <EMAIL>, never a half-rewritten IP inside it
+    assert(out(4L) == ((1, 1, "host <EMAIL>")), s"email-first ordering: ${out(4L)}")
+    assert(out(5L) == ((0, 0, "clean text")))
+  }
+
+  test("sourceMixSample: invalid weights fail fast; quotas realize the mix exactly") {
+    import spark.implicits._
+    val docs = (0L until 100L).map(i => (i, s"src${i % 2}")).toDF("doc_id", "source")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.sourceMixSample(docs, "doc_id", "source", Map("src0" -> 0))
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.sourceMixSample(docs, "doc_id", "source",
+        Map("src0" -> 10), defaultWeight = -1)
+    }
+    // 50/50 corpus at 3:1 target: budget = floor(100*50/3) = 1666,
+    // quotas floor(3*1666/100)=49 and floor(1*1666/100)=16
+    val got = TextAnalysis.sourceMixSample(docs, "doc_id", "source",
+        Map("src0" -> 3, "src1" -> 1)).collect()
+    val bySrc = got.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(bySrc == Map("src0" -> 49, "src1" -> 16), s"quotas: $bySrc")
+  }
+
   test("GIF multi-frame decode: synthetic GIF roundtrips the generator pixels exactly") {
     import spark.implicits._
     val gif = Multimodal.syntheticGif(5L)
