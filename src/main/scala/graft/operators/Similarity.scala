@@ -629,6 +629,115 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Product-quantization codebooks: for each of `m` subspaces of
+    * `dim/m` dimensions, the sub-vectors of the `codebookSize`
+    * lowest-id corpus vectors (the `ivfAssign` seed convention —
+    * deterministic, oracle-replayable; a production index trains each
+    * codebook with per-subspace k-means, the `ivfTrain` analog).
+    * Returned as C(s)(e)(j) doubles; the driver holds
+    * m·codebookSize·subDim doubles (= one codebook per subspace). */
+  private def pqCodebooks(corpus: DataFrame, m: Int, codebookSize: Int, dim: Int,
+      idCol: String, vecCol: String): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val subDim = dim / m
+    val seeds = seedVectors(corpus, codebookSize, idCol, vecCol)
+    Array.tabulate(m, codebookSize, subDim) { (s, e, j) =>
+      seeds(e)._2(s * subDim + j).toDouble
+    }
+  }
+
+  /** Product quantization encode: each vector becomes `m` codebook
+    * indices (one byte each at codebookSize <= 256) — 64-dim float
+    * (256 B) compresses to 8 B, the memory shape that fits a
+    * billion-vector index in RAM (FAISS PQ). Assignment per subspace is
+    * the nearest codebook entry by rounded L2, ties to the lower entry
+    * index — engine-reproducible like `ivfAssign`. */
+  def pqEncode(corpus: DataFrame, m: Int = 8, codebookSize: Int = 16,
+      dim: Int = 64, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val subDim = dim / m
+    val bc = spark.sparkContext.broadcast(
+      pqCodebooks(corpus, m, codebookSize, dim, idCol, vecCol))
+    corpus.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Seq[Float])]
+      .map { case (id, vSeq) =>
+        val v = vSeq.toArray
+        val codes = new Array[Int](m)
+        var s = 0
+        while (s < m) {
+          var bestE = -1
+          var bestD = Double.MaxValue
+          var e = 0
+          while (e < codebookSize) {
+            val c = bc.value(s)(e)
+            var d = 0.0
+            var j = 0
+            while (j < subDim) {
+              val x = v(s * subDim + j).toDouble - c(j); d += x * x; j += 1
+            }
+            val r = round6(d)
+            if (r < bestD) { bestD = r; bestE = e }
+            e += 1
+          }
+          codes(s) = bestE
+          s += 1
+        }
+        (id, codes.toSeq)
+      }.toDF("vec_id", "codes")
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: approximate
+    * cos(q, x) from the codes alone — dot(q, x) ~ sum_s of
+    * dot(q_s, C_s[code_s]) and |x| ~ sqrt(sum_s |C_s[code_s]|^2), both
+    * LEFT-TO-RIGHT folds over ascending subspaces so the oracle's
+    * ordered list_sum replays them bit-for-bit. The scan reads m bytes
+    * per vector instead of 4·dim; queries stay float (asymmetric =
+    * only the corpus side is quantized, the better-recall PQ variant).
+    * Completes the ANN storage ladder: SQ8 (`knnQuantized`), IVF+SQ8
+    * (`ivfSearchQuantized`), PQ+ADC here — compose with `probeLists`
+    * for the full IVF-PQ shape. */
+  def knnPq(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 8, codebookSize: Int = 16, dim: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = corpus.sparkSession
+    val subDim = dim / m
+    val bc = spark.sparkContext.broadcast(
+      pqCodebooks(corpus, m, codebookSize, dim, idCol, vecCol))
+    val codes = pqEncode(corpus, m, codebookSize, dim, idCol, vecCol)
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val adcCos = udf((qv: Seq[Float], cs: Seq[Int]) => {
+      val cb = bc.value
+      var adc = 0.0
+      var nsq = 0.0
+      var qsq = 0.0
+      var s = 0
+      while (s < cb.length) {
+        val c = cb(s)(cs(s))
+        var dotc = 0.0
+        var csq = 0.0
+        var j = 0
+        while (j < c.length) {
+          dotc += qv(s * c.length + j).toDouble * c(j)
+          csq += c(j) * c(j)
+          j += 1
+        }
+        adc += dotc
+        nsq += csq
+        s += 1
+      }
+      var i = 0
+      while (i < qv.length) { qsq += qv(i).toDouble * qv(i).toDouble; i += 1 }
+      val denom = math.sqrt(qsq) * math.sqrt(nsq)
+      if (denom == 0.0) 0.0 else round6(adc / denom)
+    })
+    val scored = codes.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        adcCos(col("qv"), col("codes")).as("adc_cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc_cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** ANN top-k restricted to same-SRP-bucket candidates (the scale path;
     * recall < 1 by design, traded for a bucket-local join). */
   def knnLsh(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,

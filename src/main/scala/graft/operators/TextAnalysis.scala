@@ -434,6 +434,53 @@ object TextAnalysis {
       .select(col("doc_id"), col(srcCol).as("source"), col("sample_rank"))
   }
 
+  /** Corpus-LM cross-entropy score — the CCNet-style quality signal
+    * with the corpus ITSELF as the language model (no external LM in
+    * this environment, and the in-corpus form is the standard
+    * "how typical is this document of the collection" filter): train
+    * bigram MLE counts over the whole corpus, then score each document
+    * by the mean negative log-likelihood of its bigrams,
+    * H(d) = -(1/n_d) * sum_i ln( c(w_{i-1} w_i) / c(w_{i-1} *) ).
+    * Low H = boilerplate-typical text, high H = rare constructions —
+    * the two tails a curation pipeline inspects.
+    *
+    * Scale shape: bigram instances explode once; the model is one
+    * map-side-combined (a,b) aggregation plus a small per-a rollup
+    * (c(a*) = sum_b c(a,b) by construction, so no second corpus pass);
+    * scoring joins instances against the model on the bigram key. The
+    * per-document sum folds a POSITION-SORTED list left-to-right, so
+    * double addition order is pinned and the oracle's ordered
+    * list_sum replays it bit-for-bit (the m72 ln/fold precedent).
+    * Documents with fewer than 2 tokens emit a null score. */
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // (doc, pos, a, b) bigram instances; split array bound once
+    val inst = docs.select(col(idCol).as("doc_id"),
+        explode(element_at(transform(array(tokens(col(textCol))), { w =>
+          when(size(w) >= 2,
+            transform(sequence(lit(1), size(w) - 1),
+              i => struct(i.as("pos"), element_at(w, i).as("a"),
+                element_at(w, i + 1).as("b"))))
+            .otherwise(array().cast("array<struct<pos:int,a:string,b:string>>"))
+        }), 1)).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.a").as("a"),
+        col("g.b").as("b"))
+    val cab = inst.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+    val ca = cab.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
+    val model = cab.join(ca, Seq("a"))
+      .select(col("a"), col("b"),
+        log(col("cab").cast("double") / col("ca").cast("double")).as("lnp"))
+    val perDoc = inst.join(model, Seq("a", "b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        aggregate(array_sort(collect_list(struct(col("pos"), col("lnp")))),
+          lit(0.0), (acc, x) => acc + x.getField("lnp")).as("_sumln"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-(col("_sumln") / col("n_bigrams")), 6).as("cross_entropy"))
+    docs.select(col(idCol).as("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("cross_entropy"))
+  }
+
   /** Content-defined document fingerprint: md5 over the sorted distinct
     * token set — stable under token reordering, engine-portable. */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =

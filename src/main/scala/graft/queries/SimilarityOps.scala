@@ -111,6 +111,17 @@ object SimilarityOps extends QueryPack {
         .orderBy($"qid", $"rank")
     }),
 
+    // Product quantization + asymmetric-distance search (FAISS PQ/ADC):
+    // 8 subspaces x 16-entry codebooks, codes are 8 bytes per vector;
+    // scoring reconstructs dot products from codebook lookups with
+    // ordered folds the oracle replays bit-for-bit.
+    "s52_pq_adc" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnPq(emb, emb.filter($"vec_id" < 10), k = 5)
+        .orderBy($"qid", $"rank")
+    }),
+
     // The embedding-side curation composition (the s-series analog of
     // t53): exact dedup on identical vectors → near-dup removal via
     // the SCALE path (SRP-LSH with bits derived from the DEDUPED
@@ -359,6 +370,47 @@ object SimilarityOps extends QueryPack {
         ranked AS (SELECT *, row_number() OVER
           (PARTITION BY qid ORDER BY qcos_sim DESC, vec_id) AS rank FROM scored)
         SELECT qid, vec_id, qcos_sim, rank FROM ranked WHERE rank <= 5
+        ORDER BY qid, rank""",
+    // s52 replays PQ end-to-end: codebooks = sub-vectors of the 16
+    // lowest-id embeddings (entry index = id rank), per-subspace
+    // nearest-entry encode (rounded L2, tie to lower entry), ADC
+    // scoring as ORDERED per-subspace folds (list(x ORDER BY s) →
+    // list_sum) so double summation order matches the Scala kernel.
+    "s52_pq_adc" ->
+      s"""WITH cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ord,
+            embedding AS cv
+          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+        cb AS (SELECT s, ord, list_transform(range(1, 9), j ->
+            CAST(cv[s*8+j] AS DOUBLE)) AS sub
+          FROM cents, range(0, 8) t(s)),
+        dists AS (SELECT e.vec_id, cb.s, cb.ord,
+            round(list_sum(list_transform(range(1, 9), j ->
+              (CAST(e.embedding[cb.s*8+j] AS DOUBLE) - cb.sub[j]) *
+              (CAST(e.embedding[cb.s*8+j] AS DOUBLE) - cb.sub[j]))), 6) AS d
+          FROM embeddings e, cb),
+        codes AS (SELECT vec_id, s, ord FROM
+          (SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, ord) AS rn
+           FROM dists) WHERE rn = 1),
+        q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        contribs AS (SELECT q.qid, c.vec_id, c.s,
+            list_sum(list_transform(range(1, 9), j ->
+              CAST(q.qv[c.s*8+j] AS DOUBLE) * cb.sub[j])) AS dotc,
+            list_sum(list_transform(range(1, 9), j -> cb.sub[j] * cb.sub[j])) AS csq
+          FROM q, codes c JOIN cb ON cb.s = c.s AND cb.ord = c.ord
+          WHERE c.vec_id <> q.qid),
+        agg AS (SELECT qid, vec_id,
+            list_sum(list(dotc ORDER BY s)) AS adc,
+            list_sum(list(csq ORDER BY s)) AS nsq
+          FROM contribs GROUP BY qid, vec_id),
+        qn AS (SELECT qid, sqrt(list_sum(list_transform(range(1, 65), i ->
+            CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))) AS qnrm FROM q),
+        scored AS (SELECT agg.qid, agg.vec_id,
+            CASE WHEN qn.qnrm * sqrt(agg.nsq) = 0 THEN 0.0
+              ELSE round(agg.adc / (qn.qnrm * sqrt(agg.nsq)), 6) END AS adc_cos
+          FROM agg JOIN qn ON qn.qid = agg.qid),
+        ranked AS (SELECT *, row_number() OVER
+          (PARTITION BY qid ORDER BY adc_cos DESC, vec_id) AS rank FROM scored)
+        SELECT qid, vec_id, adc_cos, rank FROM ranked WHERE rank <= 5
         ORDER BY qid, rank""",
     // s49 composes the proven fragments: identical-vector dedup, the
     // s46 SRP replay with nb/sgn derived from the DEDUPED set d, the

@@ -209,6 +209,15 @@ object TextOps extends QueryPack {
         .orderBy($"doc_id")
     }),
 
+    // corpus-LM cross-entropy (CCNet-style typicality signal, corpus as
+    // its own model): bigram MLE counts → per-doc mean -ln p, summed in
+    // pinned position order on both engines.
+    "t57_bigram_lm" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.bigramLmScore(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy($"doc_id")
+    }),
+
     // PII scrub over documents with deterministically INJECTED PII
     // (the base corpus is digit-free word soup, so both engines build
     // the same email/IP-bearing text from (doc_id, text) and the regex
@@ -599,6 +608,24 @@ object TextOps extends QueryPack {
           CAST(COALESCE(ka.kept_tokens, 0) AS BIGINT) AS kept_tokens,
           COALESCE(ka.kept_text, '') AS kept_text
         FROM w LEFT JOIN ka ON w.doc_id = ka.doc_id ORDER BY w.doc_id""",
+    // bigram LM replay: same MLE counts, ln of the same double divide,
+    // per-doc sum over a position-ORDERED list so fold order matches
+    "t57_bigram_lm" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        inst AS (SELECT doc_id, i AS pos, tk[i] AS a, tk[i+1] AS b
+          FROM w, LATERAL (SELECT unnest(range(1, greatest(len(tk) - 1, 0) + 1)) AS i)),
+        cab AS (SELECT a, b, count(*) AS cab FROM inst GROUP BY a, b),
+        ca AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca FROM cab GROUP BY a),
+        model AS (SELECT cab.a, cab.b,
+            ln(CAST(cab AS DOUBLE) / CAST(ca AS DOUBLE)) AS lnp
+          FROM cab JOIN ca ON cab.a = ca.a),
+        perdoc AS (SELECT i.doc_id, count(*) AS n_bigrams,
+            list_sum(list(m.lnp ORDER BY i.pos)) AS sumln
+          FROM inst i JOIN model m ON m.a = i.a AND m.b = i.b
+          GROUP BY i.doc_id)
+        SELECT w.doc_id, CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+          round(-(p.sumln / p.n_bigrams), 6) AS cross_entropy
+        FROM w LEFT JOIN perdoc p ON w.doc_id = p.doc_id ORDER BY w.doc_id""",
     "t52_bpe_pretokens" ->
       """WITH p AS (SELECT doc_id,
           regexp_extract_all(text,

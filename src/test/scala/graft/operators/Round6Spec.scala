@@ -137,6 +137,53 @@ class Round6Spec extends AnyFunSuite with BeforeAndAfterAll {
     // is exercised end-to-end by the st68 oracle gate
   }
 
+  test("PQ encode/ADC: code shape, storage ratio, and rank correlation with exact cosine") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val codes = Similarity.pqEncode(emb)
+    val rows = codes.collect()
+    assert(rows.forall(_.getSeq[Int](1).length == 8))
+    assert(rows.forall(_.getSeq[Int](1).forall(c => c >= 0 && c < 16)))
+    // 8-byte codes vs 256-byte float vectors: the storage claim
+    val dir = java.nio.file.Files.createTempDirectory("pqsize").toString
+    emb.select($"embedding").write.mode("overwrite").parquet(s"$dir/f32")
+    codes.select(transform($"codes", x => x.cast("byte")).as("code"))
+      .write.mode("overwrite").parquet(s"$dir/pq")
+    def bytes(p: String): Long = new java.io.File(p).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    assert(bytes(s"$dir/pq").toDouble / bytes(s"$dir/f32") < 0.2,
+      "PQ codes should store far smaller than floats")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    val queries = emb.filter(col("vec_id") < 20)
+    val truth = Similarity.knnBrute(emb, queries, k = 10)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
+    val got = Similarity.knnPq(emb, queries, k = 10)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
+    val recall = got.intersect(truth).size.toDouble / truth.size
+    // 8x16 PQ on 64-dim data is a coarse 8-byte sketch; it must still
+    // rank far better than chance (random top-10 of ~500: recall ~0.02)
+    assert(recall > 0.2, s"PQ recall $recall not better than chance")
+  }
+
+  test("bigram LM score: hand-computable corpus, null for short docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c"),   // bigrams: (a,b), (b,c)
+      (2L, "a b"),     // bigram: (a,b)
+      (3L, "a c"),     // bigram: (a,c)
+      (4L, "solo")     // no bigrams -> null score
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmScore(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))).toMap
+    // counts: c(a,b)=2 c(a,c)=1 c(b,c)=1; c(a*)=3, c(b*)=1
+    val lnAB = math.log(2.0 / 3.0); val lnBC = math.log(1.0); val lnAC = math.log(1.0 / 3.0)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == ((2L, Some(r6(-(lnAB + lnBC) / 2)))))
+    assert(out(2L) == ((1L, Some(r6(-lnAB)))))
+    assert(out(3L) == ((1L, Some(r6(-lnAC)))))
+    assert(out(4L) == ((0L, None)))
+  }
+
   test("piiScrub edge cases: order of passes, dotted-run over-match, counts") {
     import spark.implicits._
     val docs = Seq(
