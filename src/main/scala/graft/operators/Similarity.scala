@@ -686,27 +686,11 @@ object Similarity {
       }.toDF("vec_id", "codes")
   }
 
-  /** Asymmetric-distance (ADC) top-k over PQ codes: approximate
-    * cos(q, x) from the codes alone — dot(q, x) ~ sum_s of
-    * dot(q_s, C_s[code_s]) and |x| ~ sqrt(sum_s |C_s[code_s]|^2), both
-    * LEFT-TO-RIGHT folds over ascending subspaces so the oracle's
-    * ordered list_sum replays them bit-for-bit. The scan reads m bytes
-    * per vector instead of 4·dim; queries stay float (asymmetric =
-    * only the corpus side is quantized, the better-recall PQ variant).
-    * Completes the ANN storage ladder: SQ8 (`knnQuantized`), IVF+SQ8
-    * (`ivfSearchQuantized`), PQ+ADC here — compose with `probeLists`
-    * for the full IVF-PQ shape. */
-  def knnPq(corpus: DataFrame, queries: DataFrame, k: Int,
-      m: Int = 8, codebookSize: Int = 16, dim: Int = 64,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val spark = corpus.sparkSession
-    val subDim = dim / m
-    val bc = spark.sparkContext.broadcast(
-      pqCodebooks(corpus, m, codebookSize, dim, idCol, vecCol))
-    val codes = pqEncode(corpus, m, codebookSize, dim, idCol, vecCol)
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
-    val adcCos = udf((qv: Seq[Float], cs: Seq[Int]) => {
+  /** ADC cosine kernel over broadcast codebooks (shared by `knnPq` and
+    * `ivfSearchPq`): every accumulation is a pinned-order fold. */
+  private def adcCosUdf(
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]]) =
+    udf((qv: Seq[Float], cs: Seq[Int]) => {
       val cb = bc.value
       var adc = 0.0
       var nsq = 0.0
@@ -731,6 +715,56 @@ object Similarity {
       val denom = math.sqrt(qsq) * math.sqrt(nsq)
       if (denom == 0.0) 0.0 else round6(adc / denom)
     })
+
+  /** IVF + PQ: the full billion-vector index shape (FAISS IVFPQ) — the
+    * coarse quantizer routes each query to its `nprobe` nearest
+    * centroid lists, and the probed lists score by ADC over 8-byte PQ
+    * codes. Per-query work ∝ probed-list size; per-vector memory = m
+    * bytes + a centroid id. Index build (assignment + codes) derives
+    * from the float corpus inline here; production precomputes both. */
+  def ivfSearchPq(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int = 8, nprobe: Int = 2,
+      m: Int = 8, codebookSize: Int = 16, dim: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centroids: Option[Array[(Long, Array[Double])]] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = corpus.sparkSession
+    val bc = spark.sparkContext.broadcast(
+      pqCodebooks(corpus, m, codebookSize, dim, idCol, vecCol))
+    val assigned = pqEncode(corpus, m, codebookSize, dim, idCol, vecCol)
+      .join(ivfAssign(corpus, nCentroids, idCol, vecCol, centroids)
+        .select(col(idCol).as("vec_id"), col("centroid_id")), Seq("vec_id"))
+    val probed = probeLists(corpus, queries, nCentroids, nprobe, idCol, vecCol,
+      centroids, assigned.select(col("centroid_id")).distinct())
+    val scored = probed.join(assigned, Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        adcCosUdf(bc)(col("qv"), col("codes")).as("adc_cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc_cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: approximate
+    * cos(q, x) from the codes alone — dot(q, x) ~ sum_s of
+    * dot(q_s, C_s[code_s]) and |x| ~ sqrt(sum_s |C_s[code_s]|^2), both
+    * LEFT-TO-RIGHT folds over ascending subspaces so the oracle's
+    * ordered list_sum replays them bit-for-bit. The scan reads m bytes
+    * per vector instead of 4·dim; queries stay float (asymmetric =
+    * only the corpus side is quantized, the better-recall PQ variant).
+    * Completes the ANN storage ladder: SQ8 (`knnQuantized`), IVF+SQ8
+    * (`ivfSearchQuantized`), PQ+ADC here, and the probe-routed
+    * composition in `ivfSearchPq`. */
+  def knnPq(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 8, codebookSize: Int = 16, dim: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = corpus.sparkSession
+    val subDim = dim / m
+    val bc = spark.sparkContext.broadcast(
+      pqCodebooks(corpus, m, codebookSize, dim, idCol, vecCol))
+    val codes = pqEncode(corpus, m, codebookSize, dim, idCol, vecCol)
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val adcCos = adcCosUdf(bc)
     val scored = codes.join(broadcast(q), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         adcCos(col("qv"), col("codes")).as("adc_cos"))

@@ -122,6 +122,16 @@ object SimilarityOps extends QueryPack {
         .orderBy($"qid", $"rank")
     }),
 
+    // IVF + PQ (FAISS IVFPQ): coarse probe routing over 8-byte ADC
+    // codes — the full billion-vector index shape, end of the ANN
+    // storage ladder (brute → SRP → IVF → SQ8 → IVF+SQ8 → PQ → IVFPQ).
+    "s53_ivf_pq" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfSearchPq(emb, emb.filter($"vec_id" < 10), k = 5)
+        .orderBy($"qid", $"rank")
+    }),
+
     // The embedding-side curation composition (the s-series analog of
     // t53): exact dedup on identical vectors → near-dup removal via
     // the SCALE path (SRP-LSH with bits derived from the DEDUPED
@@ -398,6 +408,66 @@ object SimilarityOps extends QueryPack {
             list_sum(list_transform(range(1, 9), j -> cb.sub[j] * cb.sub[j])) AS csq
           FROM q, codes c JOIN cb ON cb.s = c.s AND cb.ord = c.ord
           WHERE c.vec_id <> q.qid),
+        agg AS (SELECT qid, vec_id,
+            list_sum(list(dotc ORDER BY s)) AS adc,
+            list_sum(list(csq ORDER BY s)) AS nsq
+          FROM contribs GROUP BY qid, vec_id),
+        qn AS (SELECT qid, sqrt(list_sum(list_transform(range(1, 65), i ->
+            CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))) AS qnrm FROM q),
+        scored AS (SELECT agg.qid, agg.vec_id,
+            CASE WHEN qn.qnrm * sqrt(agg.nsq) = 0 THEN 0.0
+              ELSE round(agg.adc / (qn.qnrm * sqrt(agg.nsq)), 6) END AS adc_cos
+          FROM agg JOIN qn ON qn.qid = agg.qid),
+        ranked AS (SELECT *, row_number() OVER
+          (PARTITION BY qid ORDER BY adc_cos DESC, vec_id) AS rank FROM scored)
+        SELECT qid, vec_id, adc_cos, rank FROM ranked WHERE rank <= 5
+        ORDER BY qid, rank""",
+    // s53 composes s45's probe fragments with s52's ADC scoring,
+    // restricted to the probed lists
+    "s53_ivf_pq" ->
+      s"""WITH icents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+          WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+        idists AS (SELECT e.vec_id, c.cid,
+          round(list_sum(list_transform(range(1, 65), i ->
+            (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)) *
+            (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)))), 6) AS d
+          FROM embeddings e, icents c),
+        assigned AS (SELECT vec_id, cid AS centroid_id FROM
+          (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+           FROM idists) WHERE rn = 1),
+        q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        qd AS (SELECT q.qid, c.cid,
+          round(list_sum(list_transform(range(1, 65), i ->
+            (CAST(q.qv[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)) *
+            (CAST(q.qv[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)))), 6) AS cd
+          FROM q, icents c),
+        probes AS (SELECT qid, cid FROM
+          (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cd, cid) AS pr
+           FROM qd) WHERE pr <= 2),
+        pcents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ord,
+            embedding AS cv
+          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+        cb AS (SELECT s, ord, list_transform(range(1, 9), j ->
+            CAST(cv[s*8+j] AS DOUBLE)) AS sub
+          FROM pcents, range(0, 8) t(s)),
+        pdists AS (SELECT e.vec_id, cb.s, cb.ord,
+            round(list_sum(list_transform(range(1, 9), j ->
+              (CAST(e.embedding[cb.s*8+j] AS DOUBLE) - cb.sub[j]) *
+              (CAST(e.embedding[cb.s*8+j] AS DOUBLE) - cb.sub[j]))), 6) AS d
+          FROM embeddings e, cb),
+        codes AS (SELECT vec_id, s, ord FROM
+          (SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, ord) AS rn
+           FROM pdists) WHERE rn = 1),
+        contribs AS (SELECT p.qid, a.vec_id, c.s,
+            list_sum(list_transform(range(1, 9), j ->
+              CAST(q.qv[c.s*8+j] AS DOUBLE) * cb.sub[j])) AS dotc,
+            list_sum(list_transform(range(1, 9), j -> cb.sub[j] * cb.sub[j])) AS csq
+          FROM probes p
+          JOIN q ON q.qid = p.qid
+          JOIN assigned a ON a.centroid_id = p.cid
+          JOIN codes c ON c.vec_id = a.vec_id
+          JOIN cb ON cb.s = c.s AND cb.ord = c.ord
+          WHERE a.vec_id <> p.qid),
         agg AS (SELECT qid, vec_id,
             list_sum(list(dotc ORDER BY s)) AS adc,
             list_sum(list(csq ORDER BY s)) AS nsq

@@ -163,6 +163,14 @@ class Round6Spec extends AnyFunSuite with BeforeAndAfterAll {
     // 8x16 PQ on 64-dim data is a coarse 8-byte sketch; it must still
     // rank far better than chance (random top-10 of ~500: recall ~0.02)
     assert(recall > 0.2, s"PQ recall $recall not better than chance")
+    // the IVF-routed composition returns a subset of the brute-ADC
+    // ranking restricted to probed lists — results only from probed
+    // candidates, never more than k per query
+    val ivfpq = Similarity.ivfSearchPq(emb, queries, k = 10).collect()
+    assert(ivfpq.groupBy(_.getLong(0)).values.forall(_.length <= 10))
+    val pqRecall = ivfpq.map(r => (r.getLong(0), r.getLong(1))).toSet
+      .intersect(truth).size.toDouble / truth.size
+    assert(pqRecall > 0.1, s"IVFPQ recall $pqRecall not better than chance")
   }
 
   test("bigram LM score: hand-computable corpus, null for short docs") {
