@@ -464,6 +464,11 @@ object TextAnalysis {
         }), 1)).as("g"))
       .select(col("doc_id"), col("g.pos").as("pos"), col("g.a").as("a"),
         col("g.b").as("b"))
+      // both the model aggregation and the scoring join read the
+      // instances; materialize the narrow (doc, pos, a, b) rows once
+      // instead of re-exploding the corpus per consumer (the
+      // dupWindowStarts precedent)
+      .localCheckpoint(true)
     val cab = inst.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
     val ca = cab.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
     val model = cab.join(ca, Seq("a"))
