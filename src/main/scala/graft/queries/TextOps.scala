@@ -277,6 +277,30 @@ object TextOps extends QueryPack {
         .join(TextAnalysis.tokenStats(survivors, "doc_id", "text")
           .select($"doc_id", $"n_tokens"), "doc_id")
         .orderBy($"doc_id")
+    }),
+
+    // JOINT text+embedding curation: documents and embeddings share an
+    // id space, so the composite drops a document if its TEXT is an
+    // exact duplicate, its EMBEDDING is a near-duplicate (SRP-LSH,
+    // keep-first), or it fails the Gopher gate — the cross-modal
+    // curation run a multimodal corpus needs. Every stage is a proven
+    // standalone operator; the composite gates interop across tables.
+    "t58_joint_curation" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val keepText = docs.groupBy($"text").agg(min($"doc_id").as("doc_id"))
+        .select($"doc_id")
+      val dropEmb = graft.operators.Similarity.cosineDupPairsLsh(emb, 0.4, 64)
+        .select($"id_b".as("doc_id")).distinct()
+      val gated = TextAnalysis.gopherQualityFlags(docs, "doc_id", "text",
+          minTokens = 10, maxMeanLen = 6.0)
+        .filter($"keep").select($"doc_id")
+      docs.join(keepText, Seq("doc_id"), "left_semi")
+        .join(dropEmb, Seq("doc_id"), "left_anti")
+        .join(gated, Seq("doc_id"), "left_semi")
+        .select($"doc_id", $"source", $"lang")
+        .orderBy($"doc_id")
     })
   )
 
@@ -608,6 +632,56 @@ object TextOps extends QueryPack {
           CAST(COALESCE(ka.kept_tokens, 0) AS BIGINT) AS kept_tokens,
           COALESCE(ka.kept_text, '') AS kept_text
         FROM w LEFT JOIN ka ON w.doc_id = ka.doc_id ORDER BY w.doc_id""",
+    // t58 composes the proven fragments across TABLES: t31's min-id
+    // text dedup, s46's SRP near-dup drop over embeddings (bits derived
+    // from the embedding count), st66's Gopher gate signals.
+    "t58_joint_curation" ->
+      """WITH keep_text AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+        nb AS (
+          SELECT GREATEST(6, LEAST(48,
+              CASE WHEN m <= 1 THEN 6 ELSE length(bin(m - 1)) END)) AS bits
+          FROM (SELECT (count(*) + 7) // 8 AS m FROM embeddings)),
+        planes AS (
+          SELECT s, j, list_transform(range(0, 64), i ->
+            2.0 * ((CAST('0x' || substr(md5('srp:' || s || ':' || j || ':' || i), 1, 16) AS UBIGINT) >> 11)
+                   / 9007199254740992.0) - 1.0) AS p
+          FROM range(42, 46) ts(s), range(0, 48) t(j), nb WHERE t.j < nb.bits),
+        sgn AS (SELECT e.vec_id, pl.s, pl.j,
+            CASE WHEN list_sum(list_transform(range(1, 65), i ->
+                CAST(e.embedding[i] AS DOUBLE) * pl.p[i])) >= 0
+              THEN (CAST(1 AS BIGINT) << pl.j) ELSE 0 END AS bit
+          FROM embeddings e, planes pl),
+        buckets AS (SELECT vec_id, s, CAST(SUM(bit) AS BIGINT) AS bucket
+          FROM sgn GROUP BY vec_id, s),
+        cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM buckets a JOIN buckets b
+            ON a.s = b.s AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        dot AS (SELECT cand.id_a, cand.id_b,
+            round(list_sum(list_transform(range(1, 65), i ->
+                CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(range(1, 65), i ->
+                  CAST(x.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE))))
+               * sqrt(list_sum(list_transform(range(1, 65), i ->
+                  CAST(y.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))))
+              , 6) AS cos_sim
+          FROM cand
+          JOIN embeddings x ON x.vec_id = cand.id_a
+          JOIN embeddings y ON y.vec_id = cand.id_b),
+        drop_emb AS (SELECT DISTINCT id_b AS doc_id FROM dot WHERE cos_sim >= 0.4),
+        w AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
+        gated AS (SELECT doc_id FROM w
+          WHERE len(tk) BETWEEN 10 AND 100000
+            AND CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / len(tk)
+                BETWEEN 2.0 AND 6.0
+            AND len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is'))) >= 1
+            AND CAST(length(regexp_replace(text, '[^#…|<>{}]', '', 'g')) AS DOUBLE)
+                / length(text) <= 0.1)
+        SELECT d.doc_id, d.source, d.lang
+        FROM documents d
+        JOIN keep_text USING (doc_id)
+        JOIN gated USING (doc_id)
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM drop_emb)
+        ORDER BY d.doc_id""",
     // bigram LM replay: same MLE counts, ln of the same double divide,
     // per-doc sum over a position-ORDERED list so fold order matches
     "t57_bigram_lm" ->
