@@ -60,6 +60,17 @@ object Relational2 extends QueryPack {
         .repartition(1).sortWithinPartitions($"l_returnflag")
     }),
 
+    // windowFunnel-style funnel depth (ClickHouse analytics family):
+    // deepest view→click→purchase chain within 1 hour of the chain
+    // start, exists-chain semantics (order-free, so the oracle replays
+    // it with EXISTS joins while the kernel runs one sorted pass).
+    "q44_funnel" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      graft.operators.Funnel.windowFunnel(t(s, dir, "events"), "user_id", "ts",
+          "event_type", Seq("view", "click", "purchase"), 3600L * 1000000)
+        .toDF().orderBy(col("user_id"))
+    }),
+
     "q36_regexp" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "documents")
@@ -197,6 +208,30 @@ object Relational2 extends QueryPack {
         quantile_cont(l_quantity, 0.5) AS median_qty,
         quantile_cont(l_extendedprice, 0.9) AS p90_price
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // exists-chain replay: intermediate events are automatically inside
+    // the window (chain timestamps increase), so only the last event
+    // carries the window predicate
+    "q44_funnel" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+          FROM events),
+        u AS (SELECT DISTINCT user_id FROM ev),
+        l1 AS (SELECT DISTINCT user_id FROM ev WHERE event_type = 'view'),
+        l2 AS (SELECT DISTINCT v.user_id FROM ev v JOIN ev c
+          ON c.user_id = v.user_id AND c.event_type = 'click'
+          AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+          WHERE v.event_type = 'view'),
+        l3 AS (SELECT DISTINCT v.user_id FROM ev v
+          JOIN ev c ON c.user_id = v.user_id AND c.event_type = 'click'
+            AND c.ts > v.ts
+          JOIN ev p ON p.user_id = v.user_id AND p.event_type = 'purchase'
+            AND p.ts > c.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+          WHERE v.event_type = 'view')
+        SELECT u.user_id,
+          CASE WHEN u.user_id IN (SELECT user_id FROM l3) THEN 3
+               WHEN u.user_id IN (SELECT user_id FROM l2) THEN 2
+               WHEN u.user_id IN (SELECT user_id FROM l1) THEN 1
+               ELSE 0 END AS funnel_level
+        FROM u ORDER BY u.user_id""",
     "q36_regexp" ->
       """SELECT doc_id,
         regexp_extract(text, '([a-z]+a[a-z]*)', 1) AS first_a_word,

@@ -192,6 +192,43 @@ class Round6Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(4L) == ((0L, None)))
   }
 
+  test("windowFunnel DP matches brute-force exists-chain enumeration (incl. ts ties)") {
+    import spark.implicits._
+    implicit val sp: SparkSession = spark
+    val steps = Seq("view", "click", "purchase")
+    val w = 100L // micros
+    val r = new java.util.Random(44)
+    val types = Array("view", "click", "purchase", "other")
+    val events = (0 until 600).map { i =>
+      // coarse ts grid forces plenty of equal-timestamp collisions
+      (i % 40L, java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(0, r.nextInt(30) * 10000L * 1000)),
+        types(r.nextInt(types.length)))
+    }
+    val got = Funnel.windowFunnel(events.toDF("user_id", "ts", "event_type"),
+        "user_id", "ts", "event_type", steps, w)
+      .collect().map(f => f.user_id -> f.funnel_level).toMap
+    // brute force: try every strictly-increasing typed chain
+    events.groupBy(_._1).foreach { case (uid, evs) =>
+      val byUs = evs.map { e =>
+        val inst = e._2.toInstant
+        (inst.getEpochSecond * 1000000L + inst.getNano / 1000, e._3)
+      }
+      def exists(level: Int): Boolean = {
+        def extend(chain: List[Long], lvl: Int): Boolean =
+          if (lvl == level) true
+          else byUs.exists { case (ts, tpe) =>
+            tpe == steps(lvl) &&
+              (chain.isEmpty || (ts > chain.head && ts - chain.last <= w)) &&
+              extend(ts :: chain, lvl + 1)
+          }
+        extend(Nil, 0)
+      }
+      val want = (3 to 1 by -1).find(exists).getOrElse(0)
+      assert(got(uid) == want, s"user $uid: got ${got(uid)} want $want")
+    }
+  }
+
   test("piiScrub edge cases: order of passes, dotted-run over-match, counts") {
     import spark.implicits._
     val docs = Seq(
