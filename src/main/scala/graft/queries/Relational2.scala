@@ -71,6 +71,18 @@ object Relational2 extends QueryPack {
         .toDF().orderBy(col("user_id"))
     }),
 
+    // Z-order (Morton) layout values over two part columns — the
+    // multi-column-pruning clustering key (OPTIMIZE ZORDER family);
+    // the layout benefit itself is spec-measured on per-partition
+    // ranges, the oracle gates the z-value arithmetic bit-for-bit.
+    "q45_zorder" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.ZOrder.withZValue(t(s, dir, "part"),
+          Seq("p_retailprice", "p_size"))
+        .select($"p_partkey", $"_z".as("zval"))
+        .orderBy($"p_partkey")
+    }),
+
     "q36_regexp" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "documents")
@@ -232,6 +244,26 @@ object Relational2 extends QueryPack {
                WHEN u.user_id IN (SELECT user_id FROM l1) THEN 1
                ELSE 0 END AS funnel_level
         FROM u ORDER BY u.user_id""",
+    // same equi-width bins over the observed [min,max] (identical
+    // double arithmetic), bits interleaved with integer shifts
+    "q45_zorder" ->
+      """WITH st AS (SELECT
+          MIN(CAST(p_retailprice AS DOUBLE)) AS mn0, MAX(CAST(p_retailprice AS DOUBLE)) AS mx0,
+          MIN(CAST(p_size AS DOUBLE)) AS mn1, MAX(CAST(p_size AS DOUBLE)) AS mx1
+          FROM part),
+        bins AS (SELECT p_partkey,
+          CASE WHEN mx0 = mn0 THEN 0 ELSE LEAST(65535, GREATEST(0,
+            CAST(floor((CAST(p_retailprice AS DOUBLE) - mn0) / (mx0 - mn0) * 65535.0) AS BIGINT)))
+          END AS b0,
+          CASE WHEN mx1 = mn1 THEN 0 ELSE LEAST(65535, GREATEST(0,
+            CAST(floor((CAST(p_size AS DOUBLE) - mn1) / (mx1 - mn1) * 65535.0) AS BIGINT)))
+          END AS b1
+          FROM part, st)
+        SELECT p_partkey,
+          CAST(list_sum(list_transform(range(0, 16), b ->
+            (((b0 >> b) & 1) << (b * 2)) + (((b1 >> b) & 1) << (b * 2 + 1))))
+            AS BIGINT) AS zval
+        FROM bins ORDER BY p_partkey""",
     "q36_regexp" ->
       """SELECT doc_id,
         regexp_extract(text, '([a-z]+a[a-z]*)', 1) AS first_a_word,

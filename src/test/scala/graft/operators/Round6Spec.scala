@@ -192,6 +192,31 @@ class Round6Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(4L) == ((0L, None)))
   }
 
+  test("zorder layout: per-partition ranges shrink on BOTH columns vs single-col sort") {
+    import spark.implicits._
+    val r = new java.util.Random(45)
+    val df = (0 until 20000).map(_ => (r.nextDouble() * 1000, r.nextDouble() * 1000))
+      .toDF("x", "y")
+    def ranges(laid: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val parts = laid
+        .select($"x", $"y", spark_partition_id().as("p"))
+        .groupBy($"p")
+        .agg((max($"x") - min($"x")).as("rx"), (max($"y") - min($"y")).as("ry"))
+        .agg(avg($"rx"), avg($"ry")).head()
+      (parts.getDouble(0), parts.getDouble(1))
+    }
+    val byX = df.repartitionByRange(16, $"x").sortWithinPartitions($"x")
+    val byZ = ZOrder.zorder(df, Seq("x", "y"), 16)
+    val (zx, zy) = ranges(byZ)
+    val (sx, sy) = ranges(byX)
+    // single-col sort: x ranges tiny, y ranges ~ the full domain.
+    // z-order: BOTH dimensions usably narrow (each partition is a small
+    // set of z-contiguous hyper-rectangles)
+    assert(sy > 900, s"sanity: y unclustered under x-sort ($sy)")
+    assert(zy < sy * 0.6, s"zorder y range $zy not narrower than x-sort $sy")
+    assert(zx < 600, s"zorder x range $zx should stay usably narrow")
+  }
+
   test("windowFunnel DP matches brute-force exists-chain enumeration (incl. ts ties)") {
     import spark.implicits._
     implicit val sp: SparkSession = spark
