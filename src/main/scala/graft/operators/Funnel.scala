@@ -28,6 +28,25 @@ object Funnel {
 
   case class FunnelLevel(user_id: Long, funnel_level: Int)
 
+  /** ClickHouse-style retention: per user, flag i is true iff the
+    * ANCHOR condition (head) matched some event AND condition i matched
+    * some event — no time ordering, by that function's contract (the
+    * time-ordered form is `windowFunnel`). One map-side-combinable
+    * aggregation; output columns r1..rN. */
+  def retention(events: DataFrame, userCol: String, typeCol: String,
+      conds: Seq[String]): DataFrame = {
+    require(conds.nonEmpty, "retention needs at least one condition")
+    val flags = conds.zipWithIndex.map { case (c, i) =>
+      max(when(col(typeCol) === c, 1).otherwise(0)).as(s"_m$i")
+    }
+    events.groupBy(col(userCol).as("user_id"))
+      .agg(flags.head, flags.tail: _*)
+      .select(col("user_id") +: conds.indices.map { i =>
+        (if (i == 0) col("_m0") === 1
+         else col("_m0") === 1 && col(s"_m$i") === 1).as(s"r${i + 1}")
+      }: _*)
+  }
+
   def windowFunnel(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, steps: Seq[String], windowMicros: Long)
       (implicit s: SparkSession): Dataset[FunnelLevel] = {

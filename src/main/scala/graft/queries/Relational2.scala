@@ -71,6 +71,16 @@ object Relational2 extends QueryPack {
         .toDF().orderBy(col("user_id"))
     }),
 
+    // ClickHouse-style retention flags (the windowFunnel sibling):
+    // anchored AND of per-condition matches, no time ordering by that
+    // function's contract.
+    "q46_retention" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Funnel.retention(t(s, dir, "events"), "user_id",
+          "event_type", Seq("view", "click", "purchase"))
+        .orderBy($"user_id")
+    }),
+
     // Z-order (Morton) layout values over two part columns — the
     // multi-column-pruning clustering key (OPTIMIZE ZORDER family);
     // the layout benefit itself is spec-measured on per-partition
@@ -244,6 +254,14 @@ object Relational2 extends QueryPack {
                WHEN u.user_id IN (SELECT user_id FROM l1) THEN 1
                ELSE 0 END AS funnel_level
         FROM u ORDER BY u.user_id""",
+    "q46_retention" ->
+      """SELECT user_id,
+        MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) = 1 AS r1,
+        MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) = 1 AND
+          MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) = 1 AS r2,
+        MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) = 1 AND
+          MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1 AS r3
+        FROM events GROUP BY user_id ORDER BY user_id""",
     // same equi-width bins over the observed [min,max] (identical
     // double arithmetic), bits interleaved with integer shifts
     "q45_zorder" ->
