@@ -135,21 +135,25 @@ object Bench {
         // first run is the warm-up (scan cache, codegen, broadcast);
         // report it too — the reader can see cold vs warm
         val j0 = cpuJiffies(); val t0 = System.nanoTime()
-        val times = (0 until math.max(1, iters)).map(_ => time(name, fn)._1)
+        val timed = (0 until math.max(1, iters)).map(_ => time(name, fn))
         val ext = extCores(j0, (System.nanoTime() - t0) / 1e9)
-        (name, times, ext)
+        (name, timed.map(_._1), ext, timed.forall(_._2))
       }
+      // a failing query's time-to-throw must never read as a fast warm
+      // retime: mark it and exit non-zero like the suite mode does
+      val onlyFailed = runs.filter(!_._4).map(_._1)
       val json =
         s"""{"metric":"only","filter":"$substr","iters":${math.max(1, iters)},""" +
-        s""""queries":{${runs.map { case (n, ts, _) =>
+        s""""queries":{${runs.map { case (n, ts, _, _) =>
             "\"" + n + "\":[" + ts.map(r3).mkString(",") + "]" }.mkString(",")}},""" +
-        s""""ext_cores":{${runs.map { case (n, _, e) =>
+        s""""ext_cores":{${runs.map { case (n, _, e, _) =>
             "\"" + n + "\":" + r3(e) }.mkString(",")}},""" +
+        s""""failed":[${onlyFailed.map("\"" + _ + "\"").mkString(",")}],""" +
         s""""sf":"$sfDir"}"""
       java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
       println(json)
       spark.stop()
-      sys.exit(0)
+      sys.exit(if (onlyFailed.nonEmpty) 3 else 0)
     }
 
     val pipelineQueries = Set("e56_blocks_pipeline", "e59_erc20_balances",

@@ -156,18 +156,29 @@ object ExactQuantile {
     * is one parquet row group (where the window path's first stage is
     * single-threaded; measured 2.4x on q35 at sf0.1). The trade is the
     * driver-side merged histogram: groups × 2^16 worst-case entries.
-    * Both ceilings HARD-FAIL with guidance to `groupQuantiles` (the
-    * any-cardinality window path) rather than risk driver memory —
-    * same honesty contract as `Similarity.cosineDupPairs.maxRows`. */
+    * All three ceilings — histogram entries (enforced inside every
+    * treeReduce merge, so no JVM ever exceeds it), per-target-bin rows,
+    * and the TOTAL pass-2 candidate collect summed across groups —
+    * HARD-FAIL with guidance to `groupQuantiles` (the any-cardinality
+    * window path) rather than risk driver memory — same honesty
+    * contract as `Similarity.cosineDupPairs.maxRows`. */
   def groupQuantilesBinned(df: DataFrame, keyCol: String,
       specs: Seq[(String, Double, String)],
-      maxHistEntries: Int = 4000000, maxBinRows: Long = 4000000L): DataFrame = {
+      maxHistEntries: Int = 4000000, maxBinRows: Long = 4000000L,
+      maxCandidateRows: Long = 8000000L): DataFrame = {
     val spark = df.sparkSession
     val nSpecs = specs.length
     val src = df.select(col(keyCol) +: specs.map(s => col(s._1).cast("double")): _*)
+    def tooMany(where: String) = new IllegalStateException(
+      s"groupQuantilesBinned: >$maxHistEntries (group,bin) entries $where - " +
+        "group cardinality too high for the binned path; use groupQuantiles")
     // pass 1: sparse (key, spec, bin) counts per partition; bin -1L
-    // counts nulls so all-null groups keep their key visible
-    val partHists = src.rdd.mapPartitions { it =>
+    // counts nulls so all-null groups keep their key visible. Partial
+    // maps merge through treeReduce with the ceiling enforced INSIDE
+    // every merge, so no single JVM (driver included) ever holds more
+    // than maxHistEntries entries — a plain collect() would be bounded
+    // per partition but unbounded in aggregate.
+    val partMaps = src.rdd.mapPartitions { it =>
       val m = collection.mutable.HashMap[(Any, Int, Long), Long]()
       it.foreach { r =>
         val k = r.get(0)
@@ -177,24 +188,21 @@ object ExactQuantile {
             else orderedBits(r.getDouble(i + 1)) >>> 48
           val kk = (k, i, bin)
           m(kk) = m.getOrElse(kk, 0L) + 1
-          if (m.size > maxHistEntries)
-            throw new IllegalStateException(
-              s"groupQuantilesBinned: >$maxHistEntries (group,bin) entries in one " +
-                "partition - group cardinality too high for the binned path; " +
-                "use groupQuantiles")
+          if (m.size > maxHistEntries) throw tooMany("in one partition")
           i += 1
         }
       }
-      m.iterator
-    }.collect()
-    val hist = collection.mutable.HashMap[(Any, Int, Long), Long]()
-    partHists.foreach { case (k, c) =>
-      hist(k) = hist.getOrElse(k, 0L) + c
-      if (hist.size > maxHistEntries)
-        throw new IllegalStateException(
-          s"groupQuantilesBinned: merged histogram exceeds $maxHistEntries entries; " +
-            "use groupQuantiles")
+      Iterator(m)
     }
+    val hist =
+      if (partMaps.getNumPartitions == 0)
+        collection.mutable.HashMap[(Any, Int, Long), Long]()
+      else partMaps.treeReduce({ (m1, m2) =>
+        val (big, small) = if (m1.size >= m2.size) (m1, m2) else (m2, m1)
+        small.foreach { case (k, c) => big(k) = big.getOrElse(k, 0L) + c }
+        if (big.size > maxHistEntries) throw tooMany("after merging")
+        big
+      })
     // driver CDF walk: target bins and the global rank each bin starts at
     case class Bracket(r: Double, loBin: Long, loOff: Long, hiBin: Long, hiOff: Long)
     val brackets = collection.mutable.HashMap[(Any, Int), Bracket]()
@@ -221,7 +229,14 @@ object ExactQuantile {
         brackets((k, si)) = Bracket(r, loBin, loOff, hiBin, hiOff)
       }
     }
-    // pass 2: rows in target bins only (bounded by construction above)
+    // pass 2: rows in target bins only. Each bin is under maxBinRows,
+    // but the TOTAL collect is groups x specs x 2 bins — check the sum
+    // (known exactly from the histogram) BEFORE any row ships
+    val totalCandidates = targetBins.toSeq.map(hist(_)).sum
+    require(totalCandidates <= maxCandidateRows,
+      s"groupQuantilesBinned: target bins hold $totalCandidates rows in total " +
+        s"(> $maxCandidateRows) - too many groups for the binned path; " +
+        "use groupQuantiles")
     val bcT = spark.sparkContext.broadcast(targetBins.toSet)
     val cand = src.rdd.mapPartitions { it =>
       it.flatMap { r =>

@@ -636,15 +636,18 @@ object Similarity {
     * codebook with per-subspace k-means, the `ivfTrain` analog).
     * Returned as C(s)(e)(j) doubles; the driver holds
     * m·codebookSize·subDim doubles (= one codebook per subspace). */
-  private def pqCodebooks(corpus: DataFrame, m: Int, codebookSize: Int, dim: Int,
-      idCol: String, vecCol: String): Array[Array[Array[Double]]] = {
+  private def codebooksFromSeeds(seeds: Array[(Long, Array[Float])],
+      m: Int, dim: Int): Array[Array[Array[Double]]] = {
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val subDim = dim / m
-    val seeds = seedVectors(corpus, codebookSize, idCol, vecCol)
-    Array.tabulate(m, codebookSize, subDim) { (s, e, j) =>
+    Array.tabulate(m, seeds.length, subDim) { (s, e, j) =>
       seeds(e)._2(s * subDim + j).toDouble
     }
   }
+
+  private def pqCodebooks(corpus: DataFrame, m: Int, codebookSize: Int, dim: Int,
+      idCol: String, vecCol: String): Array[Array[Array[Double]]] =
+    codebooksFromSeeds(seedVectors(corpus, codebookSize, idCol, vecCol), m, dim)
 
   /** Product quantization encode: each vector becomes `m` codebook
     * indices (one byte each at codebookSize <= 256) — 64-dim float
@@ -653,12 +656,13 @@ object Similarity {
     * the nearest codebook entry by rounded L2, ties to the lower entry
     * index — engine-reproducible like `ivfAssign`. */
   def pqEncode(corpus: DataFrame, m: Int = 8, codebookSize: Int = 16,
-      dim: Int = 64, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      dim: Int = 64, idCol: String = "vec_id", vecCol: String = "embedding",
+      codebooks: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val subDim = dim / m
-    val bc = spark.sparkContext.broadcast(
-      pqCodebooks(corpus, m, codebookSize, dim, idCol, vecCol))
+    val bc = spark.sparkContext.broadcast(codebooks.getOrElse(
+      pqCodebooks(corpus, m, codebookSize, dim, idCol, vecCol)))
     corpus.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Seq[Float])]
       .map { case (id, vSeq) =>
         val v = vSeq.toArray
@@ -686,35 +690,67 @@ object Similarity {
       }.toDF("vec_id", "codes")
   }
 
-  /** ADC cosine kernel over broadcast codebooks (shared by `knnPq` and
-    * `ivfSearchPq`): every accumulation is a pinned-order fold. */
-  private def adcCosUdf(
-      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]]) =
-    udf((qv: Seq[Float], cs: Seq[Int]) => {
-      val cb = bc.value
-      var adc = 0.0
-      var nsq = 0.0
-      var qsq = 0.0
-      var s = 0
-      while (s < cb.length) {
-        val c = cb(s)(cs(s))
+  /** Standard ADC precomputation: per QUERY, lut(s)(e) = dot(q_s, C_s[e])
+    * (left-to-right fold — the same value the naive per-pair refold
+    * produced), plus sqrt of the query's full-dim self-dot. Queries
+    * collect to the driver under a hard guard — they are few by the ANN
+    * contract, and the tables are what make per-pair scoring O(m)
+    * lookups instead of O(dim) refolds (the cosineDupPairsLsh
+    * norms-once lesson applied to PQ). */
+  private def adcQueryTables(queries: DataFrame, cb: Array[Array[Array[Double]]],
+      idCol: String, vecCol: String, maxQueries: Int)
+      : Map[Long, (Array[Array[Double]], Double)] = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val rows = queries.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Seq[Float])].limit(maxQueries + 1).collect()
+    require(rows.length <= maxQueries,
+      s"ADC search: > $maxQueries query vectors; batch the query side")
+    rows.map { case (qid, qvSeq) =>
+      val qv = qvSeq.toArray
+      val lut = Array.tabulate(cb.length, cb(0).length) { (s, e) =>
+        val c = cb(s)(e)
         var dotc = 0.0
-        var csq = 0.0
         var j = 0
-        while (j < c.length) {
-          dotc += qv(s * c.length + j).toDouble * c(j)
-          csq += c(j) * c(j)
-          j += 1
-        }
-        adc += dotc
-        nsq += csq
-        s += 1
+        while (j < c.length) { dotc += qv(s * c.length + j).toDouble * c(j); j += 1 }
+        dotc
       }
+      var qsq = 0.0
       var i = 0
       while (i < qv.length) { qsq += qv(i).toDouble * qv(i).toDouble; i += 1 }
-      val denom = math.sqrt(qsq) * math.sqrt(nsq)
+      qid -> ((lut, math.sqrt(qsq)))
+    }.toMap
+  }
+
+  /** ADC cosine kernel over the per-query tables and the (global)
+    * per-entry norm table: O(m) per scored pair, pinned-order folds —
+    * bit-identical to folding the sub-vectors per pair. */
+  private def adcCosUdf(spark: org.apache.spark.sql.SparkSession,
+      cb: Array[Array[Array[Double]]],
+      tables: Map[Long, (Array[Array[Double]], Double)]) = {
+    val normsq = cb.map(_.map { c =>
+      var csq = 0.0
+      var j = 0
+      while (j < c.length) { csq += c(j) * c(j); j += 1 }
+      csq
+    })
+    val bcT = spark.sparkContext.broadcast(tables)
+    val bcN = spark.sparkContext.broadcast(normsq)
+    udf((qid: Long, cs: Seq[Int]) => {
+      val (lut, qnrm) = bcT.value(qid)
+      val nsqT = bcN.value
+      var adc = 0.0
+      var nsq = 0.0
+      var s = 0
+      while (s < lut.length) {
+        adc += lut(s)(cs(s))
+        nsq += nsqT(s)(cs(s))
+        s += 1
+      }
+      val denom = qnrm * math.sqrt(nsq)
       if (denom == 0.0) 0.0 else round6(adc / denom)
     })
+  }
 
   /** IVF + PQ: the full billion-vector index shape (FAISS IVFPQ) — the
     * coarse quantizer routes each query to its `nprobe` nearest
@@ -729,17 +765,24 @@ object Similarity {
       centroids: Option[Array[(Long, Array[Double])]] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = corpus.sparkSession
-    val bc = spark.sparkContext.broadcast(
-      pqCodebooks(corpus, m, codebookSize, dim, idCol, vecCol))
-    val assigned = pqEncode(corpus, m, codebookSize, dim, idCol, vecCol)
-      .join(ivfAssign(corpus, nCentroids, idCol, vecCol, centroids)
+    // ONE seed scan feeds both the coarse centroids and the PQ
+    // codebooks (naively composed, pqEncode/ivfAssign/probeLists would
+    // each re-derive it — four TakeOrdered corpus passes per call)
+    val seeds = seedVectors(corpus, math.max(nCentroids, codebookSize), idCol, vecCol)
+    val cents = centroids.getOrElse(
+      seeds.take(nCentroids).map { case (id, v) => (id, v.map(_.toDouble)) })
+    val cb = codebooksFromSeeds(seeds.take(codebookSize), m, dim)
+    val assigned = pqEncode(corpus, m, codebookSize, dim, idCol, vecCol, Some(cb))
+      .join(ivfAssign(corpus, nCentroids, idCol, vecCol, Some(cents))
         .select(col(idCol).as("vec_id"), col("centroid_id")), Seq("vec_id"))
     val probed = probeLists(corpus, queries, nCentroids, nprobe, idCol, vecCol,
-      centroids, assigned.select(col("centroid_id")).distinct())
+      Some(cents), assigned.select(col("centroid_id")).distinct())
+    val adcCos = adcCosUdf(spark, cb,
+      adcQueryTables(queries, cb, idCol, vecCol, maxQueries = 1000000))
     val scored = probed.join(assigned, Seq("centroid_id"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        adcCosUdf(bc)(col("qv"), col("codes")).as("adc_cos"))
+        adcCos(col("qid"), col("codes")).as("adc_cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("adc_cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -748,9 +791,12 @@ object Similarity {
     * cos(q, x) from the codes alone — dot(q, x) ~ sum_s of
     * dot(q_s, C_s[code_s]) and |x| ~ sqrt(sum_s |C_s[code_s]|^2), both
     * LEFT-TO-RIGHT folds over ascending subspaces so the oracle's
-    * ordered list_sum replays them bit-for-bit. The scan reads m bytes
-    * per vector instead of 4·dim; queries stay float (asymmetric =
-    * only the corpus side is quantized, the better-recall PQ variant).
+    * ordered list_sum replays them bit-for-bit. Per-query dot tables
+    * and the per-entry norm table are precomputed ONCE
+    * (`adcQueryTables`), so scoring a pair is m lookups, not an O(dim)
+    * refold. The scan reads m bytes per vector instead of 4·dim;
+    * queries stay float (asymmetric = only the corpus side is
+    * quantized, the better-recall PQ variant).
     * Completes the ANN storage ladder: SQ8 (`knnQuantized`), IVF+SQ8
     * (`ivfSearchQuantized`), PQ+ADC here, and the probe-routed
     * composition in `ivfSearchPq`. */
@@ -759,15 +805,14 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = corpus.sparkSession
-    val subDim = dim / m
-    val bc = spark.sparkContext.broadcast(
-      pqCodebooks(corpus, m, codebookSize, dim, idCol, vecCol))
-    val codes = pqEncode(corpus, m, codebookSize, dim, idCol, vecCol)
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
-    val adcCos = adcCosUdf(bc)
+    val cb = pqCodebooks(corpus, m, codebookSize, dim, idCol, vecCol)
+    val codes = pqEncode(corpus, m, codebookSize, dim, idCol, vecCol, Some(cb))
+    val q = queries.select(col(idCol).cast("long").as("qid"))
+    val adcCos = adcCosUdf(spark, cb,
+      adcQueryTables(queries, cb, idCol, vecCol, maxQueries = 1000000))
     val scored = codes.join(broadcast(q), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        adcCos(col("qv"), col("codes")).as("adc_cos"))
+        adcCos(col("qid"), col("codes")).as("adc_cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("adc_cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }

@@ -26,11 +26,16 @@ case class BandVerdict(doc_id: Long, band: Int, dup_src: Option[Long])
   * register in state, dropped or not, so chains (A<-B<-C) resolve the
   * way the batch replay does.
   *
-  * Determinism: groups process their rows in doc_id order, and a
-  * verdict depends only on lower-id documents — so the result is
-  * IDENTICAL however ingestion splits into micro-batches, and a batch
-  * run over the union equals the streaming run (the Round6 spec
-  * asserts it; the st68 oracle replays the whole ladder in SQL).
+  * Determinism: within a micro-batch, groups process their rows in
+  * doc_id order, and a verdict consults only already-seen documents.
+  * PROVIDED delivery is id-monotonic ACROSS micro-batches (each batch
+  * carries higher ids than every earlier one — the append-only ingest
+  * shape, and what st68's staged mtimes pin), the result is identical
+  * however ingestion splits into batches, and equals a batch run over
+  * the union (the st68 oracle replays exactly that). If a LOWER id
+  * arrives in a LATER batch, state cannot see the future: verdicts
+  * then reflect arrival order, not id order — the keep-first-SEEN
+  * semantics every streaming dedup has.
   *
   * Scale: state per bucket grows with its membership — bounded in
   * practice by bucket occupancy (bands spread documents across 2^128
