@@ -486,6 +486,93 @@ object TextAnalysis {
         col("cross_entropy"))
   }
 
+  /** Token-budget quality selection — the data-mixing primitive: take
+    * documents in (quality DESC, doc_id ASC) order while the cumulative
+    * token count stays within `budgetTokens` (a document is selected
+    * iff the running total INCLUDING it fits). Quality here is the
+    * stopword ratio (exact integer counts through one IEEE divide, so
+    * both engines order identically); any deterministic double works.
+    *
+    * Execution is the q35 binned-selection shape, NOT a global sort:
+    * per-partition histograms over the top 16 bits of the quality's
+    * order-preserving bit image accumulate (token-sum, doc-count) per
+    * bin; the driver walks bins from the top until the budget crosses,
+    * then ONE guarded pass fetches only the boundary bin's documents
+    * for the exact within-bin cut. Equal qualities share a bin, so the
+    * binned result equals the global-order definition exactly — which
+    * is what the oracle replays with a plain window cumsum. */
+  def tokenBudgetSelect(docs: DataFrame, idCol: String, textCol: String,
+      budgetTokens: Long, maxCutBinRows: Int = 4000000): DataFrame = {
+    val spark = docs.sparkSession
+    val w = tokens(col(textCol))
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      size(w).cast("long").as("n_tokens"),
+      (size(filter(w, x => x.isin(stopwords: _*))).cast("double") / size(w))
+        .as("quality"))
+    def obits(v: Double): Long = {
+      val b = java.lang.Double.doubleToRawLongBits(v)
+      (if (b < 0) ~b else b | Long.MinValue) >>> 48
+    }
+    // pass 1: (token-sum, count) per quality bin, merged bounded
+    val partMaps = base.rdd.mapPartitions { it =>
+      val m = collection.mutable.HashMap[Long, (Long, Long)]()
+      it.foreach { r =>
+        val bin = obits(r.getDouble(2))
+        val (t, c) = m.getOrElse(bin, (0L, 0L))
+        m(bin) = (t + r.getLong(1), c + 1)
+      }
+      Iterator(m)
+    }
+    val hist =
+      if (partMaps.getNumPartitions == 0)
+        collection.mutable.HashMap[Long, (Long, Long)]()
+      else partMaps.treeReduce { (m1, m2) =>
+        val (big, small) = if (m1.size >= m2.size) (m1, m2) else (m2, m1)
+        small.foreach { case (k, (t, c)) =>
+          val (t0, c0) = big.getOrElse(k, (0L, 0L)); big(k) = (t0 + t, c0 + c)
+        }
+        big // at most 2^16 bins by construction
+      }
+    // walk bins top-down: bins fully inside the budget select outright
+    val sorted = hist.toSeq.sortBy(-_._1)
+    var acc = 0L
+    var cutBin = Long.MinValue
+    var budgetBefore = 0L
+    var fullBins = Set.newBuilder[Long]
+    var crossed = false
+    sorted.foreach { case (bin, (t, c)) =>
+      if (!crossed) {
+        if (acc + t <= budgetTokens) { fullBins += bin; acc += t }
+        else { crossed = true; cutBin = bin; budgetBefore = acc
+          require(c <= maxCutBinRows,
+            s"tokenBudgetSelect: boundary bin holds $c documents (> $maxCutBinRows); " +
+              "quality values too concentrated for the binned path")
+        }
+      }
+    }
+    val full = fullBins.result()
+    // pass 2: exact within-bin cut for the boundary bin only
+    val selectedInCut: Set[Long] =
+      if (cutBin == Long.MinValue) Set.empty
+      else {
+        val cand = base.rdd.mapPartitions(_.filter(r => obits(r.getDouble(2)) == cutBin)
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))).collect()
+        var rem = budgetTokens - budgetBefore
+        val sel = Set.newBuilder[Long]
+        cand.sortBy { case (id, _, q) => (-q, id) }.foreach { case (id, t, _) =>
+          if (t <= rem) { sel += id; rem -= t }
+          else rem = -1 // prefix semantics: first overflow ends the take
+        }
+        sel.result()
+      }
+    val bcFull = spark.sparkContext.broadcast(full)
+    val bcSel = spark.sparkContext.broadcast(selectedInCut)
+    val inFull = udf((q: Double) => bcFull.value.contains(obits(q)))
+    val inSel = udf((id: Long) => bcSel.value.contains(id))
+    base.select(col("doc_id"), col("n_tokens"), col("quality"),
+      (inFull(col("quality")) || inSel(col("doc_id"))).as("selected"))
+  }
+
   /** Content-defined document fingerprint: md5 over the sorted distinct
     * token set — stable under token reordering, engine-portable. */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =

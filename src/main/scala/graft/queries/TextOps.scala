@@ -279,6 +279,16 @@ object TextOps extends QueryPack {
         .orderBy($"doc_id")
     }),
 
+    // token-budget quality selection (the data-mixing primitive): best
+    // documents by stopword-ratio quality until the budget fills —
+    // binned-selection execution, window-cumsum definition.
+    "t59_token_budget" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.tokenBudgetSelect(t(s, dir, "documents"), "doc_id", "text",
+          budgetTokens = 15000L)
+        .orderBy($"doc_id")
+    }),
+
     // JOINT text+embedding curation: documents and embeddings share an
     // id space, so the composite drops a document if its TEXT is an
     // exact duplicate, its EMBEDDING is a near-duplicate (SRP-LSH,
@@ -632,6 +642,19 @@ object TextOps extends QueryPack {
           CAST(COALESCE(ka.kept_tokens, 0) AS BIGINT) AS kept_tokens,
           COALESCE(ka.kept_text, '') AS kept_text
         FROM w LEFT JOIN ka ON w.doc_id = ka.doc_id ORDER BY w.doc_id""",
+    // the oracle IS the semantic definition: order by (quality DESC,
+    // id), select while the running token total fits — the binned
+    // execution must land on exactly this set
+    "t59_token_budget" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        q AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+            CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is')))
+              AS DOUBLE) / len(tk) AS quality
+          FROM w),
+        c AS (SELECT *, SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+            ROWS UNBOUNDED PRECEDING) AS cum FROM q)
+        SELECT doc_id, n_tokens, quality, (cum <= 15000) AS selected
+        FROM c ORDER BY doc_id""",
     // t58 composes the proven fragments across TABLES: t31's min-id
     // text dedup, s46's SRP near-dup drop over embeddings (bits derived
     // from the embedding count), st66's Gopher gate signals.

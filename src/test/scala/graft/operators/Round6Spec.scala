@@ -254,6 +254,27 @@ class Round6Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("tokenBudgetSelect equals the window-cumsum definition across budgets") {
+    import spark.implicits._
+    val r = new java.util.Random(59)
+    val vocab = Array("the", "a", "of", "alpha", "beta", "gamma", "delta")
+    val docs = (0L until 300L).map { id =>
+      (id, Seq.fill(r.nextInt(30) + 1)(vocab(r.nextInt(vocab.length))).mkString(" "))
+    }.toDF("doc_id", "text")
+    import org.apache.spark.sql.expressions.Window
+    for (budget <- Seq(0L, 100L, 1000L, 100000L)) {
+      val got = TextAnalysis.tokenBudgetSelect(docs, "doc_id", "text", budget)
+        .collect().map(x => x.getLong(0) -> x.getBoolean(3)).toMap
+      // the reference: global window cumsum over (quality DESC, id)
+      val ref = TextAnalysis.tokenBudgetSelect(docs, "doc_id", "text", Long.MaxValue)
+        .withColumn("cum", sum($"n_tokens").over(
+          Window.orderBy($"quality".desc, $"doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .collect().map(x => x.getLong(0) -> (x.getAs[Long]("cum") <= budget)).toMap
+      assert(got == ref, s"budget $budget: ${got.count(_._2)} vs ${ref.count(_._2)} selected")
+    }
+  }
+
   test("piiScrub edge cases: order of passes, dotted-run over-match, counts") {
     import spark.implicits._
     val docs = Seq(
