@@ -505,10 +505,14 @@ object TextAnalysis {
       budgetTokens: Long, maxCutBinRows: Int = 4000000): DataFrame = {
     val spark = docs.sparkSession
     val w = tokens(col(textCol))
+    // three consumers (histogram, boundary-bin fetch, final flags) read
+    // these narrow rows; materialize once instead of re-tokenizing the
+    // corpus per pass (the t57 precedent)
     val base = docs.select(col(idCol).cast("long").as("doc_id"),
       size(w).cast("long").as("n_tokens"),
       (size(filter(w, x => x.isin(stopwords: _*))).cast("double") / size(w))
         .as("quality"))
+      .localCheckpoint(true)
     def obits(v: Double): Long = {
       val b = java.lang.Double.doubleToRawLongBits(v)
       (if (b < 0) ~b else b | Long.MinValue) >>> 48
