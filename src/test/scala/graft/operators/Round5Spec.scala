@@ -234,11 +234,21 @@ class Round5Spec extends AnyFunSuite with BeforeAndAfterAll {
           s"${w.getString(0)} col$i: $w vs $b")
       }
     }
-    // ceilings hard-fail with guidance instead of risking driver memory
-    val boom = intercept[Exception] {
+    // every ceiling hard-fails with guidance instead of risking driver
+    // memory: per-target-bin rows, TOTAL pass-2 candidates, and the
+    // histogram entry cap enforced inside the treeReduce merges
+    val boomBin = intercept[Exception] {
       ExactQuantile.groupQuantilesBinned(df, "k", specs, maxBinRows = 2).count()
     }
-    assert(boom.getMessage.contains("groupQuantiles"))
+    assert(boomBin.getMessage.contains("groupQuantiles"))
+    val boomTotal = intercept[Exception] {
+      ExactQuantile.groupQuantilesBinned(df, "k", specs, maxCandidateRows = 3).count()
+    }
+    assert(boomTotal.getMessage.contains("groupQuantiles"))
+    val boomHist = intercept[Exception] {
+      ExactQuantile.groupQuantilesBinned(df, "k", specs, maxHistEntries = 4).count()
+    }
+    assert(boomHist.getMessage.contains("groupQuantiles"))
   }
 
   test("repetition signals are per-ROW on duplicated doc_ids (canonical semantics)") {
