@@ -577,6 +577,40 @@ object TextAnalysis {
       (inFull(col("quality")) || inSel(col("doc_id"))).as("selected"))
   }
 
+  /** BM25 relevance of every document against a fixed query-term set —
+    * the standard retrieval scorer (Robertson/Lucene form,
+    * idf = ln((N - df + 0.5)/(df + 0.5) + 1)), used in pipelines to
+    * pull topic-targeted subsets out of a web corpus. Pure expressions:
+    * one corpus scan for per-doc tf/dl, one tiny stats aggregation
+    * (N, Σdl, per-term df — a single broadcast row), one scoring map.
+    * Every scoring input is an integral-valued double (counts and
+    * lengths), so sums are exact regardless of partitioning, and the
+    * scoring expression evaluates in a pinned shape both engines
+    * share. */
+  def bm25Score(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25Score needs at least one query term")
+    val w = tokens(col(textCol))
+    val perDoc = docs.select(
+      col(idCol).as("doc_id") +: size(w).cast("double").as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(w, x => x === t)).cast("double").as(s"tf$i")
+        }: _*)
+    val statAggs = count(lit(1)).cast("double").as("n_docs") +:
+      sum(col("dl")).as("sum_dl") +:
+      terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1).otherwise(0)).cast("double").as(s"df$i"))
+    val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
+    val avgdl = col("sum_dl") / col("n_docs")
+    val score = terms.indices.map { i =>
+      val idf = log((col("n_docs") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5) + 1.0)
+      idf * (col(s"tf$i") * (lit(k1) + 1)) /
+        (col(s"tf$i") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl))
+    }.reduce(_ + _)
+    perDoc.crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(score, 6).as("bm25"))
+  }
+
   /** Content-defined document fingerprint: md5 over the sorted distinct
     * token set — stable under token reordering, engine-portable. */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -289,6 +289,16 @@ object TextOps extends QueryPack {
         .orderBy($"doc_id")
     }),
 
+    // BM25 against a fixed query-term set (topic-targeted subset
+    // selection): every scoring input is an integral-valued double, so
+    // both engines evaluate the identical expression shape.
+    "t60_bm25" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.bm25Score(t(s, dir, "documents"), "doc_id", "text",
+          Seq("hash", "join", "spark", "window"))
+        .orderBy($"doc_id")
+    }),
+
     // JOINT text+embedding curation: documents and embeddings share an
     // id space, so the composite drops a document if its TEXT is an
     // exact duplicate, its EMBEDDING is a near-duplicate (SRP-LSH,
@@ -642,6 +652,33 @@ object TextOps extends QueryPack {
           CAST(COALESCE(ka.kept_tokens, 0) AS BIGINT) AS kept_tokens,
           COALESCE(ka.kept_text, '') AS kept_text
         FROM w LEFT JOIN ka ON w.doc_id = ka.doc_id ORDER BY w.doc_id""",
+    // constants stay UNFOLDED ((1.2 + 1), (1 - 0.75)) so both engines
+    // run the same IEEE folds; term contributions add left-to-right
+    "t60_bm25" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        d AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl,
+            CAST(len(list_filter(tk, x -> x = 'hash')) AS DOUBLE) AS tf0,
+            CAST(len(list_filter(tk, x -> x = 'join')) AS DOUBLE) AS tf1,
+            CAST(len(list_filter(tk, x -> x = 'spark')) AS DOUBLE) AS tf2,
+            CAST(len(list_filter(tk, x -> x = 'window')) AS DOUBLE) AS tf3
+          FROM w),
+        s AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, SUM(dl) AS sum_dl,
+            CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+            CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+            CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2,
+            CAST(SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df3
+          FROM d)
+        SELECT doc_id, round(
+          ln((n_docs - df0 + 0.5) / (df0 + 0.5) + 1) * (tf0 * (1.2 + 1)) /
+            (tf0 + 1.2 * (1 - 0.75 + 0.75 * dl / (sum_dl / n_docs)))
+          + ln((n_docs - df1 + 0.5) / (df1 + 0.5) + 1) * (tf1 * (1.2 + 1)) /
+            (tf1 + 1.2 * (1 - 0.75 + 0.75 * dl / (sum_dl / n_docs)))
+          + ln((n_docs - df2 + 0.5) / (df2 + 0.5) + 1) * (tf2 * (1.2 + 1)) /
+            (tf2 + 1.2 * (1 - 0.75 + 0.75 * dl / (sum_dl / n_docs)))
+          + ln((n_docs - df3 + 0.5) / (df3 + 0.5) + 1) * (tf3 * (1.2 + 1)) /
+            (tf3 + 1.2 * (1 - 0.75 + 0.75 * dl / (sum_dl / n_docs)))
+          , 6) AS bm25
+        FROM d, s ORDER BY doc_id""",
     // the oracle IS the semantic definition: order by (quality DESC,
     // id), select while the running token total fits — the binned
     // execution must land on exactly this set
