@@ -89,6 +89,18 @@ object ScaleCheck {
       // dup-detection pipeline behind it) and the timing measures nothing
       run("dupSubstringCoverage", n)(TextDedup.dupSubstringCoverage(d, "doc_id", "text", 8)
         .filter(col("covered_tokens") >= 0))
+      run("dupSubstringRemove", n)(TextDedup.dupSubstringRemove(d, "doc_id", "text", 8)
+        .filter(col("kept_tokens") >= 0))
+      run("bigramLmScore", n)(TextAnalysis.bigramLmScore(d, "doc_id", "text")
+        .filter(col("n_bigrams") >= 0))
+      run("tokenBudgetSelect", n)(TextAnalysis.tokenBudgetSelect(
+        d, "doc_id", "text", budgetTokens = n.toLong * 20).filter(col("selected")))
+      run("bm25Score", n)(TextAnalysis.bm25Score(d, "doc_id", "text",
+        Seq("w1", "w42", "mutated")).filter(col("bm25") >= 0))
+      run("pqEncode", n / 4)(Similarity.pqEncode(e))
+      run("quantilesBinned", n)(graft.operators.ExactQuantile.groupQuantilesBinned(
+        d.select(col("doc_id"), (col("doc_id") % 3).as("k"),
+          length(col("text")).cast("double").as("v")), "k", Seq(("v", 0.9, "p90"))))
       d.unpersist(); e.unpersist()
     }
     spark.stop()
