@@ -200,6 +200,15 @@ object Similarity {
     centroids.getOrElse(seedVectors(corpus, k, idCol, vecCol)
       .map { case (id, v) => (id, v.map(_.toDouble)) })
 
+  /** The deterministic seed centroid set (K lowest-id vectors) in the
+    * explicit-`centroids` parameter shape — lets a STREAMING frame run
+    * `ivfAssign` (whose default derivation needs a batch action on the
+    * corpus; here the index side stays batch, the assignment side
+    * streams). */
+  def seedCentroids(corpus: DataFrame, k: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Array[(Long, Array[Double])] =
+    seedVectors(corpus, k, idCol, vecCol).map { case (id, v) => (id, v.map(_.toDouble)) }
+
   /** `ivfTrain` output shaped for the `centroids` parameter of
     * `ivfAssign`/`ivfSearch`: trained centroid j gets id j. */
   def trainedCentroids(corpus: DataFrame, k: Int = 8, iters: Int = 5,

@@ -224,6 +224,40 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Streaming embedding ingest: the ONLINE half of an ANN index —
+    // coarse centroids come from the offline/batch corpus (the index
+    // build), arriving vectors get IVF-assigned and int8-quantized as
+    // a stateless streaming map (same operators as s44/s47, unchanged
+    // over readStream). The memory sink must equal the batch replay.
+    "st69_stream_embed_ingest" -> ((s, dir) => {
+      val name = "st69_out"
+      val staged = stagingDir("graft-stream-embed")
+      stageCopy(s"$dir/embeddings.parquet", staged, "embeddings.parquet")
+      val embSchema = StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType))))
+      // index build side: deterministic seed centroids from the batch
+      // table (a production run trains these offline via ivfTrain)
+      val batch = t(s, dir, "embeddings")
+      val stream = s.readStream.schema(embSchema).parquet(staged.toString)
+      val assigned = graft.operators.Similarity.ivfAssign(stream, k = 8,
+        centroids = Some(graft.operators.Similarity.seedCentroids(batch, 8)))
+      val quantized = graft.operators.Similarity.quantizeInt8(stream)
+        .select(col("vec_id"), col("scale"),
+          array_join(transform(col("qvec"), x => x.cast("string")), ",").as("q_str"))
+      val q1 = assigned.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(s"${name}_a").start()
+      val q2 = quantized.writeStream.outputMode("append")
+        .format("memory").queryName(s"${name}_q").start()
+      try { q1.processAllAvailable(); q2.processAllAvailable() }
+      finally { q1.stop(); q2.stop() }
+      s.table(s"${name}_a")
+        .join(s.table(s"${name}_q"), Seq("vec_id"))
+        .select(col("vec_id"), col("centroid_id"), col("dist_sq"),
+          col("scale"), col("q_str"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Chain pipeline catches up as the tip advances — pinned golden.
     "st63_tip_catchup" -> ((s, _) => {
       import graft.pipeline.{EthereumPipelines, PipelineRunner, SinkTable}
@@ -349,6 +383,31 @@ object StreamingOps extends QueryPack {
         SELECT s.doc_id, count(*) AS n_hits
         FROM sh s JOIN probe p ON s.g = p.g
         GROUP BY s.doc_id ORDER BY s.doc_id""",
+    // st69 joins the s44 assignment replay with the s47 quantization
+    // replay — the streaming path must land on the batch answer
+    "st69_stream_embed_ingest" ->
+      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+          WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+        dists AS (SELECT e.vec_id, c.cid,
+          round(list_sum(list_transform(range(1, 65), i ->
+            (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)) *
+            (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)))), 6) AS d
+          FROM embeddings e, cents c),
+        assigned AS (SELECT vec_id, cid AS centroid_id, d AS dist_sq FROM
+          (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+           FROM dists) WHERE rn = 1),
+        q AS (SELECT vec_id,
+          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+          array_to_string(list_transform(embedding, x ->
+            CAST(CASE WHEN list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) / 127.0 = 0
+                 THEN 0
+                 ELSE floor(CAST(x AS DOUBLE) /
+                   (list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) / 127.0) + 0.5)
+                 END AS INTEGER)), ',') AS q_str
+          FROM embeddings)
+        SELECT a.vec_id, a.centroid_id, a.dist_sq, q.scale, q.q_str
+        FROM assigned a JOIN q ON q.vec_id = a.vec_id
+        ORDER BY a.vec_id""",
     // st68 replays the streaming near-dup ladder batch-side: both
     // deliveries unioned, t37's signature derivation, t38's band keys,
     // and the drop rule — a document is dropped iff some LOWER-id
