@@ -125,6 +125,33 @@ object ExactQuantile {
       }: _*)
   }
 
+  /** Weighted exact quantile per key — the `quantileExactWeighted`
+    * contract (ClickHouse): the smallest value whose cumulative weight
+    * reaches p of the total weight, NO interpolation. Same shuffle-safe
+    * shape as `groupQuantiles`: a (key, value) weight-sum histogram
+    * (map-side combinable), one window pass for the weighted CDF and
+    * the per-key total (shared partition+order spec → one exchange,
+    * one sort), then a min over the qualifying values. NULL values and
+    * non-positive weights are ignored. */
+  def groupWeightedQuantile(df: DataFrame, keyCol: String, valCol: String,
+      weightCol: String, p: Double, outName: String): DataFrame = {
+    val hist = df
+      .filter(col(valCol).isNotNull && col(weightCol) > 0)
+      .groupBy(col(keyCol), col(valCol).cast("double").as("_v"))
+      .agg(sum(col(weightCol).cast("long")).as("_w"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("_v"))
+    val wTot = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    hist
+      .withColumn("_cum", sum(col("_w")).over(w))
+      .withColumn("_tot", sum(col("_w")).over(wTot))
+      // first value whose cumulative weight reaches p of the total:
+      // weights are integral, so compare against ceil(p * tot) in longs
+      // (both engines fold p * tot with the same IEEE multiply)
+      .filter(col("_cum") >= ceil(lit(p) * col("_tot")).cast("long"))
+      .groupBy(col(keyCol))
+      .agg(min(col("_v")).as(outName))
+  }
+
   /** Order-preserving bit image of a double: monotone in the value's
     * sort order (negatives flipped, sign bit rotated), so a RANGE of
     * doubles maps to a range of unsigned longs and the top bits form an

@@ -71,6 +71,17 @@ object Relational2 extends QueryPack {
         .toDF().orderBy(col("user_id"))
     }),
 
+    // weighted exact quantile (the quantileExactWeighted contract):
+    // smallest price whose cumulative QUANTITY weight reaches p of the
+    // per-flag total — no interpolation, one histogram + one window.
+    "q47_weighted_quantile" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.ExactQuantile.groupWeightedQuantile(
+          t(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
+          "l_quantity", 0.5, "wmedian_price")
+        .orderBy($"l_returnflag")
+    }),
+
     // ClickHouse-style retention flags (the windowFunnel sibling):
     // anchored AND of per-condition matches, no time ordering by that
     // function's contract.
@@ -254,6 +265,19 @@ object Relational2 extends QueryPack {
                WHEN u.user_id IN (SELECT user_id FROM l1) THEN 1
                ELSE 0 END AS funnel_level
         FROM u ORDER BY u.user_id""",
+    "q47_weighted_quantile" ->
+      """WITH h AS (SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS v,
+            CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+          FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_quantity > 0
+          GROUP BY l_returnflag, CAST(l_extendedprice AS DOUBLE)),
+        c AS (SELECT *,
+            SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+              ROWS UNBOUNDED PRECEDING) AS cum,
+            SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+          FROM h)
+        SELECT l_returnflag, MIN(v) AS wmedian_price
+        FROM c WHERE cum >= CAST(ceil(0.5 * tot) AS BIGINT)
+        GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q46_retention" ->
       """SELECT user_id,
         MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) = 1 AS r1,
