@@ -47,6 +47,59 @@ object Funnel {
       }: _*)
   }
 
+  case class SeqState(user_id: Long, seq_matched: Boolean, seq_count: Int)
+
+  /** sequenceMatch + sequenceCount (the ClickHouse behavioral pair next
+    * to windowFunnel/retention; pattern shape '(?1).*(?2).*(?3)'): per
+    * user, whether a strictly time-increasing chain typed
+    * steps(0)..steps(k-1) exists, and how many such chains a single
+    * forward cursor packs — CH sequenceCount's sequential
+    * non-overlapping contract; greedy earliest-advance is maximal for
+    * subsequence patterns by the classic exchange argument, so the
+    * result is scan-order-free.
+    *
+    * Tie groups: a chain takes at most one event per distinct timestamp
+    * (strict-< rule), so the cursor advances at most one level per ts
+    * group — the same snapshot rule as windowFunnel, which lets a SQL
+    * oracle replay the cursor exactly by lazy-regex matching over a
+    * string of per-timestamp step bitmask characters.
+    *
+    * Shape at scale: one shuffle on the user key + one sorted pass per
+    * user; cursor state is two ints (level, count). */
+  def sequenceMatchCount(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String])
+      (implicit s: SparkSession): Dataset[SeqState] = {
+    import s.implicits._
+    require(steps.nonEmpty, "sequenceMatchCount needs at least one step")
+    val k = steps.length
+    events
+      .select(col(userCol).cast("long"), unix_micros(col(tsCol)), col(typeCol))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .mapGroups { (uid, it) =>
+        val evs = it.toArray.sortBy(_._2)
+        var lvl = 0
+        var cnt = 0
+        var i = 0
+        while (i < evs.length) {
+          var g = i
+          while (g < evs.length && evs(g)._2 == evs(i)._2) g += 1
+          var hit = false
+          var x = i
+          while (x < g && !hit) {
+            if (evs(x)._3 == steps(lvl)) hit = true
+            x += 1
+          }
+          if (hit) {
+            lvl += 1
+            if (lvl == k) { cnt += 1; lvl = 0 }
+          }
+          i = g
+        }
+        SeqState(uid, cnt > 0, cnt)
+      }
+  }
+
   def windowFunnel(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, steps: Seq[String], windowMicros: Long)
       (implicit s: SparkSession): Dataset[FunnelLevel] = {

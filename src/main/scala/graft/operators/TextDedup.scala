@@ -445,6 +445,43 @@ object TextDedup {
         array_join(col("_kept"), " ").as("kept_text"))
   }
 
+  /** Paragraph-level exact dedup (the C4 line-dedup contract — Raffel
+    * et al. 2020 §2.2 — applied to fixed W-token blocks, since the
+    * corpus has no line structure): a block is KEPT iff it is the first
+    * corpus occurrence of its text in (doc_id, block index) order;
+    * every later identical block is removed; documents are reassembled
+    * from surviving blocks in order. Differs from dupSubstringRemove in
+    * granularity AND keep rule: that operator cuts EVERY occurrence of
+    * duplicated sliding windows; this one keeps the first copy.
+    *
+    * Shape at scale: one shuffle partitioned by md5(block) for the
+    * first-occurrence window (both engines key on the same hash, so the
+    * decision is identical even under a collision; at 100 TB the
+    * partition key stays 16 bytes however long blocks get), one shuffle
+    * back on doc_id to reassemble — both single-pass, linear. */
+  def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
+      blockTokens: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = blockTokens
+    val blocks = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("tk"))
+      .select(col("doc_id"), col("tk"),
+        explode(sequence(lit(0),
+          ((size(col("tk")) + lit(w - 1)) / lit(w)).cast("int") - 1)).as("i"))
+      .select(col("doc_id"), col("i"),
+        array_join(slice(col("tk"), col("i") * w + 1, lit(w)), " ").as("block"))
+    val rn = row_number().over(
+      Window.partitionBy(md5(col("block"))).orderBy(col("doc_id"), col("i")))
+    blocks.withColumn("_keep", rn === 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(col("_keep").cast("int")).cast("long").as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("_keep"),
+            struct(col("i"), col("block"))))),
+          x => x.getField("block")), " ").as("kept_text"))
+  }
+
   /** 64-bit SimHash over whitespace tokens: each token votes its md5
     * bits; the sign of each bit-position sum forms the fingerprint.
     * Pure Scala UDF (md5 via MessageDigest) — deterministic. */

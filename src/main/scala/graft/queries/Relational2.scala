@@ -82,6 +82,17 @@ object Relational2 extends QueryPack {
         .orderBy($"l_returnflag")
     }),
 
+    // sequenceMatch + sequenceCount (the remaining CH behavioral pair):
+    // strictly-ordered view→click→purchase chains, existence plus
+    // greedy non-overlapping count; the oracle replays the cursor with
+    // an ordered list_reduce over per-timestamp step bitmasks.
+    "q48_sequence_match" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      graft.operators.Funnel.sequenceMatchCount(t(s, dir, "events"),
+          "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+        .toDF().orderBy(col("user_id"))
+    }),
+
     // ClickHouse-style retention flags (the windowFunnel sibling):
     // anchored AND of per-condition matches, no time ordering by that
     // function's contract.
@@ -196,7 +207,8 @@ object Relational2 extends QueryPack {
 
     // KMV distinct sketch — custom typed Aggregator (bounded k-string
     // state, mergeable partials); estimate is md5-derived and exact in
-    // doubles, so the oracle replays it to the bit (HLL could not be).
+    // doubles, so the oracle replays it to the bit (q49 pins HLL's
+    // layout the same way).
     // Distinct-first: KMV is insensitive to duplicates, so aggregating
     // the distinct (flag, partkey) pairs gives the identical sketch
     // while hashing each value once — and the exact-count comparison
@@ -211,6 +223,22 @@ object Relational2 extends QueryPack {
         .agg(kmv($"l_partkey".cast("string")).as("kmv_est"),
           count(lit(1)).as("exact_distinct"))
         .repartition(1).sortWithinPartitions($"l_returnflag")
+    }),
+
+    // HyperLogLog distinct sketch (q43's sibling, 4 KB mergeable byte
+    // registers instead of k strings): distinct users per event type.
+    // Layout is pinned (md5 hash, top-12-bit bucket, 52-bit rho), so
+    // the DuckDB oracle replays registers AND estimator bit-for-bit —
+    // including the linear-counting small-range branch.
+    "q49_hll_distinct" -> ((s, dir) => {
+      import s.implicits._
+      val hll = graft.functions.HllSketch.hllDistinct
+      t(s, dir, "events")
+        .select($"event_type", $"user_id").distinct()
+        .groupBy($"event_type")
+        .agg(hll($"user_id".cast("string")).as("hll_est"),
+          count(lit(1)).as("exact_distinct"))
+        .repartition(1).sortWithinPartitions($"event_type")
     })
   )
 
@@ -278,6 +306,31 @@ object Relational2 extends QueryPack {
         SELECT l_returnflag, MIN(v) AS wmedian_price
         FROM c WHERE cum >= CAST(ceil(0.5 * tot) AS BIGINT)
         GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // cursor replay: per distinct µs timestamp a 3-bit step mask encoded
+    // as a character ('0'-'7'), then repeated leftmost-LAZY regex
+    // matching over the per-user string — identical to the greedy
+    // cursor (leftmost start = first possible chain start, lazy = first
+    // qualifying group per level, non-overlapping scan = sequential
+    // resume; greedy-earliest is minimal-end, so counts agree by the
+    // exchange argument). NOT list_reduce: DuckDB 1.0's vectorized
+    // list_reduce mis-folds ~1/150 grouped rows (verified against a
+    // scalar replay of identical lists), so it cannot serve as an
+    // oracle.
+    "q48_sequence_match" ->
+      """WITH g AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS uts,
+            MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+            + 2 * MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+            + 4 * MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS bits
+          FROM events GROUP BY user_id, CAST(ts AS TIMESTAMP)),
+        s AS (SELECT user_id,
+            string_agg(chr(48 + bits), '' ORDER BY uts) AS seq
+          FROM g GROUP BY user_id),
+        c AS (SELECT user_id,
+            len(regexp_extract_all(seq, '[1357].*?[2367].*?[4567]')) AS sc
+          FROM s)
+        SELECT user_id, sc > 0 AS seq_matched,
+          CAST(sc AS INTEGER) AS seq_count
+        FROM c ORDER BY user_id""",
     "q46_retention" ->
       """SELECT user_id,
         MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) = 1 AS r1,
@@ -367,6 +420,40 @@ object Relational2 extends QueryPack {
                ELSE 63.0 / (CAST('0x' || substr(kth, 1, 13) AS UBIGINT)
                             / 4503599627370496.0) END AS kmv_est,
           nd AS exact_distinct
-        FROM k ORDER BY l_returnflag"""
+        FROM k ORDER BY l_returnflag""",
+    // register replay: bucket = top 12 hash bits, rho = 53 - bin-length
+    // of the 52-bit remainder (integer-exact); estimator folds present
+    // registers in index order (left fold, exact powers of two) then
+    // adds the empty-register count as one integer-valued term
+    "q49_hll_distinct" ->
+      """WITH d AS (SELECT DISTINCT event_type,
+            CAST(user_id AS VARCHAR) AS v FROM events),
+        b AS (SELECT event_type,
+            CAST(CAST('0x' || substr(md5(v), 1, 16) AS UBIGINT) >> 52 AS BIGINT) AS j,
+            CAST(CAST('0x' || substr(md5(v), 1, 16) AS UBIGINT)
+                 & 4503599627370495 AS BIGINT) AS w
+          FROM d),
+        r AS (SELECT event_type, j,
+            MAX(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS rho
+          FROM b GROUP BY event_type, j),
+        agg AS (SELECT event_type,
+            list_sum(list(1.0 / CAST(CAST(1 AS BIGINT) << rho AS DOUBLE)
+              ORDER BY j)) AS sp,
+            COUNT(*) AS np
+          FROM r GROUP BY event_type),
+        est AS (SELECT event_type,
+            (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+              / (sp + CAST(4096 - np AS DOUBLE)) AS e,
+            4096 - np AS zeros
+          FROM agg),
+        ex AS (SELECT event_type, COUNT(*) AS exact_distinct FROM d
+          GROUP BY event_type)
+        SELECT est.event_type,
+          CASE WHEN e <= 2.5 * 4096.0 AND zeros > 0
+               THEN 4096.0 * ln(4096.0 / CAST(zeros AS DOUBLE))
+               ELSE e END AS hll_est,
+          ex.exact_distinct
+        FROM est JOIN ex ON est.event_type = ex.event_type
+        ORDER BY est.event_type"""
   )
 }

@@ -203,6 +203,16 @@ object TextOps extends QueryPack {
         .orderBy($"doc_id")
     }),
 
+    // paragraph-level dedup (C4's line-dedup keep rule at 16-token
+    // block granularity): later identical blocks are removed, the first
+    // corpus occurrence survives — the keep-first complement of t56's
+    // cut-every-occurrence rule.
+    "t61_paragraph_dedup" -> ((s, dir) => {
+      import s.implicits._
+      TextDedup.paragraphDedup(t(s, dir, "documents"), "doc_id", "text", 16)
+        .orderBy($"doc_id")
+    }),
+
     "t52_bpe_pretokens" -> ((s, dir) => {
       import s.implicits._
       TextAnalysis.bpePretokenStats(t(s, dir, "documents"), "doc_id", "text")
@@ -652,6 +662,26 @@ object TextOps extends QueryPack {
           CAST(COALESCE(ka.kept_tokens, 0) AS BIGINT) AS kept_tokens,
           COALESCE(ka.kept_text, '') AS kept_text
         FROM w LEFT JOIN ka ON w.doc_id = ka.doc_id ORDER BY w.doc_id""",
+    // first-occurrence keep rule replayed with one window over
+    // md5(block) — the same hash key the Spark side partitions on
+    "t61_paragraph_dedup" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents),
+        blk AS (SELECT doc_id, UNNEST(range(0, (len(toks) + 15) // 16)) AS i,
+            toks FROM tk),
+        b2 AS (SELECT doc_id, i,
+            array_to_string(list_slice(toks, i * 16 + 1, i * 16 + 16), ' ') AS block
+          FROM blk),
+        r AS (SELECT doc_id, i, block,
+            row_number() OVER (PARTITION BY md5(block)
+              ORDER BY doc_id, i) AS rn
+          FROM b2)
+        SELECT doc_id,
+          COUNT(*) AS n_blocks,
+          CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          COALESCE(string_agg(CASE WHEN rn = 1 THEN block END, ' '
+            ORDER BY i), '') AS kept_text
+        FROM r GROUP BY doc_id ORDER BY doc_id""",
     // constants stay UNFOLDED ((1.2 + 1), (1 - 0.75)) so both engines
     // run the same IEEE folds; term contributions add left-to-right
     "t60_bm25" ->

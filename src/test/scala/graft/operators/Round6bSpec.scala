@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-6 late-addition gates: sequenceMatch/Count greedy optimality
+  * against a choice-DP reference, pinned-layout HLL accuracy and
+  * partition-invariance, and paragraph-dedup keep-first semantics. */
+class Round6bSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("sequenceMatchCount equals the optimal choice-DP packing (random sweep with ts ties)") {
+    import spark.implicits._
+    val steps = Seq("v", "c", "p")
+    val r = new java.util.Random(614)
+    // small ts range forces tie groups; extra type "x" adds noise
+    val types = Array("v", "c", "p", "x")
+    val events = (0L until 40L).flatMap { uid =>
+      (0 until r.nextInt(18) + 1).map { _ =>
+        (uid, (r.nextInt(8) + 1).toLong, types(r.nextInt(types.length)))
+      }
+    }
+    val df = events.toDF("user_id", "us", "event_type")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"), col("event_type"))
+    implicit val s: SparkSession = spark
+    val got = Funnel.sequenceMatchCount(df, "user_id", "ts", "event_type", steps)
+      .collect().map(x => x.user_id -> x.seq_count).toMap
+
+    // reference: per user, per-ts bitmask groups in ts order, then a DP
+    // that may CHOOSE to skip an advance — greedy must equal its max
+    for (uid <- 0L until 40L) {
+      val groups = events.filter(_._1 == uid).groupBy(_._2).toSeq.sortBy(_._1)
+        .map { case (_, es) =>
+          es.map(e => steps.indexOf(e._3)).filter(_ >= 0).toSet
+        }
+      val memo = collection.mutable.Map.empty[(Int, Int), Int]
+      def rec(pos: Int, lvl: Int): Int = memo.getOrElseUpdate((pos, lvl), {
+        if (pos == groups.length) 0
+        else {
+          val skip = rec(pos + 1, lvl)
+          if (groups(pos).contains(lvl)) {
+            val adv =
+              if (lvl == steps.length - 1) 1 + rec(pos + 1, 0)
+              else rec(pos + 1, lvl + 1)
+            math.max(skip, adv)
+          } else skip
+        }
+      })
+      assert(got(uid) == rec(0, 0), s"user $uid: greedy ${got(uid)} != dp ${rec(0, 0)}")
+    }
+  }
+
+  test("HLL: accuracy within 3 sigma, linear-counting branch, partition-invariant") {
+    import spark.implicits._
+    val hll = graft.functions.HllSketch.hllDistinct
+
+    def run(n: Int, partitions: Int): Double =
+      (1 to n).map(i => s"val_$i").toDF("v").repartition(partitions)
+        .agg(hll(col("v")).as("est")).collect()(0).getDouble(0)
+
+    // 4096 registers -> relative standard error ~1.04/sqrt(4096) = 1.6%
+    val big = run(50000, 8)
+    assert(math.abs(big - 50000) / 50000.0 < 0.05, s"50k est $big")
+    // small cardinality takes the linear-counting branch (tighter)
+    val small = run(300, 4)
+    assert(math.abs(small - 300) / 300.0 < 0.05, s"300 est $small")
+    // pinned layout: estimate must be IDENTICAL across partitionings
+    assert(run(5000, 1) == run(5000, 7), "partitioning changed the estimate")
+
+    // slot sanity: bucket in range, rho in [1, 53]
+    val (j, rho) = graft.functions.HllSketch.slot(0x0123456789abcdefL)
+    assert(j >= 0 && j < graft.functions.HllSketch.M && rho >= 1 && rho <= 53)
+    assert(graft.functions.HllSketch.slot(0L) == ((0, 53)))
+  }
+
+  test("paragraphDedup: keep-first block rule, tail blocks, fully-removed docs") {
+    import spark.implicits._
+    // 3-token blocks: doc 0 = [A][B], doc 1 = [A][C], doc 2 = [A] — A
+    // survives only in doc 0; doc 2 empties out entirely
+    val a = "a1 a2 a3"; val b = "b1 b2 b3"; val c = "c1 c2 c3"
+    val docs = Seq(
+      (0L, s"$a $b"),
+      (1L, s"$a $c"),
+      (2L, a),
+      (3L, "t1 t2 t3 t4") // tail block [t4] is its own block, kept
+    ).toDF("doc_id", "text")
+    val got = TextDedup.paragraphDedup(docs, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(0L) == ((2L, 2L, s"$a $b")))
+    assert(got(1L) == ((2L, 1L, c)))
+    assert(got(2L) == ((1L, 0L, "")))
+    assert(got(3L) == ((2L, 2L, "t1 t2 t3 t4")))
+  }
+}
