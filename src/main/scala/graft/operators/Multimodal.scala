@@ -259,6 +259,121 @@ object Multimodal {
       })
   }
 
+  case class WavPcm(sampleRate: Int, channels: Int, samples: Array[Short])
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) |
+      ((b(o + 3) & 0xff) << 24)
+
+  /** REAL RIFF/WAVE PCM16 decode — a full chunk-walking parser in plain
+    * JVM code (WAV needs no codec library: the container is a chunk
+    * list and PCM16 is the samples verbatim, little-endian). Returns
+    * None for non-WAV payloads, non-PCM format tags, or non-16-bit
+    * streams; tolerates extra chunks (LIST, fact, …) and odd-sized
+    * chunk padding per the RIFF spec. */
+  private[operators] def decodeWav(payload: Array[Byte]): Option[WavPcm] =
+    if (payload.length < 44 || payload(0) != 'R' || payload(1) != 'I' ||
+        payload(2) != 'F' || payload(3) != 'F' || payload(8) != 'W' ||
+        payload(9) != 'A' || payload(10) != 'V' || payload(11) != 'E') None
+    else try {
+      var pos = 12
+      var fmtTag = -1; var channels = 0; var rate = 0; var bits = 0
+      var samples: Array[Short] = null
+      while (pos + 8 <= payload.length) {
+        val id = new String(payload, pos, 4, "US-ASCII")
+        val sz = le32(payload, pos + 4)
+        if (sz < 0 || pos + 8 + sz > payload.length) return None
+        if (id == "fmt " && sz >= 16) {
+          fmtTag = le16(payload, pos + 8)
+          channels = le16(payload, pos + 10)
+          rate = le32(payload, pos + 12)
+          bits = le16(payload, pos + 22)
+        } else if (id == "data" && fmtTag == 1 && bits == 16 && channels >= 1) {
+          val n = sz / 2
+          samples = new Array[Short](n)
+          var i = 0
+          while (i < n) {
+            samples(i) = le16(payload, pos + 8 + 2 * i).toShort
+            i += 1
+          }
+        }
+        pos += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
+      }
+      if (samples == null || rate <= 0) None
+      else Some(WavPcm(rate, channels, samples))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  case class AudioFeatures(doc_id: Long, decoded: Boolean, sample_rate: Int,
+      n_samples: Long, duration_ms: Long, rms: Double, peak: Int,
+      zero_crossings: Long)
+
+  private def pcmStats(docId: Long, decoded: Boolean, rate: Int,
+      samples: Array[Int]): AudioFeatures = {
+    val n = samples.length
+    var ss = 0L; var peak = 0; var zc = 0L
+    var i = 0
+    while (i < n) {
+      val v = samples(i)
+      ss += v.toLong * v
+      val a = math.abs(v)
+      if (a > peak) peak = a
+      if (i > 0 && ((samples(i - 1) < 0) != (v < 0))) zc += 1
+      i += 1
+    }
+    val rms =
+      if (n == 0) 0.0
+      else BigDecimal(math.sqrt(ss.toDouble / n))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    AudioFeatures(docId, decoded, rate, n.toLong,
+      if (rate == 0) 0L else n.toLong * 1000L / rate, rms, peak, zc)
+  }
+
+  /** Audio feature extraction: WAV payloads REALLY decode (RIFF/PCM16
+    * parser above) and report duration, RMS, peak and zero-crossing
+    * rate over the sample stream; everything else falls back to the
+    * STUB path — bytes interpreted as centered 8-bit PCM at 8 kHz (a
+    * real build would put compressed-audio codecs behind the same
+    * sniff; none ship with the JDK). Integer sums + one final sqrt, so
+    * results are deterministic and SQL-replayable. */
+  def audioFeatures(media: DataFrame)(implicit s: SparkSession): Dataset[AudioFeatures] = {
+    import s.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions(rows => rows.map { r =>
+        decodeWav(r.payload) match {
+          case Some(w) =>
+            pcmStats(r.doc_id, decoded = true, w.sampleRate, w.samples.map(_.toInt))
+          case None =>
+            pcmStats(r.doc_id, decoded = false, 8000,
+              r.payload.map(b => (b & 0xff) - 128))
+        }
+      })
+  }
+
+  /** Deterministic PCM16 mono WAV for doc `id`: sample n is the pure
+    * integer function ((id*31 + n*197) mod 65536) - 32768 — so a SQL
+    * oracle can regenerate the exact sample stream and verify the
+    * encode→parse round-trip arithmetically (unlike the image ops,
+    * whose codec path needs pinned goldens). */
+  def syntheticWav(id: Long, nSamples: Int, sampleRate: Int = 8000): Array[Byte] = {
+    val dataSize = nSamples * 2
+    val out = new Array[Byte](44 + dataSize)
+    def putAscii(o: Int, s: String): Unit = { var i = 0; while (i < s.length) { out(o + i) = s.charAt(i).toByte; i += 1 } }
+    def put16(o: Int, v: Int): Unit = { out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte }
+    def put32(o: Int, v: Int): Unit = { put16(o, v & 0xffff); put16(o + 2, (v >>> 16) & 0xffff) }
+    putAscii(0, "RIFF"); put32(4, 36 + dataSize); putAscii(8, "WAVE")
+    putAscii(12, "fmt "); put32(16, 16); put16(20, 1); put16(22, 1)
+    put32(24, sampleRate); put32(28, sampleRate * 2); put16(32, 2); put16(34, 16)
+    putAscii(36, "data"); put32(40, dataSize)
+    var n = 0
+    while (n < nSamples) {
+      put16(44 + 2 * n, (((id * 31 + n.toLong * 197) % 65536L) - 32768L).toInt & 0xffff)
+      n += 1
+    }
+    out
+  }
+
   /** Deterministic multi-frame grayscale GIF for doc `id`: frame f's
     * pixel (x,y) is a pure integer function of (id, f, x, y). Gray in =
     * gray out (the GIF palette covers all 256 grays, and BT.601 luma of

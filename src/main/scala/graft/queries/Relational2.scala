@@ -225,6 +225,25 @@ object Relational2 extends QueryPack {
         .repartition(1).sortWithinPartitions($"l_returnflag")
     }),
 
+    // moving-window aggregates (the groupArrayMovingSum/Avg contract):
+    // per-user running 5-row sum/avg in (ts, event_id) order. Frame
+    // sums go through DECIMAL so sliding-accumulator vs recompute
+    // implementations can't diverge on float order; one shuffle + one
+    // sort, both window functions share the frame.
+    "q50_moving_agg" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val win = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(-4, 0)
+      t(s, dir, "events")
+        .select($"event_id", $"user_id", $"ts", $"value")
+        .select($"event_id",
+          sum($"value".cast("decimal(18,2)")).over(win).cast("double").as("mov_sum5"),
+          (sum($"value".cast("decimal(18,2)")).over(win).cast("double") /
+            count(lit(1)).over(win)).as("mov_avg5"))
+        .orderBy($"event_id")
+    }),
+
     // HyperLogLog distinct sketch (q43's sibling, 4 KB mergeable byte
     // registers instead of k strings): distinct users per event type.
     // Layout is pinned (md5 hash, top-12-bit bucket, 52-bit rho), so
@@ -421,6 +440,15 @@ object Relational2 extends QueryPack {
                             / 4503599627370496.0) END AS kmv_est,
           nd AS exact_distinct
         FROM k ORDER BY l_returnflag""",
+    "q50_moving_agg" ->
+      """WITH w AS (SELECT event_id,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER f AS DOUBLE) AS mov_sum5,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER f AS DOUBLE)
+            / COUNT(*) OVER f AS mov_avg5
+        FROM events
+        WINDOW f AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+        SELECT * FROM w ORDER BY event_id""",
     // register replay: bucket = top 12 hash bits, rho = 53 - bin-length
     // of the 52-bit remainder (integer-exact); estimator folds present
     // registers in index order (left fold, exact powers of two) then

@@ -330,6 +330,24 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    // REAL WAV audio decode (RIFF/PCM16 chunk parser, plain JVM — WAV
+    // needs no codec library): every third doc carries a generated WAV
+    // whose samples are a pure integer function of (doc_id, n), so the
+    // oracle regenerates the sample stream IN SQL and verifies the
+    // encode→parse round-trip arithmetically — a stronger gate than the
+    // image ops' pinned goldens. The rest take the documented 8-bit
+    // stub path over text bytes, replayed with ascii().
+    "m77_wav_decode" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val wav = udf((id: Long) =>
+        Multimodal.syntheticWav(id, (160 + (id % 13) * 16).toInt))
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, wav(col("doc_id")))
+            .otherwise(col("text").cast("binary")).as("payload"))
+      Multimodal.audioFeatures(media).toDF().orderBy(col("doc_id"))
+    }),
+
     // REAL image decode (javax.imageio): deterministic generated PNGs →
     // BT.601 luma-plane features. Pure function of doc_id (independent
     // of the sf tables), gated by a pinned golden (PinnedGoldens) — the
@@ -344,6 +362,36 @@ object StreamingOps extends QueryPack {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // regenerates the synthetic PCM stream (pure integer function) and
+    // the stub byte stream (ascii), then replays the exact stats —
+    // integer sum of squares, one final sqrt, round 6
+    "m77_wav_decode" ->
+      """WITH p AS (SELECT doc_id, text, doc_id % 3 = 0 AS decoded,
+            CASE WHEN doc_id % 3 = 0 THEN 160 + (doc_id % 13) * 16
+                 ELSE length(text) END AS n
+          FROM documents),
+        s AS (SELECT doc_id, decoded, n, UNNEST(range(0, n)) AS i, text FROM p),
+        v AS (SELECT doc_id, decoded, n, i,
+            CASE WHEN decoded THEN (doc_id * 31 + i * 197) % 65536 - 32768
+                 ELSE ascii(substr(text, CAST(i + 1 AS INTEGER), 1)) - 128
+            END AS smp
+          FROM s),
+        w AS (SELECT doc_id, decoded, n, smp,
+            lag(smp) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+          FROM v),
+        a AS (SELECT doc_id, any_value(decoded) AS decoded,
+            any_value(n) AS n,
+            CAST(SUM(CAST(smp AS BIGINT) * smp) AS BIGINT) AS ss,
+            MAX(abs(smp)) AS peak,
+            CAST(SUM(CASE WHEN prev IS NOT NULL AND ((prev < 0) <> (smp < 0))
+              THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+          FROM w GROUP BY doc_id)
+        SELECT doc_id, decoded, 8000 AS sample_rate,
+          CAST(n AS BIGINT) AS n_samples,
+          CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+          round(sqrt(CAST(ss AS DOUBLE) / n), 6) AS rms,
+          CAST(peak AS INTEGER) AS peak, zero_crossings
+        FROM a ORDER BY doc_id""",
     "st61_stream_window" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start, event_type,
         COUNT(*) AS n,

@@ -83,6 +83,37 @@ class Round6bSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.functions.HllSketch.slot(0L) == ((0, 53)))
   }
 
+  test("WAV decode: synthetic roundtrip, extra chunks + stereo, malformed rejected") {
+    // roundtrip: the parser recovers the generator samples bit-for-bit
+    val p = Multimodal.syntheticWav(7L, 100)
+    val w = Multimodal.decodeWav(p).get
+    assert(w.sampleRate == 8000 && w.channels == 1 && w.samples.length == 100)
+    (0 until 100).foreach { n =>
+      assert(w.samples(n) == ((7L * 31 + n.toLong * 197) % 65536L - 32768L).toShort)
+    }
+
+    // chunk walker: a LIST chunk between fmt and data is skipped; a
+    // stereo 16-bit stream parses with interleaved samples intact
+    val bos = new java.io.ByteArrayOutputStream()
+    def ascii(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >>> 16) & 0xffff) }
+    val samples = Array[Short](10, -20, 30, -40) // 2 frames x 2 channels
+    ascii("RIFF"); le32(4 + 24 + 12 + 8 + samples.length * 2); ascii("WAVE")
+    ascii("fmt "); le32(16); le16(1); le16(2); le32(44100); le32(44100 * 4); le16(4); le16(16)
+    ascii("LIST"); le32(4); ascii("INFO") // extra chunk the walker must skip
+    ascii("data"); le32(samples.length * 2); samples.foreach(v => le16(v & 0xffff))
+    val st = Multimodal.decodeWav(bos.toByteArray).get
+    assert(st.sampleRate == 44100 && st.channels == 2)
+    assert(st.samples.toSeq == samples.toSeq)
+
+    // rejection: text bytes, truncated header, oversized chunk length
+    assert(Multimodal.decodeWav("not a wav at all, just text bytes....".getBytes).isEmpty)
+    assert(Multimodal.decodeWav(p.take(40)).isEmpty)
+    val bad = p.clone(); bad(40) = 0x7f.toByte; bad(41) = 0x7f.toByte // data size > file
+    assert(Multimodal.decodeWav(bad).isEmpty)
+  }
+
   test("paragraphDedup: keep-first block rule, tail blocks, fully-removed docs") {
     import spark.implicits._
     // 3-token blocks: doc 0 = [A][B], doc 1 = [A][C], doc 2 = [A] — A
