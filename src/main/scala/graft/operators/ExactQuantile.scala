@@ -303,4 +303,112 @@ object ExactQuantile {
       new java.util.ArrayList(scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
       schema)
   }
+
+  /** Low-cardinality fast path for `groupWeightedQuantile` — the q35
+    * binned machinery applied to the weighted selection. Same contract
+    * bit-for-bit (smallest value whose cumulative weight reaches
+    * ceil(p·total), weights summed in longs, NULL values / non-positive
+    * weights dropped), but no per-key sort of the value histogram:
+    *
+    *   1. per-partition sparse (key, bin) → (weight sum, row count)
+    *      over the top 16 bits of `orderedBits` — map-side combined,
+    *      histogram-sized shuffle, every core engaged even on a
+    *      single-row-group input;
+    *   2. driver walks each key's bin CDF (integer weights, exact) to
+    *      the bin where cumulative weight crosses the threshold;
+    *   3. a second scan collects only (value, weight) rows in target
+    *      bins (bounded before the collect fires), and the driver
+    *      finishes the walk inside the bin.
+    *
+    * Ceilings hard-fail to `groupWeightedQuantile` (the any-cardinality
+    * window path) — the q35 honesty contract. */
+  def groupWeightedQuantileBinned(df: DataFrame, keyCol: String,
+      valCol: String, weightCol: String, p: Double, outName: String,
+      maxHistEntries: Int = 4000000, maxBinRows: Long = 4000000L,
+      maxCandidateRows: Long = 8000000L): DataFrame = {
+    val spark = df.sparkSession
+    val src = df
+      .filter(col(valCol).isNotNull && col(weightCol) > 0)
+      .select(col(keyCol), col(valCol).cast("double").as("_v"),
+        col(weightCol).cast("long").as("_w"))
+    def tooMany(where: String) = new IllegalStateException(
+      s"groupWeightedQuantileBinned: >$maxHistEntries (group,bin) entries $where - " +
+        "group cardinality too high for the binned path; use groupWeightedQuantile")
+    val partMaps = src.rdd.mapPartitions { it =>
+      val m = collection.mutable.HashMap[(Any, Long), (Long, Long)]()
+      it.foreach { r =>
+        val kk = (r.get(0), orderedBits(r.getDouble(1)) >>> 48)
+        val (w0, c0) = m.getOrElse(kk, (0L, 0L))
+        m(kk) = (w0 + r.getLong(2), c0 + 1)
+        if (m.size > maxHistEntries) throw tooMany("in one partition")
+      }
+      Iterator(m)
+    }
+    val hist =
+      if (partMaps.getNumPartitions == 0)
+        collection.mutable.HashMap[(Any, Long), (Long, Long)]()
+      else partMaps.treeReduce({ (m1, m2) =>
+        val (big, small) = if (m1.size >= m2.size) (m1, m2) else (m2, m1)
+        small.foreach { case (k, (w, c)) =>
+          val (w0, c0) = big.getOrElse(k, (0L, 0L))
+          big(k) = (w0 + w, c0 + c)
+        }
+        if (big.size > maxHistEntries) throw tooMany("after merging")
+        big
+      })
+    // driver CDF walk: per key, the bin where cumulative weight crosses
+    // ceil(p * total) — all integer except the one pinned IEEE multiply
+    val targetBins = collection.mutable.Set[(Any, Long)]()
+    val walk = collection.mutable.HashMap[Any, (Long, Long)]() // key -> (threshold, cumBefore)
+    hist.toSeq.groupBy(_._1._1).foreach { case (k, entries) =>
+      val bins = entries.map { case ((_, b), (w, _)) => (b, w) }.sortBy(_._1)
+      val tot = bins.map(_._2).sum
+      val t = math.ceil(p * tot.toDouble).toLong
+      var cum = 0L
+      var tb = Long.MinValue
+      var cumBefore = 0L
+      bins.foreach { case (b, w) =>
+        if (tb == Long.MinValue && cum + w >= t) { tb = b; cumBefore = cum }
+        cum += w
+      }
+      assert(tb != Long.MinValue, "threshold not reached — broken CDF walk")
+      require(hist((k, tb))._2 <= maxBinRows,
+        s"groupWeightedQuantileBinned: target bin exceeds $maxBinRows rows " +
+          "(pathological value concentration); use groupWeightedQuantile")
+      targetBins += ((k, tb))
+      walk(k) = (t, cumBefore)
+    }
+    val totalCandidates = targetBins.toSeq.map(hist(_)._2).sum
+    require(totalCandidates <= maxCandidateRows,
+      s"groupWeightedQuantileBinned: target bins hold $totalCandidates rows " +
+        s"(> $maxCandidateRows) - too many groups for the binned path; " +
+        "use groupWeightedQuantile")
+    val bcT = spark.sparkContext.broadcast(targetBins.toSet)
+    val cand = src.rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val v = r.getDouble(1)
+        val kk = (r.get(0), orderedBits(v) >>> 48)
+        if (bcT.value(kk)) Iterator((r.get(0), v, r.getLong(2)))
+        else Iterator.empty
+      }
+    }.collect()
+    val byKey = cand.groupBy(_._1)
+    val rows = walk.toSeq.map { case (k, (t, cumBefore)) =>
+      val vals = byKey(k).groupBy(_._2).toSeq
+        .map { case (v, arr) => (v, arr.map(_._3).sum) }.sortBy(_._1)
+      var cum = cumBefore
+      var ans: java.lang.Double = null
+      vals.foreach { case (v, w) =>
+        if (ans == null) { cum += w; if (cum >= t) ans = v }
+      }
+      org.apache.spark.sql.Row.fromSeq(Seq(k, ans))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      df.schema(keyCol).copy(name = keyCol),
+      org.apache.spark.sql.types.StructField(outName,
+        org.apache.spark.sql.types.DoubleType, nullable = true)))
+    spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      schema)
+  }
 }

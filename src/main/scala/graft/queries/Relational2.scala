@@ -73,10 +73,14 @@ object Relational2 extends QueryPack {
 
     // weighted exact quantile (the quantileExactWeighted contract):
     // smallest price whose cumulative QUANTITY weight reaches p of the
-    // per-flag total — no interpolation, one histogram + one window.
+    // per-flag total — no interpolation. Binned two-pass (the q35
+    // machinery, weight-summing bins): 3 keys × ~200k distinct prices
+    // made the window path's per-key sort the bottleneck (1.6 s
+    // isolated); the bin histogram engages every core and ships no
+    // rows. Spec pins binned == window on random weighted data.
     "q47_weighted_quantile" -> ((s, dir) => {
       import s.implicits._
-      graft.operators.ExactQuantile.groupWeightedQuantile(
+      graft.operators.ExactQuantile.groupWeightedQuantileBinned(
           t(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
           "l_quantity", 0.5, "wmedian_price")
         .orderBy($"l_returnflag")

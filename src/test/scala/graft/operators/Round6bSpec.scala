@@ -83,6 +83,26 @@ class Round6bSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.functions.HllSketch.slot(0L) == ((0, 53)))
   }
 
+  test("groupWeightedQuantileBinned equals the window path (random sweep, ties, edge p)") {
+    import spark.implicits._
+    val r = new java.util.Random(477)
+    // heavy value ties + skewed weights, three keys, some weight-0 and
+    // null rows that both paths must drop
+    val rows = (0 until 4000).map { i =>
+      val k = s"k${i % 3}"
+      val v: java.lang.Double = if (i % 97 == 0) null else (r.nextInt(40) / 4.0)
+      (k, v, r.nextInt(5).toLong) // weight 0 rows exist
+    }
+    val df = rows.toDF("k", "v", "w")
+    for (p <- Seq(0.0, 0.25, 0.5, 0.9, 1.0)) {
+      val win = ExactQuantile.groupWeightedQuantile(df, "k", "v", "w", p, "q")
+        .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+      val bin = ExactQuantile.groupWeightedQuantileBinned(df, "k", "v", "w", p, "q")
+        .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+      assert(bin == win, s"p=$p: binned $bin != window $win")
+    }
+  }
+
   test("WAV decode: synthetic roundtrip, extra chunks + stereo, malformed rejected") {
     // roundtrip: the parser recovers the generator samples bit-for-bit
     val p = Multimodal.syntheticWav(7L, 100)
