@@ -843,4 +843,34 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Diversity-aware subset selection — the D4 recipe (Tirumala et al.
+    * 2023: after SemDeDup, prune the most PROTOTYPICAL points): assign
+    * every vector to its nearest centroid (`ivfAssign` — broadcast
+    * centroids, one map pass, no shuffle), rank each cluster by
+    * distance-to-centroid DESCENDING, and keep the top `keepFrac` of
+    * each cluster — the farthest-from-center (most diverse) points
+    * survive, the redundant core is dropped.
+    *
+    * Shape at scale: the only shuffle is the cluster key for the
+    * ranking window; per-cluster sort is ~N/K rows. If clusters
+    * outgrow a sort partition, the same quota can be taken via the
+    * bounded-histogram selection (`tokenBudgetSelect` precedent) — the
+    * window form is kept here because ranks themselves are part of the
+    * output contract. */
+  def diversitySelect(corpus: DataFrame, keepFrac: Double, k: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keepFrac > 0 && keepFrac <= 1, "keepFrac must be in (0, 1]")
+    val assigned = ivfAssign(corpus, k, idCol, vecCol)
+    val w = Window.partitionBy(col("centroid_id"))
+      .orderBy(col("dist_sq").desc, col(idCol))
+    val cw = Window.partitionBy(col("centroid_id"))
+    assigned
+      .withColumn("_rank", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(cw))
+      .select(col(idCol), col("centroid_id"), col("dist_sq"),
+        col("_rank").cast("long").as("rank"),
+        (col("_rank") <= ceil(lit(keepFrac) * col("_n")).cast("long")).as("kept"))
+  }
 }

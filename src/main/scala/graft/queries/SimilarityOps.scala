@@ -77,6 +77,16 @@ object SimilarityOps extends QueryPack {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // diversity-aware subset selection (the D4 prototypicality-pruning
+    // recipe): per semantic cluster, keep the farthest-from-centroid
+    // half, drop the redundant core. Assignment replays s48's seed
+    // centroids; ranks and quota are integer-exact.
+    "s54_diversity_select" -> ((s, dir) => {
+      import s.implicits._
+      Similarity.diversitySelect(t(s, dir, "embeddings"), keepFrac = 0.5)
+        .orderBy($"vec_id")
+    }),
+
     // int8 scalar quantization (4 bytes → 1 byte per dim): codegen'd
     // column expressions, deterministic round-half-up, replayed exactly
     // by the oracle. qvec serialized to a scalar for the comparator.
@@ -291,6 +301,28 @@ object SimilarityOps extends QueryPack {
             ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id)
         SELECT id_a, id_b, centroid_id, cos_sim FROM pairs
         WHERE cos_sim >= 0.3 ORDER BY id_a, id_b""",
+    // the s48 assignment fragment + per-cluster descending-distance
+    // window; quota = ceil(0.5 * cluster size), same IEEE fold
+    "s54_diversity_select" ->
+      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+          WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+        dists AS (SELECT e.vec_id, c.cid,
+          round(list_sum(list_transform(range(1, 65), i ->
+            (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)) *
+            (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)))), 6) AS d
+          FROM embeddings e, cents c),
+        assigned AS (SELECT vec_id, cid AS centroid_id, d AS dist_sq FROM
+          (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+           FROM dists) WHERE rn = 1),
+        rk AS (SELECT vec_id, centroid_id, dist_sq,
+            row_number() OVER (PARTITION BY centroid_id
+              ORDER BY dist_sq DESC, vec_id) AS rank,
+            COUNT(*) OVER (PARTITION BY centroid_id) AS n
+          FROM assigned)
+        SELECT vec_id, centroid_id, dist_sq,
+          CAST(rank AS BIGINT) AS rank,
+          rank <= CAST(ceil(0.5 * n) AS BIGINT) AS kept
+        FROM rk ORDER BY vec_id""",
     // scale = max|x|/127; q_i = floor(x/scale + 0.5) — every op a single
     // exact double step, so values are bit-identical across engines
     "s47_quantize_int8" ->

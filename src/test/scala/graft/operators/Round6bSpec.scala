@@ -134,6 +134,28 @@ class Round6bSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.decodeWav(bad).isEmpty)
   }
 
+  test("diversitySelect: per-cluster quota exact, kept set is the farthest points") {
+    import spark.implicits._
+    val r = new java.util.Random(544)
+    val emb = (0L until 200L).map(id =>
+      (id, Seq.fill(8)(r.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val out = Similarity.diversitySelect(emb, keepFrac = 0.5, k = 4).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getLong(3), x.getBoolean(4)))
+    out.groupBy(_._2).foreach { case (cid, rows) =>
+      val kept = rows.filter(_._5)
+      assert(kept.length == math.ceil(0.5 * rows.length).toLong,
+        s"cluster $cid quota: ${kept.length} of ${rows.length}")
+      val minKept = kept.map(_._3).min
+      val dropped = rows.filterNot(_._5)
+      // ties broken by vec_id, so dropped distances never EXCEED kept
+      if (dropped.nonEmpty)
+        assert(dropped.map(_._3).max <= minKept, s"cluster $cid: dropped a farther point")
+      // ranks are 1..n without gaps
+      assert(rows.map(_._4).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    assert(out.count(_._5) < out.length) // something was actually dropped
+  }
+
   test("paragraphDedup: keep-first block rule, tail blocks, fully-removed docs") {
     import spark.implicits._
     // 3-token blocks: doc 0 = [A][B], doc 1 = [A][C], doc 2 = [A] — A
