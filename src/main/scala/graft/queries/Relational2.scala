@@ -229,6 +229,32 @@ object Relational2 extends QueryPack {
         .repartition(1).sortWithinPartitions($"l_returnflag")
     }),
 
+    // the remaining built-in window-function surface in one query:
+    // offset (lag/lead), frame-edge (first/last), ranking (rank/
+    // dense_rank/ntile) and distribution (percent_rank/cume_dist —
+    // rounded, both engines compute (rank-1)/(n-1) style ratios in
+    // doubles). Two named windows share one shuffle+sort each.
+    "q51_window_family" -> ((s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("events")
+      s.sql("""
+        SELECT event_id,
+          lag(value, 1) OVER w AS prev_value,
+          lead(value, 1) OVER w AS next_value,
+          first_value(event_type) OVER w AS first_type,
+          last_value(event_type) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type,
+          rank() OVER v AS value_rank,
+          dense_rank() OVER v AS value_dense_rank,
+          ntile(4) OVER w AS quartile,
+          round(percent_rank() OVER v, 6) AS value_pct_rank,
+          round(cume_dist() OVER v, 6) AS value_cume_dist
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+               v AS (PARTITION BY user_id ORDER BY value, event_id)
+        ORDER BY event_id""")
+    }),
+
     // moving-window aggregates (the groupArrayMovingSum/Avg contract):
     // per-user running 5-row sum/avg in (ts, event_id) order. Frame
     // sums go through DECIMAL so sliding-accumulator vs recompute
@@ -444,6 +470,23 @@ object Relational2 extends QueryPack {
                             / 4503599627370496.0) END AS kmv_est,
           nd AS exact_distinct
         FROM k ORDER BY l_returnflag""",
+    "q51_window_family" ->
+      """SELECT event_id,
+          lag(value, 1) OVER w AS prev_value,
+          lead(value, 1) OVER w AS next_value,
+          first_value(event_type) OVER w AS first_type,
+          last_value(event_type) OVER (PARTITION BY user_id
+            ORDER BY CAST(ts AS TIMESTAMP), event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type,
+          rank() OVER v AS value_rank,
+          dense_rank() OVER v AS value_dense_rank,
+          ntile(4) OVER w AS quartile,
+          round(percent_rank() OVER v, 6) AS value_pct_rank,
+          round(cume_dist() OVER v, 6) AS value_cume_dist
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id),
+               v AS (PARTITION BY user_id ORDER BY value, event_id)
+        ORDER BY event_id""",
     "q50_moving_agg" ->
       """WITH w AS (SELECT event_id,
           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER f AS DOUBLE) AS mov_sum5,

@@ -224,6 +224,69 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Streaming retention: the q46 contract as STATE — per-user
+    // condition bits accumulate in mapGroupsWithState across
+    // micro-batches, with the delivery deliberately SPLIT by event
+    // parity so no single batch sees a user's whole history. Retention
+    // is an order-free AND of per-condition EXISTS, so monotone bit
+    // state is exact under any arrival order — the streaming-friendly
+    // member of the behavioral family (windowFunnel's cursor is NOT
+    // order-free; this one composes with late data for free). The
+    // sink's final per-user bits must decode to the batch oracle.
+    "st70_stream_retention" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+      val name = "st70_out"
+      val staged = stagingDir("graft-stream-retention")
+      val evHalfSchema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType)))
+      Seq(("a.parquet", 0), ("b.parquet", 1)).foreach { case (fname, par) =>
+        val tmp = staged.resolve(s"tmp$par")
+        t(s, dir, "events").filter(col("event_id") % 2 === par)
+          .select(col("event_id"), col("user_id"), col("event_type"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, staged.resolve(fname))
+        staged.resolve(fname).toFile.deleteOnExit()
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+      }
+      java.nio.file.Files.setLastModifiedTime(staged.resolve("a.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 120000))
+      val stream = s.readStream.schema(evHalfSchema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+        .select(col("user_id"), col("event_type")).as[(Long, String)]
+        .groupByKey(_._1)
+        .mapGroupsWithState[Int, (Long, Int)](GroupStateTimeout.NoTimeout()) {
+          (uid: Long, it: Iterator[(Long, String)], st: GroupState[Int]) =>
+            var bits = st.getOption.getOrElse(0)
+            it.foreach {
+              _._2 match {
+                case "view" => bits |= 1
+                case "click" => bits |= 2
+                case "purchase" => bits |= 4
+                case _ =>
+              }
+            }
+            st.update(bits)
+            (uid, bits)
+        }
+      val q = stream.toDF("user_id", "bits").writeStream
+        .outputMode("update").format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+      s.table(name)
+        .groupBy(col("user_id")).agg(max(col("bits")).as("_b")) // monotone: max = final
+        .select(col("user_id"),
+          (col("_b").bitwiseAND(1) === 1).as("r1"),
+          ((col("_b").bitwiseAND(1) === 1) &&
+            (col("_b").bitwiseAND(2) === 2)).as("r2"),
+          ((col("_b").bitwiseAND(1) === 1) &&
+            (col("_b").bitwiseAND(4) === 4)).as("r3"))
+        .orderBy(col("user_id"))
+    }),
+
     // Streaming embedding ingest: the ONLINE half of an ANN index —
     // coarse centroids come from the offline/batch corpus (the index
     // build), arriving vectors get IVF-assigned and int8-quantized as
@@ -392,6 +455,17 @@ object StreamingOps extends QueryPack {
           round(sqrt(CAST(ss AS DOUBLE) / n), 6) AS rms,
           CAST(peak AS INTEGER) AS peak, zero_crossings
         FROM a ORDER BY doc_id""",
+    // identical to q46's oracle: streaming state must land on the
+    // batch answer (retention is order-free, so split delivery and
+    // micro-batch boundaries cannot change it)
+    "st70_stream_retention" ->
+      """SELECT user_id,
+        MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) = 1 AS r1,
+        MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) = 1 AND
+          MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) = 1 AS r2,
+        MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) = 1 AND
+          MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1 AS r3
+        FROM events GROUP BY user_id ORDER BY user_id""",
     "st61_stream_window" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start, event_type,
         COUNT(*) AS n,
