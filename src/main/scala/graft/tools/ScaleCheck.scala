@@ -44,6 +44,19 @@ object ScaleCheck {
     }.toDF("vec_id", "embedding")
   }
 
+  /** Synthetic event stream: ~50 events per user, timestamps and types
+    * pure functions of the id — reproducible like `docs`/`embs`. */
+  def events(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    val types = Array("view", "click", "purchase", "other")
+    spark.range(0, n).map { id =>
+      val r = new java.util.Random(id)
+      (id, id % math.max(1, n / 50),
+        id * 1000L + r.nextInt(500), types(r.nextInt(types.length)))
+    }.toDF("event_id", "user_id", "us", "event_type")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(col("us")))
+  }
+
   def main(args: Array[String]): Unit = {
     val base = args.headOption.filter(_.forall(_.isDigit)).map(_.toInt).getOrElse(30000)
     // optional further args: only run ops whose name contains one of them
@@ -98,6 +111,23 @@ object ScaleCheck {
       run("bm25Score", n)(TextAnalysis.bm25Score(d, "doc_id", "text",
         Seq("w1", "w42", "mutated")).filter(col("bm25") >= 0))
       run("pqEncode", n / 4)(Similarity.pqEncode(e))
+      run("paragraphDedup", n)(TextDedup.paragraphDedup(d, "doc_id", "text", 16)
+        .filter(col("n_kept") >= 0))
+      run("hllDistinct(16 keys)", n)(d.groupBy((col("doc_id") % 16).as("k"))
+        .agg(graft.functions.HllSketch.hllDistinct(col("text")).as("est")))
+      run("weightedQuantileBinned", n)(
+        graft.operators.ExactQuantile.groupWeightedQuantileBinned(
+          d.select(col("doc_id"), (col("doc_id") % 3).as("k"),
+            length(col("text")).cast("double").as("v"),
+            (col("doc_id") % 7 + 1).as("w")), "k", "v", "w", 0.5, "wq"))
+      run("diversitySelect", n / 4)(Similarity.diversitySelect(e, 0.5)
+        .filter(col("kept")))
+      run("sequenceMatchCount", n) {
+        implicit val sp: SparkSession = spark
+        Funnel.sequenceMatchCount(events(spark, n), "user_id", "ts",
+          "event_type", Seq("view", "click", "purchase")).toDF()
+          .filter(col("seq_count") >= 0)
+      }
       run("quantilesBinned", n)(graft.operators.ExactQuantile.groupQuantilesBinned(
         d.select(col("doc_id"), (col("doc_id") % 3).as("k"),
           length(col("text")).cast("double").as("v")), "k", Seq(("v", 0.9, "p90"))))
