@@ -11,6 +11,32 @@ import Util._
   */
 object Relational2 extends QueryPack {
 
+  /** One SQL text for q52 on BOTH engines: integer-cents moment sums
+    * (exact), then pinned double formulas — Spark runs it verbatim, the
+    * oracle map carries the identical string. */
+  private[queries] val regressionSql: String =
+    """WITH m AS (SELECT event_type,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(user_id) AS BIGINT) AS su,
+        CAST(SUM(user_id * user_id) AS BIGINT) AS suu,
+        CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sc,
+        CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)
+               * CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS scc,
+        CAST(SUM(CAST(round(value * 100, 0) AS BIGINT) * user_id) AS BIGINT) AS scu
+      FROM events GROUP BY event_type)
+      SELECT event_type, n,
+        round(CAST(n * scu - su * sc AS DOUBLE) /
+          (sqrt(CAST(n * suu - su * su AS DOUBLE)) *
+           sqrt(CAST(n * scc - sc * sc AS DOUBLE))), 6) AS corr_cu,
+        round(CAST(n * scu - su * sc AS DOUBLE) / CAST(n * n AS DOUBLE), 6)
+          AS covar_pop_cu,
+        round(CAST(n * scu - su * sc AS DOUBLE) / CAST(n * suu - su * su AS DOUBLE), 6)
+          AS slope_cu,
+        round((CAST(sc AS DOUBLE) -
+          CAST(n * scu - su * sc AS DOUBLE) / CAST(n * suu - su * su AS DOUBLE)
+            * CAST(su AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept_cu
+      FROM m ORDER BY event_type"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_rollup" -> ((s, dir) => {
       import s.implicits._
@@ -274,6 +300,18 @@ object Relational2 extends QueryPack {
         .orderBy($"event_id")
     }),
 
+    // correlation / covariance / linear-regression aggregates (the CH
+    // corr/covarPop + ANSI regr_* family): value is exactly 2-decimal,
+    // so integer-CENTS sums (n, Σx, Σy, Σxy, Σx², Σy²) are exact longs
+    // on both engines and every statistic is a pinned double formula
+    // over them — no float-order dependence anywhere. corr is
+    // scale-invariant, so cents units change nothing; slope/intercept
+    // are in cents per user_id (documented).
+    "q52_regression" -> ((s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("events")
+      s.sql(Relational2.regressionSql)
+    }),
+
     // HyperLogLog distinct sketch (q43's sibling, 4 KB mergeable byte
     // registers instead of k strings): distinct users per event type.
     // Layout is pinned (md5 hash, top-12-bit bucket, 52-bit rho), so
@@ -470,6 +508,10 @@ object Relational2 extends QueryPack {
                             / 4503599627370496.0) END AS kmv_est,
           nd AS exact_distinct
         FROM k ORDER BY l_returnflag""",
+    // the SAME SQL text Spark executes — the moment sums are exact
+    // integers, so sharing the text is sound (and the strongest
+    // statement that the formulas are engine-independent)
+    "q52_regression" -> regressionSql,
     "q51_window_family" ->
       """SELECT event_id,
           lag(value, 1) OVER w AS prev_value,

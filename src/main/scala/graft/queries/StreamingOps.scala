@@ -287,6 +287,54 @@ object StreamingOps extends QueryPack {
         .orderBy(col("user_id"))
     }),
 
+    // Streaming distinct-count sketch: the q49 HllSketch Aggregator
+    // unchanged inside a STREAMING groupBy (update mode, state =
+    // the 4 KB register buffer per key) over a split delivery — the
+    // demonstration that the sketch's merge is streaming-safe: byte-max
+    // registers are associative+commutative+idempotent, so micro-batch
+    // boundaries cannot change the estimate, and the sink must land on
+    // the batch oracle bit-for-bit. The streaming-native aggregation
+    // shape for billion-key distinct counts (bounded state per key
+    // where exact countDistinct state is unbounded).
+    "st71_stream_hll" -> ((s, dir) => {
+      import s.implicits._
+      val name = "st71_out"
+      val staged = stagingDir("graft-stream-hll")
+      val evHalfSchema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType)))
+      Seq(("a.parquet", 0), ("b.parquet", 1)).foreach { case (fname, par) =>
+        val tmp = staged.resolve(s"tmp$par")
+        t(s, dir, "events").filter(col("event_id") % 2 === par)
+          .select(col("event_id"), col("user_id"), col("event_type"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, staged.resolve(fname))
+        staged.resolve(fname).toFile.deleteOnExit()
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+      }
+      java.nio.file.Files.setLastModifiedTime(staged.resolve("a.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 120000))
+      val hll = graft.functions.HllSketch.hllDistinct
+      val stream = s.readStream.schema(evHalfSchema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+        .groupBy(col("event_type"))
+        .agg(hll(col("user_id").cast("string")).as("hll_est"))
+      val q = stream.writeStream.outputMode("update")
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+      s.table(name)
+        .groupBy(col("event_type"))
+        // update mode emits one row per changed key per trigger;
+        // registers only grow and both triggers stay in the
+        // linear-counting regime at these cardinalities, where the
+        // estimate is strictly monotone — the final state is the max
+        .agg(max(col("hll_est")).as("hll_est"))
+        .orderBy(col("event_type"))
+    }),
+
     // Streaming embedding ingest: the ONLINE half of an ANN index —
     // coarse centroids come from the offline/batch corpus (the index
     // build), arriving vectors get IVF-assigned and int8-quantized as
@@ -455,6 +503,34 @@ object StreamingOps extends QueryPack {
           round(sqrt(CAST(ss AS DOUBLE) / n), 6) AS rms,
           CAST(peak AS INTEGER) AS peak, zero_crossings
         FROM a ORDER BY doc_id""",
+    // the q49 register replay without the exact-count column: the
+    // streaming sketch must land on the batch registers bit-for-bit
+    "st71_stream_hll" ->
+      """WITH d AS (SELECT DISTINCT event_type,
+            CAST(user_id AS VARCHAR) AS v FROM events),
+        b AS (SELECT event_type,
+            CAST(CAST('0x' || substr(md5(v), 1, 16) AS UBIGINT) >> 52 AS BIGINT) AS j,
+            CAST(CAST('0x' || substr(md5(v), 1, 16) AS UBIGINT)
+                 & 4503599627370495 AS BIGINT) AS w
+          FROM d),
+        r AS (SELECT event_type, j,
+            MAX(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS rho
+          FROM b GROUP BY event_type, j),
+        agg AS (SELECT event_type,
+            list_sum(list(1.0 / CAST(CAST(1 AS BIGINT) << rho AS DOUBLE)
+              ORDER BY j)) AS sp,
+            COUNT(*) AS np
+          FROM r GROUP BY event_type),
+        est AS (SELECT event_type,
+            (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+              / (sp + CAST(4096 - np AS DOUBLE)) AS e,
+            4096 - np AS zeros
+          FROM agg)
+        SELECT event_type,
+          CASE WHEN e <= 2.5 * 4096.0 AND zeros > 0
+               THEN 4096.0 * ln(4096.0 / CAST(zeros AS DOUBLE))
+               ELSE e END AS hll_est
+        FROM est ORDER BY event_type""",
     // identical to q46's oracle: streaming state must land on the
     // batch answer (retention is order-free, so split delivery and
     // micro-batch boundaries cannot change it)
