@@ -208,7 +208,8 @@ object Bench {
         "e62_config_derived", "e63_config_transactions", "e56_blocks_pipeline",
         "st64_stream_session_window", "st61_stream_window", "st65_stream_dedup",
         "st66_stream_quality_gate", "st68_stream_neardup",
-        "st69_stream_embed_ingest", "t38_minhash_lsh_pairs",
+        "st69_stream_embed_ingest", "st70_stream_retention",
+        "st71_stream_hll", "t38_minhash_lsh_pairs",
         "t39_simhash_pairs", "s46_cosine_dup_lsh", "t48_decontaminate"
       ).zipWithIndex.toMap
       // the pair-cache consumers block on the prewarm future — submitted

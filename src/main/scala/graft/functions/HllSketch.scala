@@ -100,4 +100,52 @@ object HllSketch {
   /** Untyped-API handle: df.groupBy(...).agg(hllDistinct(col)). */
   def hllDistinct: org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udaf(new HllAgg, Encoders.STRING)
+
+  /** `hllDistinct` with the raw 4 KB register state as output — the
+    * materializable half of sketch ROLLUP: persist per-partition /
+    * per-dimension registers once, re-aggregate any slice with
+    * `hllMerge` and never rescan the base data (the OLAP-cube use of
+    * mergeable sketches). */
+  def hllRegisters: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(
+      new Aggregator[String, Buf, Array[Byte]] {
+        private val inner = new HllAgg
+        def zero: Buf = inner.zero
+        def reduce(b: Buf, a: String): Buf = inner.reduce(b, a)
+        def merge(a: Buf, b: Buf): Buf = inner.merge(a, b)
+        def finish(b: Buf): Array[Byte] = b.regs
+        def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+        def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+      }, Encoders.STRING)
+
+  /** Merge previously-materialized register blobs (elementwise max —
+    * associative, commutative, idempotent) and finish to the estimate:
+    * the re-aggregation half of sketch rollup. */
+  def hllMerge: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(
+      new Aggregator[Array[Byte], Buf, Double] {
+        def zero: Buf = Buf(new Array[Byte](M))
+        def reduce(b: Buf, a: Array[Byte]): Buf = {
+          if (a != null) {
+            require(a.length == M, s"register blob must be $M bytes, got ${a.length}")
+            var j = 0
+            while (j < M) {
+              if (a(j) > b.regs(j)) b.regs(j) = a(j)
+              j += 1
+            }
+          }
+          b
+        }
+        def merge(a: Buf, b: Buf): Buf = {
+          var j = 0
+          while (j < M) {
+            if (b.regs(j) > a.regs(j)) a.regs(j) = b.regs(j)
+            j += 1
+          }
+          a
+        }
+        def finish(b: Buf): Double = estimate(b.regs)
+        def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+        def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+      }, Encoders.BINARY)
 }

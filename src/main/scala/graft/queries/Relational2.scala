@@ -300,6 +300,25 @@ object Relational2 extends QueryPack {
         .orderBy($"event_id")
     }),
 
+    // sketch ROLLUP (the OLAP-cube use of mergeable sketches): per-type
+    // register blobs materialize once, then re-aggregate to the global
+    // distinct-user estimate WITHOUT rescanning base data — register
+    // union is elementwise max, so the rolled-up estimate is
+    // bit-identical to sketching the global set directly, which is
+    // exactly what the oracle computes.
+    "q53_hll_rollup" -> ((s, dir) => {
+      import s.implicits._
+      val regs = graft.functions.HllSketch.hllRegisters
+      val merge = graft.functions.HllSketch.hllMerge
+      val perType = t(s, dir, "events")
+        .select($"event_type", $"user_id").distinct()
+        .groupBy($"event_type")
+        .agg(regs($"user_id".cast("string")).as("regs"))
+      perType.agg(merge($"regs").as("hll_est_total"))
+        .crossJoin(t(s, dir, "events")
+          .agg(countDistinct($"user_id").as("exact_distinct")))
+    }),
+
     // correlation / covariance / linear-regression aggregates (the CH
     // corr/covarPop + ANSI regr_* family): value is exactly 2-decimal,
     // so integer-CENTS sums (n, Σx, Σy, Σxy, Σx², Σy²) are exact longs
@@ -508,6 +527,36 @@ object Relational2 extends QueryPack {
                             / 4503599627370496.0) END AS kmv_est,
           nd AS exact_distinct
         FROM k ORDER BY l_returnflag""",
+    // global register replay over distinct users: register state
+    // depends only on the hashed value, so the union of per-type
+    // sketches equals the sketch of the union — the rollup identity
+    // the query demonstrates
+    "q53_hll_rollup" ->
+      """WITH d AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS v FROM events),
+        b AS (SELECT
+            CAST(CAST('0x' || substr(md5(v), 1, 16) AS UBIGINT) >> 52 AS BIGINT) AS j,
+            CAST(CAST('0x' || substr(md5(v), 1, 16) AS UBIGINT)
+                 & 4503599627370495 AS BIGINT) AS w
+          FROM d),
+        r AS (SELECT j,
+            MAX(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS rho
+          FROM b GROUP BY j),
+        agg AS (SELECT
+            list_sum(list(1.0 / CAST(CAST(1 AS BIGINT) << rho AS DOUBLE)
+              ORDER BY j)) AS sp,
+            COUNT(*) AS np
+          FROM r),
+        est AS (SELECT
+            (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+              / (sp + CAST(4096 - np AS DOUBLE)) AS e,
+            4096 - np AS zeros
+          FROM agg)
+        SELECT
+          CASE WHEN e <= 2.5 * 4096.0 AND zeros > 0
+               THEN 4096.0 * ln(4096.0 / CAST(zeros AS DOUBLE))
+               ELSE e END AS hll_est_total,
+          (SELECT COUNT(DISTINCT user_id) FROM events) AS exact_distinct
+        FROM est""",
     // the SAME SQL text Spark executes — the moment sums are exact
     // integers, so sharing the text is sound (and the strongest
     // statement that the formulas are engine-independent)

@@ -103,6 +103,25 @@ class Round6bSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("HLL rollup identity: merged per-group registers == direct global sketch") {
+    import spark.implicits._
+    val df = (1 to 3000).map(i => (s"g${i % 5}", s"val_${i % 1100}")).toDF("g", "v")
+    val direct = df.agg(graft.functions.HllSketch.hllDistinct(col("v")))
+      .collect()(0).getDouble(0)
+    val rolled = df.groupBy(col("g"))
+      .agg(graft.functions.HllSketch.hllRegisters(col("v")).as("regs"))
+      .agg(graft.functions.HllSketch.hllMerge(col("regs")))
+      .collect()(0).getDouble(0)
+    assert(rolled == direct, s"rollup $rolled != direct $direct")
+    // malformed blob rejected
+    val bad = intercept[Exception] {
+      Seq(Array[Byte](1, 2, 3)).toDF("regs")
+        .agg(graft.functions.HllSketch.hllMerge(col("regs"))).collect()
+    }
+    assert(bad.getMessage.contains("register blob") ||
+      bad.getCause != null, "expected blob-size failure")
+  }
+
   test("WAV decode: synthetic roundtrip, extra chunks + stereo, malformed rejected") {
     // roundtrip: the parser recovers the generator samples bit-for-bit
     val p = Multimodal.syntheticWav(7L, 100)
