@@ -434,6 +434,40 @@ object TextAnalysis {
       .select(col("doc_id"), col(srcCol).as("source"), col("sample_rank"))
   }
 
+  /** Temperature-scaled source mixing — the multinomial alpha-sampling
+    * rule from multilingual / multi-corpus training (alpha < 1
+    * upweights small sources; alpha is FIXED at 0.5 here because
+    * sqrt is bit-identical across engines where arbitrary pow is
+    * not): per-source weight w_s = sqrt(n_s), quota_s =
+    * floor(target * w_s / SUM(w)) with the weight sum folded in
+    * source-name order (pinned), selection inside each source by the
+    * same deterministic md5 rank as [[sourceMixSample]].
+    *
+    * Scale shape identical to sourceMixSample: one tiny per-source
+    * aggregation broadcast back, one rank window per source. */
+  def temperatureMixSample(docs: DataFrame, idCol: String, srcCol: String,
+      targetDocs: Long, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(targetDocs > 0, "targetDocs must be positive")
+    val weights = docs.groupBy(col(srcCol)).agg(count(lit(1)).as("n_src"))
+      .select(col(srcCol), sqrt(col("n_src").cast("double")).as("w"))
+    val sumw = weights
+      .agg(aggregate(array_sort(collect_list(struct(col(srcCol), col("w")))),
+        lit(0.0), (acc, x) => acc + x.getField("w")).as("sumw"))
+    val quotas = weights.crossJoin(broadcast(sumw))
+      .select(col(srcCol),
+        floor(lit(targetDocs.toDouble) * col("w") / col("sumw"))
+          .cast("long").as("quota"))
+    val bySrc = Window.partitionBy(col(srcCol))
+      .orderBy(md5(concat(lit(seed.toString), lit(":"),
+        col(idCol).cast("string"))), col(idCol))
+    docs.select(col(idCol).as("doc_id"), col(srcCol))
+      .withColumn("sample_rank", row_number().over(bySrc))
+      .join(broadcast(quotas), Seq(srcCol))
+      .filter(col("sample_rank") <= col("quota"))
+      .select(col("doc_id"), col(srcCol).as("source"), col("sample_rank"))
+  }
+
   /** Corpus-LM cross-entropy score — the CCNet-style quality signal
     * with the corpus ITSELF as the language model (no external LM in
     * this environment, and the in-corpus form is the standard

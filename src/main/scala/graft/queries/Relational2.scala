@@ -300,6 +300,23 @@ object Relational2 extends QueryPack {
         .orderBy($"event_id")
     }),
 
+    // time-axis gap filling (the ORDER BY ... WITH FILL contract):
+    // hourly purchase counts densified over the observed [min, max]
+    // range with zeros for the 47 empty hours — the generated axis
+    // comes from ONE sequence() row exploded (tiny, broadcast side),
+    // the real data stays on its own partitioning.
+    "q54_with_fill" -> ((s, dir) => {
+      import s.implicits._
+      val hourly = t(s, dir, "events").filter($"event_type" === "purchase")
+        .groupBy(date_trunc("HOUR", $"ts").as("hr"))
+        .agg(count(lit(1)).as("n"))
+      hourly.agg(min($"hr").as("lo"), max($"hr").as("hi"))
+        .select(explode(sequence($"lo", $"hi", expr("INTERVAL 1 HOUR"))).as("hr"))
+        .join(hourly, Seq("hr"), "left")
+        .select($"hr", coalesce($"n", lit(0L)).as("n"))
+        .orderBy($"hr")
+    }),
+
     // sketch ROLLUP (the OLAP-cube use of mergeable sketches): per-type
     // register blobs materialize once, then re-aggregate to the global
     // distinct-user estimate WITHOUT rescanning base data — register
@@ -527,6 +544,15 @@ object Relational2 extends QueryPack {
                             / 4503599627370496.0) END AS kmv_est,
           nd AS exact_distinct
         FROM k ORDER BY l_returnflag""",
+    "q54_with_fill" ->
+      """WITH h AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+            COUNT(*) AS n
+          FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        b AS (SELECT min(hr) AS lo, max(hr) AS hi FROM h),
+        g AS (SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+          FROM b)
+        SELECT g.hr, COALESCE(h.n, 0) AS n
+        FROM g LEFT JOIN h ON g.hr = h.hr ORDER BY g.hr""",
     // global register replay over distinct users: register state
     // depends only on the hashed value, so the union of per-type
     // sketches equals the sketch of the union — the rollup identity

@@ -203,6 +203,17 @@ object TextOps extends QueryPack {
         .orderBy($"doc_id")
     }),
 
+    // temperature-scaled source mixing (multinomial alpha=0.5 sampling
+    // — the multilingual-training mixing rule t55's fixed weights
+    // don't cover): sqrt-of-count weights, pinned-fold weight sum,
+    // integer quotas, deterministic hash ranks.
+    "t62_temperature_mix" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.temperatureMixSample(t(s, dir, "documents"),
+          "doc_id", "source", targetDocs = 300)
+        .orderBy($"source", $"sample_rank")
+    }),
+
     // paragraph-level dedup (C4's line-dedup keep rule at 16-token
     // block granularity): later identical blocks are removed, the first
     // corpus occurrence survives — the keep-first complement of t56's
@@ -829,6 +840,23 @@ object TextOps extends QueryPack {
         FROM r ORDER BY doc_id""",
     // budget B = min_s floor(100*n_s/w_s), quota_s = floor(w_s*B/100) —
     // integer // end to end; rank order = (md5('42:'||id), id)
+    // sqrt weights, source-name-ordered weight fold, floor quotas —
+    // every float op pinned (sqrt and the one multiply/divide chain)
+    "t62_temperature_mix" ->
+      """WITH counts AS (SELECT source, count(*) AS n_src FROM documents
+          GROUP BY source),
+        w AS (SELECT source, sqrt(CAST(n_src AS DOUBLE)) AS w FROM counts),
+        sw AS (SELECT list_sum(list(w ORDER BY source)) AS sumw FROM w),
+        quotas AS (SELECT source, CAST(floor(300.0 * w / sumw) AS BIGINT) AS quota
+          FROM w, sw),
+        ranked AS (SELECT doc_id, source,
+            row_number() OVER (PARTITION BY source
+              ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+          FROM documents)
+        SELECT r.doc_id, r.source, CAST(r.sample_rank AS INTEGER) AS sample_rank
+        FROM ranked r JOIN quotas q ON r.source = q.source
+        WHERE r.sample_rank <= q.quota
+        ORDER BY r.source, r.sample_rank""",
     "t55_source_mix" ->
       """WITH w(src, wt) AS (VALUES ('src0', 10), ('src1', 8), ('src2', 6)),
         counts AS (SELECT source, count(*) AS n_src FROM documents GROUP BY source),
