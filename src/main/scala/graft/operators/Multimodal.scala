@@ -284,7 +284,9 @@ object Multimodal {
       while (pos + 8 <= payload.length) {
         val id = new String(payload, pos, 4, "US-ASCII")
         val sz = le32(payload, pos + 4)
-        if (sz < 0 || pos + 8 + sz > payload.length) return None
+        // compare in Long: a hostile 2 GB-scale chunk size would wrap
+        // `pos + 8 + sz` negative and sail past an Int guard
+        if (sz < 0 || pos.toLong + 8L + sz > payload.length) return None
         if (id == "fmt " && sz >= 16) {
           fmtTag = le16(payload, pos + 8)
           channels = le16(payload, pos + 10)
@@ -310,16 +312,17 @@ object Multimodal {
       zero_crossings: Long)
 
   private def pcmStats(docId: Long, decoded: Boolean, rate: Int,
-      samples: Array[Int]): AudioFeatures = {
-    val n = samples.length
+      n: Int, sample: Int => Int): AudioFeatures = {
     var ss = 0L; var peak = 0; var zc = 0L
+    var prev = 0
     var i = 0
     while (i < n) {
-      val v = samples(i)
+      val v = sample(i)
       ss += v.toLong * v
       val a = math.abs(v)
       if (a > peak) peak = a
-      if (i > 0 && ((samples(i - 1) < 0) != (v < 0))) zc += 1
+      if (i > 0 && ((prev < 0) != (v < 0))) zc += 1
+      prev = v
       i += 1
     }
     val rms =
@@ -342,11 +345,12 @@ object Multimodal {
     media.select(col("doc_id"), col("payload")).as[MediaRow]
       .mapPartitions(rows => rows.map { r =>
         decodeWav(r.payload) match {
-          case Some(w) =>
-            pcmStats(r.doc_id, decoded = true, w.sampleRate, w.samples.map(_.toInt))
+          case Some(w) => // accessor form: no widened copy of the stream
+            pcmStats(r.doc_id, decoded = true, w.sampleRate,
+              w.samples.length, i => w.samples(i).toInt)
           case None =>
             pcmStats(r.doc_id, decoded = false, 8000,
-              r.payload.map(b => (b & 0xff) - 128))
+              r.payload.length, i => (r.payload(i) & 0xff) - 128)
         }
       })
   }

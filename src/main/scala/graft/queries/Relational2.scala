@@ -23,19 +23,23 @@ object Relational2 extends QueryPack {
         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)
                * CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS scc,
         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT) * user_id) AS BIGINT) AS scu
-      FROM events GROUP BY event_type)
+      FROM events GROUP BY event_type),
+      f AS (SELECT event_type, n,
+        CAST(n AS DOUBLE) * CAST(scu AS DOUBLE)
+          - CAST(su AS DOUBLE) * CAST(sc AS DOUBLE) AS num,
+        CAST(n AS DOUBLE) * CAST(suu AS DOUBLE)
+          - CAST(su AS DOUBLE) * CAST(su AS DOUBLE) AS du,
+        CAST(n AS DOUBLE) * CAST(scc AS DOUBLE)
+          - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) AS dc,
+        CAST(su AS DOUBLE) AS sud, CAST(sc AS DOUBLE) AS scd
+      FROM m)
       SELECT event_type, n,
-        round(CAST(n * scu - su * sc AS DOUBLE) /
-          (sqrt(CAST(n * suu - su * su AS DOUBLE)) *
-           sqrt(CAST(n * scc - sc * sc AS DOUBLE))), 6) AS corr_cu,
-        round(CAST(n * scu - su * sc AS DOUBLE) / CAST(n * n AS DOUBLE), 6)
+        round(num / (sqrt(du) * sqrt(dc)), 6) AS corr_cu,
+        round(num / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6)
           AS covar_pop_cu,
-        round(CAST(n * scu - su * sc AS DOUBLE) / CAST(n * suu - su * su AS DOUBLE), 6)
-          AS slope_cu,
-        round((CAST(sc AS DOUBLE) -
-          CAST(n * scu - su * sc AS DOUBLE) / CAST(n * suu - su * su AS DOUBLE)
-            * CAST(su AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept_cu
-      FROM m ORDER BY event_type"""
+        round(num / du, 6) AS slope_cu,
+        round((scd - num / du * sud) / CAST(n AS DOUBLE), 6) AS intercept_cu
+      FROM f ORDER BY event_type"""
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_rollup" -> ((s, dir) => {
@@ -114,8 +118,10 @@ object Relational2 extends QueryPack {
 
     // sequenceMatch + sequenceCount (the remaining CH behavioral pair):
     // strictly-ordered view→click→purchase chains, existence plus
-    // greedy non-overlapping count; the oracle replays the cursor with
-    // an ordered list_reduce over per-timestamp step bitmasks.
+    // greedy non-overlapping count; the oracle replays the cursor by
+    // counting leftmost-LAZY regex matches over per-timestamp bitmask
+    // characters (NOT list_reduce — broken in DuckDB 1.0, see the
+    // oracle's comment).
     "q48_sequence_match" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       graft.operators.Funnel.sequenceMatchCount(t(s, dir, "events"),
@@ -340,7 +346,11 @@ object Relational2 extends QueryPack {
     // corr/covarPop + ANSI regr_* family): value is exactly 2-decimal,
     // so integer-CENTS sums (n, Σx, Σy, Σxy, Σx², Σy²) are exact longs
     // on both engines and every statistic is a pinned double formula
-    // over them — no float-order dependence anywhere. corr is
+    // over them — no float-order dependence anywhere. The moment
+    // PRODUCTS (n·Σxy etc.) are computed in doubles, deliberately:
+    // BIGINT products wrap silently in Spark (ANSI off) but raise in
+    // DuckDB at ~billions-of-rows moments, while the double path is
+    // the same IEEE ops on both engines at every scale. corr is
     // scale-invariant, so cents units change nothing; slope/intercept
     // are in cents per user_id (documented).
     "q52_regression" -> ((s, dir) => {

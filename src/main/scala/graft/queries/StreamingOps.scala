@@ -43,6 +43,35 @@ object StreamingOps extends QueryPack {
     dst.toFile.deleteOnExit()
   }
 
+  /** Stage the events table SPLIT by event_id parity into two parquet
+    * files (a older than b by mtime, so maxFilesPerTrigger=1 delivers
+    * them as separate micro-batches in that order) — the shared
+    * delivery shape for the stateful-across-batches queries (st70,
+    * st71): no single batch sees a key's whole history. */
+  private def stageSplitByParity(s: SparkSession, dir: String,
+      prefix: String): java.nio.file.Path = {
+    val staged = stagingDir(prefix)
+    Seq(("a.parquet", 0), ("b.parquet", 1)).foreach { case (fname, par) =>
+      val tmp = staged.resolve(s"tmp$par")
+      t(s, dir, "events").filter(col("event_id") % 2 === par)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, staged.resolve(fname))
+      staged.resolve(fname).toFile.deleteOnExit()
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+    java.nio.file.Files.setLastModifiedTime(staged.resolve("a.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 120000))
+    staged
+  }
+
+  private val evHalfSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("user_id", LongType),
+    StructField("event_type", StringType)))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st61_stream_window" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -237,24 +266,7 @@ object StreamingOps extends QueryPack {
       import s.implicits._
       import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
       val name = "st70_out"
-      val staged = stagingDir("graft-stream-retention")
-      val evHalfSchema = StructType(Seq(
-        StructField("event_id", LongType), StructField("user_id", LongType),
-        StructField("event_type", StringType)))
-      Seq(("a.parquet", 0), ("b.parquet", 1)).foreach { case (fname, par) =>
-        val tmp = staged.resolve(s"tmp$par")
-        t(s, dir, "events").filter(col("event_id") % 2 === par)
-          .select(col("event_id"), col("user_id"), col("event_type"))
-          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = new java.io.File(tmp.toString).listFiles()
-          .filter(_.getName.endsWith(".parquet")).head
-        java.nio.file.Files.move(part.toPath, staged.resolve(fname))
-        staged.resolve(fname).toFile.deleteOnExit()
-        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
-      }
-      java.nio.file.Files.setLastModifiedTime(staged.resolve("a.parquet"),
-        java.nio.file.attribute.FileTime.fromMillis(
-          System.currentTimeMillis() - 120000))
+      val staged = stageSplitByParity(s, dir, "graft-stream-retention")
       val stream = s.readStream.schema(evHalfSchema)
         .option("maxFilesPerTrigger", "1").parquet(staged.toString)
         .select(col("user_id"), col("event_type")).as[(Long, String)]
@@ -287,51 +299,37 @@ object StreamingOps extends QueryPack {
         .orderBy(col("user_id"))
     }),
 
-    // Streaming distinct-count sketch: the q49 HllSketch Aggregator
-    // unchanged inside a STREAMING groupBy (update mode, state =
-    // the 4 KB register buffer per key) over a split delivery — the
-    // demonstration that the sketch's merge is streaming-safe: byte-max
-    // registers are associative+commutative+idempotent, so micro-batch
-    // boundaries cannot change the estimate, and the sink must land on
-    // the batch oracle bit-for-bit. The streaming-native aggregation
-    // shape for billion-key distinct counts (bounded state per key
-    // where exact countDistinct state is unbounded).
+    // Streaming distinct-count sketch: the q49/q53 HLL register
+    // Aggregator unchanged inside a STREAMING groupBy (update mode,
+    // state = the 4 KB register buffer per key) over a split
+    // delivery — the demonstration that the sketch's merge is
+    // streaming-safe: byte-max registers are associative, commutative
+    // and idempotent, so micro-batch boundaries cannot change the
+    // final registers and the sink must land on the batch oracle
+    // bit-for-bit. The streaming-native aggregation shape for
+    // billion-key distinct counts (bounded state per key where exact
+    // countDistinct state is unbounded).
     "st71_stream_hll" -> ((s, dir) => {
-      import s.implicits._
       val name = "st71_out"
-      val staged = stagingDir("graft-stream-hll")
-      val evHalfSchema = StructType(Seq(
-        StructField("event_id", LongType), StructField("user_id", LongType),
-        StructField("event_type", StringType)))
-      Seq(("a.parquet", 0), ("b.parquet", 1)).foreach { case (fname, par) =>
-        val tmp = staged.resolve(s"tmp$par")
-        t(s, dir, "events").filter(col("event_id") % 2 === par)
-          .select(col("event_id"), col("user_id"), col("event_type"))
-          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = new java.io.File(tmp.toString).listFiles()
-          .filter(_.getName.endsWith(".parquet")).head
-        java.nio.file.Files.move(part.toPath, staged.resolve(fname))
-        staged.resolve(fname).toFile.deleteOnExit()
-        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
-      }
-      java.nio.file.Files.setLastModifiedTime(staged.resolve("a.parquet"),
-        java.nio.file.attribute.FileTime.fromMillis(
-          System.currentTimeMillis() - 120000))
-      val hll = graft.functions.HllSketch.hllDistinct
+      val staged = stageSplitByParity(s, dir, "graft-stream-hll")
+      val regs = graft.functions.HllSketch.hllRegisters
       val stream = s.readStream.schema(evHalfSchema)
         .option("maxFilesPerTrigger", "1").parquet(staged.toString)
         .groupBy(col("event_type"))
-        .agg(hll(col("user_id").cast("string")).as("hll_est"))
+        .agg(regs(col("user_id").cast("string")).as("regs"))
       val q = stream.writeStream.outputMode("update")
         .format("memory").queryName(name).start()
       try { q.processAllAvailable() } finally q.stop()
       s.table(name)
         .groupBy(col("event_type"))
-        // update mode emits one row per changed key per trigger;
-        // registers only grow and both triggers stay in the
-        // linear-counting regime at these cardinalities, where the
-        // estimate is strictly monotone — the final state is the max
-        .agg(max(col("hll_est")).as("hll_est"))
+        // update mode emits one REGISTER BLOB per changed key per
+        // trigger; hllMerge over all emissions equals the final state
+        // because register union is idempotent (earlier triggers'
+        // registers are subsets) — exact regardless of which estimator
+        // branch each trigger's cardinality lands in, where max() over
+        // ESTIMATES could go stale across the linear-counting/raw
+        // branch crossover
+        .agg(graft.functions.HllSketch.hllMerge(col("regs")).as("hll_est"))
         .orderBy(col("event_type"))
     }),
 
@@ -447,7 +445,11 @@ object StreamingOps extends QueryPack {
     // oracle regenerates the sample stream IN SQL and verifies the
     // encode→parse round-trip arithmetically — a stronger gate than the
     // image ops' pinned goldens. The rest take the documented 8-bit
-    // stub path over text bytes, replayed with ascii().
+    // stub path over text bytes, replayed with ascii() — which assumes
+    // the corpus precondition that holds here (non-empty ASCII text):
+    // an empty doc would vanish from the oracle's UNNEST and a
+    // multi-byte char would break char==byte, so a general-text corpus
+    // would replay bytes via a blob cast instead.
     "m77_wav_decode" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       val wav = udf((id: Long) =>
