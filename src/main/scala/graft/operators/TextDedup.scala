@@ -482,6 +482,36 @@ object TextDedup {
           x => x.getField("block")), " ").as("kept_text"))
   }
 
+  /** Near-duplicate KEY pairs at edit distance <= 1 via deletion
+    * neighborhoods (the FastSS scheme, Bocek et al. 2007): each key
+    * emits itself plus its |key| single-character deletions; any two
+    * keys within one edit share a variant (substitution: both delete
+    * the differing position; insert/delete: the longer key deletes the
+    * extra character), so candidates come from a variant-bucket join
+    * and one levenshtein call verifies each — never a quadratic cross
+    * join (sharing a variant only bounds the distance by 2, hence the
+    * verify). The URL/title near-match operator a curation pipeline
+    * uses for key-level dedup.
+    *
+    * Shape at scale: |key|+1 short variants per row, shuffled by
+    * variant; bucket sizes stay ~1 for hash-like or natural keys, so
+    * candidate volume is linear in corpus size. */
+  def fuzzyKeyPairs(df: DataFrame, idCol: String, keyCol: String): DataFrame = {
+    val variants = df
+      .select(col(idCol).cast("long").as("id"), col(keyCol).as("key"))
+      .select(col("id"), col("key"),
+        explode(expr("transform(sequence(0, length(key)), i -> " +
+          "IF(i = 0, key, concat(substr(key, 1, i - 1), " +
+          "substr(key, i + 1, length(key)))))")).as("var"))
+    variants.as("x").join(variants.as("y"),
+        col("x.var") === col("y.var") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.key").as("key_a"), col("y.key").as("key_b"))
+      .distinct()
+      .filter(levenshtein(col("key_a"), col("key_b")) <= 1)
+      .withColumn("dist", levenshtein(col("key_a"), col("key_b")).cast("int"))
+  }
+
   /** 64-bit SimHash over whitespace tokens: each token votes its md5
     * bits; the sign of each bit-position sum forms the fingerprint.
     * Pure Scala UDF (md5 via MessageDigest) — deterministic. */

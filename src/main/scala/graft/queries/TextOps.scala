@@ -203,6 +203,22 @@ object TextOps extends QueryPack {
         .orderBy($"doc_id")
     }),
 
+    // fuzzy key matching (FastSS deletion neighborhoods): edit-
+    // distance<=1 pairs over synthetic doc keys with PLANTED mutations
+    // (every 5th doc carries its predecessor's key with one char
+    // deleted — both engines derive identical keys from md5), verified
+    // by levenshtein on both sides.
+    "t63_fuzzy_keys" -> ((s, dir) => {
+      import s.implicits._
+      val keyed = t(s, dir, "documents").select($"doc_id",
+        when($"doc_id" % 5 === 0,
+          concat(substring(md5(($"doc_id" - 1).cast("string")), 1, 2),
+            substring(md5(($"doc_id" - 1).cast("string")), 4, 5)))
+          .otherwise(substring(md5($"doc_id".cast("string")), 1, 8)).as("key"))
+      TextDedup.fuzzyKeyPairs(keyed, "doc_id", "key")
+        .orderBy($"id_a", $"id_b")
+    }),
+
     // temperature-scaled source mixing (multinomial alpha=0.5 sampling
     // — the multilingual-training mixing rule t55's fixed weights
     // don't cover): sqrt-of-count weights, pinned-fold weight sum,
@@ -840,6 +856,30 @@ object TextOps extends QueryPack {
         FROM r ORDER BY doc_id""",
     // budget B = min_s floor(100*n_s/w_s), quota_s = floor(w_s*B/100) —
     // integer // end to end; rank order = (md5('42:'||id), id)
+    // same deletion-neighborhood generation + levenshtein verify (an
+    // integer DP, engine-independent); DISTINCT because equal or
+    // near-equal keys share several variants
+    "t63_fuzzy_keys" ->
+      """WITH keyed AS (SELECT doc_id,
+            CASE WHEN doc_id % 5 = 0 THEN
+              substr(md5(CAST(doc_id - 1 AS VARCHAR)), 1, 2) ||
+              substr(md5(CAST(doc_id - 1 AS VARCHAR)), 4, 5)
+            ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) END AS key
+          FROM documents),
+        v AS (SELECT doc_id, key,
+            UNNEST(list_transform(range(0, length(key) + 1), i ->
+              CASE WHEN i = 0 THEN key
+                   ELSE substr(key, 1, CAST(i - 1 AS INTEGER)) ||
+                        substr(key, CAST(i + 1 AS INTEGER), length(key))
+              END)) AS var
+          FROM keyed),
+        cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+            x.key AS key_a, y.key AS key_b
+          FROM v x JOIN v y ON x.var = y.var AND x.doc_id < y.doc_id)
+        SELECT id_a, id_b, key_a, key_b,
+          CAST(levenshtein(key_a, key_b) AS INTEGER) AS dist
+        FROM cand WHERE levenshtein(key_a, key_b) <= 1
+        ORDER BY id_a, id_b""",
     // sqrt weights, source-name-ordered weight fold, floor quotas —
     // every float op pinned (sqrt and the one multiply/divide chain)
     "t62_temperature_mix" ->

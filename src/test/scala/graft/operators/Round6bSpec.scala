@@ -175,6 +175,32 @@ class Round6bSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.count(_._5) < out.length) // something was actually dropped
   }
 
+  test("fuzzyKeyPairs finds EXACTLY the edit-distance<=1 pairs (brute-force sweep)") {
+    import spark.implicits._
+    val r = new java.util.Random(631)
+    val alpha = "abcd" // tiny alphabet forces plenty of near-misses
+    val keys = (0L until 120L).map { id =>
+      (id, Seq.fill(r.nextInt(4) + 2)(alpha(r.nextInt(alpha.length))).mkString)
+    }
+    val got = TextDedup.fuzzyKeyPairs(keys.toDF("doc_id", "key"), "doc_id", "key")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    def ed(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      (ia, ka) <- keys; (ib, kb) <- keys
+      if ia < ib && ed(ka, kb) <= 1
+    } yield (ia, ib)).toSet
+    assert(got == want, s"missing ${want -- got}, extra ${got -- want}")
+    assert(want.nonEmpty) // the sweep actually exercised matches
+  }
+
   test("paragraphDedup: keep-first block rule, tail blocks, fully-removed docs") {
     import spark.implicits._
     // 3-token blocks: doc 0 = [A][B], doc 1 = [A][C], doc 2 = [A] — A
