@@ -434,6 +434,57 @@ object TextAnalysis {
       .select(col("doc_id"), col(srcCol).as("source"), col("sample_rank"))
   }
 
+  /** BPE merge-rule induction over the corpus (the iterative half of
+    * subword-vocabulary training; `bpePretokenStats` covers the
+    * pretokenizer half): for `merges` rounds, count adjacent token
+    * pairs corpus-wide, pick the most frequent (ties broken by token
+    * order — deterministic), and rewrite the corpus merging that pair
+    * with '_'. Returns one row per learned merge (iter, tok_a, tok_b,
+    * pair_count).
+    *
+    * Merge application is a space-padded string replace, identical on
+    * both engines: leftmost non-overlapping occurrences merge, so an
+    * immediate repeat ('a b a b') merges once per round — string
+    * semantics the oracle can replay exactly, where a token-array fold
+    * would need DuckDB's broken list_reduce.
+    *
+    * Shape at scale: each round is one map-side-combined pair count, a
+    * 1-row argmax collect (BPE is inherently sequential in its merge
+    * list — production trainers batch non-interacting merges per round
+    * the same way), and one map-only corpus rewrite. k rounds = k
+    * corpus passes; nothing quadratic, no shuffle besides the count. */
+  def bpeMergeRules(docs: DataFrame, idCol: String, textCol: String,
+      merges: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    require(merges >= 1 && merges <= 16, "merges must be in [1, 16]")
+    var cur = docs.select(col(textCol).as("text"))
+    val learned = Seq.newBuilder[(Int, String, String, Long)]
+    for (it <- 1 to merges) {
+      val tk = split(col("text"), " ")
+      val top = cur
+        .select(posexplode(slice(tk, lit(1), greatest(size(tk) - 1, lit(0))))
+          .as(Seq("i", "a")), tk.as("_tk"))
+        .select(col("a"), element_at(col("_tk"), col("i") + 2).as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).collect()
+      require(top.nonEmpty, s"no adjacent pairs left at merge round $it")
+      val a = top(0).getString(0)
+      val b = top(0).getString(1)
+      val n = top(0).getLong(2)
+      // tokens are interpolated into the rewrite expression — keep the
+      // word-character contract explicit rather than risk an injection
+      require(a.matches("\\w+") && b.matches("\\w+"),
+        s"bpeMergeRules expects word-character tokens, got '$a' '$b'")
+      learned += ((it, a, b, n))
+      cur = cur.select(expr(
+        s"trim(replace(concat(' ', text, ' '), ' $a $b ', ' ${a}_$b '))").as("text"))
+        .localCheckpoint()
+    }
+    import spark.implicits._
+    learned.result().toDF("iter", "tok_a", "tok_b", "pair_count")
+  }
+
   /** Temperature-scaled source mixing — the multinomial alpha-sampling
     * rule from multilingual / multi-corpus training (alpha < 1
     * upweights small sources; alpha is FIXED at 0.5 here because

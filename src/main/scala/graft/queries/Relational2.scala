@@ -11,6 +11,20 @@ import Util._
   */
 object Relational2 extends QueryPack {
 
+  /** One SQL text for q55 on BOTH engines (DuckDB 1.0 has no
+    * width_bucket, so the equi-width bin is explicit floor arithmetic —
+    * the q45 z-order precedent): global [min,max] from one broadcast
+    * row, 10 bins, edge values clamped into the last bin. */
+  private[queries] val histogramSql: String =
+    """WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+      h AS (SELECT event_type,
+          CAST(LEAST(9, GREATEST(0,
+            CAST(floor((value - lo) / (hi - lo) * 10.0) AS BIGINT)))
+            AS INTEGER) AS bin
+        FROM events, b)
+      SELECT event_type, bin, COUNT(*) AS n
+      FROM h GROUP BY event_type, bin ORDER BY event_type, bin"""
+
   /** One SQL text for q52 on BOTH engines: integer-cents moment sums
     * (exact), then pinned double formulas — Spark runs it verbatim, the
     * oracle map carries the identical string. */
@@ -323,6 +337,16 @@ object Relational2 extends QueryPack {
         .orderBy($"hr")
     }),
 
+    // equi-width histogram (the CH histogram-family contract with
+    // fixed bins — the adaptive variant's bin placement is
+    // implementation-defined and not engine-reproducible, so the
+    // deterministic form is the one worth gating): one broadcast
+    // min/max row, one map-side-combined (type, bin) count.
+    "q55_histogram" -> ((s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("events")
+      s.sql(Relational2.histogramSql)
+    }),
+
     // sketch ROLLUP (the OLAP-cube use of mergeable sketches): per-type
     // register blobs materialize once, then re-aggregate to the global
     // distinct-user estimate WITHOUT rescanning base data — register
@@ -554,6 +578,7 @@ object Relational2 extends QueryPack {
                             / 4503599627370496.0) END AS kmv_est,
           nd AS exact_distinct
         FROM k ORDER BY l_returnflag""",
+    "q55_histogram" -> histogramSql,
     "q54_with_fill" ->
       """WITH h AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
             COUNT(*) AS n

@@ -203,6 +203,17 @@ object TextOps extends QueryPack {
         .orderBy($"doc_id")
     }),
 
+    // BPE merge-rule induction (the iterative half of subword-vocab
+    // training; t52 covers the pretokenizer): 3 rounds of count → argmax
+    // → corpus rewrite, ties and merge application pinned so the oracle
+    // unrolls the identical 3 rounds in SQL.
+    "t64_bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.bpeMergeRules(t(s, dir, "documents"), "doc_id", "text",
+          merges = 3)
+        .orderBy($"iter")
+    }),
+
     // fuzzy key matching (FastSS deletion neighborhoods): edit-
     // distance<=1 pairs over synthetic doc keys with PLANTED mutations
     // (every 5th doc carries its predecessor's key with one char
@@ -856,6 +867,36 @@ object TextOps extends QueryPack {
         FROM r ORDER BY doc_id""",
     // budget B = min_s floor(100*n_s/w_s), quota_s = floor(w_s*B/100) —
     // integer // end to end; rank order = (md5('42:'||id), id)
+    // three unrolled count→argmax→rewrite rounds; merge application is
+    // the same space-padded leftmost replace on both engines
+    "t64_bpe_merges" ->
+      """WITH t0 AS (SELECT text FROM documents),
+        p1 AS (SELECT tk[i] AS a, tk[i + 1] AS b, count(*) AS n
+          FROM (SELECT string_split(text, ' ') AS tk FROM t0),
+            LATERAL (SELECT unnest(range(1, len(tk))) AS i) u(i)
+          GROUP BY 1, 2),
+        m1 AS (SELECT a, b, n FROM p1 ORDER BY n DESC, a, b LIMIT 1),
+        t1 AS (SELECT trim(replace(' ' || text || ' ',
+            (SELECT ' ' || a || ' ' || b || ' ' FROM m1),
+            (SELECT ' ' || a || '_' || b || ' ' FROM m1))) AS text FROM t0),
+        p2 AS (SELECT tk[i] AS a, tk[i + 1] AS b, count(*) AS n
+          FROM (SELECT string_split(text, ' ') AS tk FROM t1),
+            LATERAL (SELECT unnest(range(1, len(tk))) AS i) u(i)
+          GROUP BY 1, 2),
+        m2 AS (SELECT a, b, n FROM p2 ORDER BY n DESC, a, b LIMIT 1),
+        t2 AS (SELECT trim(replace(' ' || text || ' ',
+            (SELECT ' ' || a || ' ' || b || ' ' FROM m2),
+            (SELECT ' ' || a || '_' || b || ' ' FROM m2))) AS text FROM t1),
+        p3 AS (SELECT tk[i] AS a, tk[i + 1] AS b, count(*) AS n
+          FROM (SELECT string_split(text, ' ') AS tk FROM t2),
+            LATERAL (SELECT unnest(range(1, len(tk))) AS i) u(i)
+          GROUP BY 1, 2),
+        m3 AS (SELECT a, b, n FROM p3 ORDER BY n DESC, a, b LIMIT 1)
+        SELECT * FROM (
+          SELECT 1 AS iter, a AS tok_a, b AS tok_b, n AS pair_count FROM m1
+          UNION ALL SELECT 2, a, b, n FROM m2
+          UNION ALL SELECT 3, a, b, n FROM m3)
+        ORDER BY iter""",
     // same deletion-neighborhood generation + levenshtein verify (an
     // integer DP, engine-independent); DISTINCT because equal or
     // near-equal keys share several variants
