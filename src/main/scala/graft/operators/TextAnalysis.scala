@@ -453,7 +453,7 @@ object TextAnalysis {
     * list — production trainers batch non-interacting merges per round
     * the same way), and one map-only corpus rewrite. k rounds = k
     * corpus passes; nothing quadratic, no shuffle besides the count. */
-  def bpeMergeRules(docs: DataFrame, idCol: String, textCol: String,
+  def bpeMergeRules(docs: DataFrame, textCol: String,
       merges: Int = 3): DataFrame = {
     val spark = docs.sparkSession
     require(merges >= 1 && merges <= 16, "merges must be in [1, 16]")
@@ -477,9 +477,10 @@ object TextAnalysis {
       require(a.matches("\\w+") && b.matches("\\w+"),
         s"bpeMergeRules expects word-character tokens, got '$a' '$b'")
       learned += ((it, a, b, n))
-      cur = cur.select(expr(
-        s"trim(replace(concat(' ', text, ' '), ' $a $b ', ' ${a}_$b '))").as("text"))
-        .localCheckpoint()
+      if (it < merges) // the final round's rewrite would never be read
+        cur = cur.select(expr(
+          s"trim(replace(concat(' ', text, ' '), ' $a $b ', ' ${a}_$b '))").as("text"))
+          .localCheckpoint()
     }
     import spark.implicits._
     learned.result().toDF("iter", "tok_a", "tok_b", "pair_count")

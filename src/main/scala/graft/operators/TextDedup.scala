@@ -508,8 +508,8 @@ object TextDedup {
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         col("x.key").as("key_a"), col("y.key").as("key_b"))
       .distinct()
-      .filter(levenshtein(col("key_a"), col("key_b")) <= 1)
       .withColumn("dist", levenshtein(col("key_a"), col("key_b")).cast("int"))
+      .filter(col("dist") <= 1) // one DP evaluation per candidate
   }
 
   /** 64-bit SimHash over whitespace tokens: each token votes its md5

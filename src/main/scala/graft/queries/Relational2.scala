@@ -14,12 +14,15 @@ object Relational2 extends QueryPack {
   /** One SQL text for q55 on BOTH engines (DuckDB 1.0 has no
     * width_bucket, so the equi-width bin is explicit floor arithmetic —
     * the q45 z-order precedent): global [min,max] from one broadcast
-    * row, 10 bins, edge values clamped into the last bin. */
+    * row, 10 bins, edge values clamped into the last bin. NULLIF guards
+    * the degenerate lo==hi range: without it Spark's ANSI mode throws
+    * DIVIDE_BY_ZERO where DuckDB silently NULLs; with it both engines
+    * put every row in bin 0 (GREATEST drops the NULL). */
   private[queries] val histogramSql: String =
     """WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
       h AS (SELECT event_type,
           CAST(LEAST(9, GREATEST(0,
-            CAST(floor((value - lo) / (hi - lo) * 10.0) AS BIGINT)))
+            CAST(floor((value - lo) / NULLIF(hi - lo, 0) * 10.0) AS BIGINT)))
             AS INTEGER) AS bin
         FROM events, b)
       SELECT event_type, bin, COUNT(*) AS n

@@ -40,6 +40,18 @@ object TextOps extends QueryPack {
     * cache-build cost is reported separately, not smeared into lanes). */
   def prewarmPairs(s: SparkSession, dir: String): Unit = { pairsFuture(s, dir).join(); () }
 
+  /** Synthetic keys with PLANTED distance-1 mutations for t63 and the
+    * ScaleCheck sweep (one definition, so the gated query and the
+    * growth curve can't drift apart): every 5th doc carries its
+    * predecessor's md5-prefix key with the 3rd character deleted. */
+  private[graft] def plantedFuzzyKeys(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 5 === 0,
+        concat(substring(md5((col("doc_id") - 1).cast("string")), 1, 2),
+          substring(md5((col("doc_id") - 1).cast("string")), 4, 5)))
+        .otherwise(substring(md5(col("doc_id").cast("string")), 1, 8))
+        .as("key"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t31_dedup_exact" -> ((s, dir) => {
       import s.implicits._
@@ -209,8 +221,7 @@ object TextOps extends QueryPack {
     // unrolls the identical 3 rounds in SQL.
     "t64_bpe_merges" -> ((s, dir) => {
       import s.implicits._
-      TextAnalysis.bpeMergeRules(t(s, dir, "documents"), "doc_id", "text",
-          merges = 3)
+      TextAnalysis.bpeMergeRules(t(s, dir, "documents"), "text", merges = 3)
         .orderBy($"iter")
     }),
 
@@ -221,12 +232,8 @@ object TextOps extends QueryPack {
     // by levenshtein on both sides.
     "t63_fuzzy_keys" -> ((s, dir) => {
       import s.implicits._
-      val keyed = t(s, dir, "documents").select($"doc_id",
-        when($"doc_id" % 5 === 0,
-          concat(substring(md5(($"doc_id" - 1).cast("string")), 1, 2),
-            substring(md5(($"doc_id" - 1).cast("string")), 4, 5)))
-          .otherwise(substring(md5($"doc_id".cast("string")), 1, 8)).as("key"))
-      TextDedup.fuzzyKeyPairs(keyed, "doc_id", "key")
+      TextDedup.fuzzyKeyPairs(TextOps.plantedFuzzyKeys(t(s, dir, "documents")),
+          "doc_id", "key")
         .orderBy($"id_a", $"id_b")
     }),
 

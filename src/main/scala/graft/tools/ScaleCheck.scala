@@ -129,14 +129,9 @@ object ScaleCheck {
           .filter(col("seq_count") >= 0)
       }
       run("fuzzyKeyPairs", n)(TextDedup.fuzzyKeyPairs(
-        d.select(col("doc_id"), org.apache.spark.sql.functions.when(
-          col("doc_id") % 5 === 0,
-          concat(substring(md5((col("doc_id") - 1).cast("string")), 1, 2),
-            substring(md5((col("doc_id") - 1).cast("string")), 4, 5)))
-          .otherwise(substring(md5(col("doc_id").cast("string")), 1, 8))
-          .as("key")), "doc_id", "key"))
+        graft.queries.TextOps.plantedFuzzyKeys(d), "doc_id", "key"))
       run("bpeMergeRules(2)", n)(TextAnalysis.bpeMergeRules(
-        d, "doc_id", "text", merges = 2))
+        d, "text", merges = 2))
       run("quantilesBinned", n)(graft.operators.ExactQuantile.groupQuantilesBinned(
         d.select(col("doc_id"), (col("doc_id") % 3).as("k"),
           length(col("text")).cast("double").as("v")), "k", Seq(("v", 0.9, "p90"))))

@@ -209,14 +209,14 @@ class Round6bSpec extends AnyFunSuite with BeforeAndAfterAll {
     // and the all-ties rank picks it by token order; round 3 then sees
     // the doubled merge ("a_b a_b c") and learns (a_b, a_b).
     val docs = Seq((0L, "a b a b c"), (1L, "a b x")).toDF("doc_id", "text")
-    val got = TextAnalysis.bpeMergeRules(docs, "doc_id", "text", merges = 3)
+    val got = TextAnalysis.bpeMergeRules(docs, "text", merges = 3)
       .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
     assert(got.toSeq == Seq((1, "a", "b", 3L), (2, "a", "b", 1L),
       (3, "a_b", "a_b", 1L)), got.toSeq.toString)
     // non-word tokens refuse rather than risk expression injection
     val bad = intercept[IllegalArgumentException] {
       Seq((0L, "x' y x' y x' y")).toDF("doc_id", "text").transform(d =>
-        TextAnalysis.bpeMergeRules(d, "doc_id", "text", merges = 1))
+        TextAnalysis.bpeMergeRules(d, "text", merges = 1))
     }
     assert(bad.getMessage.contains("word-character"))
   }

@@ -25,8 +25,10 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("bucketed join plans with ZERO exchanges; plain parquet join shuffles") {
     val s = spark
     import s.implicits._
+    // recursive delete in the finally below — File.deleteOnExit cannot
+    // remove a non-empty directory, and DROP TABLE on path-based
+    // external tables leaves the data files behind
     val dir = java.nio.file.Files.createTempDirectory("graft-bucketed")
-    dir.toFile.deleteOnExit()
     // broadcast off + AQE off so the comparison is SMJ vs SMJ and the
     // executedPlan is final at explain time
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -57,6 +59,7 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s.sql("DROP TABLE IF EXISTS bkt_right")
       s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       s.conf.unset("spark.sql.adaptive.enabled")
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
     }
   }
 }
