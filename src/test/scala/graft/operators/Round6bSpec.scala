@@ -221,6 +221,28 @@ class Round6bSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad.getMessage.contains("word-character"))
   }
 
+  test("paragraphDedup matches a brute-force keep-first reference (random sweep)") {
+    import spark.implicits._
+    val r = new java.util.Random(611)
+    val vocab = Array("p", "q", "r") // tiny vocab -> many real block dups
+    val docs = (0L until 80L).map { id =>
+      (id, Seq.fill(r.nextInt(10) + 1)(vocab(r.nextInt(vocab.length))).mkString(" "))
+    }
+    val w = 3
+    val got = TextDedup.paragraphDedup(docs.toDF("doc_id", "text"), "doc_id", "text", w)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    // reference: first corpus occurrence in (doc_id, block idx) order wins
+    val seen = collection.mutable.Set.empty[String]
+    val want = docs.map { case (id, text) =>
+      val blocks = text.split(" ").grouped(w).map(_.mkString(" ")).toSeq
+      val kept = blocks.filter(b => seen.add(b))
+      id -> ((blocks.length.toLong, kept.length.toLong, kept.mkString(" ")))
+    }.toMap
+    assert(got == want)
+    assert(want.values.exists(v => v._1 != v._2)) // dups actually removed
+  }
+
   test("paragraphDedup: keep-first block rule, tail blocks, fully-removed docs") {
     import spark.implicits._
     // 3-token blocks: doc 0 = [A][B], doc 1 = [A][C], doc 2 = [A] — A
