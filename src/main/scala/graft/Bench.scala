@@ -32,6 +32,17 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private def r3(d: Double): Double = math.rint(d * 1000) / 1000
 
+  /** JSON string escape for values interpolated into the artifact
+    * (the BENCH_ONLY filter and the sf dir come from the environment;
+    * a quote or backslash in either must not produce unparseable
+    * output). */
+  private def jesc(s: String): String = s.flatMap {
+    case '"'           => "\\\""
+    case '\\'          => "\\\\"
+    case c if c < ' '  => f"\\u${c.toInt}%04x"
+    case c             => c.toString
+  }
+
   /** 1-minute loadavg, or 0.0 where /proc is unavailable (non-Linux). */
   private def loadAvg1(): Double =
     try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
@@ -143,13 +154,13 @@ object Bench {
       // retime: mark it and exit non-zero like the suite mode does
       val onlyFailed = runs.filter(!_._4).map(_._1)
       val json =
-        s"""{"metric":"only","filter":"$substr","iters":${math.max(1, iters)},""" +
+        s"""{"metric":"only","filter":"${jesc(substr)}","iters":${math.max(1, iters)},""" +
         s""""queries":{${runs.map { case (n, ts, _, _) =>
             "\"" + n + "\":[" + ts.map(r3).mkString(",") + "]" }.mkString(",")}},""" +
         s""""ext_cores":{${runs.map { case (n, _, e, _) =>
             "\"" + n + "\":" + r3(e) }.mkString(",")}},""" +
         s""""failed":[${onlyFailed.map("\"" + _ + "\"").mkString(",")}],""" +
-        s""""sf":"$sfDir"}"""
+        s""""sf":"${jesc(sfDir)}"}"""
       java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
       println(json)
       spark.stop()
@@ -258,18 +269,47 @@ object Bench {
     // whole pipeline/streaming family (their lane numbers overstate
     // worst — multi-batch orchestration under FAIR contention; round-5
     // shipped st63 at 8.2s lane with no isolated figure to correct it)
+    // PLUS a pinned set of long-running single queries whose contaminated
+    // numbers have historically been mistaken for regressions (round-6:
+    // the driver artifact read t64 at 62.7s under external load vs a
+    // true ~4s — one global ext_cores over the whole pass couldn't say
+    // WHICH query absorbed the contention)
+    val alwaysIsolated = Set("t64_bpe_merges", "t57_bigram_lm", "t58_joint_curation")
     val ok = results.filter(_._3)
     val slowest = ok.sortBy(-_._2).take(nIsolated).map(_._1)
     val family = ok.map(_._1).filter(n => pipelineQueries(n) || n.startsWith("st"))
-    val isoNames = (slowest ++ family).distinct
+    val isoNames =
+      (slowest ++ family ++ alwaysIsolated.filter(SparkEntry.queries.contains)).distinct
     // isolated numbers are only honest on a quiet machine: re-check
     // external load first (our own previous pass no longer pollutes the
     // signal the way it polluted loadavg)
     awaitExternalIdle(maxExt, 60, "isolated")
     val isoJiff = cpuJiffies(); val isoT0 = System.nanoTime()
-    val isolated = isoNames.map { name =>
-      name -> time(name, SparkEntry.queries(name))._1
+    // ext_cores is measured PER QUERY in this pass, and any query that
+    // ran while another process held >maxExt cores is re-timed once
+    // after waiting for quiet — a transient background job poisons only
+    // its own window, not the whole artifact, and the artifact records
+    // which entries were re-taken so the decision is auditable
+    def timeIsolatedOnce(name: String): (Double, Double) = {
+      val j0 = cpuJiffies(); val t0 = System.nanoTime()
+      val sec = time(name, SparkEntry.queries(name))._1
+      (sec, extCores(j0, (System.nanoTime() - t0) / 1e9))
     }
+    val isolatedFull = isoNames.map { name =>
+      val (sec0, ext0) = timeIsolatedOnce(name)
+      if (ext0 <= maxExt) (name, sec0, ext0, false)
+      else {
+        System.err.println(
+          f"[bench] isolated $name contended (ext $ext0%.2f cores) - re-timing once")
+        awaitExternalIdle(maxExt, 60, s"isolated:$name")
+        val (sec1, ext1) = timeIsolatedOnce(name)
+        // keep the better-conditioned (lower-ext) measurement
+        if (ext1 <= ext0) (name, sec1, ext1, true) else (name, sec0, ext0, true)
+      }
+    }
+    val isolated = isolatedFull.map(t => t._1 -> t._2)
+    val isolatedExt = isolatedFull.map(t => t._1 -> t._3)
+    val isolatedRetimed = isolatedFull.filter(_._4).map(_._1)
     val extIso = extCores(isoJiff, (System.nanoTime() - isoT0) / 1e9)
 
     val loadAfter = loadAvg1()
@@ -280,12 +320,14 @@ object Bench {
       s"""{"metric":"total","value":${r3(wall)},"unit":"sec",""" +
       s""""queries":${jmap(results.map(t => t._1 -> t._2))},""" +
       s""""isolated":${jmap(isolated)},""" +
+      s""""isolated_ext":${jmap(isolatedExt)},""" +
+      s""""isolated_retimed":[${isolatedRetimed.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""failed":[${failed.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""sum_sec":${r3(results.map(_._2).sum)},""" +
       s""""ext_cores":${r3(extConc)},"ext_cores_isolated":${r3(extIso)},""" +
       s""""contended_rerun":$rerun,"wall_first":${r3(wallFirst)},""" +
       s""""load_after":${r3(loadAfter)},""" +
-      s""""lanes":${sys.env.getOrElse("SPARK_GRAFT_BENCH_LANES", "10")},"sf":"$sfDir"}"""
+      s""""lanes":${sys.env.getOrElse("SPARK_GRAFT_BENCH_LANES", "10").toInt},"sf":"${jesc(sfDir)}"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
     println(json)
     spark.stop()
