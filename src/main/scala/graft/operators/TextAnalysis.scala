@@ -478,9 +478,12 @@ object TextAnalysis {
         s"bpeMergeRules expects word-character tokens, got '$a' '$b'")
       learned += ((it, a, b, n))
       if (it < merges) // the final round's rewrite would never be read
-        cur = cur.select(expr(
-          s"trim(replace(concat(' ', text, ' '), ' $a $b ', ' ${a}_$b '))").as("text"))
-          .localCheckpoint()
+        // cluster-safe materialization: each round's rewrite is read by
+        // every later round — Materialize picks localCheckpoint on
+        // local[n], reliable checkpoint / replicated persist on a
+        // cluster so one lost executor can't fail the whole induction
+        cur = Materialize.eager(cur.select(expr(
+          s"trim(replace(concat(' ', text, ' '), ' $a $b ', ' ${a}_$b '))").as("text")))
     }
     import spark.implicits._
     learned.result().toDF("iter", "tok_a", "tok_b", "pair_count")
@@ -553,8 +556,8 @@ object TextAnalysis {
       // both the model aggregation and the scoring join read the
       // instances; materialize the narrow (doc, pos, a, b) rows once
       // instead of re-exploding the corpus per consumer (the
-      // dupWindowStarts precedent)
-      .localCheckpoint(true)
+      // dupWindowStarts precedent); cluster-safe via Materialize
+      .transform(Materialize.eager)
     val cab = inst.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
     val ca = cab.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
     val model = cab.join(ca, Seq("a"))
@@ -598,7 +601,7 @@ object TextAnalysis {
       size(w).cast("long").as("n_tokens"),
       (size(filter(w, x => x.isin(stopwords: _*))).cast("double") / size(w))
         .as("quality"))
-      .localCheckpoint(true)
+      .transform(Materialize.eager)
     def obits(v: Double): Long = {
       val b = java.lang.Double.doubleToRawLongBits(v)
       (if (b < 0) ~b else b | Long.MinValue) >>> 48

@@ -227,19 +227,16 @@ object TextDedup {
           md5(concat_ws("|", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // eager localCheckpoint: materializes the (small) candidate set in
-    // one pass AND truncates lineage, so the banded signatures can be
-    // freed immediately and no recompute can reach back through the
-    // join; its blocks are reclaimed with the DataFrame, unlike the
-    // persist+count() it replaces, which leaked the cache entry.
-    // Trade: truncated lineage means a lost executor cannot recompute
-    // its blocks — on a preemptible cluster, set a reliable checkpoint
-    // dir and swap to checkpoint(), same shape
-    val cand = banded.as("x").join(banded.as("y"),
+    // eager materialization: the (small) candidate set materializes in
+    // one pass AND (on local[n]) truncates lineage, so the banded
+    // signatures can be freed immediately and no recompute can reach
+    // back through the join. Materialize picks reliable checkpoint /
+    // replicated persist under a cluster master so a lost executor
+    // can't strand unrecomputable blocks.
+    val cand = Materialize.eager(banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
-      .localCheckpoint(true)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct())
     banded.unpersist(blocking = false)
     verifyJaccard(docs, idCol, textCol, cand, threshold, k)
   }
@@ -358,8 +355,9 @@ object TextDedup {
       .select(col("doc_id"), col("w._1").as("start"), col("w._2").as("wh"))
       // both the occurrence count and the join probe read this frame;
       // materialize the (narrow: doc_id, start, wh) rows once instead
-      // of running the explode+hash twice (minHashLshPairs precedent)
-      .localCheckpoint(true)
+      // of running the explode+hash twice (minHashLshPairs precedent);
+      // cluster-safe via Materialize
+      .transform(Materialize.eager)
     // duplicated-window detection as hash-agg + semi-join, NOT a
     // count-over-hash window: the window form sorts every window
     // occurrence by hash; the aggregate combines map-side and the join

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-7 additions: cluster-safe materialization, BPE encode,
+  * tokenization contract. */
+class Round7Spec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  // ---- Materialize: the strategy switch is the cluster-safety claim --
+
+  test("Materialize.strategy picks localCheckpoint only under local masters") {
+    import Materialize._
+    assert(strategy("local[4]", hasCheckpointDir = false) == LocalCheckpoint)
+    assert(strategy("local[*]", hasCheckpointDir = true) == LocalCheckpoint)
+    assert(strategy("local-cluster[2,1,1024]", hasCheckpointDir = false) == LocalCheckpoint)
+    // cluster masters must never rely on non-replicated local blocks:
+    // reliable checkpoint when a dir exists, replicated persist otherwise
+    assert(strategy("spark://host:7077", hasCheckpointDir = true) == ReliableCheckpoint)
+    assert(strategy("spark://host:7077", hasCheckpointDir = false) == ReplicatedPersist)
+    assert(strategy("yarn", hasCheckpointDir = true) == ReliableCheckpoint)
+    assert(strategy("yarn", hasCheckpointDir = false) == ReplicatedPersist)
+    assert(strategy("k8s://https://host:6443", hasCheckpointDir = false) == ReplicatedPersist)
+  }
+
+  test("Materialize.eager materializes and preserves contents") {
+    import spark.implicits._
+    val df = (1 to 100).toDF("x").filter(col("x") % 2 === 0)
+    val m = Materialize.eager(df)
+    assert(m.count() == 50)
+    assert(m.agg(sum("x")).head().getLong(0) == (2 to 100 by 2).sum)
+  }
+
+  // ---- GIF delta-frame compositing (ADVICE r6: raw rasters were
+  // returned uncomposited, so offset/partial frames decoded wrong) ----
+
+  /** 2-frame GIF: 16x16 base (pixel = x + 16*y, gray) then a 6x5 patch
+    * of solid gray 200 at offset (6,6) — a DELTA frame like real
+    * animated GIFs carry. Written via the JDK GIF writer with explicit
+    * per-frame ImageDescriptor positions. (Patch is 6x5, not smaller:
+    * the JDK GIF codec corrupts the last row of images under 5x5 on a
+    * plain single-frame round-trip — a JDK quirk, not a compositing
+    * concern.) */
+  private def deltaGif(): Array[Byte] = {
+    import javax.imageio.{IIOImage, ImageIO, ImageTypeSpecifier}
+    import javax.imageio.metadata.IIOMetadataNode
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    def gray(w: Int, h: Int)(f: (Int, Int) => Int) = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w)
+        img.getRaster.setSample(x, y, 0, f(x, y))
+      img
+    }
+    def metaAt(img: java.awt.image.BufferedImage, x: Int, y: Int) = {
+      val m = writer.getDefaultImageMetadata(
+        ImageTypeSpecifier.createFromRenderedImage(img),
+        writer.getDefaultWriteParam)
+      val fmt = "javax_imageio_gif_image_1.0"
+      val root = m.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+      var n = root.getFirstChild
+      while (n != null) {
+        if (n.getNodeName == "ImageDescriptor") {
+          val e = n.asInstanceOf[IIOMetadataNode]
+          e.setAttribute("imageLeftPosition", x.toString)
+          e.setAttribute("imageTopPosition", y.toString)
+        }
+        n = n.getNextSibling
+      }
+      m.setFromTree(fmt, root)
+      m
+    }
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      val base = gray(16, 16)((x, y) => x + 16 * y)
+      val patch = gray(6, 5)((_, _) => 200)
+      writer.writeToSequence(new IIOImage(base, null, metaAt(base, 0, 0)), null)
+      writer.writeToSequence(new IIOImage(patch, null, metaAt(patch, 6, 6)), null)
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  test("decodeGifFrames composites delta frames onto the logical screen") {
+    val frames = Multimodal.decodeGifFrames(deltaGif())
+      .getOrElse(fail("delta GIF did not decode"))
+    assert(frames.length == 2)
+    // every composited frame is logical-screen sized, not patch-sized
+    assert(frames.forall(f => f.getWidth == 16 && f.getHeight == 16))
+    def luma(img: java.awt.image.BufferedImage, x: Int, y: Int): Int = {
+      val rgb = img.getRGB(x, y)
+      (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+        (rgb & 0xff) * 114) / 1000
+    }
+    for (y <- 0 until 16; x <- 0 until 16) {
+      assert(luma(frames(0), x, y) == x + 16 * y, s"base frame at ($x,$y)")
+      val expected =
+        if (x >= 6 && x < 12 && y >= 6 && y < 11) 200 else x + 16 * y
+      assert(luma(frames(1), x, y) == expected, s"composited frame at ($x,$y)")
+    }
+  }
+}
