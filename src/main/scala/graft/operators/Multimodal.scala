@@ -209,8 +209,19 @@ object Multimodal {
   }
 
   /** All frames of a multi-image GIF via the JDK reader (the one
-    * animated format `javax.imageio` decodes natively), None for
-    * non-GIF or malformed payloads. */
+    * animated format `javax.imageio` decodes natively), COMPOSITED the
+    * way a GIF player renders them: each stored raster draws at its
+    * (imageLeftPosition, imageTopPosition) offset onto a canvas of the
+    * logical screen size, and its disposal method decides what the next
+    * frame draws over (none/doNotDispose keep the canvas,
+    * restoreToBackgroundColor clears the frame rect to black — the
+    * deterministic stand-in for the viewer-dependent background,
+    * restoreToPrevious rolls the canvas back). Real-world animated GIFs
+    * store DELTA frames — only the changed rect — so returning raw
+    * rasters would yield wrong and differently-sized planes; the
+    * composite restores full logical-screen frames, all equally sized.
+    * None for non-GIF or malformed payloads (callers fall back to the
+    * byte-stub frame model). */
   private[operators] def decodeGifFrames(
       payload: Array[Byte]): Option[Seq[java.awt.image.BufferedImage]] =
     if (!(payload.length >= 6 && payload(0) == 'G' && payload(1) == 'I' &&
@@ -223,10 +234,70 @@ object Multimodal {
       else {
         val reader = readers.next()
         try {
-          reader.setInput(iis, false, true)
+          reader.setInput(iis, false, false)
           val n = reader.getNumImages(true)
-          val frames = (0 until n).map(reader.read(_))
-          if (frames.isEmpty) None else Some(frames)
+          if (n == 0) None
+          else {
+            def attr(root: org.w3c.dom.Element, tag: String,
+                a: String): Option[String] = {
+              val nodes = root.getElementsByTagName(tag)
+              if (nodes.getLength == 0) None
+              else Option(nodes.item(0).asInstanceOf[org.w3c.dom.Element]
+                .getAttribute(a)).filter(_.nonEmpty)
+            }
+            val rasters = (0 until n).map(reader.read(_))
+            val metas = (0 until n).map { i =>
+              val t = reader.getImageMetadata(i)
+                .getAsTree("javax_imageio_gif_image_1.0")
+                .asInstanceOf[org.w3c.dom.Element]
+              (attr(t, "ImageDescriptor", "imageLeftPosition")
+                 .fold(0)(_.toInt),
+               attr(t, "ImageDescriptor", "imageTopPosition")
+                 .fold(0)(_.toInt),
+               attr(t, "GraphicControlExtension", "disposalMethod")
+                 .getOrElse("none"))
+            }
+            // logical screen from stream metadata; max frame extent as
+            // the fallback when the descriptor is absent
+            val screen = for {
+              st <- Option(reader.getStreamMetadata)
+              tree = st.getAsTree("javax_imageio_gif_stream_1.0")
+                .asInstanceOf[org.w3c.dom.Element]
+              w <- attr(tree, "LogicalScreenDescriptor", "logicalScreenWidth")
+              h <- attr(tree, "LogicalScreenDescriptor", "logicalScreenHeight")
+            } yield (w.toInt, h.toInt)
+            val w = screen.fold(metas.zip(rasters)
+              .map { case ((x, _, _), r) => x + r.getWidth }.max)(_._1)
+            val h = screen.fold(metas.zip(rasters)
+              .map { case ((_, y, _), r) => y + r.getHeight }.max)(_._2)
+            def snap(src: java.awt.image.BufferedImage) = {
+              val c = new java.awt.image.BufferedImage(w, h,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val gg = c.createGraphics()
+              gg.drawImage(src, 0, 0, null); gg.dispose(); c
+            }
+            val canvas = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = canvas.createGraphics()
+            val out = Seq.newBuilder[java.awt.image.BufferedImage]
+            (0 until n).foreach { i =>
+              val (x, y, disposal) = metas(i)
+              val before =
+                if (disposal == "restoreToPrevious") snap(canvas) else null
+              g.drawImage(rasters(i), x, y, null)
+              out += snap(canvas)
+              disposal match {
+                case "restoreToBackgroundColor" =>
+                  g.setColor(java.awt.Color.BLACK)
+                  g.fillRect(x, y, rasters(i).getWidth, rasters(i).getHeight)
+                case "restoreToPrevious" =>
+                  g.drawImage(before, 0, 0, null)
+                case _ => ()
+              }
+            }
+            g.dispose()
+            Some(out.result())
+          }
         } finally { reader.dispose(); iis.close() }
       }
     } catch { case scala.util.control.NonFatal(_) => None }

@@ -51,11 +51,12 @@ object Relational2 extends QueryPack {
         CAST(su AS DOUBLE) AS sud, CAST(sc AS DOUBLE) AS scd
       FROM m)
       SELECT event_type, n,
-        round(num / (sqrt(du) * sqrt(dc)), 6) AS corr_cu,
+        round(num / NULLIF(sqrt(du) * sqrt(dc), 0), 6) AS corr_cu,
         round(num / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6)
           AS covar_pop_cu,
-        round(num / du, 6) AS slope_cu,
-        round((scd - num / du * sud) / CAST(n AS DOUBLE), 6) AS intercept_cu
+        round(num / NULLIF(du, 0), 6) AS slope_cu,
+        round((scd - num / NULLIF(du, 0) * sud) / CAST(n AS DOUBLE), 6)
+          AS intercept_cu
       FROM f ORDER BY event_type"""
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
