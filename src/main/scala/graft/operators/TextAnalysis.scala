@@ -489,6 +489,44 @@ object TextAnalysis {
     learned.result().toDF("iter", "tok_a", "tok_b", "pair_count")
   }
 
+  /** BPE ENCODE — apply a learned merge list (the [[bpeMergeRules]]
+    * output, in iteration order) to the corpus. BPE encoding is greedy
+    * by merge PRIORITY: rule 1 rewrites everywhere before rule 2 looks
+    * at anything, which for the '_'-joined token representation is
+    * exactly a sequential space-padded string replace per rule — the
+    * same application semantics the induction itself used, so encoding
+    * the training corpus with its own rules reproduces the final
+    * induction state bit-for-bit and the oracle replays it in SQL.
+    *
+    * Returns (doc_id, text_enc, n_tokens, n_merged): the encoded text
+    * (subword tokens space-joined, merged pairs '_'-joined), its REAL
+    * post-merge token count, and how many tokens are merged pairs.
+    * This closes the tokenizer loop: downstream budget/packing
+    * operators ([[tokenBudgetSelect]], [[packSequences]]) tokenize
+    * `textCol` by single space, so passing (`text_enc`) feeds them
+    * real subword counts instead of whitespace counts.
+    *
+    * Shape at scale: k merge rules = k map-only column rewrites fused
+    * into ONE projection (no shuffle, no materialization, whole-stage
+    * codegen keeps it a single pass over the corpus); the rule list is
+    * driver-side and tiny (bounded by bpeMergeRules' merges <= 16). */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+      rules: Seq[(String, String)]): DataFrame = {
+    require(rules.nonEmpty, "bpeEncode needs at least one merge rule")
+    rules.foreach { case (a, b) =>
+      require(a.matches("\\w+") && b.matches("\\w+"),
+        s"bpeEncode expects word-character tokens, got '$a' '$b'")
+    }
+    val enc = trim(rules.foldLeft(concat(lit(" "), col(textCol), lit(" "))) {
+      case (c, (a, b)) => replace(c, lit(s" $a $b "), lit(s" ${a}_$b "))
+    })
+    val tk = split(col("text_enc"), " ")
+    docs.select(col(idCol).cast("long").as("doc_id"), enc.as("text_enc"))
+      .select(col("doc_id"), col("text_enc"),
+        size(tk).cast("long").as("n_tokens"),
+        size(filter(tk, _.contains("_"))).cast("long").as("n_merged"))
+  }
+
   /** Temperature-scaled source mixing — the multinomial alpha-sampling
     * rule from multilingual / multi-corpus training (alpha < 1
     * upweights small sources; alpha is FIXED at 0.5 here because

@@ -225,6 +225,23 @@ object TextOps extends QueryPack {
         .orderBy($"iter")
     }),
 
+    // BPE ENCODE (the apply half t64's induction learns): the corpus
+    // re-encoded with its own 3 learned merges — per-doc REAL subword
+    // token counts + an md5 of the encoded text, so the whole encode is
+    // hash-gated, not just counted. Oracle unrolls the same 3 rounds
+    // keeping doc_id through the rewrites.
+    "t65_bpe_encode" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val rules = TextAnalysis.bpeMergeRules(docs, "text", merges = 3)
+        .orderBy($"iter").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeEncode(docs, "doc_id", "text", rules)
+        .select($"doc_id", $"n_tokens", $"n_merged",
+          md5($"text_enc").as("enc_hash"))
+        .orderBy($"doc_id")
+    }),
+
     // fuzzy key matching (FastSS deletion neighborhoods): edit-
     // distance<=1 pairs over synthetic doc keys with PLANTED mutations
     // (every 5th doc carries its predecessor's key with one char
@@ -904,6 +921,42 @@ object TextOps extends QueryPack {
           UNION ALL SELECT 2, a, b, n FROM m2
           UNION ALL SELECT 3, a, b, n FROM m3)
         ORDER BY iter""",
+    // t64's induction unrolled with doc_id carried through the
+    // rewrites, then the final (3rd) merge applied too — the encoded
+    // corpus, gated per-doc by token count, merged-token count, and an
+    // md5 of the full encoded text
+    "t65_bpe_encode" ->
+      """WITH d0 AS (SELECT doc_id, text FROM documents),
+        p1 AS (SELECT tk[i] AS a, tk[i + 1] AS b, count(*) AS n
+          FROM (SELECT string_split(text, ' ') AS tk FROM d0),
+            LATERAL (SELECT unnest(range(1, len(tk))) AS i) u(i)
+          GROUP BY 1, 2),
+        m1 AS (SELECT a, b, n FROM p1 ORDER BY n DESC, a, b LIMIT 1),
+        d1 AS (SELECT doc_id, trim(replace(' ' || text || ' ',
+            (SELECT ' ' || a || ' ' || b || ' ' FROM m1),
+            (SELECT ' ' || a || '_' || b || ' ' FROM m1))) AS text FROM d0),
+        p2 AS (SELECT tk[i] AS a, tk[i + 1] AS b, count(*) AS n
+          FROM (SELECT string_split(text, ' ') AS tk FROM d1),
+            LATERAL (SELECT unnest(range(1, len(tk))) AS i) u(i)
+          GROUP BY 1, 2),
+        m2 AS (SELECT a, b, n FROM p2 ORDER BY n DESC, a, b LIMIT 1),
+        d2 AS (SELECT doc_id, trim(replace(' ' || text || ' ',
+            (SELECT ' ' || a || ' ' || b || ' ' FROM m2),
+            (SELECT ' ' || a || '_' || b || ' ' FROM m2))) AS text FROM d1),
+        p3 AS (SELECT tk[i] AS a, tk[i + 1] AS b, count(*) AS n
+          FROM (SELECT string_split(text, ' ') AS tk FROM d2),
+            LATERAL (SELECT unnest(range(1, len(tk))) AS i) u(i)
+          GROUP BY 1, 2),
+        m3 AS (SELECT a, b, n FROM p3 ORDER BY n DESC, a, b LIMIT 1),
+        d3 AS (SELECT doc_id, trim(replace(' ' || text || ' ',
+            (SELECT ' ' || a || ' ' || b || ' ' FROM m3),
+            (SELECT ' ' || a || '_' || b || ' ' FROM m3))) AS text FROM d2)
+        SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          CAST(len(list_filter(string_split(text, ' '),
+            x -> contains(x, '_'))) AS BIGINT) AS n_merged,
+          md5(text) AS enc_hash
+        FROM d3 ORDER BY doc_id""",
     // same deletion-neighborhood generation + levenshtein verify (an
     // integer DP, engine-independent); DISTINCT because equal or
     // near-equal keys share several variants

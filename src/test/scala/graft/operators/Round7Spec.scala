@@ -42,6 +42,51 @@ class Round7Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m.agg(sum("x")).head().getLong(0) == (2 to 100 by 2).sum)
   }
 
+  // ---- BPE encode (t65): the apply half of the t64 induction --------
+
+  test("bpeEncode matches a driver-side sequential-replace replay") {
+    import spark.implicits._
+    val texts = Map(
+      1L -> "a b a b c", 2L -> "a b c a b",
+      3L -> "c c a b", 4L -> "b c a b a")
+    val docs = texts.toSeq.toDF("doc_id", "text")
+    val rules = TextAnalysis.bpeMergeRules(docs, "text", merges = 2)
+      .orderBy($"iter").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val got = TextAnalysis.bpeEncode(docs, "doc_id", "text", rules)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    texts.foreach { case (id, text) =>
+      // reference semantics: leftmost non-overlapping space-padded
+      // replace per rule, in merge-priority order (plain Java replace)
+      val expected = rules.foldLeft(" " + text + " ") { case (t, (a, b)) =>
+        t.replace(s" $a $b ", s" ${a}_$b ")
+      }.trim
+      val toks = expected.split(" ").toSeq
+      assert(got(id) == (expected, toks.length.toLong,
+        toks.count(_.contains("_")).toLong), s"doc $id")
+    }
+  }
+
+  test("bpeEncode output feeds packSequences real subword token counts") {
+    import spark.implicits._
+    val docs = Seq(1L -> "a b a b a b", 2L -> "a b c", 3L -> "c c")
+      .toDF("doc_id", "text")
+    val rules = TextAnalysis.bpeMergeRules(docs, "text", merges = 1)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val enc = TextAnalysis.bpeEncode(docs, "doc_id", "text", rules)
+    val encCounts = enc.select($"doc_id", $"n_tokens").as[(Long, Long)]
+      .collect().toMap
+    // packSequences tokenizes textCol by space — handing it text_enc
+    // makes its n_tokens the REAL subword counts, not whitespace counts
+    val packed = TextAnalysis.packSequences(enc, "doc_id", "text_enc", 8)
+      .select($"doc_id", $"n_tokens".cast("long")).as[(Long, Long)]
+      .collect().toMap
+    assert(packed == encCounts)
+    // and the merge actually shrank the counts vs whitespace tokens
+    assert(encCounts(1L) < 6)
+  }
+
   // ---- GIF delta-frame compositing (ADVICE r6: raw rasters were
   // returned uncomposited, so offset/partial frames decoded wrong) ----
 
