@@ -127,8 +127,21 @@ object Rpc {
     case _ => throw new IllegalArgumentException(s"cannot coerce $x to ${tpe.canonical}")
   }
 
-  /** Real HTTP JSON-RPC transport (java.net.http, one client per JVM). */
-  final class HttpTransport(url: String) extends Transport {
+  /** Real HTTP JSON-RPC transport (java.net.http, one client per JVM)
+    * with bounded retry of RETRYABLE failures — 5xx, 429, and
+    * transport timeouts/IO errors — under linear backoff. What escapes
+    * after `maxAttempts` is then governed by the endpoint fragment
+    * flags: `#fail-on-retryable-error` (reference:
+    * examples/ethereum_token_erc20_balances/create_buffer.sql:46)
+    * propagates it and fails the batch (so the pipeline retrier can
+    * shrink and re-run); otherwise the row degrades to `{"error":…}`.
+    * Plain RPC-level errors (an `error` member in a 2xx response) and
+    * non-429 4xx are NOT retryable: re-sending an invalid request
+    * cannot help. */
+  final class HttpTransport(url: String,
+      requestTimeout: java.time.Duration = java.time.Duration.ofSeconds(300),
+      maxAttempts: Int = 3,
+      backoffMs: Long = 200L) extends Transport {
     private lazy val client = java.net.http.HttpClient.newBuilder()
       .connectTimeout(java.time.Duration.ofSeconds(10)).build()
     private val counter = new java.util.concurrent.atomic.AtomicLong()
@@ -137,14 +150,36 @@ object Rpc {
       val body = Json.render(Map(
         "jsonrpc" -> "2.0", "id" -> counter.incrementAndGet(),
         "method" -> method, "params" -> params))
+      var attempt = 1
+      while (true) {
+        try return callOnce(body)
+        catch {
+          case e: RpcException if e.retryable && attempt < maxAttempts =>
+            Thread.sleep(backoffMs * attempt)
+            attempt += 1
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    }
+
+    private def callOnce(body: String): String = {
       val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
         .header("Content-Type", "application/json")
         .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
-        .timeout(java.time.Duration.ofSeconds(300))
+        .timeout(requestTimeout)
         .build()
-      val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
-      if (resp.statusCode() / 100 != 2)
-        throw new RpcException(s"HTTP ${resp.statusCode()}", retryable = resp.statusCode() >= 500)
+      val resp =
+        try client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+        catch {
+          case e: java.net.http.HttpTimeoutException =>
+            throw new RpcException(s"timeout: ${e.getMessage}", retryable = true)
+          case e: java.io.IOException =>
+            throw new RpcException(s"io: ${e.getMessage}", retryable = true)
+        }
+      val code = resp.statusCode()
+      if (code / 100 != 2)
+        throw new RpcException(s"HTTP $code",
+          retryable = code >= 500 || code == 429)
       val doc = Json.parse(resp.body()).asInstanceOf[Map[String, Any]]
       doc.get("error") match {
         case Some(err: Map[_, _]) =>
