@@ -9,8 +9,23 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokens. */
-  def tokens(text: Column): Column = split(text, " ")
+  /** Whitespace tokens: ANY run of whitespace (spaces, tabs, newlines)
+    * separates tokens, and boundary whitespace yields no empty tokens —
+    * so real-world text tokenizes the way a human counts words. On
+    * single-space-normalized text (the oracle corpus, or anything put
+    * through [[normalizeWhitespace]]) this is exactly split-on-one-
+    * space, which is what the DuckDB oracles replay. */
+  def tokens(text: Column): Column =
+    split(regexp_replace(text, "^\\s+|\\s+$", ""), "\\s+")
+
+  /** Canonical whitespace normalization for raw corpora: collapse every
+    * whitespace run to one space and strip the boundaries. The
+    * single-space-contract operators (the [[TextDedup]] window/shingle
+    * family, [[repetitionSignals]], the BPE merge replay) assume this
+    * shape; applying it first makes their ' '-joined token arithmetic
+    * exact on arbitrary input. */
+  def normalizeWhitespace(text: Column): Column =
+    trim(regexp_replace(text, "\\s+", " "))
 
   /** Token statistics: whitespace tokens, distinct tokens, a cheap
     * BPE-ish subtoken estimate (ceil(len/4) pieces per token). */

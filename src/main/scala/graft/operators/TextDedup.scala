@@ -10,6 +10,13 @@ import org.apache.spark.sql.functions._
   * the LSH band buckets are shuffle keys, and every aggregation is
   * map-side-combinable. Hash functions are md5 (stable across engines
   * and runs) — signatures are reproducible and oracle-checkable.
+  *
+  * TOKENIZATION CONTRACT: every operator here splits on a SINGLE
+  * space (`split(text, " ")`), because window offsets, ' '-joined
+  * shingles and the SQL oracles all do token-index arithmetic on that
+  * exact shape. Raw corpora with tabs/newlines/multi-space runs must
+  * go through [[TextAnalysis.normalizeWhitespace]] first; after
+  * normalization the contract is equivalent to human word counting.
   */
 object TextDedup {
 

@@ -42,6 +42,34 @@ class Round7Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m.agg(sum("x")).head().getLong(0) == (2 to 100 by 2).sum)
   }
 
+  // ---- Tokenization contract (r6 "what's wrong" #3) -----------------
+
+  test("tokens() counts real-world whitespace like a human; normalize is its fixpoint") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "plain single spaced text"),
+      (2L, "tab\tseparated\twords"),
+      (3L, "  leading and   multi  spaced trailing  "),
+      (4L, "line\nbreaks\r\ncount\ntoo"),
+      (5L, "mixed \t \n all kinds")).toDF("doc_id", "text")
+    val counts = TextAnalysis.tokenStats(docs, "doc_id", "text")
+      .select($"doc_id", $"n_tokens").as[(Long, Int)].collect().toMap
+    assert(counts == Map(1L -> 4, 2L -> 3, 3L -> 5, 4L -> 4, 5L -> 3))
+    // tokens of raw text == tokens of normalized text (the contract
+    // bridge: wide tokenization is normalization-invariant)
+    val raw = docs.select($"doc_id", TextAnalysis.tokens($"text").as("tk"))
+    val norm = docs.select($"doc_id",
+      TextAnalysis.tokens(TextAnalysis.normalizeWhitespace($"text")).as("tk"))
+    assert(raw.as[(Long, Seq[String])].collect().toMap ==
+      norm.as[(Long, Seq[String])].collect().toMap)
+    // and on already-normalized text the wide split IS the single-space
+    // split the oracles replay
+    val single = docs.select($"doc_id",
+      split(TextAnalysis.normalizeWhitespace($"text"), " ").as("tk"))
+    assert(norm.as[(Long, Seq[String])].collect().toMap ==
+      single.as[(Long, Seq[String])].collect().toMap)
+  }
+
   // ---- BPE encode (t65): the apply half of the t64 induction --------
 
   test("bpeEncode matches a driver-side sequential-replace replay") {
