@@ -796,6 +796,38 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** FAISS-style REFINE/RERANK stage completing the IVFPQ recipe
+    * (IndexRefineFlat): [[ivfSearchPq]] orders a candidate pool of
+    * `candK` per query by ADC — cheap (m byte lookups per pair) but
+    * approximate, so quantization error can misorder near-ties — then
+    * ONLY those candidates are re-scored with the exact float vectors
+    * and the top `k` by exact cosine survive. Recall at k can only
+    * improve over taking ivfSearchPq's own top-k: the exact pass
+    * re-sorts a superset of it under the true metric. Cost: candK
+    * exact 4·dim-byte scores per query on top of the ADC scan — the
+    * standard accuracy/IO dial, still never touching the full corpus
+    * with floats. */
+  def ivfSearchPqRerank(corpus: DataFrame, queries: DataFrame, k: Int,
+      candK: Int = 20, nCentroids: Int = 8, nprobe: Int = 2,
+      m: Int = 8, codebookSize: Int = 16, dim: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(candK >= k, s"candidate pool candK=$candK must cover k=$k")
+    val cand = ivfSearchPq(corpus, queries, candK, nCentroids, nprobe,
+        m, codebookSize, dim, idCol, vecCol)
+      .select(col("qid"), col("vec_id"))
+    val cv = corpus.select(col(idCol).cast("long").as("vec_id"),
+      col(vecCol).as("cv"))
+    val qv = queries.select(col(idCol).cast("long").as("qid"),
+      col(vecCol).as("qv"))
+    val exact = cand.join(cv, Seq("vec_id")).join(broadcast(qv), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    exact.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Asymmetric-distance (ADC) top-k over PQ codes: approximate
     * cos(q, x) from the codes alone — dot(q, x) ~ sum_s of
     * dot(q_s, C_s[code_s]) and |x| ~ sqrt(sum_s |C_s[code_s]|^2), both

@@ -142,6 +142,18 @@ object SimilarityOps extends QueryPack {
         .orderBy($"qid", $"rank")
     }),
 
+    // IVFPQ + exact refine (FAISS IndexRefineFlat): s53's ADC ordering
+    // picks a 20-candidate pool, the float vectors exact-rescore just
+    // that pool, top-5 by true cosine survive — the recall-recovery
+    // stage that completes the recipe.
+    "s55_ivf_pq_rerank" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfSearchPqRerank(emb, emb.filter($"vec_id" < 10),
+          k = 5, candK = 20)
+        .orderBy($"qid", $"rank")
+    }),
+
     // The embedding-side curation composition (the s-series analog of
     // t53): exact dedup on identical vectors → near-dup removal via
     // the SCALE path (SRP-LSH with bits derived from the DEDUPED
@@ -513,6 +525,77 @@ object SimilarityOps extends QueryPack {
         ranked AS (SELECT *, row_number() OVER
           (PARTITION BY qid ORDER BY adc_cos DESC, vec_id) AS rank FROM scored)
         SELECT qid, vec_id, adc_cos, rank FROM ranked WHERE rank <= 5
+        ORDER BY qid, rank""",
+    // s55 = the s53 pipeline widened to a 20-candidate ADC pool, then
+    // exact-cosine rescored (the cosSql fold, same as s41) and
+    // re-ranked — only the pool changes engine-side state, so the
+    // replay is s53's CTE chain + a 3-CTE refine tail
+    "s55_ivf_pq_rerank" ->
+      s"""WITH icents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+          WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+        idists AS (SELECT e.vec_id, c.cid,
+          round(list_sum(list_transform(range(1, 65), i ->
+            (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)) *
+            (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)))), 6) AS d
+          FROM embeddings e, icents c),
+        assigned AS (SELECT vec_id, cid AS centroid_id FROM
+          (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+           FROM idists) WHERE rn = 1),
+        q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        qd AS (SELECT q.qid, c.cid,
+          round(list_sum(list_transform(range(1, 65), i ->
+            (CAST(q.qv[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)) *
+            (CAST(q.qv[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)))), 6) AS cd
+          FROM q, icents c),
+        probes AS (SELECT qid, cid FROM
+          (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cd, cid) AS pr
+           FROM qd) WHERE pr <= 2),
+        pcents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ord,
+            embedding AS cv
+          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+        cb AS (SELECT s, ord, list_transform(range(1, 9), j ->
+            CAST(cv[s*8+j] AS DOUBLE)) AS sub
+          FROM pcents, range(0, 8) t(s)),
+        pdists AS (SELECT e.vec_id, cb.s, cb.ord,
+            round(list_sum(list_transform(range(1, 9), j ->
+              (CAST(e.embedding[cb.s*8+j] AS DOUBLE) - cb.sub[j]) *
+              (CAST(e.embedding[cb.s*8+j] AS DOUBLE) - cb.sub[j]))), 6) AS d
+          FROM embeddings e, cb),
+        codes AS (SELECT vec_id, s, ord FROM
+          (SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, ord) AS rn
+           FROM pdists) WHERE rn = 1),
+        contribs AS (SELECT p.qid, a.vec_id, c.s,
+            list_sum(list_transform(range(1, 9), j ->
+              CAST(q.qv[c.s*8+j] AS DOUBLE) * cb.sub[j])) AS dotc,
+            list_sum(list_transform(range(1, 9), j -> cb.sub[j] * cb.sub[j])) AS csq
+          FROM probes p
+          JOIN q ON q.qid = p.qid
+          JOIN assigned a ON a.centroid_id = p.cid
+          JOIN codes c ON c.vec_id = a.vec_id
+          JOIN cb ON cb.s = c.s AND cb.ord = c.ord
+          WHERE a.vec_id <> p.qid),
+        agg AS (SELECT qid, vec_id,
+            list_sum(list(dotc ORDER BY s)) AS adc,
+            list_sum(list(csq ORDER BY s)) AS nsq
+          FROM contribs GROUP BY qid, vec_id),
+        qn AS (SELECT qid, sqrt(list_sum(list_transform(range(1, 65), i ->
+            CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))) AS qnrm FROM q),
+        adcscored AS (SELECT agg.qid, agg.vec_id,
+            CASE WHEN qn.qnrm * sqrt(agg.nsq) = 0 THEN 0.0
+              ELSE round(agg.adc / (qn.qnrm * sqrt(agg.nsq)), 6) END AS adc_cos
+          FROM agg JOIN qn ON qn.qid = agg.qid),
+        pool AS (SELECT qid, vec_id FROM
+          (SELECT *, row_number() OVER
+            (PARTITION BY qid ORDER BY adc_cos DESC, vec_id) AS rank
+           FROM adcscored) WHERE rank <= 20),
+        exact AS (SELECT pool.qid, pool.vec_id,
+            ${cosSql("q.qv", "e.embedding")} AS cos_sim
+          FROM pool
+          JOIN q ON q.qid = pool.qid
+          JOIN embeddings e ON e.vec_id = pool.vec_id),
+        rr AS (SELECT *, row_number() OVER
+          (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rank FROM exact)
+        SELECT qid, vec_id, cos_sim, rank FROM rr WHERE rank <= 5
         ORDER BY qid, rank""",
     // s49 composes the proven fragments: identical-vector dedup, the
     // s46 SRP replay with nb/sgn derived from the DEDUPED set d, the
