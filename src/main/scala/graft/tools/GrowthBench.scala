@@ -1,0 +1,83 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Growth evidence runner: time a fixed set of DATA-PROPORTIONAL
+  * headline queries (the pipeline/streaming families are trigger-
+  * latency-bound, so they are excluded by design) against two or more
+  * data dirs — typically sf0.1 and a [[ScaleUp]]-generated 10x copy —
+  * and emit one JSON line per dir plus a growth-ratio summary. An
+  * operator whose warm time grows ~linearly with the data (after fixed
+  * job overhead) has no hidden quadratic; one that bends super-linear
+  * is a scale bug.
+  *
+  * Usage: GrowthBench <outJson> <dir1> <dir2> [...]
+  */
+object GrowthBench {
+
+  /** Data-proportional headline set: the heaviest relational kernels
+    * plus every dedup/quality/ANN family representative. s48 is
+    * deliberately absent: the gated query pins nCentroids=8, and at a
+    * FIXED centroid count SemDeDup is per-cluster quadratic by spec —
+    * its corpus-linear contract needs centroids ~ sqrt(n), which is
+    * exactly what the ScaleCheck sweep runs (and shows linear). */
+  val names: Seq[String] = Seq(
+    "q01_agg", "q35_percentile", "q44_funnel", "q47_weighted_quantile",
+    "t31_dedup_exact", "t38_minhash_lsh_pairs", "t39_simhash_pairs",
+    "t48_decontaminate", "t51_dup_substring", "t56_dup_substring_remove",
+    "t57_bigram_lm", "t59_token_budget", "t60_bm25", "t61_paragraph_dedup",
+    "t64_bpe_merges", "t65_bpe_encode",
+    "s46_cosine_dup_lsh", "s49_embed_curate",
+    "s54_diversity_select")
+
+  private def r3(d: Double): Double = math.rint(d * 1000) / 1000
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3, "usage: GrowthBench <outJson> <dir1> <dir2> [...]")
+    val outPath = args(0)
+    val dirs = args.drop(1).toSeq
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val run = names.filter(graft.SparkEntry.queries.contains)
+    val results = dirs.map { dir =>
+      dir -> run.map { name =>
+        val fn = graft.SparkEntry.queries(name)
+        // cold + warm: first run pays codegen/scan setup, second is the
+        // data-proportional number the growth ratio uses
+        val times = (0 until 2).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, dir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[growth] $dir $name%-26s cold=${times(0)}%7.2f warm=${times(1)}%7.2f")
+        name -> times
+      }
+    }
+    def jq(rs: Seq[(String, Seq[Double])]): String =
+      rs.map { case (n, ts) =>
+        "\"" + n + "\":[" + ts.map(r3).mkString(",") + "]"
+      }.mkString(",")
+    val ratios =
+      if (results.length == 2) {
+        val base = results.head._2.toMap
+        results(1)._2.map { case (n, ts) =>
+          val b = base(n)(1)
+          "\"" + n + "\":" + (if (b > 0) r3(ts(1) / b) else -1.0)
+        }.mkString(",")
+      } else ""
+    val json =
+      s"""{"metric":"growth","dirs":{${results.map { case (d, rs) =>
+          "\"" + d + "\":{" + jq(rs) + "}" }.mkString(",")}},""" +
+      s""""warm_ratio":{$ratios}}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
+    println(json)
+    spark.stop()
+  }
+}
