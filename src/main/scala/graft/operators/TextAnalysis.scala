@@ -504,6 +504,45 @@ object TextAnalysis {
     learned.result().toDF("iter", "tok_a", "tok_b", "pair_count")
   }
 
+  /** Character-level Shannon entropy per document — the classic cheap
+    * gibberish / compressibility screen (low entropy = repeated-char
+    * filler, high entropy near log(alphabet) = random noise; real prose
+    * sits in a narrow band). One fused per-row kernel, zero shuffles
+    * (the [[repetitionSignals]] precedent). Fold order is PINNED: the
+    * -p·ln(p) terms sum in ascending character order (TreeMap walk ==
+    * the oracle's `list(term ORDER BY c)` under binary collation on the
+    * ASCII corpus), ln is bit-identical across JVM and DuckDB libm on
+    * identical operands, and final values round to 6 decimals half-up
+    * on both sides. Returns (doc_id, char_entropy, n_distinct_chars,
+    * distinct_char_ratio). */
+  def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    docs.select(col(idCol).as("doc_id"),
+        charEntropyKernel(col(textCol)).as("_e"))
+      .select(col("doc_id"),
+        col("_e._1").as("char_entropy"),
+        col("_e._2").as("n_distinct_chars"),
+        col("_e._3").as("distinct_char_ratio"))
+  }
+
+  private def round6k(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private val charEntropyKernel = udf((text: String) => {
+    if (text == null || text.isEmpty) (0.0, 0, 0.0)
+    else {
+      val m = new java.util.TreeMap[String, Long]()
+      var i = 0
+      while (i < text.length) {
+        m.merge(String.valueOf(text.charAt(i)), 1L, _ + _)
+        i += 1
+      }
+      val tot = text.length.toDouble
+      var acc = 0.0
+      m.forEach((_, n) => { val p = n / tot; acc += p * math.log(p) })
+      (round6k(-acc), m.size, round6k(m.size / tot))
+    }
+  })
+
   /** BPE ENCODE — apply a learned merge list (the [[bpeMergeRules]]
     * output, in iteration order) to the corpus. BPE encoding is greedy
     * by merge PRIORITY: rule 1 rewrites everywhere before rule 2 looks

@@ -273,6 +273,58 @@ object TextDedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** CROSS-corpus near-duplicate pairs — the near-dup tier of benchmark
+    * decontamination: [[contaminationOverlap]] screens EXACT n-gram
+    * overlap; this catches paraphrased or partially-copied benchmark
+    * documents that exact overlap understates. The corpus's MinHash
+    * band buckets join the PROBE set's buckets (corpus-x-probe, not a
+    * self-join) and candidates verify with exact cross Jaccard, so the
+    * output has no false positives. Scale shape: band hashing is
+    * constant work per corpus doc, and the probe side (an eval
+    * benchmark) is tiny next to a training corpus — its banded frame
+    * broadcasts, so the corpus side never shuffles for candidate
+    * generation; verification touches candidate docs only. Output one
+    * (doc_id, probe_id, jaccard) row per pair at or above `threshold`;
+    * a probe drawn from the corpus never matches itself (id guard). */
+  def crossNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      probes: DataFrame, probeIdCol: String, probeTextCol: String,
+      threshold: Double, bands: Int = 8, rowsPerBand: Int = 2,
+      k: Int = 3): DataFrame = {
+    def bandKeys(df: DataFrame, id: String, text: String): DataFrame =
+      withMinHash(df, id, text, bands * rowsPerBand, k)
+        .select(col("doc_id"), posexplode(
+          array((0 until bands).map(b =>
+            md5(concat_ws("|", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))): _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    val cand = Materialize.eager(
+      bandKeys(docs, idCol, textCol).as("x")
+        .join(broadcast(bandKeys(probes, probeIdCol, probeTextCol).as("y")),
+          col("x.band") === col("y.band") &&
+            col("x.band_key") === col("y.band_key") &&
+            col("x.doc_id") =!= col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct())
+    // two-sided verify, shingling only the candidate docs of each side
+    val shA = shingleHashIndex(docs.join(
+        cand.select(col("doc_a").as("_cid")).distinct(),
+        col(idCol) === col("_cid"), "left_semi"), idCol, textCol, k)
+    val shB = shingleHashIndex(probes.join(
+        cand.select(col("doc_b").as("_cid")).distinct(),
+        col(probeIdCol) === col("_cid"), "left_semi"),
+      probeIdCol, probeTextCol, k)
+    val sa = shA.groupBy(col("doc_id")).agg(count(lit(1)).as("na"))
+    val sb = shB.groupBy(col("doc_id")).agg(count(lit(1)).as("nb"))
+    shA.as("a").join(shB.as("b"), col("a.shingle") === col("b.shingle"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("c"))
+      .join(cand, Seq("doc_a", "doc_b"), "left_semi")
+      .join(sa.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+      .join(sb.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"))
+      .select(col("doc_a").as("doc_id"), col("doc_b").as("probe_id"),
+        (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Benchmark decontamination check: per corpus document, how many of
     * its distinct k-shingles appear anywhere in the probe set (an eval
     * benchmark) — the n-gram-overlap screen run before training on a

@@ -257,6 +257,27 @@ object TextOps extends QueryPack {
         .orderBy($"doc_id")
     }),
 
+    // cross-corpus NEAR-dup decontamination (t48 screens exact n-gram
+    // overlap; this catches paraphrased benchmark copies): corpus band
+    // buckets x probe band buckets (probe = first 50 docs, the t48
+    // convention), exact cross-Jaccard verify.
+    "t66_cross_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      TextDedup.crossNearDupPairs(docs, "doc_id", "text",
+          docs.filter($"doc_id" < 50), "doc_id", "text", 0.5)
+        .orderBy($"doc_id", $"probe_id")
+    }),
+
+    // character-entropy quality signal (gibberish / compressibility
+    // screen): pinned ascending-char fold, ln bit-identical across
+    // engines, 6-decimal rounding both sides.
+    "t67_char_entropy" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.charEntropy(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy($"doc_id")
+    }),
+
     // fuzzy key matching (FastSS deletion neighborhoods): edit-
     // distance<=1 pairs over synthetic doc keys with PLANTED mutations
     // (every 5th doc carries its predecessor's key with one char
@@ -972,6 +993,55 @@ object TextOps extends QueryPack {
             x -> contains(x, '_'))) AS BIGINT) AS n_merged,
           md5(text) AS enc_hash
         FROM d3 ORDER BY doc_id""",
+    // t38's replay restricted to corpus x probe (doc_id < 50) bands —
+    // same shingle/signature/band derivation, cross candidates, exact
+    // cross-Jaccard verify
+    "t66_cross_neardup" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (SELECT doc_id, list_transform(range(1, greatest(len(w)-2,0)+1),
+          i -> w[i]||' '||w[i+1]||' '||w[i+2]) AS shingles FROM words),
+        sigs AS (SELECT doc_id, list_transform(range(0,16),
+          i -> list_aggregate(list_transform(shingles,
+            s -> md5(CAST(i AS VARCHAR)||':'||s)), 'min')) AS sig FROM sh),
+        bands AS (SELECT doc_id, b, md5(sig[b*2+1]||'|'||sig[b*2+2]) AS band_key
+          FROM sigs, range(0,8) t(b)),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, p.doc_id AS doc_b
+          FROM bands a JOIN bands p ON a.b = p.b AND a.band_key = p.band_key
+          WHERE p.doc_id < 50 AND a.doc_id <> p.doc_id),
+        d AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM d GROUP BY doc_id),
+        common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+          FROM d a JOIN d b ON a.shingle = b.shingle
+          WHERE b.doc_id < 50 AND a.doc_id <> b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+        jac AS (SELECT common.doc_a, common.doc_b,
+            CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+          FROM common
+          JOIN cand ON common.doc_a = cand.doc_a AND common.doc_b = cand.doc_b
+          JOIN sizes sa ON common.doc_a = sa.doc_id
+          JOIN sizes sb ON common.doc_b = sb.doc_id)
+        SELECT doc_a AS doc_id, doc_b AS probe_id, jaccard FROM jac
+        WHERE jaccard >= 0.5 ORDER BY doc_id, probe_id""",
+    // per-char counts -> -p*ln(p) terms folded in ascending char order
+    // (binary collation == the kernel's TreeMap walk on ASCII), round 6
+    "t67_char_entropy" ->
+      """WITH chars AS (SELECT doc_id,
+            unnest(list_transform(range(1, length(text)+1),
+              i -> text[CAST(i AS INTEGER)])) AS c
+          FROM documents),
+        counts AS (SELECT doc_id, c, count(*) AS n FROM chars GROUP BY doc_id, c),
+        tot AS (SELECT doc_id, CAST(sum(n) AS DOUBLE) AS tot,
+            count(*) AS nd FROM counts GROUP BY doc_id),
+        terms AS (SELECT counts.doc_id, c,
+            (CAST(n AS DOUBLE) / tot) * ln(CAST(n AS DOUBLE) / tot) AS term
+          FROM counts JOIN tot ON tot.doc_id = counts.doc_id),
+        ent AS (SELECT doc_id,
+            round(-list_sum(list(term ORDER BY c)), 6) AS char_entropy
+          FROM terms GROUP BY doc_id)
+        SELECT e.doc_id, char_entropy,
+          CAST(nd AS INTEGER) AS n_distinct_chars,
+          round(CAST(nd AS DOUBLE) / tot, 6) AS distinct_char_ratio
+        FROM ent e JOIN tot ON tot.doc_id = e.doc_id ORDER BY e.doc_id""",
     // same deletion-neighborhood generation + levenshtein verify (an
     // integer DP, engine-independent); DISTINCT because equal or
     // near-equal keys share several variants

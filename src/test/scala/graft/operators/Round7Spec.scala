@@ -142,6 +142,48 @@ class Round7Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(encCounts(1L) < 6)
   }
 
+  // ---- t66 cross near-dup / t67 char entropy ------------------------
+
+  test("crossNearDupPairs agrees with the self-join pairs on probe-involving pairs") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val probes = docs.filter($"doc_id" < 50)
+    val cross = TextDedup.crossNearDupPairs(docs, "doc_id", "text",
+        probes, "doc_id", "text", 0.5)
+      .select($"doc_id".cast("long"), $"probe_id".cast("long"))
+      .as[(Long, Long)].collect()
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val self = TextDedup.minHashLshPairs(docs, "doc_id", "text", 0.5)
+      .select($"doc_a".cast("long"), $"doc_b".cast("long"))
+      .as[(Long, Long)].collect()
+      .filter { case (a, b) => a < 50 || b < 50 }.toSet
+    // exact-Jaccard verification makes both outputs candidate-
+    // independent, so the unordered pair sets must coincide
+    assert(cross == self, s"cross=$cross self=$self")
+  }
+
+  test("charEntropy: uniform text hits ln(alphabet), skew lowers it, fold replays") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "abab"),            // uniform over {a,b} -> ln 2
+      (2L, "aaab"),            // skewed -> below ln 2
+      (3L, "abcdabcdabcd"),    // uniform over 4 -> ln 4
+      (4L, "zzzz")             // single char -> 0
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.charEntropy(docs, "doc_id", "text")
+      .select($"doc_id", $"char_entropy", $"n_distinct_chars")
+      .as[(Long, Double, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == (r6(math.log(2)), 2))
+    assert(got(2L)._1 < math.log(2) && got(2L)._1 > 0)
+    // replay doc 2's pinned fold: terms in ascending char order
+    val pA = 3.0 / 4; val pB = 1.0 / 4
+    assert(got(2L)._1 == r6(-(pA * math.log(pA) + pB * math.log(pB))))
+    assert(got(3L) == (r6(math.log(4)), 4))
+    assert(got(4L) == (0.0, 1))
+  }
+
   // ---- GIF delta-frame compositing (ADVICE r6: raw rasters were
   // returned uncomposited, so offset/partial frames decoded wrong) ----
 
