@@ -449,6 +449,125 @@ object Multimodal {
     out
   }
 
+  /** 64-bit perceptual hash (pHash) of an image payload — the IMAGE
+    * near-duplicate signature completing the dedup ladder (exact bytes
+    * → text shingles → embeddings → pixels): decode → BT.601 luma →
+    * 32x32 integer box-average resample (no Graphics2D scaling — its
+    * filtering is implementation-defined) → 2D DCT-II via StrictMath
+    * (bit-reproducible across JVMs, unlike Math.cos's 1-ulp license) →
+    * the 8x8 low-frequency block → median threshold over the 63
+    * non-DC coefficients → one bit each (bit 63 stays 0). Recompressed
+    * or lightly-edited images land within a few bits; unrelated images
+    * scatter to ~32. None for undecodable payloads. */
+  private[operators] def pHash64(payload: Array[Byte]): Option[Long] =
+    decodeImage(payload).map { img =>
+      val luma = lumaPlane(img)
+      val w = img.getWidth
+      val h = img.getHeight
+      // integer box-average to 32x32 (cell sums exact, one division)
+      val g = new Array[Double](32 * 32)
+      var cy = 0
+      while (cy < 32) {
+        val y0 = cy * h / 32; val y1 = math.max((cy + 1) * h / 32, y0 + 1)
+        var cx = 0
+        while (cx < 32) {
+          val x0 = cx * w / 32; val x1 = math.max((cx + 1) * w / 32, x0 + 1)
+          var s = 0L
+          var y = y0
+          while (y < math.min(y1, h)) {
+            var x = x0
+            while (x < math.min(x1, w)) { s += luma(y * w + x) & 0xff; x += 1 }
+            y += 1
+          }
+          val n = (math.min(y1, h) - y0).toLong * (math.min(x1, w) - x0)
+          g(cy * 32 + cx) = if (n > 0) s.toDouble / n else 0.0
+          cx += 1
+        }
+        cy += 1
+      }
+      // separable 2D DCT-II, only the u,v < 8 block is needed
+      val coef = new Array[Double](64)
+      var u = 0
+      while (u < 8) {
+        var v = 0
+        while (v < 8) {
+          var acc = 0.0
+          var y = 0
+          while (y < 32) {
+            var x = 0
+            while (x < 32) {
+              acc += g(y * 32 + x) *
+                StrictMath.cos((2 * y + 1) * u * StrictMath.PI / 64.0) *
+                StrictMath.cos((2 * x + 1) * v * StrictMath.PI / 64.0)
+              x += 1
+            }
+            y += 1
+          }
+          coef(u * 8 + v) = acc
+          v += 1
+        }
+        u += 1
+      }
+      val ac = coef.drop(1) // 63 non-DC coefficients, (u,v) order
+      val median = ac.sorted.apply(31)
+      var bits = 0L
+      var i = 0
+      while (i < 63) {
+        if (ac(i) > median) bits |= 1L << i
+        i += 1
+      }
+      bits
+    }
+
+  private val pHashUdf = udf((payload: Array[Byte]) => pHash64(payload))
+
+  /** Image near-duplicate pairs by pHash hamming distance: 4 chunk
+    * buckets of 16 bits per hash — by pigeonhole, any pair within
+    * hamming distance <= 3 shares at least one intact chunk, so the
+    * bucket join (the simHash precedent) finds every such pair with
+    * constant per-image work; `bit_count(a ^ b)` verifies exactly, so
+    * no false positives. Undecodable payloads drop out (no hash). */
+  def pHashPairs(media: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist < 4, "4 x 16-bit chunks guarantee recall only for maxDist <= 3")
+    val hashed = media.select(col("doc_id"), pHashUdf(col("payload")).as("ph"))
+      .filter(col("ph").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val chunks = hashed.select(col("doc_id"), posexplode(
+      array((0 until 4).map(c =>
+        shiftright(col("ph"), c * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ckey")
+    val cand = Materialize.eager(chunks.as("x").join(chunks.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.ckey") === col("y.ckey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct())
+    val out = cand
+      .join(hashed.select(col("doc_id").as("doc_a"), col("ph").as("pha")), Seq("doc_a"))
+      .join(hashed.select(col("doc_id").as("doc_b"), col("ph").as("phb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("pha").bitwiseXOR(col("phb"))).as("dist"))
+      .filter(col("dist") <= maxDist)
+    hashed.unpersist(blocking = false)
+    out
+  }
+
+  /** [[syntheticPng]] with a small planted edit (a +delta luma patch on
+    * a 3x3 corner block) — the perceptual-near-duplicate fixture for
+    * the pHash gate: same texture, slightly different pixels. */
+  def syntheticPngVariant(id: Long, delta: Int = 12,
+      w: Int = 16, h: Int = 16): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(syntheticPng(id, w, h)))
+    for (y <- 0 until 3; x <- 0 until 3) {
+      val rgb = img.getRGB(x, y)
+      def bump(v: Int) = math.min(255, v + delta)
+      img.setRGB(x, y,
+        (bump((rgb >> 16) & 0xff) << 16) | (bump((rgb >> 8) & 0xff) << 8) |
+          bump(rgb & 0xff))
+    }
+    encodePng(img)
+  }
+
   /** Deterministic multi-frame grayscale GIF for doc `id`: frame f's
     * pixel (x,y) is a pure integer function of (id, f, x, y). Gray in =
     * gray out (the GIF palette covers all 256 grays, and BT.601 luma of

@@ -471,6 +471,22 @@ object StreamingOps extends QueryPack {
       val media = s.range(0, 40)
         .select(col("id").as("doc_id"), png(col("id")).as("payload"))
       Multimodal.extractFeatures(media).toDF().orderBy(col("doc_id"))
+    }),
+
+    // IMAGE near-dup pairs via pHash (32x32 box resample → StrictMath
+    // DCT-II → 8x8 median bits): 20 base PNGs + 20 lightly-edited
+    // variants (id >= 20 edits id-20); 16-bit chunk-bucket candidates
+    // (pigeonhole-complete for dist <= 3), bit_count verify. The codec
+    // + DCT path a DuckDB oracle cannot replay — pinned golden gate
+    // (the m75/m76 precedent).
+    "m78_phash_pairs" -> ((s, dir) => {
+      val png = udf((id: Long) =>
+        if (id < 20) Multimodal.syntheticPng(id)
+        else Multimodal.syntheticPngVariant(id - 20))
+      val media = s.range(0, 40)
+        .select(col("id").as("doc_id"), png(col("id")).as("payload"))
+      Multimodal.pHashPairs(media, maxDist = 3)
+        .orderBy(col("doc_a"), col("doc_b"))
     })
   )
 

@@ -184,6 +184,22 @@ class Round7Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(4L) == (0.0, 1))
   }
 
+  // ---- m78 pHash image near-dup --------------------------------------
+
+  test("pHashPairs finds planted image near-dups with no cross pairs") {
+    import spark.implicits._
+    val png = udf((id: Long) =>
+      if (id < 20) Multimodal.syntheticPng(id)
+      else Multimodal.syntheticPngVariant(id - 20))
+    val media = spark.range(0, 40)
+      .select(col("id").as("doc_id"), png(col("id")).as("payload"))
+    val pairs = Multimodal.pHashPairs(media, maxDist = 3)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val planted = (0L until 20L).map(i => (i, i + 20)).toSet
+    assert(pairs.subsetOf(planted), s"false positives: ${pairs -- planted}")
+    assert(pairs.size >= 15, s"found only ${pairs.size} of 20 planted near-dups")
+  }
+
   // ---- GIF delta-frame compositing (ADVICE r6: raw rasters were
   // returned uncomposited, so offset/partial frames decoded wrong) ----
 
