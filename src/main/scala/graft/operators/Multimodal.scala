@@ -519,7 +519,7 @@ object Multimodal {
       bits
     }
 
-  private val pHashUdf = udf((payload: Array[Byte]) => pHash64(payload))
+  private[operators] val pHashUdf = udf((payload: Array[Byte]) => pHash64(payload))
 
   /** Image near-duplicate pairs by pHash hamming distance: 4 chunk
     * buckets of 16 bits per hash — by pigeonhole, any pair within

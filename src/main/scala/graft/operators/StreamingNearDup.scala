@@ -9,6 +9,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * agreement in this band's bucket), or None. */
 case class BandVerdict(doc_id: Long, band: Int, dup_src: Option[Long])
 
+/** One image near-dup verdict per (document, pHash chunk): `dup_src`
+  * is the lowest earlier document within hamming `maxDist` of this
+  * one's pHash (consulted in this chunk's bucket), or None. */
+case class ChunkVerdict(doc_id: Long, chunk: Int, dup_src: Option[Long])
+
 /** Streaming NEAR-dup dedup across micro-batches — the ingest-pipeline
   * operator st65's exact `dropDuplicates` cannot express: a re-delivered
   * document that was also EDITED (tail appended, boilerplate injected)
@@ -80,6 +85,47 @@ object StreamingNearDup {
             } match { case Nil => None; case xs => Some(xs.min) }
             seen = (id, sig) :: seen
             BandVerdict(id, band, dupSrc)
+          }
+          state.update(seen)
+          out.iterator
+      }
+  }
+
+  /** Streaming IMAGE near-dup dedup — the pixel tier of the ingest
+    * ladder ([[bandVerdicts]] covers edited text; this covers
+    * recompressed / lightly-edited images): arriving payloads pHash
+    * ([[Multimodal.pHash64]]) and bucket by 16-bit hash chunks —
+    * pigeonhole-complete for hamming distance <= 3 — with
+    * `flatMapGroupsWithState` per (chunk, value) holding the
+    * (doc_id, hash) list seen so far. An arrival is a duplicate of the
+    * lowest earlier id within `maxDist` bits. Same determinism
+    * contract as bandVerdicts: id-ordered fold within a batch,
+    * id-monotonic delivery across batches == the batch replay. State
+    * per bucket is 16 bytes/member; undecodable payloads carry no
+    * hash and pass through unjudged (they are not images). */
+  def pHashVerdicts(media: DataFrame, idCol: String, payloadCol: String,
+      maxDist: Int = 3): Dataset[ChunkVerdict] = {
+    require(maxDist < 4, "4 x 16-bit chunks guarantee recall only for maxDist <= 3")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val hashed = media.select(col(idCol).cast("long").as("doc_id"),
+        Multimodal.pHashUdf(col(payloadCol)).as("ph"))
+      .filter(col("ph").isNotNull)
+    val chunked = hashed.select(col("doc_id"), col("ph"), posexplode(
+        array((0 until 4).map(c =>
+          shiftright(col("ph"), c * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .as[(Long, Long, Int, Long)]
+    chunked.groupByKey { case (_, _, chunk, key) => (chunk, key) }
+      .flatMapGroupsWithState[List[(Long, Long)], ChunkVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((chunk, _), rows, state: GroupState[List[(Long, Long)]]) =>
+          var seen = state.getOption.getOrElse(Nil)
+          val out = rows.toSeq.sortBy(_._1).map { case (id, ph, _, _) =>
+            val dupSrc = seen.collect {
+              case (eid, eph) if java.lang.Long.bitCount(ph ^ eph) <= maxDist => eid
+            } match { case Nil => None; case xs => Some(xs.min) }
+            seen = (id, ph) :: seen
+            ChunkVerdict(id, chunk, dupSrc)
           }
           state.update(seen)
           out.iterator

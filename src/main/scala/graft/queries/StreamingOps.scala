@@ -487,6 +487,52 @@ object StreamingOps extends QueryPack {
         .select(col("id").as("doc_id"), png(col("id")).as("payload"))
       Multimodal.pHashPairs(media, maxDist = 3)
         .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Streaming IMAGE near-dup dedup (the pixel tier of st68's ladder):
+    // micro-batch 1 delivers 20 base PNGs, micro-batch 2 their
+    // lightly-EDITED re-uploads under new ids — exact dedup can't
+    // catch them, pHash chunk-bucket state does. Codec + StrictMath
+    // DCT path — pinned golden gate.
+    "st72_stream_phash_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val name = "st72_out"
+      val staged = stagingDir("graft-stream-phash")
+      val png = udf((id: Long) =>
+        if (id < 1000000L) Multimodal.syntheticPng(id)
+        else Multimodal.syntheticPngVariant(id - 1000000L))
+      def stageBatch(ids: org.apache.spark.sql.Dataset[java.lang.Long],
+          fname: String, ageMs: Long): Unit = {
+        val tmp = staged.resolve(fname + ".tmp")
+        ids.toDF("doc_id").select(col("doc_id"), png(col("doc_id")).as("payload"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, staged.resolve(fname))
+        staged.resolve(fname).toFile.deleteOnExit()
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        java.nio.file.Files.setLastModifiedTime(staged.resolve(fname),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - ageMs))
+      }
+      stageBatch(s.range(0, 20).as[java.lang.Long], "a.parquet", 120000L)
+      stageBatch(s.range(1000000L, 1000020L).as[java.lang.Long], "b.parquet", 0L)
+      val mediaSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("payload", BinaryType)))
+      val stream = s.readStream.schema(mediaSchema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+        .repartition(col("doc_id"))
+      val verdicts = graft.operators.StreamingNearDup.pHashVerdicts(
+        stream, "doc_id", "payload")
+      val q = verdicts.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+      s.table(name)
+        .groupBy(col("doc_id"))
+        .agg(min(col("dup_src")).as("dup_src"))
+        .select(col("doc_id"), col("dup_src").isNull.as("kept"),
+          col("dup_src"))
+        .orderBy(col("doc_id"))
     })
   )
 
