@@ -426,13 +426,10 @@ object Multimodal {
       })
   }
 
-  /** Deterministic PCM16 mono WAV for doc `id`: sample n is the pure
-    * integer function ((id*31 + n*197) mod 65536) - 32768 — so a SQL
-    * oracle can regenerate the exact sample stream and verify the
-    * encode→parse round-trip arithmetically (unlike the image ops,
-    * whose codec path needs pinned goldens). */
-  def syntheticWav(id: Long, nSamples: Int, sampleRate: Int = 8000): Array[Byte] = {
-    val dataSize = nSamples * 2
+  /** PCM16 mono WAV container around the given samples (each in
+    * [-32768, 32767]). */
+  def wavPcm16(samples: Array[Int], sampleRate: Int = 8000): Array[Byte] = {
+    val dataSize = samples.length * 2
     val out = new Array[Byte](44 + dataSize)
     def putAscii(o: Int, s: String): Unit = { var i = 0; while (i < s.length) { out(o + i) = s.charAt(i).toByte; i += 1 } }
     def put16(o: Int, v: Int): Unit = { out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte }
@@ -442,10 +439,113 @@ object Multimodal {
     put32(24, sampleRate); put32(28, sampleRate * 2); put16(32, 2); put16(34, 16)
     putAscii(36, "data"); put32(40, dataSize)
     var n = 0
-    while (n < nSamples) {
-      put16(44 + 2 * n, (((id * 31 + n.toLong * 197) % 65536L) - 32768L).toInt & 0xffff)
+    while (n < samples.length) {
+      put16(44 + 2 * n, samples(n) & 0xffff)
       n += 1
     }
+    out
+  }
+
+  /** Deterministic PCM16 mono WAV for doc `id`: sample n is the pure
+    * integer function ((id*31 + n*197) mod 65536) - 32768 — so a SQL
+    * oracle can regenerate the exact sample stream and verify the
+    * encode→parse round-trip arithmetically (unlike the image ops,
+    * whose codec path needs pinned goldens). */
+  def syntheticWav(id: Long, nSamples: Int, sampleRate: Int = 8000): Array[Byte] =
+    wavPcm16(Array.tabulate(nSamples)(n =>
+      (((id * 31 + n.toLong * 197) % 65536L) - 32768L).toInt))
+
+  /** Deterministic TEXTURED WAV for the m79 fingerprint gate: sample n
+    * is ((m·(n+7)·(n+13)) mod 65536) - 32768 with m = id·40503 + 12289
+    * — the multiplier is large for EVERY id, so the product wraps mod
+    * 65536 from the first samples and each doc carries genuinely
+    * different pseudo-random texture (a small multiplier would leave a
+    * smooth non-wrapping parabola whose autocorrelation signs collide
+    * across docs, and the syntheticWav ramp is phase-shifted per id —
+    * same fingerprint everywhere). `num`/`den` floor-scale the
+    * amplitude (floorDiv == the oracle's floor()), the planted "same
+    * recording, different level" edit. */
+  def syntheticWavTex(id: Long, nSamples: Int,
+      num: Int = 1, den: Int = 1): Array[Byte] =
+    wavPcm16(Array.tabulate(nSamples) { n =>
+      val s = (((id * 40503L + 12289L) * (n + 7L) * (n + 13L)) % 65536L
+        - 32768L).toInt
+      if (num == den) s else Math.floorDiv(s * num, den)
+    })
+
+  case class FrameCode(doc_id: Long, frame_idx: Int, code: Int)
+
+  /** AUDIO fingerprint — the audio tier of the near-dup ladder: per
+    * frame of `frame` samples (hop = frame/2), a 13-bit code built
+    * from the frame's integer autocorrelations R(L) = Σ s[i]·s[i+L]
+    * at lags 1,2,4,…,64 — bit j = [R(2^j) > 0], bit 7+j =
+    * [R(2^j) > R(2^(j+1))]. Everything is Long integer arithmetic, so
+    * (a) a SQL oracle regenerates the synthetic stream and replays the
+    * codes EXACTLY (no float fold pinning needed — integer sums are
+    * order-free), and (b) the code is invariant under positive
+    * amplitude scaling (R scales by c² > 0), the property that makes
+    * it a fingerprint rather than a checksum: the same recording at a
+    * different level keeps its codes. Undecodable payloads emit no
+    * frames. */
+  def audioFingerprint(media: DataFrame, frame: Int = 128, hop: Int = 64)(
+      implicit s: SparkSession): Dataset[FrameCode] = {
+    import s.implicits._
+    val lags = Array(1, 2, 4, 8, 16, 32, 64)
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions(rows => rows.flatMap { r =>
+        decodeWav(r.payload) match {
+          case Some(w) =>
+            val sm = w.samples
+            val nf = if (sm.length < frame) 0 else (sm.length - frame) / hop + 1
+            (0 until nf).iterator.map { f =>
+              val off = f * hop
+              val R = lags.map { l =>
+                var acc = 0L
+                var i = 0
+                while (i + l < frame) {
+                  acc += sm(off + i).toLong * sm(off + i + l)
+                  i += 1
+                }
+                acc
+              }
+              var code = 0
+              var j = 0
+              while (j < 7) { if (R(j) > 0) code |= 1 << j; j += 1 }
+              j = 0
+              while (j < 6) { if (R(j) > R(j + 1)) code |= 1 << (7 + j); j += 1 }
+              FrameCode(r.doc_id, f, code)
+            }
+          case None => Iterator.empty
+        }
+      })
+  }
+
+  /** Audio near-duplicate pairs: aligned frame-code agreement — the
+    * shared (frame_idx, code) count over the smaller fingerprint must
+    * reach `minMatch`. The code join IS the bucket join (13-bit codes
+    * per frame position), so candidate generation is an inverted-index
+    * equi-join exactly like the shingle path — no all-pairs scan.
+    * Alignment is positional (same frame index): this matches the
+    * re-encoded / re-leveled re-upload case; time-shift tolerance
+    * would hash (code, Δcode) landmarks instead, same join shape. */
+  def audioFingerprintPairs(media: DataFrame, minMatch: Double = 0.8)(
+      implicit s: SparkSession): DataFrame = {
+    val codes = audioFingerprint(media).toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = codes.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+    val out = codes.as("a").join(codes.as("b"),
+        col("a.frame_idx") === col("b.frame_idx") &&
+          col("a.code") === col("b.code") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nf").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nf").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("c").cast("double") / least(col("na"), col("nb")), 6)
+          .as("match_frac"))
+      .filter(col("match_frac") >= minMatch)
+    codes.unpersist(blocking = false)
     out
   }
 

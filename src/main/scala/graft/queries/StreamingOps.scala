@@ -489,6 +489,24 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // AUDIO near-dup pairs via integer autocorrelation fingerprints:
+    // 20 textured WAVs + 20 re-leveled variants (floor-scaled x0.9 —
+    // R(L) signs survive positive scaling); 13-bit frame codes, aligned
+    // code-agreement >= 0.8. Integer arithmetic end to end, so the
+    // oracle regenerates the stream and replays the codes EXACTLY in
+    // SQL (the m77 arithmetic-round-trip precedent — no pinned golden).
+    "m79_audio_fingerprint" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val wav = udf((id: Long) =>
+        if (id < 20) Multimodal.syntheticWavTex(id, (160 + (id % 13) * 16).toInt)
+        else Multimodal.syntheticWavTex(id - 20,
+          (160 + ((id - 20) % 13) * 16).toInt, num = 9, den = 10))
+      val media = s.range(0, 40)
+        .select(col("id").as("doc_id"), wav(col("id")).as("payload"))
+      Multimodal.audioFingerprintPairs(media)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Streaming IMAGE near-dup dedup (the pixel tier of st68's ladder):
     // micro-batch 1 delivers 20 base PNGs, micro-batch 2 their
     // lightly-EDITED re-uploads under new ids — exact dedup can't
@@ -537,6 +555,58 @@ object StreamingOps extends QueryPack {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // regenerates the textured PCM streams (pure integer functions,
+    // variant = floor-scaled x0.9) and replays the whole fingerprint:
+    // per-frame autocorrelations at lags 2^0..2^6 as plain integer
+    // SUMs (order-free — no float fold to pin), 13-bit codes, aligned
+    // code-agreement fraction
+    "m79_audio_fingerprint" ->
+      """WITH ids AS (SELECT unnest(range(0, 40)) AS doc_id),
+        base AS (SELECT doc_id,
+            CASE WHEN doc_id < 20 THEN doc_id ELSE doc_id - 20 END AS bid
+          FROM ids),
+        lens AS (SELECT doc_id, bid, 160 + (bid % 13) * 16 AS n FROM base),
+        samples AS (SELECT doc_id, i,
+            CASE WHEN doc_id < 20 THEN s
+              ELSE CAST(floor(CAST(s * 9 AS DOUBLE) / 10) AS BIGINT) END AS v
+          FROM (SELECT doc_id, u.i,
+              ((bid * 40503 + 12289) * (u.i + 7) * (u.i + 13)) % 65536
+                - 32768 AS s
+            FROM lens, LATERAL (SELECT unnest(range(0, n)) AS i) u(i))),
+        frames AS (SELECT doc_id, u.f FROM lens,
+          LATERAL (SELECT unnest(range(0, (n - 128) // 64 + 1)) AS f) u(f)
+          WHERE n >= 128),
+        lags AS (SELECT * FROM (VALUES (0,1),(1,2),(2,4),(3,8),(4,16),
+          (5,32),(6,64)) l(j, lg)),
+        rr AS (SELECT fr.doc_id, fr.f, lags.j, SUM(a.v * b.v) AS r
+          FROM frames fr, lags
+          JOIN samples a ON TRUE
+          JOIN samples b ON b.doc_id = a.doc_id AND b.i = a.i + lags.lg
+          WHERE a.doc_id = fr.doc_id
+            AND a.i >= fr.f * 64 AND a.i < fr.f * 64 + 128 - lags.lg
+          GROUP BY fr.doc_id, fr.f, lags.j),
+        sbits AS (SELECT doc_id, f,
+            SUM(CASE WHEN r > 0 THEN 1 << j ELSE 0 END) AS s_code
+          FROM rr GROUP BY doc_id, f),
+        cbits AS (SELECT x.doc_id, x.f,
+            SUM(CASE WHEN x.r > y.r THEN 1 << (7 + x.j) ELSE 0 END) AS c_code
+          FROM rr x JOIN rr y ON y.doc_id = x.doc_id AND y.f = x.f
+            AND y.j = x.j + 1
+          GROUP BY x.doc_id, x.f),
+        codes AS (SELECT s.doc_id, s.f, s.s_code + COALESCE(c.c_code, 0) AS code
+          FROM sbits s LEFT JOIN cbits c
+            ON c.doc_id = s.doc_id AND c.f = s.f),
+        sizes AS (SELECT doc_id, COUNT(*) AS nf FROM codes GROUP BY doc_id),
+        m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+          FROM codes a JOIN codes b ON a.f = b.f AND a.code = b.code
+            AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+        SELECT doc_a, doc_b,
+          round(CAST(c AS DOUBLE) / least(sa.nf, sb.nf), 6) AS match_frac
+        FROM m JOIN sizes sa ON sa.doc_id = m.doc_a
+          JOIN sizes sb ON sb.doc_id = m.doc_b
+        WHERE round(CAST(c AS DOUBLE) / least(sa.nf, sb.nf), 6) >= 0.8
+        ORDER BY doc_a, doc_b""",
     // regenerates the synthetic PCM stream (pure integer function) and
     // the stub byte stream (ascii), then replays the exact stats —
     // integer sum of squares, one final sqrt, round 6

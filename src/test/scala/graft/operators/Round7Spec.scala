@@ -200,6 +200,25 @@ class Round7Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.size >= 15, s"found only ${pairs.size} of 20 planted near-dups")
   }
 
+  // ---- m79 audio fingerprint -----------------------------------------
+
+  test("audioFingerprintPairs: re-leveled re-uploads match, distinct recordings don't") {
+    import spark.implicits._
+    implicit val sp: SparkSession = spark
+    val wav = udf((id: Long) =>
+      if (id < 20) Multimodal.syntheticWavTex(id, (160 + (id % 13) * 16).toInt)
+      else Multimodal.syntheticWavTex(id - 20,
+        (160 + ((id - 20) % 13) * 16).toInt, num = 9, den = 10))
+    val media = spark.range(0, 40)
+      .select(col("id").as("doc_id"), wav(col("id")).as("payload"))
+    val pairs = Multimodal.audioFingerprintPairs(media)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val planted = (0L until 20L).map(i => (i, i + 20)).toSet
+    assert(pairs.intersect(planted).size >= 15,
+      s"found only ${pairs.intersect(planted).size} of 20 planted re-levels")
+    assert((pairs -- planted).isEmpty, s"false pairs: ${pairs -- planted}")
+  }
+
   // ---- GIF delta-frame compositing (ADVICE r6: raw rasters were
   // returned uncomposited, so offset/partial frames decoded wrong) ----
 
