@@ -26,7 +26,8 @@ object GrowthBench {
     "t31_dedup_exact", "t38_minhash_lsh_pairs", "t39_simhash_pairs",
     "t48_decontaminate", "t51_dup_substring", "t56_dup_substring_remove",
     "t57_bigram_lm", "t59_token_budget", "t60_bm25", "t61_paragraph_dedup",
-    "t64_bpe_merges", "t65_bpe_encode",
+    "t64_bpe_merges", "t65_bpe_encode", "t66_cross_neardup",
+    "t67_char_entropy",
     "s46_cosine_dup_lsh", "s49_embed_curate",
     "s54_diversity_select")
 
