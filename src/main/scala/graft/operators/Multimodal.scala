@@ -25,9 +25,20 @@ object Multimodal {
       (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||
       (b.length >= 2 && b(0) == 'B' && b(1) == 'M')
 
+  /** Test-only decode counter: when set, every payload entering the
+    * real image/WAV decode path adds 1. Backs the decode-count specs
+    * that pin the "decode exactly once per payload" materialization
+    * contract of pHashPairs / audioFingerprintPairs. Accumulators are
+    * cluster-safe; the var itself is read executor-side, so setting it
+    * is a same-JVM (local[n] test) affordance — production leaves it
+    * None and pays nothing. */
+  @volatile private[graft] var decodeProbe: Option[org.apache.spark.util.LongAccumulator] = None
+  @inline private def probeTick(): Unit = decodeProbe.foreach(_.add(1L))
+
   private def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
     if (!sniffImage(payload)) None
-    else
+    else {
+      probeTick()
       // NonFatal, not just IOException: the JDK GIF/BMP/JPEG readers
       // throw runtime exceptions (AIOOBE, NegativeArraySize, IAE) on
       // malformed headers, and the sniff is only 2-8 magic bytes —
@@ -35,6 +46,7 @@ object Multimodal {
       // fall back to the stub path, never fail the task
       try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
       catch { case scala.util.control.NonFatal(_) => None }
+    }
 
   /** BT.601 integer luma plane of a decoded image, row-major — integer
     * arithmetic on lossless-decoded pixels, so deterministic across
@@ -349,6 +361,7 @@ object Multimodal {
         payload(2) != 'F' || payload(3) != 'F' || payload(8) != 'W' ||
         payload(9) != 'A' || payload(10) != 'V' || payload(11) != 'E') None
     else try {
+      probeTick()
       var pos = 12
       var fmtTag = -1; var channels = 0; var rate = 0; var bits = 0
       var samples: Array[Short] = null
@@ -522,22 +535,52 @@ object Multimodal {
 
   /** Audio near-duplicate pairs: aligned frame-code agreement — the
     * shared (frame_idx, code) count over the smaller fingerprint must
-    * reach `minMatch`. The code join IS the bucket join (13-bit codes
-    * per frame position), so candidate generation is an inverted-index
-    * equi-join exactly like the shingle path — no all-pairs scan.
+    * reach `minMatch`. The (frame_idx, code) bucket IS the inverted
+    * index (13-bit codes per frame position), so candidate generation
+    * is posting-list pair expansion exactly like the shingle path
+    * ([[graft.operators.TextDedup]] pairCounts) — no all-pairs scan
+    * and no self-join that hashes the full index twice.
+    *
+    * `codes` is materialized ONCE via [[Materialize.eager]]: the WAV
+    * decode + autocorrelation kernel is the dominant cost and feeds
+    * three consumers (buckets, and the two `sizes` joins) — without
+    * eager materialization each would re-decode every payload.
+    *
+    * `maxDf` (0 = uncapped) drops (frame_idx, code) buckets shared by
+    * more than that many documents BEFORE pair expansion — the
+    * frequent-code cap that bounds worst-case blowup on real audio,
+    * where silent/constant frames share one code at the same index
+    * across unrelated tracks (a bucket of m docs emits m(m-1)/2 pairs;
+    * capping makes m ≤ maxDf while true re-uploads still match on
+    * plenty of textured frames). Capped buckets lower `c` but never
+    * the `nf` denominators, so the cap only ever removes pairs — it
+    * cannot promote a non-dup over `minMatch`.
+    *
     * Alignment is positional (same frame index): this matches the
-    * re-encoded / re-leveled re-upload case; time-shift tolerance
-    * would hash (code, Δcode) landmarks instead, same join shape. */
-  def audioFingerprintPairs(media: DataFrame, minMatch: Double = 0.8)(
-      implicit s: SparkSession): DataFrame = {
-    val codes = audioFingerprint(media).toDF()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    * re-encoded / re-leveled re-upload case; for time-shift tolerance
+    * see [[audioLandmarkPairs]]. */
+  def audioFingerprintPairs(media: DataFrame, minMatch: Double = 0.8,
+      maxDf: Int = 0)(implicit s: SparkSession): DataFrame = {
+    val codes = Materialize.eager(audioFingerprint(media).toDF())
     val sizes = codes.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
-    val out = codes.as("a").join(codes.as("b"),
-        col("a.frame_idx") === col("b.frame_idx") &&
-          col("a.code") === col("b.code") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val bucketed =
+      if (maxDf <= 0) codes
+      else codes.join(
+        codes.groupBy(col("frame_idx"), col("code"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf)
+          .select(col("frame_idx"), col("code")),
+        Seq("frame_idx", "code"), "left_semi")
+    // posting lists per bucket → ordered pairs → per-pair counts (one
+    // doc appears at most once per bucket, so lists are duplicate-free)
+    val kept = bucketed.groupBy(col("frame_idx"), col("code"))
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    val ds = array_sort(col("ds"))
+    val pairs = kept.select(explode(flatten(transform(ds, (x, i) =>
+        transform(slice(ds, i + lit(2), greatest(size(ds) - i - 1, lit(0))),
+          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+    pairs.groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("c"))
       .join(sizes.select(col("doc_id").as("doc_a"), col("nf").as("na")), Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("nf").as("nb")), Seq("doc_b"))
@@ -545,8 +588,6 @@ object Multimodal {
         round(col("c").cast("double") / least(col("na"), col("nb")), 6)
           .as("match_frac"))
       .filter(col("match_frac") >= minMatch)
-    codes.unpersist(blocking = false)
-    out
   }
 
   /** 64-bit perceptual hash (pHash) of an image payload — the IMAGE
@@ -629,26 +670,30 @@ object Multimodal {
     * no false positives. Undecodable payloads drop out (no hash). */
   def pHashPairs(media: DataFrame, maxDist: Int = 3): DataFrame = {
     require(maxDist < 4, "4 x 16-bit chunks guarantee recall only for maxDist <= 3")
-    val hashed = media.select(col("doc_id"), pHashUdf(col("payload")).as("ph"))
+    // eager: the decode+DCT hash is the dominant cost and feeds three
+    // consumers (chunk explode + the two verify joins) — materialize
+    // the narrow (doc_id, ph) frame once, never re-decode. The
+    // not-null filter goes AFTER the eager barrier: pushed before it,
+    // Catalyst rewrites `ph IS NOT NULL` to a second UDF invocation
+    // and every payload decodes twice (the decode-count spec pins this)
+    val hashed = Materialize.eager(
+      media.select(col("doc_id"), pHashUdf(col("payload")).as("ph")))
       .filter(col("ph").isNotNull)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunks = hashed.select(col("doc_id"), posexplode(
       array((0 until 4).map(c =>
         shiftright(col("ph"), c * 16).bitwiseAND(lit(0xffffL))): _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ckey")
-    val cand = Materialize.eager(chunks.as("x").join(chunks.as("y"),
+    val cand = chunks.as("x").join(chunks.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.ckey") === col("y.ckey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct())
-    val out = cand
+      .distinct()
+    cand
       .join(hashed.select(col("doc_id").as("doc_a"), col("ph").as("pha")), Seq("doc_a"))
       .join(hashed.select(col("doc_id").as("doc_b"), col("ph").as("phb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("pha").bitwiseXOR(col("phb"))).as("dist"))
       .filter(col("dist") <= maxDist)
-    hashed.unpersist(blocking = false)
-    out
   }
 
   /** [[syntheticPng]] with a small planted edit (a +delta luma patch on

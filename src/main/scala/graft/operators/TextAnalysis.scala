@@ -504,6 +504,90 @@ object TextAnalysis {
     learned.result().toDF("iter", "tok_a", "tok_b", "pair_count")
   }
 
+  /** BATCHED BPE merge-rule induction — the production-scale path past
+    * [[bpeMergeRules]]' 16-merge cap (its own doc names the technique:
+    * "production trainers batch non-interacting merges per round").
+    * Real tokenizers need 32k-100k merges; one driver round-trip + one
+    * corpus rewrite PER MERGE can't get there. This variant learns up
+    * to `merges` rules in ~merges/batch ROUNDS: each round counts
+    * adjacent pairs once, collects a bounded candidate head (the top
+    * `remaining*3+32` pairs — a driver-side list of strings, not data),
+    * greedily selects candidates in priority order whose token sets are
+    * pairwise DISJOINT, and applies all of them in ONE fused map-only
+    * projection (the [[bpeEncode]] foldLeft-replace shape).
+    *
+    * Why disjoint tokens make the batch exact: merges fuse two tokens
+    * into one and never create or destroy an adjacency of tokens they
+    * don't mention — so applying selected merge (c,d) changes no
+    * occurrence of selected (a,b) when {a,b} ∩ {c,d} = ∅, the
+    * round-start counts stay true for every selected pair, and the
+    * fused rewrite equals applying them sequentially in any order. A
+    * candidate that DOES share a token is deferred: its count would be
+    * stale after the earlier merge, so it waits for the next round's
+    * recount (this is where batched BPE's merge list can diverge from
+    * strict sequential induction — the standard, documented
+    * approximation). The top candidate of every round is always
+    * selected, so each round learns >= 1 rule and the loop terminates.
+    *
+    * Returns one row per learned rule (iter = global priority order,
+    * round = which batch learned it, tok_a, tok_b, pair_count =
+    * round-start count). `[[bpeEncode]]` applies the rules in `iter`
+    * order unchanged.
+    *
+    * Shape at scale: cost is ROUNDS (each one map-side-combined pair
+    * count + one bounded driver collect + one map-only rewrite), not
+    * merges — with a healthy candidate head a round learns dozens of
+    * rules, so 64 merges cost ~5-10 corpus passes instead of 64. */
+  def bpeMergeRulesBatched(docs: DataFrame, textCol: String,
+      merges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    require(merges >= 1 && merges <= 100000, "merges must be in [1, 100000]")
+    var cur = docs.select(col(textCol).as("text"))
+    val learned = Seq.newBuilder[(Int, Int, String, String, Long)]
+    var got = 0
+    var round = 0
+    while (got < merges) {
+      round += 1
+      val remaining = merges - got
+      val tk = split(col("text"), " ")
+      val head = cur
+        .select(posexplode(slice(tk, lit(1), greatest(size(tk) - 1, lit(0))))
+          .as(Seq("i", "a")), tk.as("_tk"))
+        .select(col("a"), element_at(col("_tk"), col("i") + 2).as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(remaining * 3 + 32).collect()
+      require(head.nonEmpty, s"no adjacent pairs left at round $round")
+      val used = scala.collection.mutable.HashSet.empty[String]
+      val batch = Seq.newBuilder[(String, String, Long)]
+      var picked = 0
+      head.iterator.takeWhile(_ => picked < remaining).foreach { r =>
+        val a = r.getString(0); val b = r.getString(1)
+        if (!used(a) && !used(b)) {
+          // tokens are interpolated into the rewrite expression — keep
+          // the word-character contract explicit (same as bpeMergeRules)
+          require(a.matches("\\w+") && b.matches("\\w+"),
+            s"bpeMergeRulesBatched expects word-character tokens, got '$a' '$b'")
+          used += a; used += b
+          batch += ((a, b, r.getLong(2)))
+          picked += 1
+        }
+      }
+      val rules = batch.result()
+      rules.zipWithIndex.foreach { case ((a, b, n), i) =>
+        learned += ((got + i + 1, round, a, b, n))
+      }
+      got += rules.size
+      if (got < merges) // the final round's rewrite would never be read
+        cur = Materialize.eager(cur.select(trim(
+          rules.foldLeft(concat(lit(" "), col("text"), lit(" "))) {
+            case (c, (a, b, _)) => replace(c, lit(s" $a $b "), lit(s" ${a}_$b "))
+          }).as("text")))
+    }
+    import spark.implicits._
+    learned.result().toDF("iter", "round", "tok_a", "tok_b", "pair_count")
+  }
+
   /** Character-level Shannon entropy per document — the classic cheap
     * gibberish / compressibility screen (low entropy = repeated-char
     * filler, high entropy near log(alphabet) = random noise; real prose

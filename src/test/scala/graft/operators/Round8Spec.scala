@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-8 additions: decode-once materialization contract for the
+  * image/audio near-dup operators, the m79 frequent-code skew cap. */
+class Round8Spec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Run `body` with the Multimodal decode probe armed; returns the
+    * number of payloads that entered a real decode path. */
+  private def countingDecodes(body: => Unit): Long = {
+    val acc = spark.sparkContext.longAccumulator("graft.test.decodes")
+    Multimodal.decodeProbe = Some(acc)
+    try { body; acc.value } finally { Multimodal.decodeProbe = None }
+  }
+
+  // ---- decode-once contract (r7 verdict #1: the persist lifecycle
+  // bugs made every consumer re-decode every payload) -----------------
+
+  test("pHashPairs decodes each image exactly once per run") {
+    import spark.implicits._
+    val png = udf((id: Long) =>
+      if (id < 20) Multimodal.syntheticPng(id)
+      else Multimodal.syntheticPngVariant(id - 20))
+    val media = spark.range(0, 40)
+      .select(col("id").as("doc_id"), png(col("id")).as("payload"))
+    var pairs: Set[(Long, Long)] = Set.empty
+    val decodes = countingDecodes {
+      pairs = Multimodal.pHashPairs(media, maxDist = 3)
+        .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    }
+    assert(decodes == 40L,
+      s"expected exactly one decode per payload (40), got $decodes")
+    val planted = (0L until 20L).map(i => (i, i + 20)).toSet
+    assert(pairs.subsetOf(planted) && pairs.size >= 15)
+  }
+
+  test("audioFingerprintPairs decodes each WAV exactly once per run") {
+    import spark.implicits._
+    implicit val sp: SparkSession = spark
+    val wav = udf((id: Long) =>
+      if (id < 20) Multimodal.syntheticWavTex(id, (160 + (id % 13) * 16).toInt)
+      else Multimodal.syntheticWavTex(id - 20,
+        (160 + ((id - 20) % 13) * 16).toInt, num = 9, den = 10))
+    val media = spark.range(0, 40)
+      .select(col("id").as("doc_id"), wav(col("id")).as("payload"))
+    var pairs: Set[(Long, Long)] = Set.empty
+    val decodes = countingDecodes {
+      pairs = Multimodal.audioFingerprintPairs(media)
+        .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    }
+    assert(decodes == 40L,
+      s"expected exactly one decode per payload (40), got $decodes")
+    val planted = (0L until 20L).map(i => (i, i + 20)).toSet
+    assert(pairs.intersect(planted).size >= 15 && (pairs -- planted).isEmpty)
+  }
+
+  // ---- m79 frequent-code skew cap (r7 verdict #2) --------------------
+
+  test("audioFingerprintPairs maxDf bounds silence blowup, keeps planted pairs") {
+    import Round8Fixtures.halfSilentWav
+    import spark.implicits._
+    implicit val sp: SparkSession = spark
+    // 10 textured tracks + 10 re-leveled copies (planted near-dups) +
+    // 50 unrelated half-silent tracks sharing constant leading frames
+    val wav = udf((id: Long) =>
+      if (id < 10) Multimodal.syntheticWavTex(id, (160 + (id % 13) * 16).toInt)
+      else if (id < 20) Multimodal.syntheticWavTex(id - 10,
+        (160 + ((id - 10) % 13) * 16).toInt, num = 9, den = 10)
+      else halfSilentWav(id, 1024))
+    val media = spark.range(0, 70)
+      .select(col("id").as("doc_id"), wav(col("id")).as("payload"))
+
+    // candidate volume the pair expansion would materialize: sum of
+    // C(df, 2) over (frame_idx, code) buckets, with and without the cap
+    val dfs = Multimodal.audioFingerprint(media).toDF()
+      .groupBy($"frame_idx", $"code").agg(count(lit(1)).as("df"))
+      .select($"df".cast("long")).as[Long].collect()
+    def pairVolume(dfLimit: Long): Long =
+      dfs.filter(m => dfLimit <= 0 || m <= dfLimit).map(m => m * (m - 1) / 2).sum
+    val uncapped = pairVolume(0)
+    val capped = pairVolume(20)
+    assert(uncapped >= 5000,
+      s"fixture should exhibit a silence blowup, only $uncapped candidate pairs")
+    assert(capped * 10 <= uncapped,
+      s"cap should collapse the blowup: capped=$capped uncapped=$uncapped")
+
+    val planted = (0L until 10L).map(i => (i, i + 10)).toSet
+    val cappedPairs = Multimodal.audioFingerprintPairs(media, maxDf = 20)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val uncappedPairs = Multimodal.audioFingerprintPairs(media)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    // silent-shared codes sit below minMatch either way, so the cap
+    // changes candidate volume, not the reported pair set
+    assert(cappedPairs == uncappedPairs,
+      s"capped=$cappedPairs uncapped=$uncappedPairs")
+    assert(cappedPairs.intersect(planted).size >= 8,
+      s"planted re-levels lost under cap: $cappedPairs")
+    assert((cappedPairs -- planted).isEmpty, s"false pairs: ${cappedPairs -- planted}")
+  }
+}
+
+/** Top-level fixture holder so test UDF closures don't capture the
+  * (non-serializable) suite instance. */
+object Round8Fixtures extends Serializable {
+  /** Half-silent WAV: `n/2` zero samples then per-id pseudo-random
+    * texture — the real-audio shape where unrelated tracks share the
+    * all-zero autocorrelation code at the same leading frame indexes. */
+  def halfSilentWav(id: Long, n: Int): Array[Byte] =
+    Multimodal.wavPcm16(Array.tabulate(n) { i =>
+      if (i < n / 2) 0
+      else (((id * 40503L + 12289L) * (i + 7L) * (i + 13L)) % 65536L
+        - 32768L).toInt
+    })
+}
