@@ -291,6 +291,11 @@ object Bench {
     // its own window, not the whole artifact, and the artifact records
     // which entries were re-taken so the decision is auditable
     def timeIsolatedOnce(name: String): (Double, Double) = {
+      // t64's merge rules are memoized per data dir and the concurrent
+      // pass already warmed them — an isolated timing against that memo
+      // is a cache hit (~0.1s) published as the authoritative figure
+      // for a ~4s induction. Reset the memo so t64 re-runs for real.
+      if (name == "t64_bpe_merges") graft.queries.TextOps.resetMergeMemo()
       val j0 = cpuJiffies(); val t0 = System.nanoTime()
       val sec = time(name, SparkEntry.queries(name))._1
       (sec, extCores(j0, (System.nanoTime() - t0) / 1e9))

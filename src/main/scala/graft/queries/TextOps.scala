@@ -58,6 +58,15 @@ object TextOps extends QueryPack {
           .toSeq
       }).join()
 
+  /** Bench hook: drop the memoized merge rules so an ISOLATED re-timing
+    * of t64 measures the real 3-round induction, not a cache hit left
+    * by the concurrent pass (r7 advice: the isolated artifact published
+    * a ~40x falsely-fast t64 figure — exactly the number documented to
+    * supersede the contaminated lane time). t65 keeps the memo: its
+    * isolated figure is the ENCODE cost by contract, and clearing
+    * before it would smear a full induction into that number. */
+  def resetMergeMemo(): Unit = mergeRulesCache.clear()
+
   /** Synthetic keys with PLANTED distance-1 mutations for t63 and the
     * ScaleCheck sweep (one definition, so the gated query and the
     * growth curve can't drift apart): every 5th doc carries its
@@ -255,6 +264,17 @@ object TextOps extends QueryPack {
         .select($"doc_id", $"n_tokens", $"n_merged",
           md5($"text_enc").as("enc_hash"))
         .orderBy($"doc_id")
+    }),
+
+    // BATCHED BPE induction — the scale path past t64's sequential
+    // 16-merge cap: 64 rules learned in ~merges/batch rounds of
+    // count → greedy disjoint-token batch → ONE fused rewrite. Gated
+    // by a pinned golden (the corpus is seed-fixed; unrolling 64
+    // data-dependent batches in SQL is not expressible).
+    "t68_bpe_batched" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.bpeMergeRulesBatched(t(s, dir, "documents"), "text", merges = 64)
+        .orderBy($"iter")
     }),
 
     // cross-corpus NEAR-dup decontamination (t48 screens exact n-gram

@@ -110,6 +110,63 @@ class Round8Spec extends AnyFunSuite with BeforeAndAfterAll {
       s"planted re-levels lost under cap: $cappedPairs")
     assert((cappedPairs -- planted).isEmpty, s"false pairs: ${cappedPairs -- planted}")
   }
+
+  // ---- batched BPE induction (r7 missing #1: 16-merge cap) -----------
+
+  test("bpeMergeRulesBatched == sequential induction when top pairs are disjoint") {
+    import spark.implicits._
+    // per-doc unique separators keep cross-pair adjacencies at count 1,
+    // so the top-3 pairs are (a,b)=5 > (c,d)=4 > (e,f)=3, pairwise
+    // token-disjoint — the batch is exact and ONE round learns all 3
+    val docs = Seq(
+      "a b x1 a b x2 a b x3 a b x4 a b x5",
+      "c d y1 c d y2 c d y3 c d y4",
+      "e f z1 e f z2 e f z3").toDF("text")
+    val seqRules = TextAnalysis.bpeMergeRules(docs, "text", merges = 3)
+      .select($"iter", $"tok_a", $"tok_b", $"pair_count")
+      .as[(Int, String, String, Long)].collect().toSeq
+    val batched = TextAnalysis.bpeMergeRulesBatched(docs, "text", merges = 3)
+      .select($"iter", $"round", $"tok_a", $"tok_b", $"pair_count")
+      .as[(Int, Int, String, String, Long)].collect().toSeq
+    assert(batched.map(r => (r._1, r._3, r._4, r._5)) == seqRules)
+    assert(batched.forall(_._2 == 1), s"expected one round, got $batched")
+  }
+
+  test("bpeMergeRulesBatched defers interacting pairs to the next round") {
+    import spark.implicits._
+    // (x,y), (y,z), (z,w) all count 3; priority order is (x,y) first,
+    // (y,z) must defer (shares y), (z,w) joins the batch; round 2 then
+    // sees the merged corpus where the natural next rule is (x_y, z_w)
+    val docs = Seq("x y z w x y z w x y z w").toDF("text")
+    val got = TextAnalysis.bpeMergeRulesBatched(docs, "text", merges = 3)
+      .select($"iter", $"round", $"tok_a", $"tok_b", $"pair_count")
+      .as[(Int, Int, String, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1, 1, "x", "y", 3L),
+      (2, 1, "z", "w", 3L),
+      (3, 2, "x_y", "z_w", 3L)), got.toString)
+  }
+
+  test("bpeMergeRulesBatched learns 64 rules in few rounds and feeds bpeEncode") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rules = TextAnalysis.bpeMergeRulesBatched(docs, "text", merges = 64)
+      .select($"iter", $"round", $"tok_a", $"tok_b", $"pair_count")
+      .as[(Int, Int, String, String, Long)].collect().toSeq
+    assert(rules.size == 64)
+    assert(rules.map(_._1) == (1 to 64), "iter must be a contiguous priority order")
+    // a merged pair's adjacency count drops to zero, so no rule repeats
+    assert(rules.map(r => (r._3, r._4)).distinct.size == 64)
+    val rounds = rules.map(_._2).max
+    assert(rounds <= 20, s"cost must be rounds, not merges: $rounds rounds")
+    // the learned rules drive the encode half: real subword counts drop
+    val enc = TextAnalysis.bpeEncode(docs, "doc_id", "text",
+      rules.sortBy(_._1).map(r => (r._3, r._4)))
+    val (sumEnc, sumWs) = enc
+      .join(docs.select($"doc_id", size(split($"text", " ")).cast("long").as("n_ws")), Seq("doc_id"))
+      .agg(sum($"n_tokens"), sum($"n_ws")).as[(Long, Long)].head()
+    assert(sumEnc < sumWs, s"64 merges must shrink token counts: $sumEnc vs $sumWs")
+  }
 }
 
 /** Top-level fixture holder so test UDF closures don't capture the
