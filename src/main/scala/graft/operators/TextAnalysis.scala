@@ -598,9 +598,13 @@ object TextAnalysis {
     * ASCII corpus), ln is bit-identical across JVM and DuckDB libm on
     * identical operands, and final values round to 6 decimals half-up
     * on both sides. Returns (doc_id, char_entropy, n_distinct_chars,
-    * distinct_char_ratio). */
+    * distinct_char_ratio). Null/EMPTY documents are absent from the
+    * output — entropy over zero characters is undefined, and the SQL
+    * replay's per-char UNNEST produces no row for them either (both
+    * sides agree on the contract by construction, not by corpus luck). */
   def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    docs.select(col(idCol).as("doc_id"),
+    docs.filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(idCol).as("doc_id"),
         charEntropyKernel(col(textCol)).as("_e"))
       .select(col("doc_id"),
         col("_e._1").as("char_entropy"),

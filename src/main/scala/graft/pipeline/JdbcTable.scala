@@ -42,8 +42,26 @@ final case class JdbcTable(
 
   /** Quote an identifier for interpolation into pushed-down SQL (Spark
     * quotes DataFrame column names when it creates the table, so
-    * manual SQL against those columns must quote too). */
+    * manual SQL against those columns must quote too).
+    *
+    * The TABLE name is deliberately NOT quoted anywhere: Spark's own
+    * jdbc reader/writer interpolates `dbtable` verbatim into
+    * `CREATE TABLE $table` / `SELECT ... FROM $table`, so a
+    * case-folding database (Derby, Postgres, ...) stores an unquoted
+    * name FOLDED — quoting it here would make the probes miss the very
+    * table the Spark paths just wrote. `table` therefore follows
+    * Spark's dbtable contract: a SQL fragment passed through verbatim;
+    * a mixed-case or reserved-word name must arrive pre-quoted and
+    * then works identically in the Spark paths and these probes. */
   private def q(id: String): String = "\"" + id.replace("\"", "\"\"") + "\""
+
+  /** DriverManager-based probes need the driver registered: Spark's
+    * read/write honors a `driver` connection property via its own
+    * registry, but raw `DriverManager.getConnection` only sees drivers
+    * that self-register through ServiceLoader — load the class
+    * explicitly so both paths accept the same connProps. */
+  private def loadDriver(): Unit =
+    connProps.get("driver").foreach(Class.forName(_))
 
   /** Run `sql` as a pushed-down derived table (1-row aggregates stay
     * in the database). */
@@ -55,6 +73,7 @@ final case class JdbcTable(
     * that fold unquoted identifiers store Spark-created names verbatim,
     * but manual DDL may have folded. */
   def exists(spark: SparkSession): Boolean = {
+    loadDriver()
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
       def found(n: String): Boolean = {

@@ -16,8 +16,11 @@ import org.apache.spark.sql.functions._
   * vocabulary — the dup RATE stays constant, exactly like a real
   * larger corpus) and every embedding goes through a per-universe
   * DIMENSION PERMUTATION — a rotation, so norms and every
-  * within-universe pairwise cosine are preserved bit-for-bit (each
-  * universe reproduces the source's near-dup structure exactly) while
+  * within-universe pairwise cosine are MATHEMATICALLY preserved (the
+  * permutation reorders the float summation, so computed values can
+  * differ in the last ulp — do not pin goldens against ScaleUp output
+  * expecting bit-identical cosines; near-threshold LSH/dup pairs could
+  * flip under an exactness gate, though GrowthBench only times) while
   * cross-universe cosines scatter to noise. Two rejected designs, kept
   * as a warning: appending ONE universe token per document (and
   * nudging one embedding dim by 1e-3) manufactured 9 near-duplicates

@@ -111,6 +111,17 @@ class Round8Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert((cappedPairs -- planted).isEmpty, s"false pairs: ${cappedPairs -- planted}")
   }
 
+  // ---- charEntropy empty-doc contract (r7 advice) --------------------
+
+  test("charEntropy drops null/empty docs (matches the oracle's UNNEST)") {
+    import spark.implicits._
+    val docs = Seq((1L, "aab"), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.charEntropy(docs, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(got == Set(1L), s"empty/null docs must be absent, got $got")
+  }
+
   // ---- batched BPE induction (r7 missing #1: 16-merge cap) -----------
 
   test("bpeMergeRulesBatched == sequential induction when top pairs are disjoint") {
