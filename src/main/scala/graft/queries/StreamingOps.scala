@@ -18,10 +18,25 @@ import Util._
   */
 object StreamingOps extends QueryPack {
 
-  private val eventsRawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** File-source stream over a staged events.parquet with `ts`
+    * normalized to a microsecond TimestampType column. A file stream
+    * needs an explicit schema, and the driver's testdata has stored ts
+    * both as TIMESTAMP(NANOS) (reads as raw long nanos under
+    * nanosAsLong) and as TIMESTAMP(MICROS) (reads as TIMESTAMP_NTZ) —
+    * so take the schema from a batch read of the same staged files and
+    * convert whichever ts form it declares (same contract as
+    * [[Util.t]]). */
+  private def eventsStream(s: SparkSession, staged: java.nio.file.Path,
+      opts: Map[String, String] = Map.empty): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(staged.toString).schema
+    val base = s.readStream.schema(schema).options(opts).parquet(staged.toString)
+    schema("ts").dataType match {
+      case LongType => base.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => base.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => base
+    }
+  }
 
   private val docsSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType),
@@ -74,14 +89,11 @@ object StreamingOps extends QueryPack {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st61_stream_window" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val name = "st61_out"
       // the file source requires a directory — stage the table into one
       val staged = stagingDir("graft-stream-events")
       stageCopy(s"$dir/events.parquet", staged, "events.parquet")
-      val stream = s.readStream.schema(eventsRawSchema)
-        .parquet(staged.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val stream = eventsStream(s, staged)
         .withWatermark("ts", "1 day")
         .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
@@ -107,13 +119,10 @@ object StreamingOps extends QueryPack {
     // gap >= 30min (window overlap), the stateful walk at gap > 30min —
     // the oracle encodes the >= form.
     "st64_stream_session_window" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val name = "st64_out"
       val staged = stagingDir("graft-stream-sess")
       stageCopy(s"$dir/events.parquet", staged, "events.parquet")
-      val stream = s.readStream.schema(eventsRawSchema)
-        .parquet(staged.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val stream = eventsStream(s, staged)
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
         .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
       val q = stream.writeStream.outputMode("complete")
@@ -138,14 +147,11 @@ object StreamingOps extends QueryPack {
     // state is evicted past the re-delivery horizon; the unbounded
     // form here keeps the oracle exact.
     "st65_stream_dedup" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val name = "st65_out"
       val staged = stagingDir("graft-stream-dedup")
       stageCopy(s"$dir/events.parquet", staged, "a.parquet")
       stageCopy(s"$dir/events.parquet", staged, "b.parquet")
-      val stream = s.readStream.schema(eventsRawSchema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(staged.toString)
+      val stream = eventsStream(s, staged, Map("maxFilesPerTrigger" -> "1"))
         .dropDuplicates("event_id")
       val q = stream.writeStream.outputMode("append")
         .format("memory").queryName(name).start()

@@ -17,15 +17,26 @@ object Util {
   /** Load one testdata table. Column pruning + filter pushdown reach the
     * parquet scan because this is a plain declarative reader.
     *
-    * `events.parquet` stores TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default — read it as long nanos and convert to a microsecond
-    * TimestampType column (integer division, no precision loss).
+    * `events.parquet` ts normalizes to a microsecond TimestampType
+    * column whatever the file stores — the driver has generated it both
+    * as TIMESTAMP(NANOS) (Spark 4 rejects by default; nanosAsLong reads
+    * it as raw long nanos, `div 1000` drops to micros losslessly) and as
+    * TIMESTAMP(MICROS) (reads as TIMESTAMP_NTZ; the session runs in UTC,
+    * so the cast to TimestampType keeps the same micros). Detecting from
+    * the read schema instead of pinning one form keeps every events
+    * query working across regenerations.
     */
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = s.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => raw
+      }
     } else s.read.parquet(s"$dir/$name.parquet")
 
   private val dec = DecimalType(18, 2)
