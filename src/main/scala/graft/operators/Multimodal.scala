@@ -28,12 +28,15 @@ object Multimodal {
   /** Test-only decode counter: when set, every payload entering the
     * real image/WAV decode path adds 1. Backs the decode-count specs
     * that pin the "decode exactly once per payload" materialization
-    * contract of pHashPairs / audioFingerprintPairs. Accumulators are
-    * cluster-safe; the var itself is read executor-side, so setting it
-    * is a same-JVM (local[n] test) affordance — production leaves it
-    * None and pays nothing. */
-  @volatile private[graft] var decodeProbe: Option[org.apache.spark.util.LongAccumulator] = None
-  @inline private def probeTick(): Unit = decodeProbe.foreach(_.add(1L))
+    * contract of pHashPairs / audioFingerprintPairs. The var is read
+    * executor-side, so arming it is a same-JVM (local[n] test)
+    * affordance — production leaves it None and pays nothing. An
+    * AtomicLong, NOT a Spark accumulator: executor threads here add
+    * to the driver's instance directly (no per-task copy/merge), and
+    * LongAccumulator.add is unsynchronized — concurrent decodes lost
+    * ticks under local[4]. */
+  @volatile private[graft] var decodeProbe: Option[java.util.concurrent.atomic.AtomicLong] = None
+  @inline private def probeTick(): Unit = decodeProbe.foreach(_.incrementAndGet())
 
   private def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
     if (!sniffImage(payload)) None
@@ -486,6 +489,19 @@ object Multimodal {
       if (num == den) s else Math.floorDiv(s * num, den)
     })
 
+  /** [[syntheticWavTex]] with the first `skip` samples TRIMMED: sample
+    * n of the trim is sample n+skip of the base stream. With skip a
+    * multiple of the fingerprint hop (64), every surviving frame of
+    * the trim is bit-identical to a frame of the base shifted by
+    * skip/hop positions — the planted "same recording, leading audio
+    * cut" re-upload that positional alignment misses and
+    * [[audioLandmarkPairs]] catches. */
+  def syntheticWavTexTrim(id: Long, nSamples: Int, skip: Int): Array[Byte] =
+    wavPcm16(Array.tabulate(nSamples) { n =>
+      (((id * 40503L + 12289L) * (n + skip + 7L) * (n + skip + 13L)) % 65536L
+        - 32768L).toInt
+    })
+
   case class FrameCode(doc_id: Long, frame_idx: Int, code: Int)
 
   /** AUDIO fingerprint — the audio tier of the near-dup ladder: per
@@ -584,6 +600,71 @@ object Multimodal {
       .agg(count(lit(1)).as("c"))
       .join(sizes.select(col("doc_id").as("doc_a"), col("nf").as("na")), Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("nf").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("c").cast("double") / least(col("na"), col("nb")), 6)
+          .as("match_frac"))
+      .filter(col("match_frac") >= minMatch)
+  }
+
+  /** Audio near-duplicate pairs, TIME-SHIFT tolerant — the landmark
+    * variant [[audioFingerprintPairs]]'s positional alignment cannot
+    * express: a trimmed or padded re-upload (leading silence cut, ad
+    * spliced off) shifts every frame index, so aligned
+    * (frame_idx, code) agreement sees nothing, but the SEQUENCE of
+    * codes is intact. A landmark is the pair of codes `gap` frames
+    * apart — (code, next) ≡ the (code, Δcode) form, Δ = code XOR next
+    * being a bijection given code — packed into one integer key with
+    * NO frame index, so a hop-aligned shift leaves every interior
+    * landmark identical. Match metric: shared DISTINCT landmarks over
+    * the smaller landmark set (distinct, because a repeated landmark
+    * within one doc would break the one-entry-per-doc posting-list
+    * invariant the pair expansion relies on).
+    *
+    * Same scale shape as the aligned variant: codes materialized ONCE
+    * ([[Materialize.eager]] — decode is the dominant cost, three
+    * consumers), landmark buckets ARE the inverted index, candidates
+    * via posting-list pair expansion, and `maxDf` drops landmarks
+    * shared by more than that many documents BEFORE expansion — on
+    * real audio, silence yields code 0 and the (0,0) landmark is the
+    * universal hot key, exactly the skew the cap exists for. Landmarks
+    * per doc come from one `lead` window over the materialized codes
+    * (a shuffle by doc_id only — no self-join).
+    *
+    * The trade vs aligned matching: landmarks drop position, so two
+    * docs sharing brief textured motifs score on them; `minMatch`
+    * (default 0.6) is lower than the aligned 0.8 because boundary
+    * frames of a trimmed copy straddle the cut and lose their
+    * landmarks. */
+  def audioLandmarkPairs(media: DataFrame, minMatch: Double = 0.6,
+      gap: Int = 1, maxDf: Int = 0)(implicit s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val codes = Materialize.eager(audioFingerprint(media).toDF())
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    val lms = codes
+      .select(col("doc_id"), col("code"),
+        lead(col("code"), gap).over(w).as("next"))
+      .filter(col("next").isNotNull)
+      .select(col("doc_id"),
+        (col("code") * lit(8192) + col("next")).as("lm"))
+      .distinct()
+    val sizes = lms.groupBy(col("doc_id")).agg(count(lit(1)).as("nl"))
+    val bucketed =
+      if (maxDf <= 0) lms
+      else lms.join(
+        lms.groupBy(col("lm")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf).select(col("lm")),
+        Seq("lm"), "left_semi")
+    val kept = bucketed.groupBy(col("lm"))
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    val ds = array_sort(col("ds"))
+    val pairs = kept.select(explode(flatten(transform(ds, (x, i) =>
+        transform(slice(ds, i + lit(2), greatest(size(ds) - i - 1, lit(0))),
+          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+    pairs.groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nl").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nl").as("nb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         round(col("c").cast("double") / least(col("na"), col("nb")), 6)
           .as("match_frac"))

@@ -513,6 +513,24 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // AUDIO near-dup pairs under TIME SHIFT: 14 textured WAVs + 14
+    // leading-trimmed re-uploads (first 128 samples = 2 hops cut, so
+    // every frame index shifts by 2 — aligned m79 matching sees
+    // nothing). Landmarks = (code, next-code) pairs with no positional
+    // key; integer end to end, oracle replays codes + LEAD window in
+    // SQL (m79 precedent — no pinned golden).
+    "m80_audio_landmarks" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val wav = udf((id: Long) =>
+        if (id < 20) Multimodal.syntheticWavTex(id, (320 + (id % 8) * 64).toInt)
+        else Multimodal.syntheticWavTexTrim(id - 20,
+          (320 + ((id - 20) % 8) * 64 - 128).toInt, skip = 128))
+      val media = s.range(0, 14).union(s.range(20, 34))
+        .select(col("id").as("doc_id"), wav(col("id")).as("payload"))
+      Multimodal.audioLandmarkPairs(media)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Streaming IMAGE near-dup dedup (the pixel tier of st68's ladder):
     // micro-batch 1 delivers 20 base PNGs, micro-batch 2 their
     // lightly-EDITED re-uploads under new ids — exact dedup can't
@@ -612,6 +630,60 @@ object StreamingOps extends QueryPack {
         FROM m JOIN sizes sa ON sa.doc_id = m.doc_a
           JOIN sizes sb ON sb.doc_id = m.doc_b
         WHERE round(CAST(c AS DOUBLE) / least(sa.nf, sb.nf), 6) >= 0.8
+        ORDER BY doc_a, doc_b""",
+    // m79's code replay over the trimmed-stream corpus, then landmarks:
+    // (code, LEAD(code)) pairs packed positionless, DISTINCT per doc,
+    // shared-landmark fraction over the smaller set
+    "m80_audio_landmarks" ->
+      """WITH ids AS (SELECT unnest(range(0, 14)) AS doc_id
+          UNION ALL SELECT unnest(range(20, 34)) AS doc_id),
+        base AS (SELECT doc_id,
+            CASE WHEN doc_id < 20 THEN doc_id ELSE doc_id - 20 END AS bid,
+            CASE WHEN doc_id < 20 THEN 0 ELSE 128 END AS skip
+          FROM ids),
+        lens AS (SELECT doc_id, bid, skip,
+            320 + (bid % 8) * 64 - skip AS n FROM base),
+        samples AS (SELECT doc_id, u.i,
+            ((bid * 40503 + 12289) * (u.i + skip + 7) * (u.i + skip + 13))
+              % 65536 - 32768 AS v
+          FROM lens, LATERAL (SELECT unnest(range(0, n)) AS i) u(i)),
+        frames AS (SELECT doc_id, u.f FROM lens,
+          LATERAL (SELECT unnest(range(0, (n - 128) // 64 + 1)) AS f) u(f)
+          WHERE n >= 128),
+        lags AS (SELECT * FROM (VALUES (0,1),(1,2),(2,4),(3,8),(4,16),
+          (5,32),(6,64)) l(j, lg)),
+        rr AS (SELECT fr.doc_id, fr.f, lags.j, SUM(a.v * b.v) AS r
+          FROM frames fr, lags
+          JOIN samples a ON TRUE
+          JOIN samples b ON b.doc_id = a.doc_id AND b.i = a.i + lags.lg
+          WHERE a.doc_id = fr.doc_id
+            AND a.i >= fr.f * 64 AND a.i < fr.f * 64 + 128 - lags.lg
+          GROUP BY fr.doc_id, fr.f, lags.j),
+        sbits AS (SELECT doc_id, f,
+            SUM(CASE WHEN r > 0 THEN 1 << j ELSE 0 END) AS s_code
+          FROM rr GROUP BY doc_id, f),
+        cbits AS (SELECT x.doc_id, x.f,
+            SUM(CASE WHEN x.r > y.r THEN 1 << (7 + x.j) ELSE 0 END) AS c_code
+          FROM rr x JOIN rr y ON y.doc_id = x.doc_id AND y.f = x.f
+            AND y.j = x.j + 1
+          GROUP BY x.doc_id, x.f),
+        codes AS (SELECT s.doc_id, s.f, s.s_code + COALESCE(c.c_code, 0) AS code
+          FROM sbits s LEFT JOIN cbits c
+            ON c.doc_id = s.doc_id AND c.f = s.f),
+        lmraw AS (SELECT doc_id, code,
+            LEAD(code) OVER (PARTITION BY doc_id ORDER BY f) AS nxt
+          FROM codes),
+        lms AS (SELECT DISTINCT doc_id, code * 8192 + nxt AS lm
+          FROM lmraw WHERE nxt IS NOT NULL),
+        sizes AS (SELECT doc_id, COUNT(*) AS nl FROM lms GROUP BY doc_id),
+        m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+          FROM lms a JOIN lms b ON a.lm = b.lm AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+        SELECT doc_a, doc_b,
+          round(CAST(c AS DOUBLE) / least(sa.nl, sb.nl), 6) AS match_frac
+        FROM m JOIN sizes sa ON sa.doc_id = m.doc_a
+          JOIN sizes sb ON sb.doc_id = m.doc_b
+        WHERE round(CAST(c AS DOUBLE) / least(sa.nl, sb.nl), 6) >= 0.6
         ORDER BY doc_a, doc_b""",
     // regenerates the synthetic PCM stream (pure integer function) and
     // the stub byte stream (ascii), then replays the exact stats —

@@ -21,9 +21,9 @@ class Round8Spec extends AnyFunSuite with BeforeAndAfterAll {
   /** Run `body` with the Multimodal decode probe armed; returns the
     * number of payloads that entered a real decode path. */
   private def countingDecodes(body: => Unit): Long = {
-    val acc = spark.sparkContext.longAccumulator("graft.test.decodes")
+    val acc = new java.util.concurrent.atomic.AtomicLong()
     Multimodal.decodeProbe = Some(acc)
-    try { body; acc.value } finally { Multimodal.decodeProbe = None }
+    try { body; acc.get() } finally { Multimodal.decodeProbe = None }
   }
 
   // ---- decode-once contract (r7 verdict #1: the persist lifecycle
@@ -111,6 +111,54 @@ class Round8Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert((cappedPairs -- planted).isEmpty, s"false pairs: ${cappedPairs -- planted}")
   }
 
+  // ---- m80 landmark fingerprint: time-shift tolerance ----------------
+
+  test("audioLandmarkPairs finds leading-silence-trimmed copies aligned matching misses") {
+    import Round8Fixtures.silencePaddedWav
+    import spark.implicits._
+    implicit val sp: SparkSession = spark
+    // originals: 256 samples (4 hops) of leading silence then texture;
+    // copies: the silence trimmed away — every frame index shifts by 4
+    val wav = udf((id: Long) =>
+      if (id < 10) silencePaddedWav(id, 256, 768)
+      else Multimodal.syntheticWavTexTrim(id - 10, 512, skip = 256))
+    val media = spark.range(0, 20)
+      .select(col("id").as("doc_id"), wav(col("id")).as("payload"))
+    val planted = (0L until 10L).map(i => (i, i + 10)).toSet
+    val aligned = Multimodal.audioFingerprintPairs(media)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(aligned.intersect(planted).isEmpty,
+      s"positional alignment should NOT see the shifted copies: $aligned")
+    val landmark = Multimodal.audioLandmarkPairs(media)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(landmark.intersect(planted).size == 10,
+      s"landmarks must find every trimmed copy: $landmark")
+    assert((landmark -- planted).isEmpty, s"false pairs: ${landmark -- planted}")
+  }
+
+  test("audioLandmarkPairs maxDf caps the silence landmark, pair set unchanged") {
+    import Round8Fixtures.{halfSilentWav, silencePaddedWav}
+    import spark.implicits._
+    implicit val sp: SparkSession = spark
+    // planted trims + 50 unrelated half-silent tracks: silence frames
+    // code to 0, so the (0,0) landmark bucket holds all 50 — C(50,2)
+    // candidate pairs from ONE bucket without the cap
+    val wav = udf((id: Long) =>
+      if (id < 10) silencePaddedWav(id, 256, 768)
+      else if (id < 20) Multimodal.syntheticWavTexTrim(id - 10, 512, skip = 256)
+      else halfSilentWav(id, 1024))
+    val media = spark.range(0, 70)
+      .select(col("id").as("doc_id"), wav(col("id")).as("payload"))
+    val planted = (0L until 10L).map(i => (i, i + 10)).toSet
+    val capped = Multimodal.audioLandmarkPairs(media, maxDf = 20)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val uncapped = Multimodal.audioLandmarkPairs(media)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(capped == uncapped, s"capped=$capped uncapped=$uncapped")
+    assert(capped.intersect(planted).size == 10, s"planted trims lost: $capped")
+    assert((capped -- planted).isEmpty, s"false pairs: ${capped -- planted}")
+  }
+
   // ---- charEntropy empty-doc contract (r7 advice) --------------------
 
   test("charEntropy drops null/empty docs (matches the oracle's UNNEST)") {
@@ -190,6 +238,17 @@ object Round8Fixtures extends Serializable {
     Multimodal.wavPcm16(Array.tabulate(n) { i =>
       if (i < n / 2) 0
       else (((id * 40503L + 12289L) * (i + 7L) * (i + 13L)) % 65536L
+        - 32768L).toInt
+    })
+
+  /** `nSilence` zero samples then the [[Multimodal.syntheticWavTex]]
+    * stream continued at ABSOLUTE index — so
+    * `syntheticWavTexTrim(id, nTotal - nSilence, skip = nSilence)` is
+    * a bit-exact leading trim of this payload. */
+  def silencePaddedWav(id: Long, nSilence: Int, nTotal: Int): Array[Byte] =
+    Multimodal.wavPcm16(Array.tabulate(nTotal) { n =>
+      if (n < nSilence) 0
+      else (((id * 40503L + 12289L) * (n + 7L) * (n + 13L)) % 65536L
         - 32768L).toInt
     })
 }
