@@ -14,6 +14,13 @@ case class BandVerdict(doc_id: Long, band: Int, dup_src: Option[Long])
   * one's pHash (consulted in this chunk's bucket), or None. */
 case class ChunkVerdict(doc_id: Long, chunk: Int, dup_src: Option[Long])
 
+/** One audio hit record per (document, fingerprint frame): `hits`
+  * lists every earlier document whose fingerprint shares this frame's
+  * (frame_idx, code) bucket. The dup decision (shared frames over the
+  * smaller fingerprint) aggregates across a document's frames, so it
+  * lives in the batch query over the sink, not in per-bucket state. */
+case class FrameHits(doc_id: Long, frame_idx: Int, hits: Seq[Long])
+
 /** Streaming NEAR-dup dedup across micro-batches — the ingest-pipeline
   * operator st65's exact `dropDuplicates` cannot express: a re-delivered
   * document that was also EDITED (tail appended, boilerplate injected)
@@ -103,6 +110,51 @@ object StreamingNearDup {
     * id-monotonic delivery across batches == the batch replay. State
     * per bucket is 16 bytes/member; undecodable payloads carry no
     * hash and pass through unjudged (they are not images). */
+  /** Streaming AUDIO near-dup detection — the audio tier of the ingest
+    * ladder ([[bandVerdicts]] text, [[pHashVerdicts]] images): arriving
+    * payloads fingerprint into per-frame 13-bit autocorrelation codes
+    * ([[Multimodal.audioFingerprint]] — amplitude-scale invariant), and
+    * each (frame_idx, code) bucket holds the doc_ids seen so far in
+    * `flatMapGroupsWithState` state (8 bytes/member — each doc carries
+    * at most one code per frame_idx, so at most one entry per bucket).
+    * An arrival emits the earlier members as `hits`; the consumer
+    * aggregates hits across frames into the aligned match fraction
+    * (shared frames / smaller fingerprint), exactly the batch
+    * [[Multimodal.audioFingerprintPairs]] metric — so batch == streaming
+    * is provable against one SQL replay. Same determinism contract as
+    * [[bandVerdicts]]: id-ordered fold within a batch, id-monotonic
+    * delivery across batches == the batch replay.
+    *
+    * `maxBucket` is the streaming analog of the batch path's `maxDf`
+    * skew cap: once a bucket holds that many members (silence frames —
+    * real audio codes constant regions to one hot code), later arrivals
+    * still register but emit no hits, bounding both the emission fan-out
+    * and what one hot key contributes to any pair score. 0 = uncapped
+    * (the oracle-exact default). */
+  def audioVerdicts(media: DataFrame, idCol: String, payloadCol: String,
+      maxBucket: Int = 0): Dataset[FrameHits] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val codes = Multimodal.audioFingerprint(
+      media.select(col(idCol).cast("long").as("doc_id"),
+        col(payloadCol).as("payload")))
+    codes.groupByKey(c => (c.frame_idx, c.code))
+      .flatMapGroupsWithState[List[Long], FrameHits](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((frameIdx, _), rows, state: GroupState[List[Long]]) =>
+          var seen = state.getOption.getOrElse(Nil)
+          val out = rows.toSeq.sortBy(_.doc_id).map { c =>
+            val hits = if (maxBucket > 0 && seen.length >= maxBucket) Nil
+              else seen
+            seen = c.doc_id :: seen
+            FrameHits(c.doc_id, frameIdx, hits)
+          }
+          state.update(seen)
+          out.iterator
+      }
+  }
+
   def pHashVerdicts(media: DataFrame, idCol: String, payloadCol: String,
       maxDist: Int = 3): Dataset[ChunkVerdict] = {
     require(maxDist < 4, "4 x 16-bit chunks guarantee recall only for maxDist <= 3")

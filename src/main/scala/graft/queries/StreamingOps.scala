@@ -575,6 +575,69 @@ object StreamingOps extends QueryPack {
         .select(col("doc_id"), col("dup_src").isNull.as("kept"),
           col("dup_src"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Streaming AUDIO near-dup dedup (the audio tier, completing the
+    // st68/st72 ladder): micro-batch 1 delivers 20 textured WAVs,
+    // micro-batch 2 their RE-LEVELED re-uploads (floor-scaled x0.9 —
+    // different bytes, same autocorrelation signs) under new ids.
+    // (frame_idx, code) bucket state emits earlier sharers per frame;
+    // the batch query over the sink scores aligned agreement >= 0.8
+    // over the smaller fingerprint — the m79 metric, so the oracle is
+    // the same integer SQL replay with a dedup decision on top.
+    "st73_stream_audio_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val name = "st73_out"
+      val staged = stagingDir("graft-stream-audio")
+      val wav = udf((id: Long) =>
+        if (id < 1000000L) Multimodal.syntheticWavTex(id, (160 + (id % 13) * 16).toInt)
+        else Multimodal.syntheticWavTex(id - 1000000L,
+          (160 + ((id - 1000000L) % 13) * 16).toInt, num = 9, den = 10))
+      def stageBatch(ids: org.apache.spark.sql.Dataset[java.lang.Long],
+          fname: String, ageMs: Long): Unit = {
+        val tmp = staged.resolve(fname + ".tmp")
+        ids.toDF("doc_id").select(col("doc_id"), wav(col("doc_id")).as("payload"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, staged.resolve(fname))
+        staged.resolve(fname).toFile.deleteOnExit()
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        java.nio.file.Files.setLastModifiedTime(staged.resolve(fname),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - ageMs))
+      }
+      stageBatch(s.range(0, 20).as[java.lang.Long], "a.parquet", 120000L)
+      stageBatch(s.range(1000000L, 1000020L).as[java.lang.Long], "b.parquet", 0L)
+      val mediaSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("payload", BinaryType)))
+      val stream = s.readStream.schema(mediaSchema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+        .repartition(col("doc_id"))
+      val hits = graft.operators.StreamingNearDup.audioVerdicts(
+        stream, "doc_id", "payload")
+      val q = hits.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+      // all branches re-alias their key before any join: the memory
+      // sink's view resolves to the SAME attribute ids on every
+      // s.table() call, and a raw self-join fails analysis
+      val nf = s.table(name).groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("nf"))
+      val nfSrc = s.table(name).select(col("doc_id").as("src_id"))
+        .groupBy(col("src_id")).agg(count(lit(1)).as("nf_src"))
+      val dup = s.table(name)
+        .select(col("doc_id").as("d"), explode(col("hits")).as("src"))
+        .groupBy(col("d"), col("src")).agg(count(lit(1)).as("c"))
+        .join(nf, col("d") === nf("doc_id")).drop("doc_id")
+        .join(nfSrc, col("src") === col("src_id"))
+        .filter(col("c").cast("double") / least(col("nf"), col("nf_src"))
+          >= 0.8)
+        .groupBy(col("d")).agg(min(col("src")).as("dup_src"))
+      nf.join(dup, col("doc_id") === col("d"), "left")
+        .select(col("doc_id"), col("dup_src").isNull.as("kept"),
+          col("dup_src"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -685,6 +748,61 @@ object StreamingOps extends QueryPack {
           JOIN sizes sb ON sb.doc_id = m.doc_b
         WHERE round(CAST(c AS DOUBLE) / least(sa.nl, sb.nl), 6) >= 0.6
         ORDER BY doc_a, doc_b""",
+    // m79's integer code replay over the two-delivery corpus (base ids
+    // 0..19, re-leveled re-uploads 1000000..1000019), then the dedup
+    // decision the streaming state computes: dup_src = lowest earlier
+    // doc with aligned agreement >= 0.8 over the smaller fingerprint
+    "st73_stream_audio_dedup" ->
+      """WITH ids AS (SELECT unnest(range(0, 20)) AS doc_id
+          UNION ALL SELECT unnest(range(1000000, 1000020)) AS doc_id),
+        base AS (SELECT doc_id,
+            CASE WHEN doc_id < 1000000 THEN doc_id
+              ELSE doc_id - 1000000 END AS bid
+          FROM ids),
+        lens AS (SELECT doc_id, bid, 160 + (bid % 13) * 16 AS n FROM base),
+        samples AS (SELECT doc_id, i,
+            CASE WHEN doc_id < 1000000 THEN s
+              ELSE CAST(floor(CAST(s * 9 AS DOUBLE) / 10) AS BIGINT) END AS v
+          FROM (SELECT doc_id, u.i,
+              ((bid * 40503 + 12289) * (u.i + 7) * (u.i + 13)) % 65536
+                - 32768 AS s
+            FROM lens, LATERAL (SELECT unnest(range(0, n)) AS i) u(i))),
+        frames AS (SELECT doc_id, u.f FROM lens,
+          LATERAL (SELECT unnest(range(0, (n - 128) // 64 + 1)) AS f) u(f)
+          WHERE n >= 128),
+        lags AS (SELECT * FROM (VALUES (0,1),(1,2),(2,4),(3,8),(4,16),
+          (5,32),(6,64)) l(j, lg)),
+        rr AS (SELECT fr.doc_id, fr.f, lags.j, SUM(a.v * b.v) AS r
+          FROM frames fr, lags
+          JOIN samples a ON TRUE
+          JOIN samples b ON b.doc_id = a.doc_id AND b.i = a.i + lags.lg
+          WHERE a.doc_id = fr.doc_id
+            AND a.i >= fr.f * 64 AND a.i < fr.f * 64 + 128 - lags.lg
+          GROUP BY fr.doc_id, fr.f, lags.j),
+        sbits AS (SELECT doc_id, f,
+            SUM(CASE WHEN r > 0 THEN 1 << j ELSE 0 END) AS s_code
+          FROM rr GROUP BY doc_id, f),
+        cbits AS (SELECT x.doc_id, x.f,
+            SUM(CASE WHEN x.r > y.r THEN 1 << (7 + x.j) ELSE 0 END) AS c_code
+          FROM rr x JOIN rr y ON y.doc_id = x.doc_id AND y.f = x.f
+            AND y.j = x.j + 1
+          GROUP BY x.doc_id, x.f),
+        codes AS (SELECT s.doc_id, s.f, s.s_code + COALESCE(c.c_code, 0) AS code
+          FROM sbits s LEFT JOIN cbits c
+            ON c.doc_id = s.doc_id AND c.f = s.f),
+        sizes AS (SELECT doc_id, COUNT(*) AS nf FROM codes GROUP BY doc_id),
+        m AS (SELECT b.doc_id AS doc_id, a.doc_id AS src, COUNT(*) AS c
+          FROM codes a JOIN codes b ON a.f = b.f AND a.code = b.code
+            AND a.doc_id < b.doc_id
+          GROUP BY b.doc_id, a.doc_id),
+        dup AS (SELECT m.doc_id, MIN(src) AS dup_src
+          FROM m JOIN sizes na ON na.doc_id = m.src
+            JOIN sizes nb ON nb.doc_id = m.doc_id
+          WHERE CAST(c AS DOUBLE) / least(na.nf, nb.nf) >= 0.8
+          GROUP BY m.doc_id)
+        SELECT s.doc_id, d.dup_src IS NULL AS kept, d.dup_src
+        FROM sizes s LEFT JOIN dup d ON d.doc_id = s.doc_id
+        ORDER BY s.doc_id""",
     // regenerates the synthetic PCM stream (pure integer function) and
     // the stub byte stream (ascii), then replays the exact stats —
     // integer sum of squares, one final sqrt, round 6
