@@ -826,4 +826,238 @@ object Multimodal {
     } finally { writer.dispose(); ios.close() }
     bos.toByteArray
   }
+
+  // ---- VIDEO: minimal RIFF/AVI container ----------------------------
+  // Container semantics per the public AVI RIFF form (cf. reference
+  // multimodal sources' opaque-binary treatment): LIST hdrl carries
+  // avih + per-stream strl(strh, strf); LIST movi carries the frame
+  // chunks, 'NNdb' = uncompressed DIB, 'NNdc' = compressed (MJPEG =
+  // one JPEG per chunk). Plain-JVM end to end: javax.imageio decodes
+  // the extracted frames, no external codec.
+
+  @inline private def fourcc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Parse a RIFF/AVI payload into per-frame IMAGE payloads the
+    * [[pHash64]] / feature path can read directly: 'NNdc' chunks pass
+    * through (MJPEG — each chunk is a standalone JPEG), 'NNdb' raw DIB
+    * chunks are wrapped with a BITMAPFILEHEADER plus the stream's
+    * BITMAPINFOHEADER (the hdrl strf) into a standalone BMP. Frames
+    * come back in movi order. None when the payload is not RIFF/AVI;
+    * structurally broken chunk tables stop the walk at the damage
+    * (frames before it still return) — ingest-safe, never throws. */
+  private[operators] def aviFrames(payload: Array[Byte]): Option[Vector[Array[Byte]]] = {
+    if (payload.length < 12 || fourcc(payload, 0) != "RIFF" ||
+      fourcc(payload, 8) != "AVI ") return None
+    try {
+      var strf: Array[Byte] = null
+      val frames = Vector.newBuilder[Array[Byte]]
+      def isFrameId(id: String, suffix: String): Boolean =
+        id.length == 4 && id(0).isDigit && id(1).isDigit &&
+          id.substring(2) == suffix
+      def walk(from: Int, to: Int): Unit = {
+        var off = from
+        var ok = true
+        while (ok && off + 8 <= to) {
+          val id = fourcc(payload, off)
+          val size = le32(payload, off + 4)
+          val data = off + 8
+          if (size < 0 || data + size > to) ok = false
+          else {
+            if (id == "LIST" && size >= 4) walk(data + 4, data + size)
+            else if (id == "strf" && strf == null)
+              strf = java.util.Arrays.copyOfRange(payload, data, data + size)
+            else if (isFrameId(id, "dc") && size > 0)
+              frames += java.util.Arrays.copyOfRange(payload, data, data + size)
+            else if (isFrameId(id, "db") && size > 0 && strf != null) {
+              val bmp = new Array[Byte](14 + strf.length + size)
+              bmp(0) = 'B'; bmp(1) = 'M'
+              var v = bmp.length
+              var i = 2
+              while (i < 6) { bmp(i) = (v & 0xff).toByte; v >>>= 8; i += 1 }
+              v = 14 + strf.length
+              i = 10
+              while (i < 14) { bmp(i) = (v & 0xff).toByte; v >>>= 8; i += 1 }
+              System.arraycopy(strf, 0, bmp, 14, strf.length)
+              System.arraycopy(payload, data, bmp, 14 + strf.length, size)
+              frames += bmp
+            }
+            off = data + size + (size & 1)
+          }
+        }
+      }
+      walk(12, payload.length)
+      Some(frames.result())
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def riffChunk(id: String, data: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](8 + data.length + (data.length & 1))
+    var i = 0
+    while (i < 4) { out(i) = id(i).toByte; i += 1 }
+    var v = data.length
+    while (i < 8) { out(i) = (v & 0xff).toByte; v >>>= 8; i += 1 }
+    System.arraycopy(data, 0, out, 8, data.length)
+    out
+  }
+
+  private def leBytes(xs: Seq[Int]): Array[Byte] = {
+    val out = new Array[Byte](xs.length * 4)
+    var i = 0
+    xs.foreach { x =>
+      out(i) = (x & 0xff).toByte; out(i + 1) = ((x >> 8) & 0xff).toByte
+      out(i + 2) = ((x >> 16) & 0xff).toByte; out(i + 3) = ((x >> 24) & 0xff).toByte
+      i += 4
+    }
+    out
+  }
+
+  private def aviPixel(id: Long, f: Int, x: Int, y: Int, delta: Int,
+      global0: Boolean): Int = {
+    def bump(v: Long) = if (delta > 0 && (global0 || (x < 3 && y < 3)))
+      math.min(255L, v + delta).toInt else v.toInt
+    val r = bump((id * 7 + f * 19 + x * 13 + y * 31) % 256)
+    val g = bump((id * 11 + f * 23 + x * 3 + y * 17) % 256)
+    val b = bump((id * 5 + f * 29 + x * 29 + y * 7) % 256)
+    (r << 16) | (g << 8) | b
+  }
+
+  /** Deterministic synthetic AVI for doc `id`: frame f's pixel (x,y)
+    * is a pure integer function of (id, f, x, y) — the video analog of
+    * [[syntheticPng]] / [[syntheticGif]]. Uncompressed 24-bit DIB
+    * frames by default (bit-exact through the BMP decode, so gates can
+    * pin goldens); `mjpeg = true` writes each frame as a JPEG '00dc'
+    * chunk instead (javax.imageio encode — the real-container fixture
+    * for the MJPEG parse path). `delta` plants a luma bump on every
+    * frame — on the 3x3 corner ([[syntheticPngVariant]]-style) by
+    * default, or on EVERY pixel with `global0` (clamped at 255, so the
+    * AC spectrum moves only where clamping bites — the
+    * brightness-adjusted re-upload, 0-2 pHash bits per frame). */
+  def syntheticAvi(id: Long, nFrames: Int, w: Int = 16, h: Int = 16,
+      mjpeg: Boolean = false, delta: Int = 0,
+      global0: Boolean = false, intro: Int = 0): Array[Byte] = {
+    val rowBytes = (w * 3 + 3) & ~3
+    val frameChunks = (0 until nFrames).map { f =>
+      // frames below `intro` render with a fixed sentinel id — a
+      // SHARED intro/title sequence across otherwise-unrelated videos,
+      // the hot-bucket fixture for videoNearDupPairs' maxDf cap (the
+      // sentinel keeps the intro from colliding with any real doc's
+      // own frames; prime, and NOT a multiple of 256 — the pixel
+      // formula works mod 256, so a 2^k sentinel would render as id 0)
+      val fid = if (f < intro) 999999937L else id
+      if (mjpeg) {
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w)
+          img.setRGB(x, y, aviPixel(fid, f, x, y, delta, global0))
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        riffChunk("00dc", bos.toByteArray)
+      } else {
+        // bottom-up BGR rows padded to 4 bytes — the DIB layout
+        val px = new Array[Byte](rowBytes * h)
+        for (y <- 0 until h; x <- 0 until w) {
+          val rgb = aviPixel(fid, f, x, y, delta, global0)
+          val o = (h - 1 - y) * rowBytes + x * 3
+          px(o) = (rgb & 0xff).toByte
+          px(o + 1) = ((rgb >> 8) & 0xff).toByte
+          px(o + 2) = ((rgb >> 16) & 0xff).toByte
+        }
+        riffChunk("00db", px)
+      }
+    }
+    val compression = if (mjpeg) 0x47504A4D else 0 // 'MJPG' LE | BI_RGB
+    val strf = riffChunk("strf", leBytes(Seq(
+      40, w, h, 1 | (24 << 16), compression, rowBytes * h, 0, 0, 0, 0)))
+    val strh = riffChunk("strh",
+      fourcc("vids") ++ fourcc(if (mjpeg) "MJPG" else "    ") ++
+        leBytes(Seq(0, 0, 0, 1, 25, 0, nFrames, 0, 0, 0)) ++
+        leBytes(Seq(0, w | (h << 16))))
+    val strl = riffChunk("LIST", fourcc("strl") ++ strh ++ strf)
+    val avih = riffChunk("avih", leBytes(Seq(
+      40000, 0, 0, 0, nFrames, 0, 1, 0, w, h, 0, 0, 0, 0)))
+    val hdrl = riffChunk("LIST", fourcc("hdrl") ++ avih ++ strl)
+    val movi = riffChunk("LIST",
+      fourcc("movi") ++ frameChunks.reduce(_ ++ _))
+    riffChunk("RIFF", fourcc("AVI ") ++ hdrl ++ movi)
+  }
+
+  private def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  case class VideoFrameHash(doc_id: Long, frame_idx: Int, ph: Long)
+
+  /** Frame-sampled pHash over video containers — the container tier of
+    * the multimodal ladder (m73's byte-stub frame sampling made real):
+    * every `every`-th frame of each AVI payload decodes and pHashes via
+    * the m78 image path, yielding the (doc_id, frame_idx, ph) table
+    * video dedup / retrieval builds on. Non-AVI payloads emit no rows.
+    *
+    * Scale shape: one mapPartitions pass, no shuffle; per-doc cost is
+    * proportional to SAMPLED frames only — unsampled chunks are walked
+    * (cheap pointer arithmetic over the chunk table) but never decoded,
+    * which is what makes `every` the knob that holds decode cost flat
+    * as frame rates grow. */
+  def videoFramePHash(media: DataFrame, every: Int = 2)(
+      implicit s: SparkSession): Dataset[VideoFrameHash] = {
+    import s.implicits._
+    require(every >= 1, "every must be >= 1")
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions(rows => rows.flatMap { r =>
+        aviFrames(r.payload) match {
+          case Some(fs) => fs.iterator.zipWithIndex
+            .filter(_._2 % every == 0)
+            .flatMap { case (frame, idx) =>
+              pHash64(frame).map(ph => VideoFrameHash(r.doc_id, idx, ph)) }
+          case None => Iterator.empty
+        }
+      })
+  }
+
+  /** Video near-duplicate pairs: two videos match when >= `minMatch`
+    * of their sampled frames (over the smaller sample count) agree at
+    * the same frame index within pHash hamming `maxDist` — re-encoded
+    * or lightly-edited re-uploads keep per-frame perceptual hashes
+    * close, exactly the m78 single-image property applied per frame.
+    *
+    * Scale shape mirrors [[audioFingerprintPairs]]: hashes materialize
+    * ONCE ([[Materialize.eager]] — the decode+DCT is the dominant
+    * cost), candidates come from (frame_idx, 16-bit pHash chunk)
+    * posting-list buckets (pigeonhole-complete for <= 3 bits per
+    * frame), each candidate verifies exactly with `bit_count`, and
+    * `maxDf` drops buckets shared by more than that many videos before
+    * pair expansion — black/intro frames are the hot keys, the same
+    * skew class as silence in the audio tier. */
+  def videoNearDupPairs(media: DataFrame, every: Int = 2, maxDist: Int = 3,
+      minMatch: Double = 0.8, maxDf: Int = 0)(
+      implicit s: SparkSession): DataFrame = {
+    require(maxDist < 4, "4 x 16-bit chunks guarantee recall only for maxDist <= 3")
+    val hashed = Materialize.eager(videoFramePHash(media, every).toDF())
+    val nf = hashed.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+    val chunked = hashed.select(col("doc_id"), col("frame_idx"), col("ph"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("ph"), c * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .toDF("doc_id", "frame_idx", "ph", "chunk", "ck")
+    val buckets = chunked.groupBy(col("frame_idx"), col("chunk"), col("ck"))
+      .agg(collect_list(struct(col("doc_id"), col("ph"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    val capped = if (maxDf <= 0) buckets
+      else buckets.filter(size(col("ds")) <= maxDf)
+    val ds = array_sort(col("ds"))
+    val pairs = capped.select(col("frame_idx"), explode(flatten(
+        transform(ds, (x, i) =>
+          transform(slice(ds, i + lit(2), greatest(size(ds) - i - 1, lit(0))),
+            y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .filter(bit_count(col("p.a.ph").bitwiseXOR(col("p.b.ph"))) <= maxDist)
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        col("frame_idx"))
+      .distinct() // a pair can share several intact chunks of one frame
+    pairs.groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("c"))
+      .join(nf.select(col("doc_id").as("doc_a"), col("nf").as("na")), Seq("doc_a"))
+      .join(nf.select(col("doc_id").as("doc_b"), col("nf").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("c").cast("double") / least(col("na"), col("nb")), 6)
+          .as("match_frac"))
+      .filter(col("match_frac") >= minMatch)
+  }
 }

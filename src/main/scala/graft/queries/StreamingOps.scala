@@ -531,6 +531,38 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // VIDEO container decode + frame-sampled pHash: deterministic
+    // synthetic AVIs (uncompressed DIB frames — bit-exact through the
+    // BMP decode), every 2nd frame hashed via the m78 path. Codec +
+    // StrictMath DCT — pinned golden gate (m75/m78 precedent).
+    "m81_video_frames" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val avi = udf((id: Long) =>
+        Multimodal.syntheticAvi(id, (4 + id % 3).toInt))
+      val media = s.range(0, 8)
+        .select(col("id").as("doc_id"), avi(col("id")).as("payload"))
+      Multimodal.videoFramePHash(media, every = 2).toDF()
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    // VIDEO near-dup pairs: 10 base AVIs + 10 brightness-bumped
+    // re-uploads (+12 luma on every pixel, clamped — AC coefficients
+    // shift only where clamping bites, so per-frame pHash moves 0-2
+    // bits); sampled frames agree within hamming 3 at the same index,
+    // aligned agreement >= 0.8 over the smaller sample. Pinned golden
+    // gate.
+    "m82_video_neardup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val avi = udf((id: Long) =>
+        if (id < 20) Multimodal.syntheticAvi(id, (4 + id % 3).toInt)
+        else Multimodal.syntheticAvi(id - 20, (4 + (id - 20) % 3).toInt,
+          delta = 12, global0 = true))
+      val media = s.range(0, 10).union(s.range(20, 30))
+        .select(col("id").as("doc_id"), avi(col("id")).as("payload"))
+      Multimodal.videoNearDupPairs(media)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Streaming IMAGE near-dup dedup (the pixel tier of st68's ladder):
     // micro-batch 1 delivers 20 base PNGs, micro-batch 2 their
     // lightly-EDITED re-uploads under new ids — exact dedup can't

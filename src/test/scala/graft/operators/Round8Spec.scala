@@ -203,6 +203,61 @@ class Round8Spec extends AnyFunSuite with BeforeAndAfterAll {
       s"cap did not bound emission: $cappedEmits vs $uncappedEmits")
   }
 
+  // ---- m81/m82 video container tier ----------------------------------
+
+  test("aviFrames round-trips DIB frames and parses MJPEG within tolerance") {
+    // DIB: bit-exact through the BMP wrap — frame hashes equal the
+    // same pixels hashed any other lossless way, so just assert the
+    // parse is complete and deterministic
+    val dib = Multimodal.aviFrames(Multimodal.syntheticAvi(7L, 5)).get
+    assert(dib.length == 5)
+    val dibHashes = dib.map(f => Multimodal.pHash64(f).get)
+    assert(dibHashes.distinct.length == 5)
+    // MJPEG: each '00dc' chunk is a standalone JPEG; lossy, so assert
+    // perceptual proximity to the lossless frame, not equality
+    val jpg = Multimodal.aviFrames(Multimodal.syntheticAvi(7L, 5, mjpeg = true)).get
+    assert(jpg.length == 5)
+    jpg.zip(dibHashes).foreach { case (frame, ref) =>
+      val ph = Multimodal.pHash64(frame).get
+      val d = java.lang.Long.bitCount(ph ^ ref)
+      assert(d <= 16, s"JPEG frame drifted $d bits from the lossless hash")
+    }
+  }
+
+  test("aviFrames is ingest-safe on malformed payloads") {
+    assert(Multimodal.aviFrames("not a container".getBytes).isEmpty)
+    assert(Multimodal.aviFrames(Array.empty[Byte]).isEmpty)
+    val good = Multimodal.syntheticAvi(3L, 4)
+    // truncation mid-chunk-table: frames before the damage still parse,
+    // nothing throws
+    val cut = Multimodal.aviFrames(good.take(good.length / 2))
+    assert(cut.isDefined)
+    assert(cut.get.length < 4)
+  }
+
+  test("videoNearDupPairs maxDf drops shared-intro buckets, pair set unchanged") {
+    import spark.implicits._
+    implicit val sp: SparkSession = spark
+    // planted: 6 base videos + 6 brightness-bumped re-uploads; 30
+    // unrelated videos all opening on the SAME intro frame — every
+    // sampled frame-0 bucket holds all 30, the candidate flood the
+    // cap exists for (1 shared frame can never reach minMatch 0.8)
+    val avi = udf((id: Long) =>
+      if (id < 6) Multimodal.syntheticAvi(id, (4 + id % 3).toInt)
+      else if (id < 12) Multimodal.syntheticAvi(id - 6, (4 + (id - 6) % 3).toInt,
+        delta = 12, global0 = true)
+      else Multimodal.syntheticAvi(id, 5, intro = 1))
+    val media = spark.range(0, 42)
+      .select(col("id").as("doc_id"), avi(col("id")).as("payload"))
+    val planted = (0L until 6L).map(i => (i, i + 6)).toSet
+    val capped = Multimodal.videoNearDupPairs(media, maxDf = 8)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val uncapped = Multimodal.videoNearDupPairs(media)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(uncapped == planted, s"uncapped: $uncapped")
+    assert(capped == planted, s"capped: $capped")
+  }
+
   // ---- charEntropy empty-doc contract (r7 advice) --------------------
 
   test("charEntropy drops null/empty docs (matches the oracle's UNNEST)") {
