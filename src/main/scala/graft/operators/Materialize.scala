@@ -33,9 +33,15 @@ object Materialize {
   case object ReliableCheckpoint extends Strategy
   case object ReplicatedPersist extends Strategy
 
-  /** Pure strategy choice — see object doc for the rationale. */
+  /** Pure strategy choice — see object doc for the rationale.
+    * `local-cluster[...]` is NOT local: it runs real multi-process
+    * executors (the test harness for executor loss), so it takes the
+    * cluster paths — `startsWith("local")` alone would hand it
+    * non-replicated local blocks, the exact failure mode this object
+    * exists to avoid. */
   def strategy(master: String, hasCheckpointDir: Boolean): Strategy =
-    if (master.startsWith("local")) LocalCheckpoint
+    if (master.startsWith("local") && !master.startsWith("local-cluster"))
+      LocalCheckpoint
     else if (hasCheckpointDir) ReliableCheckpoint
     else ReplicatedPersist
 

@@ -24,7 +24,10 @@ class Round7Spec extends AnyFunSuite with BeforeAndAfterAll {
     import Materialize._
     assert(strategy("local[4]", hasCheckpointDir = false) == LocalCheckpoint)
     assert(strategy("local[*]", hasCheckpointDir = true) == LocalCheckpoint)
-    assert(strategy("local-cluster[2,1,1024]", hasCheckpointDir = false) == LocalCheckpoint)
+    // local-cluster runs REAL multi-process executors (the block-loss
+    // harness) — it must take the cluster paths, not localCheckpoint
+    assert(strategy("local-cluster[2,1,1024]", hasCheckpointDir = false) == ReplicatedPersist)
+    assert(strategy("local-cluster[2,1,1024]", hasCheckpointDir = true) == ReliableCheckpoint)
     // cluster masters must never rely on non-replicated local blocks:
     // reliable checkpoint when a dir exists, replicated persist otherwise
     assert(strategy("spark://host:7077", hasCheckpointDir = true) == ReliableCheckpoint)
