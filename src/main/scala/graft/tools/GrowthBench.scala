@@ -27,7 +27,7 @@ object GrowthBench {
     "t48_decontaminate", "t51_dup_substring", "t56_dup_substring_remove",
     "t57_bigram_lm", "t59_token_budget", "t60_bm25", "t61_paragraph_dedup",
     "t64_bpe_merges", "t65_bpe_encode", "t66_cross_neardup",
-    "t67_char_entropy",
+    "t67_char_entropy", "t68_bpe_batched",
     "s46_cosine_dup_lsh", "s49_embed_curate",
     "s54_diversity_select")
 
