@@ -235,6 +235,29 @@ class Round8Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cut.get.length < 4)
   }
 
+  test("videoNearDupPairs decodes each sampled frame exactly once per run") {
+    import spark.implicits._
+    implicit val sp: SparkSession = spark
+    // 10 base + 10 brightness-bumped copies, nFrames = 4 + id % 3:
+    // sampled (every=2) frames per video = ceil(nFrames / 2)
+    val avi = udf((id: Long) =>
+      if (id < 20) Multimodal.syntheticAvi(id, (4 + id % 3).toInt)
+      else Multimodal.syntheticAvi(id - 20, (4 + (id - 20) % 3).toInt,
+        delta = 12, global0 = true))
+    val media = spark.range(0, 10).union(spark.range(20, 30))
+      .select(col("id").as("doc_id"), avi(col("id")).as("payload"))
+    val expected = (0 until 10).map(id => (4 + id % 3 + 1) / 2).sum * 2L
+    var pairs: Set[(Long, Long)] = Set.empty
+    val decodes = countingDecodes {
+      pairs = Multimodal.videoNearDupPairs(media)
+        .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    }
+    assert(decodes == expected,
+      s"expected one decode per SAMPLED frame ($expected), got $decodes " +
+        "- unsampled frames must never decode, sampled ones only once")
+    assert(pairs == (0L until 10L).map(i => (i, i + 20)).toSet)
+  }
+
   test("videoNearDupPairs maxDf drops shared-intro buckets, pair set unchanged") {
     import spark.implicits._
     implicit val sp: SparkSession = spark
