@@ -281,6 +281,40 @@ class Round8Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(capped == planted, s"capped: $capped")
   }
 
+  // ---- events ts storage adaptivity (the round-8 testdata regen broke
+  // 24 queries: ts flipped TIMESTAMP(NANOS) -> TIMESTAMP(MICROS)) ------
+
+  test("Util.t normalizes events.ts from every storage form it has seen") {
+    import graft.queries.Util
+    val dir = java.nio.file.Files.createTempDirectory("graft-events-forms")
+    try {
+      val base = 1_700_000_000_000_000L // micros; nanos = *1000
+      // raw long nanos (what nanosAsLong yields for TIMESTAMP(NANOS))
+      spark.range(0, 3)
+        .selectExpr(s"id AS event_id", s"(id * 1000000 + $base) * 1000 AS ts")
+        .write.parquet(s"$dir/nanos/events.parquet")
+      // TIMESTAMP_NTZ micros (the round-8 regenerated form)
+      spark.range(0, 3)
+        .selectExpr("id AS event_id",
+          s"CAST(timestamp_micros(id * 1000000 + $base) AS TIMESTAMP_NTZ) AS ts")
+        .write.parquet(s"$dir/micros/events.parquet")
+      // plain TimestampType — already normalized, must pass through
+      spark.range(0, 3)
+        .selectExpr("id AS event_id", s"timestamp_micros(id * 1000000 + $base) AS ts")
+        .write.parquet(s"$dir/ltz/events.parquet")
+      val results = Seq("nanos", "micros", "ltz").map { form =>
+        val df = Util.t(spark, s"$dir/$form", "events")
+        assert(df.schema("ts").dataType ==
+          org.apache.spark.sql.types.TimestampType, s"$form form")
+        df.selectExpr("unix_micros(ts)").collect().map(_.getLong(0)).sorted.toSeq
+      }
+      val want = (0 until 3).map(i => i * 1000000L + base)
+      results.zip(Seq("nanos", "micros", "ltz")).foreach { case (got, form) =>
+        assert(got == want, s"$form: $got")
+      }
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
   // ---- charEntropy empty-doc contract (r7 advice) --------------------
 
   test("charEntropy drops null/empty docs (matches the oracle's UNNEST)") {
