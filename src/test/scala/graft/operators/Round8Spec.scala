@@ -281,6 +281,28 @@ class Round8Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(capped == planted, s"capped: $capped")
   }
 
+  // ---- plan shapes: the new pair operators must never go all-pairs ---
+
+  test("m80/m82 pair plans are equi-joins — no cartesian, no broadcast NL join") {
+    implicit val sp: SparkSession = spark
+    val wav = udf((id: Long) => Multimodal.syntheticWavTex(id, 320))
+    val audio = spark.range(0, 8)
+      .select(col("id").as("doc_id"), wav(col("id")).as("payload"))
+    val avi = udf((id: Long) => Multimodal.syntheticAvi(id, 4))
+    val video = spark.range(0, 8)
+      .select(col("id").as("doc_id"), avi(col("id")).as("payload"))
+    Seq(
+      "audioLandmarkPairs" -> Multimodal.audioLandmarkPairs(audio),
+      "videoNearDupPairs" -> Multimodal.videoNearDupPairs(video)
+    ).foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plan contains a cartesian product")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name plan contains a nested-loop join")
+    }
+  }
+
   // ---- events ts storage adaptivity (the round-8 testdata regen broke
   // 24 queries: ts flipped TIMESTAMP(NANOS) -> TIMESTAMP(MICROS)) ------
 
