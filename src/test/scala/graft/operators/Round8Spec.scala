@@ -404,6 +404,25 @@ class Round8Spec extends AnyFunSuite with BeforeAndAfterAll {
       .agg(sum($"n_tokens"), sum($"n_ws")).as[(Long, Long)].head()
     assert(sumEnc < sumWs, s"64 merges must shrink token counts: $sumEnc vs $sumWs")
   }
+
+  test("bpeMergeRulesBatched scales to 512 merges with round count sub-linear in merges") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rules = TextAnalysis.bpeMergeRulesBatched(docs, "text", merges = 512)
+      .select($"iter", $"round", $"tok_a", $"tok_b")
+      .as[(Int, Int, String, String)].collect().toSeq
+    assert(rules.size == 512)
+    assert(rules.map(_._1) == (1 to 512), "contiguous priority order")
+    assert(rules.map(r => (r._3, r._4)).distinct.size == 512)
+    val rounds = rules.map(_._2).max
+    // the production-vocab claim: corpus passes grow with ROUNDS, and
+    // rounds stay far below merges (each round batches the
+    // non-interacting prefix of the pair ranking)
+    assert(rounds <= 64, s"512 merges must not take 512 passes: $rounds rounds")
+    // every round after the first must have been forced by an actual
+    // interaction, not a premature batch cut: rounds strictly ordered
+    assert(rules.map(_._2).distinct.sorted == (1 to rounds))
+  }
 }
 
 /** Top-level fixture holder so test UDF closures don't capture the
