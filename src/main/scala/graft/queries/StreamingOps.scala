@@ -545,6 +545,21 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    // VIDEO MJPEG path: same frame pixels as m81 but each frame goes
+    // through the JDK JPEG encoder into a '00dc' chunk and back out of
+    // the container via the JPEG pass-through — the lossy-codec leg of
+    // the AVI walk. Pinned golden (same-JVM codec determinism, the
+    // st72/m78 precedent).
+    "m83_video_mjpeg" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val avi = udf((id: Long) =>
+        Multimodal.syntheticAvi(id, (4 + id % 3).toInt, mjpeg = true))
+      val media = s.range(0, 8)
+        .select(col("id").as("doc_id"), avi(col("id")).as("payload"))
+      Multimodal.videoFramePHash(media, every = 2).toDF()
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
     // VIDEO near-dup pairs: 10 base AVIs + 10 brightness-bumped
     // re-uploads (+12 luma on every pixel, clamped — AC coefficients
     // shift only where clamping bites, so per-frame pHash moves 0-2
