@@ -516,34 +516,71 @@ object Multimodal {
     * it a fingerprint rather than a checksum: the same recording at a
     * different level keeps its codes. Undecodable payloads emit no
     * frames. */
+  /** The per-payload fingerprint kernel: 13-bit autocorrelation code
+    * per frame (see [[audioFingerprint]] for the bit layout). Shared by
+    * the frame-code and landmark operators so both compute codes in
+    * ONE pass over the decoded samples with no shuffle. */
+  private def wavFrameCodes(sm: Array[Short], frame: Int, hop: Int): Array[Int] = {
+    val lags = Array(1, 2, 4, 8, 16, 32, 64)
+    val nf = if (sm.length < frame) 0 else (sm.length - frame) / hop + 1
+    Array.tabulate(nf) { f =>
+      val off = f * hop
+      val R = lags.map { l =>
+        var acc = 0L
+        var i = 0
+        while (i + l < frame) {
+          acc += sm(off + i).toLong * sm(off + i + l)
+          i += 1
+        }
+        acc
+      }
+      var code = 0
+      var j = 0
+      while (j < 7) { if (R(j) > 0) code |= 1 << j; j += 1 }
+      j = 0
+      while (j < 6) { if (R(j) > R(j + 1)) code |= 1 << (7 + j); j += 1 }
+      code
+    }
+  }
+
   def audioFingerprint(media: DataFrame, frame: Int = 128, hop: Int = 64)(
       implicit s: SparkSession): Dataset[FrameCode] = {
     import s.implicits._
-    val lags = Array(1, 2, 4, 8, 16, 32, 64)
     media.select(col("doc_id"), col("payload")).as[MediaRow]
       .mapPartitions(rows => rows.flatMap { r =>
         decodeWav(r.payload) match {
           case Some(w) =>
-            val sm = w.samples
-            val nf = if (sm.length < frame) 0 else (sm.length - frame) / hop + 1
-            (0 until nf).iterator.map { f =>
-              val off = f * hop
-              val R = lags.map { l =>
-                var acc = 0L
-                var i = 0
-                while (i + l < frame) {
-                  acc += sm(off + i).toLong * sm(off + i + l)
-                  i += 1
-                }
-                acc
-              }
-              var code = 0
-              var j = 0
-              while (j < 7) { if (R(j) > 0) code |= 1 << j; j += 1 }
-              j = 0
-              while (j < 6) { if (R(j) > R(j + 1)) code |= 1 << (7 + j); j += 1 }
-              FrameCode(r.doc_id, f, code)
+            wavFrameCodes(w.samples, frame, hop).iterator.zipWithIndex
+              .map { case (code, f) => FrameCode(r.doc_id, f, code) }
+          case None => Iterator.empty
+        }
+      })
+  }
+
+  case class DocLandmark(doc_id: Long, lm: Long)
+
+  /** Per-document DISTINCT landmark set, computed in the decode pass:
+    * a landmark packs (code, code `gap` frames later) with NO frame
+    * index, so a hop-aligned time shift leaves every interior landmark
+    * identical. One mapPartitions, no shuffle — a doc's codes are a
+    * local array here, where the window-function formulation would
+    * shuffle all codes by doc_id just to see neighbors. Distinct
+    * per doc (one posting-list entry per doc per landmark). */
+  def audioLandmarks(media: DataFrame, gap: Int = 1, frame: Int = 128,
+      hop: Int = 64)(implicit s: SparkSession): Dataset[DocLandmark] = {
+    import s.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions(rows => rows.flatMap { r =>
+        decodeWav(r.payload) match {
+          case Some(w) =>
+            val codes = wavFrameCodes(w.samples, frame, hop)
+            val lms = scala.collection.mutable.LinkedHashSet.empty[Long]
+            var i = 0
+            while (i + gap < codes.length) {
+              lms += codes(i).toLong * 8192L + codes(i + gap)
+              i += 1
             }
+            lms.iterator.map(DocLandmark(r.doc_id, _))
           case None => Iterator.empty
         }
       })
@@ -637,16 +674,12 @@ object Multimodal {
     * landmarks. */
   def audioLandmarkPairs(media: DataFrame, minMatch: Double = 0.6,
       gap: Int = 1, maxDf: Int = 0)(implicit s: SparkSession): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val codes = Materialize.eager(audioFingerprint(media).toDF())
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
-    val lms = codes
-      .select(col("doc_id"), col("code"),
-        lead(col("code"), gap).over(w).as("next"))
-      .filter(col("next").isNotNull)
-      .select(col("doc_id"),
-        (col("code") * lit(8192) + col("next")).as("lm"))
-      .distinct()
+    // landmarks come distinct-per-doc straight out of the decode pass
+    // ([[audioLandmarks]] — a doc's codes are a local array there), so
+    // the only shuffles left are the posting-list groupBy and the pair
+    // aggregation; the earlier window formulation paid an extra
+    // shuffle-by-doc_id just to see neighboring codes
+    val lms = Materialize.eager(audioLandmarks(media, gap).toDF())
     val sizes = lms.groupBy(col("doc_id")).agg(count(lit(1)).as("nl"))
     val bucketed =
       if (maxDf <= 0) lms

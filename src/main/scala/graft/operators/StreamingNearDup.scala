@@ -21,6 +21,11 @@ case class ChunkVerdict(doc_id: Long, chunk: Int, dup_src: Option[Long])
   * lives in the batch query over the sink, not in per-bucket state. */
 case class FrameHits(doc_id: Long, frame_idx: Int, hits: Seq[Long])
 
+/** One audio-landmark hit record per (document, landmark): `hits`
+  * lists every earlier document sharing the positionless landmark —
+  * the time-shift-tolerant streaming analog of [[FrameHits]]. */
+case class LandmarkHits(doc_id: Long, lm: Long, hits: Seq[Long])
+
 /** Streaming NEAR-dup dedup across micro-batches — the ingest-pipeline
   * operator st65's exact `dropDuplicates` cannot express: a re-delivered
   * document that was also EDITED (tail appended, boilerplate injected)
@@ -149,6 +154,44 @@ object StreamingNearDup {
               else seen
             seen = c.doc_id :: seen
             FrameHits(c.doc_id, frameIdx, hits)
+          }
+          state.update(seen)
+          out.iterator
+      }
+  }
+
+  /** Streaming audio near-dup under TIME SHIFT — [[audioVerdicts]]'s
+    * aligned matching misses a trimmed/padded re-upload entirely, so
+    * this variant keys state by [[Multimodal.audioLandmarks]]'s
+    * positionless (code, next-code) landmarks instead: per-`lm` bucket
+    * state holds the doc_ids seen (8 bytes/member, one entry per doc —
+    * landmarks are distinct per doc at the source), arrivals emit
+    * earlier sharers, and the consumer scores shared distinct
+    * landmarks over the smaller landmark set (the batch
+    * [[Multimodal.audioLandmarkPairs]] metric, minMatch 0.6 there).
+    * `maxBucket` caps the universal-landmark hot key — silence codes
+    * to 0 and the (0,0) landmark's bucket otherwise holds the whole
+    * corpus. Same id-monotonic determinism contract as the rest of the
+    * family. */
+  def audioLandmarkVerdicts(media: DataFrame, idCol: String,
+      payloadCol: String, gap: Int = 1,
+      maxBucket: Int = 0): Dataset[LandmarkHits] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val lms = Multimodal.audioLandmarks(
+      media.select(col(idCol).cast("long").as("doc_id"),
+        col(payloadCol).as("payload")), gap)
+    lms.groupByKey(_.lm)
+      .flatMapGroupsWithState[List[Long], LandmarkHits](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (lm, rows, state: GroupState[List[Long]]) =>
+          var seen = state.getOption.getOrElse(Nil)
+          val out = rows.toSeq.sortBy(_.doc_id).map { r =>
+            val hits = if (maxBucket > 0 && seen.length >= maxBucket) Nil
+              else seen
+            seen = r.doc_id :: seen
+            LandmarkHits(r.doc_id, lm, hits)
           }
           state.update(seen)
           out.iterator

@@ -545,6 +545,66 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    // Streaming audio dedup under TIME SHIFT: batch 1 delivers 14
+    // textured WAVs, batch 2 their leading-TRIMMED re-uploads (first
+    // 128 samples = 2 hops cut) under new ids — st73's aligned state
+    // sees nothing, landmark-bucket state catches every one. Oracle =
+    // the m80 landmark replay + the dedup decision.
+    "st74_stream_audio_landmark_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val name = "st74_out"
+      val staged = stagingDir("graft-stream-lm")
+      val wav = udf((id: Long) =>
+        if (id < 1000000L)
+          Multimodal.syntheticWavTex(id, (320 + (id % 8) * 64).toInt)
+        else Multimodal.syntheticWavTexTrim(id - 1000000L,
+          (320 + ((id - 1000000L) % 8) * 64 - 128).toInt, skip = 128))
+      def stageBatch(ids: org.apache.spark.sql.Dataset[java.lang.Long],
+          fname: String, ageMs: Long): Unit = {
+        val tmp = staged.resolve(fname + ".tmp")
+        ids.toDF("doc_id").select(col("doc_id"), wav(col("doc_id")).as("payload"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, staged.resolve(fname))
+        staged.resolve(fname).toFile.deleteOnExit()
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        java.nio.file.Files.setLastModifiedTime(staged.resolve(fname),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - ageMs))
+      }
+      stageBatch(s.range(0, 14).as[java.lang.Long], "a.parquet", 120000L)
+      stageBatch(s.range(1000000L, 1000014L).as[java.lang.Long], "b.parquet", 0L)
+      val mediaSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("payload", BinaryType)))
+      val stream = s.readStream.schema(mediaSchema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+        .repartition(col("doc_id"))
+      val hits = graft.operators.StreamingNearDup.audioLandmarkVerdicts(
+        stream, "doc_id", "payload")
+      val q = hits.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+      // all branches re-alias before joining: the memory sink view
+      // resolves to identical attribute ids per s.table() call
+      val nl = s.table(name).groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("nl"))
+      val nlSrc = s.table(name).select(col("doc_id").as("src_id"))
+        .groupBy(col("src_id")).agg(count(lit(1)).as("nl_src"))
+      val dup = s.table(name)
+        .select(col("doc_id").as("d"), explode(col("hits")).as("src"))
+        .groupBy(col("d"), col("src")).agg(count(lit(1)).as("c"))
+        .join(nl, col("d") === nl("doc_id")).drop("doc_id")
+        .join(nlSrc, col("src") === col("src_id"))
+        .filter(col("c").cast("double") / least(col("nl"), col("nl_src"))
+          >= 0.6)
+        .groupBy(col("d")).agg(min(col("src")).as("dup_src"))
+      nl.join(dup, col("doc_id") === col("d"), "left")
+        .select(col("doc_id"), col("dup_src").isNull.as("kept"),
+          col("dup_src"))
+        .orderBy(col("doc_id"))
+    }),
+
     // VIDEO MJPEG path: same frame pixels as m81 but each frame goes
     // through the JDK JPEG encoder into a '00dc' chunk and back out of
     // the container via the JPEG pass-through — the lossy-codec leg of
@@ -795,6 +855,64 @@ object StreamingOps extends QueryPack {
           JOIN sizes sb ON sb.doc_id = m.doc_b
         WHERE round(CAST(c AS DOUBLE) / least(sa.nl, sb.nl), 6) >= 0.6
         ORDER BY doc_a, doc_b""",
+    // m80's landmark replay over the two-delivery corpus (base ids
+    // 0..13, leading-trimmed re-uploads 1000000..1000013), then the
+    // dedup decision: dup_src = lowest earlier doc sharing >= 0.6 of
+    // the smaller distinct-landmark set
+    "st74_stream_audio_landmark_dedup" ->
+      """WITH ids AS (SELECT unnest(range(0, 14)) AS doc_id
+          UNION ALL SELECT unnest(range(1000000, 1000014)) AS doc_id),
+        base AS (SELECT doc_id,
+            CASE WHEN doc_id < 1000000 THEN doc_id
+              ELSE doc_id - 1000000 END AS bid,
+            CASE WHEN doc_id < 1000000 THEN 0 ELSE 128 END AS skip
+          FROM ids),
+        lens AS (SELECT doc_id, bid, skip,
+            320 + (bid % 8) * 64 - skip AS n FROM base),
+        samples AS (SELECT doc_id, u.i,
+            ((bid * 40503 + 12289) * (u.i + skip + 7) * (u.i + skip + 13))
+              % 65536 - 32768 AS v
+          FROM lens, LATERAL (SELECT unnest(range(0, n)) AS i) u(i)),
+        frames AS (SELECT doc_id, u.f FROM lens,
+          LATERAL (SELECT unnest(range(0, (n - 128) // 64 + 1)) AS f) u(f)
+          WHERE n >= 128),
+        lags AS (SELECT * FROM (VALUES (0,1),(1,2),(2,4),(3,8),(4,16),
+          (5,32),(6,64)) l(j, lg)),
+        rr AS (SELECT fr.doc_id, fr.f, lags.j, SUM(a.v * b.v) AS r
+          FROM frames fr, lags
+          JOIN samples a ON TRUE
+          JOIN samples b ON b.doc_id = a.doc_id AND b.i = a.i + lags.lg
+          WHERE a.doc_id = fr.doc_id
+            AND a.i >= fr.f * 64 AND a.i < fr.f * 64 + 128 - lags.lg
+          GROUP BY fr.doc_id, fr.f, lags.j),
+        sbits AS (SELECT doc_id, f,
+            SUM(CASE WHEN r > 0 THEN 1 << j ELSE 0 END) AS s_code
+          FROM rr GROUP BY doc_id, f),
+        cbits AS (SELECT x.doc_id, x.f,
+            SUM(CASE WHEN x.r > y.r THEN 1 << (7 + x.j) ELSE 0 END) AS c_code
+          FROM rr x JOIN rr y ON y.doc_id = x.doc_id AND y.f = x.f
+            AND y.j = x.j + 1
+          GROUP BY x.doc_id, x.f),
+        codes AS (SELECT s.doc_id, s.f, s.s_code + COALESCE(c.c_code, 0) AS code
+          FROM sbits s LEFT JOIN cbits c
+            ON c.doc_id = s.doc_id AND c.f = s.f),
+        lmraw AS (SELECT doc_id, code,
+            LEAD(code) OVER (PARTITION BY doc_id ORDER BY f) AS nxt
+          FROM codes),
+        lms AS (SELECT DISTINCT doc_id, code * 8192 + nxt AS lm
+          FROM lmraw WHERE nxt IS NOT NULL),
+        sizes AS (SELECT doc_id, COUNT(*) AS nl FROM lms GROUP BY doc_id),
+        m AS (SELECT b.doc_id AS doc_id, a.doc_id AS src, COUNT(*) AS c
+          FROM lms a JOIN lms b ON a.lm = b.lm AND a.doc_id < b.doc_id
+          GROUP BY b.doc_id, a.doc_id),
+        dup AS (SELECT m.doc_id, MIN(src) AS dup_src
+          FROM m JOIN sizes na ON na.doc_id = m.src
+            JOIN sizes nb ON nb.doc_id = m.doc_id
+          WHERE CAST(c AS DOUBLE) / least(na.nl, nb.nl) >= 0.6
+          GROUP BY m.doc_id)
+        SELECT s.doc_id, d.dup_src IS NULL AS kept, d.dup_src
+        FROM sizes s LEFT JOIN dup d ON d.doc_id = s.doc_id
+        ORDER BY s.doc_id""",
     // m79's integer code replay over the two-delivery corpus (base ids
     // 0..19, re-leveled re-uploads 1000000..1000019), then the dedup
     // decision the streaming state computes: dup_src = lowest earlier
