@@ -159,6 +159,62 @@ class Round8Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert((capped -- planted).isEmpty, s"false pairs: ${capped -- planted}")
   }
 
+  test("audioLandmarkPairs decodes each WAV exactly once per run") {
+    import spark.implicits._
+    implicit val sp: SparkSession = spark
+    val wav = udf((id: Long) =>
+      if (id < 10) Multimodal.syntheticWavTex(id, (320 + (id % 8) * 64).toInt)
+      else Multimodal.syntheticWavTexTrim(id - 10,
+        (320 + ((id - 10) % 8) * 64 - 128).toInt, skip = 128))
+    val media = spark.range(0, 20)
+      .select(col("id").as("doc_id"), wav(col("id")).as("payload"))
+    var pairs: Set[(Long, Long)] = Set.empty
+    val decodes = countingDecodes {
+      pairs = Multimodal.audioLandmarkPairs(media)
+        .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    }
+    assert(decodes == 20L,
+      s"expected exactly one decode per payload (20), got $decodes")
+    assert(pairs == (0L until 10L).map(i => (i, i + 10)).toSet)
+  }
+
+  test("audioLandmarkVerdicts maxBucket keeps planted trim decisions") {
+    import Round8Fixtures.halfSilentWav
+    import spark.implicits._
+    implicit val sp: SparkSession = spark
+    // planted trims + 30 half-silent tracks whose shared (0,0) silence
+    // landmark would otherwise bucket the whole corpus together
+    val wav = udf((id: Long) =>
+      if (id < 8) Multimodal.syntheticWavTex(id, (320 + (id % 8) * 64).toInt)
+      else if (id < 16) Multimodal.syntheticWavTexTrim(id - 8,
+        (320 + ((id - 8) % 8) * 64 - 128).toInt, skip = 128)
+      else halfSilentWav(id, 1024))
+    val media = spark.range(0, 46)
+      .select(col("id").as("doc_id"), wav(col("id")).as("payload"))
+    val planted = (8L until 16L).map(i => (i, i - 8)).toMap
+    def decisions(maxBucket: Int): (Map[Long, Long], Long) = {
+      val hits = StreamingNearDup.audioLandmarkVerdicts(
+        media, "doc_id", "payload", maxBucket = maxBucket).toDF().cache()
+      val nl = hits.groupBy(col("doc_id")).agg(count(lit(1)).as("nl"))
+        .as[(Long, Long)].collect().toMap
+      val emitted = hits.select(explode(col("hits")).as("src"),
+        col("doc_id")).as[(Long, Long)].collect()
+      hits.unpersist()
+      val dups = emitted.groupBy(identity).map { case ((src, d), xs) =>
+        (d, src, xs.length) }
+        .filter { case (d, src, c) =>
+          c.toDouble / math.min(nl(d), nl(src)) >= 0.6 }
+        .groupBy(_._1).map { case (d, xs) => (d, xs.map(_._2).min) }
+      (dups, emitted.length.toLong)
+    }
+    val (capped, cappedEmits) = decisions(maxBucket = 4)
+    val (uncapped, uncappedEmits) = decisions(maxBucket = 0)
+    assert(uncapped == planted, s"uncapped: $uncapped")
+    assert(capped == planted, s"capped: $capped")
+    assert(cappedEmits < uncappedEmits,
+      s"cap must bound emission: $cappedEmits vs $uncappedEmits")
+  }
+
   // ---- st73 streaming audio dedup: bucket-cap skew guard -------------
 
   test("audioVerdicts maxBucket bounds hot-bucket emission, decisions unchanged") {
