@@ -968,9 +968,14 @@ object Multimodal {
     * brightness-adjusted re-upload, 0-2 pHash bits per frame). */
   def syntheticAvi(id: Long, nFrames: Int, w: Int = 16, h: Int = 16,
       mjpeg: Boolean = false, delta: Int = 0,
-      global0: Boolean = false, intro: Int = 0): Array[Byte] = {
+      global0: Boolean = false, intro: Int = 0,
+      frameOffset: Int = 0): Array[Byte] = {
     val rowBytes = (w * 3 + 3) & ~3
-    val frameChunks = (0 until nFrames).map { f =>
+    val frameChunks = (0 until nFrames).map { f0 =>
+      // `frameOffset` renders frame f of THIS container as frame
+      // f+offset of the base stream — the leading-TRIM fixture for the
+      // video landmark tier (cut k frames off the front, bit-exact)
+      val f = f0 + frameOffset
       // frames below `intro` render with a fixed sentinel id — a
       // SHARED intro/title sequence across otherwise-unrelated videos,
       // the hot-bucket fixture for videoNearDupPairs' maxDf cap (the
@@ -1088,6 +1093,77 @@ object Multimodal {
       .agg(count(lit(1)).as("c"))
       .join(nf.select(col("doc_id").as("doc_a"), col("nf").as("na")), Seq("doc_a"))
       .join(nf.select(col("doc_id").as("doc_b"), col("nf").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("c").cast("double") / least(col("na"), col("nb")), 6)
+          .as("match_frac"))
+      .filter(col("match_frac") >= minMatch)
+  }
+
+  case class VideoLandmark(doc_id: Long, lm_a: Long, lm_b: Long)
+
+  /** Per-video DISTINCT landmark set over the SAMPLED frame sequence:
+    * a landmark is the pair of consecutive sampled-frame pHashes with
+    * NO frame index, computed in the decode pass (the sampled hashes
+    * are a local array — no shuffle, the [[audioLandmarks]] shape).
+    * A leading trim of a multiple of `every` frames shifts every
+    * sample position but leaves interior landmarks identical. */
+  def videoLandmarks(media: DataFrame, every: Int = 2)(
+      implicit s: SparkSession): Dataset[VideoLandmark] = {
+    import s.implicits._
+    require(every >= 1, "every must be >= 1")
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions(rows => rows.flatMap { r =>
+        aviFrames(r.payload) match {
+          case Some(fs) =>
+            val hs = fs.iterator.zipWithIndex.filter(_._2 % every == 0)
+              .flatMap(f => pHash64(f._1)).toArray
+            val lms = scala.collection.mutable.LinkedHashSet.empty[(Long, Long)]
+            var i = 0
+            while (i + 1 < hs.length) { lms += ((hs(i), hs(i + 1))); i += 1 }
+            lms.iterator.map { case (a, b) => VideoLandmark(r.doc_id, a, b) }
+          case None => Iterator.empty
+        }
+      })
+  }
+
+  /** Video near-duplicate pairs, TIME-SHIFT tolerant — the landmark
+    * tier [[videoNearDupPairs]]'s aligned frame_idx matching cannot
+    * express: a re-upload with the first k·`every` frames CUT keeps
+    * every interior landmark bit-identical, scored as shared distinct
+    * landmarks over the smaller set. Landmarks compare EXACTLY (two
+    * 64-bit hashes), so the contract is lossless edits — cut / splice
+    * of identical frames; a re-ENCODE shifts pHash bits and belongs to
+    * the aligned hamming-tolerant variant instead. The two operators
+    * cover complementary real-world edits, exactly like the audio
+    * pair ([[audioFingerprintPairs]] / [[audioLandmarkPairs]]).
+    *
+    * Scale shape: landmarks materialize ONCE out of the decode pass
+    * (no shuffle before the posting-list groupBy), candidates via
+    * (lm_a, lm_b) posting-list expansion, `maxDf` dropping landmarks
+    * shared by more than that many videos — repeated black/title
+    * frame pairs are the hot key. */
+  def videoLandmarkPairs(media: DataFrame, every: Int = 2,
+      minMatch: Double = 0.6, maxDf: Int = 0)(
+      implicit s: SparkSession): DataFrame = {
+    val lms = Materialize.eager(videoLandmarks(media, every).toDF())
+    val sizes = lms.groupBy(col("doc_id")).agg(count(lit(1)).as("nl"))
+    val bucketed =
+      if (maxDf <= 0) lms
+      else lms.join(
+        lms.groupBy(col("lm_a"), col("lm_b")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf).select(col("lm_a"), col("lm_b")),
+        Seq("lm_a", "lm_b"), "left_semi")
+    val kept = bucketed.groupBy(col("lm_a"), col("lm_b"))
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    val ds = array_sort(col("ds"))
+    val pairs = kept.select(explode(flatten(transform(ds, (x, i) =>
+        transform(slice(ds, i + lit(2), greatest(size(ds) - i - 1, lit(0))),
+          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+    pairs.groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nl").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nl").as("nb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         round(col("c").cast("double") / least(col("na"), col("nb")), 6)
           .as("match_frac"))

@@ -545,6 +545,22 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    // VIDEO near-dup under TIME SHIFT: 8 base AVIs + 8 re-uploads with
+    // the first 2 frames CUT (frameOffset=2 = one `every` stride, so
+    // every sample position shifts by 1 — aligned m82 matching sees
+    // nothing, interior landmarks are bit-identical). Pinned golden.
+    "m84_video_landmarks" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val avi = udf((id: Long) =>
+        if (id < 20) Multimodal.syntheticAvi(id, (6 + id % 3).toInt)
+        else Multimodal.syntheticAvi(id - 20, (6 + (id - 20) % 3).toInt - 2,
+          frameOffset = 2))
+      val media = s.range(0, 8).union(s.range(20, 28))
+        .select(col("id").as("doc_id"), avi(col("id")).as("payload"))
+      Multimodal.videoLandmarkPairs(media)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Streaming audio dedup under TIME SHIFT: batch 1 delivers 14
     // textured WAVs, batch 2 their leading-TRIMMED re-uploads (first
     // 128 samples = 2 hops cut) under new ids — st73's aligned state

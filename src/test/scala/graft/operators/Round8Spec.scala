@@ -314,6 +314,49 @@ class Round8Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs == (0L until 10L).map(i => (i, i + 20)).toSet)
   }
 
+  test("videoLandmarkPairs finds frame-trimmed copies aligned matching misses") {
+    import spark.implicits._
+    implicit val sp: SparkSession = spark
+    // copies cut the first 2 frames (one `every` stride): every sample
+    // position shifts by 1, interior landmarks stay bit-identical
+    val avi = udf((id: Long) =>
+      if (id < 10) Multimodal.syntheticAvi(id, (6 + id % 3).toInt)
+      else Multimodal.syntheticAvi(id - 10, (6 + (id - 10) % 3).toInt - 2,
+        frameOffset = 2))
+    val media = spark.range(0, 20)
+      .select(col("id").as("doc_id"), avi(col("id")).as("payload"))
+    val planted = (0L until 10L).map(i => (i, i + 10)).toSet
+    val aligned = Multimodal.videoNearDupPairs(media)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(aligned.intersect(planted).isEmpty,
+      s"aligned frame_idx matching should NOT see the shifted copies: $aligned")
+    val landmark = Multimodal.videoLandmarkPairs(media)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(landmark == planted, s"landmarks must find every trim: $landmark")
+  }
+
+  test("videoLandmarkPairs maxDf drops the shared-intro landmark, pairs unchanged") {
+    import spark.implicits._
+    implicit val sp: SparkSession = spark
+    // 24 unrelated videos whose first FOUR frames are the shared intro:
+    // sampled positions 0 and 2 both render intro pixels, so the
+    // (intro, intro) landmark buckets the whole group
+    val avi = udf((id: Long) =>
+      if (id < 6) Multimodal.syntheticAvi(id, (6 + id % 3).toInt)
+      else if (id < 12) Multimodal.syntheticAvi(id - 6, (6 + (id - 6) % 3).toInt - 2,
+        frameOffset = 2)
+      else Multimodal.syntheticAvi(id, 8, intro = 4))
+    val media = spark.range(0, 36)
+      .select(col("id").as("doc_id"), avi(col("id")).as("payload"))
+    val planted = (0L until 6L).map(i => (i, i + 6)).toSet
+    val capped = Multimodal.videoLandmarkPairs(media, maxDf = 8)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val uncapped = Multimodal.videoLandmarkPairs(media)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(uncapped == planted, s"uncapped: $uncapped")
+    assert(capped == planted, s"capped: $capped")
+  }
+
   test("videoNearDupPairs maxDf drops shared-intro buckets, pair set unchanged") {
     import spark.implicits._
     implicit val sp: SparkSession = spark
