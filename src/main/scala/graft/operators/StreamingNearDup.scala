@@ -26,6 +26,11 @@ case class FrameHits(doc_id: Long, frame_idx: Int, hits: Seq[Long])
   * the time-shift-tolerant streaming analog of [[FrameHits]]. */
 case class LandmarkHits(doc_id: Long, lm: Long, hits: Seq[Long])
 
+/** One video-landmark hit record per (document, landmark): the
+  * landmark is the pair of consecutive sampled-frame pHashes. */
+case class VideoLandmarkHits(doc_id: Long, lm_a: Long, lm_b: Long,
+    hits: Seq[Long])
+
 /** Streaming NEAR-dup dedup across micro-batches — the ingest-pipeline
   * operator st65's exact `dropDuplicates` cannot express: a re-delivered
   * document that was also EDITED (tail appended, boilerplate injected)
@@ -192,6 +197,42 @@ object StreamingNearDup {
               else seen
             seen = r.doc_id :: seen
             LandmarkHits(r.doc_id, lm, hits)
+          }
+          state.update(seen)
+          out.iterator
+      }
+  }
+
+  /** Streaming VIDEO near-dup under TIME SHIFT — the video analog of
+    * [[audioLandmarkVerdicts]], completing the streaming dedup matrix
+    * (text bands / image chunks / audio aligned / audio landmarks /
+    * video landmarks): state keys on
+    * [[Multimodal.videoLandmarks]]'s consecutive-sampled-pHash pairs,
+    * so a re-upload with leading frames cut — invisible to any
+    * aligned matching — still lands in its original's buckets. Same
+    * bounded state (8 bytes/member, one entry per doc per landmark —
+    * distinct at the source), same id-monotonic determinism contract,
+    * same `maxBucket` cap for the repeated black/title-frame landmark
+    * every real corpus has. */
+  def videoLandmarkVerdicts(media: DataFrame, idCol: String,
+      payloadCol: String, every: Int = 2,
+      maxBucket: Int = 0): Dataset[VideoLandmarkHits] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val lms = Multimodal.videoLandmarks(
+      media.select(col(idCol).cast("long").as("doc_id"),
+        col(payloadCol).as("payload")), every)
+    lms.groupByKey(l => (l.lm_a, l.lm_b))
+      .flatMapGroupsWithState[List[Long], VideoLandmarkHits](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((a, b), rows, state: GroupState[List[Long]]) =>
+          var seen = state.getOption.getOrElse(Nil)
+          val out = rows.toSeq.sortBy(_.doc_id).map { r =>
+            val hits = if (maxBucket > 0 && seen.length >= maxBucket) Nil
+              else seen
+            seen = r.doc_id :: seen
+            VideoLandmarkHits(r.doc_id, a, b, hits)
           }
           state.update(seen)
           out.iterator
