@@ -248,6 +248,64 @@ object TextDedup {
     verifyJaccard(docs, idCol, textCol, cand, threshold, k)
   }
 
+  /** Persisted LSH band INDEX of a corpus — the incremental-dedup
+    * artifact a 100 TB corpus needs: shingle + minhash the corpus
+    * ONCE, write this table (bucketed by band_key on a real
+    * deployment, so index probes are shuffle-free), and dedup every
+    * future ingest batch against it with [[dedupAgainstIndex]] — the
+    * corpus is never re-shingled per increment. One row per
+    * (band, doc): `(band, band_key, doc_id, sig)`; the signature rides
+    * along so candidate verification needs no second corpus pass
+    * either. */
+  def minHashBandIndex(docs: DataFrame, idCol: String, textCol: String,
+      bands: Int = 8, rowsPerBand: Int = 2, k: Int = 3): DataFrame =
+    withMinHash(docs, idCol, textCol, bands * rowsPerBand, k)
+      .select(col("doc_id"), col("sig"), posexplode(
+        array((0 until bands).map(b =>
+          md5(concat_ws("|", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))): _*)))
+      .select(col("pos").as("band"), col("col").as("band_key"),
+        col("doc_id"), col("sig"))
+
+  /** Dedup an INGEST batch against a pre-built corpus index
+    * ([[minHashBandIndex]], typically read back from its table): the
+    * batch — small by definition — shingles and bands, equi-joins the
+    * index on (band, band_key), and a candidate is a duplicate when
+    * >= `estThreshold` of signature components agree (the MinHash
+    * Jaccard estimator [[StreamingNearDup.bandVerdicts]] uses; the
+    * index carries signatures, not texts, so nothing touches the
+    * corpus). Returns every batch document as
+    * (doc_id, kept, dup_src = lowest matching corpus doc).
+    *
+    * Scale shape: corpus cost is paid once at index build; each
+    * increment costs one batch shingle pass + a candidate-scoped join
+    * — with the index bucketed by band_key, only matching buckets
+    * read. This is the batch-side complement of the streaming
+    * [[StreamingNearDup.bandVerdicts]] state. */
+  def dedupAgainstIndex(newDocs: DataFrame, index: DataFrame,
+      idCol: String, textCol: String, bands: Int = 8, rowsPerBand: Int = 2,
+      k: Int = 3, estThreshold: Double = 0.5): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sigs = Materialize.eager(
+      withMinHash(newDocs, idCol, textCol, numHashes, k))
+    val banded = sigs.select(col("doc_id"), col("sig"), posexplode(
+        array((0 until bands).map(b =>
+          md5(concat_ws("|", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))): _*)))
+      .select(col("doc_id"), col("sig"), col("pos").as("band"),
+        col("col").as("band_key"))
+    val agree = size(filter(zip_with(col("sig"), col("csig"),
+      (a, b) => a.isNotNull && a === b), x => x))
+    val dup = banded.join(
+        index.select(col("band"), col("band_key"),
+          col("doc_id").as("src"), col("sig").as("csig")),
+        Seq("band", "band_key"))
+      .dropDuplicates("doc_id", "src")
+      .filter(agree >= math.ceil(estThreshold * numHashes).toInt)
+      .groupBy(col("doc_id")).agg(min(col("src")).as("dup_src"))
+    sigs.select(col("doc_id")).join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_src").isNull.as("kept"),
+        col("dup_src"))
+  }
+
   /** Exact Jaccard restricted to a candidate pair set: shingle postings
     * are first semi-joined down to candidate docs, so verification cost
     * scales with the candidates, not the corpus (the property that makes

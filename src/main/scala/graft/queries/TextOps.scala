@@ -449,6 +449,25 @@ object TextOps extends QueryPack {
         .join(gated, Seq("doc_id"), "left_semi")
         .select($"doc_id", $"source", $"lang")
         .orderBy($"doc_id")
+    }),
+
+    // Incremental dedup against a PERSISTED corpus index: build the
+    // band index of the documents corpus once, then screen an ingest
+    // batch (40 mutated re-uploads + 10 reversed-text fresh docs)
+    // against it — the corpus never re-shingles. Estimator agreement
+    // >= 8/16 (the st68 rule); oracle replays index + probes in SQL.
+    "t69_index_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val index = TextDedup.minHashBandIndex(docs, "doc_id", "text")
+      val probes = docs.filter($"doc_id" < 40)
+        .select(($"doc_id" + 1000000).as("doc_id"),
+          concat($"text", lit(" ingestdup tail")).as("text"))
+        .unionAll(docs.filter($"doc_id" >= 40 && $"doc_id" < 50)
+          .select(($"doc_id" + 2000000).as("doc_id"),
+            reverse($"text").as("text")))
+      TextDedup.dedupAgainstIndex(probes, index, "doc_id", "text")
+        .orderBy($"doc_id")
     })
   )
 
@@ -1152,6 +1171,39 @@ object TextOps extends QueryPack {
         FROM (SELECT doc_id, tk,
           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100
             AS bucket FROM surv)
-        ORDER BY doc_id"""
+        ORDER BY doc_id""",
+    // replays the corpus index (t37/t38 signature + band machinery)
+    // and the probe batch, then the estimator rule: a probe is a dup
+    // of the LOWEST corpus doc sharing a band bucket with >= 8/16
+    // non-null signature components agreeing
+    "t69_index_dedup" ->
+      """WITH probes AS (
+          SELECT doc_id + 1000000 AS doc_id, text || ' ingestdup tail' AS text
+          FROM documents WHERE doc_id < 40
+          UNION ALL
+          SELECT doc_id + 2000000 AS doc_id, reverse(text) AS text
+          FROM documents WHERE doc_id >= 40 AND doc_id < 50),
+        all_docs AS (SELECT doc_id, text FROM documents
+          UNION ALL SELECT doc_id, text FROM probes),
+        words AS (SELECT doc_id, string_split(text, ' ') AS w FROM all_docs),
+        sh AS (SELECT doc_id, list_transform(range(1, greatest(len(w)-2,0)+1),
+          i -> w[i]||' '||w[i+1]||' '||w[i+2]) AS shingles FROM words),
+        sigs AS (SELECT doc_id, list_transform(range(0,16),
+          i -> list_aggregate(list_transform(shingles,
+            s -> md5(CAST(i AS VARCHAR)||':'||s)), 'min')) AS sig FROM sh),
+        bands AS (SELECT doc_id, b, md5(sig[b*2+1]||'|'||sig[b*2+2]) AS band_key
+          FROM sigs, range(0,8) t(b)),
+        dup AS (SELECT l.doc_id, MIN(e.doc_id) AS dup_src
+          FROM bands l
+          JOIN bands e ON l.b = e.b AND l.band_key = e.band_key
+            AND e.doc_id < 1000000 AND l.doc_id >= 1000000
+          JOIN sigs sl ON sl.doc_id = l.doc_id
+          JOIN sigs se ON se.doc_id = e.doc_id
+          WHERE len(list_filter(range(1, 17), i ->
+            sl.sig[i] IS NOT NULL AND sl.sig[i] = se.sig[i])) >= 8
+          GROUP BY l.doc_id)
+        SELECT p.doc_id, d.dup_src IS NULL AS kept, d.dup_src
+        FROM probes p LEFT JOIN dup d ON d.doc_id = p.doc_id
+        ORDER BY p.doc_id"""
   )
 }
