@@ -476,6 +476,61 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** Persisted SRP bucket INDEX of an embedding corpus — the
+    * [[graft.operators.TextDedup.minHashBandIndex]] analog for the
+    * embedding modality: hash the corpus ONCE, write this table
+    * (bucketed by (tbl, bucket) in production so probes read only
+    * matching buckets), and screen every ingest batch with
+    * [[dedupAgainstSrpIndex]]. One row per (table, vector):
+    * `(tbl, bucket, vec_id, v, nrm)` — the vector and its norm ride
+    * along so candidate verification never touches the corpus table.
+    * `nBits` is a BUILD-time choice ([[deriveSrpBits]] of the corpus
+    * size); record it with the table — probes must hash with the same
+    * planes. */
+  def srpBucketIndex(corpus: DataFrame, dim: Int, nBits: Int,
+      tables: Int = 4, seed: Long = 42L, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+        l2Norm(col(vecCol)).as("nrm"))
+      .select(col("vec_id"), col("v"), col("nrm"), posexplode(
+        array((0 until tables).map(t =>
+          srpBucket(col("v"), dim, nBits, seed + t)): _*))
+        .as(Seq("tbl", "bucket")))
+      .select(col("tbl"), col("bucket"), col("vec_id"), col("v"), col("nrm"))
+
+  /** Screen an ingest batch of embeddings against a pre-built
+    * [[srpBucketIndex]]: the batch hashes with the SAME planes
+    * (nBits/seed from index build), equi-joins the index on
+    * (tbl, bucket), verifies each candidate with one exact cosine
+    * against the vector carried IN the index row, and reports
+    * (vec_id, kept, dup_src = lowest matching corpus vector). Corpus
+    * cost is paid once at build; each increment costs one batch hash
+    * pass + a candidate-scoped join — the t69 incremental contract,
+    * embedding-side. */
+  def dedupAgainstSrpIndex(newVecs: DataFrame, index: DataFrame,
+      threshold: Double, dim: Int, nBits: Int, tables: Int = 4,
+      seed: Long = 42L, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val probes = Materialize.eager(
+      newVecs.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+        l2Norm(col(vecCol)).as("nrm")))
+    val keyed = probes.select(col("vec_id"), col("v"), col("nrm"),
+      posexplode(array((0 until tables).map(t =>
+        srpBucket(col("v"), dim, nBits, seed + t)): _*))
+        .as(Seq("tbl", "bucket")))
+    val dup = keyed.join(
+        index.select(col("tbl"), col("bucket"), col("vec_id").as("src"),
+          col("v").as("cv"), col("nrm").as("cn")),
+        Seq("tbl", "bucket"))
+      .dropDuplicates("vec_id", "src")
+      .filter(round(dotProduct(col("v"), col("cv")) / (col("nrm") * col("cn")), 6)
+        >= threshold)
+      .groupBy(col("vec_id")).agg(min(col("src")).as("dup_src"))
+    probes.select(col("vec_id")).join(dup, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("dup_src").isNull.as("kept"),
+        col("dup_src"))
+  }
+
   /** SemDeDup-style semantic dedup: coarse-cluster the corpus with the
     * IVF quantizer, then compare cosine ONLY within each cluster — the
     * published recipe for embedding-level dedup at corpus scale

@@ -173,6 +173,25 @@ object SimilarityOps extends QueryPack {
         .select($"vec_id", $"scale",
           array_join(transform($"qvec", x => x.cast("string")), ",").as("q_str"))
         .orderBy($"vec_id")
+    }),
+
+    // Incremental embedding dedup vs a PERSISTED SRP index (the t69
+    // contract, embedding-side): index the corpus once, screen an
+    // ingest batch of 30 re-scaled re-uploads (x1.25 — same direction,
+    // same buckets, cosine 1) against it. Exact-in-IEEE754 scaling
+    // (float -> double, x1.25 adds 2 mantissa bits, cast back), so the
+    // oracle regenerates probes bit-identically.
+    "s56_index_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val bits = Similarity.deriveSrpBits(emb.count())
+      val index = Similarity.srpBucketIndex(emb, dim, bits)
+      val probes = emb.filter($"vec_id" < 30)
+        .select(($"vec_id" + 1000000).as("vec_id"),
+          transform($"embedding",
+            x => (x.cast("double") * 1.25).cast("float")).as("embedding"))
+      Similarity.dedupAgainstSrpIndex(probes, index, 0.4, dim, bits)
+        .orderBy($"vec_id")
     })
   )
 
@@ -636,6 +655,46 @@ object SimilarityOps extends QueryPack {
           array_to_string(list_transform(embedding, x ->
             CAST(CASE WHEN scale = 0 THEN 0
                  ELSE floor(CAST(x AS DOUBLE) / scale + 0.5) END AS INTEGER)), ',') AS q_str
-        FROM q ORDER BY vec_id"""
+        FROM q ORDER BY vec_id""",
+    // s46's SRP derivation over corpus + regenerated probes; dup rule:
+    // probe is a dup of the lowest corpus vector sharing a bucket in
+    // any table with verified cosine >= 0.4
+    "s56_index_dedup" ->
+      s"""WITH nb AS (
+          SELECT GREATEST(6, LEAST(48,
+              CASE WHEN m <= 1 THEN 6 ELSE length(bin(m - 1)) END)) AS bits
+          FROM (SELECT (count(*) + 7) // 8 AS m FROM embeddings)),
+        probes AS (SELECT vec_id + 1000000 AS vec_id,
+            list_transform(embedding, x ->
+              CAST(CAST(x AS DOUBLE) * 1.25 AS FLOAT)) AS embedding
+          FROM embeddings WHERE vec_id < 30),
+        alle AS (SELECT vec_id, embedding FROM embeddings
+          UNION ALL SELECT vec_id, embedding FROM probes),
+        planes AS (
+          SELECT s, j, list_transform(range(0, 64), i ->
+            2.0 * ((CAST('0x' || substr(md5('srp:' || s || ':' || j || ':' || i), 1, 16) AS UBIGINT) >> 11)
+                   / 9007199254740992.0) - 1.0) AS p
+          FROM range(42, 46) ts(s), range(0, 48) t(j), nb WHERE t.j < nb.bits),
+        sgn AS (SELECT e.vec_id, pl.s, pl.j,
+            CASE WHEN list_sum(list_transform(range(1, 65), i ->
+                CAST(e.embedding[i] AS DOUBLE) * pl.p[i])) >= 0
+              THEN (CAST(1 AS BIGINT) << pl.j) ELSE 0 END AS bit
+          FROM alle e, planes pl),
+        buckets AS (SELECT vec_id, s, CAST(SUM(bit) AS BIGINT) AS bucket
+          FROM sgn GROUP BY vec_id, s),
+        cand AS (SELECT DISTINCT l.vec_id AS pid, e.vec_id AS src
+          FROM buckets l JOIN buckets e
+            ON l.s = e.s AND l.bucket = e.bucket
+            AND l.vec_id >= 1000000 AND e.vec_id < 1000000),
+        scored AS (SELECT cand.pid, cand.src,
+            ${cosSql("x.embedding", "y.embedding")} AS cs
+          FROM cand
+          JOIN alle x ON x.vec_id = cand.pid
+          JOIN alle y ON y.vec_id = cand.src),
+        dup AS (SELECT pid, MIN(src) AS dup_src FROM scored
+          WHERE cs >= 0.4 GROUP BY pid)
+        SELECT p.vec_id, d.dup_src IS NULL AS kept, d.dup_src
+        FROM probes p LEFT JOIN dup d ON d.pid = p.vec_id
+        ORDER BY p.vec_id"""
   )
 }
