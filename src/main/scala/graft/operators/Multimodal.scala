@@ -810,6 +810,55 @@ object Multimodal {
       .filter(col("dist") <= maxDist)
   }
 
+  /** Persisted pHash chunk INDEX of an image corpus — the incremental
+    * complement of [[pHashPairs]] and the image-side sibling of
+    * `TextDedup.minHashBandIndex` / `Similarity.srpBucketIndex`: hash
+    * the corpus ONCE, write this table (bucketed by (chunk, ckey) in
+    * production), and screen every ingest batch with
+    * [[dedupAgainstPHashIndex]] — no corpus re-decode per increment.
+    * One row per (chunk, image): `(chunk, ckey, doc_id, ph)`; the full
+    * hash rides along so candidate verification is one `bit_count`. */
+  def pHashChunkIndex(media: DataFrame): DataFrame =
+    Materialize.eager(
+      media.select(col("doc_id"), pHashUdf(col("payload")).as("ph")))
+      .filter(col("ph").isNotNull)
+      .select(col("doc_id"), col("ph"), posexplode(
+        array((0 until 4).map(c =>
+          shiftright(col("ph"), c * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .select(col("pos").as("chunk"), col("col").as("ckey"),
+        col("doc_id"), col("ph"))
+
+  /** Screen an ingest batch of images against a pre-built
+    * [[pHashChunkIndex]]: the batch decodes + hashes once, equi-joins
+    * the index on (chunk, ckey) — pigeonhole-complete for hamming
+    * <= 3 — and verifies candidates with one `bit_count` against the
+    * hash carried in the index row. Returns every DECODABLE batch
+    * image as (doc_id, kept, dup_src = lowest matching corpus image);
+    * undecodable payloads are not images and pass through unjudged
+    * (absent), the [[pHashPairs]] contract. */
+  def dedupAgainstPHashIndex(media: DataFrame, index: DataFrame,
+      maxDist: Int = 3): DataFrame = {
+    require(maxDist < 4, "4 x 16-bit chunks guarantee recall only for maxDist <= 3")
+    val hashed = Materialize.eager(
+      media.select(col("doc_id"), pHashUdf(col("payload")).as("ph")))
+      .filter(col("ph").isNotNull)
+    val chunks = hashed.select(col("doc_id"), col("ph"), posexplode(
+      array((0 until 4).map(c =>
+        shiftright(col("ph"), c * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .select(col("doc_id"), col("ph"), col("pos").as("chunk"),
+        col("col").as("ckey"))
+    val dup = chunks.join(
+        index.select(col("chunk"), col("ckey"), col("doc_id").as("src"),
+          col("ph").as("cph")),
+        Seq("chunk", "ckey"))
+      .dropDuplicates("doc_id", "src")
+      .filter(bit_count(col("ph").bitwiseXOR(col("cph"))) <= maxDist)
+      .groupBy(col("doc_id")).agg(min(col("src")).as("dup_src"))
+    hashed.select(col("doc_id")).join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_src").isNull.as("kept"),
+        col("dup_src"))
+  }
+
   /** [[syntheticPng]] with a small planted edit (a +delta luma patch on
     * a 3x3 corner block) — the perceptual-near-duplicate fixture for
     * the pHash gate: same texture, slightly different pixels. */

@@ -561,6 +561,24 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Incremental IMAGE dedup vs a persisted pHash chunk index (the
+    // t69/s56 contract, image-side): index 20 corpus PNGs once, screen
+    // an ingest batch of 20 lightly-edited re-uploads — every one
+    // lands on its source within hamming 3. Pinned golden (codec +
+    // StrictMath DCT path).
+    "m85_index_dedup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val corpusPng = udf((id: Long) => Multimodal.syntheticPng(id))
+      val probePng = udf((id: Long) => Multimodal.syntheticPngVariant(id - 1000000L))
+      val index = Multimodal.pHashChunkIndex(
+        s.range(0, 20).select(col("id").as("doc_id"),
+          corpusPng(col("id")).as("payload")))
+      val probes = s.range(1000000L, 1000020L)
+        .select(col("id").as("doc_id"), probePng(col("id")).as("payload"))
+      Multimodal.dedupAgainstPHashIndex(probes, index)
+        .orderBy(col("doc_id"))
+    }),
+
     // Streaming audio dedup under TIME SHIFT: batch 1 delivers 14
     // textured WAVs, batch 2 their leading-TRIMMED re-uploads (first
     // 128 samples = 2 hops cut) under new ids — st73's aligned state
