@@ -27,9 +27,9 @@ object GrowthBench {
     "t48_decontaminate", "t51_dup_substring", "t56_dup_substring_remove",
     "t57_bigram_lm", "t59_token_budget", "t60_bm25", "t61_paragraph_dedup",
     "t64_bpe_merges", "t65_bpe_encode", "t66_cross_neardup",
-    "t67_char_entropy", "t68_bpe_batched",
+    "t67_char_entropy", "t68_bpe_batched", "t69_index_dedup",
     "s46_cosine_dup_lsh", "s49_embed_curate",
-    "s54_diversity_select")
+    "s54_diversity_select", "s56_index_dedup")
 
   private def r3(d: Double): Double = math.rint(d * 1000) / 1000
 
