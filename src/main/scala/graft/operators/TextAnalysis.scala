@@ -669,6 +669,25 @@ object TextAnalysis {
         size(filter(tk, _.contains("_"))).cast("long").as("n_merged"))
   }
 
+  /** Inverse of [[bpeEncode]]: un-apply the merge rules in REVERSE
+    * priority order (the last-applied merge splits first, so nested
+    * merges — rules whose tokens are themselves '_'-joined pairs —
+    * unwind correctly). decode(encode(x)) == x exactly for corpora
+    * whose tokens contain no underscore (the merged-token marker;
+    * verified empty on the testdata corpus) and whose whitespace is
+    * single spaces (the repo-wide tokens() contract). Same shape as
+    * the encode: k map-only rewrites fused into ONE codegen'd
+    * projection, no shuffle. */
+  def bpeDecode(docs: DataFrame, idCol: String, encCol: String,
+      rules: Seq[(String, String)]): DataFrame = {
+    require(rules.nonEmpty, "bpeDecode needs at least one merge rule")
+    val dec = trim(rules.reverse.foldLeft(
+      concat(lit(" "), col(encCol), lit(" "))) {
+      case (c, (a, b)) => replace(c, lit(s" ${a}_$b "), lit(s" $a $b "))
+    })
+    docs.select(col(idCol).cast("long").as("doc_id"), dec.as("text"))
+  }
+
   /** Temperature-scaled source mixing — the multinomial alpha-sampling
     * rule from multilingual / multi-corpus training (alpha < 1
     * upweights small sources; alpha is FIXED at 0.5 here because

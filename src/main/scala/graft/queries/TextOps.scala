@@ -468,6 +468,25 @@ object TextOps extends QueryPack {
             reverse($"text").as("text")))
       TextDedup.dedupAgainstIndex(probes, index, "doc_id", "text")
         .orderBy($"doc_id")
+    }),
+
+    // Tokenizer ROUND-TRIP gate: encode the corpus with 64 learned
+    // merge rules, decode it back, and hash-compare against the RAW
+    // table — the oracle needs no BPE replay at all, so any defect in
+    // either direction (ordering, nesting, whitespace) breaks the
+    // gate. The corpus is underscore-free and single-spaced (checked),
+    // which is exactly the contract bpeDecode documents.
+    "t70_bpe_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val rules = TextAnalysis.bpeMergeRulesBatched(docs, "text", merges = 64)
+        .select($"iter", $"tok_a", $"tok_b")
+        .as[(Int, String, String)].collect().sortBy(_._1)
+        .map(r => (r._2, r._3)).toSeq
+      TextAnalysis.bpeDecode(
+        TextAnalysis.bpeEncode(docs, "doc_id", "text", rules),
+        "doc_id", "text_enc", rules)
+        .orderBy($"doc_id")
     })
   )
 
@@ -1204,6 +1223,10 @@ object TextOps extends QueryPack {
           GROUP BY l.doc_id)
         SELECT p.doc_id, d.dup_src IS NULL AS kept, d.dup_src
         FROM probes p LEFT JOIN dup d ON d.doc_id = p.doc_id
-        ORDER BY p.doc_id"""
+        ORDER BY p.doc_id""",
+    // the round-trip property IS the oracle: decode(encode(corpus))
+    // must hash-match the untouched table
+    "t70_bpe_roundtrip" ->
+      """SELECT doc_id, text FROM documents ORDER BY doc_id"""
   )
 }
