@@ -643,6 +643,48 @@ object Multimodal {
       .filter(col("match_frac") >= minMatch)
   }
 
+  /** Persisted audio fingerprint INDEX — the audio member of the
+    * incremental-index family (text t69 / embeddings s56 / images
+    * m85): fingerprint the corpus ONCE into one row per
+    * (frame_idx, code, doc) with the doc's total frame count riding
+    * along, write it bucketed by (frame_idx, code), and screen every
+    * ingest batch with [[dedupAgainstAudioIndex]] — no corpus
+    * re-decode per increment. */
+  def audioCodeIndex(media: DataFrame)(implicit s: SparkSession): DataFrame = {
+    val codes = Materialize.eager(audioFingerprint(media).toDF())
+    codes.join(
+        codes.groupBy(col("doc_id")).agg(count(lit(1)).as("nf")),
+        Seq("doc_id"))
+      .select(col("frame_idx"), col("code"), col("doc_id"), col("nf"))
+  }
+
+  /** Screen an ingest batch of audio against a pre-built
+    * [[audioCodeIndex]]: the batch fingerprints once, equi-joins the
+    * index on (frame_idx, code) — the aligned m79 metric — and a
+    * probe is a duplicate of the lowest corpus doc whose shared-frame
+    * fraction over the smaller fingerprint reaches `minMatch`. The
+    * index carries per-doc frame counts, so scoring needs no second
+    * corpus pass. Undecodable payloads emit no frames and pass
+    * through unjudged (absent). */
+  def dedupAgainstAudioIndex(media: DataFrame, index: DataFrame,
+      minMatch: Double = 0.8)(implicit s: SparkSession): DataFrame = {
+    val codes = Materialize.eager(audioFingerprint(media).toDF())
+    val nf = codes.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+    val dup = codes.join(
+        index.select(col("frame_idx"), col("code"),
+          col("doc_id").as("src"), col("nf").as("nf_src")),
+        Seq("frame_idx", "code"))
+      .groupBy(col("doc_id"), col("src"), col("nf_src"))
+      .agg(count(lit(1)).as("c"))
+      .join(nf, Seq("doc_id"))
+      .filter(col("c").cast("double") / least(col("nf"), col("nf_src"))
+        >= minMatch)
+      .groupBy(col("doc_id")).agg(min(col("src")).as("dup_src"))
+    nf.select(col("doc_id")).join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_src").isNull.as("kept"),
+        col("dup_src"))
+  }
+
   /** Audio near-duplicate pairs, TIME-SHIFT tolerant — the landmark
     * variant [[audioFingerprintPairs]]'s positional alignment cannot
     * express: a trimmed or padded re-upload (leading silence cut, ad

@@ -561,6 +561,25 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Incremental AUDIO dedup vs a persisted fingerprint index (the
+    // t69/s56/m85 contract, audio-side): index 20 textured WAVs once,
+    // screen 20 re-leveled re-uploads against it — integer arithmetic
+    // end to end, so the oracle is the m79/st73 replay with the probe
+    // id space.
+    "m86_index_dedup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val wav = udf((id: Long) =>
+        if (id < 1000000L) Multimodal.syntheticWavTex(id, (160 + (id % 13) * 16).toInt)
+        else Multimodal.syntheticWavTex(id - 1000000L,
+          (160 + ((id - 1000000L) % 13) * 16).toInt, num = 9, den = 10))
+      val index = Multimodal.audioCodeIndex(
+        s.range(0, 20).select(col("id").as("doc_id"), wav(col("id")).as("payload")))
+      val probes = s.range(1000000L, 1000020L)
+        .select(col("id").as("doc_id"), wav(col("id")).as("payload"))
+      Multimodal.dedupAgainstAudioIndex(probes, index)
+        .orderBy(col("doc_id"))
+    }),
+
     // Incremental IMAGE dedup vs a persisted pHash chunk index (the
     // t69/s56 contract, image-side): index 20 corpus PNGs once, screen
     // an ingest batch of 20 lightly-edited re-uploads — every one
@@ -945,6 +964,61 @@ object StreamingOps extends QueryPack {
           JOIN sizes sb ON sb.doc_id = m.doc_b
         WHERE round(CAST(c AS DOUBLE) / least(sa.nl, sb.nl), 6) >= 0.6
         ORDER BY doc_a, doc_b""",
+    // the m79/st73 code replay with corpus ids 0..19 and probe ids
+    // 1000000..1000019 (re-leveled x0.9), dup rule: probe vs CORPUS
+    // only, aligned agreement >= 0.8 over the smaller fingerprint
+    "m86_index_dedup" ->
+      """WITH ids AS (SELECT unnest(range(0, 20)) AS doc_id
+          UNION ALL SELECT unnest(range(1000000, 1000020)) AS doc_id),
+        base AS (SELECT doc_id,
+            CASE WHEN doc_id < 1000000 THEN doc_id
+              ELSE doc_id - 1000000 END AS bid
+          FROM ids),
+        lens AS (SELECT doc_id, bid, 160 + (bid % 13) * 16 AS n FROM base),
+        samples AS (SELECT doc_id, i,
+            CASE WHEN doc_id < 1000000 THEN s
+              ELSE CAST(floor(CAST(s * 9 AS DOUBLE) / 10) AS BIGINT) END AS v
+          FROM (SELECT doc_id, u.i,
+              ((bid * 40503 + 12289) * (u.i + 7) * (u.i + 13)) % 65536
+                - 32768 AS s
+            FROM lens, LATERAL (SELECT unnest(range(0, n)) AS i) u(i))),
+        frames AS (SELECT doc_id, u.f FROM lens,
+          LATERAL (SELECT unnest(range(0, (n - 128) // 64 + 1)) AS f) u(f)
+          WHERE n >= 128),
+        lags AS (SELECT * FROM (VALUES (0,1),(1,2),(2,4),(3,8),(4,16),
+          (5,32),(6,64)) l(j, lg)),
+        rr AS (SELECT fr.doc_id, fr.f, lags.j, SUM(a.v * b.v) AS r
+          FROM frames fr, lags
+          JOIN samples a ON TRUE
+          JOIN samples b ON b.doc_id = a.doc_id AND b.i = a.i + lags.lg
+          WHERE a.doc_id = fr.doc_id
+            AND a.i >= fr.f * 64 AND a.i < fr.f * 64 + 128 - lags.lg
+          GROUP BY fr.doc_id, fr.f, lags.j),
+        sbits AS (SELECT doc_id, f,
+            SUM(CASE WHEN r > 0 THEN 1 << j ELSE 0 END) AS s_code
+          FROM rr GROUP BY doc_id, f),
+        cbits AS (SELECT x.doc_id, x.f,
+            SUM(CASE WHEN x.r > y.r THEN 1 << (7 + x.j) ELSE 0 END) AS c_code
+          FROM rr x JOIN rr y ON y.doc_id = x.doc_id AND y.f = x.f
+            AND y.j = x.j + 1
+          GROUP BY x.doc_id, x.f),
+        codes AS (SELECT s.doc_id, s.f, s.s_code + COALESCE(c.c_code, 0) AS code
+          FROM sbits s LEFT JOIN cbits c
+            ON c.doc_id = s.doc_id AND c.f = s.f),
+        sizes AS (SELECT doc_id, COUNT(*) AS nf FROM codes GROUP BY doc_id),
+        m AS (SELECT p.doc_id AS doc_id, c.doc_id AS src, COUNT(*) AS c
+          FROM codes p JOIN codes c ON p.f = c.f AND p.code = c.code
+            AND p.doc_id >= 1000000 AND c.doc_id < 1000000
+          GROUP BY p.doc_id, c.doc_id),
+        dup AS (SELECT m.doc_id, MIN(src) AS dup_src
+          FROM m JOIN sizes na ON na.doc_id = m.src
+            JOIN sizes nb ON nb.doc_id = m.doc_id
+          WHERE CAST(c AS DOUBLE) / least(na.nf, nb.nf) >= 0.8
+          GROUP BY m.doc_id)
+        SELECT s.doc_id, d.dup_src IS NULL AS kept, d.dup_src
+        FROM sizes s LEFT JOIN dup d ON d.doc_id = s.doc_id
+        WHERE s.doc_id >= 1000000
+        ORDER BY s.doc_id""",
     // m80's landmark replay over the two-delivery corpus (base ids
     // 0..13, leading-trimmed re-uploads 1000000..1000013), then the
     // dedup decision: dup_src = lowest earlier doc sharing >= 0.6 of
