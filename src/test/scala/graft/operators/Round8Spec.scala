@@ -402,6 +402,54 @@ class Round8Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // ---- incremental index == batch pairs, cross-modality --------------
+
+  test("dedupAgainstPHashIndex decisions match pHashPairs on the union") {
+    import spark.implicits._
+    implicit val sp: SparkSession = spark
+    val corpusPng = udf((id: Long) => Multimodal.syntheticPng(id))
+    val probePng = udf((id: Long) => Multimodal.syntheticPngVariant(id - 1000000L))
+    val corpus = spark.range(0, 20)
+      .select(col("id").as("doc_id"), corpusPng(col("id")).as("payload"))
+    val probes = spark.range(1000000L, 1000020L)
+      .select(col("id").as("doc_id"), probePng(col("id")).as("payload"))
+    val viaIndex = Multimodal.dedupAgainstPHashIndex(
+        probes, Multimodal.pHashChunkIndex(corpus))
+      .filter(!col("kept"))
+      .select($"dup_src", $"doc_id").as[(Long, Long)].collect().toSet
+    // the batch operator on the union, restricted to cross pairs with
+    // the same keep-lowest resolution
+    val crossPairs = Multimodal.pHashPairs(corpus.unionAll(probes))
+      .filter($"doc_a" < 1000000L && $"doc_b" >= 1000000L)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    val viaPairs = crossPairs.groupBy(_._2)
+      .map { case (b, xs) => (xs.map(_._1).min, b) }.toSet
+    assert(viaIndex == viaPairs, s"index: $viaIndex vs pairs: $viaPairs")
+  }
+
+  test("dedupAgainstAudioIndex decisions match audioFingerprintPairs on the union") {
+    import spark.implicits._
+    implicit val sp: SparkSession = spark
+    val wav = udf((id: Long) =>
+      if (id < 1000000L) Multimodal.syntheticWavTex(id, (160 + (id % 13) * 16).toInt)
+      else Multimodal.syntheticWavTex(id - 1000000L,
+        (160 + ((id - 1000000L) % 13) * 16).toInt, num = 9, den = 10))
+    val corpus = spark.range(0, 20)
+      .select(col("id").as("doc_id"), wav(col("id")).as("payload"))
+    val probes = spark.range(1000000L, 1000020L)
+      .select(col("id").as("doc_id"), wav(col("id")).as("payload"))
+    val viaIndex = Multimodal.dedupAgainstAudioIndex(
+        probes, Multimodal.audioCodeIndex(corpus))
+      .filter(!col("kept"))
+      .select($"dup_src", $"doc_id").as[(Long, Long)].collect().toSet
+    val crossPairs = Multimodal.audioFingerprintPairs(corpus.unionAll(probes))
+      .filter($"doc_a" < 1000000L && $"doc_b" >= 1000000L)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    val viaPairs = crossPairs.groupBy(_._2)
+      .map { case (b, xs) => (xs.map(_._1).min, b) }.toSet
+    assert(viaIndex == viaPairs, s"index: $viaIndex vs pairs: $viaPairs")
+  }
+
   // ---- events ts storage adaptivity (the round-8 testdata regen broke
   // 24 queries: ts flipped TIMESTAMP(NANOS) -> TIMESTAMP(MICROS)) ------
 
