@@ -28,3 +28,26 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// ClusterMaterializeSpec runs a local-cluster[2,1,1024] harness whose
+// SparkContext must not share a JVM with the other suites (SparkContext
+// is a process-global singleton: any concurrent suite's getOrCreate
+// would adopt the cluster context and its afterAll would stop it
+// mid-test). Give it a forked JVM of its own; sbt's default
+// Tags.ForkedTestGroup limit of 1 keeps the groups sequential.
+// SPARK_SCALA_VERSION is set for the cluster group because the
+// standalone worker builds executor commands via the launcher, whose
+// scala-version probe otherwise expects a source-tree SPARK_HOME.
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val opts = (Test / javaOptions).value.toVector
+  val (cluster, rest) =
+    tests.partition(_.name.contains("ClusterMaterializeSpec"))
+  def group(name: String, ts: Seq[TestDefinition], env: Map[String, String]) =
+    Tests.Group(name, ts, Tests.SubProcess(ForkOptions()
+      .withRunJVMOptions(opts)
+      .withEnvVars(env)))
+  Seq(
+    group("cluster", cluster, Map("SPARK_SCALA_VERSION" -> "2.13") ++
+      sys.env.get("GRAFT_CLUSTER_SPEC").map("GRAFT_CLUSTER_SPEC" -> _)),
+    group("default", rest, Map.empty))
+}

@@ -664,8 +664,11 @@ object Multimodal {
     * probe is a duplicate of the lowest corpus doc whose shared-frame
     * fraction over the smaller fingerprint reaches `minMatch`. The
     * index carries per-doc frame counts, so scoring needs no second
-    * corpus pass. Undecodable payloads emit no frames and pass
-    * through unjudged (absent). */
+    * corpus pass. Payloads that yield NO fingerprint frames — an
+    * undecodable byte string, but equally a WAV shorter than one
+    * frame — are absent from the output, not judged kept; a caller
+    * needing a verdict per raw input left-joins from the raw batch
+    * ids. */
   def dedupAgainstAudioIndex(media: DataFrame, index: DataFrame,
       minMatch: Double = 0.8)(implicit s: SparkSession): DataFrame = {
     val codes = Materialize.eager(audioFingerprint(media).toDF())
@@ -706,8 +709,9 @@ object Multimodal {
     * shared by more than that many documents BEFORE expansion — on
     * real audio, silence yields code 0 and the (0,0) landmark is the
     * universal hot key, exactly the skew the cap exists for. Landmarks
-    * per doc come from one `lead` window over the materialized codes
-    * (a shuffle by doc_id only — no self-join).
+    * come distinct-per-doc straight out of the decode pass
+    * ([[audioLandmarks]] — a doc's codes are a local array there, no
+    * shuffle before the posting-list groupBy).
     *
     * The trade vs aligned matching: landmarks drop position, so two
     * docs sharing brief textured motifs score on them; `minMatch`
@@ -821,35 +825,57 @@ object Multimodal {
   /** Image near-duplicate pairs by pHash hamming distance: 4 chunk
     * buckets of 16 bits per hash — by pigeonhole, any pair within
     * hamming distance <= 3 shares at least one intact chunk, so the
-    * bucket join (the simHash precedent) finds every such pair with
-    * constant per-image work; `bit_count(a ^ b)` verifies exactly, so
-    * no false positives. Undecodable payloads drop out (no hash). */
-  def pHashPairs(media: DataFrame, maxDist: Int = 3): DataFrame = {
+    * bucket posting lists (the simHash precedent) find every such pair
+    * with constant per-image work; `bit_count(a ^ b)` verifies exactly,
+    * so no false positives. Undecodable payloads drop out (no hash).
+    *
+    * Candidates come from posting-list pair expansion per (chunk, ckey)
+    * bucket — the audio/video-tier shape — so the hash table is built
+    * once per bucket key, not twice as a self-join would. `maxDf`
+    * (0 = uncapped) drops buckets shared by more than that many images
+    * BEFORE the aggregation: one hot pHash (blank thumbnails, tracking
+    * pixels, default avatars — byte-distinct after re-encode, so exact
+    * dedup never removes them) otherwise makes the candidate set
+    * quadratic in the hot bucket. The cap only ever removes pairs whose
+    * every shared chunk is that frequent; pairs also sharing any
+    * rarer chunk still surface there. */
+  def pHashPairs(media: DataFrame, maxDist: Int = 3, maxDf: Int = 0): DataFrame = {
     require(maxDist < 4, "4 x 16-bit chunks guarantee recall only for maxDist <= 3")
-    // eager: the decode+DCT hash is the dominant cost and feeds three
-    // consumers (chunk explode + the two verify joins) — materialize
-    // the narrow (doc_id, ph) frame once, never re-decode. The
-    // not-null filter goes AFTER the eager barrier: pushed before it,
-    // Catalyst rewrites `ph IS NOT NULL` to a second UDF invocation
-    // and every payload decodes twice (the decode-count spec pins this)
+    // eager: the decode+DCT hash is the dominant cost and the chunk
+    // explode reads `ph` four times — materialize the narrow
+    // (doc_id, ph) frame once, never re-decode. The not-null filter
+    // goes AFTER the eager barrier: pushed before it, Catalyst
+    // rewrites `ph IS NOT NULL` to a second UDF invocation and every
+    // payload decodes twice (the decode-count spec pins this)
     val hashed = Materialize.eager(
       media.select(col("doc_id"), pHashUdf(col("payload")).as("ph")))
       .filter(col("ph").isNotNull)
-    val chunks = hashed.select(col("doc_id"), posexplode(
+    val chunks = hashed.select(col("doc_id"), col("ph"), posexplode(
       array((0 until 4).map(c =>
         shiftright(col("ph"), c * 16).bitwiseAND(lit(0xffffL))): _*)))
-      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ckey")
-    val cand = chunks.as("x").join(chunks.as("y"),
-        col("x.chunk") === col("y.chunk") && col("x.ckey") === col("y.ckey") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    cand
-      .join(hashed.select(col("doc_id").as("doc_a"), col("ph").as("pha")), Seq("doc_a"))
-      .join(hashed.select(col("doc_id").as("doc_b"), col("ph").as("phb")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("pha").bitwiseXOR(col("phb"))).as("dist"))
+      .select(col("doc_id"), col("ph"), col("pos").as("chunk"),
+        col("col").as("ckey"))
+    // cap BEFORE the posting-list aggregation (left_semi on per-key df
+    // counts): one row per (doc, chunk), so df == bucket size and the
+    // hot bucket never materializes inside one collect_list task
+    val capped = if (maxDf <= 0) chunks
+      else chunks.join(
+        chunks.groupBy(col("chunk"), col("ckey"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf)
+          .select(col("chunk"), col("ckey")),
+        Seq("chunk", "ckey"), "left_semi")
+    val kept = capped.groupBy(col("chunk"), col("ckey"))
+      .agg(collect_list(struct(col("doc_id"), col("ph"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    val ds = array_sort(col("ds"))
+    kept.select(explode(flatten(transform(ds, (x, i) =>
+        transform(slice(ds, i + lit(2), greatest(size(ds) - i - 1, lit(0))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        bit_count(col("p.a.ph").bitwiseXOR(col("p.b.ph"))).as("dist"))
       .filter(col("dist") <= maxDist)
+      .distinct() // a pair can share several intact chunks
   }
 
   /** Persisted pHash chunk INDEX of an image corpus — the incremental
@@ -874,12 +900,22 @@ object Multimodal {
     * [[pHashChunkIndex]]: the batch decodes + hashes once, equi-joins
     * the index on (chunk, ckey) — pigeonhole-complete for hamming
     * <= 3 — and verifies candidates with one `bit_count` against the
-    * hash carried in the index row. Returns every DECODABLE batch
-    * image as (doc_id, kept, dup_src = lowest matching corpus image);
-    * undecodable payloads are not images and pass through unjudged
-    * (absent), the [[pHashPairs]] contract. */
+    * hash carried in the index row. Returns one verdict row per batch
+    * image that produced a hash: (doc_id, kept, dup_src = lowest
+    * matching corpus image). Payloads that yield NO hash — undecodable
+    * bytes, but equally anything [[pHash64]] returns None for — are
+    * absent from the output, not judged kept (the [[pHashPairs]]
+    * contract); a caller needing a row per raw input left-joins from
+    * the raw batch ids.
+    *
+    * `maxDf` (0 = uncapped) drops index buckets held by more than that
+    * many corpus images before the probe join — the hot-pHash guard
+    * ([[pHashPairs]]): a blank-thumbnail bucket otherwise multiplies
+    * every probe row by its full membership. Capping can only flip
+    * verdicts toward kept, and only for probes whose every shared
+    * chunk is that frequent. */
   def dedupAgainstPHashIndex(media: DataFrame, index: DataFrame,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3, maxDf: Int = 0): DataFrame = {
     require(maxDist < 4, "4 x 16-bit chunks guarantee recall only for maxDist <= 3")
     val hashed = Materialize.eager(
       media.select(col("doc_id"), pHashUdf(col("payload")).as("ph")))
@@ -889,8 +925,15 @@ object Multimodal {
         shiftright(col("ph"), c * 16).bitwiseAND(lit(0xffffL))): _*)))
       .select(col("doc_id"), col("ph"), col("pos").as("chunk"),
         col("col").as("ckey"))
+    val probed = if (maxDf <= 0) index
+      else index.join(
+        index.groupBy(col("chunk"), col("ckey"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf)
+          .select(col("chunk"), col("ckey")),
+        Seq("chunk", "ckey"), "left_semi")
     val dup = chunks.join(
-        index.select(col("chunk"), col("ckey"), col("doc_id").as("src"),
+        probed.select(col("chunk"), col("ckey"), col("doc_id").as("src"),
           col("ph").as("cph")),
         Seq("chunk", "ckey"))
       .dropDuplicates("doc_id", "src")
@@ -986,7 +1029,12 @@ object Multimodal {
           val id = fourcc(payload, off)
           val size = le32(payload, off + 4)
           val data = off + 8
-          if (size < 0 || data + size > to) ok = false
+          // bound check in Long: an adversarial size near Int.MaxValue
+          // would overflow `data + size` negative and slip past an Int
+          // guard, making copyOfRange throw and the NonFatal catch drop
+          // ALL frames — the documented contract is that frames before
+          // the damage still return
+          if (size < 0 || data.toLong + size > to) ok = false
           else {
             if (id == "LIST" && size >= 4) walk(data + 4, data + size)
             else if (id == "strf" && strf == null)
@@ -1013,6 +1061,91 @@ object Multimodal {
       walk(12, payload.length)
       Some(frames.result())
     } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Extract the first audio ('auds') stream of a RIFF/AVI payload as a
+    * standalone PCM16 WAV the [[decodeWav]] fingerprint path reads
+    * directly — video files join the audio dedup tier through this
+    * (same-audio different-video re-uploads: reaction videos, reposted
+    * clips with a new title card). The hdrl walk notes which strl
+    * index carries 'auds' and its WAVEFORMAT strf; the movi walk
+    * concatenates that stream's 'NNwb' chunks in order (chunking is an
+    * interleaving artifact — the PCM stream is their concatenation).
+    * None when there is no auds stream, the format is not PCM16, or no
+    * wb chunk carries data; structurally broken tables stop the walk
+    * at the damage (audio before it still returns), never throw. */
+  private[operators] def aviAudioWav(payload: Array[Byte]): Option[Array[Byte]] = {
+    if (payload.length < 12 || fourcc(payload, 0) != "RIFF" ||
+      fourcc(payload, 8) != "AVI ") return None
+    try {
+      var nStreams = 0
+      var audioIdx = -1
+      var fmt: Array[Byte] = null
+      var pendingType: String = null
+      val pcm = new java.io.ByteArrayOutputStream()
+      def walk(from: Int, to: Int): Unit = {
+        var off = from
+        var ok = true
+        while (ok && off + 8 <= to) {
+          val id = fourcc(payload, off)
+          val size = le32(payload, off + 4)
+          val data = off + 8
+          if (size < 0 || data.toLong + size > to) ok = false
+          else {
+            if (id == "LIST" && size >= 4) {
+              val inner = fourcc(payload, data)
+              walk(data + 4, data + size)
+              if (inner == "strl") nStreams += 1
+            }
+            else if (id == "strh" && size >= 4)
+              pendingType = fourcc(payload, data)
+            else if (id == "strf" && pendingType == "auds" && fmt == null) {
+              audioIdx = nStreams // index of the strl being walked
+              fmt = java.util.Arrays.copyOfRange(payload, data, data + size)
+              pendingType = null
+            }
+            else if (audioIdx >= 0 && size > 0 &&
+                id == f"$audioIdx%02dwb")
+              pcm.write(payload, data, size)
+            off = data + size + (size & 1)
+          }
+        }
+      }
+      walk(12, payload.length)
+      if (fmt == null || fmt.length < 16 || pcm.size == 0) return None
+      val fmtTag = le16(fmt, 0); val ch = le16(fmt, 2)
+      val rate = le32(fmt, 4); val bits = le16(fmt, 14)
+      if (fmtTag != 1 || bits != 16 || ch < 1 || rate <= 0) return None
+      val data = pcm.toByteArray
+      val out = new Array[Byte](44 + data.length)
+      def putAscii(o: Int, s: String): Unit = {
+        var i = 0; while (i < s.length) { out(o + i) = s.charAt(i).toByte; i += 1 } }
+      def put16(o: Int, v: Int): Unit = {
+        out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte }
+      def put32(o: Int, v: Int): Unit = {
+        put16(o, v & 0xffff); put16(o + 2, (v >>> 16) & 0xffff) }
+      putAscii(0, "RIFF"); put32(4, 36 + data.length); putAscii(8, "WAVE")
+      putAscii(12, "fmt "); put32(16, 16); put16(20, 1); put16(22, ch)
+      put32(24, rate); put32(28, rate * ch * 2); put16(32, ch * 2)
+      put16(34, 16)
+      putAscii(36, "data"); put32(40, data.length)
+      System.arraycopy(data, 0, out, 44, data.length)
+      Some(out)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** One (doc_id, payload) row per AVI payload whose audio track
+    * extracts to PCM16 WAV ([[aviAudioWav]]) — the adapter that feeds
+    * video files into the audio near-dup tier ([[audioLandmarkPairs]],
+    * [[audioFingerprintPairs]], the st73/st74 streaming forms). One
+    * mapPartitions pass, no shuffle; payloads without an extractable
+    * audio track emit no row. */
+  def videoAudioTracks(media: DataFrame)(implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions(rows => rows.flatMap(r =>
+        aviAudioWav(r.payload).map(w => MediaRow(r.doc_id, w))))
+      .toDF()
   }
 
   private def riffChunk(id: String, data: Array[Byte]): Array[Byte] = {
@@ -1166,13 +1299,24 @@ object Multimodal {
       posexplode(array((0 until 4).map(c =>
         shiftright(col("ph"), c * 16).bitwiseAND(lit(0xffffL))): _*)))
       .toDF("doc_id", "frame_idx", "ph", "chunk", "ck")
-    val buckets = chunked.groupBy(col("frame_idx"), col("chunk"), col("ck"))
+    // the cap filters BEFORE the posting-list aggregation (a left_semi
+    // against per-key df counts, the audioFingerprintPairs shape): a
+    // doc contributes exactly one row per (frame_idx, chunk), so df ==
+    // bucket size and the pair set is unchanged — but the hot
+    // black/intro-frame bucket is never materialized inside one
+    // collect_list task, which is the whole point of the cap at scale
+    val capped = if (maxDf <= 0) chunked
+      else chunked.join(
+        chunked.groupBy(col("frame_idx"), col("chunk"), col("ck"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf)
+          .select(col("frame_idx"), col("chunk"), col("ck")),
+        Seq("frame_idx", "chunk", "ck"), "left_semi")
+    val buckets = capped.groupBy(col("frame_idx"), col("chunk"), col("ck"))
       .agg(collect_list(struct(col("doc_id"), col("ph"))).as("ds"))
       .filter(size(col("ds")) >= 2)
-    val capped = if (maxDf <= 0) buckets
-      else buckets.filter(size(col("ds")) <= maxDf)
     val ds = array_sort(col("ds"))
-    val pairs = capped.select(col("frame_idx"), explode(flatten(
+    val pairs = buckets.select(col("frame_idx"), explode(flatten(
         transform(ds, (x, i) =>
           transform(slice(ds, i + lit(2), greatest(size(ds) - i - 1, lit(0))),
             y => struct(x.as("a"), y.as("b")))))).as("p"))
@@ -1233,6 +1377,78 @@ object Multimodal {
     * (lm_a, lm_b) posting-list expansion, `maxDf` dropping landmarks
     * shared by more than that many videos — repeated black/title
     * frame pairs are the hot key. */
+  /** Video near-dup pairs under TIME SHIFT **and** RE-ENCODE — the
+    * combined edit neither sibling catches alone (the most common real
+    * pirate copy: trim the intro AND transcode): [[videoNearDupPairs]]
+    * is hamming-tolerant but frame-ALIGNED, so the trim blinds it;
+    * [[videoLandmarkPairs]] is shift-tolerant but compares landmarks
+    * EXACTLY, so the transcode's pHash drift blinds it. Here the
+    * 128-bit landmark (lm_a, lm_b) is cut into 8 chunks of 16 bits —
+    * the m78 pigeonhole applied to the PAIR: any two landmarks within
+    * total hamming `maxDist` <= 7 share at least one intact chunk, so
+    * (chunk, value) posting lists find every such pair, and
+    * `bit_count` on both halves verifies exactly.
+    *
+    * Score: matched DISTINCT landmarks per side over that side's
+    * landmark count, taking the larger fraction — for a trimmed copy
+    * the copy's side approaches 1 while the original's is diluted by
+    * the trimmed-away landmarks, and `greatest` keeps the metric
+    * symmetric. A landmark may match several near versions of itself
+    * across the other doc; counting each side's own landmarks once
+    * keeps the numerator <= the denominator by construction.
+    *
+    * Scale shape: same as the siblings — landmarks once out of the
+    * decode pass, posting-list buckets, and `maxDf` dropping
+    * (chunk, value) keys shared by more than that many LANDMARK ROWS
+    * before aggregation (black/title sequences put the same chunk
+    * value in thousands of docs AND many landmarks per doc, so the cap
+    * counts rows, not docs). */
+  def videoLandmarkPairsTolerant(media: DataFrame, every: Int = 2,
+      maxDist: Int = 6, minMatch: Double = 0.6, maxDf: Int = 0)(
+      implicit s: SparkSession): DataFrame = {
+    require(maxDist < 8, "8 x 16-bit chunks guarantee recall only for maxDist <= 7")
+    val lms = Materialize.eager(videoLandmarks(media, every).toDF())
+    val sizes = lms.groupBy(col("doc_id")).agg(count(lit(1)).as("nl"))
+    val chunked = lms.select(col("doc_id"), col("lm_a"), col("lm_b"),
+      posexplode(array(
+        (0 until 4).map(c =>
+          shiftright(col("lm_a"), c * 16).bitwiseAND(lit(0xffffL))) ++
+        (0 until 4).map(c =>
+          shiftright(col("lm_b"), c * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .toDF("doc_id", "lm_a", "lm_b", "chunk", "ck")
+    val capped = if (maxDf <= 0) chunked
+      else chunked.join(
+        chunked.groupBy(col("chunk"), col("ck")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf).select(col("chunk"), col("ck")),
+        Seq("chunk", "ck"), "left_semi")
+    val buckets = capped.groupBy(col("chunk"), col("ck"))
+      .agg(collect_list(struct(col("doc_id"), col("lm_a"), col("lm_b"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    val ds = array_sort(col("ds"))
+    // a doc can hold several landmarks in one bucket (unlike the
+    // one-entry-per-doc siblings), so expansion filters same-doc pairs;
+    // sorting by (doc_id, ...) still guarantees doc_a < doc_b
+    val pairs = buckets.select(explode(flatten(transform(ds, (x, i) =>
+        transform(slice(ds, i + lit(2), greatest(size(ds) - i - 1, lit(0))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .filter(col("p.a.doc_id") =!= col("p.b.doc_id"))
+      .filter(bit_count(col("p.a.lm_a").bitwiseXOR(col("p.b.lm_a"))) +
+        bit_count(col("p.a.lm_b").bitwiseXOR(col("p.b.lm_b"))) <= maxDist)
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        col("p.a.lm_a").as("la_a"), col("p.a.lm_b").as("la_b"),
+        col("p.b.lm_a").as("lb_a"), col("p.b.lm_b").as("lb_b"))
+      .distinct() // several intact chunks can surface one landmark pair
+    pairs.groupBy(col("doc_a"), col("doc_b"))
+      .agg(countDistinct(col("la_a"), col("la_b")).as("ma"),
+        countDistinct(col("lb_a"), col("lb_b")).as("mb"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nl").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nl").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(greatest(col("ma").cast("double") / col("na"),
+          col("mb").cast("double") / col("nb")), 6).as("match_frac"))
+      .filter(col("match_frac") >= minMatch)
+  }
+
   def videoLandmarkPairs(media: DataFrame, every: Int = 2,
       minMatch: Double = 0.6, maxDf: Int = 0)(
       implicit s: SparkSession): DataFrame = {

@@ -66,6 +66,31 @@ case class VideoLandmarkHits(doc_id: Long, lm_a: Long, lm_b: Long,
   * documents for `dropDuplicatesWithinWatermark`. */
 object StreamingNearDup {
 
+  /** Shared per-bucket state fold for the hit-emitting family
+    * ([[audioVerdicts]] / [[audioLandmarkVerdicts]] /
+    * [[videoLandmarkVerdicts]]): each arrival emits the members seen
+    * before it, then registers. `maxBucket` > 0 caps the bucket: a
+    * capped arrival emits Nil AND does not register — past the cap
+    * every future emission is Nil whatever the membership, so the
+    * truncation changes no output (the cap spec asserts this against
+    * an unbounded reference fold) while bounding both state size and
+    * per-arrival cost to O(maxBucket) in the hot silence/black bucket.
+    * The length probe is paid once per invocation, not per arrival.
+    * `ids` must arrive pre-sorted (the id-ordered determinism
+    * contract). */
+  private[operators] def foldBucket[T](seen0: List[Long], ids: Seq[Long],
+      maxBucket: Int)(mk: (Long, List[Long]) => T): (List[Long], Seq[T]) = {
+    var seen = seen0
+    var n = seen.size
+    val out = ids.map { id =>
+      val capped = maxBucket > 0 && n >= maxBucket
+      val hits = if (capped) Nil else seen
+      if (!capped) { seen = id :: seen; n += 1 }
+      mk(id, hits)
+    }
+    (seen, out)
+  }
+
   def bandVerdicts(docs: DataFrame, idCol: String, textCol: String,
       bands: Int = 8, rowsPerBand: Int = 2, k: Int = 3,
       estThreshold: Double = 0.5): Dataset[BandVerdict] = {
@@ -138,9 +163,11 @@ object StreamingNearDup {
     * `maxBucket` is the streaming analog of the batch path's `maxDf`
     * skew cap: once a bucket holds that many members (silence frames —
     * real audio codes constant regions to one hot code), later arrivals
-    * still register but emit no hits, bounding both the emission fan-out
-    * and what one hot key contributes to any pair score. 0 = uncapped
-    * (the oracle-exact default). */
+    * emit no hits AND stop registering — past the cap every future
+    * emission is Nil whatever the membership, so truncating state
+    * changes no output (the cap spec asserts exactly this) while
+    * bounding both state size and per-arrival fold cost to O(maxBucket)
+    * in the hot bucket. 0 = uncapped (the oracle-exact default). */
   def audioVerdicts(media: DataFrame, idCol: String, payloadCol: String,
       maxBucket: Int = 0): Dataset[FrameHits] = {
     val spark = media.sparkSession
@@ -153,13 +180,9 @@ object StreamingNearDup {
       .flatMapGroupsWithState[List[Long], FrameHits](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case ((frameIdx, _), rows, state: GroupState[List[Long]]) =>
-          var seen = state.getOption.getOrElse(Nil)
-          val out = rows.toSeq.sortBy(_.doc_id).map { c =>
-            val hits = if (maxBucket > 0 && seen.length >= maxBucket) Nil
-              else seen
-            seen = c.doc_id :: seen
-            FrameHits(c.doc_id, frameIdx, hits)
-          }
+          val (seen, out) = foldBucket(state.getOption.getOrElse(Nil),
+            rows.toSeq.map(_.doc_id).sorted, maxBucket)(
+            (id, hits) => FrameHits(id, frameIdx, hits))
           state.update(seen)
           out.iterator
       }
@@ -191,13 +214,9 @@ object StreamingNearDup {
       .flatMapGroupsWithState[List[Long], LandmarkHits](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (lm, rows, state: GroupState[List[Long]]) =>
-          var seen = state.getOption.getOrElse(Nil)
-          val out = rows.toSeq.sortBy(_.doc_id).map { r =>
-            val hits = if (maxBucket > 0 && seen.length >= maxBucket) Nil
-              else seen
-            seen = r.doc_id :: seen
-            LandmarkHits(r.doc_id, lm, hits)
-          }
+          val (seen, out) = foldBucket(state.getOption.getOrElse(Nil),
+            rows.toSeq.map(_.doc_id).sorted, maxBucket)(
+            (id, hits) => LandmarkHits(id, lm, hits))
           state.update(seen)
           out.iterator
       }
@@ -227,13 +246,9 @@ object StreamingNearDup {
       .flatMapGroupsWithState[List[Long], VideoLandmarkHits](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case ((a, b), rows, state: GroupState[List[Long]]) =>
-          var seen = state.getOption.getOrElse(Nil)
-          val out = rows.toSeq.sortBy(_.doc_id).map { r =>
-            val hits = if (maxBucket > 0 && seen.length >= maxBucket) Nil
-              else seen
-            seen = r.doc_id :: seen
-            VideoLandmarkHits(r.doc_id, a, b, hits)
-          }
+          val (seen, out) = foldBucket(state.getOption.getOrElse(Nil),
+            rows.toSeq.map(_.doc_id).sorted, maxBucket)(
+            (id, hits) => VideoLandmarkHits(id, a, b, hits))
           state.update(seen)
           out.iterator
       }

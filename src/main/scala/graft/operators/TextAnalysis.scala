@@ -513,8 +513,8 @@ object TextAnalysis {
     * adjacent pairs once, collects a bounded candidate head (the top
     * `remaining*3+32` pairs — a driver-side list of strings, not data),
     * greedily selects candidates in priority order whose token sets are
-    * pairwise DISJOINT, and applies all of them in ONE fused map-only
-    * projection (the [[bpeEncode]] foldLeft-replace shape).
+    * pairwise DISJOINT, and applies all of them in ONE map-only kernel
+    * pass over the token array ([[BpeMerger]], rules broadcast).
     *
     * Why disjoint tokens make the batch exact: merges fuse two tokens
     * into one and never create or destroy an adjacency of tokens they
@@ -578,11 +578,17 @@ object TextAnalysis {
         learned += ((got + i + 1, round, a, b, n))
       }
       got += rules.size
-      if (got < merges) // the final round's rewrite would never be read
-        cur = Materialize.eager(cur.select(trim(
-          rules.foldLeft(concat(lit(" "), col("text"), lit(" "))) {
-            case (c, (a, b, _)) => replace(c, lit(s" $a $b "), lit(s" ${a}_$b "))
-          }).as("text")))
+      if (got < merges) { // the final round's rewrite would never be read
+        // ONE kernel pass for the whole batch (rules broadcast) — the
+        // nested-replace chain this replaces falls out of codegen past
+        // ~200 rules per round (the JVM 64 KB method limit) and pays a
+        // full string scan per rule; the token-array kernel applies
+        // the same leftmost-non-overlapping semantics in one pass
+        val bc = spark.sparkContext.broadcast(
+          new BpeMerger(rules.map(r => (r._1, r._2)).toArray))
+        val applyBatch = udf((text: String) => bc.value(text))
+        cur = Materialize.eager(cur.select(applyBatch(col("text")).as("text")))
+      }
     }
     import spark.implicits._
     learned.result().toDF("iter", "round", "tok_a", "tok_b", "pair_count")
@@ -634,11 +640,12 @@ object TextAnalysis {
   /** BPE ENCODE — apply a learned merge list (the [[bpeMergeRules]]
     * output, in iteration order) to the corpus. BPE encoding is greedy
     * by merge PRIORITY: rule 1 rewrites everywhere before rule 2 looks
-    * at anything, which for the '_'-joined token representation is
-    * exactly a sequential space-padded string replace per rule — the
-    * same application semantics the induction itself used, so encoding
-    * the training corpus with its own rules reproduces the final
-    * induction state bit-for-bit and the oracle replays it in SQL.
+    * at anything, and within a rule the occurrences merge leftmost
+    * non-overlapping with separator consumption — exactly the
+    * space-padded string-replace semantics the induction itself used,
+    * so encoding the training corpus with its own rules reproduces the
+    * final induction state bit-for-bit and the oracle replays it in
+    * SQL.
     *
     * Returns (doc_id, text_enc, n_tokens, n_merged): the encoded text
     * (subword tokens space-joined, merged pairs '_'-joined), its REAL
@@ -648,10 +655,15 @@ object TextAnalysis {
     * `textCol` by single space, so passing (`text_enc`) feeds them
     * real subword counts instead of whitespace counts.
     *
-    * Shape at scale: k merge rules = k map-only column rewrites fused
-    * into ONE projection (no shuffle, no materialization, whole-stage
-    * codegen keeps it a single pass over the corpus); the rule list is
-    * driver-side and tiny (bounded by bpeMergeRules' merges <= 16). */
+    * Shape at scale: ONE map-only kernel pass per row over the token
+    * ARRAY ([[BpeMerger]]), rules broadcast once per executor — not a
+    * k-deep nested `replace` expression, which past a few hundred
+    * rules blows the JVM's 64 KB method limit, falls out of codegen,
+    * and pays k full-string scans per row. The kernel's per-row cost
+    * is O(tokens x rules-that-apply) and FLAT in total vocabulary
+    * size, so 32k-100k-rule production vocabularies encode at the
+    * same per-row cost as 64-rule test vocabularies (the vocab-growth
+    * spec pins this). */
   def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
       rules: Seq[(String, String)]): DataFrame = {
     require(rules.nonEmpty, "bpeEncode needs at least one merge rule")
@@ -659,11 +671,12 @@ object TextAnalysis {
       require(a.matches("\\w+") && b.matches("\\w+"),
         s"bpeEncode expects word-character tokens, got '$a' '$b'")
     }
-    val enc = trim(rules.foldLeft(concat(lit(" "), col(textCol), lit(" "))) {
-      case (c, (a, b)) => replace(c, lit(s" $a $b "), lit(s" ${a}_$b "))
-    })
+    val bc = docs.sparkSession.sparkContext.broadcast(
+      new BpeMerger(rules.toArray))
+    val enc = udf((text: String) => bc.value(text))
     val tk = split(col("text_enc"), " ")
-    docs.select(col(idCol).cast("long").as("doc_id"), enc.as("text_enc"))
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        enc(col(textCol)).as("text_enc"))
       .select(col("doc_id"), col("text_enc"),
         size(tk).cast("long").as("n_tokens"),
         size(filter(tk, _.contains("_"))).cast("long").as("n_merged"))
@@ -675,17 +688,17 @@ object TextAnalysis {
     * unwind correctly). decode(encode(x)) == x exactly for corpora
     * whose tokens contain no underscore (the merged-token marker;
     * verified empty on the testdata corpus) and whose whitespace is
-    * single spaces (the repo-wide tokens() contract). Same shape as
-    * the encode: k map-only rewrites fused into ONE codegen'd
-    * projection, no shuffle. */
+    * single spaces (the repo-wide tokens() contract). Same kernel
+    * shape as the encode ([[BpeSplitter]]): one map-only pass per
+    * row, rules broadcast, per-row cost flat in vocabulary size. */
   def bpeDecode(docs: DataFrame, idCol: String, encCol: String,
       rules: Seq[(String, String)]): DataFrame = {
     require(rules.nonEmpty, "bpeDecode needs at least one merge rule")
-    val dec = trim(rules.reverse.foldLeft(
-      concat(lit(" "), col(encCol), lit(" "))) {
-      case (c, (a, b)) => replace(c, lit(s" ${a}_$b "), lit(s" $a $b "))
-    })
-    docs.select(col(idCol).cast("long").as("doc_id"), dec.as("text"))
+    val bc = docs.sparkSession.sparkContext.broadcast(
+      new BpeSplitter(rules.toArray))
+    val dec = udf((text: String) => bc.value(text))
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      dec(col(encCol)).as("text"))
   }
 
   /** Temperature-scaled source mixing — the multinomial alpha-sampling
@@ -917,4 +930,141 @@ object TextAnalysis {
           aggregate(transform(split(tk, ""), c => ascii(c)), lit(0), (a, x) => a + x),
           lit(2147483648L)))
         .as("rolling_hash"))
+}
+
+/** Shared machinery for the token-array BPE kernels: a key -> ascending
+  * rule-priority index (duplicate keys keep EVERY index — a pair can
+  * legitimately be re-learned after partial merging left alternating
+  * occurrences behind), and the monotone-priority driver loop.
+  *
+  * The loop is exactly equivalent to applying every rule sequentially
+  * in priority order: it repeatedly scans the current token array for
+  * the lowest-priority applicable rule STRICTLY past the last one
+  * applied (a rule's single pass never re-runs, matching one `replace`
+  * per rule), applies that rule's pass, and stops when nothing ahead of
+  * the pointer matches. Rules skipped between pointer positions had no
+  * occurrence in precisely the state sequential application would have
+  * shown them. Per-row cost is O(tokens x rules-that-apply) — flat in
+  * total vocabulary size, which is what lets a 32k-100k-rule
+  * production vocabulary run as one map-only projection. */
+private[operators] abstract class BpeKernel(
+    keys: Array[String]) extends Serializable {
+
+  /** Built lazily AFTER broadcast deserialization — once per executor,
+    * not per task and never per row. */
+  @transient private lazy val prio: java.util.HashMap[String, Array[Int]] = {
+    val m = new java.util.HashMap[String, Array[Int]](keys.length * 2)
+    keys.zipWithIndex.foreach { case (k, i) =>
+      m.merge(k, Array(i), (old, add) => old ++ add) // zipWithIndex ⇒ ascending
+    }
+    m
+  }
+
+  /** Lowest rule index > `last` among `key`'s indices, or MaxValue. */
+  @inline protected final def nextIdx(key: String, last: Int): Int = {
+    val idxs = prio.get(key)
+    if (idxs == null) Int.MaxValue
+    else {
+      var i = 0
+      while (i < idxs.length && idxs(i) <= last) i += 1
+      if (i < idxs.length) idxs(i) else Int.MaxValue
+    }
+  }
+
+  /** Scan `toks` for the lowest applicable rule index > `last`. */
+  protected def bestRule(toks: Array[String], last: Int): Int
+
+  /** One leftmost-non-overlapping pass of rule `idx` over `toks`. */
+  protected def applyRule(toks: Array[String], idx: Int): Array[String]
+
+  final def apply(text: String): String = {
+    if (text == null) return null
+    var toks = text.split(" ", -1)
+    var last = -1
+    var best = bestRule(toks, last)
+    while (best != Int.MaxValue) {
+      toks = applyRule(toks, best)
+      last = best
+      best = bestRule(toks, last)
+    }
+    // mirror the padded-replace form's trailing trim (boundary spaces
+    // survive the split/join round-trip as empty tokens)
+    toks.mkString(" ").trim
+  }
+}
+
+/** Token-array BPE ENCODE kernel: merges adjacent (a, b) into "a_b"
+  * with the space-padded `replace` semantics pinned by the t64/t65
+  * oracles — leftmost non-overlapping, separator consumed, so an
+  * immediate repeat ("a b a b") merges alternately within one pass. */
+private[operators] final class BpeMerger(
+    rules: Array[(String, String)])
+  extends BpeKernel(rules.map { case (a, b) => a + " " + b }) {
+
+  protected def bestRule(toks: Array[String], last: Int): Int = {
+    var best = Int.MaxValue
+    var i = 0
+    while (i < toks.length - 1) {
+      val p = nextIdx(toks(i) + " " + toks(i + 1), last)
+      if (p < best) best = p
+      i += 1
+    }
+    best
+  }
+
+  protected def applyRule(toks: Array[String], idx: Int): Array[String] = {
+    val (a, b) = rules(idx)
+    val merged = a + "_" + b
+    val out = Array.newBuilder[String]
+    out.sizeHint(toks.length)
+    var i = 0
+    var spaceOk = true // does the separator BEFORE toks(i) survive?
+    while (i < toks.length) {
+      if (spaceOk && i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+        out += merged; i += 2; spaceOk = false
+      } else { out += toks(i); i += 1; spaceOk = true }
+    }
+    out.result()
+  }
+}
+
+/** Token-array BPE DECODE kernel: splits "a_b" back into (a, b),
+  * un-applying the merge list in REVERSE priority order (rules are
+  * re-indexed reversed at construction), with the same separator-
+  * consumption contract — a merged token immediately following a just-
+  * split one stays intact for this rule's pass, mirroring the padded
+  * string `replace` the oracle replays. */
+private[operators] final class BpeSplitter(
+    rules: Array[(String, String)])
+  extends BpeKernel(
+    rules.reverseIterator.map { case (a, b) => a + "_" + b }.toArray) {
+
+  // reversed to match the kernel's index space
+  private val rev: Array[(String, String)] = rules.reverse
+
+  protected def bestRule(toks: Array[String], last: Int): Int = {
+    var best = Int.MaxValue
+    var i = 0
+    while (i < toks.length) {
+      val p = nextIdx(toks(i), last)
+      if (p < best) best = p
+      i += 1
+    }
+    best
+  }
+
+  protected def applyRule(toks: Array[String], idx: Int): Array[String] = {
+    val (a, b) = rev(idx)
+    val merged = a + "_" + b
+    val out = Array.newBuilder[String]
+    out.sizeHint(toks.length + 4)
+    var i = 0
+    var spaceOk = true
+    while (i < toks.length) {
+      if (spaceOk && toks(i) == merged) {
+        out += a; out += b; i += 1; spaceOk = false
+      } else { out += toks(i); i += 1; spaceOk = true }
+    }
+    out.result()
+  }
 }

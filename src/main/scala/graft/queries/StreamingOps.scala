@@ -561,6 +561,25 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // VIDEO near-dup under TRIM + RE-ENCODE combined — the pirate-copy
+    // edit neither m82 (aligned, blinded by the trim) nor m84 (exact
+    // landmarks, blinded by the transcode's pHash drift) catches: 8 DIB
+    // originals + 8 copies with the first 2 frames cut AND
+    // MJPEG-transcoded; the 128-bit landmark pair cut into 8 16-bit
+    // chunks (m78 pigeonhole on the pair) finds them. Pinned golden
+    // (codec + StrictMath DCT path, the m83 MJPEG precedent).
+    "m87_video_tolerant" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val avi = udf((id: Long) =>
+        if (id < 20) Multimodal.syntheticAvi(id, (8 + id % 3).toInt)
+        else Multimodal.syntheticAvi(id - 20, (8 + (id - 20) % 3).toInt - 2,
+          mjpeg = true, frameOffset = 2))
+      val media = s.range(0, 8).union(s.range(20, 28))
+        .select(col("id").as("doc_id"), avi(col("id")).as("payload"))
+      Multimodal.videoLandmarkPairsTolerant(media)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Incremental AUDIO dedup vs a persisted fingerprint index (the
     // t69/s56/m85 contract, audio-side): index 20 textured WAVs once,
     // screen 20 re-leveled re-uploads against it — integer arithmetic
@@ -582,9 +601,10 @@ object StreamingOps extends QueryPack {
 
     // Incremental IMAGE dedup vs a persisted pHash chunk index (the
     // t69/s56 contract, image-side): index 20 corpus PNGs once, screen
-    // an ingest batch of 20 lightly-edited re-uploads — every one
-    // lands on its source within hamming 3. Pinned golden (codec +
-    // StrictMath DCT path).
+    // an ingest batch of 20 lightly-edited re-uploads — most land on
+    // their source within hamming 3; a few variants drift past the
+    // threshold and are kept (the pinned golden keeps 1000003, 1000008,
+    // 1000010). Pinned golden (codec + StrictMath DCT path).
     "m85_index_dedup" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       val corpusPng = udf((id: Long) => Multimodal.syntheticPng(id))

@@ -487,6 +487,33 @@ object TextOps extends QueryPack {
         TextAnalysis.bpeEncode(docs, "doc_id", "text", rules),
         "doc_id", "text_enc", rules)
         .orderBy($"doc_id")
+    }),
+
+    // PRODUCTION-VOCABULARY tokenizer gate: encode + decode with 4096
+    // merge rules through the token-array kernel (the nested-replace
+    // chain t65 uses is structurally incapable past ~200 rules — JVM
+    // 64 KB codegen limit). The corpus is arithmetic over doc_id
+    // (tokens t0..t8191; even positions open rule pair (t_2v, t_2v+1),
+    // odd positions complete it iff (doc_id+j) % 3 == 0), so the
+    // oracle replays BOTH the reconstruction AND the expected merge
+    // count in SQL — a do-nothing encode fails on n_merged, a broken
+    // decode fails on text.
+    "t71_bpe_vocab4k" -> ((s, dir) => {
+      import s.implicits._
+      val rules = (0 until 4096).map(i => (s"t${2 * i}", s"t${2 * i + 1}"))
+      val docs = t(s, dir, "documents").select($"doc_id",
+        concat_ws(" ", (0 until 64).map { j =>
+          val v = ($"doc_id" * 7 + (j / 2) * 53) % 4096
+          val tok = if (j % 2 == 0) v * 2
+            else when(($"doc_id" + j) % 3 === 0, v * 2 + 1)
+              .otherwise((v * 2 + 2) % 8192)
+          concat(lit("t"), tok.cast("string"))
+        }: _*).as("text"))
+      val enc = TextAnalysis.bpeEncode(docs, "doc_id", "text", rules)
+      TextAnalysis.bpeDecode(enc, "doc_id", "text_enc", rules)
+        .join(enc.select($"doc_id", $"n_merged"), Seq("doc_id"))
+        .select($"doc_id", $"text", $"n_merged")
+        .orderBy($"doc_id")
     })
   )
 
@@ -1227,6 +1254,21 @@ object TextOps extends QueryPack {
     // the round-trip property IS the oracle: decode(encode(corpus))
     // must hash-match the untouched table
     "t70_bpe_roundtrip" ->
-      """SELECT doc_id, text FROM documents ORDER BY doc_id"""
+      """SELECT doc_id, text FROM documents ORDER BY doc_id""",
+    // the decode must return the arithmetic reconstruction unchanged;
+    // n_merged = completed pairs (odd j with (doc_id+j) % 3 == 0) —
+    // rule pairs are position-disjoint, so every completed pair merges
+    "t71_bpe_vocab4k" ->
+      """SELECT doc_id,
+        array_to_string(list_transform(range(0, 64), j ->
+          't' || CAST(CASE
+            WHEN j % 2 = 0 THEN 2 * ((doc_id * 7 + (j // 2) * 53) % 4096)
+            WHEN (doc_id + j) % 3 = 0
+              THEN 2 * ((doc_id * 7 + (j // 2) * 53) % 4096) + 1
+            ELSE (2 * ((doc_id * 7 + (j // 2) * 53) % 4096) + 2) % 8192
+          END AS VARCHAR)), ' ') AS text,
+        CAST(len(list_filter(range(0, 64),
+          j -> j % 2 = 1 AND (doc_id + j) % 3 = 0)) AS BIGINT) AS n_merged
+        FROM documents ORDER BY doc_id"""
   )
 }

@@ -1,0 +1,272 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-9 additions: the three skew/state guards named by the round-8
+  * verdict — streaming bucket state truncation at maxBucket (st73-75),
+  * the m78/m85 frequent-pHash cap, and the m82 cap placed BEFORE the
+  * posting-list aggregation. */
+class Round9Spec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  // ---- st73-75 bucket state truncation (r8 verdict #3) ---------------
+
+  /** The PRE-fix fold: emissions capped, registration unbounded — the
+    * state-growth defect the round-8 verdict named. foldBucket must
+    * emit identically while keeping state bounded. */
+  private def unboundedReference(seen0: List[Long], ids: Seq[Long],
+      maxBucket: Int): (List[Long], Seq[(Long, List[Long])]) = {
+    var seen = seen0
+    val out = ids.map { id =>
+      val hits = if (maxBucket > 0 && seen.length >= maxBucket) Nil else seen
+      seen = id :: seen
+      (id, hits)
+    }
+    (seen, out)
+  }
+
+  test("foldBucket emits like the unbounded fold but truncates state at maxBucket") {
+    val batches = Seq(Seq(1L, 2L, 3L), Seq(4L, 5L, 6L, 7L), Seq(8L), Seq(9L, 10L))
+    for (maxBucket <- Seq(0, 1, 4, 6, 100)) {
+      var sFixed: List[Long] = Nil
+      var sRef: List[Long] = Nil
+      batches.foreach { ids =>
+        val (ns, out) = StreamingNearDup.foldBucket(sFixed, ids, maxBucket)(
+          (id, hits) => (id, hits))
+        val (nr, ref) = unboundedReference(sRef, ids, maxBucket)
+        assert(out == ref,
+          s"maxBucket=$maxBucket: emissions diverge: $out vs $ref")
+        sFixed = ns; sRef = nr
+        if (maxBucket > 0)
+          assert(sFixed.length <= maxBucket,
+            s"state grew past cap: ${sFixed.length} > $maxBucket")
+      }
+      if (maxBucket == 0) assert(sFixed.length == 10) // uncapped unchanged
+    }
+  }
+
+  // ---- token-array BPE kernel == padded string replace (r8 verdict
+  // task #2: the t64/t65 oracles pin the replace semantics, so the
+  // kernel must reproduce them bit-for-bit on ANY input) --------------
+
+  /** The oracle-pinned reference: one space-padded replace per rule in
+    * priority order (encode) / reverse order (decode). */
+  private def referenceEncode(rules: Seq[(String, String)], text: String): String =
+    rules.foldLeft(" " + text + " ") { case (t, (a, b)) =>
+      t.replace(s" $a $b ", s" ${a}_$b ")
+    }.trim
+
+  private def referenceDecode(rules: Seq[(String, String)], text: String): String =
+    rules.reverse.foldLeft(" " + text + " ") { case (t, (a, b)) =>
+      t.replace(s" ${a}_$b ", s" $a $b ")
+    }.trim
+
+  test("BpeMerger/BpeSplitter reproduce the padded-replace semantics on random inputs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val tokGen = Gen.oneOf("a", "b", "c", "ab", "x1", "zz")
+    val textGen = Gen.listOf(tokGen).map(_.mkString(" "))
+    val ruleGen = Gen.zip(tokGen, tokGen)
+    // nested rules reference earlier merged tokens — the hard case
+    def nested(rs: List[(String, String)]): List[(String, String)] =
+      rs.zipWithIndex.map { case ((a, b), i) =>
+        if (i >= 2 && i % 3 == 0) { val (pa, pb) = rs(i - 2); (s"${pa}_$pb", b) }
+        else (a, b)
+      }
+    val cases = Gen.zip(textGen, Gen.nonEmptyListOf(ruleGen).map(nested))
+    var seed = Seed(42L)
+    (1 to 500).foreach { i =>
+      val (text, rules) = cases.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      val enc = new BpeMerger(rules.toArray)(text)
+      assert(enc == referenceEncode(rules, text),
+        s"case $i encode diverged: text='$text' rules=$rules")
+      val dec = new BpeSplitter(rules.toArray)(enc)
+      assert(dec == referenceDecode(rules, enc),
+        s"case $i decode diverged: enc='$enc' rules=$rules")
+    }
+    // repeated-pair and duplicate-rule edges the generator may miss
+    assert(new BpeMerger(Array(("a", "b")))("a b a b a b") == "a_b a b a_b")
+    assert(new BpeMerger(Array(("a", "b"), ("a", "b")))("a b a b a b")
+      == referenceEncode(Seq(("a", "b"), ("a", "b")), "a b a b a b"))
+    assert(new BpeSplitter(Array(("a", "b")))("a_b a_b") == "a b a_b")
+  }
+
+  test("bpeEncode kernel round-trips a 4096-rule vocabulary with flat per-row cost") {
+    import spark.implicits._
+    // synthetic corpus over disjoint base tokens t0..t8191; 4096 rules
+    // (t2i, t2i+1) — exactly the disjoint-batch family bpeMergeRules-
+    // Batched learns, exercising the kernel at production vocab size
+    val rules = (0 until 4096).map(i => (s"t${2 * i}", s"t${2 * i + 1}"))
+    // even positions open a rule pair (t_{2v}, t_{2v+1}) half the time,
+    // odd fall elsewhere — docs mix merging and non-merging adjacencies
+    val docs = spark.range(0, 200).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 64).map { j =>
+        val v = (col("id") * 7 + (j / 2) * 53) % 4096
+        val tok = if (j % 2 == 0) v * 2
+          else when((col("id") + j) % 3 === 0, v * 2 + 1) // completes the pair
+            .otherwise((v * 2 + 2) % 8192) // breaks it
+        concat(lit("t"), tok.cast("string"))
+      }: _*).as("text"))
+    val enc = TextAnalysis.bpeEncode(docs, "doc_id", "text", rules)
+    val dec = TextAnalysis.bpeDecode(enc, "doc_id", "text_enc", rules)
+    val diff = dec.as("d").join(docs.as("r"), Seq("doc_id"))
+      .filter($"d.text" =!= $"r.text").count()
+    assert(diff == 0, s"round-trip diverged on $diff docs at 4096 rules")
+    // some rows must actually merge for the gate to mean anything
+    val merged = enc.agg(sum($"n_merged")).as[Long].head()
+    assert(merged > 0, "fixture never exercised a merge")
+  }
+
+  // ---- m78/m85 frequent-pHash cap (r8 verdict #2) --------------------
+
+  test("pHashPairs maxDf collapses the blank-image bucket, textured pairs unchanged") {
+    import Round9Fixtures.blankPng
+    import spark.implicits._
+    // 10 textured + 10 lightly-edited variants (planted pairs) + 30
+    // identical blanks — one pHash, hot in all 4 chunks (the blank
+    // thumbnail / default-avatar cluster; in the wild these are
+    // byte-distinct re-encodes of the same flat image, which is why
+    // exact dedup never removes them — identical bytes model the same
+    // hot bucket here)
+    val png = udf((id: Long) =>
+      if (id < 10) Multimodal.syntheticPng(id)
+      else if (id < 20) Multimodal.syntheticPngVariant(id - 10)
+      else blankPng(128))
+    val media = spark.range(0, 50)
+      .select(col("id").as("doc_id"), png(col("id")).as("payload"))
+    val uncapped = Multimodal.pHashPairs(media, maxDist = 3)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val capped = Multimodal.pHashPairs(media, maxDist = 3, maxDf = 20)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val blankPairs = (for {
+      a <- 20L until 50L; b <- (a + 1) until 50L
+    } yield (a, b)).toSet
+    assert(blankPairs.subsetOf(uncapped),
+      "uncapped run must see the full blank cluster (hash 0 everywhere)")
+    assert(capped == uncapped -- blankPairs,
+      s"cap must drop exactly the hot-bucket cluster: ${
+        (capped -- (uncapped -- blankPairs)) ++ ((uncapped -- blankPairs) -- capped)}")
+    val planted = (0L until 10L).map(i => (i, i + 10)).toSet
+    assert(capped.intersect(planted).size >= 8,
+      s"planted textured pairs lost under cap: $capped")
+  }
+
+  test("dedupAgainstPHashIndex maxDf flips hot-bucket probes toward kept only") {
+    import Round9Fixtures.blankPng
+    import spark.implicits._
+    val corpusPng = udf((id: Long) =>
+      if (id < 20) blankPng(128)
+      else Multimodal.syntheticPng(id - 20))
+    val probePng = udf((id: Long) =>
+      if (id < 1000005L) blankPng(128)
+      else Multimodal.syntheticPngVariant(id - 1000005L))
+    val index = Multimodal.pHashChunkIndex(
+      spark.range(0, 30).select(col("id").as("doc_id"),
+        corpusPng(col("id")).as("payload")))
+    val probes = spark.range(1000000L, 1000015L)
+      .select(col("id").as("doc_id"), probePng(col("id")).as("payload"))
+    def verdicts(maxDf: Int): Map[Long, Option[Long]] =
+      Multimodal.dedupAgainstPHashIndex(probes, index, maxDist = 3, maxDf = maxDf)
+        .select($"doc_id", $"dup_src").as[(Long, Option[Long])]
+        .collect().toMap
+    val uncapped = verdicts(0)
+    val capped = verdicts(10) // blank index buckets hold 20 > 10
+    // blank probes: duplicate of corpus image 0 uncapped, kept capped
+    (1000000L until 1000005L).foreach { id =>
+      assert(uncapped(id).contains(0L), s"$id should dup to 0 uncapped")
+      assert(capped(id).isEmpty, s"$id should flip to kept under cap")
+    }
+    // textured probes land on their sources either way (rare chunks)
+    val texturedHits = (1000005L until 1000015L).count(id =>
+      uncapped(id) == capped(id) && capped(id).exists(_ >= 20L))
+    assert(texturedHits >= 8, s"textured probes diverged: $capped")
+  }
+
+  // ---- m87 combined trim + re-encode (r8 verdict "what's missing" #2) --
+
+  test("videoLandmarkPairsTolerant catches trim+re-encode copies both siblings miss") {
+    import spark.implicits._
+    implicit val sp: SparkSession = spark
+    // 8 DIB originals + 8 pirate copies: first 2 frames CUT (one
+    // `every` stride — blinds aligned matching) AND MJPEG re-encoded
+    // (pHash drift per frame — blinds exact landmarks)
+    val avi = udf((id: Long) =>
+      if (id < 20) Multimodal.syntheticAvi(id, (8 + id % 3).toInt)
+      else Multimodal.syntheticAvi(id - 20, (8 + (id - 20) % 3).toInt - 2,
+        mjpeg = true, frameOffset = 2))
+    val media = spark.range(0, 8).union(spark.range(20, 28))
+      .select(col("id").as("doc_id"), avi(col("id")).as("payload"))
+    val planted = (0L until 8L).map(i => (i, i + 20)).toSet
+    val aligned = Multimodal.videoNearDupPairs(media)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val exact = Multimodal.videoLandmarkPairs(media)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val tolerant = Multimodal.videoLandmarkPairsTolerant(media)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(aligned.intersect(planted).isEmpty,
+      s"aligned matching should be blind to the trim: $aligned")
+    assert(exact.intersect(planted).isEmpty,
+      s"exact landmarks should be blind to the re-encode: $exact")
+    assert(tolerant.intersect(planted).size >= 6,
+      s"tolerant landmarks should catch the pirate copies: $tolerant")
+    assert((tolerant -- planted).isEmpty,
+      s"false pairs: ${tolerant -- planted}")
+  }
+
+  // ---- m82/m78 cap placement: left_semi BEFORE the posting-list
+  // aggregation (the hot bucket must never materialize in one task) ----
+
+  test("capped pair plans filter before collect_list (semi join below the aggregate)") {
+    implicit val sp: SparkSession = spark
+    val avi = udf((id: Long) =>
+      if (id < 20) Multimodal.syntheticAvi(id, (6 + id % 3).toInt, intro = 2)
+      else Multimodal.syntheticAvi(id - 20, (6 + (id - 20) % 3).toInt,
+        mjpeg = true, intro = 2))
+    val vmedia = spark.range(0, 8).union(spark.range(20, 28))
+      .select(col("id").as("doc_id"), avi(col("id")).as("payload"))
+    val vplan = Multimodal.videoNearDupPairs(vmedia, maxDf = 8)
+      .queryExecution.optimizedPlan.toString
+    assert(vplan.contains("LeftSemi"), "m82 cap must be a left_semi")
+    assert(vplan.indexOf("collect_list") < vplan.indexOf("LeftSemi"),
+      "m82 cap must sit BELOW the posting-list aggregation")
+
+    val png = udf((id: Long) => Multimodal.syntheticPng(id))
+    val imedia = spark.range(0, 10)
+      .select(col("id").as("doc_id"), png(col("id")).as("payload"))
+    val iplan = Multimodal.pHashPairs(imedia, maxDist = 3, maxDf = 8)
+      .queryExecution.optimizedPlan.toString
+    assert(iplan.contains("LeftSemi"), "m78 cap must be a left_semi")
+    assert(iplan.indexOf("collect_list") < iplan.indexOf("LeftSemi"),
+      "m78 cap must sit BELOW the posting-list aggregation")
+  }
+}
+
+/** Serializable fixture generators (UDF closures must not capture the
+  * suite — it holds the SparkSession). */
+object Round9Fixtures {
+
+  /** Constant-color PNG: every AC coefficient is 0, so pHash == 0
+    * regardless of the gray level — the universal hot bucket (blank
+    * thumbnails / tracking pixels / default avatars). */
+  def blankPng(gray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16)
+      img.setRGB(x, y, (gray << 16) | (gray << 8) | gray)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+}
