@@ -1193,7 +1193,8 @@ object Multimodal {
   def syntheticAvi(id: Long, nFrames: Int, w: Int = 16, h: Int = 16,
       mjpeg: Boolean = false, delta: Int = 0,
       global0: Boolean = false, intro: Int = 0,
-      frameOffset: Int = 0): Array[Byte] = {
+      frameOffset: Int = 0, audioId: Long = -1L,
+      audioSamples: Int = 0): Array[Byte] = {
     val rowBytes = (w * 3 + 3) & ~3
     val frameChunks = (0 until nFrames).map { f0 =>
       // `frameOffset` renders frame f of THIS container as frame
@@ -1236,11 +1237,43 @@ object Multimodal {
         leBytes(Seq(0, 0, 0, 1, 25, 0, nFrames, 0, 0, 0)) ++
         leBytes(Seq(0, w | (h << 16))))
     val strl = riffChunk("LIST", fourcc("strl") ++ strh ++ strf)
+    // optional PCM16 mono 8 kHz audio track as stream 1: `audioId`
+    // drives the syntheticWavTex sample formula, so the SAME audioId on
+    // two different-video containers plants the "same audio, different
+    // video" re-upload the m88 extraction gate hunts — and the oracle
+    // regenerates the samples arithmetically (the m79/m80 contract).
+    // PCM is split across two '01wb' chunks to exercise the
+    // concatenating movi walk, the interleaving every real muxer does.
+    val le16b = (v: Int) => Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    val audioStrl = if (audioSamples <= 0) Array.emptyByteArray else {
+      val wf = le16b(1) ++ le16b(1) ++ leBytes(Seq(8000, 16000)) ++
+        le16b(2) ++ le16b(16)
+      val astrh = riffChunk("strh",
+        fourcc("auds") ++ fourcc("    ") ++
+          leBytes(Seq(0, 0, 0, 1, 8000, 0, audioSamples, 0, 0, 0)) ++
+          leBytes(Seq(0, 0)))
+      riffChunk("LIST", fourcc("strl") ++ astrh ++ riffChunk("strf", wf))
+    }
+    val audioChunks = if (audioSamples <= 0) Array.emptyByteArray else {
+      val pcm = new Array[Byte](audioSamples * 2)
+      var n = 0
+      while (n < audioSamples) {
+        val s = (((audioId * 40503L + 12289L) * (n + 7L) * (n + 13L)) % 65536L
+          - 32768L).toInt
+        pcm(2 * n) = (s & 0xff).toByte
+        pcm(2 * n + 1) = ((s >> 8) & 0xff).toByte
+        n += 1
+      }
+      val half = (audioSamples / 2) * 2 // split on a sample boundary
+      riffChunk("01wb", java.util.Arrays.copyOfRange(pcm, 0, half)) ++
+        riffChunk("01wb", java.util.Arrays.copyOfRange(pcm, half, pcm.length))
+    }
+    val nStr = if (audioSamples > 0) 2 else 1
     val avih = riffChunk("avih", leBytes(Seq(
-      40000, 0, 0, 0, nFrames, 0, 1, 0, w, h, 0, 0, 0, 0)))
-    val hdrl = riffChunk("LIST", fourcc("hdrl") ++ avih ++ strl)
+      40000, 0, 0, 0, nFrames, 0, nStr, 0, w, h, 0, 0, 0, 0)))
+    val hdrl = riffChunk("LIST", fourcc("hdrl") ++ avih ++ strl ++ audioStrl)
     val movi = riffChunk("LIST",
-      fourcc("movi") ++ frameChunks.reduce(_ ++ _))
+      fourcc("movi") ++ frameChunks.reduce(_ ++ _) ++ audioChunks)
     riffChunk("RIFF", fourcc("AVI ") ++ hdrl ++ movi)
   }
 

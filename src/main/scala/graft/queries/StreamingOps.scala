@@ -580,6 +580,25 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // VIDEO → AUDIO extraction dedup: 8 AVIs whose audio track id is
+    // doc_id % 4 — the same PCM stream under entirely different frame
+    // streams (the reposted-clip / reaction-video shape the video tier
+    // cannot see). Audio extracts via the 'NNwb' movi walk
+    // (videoAudioTracks) and lands in the m80 landmark tier; integer
+    // arithmetic end to end, so the oracle regenerates the samples and
+    // replays the landmark match in SQL (the m80 replay with the
+    // audio-id mapping).
+    "m88_video_audio_dedup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val avi = udf((id: Long) =>
+        Multimodal.syntheticAvi(id, (6 + id % 3).toInt,
+          audioId = id % 4, audioSamples = (320 + (id % 4) * 64).toInt))
+      val media = s.range(0, 8)
+        .select(col("id").as("doc_id"), avi(col("id")).as("payload"))
+      Multimodal.audioLandmarkPairs(Multimodal.videoAudioTracks(media))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Incremental AUDIO dedup vs a persisted fingerprint index (the
     // t69/s56/m85 contract, audio-side): index 20 textured WAVs once,
     // screen 20 re-leveled re-uploads against it — integer arithmetic
@@ -933,6 +952,55 @@ object StreamingOps extends QueryPack {
     // m79's code replay over the trimmed-stream corpus, then landmarks:
     // (code, LEAD(code)) pairs packed positionless, DISTINCT per doc,
     // shared-landmark fraction over the smaller set
+    // the m80 landmark replay over the EXTRACTED audio: samples
+    // regenerate from audio id = doc_id % 4 (what the AVI embeds), so
+    // the whole extract-then-fingerprint path is arithmetic-gated
+    "m88_video_audio_dedup" ->
+      """WITH ids AS (SELECT unnest(range(0, 8)) AS doc_id),
+        lens AS (SELECT doc_id, doc_id % 4 AS bid,
+            320 + (doc_id % 4) * 64 AS n FROM ids),
+        samples AS (SELECT doc_id, u.i,
+            ((bid * 40503 + 12289) * (u.i + 7) * (u.i + 13))
+              % 65536 - 32768 AS v
+          FROM lens, LATERAL (SELECT unnest(range(0, n)) AS i) u(i)),
+        frames AS (SELECT doc_id, u.f FROM lens,
+          LATERAL (SELECT unnest(range(0, (n - 128) // 64 + 1)) AS f) u(f)
+          WHERE n >= 128),
+        lags AS (SELECT * FROM (VALUES (0,1),(1,2),(2,4),(3,8),(4,16),
+          (5,32),(6,64)) l(j, lg)),
+        rr AS (SELECT fr.doc_id, fr.f, lags.j, SUM(a.v * b.v) AS r
+          FROM frames fr, lags
+          JOIN samples a ON TRUE
+          JOIN samples b ON b.doc_id = a.doc_id AND b.i = a.i + lags.lg
+          WHERE a.doc_id = fr.doc_id
+            AND a.i >= fr.f * 64 AND a.i < fr.f * 64 + 128 - lags.lg
+          GROUP BY fr.doc_id, fr.f, lags.j),
+        sbits AS (SELECT doc_id, f,
+            SUM(CASE WHEN r > 0 THEN 1 << j ELSE 0 END) AS s_code
+          FROM rr GROUP BY doc_id, f),
+        cbits AS (SELECT x.doc_id, x.f,
+            SUM(CASE WHEN x.r > y.r THEN 1 << (7 + x.j) ELSE 0 END) AS c_code
+          FROM rr x JOIN rr y ON y.doc_id = x.doc_id AND y.f = x.f
+            AND y.j = x.j + 1
+          GROUP BY x.doc_id, x.f),
+        codes AS (SELECT s.doc_id, s.f, s.s_code + COALESCE(c.c_code, 0) AS code
+          FROM sbits s LEFT JOIN cbits c
+            ON c.doc_id = s.doc_id AND c.f = s.f),
+        lmraw AS (SELECT doc_id, code,
+            LEAD(code) OVER (PARTITION BY doc_id ORDER BY f) AS nxt
+          FROM codes),
+        lms AS (SELECT DISTINCT doc_id, code * 8192 + nxt AS lm
+          FROM lmraw WHERE nxt IS NOT NULL),
+        sizes AS (SELECT doc_id, COUNT(*) AS nl FROM lms GROUP BY doc_id),
+        m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+          FROM lms a JOIN lms b ON a.lm = b.lm AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+        SELECT doc_a, doc_b,
+          round(CAST(c AS DOUBLE) / least(sa.nl, sb.nl), 6) AS match_frac
+        FROM m JOIN sizes sa ON sa.doc_id = m.doc_a
+          JOIN sizes sb ON sb.doc_id = m.doc_b
+        WHERE round(CAST(c AS DOUBLE) / least(sa.nl, sb.nl), 6) >= 0.6
+        ORDER BY doc_a, doc_b""",
     "m80_audio_landmarks" ->
       """WITH ids AS (SELECT unnest(range(0, 14)) AS doc_id
           UNION ALL SELECT unnest(range(20, 34)) AS doc_id),

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{TextAnalysis, TextDedup}
+import graft.operators.{IncrementalIndex, TextAnalysis, TextDedup}
 import Util._
 
 /** LLM-training-data text operators over the `documents` table: exact
@@ -513,6 +513,43 @@ object TextOps extends QueryPack {
       TextAnalysis.bpeDecode(enc, "doc_id", "text_enc", rules)
         .join(enc.select($"doc_id", $"n_merged"), Seq("doc_id"))
         .select($"doc_id", $"text", $"n_merged")
+        .orderBy($"doc_id")
+    }),
+
+    // INDEX MAINTENANCE for the incremental family (t69 screens a
+    // frozen index; this closes the steady-state loop): (1) docs 0-4
+    // get UPDATED content and re-index — last-write-wins must drop
+    // their old rows (batch-1 probes carrying the OLD text + tail must
+    // come back KEPT, and probes of the new text must dup to 0-4);
+    // (2) batch 1's kept probes are appended, so batch-2 re-uploads of
+    // them must dup to their 1000000-space ids — through an index that
+    // never re-touched the corpus. Oracle replays both phases from
+    // first principles.
+    "t72_index_append" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val index0 = TextDedup.minHashBandIndex(docs, "doc_id", "text")
+      val updated = docs.filter($"doc_id" < 5)
+        .select($"doc_id", reverse($"text").as("text"))
+      val index1 = IncrementalIndex.append(index0,
+        TextDedup.minHashBandIndex(updated, "doc_id", "text"))
+      val b1 = docs.filter($"doc_id" < 5)
+        .select(($"doc_id" + 1000000).as("doc_id"),
+          concat($"text", lit(" ingestdup tail")).as("text"))
+        .unionAll(docs.filter($"doc_id" < 5)
+          .select(($"doc_id" + 1100000).as("doc_id"),
+            concat(reverse($"text"), lit(" ingestdup tail")).as("text")))
+      val v1 = TextDedup.dedupAgainstIndex(b1, index1, "doc_id", "text")
+      val kept1 = b1.join(v1.filter($"kept").select($"doc_id"),
+        Seq("doc_id"), "left_semi")
+      val index2 = IncrementalIndex.append(index1,
+        TextDedup.minHashBandIndex(kept1, "doc_id", "text"))
+      val b2 = docs.filter($"doc_id" < 5)
+        .select(($"doc_id" + 3000000).as("doc_id"),
+          concat($"text", lit(" ingestdup tail moretail")).as("text"))
+      val v2 = TextDedup.dedupAgainstIndex(b2, index2, "doc_id", "text")
+      v1.select(lit(1L).as("batch"), $"doc_id", $"kept", $"dup_src")
+        .unionAll(v2.select(lit(2L).as("batch"), $"doc_id", $"kept", $"dup_src"))
         .orderBy($"doc_id")
     })
   )
@@ -1255,6 +1292,66 @@ object TextOps extends QueryPack {
     // must hash-match the untouched table
     "t70_bpe_roundtrip" ->
       """SELECT doc_id, text FROM documents ORDER BY doc_id""",
+    // both phases replayed from first principles: phase 1 against the
+    // post-update doc set (0-4 replaced by their reversed text — the
+    // LWW contract), phase 2 against that set plus phase 1's keeps
+    "t72_index_append" ->
+      """WITH idx1 AS (SELECT doc_id, text FROM documents WHERE doc_id >= 5
+          UNION ALL SELECT doc_id, reverse(text) FROM documents WHERE doc_id < 5),
+        p1 AS (SELECT doc_id + 1000000 AS doc_id, text || ' ingestdup tail' AS text
+            FROM documents WHERE doc_id < 5
+          UNION ALL SELECT doc_id + 1100000, reverse(text) || ' ingestdup tail'
+            FROM documents WHERE doc_id < 5),
+        all1 AS (SELECT * FROM idx1 UNION ALL SELECT * FROM p1),
+        w1 AS (SELECT doc_id, string_split(text, ' ') AS w FROM all1),
+        sh1 AS (SELECT doc_id, list_transform(range(1, greatest(len(w)-2,0)+1),
+          i -> w[i]||' '||w[i+1]||' '||w[i+2]) AS shingles FROM w1),
+        sg1 AS (SELECT doc_id, list_transform(range(0,16),
+          i -> list_aggregate(list_transform(shingles,
+            s -> md5(CAST(i AS VARCHAR)||':'||s)), 'min')) AS sig FROM sh1),
+        bd1 AS (SELECT doc_id, b, md5(sig[b*2+1]||'|'||sig[b*2+2]) AS band_key
+          FROM sg1, range(0,8) t(b)),
+        dup1 AS (SELECT l.doc_id, MIN(e.doc_id) AS dup_src
+          FROM bd1 l
+          JOIN bd1 e ON l.b = e.b AND l.band_key = e.band_key
+            AND e.doc_id < 1000000 AND l.doc_id >= 1000000
+          JOIN sg1 sl ON sl.doc_id = l.doc_id
+          JOIN sg1 se ON se.doc_id = e.doc_id
+          WHERE len(list_filter(range(1, 17), i ->
+            sl.sig[i] IS NOT NULL AND sl.sig[i] = se.sig[i])) >= 8
+          GROUP BY l.doc_id),
+        v1 AS (SELECT p.doc_id, d.dup_src IS NULL AS kept, d.dup_src
+          FROM p1 p LEFT JOIN dup1 d ON d.doc_id = p.doc_id),
+        kept1 AS (SELECT p.doc_id, p.text FROM p1 p
+          JOIN v1 ON v1.doc_id = p.doc_id AND v1.kept),
+        idx2 AS (SELECT * FROM idx1 UNION ALL SELECT * FROM kept1),
+        p2 AS (SELECT doc_id + 3000000 AS doc_id,
+            text || ' ingestdup tail moretail' AS text
+          FROM documents WHERE doc_id < 5),
+        all2 AS (SELECT * FROM idx2 UNION ALL SELECT * FROM p2),
+        w2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM all2),
+        sh2 AS (SELECT doc_id, list_transform(range(1, greatest(len(w)-2,0)+1),
+          i -> w[i]||' '||w[i+1]||' '||w[i+2]) AS shingles FROM w2),
+        sg2 AS (SELECT doc_id, list_transform(range(0,16),
+          i -> list_aggregate(list_transform(shingles,
+            s -> md5(CAST(i AS VARCHAR)||':'||s)), 'min')) AS sig FROM sh2),
+        bd2 AS (SELECT doc_id, b, md5(sig[b*2+1]||'|'||sig[b*2+2]) AS band_key
+          FROM sg2, range(0,8) t(b)),
+        dup2 AS (SELECT l.doc_id, MIN(e.doc_id) AS dup_src
+          FROM bd2 l
+          JOIN bd2 e ON l.b = e.b AND l.band_key = e.band_key
+            AND e.doc_id < 3000000 AND l.doc_id >= 3000000
+          JOIN sg2 sl ON sl.doc_id = l.doc_id
+          JOIN sg2 se ON se.doc_id = e.doc_id
+          WHERE len(list_filter(range(1, 17), i ->
+            sl.sig[i] IS NOT NULL AND sl.sig[i] = se.sig[i])) >= 8
+          GROUP BY l.doc_id),
+        v2 AS (SELECT p.doc_id, d.dup_src IS NULL AS kept, d.dup_src
+          FROM p2 p LEFT JOIN dup2 d ON d.doc_id = p.doc_id)
+        SELECT * FROM (
+          SELECT CAST(1 AS BIGINT) AS batch, doc_id, kept, dup_src FROM v1
+          UNION ALL SELECT CAST(2 AS BIGINT), doc_id, kept, dup_src FROM v2)
+        ORDER BY doc_id""",
     // the decode must return the arithmetic reconstruction unchanged;
     // n_merged = completed pairs (odd j with (doc_id+j) % 3 == 0) —
     // rule pairs are position-disjoint, so every completed pair merges
