@@ -274,7 +274,10 @@ object Bench {
     // the driver artifact read t64 at 62.7s under external load vs a
     // true ~4s — one global ext_cores over the whole pass couldn't say
     // WHICH query absorbed the contention)
-    val alwaysIsolated = Set("t64_bpe_merges", "t57_bigram_lm", "t58_joint_curation")
+    // the whole BPE-induction family is pinned so round-over-round
+    // induction cost stays trackable even when lane packing hides it
+    val alwaysIsolated = Set("t64_bpe_merges", "t57_bigram_lm", "t58_joint_curation",
+      "t68_bpe_batched", "t70_bpe_roundtrip", "t71_bpe_vocab4k")
     val ok = results.filter(_._3)
     val slowest = ok.sortBy(-_._2).take(nIsolated).map(_._1)
     val family = ok.map(_._1).filter(n => pipelineQueries(n) || n.startsWith("st"))

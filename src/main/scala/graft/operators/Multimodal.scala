@@ -352,6 +352,14 @@ object Multimodal {
   private def le32(b: Array[Byte], o: Int): Int =
     (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) |
       ((b(o + 3) & 0xff) << 24)
+  // ISO-BMFF (MP4) boxes are big-endian, unlike RIFF
+  private def be16(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+  private def be32(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+      ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+  private def be64(b: Array[Byte], o: Int): Long =
+    (be32(b, o).toLong << 32) | (be32(b, o + 4).toLong & 0xffffffffL)
 
   /** REAL RIFF/WAVE PCM16 decode — a full chunk-walking parser in plain
     * JVM code (WAV needs no codec library: the container is a chunk

@@ -10,15 +10,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * `local-cluster[2,1,1024]`: two separate executor JVMs whose blocks
   * actually disappear when one is killed.
   *
-  * Env-gated: set GRAFT_CLUSTER_SPEC=1 (skipped otherwise — the
-  * multi-process harness needs SPARK_HOME and ~30s of JVM spawning,
-  * too heavy for the default suite). SPARK_SCALA_VERSION is required
-  * too: the worker builds the executor command via the launcher, whose
+  * Runs by DEFAULT under `sbt test`: build.sbt forks this suite into
+  * its own JVM group (SparkContext is process-global) and injects
+  * GRAFT_CLUSTER_SPEC=1 plus SPARK_SCALA_VERSION=2.13 (the standalone
+  * worker builds executor commands via the launcher, whose
   * scala-version probe otherwise expects a source-tree SPARK_HOME and
-  * dies with "Cannot find any build directories". Run with:
-  *
-  *   GRAFT_CLUSTER_SPEC=1 SPARK_SCALA_VERSION=2.13 sbt -batch \
-  *     'set Test/testOptions += Tests.Filter(s => s.contains("ClusterMaterializeSpec"))' test
+  * dies with "Cannot find any build directories"). Opt out on hosts
+  * that cannot spawn worker JVMs with GRAFT_CLUSTER_SPEC=0.
   */
 class ClusterMaterializeSpec extends AnyFunSuite {
 
