@@ -1124,26 +1124,32 @@ object Multimodal {
       val fmtTag = le16(fmt, 0); val ch = le16(fmt, 2)
       val rate = le32(fmt, 4); val bits = le16(fmt, 14)
       if (fmtTag != 1 || bits != 16 || ch < 1 || rate <= 0) return None
-      val data = pcm.toByteArray
-      val out = new Array[Byte](44 + data.length)
-      def putAscii(o: Int, s: String): Unit = {
-        var i = 0; while (i < s.length) { out(o + i) = s.charAt(i).toByte; i += 1 } }
-      def put16(o: Int, v: Int): Unit = {
-        out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte }
-      def put32(o: Int, v: Int): Unit = {
-        put16(o, v & 0xffff); put16(o + 2, (v >>> 16) & 0xffff) }
-      putAscii(0, "RIFF"); put32(4, 36 + data.length); putAscii(8, "WAVE")
-      putAscii(12, "fmt "); put32(16, 16); put16(20, 1); put16(22, ch)
-      put32(24, rate); put32(28, rate * ch * 2); put16(32, ch * 2)
-      put16(34, 16)
-      putAscii(36, "data"); put32(40, data.length)
-      System.arraycopy(data, 0, out, 44, data.length)
-      Some(out)
+      Some(pcmToWav(pcm.toByteArray, ch, rate))
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  /** One (doc_id, payload) row per AVI payload whose audio track
-    * extracts to PCM16 WAV ([[aviAudioWav]]) — the adapter that feeds
+  /** Wrap raw little-endian PCM16 in a canonical 44-byte WAV header —
+    * the standalone payload [[decodeWav]] reads. Shared by the AVI
+    * ('NNwb' concat) and MP4 ('sowt' sample concat) extractors. */
+  private def pcmToWav(data: Array[Byte], ch: Int, rate: Int): Array[Byte] = {
+    val out = new Array[Byte](44 + data.length)
+    def putAscii(o: Int, s: String): Unit = {
+      var i = 0; while (i < s.length) { out(o + i) = s.charAt(i).toByte; i += 1 } }
+    def put16(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte }
+    def put32(o: Int, v: Int): Unit = {
+      put16(o, v & 0xffff); put16(o + 2, (v >>> 16) & 0xffff) }
+    putAscii(0, "RIFF"); put32(4, 36 + data.length); putAscii(8, "WAVE")
+    putAscii(12, "fmt "); put32(16, 16); put16(20, 1); put16(22, ch)
+    put32(24, rate); put32(28, rate * ch * 2); put16(32, ch * 2)
+    put16(34, 16)
+    putAscii(36, "data"); put32(40, data.length)
+    System.arraycopy(data, 0, out, 44, data.length)
+    out
+  }
+
+  /** One (doc_id, payload) row per AVI or MP4 payload whose audio track
+    * extracts to PCM16 WAV ([[containerAudioWav]]) — the adapter that feeds
     * video files into the audio near-dup tier ([[audioLandmarkPairs]],
     * [[audioFingerprintPairs]], the st73/st74 streaming forms). One
     * mapPartitions pass, no shuffle; payloads without an extractable
@@ -1152,7 +1158,7 @@ object Multimodal {
     import s.implicits._
     media.select(col("doc_id"), col("payload")).as[MediaRow]
       .mapPartitions(rows => rows.flatMap(r =>
-        aviAudioWav(r.payload).map(w => MediaRow(r.doc_id, w))))
+        containerAudioWav(r.payload).map(w => MediaRow(r.doc_id, w))))
       .toDF()
   }
 
@@ -1175,6 +1181,22 @@ object Multimodal {
       i += 4
     }
     out
+  }
+
+  /** One [[aviPixel]] frame JPEG-encoded via javax.imageio — shared by
+    * [[syntheticAvi]]'s MJPEG mode and [[syntheticMp4]], so the SAME
+    * (id, f) renders to byte-identical JPEG in both containers (the
+    * cross-container dedup fixtures rely on that: identical sample
+    * bytes → identical pHash, whatever the JDK codec's exact output). */
+  private def mjpegFrame(fid: Long, f: Int, w: Int, h: Int, delta: Int,
+      global0: Boolean): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, aviPixel(fid, f, x, y, delta, global0))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
   }
 
   private def aviPixel(id: Long, f: Int, x: Int, y: Int, delta: Int,
@@ -1217,13 +1239,7 @@ object Multimodal {
       // formula works mod 256, so a 2^k sentinel would render as id 0)
       val fid = if (f < intro) 999999937L else id
       if (mjpeg) {
-        val img = new java.awt.image.BufferedImage(w, h,
-          java.awt.image.BufferedImage.TYPE_INT_RGB)
-        for (y <- 0 until h; x <- 0 until w)
-          img.setRGB(x, y, aviPixel(fid, f, x, y, delta, global0))
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "jpg", bos)
-        riffChunk("00dc", bos.toByteArray)
+        riffChunk("00dc", mjpegFrame(fid, f, w, h, delta, global0))
       } else {
         // bottom-up BGR rows padded to 4 bytes — the DIB layout
         val px = new Array[Byte](rowBytes * h)
@@ -1285,15 +1301,354 @@ object Multimodal {
     riffChunk("RIFF", fourcc("AVI ") ++ hdrl ++ movi)
   }
 
+  // ---- VIDEO: minimal ISO-BMFF (MP4/QuickTime) container ------------
+  // Box grammar per the public ISO/IEC 14496-12 base-media format (cf.
+  // reference multimodal sources' opaque-binary treatment): big-endian
+  // size+type headers, `moov` carrying per-`trak` sample tables (stsd
+  // codec entry, stsz sizes, stsc sample→chunk runs, stco/co64 chunk
+  // offsets), raw samples in `mdat` addressed by ABSOLUTE file offset.
+  // MJPEG-class video ('jpeg'/'mjpa' — each sample a standalone JPEG)
+  // and PCM16 audio ('sowt' LE / 'twos' BE) decode in plain JVM, the
+  // same codec legs the AVI walk feeds.
+
+  /** One parsed MP4 track: its sample table flattened to what the
+    * extractors need. `sizes`/`offsets`/`stsc` drive [[mp4Samples]];
+    * the audio fields come from the stsd sample entry. */
+  private[operators] case class Mp4Track(handler: String, codec: String,
+      sizes: Array[Int], offsets: Array[Long], stsc: Array[(Int, Int)],
+      channels: Int, rate: Int, bits: Int)
+
+  /** Walk an ISO-BMFF payload's box tree into its tracks. None when the
+    * payload is not BMFF (first root box must be `ftyp`); structurally
+    * broken boxes stop the walk at the damage (tracks parsed before it
+    * still return) — ingest-safe, never throws. Bounds are checked in
+    * Long: 64-bit largesize boxes and adversarial 32-bit sizes near
+    * Int.MaxValue must not overflow the guards (the aviFrames lesson). */
+  private[operators] def mp4Tracks(payload: Array[Byte]): Option[Vector[Mp4Track]] = {
+    if (payload.length < 12 || fourcc(payload, 4) != "ftyp") return None
+    try {
+      val tracks = Vector.newBuilder[Mp4Track]
+      // per-trak accumulator state, reset at each `trak` box
+      var handler = ""; var codec = ""
+      var channels = 0; var rate = 0; var bits = 0
+      var sizes: Array[Int] = null
+      var offsets: Array[Long] = null
+      var stscE: Array[(Int, Int)] = null
+      def walk(from: Int, to: Int): Unit = {
+        var off = from
+        var ok = true
+        while (ok && off + 8 <= to) {
+          val size0 = be32(payload, off)
+          val tp = fourcc(payload, off + 4)
+          var hdr = 8
+          val size: Long =
+            if (size0 == 1 && off + 16 <= to) { hdr = 16; be64(payload, off + 8) }
+            else if (size0 == 0) (to - off).toLong // box runs to container end
+            else size0.toLong
+          if (size < hdr || off.toLong + size > to) ok = false
+          else {
+            val data = off + hdr
+            val end = (off + size).toInt
+            tp match {
+              case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
+                if (tp == "trak") {
+                  handler = ""; codec = ""; channels = 0; rate = 0; bits = 0
+                  sizes = null; offsets = null; stscE = null
+                }
+                walk(data, end)
+                if (tp == "trak" && handler.nonEmpty &&
+                    sizes != null && offsets != null)
+                  tracks += Mp4Track(handler, codec, sizes, offsets,
+                    if (stscE == null || stscE.isEmpty) Array((1, 1)) else stscE,
+                    channels, rate, bits)
+              case "hdlr" if end - data >= 12 =>
+                handler = fourcc(payload, data + 8)
+              case "stsd" if end - data >= 16 =>
+                val e = data + 8 // first sample entry (count >= 1 assumed)
+                codec = fourcc(payload, e + 4)
+                if (end - e >= 36) { // AudioSampleEntry v0 fields
+                  channels = be16(payload, e + 24)
+                  bits = be16(payload, e + 26)
+                  rate = be16(payload, e + 32) // 16.16 fixed, integer part
+                }
+              case "stsz" if end - data >= 12 =>
+                val uniform = be32(payload, data + 4)
+                val cnt = be32(payload, data + 8)
+                if (cnt >= 0 && cnt <= payload.length) {
+                  if (uniform > 0) sizes = Array.fill(cnt)(uniform)
+                  else if (data + 12 + 4L * cnt <= end)
+                    sizes = Array.tabulate(cnt)(i => be32(payload, data + 12 + 4 * i))
+                }
+              case "stco" if end - data >= 8 =>
+                val cnt = be32(payload, data + 4)
+                if (cnt >= 0 && data + 8 + 4L * cnt <= end)
+                  offsets = Array.tabulate(cnt)(i =>
+                    be32(payload, data + 8 + 4 * i).toLong & 0xffffffffL)
+              case "co64" if end - data >= 8 =>
+                val cnt = be32(payload, data + 4)
+                if (cnt >= 0 && data + 8 + 8L * cnt <= end)
+                  offsets = Array.tabulate(cnt)(i => be64(payload, data + 8 + 8 * i))
+              case "stsc" if end - data >= 8 =>
+                val cnt = be32(payload, data + 4)
+                if (cnt >= 0 && data + 8 + 12L * cnt <= end)
+                  stscE = Array.tabulate(cnt)(i => (
+                    be32(payload, data + 8 + 12 * i),
+                    be32(payload, data + 12 + 12 * i)))
+              case _ => () // mdat, ftyp, free, and leaves we don't read
+            }
+            off = end
+          }
+        }
+      }
+      walk(0, payload.length)
+      Some(tracks.result())
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Slice a track's samples out of the payload in sample order via the
+    * stsc chunk runs: chunk c (1-based) holds the samples-per-chunk of
+    * the last stsc entry whose first_chunk <= c, laid out back to back
+    * from the chunk's stco offset. Stops at the first out-of-bounds
+    * slice (samples before the damage still return). */
+  private def mp4Samples(payload: Array[Byte], t: Mp4Track): Vector[Array[Byte]] = {
+    val out = Vector.newBuilder[Array[Byte]]
+    val n = t.sizes.length
+    var sample = 0
+    var chunk = 1
+    var ci = 0
+    while (sample < n && chunk <= t.offsets.length) {
+      while (ci + 1 < t.stsc.length && t.stsc(ci + 1)._1 <= chunk) ci += 1
+      val spc = t.stsc(ci)._2
+      var off = t.offsets(chunk - 1)
+      var k = 0
+      while (k < spc && sample < n) {
+        val sz = t.sizes(sample)
+        if (sz < 0 || off < 0 || off + sz > payload.length) return out.result()
+        out += java.util.Arrays.copyOfRange(payload, off.toInt, (off + sz).toInt)
+        off += sz; sample += 1; k += 1
+      }
+      chunk += 1
+    }
+    out.result()
+  }
+
+  private val mjpegCodecs = Set("jpeg", "mjpa", "MJPG", "mjpg")
+
+  /** Parse an MP4 payload into per-frame IMAGE payloads the [[pHash64]]
+    * path reads directly: the first `vide` track whose stsd codec is
+    * MJPEG-class yields its samples verbatim (each is a standalone
+    * JPEG). Some(empty) for an MP4 whose video codec we cannot decode;
+    * None for non-BMFF payloads. */
+  private[operators] def mp4Frames(payload: Array[Byte]): Option[Vector[Array[Byte]]] =
+    mp4Tracks(payload).map { ts =>
+      ts.find(t => t.handler == "vide" && mjpegCodecs(t.codec))
+        .map(t => mp4Samples(payload, t))
+        .getOrElse(Vector.empty)
+    }
+
+  /** Extract the first PCM16 `soun` track of an MP4 payload as a
+    * standalone WAV — the MP4 leg of [[videoAudioTracks]]. 'sowt'
+    * samples are little-endian PCM16 verbatim; 'twos' is the same PCM
+    * big-endian, byte-swapped here. None when there is no such track,
+    * the sample entry is not 16-bit, or no sample bytes survive the
+    * bounds walk. */
+  private[operators] def mp4AudioWav(payload: Array[Byte]): Option[Array[Byte]] =
+    mp4Tracks(payload).flatMap { ts =>
+      ts.find(t => t.handler == "soun" &&
+          (t.codec == "sowt" || t.codec == "twos") &&
+          t.bits == 16 && t.channels >= 1 && t.rate > 0)
+        .flatMap { t =>
+          val chunks = mp4Samples(payload, t)
+          val total = chunks.iterator.map(_.length).sum
+          if (total == 0) None
+          else {
+            val data = new Array[Byte](total)
+            var o = 0
+            chunks.foreach { c =>
+              System.arraycopy(c, 0, data, o, c.length); o += c.length }
+            if (t.codec == "twos") {
+              var i = 0
+              while (i + 1 < data.length) {
+                val b = data(i); data(i) = data(i + 1); data(i + 1) = b; i += 2 }
+            }
+            Some(pcmToWav(data, t.channels, t.rate))
+          }
+        }
+    }
+
+  /** Container-agnostic frame extraction: RIFF/AVI or ISO-BMFF, by
+    * magic. The AVI probe is a 12-byte prefix check, so the dispatch
+    * costs nothing on the wrong container. Every video-tier operator
+    * goes through this, so AVI and MP4 corpora mix freely — including
+    * cross-container re-uploads (same frames, different mux). */
+  private[operators] def containerFrames(payload: Array[Byte]): Option[Vector[Array[Byte]]] =
+    aviFrames(payload).orElse(mp4Frames(payload))
+
+  /** Container-agnostic audio-track extraction (the [[containerFrames]]
+    * twin): AVI 'NNwb' concat or MP4 PCM sample concat, as WAV. */
+  private[operators] def containerAudioWav(payload: Array[Byte]): Option[Array[Byte]] =
+    aviAudioWav(payload).orElse(mp4AudioWav(payload))
+
+  private def be16b(v: Int): Array[Byte] =
+    Array[Byte](((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def beBytes(xs: Seq[Int]): Array[Byte] = {
+    val out = new Array[Byte](xs.length * 4)
+    var i = 0
+    xs.foreach { x =>
+      out(i) = ((x >> 24) & 0xff).toByte; out(i + 1) = ((x >> 16) & 0xff).toByte
+      out(i + 2) = ((x >> 8) & 0xff).toByte; out(i + 3) = (x & 0xff).toByte
+      i += 4
+    }
+    out
+  }
+
+  private def mp4Box(tp: String, data: Array[Byte]*): Array[Byte] = {
+    val len = 8 + data.map(_.length).sum
+    val out = new Array[Byte](len)
+    System.arraycopy(beBytes(Seq(len)), 0, out, 0, 4)
+    System.arraycopy(fourcc(tp), 0, out, 4, 4)
+    var o = 8
+    data.foreach { d => System.arraycopy(d, 0, out, o, d.length); o += d.length }
+    out
+  }
+
+  /** Deterministic synthetic MP4 for doc `id` — the ISO-BMFF analog of
+    * [[syntheticAvi]]: MJPEG ('jpeg' stsd entry, one JPEG sample per
+    * frame via the SHARED [[mjpegFrame]] encoder, so the same (id, f)
+    * is byte-identical across containers) plus an optional PCM16 mono
+    * 8 kHz 'sowt' audio track whose samples follow the exact
+    * [[syntheticAvi]] `audioId` formula. The video track uses a
+    * per-sample stsz and one-sample-per-chunk stco; the audio track
+    * uses the UNIFORM stsz (sample = one PCM16 frame) split across two
+    * chunks with a two-run stsc — between them the fixtures cover both
+    * sample-table layouts real muxers emit; `co64` swaps the chunk
+    * offsets to the 64-bit box (the past-4-GiB layout). `frameOffset` /
+    * `intro` / `delta` mirror the AVI generator's trim / shared-title /
+    * re-level edit fixtures. */
+  def syntheticMp4(id: Long, nFrames: Int, w: Int = 16, h: Int = 16,
+      delta: Int = 0, global0: Boolean = false, intro: Int = 0,
+      frameOffset: Int = 0, audioId: Long = -1L,
+      audioSamples: Int = 0, co64: Boolean = false): Array[Byte] = {
+    require(nFrames >= 1, "nFrames must be >= 1")
+    val frames = (0 until nFrames).map { f0 =>
+      val f = f0 + frameOffset
+      val fid = if (f < intro) 999999937L else id
+      mjpegFrame(fid, f, w, h, delta, global0)
+    }
+    val pcm: Array[Byte] =
+      if (audioSamples <= 0) Array.emptyByteArray
+      else {
+        val p = new Array[Byte](audioSamples * 2)
+        var n = 0
+        while (n < audioSamples) {
+          val s = (((audioId * 40503L + 12289L) * (n + 7L) * (n + 13L)) % 65536L
+            - 32768L).toInt
+          p(2 * n) = (s & 0xff).toByte
+          p(2 * n + 1) = ((s >> 8) & 0xff).toByte
+          n += 1
+        }
+        p
+      }
+    val ftyp = mp4Box("ftyp", fourcc("isom"), beBytes(Seq(0)), fourcc("isom"))
+    val mdat = mp4Box("mdat", (frames :+ pcm): _*)
+    val dataStart = ftyp.length + 8 // absolute offset of mdat payload
+    val frameOffsets = frames.scanLeft(dataStart)(_ + _.length).dropRight(1)
+    val audioOff = dataStart + frames.map(_.length).sum
+
+    def fullBox(tp: String, payload: Array[Byte], flags: Int = 0): Array[Byte] =
+      mp4Box(tp, beBytes(Seq(flags)), payload)
+    def hdlrBox(kind: String): Array[Byte] =
+      fullBox("hdlr", beBytes(Seq(0)) ++ fourcc(kind) ++
+        beBytes(Seq(0, 0, 0)) ++ Array[Byte](0))
+    val dinf = mp4Box("dinf",
+      fullBox("dref", beBytes(Seq(1)) ++ fullBox("url ",
+        Array.emptyByteArray, flags = 1)))
+    // `co64` stores the same offsets 64-bit wide — the layout muxers
+    // switch to past 4 GiB, exercised so the parser's co64 leg is real
+    def offsetsBox(offs: Seq[Int]): Array[Byte] =
+      if (co64) fullBox("co64",
+        beBytes(Seq(offs.length) ++ offs.flatMap(o => Seq(0, o))))
+      else fullBox("stco", beBytes(Seq(offs.length) ++ offs))
+    def trakBox(trackId: Int, duration: Int, timescale: Int,
+        hdlr: String, mhd: Array[Byte], stsdEntry: Array[Byte],
+        stts: Array[Byte], stsc: Array[Byte], stsz: Array[Byte],
+        stcoBox: Array[Byte]): Array[Byte] = {
+      val tkhd = fullBox("tkhd",
+        beBytes(Seq(0, 0, trackId, 0, duration)) ++ new Array[Byte](60),
+        flags = 7)
+      val mdhd = fullBox("mdhd", beBytes(Seq(0, 0, timescale, duration)) ++
+        be16b(0x55c4) ++ be16b(0))
+      val stbl = mp4Box("stbl",
+        fullBox("stsd", beBytes(Seq(1)) ++ stsdEntry),
+        fullBox("stts", stts), fullBox("stsc", stsc),
+        fullBox("stsz", stsz), stcoBox)
+      mp4Box("trak", tkhd, mp4Box("mdia", mdhd, hdlrBox(hdlr),
+        mp4Box("minf", mhd, dinf, stbl)))
+    }
+
+    val videoEntry = mp4Box("jpeg",
+      new Array[Byte](6), be16b(1),           // reserved + data_ref_index
+      beBytes(Seq(0, 0, 0, 0)),               // pre_defined / reserved
+      be16b(w), be16b(h),
+      beBytes(Seq(0x00480000, 0x00480000, 0)), // 72 dpi + reserved
+      be16b(1),                                // frame count per sample
+      new Array[Byte](32),                     // compressor name
+      be16b(24), be16b(0xffff))                // depth, pre_defined(-1)
+    val vTrak = trakBox(1, nFrames, 25, "vide",
+      fullBox("vmhd", new Array[Byte](8), flags = 1), videoEntry,
+      stts = beBytes(Seq(1, nFrames, 1)),
+      stsc = beBytes(Seq(1, 1, 1, 1)),
+      stsz = beBytes(Seq(0, nFrames) ++ frames.map(_.length)),
+      stcoBox = offsetsBox(frameOffsets))
+
+    val aTrak =
+      if (audioSamples <= 0) Array.emptyByteArray
+      else {
+        val audioEntry = mp4Box("sowt",
+          new Array[Byte](6), be16b(1),
+          beBytes(Seq(0, 0)),                  // version/revision/vendor
+          be16b(1), be16b(16),                 // channels, sample size
+          be16b(0), be16b(0),                  // compression, packet size
+          be16b(8000), be16b(0))               // 16.16 sample rate
+        val half = audioSamples / 2
+        val (stscA, stcoA) =
+          if (half >= 1 && audioSamples - half >= 1)
+            (beBytes(Seq(2, 1, half, 1, 2, audioSamples - half, 1)),
+              offsetsBox(Seq(audioOff, audioOff + half * 2)))
+          else
+            (beBytes(Seq(1, 1, audioSamples, 1)),
+              offsetsBox(Seq(audioOff)))
+        trakBox(2, audioSamples, 8000, "soun",
+          fullBox("smhd", new Array[Byte](4)), audioEntry,
+          stts = beBytes(Seq(1, audioSamples, 1)),
+          stsc = stscA,
+          stsz = beBytes(Seq(2, audioSamples)), // uniform: 2 bytes/sample
+          stcoBox = stcoA)
+      }
+
+    val mvhd = fullBox("mvhd", beBytes(Seq(0, 0, 25, nFrames, 0x00010000)) ++
+      be16b(0x0100) ++ new Array[Byte](10) ++
+      beBytes(Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)) ++
+      beBytes(Seq(0, 0, 0, 0, 0, 0, 3)))
+    val moov =
+      if (audioSamples <= 0) mp4Box("moov", mvhd, vTrak)
+      else mp4Box("moov", mvhd, vTrak, aTrak)
+    ftyp ++ mdat ++ moov
+  }
+
   private def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
 
   case class VideoFrameHash(doc_id: Long, frame_idx: Int, ph: Long)
 
   /** Frame-sampled pHash over video containers — the container tier of
     * the multimodal ladder (m73's byte-stub frame sampling made real):
-    * every `every`-th frame of each AVI payload decodes and pHashes via
-    * the m78 image path, yielding the (doc_id, frame_idx, ph) table
-    * video dedup / retrieval builds on. Non-AVI payloads emit no rows.
+    * every `every`-th frame of each AVI or MP4 payload decodes and
+    * pHashes via the m78 image path ([[containerFrames]] dispatches by
+    * magic), yielding the (doc_id, frame_idx, ph) table video dedup /
+    * retrieval builds on. Payloads that are neither container — or
+    * whose video codec is outside the MJPEG/DIB decode legs — emit no
+    * rows.
     *
     * Scale shape: one mapPartitions pass, no shuffle; per-doc cost is
     * proportional to SAMPLED frames only — unsampled chunks are walked
@@ -1306,7 +1661,7 @@ object Multimodal {
     require(every >= 1, "every must be >= 1")
     media.select(col("doc_id"), col("payload")).as[MediaRow]
       .mapPartitions(rows => rows.flatMap { r =>
-        aviFrames(r.payload) match {
+        containerFrames(r.payload) match {
           case Some(fs) => fs.iterator.zipWithIndex
             .filter(_._2 % every == 0)
             .flatMap { case (frame, idx) =>
@@ -1389,7 +1744,7 @@ object Multimodal {
     require(every >= 1, "every must be >= 1")
     media.select(col("doc_id"), col("payload")).as[MediaRow]
       .mapPartitions(rows => rows.flatMap { r =>
-        aviFrames(r.payload) match {
+        containerFrames(r.payload) match {
           case Some(fs) =>
             val hs = fs.iterator.zipWithIndex.filter(_._2 % every == 0)
               .flatMap(f => pHash64(f._1)).toArray

@@ -599,6 +599,55 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // MP4 container decode + frame-sampled pHash — the m81 gate at the
+    // ISO-BMFF mux: the box-tree walk (moov/trak/stbl), a per-sample
+    // stsz video table with one-sample-per-chunk stco, and (odd ids)
+    // the 64-bit co64 offset leg, end to end into the m78 pHash path.
+    // Pinned golden (JDK JPEG codec leg, the m83 precedent).
+    "m89_mp4_frames" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val mp4 = udf((id: Long) =>
+        Multimodal.syntheticMp4(id, (4 + id % 3).toInt, co64 = id % 2 == 1))
+      val media = s.range(0, 8)
+        .select(col("id").as("doc_id"), mp4(col("id")).as("payload"))
+      Multimodal.videoFramePHash(media, every = 2).toDF()
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    // CROSS-container near-dup: the same frame stream muxed RIFF/AVI
+    // (MJPEG) and ISO-BMFF — the shared JPEG encode makes the sample
+    // bytes identical, so the aligned tier must score every pair 1.0.
+    // The re-upload that swaps container WITHOUT re-encoding — exact
+    // dedup misses it (different container bytes), the frame tier must
+    // not. Pinned golden.
+    "m90_mp4_crossdedup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val mk = udf((id: Long) =>
+        if (id < 20) Multimodal.syntheticAvi(id, (6 + id % 3).toInt, mjpeg = true)
+        else Multimodal.syntheticMp4(id - 20, (6 + (id - 20) % 3).toInt))
+      val media = s.range(0, 8).union(s.range(20, 28))
+        .select(col("id").as("doc_id"), mk(col("id")).as("payload"))
+      Multimodal.videoNearDupPairs(media)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // MP4 → AUDIO extraction dedup (the m88 gate at the ISO-BMFF mux):
+    // 10 MP4s whose 'sowt' track id is doc_id % 5 — the same PCM under
+    // different frame streams; extraction walks the UNIFORM-stsz
+    // two-chunk sample table and the m80 landmark tier finds the
+    // plants. Integer arithmetic end to end, so the oracle regenerates
+    // the samples and replays the landmark match in SQL.
+    "m91_mp4_audio_dedup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val mp4 = udf((id: Long) =>
+        Multimodal.syntheticMp4(id, (4 + id % 3).toInt,
+          audioId = id % 5, audioSamples = (320 + (id % 5) * 64).toInt))
+      val media = s.range(0, 10)
+        .select(col("id").as("doc_id"), mp4(col("id")).as("payload"))
+      Multimodal.audioLandmarkPairs(Multimodal.videoAudioTracks(media))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Incremental AUDIO dedup vs a persisted fingerprint index (the
     // t69/s56/m85 contract, audio-side): index 20 textured WAVs once,
     // screen 20 re-leveled re-uploads against it — integer arithmetic
@@ -959,6 +1008,54 @@ object StreamingOps extends QueryPack {
       """WITH ids AS (SELECT unnest(range(0, 8)) AS doc_id),
         lens AS (SELECT doc_id, doc_id % 4 AS bid,
             320 + (doc_id % 4) * 64 AS n FROM ids),
+        samples AS (SELECT doc_id, u.i,
+            ((bid * 40503 + 12289) * (u.i + 7) * (u.i + 13))
+              % 65536 - 32768 AS v
+          FROM lens, LATERAL (SELECT unnest(range(0, n)) AS i) u(i)),
+        frames AS (SELECT doc_id, u.f FROM lens,
+          LATERAL (SELECT unnest(range(0, (n - 128) // 64 + 1)) AS f) u(f)
+          WHERE n >= 128),
+        lags AS (SELECT * FROM (VALUES (0,1),(1,2),(2,4),(3,8),(4,16),
+          (5,32),(6,64)) l(j, lg)),
+        rr AS (SELECT fr.doc_id, fr.f, lags.j, SUM(a.v * b.v) AS r
+          FROM frames fr, lags
+          JOIN samples a ON TRUE
+          JOIN samples b ON b.doc_id = a.doc_id AND b.i = a.i + lags.lg
+          WHERE a.doc_id = fr.doc_id
+            AND a.i >= fr.f * 64 AND a.i < fr.f * 64 + 128 - lags.lg
+          GROUP BY fr.doc_id, fr.f, lags.j),
+        sbits AS (SELECT doc_id, f,
+            SUM(CASE WHEN r > 0 THEN 1 << j ELSE 0 END) AS s_code
+          FROM rr GROUP BY doc_id, f),
+        cbits AS (SELECT x.doc_id, x.f,
+            SUM(CASE WHEN x.r > y.r THEN 1 << (7 + x.j) ELSE 0 END) AS c_code
+          FROM rr x JOIN rr y ON y.doc_id = x.doc_id AND y.f = x.f
+            AND y.j = x.j + 1
+          GROUP BY x.doc_id, x.f),
+        codes AS (SELECT s.doc_id, s.f, s.s_code + COALESCE(c.c_code, 0) AS code
+          FROM sbits s LEFT JOIN cbits c
+            ON c.doc_id = s.doc_id AND c.f = s.f),
+        lmraw AS (SELECT doc_id, code,
+            LEAD(code) OVER (PARTITION BY doc_id ORDER BY f) AS nxt
+          FROM codes),
+        lms AS (SELECT DISTINCT doc_id, code * 8192 + nxt AS lm
+          FROM lmraw WHERE nxt IS NOT NULL),
+        sizes AS (SELECT doc_id, COUNT(*) AS nl FROM lms GROUP BY doc_id),
+        m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+          FROM lms a JOIN lms b ON a.lm = b.lm AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+        SELECT doc_a, doc_b,
+          round(CAST(c AS DOUBLE) / least(sa.nl, sb.nl), 6) AS match_frac
+        FROM m JOIN sizes sa ON sa.doc_id = m.doc_a
+          JOIN sizes sb ON sb.doc_id = m.doc_b
+        WHERE round(CAST(c AS DOUBLE) / least(sa.nl, sb.nl), 6) >= 0.6
+        ORDER BY doc_a, doc_b""",
+    // the m88 replay at the MP4 id space: audio id = doc_id % 5 over 10
+    // docs — extraction container changed, the landmark arithmetic not
+    "m91_mp4_audio_dedup" ->
+      """WITH ids AS (SELECT unnest(range(0, 10)) AS doc_id),
+        lens AS (SELECT doc_id, doc_id % 5 AS bid,
+            320 + (doc_id % 5) * 64 AS n FROM ids),
         samples AS (SELECT doc_id, u.i,
             ((bid * 40503 + 12289) * (u.i + 7) * (u.i + 13))
               % 65536 - 32768 AS v

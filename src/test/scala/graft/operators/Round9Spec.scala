@@ -331,6 +331,87 @@ class Round9Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(iplan.indexOf("collect_list") < iplan.indexOf("LeftSemi"),
       "m78 cap must sit BELOW the posting-list aggregation")
   }
+
+  // ---- MP4 (ISO-BMFF) container walk: frames/audio equal the AVI mux
+  // of the SAME content, damage degrades gracefully -------------------
+
+  test("mp4Frames/mp4AudioWav equal the AVI mux of the same content byte-for-byte") {
+    for (id <- 0L to 2L; co64 <- Seq(false, true)) {
+      val n = (4 + id % 3).toInt
+      val avi = Multimodal.syntheticAvi(id, n, mjpeg = true,
+        audioId = id % 2, audioSamples = 320)
+      val mp4 = Multimodal.syntheticMp4(id, n,
+        audioId = id % 2, audioSamples = 320, co64 = co64)
+      val fa = Multimodal.aviFrames(avi).get
+      val fm = Multimodal.mp4Frames(mp4).get
+      assert(fm.size == n && fa.size == n)
+      fm.zip(fa).foreach { case (m, a) =>
+        assert(java.util.Arrays.equals(m, a), s"frame bytes diverge (id=$id)") }
+      val wa = Multimodal.aviAudioWav(avi).get
+      val wm = Multimodal.mp4AudioWav(mp4).get
+      assert(java.util.Arrays.equals(wm, wa),
+        s"extracted WAV diverges (id=$id, co64=$co64)")
+    }
+    // no audio track -> None; frames unaffected
+    assert(Multimodal.mp4AudioWav(Multimodal.syntheticMp4(1L, 4)).isEmpty)
+    assert(Multimodal.mp4Frames(Multimodal.syntheticMp4(1L, 4)).get.size == 4)
+  }
+
+  test("mp4 walk: big-endian 'twos' PCM byte-swaps to the same samples") {
+    val mp4 = Multimodal.syntheticMp4(5L, 3, audioId = 7L, audioSamples = 250)
+    val sowt = Multimodal.mp4AudioWav(mp4).get
+    // rewrite the stsd codec fourcc and byte-swap the PCM in mdat: the
+    // identical stream muxed big-endian
+    val patched = mp4.clone()
+    val at = patched.indexOfSlice("sowt".getBytes("US-ASCII"))
+    assert(at > 0, "codec fourcc must be present")
+    "twos".getBytes("US-ASCII").copyToArray(patched, at)
+    val dataStart = patched.indexOfSlice("mdat".getBytes("US-ASCII")) + 4
+    val audioOff = dataStart +
+      Multimodal.mp4Frames(mp4).get.map(_.length).sum
+    var i = audioOff
+    while (i + 1 < audioOff + 500) {
+      val b = patched(i); patched(i) = patched(i + 1); patched(i + 1) = b
+      i += 2
+    }
+    val twos = Multimodal.mp4AudioWav(patched).get
+    assert(java.util.Arrays.equals(twos, sowt),
+      "byte-swapped 'twos' stream must decode to the same WAV")
+  }
+
+  test("mp4 walk degrades gracefully on damage and unknown codecs") {
+    val mp4 = Multimodal.syntheticMp4(2L, 5)
+    // truncation inside mdat: moov (and so the sample table) is gone ->
+    // BMFF still recognized, no frames claimed, nothing thrown
+    val cut = java.util.Arrays.copyOfRange(mp4, 0, mp4.length / 2)
+    assert(Multimodal.mp4Frames(cut).exists(_.isEmpty))
+    // unknown video codec: walk fine, no decodable frames
+    val patched = mp4.clone()
+    val at = patched.indexOfSlice("jpeg".getBytes("US-ASCII"))
+    "av01".getBytes("US-ASCII").copyToArray(patched, at)
+    assert(Multimodal.mp4Frames(patched).exists(_.isEmpty))
+    // non-BMFF payloads are None, not empty (the dispatch contract)
+    assert(Multimodal.mp4Frames("not a container".getBytes).isEmpty)
+    assert(Multimodal.mp4Frames(Multimodal.syntheticAvi(2L, 3)).isEmpty)
+    // and containerFrames dispatches both muxes
+    assert(Multimodal.containerFrames(Multimodal.syntheticAvi(2L, 3)).get.size == 3)
+    assert(Multimodal.containerFrames(mp4).get.size == 5)
+  }
+
+  test("cross-container near-dup: the same video muxed AVI and MP4 matches at 1.0") {
+    import spark.implicits._
+    implicit val sp: SparkSession = spark
+    val mk = udf((id: Long) =>
+      if (id < 20) Multimodal.syntheticAvi(id, (6 + id % 3).toInt, mjpeg = true)
+      else Multimodal.syntheticMp4(id - 20, (6 + (id - 20) % 3).toInt))
+    val media = spark.range(0, 4).union(spark.range(20, 24))
+      .select(col("id").as("doc_id"), mk(col("id")).as("payload"))
+    val pairs = Multimodal.videoNearDupPairs(media)
+      .select($"doc_a", $"doc_b", $"match_frac").as[(Long, Long, Double)]
+      .collect().toSet
+    val planted = (0L until 4L).map(i => (i, i + 20, 1.0)).toSet
+    assert(pairs == planted, s"expected $planted, got $pairs")
+  }
 }
 
 /** Serializable fixture generators (UDF closures must not capture the
