@@ -1312,11 +1312,15 @@ object Multimodal {
   // same codec legs the AVI walk feeds.
 
   /** One parsed MP4 track: its sample table flattened to what the
-    * extractors need. `sizes`/`offsets`/`stsc` drive [[mp4Samples]];
-    * the audio fields come from the stsd sample entry. */
+    * extractors need. `sizes`/`offsets`/`stsc` drive the moov-resident
+    * samples in [[mp4Samples]]; `frag` carries (offset, size) runs from
+    * `moof`/`trun` fragments (fMP4 — the DASH/HLS streaming mux, where
+    * the moov tables are empty and samples arrive per fragment); the
+    * audio fields come from the stsd sample entry. */
   private[operators] case class Mp4Track(handler: String, codec: String,
       sizes: Array[Int], offsets: Array[Long], stsc: Array[(Int, Int)],
-      channels: Int, rate: Int, bits: Int)
+      channels: Int, rate: Int, bits: Int, trackId: Int = 0,
+      frag: Array[(Long, Int)] = Array.empty)
 
   /** Walk an ISO-BMFF payload's box tree into its tracks. None when the
     * payload is not BMFF (first root box must be `ftyp`); structurally
@@ -1331,9 +1335,15 @@ object Multimodal {
       // per-trak accumulator state, reset at each `trak` box
       var handler = ""; var codec = ""
       var channels = 0; var rate = 0; var bits = 0
+      var trackId = 0
       var sizes: Array[Int] = null
       var offsets: Array[Long] = null
       var stscE: Array[(Int, Int)] = null
+      // fragment (moof/traf/trun) accumulator state: runs per track id
+      val fragRuns = scala.collection.mutable.Map
+        .empty[Int, scala.collection.mutable.ArrayBuffer[(Long, Int)]]
+      var moofStart = 0
+      var fragTrack = 0; var fragBase = 0L; var fragDefSize = 0
       def walk(from: Int, to: Int): Unit = {
         var off = from
         var ok = true
@@ -1353,14 +1363,66 @@ object Multimodal {
               case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
                 if (tp == "trak") {
                   handler = ""; codec = ""; channels = 0; rate = 0; bits = 0
-                  sizes = null; offsets = null; stscE = null
+                  trackId = 0; sizes = null; offsets = null; stscE = null
                 }
                 walk(data, end)
                 if (tp == "trak" && handler.nonEmpty &&
                     sizes != null && offsets != null)
                   tracks += Mp4Track(handler, codec, sizes, offsets,
                     if (stscE == null || stscE.isEmpty) Array((1, 1)) else stscE,
-                    channels, rate, bits)
+                    channels, rate, bits, trackId)
+              case "moof" | "traf" =>
+                if (tp == "moof") moofStart = off
+                else { fragTrack = 0; fragBase = moofStart.toLong; fragDefSize = 0 }
+                walk(data, end)
+              case "tkhd" if end - data >= 16 =>
+                // track_ID sits past the two timestamps, whose width is
+                // the version's (v1 = 64-bit)
+                trackId =
+                  if (payload(data) == 1 && end - data >= 24)
+                    be32(payload, data + 20)
+                  else be32(payload, data + 12)
+              case "tfhd" if end - data >= 8 =>
+                val flags = be32(payload, data) & 0xffffff
+                fragTrack = be32(payload, data + 4)
+                var p = data + 8
+                if ((flags & 0x01) != 0 && end - p >= 8) { // base-data-offset
+                  fragBase = be64(payload, p); p += 8
+                }
+                if ((flags & 0x02) != 0) p += 4 // sample-description-index
+                if ((flags & 0x08) != 0) p += 4 // default-sample-duration
+                if ((flags & 0x10) != 0 && end - p >= 4) // default-sample-size
+                  fragDefSize = be32(payload, p)
+              case "trun" if end - data >= 8 =>
+                val flags = be32(payload, data) & 0xffffff
+                val cnt = be32(payload, data + 4)
+                if (fragTrack > 0 && cnt >= 0 && cnt <= payload.length) {
+                  var p = data + 8
+                  var sOff = fragBase
+                  if ((flags & 0x01) != 0 && end - p >= 4) { // data-offset
+                    sOff = fragBase + be32(payload, p); p += 4
+                  }
+                  if ((flags & 0x04) != 0) p += 4 // first-sample-flags
+                  val perSample = // bytes per sample row in the run table
+                    (if ((flags & 0x100) != 0) 4 else 0) +
+                    (if ((flags & 0x200) != 0) 4 else 0) +
+                    (if ((flags & 0x400) != 0) 4 else 0) +
+                    (if ((flags & 0x800) != 0) 4 else 0)
+                  if (p + perSample.toLong * cnt <= end) {
+                    val runs = fragRuns.getOrElseUpdate(fragTrack,
+                      scala.collection.mutable.ArrayBuffer.empty)
+                    var i = 0
+                    while (i < cnt) {
+                      var q = p + i * perSample
+                      if ((flags & 0x100) != 0) q += 4 // skip duration
+                      val sz =
+                        if ((flags & 0x200) != 0) be32(payload, q)
+                        else fragDefSize
+                      if (sz > 0) { runs += ((sOff, sz)); sOff += sz }
+                      i += 1
+                    }
+                  }
+                }
               case "hdlr" if end - data >= 12 =>
                 handler = fourcc(payload, data + 8)
               case "stsd" if end - data >= 16 =>
@@ -1401,7 +1463,11 @@ object Multimodal {
         }
       }
       walk(0, payload.length)
-      Some(tracks.result())
+      Some(tracks.result().map(t =>
+        fragRuns.get(t.trackId) match {
+          case Some(runs) if runs.nonEmpty => t.copy(frag = runs.toArray)
+          case _ => t
+        }))
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
@@ -1428,6 +1494,15 @@ object Multimodal {
         off += sz; sample += 1; k += 1
       }
       chunk += 1
+    }
+    // fragment (trun) runs follow the moov-resident samples in file
+    // order — for fMP4 the moov tables are empty and this IS the stream
+    var fi = 0
+    while (fi < t.frag.length) {
+      val (off, sz) = t.frag(fi)
+      if (sz < 0 || off < 0 || off + sz > payload.length) return out.result()
+      out += java.util.Arrays.copyOfRange(payload, off.toInt, (off + sz).toInt)
+      fi += 1
     }
     out.result()
   }
@@ -1513,6 +1588,15 @@ object Multimodal {
     out
   }
 
+  private def fullBox(tp: String, payload: Array[Byte], flags: Int = 0): Array[Byte] =
+    mp4Box(tp, beBytes(Seq(flags)), payload)
+  private def hdlrBox(kind: String): Array[Byte] =
+    fullBox("hdlr", beBytes(Seq(0)) ++ fourcc(kind) ++
+      beBytes(Seq(0, 0, 0)) ++ Array[Byte](0))
+  private def mp4Dinf: Array[Byte] = mp4Box("dinf",
+    fullBox("dref", beBytes(Seq(1)) ++ fullBox("url ",
+      Array.emptyByteArray, flags = 1)))
+
   /** Deterministic synthetic MP4 for doc `id` — the ISO-BMFF analog of
     * [[syntheticAvi]]: MJPEG ('jpeg' stsd entry, one JPEG sample per
     * frame via the SHARED [[mjpegFrame]] encoder, so the same (id, f)
@@ -1556,14 +1640,7 @@ object Multimodal {
     val frameOffsets = frames.scanLeft(dataStart)(_ + _.length).dropRight(1)
     val audioOff = dataStart + frames.map(_.length).sum
 
-    def fullBox(tp: String, payload: Array[Byte], flags: Int = 0): Array[Byte] =
-      mp4Box(tp, beBytes(Seq(flags)), payload)
-    def hdlrBox(kind: String): Array[Byte] =
-      fullBox("hdlr", beBytes(Seq(0)) ++ fourcc(kind) ++
-        beBytes(Seq(0, 0, 0)) ++ Array[Byte](0))
-    val dinf = mp4Box("dinf",
-      fullBox("dref", beBytes(Seq(1)) ++ fullBox("url ",
-        Array.emptyByteArray, flags = 1)))
+    val dinf = mp4Dinf
     // `co64` stores the same offsets 64-bit wide — the layout muxers
     // switch to past 4 GiB, exercised so the parser's co64 leg is real
     def offsetsBox(offs: Seq[Int]): Array[Byte] =
@@ -1635,6 +1712,69 @@ object Multimodal {
       if (audioSamples <= 0) mp4Box("moov", mvhd, vTrak)
       else mp4Box("moov", mvhd, vTrak, aTrak)
     ftyp ++ mdat ++ moov
+  }
+
+  /** Deterministic synthetic FRAGMENTED MP4 (fMP4 — the DASH/HLS
+    * streaming mux) for doc `id`: same [[mjpegFrame]] stream as
+    * [[syntheticMp4]], but the moov carries EMPTY sample tables plus an
+    * mvex/trex, and the samples arrive in `moof`+`mdat` fragments of
+    * `perFrag` frames — each moof's traf holds a tfhd
+    * (default-base-is-moof) and a trun with data-offset +
+    * per-sample sizes, the shape real segmenters emit. Frame bytes are
+    * byte-identical to the plain-MP4/AVI muxes of the same (id, f), so
+    * the cross-container fixtures extend to the streaming mux. */
+  def syntheticFmp4(id: Long, nFrames: Int, w: Int = 16, h: Int = 16,
+      perFrag: Int = 2, delta: Int = 0, global0: Boolean = false,
+      frameOffset: Int = 0): Array[Byte] = {
+    require(nFrames >= 1 && perFrag >= 1)
+    val frames = (0 until nFrames).map(f0 =>
+      mjpegFrame(id, f0 + frameOffset, w, h, delta, global0))
+    val ftyp = mp4Box("ftyp", fourcc("isom"), beBytes(Seq(0)), fourcc("isom"))
+    val tkhd = fullBox("tkhd",
+      beBytes(Seq(0, 0, 1, 0, nFrames)) ++ new Array[Byte](60), flags = 7)
+    val mdhd = fullBox("mdhd", beBytes(Seq(0, 0, 25, nFrames)) ++
+      be16b(0x55c4) ++ be16b(0))
+    val videoEntry = mp4Box("jpeg",
+      new Array[Byte](6), be16b(1),
+      beBytes(Seq(0, 0, 0, 0)),
+      be16b(w), be16b(h),
+      beBytes(Seq(0x00480000, 0x00480000, 0)),
+      be16b(1), new Array[Byte](32), be16b(24), be16b(0xffff))
+    // empty tables: the fragments carry every sample
+    val stbl = mp4Box("stbl",
+      fullBox("stsd", beBytes(Seq(1)) ++ videoEntry),
+      fullBox("stts", beBytes(Seq(0))),
+      fullBox("stsc", beBytes(Seq(0))),
+      fullBox("stsz", beBytes(Seq(0, 0))),
+      fullBox("stco", beBytes(Seq(0))))
+    val trak = mp4Box("trak", tkhd, mp4Box("mdia", mdhd, hdlrBox("vide"),
+      mp4Box("minf", fullBox("vmhd", new Array[Byte](8), flags = 1),
+        mp4Dinf, stbl)))
+    val mvex = mp4Box("mvex",
+      fullBox("trex", beBytes(Seq(1, 1, 0, 0, 0)))) // track 1 defaults
+    val mvhd = fullBox("mvhd", beBytes(Seq(0, 0, 25, nFrames, 0x00010000)) ++
+      be16b(0x0100) ++ new Array[Byte](10) ++
+      beBytes(Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)) ++
+      beBytes(Seq(0, 0, 0, 0, 0, 0, 2)))
+    val moov = mp4Box("moov", mvhd, trak, mvex)
+    val fragments = frames.grouped(perFrag).zipWithIndex.map { case (fs, seq) =>
+      val tfhd = fullBox("tfhd", beBytes(Seq(1)), flags = 0x20000) // base-is-moof
+      // trun flags 0x201: data-offset present + per-sample sizes; the
+      // data offset (moof length + mdat header) back-patches below
+      val trun = fullBox("trun",
+        beBytes(Seq(fs.length, 0) ++ fs.map(_.length)), flags = 0x201)
+      val moof = mp4Box("moof",
+        fullBox("mfhd", beBytes(Seq(seq + 1))),
+        mp4Box("traf", tfhd, trun))
+      // patch the trun data_offset: it sits 16 bytes into the trun box
+      // (size, type, ver/flags, sample_count), whose position inside
+      // moof is everything before it
+      val trunPos = moof.length - trun.length + 16
+      val dataOffset = moof.length + 8
+      System.arraycopy(beBytes(Seq(dataOffset)), 0, moof, trunPos, 4)
+      moof ++ mp4Box("mdat", fs: _*)
+    }
+    fragments.foldLeft(ftyp ++ moov)(_ ++ _)
   }
 
   private def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")

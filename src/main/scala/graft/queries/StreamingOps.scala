@@ -631,6 +631,23 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // FRAGMENTED MP4 (fMP4/DASH) decode: AVI originals vs fMP4
+    // re-uploads of the same frame stream — the moof/tfhd/trun walk
+    // (empty moov tables, per-fragment sample runs, default-base-is-
+    // moof data offsets) feeds the same aligned tier, every pair 1.0.
+    // Pinned golden.
+    "m92_fmp4_crossdedup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val mk = udf((id: Long) =>
+        if (id < 20) Multimodal.syntheticAvi(id, (6 + id % 3).toInt, mjpeg = true)
+        else Multimodal.syntheticFmp4(id - 20, (6 + (id - 20) % 3).toInt,
+          perFrag = 2 + (id % 2).toInt))
+      val media = s.range(0, 8).union(s.range(20, 28))
+        .select(col("id").as("doc_id"), mk(col("id")).as("payload"))
+      Multimodal.videoNearDupPairs(media)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // MP4 → AUDIO extraction dedup (the m88 gate at the ISO-BMFF mux):
     // 10 MP4s whose 'sowt' track id is doc_id % 5 — the same PCM under
     // different frame streams; extraction walks the UNIFORM-stsz

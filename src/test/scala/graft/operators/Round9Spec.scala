@@ -398,6 +398,27 @@ class Round9Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.containerFrames(mp4).get.size == 5)
   }
 
+  test("fMP4 (moof/trun) fragments equal the plain-MP4 mux frame-for-frame") {
+    for (id <- 0L to 2L; perFrag <- Seq(1, 2, 3)) {
+      val n = (5 + id % 3).toInt
+      val plain = Multimodal.mp4Frames(Multimodal.syntheticMp4(id, n)).get
+      val frag = Multimodal.mp4Frames(
+        Multimodal.syntheticFmp4(id, n, perFrag = perFrag)).get
+      assert(frag.size == n, s"id=$id perFrag=$perFrag: ${frag.size} != $n")
+      frag.zip(plain).foreach { case (a, b) =>
+        assert(java.util.Arrays.equals(a, b), "fragment sample bytes diverge") }
+    }
+    // truncation mid-stream: frames from intact fragments still return
+    val whole = Multimodal.syntheticFmp4(1L, 6, perFrag = 2)
+    val frames = Multimodal.mp4Frames(whole).get
+    val cut = java.util.Arrays.copyOfRange(whole, 0, whole.length - 10)
+    val partial = Multimodal.mp4Frames(cut).get
+    assert(partial.nonEmpty && partial.size < frames.size,
+      s"expected a proper prefix, got ${partial.size}/${frames.size}")
+    partial.zip(frames).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a, b), "surviving frames must be a prefix") }
+  }
+
   test("cross-container near-dup: the same video muxed AVI and MP4 matches at 1.0") {
     import spark.implicits._
     implicit val sp: SparkSession = spark
