@@ -1551,18 +1551,20 @@ object Multimodal {
         }
     }
 
-  /** Container-agnostic frame extraction: RIFF/AVI or ISO-BMFF, by
-    * magic. The AVI probe is a 12-byte prefix check, so the dispatch
-    * costs nothing on the wrong container. Every video-tier operator
-    * goes through this, so AVI and MP4 corpora mix freely — including
-    * cross-container re-uploads (same frames, different mux). */
+  /** Container-agnostic frame extraction: RIFF/AVI, ISO-BMFF, or
+    * Matroska/WebM, by magic. Each probe is a prefix check of a few
+    * bytes, so the dispatch costs nothing on the wrong container.
+    * Every video-tier operator goes through this, so AVI, MP4 and MKV
+    * corpora mix freely — including cross-container re-uploads (same
+    * frames, different mux). */
   private[operators] def containerFrames(payload: Array[Byte]): Option[Vector[Array[Byte]]] =
-    aviFrames(payload).orElse(mp4Frames(payload))
+    aviFrames(payload).orElse(mp4Frames(payload)).orElse(mkvFrames(payload))
 
   /** Container-agnostic audio-track extraction (the [[containerFrames]]
-    * twin): AVI 'NNwb' concat or MP4 PCM sample concat, as WAV. */
+    * twin): AVI 'NNwb' concat, MP4 PCM sample concat, or Matroska
+    * PCM block concat, as WAV. */
   private[operators] def containerAudioWav(payload: Array[Byte]): Option[Array[Byte]] =
-    aviAudioWav(payload).orElse(mp4AudioWav(payload))
+    aviAudioWav(payload).orElse(mp4AudioWav(payload)).orElse(mkvAudioWav(payload))
 
   private def be16b(v: Int): Array[Byte] =
     Array[Byte](((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
@@ -1778,6 +1780,396 @@ object Multimodal {
   }
 
   private def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  // ---- VIDEO: Matroska/WebM (EBML) container ------------------------
+  // EBML grammar per the public Matroska spec (RFC 8794): every element
+  // is (vint id, vint size, payload); masters nest. The walk covers
+  // exactly what the extractors need — Tracks (track number, type,
+  // codec, audio params) and Cluster frame data via SimpleBlock or
+  // BlockGroup>Block. MJPEG-class video ("V_MJPEG" directly, or the
+  // VfW compatibility mux "V_MS/VFW/FOURCC" whose CodecPrivate
+  // BITMAPINFOHEADER says 'MJPG') and PCM16 audio ("A_PCM/INT/LIT")
+  // decode in plain JVM — the same codec legs the AVI and MP4 walks
+  // feed, so a Matroska re-mux of the same stream is byte-identical at
+  // the frame level (cf. reference multimodal sources treating video
+  // as opaque binary: agnostic-blockchain-etl has no video tier; this
+  // extends the engine's multimodal ladder).
+
+  /** One parsed Matroska track: number (block addressing), type
+    * (1=video, 2=audio), codec id string, audio params from the Audio
+    * master, and CodecPrivate (the VfW BITMAPINFOHEADER leg). */
+  private[operators] case class MkvTrack(num: Long, ttype: Int,
+      codec: String, channels: Int, rate: Int, bits: Int,
+      codecPrivate: Array[Byte] = Array.emptyByteArray)
+
+  /** EBML vint at `off` with the length-marker bit STRIPPED (size /
+    * block-track-number semantics): (value, width), or null when
+    * truncated or markerless (a zero first byte). */
+  private def ebmlVint(p: Array[Byte], off: Int, to: Int): (Long, Int) = {
+    if (off >= to) return null
+    val b0 = p(off) & 0xff
+    if (b0 == 0) return null
+    val w = java.lang.Integer.numberOfLeadingZeros(b0) - 23 // 1..8
+    if (off + w > to) return null
+    var v = (b0 & (0xff >>> w)).toLong
+    var i = 1
+    while (i < w) { v = (v << 8) | (p(off + i) & 0xff); i += 1 }
+    (v, w)
+  }
+
+  /** EBML element id at `off`: ids KEEP their marker bit (that is how
+    * the spec tables list them — TrackEntry is 0xAE, Cluster is
+    * 0x1F43B675). (id, width), or null when truncated / wider than the
+    * 4-byte id ceiling. */
+  private def ebmlIdAt(p: Array[Byte], off: Int, to: Int): (Int, Int) = {
+    if (off >= to) return null
+    val b0 = p(off) & 0xff
+    if (b0 == 0) return null
+    val w = java.lang.Integer.numberOfLeadingZeros(b0) - 23
+    if (w > 4 || off + w > to) return null
+    var v = 0
+    var i = 0
+    while (i < w) { v = (v << 8) | (p(off + i) & 0xff); i += 1 }
+    (v, w)
+  }
+
+  /** Walk a Matroska payload into (tracks, blocks-in-file-order). A
+    * block is (track number, data start, data end) — a SLICE into the
+    * payload, not a copy, so an extractor that wants one track's
+    * blocks never pays for the others' bytes — from a SimpleBlock or a
+    * BlockGroup>Block (laced blocks are skipped — our codec legs never
+    * emit lacing, and skipping beats misparsing). None for non-EBML
+    * payloads; structural damage stops the walk at the fault (tracks
+    * and blocks before it still return) — ingest-safe, never throws.
+    * Unknown-size masters (the streaming-mux Segment/Cluster form) run
+    * to the end of their container, as the spec prescribes. */
+  private[operators] def mkvBlocks(payload: Array[Byte])
+      : Option[(Vector[MkvTrack], Vector[(Long, Int, Int)])] = {
+    if (payload.length < 4 || be32(payload, 0) != 0x1A45DFA3) return None
+    try {
+      val tracks = Vector.newBuilder[MkvTrack]
+      val blocks = Vector.newBuilder[(Long, Int, Int)]
+      // per-TrackEntry accumulator state, reset at each TrackEntry
+      var tNum = 0L; var tType = 0; var tCodec = ""
+      var tCh = 0; var tRate = 0; var tBits = 0
+      var tPriv: Array[Byte] = Array.emptyByteArray
+      def uint(from: Int, end: Int): Long = {
+        var v = 0L; var i = from
+        while (i < end) { v = (v << 8) | (payload(i) & 0xff); i += 1 }
+        v
+      }
+      def readBlock(from: Int, end: Int): Unit = {
+        val tn = ebmlVint(payload, from, end)
+        if (tn != null) {
+          val hdr = from + tn._2 + 3 // 2-byte relative timecode + flags
+          if (hdr <= end) {
+            val flags = payload(hdr - 1) & 0xff
+            if ((flags & 0x06) == 0 && hdr < end) // no lacing
+              blocks += ((tn._1, hdr, end))
+          }
+        }
+      }
+      def walk(from: Int, to: Int): Unit = {
+        var off = from
+        var ok = true
+        while (ok && off < to) {
+          val idw = ebmlIdAt(payload, off, to)
+          val sz = if (idw == null) null
+            else ebmlVint(payload, off + idw._2, to)
+          if (sz == null) ok = false
+          else {
+            val data = off + idw._2 + sz._2
+            // all-value-bits-set = unknown size: runs to container end
+            val unknown = sz._1 == (1L << (7 * sz._2)) - 1
+            val end0 = if (unknown) to.toLong else data.toLong + sz._1
+            if (end0 > to) {
+              // a TRUNCATED master (the mid-transfer / damaged-tail
+              // payload): walk the surviving prefix — blocks and tracks
+              // before the damage still return. Truncated leaves (and
+              // half TrackEntries) drop; the walk ends either way.
+              idw._1 match {
+                case 0x18538067 | 0x1654AE6B | 0x1F43B675 | 0xA0 =>
+                  walk(data, to)
+                case _ => ()
+              }
+              ok = false
+            }
+            else {
+              val end = end0.toInt
+              idw._1 match {
+                case 0x18538067 | 0x1654AE6B | 0x1F43B675 | 0xA0 =>
+                  walk(data, end) // Segment, Tracks, Cluster, BlockGroup
+                case 0xAE => // TrackEntry
+                  tNum = 0; tType = 0; tCodec = ""; tCh = 0; tRate = 0
+                  tBits = 0; tPriv = Array.emptyByteArray
+                  walk(data, end)
+                  if (tNum > 0)
+                    tracks += MkvTrack(tNum, tType, tCodec, tCh, tRate,
+                      tBits, tPriv)
+                case 0xE1 => walk(data, end) // Audio settings master
+                case 0xD7 => tNum = uint(data, end) // TrackNumber
+                case 0x83 => tType = uint(data, end).toInt // TrackType
+                case 0x86 => // CodecID
+                  tCodec = new String(payload, data, end - data, "US-ASCII")
+                case 0x63A2 => // CodecPrivate
+                  tPriv = java.util.Arrays.copyOfRange(payload, data, end)
+                case 0x9F => tCh = uint(data, end).toInt // Channels
+                case 0x6264 => tBits = uint(data, end).toInt // BitDepth
+                case 0xB5 => // SamplingFrequency: IEEE float, 4 or 8 B
+                  tRate =
+                    if (end - data == 4)
+                      java.lang.Float.intBitsToFloat(be32(payload, data)).toInt
+                    else if (end - data == 8)
+                      java.lang.Double.longBitsToDouble(be64(payload, data)).toInt
+                    else 0
+                case 0xA3 | 0xA1 => readBlock(data, end) // SimpleBlock|Block
+                case _ => () // EBML header, Info, and leaves we don't read
+              }
+              off = end
+            }
+          }
+        }
+      }
+      walk(0, payload.length)
+      Some((tracks.result(), blocks.result()))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** MJPEG-class Matroska track: the native "V_MJPEG" id, or the VfW
+    * compatibility mux whose CodecPrivate BITMAPINFOHEADER carries
+    * biCompression 'MJPG' at offset 16 (little-endian, the AVI strf
+    * layout verbatim — that is what VfW passthrough means). */
+  private def mkvMjpeg(t: MkvTrack): Boolean =
+    t.codec == "V_MJPEG" ||
+      (t.codec == "V_MS/VFW/FOURCC" && t.codecPrivate.length >= 20 &&
+        le32(t.codecPrivate, 16) == 0x47504A4D)
+
+  /** Parse a Matroska payload into per-frame IMAGE payloads the
+    * [[pHash64]] path reads directly: the first video track whose codec
+    * is MJPEG-class yields its blocks verbatim (each a standalone
+    * JPEG). Some(empty) for a Matroska file whose video codec we cannot
+    * decode (VP8/VP9 WebM lands here); None for non-EBML payloads. */
+  private[operators] def mkvFrames(payload: Array[Byte]): Option[Vector[Array[Byte]]] =
+    mkvBlocks(payload).map { case (tracks, blocks) =>
+      tracks.find(t => t.ttype == 1 && mkvMjpeg(t))
+        .map(t => blocks.collect { case (n, from, end) if n == t.num =>
+          java.util.Arrays.copyOfRange(payload, from, end) })
+        .getOrElse(Vector.empty)
+    }
+
+  /** Extract the first PCM16 audio track ("A_PCM/INT/LIT") of a
+    * Matroska payload as a standalone WAV — the Matroska leg of
+    * [[videoAudioTracks]]. Block payloads are raw little-endian PCM16
+    * in block order (chunking across clusters is an interleaving
+    * artifact, exactly the AVI 'NNwb' contract). None when there is no
+    * such track or no sample bytes survive the walk. */
+  private[operators] def mkvAudioWav(payload: Array[Byte]): Option[Array[Byte]] =
+    mkvBlocks(payload).flatMap { case (tracks, blocks) =>
+      tracks.find(t => t.ttype == 2 && t.codec == "A_PCM/INT/LIT" &&
+          t.bits == 16 && t.channels >= 1 && t.rate > 0)
+        .flatMap { t =>
+          val parts = blocks.collect { case (n, from, end) if n == t.num =>
+            (from, end) }
+          val total = parts.iterator.map(p => p._2 - p._1).sum
+          if (total == 0) None
+          else {
+            val data = new Array[Byte](total)
+            var o = 0
+            parts.foreach { case (from, end) =>
+              System.arraycopy(payload, from, data, o, end - from)
+              o += end - from }
+            Some(pcmToWav(data, t.channels, t.rate))
+          }
+        }
+    }
+
+  /** Extract the first "S_TEXT/UTF8" subtitle track of a Matroska
+    * payload as one newline-joined string (cue blocks in file order) —
+    * the bridge from the video tier into the TEXT pipeline: extracted
+    * subtitle text feeds exact/minhash dedup, decontamination and the
+    * quality gates exactly like a `documents` row. None when there is
+    * no such track or no cue survives the walk. */
+  private[operators] def mkvSubtitleText(payload: Array[Byte]): Option[String] =
+    mkvBlocks(payload).flatMap { case (tracks, blocks) =>
+      tracks.find(t => t.ttype == 0x11 && t.codec == "S_TEXT/UTF8")
+        .flatMap { t =>
+          val cues = blocks.collect { case (n, from, end) if n == t.num =>
+            new String(payload, from, end - from, "UTF-8") }
+          if (cues.isEmpty) None else Some(cues.mkString("\n"))
+        }
+    }
+
+  /** One (doc_id, text) row per video payload with an extractable
+    * subtitle track ([[mkvSubtitleText]]; Matroska carries them — AVI
+    * and plain MP4 have no standard text track, so those emit no row).
+    * The [[videoAudioTracks]] twin for TEXT: subtitle text enters the
+    * text-dedup/decontamination tier as if it were a document, which
+    * is how a re-subtitled or re-captioned upload surfaces against a
+    * text corpus. One mapPartitions pass, no shuffle. */
+  def videoSubtitleTexts(media: DataFrame)(implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions(rows => rows.flatMap(r =>
+        mkvSubtitleText(r.payload).map(t => (r.doc_id, t))))
+      .toDF("doc_id", "text")
+  }
+
+  // EBML writer primitives for the synthetic fixture generator
+  private def ebmlIdBytes(id: Long): Array[Byte] = {
+    var w = 1
+    while ((id >>> (8 * w)) != 0) w += 1
+    Array.tabulate(w)(i => ((id >>> (8 * (w - 1 - i))) & 0xff).toByte)
+  }
+  private def ebmlSizeBytes(v: Long): Array[Byte] = {
+    // minimal-width size vint; all-value-bits-set is the reserved
+    // unknown-size form, so a value that would fill its width widens
+    var w = 1
+    while (w < 8 && v >= (1L << (7 * w)) - 1) w += 1
+    val out = new Array[Byte](w)
+    var i = w - 1; var x = v
+    while (i >= 0) { out(i) = (x & 0xff).toByte; x >>= 8; i -= 1 }
+    out(0) = (out(0) | (0x100 >> w)).toByte
+    out
+  }
+  private def ebmlElem(id: Array[Byte], data: Array[Byte]*): Array[Byte] = {
+    val len = data.map(_.length).sum
+    val szb = ebmlSizeBytes(len.toLong)
+    val out = new Array[Byte](id.length + szb.length + len)
+    System.arraycopy(id, 0, out, 0, id.length)
+    System.arraycopy(szb, 0, out, id.length, szb.length)
+    var o = id.length + szb.length
+    data.foreach { d => System.arraycopy(d, 0, out, o, d.length); o += d.length }
+    out
+  }
+  private def ebmlUint(id: Long, v: Long): Array[Byte] = {
+    var w = 1
+    while ((v >>> (8 * w)) != 0) w += 1
+    ebmlElem(ebmlIdBytes(id),
+      Array.tabulate(w)(i => ((v >>> (8 * (w - 1 - i))) & 0xff).toByte))
+  }
+  private def ebmlStr(id: Long, s: String): Array[Byte] =
+    ebmlElem(ebmlIdBytes(id), s.getBytes("US-ASCII"))
+  private def ebmlFloat(id: Long, f: Float): Array[Byte] =
+    ebmlElem(ebmlIdBytes(id), beBytes(Seq(java.lang.Float.floatToIntBits(f))))
+
+  /** Deterministic synthetic Matroska for doc `id` — the EBML analog of
+    * [[syntheticAvi]]/[[syntheticMp4]]: MJPEG video (one JPEG block per
+    * frame via the SHARED [[mjpegFrame]] encoder, so the same (id, f)
+    * is byte-identical across all three containers) plus an optional
+    * PCM16 mono 8 kHz "A_PCM/INT/LIT" track whose samples follow the
+    * exact [[syntheticAvi]] `audioId` formula. Frames split across two
+    * Clusters (and the PCM across two blocks, one per cluster) to
+    * exercise cluster iteration and the concatenating audio walk.
+    * `vfw` muxes the video track as "V_MS/VFW/FOURCC" + CodecPrivate
+    * BITMAPINFOHEADER — the compatibility form real AVI→MKV remuxes
+    * emit; `blockGroup` wraps frames in BlockGroup>Block instead of
+    * SimpleBlock (the pre-v2 form); `unknownSize` writes the Segment
+    * with the reserved all-ones size — the live-streaming mux where
+    * the muxer cannot know the length ahead. `subsId`/`subsCues` add
+    * an "S_TEXT/UTF8" subtitle track whose cue text is an integer
+    * formula of (subsId, cue index) — SQL-replayable, the audio
+    * contract applied to text. `frameOffset` / `intro` / `delta`
+    * mirror the AVI generator's trim / shared-title / re-level edit
+    * fixtures. */
+  def syntheticMkv(id: Long, nFrames: Int, w: Int = 16, h: Int = 16,
+      delta: Int = 0, global0: Boolean = false, intro: Int = 0,
+      frameOffset: Int = 0, audioId: Long = -1L, audioSamples: Int = 0,
+      vfw: Boolean = false, blockGroup: Boolean = false,
+      unknownSize: Boolean = false,
+      subsId: Long = -1L, subsCues: Int = 0): Array[Byte] = {
+    require(nFrames >= 1, "nFrames must be >= 1")
+    val frames = (0 until nFrames).map { f0 =>
+      val f = f0 + frameOffset
+      val fid = if (f < intro) 999999937L else id
+      mjpegFrame(fid, f, w, h, delta, global0)
+    }
+    val header = ebmlElem(ebmlIdBytes(0x1A45DFA3L),
+      ebmlUint(0x4286, 1), ebmlUint(0x42F7, 1),
+      ebmlUint(0x42F2, 4), ebmlUint(0x42F3, 8),
+      ebmlStr(0x4282, "matroska"),
+      ebmlUint(0x4287, 2), ebmlUint(0x4285, 2))
+    val info = ebmlElem(ebmlIdBytes(0x1549A966L),
+      ebmlUint(0x2AD7B1, 1000000))
+    val vcodec =
+      if (vfw) ebmlStr(0x86, "V_MS/VFW/FOURCC") ++
+        // the AVI strf BITMAPINFOHEADER verbatim: biCompression 'MJPG'
+        ebmlElem(ebmlIdBytes(0x63A2), leBytes(Seq(
+          40, w, h, 1 | (24 << 16), 0x47504A4D, 0, 0, 0, 0, 0)))
+      else ebmlStr(0x86, "V_MJPEG")
+    val videoTrack = ebmlElem(ebmlIdBytes(0xAE),
+      ebmlUint(0xD7, 1), ebmlUint(0x73C5, 1), ebmlUint(0x83, 1), vcodec)
+    val audioTrack =
+      if (audioSamples <= 0) Array.emptyByteArray
+      else ebmlElem(ebmlIdBytes(0xAE),
+        ebmlUint(0xD7, 2), ebmlUint(0x73C5, 2), ebmlUint(0x83, 2),
+        ebmlStr(0x86, "A_PCM/INT/LIT"),
+        ebmlElem(ebmlIdBytes(0xE1), ebmlFloat(0xB5, 8000f),
+          ebmlUint(0x9F, 1), ebmlUint(0x6264, 16)))
+    val subsTrack =
+      if (subsCues <= 0) Array.emptyByteArray
+      else ebmlElem(ebmlIdBytes(0xAE),
+        ebmlUint(0xD7, 3), ebmlUint(0x73C5, 3), ebmlUint(0x83, 0x11),
+        ebmlStr(0x86, "S_TEXT/UTF8"))
+    val tracksEl = ebmlElem(ebmlIdBytes(0x1654AE6BL),
+      videoTrack, audioTrack, subsTrack)
+    def block(track: Int, rel: Int, data: Array[Byte]): Array[Byte] = {
+      val hdr = Array[Byte]((0x80 | track).toByte,
+        ((rel >> 8) & 0xff).toByte, (rel & 0xff).toByte,
+        (if (blockGroup) 0x00 else 0x80).toByte) // keyframe bit: SB only
+      if (blockGroup)
+        ebmlElem(ebmlIdBytes(0xA0), ebmlElem(ebmlIdBytes(0xA1), hdr ++ data))
+      else ebmlElem(ebmlIdBytes(0xA3), hdr ++ data)
+    }
+    val pcm =
+      if (audioSamples <= 0) Array.emptyByteArray
+      else {
+        val b = new Array[Byte](audioSamples * 2)
+        var n = 0
+        while (n < audioSamples) {
+          val s = (((audioId * 40503L + 12289L) * (n + 7L) * (n + 13L))
+            % 65536L - 32768L).toInt
+          b(2 * n) = (s & 0xff).toByte
+          b(2 * n + 1) = ((s >> 8) & 0xff).toByte
+          n += 1
+        }
+        b
+      }
+    // subtitle cues: deterministic integer-derived text (so an oracle
+    // regenerates it in SQL — the syntheticWavTex contract for text)
+    val cues = (0 until subsCues).map(i =>
+      s"c${(subsId * 40503L + i * 127L) % 9973L}"
+        .getBytes("UTF-8"))
+    val half = (audioSamples / 2) * 2 // split on a sample boundary
+    val mid = (nFrames + 1) / 2
+    val cueMid = (subsCues + 1) / 2
+    def clusterBlocks(fs: Seq[Array[Byte]], firstIdx: Int,
+        audio: Array[Byte], cs: Seq[Array[Byte]]): Array[Byte] = {
+      val vb = fs.zipWithIndex.map { case (d, i) => block(1, firstIdx + i, d) }
+      val ab = if (audio.isEmpty) Seq.empty else Seq(block(2, 0, audio))
+      val sb = cs.zipWithIndex.map { case (d, i) => block(3, i, d) }
+      (vb ++ ab ++ sb).foldLeft(Array.emptyByteArray)(_ ++ _)
+    }
+    val c1 = ebmlElem(ebmlIdBytes(0x1F43B675L), ebmlUint(0xE7, 0),
+      clusterBlocks(frames.take(mid), 0,
+        if (pcm.isEmpty) pcm else java.util.Arrays.copyOfRange(pcm, 0, half),
+        cues.take(cueMid)))
+    val c2 =
+      if (nFrames <= mid && pcm.length <= half && subsCues <= cueMid)
+        Array.emptyByteArray
+      else ebmlElem(ebmlIdBytes(0x1F43B675L), ebmlUint(0xE7, mid * 40),
+        clusterBlocks(frames.drop(mid), mid,
+          if (pcm.isEmpty) pcm
+          else java.util.Arrays.copyOfRange(pcm, half, pcm.length),
+          cues.drop(cueMid)))
+    val segBody = Array(info, tracksEl, c1, c2)
+      .foldLeft(Array.emptyByteArray)(_ ++ _)
+    val segment =
+      if (unknownSize)
+        // Segment with the reserved all-ones 1-byte size: the live mux
+        ebmlIdBytes(0x18538067L) ++ Array(0xff.toByte) ++ segBody
+      else ebmlElem(ebmlIdBytes(0x18538067L), segBody)
+    header ++ segment
+  }
 
   case class VideoFrameHash(doc_id: Long, frame_idx: Int, ph: Long)
 
@@ -2011,5 +2403,46 @@ object Multimodal {
         round(col("c").cast("double") / least(col("na"), col("nb")), 6)
           .as("match_frac"))
       .filter(col("match_frac") >= minMatch)
+  }
+
+  /** JOINT audio+video near-dup verdict over a video corpus — the
+    * fusion tier above the single-modality ladders: pair evidence from
+    * the FRAME tier ([[videoNearDupPairs]] — aligned pHash agreement)
+    * and the AUDIO-TRACK tier ([[audioLandmarkPairs]] over
+    * [[videoAudioTracks]] — positionless landmark agreement on the
+    * extracted PCM) full-outer-joins into one row per candidate pair:
+    * (doc_a, doc_b, frame_frac, audio_frac, verdict) with verdict
+    *  - "reupload"   — both tiers agree: the true re-upload
+    *  - "same_video" — frames match, audio does not (re-dub / music
+    *                   swap / silenced copy)
+    *  - "same_audio" — audio matches, frames do not (reaction video /
+    *                   reposted clip / slideshow over the same track).
+    * A pair neither tier surfaces never materializes — the fusion is
+    * a join of two already-capped candidate sets, not a cross product.
+    *
+    * Scale shape: each tier keeps its own skew caps and decode-once
+    * materialization; payloads are walked twice (frame slice + audio
+    * slice) but the expensive JPEG decode happens only in the frame
+    * tier and only for sampled frames — the audio walk is pointer
+    * arithmetic plus PCM copy. The final join is pair-keyed (both
+    * sides already aggregated to pairs), broadcast-sized in practice
+    * since both tiers emit above-threshold candidates only. */
+  def videoJointNearDup(media: DataFrame, every: Int = 2,
+      minFrame: Double = 0.8, minAudio: Double = 0.6,
+      maxDf: Int = 0)(implicit s: SparkSession): DataFrame = {
+    val frames = videoNearDupPairs(media, every = every,
+        minMatch = minFrame, maxDf = maxDf)
+      .withColumnRenamed("match_frac", "frame_frac")
+    val audio = audioLandmarkPairs(videoAudioTracks(media),
+        minMatch = minAudio, maxDf = maxDf)
+      .withColumnRenamed("match_frac", "audio_frac")
+    frames.join(audio, Seq("doc_a", "doc_b"), "full_outer")
+      .select(col("doc_a"), col("doc_b"),
+        coalesce(col("frame_frac"), lit(0.0)).as("frame_frac"),
+        coalesce(col("audio_frac"), lit(0.0)).as("audio_frac"),
+        when(col("frame_frac").isNotNull && col("audio_frac").isNotNull,
+            lit("reupload"))
+          .when(col("frame_frac").isNotNull, lit("same_video"))
+          .otherwise(lit("same_audio")).as("verdict"))
   }
 }

@@ -665,6 +665,96 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // MATROSKA (EBML) container decode, cross-container: the same
+    // frame stream muxed RIFF/AVI (MJPEG) and Matroska — the shared
+    // JPEG encode makes the block bytes identical, so the aligned tier
+    // must score every pair 1.0. The MKV legs rotate per id: VfW
+    // compatibility codec (CodecPrivate BITMAPINFOHEADER), BlockGroup
+    // vs SimpleBlock, and the unknown-size live-streaming Segment —
+    // between them the walk's three structural variants all sit under
+    // the one gate. Pinned golden (JDK JPEG codec leg, the m83/m90
+    // precedent).
+    "m93_mkv_crossdedup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val mk = udf((id: Long) =>
+        if (id < 20) Multimodal.syntheticAvi(id, (6 + id % 3).toInt, mjpeg = true)
+        else Multimodal.syntheticMkv(id - 20, (6 + (id - 20) % 3).toInt,
+          vfw = id % 2 == 0, blockGroup = id % 3 == 0,
+          unknownSize = id % 2 == 1))
+      val media = s.range(0, 8).union(s.range(20, 28))
+        .select(col("id").as("doc_id"), mk(col("id")).as("payload"))
+      Multimodal.videoNearDupPairs(media)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // MATROSKA → AUDIO extraction dedup (the m88/m91 gate at the EBML
+    // mux): 10 MKVs whose "A_PCM/INT/LIT" track id is doc_id % 5 — the
+    // same PCM under different frame streams; extraction concatenates
+    // the track's blocks across clusters and the m80 landmark tier
+    // finds the plants. Integer arithmetic end to end, so the oracle
+    // regenerates the samples and replays the landmark match in SQL.
+    "m94_mkv_audio_dedup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val mkv = udf((id: Long) =>
+        Multimodal.syntheticMkv(id, (4 + id % 3).toInt,
+          audioId = id % 5, audioSamples = (320 + (id % 5) * 64).toInt,
+          blockGroup = id % 4 == 3))
+      val media = s.range(0, 10)
+        .select(col("id").as("doc_id"), mkv(col("id")).as("payload"))
+      Multimodal.audioLandmarkPairs(Multimodal.videoAudioTracks(media))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // JOINT audio+video fusion verdict (the tier above m82/m88): one
+    // corpus, three planted re-upload shapes — (0,20) same frames AND
+    // same audio muxed MKV ("reupload"), (1,21) same audio under a
+    // different frame stream muxed MP4 ("same_audio" — the reaction
+    // video), (2,22) same frames under a different audio track
+    // ("same_video" — the re-dub); 23 is unrelated and must not pair.
+    // Cross-container by construction: AVI corpus, MKV/MP4 re-uploads.
+    // Pinned golden (JDK JPEG codec leg in the frame tier).
+    "m95_video_joint" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val mk = udf((id: Long) => id match {
+        case 20L => Multimodal.syntheticMkv(0L, 6, audioId = 0L,
+          audioSamples = 320)
+        case 21L => Multimodal.syntheticMp4(21L, 7, audioId = 1L,
+          audioSamples = 384)
+        case 22L => Multimodal.syntheticMkv(2L, 8, audioId = 99L,
+          audioSamples = 320)
+        case 23L => Multimodal.syntheticAvi(23L, 6, mjpeg = true,
+          audioId = 98L, audioSamples = 320)
+        case i => Multimodal.syntheticAvi(i, (6 + i % 3).toInt,
+          mjpeg = true, audioId = i, audioSamples = (320 + (i % 4) * 64).toInt)
+      })
+      val media = s.range(0, 4).union(s.range(20, 24))
+        .select(col("id").as("doc_id"), mk(col("id")).as("payload"))
+      Multimodal.videoJointNearDup(media)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // SUBTITLE-track extraction dedup — the video→TEXT bridge (the
+    // m88/m91/m94 extraction pattern, third modality): 10 MKVs whose
+    // "S_TEXT/UTF8" cue stream id is doc_id % 5; extraction
+    // concatenates the track's cues across clusters and plain exact
+    // text dedup (md5 self-join) finds the same-subtitle re-uploads.
+    // The cue text is an integer formula, so the oracle regenerates it
+    // with string_agg and replays the match in SQL.
+    "m96_subtitle_dedup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val mkv = udf((id: Long) =>
+        Multimodal.syntheticMkv(id, (4 + id % 3).toInt,
+          subsId = id % 5, subsCues = (6 + id % 5).toInt))
+      val media = s.range(0, 10)
+        .select(col("id").as("doc_id"), mkv(col("id")).as("payload"))
+      val t = Multimodal.videoSubtitleTexts(media)
+        .select(col("doc_id"), md5(col("text")).as("h"))
+      t.as("a").join(t.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Incremental AUDIO dedup vs a persisted fingerprint index (the
     // t69/s56/m85 contract, audio-side): index 20 textured WAVs once,
     // screen 20 re-leveled re-uploads against it — integer arithmetic
@@ -1582,5 +1672,30 @@ object StreamingOps extends QueryPack {
         SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
           md5(substr(text, CAST(fi*16+1 AS INTEGER), 16)) AS frame_hash
         FROM f ORDER BY doc_id, frame_idx"""
-  )
+    ,
+    // regenerates the subtitle cue text from its integer formula
+    // (subsId = doc_id % 5, cues = 6 + doc_id % 5, cue i =
+    // 'c' || (sid*40503 + i*127) % 9973 joined by \n) and replays the
+    // exact-text match — same-text pairs across different videos
+    "m96_subtitle_dedup" ->
+      """WITH ids AS (SELECT unnest(range(0, 10)) AS doc_id),
+        params AS (SELECT doc_id, doc_id % 5 AS sid,
+            6 + doc_id % 5 AS n FROM ids),
+        cues AS (SELECT doc_id, u.i,
+            'c' || CAST((sid * 40503 + u.i * 127) % 9973 AS VARCHAR) AS cue
+          FROM params, LATERAL (SELECT unnest(range(0, n)) AS i) u(i)),
+        texts AS (SELECT doc_id,
+            string_agg(cue, chr(10) ORDER BY i) AS text
+          FROM cues GROUP BY doc_id)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM texts a JOIN texts b
+          ON a.text = b.text AND a.doc_id < b.doc_id
+        ORDER BY doc_a, doc_b"""
+  ) match {
+    // m94 replays the m91 arithmetic verbatim: same 10-doc id space,
+    // same `doc_id % 5` audio-id formula — only the extraction
+    // container changed (EBML blocks instead of MP4 sample tables),
+    // which the SQL replay never sees
+    case m => m + ("m94_mkv_audio_dedup" -> m("m91_mp4_audio_dedup"))
+  }
 }

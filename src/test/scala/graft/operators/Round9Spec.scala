@@ -433,11 +433,122 @@ class Round9Spec extends AnyFunSuite with BeforeAndAfterAll {
     val planted = (0L until 4L).map(i => (i, i + 20, 1.0)).toSet
     assert(pairs == planted, s"expected $planted, got $pairs")
   }
+
+  test("mkvFrames/mkvAudioWav equal the AVI mux of the same content byte-for-byte") {
+    for (id <- 0L to 2L; vfw <- Seq(false, true); bg <- Seq(false, true)) {
+      val n = (4 + id % 3).toInt
+      val avi = Multimodal.syntheticAvi(id, n, mjpeg = true,
+        audioId = id % 2, audioSamples = 320)
+      val mkv = Multimodal.syntheticMkv(id, n,
+        audioId = id % 2, audioSamples = 320, vfw = vfw, blockGroup = bg)
+      val fa = Multimodal.aviFrames(avi).get
+      val fm = Multimodal.mkvFrames(mkv).get
+      assert(fm.size == n && fa.size == n)
+      fm.zip(fa).foreach { case (m, a) =>
+        assert(java.util.Arrays.equals(m, a),
+          s"frame bytes diverge (id=$id vfw=$vfw bg=$bg)") }
+      val wa = Multimodal.aviAudioWav(avi).get
+      val wm = Multimodal.mkvAudioWav(mkv).get
+      assert(java.util.Arrays.equals(wm, wa),
+        s"extracted WAV diverges (id=$id vfw=$vfw bg=$bg)")
+    }
+    // no audio track -> None; frames unaffected
+    assert(Multimodal.mkvAudioWav(Multimodal.syntheticMkv(1L, 4)).isEmpty)
+    assert(Multimodal.mkvFrames(Multimodal.syntheticMkv(1L, 4)).get.size == 4)
+  }
+
+  test("mkv unknown-size Segment (live-stream mux) walks identically") {
+    for (id <- 0L to 2L) {
+      val n = (5 + id % 2).toInt
+      val sized = Multimodal.mkvFrames(Multimodal.syntheticMkv(id, n)).get
+      val live = Multimodal.mkvFrames(
+        Multimodal.syntheticMkv(id, n, unknownSize = true)).get
+      assert(live.size == n)
+      live.zip(sized).foreach { case (a, b) =>
+        assert(java.util.Arrays.equals(a, b),
+          "unknown-size Segment must yield the same blocks") }
+    }
+  }
+
+  test("mkv walk degrades gracefully on damage and unknown codecs") {
+    val mkv = Multimodal.syntheticMkv(2L, 6)
+    val frames = Multimodal.mkvFrames(mkv).get
+    // truncation mid-cluster: blocks before the cut still return
+    val cut = java.util.Arrays.copyOfRange(mkv, 0, mkv.length - 10)
+    val partial = Multimodal.mkvFrames(cut).get
+    assert(partial.nonEmpty && partial.size < frames.size,
+      s"expected a proper prefix, got ${partial.size}/${frames.size}")
+    partial.zip(frames).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a, b), "surviving frames must be a prefix") }
+    // unknown (real-WebM) video codec: walk fine, no decodable frames
+    val patched = mkv.clone()
+    val at = patched.indexOfSlice("V_MJPEG".getBytes("US-ASCII"))
+    assert(at > 0)
+    "V_VP9  ".getBytes("US-ASCII").copyToArray(patched, at)
+    assert(Multimodal.mkvFrames(patched).exists(_.isEmpty))
+    // VfW mux whose BITMAPINFOHEADER is NOT MJPEG: undecodable too
+    val vfw = Multimodal.syntheticMkv(2L, 3, vfw = true)
+    val vp = vfw.clone()
+    val cp = vp.indexOfSlice(Array[Byte]('M', 'J', 'P', 'G'))
+    assert(cp > 0)
+    vp(cp) = 'X'
+    assert(Multimodal.mkvFrames(vp).exists(_.isEmpty))
+    // non-EBML payloads are None, not empty (the dispatch contract)
+    assert(Multimodal.mkvFrames("not a container".getBytes).isEmpty)
+    assert(Multimodal.mkvFrames(Multimodal.syntheticAvi(2L, 3)).isEmpty)
+    // and containerFrames dispatches all three muxes
+    assert(Multimodal.containerFrames(mkv).get.size == 6)
+    assert(Multimodal.containerFrames(
+      Multimodal.syntheticMp4(2L, 5)).get.size == 5)
+    assert(Multimodal.containerFrames(
+      Multimodal.syntheticAvi(2L, 3)).get.size == 3)
+  }
+
+  test("mkv subtitle track extracts newline-joined cues alongside video+audio") {
+    val mkv = Multimodal.syntheticMkv(4L, 5, audioId = 1L,
+      audioSamples = 320, subsId = 7L, subsCues = 4)
+    val expected = (0 until 4)
+      .map(i => s"c${(7L * 40503L + i * 127L) % 9973L}").mkString("\n")
+    assert(Multimodal.mkvSubtitleText(mkv).contains(expected))
+    // the other two tracks are unaffected by the third
+    assert(Multimodal.mkvFrames(mkv).get.size == 5)
+    assert(Multimodal.mkvAudioWav(mkv).nonEmpty)
+    // no subtitle track -> None; non-MKV containers -> None
+    assert(Multimodal.mkvSubtitleText(Multimodal.syntheticMkv(4L, 3)).isEmpty)
+    assert(Multimodal.mkvSubtitleText(Multimodal.syntheticAvi(4L, 3)).isEmpty)
+  }
+
+  test("joint audio+video fusion classifies reupload / same_audio / same_video") {
+    import spark.implicits._
+    implicit val sp: SparkSession = spark
+    val mk = udf(Round9Fixtures.jointFixture _)
+    val media = spark.range(0, 4).union(spark.range(20, 24))
+      .select(col("id").as("doc_id"), mk(col("id")).as("payload"))
+    val out = Multimodal.videoJointNearDup(media)
+      .select($"doc_a", $"doc_b", $"verdict").as[(Long, Long, String)]
+      .collect().toSet
+    assert(out == Set((0L, 20L, "reupload"), (1L, 21L, "same_audio"),
+      (2L, 22L, "same_video")), s"got $out")
+  }
 }
 
 /** Serializable fixture generators (UDF closures must not capture the
   * suite — it holds the SparkSession). */
 object Round9Fixtures {
+
+  /** The m95 fixture: AVI corpus 0-3 (own audio each), re-uploads
+    * 20-23 planted as the three fusion shapes — 20 = frames+audio of 0
+    * muxed MKV, 21 = audio of 1 under other frames muxed MP4, 22 =
+    * frames of 2 under other audio, 23 unrelated. */
+  def jointFixture(id: Long): Array[Byte] = id match {
+    case 20L => Multimodal.syntheticMkv(0L, 6, audioId = 0L, audioSamples = 320)
+    case 21L => Multimodal.syntheticMp4(21L, 7, audioId = 1L, audioSamples = 384)
+    case 22L => Multimodal.syntheticMkv(2L, 8, audioId = 99L, audioSamples = 320)
+    case 23L => Multimodal.syntheticAvi(23L, 6, mjpeg = true,
+      audioId = 98L, audioSamples = 320)
+    case i => Multimodal.syntheticAvi(i, (6 + i % 3).toInt, mjpeg = true,
+      audioId = i, audioSamples = (320 + (i % 4) * 64).toInt)
+  }
 
   /** Constant-color PNG: every AC coefficient is 0, so pHash == 0
     * regardless of the gray level — the universal hot bucket (blank
