@@ -2076,7 +2076,8 @@ object Multimodal {
       frameOffset: Int = 0, audioId: Long = -1L, audioSamples: Int = 0,
       vfw: Boolean = false, blockGroup: Boolean = false,
       unknownSize: Boolean = false,
-      subsId: Long = -1L, subsCues: Int = 0): Array[Byte] = {
+      subsId: Long = -1L, subsCues: Int = 0,
+      cueLines: Seq[String] = null): Array[Byte] = {
     require(nFrames >= 1, "nFrames must be >= 1")
     val frames = (0 until nFrames).map { f0 =>
       val f = f0 + frameOffset
@@ -2105,8 +2106,15 @@ object Multimodal {
         ebmlStr(0x86, "A_PCM/INT/LIT"),
         ebmlElem(ebmlIdBytes(0xE1), ebmlFloat(0xB5, 8000f),
           ebmlUint(0x9F, 1), ebmlUint(0x6264, 16)))
+    // subtitle cues: explicit `cueLines` text, or the deterministic
+    // integer-derived form (so an oracle regenerates it in SQL — the
+    // syntheticWavTex contract applied to text)
+    val cues: Seq[Array[Byte]] =
+      if (cueLines != null) cueLines.filter(_.nonEmpty).map(_.getBytes("UTF-8"))
+      else (0 until subsCues).map(i =>
+        s"c${(subsId * 40503L + i * 127L) % 9973L}".getBytes("UTF-8"))
     val subsTrack =
-      if (subsCues <= 0) Array.emptyByteArray
+      if (cues.isEmpty) Array.emptyByteArray
       else ebmlElem(ebmlIdBytes(0xAE),
         ebmlUint(0xD7, 3), ebmlUint(0x73C5, 3), ebmlUint(0x83, 0x11),
         ebmlStr(0x86, "S_TEXT/UTF8"))
@@ -2134,14 +2142,9 @@ object Multimodal {
         }
         b
       }
-    // subtitle cues: deterministic integer-derived text (so an oracle
-    // regenerates it in SQL — the syntheticWavTex contract for text)
-    val cues = (0 until subsCues).map(i =>
-      s"c${(subsId * 40503L + i * 127L) % 9973L}"
-        .getBytes("UTF-8"))
     val half = (audioSamples / 2) * 2 // split on a sample boundary
     val mid = (nFrames + 1) / 2
-    val cueMid = (subsCues + 1) / 2
+    val cueMid = (cues.length + 1) / 2
     def clusterBlocks(fs: Seq[Array[Byte]], firstIdx: Int,
         audio: Array[Byte], cs: Seq[Array[Byte]]): Array[Byte] = {
       val vb = fs.zipWithIndex.map { case (d, i) => block(1, firstIdx + i, d) }
@@ -2154,7 +2157,7 @@ object Multimodal {
         if (pcm.isEmpty) pcm else java.util.Arrays.copyOfRange(pcm, 0, half),
         cues.take(cueMid)))
     val c2 =
-      if (nFrames <= mid && pcm.length <= half && subsCues <= cueMid)
+      if (nFrames <= mid && pcm.length <= half && cues.length <= cueMid)
         Array.emptyByteArray
       else ebmlElem(ebmlIdBytes(0x1F43B675L), ebmlUint(0xE7, mid * 40),
         clusterBlocks(frames.drop(mid), mid,

@@ -755,6 +755,94 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // STREAMING subtitle decontamination — the m97 check as a
+    // STREAM-STATIC equi-join, the Structured-Streaming-native
+    // decontamination form: media payloads arrive in micro-batches
+    // (batch a = 5 videos carrying docs 0-4 as cue tracks, batch b =
+    // docs 5-9 plus 5 formula decoys), the EBML walk + reassembly runs
+    // INSIDE the stream (mapPartitions on the streaming Dataset), and
+    // each batch joins the static `documents` corpus — no state needed,
+    // the static side is the membership set. Oracle = the documents
+    // self-join replay over the 10 planted ids.
+    "st76_stream_subtitle_decontam" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val name = "st76_out"
+      val staged = stagingDir("graft-stream-subs")
+      val docs = t(s, dir, "documents")
+      val mkDoc = udf((id: Long, text: String) =>
+        Multimodal.syntheticMkv(1000000L + id, 3,
+          cueLines = text.grouped(40).toSeq))
+      val mkDecoy = udf((id: Long) =>
+        Multimodal.syntheticMkv(id, 3, subsId = id, subsCues = 8))
+      def stage(fname: String, df: DataFrame, ageMs: Long): Unit = {
+        val tmp = staged.resolve(fname + ".tmp")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, staged.resolve(fname))
+        staged.resolve(fname).toFile.deleteOnExit()
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        java.nio.file.Files.setLastModifiedTime(staged.resolve(fname),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - ageMs))
+      }
+      stage("a.parquet", docs.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          mkDoc(col("doc_id"), col("text")).as("payload")), 120000L)
+      stage("b.parquet", docs.filter(col("doc_id") >= 5 && col("doc_id") < 10)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          mkDoc(col("doc_id"), col("text")).as("payload"))
+        .unionByName(s.range(2000000L, 2000005L)
+          .select(col("id").as("doc_id"), mkDecoy(col("id")).as("payload"))),
+        0L)
+      val mediaSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("payload", BinaryType)))
+      val stream = s.readStream.schema(mediaSchema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+      val subs = Multimodal.videoSubtitleTexts(stream)
+        .select(col("doc_id").as("video_id"),
+          regexp_replace(col("text"), "\n", "").as("probe"))
+      val hits = subs.join(docs.select(col("doc_id"), col("text")),
+          col("probe") === col("text"))
+        .select(col("video_id"), col("doc_id"))
+      val q = hits.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+      s.table(name).orderBy(col("video_id"), col("doc_id"))
+    }),
+
+    // SUBTITLE DECONTAMINATION against the REAL documents table — the
+    // eval-leak-through-captions check: 5 videos carry a corpus
+    // document as their subtitle track (text chunked into 40-char
+    // cues — the mux artifact), 5 carry unrelated formula cues. The
+    // pipeline must walk the EBML, extract and reassemble the cues,
+    // and land the match against `documents` — one wrong byte anywhere
+    // and the equality join misses. The oracle only replays the
+    // documents-side self-join (which docs < 5 share text with which),
+    // because reassembly-with-\n stripped is the identity on the
+    // newline-free corpus.
+    "m97_subtitle_decontam" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val docs = t(s, dir, "documents")
+      val mkDoc = udf((id: Long, text: String) =>
+        Multimodal.syntheticMkv(1000000L + id, 3,
+          cueLines = text.grouped(40).toSeq))
+      val mkDecoy = udf((id: Long) =>
+        Multimodal.syntheticMkv(id, 3, subsId = id, subsCues = 8))
+      val media = docs.filter(col("doc_id") < 5)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            mkDoc(col("doc_id"), col("text")).as("payload"))
+        .unionByName(s.range(2000000L, 2000005L)
+          .select(col("id").as("doc_id"), mkDecoy(col("id")).as("payload")))
+      val subs = Multimodal.videoSubtitleTexts(media)
+        .select(col("doc_id").as("video_id"),
+          regexp_replace(col("text"), "\n", "").as("probe"))
+      subs.join(docs.select(col("doc_id"), col("text")),
+          col("probe") === col("text"))
+        .select(col("video_id"), col("doc_id"))
+        .orderBy(col("video_id"), col("doc_id"))
+    }),
+
     // Incremental AUDIO dedup vs a persisted fingerprint index (the
     // t69/s56/m85 contract, audio-side): index 20 textured WAVs once,
     // screen 20 re-leveled re-uploads against it — integer arithmetic
@@ -1690,7 +1778,23 @@ object StreamingOps extends QueryPack {
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM texts a JOIN texts b
           ON a.text = b.text AND a.doc_id < b.doc_id
-        ORDER BY doc_a, doc_b"""
+        ORDER BY doc_a, doc_b""",
+    // the documents-side replay: which docs < 5 share text with which
+    // (cue chunking + reassembly is the identity on the newline-free
+    // corpus, so the video side contributes only its 1000000 offset);
+    // duplicate texts in the corpus legitimately yield extra rows
+    "m97_subtitle_decontam" ->
+      """SELECT 1000000 + a.doc_id AS video_id, b.doc_id AS doc_id
+        FROM documents a JOIN documents b ON a.text = b.text
+        WHERE a.doc_id < 5
+        ORDER BY video_id, doc_id""",
+    // the streaming form plants docs 0-9 (two micro-batches); the
+    // stream-static join sees exactly what the batch join would
+    "st76_stream_subtitle_decontam" ->
+      """SELECT 1000000 + a.doc_id AS video_id, b.doc_id AS doc_id
+        FROM documents a JOIN documents b ON a.text = b.text
+        WHERE a.doc_id < 10
+        ORDER BY video_id, doc_id"""
   ) match {
     // m94 replays the m91 arithmetic verbatim: same 10-doc id space,
     // same `doc_id % 5` audio-id formula — only the extraction

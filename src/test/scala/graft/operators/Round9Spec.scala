@@ -518,6 +518,18 @@ class Round9Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.mkvSubtitleText(Multimodal.syntheticAvi(4L, 3)).isEmpty)
   }
 
+  test("mkv explicit cueLines round-trip UTF-8 text exactly") {
+    val lines = Seq("héllo wörld", "日本語テスト", "plain ascii", "émoji ✓")
+    val mkv = Multimodal.syntheticMkv(1L, 3, cueLines = lines)
+    assert(Multimodal.mkvSubtitleText(mkv).contains(lines.mkString("\n")))
+    // empty lines are dropped (an empty block payload is not a cue)
+    val sparse = Multimodal.syntheticMkv(1L, 3, cueLines = Seq("a", "", "b"))
+    assert(Multimodal.mkvSubtitleText(sparse).contains("a\nb"))
+    // cueLines of only empties -> no subtitle track at all
+    assert(Multimodal.mkvSubtitleText(
+      Multimodal.syntheticMkv(1L, 3, cueLines = Seq("", ""))).isEmpty)
+  }
+
   test("joint audio+video fusion classifies reupload / same_audio / same_video") {
     import spark.implicits._
     implicit val sp: SparkSession = spark
