@@ -843,6 +843,38 @@ object StreamingOps extends QueryPack {
         .orderBy(col("video_id"), col("doc_id"))
     }),
 
+    // NEAR-DUP subtitle decontamination — the edited-caption leak m97's
+    // exact match cannot see: 5 videos carry a document's text PLUS a
+    // 5-word edit tail as word-grouped cues (6 words per cue, so
+    // space-rejoin reconstructs the edited text exactly), 5 carry
+    // formula decoys. The extracted captions probe the corpus through
+    // the t66 MinHash-LSH machinery (corpus bands x broadcast probe
+    // bands, candidate-scoped shingle verify) and must land above 0.5
+    // jaccard on their source docs; decoys must not. Oracle = the t66
+    // replay with the probe CTE applying the same edit in SQL.
+    "m98_subtitle_neardup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val mkDoc = udf((id: Long, text: String) =>
+        Multimodal.syntheticMkv(1000000L + id, 3,
+          cueLines = (text + " zz1 zz2 zz3 zz4 zz5").split(" ")
+            .grouped(6).map(_.mkString(" ")).toSeq))
+      val mkDecoy = udf((id: Long) =>
+        Multimodal.syntheticMkv(id, 3, subsId = id, subsCues = 8))
+      val media = docs.filter($"doc_id" < 5)
+          .select(($"doc_id" + 1000000L).as("doc_id"),
+            mkDoc($"doc_id", $"text").as("payload"))
+        .unionByName(s.range(2000000L, 2000005L)
+          .select($"id".as("doc_id"), mkDecoy($"id").as("payload")))
+      val probes = Multimodal.videoSubtitleTexts(media)
+        .select($"doc_id".as("probe_id"),
+          regexp_replace($"text", "\n", " ").as("text"))
+      graft.operators.TextDedup.crossNearDupPairs(
+          docs, "doc_id", "text", probes, "probe_id", "text", 0.5)
+        .orderBy($"doc_id", $"probe_id")
+    }),
+
     // Incremental AUDIO dedup vs a persisted fingerprint index (the
     // t69/s56/m85 contract, audio-side): index 20 textured WAVs once,
     // screen 20 re-leveled re-uploads against it — integer arithmetic
@@ -1794,7 +1826,48 @@ object StreamingOps extends QueryPack {
       """SELECT 1000000 + a.doc_id AS video_id, b.doc_id AS doc_id
         FROM documents a JOIN documents b ON a.text = b.text
         WHERE a.doc_id < 10
-        ORDER BY video_id, doc_id"""
+        ORDER BY video_id, doc_id""",
+    // the t66 MinHash replay with the probe CTE applying the same
+    // 5-word edit tail the cue track carries (word-grouped cues
+    // space-rejoin to exactly this string); decoy formula cues never
+    // band-match and need no CTE
+    "m98_subtitle_neardup" ->
+      """WITH probes AS (SELECT 1000000 + doc_id AS doc_id,
+            text || ' zz1 zz2 zz3 zz4 zz5' AS text
+          FROM documents WHERE doc_id < 5),
+        wc AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        wp AS (SELECT doc_id, string_split(text, ' ') AS w FROM probes),
+        shc AS (SELECT doc_id, list_transform(range(1, greatest(len(w)-2,0)+1),
+          i -> w[i]||' '||w[i+1]||' '||w[i+2]) AS shingles FROM wc),
+        shp AS (SELECT doc_id, list_transform(range(1, greatest(len(w)-2,0)+1),
+          i -> w[i]||' '||w[i+1]||' '||w[i+2]) AS shingles FROM wp),
+        sigc AS (SELECT doc_id, list_transform(range(0,16),
+          i -> list_aggregate(list_transform(shingles,
+            s -> md5(CAST(i AS VARCHAR)||':'||s)), 'min')) AS sig FROM shc),
+        sigp AS (SELECT doc_id, list_transform(range(0,16),
+          i -> list_aggregate(list_transform(shingles,
+            s -> md5(CAST(i AS VARCHAR)||':'||s)), 'min')) AS sig FROM shp),
+        bc AS (SELECT doc_id, b, md5(sig[b*2+1]||'|'||sig[b*2+2]) AS band_key
+          FROM sigc, range(0,8) t(b)),
+        bp AS (SELECT doc_id, b, md5(sig[b*2+1]||'|'||sig[b*2+2]) AS band_key
+          FROM sigp, range(0,8) t(b)),
+        cand AS (SELECT DISTINCT c.doc_id AS doc_a, p.doc_id AS doc_b
+          FROM bc c JOIN bp p ON c.b = p.b AND c.band_key = p.band_key),
+        dc AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM shc),
+        dp AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM shp),
+        sa AS (SELECT doc_id, COUNT(*) AS n FROM dc GROUP BY doc_id),
+        sb AS (SELECT doc_id, COUNT(*) AS n FROM dp GROUP BY doc_id),
+        common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+          FROM dc a JOIN dp b ON a.shingle = b.shingle
+          GROUP BY a.doc_id, b.doc_id),
+        jac AS (SELECT common.doc_a, common.doc_b,
+            CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+          FROM common
+          JOIN cand ON common.doc_a = cand.doc_a AND common.doc_b = cand.doc_b
+          JOIN sa ON common.doc_a = sa.doc_id
+          JOIN sb ON common.doc_b = sb.doc_id)
+        SELECT doc_a AS doc_id, doc_b AS probe_id, jaccard FROM jac
+        WHERE jaccard >= 0.5 ORDER BY doc_id, probe_id"""
   ) match {
     // m94 replays the m91 arithmetic verbatim: same 10-doc id space,
     // same `doc_id % 5` audio-id formula — only the extraction
