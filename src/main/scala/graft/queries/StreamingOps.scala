@@ -755,6 +755,95 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // STREAMING joint audio+video fusion (the m95 verdict in the
+    // streaming matrix): the same corpus/re-upload fixture arrives in
+    // two micro-batches; the FRAME tier (video landmark state) and the
+    // AUDIO tier (landmark state over tracks extracted INSIDE the
+    // stream) each run as a streaming query over the same staged
+    // files, and the fusion classification joins the two sinks in the
+    // batch scoring pass — the st73 "score over the sink" contract
+    // applied to two tiers at once. Pinned golden (JDK JPEG codec leg
+    // in the frame tier).
+    "st77_stream_video_joint" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val staged = stagingDir("graft-stream-joint")
+      val mk = udf((id: Long) => id match {
+        case 20L => Multimodal.syntheticMkv(0L, 6, audioId = 0L,
+          audioSamples = 320)
+        case 21L => Multimodal.syntheticMp4(21L, 7, audioId = 1L,
+          audioSamples = 384)
+        case 22L => Multimodal.syntheticMkv(2L, 8, audioId = 99L,
+          audioSamples = 320)
+        case 23L => Multimodal.syntheticAvi(23L, 6, mjpeg = true,
+          audioId = 98L, audioSamples = 320)
+        case i => Multimodal.syntheticAvi(i, (6 + i % 3).toInt,
+          mjpeg = true, audioId = i,
+          audioSamples = (320 + (i % 4) * 64).toInt)
+      })
+      def stageBatch(ids: DataFrame, fname: String, ageMs: Long): Unit = {
+        val tmp = staged.resolve(fname + ".tmp")
+        ids.select(col("doc_id"), mk(col("doc_id")).as("payload"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, staged.resolve(fname))
+        staged.resolve(fname).toFile.deleteOnExit()
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        java.nio.file.Files.setLastModifiedTime(staged.resolve(fname),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - ageMs))
+      }
+      stageBatch(s.range(0, 4).select(col("id").as("doc_id")),
+        "a.parquet", 120000L)
+      stageBatch(s.range(20, 24).select(col("id").as("doc_id")),
+        "b.parquet", 0L)
+      val mediaSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("payload", BinaryType)))
+      def freshStream = s.readStream.schema(mediaSchema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+        .repartition(col("doc_id"))
+      val qv = graft.operators.StreamingNearDup.videoLandmarkVerdicts(
+          freshStream, "doc_id", "payload")
+        .toDF().writeStream.outputMode("append")
+        .format("memory").queryName("st77_v").start()
+      try { qv.processAllAvailable() } finally qv.stop()
+      val qa = graft.operators.StreamingNearDup.audioLandmarkVerdicts(
+          Multimodal.videoAudioTracks(freshStream), "doc_id", "payload")
+        .toDF().writeStream.outputMode("append")
+        .format("memory").queryName("st77_a").start()
+      try { qa.processAllAvailable() } finally qa.stop()
+      // per-tier scoring over its sink (the st74/st75 form), then fuse
+      def dupOf(name: String): DataFrame = {
+        val nl = s.table(name).groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("nl"))
+        val nlSrc = s.table(name).select(col("doc_id").as("src_id"))
+          .groupBy(col("src_id")).agg(count(lit(1)).as("nl_src"))
+        s.table(name)
+          .select(col("doc_id").as("d"), explode(col("hits")).as("src"))
+          .groupBy(col("d"), col("src")).agg(count(lit(1)).as("c"))
+          .join(nl, col("d") === nl("doc_id")).drop("doc_id")
+          .join(nlSrc, col("src") === col("src_id"))
+          .filter(col("c").cast("double") / least(col("nl"), col("nl_src"))
+            >= 0.6)
+          .groupBy(col("d")).agg(min(col("src")).as("dup_src"))
+      }
+      val ids = s.range(0, 4).union(s.range(20, 24))
+        .select(col("id").as("doc_id"))
+      val v = dupOf("st77_v")
+        .select(col("d").as("doc_id"), col("dup_src").as("video_src"))
+      val a = dupOf("st77_a")
+        .select(col("d").as("doc_id"), col("dup_src").as("audio_src"))
+      ids.join(v, Seq("doc_id"), "left").join(a, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("video_src").isNotNull && col("audio_src").isNotNull,
+              lit("reupload"))
+            .when(col("audio_src").isNotNull, lit("same_audio"))
+            .when(col("video_src").isNotNull, lit("same_video"))
+            .otherwise(lit("kept")).as("verdict"),
+          col("video_src"), col("audio_src"))
+        .orderBy(col("doc_id"))
+    }),
+
     // STREAMING subtitle decontamination — the m97 check as a
     // STREAM-STATIC equi-join, the Structured-Streaming-native
     // decontamination form: media payloads arrive in micro-batches

@@ -28,8 +28,13 @@ object GrowthBench {
     "t57_bigram_lm", "t59_token_budget", "t60_bm25", "t61_paragraph_dedup",
     "t64_bpe_merges", "t65_bpe_encode", "t66_cross_neardup",
     "t67_char_entropy", "t68_bpe_batched", "t69_index_dedup",
+    "t71_bpe_vocab4k", "t72_index_append",
     "s46_cosine_dup_lsh", "s49_embed_curate",
-    "s54_diversity_select", "s56_index_dedup")
+    "s54_diversity_select", "s56_index_dedup",
+    // corpus-proportional legs of the round-9 subtitle bridge: the
+    // probe side is fixture-sized, the documents side (bands, shingle
+    // verify, equality join) grows with the corpus
+    "m97_subtitle_decontam", "m98_subtitle_neardup")
 
   private def r3(d: Double): Double = math.rint(d * 1000) / 1000
 
