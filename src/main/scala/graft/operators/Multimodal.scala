@@ -1030,7 +1030,8 @@ object Multimodal {
       def isFrameId(id: String, suffix: String): Boolean =
         id.length == 4 && id(0).isDigit && id(1).isDigit &&
           id.substring(2) == suffix
-      def walk(from: Int, to: Int): Unit = {
+      def walk(from: Int, to: Int, depth: Int = 0): Unit = {
+        if (depth > 32) return // crafted deep nesting must not blow the stack
         var off = from
         var ok = true
         while (ok && off + 8 <= to) {
@@ -1044,7 +1045,7 @@ object Multimodal {
           // the damage still return
           if (size < 0 || data.toLong + size > to) ok = false
           else {
-            if (id == "LIST" && size >= 4) walk(data + 4, data + size)
+            if (id == "LIST" && size >= 4) walk(data + 4, data + size, depth + 1)
             else if (id == "strf" && strf == null)
               strf = java.util.Arrays.copyOfRange(payload, data, data + size)
             else if (isFrameId(id, "dc") && size > 0)
@@ -1091,7 +1092,8 @@ object Multimodal {
       var fmt: Array[Byte] = null
       var pendingType: String = null
       val pcm = new java.io.ByteArrayOutputStream()
-      def walk(from: Int, to: Int): Unit = {
+      def walk(from: Int, to: Int, depth: Int = 0): Unit = {
+        if (depth > 32) return // crafted deep nesting must not blow the stack
         var off = from
         var ok = true
         while (ok && off + 8 <= to) {
@@ -1102,7 +1104,7 @@ object Multimodal {
           else {
             if (id == "LIST" && size >= 4) {
               val inner = fourcc(payload, data)
-              walk(data + 4, data + size)
+              walk(data + 4, data + size, depth + 1)
               if (inner == "strl") nStreams += 1
             }
             else if (id == "strh" && size >= 4)
@@ -1344,7 +1346,8 @@ object Multimodal {
         .empty[Int, scala.collection.mutable.ArrayBuffer[(Long, Int)]]
       var moofStart = 0
       var fragTrack = 0; var fragBase = 0L; var fragDefSize = 0
-      def walk(from: Int, to: Int): Unit = {
+      def walk(from: Int, to: Int, depth: Int = 0): Unit = {
+        if (depth > 32) return // crafted deep nesting must not blow the stack
         var off = from
         var ok = true
         while (ok && off + 8 <= to) {
@@ -1365,7 +1368,7 @@ object Multimodal {
                   handler = ""; codec = ""; channels = 0; rate = 0; bits = 0
                   trackId = 0; sizes = null; offsets = null; stscE = null
                 }
-                walk(data, end)
+                walk(data, end, depth + 1)
                 if (tp == "trak" && handler.nonEmpty &&
                     sizes != null && offsets != null)
                   tracks += Mp4Track(handler, codec, sizes, offsets,
@@ -1374,7 +1377,7 @@ object Multimodal {
               case "moof" | "traf" =>
                 if (tp == "moof") moofStart = off
                 else { fragTrack = 0; fragBase = moofStart.toLong; fragDefSize = 0 }
-                walk(data, end)
+                walk(data, end, depth + 1)
               case "tkhd" if end - data >= 16 =>
                 // track_ID sits past the two timestamps, whose width is
                 // the version's (v1 = 64-bit)
@@ -1869,7 +1872,8 @@ object Multimodal {
           }
         }
       }
-      def walk(from: Int, to: Int): Unit = {
+      def walk(from: Int, to: Int, depth: Int = 0): Unit = {
+        if (depth > 32) return // crafted deep nesting must not blow the stack
         var off = from
         var ok = true
         while (ok && off < to) {
@@ -1889,7 +1893,7 @@ object Multimodal {
               // half TrackEntries) drop; the walk ends either way.
               idw._1 match {
                 case 0x18538067 | 0x1654AE6B | 0x1F43B675 | 0xA0 =>
-                  walk(data, to)
+                  walk(data, to, depth + 1)
                 case _ => ()
               }
               ok = false
@@ -1898,15 +1902,15 @@ object Multimodal {
               val end = end0.toInt
               idw._1 match {
                 case 0x18538067 | 0x1654AE6B | 0x1F43B675 | 0xA0 =>
-                  walk(data, end) // Segment, Tracks, Cluster, BlockGroup
+                  walk(data, end, depth + 1) // Segment, Tracks, Cluster, BlockGroup
                 case 0xAE => // TrackEntry
                   tNum = 0; tType = 0; tCodec = ""; tCh = 0; tRate = 0
                   tBits = 0; tPriv = Array.emptyByteArray
-                  walk(data, end)
+                  walk(data, end, depth + 1)
                   if (tNum > 0)
                     tracks += MkvTrack(tNum, tType, tCodec, tCh, tRate,
                       tBits, tPriv)
-                case 0xE1 => walk(data, end) // Audio settings master
+                case 0xE1 => walk(data, end, depth + 1) // Audio settings master
                 case 0xD7 => tNum = uint(data, end) // TrackNumber
                 case 0x83 => tType = uint(data, end).toInt // TrackType
                 case 0x86 => // CodecID

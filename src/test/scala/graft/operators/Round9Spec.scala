@@ -518,6 +518,49 @@ class Round9Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.mkvSubtitleText(Multimodal.syntheticAvi(4L, 3)).isEmpty)
   }
 
+  test("adversarial deep nesting cannot blow the walkers' stack") {
+    // 4096-deep nesting in each container grammar: the recursion caps
+    // must stop the walk (returning whatever parsed) instead of
+    // StackOverflowError — which NonFatal does NOT catch, so without
+    // the cap a crafted payload would kill the executor task
+    val le = (v: Int) => Array[Byte]((v & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 24) & 0xff).toByte)
+    val be = (v: Int) => le(v).reverse
+    val depth = 4096
+    // AVI: RIFF/AVI header + nested LIST chain
+    val avi = new java.io.ByteArrayOutputStream()
+    avi.write("RIFF".getBytes); avi.write(le(4 + depth * 12))
+    avi.write("AVI ".getBytes)
+    for (d <- 0 until depth) {
+      avi.write("LIST".getBytes); avi.write(le((depth - d) * 12 - 8))
+      avi.write("hdrl".getBytes)
+    }
+    assert(Multimodal.aviFrames(avi.toByteArray).nonEmpty) // returns, no throw
+    assert(Multimodal.aviAudioWav(avi.toByteArray).isEmpty)
+    // MP4: ftyp + nested moov chain
+    val mp4 = new java.io.ByteArrayOutputStream()
+    mp4.write(be(16)); mp4.write("ftyp".getBytes); mp4.write("isom".getBytes)
+    mp4.write(be(0))
+    for (d <- 0 until depth) {
+      mp4.write(be((depth - d) * 8)); mp4.write("moov".getBytes)
+    }
+    assert(Multimodal.mp4Tracks(mp4.toByteArray).nonEmpty)
+    // MKV: EBML magic + nested BlockGroup chain (1-byte id 0xA0 +
+    // 2-byte size vint)
+    val mkv = new java.io.ByteArrayOutputStream()
+    mkv.write(Array(0x1A, 0x45, 0xDF, 0xA3, 0x80).map(_.toByte)) // empty header
+    val segBody = depth * 3
+    mkv.write(Array(0x18, 0x53, 0x80, 0x67).map(_.toByte)) // Segment id
+    mkv.write(Array((0x40 | ((segBody >> 8) & 0x3f)).toByte, (segBody & 0xff).toByte))
+    for (d <- 0 until depth) {
+      val inner = (depth - 1 - d) * 3
+      mkv.write(Array(0xA0.toByte,
+        (0x40 | ((inner >> 8) & 0x3f)).toByte, (inner & 0xff).toByte))
+    }
+    assert(Multimodal.mkvBlocks(mkv.toByteArray).nonEmpty)
+  }
+
   test("mkv explicit cueLines round-trip UTF-8 text exactly") {
     val lines = Seq("héllo wörld", "日本語テスト", "plain ascii", "émoji ✓")
     val mkv = Multimodal.syntheticMkv(1L, 3, cueLines = lines)
