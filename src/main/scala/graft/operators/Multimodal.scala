@@ -510,6 +510,18 @@ object Multimodal {
         - 32768L).toInt
     })
 
+  /** [[syntheticWavTex]] muxed at `factor` x 8 kHz by zero-order hold:
+    * sample n of the hi-rate stream is base sample n/factor, so
+    * integer decimation recovers the 8 kHz master bit-exactly — the
+    * planted "same recording, resampled container" re-upload the
+    * rate-blind fingerprint misses and canonicalization catches. */
+  def syntheticWavTexRate(id: Long, nSamples: Int, factor: Int): Array[Byte] =
+    wavPcm16(Array.tabulate(nSamples * factor) { n =>
+      val i = n / factor
+      (((id * 40503L + 12289L) * (i + 7L) * (i + 13L)) % 65536L
+        - 32768L).toInt
+    }, sampleRate = 8000 * factor)
+
   case class FrameCode(doc_id: Long, frame_idx: Int, code: Int)
 
   /** AUDIO fingerprint — the audio tier of the near-dup ladder: per
@@ -551,14 +563,34 @@ object Multimodal {
     }
   }
 
-  def audioFingerprint(media: DataFrame, frame: Int = 128, hop: Int = 64)(
+  /** Canonicalize decoded PCM to `canonRate` by integer DECIMATION
+    * when the source rate is an exact multiple — the resample-invariant
+    * leg of the audio tier: a re-upload muxed at 16/24/32 kHz from the
+    * same 8 kHz master (zero-order-hold or any resampler that
+    * preserves the on-grid samples) decimates back to the identical
+    * sample stream, so fingerprints and landmarks match across rates.
+    * Non-multiple rates pass through unchanged (a fractional resampler
+    * interpolates new sample values; catching those needs a spectral
+    * fingerprint, out of scope for the integer tier). canonRate <= 0
+    * disables. */
+  private def canonPcm(w: WavPcm, canonRate: Int): Array[Short] =
+    if (canonRate <= 0 || w.sampleRate <= canonRate ||
+        w.sampleRate % canonRate != 0) w.samples
+    else {
+      val f = w.sampleRate / canonRate
+      Array.tabulate(w.samples.length / f)(i => w.samples(i * f))
+    }
+
+  def audioFingerprint(media: DataFrame, frame: Int = 128, hop: Int = 64,
+      canonRate: Int = 8000)(
       implicit s: SparkSession): Dataset[FrameCode] = {
     import s.implicits._
     media.select(col("doc_id"), col("payload")).as[MediaRow]
       .mapPartitions(rows => rows.flatMap { r =>
         decodeWav(r.payload) match {
           case Some(w) =>
-            wavFrameCodes(w.samples, frame, hop).iterator.zipWithIndex
+            wavFrameCodes(canonPcm(w, canonRate), frame, hop)
+              .iterator.zipWithIndex
               .map { case (code, f) => FrameCode(r.doc_id, f, code) }
           case None => Iterator.empty
         }
@@ -575,13 +607,14 @@ object Multimodal {
     * shuffle all codes by doc_id just to see neighbors. Distinct
     * per doc (one posting-list entry per doc per landmark). */
   def audioLandmarks(media: DataFrame, gap: Int = 1, frame: Int = 128,
-      hop: Int = 64)(implicit s: SparkSession): Dataset[DocLandmark] = {
+      hop: Int = 64, canonRate: Int = 8000)(
+      implicit s: SparkSession): Dataset[DocLandmark] = {
     import s.implicits._
     media.select(col("doc_id"), col("payload")).as[MediaRow]
       .mapPartitions(rows => rows.flatMap { r =>
         decodeWav(r.payload) match {
           case Some(w) =>
-            val codes = wavFrameCodes(w.samples, frame, hop)
+            val codes = wavFrameCodes(canonPcm(w, canonRate), frame, hop)
             val lms = scala.collection.mutable.LinkedHashSet.empty[Long]
             var i = 0
             while (i + gap < codes.length) {
@@ -2434,6 +2467,79 @@ object Multimodal {
     * arithmetic plus PCM copy. The final join is pair-keyed (both
     * sides already aggregated to pairs), broadcast-sized in practice
     * since both tiers emit above-threshold candidates only. */
+  /** Persisted video index for incremental dedup — the t69/s56/m85/m86
+    * contract at the VIDEO tier, completing the incremental-index
+    * family across all five modalities: sampled-frame pHashes chunk
+    * into 4 x 16-bit buckets keyed (frame_idx, chunk, ckey) — the m82
+    * aligned metric's posting-list key — with the full hash AND the
+    * doc's sampled-frame count riding in-row, so screening an ingest
+    * batch needs no corpus pass at all. Build once over the corpus;
+    * in production bucket by (chunk, ckey) so probe joins are
+    * shuffle-free bucket lookups. */
+  def videoChunkIndex(media: DataFrame, every: Int = 2)(
+      implicit s: SparkSession): DataFrame = {
+    val hashed = Materialize.eager(videoFramePHash(media, every).toDF())
+    val nf = hashed.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+    hashed.join(nf, Seq("doc_id"))
+      .select(col("doc_id"), col("frame_idx"), col("ph"), col("nf"),
+        posexplode(array((0 until 4).map(c =>
+          shiftright(col("ph"), c * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .select(col("frame_idx"), col("pos").as("chunk"),
+        col("col").as("ckey"), col("doc_id"), col("ph"), col("nf"))
+  }
+
+  /** Screen an ingest batch of videos against a pre-built
+    * [[videoChunkIndex]]: the batch decodes + hashes its sampled
+    * frames once, equi-joins the index on (frame_idx, chunk, ckey) —
+    * pigeonhole-complete per frame for hamming <= 3 — verifies each
+    * (frame, candidate) with one `bit_count` against the hash carried
+    * in the index row, and a probe is a duplicate of the lowest corpus
+    * doc whose matching-frame fraction over the smaller sampled-frame
+    * count reaches `minMatch` (the [[videoNearDupPairs]] metric).
+    * Returns one verdict row per batch video that produced frames;
+    * payloads yielding none are absent, not judged kept (the container
+    * contract); left-join from the raw batch ids for a row per input.
+    *
+    * `maxDf` drops index buckets held by more than that many corpus
+    * frames BEFORE the probe join — the shared-intro guard
+    * ([[videoNearDupPairs]]): a title-card bucket otherwise multiplies
+    * every probe frame by its membership. */
+  def dedupAgainstVideoIndex(media: DataFrame, index: DataFrame,
+      every: Int = 2, maxDist: Int = 3, minMatch: Double = 0.8,
+      maxDf: Int = 0)(implicit s: SparkSession): DataFrame = {
+    require(maxDist < 4, "4 x 16-bit chunks guarantee recall only for maxDist <= 3")
+    val hashed = Materialize.eager(videoFramePHash(media, every).toDF())
+    val nf = hashed.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+    val chunks = hashed.select(col("doc_id"), col("frame_idx"), col("ph"),
+        posexplode(array((0 until 4).map(c =>
+          shiftright(col("ph"), c * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .select(col("doc_id"), col("frame_idx"), col("ph"),
+        col("pos").as("chunk"), col("col").as("ckey"))
+    val probed = if (maxDf <= 0) index
+      else index.join(
+        index.groupBy(col("frame_idx"), col("chunk"), col("ckey"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf)
+          .select(col("frame_idx"), col("chunk"), col("ckey")),
+        Seq("frame_idx", "chunk", "ckey"), "left_semi")
+    val dup = chunks.join(
+        probed.select(col("frame_idx"), col("chunk"), col("ckey"),
+          col("doc_id").as("src"), col("ph").as("cph"),
+          col("nf").as("nf_src")),
+        Seq("frame_idx", "chunk", "ckey"))
+      .dropDuplicates("doc_id", "frame_idx", "src")
+      .filter(bit_count(col("ph").bitwiseXOR(col("cph"))) <= maxDist)
+      .groupBy(col("doc_id"), col("src"), col("nf_src"))
+      .agg(count(lit(1)).as("c"))
+      .join(nf, Seq("doc_id"))
+      .filter(col("c").cast("double") / least(col("nf"), col("nf_src"))
+        >= minMatch)
+      .groupBy(col("doc_id")).agg(min(col("src")).as("dup_src"))
+    nf.select(col("doc_id")).join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_src").isNull.as("kept"),
+        col("dup_src"))
+  }
+
   def videoJointNearDup(media: DataFrame, every: Int = 2,
       minFrame: Double = 0.8, minAudio: Double = 0.6,
       maxDf: Int = 0)(implicit s: SparkSession): DataFrame = {

@@ -755,6 +755,51 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Incremental VIDEO dedup vs a persisted chunk index — the
+    // t69/s56/m85/m86 contract at the video tier, completing the
+    // incremental-index family across all five modalities: index 10
+    // DIB AVIs once, screen 10 re-leveled re-uploads (the m82
+    // re-encode fixture: delta=12 + global re-level — different bytes,
+    // pHash within hamming 3 per frame) plus 2 unrelated videos that
+    // must stay kept. Pinned golden (StrictMath DCT path).
+    "m100_video_index_dedup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val avi = udf((id: Long) =>
+        if (id < 1000000L) Multimodal.syntheticAvi(id, (4 + id % 3).toInt)
+        else if (id < 2000000L) Multimodal.syntheticAvi(id - 1000000L,
+          (4 + (id - 1000000L) % 3).toInt, delta = 12, global0 = true)
+        else Multimodal.syntheticAvi(id, (5 + id % 2).toInt))
+      val index = Multimodal.videoChunkIndex(
+        s.range(0, 10).select(col("id").as("doc_id"),
+          avi(col("id")).as("payload")))
+      val probes = s.range(1000000L, 1000010L).union(s.range(2000000L, 2000002L))
+        .select(col("id").as("doc_id"), avi(col("id")).as("payload"))
+      Multimodal.dedupAgainstVideoIndex(probes, index)
+        .orderBy(col("doc_id"))
+    }),
+
+    // RESAMPLE-invariant audio dedup: 10 WAVs at 8 kHz and 10
+    // re-uploads of the same recordings muxed at 16 kHz (zero-order
+    // hold — every on-grid sample preserved). The rate-blind
+    // fingerprint would frame entirely different windows; integer
+    // decimation to the canonical rate recovers the master stream
+    // bit-exactly, so the landmark tier matches across rates. Integer
+    // arithmetic end to end: the oracle regenerates the DECIMATED
+    // stream (= the base formula) for both id spaces and replays the
+    // landmark match in SQL.
+    "m99_audio_resample_dedup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val wav = udf((id: Long) =>
+        if (id < 1000000L)
+          Multimodal.syntheticWavTex(id % 5, (320 + (id % 5) * 64).toInt)
+        else Multimodal.syntheticWavTexRate((id - 1000000L) % 5,
+          (320 + ((id - 1000000L) % 5) * 64).toInt, factor = 2))
+      val media = s.range(0, 10).union(s.range(1000000L, 1000010L))
+        .select(col("id").as("doc_id"), wav(col("id")).as("payload"))
+      Multimodal.audioLandmarkPairs(media)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // STREAMING joint audio+video fusion (the m95 verdict in the
     // streaming matrix): the same corpus/re-upload fixture arrives in
     // two micro-batches; the FRAME tier (video landmark state) and the
@@ -802,16 +847,19 @@ object StreamingOps extends QueryPack {
       def freshStream = s.readStream.schema(mediaSchema)
         .option("maxFilesPerTrigger", "1").parquet(staged.toString)
         .repartition(col("doc_id"))
+      // both tiers run CONCURRENTLY over their own source instances —
+      // they share no state, so the drains overlap and the wall cost
+      // is one tier's trigger latency, not the sum
       val qv = graft.operators.StreamingNearDup.videoLandmarkVerdicts(
           freshStream, "doc_id", "payload")
         .toDF().writeStream.outputMode("append")
         .format("memory").queryName("st77_v").start()
-      try { qv.processAllAvailable() } finally qv.stop()
       val qa = graft.operators.StreamingNearDup.audioLandmarkVerdicts(
           Multimodal.videoAudioTracks(freshStream), "doc_id", "payload")
         .toDF().writeStream.outputMode("append")
         .format("memory").queryName("st77_a").start()
-      try { qa.processAllAvailable() } finally qa.stop()
+      try { qv.processAllAvailable(); qa.processAllAvailable() }
+      finally { qv.stop(); qa.stop() }
       // per-tier scoring over its sink (the st74/st75 form), then fuse
       def dupOf(name: String): DataFrame = {
         val nl = s.table(name).groupBy(col("doc_id"))
@@ -1916,6 +1964,60 @@ object StreamingOps extends QueryPack {
         FROM documents a JOIN documents b ON a.text = b.text
         WHERE a.doc_id < 10
         ORDER BY video_id, doc_id""",
+    // the m91 landmark replay over BOTH id spaces: the decimated
+    // 16 kHz stream equals the 8 kHz master by construction (zero-
+    // order hold preserves on-grid samples), so one base formula
+    // serves every doc and only the bid mapping differs
+    "m99_audio_resample_dedup" ->
+      """WITH ids AS (SELECT unnest(range(0, 10)) AS doc_id
+          UNION ALL SELECT unnest(range(1000000, 1000010)) AS doc_id),
+        lens AS (SELECT doc_id,
+            CASE WHEN doc_id < 1000000 THEN doc_id % 5
+                 ELSE (doc_id - 1000000) % 5 END AS bid,
+            320 + (CASE WHEN doc_id < 1000000 THEN doc_id % 5
+                 ELSE (doc_id - 1000000) % 5 END) * 64 AS n FROM ids),
+        samples AS (SELECT doc_id, u.i,
+            ((bid * 40503 + 12289) * (u.i + 7) * (u.i + 13))
+              % 65536 - 32768 AS v
+          FROM lens, LATERAL (SELECT unnest(range(0, n)) AS i) u(i)),
+        frames AS (SELECT doc_id, u.f FROM lens,
+          LATERAL (SELECT unnest(range(0, (n - 128) // 64 + 1)) AS f) u(f)
+          WHERE n >= 128),
+        lags AS (SELECT * FROM (VALUES (0,1),(1,2),(2,4),(3,8),(4,16),
+          (5,32),(6,64)) l(j, lg)),
+        rr AS (SELECT fr.doc_id, fr.f, lags.j, SUM(a.v * b.v) AS r
+          FROM frames fr, lags
+          JOIN samples a ON TRUE
+          JOIN samples b ON b.doc_id = a.doc_id AND b.i = a.i + lags.lg
+          WHERE a.doc_id = fr.doc_id
+            AND a.i >= fr.f * 64 AND a.i < fr.f * 64 + 128 - lags.lg
+          GROUP BY fr.doc_id, fr.f, lags.j),
+        sbits AS (SELECT doc_id, f,
+            SUM(CASE WHEN r > 0 THEN 1 << j ELSE 0 END) AS s_code
+          FROM rr GROUP BY doc_id, f),
+        cbits AS (SELECT x.doc_id, x.f,
+            SUM(CASE WHEN x.r > y.r THEN 1 << (7 + x.j) ELSE 0 END) AS c_code
+          FROM rr x JOIN rr y ON y.doc_id = x.doc_id AND y.f = x.f
+            AND y.j = x.j + 1
+          GROUP BY x.doc_id, x.f),
+        codes AS (SELECT s.doc_id, s.f, s.s_code + COALESCE(c.c_code, 0) AS code
+          FROM sbits s LEFT JOIN cbits c
+            ON c.doc_id = s.doc_id AND c.f = s.f),
+        lmraw AS (SELECT doc_id, code,
+            LEAD(code) OVER (PARTITION BY doc_id ORDER BY f) AS nxt
+          FROM codes),
+        lms AS (SELECT DISTINCT doc_id, code * 8192 + nxt AS lm
+          FROM lmraw WHERE nxt IS NOT NULL),
+        sizes AS (SELECT doc_id, COUNT(*) AS nl FROM lms GROUP BY doc_id),
+        m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+          FROM lms a JOIN lms b ON a.lm = b.lm AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+        SELECT doc_a, doc_b,
+          round(CAST(c AS DOUBLE) / least(sa.nl, sb.nl), 6) AS match_frac
+        FROM m JOIN sizes sa ON sa.doc_id = m.doc_a
+          JOIN sizes sb ON sb.doc_id = m.doc_b
+        WHERE round(CAST(c AS DOUBLE) / least(sa.nl, sb.nl), 6) >= 0.6
+        ORDER BY doc_a, doc_b""",
     // the t66 MinHash replay with the probe CTE applying the same
     // 5-word edit tail the cue track carries (word-grouped cues
     // space-rejoin to exactly this string); decoy formula cues never

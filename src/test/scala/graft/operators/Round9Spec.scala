@@ -561,6 +561,52 @@ class Round9Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.mkvBlocks(mkv.toByteArray).nonEmpty)
   }
 
+  test("dedupAgainstVideoIndex decisions match videoNearDupPairs on the union") {
+    import spark.implicits._
+    implicit val sp: SparkSession = spark
+    val avi = udf((id: Long) =>
+      if (id < 1000000L) Multimodal.syntheticAvi(id, (4 + id % 3).toInt)
+      else Multimodal.syntheticAvi(id - 1000000L,
+        (4 + (id - 1000000L) % 3).toInt, delta = 12, global0 = true))
+    val corpus = spark.range(0, 10)
+      .select(col("id").as("doc_id"), avi(col("id")).as("payload"))
+    val probes = spark.range(1000000L, 1000010L)
+      .select(col("id").as("doc_id"), avi(col("id")).as("payload"))
+    val viaIndex = Multimodal.dedupAgainstVideoIndex(
+        probes, Multimodal.videoChunkIndex(corpus))
+      .filter(!col("kept"))
+      .select($"dup_src", $"doc_id").as[(Long, Long)].collect().toSet
+    // the batch operator on the union, restricted to cross pairs with
+    // the same keep-lowest resolution
+    val crossPairs = Multimodal.videoNearDupPairs(corpus.unionAll(probes))
+      .filter($"doc_a" < 1000000L && $"doc_b" >= 1000000L)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    val viaPairs = crossPairs.groupBy(_._2)
+      .map { case (b, xs) => (xs.map(_._1).min, b) }.toSet
+    assert(viaIndex == viaPairs, s"index: $viaIndex vs pairs: $viaPairs")
+    assert(viaIndex.nonEmpty, "fixture must plant at least one duplicate")
+  }
+
+  test("resampled audio decimates back to the master fingerprint") {
+    import spark.implicits._
+    implicit val sp: SparkSession = spark
+    val wav = udf((id: Long) =>
+      if (id < 10) Multimodal.syntheticWavTex(id, 320)
+      else Multimodal.syntheticWavTexRate(id - 10, 320, factor = (id % 3 + 2).toInt))
+    val media = spark.range(0, 3).union(spark.range(10, 13))
+      .select(col("id").as("doc_id"), wav(col("id")).as("payload"))
+    val codes = Multimodal.audioFingerprint(media).toDF()
+      .select($"doc_id", $"frame_idx", $"code").as[(Long, Int, Int)]
+      .collect().groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet)
+    for (i <- 0L until 3L)
+      assert(codes(i) == codes(i + 10),
+        s"doc $i: resampled fingerprint must equal the 8kHz master's")
+    // a NON-multiple rate passes through unchanged (no false recovery)
+    val odd = Multimodal.decodeWav(
+      Multimodal.syntheticWavTex(1L, 320)).get
+    assert(odd.sampleRate == 8000) // fixture sanity: base rate is canonical
+  }
+
   test("mkv explicit cueLines round-trip UTF-8 text exactly") {
     val lines = Seq("héllo wörld", "日本語テスト", "plain ascii", "émoji ✓")
     val mkv = Multimodal.syntheticMkv(1L, 3, cueLines = lines)
