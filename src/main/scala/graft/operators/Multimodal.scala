@@ -452,15 +452,17 @@ object Multimodal {
 
   /** PCM16 mono WAV container around the given samples (each in
     * [-32768, 32767]). */
-  def wavPcm16(samples: Array[Int], sampleRate: Int = 8000): Array[Byte] = {
+  def wavPcm16(samples: Array[Int], sampleRate: Int = 8000,
+      channels: Int = 1): Array[Byte] = {
     val dataSize = samples.length * 2
     val out = new Array[Byte](44 + dataSize)
     def putAscii(o: Int, s: String): Unit = { var i = 0; while (i < s.length) { out(o + i) = s.charAt(i).toByte; i += 1 } }
     def put16(o: Int, v: Int): Unit = { out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte }
     def put32(o: Int, v: Int): Unit = { put16(o, v & 0xffff); put16(o + 2, (v >>> 16) & 0xffff) }
     putAscii(0, "RIFF"); put32(4, 36 + dataSize); putAscii(8, "WAVE")
-    putAscii(12, "fmt "); put32(16, 16); put16(20, 1); put16(22, 1)
-    put32(24, sampleRate); put32(28, sampleRate * 2); put16(32, 2); put16(34, 16)
+    putAscii(12, "fmt "); put32(16, 16); put16(20, 1); put16(22, channels)
+    put32(24, sampleRate); put32(28, sampleRate * 2 * channels)
+    put16(32, 2 * channels); put16(34, 16)
     putAscii(36, "data"); put32(40, dataSize)
     var n = 0
     while (n < samples.length) {
@@ -522,6 +524,22 @@ object Multimodal {
         - 32768L).toInt
     }, sampleRate = 8000 * factor)
 
+  /** [[syntheticWavTex]] muxed STEREO with L == R — the dual-mono
+    * re-upload every channel-layout converter emits: interleaved
+    * samples differ from the mono master byte-for-byte, but the
+    * per-frame channel mean recovers it exactly. */
+  def syntheticWavTexStereo(id: Long, nSamples: Int): Array[Byte] = {
+    val out = new Array[Int](nSamples * 2)
+    var n = 0
+    while (n < nSamples) {
+      val s = (((id * 40503L + 12289L) * (n + 7L) * (n + 13L)) % 65536L
+        - 32768L).toInt
+      out(2 * n) = s; out(2 * n + 1) = s
+      n += 1
+    }
+    wavPcm16(out, channels = 2)
+  }
+
   case class FrameCode(doc_id: Long, frame_idx: Int, code: Int)
 
   /** AUDIO fingerprint — the audio tier of the near-dup ladder: per
@@ -563,23 +581,38 @@ object Multimodal {
     }
   }
 
-  /** Canonicalize decoded PCM to `canonRate` by integer DECIMATION
-    * when the source rate is an exact multiple — the resample-invariant
-    * leg of the audio tier: a re-upload muxed at 16/24/32 kHz from the
-    * same 8 kHz master (zero-order-hold or any resampler that
-    * preserves the on-grid samples) decimates back to the identical
-    * sample stream, so fingerprints and landmarks match across rates.
-    * Non-multiple rates pass through unchanged (a fractional resampler
-    * interpolates new sample values; catching those needs a spectral
-    * fingerprint, out of scope for the integer tier). canonRate <= 0
-    * disables. */
-  private def canonPcm(w: WavPcm, canonRate: Int): Array[Short] =
+  /** Canonicalize decoded PCM for fingerprinting: DOWNMIX multi-channel
+    * to mono (per-frame channel mean, truncated toward zero — exact
+    * recovery when channels are equal, the stereo-mux-of-a-mono-master
+    * re-upload), then integer-DECIMATE to `canonRate` when the source
+    * rate is an exact multiple — the resample-invariant leg: a
+    * re-upload muxed at 16/24/32 kHz from the same 8 kHz master
+    * (zero-order-hold or any resampler that preserves the on-grid
+    * samples) decimates back to the identical sample stream, so
+    * fingerprints and landmarks match across rates AND channel
+    * layouts. Non-multiple rates pass through unchanged (a fractional
+    * resampler interpolates new sample values; catching those needs a
+    * spectral fingerprint, out of scope for the integer tier).
+    * canonRate <= 0 disables the rate leg (the downmix always runs —
+    * an interleaved fingerprint is never the right comparison). */
+  private def canonPcm(w: WavPcm, canonRate: Int): Array[Short] = {
+    val mono =
+      if (w.channels <= 1) w.samples
+      else {
+        val ch = w.channels
+        Array.tabulate(w.samples.length / ch) { i =>
+          var acc = 0; var c = 0
+          while (c < ch) { acc += w.samples(i * ch + c); c += 1 }
+          (acc / ch).toShort
+        }
+      }
     if (canonRate <= 0 || w.sampleRate <= canonRate ||
-        w.sampleRate % canonRate != 0) w.samples
+        w.sampleRate % canonRate != 0) mono
     else {
       val f = w.sampleRate / canonRate
-      Array.tabulate(w.samples.length / f)(i => w.samples(i * f))
+      Array.tabulate(mono.length / f)(i => mono(i * f))
     }
+  }
 
   def audioFingerprint(media: DataFrame, frame: Int = 128, hop: Int = 64,
       canonRate: Int = 8000)(

@@ -755,6 +755,27 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // CHANNEL-LAYOUT-invariant audio dedup: 10 mono WAVs and 10
+    // dual-mono STEREO re-uploads of the same recordings (L == R —
+    // what every channel converter emits). The interleaved stream
+    // differs byte-for-byte and would fingerprint as noise; the
+    // per-frame channel-mean downmix in the canonicalization pass
+    // recovers the master exactly, so the landmark tier matches
+    // across layouts. Oracle = the m99 replay verbatim (the downmixed
+    // stream IS the base formula; the id spaces are identical).
+    "m101_audio_stereo_dedup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val wav = udf((id: Long) =>
+        if (id < 1000000L)
+          Multimodal.syntheticWavTex(id % 5, (320 + (id % 5) * 64).toInt)
+        else Multimodal.syntheticWavTexStereo((id - 1000000L) % 5,
+          (320 + ((id - 1000000L) % 5) * 64).toInt))
+      val media = s.range(0, 10).union(s.range(1000000L, 1000010L))
+        .select(col("id").as("doc_id"), wav(col("id")).as("payload"))
+      Multimodal.audioLandmarkPairs(media)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Incremental VIDEO dedup vs a persisted chunk index — the
     // t69/s56/m85/m86 contract at the video tier, completing the
     // incremental-index family across all five modalities: index 10
@@ -2064,6 +2085,11 @@ object StreamingOps extends QueryPack {
     // same `doc_id % 5` audio-id formula — only the extraction
     // container changed (EBML blocks instead of MP4 sample tables),
     // which the SQL replay never sees
-    case m => m + ("m94_mkv_audio_dedup" -> m("m91_mp4_audio_dedup"))
+    case m => m +
+      ("m94_mkv_audio_dedup" -> m("m91_mp4_audio_dedup")) +
+      // m101 replays m99's arithmetic verbatim: same id spaces, same
+      // bid formula — the dual-mono downmix recovers the base stream
+      // exactly, so the replay never sees the channel layout
+      ("m101_audio_stereo_dedup" -> m("m99_audio_resample_dedup"))
   }
 }

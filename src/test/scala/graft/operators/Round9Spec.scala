@@ -607,6 +607,25 @@ class Round9Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(odd.sampleRate == 8000) // fixture sanity: base rate is canonical
   }
 
+  test("dual-mono stereo downmixes back to the master fingerprint") {
+    import spark.implicits._
+    implicit val sp: SparkSession = spark
+    val wav = udf((id: Long) =>
+      if (id < 10) Multimodal.syntheticWavTex(id, 320)
+      else Multimodal.syntheticWavTexStereo(id - 10, 320))
+    val media = spark.range(0, 3).union(spark.range(10, 13))
+      .select(col("id").as("doc_id"), wav(col("id")).as("payload"))
+    val codes = Multimodal.audioFingerprint(media).toDF()
+      .select($"doc_id", $"frame_idx", $"code").as[(Long, Int, Int)]
+      .collect().groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet)
+    for (i <- 0L until 3L)
+      assert(codes(i) == codes(i + 10),
+        s"doc $i: stereo fingerprint must equal the mono master's")
+    // fixture sanity: the stereo payload really declares 2 channels
+    assert(Multimodal.decodeWav(
+      Multimodal.syntheticWavTexStereo(1L, 64)).get.channels == 2)
+  }
+
   test("mkv explicit cueLines round-trip UTF-8 text exactly") {
     val lines = Seq("héllo wörld", "日本語テスト", "plain ascii", "émoji ✓")
     val mkv = Multimodal.syntheticMkv(1L, 3, cueLines = lines)
