@@ -834,7 +834,10 @@ object Multimodal {
     * non-DC coefficients → one bit each (bit 63 stays 0). Recompressed
     * or lightly-edited images land within a few bits; unrelated images
     * scatter to ~32. None for undecodable payloads. */
-  private[operators] def pHash64(payload: Array[Byte]): Option[Long] =
+  /** The 32x32 box-averaged luma grid [[pHash64]] hashes — factored
+    * out so orientation variants can transform the grid and share ONE
+    * decode (the flip-tolerant tier). */
+  private def grid32(payload: Array[Byte]): Option[Array[Double]] =
     decodeImage(payload).map { img =>
       val luma = lumaPlane(img)
       val w = img.getWidth
@@ -860,6 +863,13 @@ object Multimodal {
         }
         cy += 1
       }
+      g
+    }
+
+  /** DCT-II 8x8 block + median-threshold bits of a 32x32 grid — the
+    * hash half of [[pHash64]], arithmetic order unchanged from its
+    * original inline form (pinned goldens depend on it). */
+  private def pHashOfGrid(g: Array[Double]): Long = {
       // separable 2D DCT-II, only the u,v < 8 block is needed
       val coef = new Array[Double](64)
       var u = 0
@@ -892,9 +902,29 @@ object Multimodal {
         i += 1
       }
       bits
+  }
+
+  private[operators] def pHash64(payload: Array[Byte]): Option[Long] =
+    grid32(payload).map(pHashOfGrid)
+
+  /** (as-is hash, horizontally-mirrored hash) from ONE decode — the
+    * flip-tolerant tier's probe: a mirrored repost's as-is hash equals
+    * the original's mirrored hash, so probing both orientations
+    * catches it without re-decoding anything. */
+  private[operators] def pHash64Both(payload: Array[Byte]): Option[(Long, Long)] =
+    grid32(payload).map { g =>
+      val m = new Array[Double](32 * 32)
+      var y = 0
+      while (y < 32) {
+        var x = 0
+        while (x < 32) { m(y * 32 + x) = g(y * 32 + 31 - x); x += 1 }
+        y += 1
+      }
+      (pHashOfGrid(g), pHashOfGrid(m))
     }
 
   private[operators] val pHashUdf = udf((payload: Array[Byte]) => pHash64(payload))
+  private[operators] val pHashBothUdf = udf((payload: Array[Byte]) => pHash64Both(payload))
 
   /** Image near-duplicate pairs by pHash hamming distance: 4 chunk
     * buckets of 16 bits per hash — by pigeonhole, any pair within
@@ -950,6 +980,75 @@ object Multimodal {
         bit_count(col("p.a.ph").bitwiseXOR(col("p.b.ph"))).as("dist"))
       .filter(col("dist") <= maxDist)
       .distinct() // a pair can share several intact chunks
+  }
+
+  /** [[pHashPairs]] tolerant to HORIZONTAL MIRRORING — the
+    * flipped-repost vector exact and plain-pHash dedup both miss
+    * (mirroring permutes pixels, so bytes AND hash change): every
+    * image contributes TWO orientation rows (as-is hash, mirrored-grid
+    * hash — both from ONE decode via [[pHash64Both]]), all rows bucket
+    * by 16-bit chunk, and a mirrored repost's as-is row collides with
+    * its source's mirrored row. Pairs verify with `bit_count` per
+    * orientation combo and keep the minimum distance. Emission is
+    * (doc_a, doc_b, dist) with doc_a < doc_b — same-doc
+    * orientation self-pairs are excluded, and an unflipped near-dup
+    * still surfaces through the (as-is, as-is) combo, so this is a
+    * strict superset of [[pHashPairs]] at the same threshold.
+    *
+    * Scale shape identical to [[pHashPairs]]: 2x the posting-list rows
+    * (the price of orientation invariance), same maxDf pre-aggregation
+    * cap, same pigeonhole-complete recall per combo. */
+  def pHashPairsFlipTolerant(media: DataFrame, maxDist: Int = 3,
+      maxDf: Int = 0): DataFrame = {
+    require(maxDist < 4, "4 x 16-bit chunks guarantee recall only for maxDist <= 3")
+    val hashed = Materialize.eager(
+      media.select(col("doc_id"), pHashBothUdf(col("payload")).as("hs")))
+      .filter(col("hs").isNotNull)
+      .select(col("doc_id"), col("hs._1").as("ph"), col("hs._2").as("phf"))
+    val rows = hashed.select(col("doc_id"), col("ph").as("h"))
+      .unionByName(hashed.select(col("doc_id"), col("phf").as("h")))
+    val chunks = rows.select(col("doc_id"), col("h"), posexplode(
+        array((0 until 4).map(c =>
+          shiftright(col("h"), c * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .select(col("doc_id"), col("h"), col("pos").as("chunk"),
+        col("col").as("ckey"))
+    val capped = if (maxDf <= 0) chunks
+      else chunks.join(
+        chunks.groupBy(col("chunk"), col("ckey"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf)
+          .select(col("chunk"), col("ckey")),
+        Seq("chunk", "ckey"), "left_semi")
+    val kept = capped.groupBy(col("chunk"), col("ckey"))
+      .agg(collect_list(struct(col("doc_id"), col("h"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    val ds = array_sort(col("ds"))
+    kept.select(explode(flatten(transform(ds, (x, i) =>
+        transform(slice(ds, i + lit(2), greatest(size(ds) - i - 1, lit(0))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .filter(col("p.a.doc_id") =!= col("p.b.doc_id"))
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        bit_count(col("p.a.h").bitwiseXOR(col("p.b.h"))).as("dist"))
+      .filter(col("dist") <= maxDist)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(min(col("dist")).as("dist"))
+  }
+
+  /** Horizontally mirrored re-encode of [[syntheticPng]] — the
+    * flipped-repost fixture: PNG is lossless, so the flipped image's
+    * pixels are exactly the mirror and (at the 16x16 fixture size,
+    * where the 32-cell box grid mirrors cell-exactly) its as-is pHash
+    * equals the original's mirrored-grid hash. */
+  def syntheticPngFlip(id: Long, w: Int = 16, h: Int = 16): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(syntheticPng(id, w, h)))
+    val out = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      out.setRGB(w - 1 - x, y, img.getRGB(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", bos)
+    bos.toByteArray
   }
 
   /** Persisted pHash chunk INDEX of an image corpus — the incremental

@@ -755,6 +755,26 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // FLIP-tolerant image near-dup: 8 base PNGs, 4 horizontally
+    // MIRRORED reposts (different bytes AND different pHash — the
+    // repost vector both exact and plain-pHash dedup miss), 2 lightly
+    // edited unflipped variants (must still surface — the tolerant
+    // form is a strict superset of m78), and 2 unrelated. Every image
+    // probes both orientations from one decode. Pinned golden (codec
+    // + StrictMath DCT path).
+    "m102_phash_flip_pairs" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val png = udf((id: Long) =>
+        if (id < 20) Multimodal.syntheticPng(id)
+        else if (id < 24) Multimodal.syntheticPngFlip(id - 20)
+        else if (id < 26) Multimodal.syntheticPngVariant(id - 20)
+        else Multimodal.syntheticPng(id))
+      val media = s.range(0, 8).union(s.range(20, 28))
+        .select(col("id").as("doc_id"), png(col("id")).as("payload"))
+      Multimodal.pHashPairsFlipTolerant(media)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // CHANNEL-LAYOUT-invariant audio dedup: 10 mono WAVs and 10
     // dual-mono STEREO re-uploads of the same recordings (L == R —
     // what every channel converter emits). The interleaved stream

@@ -518,6 +518,44 @@ class Round9Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.mkvSubtitleText(Multimodal.syntheticAvi(4L, 3)).isEmpty)
   }
 
+  test("walkers never throw on random or bit-flipped payloads") {
+    // ingest-safety fuzz: pure-random buffers plus single-byte
+    // mutations of VALID fixtures (the nastier class — valid headers,
+    // corrupt interiors). Deterministic seed; every extractor must
+    // return an Option, never throw.
+    val rnd = new scala.util.Random(20260814L)
+    def exercise(p: Array[Byte]): Unit = {
+      Multimodal.aviFrames(p); Multimodal.aviAudioWav(p)
+      Multimodal.mp4Tracks(p); Multimodal.mp4AudioWav(p)
+      Multimodal.mkvBlocks(p); Multimodal.mkvAudioWav(p)
+      Multimodal.mkvSubtitleText(p); Multimodal.decodeWav(p)
+      Multimodal.containerFrames(p); Multimodal.containerAudioWav(p)
+      ()
+    }
+    for (_ <- 0 until 200) {
+      val n = 1 + rnd.nextInt(512)
+      val b = new Array[Byte](n); rnd.nextBytes(b)
+      exercise(b)
+    }
+    val fixtures = Seq(
+      Multimodal.syntheticAvi(3L, 5, mjpeg = true, audioId = 1L,
+        audioSamples = 320),
+      Multimodal.syntheticMp4(3L, 4, audioId = 1L, audioSamples = 256),
+      Multimodal.syntheticFmp4(3L, 4, perFrag = 2),
+      Multimodal.syntheticMkv(3L, 4, audioId = 1L, audioSamples = 256,
+        subsId = 2L, subsCues = 4),
+      Multimodal.syntheticWavTex(3L, 256))
+    for (f <- fixtures; _ <- 0 until 100) {
+      val m = f.clone()
+      val k = 1 + rnd.nextInt(4)
+      for (_ <- 0 until k)
+        m(rnd.nextInt(m.length)) = (rnd.nextInt(256) - 128).toByte
+      exercise(m)
+      // truncations too — any cut point must degrade, not throw
+      exercise(java.util.Arrays.copyOfRange(m, 0, rnd.nextInt(m.length)))
+    }
+  }
+
   test("adversarial deep nesting cannot blow the walkers' stack") {
     // 4096-deep nesting in each container grammar: the recursion caps
     // must stop the walk (returning whatever parsed) instead of
@@ -605,6 +643,35 @@ class Round9Spec extends AnyFunSuite with BeforeAndAfterAll {
     val odd = Multimodal.decodeWav(
       Multimodal.syntheticWavTex(1L, 320)).get
     assert(odd.sampleRate == 8000) // fixture sanity: base rate is canonical
+  }
+
+  test("flip-tolerant pHash catches mirrored reposts, supersets plain pairs") {
+    import spark.implicits._
+    implicit val sp: SparkSession = spark
+    // the mirrored image's as-is hash equals the original's
+    // mirrored-grid hash at the 16x16 fixture size (cell-exact mirror)
+    val (ph0, phf0) = Multimodal.pHash64Both(Multimodal.syntheticPng(7L)).get
+    val flipped = Multimodal.pHash64(Multimodal.syntheticPngFlip(7L)).get
+    assert(flipped == phf0 && flipped != ph0,
+      "mirror must change the hash and match the mirrored-grid hash")
+    val png = udf((id: Long) =>
+      if (id < 20) Multimodal.syntheticPng(id)
+      else if (id < 24) Multimodal.syntheticPngFlip(id - 20)
+      else Multimodal.syntheticPngVariant(id - 20))
+    val media = spark.range(0, 6).union(spark.range(20, 26))
+      .select(col("id").as("doc_id"), png(col("id")).as("payload"))
+    val tolerant = Multimodal.pHashPairsFlipTolerant(media)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    // every mirrored repost lands on its source...
+    for (i <- 0L until 4L)
+      assert(tolerant.contains((i, i + 20)), s"flip pair ($i, ${i + 20}) missed")
+    // ...and plain near-dup pairs still surface (strict superset)
+    val plain = Multimodal.pHashPairs(media)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(plain.subsetOf(tolerant),
+      s"tolerant must superset plain: missing ${plain -- tolerant}")
+    assert(plain.contains((4L, 24L)) || tolerant.contains((4L, 24L)),
+      "unflipped variant pair must surface")
   }
 
   test("dual-mono stereo downmixes back to the master fingerprint") {
