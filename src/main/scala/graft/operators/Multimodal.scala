@@ -1356,11 +1356,12 @@ object Multimodal {
     * cross-container dedup fixtures rely on that: identical sample
     * bytes → identical pHash, whatever the JDK codec's exact output). */
   private def mjpegFrame(fid: Long, f: Int, w: Int, h: Int, delta: Int,
-      global0: Boolean): Array[Byte] = {
+      global0: Boolean, mirrorX: Boolean = false): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     for (y <- 0 until h; x <- 0 until w)
-      img.setRGB(x, y, aviPixel(fid, f, x, y, delta, global0))
+      img.setRGB(x, y,
+        aviPixel(fid, f, if (mirrorX) w - 1 - x else x, y, delta, global0))
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "jpg", bos)
     bos.toByteArray
@@ -1391,7 +1392,7 @@ object Multimodal {
       mjpeg: Boolean = false, delta: Int = 0,
       global0: Boolean = false, intro: Int = 0,
       frameOffset: Int = 0, audioId: Long = -1L,
-      audioSamples: Int = 0): Array[Byte] = {
+      audioSamples: Int = 0, mirrorX: Boolean = false): Array[Byte] = {
     val rowBytes = (w * 3 + 3) & ~3
     val frameChunks = (0 until nFrames).map { f0 =>
       // `frameOffset` renders frame f of THIS container as frame
@@ -1406,12 +1407,13 @@ object Multimodal {
       // formula works mod 256, so a 2^k sentinel would render as id 0)
       val fid = if (f < intro) 999999937L else id
       if (mjpeg) {
-        riffChunk("00dc", mjpegFrame(fid, f, w, h, delta, global0))
+        riffChunk("00dc", mjpegFrame(fid, f, w, h, delta, global0, mirrorX))
       } else {
         // bottom-up BGR rows padded to 4 bytes — the DIB layout
         val px = new Array[Byte](rowBytes * h)
         for (y <- 0 until h; x <- 0 until w) {
-          val rgb = aviPixel(fid, f, x, y, delta, global0)
+          val rgb = aviPixel(fid, f, if (mirrorX) w - 1 - x else x, y,
+            delta, global0)
           val o = (h - 1 - y) * rowBytes + x * 3
           px(o) = (rgb & 0xff).toByte
           px(o + 1) = ((rgb >> 8) & 0xff).toByte
@@ -2424,6 +2426,86 @@ object Multimodal {
       .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
         col("frame_idx"))
       .distinct() // a pair can share several intact chunks of one frame
+    pairs.groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("c"))
+      .join(nf.select(col("doc_id").as("doc_a"), col("nf").as("na")), Seq("doc_a"))
+      .join(nf.select(col("doc_id").as("doc_b"), col("nf").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("c").cast("double") / least(col("na"), col("nb")), 6)
+          .as("match_frac"))
+      .filter(col("match_frac") >= minMatch)
+  }
+
+  case class VideoFrameHash2(doc_id: Long, frame_idx: Int, ph: Long, phf: Long)
+
+  /** [[videoFramePHash]] emitting BOTH orientations per sampled frame
+    * (as-is + mirrored-grid hash, one decode via [[pHash64Both]]) —
+    * the flip-tolerant video tier's probe table. */
+  def videoFramePHashBoth(media: DataFrame, every: Int = 2)(
+      implicit s: SparkSession): Dataset[VideoFrameHash2] = {
+    import s.implicits._
+    require(every >= 1, "every must be >= 1")
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions(rows => rows.flatMap { r =>
+        containerFrames(r.payload) match {
+          case Some(fs) => fs.iterator.zipWithIndex
+            .filter(_._2 % every == 0)
+            .flatMap { case (frame, idx) =>
+              pHash64Both(frame).map { case (ph, phf) =>
+                VideoFrameHash2(r.doc_id, idx, ph, phf) } }
+          case None => Iterator.empty
+        }
+      })
+  }
+
+  /** [[videoNearDupPairs]] tolerant to HORIZONTAL MIRRORING — the
+    * mirrored re-upload (every pirate mirror-flip defeats exact,
+    * plain-pHash AND landmark dedup at once, since every frame's hash
+    * changes): each sampled frame contributes its as-is and
+    * mirrored-grid hashes to the (frame_idx, chunk) posting lists, so
+    * a mirrored copy's as-is frames collide with the source's mirrored
+    * rows at the same frame index. A frame pair matches when ANY
+    * orientation combo is within `maxDist`; frames count once
+    * (distinct frame_idx per pair). Strict superset of
+    * [[videoNearDupPairs]] at the same threshold; scale shape
+    * identical with 2x posting-list rows, same pre-aggregation maxDf
+    * cap. */
+  def videoNearDupPairsFlipTolerant(media: DataFrame, every: Int = 2,
+      maxDist: Int = 3, minMatch: Double = 0.8, maxDf: Int = 0)(
+      implicit s: SparkSession): DataFrame = {
+    require(maxDist < 4, "4 x 16-bit chunks guarantee recall only for maxDist <= 3")
+    val hashed = Materialize.eager(videoFramePHashBoth(media, every).toDF())
+    val nf = hashed.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+    val rows = hashed.select(col("doc_id"), col("frame_idx"), col("ph").as("h"))
+      .unionByName(hashed.select(col("doc_id"), col("frame_idx"),
+        col("phf").as("h")))
+    val chunked = rows.select(col("doc_id"), col("frame_idx"), col("h"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("h"), c * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .toDF("doc_id", "frame_idx", "h", "chunk", "ck")
+    // pre-aggregation cap (the videoNearDupPairs shape); a doc now
+    // contributes up to TWO rows per (frame_idx, chunk) — halve the
+    // intended doc cap accordingly when tuning maxDf
+    val capped = if (maxDf <= 0) chunked
+      else chunked.join(
+        chunked.groupBy(col("frame_idx"), col("chunk"), col("ck"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf)
+          .select(col("frame_idx"), col("chunk"), col("ck")),
+        Seq("frame_idx", "chunk", "ck"), "left_semi")
+    val buckets = capped.groupBy(col("frame_idx"), col("chunk"), col("ck"))
+      .agg(collect_list(struct(col("doc_id"), col("h"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    val ds = array_sort(col("ds"))
+    val pairs = buckets.select(col("frame_idx"), explode(flatten(
+        transform(ds, (x, i) =>
+          transform(slice(ds, i + lit(2), greatest(size(ds) - i - 1, lit(0))),
+            y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .filter(col("p.a.doc_id") =!= col("p.b.doc_id")) // orientation self-rows
+      .filter(bit_count(col("p.a.h").bitwiseXOR(col("p.b.h"))) <= maxDist)
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        col("frame_idx"))
+      .distinct() // several chunks/orientations can match one frame
     pairs.groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("c"))
       .join(nf.select(col("doc_id").as("doc_a"), col("nf").as("na")), Seq("doc_a"))

@@ -755,6 +755,25 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // FLIP-tolerant VIDEO near-dup: 10 DIB originals, 10 re-uploads
+    // that are MIRRORED and globally re-leveled (delta=12) at once —
+    // the pirate mirror-flip that defeats exact, aligned-pHash AND
+    // landmark dedup simultaneously (every frame's hash changes).
+    // Dual-orientation frame hashing catches all 10 on their sources;
+    // the spec additionally pins that the plain aligned tier misses
+    // them. Pinned golden (StrictMath DCT path).
+    "m103_video_flip_neardup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val avi = udf((id: Long) =>
+        if (id < 20) Multimodal.syntheticAvi(id, (4 + id % 3).toInt)
+        else Multimodal.syntheticAvi(id - 20, (4 + (id - 20) % 3).toInt,
+          delta = 12, global0 = true, mirrorX = true))
+      val media = s.range(0, 10).union(s.range(20, 30))
+        .select(col("id").as("doc_id"), avi(col("id")).as("payload"))
+      Multimodal.videoNearDupPairsFlipTolerant(media)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // FLIP-tolerant image near-dup: 8 base PNGs, 4 horizontally
     // MIRRORED reposts (different bytes AND different pHash — the
     // repost vector both exact and plain-pHash dedup miss), 2 lightly

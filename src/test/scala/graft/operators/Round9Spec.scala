@@ -674,6 +674,27 @@ class Round9Spec extends AnyFunSuite with BeforeAndAfterAll {
       "unflipped variant pair must surface")
   }
 
+  test("flip-tolerant video catches mirrored re-leveled re-uploads") {
+    import spark.implicits._
+    implicit val sp: SparkSession = spark
+    val avi = udf((id: Long) =>
+      if (id < 20) Multimodal.syntheticAvi(id, (4 + id % 3).toInt)
+      else Multimodal.syntheticAvi(id - 20, (4 + (id - 20) % 3).toInt,
+        delta = 12, global0 = true, mirrorX = true))
+    val media = spark.range(0, 4).union(spark.range(20, 24))
+      .select(col("id").as("doc_id"), avi(col("id")).as("payload"))
+    // the plain aligned tier is blind to the mirror...
+    val plain = Multimodal.videoNearDupPairs(media)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(!plain.exists(p => p._2 == p._1 + 20),
+      s"plain tier should miss mirrored pairs, got $plain")
+    // ...the flip-tolerant tier catches every planted pair
+    val tol = Multimodal.videoNearDupPairsFlipTolerant(media)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    for (i <- 0L until 4L)
+      assert(tol.contains((i, i + 20)), s"mirrored pair ($i, ${i + 20}) missed: $tol")
+  }
+
   test("dual-mono stereo downmixes back to the master fingerprint") {
     import spark.implicits._
     implicit val sp: SparkSession = spark
