@@ -1897,7 +1897,8 @@ object Multimodal {
     * the cross-container fixtures extend to the streaming mux. */
   def syntheticFmp4(id: Long, nFrames: Int, w: Int = 16, h: Int = 16,
       perFrag: Int = 2, delta: Int = 0, global0: Boolean = false,
-      frameOffset: Int = 0): Array[Byte] = {
+      frameOffset: Int = 0, audioId: Long = -1L,
+      audioSamples: Int = 0): Array[Byte] = {
     require(nFrames >= 1 && perFrag >= 1)
     val frames = (0 until nFrames).map(f0 =>
       mjpegFrame(id, f0 + frameOffset, w, h, delta, global0))
@@ -1922,21 +1923,54 @@ object Multimodal {
     val trak = mp4Box("trak", tkhd, mp4Box("mdia", mdhd, hdlrBox("vide"),
       mp4Box("minf", fullBox("vmhd", new Array[Byte](8), flags = 1),
         mp4Dinf, stbl)))
-    val mvex = mp4Box("mvex",
-      fullBox("trex", beBytes(Seq(1, 1, 0, 0, 0)))) // track 1 defaults
+    // optional PCM16 audio track, ALSO fragment-resident (the DASH
+    // muxed-av segment shape): empty moov tables, sowt stsd for the
+    // codec params, samples in track-2 moof/trun fragments below
+    val aTrak =
+      if (audioSamples <= 0) Array.emptyByteArray
+      else {
+        val audioEntry = mp4Box("sowt",
+          new Array[Byte](6), be16b(1),
+          beBytes(Seq(0, 0)),
+          be16b(1), be16b(16),
+          be16b(0), be16b(0),
+          be16b(8000), be16b(0))
+        val aTkhd = fullBox("tkhd",
+          beBytes(Seq(0, 0, 2, 0, audioSamples)) ++ new Array[Byte](60),
+          flags = 7)
+        val aMdhd = fullBox("mdhd", beBytes(Seq(0, 0, 8000, audioSamples)) ++
+          be16b(0x55c4) ++ be16b(0))
+        val aStbl = mp4Box("stbl",
+          fullBox("stsd", beBytes(Seq(1)) ++ audioEntry),
+          fullBox("stts", beBytes(Seq(0))),
+          fullBox("stsc", beBytes(Seq(0))),
+          fullBox("stsz", beBytes(Seq(0, 0))),
+          fullBox("stco", beBytes(Seq(0))))
+        mp4Box("trak", aTkhd, mp4Box("mdia", aMdhd, hdlrBox("soun"),
+          mp4Box("minf", fullBox("smhd", new Array[Byte](4)),
+            mp4Dinf, aStbl)))
+      }
+    val mvex =
+      if (audioSamples <= 0) mp4Box("mvex",
+        fullBox("trex", beBytes(Seq(1, 1, 0, 0, 0)))) // track 1 defaults
+      else mp4Box("mvex",
+        fullBox("trex", beBytes(Seq(1, 1, 0, 0, 0))),
+        fullBox("trex", beBytes(Seq(2, 1, 0, 0, 0))))
     val mvhd = fullBox("mvhd", beBytes(Seq(0, 0, 25, nFrames, 0x00010000)) ++
       be16b(0x0100) ++ new Array[Byte](10) ++
       beBytes(Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)) ++
-      beBytes(Seq(0, 0, 0, 0, 0, 0, 2)))
-    val moov = mp4Box("moov", mvhd, trak, mvex)
-    val fragments = frames.grouped(perFrag).zipWithIndex.map { case (fs, seq) =>
-      val tfhd = fullBox("tfhd", beBytes(Seq(1)), flags = 0x20000) // base-is-moof
+      beBytes(Seq(0, 0, 0, 0, 0, 0, if (audioSamples > 0) 3 else 2)))
+    val moov =
+      if (audioSamples <= 0) mp4Box("moov", mvhd, trak, mvex)
+      else mp4Box("moov", mvhd, trak, aTrak, mvex)
+    def fragment(track: Int, seq: Int, fs: Seq[Array[Byte]]): Array[Byte] = {
+      val tfhd = fullBox("tfhd", beBytes(Seq(track)), flags = 0x20000) // base-is-moof
       // trun flags 0x201: data-offset present + per-sample sizes; the
       // data offset (moof length + mdat header) back-patches below
       val trun = fullBox("trun",
         beBytes(Seq(fs.length, 0) ++ fs.map(_.length)), flags = 0x201)
       val moof = mp4Box("moof",
-        fullBox("mfhd", beBytes(Seq(seq + 1))),
+        fullBox("mfhd", beBytes(Seq(seq))),
         mp4Box("traf", tfhd, trun))
       // patch the trun data_offset: it sits 16 bytes into the trun box
       // (size, type, ver/flags, sample_count), whose position inside
@@ -1946,7 +1980,31 @@ object Multimodal {
       System.arraycopy(beBytes(Seq(dataOffset)), 0, moof, trunPos, 4)
       moof ++ mp4Box("mdat", fs: _*)
     }
-    fragments.foldLeft(ftyp ++ moov)(_ ++ _)
+    val videoFrags = frames.grouped(perFrag).zipWithIndex
+      .map { case (fs, seq) => fragment(1, seq + 1, fs) }.toSeq
+    // audio fragments: the PCM stream split in two track-2 fragments
+    // (one "sample" per fragment chunk — trun granularity is the
+    // segmenter's choice; the concatenating walk never sees it)
+    val audioFrags =
+      if (audioSamples <= 0) Seq.empty
+      else {
+        val pcm = new Array[Byte](audioSamples * 2)
+        var n = 0
+        while (n < audioSamples) {
+          val v = (((audioId * 40503L + 12289L) * (n + 7L) * (n + 13L))
+            % 65536L - 32768L).toInt
+          pcm(2 * n) = (v & 0xff).toByte
+          pcm(2 * n + 1) = ((v >> 8) & 0xff).toByte
+          n += 1
+        }
+        val half = (audioSamples / 2) * 2
+        Seq(
+          fragment(2, videoFrags.length + 1,
+            Seq(java.util.Arrays.copyOfRange(pcm, 0, half))),
+          fragment(2, videoFrags.length + 2,
+            Seq(java.util.Arrays.copyOfRange(pcm, half, pcm.length))))
+      }
+    (videoFrags ++ audioFrags).foldLeft(ftyp ++ moov)(_ ++ _)
   }
 
   private def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")

@@ -755,6 +755,25 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // FRAGMENTED-MP4 → AUDIO extraction dedup (the m88/m91/m94 gate at
+    // the DASH mux): 10 fMP4s whose track-2 'sowt' fragments carry the
+    // doc_id % 5 PCM stream — same audio under different frame
+    // streams, all samples fragment-resident (empty moov tables). The
+    // m80 landmark tier finds the plants; the oracle replays the m91
+    // arithmetic verbatim (same id space, same bid formula — only the
+    // sample-table form changed, which the replay never sees).
+    "m104_fmp4_audio_dedup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val mp4 = udf((id: Long) =>
+        Multimodal.syntheticFmp4(id, (4 + id % 3).toInt,
+          perFrag = 2 + (id % 2).toInt,
+          audioId = id % 5, audioSamples = (320 + (id % 5) * 64).toInt))
+      val media = s.range(0, 10)
+        .select(col("id").as("doc_id"), mp4(col("id")).as("payload"))
+      Multimodal.audioLandmarkPairs(Multimodal.videoAudioTracks(media))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // FLIP-tolerant VIDEO near-dup: 10 DIB originals, 10 re-uploads
     // that are MIRRORED and globally re-leveled (delta=12) at once —
     // the pirate mirror-flip that defeats exact, aligned-pHash AND
@@ -2126,6 +2145,8 @@ object StreamingOps extends QueryPack {
     // which the SQL replay never sees
     case m => m +
       ("m94_mkv_audio_dedup" -> m("m91_mp4_audio_dedup")) +
+      // m104 replays m91 too: fragment-resident samples, same formula
+      ("m104_fmp4_audio_dedup" -> m("m91_mp4_audio_dedup")) +
       // m101 replays m99's arithmetic verbatim: same id spaces, same
       // bid formula — the dual-mono downmix recovers the base stream
       // exactly, so the replay never sees the channel layout

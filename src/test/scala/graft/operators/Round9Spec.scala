@@ -419,6 +419,25 @@ class Round9Spec extends AnyFunSuite with BeforeAndAfterAll {
       assert(java.util.Arrays.equals(a, b), "surviving frames must be a prefix") }
   }
 
+  test("fMP4 audio fragments (track-2 trun runs) extract the same WAV as the plain mux") {
+    for (id <- 0L to 2L; perFrag <- Seq(1, 2)) {
+      val n = (4 + id % 3).toInt
+      val plain = Multimodal.mp4AudioWav(
+        Multimodal.syntheticMp4(id, n, audioId = id % 2, audioSamples = 320)).get
+      val frag = Multimodal.mp4AudioWav(
+        Multimodal.syntheticFmp4(id, n, perFrag = perFrag,
+          audioId = id % 2, audioSamples = 320)).get
+      assert(java.util.Arrays.equals(frag, plain),
+        s"fragment-resident audio diverges (id=$id perFrag=$perFrag)")
+      // video frames unaffected by the second track's fragments
+      val fv = Multimodal.mp4Frames(Multimodal.syntheticFmp4(id, n,
+        perFrag = perFrag, audioId = id % 2, audioSamples = 320)).get
+      assert(fv.size == n)
+    }
+    // no audio -> None, as in the plain mux
+    assert(Multimodal.mp4AudioWav(Multimodal.syntheticFmp4(1L, 4)).isEmpty)
+  }
+
   test("cross-container near-dup: the same video muxed AVI and MP4 matches at 1.0") {
     import spark.implicits._
     implicit val sp: SparkSession = spark
