@@ -282,4 +282,51 @@ object StreamingNearDup {
           out.iterator
       }
   }
+
+  /** [[pHashVerdicts]] tolerant to HORIZONTAL MIRRORING — the streaming
+    * form of the flip-tolerant batch tier: every arrival probes the
+    * bucket state with BOTH its as-is and mirrored-grid hashes
+    * (`Multimodal.pHash64Both`, one decode), but only the AS-IS hash
+    * enters state, keyed by its own chunks — so state size per doc is
+    * unchanged (4 rows x 16 B) and a mirrored repost's mirrored-hash
+    * chunks land exactly in its source's as-is buckets. Same-doc
+    * orientation self-matches are excluded (a left-right-symmetric
+    * image has ph == phf and would otherwise dedup against itself). */
+  def pHashVerdictsFlipTolerant(media: DataFrame, idCol: String,
+      payloadCol: String, maxDist: Int = 3): Dataset[ChunkVerdict] = {
+    require(maxDist < 4, "4 x 16-bit chunks guarantee recall only for maxDist <= 3")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val hashed = media.select(col(idCol).cast("long").as("doc_id"),
+        Multimodal.pHashBothUdf(col(payloadCol)).as("hs"))
+      .filter(col("hs").isNotNull)
+      .select(col("doc_id"), col("hs._1").as("ph"), col("hs._2").as("phf"))
+    // orientation rows: orient 0 = as-is (enters state), 1 = mirrored
+    // (probe only); each row buckets by ITS hash's chunks
+    val rows = hashed.select(col("doc_id"), lit(0).as("orient"),
+        col("ph").as("h"))
+      .unionByName(hashed.select(col("doc_id"), lit(1).as("orient"),
+        col("phf").as("h")))
+    val chunked = rows.select(col("doc_id"), col("orient"), col("h"),
+        posexplode(array((0 until 4).map(c =>
+          shiftright(col("h"), c * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .as[(Long, Int, Long, Int, Long)]
+    chunked.groupByKey { case (_, _, _, chunk, key) => (chunk, key) }
+      .flatMapGroupsWithState[List[(Long, Long)], ChunkVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((chunk, _), rows, state: GroupState[List[(Long, Long)]]) =>
+          var seen = state.getOption.getOrElse(Nil)
+          val out = rows.toSeq.sortBy(r => (r._1, r._2))
+            .map { case (id, orient, h, _, _) =>
+              val dupSrc = seen.collect {
+                case (eid, eph) if eid != id &&
+                  java.lang.Long.bitCount(h ^ eph) <= maxDist => eid
+              } match { case Nil => None; case xs => Some(xs.min) }
+              if (orient == 0) seen = (id, h) :: seen
+              ChunkVerdict(id, chunk, dupSrc)
+            }
+          state.update(seen)
+          out.iterator
+      }
+  }
 }

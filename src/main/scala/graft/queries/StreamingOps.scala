@@ -755,6 +755,57 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // STREAMING flip-tolerant image dedup (the m102 tier in the
+    // streaming matrix): micro-batch 1 delivers 20 base PNGs,
+    // micro-batch 2 ten MIRRORED reposts (plain-pHash state is blind
+    // to them; all ten land on their sources) and ten lightly-edited
+    // unflipped variants (nine land; variant 1000010 drifts past
+    // hamming 3 and is kept — the m85 drift precedent). Only as-is
+    // hashes enter state (4 x 16 B per doc, unchanged); mirrored
+    // probes land in their source's buckets by construction. Pinned
+    // golden.
+    "st78_stream_phash_flip_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val name = "st78_out"
+      val staged = stagingDir("graft-stream-phflip")
+      val png = udf((id: Long) =>
+        if (id < 1000000L) Multimodal.syntheticPng(id)
+        else if (id < 1000010L) Multimodal.syntheticPngFlip(id - 1000000L)
+        else Multimodal.syntheticPngVariant(id - 1000000L))
+      def stageBatch(ids: org.apache.spark.sql.Dataset[java.lang.Long],
+          fname: String, ageMs: Long): Unit = {
+        val tmp = staged.resolve(fname + ".tmp")
+        ids.toDF("doc_id").select(col("doc_id"), png(col("doc_id")).as("payload"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, staged.resolve(fname))
+        staged.resolve(fname).toFile.deleteOnExit()
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        java.nio.file.Files.setLastModifiedTime(staged.resolve(fname),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - ageMs))
+      }
+      stageBatch(s.range(0, 20).as[java.lang.Long], "a.parquet", 120000L)
+      stageBatch(s.range(1000000L, 1000020L).as[java.lang.Long], "b.parquet", 0L)
+      val mediaSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("payload", BinaryType)))
+      val stream = s.readStream.schema(mediaSchema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+        .repartition(col("doc_id"))
+      val verdicts = graft.operators.StreamingNearDup.pHashVerdictsFlipTolerant(
+        stream, "doc_id", "payload")
+      val q = verdicts.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+      s.table(name)
+        .groupBy(col("doc_id"))
+        .agg(min(col("dup_src")).as("dup_src"))
+        .select(col("doc_id"), col("dup_src").isNull.as("kept"),
+          col("dup_src"))
+        .orderBy(col("doc_id"))
+    }),
+
     // FRAGMENTED-MP4 → AUDIO extraction dedup (the m88/m91/m94 gate at
     // the DASH mux): 10 fMP4s whose track-2 'sowt' fragments carry the
     // doc_id % 5 PCM stream — same audio under different frame
