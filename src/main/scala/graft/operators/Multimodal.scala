@@ -2601,6 +2601,38 @@ object Multimodal {
       })
   }
 
+  case class VideoLandmarkO(doc_id: Long, orient: Int, lm_a: Long, lm_b: Long)
+
+  /** [[videoLandmarks]] in BOTH orientations from one decode: orient 0
+    * = as-is landmark pairs, orient 1 = the same consecutive pairs
+    * over the mirrored-grid hashes — a mirrored (and possibly trimmed)
+    * re-upload's orient-1 landmarks equal its source's orient-0 set
+    * exactly when the mirror is lossless. Feeds the streaming
+    * flip-tolerant video tier. */
+  def videoLandmarksOriented(media: DataFrame, every: Int = 2)(
+      implicit s: SparkSession): Dataset[VideoLandmarkO] = {
+    import s.implicits._
+    require(every >= 1, "every must be >= 1")
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions(rows => rows.flatMap { r =>
+        containerFrames(r.payload) match {
+          case Some(fs) =>
+            val hs = fs.iterator.zipWithIndex.filter(_._2 % every == 0)
+              .flatMap(f => pHash64Both(f._1)).toArray
+            val lms = scala.collection.mutable.LinkedHashSet.empty[(Int, Long, Long)]
+            var i = 0
+            while (i + 1 < hs.length) {
+              lms += ((0, hs(i)._1, hs(i + 1)._1))
+              lms += ((1, hs(i)._2, hs(i + 1)._2))
+              i += 1
+            }
+            lms.iterator.map { case (o, a, b) =>
+              VideoLandmarkO(r.doc_id, o, a, b) }
+          case None => Iterator.empty
+        }
+      })
+  }
+
   /** Video near-duplicate pairs, TIME-SHIFT tolerant — the landmark
     * tier [[videoNearDupPairs]]'s aligned frame_idx matching cannot
     * express: a re-upload with the first k·`every` frames CUT keeps

@@ -31,6 +31,13 @@ case class LandmarkHits(doc_id: Long, lm: Long, hits: Seq[Long])
 case class VideoLandmarkHits(doc_id: Long, lm_a: Long, lm_b: Long,
     hits: Seq[Long])
 
+/** [[VideoLandmarkHits]] with the probing ORIENTATION (0 = as-is,
+  * 1 = mirrored) — the flip-tolerant streaming video tier's record;
+  * scoring uses orient-0 rows as the landmark denominator and the best
+  * orientation's hit count. */
+case class VideoLandmarkHitsO(doc_id: Long, orient: Int, lm_a: Long,
+    lm_b: Long, hits: Seq[Long])
+
 /** Streaming NEAR-dup dedup across micro-batches — the ingest-pipeline
   * operator st65's exact `dropDuplicates` cannot express: a re-delivered
   * document that was also EDITED (tail appended, boilerplate injected)
@@ -249,6 +256,43 @@ object StreamingNearDup {
           val (seen, out) = foldBucket(state.getOption.getOrElse(Nil),
             rows.toSeq.map(_.doc_id).sorted, maxBucket)(
             (id, hits) => VideoLandmarkHits(id, a, b, hits))
+          state.update(seen)
+          out.iterator
+      }
+  }
+
+  /** [[videoLandmarkVerdicts]] tolerant to HORIZONTAL MIRRORING — the
+    * streaming flip tier for video: every arrival probes landmark
+    * buckets with BOTH orientations' landmark sets (one decode via
+    * `Multimodal.videoLandmarksOriented`), but only orient-0 (as-is)
+    * landmarks enter state — per-doc state is unchanged, and a
+    * mirrored (even trimmed) re-upload's orient-1 landmarks land
+    * exactly in its source's buckets when the mirror is lossless.
+    * Emission carries `orient`, so the batch scoring can use the
+    * orient-0 row count as the landmark denominator and take the best
+    * orientation's hit count (a symmetric-frame doc never self-matches
+    * — same-doc hits are filtered). */
+  def videoLandmarkVerdictsFlipTolerant(media: DataFrame, idCol: String,
+      payloadCol: String, every: Int = 2,
+      maxBucket: Int = 0): Dataset[VideoLandmarkHitsO] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val lms = Multimodal.videoLandmarksOriented(
+      media.select(col(idCol).cast("long").as("doc_id"),
+        col(payloadCol).as("payload")), every)
+    lms.groupByKey(l => (l.lm_a, l.lm_b))
+      .flatMapGroupsWithState[List[Long], VideoLandmarkHitsO](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((a, b), rows, state: GroupState[List[Long]]) =>
+          var seen = state.getOption.getOrElse(Nil)
+          var n = seen.size
+          val out = rows.toSeq.sortBy(r => (r.doc_id, r.orient)).map { r =>
+            val capped = maxBucket > 0 && n >= maxBucket
+            val hits = if (capped) Nil else seen.filter(_ != r.doc_id)
+            if (!capped && r.orient == 0) { seen = r.doc_id :: seen; n += 1 }
+            VideoLandmarkHitsO(r.doc_id, r.orient, a, b, hits)
+          }
           state.update(seen)
           out.iterator
       }

@@ -714,6 +714,27 @@ class Round9Spec extends AnyFunSuite with BeforeAndAfterAll {
       assert(tol.contains((i, i + 20)), s"mirrored pair ($i, ${i + 20}) missed: $tol")
   }
 
+  test("oriented landmarks: a trimmed+mirrored copy matches via orient-1 only") {
+    import spark.implicits._
+    implicit val sp: SparkSession = spark
+    val base = spark.range(0, 1).select(col("id").as("doc_id"),
+      udf(() => Multimodal.syntheticAvi(5L, 8)).apply().as("payload"))
+    val copy = spark.range(1, 2).select(col("id").as("doc_id"),
+      udf(() => Multimodal.syntheticAvi(5L, 6, frameOffset = 2,
+        mirrorX = true)).apply().as("payload"))
+    val lmBase = Multimodal.videoLandmarks(base).collect()
+      .map(l => (l.lm_a, l.lm_b)).toSet
+    val lmCopyPlain = Multimodal.videoLandmarks(copy).collect()
+      .map(l => (l.lm_a, l.lm_b)).toSet
+    assert(lmBase.intersect(lmCopyPlain).isEmpty,
+      "the plain landmark tier must be blind to the mirrored copy")
+    val oriented = Multimodal.videoLandmarksOriented(copy).collect()
+    val lmCopyMirror = oriented.filter(_.orient == 1)
+      .map(l => (l.lm_a, l.lm_b)).toSet
+    assert(lmCopyMirror.nonEmpty && lmCopyMirror.subsetOf(lmBase),
+      "the mirrored-orientation landmarks must be interior landmarks of the base")
+  }
+
   test("dual-mono stereo downmixes back to the master fingerprint") {
     import spark.implicits._
     implicit val sp: SparkSession = spark

@@ -47,6 +47,8 @@ QUERIES = [
                            # + re-level re-uploads, dual-orientation)
     "st78_stream_phash_flip_dedup", # streaming flip-tolerant image
                            # dedup (as-is-only state, dual probes)
+    "st79_stream_video_flip_dedup", # streaming flip-tolerant video
+                           # dedup (trim+flip, oriented landmarks)
     "st75_stream_video_landmark_dedup", # streaming video landmark dedup
     "m85_index_dedup",   # incremental image dedup vs persisted pHash index
     "st72_stream_phash_dedup",  # streaming pHash chunk-state dedup
