@@ -450,8 +450,9 @@ object Multimodal {
       })
   }
 
-  /** PCM16 mono WAV container around the given samples (each in
-    * [-32768, 32767]). */
+  /** PCM16 WAV container around the given samples (each in
+    * [-32768, 32767]); `channels > 1` declares the samples as
+    * channel-interleaved frames. */
   def wavPcm16(samples: Array[Int], sampleRate: Int = 8000,
       channels: Int = 1): Array[Byte] = {
     val dataSize = samples.length * 2
@@ -1894,7 +1895,11 @@ object Multimodal {
     * (default-base-is-moof) and a trun with data-offset +
     * per-sample sizes, the shape real segmenters emit. Frame bytes are
     * byte-identical to the plain-MP4/AVI muxes of the same (id, f), so
-    * the cross-container fixtures extend to the streaming mux. */
+    * the cross-container fixtures extend to the streaming mux.
+    * `audioId`/`audioSamples` add a PCM16 'sowt' track whose samples
+    * are ALSO fragment-resident (track-2 trun runs, the DASH muxed-av
+    * segment shape) following the exact [[syntheticAvi]] audio
+    * formula. */
   def syntheticFmp4(id: Long, nFrames: Int, w: Int = 16, h: Int = 16,
       perFrag: Int = 2, delta: Int = 0, global0: Boolean = false,
       frameOffset: Int = 0, audioId: Long = -1L,
