@@ -927,6 +927,30 @@ object Multimodal {
   private[operators] val pHashUdf = udf((payload: Array[Byte]) => pHash64(payload))
   private[operators] val pHashBothUdf = udf((payload: Array[Byte]) => pHash64Both(payload))
 
+  /** Quarter-turn rotation of the 32x32 grid: rot = number of
+    * clockwise quarter turns (0..3). dest(y,x) = src of the pixel that
+    * lands there — exact for square images (the grid of a rotated
+    * square image IS the rotated grid); non-square images differ only
+    * by box-boundary rounding, inside near-dup tolerance. */
+  private def rotGrid(g: Array[Double], rot: Int): Array[Double] = rot match {
+    case 0 => g
+    case 1 => Array.tabulate(32 * 32)(i => g((31 - i % 32) * 32 + i / 32))
+    case 2 => Array.tabulate(32 * 32)(i =>
+      g((31 - i / 32) * 32 + (31 - i % 32)))
+    case _ => Array.tabulate(32 * 32)(i => g((i % 32) * 32 + (31 - i / 32)))
+  }
+
+  /** The four quarter-turn orientation hashes from ONE decode — the
+    * rotation-tolerant tier's probe: a phone-rotated repost's as-is
+    * hash equals the original's correspondingly-rotated hash (exactly
+    * for square images). Mirroring composes via [[pHash64Both]]; the
+    * full dihedral-8 set is the product of the two tricks. */
+  private[operators] def pHash64Rots(payload: Array[Byte]): Option[Seq[Long]] =
+    grid32(payload).map(g => (0 until 4).map(r => pHashOfGrid(rotGrid(g, r))))
+
+  private[operators] val pHashRotsUdf =
+    udf((payload: Array[Byte]) => pHash64Rots(payload))
+
   /** Image near-duplicate pairs by pHash hamming distance: 4 chunk
     * buckets of 16 bits per hash — by pigeonhole, any pair within
     * hamming distance <= 3 shares at least one intact chunk, so the
@@ -1033,6 +1057,77 @@ object Multimodal {
       .filter(col("dist") <= maxDist)
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(min(col("dist")).as("dist"))
+  }
+
+  /** [[pHashPairsFlipTolerant]]'s ROTATION sibling — the phone-
+    * orientation repost (a quarter- or half-turned re-upload changes
+    * bytes AND hash): every image contributes FOUR quarter-turn
+    * orientation rows from one decode ([[pHash64Rots]]); a rotated
+    * repost's as-is row collides with its source's correspondingly-
+    * rotated row. Pairs verify per orientation combo and keep the
+    * minimum distance; strict superset of [[pHashPairs]] (orientation
+    * 0 x 0 is the plain comparison). 4x posting rows — the price of
+    * four-fold invariance; same maxDf pre-aggregation cap. Mirroring
+    * composes with [[pHashPairsFlipTolerant]]'s trick for the full
+    * dihedral-8 set. */
+  def pHashPairsRotTolerant(media: DataFrame, maxDist: Int = 3,
+      maxDf: Int = 0): DataFrame = {
+    require(maxDist < 4, "4 x 16-bit chunks guarantee recall only for maxDist <= 3")
+    val hashed = Materialize.eager(
+      media.select(col("doc_id"), pHashRotsUdf(col("payload")).as("hs")))
+      .filter(col("hs").isNotNull)
+    val rows = hashed.select(col("doc_id"), explode(col("hs")).as("h"))
+    val chunks = rows.select(col("doc_id"), col("h"), posexplode(
+        array((0 until 4).map(c =>
+          shiftright(col("h"), c * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .select(col("doc_id"), col("h"), col("pos").as("chunk"),
+        col("col").as("ckey"))
+    val capped = if (maxDf <= 0) chunks
+      else chunks.join(
+        chunks.groupBy(col("chunk"), col("ckey"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf)
+          .select(col("chunk"), col("ckey")),
+        Seq("chunk", "ckey"), "left_semi")
+    val kept = capped.groupBy(col("chunk"), col("ckey"))
+      .agg(collect_list(struct(col("doc_id"), col("h"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    val ds = array_sort(col("ds"))
+    kept.select(explode(flatten(transform(ds, (x, i) =>
+        transform(slice(ds, i + lit(2), greatest(size(ds) - i - 1, lit(0))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .filter(col("p.a.doc_id") =!= col("p.b.doc_id"))
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        bit_count(col("p.a.h").bitwiseXOR(col("p.b.h"))).as("dist"))
+      .filter(col("dist") <= maxDist)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(min(col("dist")).as("dist"))
+  }
+
+  /** Quarter-turn-rotated re-encode of [[syntheticPng]] — the
+    * phone-orientation repost fixture: PNG is lossless and the image
+    * square, so the rotated image's as-is pHash equals the original's
+    * correspondingly-rotated hash exactly. */
+  def syntheticPngRot(id: Long, quarterTurns: Int,
+      w: Int = 16, h: Int = 16): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(syntheticPng(id, w, h)))
+    val out = new java.awt.image.BufferedImage(
+      if (quarterTurns % 2 == 1) h else w,
+      if (quarterTurns % 2 == 1) w else h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (nx, ny) = quarterTurns % 4 match {
+        case 1 => (h - 1 - y, x)       // clockwise quarter turn
+        case 2 => (w - 1 - x, h - 1 - y)
+        case 3 => (y, w - 1 - x)
+        case _ => (x, y)
+      }
+      out.setRGB(nx, ny, img.getRGB(x, y))
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", bos)
+    bos.toByteArray
   }
 
   /** Horizontally mirrored re-encode of [[syntheticPng]] — the

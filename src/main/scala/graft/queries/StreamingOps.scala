@@ -906,6 +906,24 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // ROTATION-tolerant image near-dup (the m102 trick, quarter-turn
+    // axis): 8 base PNGs and 6 reposts rotated by 90/180/270 degrees —
+    // the phone-orientation re-upload whose bytes AND hash change.
+    // Four orientation hashes per image from one decode; square
+    // fixtures make the rotated-hash recovery exact, so every planted
+    // pair lands at distance 0. Mirroring composes with m102 for the
+    // full dihedral-8 set. Pinned golden.
+    "m105_phash_rot_pairs" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val png = udf((id: Long) =>
+        if (id < 20) Multimodal.syntheticPng(id)
+        else Multimodal.syntheticPngRot(id - 20, (id % 3 + 1).toInt))
+      val media = s.range(0, 8).union(s.range(20, 26))
+        .select(col("id").as("doc_id"), png(col("id")).as("payload"))
+      Multimodal.pHashPairsRotTolerant(media)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // FLIP-tolerant image near-dup: 8 base PNGs, 4 horizontally
     // MIRRORED reposts (different bytes AND different pHash — the
     // repost vector both exact and plain-pHash dedup miss), 2 lightly

@@ -735,6 +735,32 @@ class Round9Spec extends AnyFunSuite with BeforeAndAfterAll {
       "the mirrored-orientation landmarks must be interior landmarks of the base")
   }
 
+  test("rotation-tolerant pHash catches quarter-turned reposts") {
+    import spark.implicits._
+    implicit val sp: SparkSession = spark
+    // square-image exactness: the rotated image's as-is hash equals
+    // the original's correspondingly-rotated grid hash, per turn
+    val rots = Multimodal.pHash64Rots(Multimodal.syntheticPng(9L)).get
+    for (q <- 1 to 3) {
+      val h = Multimodal.pHash64(Multimodal.syntheticPngRot(9L, q)).get
+      assert(h == rots(q), s"quarter-turn $q hash mismatch")
+      assert(h != rots(0), s"quarter-turn $q should change the hash")
+    }
+    val png = udf((id: Long) =>
+      if (id < 20) Multimodal.syntheticPng(id)
+      else Multimodal.syntheticPngRot(id - 20, (id % 3 + 1).toInt))
+    val media = spark.range(0, 6).union(spark.range(20, 26))
+      .select(col("id").as("doc_id"), png(col("id")).as("payload"))
+    val tol = Multimodal.pHashPairsRotTolerant(media)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    for (i <- 0L until 6L)
+      assert(tol.contains((i, i + 20)), s"rotated pair ($i, ${i + 20}) missed")
+    // superset of the plain pairs at the same threshold
+    val plain = Multimodal.pHashPairs(media)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(plain.subsetOf(tol))
+  }
+
   test("dual-mono stereo downmixes back to the master fingerprint") {
     import spark.implicits._
     implicit val sp: SparkSession = spark

@@ -49,6 +49,8 @@ QUERIES = [
                            # dedup (as-is-only state, dual probes)
     "st79_stream_video_flip_dedup", # streaming flip-tolerant video
                            # dedup (trim+flip, oriented landmarks)
+    "m105_phash_rot_pairs", # rotation-tolerant image near-dup (the
+                           # phone-orientation repost, 4 grid turns)
     "st75_stream_video_landmark_dedup", # streaming video landmark dedup
     "m85_index_dedup",   # incremental image dedup vs persisted pHash index
     "st72_stream_phash_dedup",  # streaming pHash chunk-state dedup
