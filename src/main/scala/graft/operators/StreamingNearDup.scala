@@ -298,6 +298,47 @@ object StreamingNearDup {
       }
   }
 
+  /** [[pHashVerdictsFlipTolerant]]'s ROTATION sibling: every arrival
+    * probes the bucket state with its four quarter-turn hashes
+    * (`Multimodal.pHash64Rots`, one decode), but only the as-is hash
+    * enters state — per-doc state stays 4 x 16 B, and a phone-rotated
+    * repost's rotated-hash chunks land exactly in its source's
+    * buckets. Same-doc orientation self-matches are excluded
+    * (rotationally symmetric images share orientation hashes). */
+  def pHashVerdictsRotTolerant(media: DataFrame, idCol: String,
+      payloadCol: String, maxDist: Int = 3): Dataset[ChunkVerdict] = {
+    require(maxDist < 4, "4 x 16-bit chunks guarantee recall only for maxDist <= 3")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val hashed = media.select(col(idCol).cast("long").as("doc_id"),
+        Multimodal.pHashRotsUdf(col(payloadCol)).as("hs"))
+      .filter(col("hs").isNotNull)
+    val rows = hashed.select(col("doc_id"),
+        posexplode(col("hs")))
+      .select(col("doc_id"), col("pos").as("orient"), col("col").as("h"))
+    val chunked = rows.select(col("doc_id"), col("orient"), col("h"),
+        posexplode(array((0 until 4).map(c =>
+          shiftright(col("h"), c * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .as[(Long, Int, Long, Int, Long)]
+    chunked.groupByKey { case (_, _, _, chunk, key) => (chunk, key) }
+      .flatMapGroupsWithState[List[(Long, Long)], ChunkVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((chunk, _), rows, state: GroupState[List[(Long, Long)]]) =>
+          var seen = state.getOption.getOrElse(Nil)
+          val out = rows.toSeq.sortBy(r => (r._1, r._2))
+            .map { case (id, orient, h, _, _) =>
+              val dupSrc = seen.collect {
+                case (eid, eph) if eid != id &&
+                  java.lang.Long.bitCount(h ^ eph) <= maxDist => eid
+              } match { case Nil => None; case xs => Some(xs.min) }
+              if (orient == 0) seen = (id, h) :: seen
+              ChunkVerdict(id, chunk, dupSrc)
+            }
+          state.update(seen)
+          out.iterator
+      }
+  }
+
   def pHashVerdicts(media: DataFrame, idCol: String, payloadCol: String,
       maxDist: Int = 3): Dataset[ChunkVerdict] = {
     require(maxDist < 4, "4 x 16-bit chunks guarantee recall only for maxDist <= 3")

@@ -817,6 +817,57 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // STREAMING rotation-tolerant image dedup (the m105 tier in the
+    // streaming matrix): micro-batch 1 delivers 20 base PNGs,
+    // micro-batch 2 ten quarter-/half-turned reposts (plain-pHash
+    // state is blind to them; all ten land on their sources) and ten
+    // lightly-edited unrotated variants (nine land; variant 1000010
+    // drifts past hamming 3 and is kept — the m85 precedent). Only
+    // as-is hashes enter state; rotated probes land in their source's
+    // buckets by construction. Pinned golden.
+    "st80_stream_phash_rot_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val name = "st80_out"
+      val staged = stagingDir("graft-stream-phrot")
+      val png = udf((id: Long) =>
+        if (id < 1000000L) Multimodal.syntheticPng(id)
+        else if (id < 1000010L)
+          Multimodal.syntheticPngRot(id - 1000000L, (id % 3 + 1).toInt)
+        else Multimodal.syntheticPngVariant(id - 1000000L))
+      def stageBatch(ids: org.apache.spark.sql.Dataset[java.lang.Long],
+          fname: String, ageMs: Long): Unit = {
+        val tmp = staged.resolve(fname + ".tmp")
+        ids.toDF("doc_id").select(col("doc_id"), png(col("doc_id")).as("payload"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, staged.resolve(fname))
+        staged.resolve(fname).toFile.deleteOnExit()
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        java.nio.file.Files.setLastModifiedTime(staged.resolve(fname),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - ageMs))
+      }
+      stageBatch(s.range(0, 20).as[java.lang.Long], "a.parquet", 120000L)
+      stageBatch(s.range(1000000L, 1000020L).as[java.lang.Long], "b.parquet", 0L)
+      val mediaSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("payload", BinaryType)))
+      val stream = s.readStream.schema(mediaSchema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+        .repartition(col("doc_id"))
+      val verdicts = graft.operators.StreamingNearDup.pHashVerdictsRotTolerant(
+        stream, "doc_id", "payload")
+      val q = verdicts.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+      s.table(name)
+        .groupBy(col("doc_id"))
+        .agg(min(col("dup_src")).as("dup_src"))
+        .select(col("doc_id"), col("dup_src").isNull.as("kept"),
+          col("dup_src"))
+        .orderBy(col("doc_id"))
+    }),
+
     // STREAMING flip-tolerant image dedup (the m102 tier in the
     // streaming matrix): micro-batch 1 delivers 20 base PNGs,
     // micro-batch 2 ten MIRRORED reposts (plain-pHash state is blind

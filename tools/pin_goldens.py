@@ -51,6 +51,8 @@ QUERIES = [
                            # dedup (trim+flip, oriented landmarks)
     "m105_phash_rot_pairs", # rotation-tolerant image near-dup (the
                            # phone-orientation repost, 4 grid turns)
+    "st80_stream_phash_rot_dedup", # streaming rotation-tolerant image
+                           # dedup (as-is-only state, 4-turn probes)
     "st75_stream_video_landmark_dedup", # streaming video landmark dedup
     "m85_index_dedup",   # incremental image dedup vs persisted pHash index
     "st72_stream_phash_dedup",  # streaming pHash chunk-state dedup
