@@ -718,19 +718,34 @@ object Multimodal {
       .filter(col("match_frac") >= minMatch)
   }
 
+  /** Version of the audio fingerprint FUNCTION (canonicalization +
+    * code derivation), stamped into every [[audioCodeIndex]] row: a
+    * persisted index only matches probes fingerprinted by the SAME
+    * function, so [[dedupAgainstAudioIndex]] fails fast on a version
+    * it didn't build against instead of silently missing every
+    * duplicate. v2 = round-9 canonicalization (unconditional channel
+    * downmix + integer decimation to canonRate=8000); v1 (unstamped —
+    * rows have no `fp_ver` column) was the raw-rate fingerprint.
+    * Bump this whenever [[canonPcm]] / [[wavFrameCodes]] semantics
+    * change; existing indexes must then be rebuilt. */
+  val AudioFpVersion: Int = 2
+
   /** Persisted audio fingerprint INDEX — the audio member of the
     * incremental-index family (text t69 / embeddings s56 / images
     * m85): fingerprint the corpus ONCE into one row per
     * (frame_idx, code, doc) with the doc's total frame count riding
     * along, write it bucketed by (frame_idx, code), and screen every
     * ingest batch with [[dedupAgainstAudioIndex]] — no corpus
-    * re-decode per increment. */
+    * re-decode per increment. Rows carry [[AudioFpVersion]] so a
+    * fingerprint-function change can never silently split index and
+    * probes into disjoint code spaces. */
   def audioCodeIndex(media: DataFrame)(implicit s: SparkSession): DataFrame = {
     val codes = Materialize.eager(audioFingerprint(media).toDF())
     codes.join(
         codes.groupBy(col("doc_id")).agg(count(lit(1)).as("nf")),
         Seq("doc_id"))
-      .select(col("frame_idx"), col("code"), col("doc_id"), col("nf"))
+      .select(col("frame_idx"), col("code"), col("doc_id"), col("nf"),
+        lit(AudioFpVersion).as("fp_ver"))
   }
 
   /** Screen an ingest batch of audio against a pre-built
@@ -743,9 +758,29 @@ object Multimodal {
     * undecodable byte string, but equally a WAV shorter than one
     * frame — are absent from the output, not judged kept; a caller
     * needing a verdict per raw input left-joins from the raw batch
-    * ids. */
+    * ids.
+    *
+    * The index must have been built by THIS fingerprint version
+    * ([[AudioFpVersion]]): an unstamped index (no `fp_ver` column —
+    * built before the round-9 canonicalization change) or a
+    * mismatched stamp throws immediately with a rebuild instruction,
+    * because a cross-version screen compiles and runs but matches
+    * nothing — the silent-miss failure mode this check exists for.
+    * The stamp probe is a `limit(1)` over a constant column: parquet
+    * min/max stats prune it to a metadata read on a real deployment. */
   def dedupAgainstAudioIndex(media: DataFrame, index: DataFrame,
       minMatch: Double = 0.8)(implicit s: SparkSession): DataFrame = {
+    require(index.columns.contains("fp_ver"),
+      s"audio index has no fp_ver column: it predates fingerprint " +
+        s"version $AudioFpVersion (the round-9 canonicalization " +
+        "change) — rebuild it with audioCodeIndex before screening")
+    val stale = index.filter(col("fp_ver") =!= lit(AudioFpVersion))
+      .limit(1).collect()
+    require(stale.isEmpty,
+      s"audio index built by fingerprint version " +
+        s"${stale.headOption.map(_.getAs[Any]("fp_ver")).orNull}, " +
+        s"current is $AudioFpVersion — rebuild it with audioCodeIndex " +
+        "before screening (cross-version codes never match)")
     val codes = Materialize.eager(audioFingerprint(media).toDF())
     val nf = codes.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
     val dup = codes.join(
@@ -951,6 +986,29 @@ object Multimodal {
   private[operators] val pHashRotsUdf =
     udf((payload: Array[Byte]) => pHash64Rots(payload))
 
+  /** All EIGHT dihedral-group orientation hashes from ONE decode —
+    * indices 0-3 = r clockwise quarter turns of the as-is grid,
+    * 4-7 = r quarter turns of the horizontally-mirrored grid. Every
+    * composition of flips and rotations is one of these eight, so a
+    * compound repost (rot90 + mirror, or the rot180 + mirror vertical
+    * flip) — which the 4-rotation and 2-mirror probe sets each miss
+    * alone — lands on its source in a single pass. */
+  private[operators] def pHash64Dihedral(payload: Array[Byte]): Option[Seq[Long]] =
+    grid32(payload).map { g =>
+      val m = new Array[Double](32 * 32)
+      var y = 0
+      while (y < 32) {
+        var x = 0
+        while (x < 32) { m(y * 32 + x) = g(y * 32 + 31 - x); x += 1 }
+        y += 1
+      }
+      (0 until 4).map(r => pHashOfGrid(rotGrid(g, r))) ++
+        (0 until 4).map(r => pHashOfGrid(rotGrid(m, r)))
+    }
+
+  private[operators] val pHashDihedralUdf =
+    udf((payload: Array[Byte]) => pHash64Dihedral(payload))
+
   /** Image near-duplicate pairs by pHash hamming distance: 4 chunk
     * buckets of 16 bits per hash — by pigeonhole, any pair within
     * hamming distance <= 3 shares at least one intact chunk, so the
@@ -1021,8 +1079,10 @@ object Multimodal {
     * strict superset of [[pHashPairs]] at the same threshold.
     *
     * Scale shape identical to [[pHashPairs]]: 2x the posting-list rows
-    * (the price of orientation invariance), same maxDf pre-aggregation
-    * cap, same pigeonhole-complete recall per combo. */
+    * (the price of orientation invariance), same pigeonhole-complete
+    * recall per combo. The maxDf pre-aggregation cap counts DISTINCT
+    * docs per bucket, so a value tuned for [[pHashPairs]] carries over
+    * unchanged despite the 2x row inflation. */
   def pHashPairsFlipTolerant(media: DataFrame, maxDist: Int = 3,
       maxDf: Int = 0): DataFrame = {
     require(maxDist < 4, "4 x 16-bit chunks guarantee recall only for maxDist <= 3")
@@ -1037,10 +1097,13 @@ object Multimodal {
           shiftright(col("h"), c * 16).bitwiseAND(lit(0xffffL))): _*)))
       .select(col("doc_id"), col("h"), col("pos").as("chunk"),
         col("col").as("ckey"))
+    // df counts DISTINCT docs, not orientation rows — maxDf keeps its
+    // per-doc meaning from pHashPairs even though each doc contributes
+    // multiple orientation rows per bucket here
     val capped = if (maxDf <= 0) chunks
       else chunks.join(
         chunks.groupBy(col("chunk"), col("ckey"))
-          .agg(count(lit(1)).as("df"))
+          .agg(countDistinct(col("doc_id")).as("df"))
           .filter(col("df") <= maxDf)
           .select(col("chunk"), col("ckey")),
         Seq("chunk", "ckey"), "left_semi")
@@ -1067,9 +1130,10 @@ object Multimodal {
     * rotated row. Pairs verify per orientation combo and keep the
     * minimum distance; strict superset of [[pHashPairs]] (orientation
     * 0 x 0 is the plain comparison). 4x posting rows — the price of
-    * four-fold invariance; same maxDf pre-aggregation cap. Mirroring
-    * composes with [[pHashPairsFlipTolerant]]'s trick for the full
-    * dihedral-8 set. */
+    * four-fold invariance. The maxDf pre-aggregation cap counts
+    * DISTINCT docs per bucket, so a value tuned for [[pHashPairs]]
+    * carries over unchanged despite the 4x row inflation. For the
+    * full dihedral-8 set in ONE pass see [[pHashPairsDihedral]]. */
   def pHashPairsRotTolerant(media: DataFrame, maxDist: Int = 3,
       maxDf: Int = 0): DataFrame = {
     require(maxDist < 4, "4 x 16-bit chunks guarantee recall only for maxDist <= 3")
@@ -1082,10 +1146,59 @@ object Multimodal {
           shiftright(col("h"), c * 16).bitwiseAND(lit(0xffffL))): _*)))
       .select(col("doc_id"), col("h"), col("pos").as("chunk"),
         col("col").as("ckey"))
+    // df counts DISTINCT docs, not orientation rows — maxDf keeps its
+    // per-doc meaning from pHashPairs even though each doc contributes
+    // multiple orientation rows per bucket here
     val capped = if (maxDf <= 0) chunks
       else chunks.join(
         chunks.groupBy(col("chunk"), col("ckey"))
-          .agg(count(lit(1)).as("df"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .filter(col("df") <= maxDf)
+          .select(col("chunk"), col("ckey")),
+        Seq("chunk", "ckey"), "left_semi")
+    val kept = capped.groupBy(col("chunk"), col("ckey"))
+      .agg(collect_list(struct(col("doc_id"), col("h"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    val ds = array_sort(col("ds"))
+    kept.select(explode(flatten(transform(ds, (x, i) =>
+        transform(slice(ds, i + lit(2), greatest(size(ds) - i - 1, lit(0))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .filter(col("p.a.doc_id") =!= col("p.b.doc_id"))
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        bit_count(col("p.a.h").bitwiseXOR(col("p.b.h"))).as("dist"))
+      .filter(col("dist") <= maxDist)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(min(col("dist")).as("dist"))
+  }
+
+  /** The full DIHEDRAL-8 image near-dup pass — one operator for every
+    * flip x rotation compound, closing the gap where a rot90+mirror
+    * (or rot180+mirror = vertical flip) repost needed the right
+    * two-operator composition of [[pHashPairsRotTolerant]] and
+    * [[pHashPairsFlipTolerant]] and was missed by each alone: every
+    * image contributes all EIGHT orientation hashes from one decode
+    * ([[pHash64Dihedral]]); a repost under ANY dihedral transform has
+    * an orientation row colliding with its source's as-is row.
+    * Strict superset of both single-trick variants at the same
+    * threshold. 8x posting rows — the full price of dihedral
+    * invariance; the maxDf cap counts DISTINCT docs per bucket, so a
+    * [[pHashPairs]]-tuned value carries over unchanged. */
+  def pHashPairsDihedral(media: DataFrame, maxDist: Int = 3,
+      maxDf: Int = 0): DataFrame = {
+    require(maxDist < 4, "4 x 16-bit chunks guarantee recall only for maxDist <= 3")
+    val hashed = Materialize.eager(
+      media.select(col("doc_id"), pHashDihedralUdf(col("payload")).as("hs")))
+      .filter(col("hs").isNotNull)
+    val rows = hashed.select(col("doc_id"), explode(col("hs")).as("h"))
+    val chunks = rows.select(col("doc_id"), col("h"), posexplode(
+        array((0 until 4).map(c =>
+          shiftright(col("h"), c * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .select(col("doc_id"), col("h"), col("pos").as("chunk"),
+        col("col").as("ckey"))
+    val capped = if (maxDf <= 0) chunks
+      else chunks.join(
+        chunks.groupBy(col("chunk"), col("ckey"))
+          .agg(countDistinct(col("doc_id")).as("df"))
           .filter(col("df") <= maxDf)
           .select(col("chunk"), col("ckey")),
         Seq("chunk", "ckey"), "left_semi")
@@ -1119,6 +1232,35 @@ object Multimodal {
     for (y <- 0 until h; x <- 0 until w) {
       val (nx, ny) = quarterTurns % 4 match {
         case 1 => (h - 1 - y, x)       // clockwise quarter turn
+        case 2 => (w - 1 - x, h - 1 - y)
+        case 3 => (y, w - 1 - x)
+        case _ => (x, y)
+      }
+      out.setRGB(nx, ny, img.getRGB(x, y))
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", bos)
+    bos.toByteArray
+  }
+
+  /** COMPOUND dihedral re-encode of [[syntheticPng]]: horizontal
+    * mirror THEN `quarterTurns` clockwise quarter turns — the repost
+    * class neither [[syntheticPngRot]]'s rotation set nor
+    * [[syntheticPngFlip]]'s mirror catches alone (quarterTurns=1/3 are
+    * the transpose-type elements, 2 is the vertical flip). Lossless,
+    * square: its as-is pHash equals the original's corresponding
+    * mirrored-then-rotated grid hash exactly. */
+  def syntheticPngRotFlip(id: Long, quarterTurns: Int,
+      w: Int = 16, h: Int = 16): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(syntheticPngFlip(id, w, h)))
+    val out = new java.awt.image.BufferedImage(
+      if (quarterTurns % 2 == 1) h else w,
+      if (quarterTurns % 2 == 1) w else h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (nx, ny) = quarterTurns % 4 match {
+        case 1 => (h - 1 - y, x)
         case 2 => (w - 1 - x, h - 1 - y)
         case 3 => (y, w - 1 - x)
         case _ => (x, y)
@@ -2849,28 +2991,6 @@ object Multimodal {
       .filter(col("match_frac") >= minMatch)
   }
 
-  /** JOINT audio+video near-dup verdict over a video corpus — the
-    * fusion tier above the single-modality ladders: pair evidence from
-    * the FRAME tier ([[videoNearDupPairs]] — aligned pHash agreement)
-    * and the AUDIO-TRACK tier ([[audioLandmarkPairs]] over
-    * [[videoAudioTracks]] — positionless landmark agreement on the
-    * extracted PCM) full-outer-joins into one row per candidate pair:
-    * (doc_a, doc_b, frame_frac, audio_frac, verdict) with verdict
-    *  - "reupload"   — both tiers agree: the true re-upload
-    *  - "same_video" — frames match, audio does not (re-dub / music
-    *                   swap / silenced copy)
-    *  - "same_audio" — audio matches, frames do not (reaction video /
-    *                   reposted clip / slideshow over the same track).
-    * A pair neither tier surfaces never materializes — the fusion is
-    * a join of two already-capped candidate sets, not a cross product.
-    *
-    * Scale shape: each tier keeps its own skew caps and decode-once
-    * materialization; payloads are walked twice (frame slice + audio
-    * slice) but the expensive JPEG decode happens only in the frame
-    * tier and only for sampled frames — the audio walk is pointer
-    * arithmetic plus PCM copy. The final join is pair-keyed (both
-    * sides already aggregated to pairs), broadcast-sized in practice
-    * since both tiers emit above-threshold candidates only. */
   /** Persisted video index for incremental dedup — the t69/s56/m85/m86
     * contract at the VIDEO tier, completing the incremental-index
     * family across all five modalities: sampled-frame pHashes chunk
@@ -2944,6 +3064,28 @@ object Multimodal {
         col("dup_src"))
   }
 
+  /** JOINT audio+video near-dup verdict over a video corpus — the
+    * fusion tier above the single-modality ladders: pair evidence from
+    * the FRAME tier ([[videoNearDupPairs]] — aligned pHash agreement)
+    * and the AUDIO-TRACK tier ([[audioLandmarkPairs]] over
+    * [[videoAudioTracks]] — positionless landmark agreement on the
+    * extracted PCM) full-outer-joins into one row per candidate pair:
+    * (doc_a, doc_b, frame_frac, audio_frac, verdict) with verdict
+    *  - "reupload"   — both tiers agree: the true re-upload
+    *  - "same_video" — frames match, audio does not (re-dub / music
+    *                   swap / silenced copy)
+    *  - "same_audio" — audio matches, frames do not (reaction video /
+    *                   reposted clip / slideshow over the same track).
+    * A pair neither tier surfaces never materializes — the fusion is
+    * a join of two already-capped candidate sets, not a cross product.
+    *
+    * Scale shape: each tier keeps its own skew caps and decode-once
+    * materialization; payloads are walked twice (frame slice + audio
+    * slice) but the expensive JPEG decode happens only in the frame
+    * tier and only for sampled frames — the audio walk is pointer
+    * arithmetic plus PCM copy. The final join is pair-keyed (both
+    * sides already aggregated to pairs), broadcast-sized in practice
+    * since both tiers emit above-threshold candidates only. */
   def videoJointNearDup(media: DataFrame, every: Int = 2,
       minFrame: Double = 0.8, minAudio: Double = 0.6,
       maxDf: Int = 0)(implicit s: SparkSession): DataFrame = {

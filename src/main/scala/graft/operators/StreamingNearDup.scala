@@ -14,6 +14,16 @@ case class BandVerdict(doc_id: Long, band: Int, dup_src: Option[Long])
   * one's pHash (consulted in this chunk's bucket), or None. */
 case class ChunkVerdict(doc_id: Long, chunk: Int, dup_src: Option[Long])
 
+/** [[ChunkVerdict]] with the probing ORIENTATION (0 = as-is; flip tier:
+  * 1 = mirrored; rotation tier: quarter-turns 1-3) — the record the
+  * orientation-tolerant image verdict ops emit, so one (doc_id, chunk)
+  * key never carries two indistinguishable verdicts: consumers that
+  * want one verdict per chunk reduce over `orient` (min dup_src), and
+  * consumers that care WHICH orientation landed read it directly (the
+  * [[VideoLandmarkHitsO]] precedent). */
+case class ChunkVerdictO(doc_id: Long, orient: Int, chunk: Int,
+    dup_src: Option[Long])
+
 /** One audio hit record per (document, fingerprint frame): `hits`
   * lists every earlier document whose fingerprint shares this frame's
   * (frame_idx, code) bucket. The dup decision (shared frames over the
@@ -66,11 +76,15 @@ case class VideoLandmarkHitsO(doc_id: Long, orient: Int, lm_a: Long,
   * then reflect arrival order, not id order — the keep-first-SEEN
   * semantics every streaming dedup has.
   *
-  * Scale: state per bucket grows with its membership — bounded in
-  * practice by bucket occupancy (bands spread documents across 2^128
-  * md5 keys); an unbounded-retention ingest would swap NoTimeout for a
-  * watermark/TTL past the re-delivery horizon, the same trade st65
-  * documents for `dropDuplicatesWithinWatermark`. */
+  * Scale: bands spread documents across 2^128 md5 keys, but real
+  * corpora concentrate on a few hot keys (boilerplate / empty docs, the
+  * skew class the batch tier caps with maxDf) — so every operator in
+  * this family takes a `maxBucket` cap bounding both state size and
+  * per-arrival scan cost in the hot bucket ([[foldBucket]] /
+  * [[foldProbe]] semantics). An unbounded-retention ingest would
+  * additionally swap NoTimeout for a watermark/TTL past the re-delivery
+  * horizon, the same trade st65 documents for
+  * `dropDuplicatesWithinWatermark`. */
 object StreamingNearDup {
 
   /** Shared per-bucket state fold for the hit-emitting family
@@ -98,9 +112,81 @@ object StreamingNearDup {
     (seen, out)
   }
 
+  /** Sentinel a null minhash component packs to — never produced by
+    * [[packSig]] for a real component, so null-vs-anything can never
+    * count as agreement (the oracle's IS NOT NULL guard). */
+  private[operators] val PackedNull: Long = 0x8000000000000000L
+
+  /** Pack a minhash signature (hex md5 strings) into one 64-bit
+    * fingerprint per component for bucket state: equal components pack
+    * equal, distinct components collide with probability 2^-64 per
+    * comparison — far below the estimator's own band-collision noise.
+    * Cuts per-member state from ~16 boxed 32-char strings (~1 KB +
+    * object headers) to a 128-byte long array, and makes the agreement
+    * scan a primitive loop. */
+  private[operators] def packSig(sig: Seq[String]): Array[Long] = {
+    val out = new Array[Long](sig.length)
+    var i = 0
+    while (i < sig.length) {
+      val s = sig(i)
+      out(i) = if (s == null) PackedNull else {
+        val v = java.lang.Long.parseUnsignedLong(s.substring(0, 16), 16)
+        if (v == PackedNull) v ^ 1L else v
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Per-bucket fold for the VERDICT-emitting family ([[bandVerdicts]]
+    * / [[pHashVerdicts]] + orientation variants) — the counterpart of
+    * [[foldBucket]] for ops that owe every arrival an answer instead
+    * of a hit list. Each arrival's verdict is the lowest current
+    * member (excluding itself) whose payload `matches` its own; it
+    * then registers iff `register` (orientation-tolerant ops register
+    * only the as-is orientation) and the bucket is under `maxBucket`.
+    *
+    * Unlike [[foldBucket]], a capped arrival still probes the capped
+    * membership: members register in id order under the id-monotonic
+    * delivery contract, so the retained members are exactly the LOWEST
+    * ids — the ones a min-id verdict prefers — and what the cap
+    * forgoes is only matches against members past the cap, the same
+    * trade the batch tier's `maxDf` makes when it drops a hot bucket's
+    * candidates. State size and per-arrival scan cost are O(maxBucket)
+    * in the hot bucket (blank thumbnails / default avatars on one
+    * pHash chunk, boilerplate docs in one band); 0 = uncapped. The
+    * length probe is paid once per invocation, not per arrival.
+    * `arrivals` must be pre-sorted (the id-ordered determinism
+    * contract). */
+  private[operators] def foldProbe[P](seen0: List[(Long, P)],
+      arrivals: Seq[(Long, P, Boolean)], maxBucket: Int)(
+      matches: (P, P) => Boolean): (List[(Long, P)], Seq[Option[Long]]) = {
+    var seen = seen0
+    var n = seen.size
+    val out = arrivals.map { case (id, p, register) =>
+      val hit = seen.collect {
+        case (eid, ep) if eid != id && matches(p, ep) => eid
+      } match { case Nil => None; case xs => Some(xs.min) }
+      if (register && !(maxBucket > 0 && n >= maxBucket)) {
+        seen = (id, p) :: seen
+        n += 1
+      }
+      hit
+    }
+    (seen, out)
+  }
+
+  /** `maxBucket` is the streaming analog of the batch tier's `maxDf`
+    * skew cap — see [[foldProbe]] for the exact semantics (capped
+    * arrivals still probe the lowest-id members; the hot boilerplate
+    * band bucket stops growing). Band buckets hold one packed
+    * 128-byte signature fingerprint per member ([[packSig]]), not the
+    * hex signature — ~16x smaller state; a signature is still stored
+    * once per band (the single-stateful-operator shape cannot share
+    * one copy across band keys), which the cap bounds regardless. */
   def bandVerdicts(docs: DataFrame, idCol: String, textCol: String,
       bands: Int = 8, rowsPerBand: Int = 2, k: Int = 3,
-      estThreshold: Double = 0.5): Dataset[BandVerdict] = {
+      estThreshold: Double = 0.5, maxBucket: Int = 0): Dataset[BandVerdict] = {
     val spark = docs.sparkSession
     import spark.implicits._
     val numHashes = bands * rowsPerBand
@@ -111,47 +197,33 @@ object StreamingNearDup {
           md5(concat_ws("|", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))): _*)))
       .as[(Long, Seq[String], Int, String)]
     banded.groupByKey { case (_, _, band, key) => (band, key) }
-      .flatMapGroupsWithState[List[(Long, Seq[String])], BandVerdict](
+      .flatMapGroupsWithState[List[(Long, Array[Long])], BandVerdict](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        case ((band, _), rows, state: GroupState[List[(Long, Seq[String])]]) =>
-          var seen = state.getOption.getOrElse(Nil)
+        case ((band, _), rows, state: GroupState[List[(Long, Array[Long])]]) =>
           // id order makes the fold batch-boundary-independent: each
           // verdict consults only lower ids, which sort earlier here
           // and arrive in earlier micro-batches otherwise
-          val out = rows.toSeq.sortBy(_._1).map { case (id, sig, _, _) =>
-            val dupSrc = seen.collect {
-              case (eid, esig) if {
-                var eq = 0
-                var i = 0
-                // null components (zero-shingle docs) never match —
-                // mirrors the oracle's IS NOT NULL guard
-                while (i < sig.length) {
-                  if (sig(i) != null && sig(i) == esig(i)) eq += 1
-                  i += 1
-                }
-                eq.toDouble / numHashes >= estThreshold
-              } => eid
-            } match { case Nil => None; case xs => Some(xs.min) }
-            seen = (id, sig) :: seen
-            BandVerdict(id, band, dupSrc)
-          }
+          val arrivals = rows.toSeq.sortBy(_._1)
+            .map { case (id, sig, _, _) => (id, packSig(sig), true) }
+          val (seen, verdicts) = foldProbe(state.getOption.getOrElse(Nil),
+            arrivals, maxBucket) { (p, ep) =>
+              var eq = 0
+              var i = 0
+              // null components (zero-shingle docs) never match —
+              // mirrors the oracle's IS NOT NULL guard
+              while (i < p.length) {
+                if (p(i) != PackedNull && p(i) == ep(i)) eq += 1
+                i += 1
+              }
+              eq.toDouble / numHashes >= estThreshold
+            }
           state.update(seen)
-          out.iterator
+          arrivals.zip(verdicts).map { case ((id, _, _), v) =>
+            BandVerdict(id, band, v)
+          }.iterator
       }
   }
 
-  /** Streaming IMAGE near-dup dedup — the pixel tier of the ingest
-    * ladder ([[bandVerdicts]] covers edited text; this covers
-    * recompressed / lightly-edited images): arriving payloads pHash
-    * ([[Multimodal.pHash64]]) and bucket by 16-bit hash chunks —
-    * pigeonhole-complete for hamming distance <= 3 — with
-    * `flatMapGroupsWithState` per (chunk, value) holding the
-    * (doc_id, hash) list seen so far. An arrival is a duplicate of the
-    * lowest earlier id within `maxDist` bits. Same determinism
-    * contract as bandVerdicts: id-ordered fold within a batch,
-    * id-monotonic delivery across batches == the batch replay. State
-    * per bucket is 16 bytes/member; undecodable payloads carry no
-    * hash and pass through unjudged (they are not images). */
   /** Streaming AUDIO near-dup detection — the audio tier of the ingest
     * ladder ([[bandVerdicts]] text, [[pHashVerdicts]] images): arriving
     * payloads fingerprint into per-frame 13-bit autocorrelation codes
@@ -304,9 +376,59 @@ object StreamingNearDup {
     * enters state — per-doc state stays 4 x 16 B, and a phone-rotated
     * repost's rotated-hash chunks land exactly in its source's
     * buckets. Same-doc orientation self-matches are excluded
-    * (rotationally symmetric images share orientation hashes). */
+    * (rotationally symmetric images share orientation hashes). Emits
+    * one [[ChunkVerdictO]] per (doc, orientation, chunk) — `orient`
+    * disambiguates the four probes of a chunk slot, so no two rows
+    * share a full key; reduce over `orient` (min dup_src) for a
+    * per-chunk verdict. `maxBucket` caps the hot chunk bucket
+    * ([[foldProbe]] semantics); 0 = uncapped. */
+  /** The full DIHEDRAL-8 streaming image tier — closes the compound
+    * hole where a rot90+mirror (or vertical-flip) repost evades BOTH
+    * [[pHashVerdictsFlipTolerant]] and [[pHashVerdictsRotTolerant]]:
+    * every arrival probes with all eight orientation hashes
+    * (`Multimodal.pHash64Dihedral`, one decode — orient 0-3 the
+    * quarter turns, 4-7 the mirrored quarter turns), but only the
+    * as-is hash enters state, so per-doc state stays 4 x 16 B
+    * regardless of probe width. Same id-monotonic determinism
+    * contract, [[ChunkVerdictO]] record shape, and `maxBucket` /
+    * [[foldProbe]] cap semantics as the single-trick variants. */
+  def pHashVerdictsDihedral(media: DataFrame, idCol: String,
+      payloadCol: String, maxDist: Int = 3,
+      maxBucket: Int = 0): Dataset[ChunkVerdictO] = {
+    require(maxDist < 4, "4 x 16-bit chunks guarantee recall only for maxDist <= 3")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val hashed = media.select(col(idCol).cast("long").as("doc_id"),
+        Multimodal.pHashDihedralUdf(col(payloadCol)).as("hs"))
+      .filter(col("hs").isNotNull)
+    val rows = hashed.select(col("doc_id"),
+        posexplode(col("hs")))
+      .select(col("doc_id"), col("pos").as("orient"), col("col").as("h"))
+    val chunked = rows.select(col("doc_id"), col("orient"), col("h"),
+        posexplode(array((0 until 4).map(c =>
+          shiftright(col("h"), c * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .as[(Long, Int, Long, Int, Long)]
+    chunked.groupByKey { case (_, _, _, chunk, key) => (chunk, key) }
+      .flatMapGroupsWithState[List[(Long, Long)], ChunkVerdictO](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((chunk, _), rows, state: GroupState[List[(Long, Long)]]) =>
+          val rs = rows.toSeq.sortBy(r => (r._1, r._2))
+          val arrivals = rs.map { case (id, orient, h, _, _) =>
+            (id, h, orient == 0)
+          }
+          val (seen, verdicts) = foldProbe(state.getOption.getOrElse(Nil),
+            arrivals, maxBucket)(
+            (h, eh) => java.lang.Long.bitCount(h ^ eh) <= maxDist)
+          state.update(seen)
+          rs.zip(verdicts).map { case ((id, orient, _, _, _), v) =>
+            ChunkVerdictO(id, orient, chunk, v)
+          }.iterator
+      }
+  }
+
   def pHashVerdictsRotTolerant(media: DataFrame, idCol: String,
-      payloadCol: String, maxDist: Int = 3): Dataset[ChunkVerdict] = {
+      payloadCol: String, maxDist: Int = 3,
+      maxBucket: Int = 0): Dataset[ChunkVerdictO] = {
     require(maxDist < 4, "4 x 16-bit chunks guarantee recall only for maxDist <= 3")
     val spark = media.sparkSession
     import spark.implicits._
@@ -321,26 +443,43 @@ object StreamingNearDup {
           shiftright(col("h"), c * 16).bitwiseAND(lit(0xffffL))): _*)))
       .as[(Long, Int, Long, Int, Long)]
     chunked.groupByKey { case (_, _, _, chunk, key) => (chunk, key) }
-      .flatMapGroupsWithState[List[(Long, Long)], ChunkVerdict](
+      .flatMapGroupsWithState[List[(Long, Long)], ChunkVerdictO](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case ((chunk, _), rows, state: GroupState[List[(Long, Long)]]) =>
-          var seen = state.getOption.getOrElse(Nil)
-          val out = rows.toSeq.sortBy(r => (r._1, r._2))
-            .map { case (id, orient, h, _, _) =>
-              val dupSrc = seen.collect {
-                case (eid, eph) if eid != id &&
-                  java.lang.Long.bitCount(h ^ eph) <= maxDist => eid
-              } match { case Nil => None; case xs => Some(xs.min) }
-              if (orient == 0) seen = (id, h) :: seen
-              ChunkVerdict(id, chunk, dupSrc)
-            }
+          val rs = rows.toSeq.sortBy(r => (r._1, r._2))
+          val arrivals = rs.map { case (id, orient, h, _, _) =>
+            (id, h, orient == 0)
+          }
+          val (seen, verdicts) = foldProbe(state.getOption.getOrElse(Nil),
+            arrivals, maxBucket)(
+            (h, eh) => java.lang.Long.bitCount(h ^ eh) <= maxDist)
           state.update(seen)
-          out.iterator
+          rs.zip(verdicts).map { case ((id, orient, _, _, _), v) =>
+            ChunkVerdictO(id, orient, chunk, v)
+          }.iterator
       }
   }
 
+  /** Streaming IMAGE near-dup dedup — the pixel tier of the ingest
+    * ladder ([[bandVerdicts]] covers edited text; this covers
+    * recompressed / lightly-edited images): arriving payloads pHash
+    * ([[Multimodal.pHash64]]) and bucket by 16-bit hash chunks —
+    * pigeonhole-complete for hamming distance <= 3 — with
+    * `flatMapGroupsWithState` per (chunk, value) holding the
+    * (doc_id, hash) list seen so far. An arrival is a duplicate of the
+    * lowest earlier id within `maxDist` bits. Same determinism
+    * contract as bandVerdicts: id-ordered fold within a batch,
+    * id-monotonic delivery across batches == the batch replay. State
+    * per bucket is 16 bytes/member; undecodable payloads carry no
+    * hash and pass through unjudged (they are not images).
+    *
+    * `maxBucket` caps the hot chunk bucket — blank thumbnails and
+    * default avatars share one 16-bit chunk value corpus-wide, the
+    * exact skew class the batch tier's `maxDf` guards; [[foldProbe]]
+    * semantics (capped arrivals still probe the lowest-id members).
+    * 0 = uncapped. */
   def pHashVerdicts(media: DataFrame, idCol: String, payloadCol: String,
-      maxDist: Int = 3): Dataset[ChunkVerdict] = {
+      maxDist: Int = 3, maxBucket: Int = 0): Dataset[ChunkVerdict] = {
     require(maxDist < 4, "4 x 16-bit chunks guarantee recall only for maxDist <= 3")
     val spark = media.sparkSession
     import spark.implicits._
@@ -355,16 +494,15 @@ object StreamingNearDup {
       .flatMapGroupsWithState[List[(Long, Long)], ChunkVerdict](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case ((chunk, _), rows, state: GroupState[List[(Long, Long)]]) =>
-          var seen = state.getOption.getOrElse(Nil)
-          val out = rows.toSeq.sortBy(_._1).map { case (id, ph, _, _) =>
-            val dupSrc = seen.collect {
-              case (eid, eph) if java.lang.Long.bitCount(ph ^ eph) <= maxDist => eid
-            } match { case Nil => None; case xs => Some(xs.min) }
-            seen = (id, ph) :: seen
-            ChunkVerdict(id, chunk, dupSrc)
-          }
+          val arrivals = rows.toSeq.sortBy(_._1)
+            .map { case (id, ph, _, _) => (id, ph, true) }
+          val (seen, verdicts) = foldProbe(state.getOption.getOrElse(Nil),
+            arrivals, maxBucket)(
+            (h, eh) => java.lang.Long.bitCount(h ^ eh) <= maxDist)
           state.update(seen)
-          out.iterator
+          arrivals.zip(verdicts).map { case ((id, _, _), v) =>
+            ChunkVerdict(id, chunk, v)
+          }.iterator
       }
   }
 
@@ -376,9 +514,14 @@ object StreamingNearDup {
     * unchanged (4 rows x 16 B) and a mirrored repost's mirrored-hash
     * chunks land exactly in its source's as-is buckets. Same-doc
     * orientation self-matches are excluded (a left-right-symmetric
-    * image has ph == phf and would otherwise dedup against itself). */
+    * image has ph == phf and would otherwise dedup against itself).
+    * Emits one [[ChunkVerdictO]] per (doc, orientation, chunk) — no
+    * duplicate full keys; reduce over `orient` for a per-chunk
+    * verdict. `maxBucket` caps the hot chunk bucket ([[foldProbe]]
+    * semantics); 0 = uncapped. */
   def pHashVerdictsFlipTolerant(media: DataFrame, idCol: String,
-      payloadCol: String, maxDist: Int = 3): Dataset[ChunkVerdict] = {
+      payloadCol: String, maxDist: Int = 3,
+      maxBucket: Int = 0): Dataset[ChunkVerdictO] = {
     require(maxDist < 4, "4 x 16-bit chunks guarantee recall only for maxDist <= 3")
     val spark = media.sparkSession
     import spark.implicits._
@@ -397,21 +540,20 @@ object StreamingNearDup {
           shiftright(col("h"), c * 16).bitwiseAND(lit(0xffffL))): _*)))
       .as[(Long, Int, Long, Int, Long)]
     chunked.groupByKey { case (_, _, _, chunk, key) => (chunk, key) }
-      .flatMapGroupsWithState[List[(Long, Long)], ChunkVerdict](
+      .flatMapGroupsWithState[List[(Long, Long)], ChunkVerdictO](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case ((chunk, _), rows, state: GroupState[List[(Long, Long)]]) =>
-          var seen = state.getOption.getOrElse(Nil)
-          val out = rows.toSeq.sortBy(r => (r._1, r._2))
-            .map { case (id, orient, h, _, _) =>
-              val dupSrc = seen.collect {
-                case (eid, eph) if eid != id &&
-                  java.lang.Long.bitCount(h ^ eph) <= maxDist => eid
-              } match { case Nil => None; case xs => Some(xs.min) }
-              if (orient == 0) seen = (id, h) :: seen
-              ChunkVerdict(id, chunk, dupSrc)
-            }
+          val rs = rows.toSeq.sortBy(r => (r._1, r._2))
+          val arrivals = rs.map { case (id, orient, h, _, _) =>
+            (id, h, orient == 0)
+          }
+          val (seen, verdicts) = foldProbe(state.getOption.getOrElse(Nil),
+            arrivals, maxBucket)(
+            (h, eh) => java.lang.Long.bitCount(h ^ eh) <= maxDist)
           state.update(seen)
-          out.iterator
+          rs.zip(verdicts).map { case ((id, orient, _, _, _), v) =>
+            ChunkVerdictO(id, orient, chunk, v)
+          }.iterator
       }
   }
 }

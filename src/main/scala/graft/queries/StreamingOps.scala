@@ -247,8 +247,11 @@ object StreamingOps extends QueryPack {
       val stream = s.readStream.schema(docsSchema)
         .option("maxFilesPerTrigger", "1").parquet(staged.toString)
         .repartition(col("doc_id"))
+      // maxBucket=64: the shipped skew guard (hot boilerplate band
+      // bucket stops growing). Far above any fixture bucket (42 docs
+      // total), so decisions are provably unchanged — see BENCH_NOTES.
       val verdicts = graft.operators.StreamingNearDup.bandVerdicts(
-        stream, "doc_id", "text")
+        stream, "doc_id", "text", maxBucket = 64)
       val q = verdicts.toDF().writeStream.outputMode("append")
         .format("memory").queryName(name).start()
       try { q.processAllAvailable() } finally q.stop()
@@ -491,7 +494,7 @@ object StreamingOps extends QueryPack {
         else Multimodal.syntheticPngVariant(id - 20))
       val media = s.range(0, 40)
         .select(col("id").as("doc_id"), png(col("id")).as("payload"))
-      Multimodal.pHashPairs(media, maxDist = 3)
+      Multimodal.pHashPairs(media, maxDist = 3, maxDf = 64)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -509,7 +512,7 @@ object StreamingOps extends QueryPack {
           (160 + ((id - 20) % 13) * 16).toInt, num = 9, den = 10))
       val media = s.range(0, 40)
         .select(col("id").as("doc_id"), wav(col("id")).as("payload"))
-      Multimodal.audioFingerprintPairs(media)
+      Multimodal.audioFingerprintPairs(media, maxDf = 64)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -527,7 +530,7 @@ object StreamingOps extends QueryPack {
           (320 + ((id - 20) % 8) * 64 - 128).toInt, skip = 128))
       val media = s.range(0, 14).union(s.range(20, 34))
         .select(col("id").as("doc_id"), wav(col("id")).as("payload"))
-      Multimodal.audioLandmarkPairs(media)
+      Multimodal.audioLandmarkPairs(media, maxDf = 64)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -557,7 +560,7 @@ object StreamingOps extends QueryPack {
           frameOffset = 2))
       val media = s.range(0, 8).union(s.range(20, 28))
         .select(col("id").as("doc_id"), avi(col("id")).as("payload"))
-      Multimodal.videoLandmarkPairs(media)
+      Multimodal.videoLandmarkPairs(media, maxDf = 64)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -576,7 +579,7 @@ object StreamingOps extends QueryPack {
           mjpeg = true, frameOffset = 2))
       val media = s.range(0, 8).union(s.range(20, 28))
         .select(col("id").as("doc_id"), avi(col("id")).as("payload"))
-      Multimodal.videoLandmarkPairsTolerant(media)
+      Multimodal.videoLandmarkPairsTolerant(media, maxDf = 64)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -595,7 +598,8 @@ object StreamingOps extends QueryPack {
           audioId = id % 4, audioSamples = (320 + (id % 4) * 64).toInt))
       val media = s.range(0, 8)
         .select(col("id").as("doc_id"), avi(col("id")).as("payload"))
-      Multimodal.audioLandmarkPairs(Multimodal.videoAudioTracks(media))
+      Multimodal.audioLandmarkPairs(Multimodal.videoAudioTracks(media),
+        maxDf = 64)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -627,7 +631,7 @@ object StreamingOps extends QueryPack {
         else Multimodal.syntheticMp4(id - 20, (6 + (id - 20) % 3).toInt))
       val media = s.range(0, 8).union(s.range(20, 28))
         .select(col("id").as("doc_id"), mk(col("id")).as("payload"))
-      Multimodal.videoNearDupPairs(media)
+      Multimodal.videoNearDupPairs(media, maxDf = 64)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -644,7 +648,7 @@ object StreamingOps extends QueryPack {
           perFrag = 2 + (id % 2).toInt))
       val media = s.range(0, 8).union(s.range(20, 28))
         .select(col("id").as("doc_id"), mk(col("id")).as("payload"))
-      Multimodal.videoNearDupPairs(media)
+      Multimodal.videoNearDupPairs(media, maxDf = 64)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -661,7 +665,8 @@ object StreamingOps extends QueryPack {
           audioId = id % 5, audioSamples = (320 + (id % 5) * 64).toInt))
       val media = s.range(0, 10)
         .select(col("id").as("doc_id"), mp4(col("id")).as("payload"))
-      Multimodal.audioLandmarkPairs(Multimodal.videoAudioTracks(media))
+      Multimodal.audioLandmarkPairs(Multimodal.videoAudioTracks(media),
+        maxDf = 64)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -683,7 +688,7 @@ object StreamingOps extends QueryPack {
           unknownSize = id % 2 == 1))
       val media = s.range(0, 8).union(s.range(20, 28))
         .select(col("id").as("doc_id"), mk(col("id")).as("payload"))
-      Multimodal.videoNearDupPairs(media)
+      Multimodal.videoNearDupPairs(media, maxDf = 64)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -701,7 +706,8 @@ object StreamingOps extends QueryPack {
           blockGroup = id % 4 == 3))
       val media = s.range(0, 10)
         .select(col("id").as("doc_id"), mkv(col("id")).as("payload"))
-      Multimodal.audioLandmarkPairs(Multimodal.videoAudioTracks(media))
+      Multimodal.audioLandmarkPairs(Multimodal.videoAudioTracks(media),
+        maxDf = 64)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -794,7 +800,7 @@ object StreamingOps extends QueryPack {
         .option("maxFilesPerTrigger", "1").parquet(staged.toString)
         .repartition(col("doc_id"))
       val hits = graft.operators.StreamingNearDup.videoLandmarkVerdictsFlipTolerant(
-        stream, "doc_id", "payload")
+        stream, "doc_id", "payload", maxBucket = 64)
       val q = hits.toDF().writeStream.outputMode("append")
         .format("memory").queryName(name).start()
       try { q.processAllAvailable() } finally q.stop()
@@ -856,7 +862,7 @@ object StreamingOps extends QueryPack {
         .option("maxFilesPerTrigger", "1").parquet(staged.toString)
         .repartition(col("doc_id"))
       val verdicts = graft.operators.StreamingNearDup.pHashVerdictsRotTolerant(
-        stream, "doc_id", "payload")
+        stream, "doc_id", "payload", maxBucket = 64)
       val q = verdicts.toDF().writeStream.outputMode("append")
         .format("memory").queryName(name).start()
       try { q.processAllAvailable() } finally q.stop()
@@ -907,7 +913,7 @@ object StreamingOps extends QueryPack {
         .option("maxFilesPerTrigger", "1").parquet(staged.toString)
         .repartition(col("doc_id"))
       val verdicts = graft.operators.StreamingNearDup.pHashVerdictsFlipTolerant(
-        stream, "doc_id", "payload")
+        stream, "doc_id", "payload", maxBucket = 64)
       val q = verdicts.toDF().writeStream.outputMode("append")
         .format("memory").queryName(name).start()
       try { q.processAllAvailable() } finally q.stop()
@@ -934,7 +940,8 @@ object StreamingOps extends QueryPack {
           audioId = id % 5, audioSamples = (320 + (id % 5) * 64).toInt))
       val media = s.range(0, 10)
         .select(col("id").as("doc_id"), mp4(col("id")).as("payload"))
-      Multimodal.audioLandmarkPairs(Multimodal.videoAudioTracks(media))
+      Multimodal.audioLandmarkPairs(Multimodal.videoAudioTracks(media),
+        maxDf = 64)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -953,7 +960,7 @@ object StreamingOps extends QueryPack {
           delta = 12, global0 = true, mirrorX = true))
       val media = s.range(0, 10).union(s.range(20, 30))
         .select(col("id").as("doc_id"), avi(col("id")).as("payload"))
-      Multimodal.videoNearDupPairsFlipTolerant(media)
+      Multimodal.videoNearDupPairsFlipTolerant(media, maxDf = 64)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -971,7 +978,7 @@ object StreamingOps extends QueryPack {
         else Multimodal.syntheticPngRot(id - 20, (id % 3 + 1).toInt))
       val media = s.range(0, 8).union(s.range(20, 26))
         .select(col("id").as("doc_id"), png(col("id")).as("payload"))
-      Multimodal.pHashPairsRotTolerant(media)
+      Multimodal.pHashPairsRotTolerant(media, maxDf = 64)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -991,7 +998,7 @@ object StreamingOps extends QueryPack {
         else Multimodal.syntheticPng(id))
       val media = s.range(0, 8).union(s.range(20, 28))
         .select(col("id").as("doc_id"), png(col("id")).as("payload"))
-      Multimodal.pHashPairsFlipTolerant(media)
+      Multimodal.pHashPairsFlipTolerant(media, maxDf = 64)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -1012,7 +1019,7 @@ object StreamingOps extends QueryPack {
           (320 + ((id - 1000000L) % 5) * 64).toInt))
       val media = s.range(0, 10).union(s.range(1000000L, 1000010L))
         .select(col("id").as("doc_id"), wav(col("id")).as("payload"))
-      Multimodal.audioLandmarkPairs(media)
+      Multimodal.audioLandmarkPairs(media, maxDf = 64)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -1035,7 +1042,7 @@ object StreamingOps extends QueryPack {
           avi(col("id")).as("payload")))
       val probes = s.range(1000000L, 1000010L).union(s.range(2000000L, 2000002L))
         .select(col("id").as("doc_id"), avi(col("id")).as("payload"))
-      Multimodal.dedupAgainstVideoIndex(probes, index)
+      Multimodal.dedupAgainstVideoIndex(probes, index, maxDf = 64)
         .orderBy(col("doc_id"))
     }),
 
@@ -1057,7 +1064,7 @@ object StreamingOps extends QueryPack {
           (320 + ((id - 1000000L) % 5) * 64).toInt, factor = 2))
       val media = s.range(0, 10).union(s.range(1000000L, 1000010L))
         .select(col("id").as("doc_id"), wav(col("id")).as("payload"))
-      Multimodal.audioLandmarkPairs(media)
+      Multimodal.audioLandmarkPairs(media, maxDf = 64)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -1112,11 +1119,12 @@ object StreamingOps extends QueryPack {
       // they share no state, so the drains overlap and the wall cost
       // is one tier's trigger latency, not the sum
       val qv = graft.operators.StreamingNearDup.videoLandmarkVerdicts(
-          freshStream, "doc_id", "payload")
+          freshStream, "doc_id", "payload", maxBucket = 64)
         .toDF().writeStream.outputMode("append")
         .format("memory").queryName("st77_v").start()
       val qa = graft.operators.StreamingNearDup.audioLandmarkVerdicts(
-          Multimodal.videoAudioTracks(freshStream), "doc_id", "payload")
+          Multimodal.videoAudioTracks(freshStream), "doc_id", "payload",
+          maxBucket = 64)
         .toDF().writeStream.outputMode("append")
         .format("memory").queryName("st77_a").start()
       try { qv.processAllAvailable(); qa.processAllAvailable() }
@@ -1307,7 +1315,7 @@ object StreamingOps extends QueryPack {
           corpusPng(col("id")).as("payload")))
       val probes = s.range(1000000L, 1000020L)
         .select(col("id").as("doc_id"), probePng(col("id")).as("payload"))
-      Multimodal.dedupAgainstPHashIndex(probes, index)
+      Multimodal.dedupAgainstPHashIndex(probes, index, maxDf = 64)
         .orderBy(col("doc_id"))
     }),
 
@@ -1347,7 +1355,7 @@ object StreamingOps extends QueryPack {
         .option("maxFilesPerTrigger", "1").parquet(staged.toString)
         .repartition(col("doc_id"))
       val hits = graft.operators.StreamingNearDup.audioLandmarkVerdicts(
-        stream, "doc_id", "payload")
+        stream, "doc_id", "payload", maxBucket = 64)
       val q = hits.toDF().writeStream.outputMode("append")
         .format("memory").queryName(name).start()
       try { q.processAllAvailable() } finally q.stop()
@@ -1405,7 +1413,7 @@ object StreamingOps extends QueryPack {
         .option("maxFilesPerTrigger", "1").parquet(staged.toString)
         .repartition(col("doc_id"))
       val hits = graft.operators.StreamingNearDup.videoLandmarkVerdicts(
-        stream, "doc_id", "payload")
+        stream, "doc_id", "payload", maxBucket = 64)
       val q = hits.toDF().writeStream.outputMode("append")
         .format("memory").queryName(name).start()
       try { q.processAllAvailable() } finally q.stop()
@@ -1456,7 +1464,7 @@ object StreamingOps extends QueryPack {
           delta = 12, global0 = true))
       val media = s.range(0, 10).union(s.range(20, 30))
         .select(col("id").as("doc_id"), avi(col("id")).as("payload"))
-      Multimodal.videoNearDupPairs(media)
+      Multimodal.videoNearDupPairs(media, maxDf = 64)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -1494,7 +1502,7 @@ object StreamingOps extends QueryPack {
         .option("maxFilesPerTrigger", "1").parquet(staged.toString)
         .repartition(col("doc_id"))
       val verdicts = graft.operators.StreamingNearDup.pHashVerdicts(
-        stream, "doc_id", "payload")
+        stream, "doc_id", "payload", maxBucket = 64)
       val q = verdicts.toDF().writeStream.outputMode("append")
         .format("memory").queryName(name).start()
       try { q.processAllAvailable() } finally q.stop()
@@ -1544,7 +1552,7 @@ object StreamingOps extends QueryPack {
         .option("maxFilesPerTrigger", "1").parquet(staged.toString)
         .repartition(col("doc_id"))
       val hits = graft.operators.StreamingNearDup.audioVerdicts(
-        stream, "doc_id", "payload")
+        stream, "doc_id", "payload", maxBucket = 64)
       val q = hits.toDF().writeStream.outputMode("append")
         .format("memory").queryName(name).start()
       try { q.processAllAvailable() } finally q.stop()

@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-10 additions: the hot-bucket state caps the round-9 verdict
+  * named for the VERDICT-emitting streaming family (st68/st72/st78/
+  * st80) — foldProbe bounds both state and per-arrival scan cost while
+  * keeping every planted decision — plus the packed band-signature
+  * state and the orientation-aware ChunkVerdictO record shape. */
+class Round10Spec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  // ---- foldProbe: the verdict-family cap kernel ----------------------
+
+  test("foldProbe bounds state at maxBucket; capped arrivals still probe retained members") {
+    // all-match predicate: every arrival matches every member
+    val batches = Seq(Seq(1L, 2L), Seq(3L, 4L, 5L), Seq(6L), Seq(7L, 8L))
+    for (maxBucket <- Seq(0, 1, 3, 100)) {
+      var seen: List[(Long, Unit)] = Nil
+      var verdicts = Map.empty[Long, Option[Long]]
+      batches.foreach { ids =>
+        val (ns, out) = StreamingNearDup.foldProbe(
+          seen, ids.map(id => (id, (), true)), maxBucket)((_, _) => true)
+        seen = ns
+        verdicts ++= ids.zip(out)
+      }
+      if (maxBucket > 0)
+        assert(seen.size <= maxBucket, s"state ${seen.size} > cap $maxBucket")
+      else assert(seen.size == 8)
+      // min-id verdict survives the cap: retained members are the
+      // lowest ids, which is what every verdict wants
+      assert(verdicts(1L).isEmpty)
+      (2L to 8L).foreach { id =>
+        assert(verdicts(id).contains(1L), s"doc $id: ${verdicts(id)}")
+      }
+    }
+    // register=false rows (orientation probes) never enter state
+    val (s2, out2) = StreamingNearDup.foldProbe(
+      List.empty[(Long, Unit)],
+      Seq((1L, (), true), (2L, (), false), (3L, (), true)),
+      0)((_, _) => true)
+    assert(s2.map(_._1).toSet == Set(1L, 3L))
+    assert(out2 == Seq(None, Some(1L), Some(1L)))
+    // self-matches excluded even when the same id probes twice
+    val (_, out3) = StreamingNearDup.foldProbe(
+      List((5L, ())), Seq((5L, (), false)), 0)((_, _) => true)
+    assert(out3 == Seq(None))
+  }
+
+  test("packSig: equality-preserving, null components never match") {
+    val a = StreamingNearDup.packSig(Seq("00ff" * 8, null, "aa" * 16))
+    val b = StreamingNearDup.packSig(Seq("00ff" * 8, null, "bb" * 16))
+    assert(a(0) == b(0))
+    assert(a(1) == StreamingNearDup.PackedNull)
+    assert(b(1) == StreamingNearDup.PackedNull)
+    assert(a(2) != b(2))
+    // a real component that packs to the sentinel is remapped, so no
+    // real component ever equals a null slot
+    val s = StreamingNearDup.packSig(Seq("8000000000000000" + "00" * 8))
+    assert(s(0) != StreamingNearDup.PackedNull)
+  }
+
+  // ---- st68 bandVerdicts: capped decisions match uncapped ------------
+
+  test("bandVerdicts maxBucket keeps planted + hot-bucket decisions") {
+    import spark.implicits._
+    val long1 = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val long2 = (1 to 40).map(i => s"other$i").mkString(" ")
+    val boiler = (1 to 40).map(i => s"boiler$i").mkString(" ")
+    // planted near-dup pair + 30 identical boilerplate docs whose
+    // shared band buckets would otherwise grow with the corpus
+    val docs = (Seq((1L, long1), (2L, long2), (3L, long1 + " appended tail")) ++
+      (100L until 130L).map(id => (id, boiler))).toDF("doc_id", "text")
+    def decisions(maxBucket: Int): Map[Long, Option[Long]] =
+      StreamingNearDup.bandVerdicts(docs, "doc_id", "text", maxBucket = maxBucket)
+        .collect().groupBy(_.doc_id)
+        .map { case (id, vs) =>
+          (id, vs.flatMap(_.dup_src) match {
+            case Array() => None
+            case xs => Some(xs.min)
+          })
+        }
+    val capped = decisions(maxBucket = 4)
+    val uncapped = decisions(maxBucket = 0)
+    assert(capped == uncapped, s"cap changed decisions:\n$capped\nvs\n$uncapped")
+    assert(capped(3L).contains(1L), "appended-tail mutant must dedup to doc 1")
+    assert(capped(1L).isEmpty && capped(2L).isEmpty)
+    // every boilerplate copy still resolves to the first one: the cap
+    // retains the LOWEST ids, exactly what a min-id verdict consults
+    (101L until 130L).foreach { id =>
+      assert(capped(id).contains(100L), s"doc $id: ${capped(id)}")
+    }
+  }
+
+  // ---- st72 pHashVerdicts: capped decisions match uncapped -----------
+
+  test("pHashVerdicts maxBucket keeps planted decisions amid a hot identical-image bucket") {
+    val png = udf((id: Long) =>
+      if (id < 6) Multimodal.syntheticPng(id)
+      else if (id < 200) Multimodal.syntheticPngVariant(id - 194) // ids 194..199 -> variants of 0..5
+      else Multimodal.syntheticPng(999)) // 30 identical copies: the hot bucket
+    val media = spark.range(0, 6).union(spark.range(194, 230))
+      .select(col("id").as("doc_id"), png(col("id")).as("payload"))
+    def decisions(maxBucket: Int): Map[Long, Option[Long]] =
+      StreamingNearDup.pHashVerdicts(media, "doc_id", "payload",
+          maxBucket = maxBucket)
+        .collect().groupBy(_.doc_id)
+        .map { case (id, vs) =>
+          (id, vs.flatMap(_.dup_src) match {
+            case Array() => None
+            case xs => Some(xs.min)
+          })
+        }
+    val capped = decisions(maxBucket = 4)
+    val uncapped = decisions(maxBucket = 0)
+    assert(capped == uncapped, s"cap changed decisions:\n$capped\nvs\n$uncapped")
+    (0L until 6L).foreach(id => assert(capped(id).isEmpty, s"base $id"))
+    // edited variants drift: most land on their source, some pass
+    // hamming 3 and are kept (the m85 drift precedent) — what the cap
+    // must preserve is the decision, landed or not (asserted above)
+    val landed = (194L until 200L).count(id => capped(id).contains(id - 194L))
+    assert(landed >= 4, s"only $landed/6 variants landed")
+    (201L until 230L).foreach { id =>
+      assert(capped(id).contains(200L), s"hot copy $id: ${capped(id)}")
+    }
+  }
+
+  // ---- st78/st80: ChunkVerdictO shape + capped decisions -------------
+
+  test("pHashVerdictsFlipTolerant: unique (doc, orient, chunk) keys, cap keeps decisions") {
+    val png = udf((id: Long) =>
+      if (id < 6) Multimodal.syntheticPng(id)
+      else if (id < 200) Multimodal.syntheticPngFlip(id - 194)
+      else Multimodal.syntheticPng(999))
+    val media = spark.range(0, 6).union(spark.range(194, 230))
+      .select(col("id").as("doc_id"), png(col("id")).as("payload"))
+    def run(maxBucket: Int): Seq[ChunkVerdictO] =
+      StreamingNearDup.pHashVerdictsFlipTolerant(media, "doc_id", "payload",
+        maxBucket = maxBucket).collect().toSeq
+    val capped = run(maxBucket = 4)
+    // the record shape the round-9 advice asked for: no two rows share
+    // a full (doc_id, orient, chunk) key
+    val keys = capped.map(v => (v.doc_id, v.orient, v.chunk))
+    assert(keys.distinct.size == keys.size, "duplicate (doc,orient,chunk) keys")
+    def decide(vs: Seq[ChunkVerdictO]): Map[Long, Option[Long]] =
+      vs.groupBy(_.doc_id).map { case (id, xs) =>
+        (id, xs.flatMap(_.dup_src) match {
+          case Seq() => None
+          case ys => Some(ys.min)
+        })
+      }
+    val cd = decide(capped)
+    val ud = decide(run(maxBucket = 0))
+    assert(cd == ud, s"cap changed decisions:\n$cd\nvs\n$ud")
+    (194L until 200L).foreach { id =>
+      assert(cd(id).contains(id - 194L), s"mirrored repost $id: ${cd(id)}")
+    }
+    (201L until 230L).foreach { id =>
+      assert(cd(id).contains(200L), s"hot copy $id: ${cd(id)}")
+    }
+  }
+
+  test("pHashVerdictsRotTolerant: unique (doc, orient, chunk) keys, cap keeps decisions") {
+    val png = udf((id: Long) =>
+      if (id < 6) Multimodal.syntheticPng(id)
+      else if (id < 200) Multimodal.syntheticPngRot(id - 194, ((id % 3) + 1).toInt)
+      else Multimodal.syntheticPng(999))
+    val media = spark.range(0, 6).union(spark.range(194, 230))
+      .select(col("id").as("doc_id"), png(col("id")).as("payload"))
+    def run(maxBucket: Int): Seq[ChunkVerdictO] =
+      StreamingNearDup.pHashVerdictsRotTolerant(media, "doc_id", "payload",
+        maxBucket = maxBucket).collect().toSeq
+    val capped = run(maxBucket = 4)
+    val keys = capped.map(v => (v.doc_id, v.orient, v.chunk))
+    assert(keys.distinct.size == keys.size, "duplicate (doc,orient,chunk) keys")
+    def decide(vs: Seq[ChunkVerdictO]): Map[Long, Option[Long]] =
+      vs.groupBy(_.doc_id).map { case (id, xs) =>
+        (id, xs.flatMap(_.dup_src) match {
+          case Seq() => None
+          case ys => Some(ys.min)
+        })
+      }
+    val cd = decide(capped)
+    val ud = decide(run(maxBucket = 0))
+    assert(cd == ud, s"cap changed decisions:\n$cd\nvs\n$ud")
+    (194L until 200L).foreach { id =>
+      assert(cd(id).contains(id - 194L), s"rotated repost $id: ${cd(id)}")
+    }
+    (201L until 230L).foreach { id =>
+      assert(cd(id).contains(200L), s"hot copy $id: ${cd(id)}")
+    }
+  }
+}
