@@ -2307,8 +2307,9 @@ object Multimodal {
     * block is (track number, data start, data end) — a SLICE into the
     * payload, not a copy, so an extractor that wants one track's
     * blocks never pays for the others' bytes — from a SimpleBlock or a
-    * BlockGroup>Block (laced blocks are skipped — our codec legs never
-    * emit lacing, and skipping beats misparsing). None for non-EBML
+    * BlockGroup>Block. Laced blocks (Xiph / fixed / EBML lacing — real
+    * WebM PCM is routinely laced) emit one slice per laced frame, in
+    * order; malformed lacing skips the whole block. None for non-EBML
     * payloads; structural damage stops the walk at the fault (tracks
     * and blocks before it still return) — ingest-safe, never throws.
     * Unknown-size masters (the streaming-mux Segment/Cluster form) run
@@ -2328,15 +2329,93 @@ object Multimodal {
         while (i < end) { v = (v << 8) | (payload(i) & 0xff); i += 1 }
         v
       }
+      // Block / SimpleBlock body: track vint, 2-byte relative
+      // timecode, flags. Flags bits 0x06 select the lacing: 00 none,
+      // 01 Xiph (255-run sizes), 10 fixed (equal split), 11 EBML
+      // (first size a vint, then signed-vint deltas). Laced frames
+      // emit IN ORDER as independent block slices — real WebM PCM is
+      // routinely laced, so skipping them would silently drop the
+      // audio tier's bytes. Any malformed lacing (truncated size run,
+      // non-dividing fixed split, delta under/overflow) skips the
+      // WHOLE block: partial frames never emit (skip beats misparse).
       def readBlock(from: Int, end: Int): Unit = {
         val tn = ebmlVint(payload, from, end)
-        if (tn != null) {
-          val hdr = from + tn._2 + 3 // 2-byte relative timecode + flags
-          if (hdr <= end) {
-            val flags = payload(hdr - 1) & 0xff
-            if ((flags & 0x06) == 0 && hdr < end) // no lacing
-              blocks += ((tn._1, hdr, end))
+        if (tn == null) return
+        val hdr = from + tn._2 + 3 // 2-byte relative timecode + flags
+        if (hdr > end) return
+        val flags = payload(hdr - 1) & 0xff
+        val lacing = flags & 0x06
+        if (lacing == 0) {
+          if (hdr < end) blocks += ((tn._1, hdr, end))
+          return
+        }
+        if (hdr >= end) return
+        val n = (payload(hdr) & 0xff) + 1
+        var off = hdr + 1
+        val sizes = new Array[Long](n)
+        var ok = true
+        lacing match {
+          case 0x02 => // Xiph: n-1 sizes, each a 255-run + terminator
+            var i = 0
+            while (ok && i < n - 1) {
+              var sz = 0L
+              var more = true
+              while (ok && more) {
+                if (off >= end) ok = false
+                else {
+                  val b = payload(off) & 0xff
+                  off += 1
+                  sz += b
+                  more = b == 0xff
+                }
+              }
+              sizes(i) = sz
+              i += 1
+            }
+          case 0x04 => // fixed: data splits equally or not at all
+            val total = (end - off).toLong
+            if (total % n != 0) ok = false
+            else java.util.Arrays.fill(sizes, total / n)
+          case _ => // 0x06 EBML: unsigned first size, signed deltas
+            if (n > 1) {
+              val s0 = ebmlVint(payload, off, end)
+              if (s0 == null) ok = false
+              else {
+                sizes(0) = s0._1
+                off += s0._2
+                var prev = s0._1
+                var i = 1
+                while (ok && i < n - 1) {
+                  val d = ebmlVint(payload, off, end)
+                  if (d == null) ok = false
+                  else {
+                    off += d._2
+                    prev += d._1 - ((1L << (7 * d._2 - 1)) - 1)
+                    if (prev < 0) ok = false else sizes(i) = prev
+                  }
+                  i += 1
+                }
+              }
+            }
+        }
+        if (ok && lacing != 0x04) {
+          // last frame is the remainder of the block
+          var used = 0L
+          var i = 0
+          while (i < n - 1) { used += sizes(i); i += 1 }
+          val rest = (end - off).toLong - used
+          if (rest < 0) ok = false else sizes(n - 1) = rest
+        }
+        if (ok) {
+          val frames = new Array[(Long, Int, Int)](n)
+          var s = off.toLong
+          var j = 0
+          while (ok && j < n) {
+            val e = s + sizes(j)
+            if (sizes(j) <= 0 || e > end) ok = false
+            else { frames(j) = (tn._1, s.toInt, e.toInt); s = e; j += 1 }
           }
+          if (ok) frames.foreach(blocks += _)
         }
       }
       def walk(from: Int, to: Int, depth: Int = 0): Unit = {
@@ -2541,14 +2620,19 @@ object Multimodal {
     * formula of (subsId, cue index) — SQL-replayable, the audio
     * contract applied to text. `frameOffset` / `intro` / `delta`
     * mirror the AVI generator's trim / shared-title / re-level edit
-    * fixtures. */
+    * fixtures. `lacing` muxes each cluster's PCM as ONE laced
+    * SimpleBlock instead of one plain block — 1 = Xiph (3 unequal
+    * frames), 2 = fixed (2 equal frames), 3 = EBML (3 unequal
+    * frames); the concatenated laced frames are byte-identical to the
+    * unlaced mux's block, so the audio walk must extract the same WAV
+    * from both (the m107 gate). */
   def syntheticMkv(id: Long, nFrames: Int, w: Int = 16, h: Int = 16,
       delta: Int = 0, global0: Boolean = false, intro: Int = 0,
       frameOffset: Int = 0, audioId: Long = -1L, audioSamples: Int = 0,
       vfw: Boolean = false, blockGroup: Boolean = false,
       unknownSize: Boolean = false,
       subsId: Long = -1L, subsCues: Int = 0,
-      cueLines: Seq[String] = null): Array[Byte] = {
+      cueLines: Seq[String] = null, lacing: Int = 0): Array[Byte] = {
     require(nFrames >= 1, "nFrames must be >= 1")
     val frames = (0 until nFrames).map { f0 =>
       val f = f0 + frameOffset
@@ -2599,6 +2683,50 @@ object Multimodal {
         ebmlElem(ebmlIdBytes(0xA0), ebmlElem(ebmlIdBytes(0xA1), hdr ++ data))
       else ebmlElem(ebmlIdBytes(0xA3), hdr ++ data)
     }
+    // one laced SimpleBlock holding the cluster's PCM as 2-3 frames
+    // whose concatenation is byte-identical to the unlaced block
+    def lacedAudioBlock(track: Int, rel: Int, data: Array[Byte]): Array[Byte] = {
+      if (lacing <= 0 || data.length < 6) return block(track, rel, data)
+      def slice(a: Int, b: Int) = java.util.Arrays.copyOfRange(data, a, b)
+      val fs: Seq[Array[Byte]] =
+        if (lacing == 2) { // fixed lacing needs equal frames
+          val h2 = data.length / 2
+          require(data.length % 2 == 0, "fixed lacing fixture must split evenly")
+          Seq(slice(0, h2), slice(h2, data.length))
+        } else { // unequal frames exercise the size codings
+          val a = math.max(2, (data.length / 4) & ~1)
+          val b = math.max(2, (data.length / 3) & ~1)
+          Seq(slice(0, a), slice(a, a + b), slice(a + b, data.length))
+        }
+      val n = fs.length
+      val flagBits = lacing match {
+        case 1 => 0x02; case 2 => 0x04; case _ => 0x06
+      }
+      val head = scala.collection.mutable.ArrayBuffer[Byte](
+        (0x80 | track).toByte, ((rel >> 8) & 0xff).toByte,
+        (rel & 0xff).toByte, (0x80 | flagBits).toByte, (n - 1).toByte)
+      lacing match {
+        case 1 => // Xiph: 255-run + terminator per leading frame
+          fs.take(n - 1).foreach { f =>
+            var sz = f.length
+            while (sz >= 255) { head += 0xff.toByte; sz -= 255 }
+            head += sz.toByte
+          }
+        case 2 => () // fixed: sizes are implicit
+        case _ => // EBML: vint first size, then 2-byte signed deltas
+          head ++= ebmlSizeBytes(fs.head.length.toLong)
+          var prev = fs.head.length
+          fs.slice(1, n - 1).foreach { f =>
+            val v = (f.length - prev) + 8191
+            require(v >= 0 && v < 16384, "delta outside 2-byte signed vint")
+            prev = f.length
+            head += ((0x40 | (v >> 8)) & 0xff).toByte
+            head += (v & 0xff).toByte
+          }
+      }
+      ebmlElem(ebmlIdBytes(0xA3), head.toArray ++
+        fs.foldLeft(Array.emptyByteArray)(_ ++ _))
+    }
     val pcm =
       if (audioSamples <= 0) Array.emptyByteArray
       else {
@@ -2619,7 +2747,8 @@ object Multimodal {
     def clusterBlocks(fs: Seq[Array[Byte]], firstIdx: Int,
         audio: Array[Byte], cs: Seq[Array[Byte]]): Array[Byte] = {
       val vb = fs.zipWithIndex.map { case (d, i) => block(1, firstIdx + i, d) }
-      val ab = if (audio.isEmpty) Seq.empty else Seq(block(2, 0, audio))
+      val ab = if (audio.isEmpty) Seq.empty
+        else Seq(lacedAudioBlock(2, 0, audio))
       val sb = cs.zipWithIndex.map { case (d, i) => block(3, i, d) }
       (vb ++ ab ++ sb).foldLeft(Array.emptyByteArray)(_ ++ _)
     }

@@ -711,6 +711,35 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // MKV LACING walk (closes round-9 gap #2: real WebM PCM is
+    // routinely laced, and the pre-round-10 walk skipped laced blocks
+    // — silently contributing nothing to the audio tier): 10 ids,
+    // each muxed TWICE — unlaced, and with the id-selected lacing on
+    // the audio block (1 = Xiph 255-run sizes, 2 = fixed equal split,
+    // 3 = EBML signed-delta sizes) — and the extracted WAVs must be
+    // byte-identical per id (md5 compare), since the laced frames
+    // concatenate to exactly the unlaced block payload. The oracle is
+    // the contract itself: all 10 ids extract from BOTH muxes and
+    // match. Malformed-lacing fuzz is pinned in Round10Spec.
+    "m107_mkv_laced_audio" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val mk = udf((id: Long, lac: Int) =>
+        Multimodal.syntheticMkv(id, (4 + id % 3).toInt,
+          audioId = id % 5, audioSamples = (320 + (id % 5) * 64).toInt,
+          lacing = lac))
+      val plain = s.range(0, 10).select(col("id").as("doc_id"),
+        mk(col("id"), lit(0)).as("payload"))
+      val laced = s.range(0, 10).select(col("id").as("doc_id"),
+        mk(col("id"), (col("id") % 3 + 1).cast("int")).as("payload"))
+      val wp = Multimodal.videoAudioTracks(plain)
+        .select(col("doc_id"), md5(col("payload")).as("h_plain"))
+      val wl = Multimodal.videoAudioTracks(laced)
+        .select(col("doc_id"), md5(col("payload")).as("h_laced"))
+      wp.join(wl, Seq("doc_id"))
+        .select(col("doc_id"), (col("h_plain") === col("h_laced")).as("same"))
+        .orderBy(col("doc_id"))
+    }),
+
     // JOINT audio+video fusion verdict (the tier above m82/m88): one
     // corpus, three planted re-upload shapes — (0,20) same frames AND
     // same audio muxed MKV ("reupload"), (1,21) same audio under a
@@ -874,6 +903,58 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // STREAMING dihedral-8 image dedup (the m109 tier in the
+    // streaming matrix — the compound-repost hole st78 and st80 each
+    // leave open): micro-batch 1 delivers 20 base PNGs, micro-batch 2
+    // ten MIRRORED-then-ROTATED reposts (flip-only and rot-only state
+    // are both blind to them; all ten land on their sources via the
+    // 8-orientation probe set) and ten lightly-edited untransformed
+    // variants (nine land; variant 1000010 drifts past hamming 3 and
+    // is kept — the m85 precedent). Only as-is hashes enter state
+    // (4 x 16 B per doc, unchanged). Pinned golden.
+    "st81_stream_phash_dihedral_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val name = "st81_out"
+      val staged = stagingDir("graft-stream-phdih")
+      val png = udf((id: Long) =>
+        if (id < 1000000L) Multimodal.syntheticPng(id)
+        else if (id < 1000010L)
+          Multimodal.syntheticPngRotFlip(id - 1000000L, (id % 3 + 1).toInt)
+        else Multimodal.syntheticPngVariant(id - 1000000L))
+      def stageBatch(ids: org.apache.spark.sql.Dataset[java.lang.Long],
+          fname: String, ageMs: Long): Unit = {
+        val tmp = staged.resolve(fname + ".tmp")
+        ids.toDF("doc_id").select(col("doc_id"), png(col("doc_id")).as("payload"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, staged.resolve(fname))
+        staged.resolve(fname).toFile.deleteOnExit()
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        java.nio.file.Files.setLastModifiedTime(staged.resolve(fname),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - ageMs))
+      }
+      stageBatch(s.range(0, 20).as[java.lang.Long], "a.parquet", 120000L)
+      stageBatch(s.range(1000000L, 1000020L).as[java.lang.Long], "b.parquet", 0L)
+      val mediaSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("payload", BinaryType)))
+      val stream = s.readStream.schema(mediaSchema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+        .repartition(col("doc_id"))
+      val verdicts = graft.operators.StreamingNearDup.pHashVerdictsDihedral(
+        stream, "doc_id", "payload", maxBucket = 64)
+      val q = verdicts.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+      s.table(name)
+        .groupBy(col("doc_id"))
+        .agg(min(col("dup_src")).as("dup_src"))
+        .select(col("doc_id"), col("dup_src").isNull.as("kept"),
+          col("dup_src"))
+        .orderBy(col("doc_id"))
+    }),
+
     // STREAMING flip-tolerant image dedup (the m102 tier in the
     // streaming matrix): micro-batch 1 delivers 20 base PNGs,
     // micro-batch 2 ten MIRRORED reposts (plain-pHash state is blind
@@ -979,6 +1060,25 @@ object StreamingOps extends QueryPack {
       val media = s.range(0, 8).union(s.range(20, 26))
         .select(col("id").as("doc_id"), png(col("id")).as("payload"))
       Multimodal.pHashPairsRotTolerant(media, maxDf = 64)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // DIHEDRAL-8 image near-dup in ONE pass (closes the m102 x m105
+    // composition gap): 8 base PNGs and 6 COMPOUND reposts — mirrored
+    // THEN quarter-turned (turns 1/3 = transpose-type, 2 = vertical
+    // flip) — the repost class the rotation-only and mirror-only
+    // probe sets each provably miss (Round10Spec pins both misses).
+    // Eight orientation hashes per image from one decode; square
+    // lossless fixtures land every planted pair at distance 0.
+    // Pinned golden.
+    "m109_phash_dihedral_pairs" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val png = udf((id: Long) =>
+        if (id < 20) Multimodal.syntheticPng(id)
+        else Multimodal.syntheticPngRotFlip(id - 20, (id % 3 + 1).toInt))
+      val media = s.range(0, 8).union(s.range(20, 26))
+        .select(col("id").as("doc_id"), png(col("id")).as("payload"))
+      Multimodal.pHashPairsDihedral(media, maxDf = 64)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -2334,6 +2434,13 @@ object StreamingOps extends QueryPack {
     // container changed (EBML blocks instead of MP4 sample tables),
     // which the SQL replay never sees
     case m => m +
+      // m107's contract is total: every id must extract from both the
+      // laced and unlaced mux AND byte-match, so the oracle is the
+      // full expected relation, not a derivation
+      ("m107_mkv_laced_audio" ->
+        """SELECT CAST(range AS BIGINT) AS doc_id,
+             CAST(TRUE AS BOOLEAN) AS same
+           FROM range(0, 10) ORDER BY doc_id""") +
       ("m94_mkv_audio_dedup" -> m("m91_mp4_audio_dedup")) +
       // m104 replays m91 too: fragment-resident samples, same formula
       ("m104_fmp4_audio_dedup" -> m("m91_mp4_audio_dedup")) +

@@ -171,6 +171,76 @@ class Round10Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // ---- m107 MKV lacing: laced == unlaced + malformed-lacing fuzz ----
+
+  test("MKV lacing: laced frames concatenate to the unlaced payload; malformed lacing never throws") {
+    // all three lacing codings x several stream shapes: the extracted
+    // WAV must be byte-identical to the unlaced mux's
+    for (id <- 0L until 6L; lac <- 1 to 3) {
+      def mk(l: Int) = Multimodal.syntheticMkv(id, (4 + id % 3).toInt,
+        audioId = id % 5, audioSamples = (320 + (id % 5) * 64).toInt,
+        lacing = l)
+      val wp = Multimodal.mkvAudioWav(mk(0))
+      val wl = Multimodal.mkvAudioWav(mk(lac))
+      assert(wp.isDefined && wl.isDefined, s"id=$id lac=$lac: no audio")
+      assert(java.util.Arrays.equals(wp.get, wl.get),
+        s"id=$id lac=$lac: laced extraction differs from unlaced")
+    }
+    // malformed lacing: single-byte mutations and truncations of VALID
+    // laced fixtures (corrupt size runs, bad deltas, non-dividing
+    // fixed splits) must degrade to skipped blocks, never throw
+    val rnd = new scala.util.Random(20260814L)
+    val fixtures = (1 to 3).map(l => Multimodal.syntheticMkv(3L, 4,
+      audioId = 1L, audioSamples = 256, lacing = l))
+    for (f <- fixtures; _ <- 0 until 150) {
+      val m = f.clone()
+      val k = 1 + rnd.nextInt(4)
+      for (_ <- 0 until k)
+        m(rnd.nextInt(m.length)) = (rnd.nextInt(256) - 128).toByte
+      Multimodal.mkvBlocks(m); Multimodal.mkvAudioWav(m)
+      val cut = java.util.Arrays.copyOfRange(m, 0, rnd.nextInt(m.length))
+      Multimodal.mkvBlocks(cut); Multimodal.mkvAudioWav(cut)
+    }
+  }
+
+  // ---- m109/st81: dihedral-8 closes the rot x flip composition gap --
+
+  test("dihedral-8 catches compound reposts that rot-only and flip-only each miss") {
+    import spark.implicits._
+    // reposts: mirror THEN quarter-turn (1 = transpose-type, 2 =
+    // vertical flip, 3 = anti-transpose) — none is a pure rotation or
+    // a pure mirror of its source
+    val png = udf((id: Long) =>
+      if (id < 20) Multimodal.syntheticPng(id)
+      else Multimodal.syntheticPngRotFlip(id - 20, (id % 3 + 1).toInt))
+    val media = spark.range(0, 6).union(spark.range(20, 26))
+      .select(col("id").as("doc_id"), png(col("id")).as("payload"))
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+    val planted = (0L until 6L).map(i => (i, i + 20)).toSet
+    assert(pairs(Multimodal.pHashPairsDihedral(media)) == planted)
+    // the single-trick variants provably miss every compound repost
+    assert(pairs(Multimodal.pHashPairsRotTolerant(media)).isEmpty,
+      "rotation-only probes must miss mirror+rotate compounds")
+    assert(pairs(Multimodal.pHashPairsFlipTolerant(media)).isEmpty,
+      "mirror-only probes must miss mirror+rotate compounds")
+    // streaming form: compound reposts dedup onto their sources with
+    // the shipped cap on
+    val v = StreamingNearDup.pHashVerdictsDihedral(
+        media, "doc_id", "payload", maxBucket = 64)
+      .collect().groupBy(_.doc_id)
+      .map { case (id, xs) =>
+        (id, xs.flatMap(_.dup_src) match {
+          case Array() => None
+          case ys => Some(ys.min)
+        })
+      }
+    (0L until 6L).foreach(id => assert(v(id).isEmpty, s"base $id"))
+    (20L until 26L).foreach { id =>
+      assert(v(id).contains(id - 20L), s"compound repost $id: ${v(id)}")
+    }
+  }
+
   test("pHashVerdictsRotTolerant: unique (doc, orient, chunk) keys, cap keeps decisions") {
     val png = udf((id: Long) =>
       if (id < 6) Multimodal.syntheticPng(id)

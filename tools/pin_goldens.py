@@ -51,6 +51,10 @@ QUERIES = [
                            # dedup (trim+flip, oriented landmarks)
     "m105_phash_rot_pairs", # rotation-tolerant image near-dup (the
                            # phone-orientation repost, 4 grid turns)
+    "m109_phash_dihedral_pairs", # dihedral-8 single-pass image
+                           # near-dup (mirror+rotate compound reposts)
+    "st81_stream_phash_dihedral_dedup", # streaming dihedral-8 image
+                           # dedup (as-is-only state, 8-turn probes)
     "st80_stream_phash_rot_dedup", # streaming rotation-tolerant image
                            # dedup (as-is-only state, 4-turn probes)
     "st75_stream_video_landmark_dedup", # streaming video landmark dedup
