@@ -2533,18 +2533,67 @@ object Multimodal {
         }
     }
 
-  /** Extract the first "S_TEXT/UTF8" subtitle track of a Matroska
-    * payload as one newline-joined string (cue blocks in file order) —
-    * the bridge from the video tier into the TEXT pipeline: extracted
-    * subtitle text feeds exact/minhash dedup, decontamination and the
-    * quality gates exactly like a `documents` row. None when there is
-    * no such track or no cue survives the walk. */
+  /** Strip ASS/SSA inline styling from a dialogue TEXT field:
+    * `{...}` override blocks drop (an unclosed block runs to the end,
+    * as renderers treat it), `\N`/`\n` line breaks become real
+    * newlines, `\h` hard spaces become plain spaces. Everything else
+    * passes through — the styled caption's words reach the text tier
+    * intact, which is what makes a styled-caption contamination leak
+    * visible to the m97 exact replay (the m108 gate). */
+  private[operators] def assStrip(text: String): String = {
+    val sb = new java.lang.StringBuilder(text.length)
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (c == '{') {
+        val e = text.indexOf('}', i)
+        i = if (e < 0) text.length else e + 1
+      } else if (c == '\\' && i + 1 < text.length &&
+          (text.charAt(i + 1) == 'N' || text.charAt(i + 1) == 'n')) {
+        sb.append('\n'); i += 2
+      } else if (c == '\\' && i + 1 < text.length &&
+          text.charAt(i + 1) == 'h') {
+        sb.append(' '); i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** The TEXT field of a Matroska ASS/SSA dialogue payload
+    * ("ReadOrder,Layer,Style,Name,MarginL,MarginR,MarginV,Effect,Text"
+    * — 8 metadata commas, then the text, which may itself contain
+    * commas), styling stripped. A malformed payload with fewer fields
+    * strips as-is rather than dropping — lenient beats losing a
+    * contamination signal to a mux quirk. */
+  private def assDialogueText(payload: String): String = {
+    var commas = 0
+    var i = 0
+    while (i < payload.length && commas < 8) {
+      if (payload.charAt(i) == ',') commas += 1
+      i += 1
+    }
+    assStrip(if (commas == 8) payload.substring(i) else payload)
+  }
+
+  /** Extract the first text-subtitle track of a Matroska payload as
+    * one newline-joined string (cue blocks in file order) — the bridge
+    * from the video tier into the TEXT pipeline: extracted subtitle
+    * text feeds exact/minhash dedup, decontamination and the quality
+    * gates exactly like a `documents` row. "S_TEXT/UTF8" cues pass
+    * verbatim; "S_TEXT/ASS" / "S_TEXT/SSA" dialogue lines shed their
+    * 8 metadata fields and inline styling ([[assStrip]]) first, so a
+    * styled-caption leak is just as visible as a plain one. None when
+    * there is no such track or no cue survives the walk. */
   private[operators] def mkvSubtitleText(payload: Array[Byte]): Option[String] =
     mkvBlocks(payload).flatMap { case (tracks, blocks) =>
-      tracks.find(t => t.ttype == 0x11 && t.codec == "S_TEXT/UTF8")
+      tracks.find(t => t.ttype == 0x11 && (t.codec == "S_TEXT/UTF8" ||
+          t.codec == "S_TEXT/ASS" || t.codec == "S_TEXT/SSA"))
         .flatMap { t =>
+          val styled = t.codec != "S_TEXT/UTF8"
           val cues = blocks.collect { case (n, from, end) if n == t.num =>
-            new String(payload, from, end - from, "UTF-8") }
+            val raw = new String(payload, from, end - from, "UTF-8")
+            if (styled) assDialogueText(raw) else raw
+          }
           if (cues.isEmpty) None else Some(cues.mkString("\n"))
         }
     }
@@ -2632,7 +2681,8 @@ object Multimodal {
       vfw: Boolean = false, blockGroup: Boolean = false,
       unknownSize: Boolean = false,
       subsId: Long = -1L, subsCues: Int = 0,
-      cueLines: Seq[String] = null, lacing: Int = 0): Array[Byte] = {
+      cueLines: Seq[String] = null, lacing: Int = 0,
+      subsAss: Boolean = false): Array[Byte] = {
     require(nFrames >= 1, "nFrames must be >= 1")
     val frames = (0 until nFrames).map { f0 =>
       val f = f0 + frameOffset
@@ -2664,15 +2714,21 @@ object Multimodal {
     // subtitle cues: explicit `cueLines` text, or the deterministic
     // integer-derived form (so an oracle regenerates it in SQL — the
     // syntheticWavTex contract applied to text)
-    val cues: Seq[Array[Byte]] =
+    val cues0: Seq[Array[Byte]] =
       if (cueLines != null) cueLines.filter(_.nonEmpty).map(_.getBytes("UTF-8"))
       else (0 until subsCues).map(i =>
         s"c${(subsId * 40503L + i * 127L) % 9973L}".getBytes("UTF-8"))
+    val cues = if (!subsAss) cues0
+      else cues0.zipWithIndex.map { case (c, i) =>
+        s"$i,0,Default,,0,0,0,,".getBytes("UTF-8") ++ c }
+    // subsAss muxes the track as styled ASS dialogue lines: each cue
+    // payload gains the 8 metadata fields real muxers store; the cue
+    // text itself is whatever the caller styled (override tags, \N)
     val subsTrack =
       if (cues.isEmpty) Array.emptyByteArray
       else ebmlElem(ebmlIdBytes(0xAE),
         ebmlUint(0xD7, 3), ebmlUint(0x73C5, 3), ebmlUint(0x83, 0x11),
-        ebmlStr(0x86, "S_TEXT/UTF8"))
+        ebmlStr(0x86, if (subsAss) "S_TEXT/ASS" else "S_TEXT/UTF8"))
     val tracksEl = ebmlElem(ebmlIdBytes(0x1654AE6BL),
       videoTrack, audioTrack, subsTrack)
     def block(track: Int, rel: Int, data: Array[Byte]): Array[Byte] = {

@@ -1349,6 +1349,43 @@ object StreamingOps extends QueryPack {
         .orderBy(col("video_id"), col("doc_id"))
     }),
 
+    // STYLED-caption decontamination (closes round-9 gap #3: only
+    // S_TEXT/UTF8 reached the text tier, so an ASS/SSA-styled caption
+    // leak was invisible): the m97 scenario re-muxed as "S_TEXT/ASS" —
+    // each cue carries the 8 Matroska dialogue metadata fields plus
+    // inline override tags and a \N break around the document chunk
+    // ({\an8}…\N{\i1}…{\i0}). The walk must shed fields + styling
+    // (assStrip) before the text bridge; \N becomes \n, which the
+    // reassembly strips like the cue joins — so the EXACT equality
+    // join against `documents` lands iff stripping is byte-perfect.
+    // Same output relation as m97, so the oracle replays it verbatim.
+    "m108_subtitle_styled_decontam" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val docs = t(s, dir, "documents")
+      val mkDoc = udf((id: Long, text: String) =>
+        Multimodal.syntheticMkv(1000000L + id, 3,
+          cueLines = text.grouped(40).toSeq.map { ch =>
+            val k = math.min(20, ch.length)
+            "{\\an8}" + ch.substring(0, k) + "\\N{\\i1}" +
+              ch.substring(k) + "{\\i0}"
+          }, subsAss = true))
+      val mkDecoy = udf((id: Long) =>
+        Multimodal.syntheticMkv(id, 3, subsId = id, subsCues = 8,
+          subsAss = true))
+      val media = docs.filter(col("doc_id") < 5)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            mkDoc(col("doc_id"), col("text")).as("payload"))
+        .unionByName(s.range(2000000L, 2000005L)
+          .select(col("id").as("doc_id"), mkDecoy(col("id")).as("payload")))
+      val subs = Multimodal.videoSubtitleTexts(media)
+        .select(col("doc_id").as("video_id"),
+          regexp_replace(col("text"), "\n", "").as("probe"))
+      subs.join(docs.select(col("doc_id"), col("text")),
+          col("probe") === col("text"))
+        .select(col("video_id"), col("doc_id"))
+        .orderBy(col("video_id"), col("doc_id"))
+    }),
+
     // NEAR-DUP subtitle decontamination — the edited-caption leak m97's
     // exact match cannot see: 5 videos carry a document's text PLUS a
     // 5-word edit tail as word-grouped cues (6 words per cue, so
@@ -2442,6 +2479,9 @@ object StreamingOps extends QueryPack {
              CAST(TRUE AS BOOLEAN) AS same
            FROM range(0, 10) ORDER BY doc_id""") +
       ("m94_mkv_audio_dedup" -> m("m91_mp4_audio_dedup")) +
+      // m108 is m97 re-muxed as styled ASS: stripping restores the
+      // identical probe text, so the documents-side replay is verbatim
+      ("m108_subtitle_styled_decontam" -> m("m97_subtitle_decontam")) +
       // m104 replays m91 too: fragment-resident samples, same formula
       ("m104_fmp4_audio_dedup" -> m("m91_mp4_audio_dedup")) +
       // m101 replays m99's arithmetic verbatim: same id spaces, same

@@ -203,6 +203,39 @@ class Round10Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // ---- m108 ASS/SSA styled captions reach the text tier ------------
+
+  test("assStrip + S_TEXT/ASS extraction recover the plain caption text") {
+    // strip semantics: override blocks drop, \N/\n break, \h spaces,
+    // unclosed block runs to end
+    assert(Multimodal.assStrip("{\\an8}hello {\\i1}world{\\i0}")
+      == "hello world")
+    assert(Multimodal.assStrip("a\\Nb\\nc\\hd") == "a\nb\nc d")
+    assert(Multimodal.assStrip("keep {unclosed tail") == "keep ")
+    // end to end: a styled ASS mux extracts to the same text as the
+    // plain UTF8 mux — so a styled-caption leak is visible to the
+    // exact decontamination replay
+    val plainLines = Seq("the quick brown fox jumps", "over the lazy dog")
+    val styled = plainLines.map { l =>
+      val k = l.length / 2
+      "{\\pos(10,20)}" + l.substring(0, k) + "\\N{\\b1}" + l.substring(k) + "{\\b0}"
+    }
+    val plainMux = Multimodal.syntheticMkv(7L, 3, cueLines = plainLines)
+    val styledMux = Multimodal.syntheticMkv(7L, 3, cueLines = styled,
+      subsAss = true)
+    val pt = Multimodal.mkvSubtitleText(plainMux)
+    val st = Multimodal.mkvSubtitleText(styledMux)
+    assert(pt.isDefined && st.isDefined)
+    // \N strips to \n; reassembly removes all \n exactly as the cue
+    // joins do, so the normalized texts are identical
+    assert(st.get.replace("\n", "") == pt.get.replace("\n", ""),
+      s"styled ${st.get} vs plain ${pt.get}")
+    // and WITHOUT stripping, the styled payload is nothing like the
+    // caption (metadata fields + tags) — the pre-round-10 blind spot
+    assert(st.get != pt.get || styled == plainLines,
+      "styled text must differ before normalization")
+  }
+
   // ---- m109/st81: dihedral-8 closes the rot x flip composition gap --
 
   test("dihedral-8 catches compound reposts that rot-only and flip-only each miss") {
