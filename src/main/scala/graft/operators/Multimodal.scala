@@ -525,6 +525,48 @@ object Multimodal {
         - 32768L).toInt
     }, sampleRate = 8000 * factor)
 
+  /** Deterministic TONE-MIXTURE WAV sampled at an arbitrary `rate` —
+    * the fractional-resample fixture for the spectral tier (m106): the
+    * CONTINUOUS-TIME signal is a sum of 17 sines at exactly the
+    * [[spectralFrameCodes]] analysis frequencies, with amplitudes that
+    * step every 128 ms through an (id, segment)-keyed PERMUTATION of
+    * 17 distinct levels — adjacent analysis bands always differ by at
+    * least one level, so every spectral sign bit is decided by a
+    * >= 13% energy margin, far above cross-rate sampling error. Two
+    * muxes of the same id at different rates are the ideal-resampler
+    * pair: same signal, different sample grid — no sample value in
+    * common (the integer tier provably misses them), identical
+    * spectral codes. */
+  def syntheticWavTones(id: Long, rate: Int, ms: Int = 512,
+      offsetMs: Int = 0): Array[Byte] = {
+    val bands = 17
+    val T = 0.064
+    val centers = Array.tabulate(bands)(b =>
+      math.max(1L, math.round(300.0 * StrictMath.pow(10.0, b / 16.0) * T))
+        .toDouble / T)
+    val n = rate * ms / 1000
+    wavPcm16(Array.tabulate(n) { i =>
+      // offsetMs trims the CONTINUOUS signal: the re-upload starts
+      // offsetMs into the master's timeline (frame-aligned trims keep
+      // interior spectral codes identical — the m110 fixture)
+      val t = i.toDouble / rate + offsetMs / 1000.0
+      val seg = (t / 0.128).toInt
+      // a*b+c mod 17 with a coprime to 17: adjacent b always differ
+      val a = 1 + ((id * 40503L + seg * 127L) % 16L).toInt
+      val c = ((id * 131L + seg * 31L) % 17L).toInt
+      var acc = 0.0
+      var b = 0
+      while (b < bands) {
+        val lvl = ((a * b + c) % 17) + 1
+        acc += lvl / 17.0 *
+          StrictMath.sin(2.0 * StrictMath.PI * centers(b) * t)
+        b += 1
+      }
+      math.max(-32768L, math.min(32767L,
+        math.round(acc / bands * 20000.0))).toInt
+    }, sampleRate = rate)
+  }
+
   /** [[syntheticWavTex]] muxed STEREO with L == R — the dual-mono
     * re-upload every channel-layout converter emits: interleaved
     * samples differ from the mono master byte-for-byte, but the
@@ -592,27 +634,100 @@ object Multimodal {
     * samples) decimates back to the identical sample stream, so
     * fingerprints and landmarks match across rates AND channel
     * layouts. Non-multiple rates pass through unchanged (a fractional
-    * resampler interpolates new sample values; catching those needs a
-    * spectral fingerprint, out of scope for the integer tier).
+    * resampler interpolates new sample values; catching those is the
+    * spectral leg's job — [[spectralFrameCodes]] / the m106 gate).
     * canonRate <= 0 disables the rate leg (the downmix always runs —
     * an interleaved fingerprint is never the right comparison). */
-  private def canonPcm(w: WavPcm, canonRate: Int): Array[Short] = {
-    val mono =
-      if (w.channels <= 1) w.samples
-      else {
-        val ch = w.channels
-        Array.tabulate(w.samples.length / ch) { i =>
-          var acc = 0; var c = 0
-          while (c < ch) { acc += w.samples(i * ch + c); c += 1 }
-          (acc / ch).toShort
-        }
+  private def monoMix(w: WavPcm): Array[Short] =
+    if (w.channels <= 1) w.samples
+    else {
+      val ch = w.channels
+      Array.tabulate(w.samples.length / ch) { i =>
+        var acc = 0; var c = 0
+        while (c < ch) { acc += w.samples(i * ch + c); c += 1 }
+        (acc / ch).toShort
       }
+    }
+
+  private def canonPcm(w: WavPcm, canonRate: Int): Array[Short] = {
+    val mono = monoMix(w)
     if (canonRate <= 0 || w.sampleRate <= canonRate ||
         w.sampleRate % canonRate != 0) mono
     else {
       val f = w.sampleRate / canonRate
       Array.tabulate(mono.length / f)(i => mono(i * f))
     }
+  }
+
+  /** SPECTRAL frame codes — the rate-free audio fingerprint leg that
+    * catches FRACTIONALLY-resampled re-uploads (44.1 kHz → 8 kHz, the
+    * most common transcode), which [[canonPcm]]'s integer decimation
+    * cannot canonicalize because the interpolated stream shares no
+    * sample values with its master. Everything is anchored in
+    * ABSOLUTE time and frequency, so the analysis is identical
+    * whatever the container rate:
+    *  - frames are 64 ms of signal (`rate * 0.064` samples — sample
+    *    count varies, duration does not), non-overlapping;
+    *  - 17 analysis frequencies log-spaced over 300-3000 Hz (below
+    *    every Nyquist down to 8 kHz), each snapped to the 1/64ms =
+    *    15.625 Hz grid — exactly a DFT bin frequency at EVERY rate,
+    *    so leakage behaves identically across rates;
+    *  - per frame, a Goertzel recursion measures the energy at each
+    *    center, normalized by squared frame length (the DFT magnitude
+    *    scales with sample count; normalizing makes energies
+    *    rate-comparable, though only SIGNS are used);
+    *  - bit b of the 16-bit frame code = [E(b) > E(b+1)] — adjacent
+    *    band-energy ordering, amplitude-scale invariant and stable
+    *    wherever adjacent band energies are not near-equal.
+    * A resampler that preserves spectral content below 3 kHz (every
+    * real one) yields the same code sequence as the master. StrictMath
+    * throughout — pinned goldens depend on bit-exact trig. */
+  private[operators] def spectralFrameCodes(w: WavPcm): Array[Int] = {
+    val mono = monoMix(w)
+    val rate = w.sampleRate
+    if (rate <= 0) return Array.empty
+    val frameN = (rate * 64L / 1000L).toInt
+    if (frameN <= 0 || mono.length < frameN) return Array.empty
+    val bands = 17
+    val T = 0.064
+    val centers = Array.tabulate(bands)(b =>
+      math.max(1L, math.round(300.0 * StrictMath.pow(10.0, b / 16.0) * T))
+        .toDouble / T)
+    val nFrames = mono.length / frameN
+    val out = new Array[Int](nFrames)
+    val energies = new Array[Double](bands)
+    var t = 0
+    while (t < nFrames) {
+      val off = t * frameN
+      var b = 0
+      while (b < bands) {
+        val wf = 2.0 * StrictMath.PI * centers(b) / rate
+        val cw = StrictMath.cos(wf)
+        val sw = StrictMath.sin(wf)
+        val coeff = 2.0 * cw
+        var s1 = 0.0
+        var s2 = 0.0
+        var n = 0
+        while (n < frameN) {
+          val s0 = mono(off + n) + coeff * s1 - s2
+          s2 = s1; s1 = s0
+          n += 1
+        }
+        val re = s1 - s2 * cw
+        val im = s2 * sw
+        energies(b) = (re * re + im * im) / (frameN.toDouble * frameN)
+        b += 1
+      }
+      var code = 0
+      var i = 0
+      while (i < bands - 1) {
+        if (energies(i) > energies(i + 1)) code |= 1 << i
+        i += 1
+      }
+      out(t) = code
+      t += 1
+    }
+    out
   }
 
   def audioFingerprint(media: DataFrame, frame: Int = 128, hop: Int = 64,
@@ -688,8 +803,18 @@ object Multimodal {
     * re-encoded / re-leveled re-upload case; for time-shift tolerance
     * see [[audioLandmarkPairs]]. */
   def audioFingerprintPairs(media: DataFrame, minMatch: Double = 0.8,
-      maxDf: Int = 0)(implicit s: SparkSession): DataFrame = {
-    val codes = Materialize.eager(audioFingerprint(media).toDF())
+      maxDf: Int = 0)(implicit s: SparkSession): DataFrame =
+    alignedCodePairs(Materialize.eager(audioFingerprint(media).toDF()),
+      minMatch, maxDf)
+
+  /** Aligned (frame_idx, code) agreement scorer shared by the
+    * autocorrelation ([[audioFingerprintPairs]]) and spectral
+    * ([[audioSpectralPairs]]) fingerprint tiers: bucket posting lists
+    * → ordered pairs → shared-frame count over the smaller
+    * fingerprint. `codes` must be materialized by the caller (it is
+    * consumed three times). */
+  private def alignedCodePairs(codes: DataFrame, minMatch: Double,
+      maxDf: Int): DataFrame = {
     val sizes = codes.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
     val bucketed =
       if (maxDf <= 0) codes
@@ -717,6 +842,75 @@ object Multimodal {
           .as("match_frac"))
       .filter(col("match_frac") >= minMatch)
   }
+
+  /** Per-document spectral frame codes ([[spectralFrameCodes]]) as a
+    * table — the rate-free sibling of [[audioFingerprint]]. One decode
+    * pass, no shuffle; undecodable payloads emit nothing. */
+  def audioSpectralCodes(media: DataFrame)(
+      implicit s: SparkSession): Dataset[FrameCode] = {
+    import s.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions(rows => rows.flatMap { r =>
+        decodeWav(r.payload) match {
+          case Some(w) =>
+            spectralFrameCodes(w).iterator.zipWithIndex
+              .map { case (code, f) => FrameCode(r.doc_id, f, code) }
+          case None => Iterator.empty
+        }
+      })
+  }
+
+  /** Audio near-dup pairs on the SPECTRAL fingerprint — the
+    * fractional-resample tier (closes round-9 gap #1): a 44.1 kHz →
+    * 8 kHz interpolated re-upload shares no sample values with its
+    * master, so the integer tier ([[audioFingerprintPairs]], m79/m99)
+    * sees nothing — but its 64 ms spectral codes are identical, since
+    * the analysis grid is anchored in absolute time and frequency
+    * ([[spectralFrameCodes]]). Same aligned scoring and `maxDf` skew
+    * cap as the integer tier, so the m106 gate is the m79 contract at
+    * the spectral seam. */
+  def audioSpectralPairs(media: DataFrame, minMatch: Double = 0.8,
+      maxDf: Int = 0)(implicit s: SparkSession): DataFrame =
+    alignedCodePairs(Materialize.eager(audioSpectralCodes(media).toDF()),
+      minMatch, maxDf)
+
+  /** Distinct positionless (code, code `gap` frames later) landmarks
+    * over the SPECTRAL codes — the m80 trick at the spectral seam:
+    * a frame-aligned trim shifts every frame index but leaves interior
+    * code successions intact, and the spectral codes are already
+    * rate-free, so this tier catches the TRIM + FRACTIONAL-RESAMPLE
+    * compound that evades both [[audioLandmarkPairs]] (no common
+    * samples) and [[audioSpectralPairs]] (shifted alignment). 16-bit
+    * codes pack as code*65536 + next. */
+  def audioSpectralLandmarks(media: DataFrame, gap: Int = 1)(
+      implicit s: SparkSession): Dataset[DocLandmark] = {
+    import s.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions(rows => rows.flatMap { r =>
+        decodeWav(r.payload) match {
+          case Some(w) =>
+            val codes = spectralFrameCodes(w)
+            val lms = scala.collection.mutable.LinkedHashSet.empty[Long]
+            var i = 0
+            while (i + gap < codes.length) {
+              lms += codes(i).toLong * 65536L + codes(i + gap)
+              i += 1
+            }
+            lms.iterator.map(DocLandmark(r.doc_id, _))
+          case None => Iterator.empty
+        }
+      })
+  }
+
+  /** Audio near-dup pairs on spectral LANDMARKS — time-shift AND
+    * rate-free: the tier for the trimmed fractionally-resampled
+    * re-upload (m110). Same posting-list scoring and `maxDf` cap as
+    * [[audioLandmarkPairs]]. */
+  def audioSpectralLandmarkPairs(media: DataFrame, minMatch: Double = 0.6,
+      gap: Int = 1, maxDf: Int = 0)(implicit s: SparkSession): DataFrame =
+    landmarkPairScores(
+      Materialize.eager(audioSpectralLandmarks(media, gap).toDF()),
+      minMatch, maxDf)
 
   /** Version of the audio fingerprint FUNCTION (canonicalization +
     * code derivation), stamped into every [[audioCodeIndex]] row: a
@@ -829,13 +1023,22 @@ object Multimodal {
     * frames of a trimmed copy straddle the cut and lose their
     * landmarks. */
   def audioLandmarkPairs(media: DataFrame, minMatch: Double = 0.6,
-      gap: Int = 1, maxDf: Int = 0)(implicit s: SparkSession): DataFrame = {
+      gap: Int = 1, maxDf: Int = 0)(implicit s: SparkSession): DataFrame =
     // landmarks come distinct-per-doc straight out of the decode pass
     // ([[audioLandmarks]] — a doc's codes are a local array there), so
     // the only shuffles left are the posting-list groupBy and the pair
     // aggregation; the earlier window formulation paid an extra
     // shuffle-by-doc_id just to see neighboring codes
-    val lms = Materialize.eager(audioLandmarks(media, gap).toDF())
+    landmarkPairScores(Materialize.eager(audioLandmarks(media, gap).toDF()),
+      minMatch, maxDf)
+
+  /** Positionless-landmark agreement scorer shared by the
+    * autocorrelation ([[audioLandmarkPairs]]) and spectral
+    * ([[audioSpectralLandmarkPairs]]) tiers: per-`lm` posting lists →
+    * ordered pairs → shared distinct landmarks over the smaller set.
+    * `lms` must be materialized by the caller. */
+  private def landmarkPairScores(lms: DataFrame, minMatch: Double,
+      maxDf: Int): DataFrame = {
     val sizes = lms.groupBy(col("doc_id")).agg(count(lit(1)).as("nl"))
     val bucketed =
       if (maxDf <= 0) lms

@@ -301,6 +301,36 @@ object StreamingNearDup {
       }
   }
 
+  /** [[audioLandmarkVerdicts]] at the SPECTRAL seam — the streaming
+    * member of the m110 tier: state keys on
+    * `Multimodal.audioSpectralLandmarks`' rate-free (code, next-code)
+    * landmarks, so a re-delivery that was TRIMMED and FRACTIONALLY
+    * RESAMPLED at once — invisible to both the integer landmark tier
+    * (no common samples) and the aligned spectral tier (shifted frame
+    * indexes) — still lands in its master's buckets. Same
+    * id-monotonic determinism contract, [[LandmarkHits]] record, and
+    * `maxBucket` / [[foldBucket]] cap as the integer sibling. */
+  def audioSpectralLandmarkVerdicts(media: DataFrame, idCol: String,
+      payloadCol: String, gap: Int = 1,
+      maxBucket: Int = 0): Dataset[LandmarkHits] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val lms = Multimodal.audioSpectralLandmarks(
+      media.select(col(idCol).cast("long").as("doc_id"),
+        col(payloadCol).as("payload")), gap)
+    lms.groupByKey(_.lm)
+      .flatMapGroupsWithState[List[Long], LandmarkHits](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (lm, rows, state: GroupState[List[Long]]) =>
+          val (seen, out) = foldBucket(state.getOption.getOrElse(Nil),
+            rows.toSeq.map(_.doc_id).sorted, maxBucket)(
+            (id, hits) => LandmarkHits(id, lm, hits))
+          state.update(seen)
+          out.iterator
+      }
+  }
+
   /** Streaming VIDEO near-dup under TIME SHIFT — the video analog of
     * [[audioLandmarkVerdicts]], completing the streaming dedup matrix
     * (text bands / image chunks / audio aligned / audio landmarks /

@@ -711,6 +711,26 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // FRACTIONALLY-resampled audio dedup — the SPECTRAL tier (closes
+    // round-9 gap #1, the most common transcode): 10 tone masters at
+    // 8 kHz and 10 re-uploads of the same continuous signal sampled
+    // at 44.1 kHz — the ideal-resampler pair, sharing NO sample
+    // values, so the m79/m99 integer tier provably sees nothing
+    // (Round10Spec pins the miss). 64 ms Goertzel band-energy codes
+    // anchored in absolute time and frequency are identical across
+    // rates and land all 10 re-uploads at match_frac 1.0. StrictMath
+    // trig end to end — pinned golden.
+    "m106_audio_spectral_dedup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val wav = udf((id: Long) =>
+        if (id < 20) Multimodal.syntheticWavTones(id, 8000)
+        else Multimodal.syntheticWavTones(id - 20, 44100))
+      val media = s.range(0, 10).union(s.range(20, 30))
+        .select(col("id").as("doc_id"), wav(col("id")).as("payload"))
+      Multimodal.audioSpectralPairs(media, maxDf = 64)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // MKV LACING walk (closes round-9 gap #2: real WebM PCM is
     // routinely laced, and the pre-round-10 walk skipped laced blocks
     // — silently contributing nothing to the audio tier): 10 ids,

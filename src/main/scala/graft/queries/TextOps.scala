@@ -551,8 +551,119 @@ object TextOps extends QueryPack {
       v1.select(lit(1L).as("batch"), $"doc_id", $"kept", $"dup_src")
         .unionAll(v2.select(lit(2L).as("batch"), $"doc_id", $"kept", $"dup_src"))
         .orderBy($"doc_id")
+    }),
+
+    // t72's steady-state loop driven through the parquet SINK (closes
+    // round-9 task #7): the band index lives in a SinkTable with
+    // ReplacingMergeTree semantics — orderKeys (doc_id, band), so a
+    // re-indexed document's 8 new rows supersede its 8 old ones by
+    // ingest sequence. The append-only files hold BOTH row versions
+    // after the update; the LWW read must hide the stale ones
+    // (batch 1), `compact()` must physically drop them WITHOUT
+    // changing a verdict (batch 11 re-screens after compaction and
+    // must equal batch 1 row for row), and batch-1 keeps appended as
+    // increment 2 must catch batch-2 re-uploads (batch 2) — the full
+    // screen → append → compact → screen loop over real files, not
+    // in-memory frames. Oracle: the t72 replay with batch 1 asserted
+    // twice.
+    "t73_index_sink_loop" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val sinkDir = java.nio.file.Files.createTempDirectory("graft-t73-sink")
+      sinkDir.toFile.deleteOnExit()
+      val sink = graft.pipeline.SinkTable(
+        sinkDir.resolve("band_index").toString,
+        orderKeys = Seq("doc_id", "band"))
+      sink.append(TextDedup.minHashBandIndex(docs, "doc_id", "text"), 0L)
+      val updated = docs.filter($"doc_id" < 5)
+        .select($"doc_id", reverse($"text").as("text"))
+      sink.append(TextDedup.minHashBandIndex(updated, "doc_id", "text"), 1L)
+      val b1 = docs.filter($"doc_id" < 5)
+        .select(($"doc_id" + 1000000).as("doc_id"),
+          concat($"text", lit(" ingestdup tail")).as("text"))
+        .unionAll(docs.filter($"doc_id" < 5)
+          .select(($"doc_id" + 1100000).as("doc_id"),
+            concat(reverse($"text"), lit(" ingestdup tail")).as("text")))
+      // materialize BEFORE compact(): it deletes and rewrites the
+      // sink's files, so a lazy plan over the old files must not
+      // survive past it
+      val v1 = graft.operators.Materialize.eager(
+        TextDedup.dedupAgainstIndex(b1, sink.read(s), "doc_id", "text"))
+      sink.compact(s)
+      val v1post = graft.operators.Materialize.eager(
+        TextDedup.dedupAgainstIndex(b1, sink.read(s), "doc_id", "text"))
+      val kept1 = b1.join(v1post.filter($"kept").select($"doc_id"),
+        Seq("doc_id"), "left_semi")
+      sink.append(TextDedup.minHashBandIndex(kept1, "doc_id", "text"), 2L)
+      val b2 = docs.filter($"doc_id" < 5)
+        .select(($"doc_id" + 3000000).as("doc_id"),
+          concat($"text", lit(" ingestdup tail moretail")).as("text"))
+      val v2 = TextDedup.dedupAgainstIndex(b2, sink.read(s), "doc_id", "text")
+      v1.select(lit(1L).as("batch"), $"doc_id", $"kept", $"dup_src")
+        .unionAll(v1post.select(lit(11L).as("batch"), $"doc_id", $"kept",
+          $"dup_src"))
+        .unionAll(v2.select(lit(2L).as("batch"), $"doc_id", $"kept",
+          $"dup_src"))
+        .orderBy($"batch", $"doc_id")
     })
   )
+
+  // the t72 two-phase replay (index update + ingest screens) as CTEs,
+  // shared with t73 — which runs the SAME phases through the parquet
+  // SinkTable and must land on the identical verdicts
+  private val t72ReplayCtes: String =
+    """WITH idx1 AS (SELECT doc_id, text FROM documents WHERE doc_id >= 5
+          UNION ALL SELECT doc_id, reverse(text) FROM documents WHERE doc_id < 5),
+        p1 AS (SELECT doc_id + 1000000 AS doc_id, text || ' ingestdup tail' AS text
+            FROM documents WHERE doc_id < 5
+          UNION ALL SELECT doc_id + 1100000, reverse(text) || ' ingestdup tail'
+            FROM documents WHERE doc_id < 5),
+        all1 AS (SELECT * FROM idx1 UNION ALL SELECT * FROM p1),
+        w1 AS (SELECT doc_id, string_split(text, ' ') AS w FROM all1),
+        sh1 AS (SELECT doc_id, list_transform(range(1, greatest(len(w)-2,0)+1),
+          i -> w[i]||' '||w[i+1]||' '||w[i+2]) AS shingles FROM w1),
+        sg1 AS (SELECT doc_id, list_transform(range(0,16),
+          i -> list_aggregate(list_transform(shingles,
+            s -> md5(CAST(i AS VARCHAR)||':'||s)), 'min')) AS sig FROM sh1),
+        bd1 AS (SELECT doc_id, b, md5(sig[b*2+1]||'|'||sig[b*2+2]) AS band_key
+          FROM sg1, range(0,8) t(b)),
+        dup1 AS (SELECT l.doc_id, MIN(e.doc_id) AS dup_src
+          FROM bd1 l
+          JOIN bd1 e ON l.b = e.b AND l.band_key = e.band_key
+            AND e.doc_id < 1000000 AND l.doc_id >= 1000000
+          JOIN sg1 sl ON sl.doc_id = l.doc_id
+          JOIN sg1 se ON se.doc_id = e.doc_id
+          WHERE len(list_filter(range(1, 17), i ->
+            sl.sig[i] IS NOT NULL AND sl.sig[i] = se.sig[i])) >= 8
+          GROUP BY l.doc_id),
+        v1 AS (SELECT p.doc_id, d.dup_src IS NULL AS kept, d.dup_src
+          FROM p1 p LEFT JOIN dup1 d ON d.doc_id = p.doc_id),
+        kept1 AS (SELECT p.doc_id, p.text FROM p1 p
+          JOIN v1 ON v1.doc_id = p.doc_id AND v1.kept),
+        idx2 AS (SELECT * FROM idx1 UNION ALL SELECT * FROM kept1),
+        p2 AS (SELECT doc_id + 3000000 AS doc_id,
+            text || ' ingestdup tail moretail' AS text
+          FROM documents WHERE doc_id < 5),
+        all2 AS (SELECT * FROM idx2 UNION ALL SELECT * FROM p2),
+        w2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM all2),
+        sh2 AS (SELECT doc_id, list_transform(range(1, greatest(len(w)-2,0)+1),
+          i -> w[i]||' '||w[i+1]||' '||w[i+2]) AS shingles FROM w2),
+        sg2 AS (SELECT doc_id, list_transform(range(0,16),
+          i -> list_aggregate(list_transform(shingles,
+            s -> md5(CAST(i AS VARCHAR)||':'||s)), 'min')) AS sig FROM sh2),
+        bd2 AS (SELECT doc_id, b, md5(sig[b*2+1]||'|'||sig[b*2+2]) AS band_key
+          FROM sg2, range(0,8) t(b)),
+        dup2 AS (SELECT l.doc_id, MIN(e.doc_id) AS dup_src
+          FROM bd2 l
+          JOIN bd2 e ON l.b = e.b AND l.band_key = e.band_key
+            AND e.doc_id < 3000000 AND l.doc_id >= 3000000
+          JOIN sg2 sl ON sl.doc_id = l.doc_id
+          JOIN sg2 se ON se.doc_id = e.doc_id
+          WHERE len(list_filter(range(1, 17), i ->
+            sl.sig[i] IS NOT NULL AND sl.sig[i] = se.sig[i])) >= 8
+          GROUP BY l.doc_id),
+        v2 AS (SELECT p.doc_id, d.dup_src IS NULL AS kept, d.dup_src
+          FROM p2 p LEFT JOIN dup2 d ON d.doc_id = p.doc_id)"""
 
   def oracleSql: Map[String, String] = Map(
     "t31_dedup_exact" ->
@@ -1295,63 +1406,22 @@ object TextOps extends QueryPack {
     // both phases replayed from first principles: phase 1 against the
     // post-update doc set (0-4 replaced by their reversed text — the
     // LWW contract), phase 2 against that set plus phase 1's keeps
-    "t72_index_append" ->
-      """WITH idx1 AS (SELECT doc_id, text FROM documents WHERE doc_id >= 5
-          UNION ALL SELECT doc_id, reverse(text) FROM documents WHERE doc_id < 5),
-        p1 AS (SELECT doc_id + 1000000 AS doc_id, text || ' ingestdup tail' AS text
-            FROM documents WHERE doc_id < 5
-          UNION ALL SELECT doc_id + 1100000, reverse(text) || ' ingestdup tail'
-            FROM documents WHERE doc_id < 5),
-        all1 AS (SELECT * FROM idx1 UNION ALL SELECT * FROM p1),
-        w1 AS (SELECT doc_id, string_split(text, ' ') AS w FROM all1),
-        sh1 AS (SELECT doc_id, list_transform(range(1, greatest(len(w)-2,0)+1),
-          i -> w[i]||' '||w[i+1]||' '||w[i+2]) AS shingles FROM w1),
-        sg1 AS (SELECT doc_id, list_transform(range(0,16),
-          i -> list_aggregate(list_transform(shingles,
-            s -> md5(CAST(i AS VARCHAR)||':'||s)), 'min')) AS sig FROM sh1),
-        bd1 AS (SELECT doc_id, b, md5(sig[b*2+1]||'|'||sig[b*2+2]) AS band_key
-          FROM sg1, range(0,8) t(b)),
-        dup1 AS (SELECT l.doc_id, MIN(e.doc_id) AS dup_src
-          FROM bd1 l
-          JOIN bd1 e ON l.b = e.b AND l.band_key = e.band_key
-            AND e.doc_id < 1000000 AND l.doc_id >= 1000000
-          JOIN sg1 sl ON sl.doc_id = l.doc_id
-          JOIN sg1 se ON se.doc_id = e.doc_id
-          WHERE len(list_filter(range(1, 17), i ->
-            sl.sig[i] IS NOT NULL AND sl.sig[i] = se.sig[i])) >= 8
-          GROUP BY l.doc_id),
-        v1 AS (SELECT p.doc_id, d.dup_src IS NULL AS kept, d.dup_src
-          FROM p1 p LEFT JOIN dup1 d ON d.doc_id = p.doc_id),
-        kept1 AS (SELECT p.doc_id, p.text FROM p1 p
-          JOIN v1 ON v1.doc_id = p.doc_id AND v1.kept),
-        idx2 AS (SELECT * FROM idx1 UNION ALL SELECT * FROM kept1),
-        p2 AS (SELECT doc_id + 3000000 AS doc_id,
-            text || ' ingestdup tail moretail' AS text
-          FROM documents WHERE doc_id < 5),
-        all2 AS (SELECT * FROM idx2 UNION ALL SELECT * FROM p2),
-        w2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM all2),
-        sh2 AS (SELECT doc_id, list_transform(range(1, greatest(len(w)-2,0)+1),
-          i -> w[i]||' '||w[i+1]||' '||w[i+2]) AS shingles FROM w2),
-        sg2 AS (SELECT doc_id, list_transform(range(0,16),
-          i -> list_aggregate(list_transform(shingles,
-            s -> md5(CAST(i AS VARCHAR)||':'||s)), 'min')) AS sig FROM sh2),
-        bd2 AS (SELECT doc_id, b, md5(sig[b*2+1]||'|'||sig[b*2+2]) AS band_key
-          FROM sg2, range(0,8) t(b)),
-        dup2 AS (SELECT l.doc_id, MIN(e.doc_id) AS dup_src
-          FROM bd2 l
-          JOIN bd2 e ON l.b = e.b AND l.band_key = e.band_key
-            AND e.doc_id < 3000000 AND l.doc_id >= 3000000
-          JOIN sg2 sl ON sl.doc_id = l.doc_id
-          JOIN sg2 se ON se.doc_id = e.doc_id
-          WHERE len(list_filter(range(1, 17), i ->
-            sl.sig[i] IS NOT NULL AND sl.sig[i] = se.sig[i])) >= 8
-          GROUP BY l.doc_id),
-        v2 AS (SELECT p.doc_id, d.dup_src IS NULL AS kept, d.dup_src
-          FROM p2 p LEFT JOIN dup2 d ON d.doc_id = p.doc_id)
+    "t72_index_append" -> (t72ReplayCtes + """
         SELECT * FROM (
           SELECT CAST(1 AS BIGINT) AS batch, doc_id, kept, dup_src FROM v1
           UNION ALL SELECT CAST(2 AS BIGINT), doc_id, kept, dup_src FROM v2)
-        ORDER BY doc_id""",
+        ORDER BY doc_id"""),
+    // t73 = the t72 phases driven through the parquet SinkTable
+    // (append-only files + LWW read + physical compaction), so the
+    // replay is t72's verbatim with batch-1 verdicts asserted TWICE:
+    // batch 11 is the post-compaction re-screen, which must equal the
+    // pre-compaction one row for row
+    "t73_index_sink_loop" -> (t72ReplayCtes + """
+        SELECT * FROM (
+          SELECT CAST(1 AS BIGINT) AS batch, doc_id, kept, dup_src FROM v1
+          UNION ALL SELECT CAST(11 AS BIGINT), doc_id, kept, dup_src FROM v1
+          UNION ALL SELECT CAST(2 AS BIGINT), doc_id, kept, dup_src FROM v2)
+        ORDER BY batch, doc_id"""),
     // the decode must return the arithmetic reconstruction unchanged;
     // n_merged = completed pairs (odd j with (doc_id+j) % 3 == 0) —
     // rule pairs are position-disjoint, so every completed pair merges

@@ -171,6 +171,66 @@ class Round10Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // ---- audio index version stamp (round-9 advice #1) ----------------
+
+  test("dedupAgainstAudioIndex refuses an unstamped or stale-version index") {
+    implicit val sp: SparkSession = spark
+    val wav = udf((id: Long) => Multimodal.syntheticWavTex(id, 256))
+    val media = spark.range(0, 3)
+      .select(col("id").as("doc_id"), wav(col("id")).as("payload"))
+    val index = Multimodal.audioCodeIndex(media)
+    // a same-version index screens normally (every probe self-matches
+    // its own index row, so all come back dup)
+    assert(Multimodal.dedupAgainstAudioIndex(media, index).count() == 3)
+    // an index from before versioning (no fp_ver column) fails fast —
+    // cross-version codes silently match nothing, the failure mode
+    // this guard exists for
+    intercept[IllegalArgumentException] {
+      Multimodal.dedupAgainstAudioIndex(media, index.drop("fp_ver"))
+    }
+    // a stamped-but-stale index fails fast too
+    intercept[IllegalArgumentException] {
+      Multimodal.dedupAgainstAudioIndex(media,
+        index.withColumn("fp_ver", lit(1)))
+    }
+  }
+
+  // ---- m106 spectral fingerprint: fractional-resample invariance ----
+
+  test("spectral codes are rate-invariant; the integer tier misses fractional resampling") {
+    import spark.implicits._
+    def codes(id: Long, rate: Int): Seq[Int] =
+      Multimodal.spectralFrameCodes(
+        Multimodal.decodeWav(Multimodal.syntheticWavTones(id, rate)).get).toSeq
+    for (id <- 0L until 6L) {
+      val c8 = codes(id, 8000)
+      val c44 = codes(id, 44100)
+      assert(c8.nonEmpty, s"id=$id: empty codes")
+      assert(c8 == c44,
+        s"id=$id: 8 kHz and 44.1 kHz codes differ:\n$c8\n$c44")
+      // 16 kHz too — the integer-decimation rate also lands here
+      assert(c8 == codes(id, 16000), s"id=$id: 16 kHz differs")
+    }
+    // discriminative: different ids, different sequences
+    assert(codes(0L, 8000) != codes(1L, 8000))
+    // the integer tier is provably blind to the 44.1 kHz re-upload:
+    // no aligned (frame_idx, code) agreement at all
+    implicit val sp: SparkSession = spark
+    val wav = udf((id: Long) =>
+      if (id < 20) Multimodal.syntheticWavTones(id, 8000)
+      else Multimodal.syntheticWavTones(id - 20, 44100))
+    val media = spark.range(0, 6).union(spark.range(20, 26))
+      .select(col("id").as("doc_id"), wav(col("id")).as("payload"))
+    val integerPairs = Multimodal.audioFingerprintPairs(media)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(integerPairs.isEmpty,
+      s"integer tier should miss interpolated re-uploads: $integerPairs")
+    val spectralPairs = Multimodal.audioSpectralPairs(media)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(spectralPairs == (0L until 6L).map(i => (i, i + 20)).toSet,
+      s"spectral tier: $spectralPairs")
+  }
+
   // ---- m107 MKV lacing: laced == unlaced + malformed-lacing fuzz ----
 
   test("MKV lacing: laced frames concatenate to the unlaced payload; malformed lacing never throws") {

@@ -51,6 +51,8 @@ QUERIES = [
                            # dedup (trim+flip, oriented landmarks)
     "m105_phash_rot_pairs", # rotation-tolerant image near-dup (the
                            # phone-orientation repost, 4 grid turns)
+    "m106_audio_spectral_dedup", # fractional-resample audio dedup
+                           # (Goertzel band codes, StrictMath trig)
     "m109_phash_dihedral_pairs", # dihedral-8 single-pass image
                            # near-dup (mirror+rotate compound reposts)
     "st81_stream_phash_dihedral_dedup", # streaming dihedral-8 image
