@@ -1833,7 +1833,13 @@ object Multimodal {
       mjpeg: Boolean = false, delta: Int = 0,
       global0: Boolean = false, intro: Int = 0,
       frameOffset: Int = 0, audioId: Long = -1L,
-      audioSamples: Int = 0, mirrorX: Boolean = false): Array[Byte] = {
+      audioSamples: Int = 0, mirrorX: Boolean = false,
+      rotQ: Int = 0): Array[Byte] = {
+    // rotQ renders every frame turned rotQ clockwise quarter turns
+    // (DIB leg; square frames) — composed AFTER mirrorX, so
+    // mirrorX+rotQ is the rotate(mirror(frame)) dihedral compound
+    require(rotQ == 0 || (!mjpeg && w == h),
+      "frame rotation: DIB leg, square frames only")
     val rowBytes = (w * 3 + 3) & ~3
     val frameChunks = (0 until nFrames).map { f0 =>
       // `frameOffset` renders frame f of THIS container as frame
@@ -1853,7 +1859,14 @@ object Multimodal {
         // bottom-up BGR rows padded to 4 bytes — the DIB layout
         val px = new Array[Byte](rowBytes * h)
         for (y <- 0 until h; x <- 0 until w) {
-          val rgb = aviPixel(fid, f, if (mirrorX) w - 1 - x else x, y,
+          // inverse rotation: source coords of output pixel (x, y)
+          val (sx, sy) = rotQ % 4 match {
+            case 1 => (y, h - 1 - x)
+            case 2 => (w - 1 - x, h - 1 - y)
+            case 3 => (w - 1 - y, x)
+            case _ => (x, y)
+          }
+          val rgb = aviPixel(fid, f, if (mirrorX) w - 1 - sx else sx, sy,
             delta, global0)
           val o = (h - 1 - y) * rowBytes + x * 3
           px(o) = (rgb & 0xff).toByte
@@ -3144,6 +3157,83 @@ object Multimodal {
           case None => Iterator.empty
         }
       })
+  }
+
+  case class VideoFrameHashN(doc_id: Long, frame_idx: Int, hs: Seq[Long])
+
+  /** [[videoFramePHash]] emitting all EIGHT dihedral orientation
+    * hashes per sampled frame (one decode via [[pHash64Dihedral]]:
+    * 0-3 quarter turns, 4-7 mirrored quarter turns) — the
+    * orientation-complete video tier's probe table. */
+  def videoFramePHashDihedral(media: DataFrame, every: Int = 2)(
+      implicit s: SparkSession): Dataset[VideoFrameHashN] = {
+    import s.implicits._
+    require(every >= 1, "every must be >= 1")
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions(rows => rows.flatMap { r =>
+        containerFrames(r.payload) match {
+          case Some(fs) => fs.iterator.zipWithIndex
+            .filter(_._2 % every == 0)
+            .flatMap { case (frame, idx) =>
+              pHash64Dihedral(frame).map(hs =>
+                VideoFrameHashN(r.doc_id, idx, hs)) }
+          case None => Iterator.empty
+        }
+      })
+  }
+
+  /** [[videoNearDupPairsFlipTolerant]] extended to the FULL dihedral-8
+    * orientation set — the phone-ROTATED video re-upload (and the
+    * rotate+mirror compound) that the mirror-only video tier and the
+    * plain aligned tier each miss on every frame: all eight
+    * orientation hashes of each sampled frame enter the
+    * (frame_idx, chunk) posting lists, so a rotated copy's as-is
+    * frames collide with the source's correspondingly-rotated rows at
+    * the same frame index. Frames count once per pair (distinct
+    * frame_idx); strict superset of both narrower video tiers at the
+    * same threshold. 8x posting rows; the maxDf cap counts DISTINCT
+    * docs per bucket, so a [[videoNearDupPairs]]-tuned value carries
+    * over unchanged. */
+  def videoNearDupPairsDihedral(media: DataFrame, every: Int = 2,
+      maxDist: Int = 3, minMatch: Double = 0.8, maxDf: Int = 0)(
+      implicit s: SparkSession): DataFrame = {
+    require(maxDist < 4, "4 x 16-bit chunks guarantee recall only for maxDist <= 3")
+    val hashed = Materialize.eager(videoFramePHashDihedral(media, every).toDF())
+    val nf = hashed.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+    val rows = hashed.select(col("doc_id"), col("frame_idx"),
+      explode(col("hs")).as("h"))
+    val chunked = rows.select(col("doc_id"), col("frame_idx"), col("h"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("h"), c * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .toDF("doc_id", "frame_idx", "h", "chunk", "ck")
+    val capped = if (maxDf <= 0) chunked
+      else chunked.join(
+        chunked.groupBy(col("frame_idx"), col("chunk"), col("ck"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .filter(col("df") <= maxDf)
+          .select(col("frame_idx"), col("chunk"), col("ck")),
+        Seq("frame_idx", "chunk", "ck"), "left_semi")
+    val buckets = capped.groupBy(col("frame_idx"), col("chunk"), col("ck"))
+      .agg(collect_list(struct(col("doc_id"), col("h"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    val ds = array_sort(col("ds"))
+    val pairs = buckets.select(col("frame_idx"), explode(flatten(
+        transform(ds, (x, i) =>
+          transform(slice(ds, i + lit(2), greatest(size(ds) - i - 1, lit(0))),
+            y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .filter(col("p.a.doc_id") =!= col("p.b.doc_id")) // orientation self-rows
+      .filter(bit_count(col("p.a.h").bitwiseXOR(col("p.b.h"))) <= maxDist)
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        col("frame_idx"))
+      .distinct() // several chunks/orientations can match one frame
+    pairs.groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("c"))
+      .join(nf.select(col("doc_id").as("doc_a"), col("nf").as("na")), Seq("doc_a"))
+      .join(nf.select(col("doc_id").as("doc_b"), col("nf").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("c").cast("double") / least(col("na"), col("nb")), 6)
+          .as("match_frac"))
+      .filter(col("match_frac") >= minMatch)
   }
 
   /** [[videoNearDupPairs]] tolerant to HORIZONTAL MIRRORING — the

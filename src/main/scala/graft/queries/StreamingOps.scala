@@ -731,6 +731,85 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // TRIM + FRACTIONAL-RESAMPLE compound audio re-upload — spectral
+    // LANDMARKS (the m80 trick at the m106 seam): 10 tone masters at
+    // 8 kHz / 640 ms, 10 re-uploads sampled at 44.1 kHz starting
+    // 128 ms INTO the master's timeline — no common sample values
+    // (integer tiers blind) AND every frame index shifted (the m106
+    // aligned spectral tier blind too; Round10Spec pins both misses).
+    // Rate-free positionless (code, next-code) landmarks land all 10.
+    // Pinned golden (StrictMath trig).
+    "m110_audio_spectral_landmarks" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val wav = udf((id: Long) =>
+        if (id < 20) Multimodal.syntheticWavTones(id, 8000, ms = 640)
+        else Multimodal.syntheticWavTones(id - 20, 44100, ms = 512,
+          offsetMs = 128))
+      val media = s.range(0, 10).union(s.range(20, 30))
+        .select(col("id").as("doc_id"), wav(col("id")).as("payload"))
+      Multimodal.audioSpectralLandmarkPairs(media, maxDf = 64)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // STREAMING spectral-landmark audio dedup (the m110 tier in the
+    // streaming matrix): micro-batch 1 delivers 10 tone masters at
+    // 8 kHz, micro-batch 2 their 128 ms-trimmed 44.1 kHz re-uploads —
+    // the compound no integer or aligned state can see. Rate-free
+    // landmark buckets emit earlier sharers; the batch query over the
+    // sink scores shared distinct landmarks >= 0.6 over the smaller
+    // set (the m110 metric). Pinned golden.
+    "st82_stream_spectral_landmark_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val name = "st82_out"
+      val staged = stagingDir("graft-stream-slm")
+      val wav = udf((id: Long) =>
+        if (id < 1000000L) Multimodal.syntheticWavTones(id, 8000, ms = 640)
+        else Multimodal.syntheticWavTones(id - 1000000L, 44100, ms = 512,
+          offsetMs = 128))
+      def stageBatch(ids: org.apache.spark.sql.Dataset[java.lang.Long],
+          fname: String, ageMs: Long): Unit = {
+        val tmp = staged.resolve(fname + ".tmp")
+        ids.toDF("doc_id").select(col("doc_id"), wav(col("doc_id")).as("payload"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, staged.resolve(fname))
+        staged.resolve(fname).toFile.deleteOnExit()
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        java.nio.file.Files.setLastModifiedTime(staged.resolve(fname),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - ageMs))
+      }
+      stageBatch(s.range(0, 10).as[java.lang.Long], "a.parquet", 120000L)
+      stageBatch(s.range(1000000L, 1000010L).as[java.lang.Long], "b.parquet", 0L)
+      val mediaSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("payload", BinaryType)))
+      val stream = s.readStream.schema(mediaSchema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+        .repartition(col("doc_id"))
+      val hits = graft.operators.StreamingNearDup.audioSpectralLandmarkVerdicts(
+        stream, "doc_id", "payload", maxBucket = 64)
+      val q = hits.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+      val nl = s.table(name).groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("nl"))
+      val nlSrc = s.table(name).select(col("doc_id").as("src_id"))
+        .groupBy(col("src_id")).agg(count(lit(1)).as("nl_src"))
+      val dup = s.table(name)
+        .select(col("doc_id").as("d"), explode(col("hits")).as("src"))
+        .groupBy(col("d"), col("src")).agg(count(lit(1)).as("c"))
+        .join(nl, col("d") === nl("doc_id")).drop("doc_id")
+        .join(nlSrc, col("src") === col("src_id"))
+        .filter(col("c").cast("double") / least(col("nl"), col("nl_src"))
+          >= 0.6)
+        .groupBy(col("d")).agg(min(col("src")).as("dup_src"))
+      nl.join(dup, col("doc_id") === col("d"), "left")
+        .select(col("doc_id"), col("dup_src").isNull.as("kept"),
+          col("dup_src"))
+        .orderBy(col("doc_id"))
+    }),
+
     // MKV LACING walk (closes round-9 gap #2: real WebM PCM is
     // routinely laced, and the pre-round-10 walk skipped laced blocks
     // — silently contributing nothing to the audio tier): 10 ids,
@@ -1062,6 +1141,29 @@ object StreamingOps extends QueryPack {
       val media = s.range(0, 10).union(s.range(20, 30))
         .select(col("id").as("doc_id"), avi(col("id")).as("payload"))
       Multimodal.videoNearDupPairsFlipTolerant(media, maxDf = 64)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // DIHEDRAL-8 VIDEO near-dup (the m109 trick per frame — completes
+    // the orientation matrix for video): 8 DIB originals, 4 reposts
+    // ROTATED by quarter turns and 2 rotated AFTER mirroring (the
+    // compound) — every frame's hash changes, so the plain aligned
+    // tier and the mirror-only m103 tier both provably miss them
+    // (Round10Spec pins the misses); all 8 orientation hashes per
+    // sampled frame land every repost on its source at match_frac
+    // 1.0. Pinned golden (StrictMath DCT path).
+    "m111_video_dihedral_neardup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val avi = udf((id: Long) =>
+        if (id < 20) Multimodal.syntheticAvi(id, (4 + id % 3).toInt)
+        else if (id < 30) Multimodal.syntheticAvi(id - 20,
+          (4 + (id - 20) % 3).toInt, rotQ = (id % 3 + 1).toInt)
+        else Multimodal.syntheticAvi(id - 30,
+          (4 + (id - 30) % 3).toInt, rotQ = (id % 3 + 1).toInt,
+          mirrorX = true))
+      val media = s.range(0, 8).union(s.range(20, 24)).union(s.range(30, 32))
+        .select(col("id").as("doc_id"), avi(col("id")).as("payload"))
+      Multimodal.videoNearDupPairsDihedral(media, maxDf = 64)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 

@@ -29,6 +29,9 @@ object GrowthBench {
     "t64_bpe_merges", "t65_bpe_encode", "t66_cross_neardup",
     "t67_char_entropy", "t68_bpe_batched", "t69_index_dedup",
     "t71_bpe_vocab4k", "t72_index_append",
+    // t73 is t72 through the parquet sink: index build + LWW window +
+    // compaction rewrite all scale with the corpus
+    "t73_index_sink_loop",
     "s46_cosine_dup_lsh", "s49_embed_curate",
     "s54_diversity_select", "s56_index_dedup",
     // corpus-proportional legs of the round-9 subtitle bridge: the

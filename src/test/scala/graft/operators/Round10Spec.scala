@@ -231,6 +231,44 @@ class Round10Spec extends AnyFunSuite with BeforeAndAfterAll {
       s"spectral tier: $spectralPairs")
   }
 
+  // ---- m110/st82: spectral landmarks beat the trim+resample compound
+
+  test("spectral landmarks catch trim+fractional-resample; integer and aligned tiers miss") {
+    import spark.implicits._
+    implicit val sp: SparkSession = spark
+    val wav = udf((id: Long) =>
+      if (id < 20) Multimodal.syntheticWavTones(id, 8000, ms = 640)
+      else Multimodal.syntheticWavTones(id - 20, 44100, ms = 512,
+        offsetMs = 128))
+    val media = spark.range(0, 6).union(spark.range(20, 26))
+      .select(col("id").as("doc_id"), wav(col("id")).as("payload"))
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+    val planted = (0L until 6L).map(i => (i, i + 20)).toSet
+    // the compound evades the integer landmark tier (no shared
+    // samples) AND the aligned spectral tier (every frame shifted)...
+    assert(pairs(Multimodal.audioLandmarkPairs(media)).isEmpty,
+      "integer landmarks must miss the fractional resample")
+    assert(pairs(Multimodal.audioSpectralPairs(media)).isEmpty,
+      "aligned spectral codes must miss the trim")
+    // ...but not the rate-free positionless landmarks
+    assert(pairs(Multimodal.audioSpectralLandmarkPairs(media)) == planted)
+    // streaming form with the shipped cap: every re-delivery lands
+    val hits = StreamingNearDup.audioSpectralLandmarkVerdicts(
+      media, "doc_id", "payload", maxBucket = 64).toDF().cache()
+    val nl = hits.groupBy(col("doc_id")).agg(count(lit(1)).as("nl"))
+      .as[(Long, Long)].collect().toMap
+    val emitted = hits.select(explode(col("hits")).as("src"), col("doc_id"))
+      .as[(Long, Long)].collect()
+    hits.unpersist()
+    val dups = emitted.groupBy(identity).map { case ((src, d), xs) =>
+      (d, src, xs.length) }
+      .filter { case (d, src, c) =>
+        c.toDouble / math.min(nl(d), nl(src)) >= 0.6 }
+      .groupBy(_._1).map { case (d, xs) => (d, xs.map(_._2).min) }
+    assert(dups == (20L until 26L).map(i => (i, i - 20)).toMap, s"$dups")
+  }
+
   // ---- m107 MKV lacing: laced == unlaced + malformed-lacing fuzz ----
 
   test("MKV lacing: laced frames concatenate to the unlaced payload; malformed lacing never throws") {
@@ -294,6 +332,44 @@ class Round10Spec extends AnyFunSuite with BeforeAndAfterAll {
     // caption (metadata fields + tags) — the pre-round-10 blind spot
     assert(st.get != pt.get || styled == plainLines,
       "styled text must differ before normalization")
+  }
+
+  // ---- m111: video dihedral-8 (rotated video re-uploads) ------------
+
+  test("video dihedral-8 catches rotated and rot+mirror re-uploads; narrower tiers miss") {
+    import spark.implicits._
+    implicit val sp: SparkSession = spark
+    // ids 20-25: rotated re-uploads (q = 1..3); ids 30-32: the
+    // rotate(mirror(.)) compound — every frame's hash changes in ways
+    // neither the plain nor the mirror-only tier can probe
+    val avi = udf((id: Long) =>
+      if (id < 20) Multimodal.syntheticAvi(id, (4 + id % 3).toInt)
+      else if (id < 30) Multimodal.syntheticAvi(id - 20,
+        (4 + (id - 20) % 3).toInt, rotQ = (id % 3 + 1).toInt)
+      else Multimodal.syntheticAvi(id - 30,
+        (4 + (id - 30) % 3).toInt, rotQ = (id % 3 + 1).toInt,
+        mirrorX = true))
+    val media = spark.range(0, 6).union(spark.range(20, 26))
+      .union(spark.range(30, 33))
+      .select(col("id").as("doc_id"), avi(col("id")).as("payload"))
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+    val planted = (0L until 6L).map(i => (i, i + 20)).toSet ++
+      (0L until 3L).map(i => (i, i + 30)).toSet ++
+      // rotated and compound re-uploads of the SAME source pair with
+      // each other too (both are dihedral transforms of one stream)
+      (0L until 3L).map(i => (i + 20, i + 30)).toSet
+    val sourcePairs = (0L until 6L).map(i => (i, i + 20)).toSet ++
+      (0L until 3L).map(i => (i, i + 30)).toSet
+    assert(pairs(Multimodal.videoNearDupPairs(media)).isEmpty,
+      "plain aligned tier must miss every rotated re-upload")
+    // the mirror-only tier must miss every (source, re-upload) pair;
+    // it MAY relate two re-uploads to each other when they happen to
+    // be a pure mirror apart (rot_a(s) vs rot_{-a}(mirror(s)))
+    assert((pairs(Multimodal.videoNearDupPairsFlipTolerant(media))
+        & sourcePairs).isEmpty,
+      "mirror-only tier must miss rotations and rotate-mirror compounds")
+    assert(pairs(Multimodal.videoNearDupPairsDihedral(media)) == planted)
   }
 
   // ---- m109/st81: dihedral-8 closes the rot x flip composition gap --

@@ -53,8 +53,14 @@ QUERIES = [
                            # phone-orientation repost, 4 grid turns)
     "m106_audio_spectral_dedup", # fractional-resample audio dedup
                            # (Goertzel band codes, StrictMath trig)
+    "m110_audio_spectral_landmarks", # trim + fractional-resample
+                           # compound (rate-free landmarks)
+    "st82_stream_spectral_landmark_dedup", # streaming spectral-landmark
+                           # audio dedup (trim+resample re-delivery)
     "m109_phash_dihedral_pairs", # dihedral-8 single-pass image
                            # near-dup (mirror+rotate compound reposts)
+    "m111_video_dihedral_neardup", # dihedral-8 video near-dup
+                           # (rotated + rot-mirror compound reposts)
     "st81_stream_phash_dihedral_dedup", # streaming dihedral-8 image
                            # dedup (as-is-only state, 8-turn probes)
     "st80_stream_phash_rot_dedup", # streaming rotation-tolerant image
