@@ -3353,6 +3353,41 @@ object Multimodal {
       })
   }
 
+  /** [[videoLandmarksOriented]] extended to the FULL dihedral-8 set:
+    * one decode, eight orientation landmark sequences per video
+    * (orient 0-3 = quarter turns, 4-7 = mirrored quarter turns) — the
+    * probe table for the re-upload that was TRIMMED and ROTATED (or
+    * rotate+mirrored) at once: its orientation-o landmark sequence
+    * for the inverting o equals its source's as-is sequence, interior
+    * landmarks surviving the trim exactly as in the flip tier. */
+  def videoLandmarksDihedral(media: DataFrame, every: Int = 2)(
+      implicit s: SparkSession): Dataset[VideoLandmarkO] = {
+    import s.implicits._
+    require(every >= 1, "every must be >= 1")
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions(rows => rows.flatMap { r =>
+        containerFrames(r.payload) match {
+          case Some(fs) =>
+            val hs = fs.iterator.zipWithIndex.filter(_._2 % every == 0)
+              .flatMap(f => pHash64Dihedral(f._1)).toArray
+            val lms = scala.collection.mutable.LinkedHashSet
+              .empty[(Int, Long, Long)]
+            var i = 0
+            while (i + 1 < hs.length) {
+              var o = 0
+              while (o < 8) {
+                lms += ((o, hs(i)(o), hs(i + 1)(o)))
+                o += 1
+              }
+              i += 1
+            }
+            lms.iterator.map { case (o, a, b) =>
+              VideoLandmarkO(r.doc_id, o, a, b) }
+          case None => Iterator.empty
+        }
+      })
+  }
+
   /** Video near-duplicate pairs, TIME-SHIFT tolerant — the landmark
     * tier [[videoNearDupPairs]]'s aligned frame_idx matching cannot
     * express: a re-upload with the first k·`every` frames CUT keeps

@@ -400,6 +400,41 @@ object StreamingNearDup {
       }
   }
 
+  /** [[videoLandmarkVerdictsFlipTolerant]] extended to the FULL
+    * dihedral-8 orientation set — the streaming member of the m111
+    * tier: every arrival probes landmark buckets with all eight
+    * orientations' landmark sets (one decode via
+    * `Multimodal.videoLandmarksDihedral`), only orient-0 landmarks
+    * enter state, so a re-delivery that was trimmed AND rotated (or
+    * rotate+mirrored) lands in its source's buckets. Same record
+    * shape, scoring contract (orient-0 denominator, best-orientation
+    * hit count), and `maxBucket` cap as the flip variant. */
+  def videoLandmarkVerdictsDihedral(media: DataFrame, idCol: String,
+      payloadCol: String, every: Int = 2,
+      maxBucket: Int = 0): Dataset[VideoLandmarkHitsO] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val lms = Multimodal.videoLandmarksDihedral(
+      media.select(col(idCol).cast("long").as("doc_id"),
+        col(payloadCol).as("payload")), every)
+    lms.groupByKey(l => (l.lm_a, l.lm_b))
+      .flatMapGroupsWithState[List[Long], VideoLandmarkHitsO](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((a, b), rows, state: GroupState[List[Long]]) =>
+          var seen = state.getOption.getOrElse(Nil)
+          var n = seen.size
+          val out = rows.toSeq.sortBy(r => (r.doc_id, r.orient)).map { r =>
+            val capped = maxBucket > 0 && n >= maxBucket
+            val hits = if (capped) Nil else seen.filter(_ != r.doc_id)
+            if (!capped && r.orient == 0) { seen = r.doc_id :: seen; n += 1 }
+            VideoLandmarkHitsO(r.doc_id, r.orient, a, b, hits)
+          }
+          state.update(seen)
+          out.iterator
+      }
+  }
+
   /** [[pHashVerdictsFlipTolerant]]'s ROTATION sibling: every arrival
     * probes the bucket state with its four quarter-turn hashes
     * (`Multimodal.pHash64Rots`, one decode), but only the as-is hash

@@ -951,6 +951,72 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // STREAMING dihedral-8 VIDEO dedup (the m111 tier in the streaming
+    // matrix, and the compound the st75/st79 ladder leaves open):
+    // micro-batch 1 delivers 10 base AVIs, micro-batch 2 their
+    // re-uploads with the leading 2 frames CUT and every frame
+    // ROTATED a quarter turn (ids 1000000-4/-9 split between pure
+    // rotation and rotate-after-mirror) — aligned, mirror-only and
+    // as-is landmark state are all blind; the 8-orientation landmark
+    // probes land every re-delivery on its source. Only orient-0
+    // landmarks enter state. Pinned golden.
+    "st83_stream_video_dihedral_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val name = "st83_out"
+      val staged = stagingDir("graft-stream-vdih")
+      val avi = udf((id: Long) =>
+        if (id < 1000000L) Multimodal.syntheticAvi(id, (6 + id % 3).toInt)
+        else if (id < 1000005L) Multimodal.syntheticAvi(id - 1000000L,
+          (6 + (id - 1000000L) % 3).toInt - 2, frameOffset = 2,
+          rotQ = (id % 3 + 1).toInt)
+        else Multimodal.syntheticAvi(id - 1000000L,
+          (6 + (id - 1000000L) % 3).toInt - 2, frameOffset = 2,
+          rotQ = (id % 3 + 1).toInt, mirrorX = true))
+      def stageBatch(ids: org.apache.spark.sql.Dataset[java.lang.Long],
+          fname: String, ageMs: Long): Unit = {
+        val tmp = staged.resolve(fname + ".tmp")
+        ids.toDF("doc_id").select(col("doc_id"), avi(col("doc_id")).as("payload"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, staged.resolve(fname))
+        staged.resolve(fname).toFile.deleteOnExit()
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        java.nio.file.Files.setLastModifiedTime(staged.resolve(fname),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - ageMs))
+      }
+      stageBatch(s.range(0, 10).as[java.lang.Long], "a.parquet", 120000L)
+      stageBatch(s.range(1000000L, 1000010L).as[java.lang.Long], "b.parquet", 0L)
+      val mediaSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("payload", BinaryType)))
+      val stream = s.readStream.schema(mediaSchema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+        .repartition(col("doc_id"))
+      val hits = graft.operators.StreamingNearDup.videoLandmarkVerdictsDihedral(
+        stream, "doc_id", "payload", maxBucket = 64)
+      val q = hits.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+      val nl = s.table(name).filter(col("orient") === 0)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("nl"))
+      val nlSrc = nl.select(col("doc_id").as("src_id"), col("nl").as("nl_src"))
+      val best = s.table(name)
+        .select(col("doc_id").as("d"), col("orient"), explode(col("hits")).as("src"))
+        .groupBy(col("d"), col("orient"), col("src")).agg(count(lit(1)).as("c"))
+        .groupBy(col("d"), col("src")).agg(max(col("c")).as("c"))
+      val dup = best
+        .join(nl, col("d") === nl("doc_id")).drop("doc_id")
+        .join(nlSrc, col("src") === col("src_id"))
+        .filter(col("c").cast("double") / least(col("nl"), col("nl_src"))
+          >= 0.6)
+        .groupBy(col("d")).agg(min(col("src")).as("dup_src"))
+      nl.join(dup, col("doc_id") === col("d"), "left")
+        .select(col("doc_id"), col("dup_src").isNull.as("kept"),
+          col("dup_src"))
+        .orderBy(col("doc_id"))
+    }),
+
     // STREAMING rotation-tolerant image dedup (the m105 tier in the
     // streaming matrix): micro-batch 1 delivers 20 base PNGs,
     // micro-batch 2 ten quarter-/half-turned reposts (plain-pHash

@@ -61,6 +61,8 @@ QUERIES = [
                            # near-dup (mirror+rotate compound reposts)
     "m111_video_dihedral_neardup", # dihedral-8 video near-dup
                            # (rotated + rot-mirror compound reposts)
+    "st83_stream_video_dihedral_dedup", # streaming dihedral-8 video
+                           # dedup (trim + rotate/mirror re-delivery)
     "st81_stream_phash_dihedral_dedup", # streaming dihedral-8 image
                            # dedup (as-is-only state, 8-turn probes)
     "st80_stream_phash_rot_dedup", # streaming rotation-tolerant image
