@@ -933,14 +933,34 @@ object Multimodal {
     * re-decode per increment. Rows carry [[AudioFpVersion]] so a
     * fingerprint-function change can never silently split index and
     * probes into disjoint code spaces. */
-  def audioCodeIndex(media: DataFrame)(implicit s: SparkSession): DataFrame = {
-    val codes = Materialize.eager(audioFingerprint(media).toDF())
+  def audioCodeIndex(media: DataFrame)(implicit s: SparkSession): DataFrame =
+    codeIndexOf(Materialize.eager(audioFingerprint(media).toDF()),
+      AudioFpVersion)
+
+  /** Version stamp for the SPECTRAL code family ([[spectralFrameCodes]]
+    * — its own lineage, independent of [[AudioFpVersion]]): bump when
+    * the band layout, frame duration or bit derivation changes;
+    * existing spectral indexes must then be rebuilt. */
+  val SpectralFpVersion: Int = 1
+
+  /** Persisted SPECTRAL code index — the incremental-dedup artifact of
+    * the m106 tier: a corpus of masters is spectral-coded ONCE, and
+    * every ingest batch screens against it rate-free, so a 44.1 kHz
+    * re-upload of an 8 kHz corpus master is caught without any corpus
+    * re-decode. Same layout and [[IncrementalIndex.append]]
+    * compatibility as [[audioCodeIndex]]; stamped with
+    * [[SpectralFpVersion]]. */
+  def audioSpectralCodeIndex(media: DataFrame)(
+      implicit s: SparkSession): DataFrame =
+    codeIndexOf(Materialize.eager(audioSpectralCodes(media).toDF()),
+      SpectralFpVersion)
+
+  private def codeIndexOf(codes: DataFrame, ver: Int): DataFrame =
     codes.join(
         codes.groupBy(col("doc_id")).agg(count(lit(1)).as("nf")),
         Seq("doc_id"))
       .select(col("frame_idx"), col("code"), col("doc_id"), col("nf"),
-        lit(AudioFpVersion).as("fp_ver"))
-  }
+        lit(ver).as("fp_ver"))
 
   /** Screen an ingest batch of audio against a pre-built
     * [[audioCodeIndex]]: the batch fingerprints once, equi-joins the
@@ -963,19 +983,35 @@ object Multimodal {
     * The stamp probe is a `limit(1)` over a constant column: parquet
     * min/max stats prune it to a metadata read on a real deployment. */
   def dedupAgainstAudioIndex(media: DataFrame, index: DataFrame,
-      minMatch: Double = 0.8)(implicit s: SparkSession): DataFrame = {
+      minMatch: Double = 0.8)(implicit s: SparkSession): DataFrame =
+    screenAgainstCodeIndex(
+      Materialize.eager(audioFingerprint(media).toDF()),
+      index, minMatch, AudioFpVersion, "audioCodeIndex")
+
+  /** Screen an ingest batch against a pre-built
+    * [[audioSpectralCodeIndex]] — the rate-free incremental screen: a
+    * fractionally-resampled re-upload of a corpus master is a
+    * duplicate even though it shares no sample values with anything
+    * in the corpus. Same scoring contract as
+    * [[dedupAgainstAudioIndex]]; enforces [[SpectralFpVersion]]. */
+  def dedupAgainstAudioSpectralIndex(media: DataFrame, index: DataFrame,
+      minMatch: Double = 0.8)(implicit s: SparkSession): DataFrame =
+    screenAgainstCodeIndex(
+      Materialize.eager(audioSpectralCodes(media).toDF()),
+      index, minMatch, SpectralFpVersion, "audioSpectralCodeIndex")
+
+  private def screenAgainstCodeIndex(codes: DataFrame, index: DataFrame,
+      minMatch: Double, ver: Int, builder: String): DataFrame = {
     require(index.columns.contains("fp_ver"),
       s"audio index has no fp_ver column: it predates fingerprint " +
-        s"version $AudioFpVersion (the round-9 canonicalization " +
-        "change) — rebuild it with audioCodeIndex before screening")
-    val stale = index.filter(col("fp_ver") =!= lit(AudioFpVersion))
+        s"version $ver — rebuild it with $builder before screening")
+    val stale = index.filter(col("fp_ver") =!= lit(ver))
       .limit(1).collect()
     require(stale.isEmpty,
       s"audio index built by fingerprint version " +
         s"${stale.headOption.map(_.getAs[Any]("fp_ver")).orNull}, " +
-        s"current is $AudioFpVersion — rebuild it with audioCodeIndex " +
-        "before screening (cross-version codes never match)")
-    val codes = Materialize.eager(audioFingerprint(media).toDF())
+        s"current is $ver — rebuild it with $builder before " +
+        "screening (cross-version codes never match)")
     val nf = codes.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
     val dup = codes.join(
         index.select(col("frame_idx"), col("code"),
@@ -1552,6 +1588,48 @@ object Multimodal {
         Seq("chunk", "ckey"))
       .dropDuplicates("doc_id", "src")
       .filter(bit_count(col("ph").bitwiseXOR(col("cph"))) <= maxDist)
+      .groupBy(col("doc_id")).agg(min(col("src")).as("dup_src"))
+    hashed.select(col("doc_id")).join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_src").isNull.as("kept"),
+        col("dup_src"))
+  }
+
+  /** [[dedupAgainstPHashIndex]] with DIHEDRAL-8 probes — incremental
+    * image dedup that still catches a rotated / mirrored / compound
+    * repost against an AS-IS corpus index: the index layout is
+    * unchanged (4 chunk rows per corpus image), each probe
+    * contributes all eight orientation hashes from one decode
+    * ([[pHash64Dihedral]]), and any orientation within `maxDist` of a
+    * corpus hash is a duplicate. 8x probe-side rows — and the probe
+    * side is batch-sized by definition — while the index-side cost,
+    * bucketing and files are untouched: orientation tolerance
+    * composes with the persisted-index contract without reindexing
+    * anything. */
+  def dedupAgainstPHashIndexDihedral(media: DataFrame, index: DataFrame,
+      maxDist: Int = 3, maxDf: Int = 0): DataFrame = {
+    require(maxDist < 4, "4 x 16-bit chunks guarantee recall only for maxDist <= 3")
+    val hashed = Materialize.eager(
+      media.select(col("doc_id"), pHashDihedralUdf(col("payload")).as("hs")))
+      .filter(col("hs").isNotNull)
+    val rows = hashed.select(col("doc_id"), explode(col("hs")).as("h"))
+    val chunks = rows.select(col("doc_id"), col("h"), posexplode(
+      array((0 until 4).map(c =>
+        shiftright(col("h"), c * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .select(col("doc_id"), col("h"), col("pos").as("chunk"),
+        col("col").as("ckey"))
+    val probed = if (maxDf <= 0) index
+      else index.join(
+        index.groupBy(col("chunk"), col("ckey"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf)
+          .select(col("chunk"), col("ckey")),
+        Seq("chunk", "ckey"), "left_semi")
+    val dup = chunks.join(
+        probed.select(col("chunk"), col("ckey"), col("doc_id").as("src"),
+          col("ph").as("cph")),
+        Seq("chunk", "ckey"))
+      .dropDuplicates("doc_id", "src", "h")
+      .filter(bit_count(col("h").bitwiseXOR(col("cph"))) <= maxDist)
       .groupBy(col("doc_id")).agg(min(col("src")).as("dup_src"))
     hashed.select(col("doc_id")).join(dup, Seq("doc_id"), "left")
       .select(col("doc_id"), col("dup_src").isNull.as("kept"),

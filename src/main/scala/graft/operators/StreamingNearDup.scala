@@ -267,6 +267,36 @@ object StreamingNearDup {
       }
   }
 
+  /** [[audioVerdicts]] at the SPECTRAL seam — streaming ALIGNED dedup
+    * for the fractionally-resampled re-delivery (the m106 tier in the
+    * streaming matrix, completing the 2x2 of {integer, spectral} x
+    * {aligned, landmark} with st73/st74/st82): state keys on
+    * (frame_idx, spectral code) — the codes are rate-free
+    * (`Multimodal.audioSpectralCodes`), so a 44.1 kHz re-delivery of
+    * an 8 kHz master lands in identical buckets. Same determinism
+    * contract, [[FrameHits]] record, consumer scoring (shared frames
+    * over the smaller code sequence), and `maxBucket` /
+    * [[foldBucket]] cap as [[audioVerdicts]]. */
+  def audioSpectralVerdicts(media: DataFrame, idCol: String,
+      payloadCol: String, maxBucket: Int = 0): Dataset[FrameHits] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val codes = Multimodal.audioSpectralCodes(
+      media.select(col(idCol).cast("long").as("doc_id"),
+        col(payloadCol).as("payload")))
+    codes.groupByKey(c => (c.frame_idx, c.code))
+      .flatMapGroupsWithState[List[Long], FrameHits](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((frameIdx, _), rows, state: GroupState[List[Long]]) =>
+          val (seen, out) = foldBucket(state.getOption.getOrElse(Nil),
+            rows.toSeq.map(_.doc_id).sorted, maxBucket)(
+            (id, hits) => FrameHits(id, frameIdx, hits))
+          state.update(seen)
+          out.iterator
+      }
+  }
+
   /** Streaming audio near-dup under TIME SHIFT — [[audioVerdicts]]'s
     * aligned matching misses a trimmed/padded re-upload entirely, so
     * this variant keys state by [[Multimodal.audioLandmarks]]'s

@@ -731,6 +731,113 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // DIHEDRAL-8 probes against the AS-IS pHash index (the m85
+    // incremental contract meeting the m109 orientation family):
+    // corpus of 8 PNGs indexed ONCE; the ingest batch carries 4
+    // quarter-turned reposts, 2 mirror+rotate compounds and 2
+    // unrelated images. The plain index probe is blind to all six
+    // reposts (Round10Spec pins it); 8-orientation probes catch every
+    // one WITHOUT touching the index — orientation tolerance composes
+    // with the persisted-index contract at zero reindex cost. Pinned
+    // golden.
+    "m112_index_dedup_dihedral" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val png = udf((id: Long) =>
+        if (id < 20) Multimodal.syntheticPng(id)
+        else if (id < 30) Multimodal.syntheticPngRot(id - 20, (id % 3 + 1).toInt)
+        else if (id < 40) Multimodal.syntheticPngRotFlip(id - 30, (id % 3 + 1).toInt)
+        else Multimodal.syntheticPng(id))
+      val corpus = s.range(0, 8)
+        .select(col("id").as("doc_id"), png(col("id")).as("payload"))
+      val index = Multimodal.pHashChunkIndex(corpus)
+      val probes = s.range(20, 24).union(s.range(30, 32)).union(s.range(140, 142))
+        .select(col("id").as("doc_id"), png(col("id")).as("payload"))
+      Multimodal.dedupAgainstPHashIndexDihedral(probes, index, maxDf = 64)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Incremental SPECTRAL screen against a persisted index (the m86
+    // contract at the m106 seam): 8 tone masters at 8 kHz spectral-
+    // coded ONCE; the ingest batch carries six 44.1 kHz re-uploads
+    // (no sample values in common with the corpus — the integer index
+    // never matches them) and two unrelated 44.1 kHz tones. Rate-free
+    // codes land every re-upload on its master through the index; the
+    // fp_ver stamp guards the screen against a stale build. Pinned
+    // golden.
+    "m113_spectral_index_dedup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val wav = udf((id: Long) =>
+        if (id < 20) Multimodal.syntheticWavTones(id, 8000)
+        else if (id < 30) Multimodal.syntheticWavTones(id - 20, 44100)
+        else Multimodal.syntheticWavTones(id, 44100))
+      val corpus = s.range(0, 8)
+        .select(col("id").as("doc_id"), wav(col("id")).as("payload"))
+      val index = Multimodal.audioSpectralCodeIndex(corpus)
+      val probes = s.range(20, 26).union(s.range(130, 132))
+        .select(col("id").as("doc_id"), wav(col("id")).as("payload"))
+      Multimodal.dedupAgainstAudioSpectralIndex(probes, index)
+        .orderBy(col("doc_id"))
+    }),
+
+    // STREAMING aligned spectral audio dedup — completes the
+    // {integer, spectral} x {aligned, landmark} streaming 2x2
+    // (st73/st74/st82/this): micro-batch 1 delivers 10 tone masters
+    // at 8 kHz, micro-batch 2 their straight 44.1 kHz re-uploads
+    // (same start, no trim) — integer state shares no codes with
+    // them; rate-free spectral codes land every one. Consumer scores
+    // shared frames >= 0.8 over the smaller sequence (the st73
+    // metric). Pinned golden.
+    "st84_stream_spectral_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val name = "st84_out"
+      val staged = stagingDir("graft-stream-spec")
+      val wav = udf((id: Long) =>
+        if (id < 1000000L) Multimodal.syntheticWavTones(id, 8000)
+        else Multimodal.syntheticWavTones(id - 1000000L, 44100))
+      def stageBatch(ids: org.apache.spark.sql.Dataset[java.lang.Long],
+          fname: String, ageMs: Long): Unit = {
+        val tmp = staged.resolve(fname + ".tmp")
+        ids.toDF("doc_id").select(col("doc_id"), wav(col("doc_id")).as("payload"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, staged.resolve(fname))
+        staged.resolve(fname).toFile.deleteOnExit()
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        java.nio.file.Files.setLastModifiedTime(staged.resolve(fname),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - ageMs))
+      }
+      stageBatch(s.range(0, 10).as[java.lang.Long], "a.parquet", 120000L)
+      stageBatch(s.range(1000000L, 1000010L).as[java.lang.Long], "b.parquet", 0L)
+      val mediaSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("payload", BinaryType)))
+      val stream = s.readStream.schema(mediaSchema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+        .repartition(col("doc_id"))
+      val hits = graft.operators.StreamingNearDup.audioSpectralVerdicts(
+        stream, "doc_id", "payload", maxBucket = 64)
+      val q = hits.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+      val nf = s.table(name).groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("nf"))
+      val nfSrc = s.table(name).select(col("doc_id").as("src_id"))
+        .groupBy(col("src_id")).agg(count(lit(1)).as("nf_src"))
+      val dup = s.table(name)
+        .select(col("doc_id").as("d"), explode(col("hits")).as("src"))
+        .groupBy(col("d"), col("src")).agg(count(lit(1)).as("c"))
+        .join(nf, col("d") === nf("doc_id")).drop("doc_id")
+        .join(nfSrc, col("src") === col("src_id"))
+        .filter(col("c").cast("double") / least(col("nf"), col("nf_src"))
+          >= 0.8)
+        .groupBy(col("d")).agg(min(col("src")).as("dup_src"))
+      nf.join(dup, col("doc_id") === col("d"), "left")
+        .select(col("doc_id"), col("dup_src").isNull.as("kept"),
+          col("dup_src"))
+        .orderBy(col("doc_id"))
+    }),
+
     // TRIM + FRACTIONAL-RESAMPLE compound audio re-upload — spectral
     // LANDMARKS (the m80 trick at the m106 seam): 10 tone masters at
     // 8 kHz / 640 ms, 10 re-uploads sampled at 44.1 kHz starting

@@ -231,6 +231,64 @@ class Round10Spec extends AnyFunSuite with BeforeAndAfterAll {
       s"spectral tier: $spectralPairs")
   }
 
+  // ---- m112/m113: orientation + spectral probes vs persisted indexes
+
+  test("dihedral index probes catch rotated reposts the plain probe misses") {
+    implicit val sp: SparkSession = spark
+    val png = udf((id: Long) =>
+      if (id < 20) Multimodal.syntheticPng(id)
+      else if (id < 30) Multimodal.syntheticPngRot(id - 20, (id % 3 + 1).toInt)
+      else Multimodal.syntheticPngRotFlip(id - 30, (id % 3 + 1).toInt))
+    val corpus = spark.range(0, 8)
+      .select(col("id").as("doc_id"), png(col("id")).as("payload"))
+    val index = Multimodal.pHashChunkIndex(corpus)
+    val probes = spark.range(20, 24).union(spark.range(30, 32))
+      .select(col("id").as("doc_id"), png(col("id")).as("payload"))
+    def verdicts(df: org.apache.spark.sql.DataFrame): Map[Long, Option[Long]] =
+      df.collect().map(r => (r.getLong(0),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    // the plain as-is probe is blind to every oriented repost
+    val plain = verdicts(Multimodal.dedupAgainstPHashIndex(probes, index))
+    assert(plain.values.forall(_.isEmpty), s"plain probe matched: $plain")
+    // dihedral probes land each on its source, index untouched
+    val dih = verdicts(
+      Multimodal.dedupAgainstPHashIndexDihedral(probes, index))
+    assert(dih == Map(20L -> Some(0L), 21L -> Some(1L), 22L -> Some(2L),
+      23L -> Some(3L), 30L -> Some(0L), 31L -> Some(1L)), s"$dih")
+  }
+
+  test("spectral index screen catches fractional-resample probes; versions enforced") {
+    implicit val sp: SparkSession = spark
+    val wav = udf((id: Long) =>
+      if (id < 20) Multimodal.syntheticWavTones(id, 8000)
+      else Multimodal.syntheticWavTones(id - 20, 44100))
+    val corpus = spark.range(0, 6)
+      .select(col("id").as("doc_id"), wav(col("id")).as("payload"))
+    val probes = spark.range(20, 26)
+      .select(col("id").as("doc_id"), wav(col("id")).as("payload"))
+    // the integer index shares no codes with interpolated probes
+    val intIdx = Multimodal.audioCodeIndex(corpus)
+    val intScreen = Multimodal.dedupAgainstAudioIndex(probes, intIdx)
+      .collect().map(r => (r.getLong(0), r.isNullAt(2))).toMap
+    assert(intScreen.values.forall(identity),
+      s"integer index must miss 44.1 kHz probes: $intScreen")
+    // the spectral index lands every probe on its master
+    val spIdx = Multimodal.audioSpectralCodeIndex(corpus)
+    val spScreen = Multimodal.dedupAgainstAudioSpectralIndex(probes, spIdx)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(spScreen == (20L until 26L).map(i => (i, Some(i - 20L))).toMap,
+      s"$spScreen")
+    // version lineages are independent: an integer index can never be
+    // screened by the spectral path or vice versa
+    intercept[IllegalArgumentException] {
+      Multimodal.dedupAgainstAudioSpectralIndex(probes, intIdx)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.dedupAgainstAudioIndex(probes, spIdx)
+    }
+  }
+
   // ---- m110/st82: spectral landmarks beat the trim+resample compound
 
   test("spectral landmarks catch trim+fractional-resample; integer and aligned tiers miss") {

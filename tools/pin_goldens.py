@@ -57,6 +57,12 @@ QUERIES = [
                            # compound (rate-free landmarks)
     "st82_stream_spectral_landmark_dedup", # streaming spectral-landmark
                            # audio dedup (trim+resample re-delivery)
+    "m112_index_dedup_dihedral", # dihedral-8 probes vs the as-is
+                           # persisted pHash index
+    "m113_spectral_index_dedup", # rate-free incremental screen vs the
+                           # persisted spectral code index
+    "st84_stream_spectral_dedup", # streaming aligned spectral audio
+                           # dedup (44.1 kHz re-delivery of 8 kHz)
     "m109_phash_dihedral_pairs", # dihedral-8 single-pass image
                            # near-dup (mirror+rotate compound reposts)
     "m111_video_dihedral_neardup", # dihedral-8 video near-dup
