@@ -289,6 +289,38 @@ class Round10Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("IncrementalIndex.append holds for the spectral and pHash index families") {
+    implicit val sp: SparkSession = spark
+    // spectral: appended increment == from-scratch rebuild, row sets
+    val wav = udf((id: Long) => Multimodal.syntheticWavTones(id, 8000))
+    def audio(ids: Seq[Long]) = spark.createDataset(ids)(
+      org.apache.spark.sql.Encoders.scalaLong).toDF("id")
+      .select(col("id").as("doc_id"), wav(col("id")).as("payload"))
+    val sIdx0 = Multimodal.audioSpectralCodeIndex(audio(Seq(0L, 1L, 2L)))
+    val sIdx1 = IncrementalIndex.append(sIdx0,
+      Multimodal.audioSpectralCodeIndex(audio(Seq(3L, 4L))))
+    val sFull = Multimodal.audioSpectralCodeIndex(audio(Seq(0L, 1L, 2L, 3L, 4L)))
+    // the anti-join inside append moves doc_id first; compare by name
+    def rows(df: org.apache.spark.sql.DataFrame, cols: String*) =
+      df.select(cols.map(col): _*).collect().toSet
+    val sCols = Seq("frame_idx", "code", "doc_id", "nf", "fp_ver")
+    assert(rows(sIdx1, sCols: _*) == rows(sFull, sCols: _*))
+    // pHash: re-indexing an updated doc replaces its rows (LWW)
+    val png = udf((id: Long, v: Int) =>
+      if (v == 0) Multimodal.syntheticPng(id)
+      else Multimodal.syntheticPngVariant(id))
+    def imgs(ids: Seq[Long], v: Int) = spark.createDataset(ids)(
+      org.apache.spark.sql.Encoders.scalaLong).toDF("id")
+      .select(col("id").as("doc_id"), png(col("id"), lit(v)).as("payload"))
+    val pIdx0 = Multimodal.pHashChunkIndex(imgs(Seq(0L, 1L, 2L), 0))
+    val pIdx1 = IncrementalIndex.append(pIdx0,
+      Multimodal.pHashChunkIndex(imgs(Seq(0L), 1))) // doc 0 updated
+    val pFull = Multimodal.pHashChunkIndex(imgs(Seq(0L), 1))
+      .unionByName(Multimodal.pHashChunkIndex(imgs(Seq(1L, 2L), 0)))
+    val pCols = Seq("chunk", "ckey", "doc_id", "ph")
+    assert(rows(pIdx1, pCols: _*) == rows(pFull, pCols: _*))
+  }
+
   // ---- m110/st82: spectral landmarks beat the trim+resample compound
 
   test("spectral landmarks catch trim+fractional-resample; integer and aligned tiers miss") {
