@@ -27,6 +27,27 @@ object TextAnalysis {
   def normalizeWhitespace(text: Column): Column =
     trim(regexp_replace(text, "\\s+", " "))
 
+  /** Confusable normalization for exact-dedup robustness — the
+    * homoglyph-spam vector (t74): a re-post that swaps Latin letters
+    * for their Cyrillic lookalikes and sprinkles zero-width characters
+    * hashes to a different exact key while reading identically.
+    * Normalization folds the seven highest-traffic Cyrillic
+    * lookalikes back to Latin (а е о с р х у — the confusable core of
+    * every homoglyph attack alphabet), maps NBSP to a plain space,
+    * and strips the zero-width/invisible class (ZWSP ZWNJ ZWJ BOM
+    * soft-hyphen). Pure `translate` + `regexp_replace` — codegen'd
+    * column expressions, no UDF, and replayable verbatim in the
+    * oracle's SQL dialect. Deliberately NOT full NFKC (that needs ICU
+    * and changes width/ligature semantics the corpus may care
+    * about); this is the cheap high-recall core, applied before
+    * hashing, never stored back. */
+  def normalizeConfusables(text: Column): Column =
+    regexp_replace(
+      translate(text,
+        "\u0430\u0435\u043e\u0441\u0440\u0445\u0443\u00a0",
+        "aeocpxy "),
+      "[\u200b\u200c\u200d\ufeff\u00ad]", "")
+
   /** Token statistics: whitespace tokens, distinct tokens, a cheap
     * BPE-ish subtoken estimate (ceil(len/4) pieces per token). */
   def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

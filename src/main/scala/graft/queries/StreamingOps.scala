@@ -838,6 +838,80 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // STREAM-STATIC spectral index screen (the st76 shape at the m113
+    // seam): the corpus spectral index is the STATIC side — no state
+    // store at all — and the ingest stream's rate-free codes
+    // broadcast-join it per micro-batch; scoring replays the m113
+    // contract batch-side over the sink (shared frames >= 0.8 over
+    // the smaller sequence). Batch 1 delivers five 44.1 kHz
+    // re-uploads of corpus masters, batch 2 three more plus two
+    // unrelated tones — every re-upload lands, decoys are kept.
+    // Pinned golden.
+    "st85_stream_spectral_index_screen" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      val name = "st85_out"
+      val staged = stagingDir("graft-stream-specidx")
+      val wav = udf((id: Long) =>
+        if (id < 1000000L) Multimodal.syntheticWavTones(id, 8000)
+        else if (id < 2000000L)
+          Multimodal.syntheticWavTones(id - 1000000L, 44100)
+        else Multimodal.syntheticWavTones(id, 44100))
+      val corpus = s.range(0, 8)
+        .select(col("id").as("doc_id"), wav(col("id")).as("payload"))
+      val index = Multimodal.audioSpectralCodeIndex(corpus)
+        .select(col("frame_idx"), col("code"), col("doc_id").as("src"),
+          col("nf").as("nf_src"))
+      def stageBatch(ids: org.apache.spark.sql.Dataset[java.lang.Long],
+          fname: String, ageMs: Long): Unit = {
+        val tmp = staged.resolve(fname + ".tmp")
+        ids.toDF("doc_id").select(col("doc_id"), wav(col("doc_id")).as("payload"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, staged.resolve(fname))
+        staged.resolve(fname).toFile.deleteOnExit()
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        java.nio.file.Files.setLastModifiedTime(staged.resolve(fname),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - ageMs))
+      }
+      stageBatch(s.range(1000000L, 1000005L).as[java.lang.Long],
+        "a.parquet", 120000L)
+      stageBatch(s.range(1000005L, 1000008L).as[java.lang.Long]
+        .union(s.range(2000000L, 2000002L).as[java.lang.Long]),
+        "b.parquet", 0L)
+      val mediaSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("payload", BinaryType)))
+      val stream = s.readStream.schema(mediaSchema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+        .repartition(col("doc_id"))
+      val codes = Multimodal.audioSpectralCodes(stream).toDF()
+      val joined = codes.join(broadcast(index), Seq("frame_idx", "code"),
+        "left")
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+      // a probe frame row appears once per matching corpus doc (or
+      // once with null src): nf counts distinct frames, c counts
+      // (frame, src) matches — one per frame since the index holds
+      // one code per (src, frame)
+      val nf = s.table(name).groupBy(col("doc_id"))
+        .agg(countDistinct(col("frame_idx")).as("nf"))
+      val dup = s.table(name).filter(col("src").isNotNull)
+        .select(col("doc_id").as("d"), col("src"), col("nf_src"))
+        .groupBy(col("d"), col("src"), col("nf_src"))
+        .agg(count(lit(1)).as("c"))
+        .join(nf, col("d") === nf("doc_id")).drop("doc_id")
+        .filter(col("c").cast("double") / least(col("nf"), col("nf_src"))
+          >= 0.8)
+        .groupBy(col("d")).agg(min(col("src")).as("dup_src"))
+      nf.join(dup, col("doc_id") === col("d"), "left")
+        .select(col("doc_id"), col("dup_src").isNull.as("kept"),
+          col("dup_src"))
+        .orderBy(col("doc_id"))
+    }),
+
     // TRIM + FRACTIONAL-RESAMPLE compound audio re-upload — spectral
     // LANDMARKS (the m80 trick at the m106 seam): 10 tone masters at
     // 8 kHz / 640 ms, 10 re-uploads sampled at 44.1 kHz starting

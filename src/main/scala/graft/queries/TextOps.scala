@@ -605,6 +605,32 @@ object TextOps extends QueryPack {
         .unionAll(v2.select(lit(2L).as("batch"), $"doc_id", $"kept",
           $"dup_src"))
         .orderBy($"batch", $"doc_id")
+    }),
+
+    // CONFUSABLE-normalized exact dedup (the homoglyph-spam vector
+    // exact dedup misses by construction): five corpus docs re-posted
+    // with every a/e/o/c/p/x/y swapped for its Cyrillic lookalike and
+    // a zero-width space in front of every word break - byte-distinct,
+    // visually identical. Hashing the normalizeConfusables() form
+    // (pure translate + regexp_replace, codegen'd, replayed verbatim
+    // in the oracle) groups each spoof with its source; the raw t31
+    // hash provably would not (the spoofed texts contain no ASCII
+    // a/e/o..., so their raw md5 differs from every corpus row).
+    "t74_confusable_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val spoofed = docs.filter($"doc_id" < 5)
+        .select(($"doc_id" + 1000000L).as("doc_id"),
+          regexp_replace(
+            translate($"text", "aeocpxy",
+              "\u0430\u0435\u043e\u0441\u0440\u0445\u0443"),
+            " ", "\u200b ").as("text"))
+      val corpus = docs.select($"doc_id", $"text").unionByName(spoofed)
+      corpus.select($"doc_id",
+          graft.operators.TextAnalysis.normalizeConfusables($"text").as("norm"))
+        .groupBy(md5($"norm").as("text_hash"))
+        .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy($"text_hash")
     })
   )
 
@@ -1399,6 +1425,27 @@ object TextOps extends QueryPack {
         SELECT p.doc_id, d.dup_src IS NULL AS kept, d.dup_src
         FROM probes p LEFT JOIN dup d ON d.doc_id = p.doc_id
         ORDER BY p.doc_id""",
+    // spoof construction and normalization replayed with the same
+    // translate/replace chain; chr() literals keep the invisibles out
+    // of the source text
+    "t74_confusable_dedup" ->
+      """WITH spoof AS (
+          SELECT doc_id + 1000000 AS doc_id,
+            replace(translate(text, 'aeocpxy', '\u0430\u0435\u043e\u0441\u0440\u0445\u0443'),
+              ' ', chr(8203) || ' ') AS text
+          FROM documents WHERE doc_id < 5),
+        corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL SELECT doc_id, text FROM spoof),
+        norm AS (SELECT doc_id,
+          regexp_replace(
+            translate(text, '\u0430\u0435\u043e\u0441\u0440\u0445\u0443' || chr(160), 'aeocpxy '),
+            chr(8203)||'|'||chr(8204)||'|'||chr(8205)||'|'||chr(65279)||'|'||chr(173),
+            '', 'g') AS n
+          FROM corpus)
+        SELECT md5(n) AS text_hash, MIN(doc_id) AS keep_id,
+          COUNT(*) AS n_copies
+        FROM norm GROUP BY md5(n) ORDER BY text_hash""",
     // the round-trip property IS the oracle: decode(encode(corpus))
     // must hash-match the untouched table
     "t70_bpe_roundtrip" ->

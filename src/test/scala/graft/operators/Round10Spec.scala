@@ -289,6 +289,27 @@ class Round10Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("normalizeConfusables folds homoglyph spoofs onto their sources") {
+    import spark.implicits._
+    val original = "pace xylophone example copy"
+    val docs = Seq(original).toDF("text")
+    // the t74 spoof: latin -> cyrillic lookalikes + ZWSP at word breaks
+    val spoofed = docs.select(regexp_replace(
+        translate(col("text"), "aeocpxy",
+          "аеосрху"),
+        " ", "​ ").as("text"))
+      .as[String].head()
+    assert(spoofed != original, "spoof must be byte-distinct")
+    assert(!spoofed.exists(c => "aeocpxy".contains(c)),
+      "every mapped latin letter must have been swapped")
+    val Seq(normSpoof, normOrig) =
+      Seq(spoofed, original).toDF("text")
+        .select(TextAnalysis.normalizeConfusables(col("text")))
+        .as[String].collect().toSeq
+    assert(normSpoof == original && normOrig == original,
+      s"normalization must fold the spoof back: '$normSpoof'")
+  }
+
   test("IncrementalIndex.append holds for the spectral and pHash index families") {
     implicit val sp: SparkSession = spark
     // spectral: appended increment == from-scratch rebuild, row sets

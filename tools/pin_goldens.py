@@ -63,6 +63,8 @@ QUERIES = [
                            # persisted spectral code index
     "st84_stream_spectral_dedup", # streaming aligned spectral audio
                            # dedup (44.1 kHz re-delivery of 8 kHz)
+    "st85_stream_spectral_index_screen", # stream-static spectral index
+                           # screen (no state store, broadcast join)
     "m109_phash_dihedral_pairs", # dihedral-8 single-pass image
                            # near-dup (mirror+rotate compound reposts)
     "m111_video_dihedral_neardup", # dihedral-8 video near-dup
