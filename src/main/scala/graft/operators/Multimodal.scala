@@ -551,9 +551,21 @@ object Multimodal {
       // interior spectral codes identical — the m110 fixture)
       val t = i.toDouble / rate + offsetMs / 1000.0
       val seg = (t / 0.128).toInt
-      // a*b+c mod 17 with a coprime to 17: adjacent b always differ
-      val a = 1 + ((id * 40503L + seg * 127L) % 16L).toInt
-      val c = ((id * 131L + seg * 31L) % 17L).toInt
+      // a*b+c mod 17 with a coprime to 17: adjacent b always differ.
+      // (a, c) come from an AVALANCHED (id, seg) hash (splitmix64
+      // finalizer): a linear mix leaves h_i - h_j constant across
+      // segments, which correlates per-segment collisions between two
+      // docs and makes the corpus-wide spurious-match rate quadratic
+      // - the ScaleCheck sweep caught exactly that (as it earlier
+      // caught the plain id*k formula collapsing everything to
+      // id mod 272)
+      var h = id * -7046029254386353131L +
+        (seg + 1).toLong * -4417276706812531889L
+      h ^= h >>> 30; h *= -4658895280553007687L
+      h ^= h >>> 27; h *= -7723592293110705685L
+      h ^= h >>> 31
+      val a = 1 + (((h >>> 8) & 0x7fffffffL) % 16L).toInt
+      val c = (((h >>> 40) & 0x7fffffffL) % 17L).toInt
       var acc = 0.0
       var b = 0
       while (b < bands) {

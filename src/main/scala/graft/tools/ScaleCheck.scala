@@ -44,6 +44,25 @@ object ScaleCheck {
     }.toDF("vec_id", "embedding")
   }
 
+  /** Synthetic spectral-audio corpus: ~1/10 of docs are 44.1 kHz
+    * re-uploads of an 8 kHz master (same continuous tone signal,
+    * disjoint sample grids — the fractional-resample class), the rest
+    * distinct 8 kHz tone mixtures. Pure function of the row id. */
+  def tones(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(0, n).map { id =>
+      // 512 ms = four 128 ms amplitude segments: 272^4 distinct
+      // patterns, so id collisions are negligible at any sweep tier
+      // (256 ms = 272^2 made the dup rate itself quadratic in n and
+      // the sweep measured pair-output growth, not operator growth)
+      val payload =
+        if (id % 10 == 9)
+          Multimodal.syntheticWavTones(id / 10, 44100, ms = 512)
+        else Multimodal.syntheticWavTones(id, 8000, ms = 512)
+      (id, payload)
+    }.toDF("doc_id", "payload")
+  }
+
   /** Synthetic event stream: ~50 events per user, timestamps and types
     * pure functions of the id — reproducible like `docs`/`embs`. */
   def events(spark: SparkSession, n: Int): DataFrame = {
@@ -135,6 +154,21 @@ object ScaleCheck {
       run("quantilesBinned", n)(graft.operators.ExactQuantile.groupQuantilesBinned(
         d.select(col("doc_id"), (col("doc_id") % 3).as("k"),
           length(col("text")).cast("double").as("v")), "k", Seq(("v", 0.9, "p90"))))
+      // spectral tier: payload generation (17 StrictMath sines per
+      // sample) dominates raw wall, so the corpus materializes OUTSIDE
+      // the timings like d/e; /8 keeps the sweep's top tier tractable
+      if (wanted("audioSpectral")) {
+        implicit val sp: SparkSession = spark
+        val a = tones(spark, n / 8).persist()
+        a.count()
+        run("audioSpectralPairs", n / 8)(
+          Multimodal.audioSpectralPairs(a, maxDf = 500)
+            .filter(col("match_frac") >= 0))
+        run("audioSpectralLandmarkPairs", n / 8)(
+          Multimodal.audioSpectralLandmarkPairs(a, maxDf = 500)
+            .filter(col("match_frac") >= 0))
+        a.unpersist()
+      }
       d.unpersist(); e.unpersist()
     }
     spark.stop()
