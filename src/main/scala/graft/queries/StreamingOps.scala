@@ -162,6 +162,57 @@ object StreamingOps extends QueryPack {
         .orderBy(col("event_type"))
     }),
 
+    // STREAMING confusable-normalized exact dedup (t74 in the ingest
+    // matrix): batch 1 delivers 20 raw documents, batch 2 HOMOGLYPH
+    // re-posts of the first ten (Cyrillic lookalikes + zero-width
+    // breaks — byte-distinct, so dropDuplicates on raw text keeps
+    // them all) plus ten genuinely new documents. Keying the dedup on
+    // md5(normalizeConfusables(text)) drops every spoof and keeps
+    // every new document; the output counts are batch-split-invariant
+    // and the oracle derives them from the corpus alone.
+    "st86_stream_confusable_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val name = "st86_out"
+      val staged = stagingDir("graft-stream-confus")
+      val docs = t(s, dir, "documents")
+      def stage(fname: String, df: DataFrame, ageMs: Long): Unit = {
+        val tmp = staged.resolve(fname + ".tmp")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, staged.resolve(fname))
+        staged.resolve(fname).toFile.deleteOnExit()
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        java.nio.file.Files.setLastModifiedTime(staged.resolve(fname),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - ageMs))
+      }
+      stage("a.parquet", docs.filter($"doc_id" < 20)
+        .select($"doc_id", $"text"), 120000L)
+      stage("b.parquet", docs.filter($"doc_id" < 10)
+        .select(($"doc_id" + 1000000L).as("doc_id"),
+          regexp_replace(
+            translate($"text", "aeocpxy",
+              "\u0430\u0435\u043e\u0441\u0440\u0445\u0443"),
+            " ", "\u200b ").as("text"))
+        .unionByName(docs.filter($"doc_id" >= 20 && $"doc_id" < 30)
+          .select($"doc_id", $"text")), 0L)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+        .withColumn("nkey",
+          md5(graft.operators.TextAnalysis.normalizeConfusables(col("text"))))
+        .dropDuplicates("nkey")
+      val q = stream.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+      s.table(name).agg(
+          count(lit(1)).as("total_kept"),
+          sum(when(col("doc_id") >= 1000000L, 1L).otherwise(0L))
+            .as("spoofed_kept"))
+    }),
+
     // Streaming ingest quality gate: the documents table flows through
     // gopherQualityFlags as a STREAM (pure per-row expressions — the
     // stateless map every streaming curation pipeline starts with);
@@ -2537,6 +2588,14 @@ object StreamingOps extends QueryPack {
       """SELECT event_type, COUNT(*) AS n,
         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         FROM events GROUP BY event_type ORDER BY event_type""",
+    // kept count = distinct raw texts among the 30 delivered docs
+    // (normalization is the identity on the ASCII corpus and restores
+    // every spoof to a batch-1 text, so no spoof survives); counts are
+    // batch-split-invariant, so the corpus derives them directly
+    "st86_stream_confusable_dedup" ->
+      """SELECT COUNT(DISTINCT md5(text)) AS total_kept,
+        CAST(0 AS BIGINT) AS spoofed_kept
+        FROM documents WHERE doc_id < 30""",
     // st66 streams documents through the gate; the oracle replays the
     // t47 gate batch-side and aggregates the decisions.
     "st66_stream_quality_gate" ->

@@ -214,6 +214,34 @@ object TextOps extends QueryPack {
         .orderBy($"doc_id")
     }),
 
+    // t48 decontamination under HOMOGLYPH OBFUSCATION: five corpus
+    // rows are spoofed copies of eval documents (Cyrillic lookalikes +
+    // zero-width breaks - raw shingles share NOTHING with the eval
+    // set, so plain t48 scores them clean). Normalizing BOTH sides
+    // first restores the spoofed rows to the eval text exactly (the
+    // t74 round-trip, spec-pinned), so the overlap scorer flags them
+    // at fraction 1.0. The oracle replays with the spoofed rows
+    // carrying their ORIGINAL text - equivalent by the exact
+    // round-trip, and it keeps the invisibles out of the SQL.
+    "t75_decontaminate_confusables" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val spoofed = docs.filter($"doc_id" < 5)
+        .select(($"doc_id" + 1000000L).as("doc_id"),
+          regexp_replace(
+            translate($"text", "aeocpxy",
+              "\u0430\u0435\u043e\u0441\u0440\u0445\u0443"),
+            " ", "\u200b ").as("text"))
+      val corpus = docs.select($"doc_id", $"text").unionByName(spoofed)
+      val norm = corpus.select($"doc_id",
+        graft.operators.TextAnalysis.normalizeConfusables($"text").as("text"))
+      TextDedup.contaminationOverlap(norm, "doc_id", "text",
+          docs.filter($"doc_id" < 5).select(
+            graft.operators.TextAnalysis.normalizeConfusables($"text")
+              .as("text")), "text")
+        .orderBy($"doc_id")
+    }),
+
     "t49_unigram_rarity" -> ((s, dir) => {
       import s.implicits._
       TextAnalysis.unigramRarity(t(s, dir, "documents"), "doc_id", "text")
@@ -914,6 +942,31 @@ object TextOps extends QueryPack {
           LEFT JOIN s2 ON w.doc_id = s2.doc_id
           LEFT JOIN s3 ON w.doc_id = s3.doc_id
         ORDER BY w.doc_id""",
+    // same replay over documents + the five spoofed rows, which carry
+    // their ORIGINAL text here (normalization round-trips the spoof
+    // exactly; the Spark side exercises the real spoofed bytes)
+    "t75_decontaminate_confusables" ->
+      """WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 5),
+        w AS (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
+        sh AS (SELECT DISTINCT doc_id, g FROM (
+          SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk)-2,0)+1),
+            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g FROM w)),
+        probe AS (SELECT DISTINCT g FROM (
+            SELECT unnest(list_transform(range(1, greatest(len(tk)-2,0)+1),
+              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+            FROM w WHERE doc_id < 5)),
+        per AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+        hit AS (SELECT s.doc_id, count(*) AS n_contaminated
+          FROM sh s JOIN probe p ON s.g = p.g GROUP BY s.doc_id)
+        SELECT per.doc_id, per.n_shingles,
+          COALESCE(hit.n_contaminated, 0) AS n_contaminated,
+          CAST(COALESCE(hit.n_contaminated, 0) AS DOUBLE) / per.n_shingles
+            AS contaminated_fraction
+        FROM per LEFT JOIN hit ON per.doc_id = hit.doc_id
+        ORDER BY per.doc_id""",
     "t48_decontaminate" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         sh AS (SELECT DISTINCT doc_id, g FROM (
