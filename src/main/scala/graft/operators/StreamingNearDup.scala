@@ -183,7 +183,13 @@ object StreamingNearDup {
     * 128-byte signature fingerprint per member ([[packSig]]), not the
     * hex signature — ~16x smaller state; a signature is still stored
     * once per band (the single-stateful-operator shape cannot share
-    * one copy across band keys), which the cap bounds regardless. */
+    * one copy across band keys), which the cap bounds regardless.
+    *
+    * State-schema note: the packed state is NOT checkpoint-compatible
+    * with the pre-round-10 hex-string state — a production stream
+    * upgrading across that boundary must restart from a fresh
+    * checkpoint (re-delivering from the re-delivery horizon), the
+    * standard trade for any stateful-operator schema change. */
   def bandVerdicts(docs: DataFrame, idCol: String, textCol: String,
       bands: Int = 8, rowsPerBand: Int = 2, k: Int = 3,
       estThreshold: Double = 0.5, maxBucket: Int = 0): Dataset[BandVerdict] = {

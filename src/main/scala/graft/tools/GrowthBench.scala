@@ -32,6 +32,9 @@ object GrowthBench {
     // t73 is t72 through the parquet sink: index build + LWW window +
     // compaction rewrite all scale with the corpus
     "t73_index_sink_loop",
+    // confusable tier: normalization is a per-row projection and the
+    // decontamination shingle join grows with the corpus
+    "t74_confusable_dedup", "t75_decontaminate_confusables",
     "s46_cosine_dup_lsh", "s49_embed_curate",
     "s54_diversity_select", "s56_index_dedup",
     // corpus-proportional legs of the round-9 subtitle bridge: the
