@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text deduplication operators for large-scale training-data pipelines.
@@ -673,5 +673,108 @@ object TextDedup {
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  case class WinnowFp(doc_id: Long, pos: Int, fp: String)
+
+  /** WINNOWING document fingerprints (Schleimer/Wilkerson/Aiken 2003 —
+    * the MOSS algorithm): hash every k-token gram, slide a window of
+    * `w` consecutive hashes, select each window's MINIMUM hash
+    * (rightmost position on ties), and dedup selections by position.
+    * The guarantee that makes this the overlap-detection index at
+    * 100 TB: any shared token run of length >= w + k - 1 shares at
+    * least one selected fingerprint, while expected density is
+    * 2/(w+1) — the index is ~(w+1)/2 x smaller than full k-gram
+    * posting lists WITH a provable recall floor, where uniform
+    * sampling has none.
+    *
+    * The kernel is per-document local (token array in hand), so this
+    * is one mapPartitions pass with no shuffle; the hash is the md5
+    * hex of the space-joined gram and "minimum" is lexicographic on
+    * the hex — identical ordering in the DuckDB replay. Positions are
+    * 1-based (the oracle's list indexing). The O(n*w) window scan is
+    * deliberate: w is single-digit in practice and the branch-free
+    * scan beats a deque's allocation churn at these sizes. */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 5)(
+      implicit s: SparkSession): Dataset[WinnowFp] = {
+    import s.implicits._
+    require(k >= 1 && w >= 1, "k and w must be >= 1")
+    docs.select(col(idCol).cast("long").as("_id"), col(textCol).as("_t"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.flatMap { case (id, text) =>
+          val tk = text.split(" ", -1)
+          val n = tk.length - k + 1
+          if (n <= 0) Iterator.empty
+          else {
+            val grams = new Array[String](n)
+            var i = 0
+            while (i < n) {
+              val sb = new java.lang.StringBuilder(tk(i))
+              var j = 1
+              while (j < k) { sb.append(' ').append(tk(i + j)); j += 1 }
+              md.reset()
+              grams(i) = graft.evm.Hex
+                .encode(md.digest(sb.toString.getBytes("UTF-8")))
+                .substring(2)
+              i += 1
+            }
+            if (n <= w) {
+              // degenerate: one window over everything
+              var best = 0
+              var p = 1
+              while (p < n) { if (grams(p) <= grams(best)) best = p; p += 1 }
+              Iterator.single(WinnowFp(id, best + 1, grams(best)))
+            } else {
+              val sel = scala.collection.mutable.LinkedHashSet.empty[Int]
+              var jw = 0
+              while (jw + w <= n) {
+                var best = jw
+                var p = jw + 1
+                while (p < jw + w) {
+                  if (grams(p) <= grams(best)) best = p // rightmost tie
+                  p += 1
+                }
+                sel += best
+                jw += 1
+              }
+              sel.iterator.map(p => WinnowFp(id, p + 1, grams(p)))
+            }
+          }
+        }
+      }
+  }
+
+  /** Document overlap pairs from winnowing fingerprints: posting
+    * lists per fingerprint hash (maxDf dropping corpus-boilerplate
+    * grams BEFORE aggregation — the family's standard skew cap, df =
+    * distinct docs), ordered pair expansion, shared DISTINCT
+    * fingerprint count >= `minShared`. By the winnowing guarantee, a
+    * pair sharing any >= w+k-1-token run surfaces; `minShared` > 1
+    * suppresses single common-phrase hits. */
+  def winnowOverlapPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 5, minShared: Int = 3, maxDf: Int = 0)(
+      implicit s: SparkSession): DataFrame = {
+    val fps = Materialize.eager(
+      winnowFingerprints(docs, idCol, textCol, k, w).toDF()
+        .select(col("doc_id"), col("fp")).distinct())
+    val capped = if (maxDf <= 0) fps
+      else fps.join(
+        fps.groupBy(col("fp"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .filter(col("df") <= maxDf).select(col("fp")),
+        Seq("fp"), "left_semi")
+    val kept = capped.groupBy(col("fp"))
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    val ds = array_sort(col("ds"))
+    kept.select(explode(flatten(transform(ds, (x, i) =>
+        transform(slice(ds, i + lit(2), greatest(size(ds) - i - 1, lit(0))),
+          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
   }
 }

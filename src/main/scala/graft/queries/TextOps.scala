@@ -242,6 +242,40 @@ object TextOps extends QueryPack {
         .orderBy($"doc_id")
     }),
 
+    // WINNOWING fingerprints (Schleimer/Wilkerson/Aiken - MOSS): the
+    // guaranteed-recall sampled overlap index. Gate pins per-doc
+    // fingerprint count AND position extremes against the full SQL
+    // replay of the window-min/rightmost-tie selection.
+    "t76_winnow_fingerprints" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      TextDedup.winnowFingerprints(t(s, dir, "documents"), "doc_id", "text")
+        .toDF().groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_fp"), min($"pos").as("first_pos"),
+          max($"pos").as("last_pos"))
+        .orderBy($"doc_id")
+    }),
+
+    // Winnowing OVERLAP detection - the partial-plagiarism /
+    // spliced-span leak: five corpus docs re-appear EMBEDDED inside
+    // junk (new prefix + suffix), so exact hashing and whole-doc
+    // signatures see nothing, but every shared >= w+k-1-token run
+    // shares a selected fingerprint by the winnowing guarantee.
+    // Posting-list pair expansion with the family's distinct-doc df
+    // cap; full SQL replay.
+    "t77_winnow_overlap" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      val docs = t(s, dir, "documents")
+      val spliced = docs.filter($"doc_id" < 5)
+        .select(($"doc_id" + 1000000L).as("doc_id"),
+          concat(lit("junk prefix tokens before the borrowed span "),
+            $"text", lit(" junk suffix after")).as("text"))
+      val corpus = docs.select($"doc_id", $"text").unionByName(spliced)
+      TextDedup.winnowOverlapPairs(corpus, "doc_id", "text", maxDf = 64)
+        .orderBy($"doc_a", $"doc_b")
+    }),
+
     "t49_unigram_rarity" -> ((s, dir) => {
       import s.implicits._
       TextAnalysis.unigramRarity(t(s, dir, "documents"), "doc_id", "text")
@@ -967,6 +1001,60 @@ object TextOps extends QueryPack {
             AS contaminated_fraction
         FROM per LEFT JOIN hit ON per.doc_id = hit.doc_id
         ORDER BY per.doc_id""",
+    // the winnowing selection replayed: k=4 gram md5s, window w=5,
+    // rightmost-min via list_position over the reversed slice
+    "t76_winnow_fingerprints" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        g AS (SELECT doc_id, list_transform(range(1, greatest(len(tk)-3,0)+1),
+            i -> md5(tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3])) AS gs
+          FROM w),
+        sel AS (SELECT doc_id,
+          CASE WHEN len(gs) = 0 THEN CAST([] AS BIGINT[])
+            WHEN len(gs) <= 5 THEN
+              [len(gs) + 1 - list_position(list_reverse(gs), list_min(gs))]
+            ELSE list_distinct(list_transform(range(1, len(gs)-5+2),
+              j -> j + 5 - list_position(
+                list_reverse(list_slice(gs, j, j+4)),
+                list_min(list_slice(gs, j, j+4)))))
+          END AS ps FROM g)
+        SELECT doc_id, CAST(len(ps) AS BIGINT) AS n_fp,
+          CAST(list_min(ps) AS INTEGER) AS first_pos,
+          CAST(list_max(ps) AS INTEGER) AS last_pos
+        FROM sel WHERE len(ps) > 0 ORDER BY doc_id""",
+    // same selection over documents + the five junk-embedded splices,
+    // then distinct-fingerprint posting lists -> pairs (df <= 64,
+    // shared >= 3)
+    "t77_winnow_overlap" ->
+      """WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000,
+            'junk prefix tokens before the borrowed span ' || text ||
+              ' junk suffix after'
+          FROM documents WHERE doc_id < 5),
+        w AS (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
+        g AS (SELECT doc_id, list_transform(range(1, greatest(len(tk)-3,0)+1),
+            i -> md5(tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3])) AS gs
+          FROM w),
+        sel AS (SELECT doc_id, gs,
+          CASE WHEN len(gs) = 0 THEN CAST([] AS BIGINT[])
+            WHEN len(gs) <= 5 THEN
+              [len(gs) + 1 - list_position(list_reverse(gs), list_min(gs))]
+            ELSE list_distinct(list_transform(range(1, len(gs)-5+2),
+              j -> j + 5 - list_position(
+                list_reverse(list_slice(gs, j, j+4)),
+                list_min(list_slice(gs, j, j+4)))))
+          END AS ps FROM g),
+        fpd AS (SELECT DISTINCT doc_id, gs[u.p] AS fp
+          FROM sel, unnest(ps) u(p)),
+        ok AS (SELECT fp FROM fpd GROUP BY fp
+          HAVING COUNT(DISTINCT doc_id) <= 64)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          COUNT(*) AS n_shared
+        FROM fpd a JOIN fpd b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        JOIN ok ON ok.fp = a.fp
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        ORDER BY doc_a, doc_b""",
     "t48_decontaminate" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         sh AS (SELECT DISTINCT doc_id, g FROM (

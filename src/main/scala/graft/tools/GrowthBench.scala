@@ -35,6 +35,9 @@ object GrowthBench {
     // confusable tier: normalization is a per-row projection and the
     // decontamination shingle join grows with the corpus
     "t74_confusable_dedup", "t75_decontaminate_confusables",
+    // winnowing: per-doc kernel + fingerprint posting lists, both
+    // corpus-proportional
+    "t76_winnow_fingerprints", "t77_winnow_overlap",
     "s46_cosine_dup_lsh", "s49_embed_curate",
     "s54_diversity_select", "s56_index_dedup",
     // corpus-proportional legs of the round-9 subtitle bridge: the

@@ -310,6 +310,39 @@ class Round10Spec extends AnyFunSuite with BeforeAndAfterAll {
       s"normalization must fold the spoof back: '$normSpoof'")
   }
 
+  test("winnowing guarantee: shared >= w+k-1 token runs always share a fingerprint") {
+    import spark.implicits._
+    implicit val sp: SparkSession = spark
+    val rnd = new scala.util.Random(7L)
+    def words(n: Int) = Seq.fill(n)(s"v${rnd.nextInt(5000)}")
+    val k = 4
+    val w = 5
+    // 30 random docs; docs 100+i embed doc i's middle run of EXACTLY
+    // w+k-1 tokens (the guarantee's threshold length) in fresh junk
+    val base = (0 until 30).map(i => (i.toLong, words(60).mkString(" ")))
+    val planted = (0 until 10).map { i =>
+      val tk = base(i)._2.split(" ")
+      val run = tk.slice(20, 20 + w + k - 1).toSeq
+      ((100 + i).toLong, (words(25) ++ run ++ words(25)).mkString(" "))
+    }
+    val docs = (base ++ planted).toDF("doc_id", "text")
+    // the SWA guarantee: the threshold-length shared run is detected
+    val pairs = TextDedup.winnowOverlapPairs(docs, "doc_id", "text", k, w,
+        minShared = 1)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+    (0 until 10).foreach(i =>
+      assert(pairs.contains((i.toLong, (100 + i).toLong)),
+        s"planted run $i missed - the winnowing guarantee is broken"))
+    // density lands near the theoretical 2/(w+1)
+    val fps = TextDedup.winnowFingerprints(docs, "doc_id", "text", k, w)
+    val nFp = fps.toDF().count().toDouble
+    val nGrams = docs.select(size(split(col("text"), " ")))
+      .as[Int].collect().map(n => math.max(n - k + 1, 0)).sum
+    val density = nFp / nGrams
+    assert(density > 0.15 && density < 0.55,
+      s"density $density vs expected ~${2.0 / (w + 1)}")
+  }
+
   test("IncrementalIndex.append holds for the spectral and pHash index families") {
     implicit val sp: SparkSession = spark
     // spectral: appended increment == from-scratch rebuild, row sets
