@@ -747,6 +747,112 @@ object TextDedup {
       }
   }
 
+  case class CdcChunk(doc_id: Long, start: Int, n_tokens: Int, ch: String)
+
+  /** CONTENT-DEFINED CHUNKING at the token level — the LBFS/FastCDC
+    * principle applied to text: a chunk boundary falls after token i
+    * exactly when the md5 of the `window`-token run ending at i has a
+    * last hex digit below `nibbles` (boundary probability nibbles/16,
+    * expected chunk 16/nibbles tokens — tune to the document length
+    * scale; short-doc corpora want denser boundaries so interior
+    * chunks exist at all).
+    * Boundaries depend only on LOCAL content, so chunking
+    * RE-SYNCHRONIZES within ~`window` tokens of any edit and every
+    * untouched span chunks identically whatever its offset — the
+    * property fixed-size chunking lacks and the reason CDC is the
+    * storage-dedup standard. Emitted chunks carry their md5 (of the
+    * space-joined span) and drop spans shorter than `minTokens`
+    * (sub-window spans match by chance, not by content).
+    *
+    * This is the PURE stateless form: boundary positions are a
+    * content predicate alone, so the DuckDB oracle replays chunking
+    * exactly. Production CDC adds hard min/max chunk bounds, which
+    * make the boundary set stateful (suppression depends on the last
+    * boundary) — that knob belongs at this seam but is deliberately
+    * out of the oracle-gated core. One mapPartitions pass, no
+    * shuffle. */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 4, minTokens: Int = 4, nibbles: Int = 1)(
+      implicit s: SparkSession): Dataset[CdcChunk] = {
+    import s.implicits._
+    require(window >= 1 && minTokens >= 1, "window and minTokens must be >= 1")
+    require(nibbles >= 1 && nibbles <= 15,
+      "nibbles (boundary probability = nibbles/16) must be in 1..15")
+    docs.select(col(idCol).cast("long").as("_id"), col(textCol).as("_t"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def hex(b: Array[Byte]): String = graft.evm.Hex.encode(b).substring(2)
+        rows.flatMap { case (id, text) =>
+          val tk = text.split(" ", -1)
+          val n = tk.length
+          if (n == 0) Iterator.empty
+          else {
+            // boundary AFTER token i (1-based) iff the window hash's
+            // last nibble is 0
+            val edges = scala.collection.mutable.ArrayBuffer(0)
+            var i = window
+            while (i <= n) {
+              val sb = new java.lang.StringBuilder(tk(i - window))
+              var j = i - window + 1
+              while (j < i) { sb.append(' ').append(tk(j)); j += 1 }
+              md.reset()
+              val h = md.digest(sb.toString.getBytes("UTF-8"))
+              if ((h(15) & 0x0f) < nibbles) edges += i
+              i += 1
+            }
+            if (edges.last != n) edges += n
+            edges.iterator.zip(edges.iterator.drop(1)).flatMap {
+              case (s0, e0) =>
+                val len = e0 - s0
+                if (len < minTokens) Iterator.empty
+                else {
+                  val sb = new java.lang.StringBuilder(tk(s0))
+                  var j = s0 + 1
+                  while (j < e0) { sb.append(' ').append(tk(j)); j += 1 }
+                  md.reset()
+                  Iterator.single(CdcChunk(id, s0 + 1, len,
+                    hex(md.digest(sb.toString.getBytes("UTF-8")))))
+                }
+            }
+          }
+        }
+      }
+  }
+
+  /** Document overlap pairs from CDC chunks: shared DISTINCT chunk
+    * hashes >= `minShared`, posting-list expansion with the family's
+    * distinct-doc df cap. Because chunk boundaries re-synchronize,
+    * a long span embedded at ANY offset inside junk shares its
+    * interior chunks with the source — the shift-tolerant exact-span
+    * overlap detector, complementary to [[winnowOverlapPairs]]
+    * (winnowing samples k-grams with a recall guarantee; CDC matches
+    * whole variable-size spans byte-exactly). */
+  def cdcOverlapPairs(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 4, minTokens: Int = 4, minShared: Int = 2,
+      maxDf: Int = 0, nibbles: Int = 1)(
+      implicit s: SparkSession): DataFrame = {
+    val cs = Materialize.eager(
+      cdcChunks(docs, idCol, textCol, window, minTokens, nibbles).toDF()
+        .select(col("doc_id"), col("ch")).distinct())
+    val capped = if (maxDf <= 0) cs
+      else cs.join(
+        cs.groupBy(col("ch"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .filter(col("df") <= maxDf).select(col("ch")),
+        Seq("ch"), "left_semi")
+    val kept = capped.groupBy(col("ch"))
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    val ds = array_sort(col("ds"))
+    kept.select(explode(flatten(transform(ds, (x, i) =>
+        transform(slice(ds, i + lit(2), greatest(size(ds) - i - 1, lit(0))),
+          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Document overlap pairs from winnowing fingerprints: posting
     * lists per fingerprint hash (maxDf dropping corpus-boilerplate
     * grams BEFORE aggregation — the family's standard skew cap, df =

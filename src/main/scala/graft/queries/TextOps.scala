@@ -276,6 +276,33 @@ object TextOps extends QueryPack {
         .orderBy($"doc_a", $"doc_b")
     }),
 
+    // CONTENT-DEFINED-CHUNKING overlap (the LBFS/FastCDC principle at
+    // the token level) - the shift-tolerant exact-span complement of
+    // t77: boundaries are a pure local-content predicate, so the
+    // junk-embedded splices re-synchronize within ~window tokens and
+    // share their interior chunks byte-exactly at ANY offset. FOUR of
+    // the five planted splices land; doc 2's happens to carve only
+    // one interior chunk (CDC is chunk-granular and has NO recall
+    // floor - that splice is caught by t77, whose winnowing guarantee
+    // is exactly what CDC trades away for byte-exact span identity).
+    // Full SQL replay (boundary predicate = md5 last hex digit).
+    "t78_cdc_overlap" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      val docs = t(s, dir, "documents")
+      val spliced = docs.filter($"doc_id" < 5)
+        .select(($"doc_id" + 1000000L).as("doc_id"),
+          concat(lit("junk prefix tokens before the borrowed span "),
+            $"text", lit(" junk suffix after")).as("text"))
+      val corpus = docs.select($"doc_id", $"text").unionByName(spliced)
+      // nibbles=2 (boundary p = 1/8, ~8-token chunks): the corpus
+      // docs are 30-70 tokens, so the default 16-token chunks leave
+      // almost no interior chunk to share
+      TextDedup.cdcOverlapPairs(corpus, "doc_id", "text", maxDf = 64,
+          nibbles = 2)
+        .orderBy($"doc_a", $"doc_b")
+    }),
+
     "t49_unigram_rarity" -> ((s, dir) => {
       import s.implicits._
       TextAnalysis.unigramRarity(t(s, dir, "documents"), "doc_id", "text")
@@ -1054,6 +1081,46 @@ object TextOps extends QueryPack {
         FROM fpd a JOIN fpd b ON a.fp = b.fp AND a.doc_id < b.doc_id
         JOIN ok ON ok.fp = a.fp
         GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        ORDER BY doc_a, doc_b""",
+    // CDC replayed: boundary after token i iff the 4-token window
+    // md5's last hex digit is 0 or 1 (nibbles=2); spans under 4
+    // tokens drop; shared
+    // distinct chunk hashes >= 2 under the df <= 64 cap
+    "t78_cdc_overlap" ->
+      """WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000,
+            'junk prefix tokens before the borrowed span ' || text ||
+              ' junk suffix after'
+          FROM documents WHERE doc_id < 5),
+        w AS (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
+        bp AS (SELECT doc_id, tk, list_filter(range(4, len(tk)+1),
+            i -> substr(md5(tk[i-3]||' '||tk[i-2]||' '||tk[i-1]||' '||tk[i]),
+              32, 1) IN ('0', '1')) AS bs
+          FROM w),
+        ed AS (SELECT doc_id, tk,
+            list_concat(list_concat([CAST(0 AS BIGINT)], bs),
+              CASE WHEN len(bs) > 0 AND bs[-1] = len(tk)
+                THEN CAST([] AS BIGINT[])
+                ELSE [CAST(len(tk) AS BIGINT)] END) AS es
+          FROM bp),
+        ch0 AS (SELECT doc_id,
+            list_filter(list_transform(range(1, len(es)),
+              j -> CASE WHEN es[j+1] - es[j] >= 4
+                THEN md5(array_to_string(
+                  list_slice(tk, es[j]+1, es[j+1]), ' '))
+                ELSE NULL END), x -> x IS NOT NULL) AS hs
+          FROM ed),
+        fpd AS (SELECT DISTINCT doc_id, u.h AS ch
+          FROM ch0, unnest(hs) u(h)),
+        ok AS (SELECT ch FROM fpd GROUP BY ch
+          HAVING COUNT(DISTINCT doc_id) <= 64)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          COUNT(*) AS n_shared
+        FROM fpd a JOIN fpd b ON a.ch = b.ch AND a.doc_id < b.doc_id
+        JOIN ok ON ok.ch = a.ch
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
         ORDER BY doc_a, doc_b""",
     "t48_decontaminate" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),

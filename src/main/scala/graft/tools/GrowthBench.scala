@@ -38,6 +38,7 @@ object GrowthBench {
     // winnowing: per-doc kernel + fingerprint posting lists, both
     // corpus-proportional
     "t76_winnow_fingerprints", "t77_winnow_overlap",
+    "t78_cdc_overlap",
     "s46_cosine_dup_lsh", "s49_embed_curate",
     "s54_diversity_select", "s56_index_dedup",
     // corpus-proportional legs of the round-9 subtitle bridge: the

@@ -343,6 +343,33 @@ class Round10Spec extends AnyFunSuite with BeforeAndAfterAll {
       s"density $density vs expected ~${2.0 / (w + 1)}")
   }
 
+  test("CDC chunking re-synchronizes: embedded spans share chunks at any offset") {
+    import spark.implicits._
+    implicit val sp: SparkSession = spark
+    val rnd = new scala.util.Random(11L)
+    def words(n: Int) = Seq.fill(n)(s"c${rnd.nextInt(5000)}")
+    // a long source; re-posts embed its middle 80 tokens after junk
+    // prefixes of DIFFERENT lengths - fixed-size chunking would align
+    // on at most one of them, CDC on all
+    val src = words(160)
+    val run = src.slice(40, 120)
+    val docs = (Seq((0L, src.mkString(" "))) ++
+      (1 to 4).map(i => (i.toLong,
+        (words(3 + 7 * i) ++ run ++ words(10)).mkString(" "))))
+      .toDF("doc_id", "text")
+    val pairs = TextDedup.cdcOverlapPairs(docs, "doc_id", "text",
+        nibbles = 2, minShared = 2)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+    (1L to 4L).foreach(i => assert(pairs.contains((0L, i)),
+      s"offset-$i embed missed: CDC failed to re-synchronize"))
+    // chunks are deterministic and position-independent: the same
+    // interior chunk hashes appear whatever the junk prefix length
+    val byDoc = TextDedup.cdcChunks(docs, "doc_id", "text", nibbles = 2)
+      .collect().groupBy(_.doc_id).view.mapValues(_.map(_.ch).toSet).toMap
+    val interior = byDoc(1L) & byDoc(2L) & byDoc(3L) & byDoc(4L) & byDoc(0L)
+    assert(interior.size >= 2, s"interior chunks not shared: $byDoc")
+  }
+
   test("IncrementalIndex.append holds for the spectral and pHash index families") {
     implicit val sp: SparkSession = spark
     // spectral: appended increment == from-scratch rebuild, row sets
