@@ -264,6 +264,58 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // STREAM-STATIC winnowing decontamination — st67 with the SAMPLED
+    // index: the broadcast side holds the eval set's winnowed
+    // fingerprints (~2/(w+1) of the full shingle set st67 ships, with
+    // the recall floor intact), and each arriving document winnows
+    // in-stream and probes it. Batch 1 delivers five junk-SPLICED
+    // leaks of the eval docs (whole-doc hashes and aligned shingle
+    // offsets both broken; every one must hit by the winnowing
+    // guarantee), batch 2 ten unrelated corpus docs (hits only where
+    // the corpus genuinely shares text). Full SQL replay.
+    "st87_stream_winnow_decontam" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      val name = "st87_out"
+      val staged = stagingDir("graft-stream-winnow")
+      val docs = t(s, dir, "documents")
+      val probe = graft.operators.TextDedup.winnowFingerprints(
+          docs.filter($"doc_id" < 5), "doc_id", "text").toDF()
+        .select($"fp").distinct()
+      def stage(fname: String, df: DataFrame, ageMs: Long): Unit = {
+        val tmp = staged.resolve(fname + ".tmp")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, staged.resolve(fname))
+        staged.resolve(fname).toFile.deleteOnExit()
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        java.nio.file.Files.setLastModifiedTime(staged.resolve(fname),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - ageMs))
+      }
+      stage("a.parquet", docs.filter($"doc_id" < 5)
+        .select(($"doc_id" + 1000000L).as("doc_id"),
+          concat(lit("junk prefix tokens before the borrowed span "),
+            $"text", lit(" junk suffix after")).as("text")), 120000L)
+      stage("b.parquet", docs.filter($"doc_id" >= 100 && $"doc_id" < 110)
+        .select($"doc_id", $"text"), 0L)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+      val fps = graft.operators.TextDedup.winnowFingerprints(
+        stream, "doc_id", "text").toDF()
+      val joined = fps.join(broadcast(probe), Seq("fp"))
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+      s.table(name)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Streaming NEAR-dup dedup (extends st65 beyond exact keys): the
     // second delivery is EDITED (ids shifted, a tail appended), so
     // dropDuplicates can't catch it — MinHash band state across
@@ -2588,6 +2640,50 @@ object StreamingOps extends QueryPack {
       """SELECT event_type, COUNT(*) AS n,
         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         FROM events GROUP BY event_type ORDER BY event_type""",
+    // winnowing replayed on both sides: delivery docs (spliced + raw)
+    // winnow per instance, the eval probe set distinct; hits join on
+    // the fingerprint hash
+    "st87_stream_winnow_decontam" ->
+      """WITH delivery AS (
+          SELECT doc_id + 1000000 AS doc_id,
+            'junk prefix tokens before the borrowed span ' || text ||
+              ' junk suffix after' AS text
+          FROM documents WHERE doc_id < 5
+          UNION ALL
+          SELECT doc_id, text FROM documents
+          WHERE doc_id >= 100 AND doc_id < 110),
+        wd AS (SELECT doc_id, string_split(text, ' ') AS tk FROM delivery),
+        gd AS (SELECT doc_id, list_transform(range(1, greatest(len(tk)-3,0)+1),
+            i -> md5(tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3])) AS gs
+          FROM wd),
+        sd AS (SELECT doc_id, gs,
+          CASE WHEN len(gs) = 0 THEN CAST([] AS BIGINT[])
+            WHEN len(gs) <= 5 THEN
+              [len(gs) + 1 - list_position(list_reverse(gs), list_min(gs))]
+            ELSE list_distinct(list_transform(range(1, len(gs)-5+2),
+              j -> j + 5 - list_position(
+                list_reverse(list_slice(gs, j, j+4)),
+                list_min(list_slice(gs, j, j+4)))))
+          END AS ps FROM gd),
+        fd AS (SELECT doc_id, gs[u.p] AS fp FROM sd, unnest(ps) u(p)),
+        wp AS (SELECT doc_id, string_split(text, ' ') AS tk
+          FROM documents WHERE doc_id < 5),
+        gp AS (SELECT doc_id, list_transform(range(1, greatest(len(tk)-3,0)+1),
+            i -> md5(tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3])) AS gs
+          FROM wp),
+        sp AS (SELECT doc_id, gs,
+          CASE WHEN len(gs) = 0 THEN CAST([] AS BIGINT[])
+            WHEN len(gs) <= 5 THEN
+              [len(gs) + 1 - list_position(list_reverse(gs), list_min(gs))]
+            ELSE list_distinct(list_transform(range(1, len(gs)-5+2),
+              j -> j + 5 - list_position(
+                list_reverse(list_slice(gs, j, j+4)),
+                list_min(list_slice(gs, j, j+4)))))
+          END AS ps FROM gp),
+        pf AS (SELECT DISTINCT gs[u.p] AS fp FROM sp, unnest(ps) u(p))
+        SELECT fd.doc_id, COUNT(*) AS n_hits
+        FROM fd JOIN pf ON fd.fp = pf.fp
+        GROUP BY fd.doc_id ORDER BY fd.doc_id""",
     // kept count = distinct raw texts among the 30 delivered docs
     // (normalization is the identity on the ASCII corpus and restores
     // every spoof to a batch-1 text, so no spoof survives); counts are
