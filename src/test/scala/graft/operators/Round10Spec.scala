@@ -343,6 +343,105 @@ class Round10Spec extends AnyFunSuite with BeforeAndAfterAll {
       s"density $density vs expected ~${2.0 / (w + 1)}")
   }
 
+  test("winnowFingerprints matches a brute-force reference on random corpora") {
+    import spark.implicits._
+    implicit val sp: SparkSession = spark
+    val k = 4
+    val w = 5
+    def md5hex(s: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      graft.evm.Hex.encode(md.digest(s.getBytes("UTF-8"))).substring(2)
+    }
+    // straight-line reference: grams, every window's rightmost min,
+    // distinct positions
+    def reference(text: String): Set[(Int, String)] = {
+      val tk = text.split(" ", -1)
+      val grams = (0 to tk.length - k)
+        .map(i => md5hex(tk.slice(i, i + k).mkString(" ")))
+      if (grams.isEmpty) Set.empty
+      else if (grams.length <= w) {
+        val best = grams.zipWithIndex.minBy { case (g, i) => (g, -i) }
+        Set((best._2 + 1, best._1))
+      } else {
+        (0 to grams.length - w).map { j =>
+          val win = grams.slice(j, j + w).zipWithIndex
+          val best = win.minBy { case (g, i) => (g, -i) }
+          (j + best._2 + 1, best._1)
+        }.toSet
+      }
+    }
+    val rnd = new scala.util.Random(99L)
+    val docs = (0 until 60).map { i =>
+      // lengths sweep the degenerate (< k, <= w) and normal regimes
+      val n = 1 + rnd.nextInt(40)
+      (i.toLong, Seq.fill(n)(s"r${rnd.nextInt(40)}").mkString(" "))
+    }
+    val got = TextDedup.winnowFingerprints(
+        docs.toDF("doc_id", "text"), "doc_id", "text", k, w)
+      .collect().groupBy(_.doc_id)
+      .view.mapValues(_.map(f => (f.pos, f.fp)).toSet).toMap
+    docs.foreach { case (id, text) =>
+      val exp = reference(text)
+      assert(got.getOrElse(id, Set.empty) == exp,
+        s"doc $id diverges:\n got ${got.get(id)}\n exp $exp\n '$text'")
+    }
+  }
+
+  test("cdcChunks matches a brute-force reference on random corpora") {
+    import spark.implicits._
+    implicit val sp: SparkSession = spark
+    val window = 4
+    val minTokens = 4
+    val nibbles = 2
+    def md5bytes(s: String): Array[Byte] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s.getBytes("UTF-8"))
+    }
+    def md5hex(s: String): String =
+      graft.evm.Hex.encode(md5bytes(s)).substring(2)
+    def reference(text: String): Set[(Int, Int, String)] = {
+      val tk = text.split(" ", -1)
+      val bounds = 0 +: (window to tk.length).filter { i =>
+        (md5bytes(tk.slice(i - window, i).mkString(" "))(15) & 0x0f) < nibbles
+      }
+      val edges = if (bounds.last != tk.length) bounds :+ tk.length else bounds
+      edges.zip(edges.tail).collect {
+        case (s0, e0) if e0 - s0 >= minTokens =>
+          (s0 + 1, e0 - s0, md5hex(tk.slice(s0, e0).mkString(" ")))
+      }.toSet
+    }
+    val rnd = new scala.util.Random(101L)
+    val docs = (0 until 60).map { i =>
+      val n = 1 + rnd.nextInt(80)
+      (i.toLong, Seq.fill(n)(s"q${rnd.nextInt(30)}").mkString(" "))
+    }
+    val got = TextDedup.cdcChunks(docs.toDF("doc_id", "text"),
+        "doc_id", "text", window, minTokens, nibbles)
+      .collect().groupBy(_.doc_id)
+      .view.mapValues(_.map(c => (c.start, c.n_tokens, c.ch)).toSet).toMap
+    docs.foreach { case (id, text) =>
+      val exp = reference(text)
+      assert(got.getOrElse(id, Set.empty) == exp,
+        s"doc $id diverges:\n got ${got.get(id)}\n exp $exp\n '$text'")
+    }
+  }
+
+  test("spectral codes are amplitude-scale invariant") {
+    // the sign-of-adjacent-band-energy bits must survive a re-leveled
+    // re-upload: halve every sample of the tone mixture and the code
+    // sequence is unchanged (margins are ratios, quantization noise is
+    // far below the >= 13% level gap)
+    for (id <- 0L until 4L; rate <- Seq(8000, 44100)) {
+      val full = Multimodal.decodeWav(
+        Multimodal.syntheticWavTones(id, rate)).get
+      val halfSamples = full.samples.map(s => (s / 2).toShort)
+      val half = full.copy(samples = halfSamples)
+      assert(Multimodal.spectralFrameCodes(full).toSeq ==
+        Multimodal.spectralFrameCodes(half).toSeq,
+        s"id=$id rate=$rate: halving amplitude changed the codes")
+    }
+  }
+
   test("CDC chunking re-synchronizes: embedded spans share chunks at any offset") {
     import spark.implicits._
     implicit val sp: SparkSession = spark
