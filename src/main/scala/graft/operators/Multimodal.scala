@@ -679,7 +679,10 @@ object Multimodal {
     * ABSOLUTE time and frequency, so the analysis is identical
     * whatever the container rate:
     *  - frames are 64 ms of signal (`rate * 0.064` samples — sample
-    *    count varies, duration does not), non-overlapping;
+    *    count varies, duration does not), starting every `hopMs`
+    *    (default 64 = non-overlapping; hop < frame overlaps frames,
+    *    halving the trim-alignment granularity of the landmark tier
+    *    at proportional extra frame cost — the m114 knob);
     *  - 17 analysis frequencies log-spaced over 300-3000 Hz (below
     *    every Nyquist down to 8 kHz), each snapped to the 1/64ms =
     *    15.625 Hz grid — exactly a DFT bin frequency at EVERY rate,
@@ -694,23 +697,26 @@ object Multimodal {
     * A resampler that preserves spectral content below 3 kHz (every
     * real one) yields the same code sequence as the master. StrictMath
     * throughout — pinned goldens depend on bit-exact trig. */
-  private[operators] def spectralFrameCodes(w: WavPcm): Array[Int] = {
+  private[operators] def spectralFrameCodes(w: WavPcm,
+      hopMs: Int = 64): Array[Int] = {
     val mono = monoMix(w)
     val rate = w.sampleRate
     if (rate <= 0) return Array.empty
     val frameN = (rate * 64L / 1000L).toInt
-    if (frameN <= 0 || mono.length < frameN) return Array.empty
+    val hopN = (rate * hopMs.toLong / 1000L).toInt
+    if (frameN <= 0 || hopN <= 0 || mono.length < frameN)
+      return Array.empty
     val bands = 17
     val T = 0.064
     val centers = Array.tabulate(bands)(b =>
       math.max(1L, math.round(300.0 * StrictMath.pow(10.0, b / 16.0) * T))
         .toDouble / T)
-    val nFrames = mono.length / frameN
+    val nFrames = (mono.length - frameN) / hopN + 1
     val out = new Array[Int](nFrames)
     val energies = new Array[Double](bands)
     var t = 0
     while (t < nFrames) {
-      val off = t * frameN
+      val off = t * hopN
       var b = 0
       while (b < bands) {
         val wf = 2.0 * StrictMath.PI * centers(b) / rate
@@ -858,14 +864,14 @@ object Multimodal {
   /** Per-document spectral frame codes ([[spectralFrameCodes]]) as a
     * table — the rate-free sibling of [[audioFingerprint]]. One decode
     * pass, no shuffle; undecodable payloads emit nothing. */
-  def audioSpectralCodes(media: DataFrame)(
+  def audioSpectralCodes(media: DataFrame, hopMs: Int = 64)(
       implicit s: SparkSession): Dataset[FrameCode] = {
     import s.implicits._
     media.select(col("doc_id"), col("payload")).as[MediaRow]
       .mapPartitions(rows => rows.flatMap { r =>
         decodeWav(r.payload) match {
           case Some(w) =>
-            spectralFrameCodes(w).iterator.zipWithIndex
+            spectralFrameCodes(w, hopMs).iterator.zipWithIndex
               .map { case (code, f) => FrameCode(r.doc_id, f, code) }
           case None => Iterator.empty
         }
@@ -894,14 +900,15 @@ object Multimodal {
     * compound that evades both [[audioLandmarkPairs]] (no common
     * samples) and [[audioSpectralPairs]] (shifted alignment). 16-bit
     * codes pack as code*65536 + next. */
-  def audioSpectralLandmarks(media: DataFrame, gap: Int = 1)(
+  def audioSpectralLandmarks(media: DataFrame, gap: Int = 1,
+      hopMs: Int = 64)(
       implicit s: SparkSession): Dataset[DocLandmark] = {
     import s.implicits._
     media.select(col("doc_id"), col("payload")).as[MediaRow]
       .mapPartitions(rows => rows.flatMap { r =>
         decodeWav(r.payload) match {
           case Some(w) =>
-            val codes = spectralFrameCodes(w)
+            val codes = spectralFrameCodes(w, hopMs)
             val lms = scala.collection.mutable.LinkedHashSet.empty[Long]
             var i = 0
             while (i + gap < codes.length) {
@@ -919,9 +926,10 @@ object Multimodal {
     * re-upload (m110). Same posting-list scoring and `maxDf` cap as
     * [[audioLandmarkPairs]]. */
   def audioSpectralLandmarkPairs(media: DataFrame, minMatch: Double = 0.6,
-      gap: Int = 1, maxDf: Int = 0)(implicit s: SparkSession): DataFrame =
+      gap: Int = 1, maxDf: Int = 0, hopMs: Int = 64)(
+      implicit s: SparkSession): DataFrame =
     landmarkPairScores(
-      Materialize.eager(audioSpectralLandmarks(media, gap).toDF()),
+      Materialize.eager(audioSpectralLandmarks(media, gap, hopMs).toDF()),
       minMatch, maxDf)
 
   /** Version of the audio fingerprint FUNCTION (canonicalization +

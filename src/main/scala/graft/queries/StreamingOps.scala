@@ -941,6 +941,26 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // OVERLAPPED-frame spectral landmarks (the round-10 forward-plan
+    // item landed): hop = 32 ms halves the trim-alignment granularity
+    // of the m110 tier, so a 96 ms-trimmed 44.1 kHz re-upload — a
+    // 32-multiple but NOT a 64-multiple, invisible to the default
+    // non-overlapping frames (Round10Spec pins the miss) — lands on
+    // its master. Frames straddling amplitude segments straddle
+    // identically in both muxes (absolute-time anchoring), so codes
+    // still match exactly. Pinned golden.
+    "m114_audio_spectral_hop" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val wav = udf((id: Long) =>
+        if (id < 20) Multimodal.syntheticWavTones(id, 8000, ms = 640)
+        else Multimodal.syntheticWavTones(id - 20, 44100, ms = 512,
+          offsetMs = 96))
+      val media = s.range(0, 10).union(s.range(20, 30))
+        .select(col("id").as("doc_id"), wav(col("id")).as("payload"))
+      Multimodal.audioSpectralLandmarkPairs(media, maxDf = 64, hopMs = 32)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // STREAM-STATIC spectral index screen (the st76 shape at the m113
     // seam): the corpus spectral index is the STATIC side — no state
     // store at all — and the ingest stream's rate-free codes

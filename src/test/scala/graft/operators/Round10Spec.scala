@@ -539,6 +539,33 @@ class Round10Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dups == (20L until 26L).map(i => (i, i - 20)).toMap, s"$dups")
   }
 
+  // ---- m114: overlapped frames halve trim-alignment granularity ----
+
+  test("hop=32 spectral landmarks catch 96ms trims the default hop misses") {
+    import spark.implicits._
+    implicit val sp: SparkSession = spark
+    val wav = udf((id: Long) =>
+      if (id < 20) Multimodal.syntheticWavTones(id, 8000, ms = 640)
+      else Multimodal.syntheticWavTones(id - 20, 44100, ms = 512,
+        offsetMs = 96))
+    val media = spark.range(0, 6).union(spark.range(20, 26))
+      .select(col("id").as("doc_id"), wav(col("id")).as("payload"))
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+    // 96 ms is not a 64 ms multiple: the default grid misaligns every
+    // frame, so the m110 machinery sees nothing
+    assert(pairs(Multimodal.audioSpectralLandmarkPairs(media)).isEmpty,
+      "64 ms hop must miss a 96 ms trim")
+    // overlapped frames (32 ms hop) re-align at 96 = 3 x 32
+    assert(pairs(Multimodal.audioSpectralLandmarkPairs(media, hopMs = 32))
+      == (0L until 6L).map(i => (i, i + 20)).toSet)
+    // and the default-hop code path is unchanged by the new parameter:
+    // hop=64 explicitly equals the default
+    val w0 = Multimodal.decodeWav(Multimodal.syntheticWavTones(1L, 8000)).get
+    assert(Multimodal.spectralFrameCodes(w0).toSeq ==
+      Multimodal.spectralFrameCodes(w0, 64).toSeq)
+  }
+
   // ---- m107 MKV lacing: laced == unlaced + malformed-lacing fuzz ----
 
   test("MKV lacing: laced frames concatenate to the unlaced payload; malformed lacing never throws") {

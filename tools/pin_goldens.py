@@ -55,6 +55,8 @@ QUERIES = [
                            # (Goertzel band codes, StrictMath trig)
     "m110_audio_spectral_landmarks", # trim + fractional-resample
                            # compound (rate-free landmarks)
+    "m114_audio_spectral_hop", # overlapped frames: 32 ms hop catches
+                           # the 96 ms trim the default grid misses
     "st82_stream_spectral_landmark_dedup", # streaming spectral-landmark
                            # audio dedup (trim+resample re-delivery)
     "m112_index_dedup_dihedral", # dihedral-8 probes vs the as-is
