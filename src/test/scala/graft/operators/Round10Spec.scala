@@ -58,6 +58,32 @@ class Round10Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out3 == Seq(None))
   }
 
+  test("foldProbe differential: randomized arrivals match a naive reference") {
+    val rnd = new scala.util.Random(5L)
+    def matches(a: Int, b: Int): Boolean = (a - b).abs <= 1
+    for (_ <- 0 until 50) {
+      val arrivals = Seq.fill(30)((rnd.nextInt(10).toLong, rnd.nextInt(4),
+        rnd.nextBoolean()))
+      for (cap <- Seq(0, 1, 3, 7)) {
+        // naive reference: scan-all verdict, register until the cap
+        var seen = List.empty[(Long, Int)]
+        var n = 0
+        val expected = arrivals.map { case (id, p, reg) =>
+          val hit = seen.collect {
+            case (eid, ep) if eid != id && matches(p, ep) => eid
+          } match { case Nil => None; case xs => Some(xs.min) }
+          if (reg && (cap == 0 || n < cap)) { seen = (id, p) :: seen; n += 1 }
+          hit
+        }
+        val (sGot, got) = StreamingNearDup.foldProbe(
+          List.empty[(Long, Int)], arrivals, cap)(matches)
+        assert(got == expected, s"cap=$cap verdicts diverge")
+        assert(sGot == seen, s"cap=$cap state diverges")
+        if (cap > 0) assert(sGot.size <= cap)
+      }
+    }
+  }
+
   test("packSig: equality-preserving, null components never match") {
     val a = StreamingNearDup.packSig(Seq("00ff" * 8, null, "aa" * 16))
     val b = StreamingNearDup.packSig(Seq("00ff" * 8, null, "bb" * 16))
