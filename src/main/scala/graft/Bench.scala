@@ -337,7 +337,17 @@ object Bench {
       s""""load_after":${r3(loadAfter)},""" +
       s""""lanes":${sys.env.getOrElse("SPARK_GRAFT_BENCH_LANES", "10").toInt},"sf":"${jesc(sfDir)}"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
-    println(json)
+    // The full ~200-entry JSON overflows the driver's stdout capture
+    // (rounds 9-10 shipped `parsed: null` with only a truncated tail).
+    // The LAST stdout line is therefore a SHORT summary the driver can
+    // always parse; the complete per-query artifact lives in outPath.
+    val summary =
+      s"""{"metric":"total","value":${r3(wall)},"unit":"sec",""" +
+      s""""n":${results.size},"failed":[${failed.map("\"" + _ + "\"").mkString(",")}],""" +
+      s""""sum_sec":${r3(results.map(_._2).sum)},""" +
+      s""""ext_cores":${r3(extConc)},"contended_rerun":$rerun,""" +
+      s""""full":"${jesc(outPath)}","sf":"${jesc(sfDir)}"}"""
+    println(summary)
     spark.stop()
     if (failed.nonEmpty) sys.exit(3)
   }

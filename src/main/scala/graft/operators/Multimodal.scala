@@ -538,7 +538,8 @@ object Multimodal {
     * common (the integer tier provably misses them), identical
     * spectral codes. */
   def syntheticWavTones(id: Long, rate: Int, ms: Int = 512,
-      offsetMs: Int = 0): Array[Byte] = {
+      offsetMs: Int = 0, gateMs: Int = 0, segMs: Int = 128,
+      permMs: Int = 0): Array[Byte] = {
     val bands = 17
     val T = 0.064
     val centers = Array.tabulate(bands)(b =>
@@ -548,9 +549,31 @@ object Multimodal {
     wavPcm16(Array.tabulate(n) { i =>
       // offsetMs trims the CONTINUOUS signal: the re-upload starts
       // offsetMs into the master's timeline (frame-aligned trims keep
-      // interior spectral codes identical — the m110 fixture)
+      // interior spectral codes identical — the m110 fixture).
+      // gateMs > 0 SILENCES the first gateMs of every segMs-long
+      // segment — the beat-gated variant whose silence->burst edges
+      // are the energy onsets the onset-anchored tier (m115) anchors
+      // on; the gate is a property of the CONTINUOUS signal, so it
+      // trims and resamples with it. segMs (default 128, the original
+      // grid) sets the amplitude-permutation period: segMs=96 with
+      // gateMs=32 makes each burst exactly ONE 64 ms analysis frame
+      // long, so only onset-aligned frames ever sit fully inside a
+      // burst — the construction that makes grid-anchored tiers
+      // provably blind to a non-hop-multiple trim.
+      // permMs > 0 decouples the amplitude-PERMUTATION period from the
+      // gate period: levels re-permute every permMs (e.g. 32 ms), so a
+      // 64 ms analysis frame mixes 2-3 distinct level sets weighted by
+      // its exact alignment — without it, silence contributes zero
+      // energy and any frame overlapping a single stationary burst
+      // yields that burst's "pure" ordering code WHATEVER the
+      // alignment, which quietly hands grid-anchored tiers
+      // trim-invariance they don't really have.
+      val segS = segMs / 1000.0
       val t = i.toDouble / rate + offsetMs / 1000.0
-      val seg = (t / 0.128).toInt
+      val seg0 = (t / segS).toInt
+      if (gateMs > 0 && t - seg0 * segS < gateMs / 1000.0) 0
+      else {
+      val seg = if (permMs > 0) (t / (permMs / 1000.0)).toInt else seg0
       // a*b+c mod 17 with a coprime to 17: adjacent b always differ.
       // (a, c) come from an AVALANCHED (id, seg) hash (splitmix64
       // finalizer): a linear mix leaves h_i - h_j constant across
@@ -576,6 +599,7 @@ object Multimodal {
       }
       math.max(-32768L, math.min(32767L,
         math.round(acc / bands * 20000.0))).toInt
+      }
     }, sampleRate = rate)
   }
 
@@ -697,52 +721,75 @@ object Multimodal {
     * A resampler that preserves spectral content below 3 kHz (every
     * real one) yields the same code sequence as the master. StrictMath
     * throughout — pinned goldens depend on bit-exact trig. */
+  private val SpectralBands = 17
+  /** The 17 analysis centers, each snapped to the 1/64 ms = 15.625 Hz
+    * grid — exactly a DFT bin frequency at every rate. */
+  private lazy val spectralCenters: Array[Double] = {
+    val T = 0.064
+    Array.tabulate(SpectralBands)(b =>
+      math.max(1L, math.round(300.0 * StrictMath.pow(10.0, b / 16.0) * T))
+        .toDouble / T)
+  }
+
+  /** One 16-bit spectral code for the 64 ms frame starting at sample
+    * `off`: Goertzel band energies at [[spectralCenters]], bit b =
+    * [E(b) > E(b+1)]. Shared by the grid tier ([[spectralFrameCodes]])
+    * and the onset-anchored tier ([[spectralOnsetLandmarks]]) so both
+    * derive codes from the identical kernel. */
+  private def spectralCodeAt(mono: Array[Short], rate: Int, off: Int,
+      frameN: Int): Int = {
+    val bands = SpectralBands
+    val energies = new Array[Double](bands)
+    var b = 0
+    while (b < bands) {
+      val wf = 2.0 * StrictMath.PI * spectralCenters(b) / rate
+      val cw = StrictMath.cos(wf)
+      val sw = StrictMath.sin(wf)
+      val coeff = 2.0 * cw
+      var s1 = 0.0
+      var s2 = 0.0
+      var n = 0
+      while (n < frameN) {
+        val s0 = mono(off + n) + coeff * s1 - s2
+        s2 = s1; s1 = s0
+        n += 1
+      }
+      val re = s1 - s2 * cw
+      val im = s2 * sw
+      energies(b) = (re * re + im * im) / (frameN.toDouble * frameN)
+      b += 1
+    }
+    var code = 0
+    var i = 0
+    while (i < bands - 1) {
+      if (energies(i) > energies(i + 1)) code |= 1 << i
+      i += 1
+    }
+    code
+  }
+
   private[operators] def spectralFrameCodes(w: WavPcm,
       hopMs: Int = 64): Array[Int] = {
     val mono = monoMix(w)
     val rate = w.sampleRate
-    if (rate <= 0) return Array.empty
+    if (rate <= 0 || hopMs <= 0) return Array.empty
     val frameN = (rate * 64L / 1000L).toInt
-    val hopN = (rate * hopMs.toLong / 1000L).toInt
-    if (frameN <= 0 || hopN <= 0 || mono.length < frameN)
+    if (frameN <= 0 || mono.length < frameN)
       return Array.empty
-    val bands = 17
-    val T = 0.064
-    val centers = Array.tabulate(bands)(b =>
-      math.max(1L, math.round(300.0 * StrictMath.pow(10.0, b / 16.0) * T))
-        .toDouble / T)
-    val nFrames = (mono.length - frameN) / hopN + 1
+    // Frame t starts at ABSOLUTE time t*hopMs ms: the offset is derived
+    // from t each iteration (floor(t*hopMs*rate/1000)), NOT by
+    // accumulating a truncated per-hop sample count — at 44.1 kHz the
+    // 64 ms hop is 2822.4 samples, and off = t*2822 drifts ~0.4
+    // samples/frame, misaligning long audio against an 8 kHz master by
+    // half a frame after a few minutes (round-10 ADVICE). Per-frame
+    // derivation bounds grid error below ONE sample for any duration.
+    val hopNum = rate.toLong * hopMs
+    val nFrames = (((mono.length - frameN).toLong * 1000L) / hopNum + 1L).toInt
     val out = new Array[Int](nFrames)
-    val energies = new Array[Double](bands)
     var t = 0
     while (t < nFrames) {
-      val off = t * hopN
-      var b = 0
-      while (b < bands) {
-        val wf = 2.0 * StrictMath.PI * centers(b) / rate
-        val cw = StrictMath.cos(wf)
-        val sw = StrictMath.sin(wf)
-        val coeff = 2.0 * cw
-        var s1 = 0.0
-        var s2 = 0.0
-        var n = 0
-        while (n < frameN) {
-          val s0 = mono(off + n) + coeff * s1 - s2
-          s2 = s1; s1 = s0
-          n += 1
-        }
-        val re = s1 - s2 * cw
-        val im = s2 * sw
-        energies(b) = (re * re + im * im) / (frameN.toDouble * frameN)
-        b += 1
-      }
-      var code = 0
-      var i = 0
-      while (i < bands - 1) {
-        if (energies(i) > energies(i + 1)) code |= 1 << i
-        i += 1
-      }
-      out(t) = code
+      val off = (t.toLong * hopNum / 1000L).toInt
+      out(t) = spectralCodeAt(mono, rate, off, frameN)
       t += 1
     }
     out
@@ -932,6 +979,96 @@ object Multimodal {
       Materialize.eager(audioSpectralLandmarks(media, gap, hopMs).toDF()),
       minMatch, maxDf)
 
+  /** Sample indices of energy ONSETS: the first sample at or above
+    * `threshold` (absolute 16-bit amplitude) after at least
+    * `minSilenceMs` of continuous sub-threshold signal. Both the
+    * silence run and the crossing are properties of the CONTINUOUS
+    * waveform, so two muxes of the same signal at different rates
+    * detect the same onset within one sample period of the lower rate
+    * — and, critically, an ARBITRARY-offset trim shifts every onset by
+    * exactly the trim, leaving onset-RELATIVE analysis unchanged. */
+  private[operators] def energyOnsets(mono: Array[Short], rate: Int,
+      threshold: Int = 1024, minSilenceMs: Int = 8): Array[Int] = {
+    val minSil = math.max(1, (rate.toLong * minSilenceMs / 1000L).toInt)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var quiet = 0
+    var i = 0
+    while (i < mono.length) {
+      if (math.abs(mono(i).toInt) >= threshold) {
+        if (quiet >= minSil) out += i
+        quiet = 0
+      } else quiet += 1
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** ONSET-ANCHORED spectral landmarks — the arbitrary-offset trim
+    * tier (closes round-10 gap #1): the grid tiers anchor frames at
+    * fixed multiples of the hop from SIGNAL START, so a trim at a
+    * non-hop-multiple offset (50 ms, say) shifts every analysis frame
+    * off the master's grid and [[audioSpectralLandmarkPairs]] — even
+    * at the m114 hop=32 setting — provably misses the re-upload. Here
+    * frames are anchored at energy ONSETS instead ([[energyOnsets]]):
+    * an onset travels with the content through any trim AND any
+    * resample, so the `codesPerOnset` frames of 64 ms laid out after
+    * each onset cover identical absolute-time spans in master and
+    * re-upload, whatever the offset. A landmark packs (frame slot k,
+    * code) as k*65536 + code — positional WITHIN an onset (stronger
+    * than the positionless (code, next) pair), positionless across
+    * onsets. Distinct per doc, one mapPartitions pass, no shuffle —
+    * the family shape. Silence-free audio yields no onsets and drops
+    * out of this tier (the grid tiers still cover it). */
+  def spectralOnsetLandmarks(media: DataFrame, codesPerOnset: Int = 2,
+      threshold: Int = 1024, minSilenceMs: Int = 8)(
+      implicit s: SparkSession): Dataset[DocLandmark] = {
+    import s.implicits._
+    require(codesPerOnset >= 1 && codesPerOnset < 65536,
+      "codesPerOnset must be in 1..65535 (the landmark packs k*65536+code)")
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions(rows => rows.flatMap { r =>
+        decodeWav(r.payload) match {
+          case Some(w) if w.sampleRate > 0 =>
+            val mono = monoMix(w)
+            val rate = w.sampleRate
+            val frameN = (rate * 64L / 1000L).toInt
+            if (frameN <= 0) Iterator.empty
+            else {
+              val lms = scala.collection.mutable.LinkedHashSet.empty[Long]
+              energyOnsets(mono, rate, threshold, minSilenceMs).foreach { o =>
+                var k = 0
+                while (k < codesPerOnset) {
+                  // frame slot k starts k*64 ms after the onset —
+                  // absolute-time-derived like the drift-free grid
+                  val off = o + (k.toLong * 64L * rate / 1000L).toInt
+                  if (off + frameN <= mono.length) {
+                    lms += k.toLong * 65536L +
+                      spectralCodeAt(mono, rate, off, frameN)
+                  }
+                  k += 1
+                }
+              }
+              lms.iterator.map(DocLandmark(r.doc_id, _))
+            }
+          case _ => Iterator.empty
+        }
+      })
+  }
+
+  /** Audio near-dup pairs on ONSET-ANCHORED spectral landmarks — trim
+    * tolerance at ARBITRARY offsets plus rate freedom: the tier for a
+    * 50 ms-trimmed (non-hop-multiple) fractionally-resampled re-upload
+    * (m115), which every grid tier misses by construction. Same
+    * posting-list scoring and `maxDf` cap as the landmark family. */
+  def audioOnsetLandmarkPairs(media: DataFrame, minMatch: Double = 0.6,
+      codesPerOnset: Int = 2, maxDf: Int = 0, threshold: Int = 1024,
+      minSilenceMs: Int = 8)(implicit s: SparkSession): DataFrame =
+    landmarkPairScores(
+      Materialize.eager(
+        spectralOnsetLandmarks(media, codesPerOnset, threshold,
+          minSilenceMs).toDF()),
+      minMatch, maxDf)
+
   /** Version of the audio fingerprint FUNCTION (canonicalization +
     * code derivation), stamped into every [[audioCodeIndex]] row: a
     * persisted index only matches probes fingerprinted by the SAME
@@ -959,9 +1096,18 @@ object Multimodal {
 
   /** Version stamp for the SPECTRAL code family ([[spectralFrameCodes]]
     * — its own lineage, independent of [[AudioFpVersion]]): bump when
-    * the band layout, frame duration or bit derivation changes;
-    * existing spectral indexes must then be rebuilt. */
-  val SpectralFpVersion: Int = 1
+    * the band layout, frame duration, grid derivation or bit
+    * derivation changes; existing spectral indexes must then be
+    * rebuilt. Stamps are NAMESPACED per family in thousand blocks
+    * (spectral = 1000 + v) so no two families can ever share a value —
+    * the cross-family fail-fast (an integer index screened by the
+    * spectral path, or vice versa) must hold at every version pair,
+    * and round-11's drift-free-grid bump to v2 would otherwise have
+    * collided with [[AudioFpVersion]] = 2. 1002 = v2, the round-11
+    * drift-free frame grid (per-frame absolute-time offsets — codes
+    * change at rates where rate*hopMs is not a multiple of 1000, e.g.
+    * 44.1 kHz); v1 accumulated a truncated integer hop. */
+  val SpectralFpVersion: Int = 1002
 
   /** Persisted SPECTRAL code index — the incremental-dedup artifact of
     * the m106 tier: a corpus of masters is spectral-coded ONCE, and
@@ -1129,9 +1275,94 @@ object Multimodal {
     * non-DC coefficients → one bit each (bit 63 stays 0). Recompressed
     * or lightly-edited images land within a few bits; unrelated images
     * scatter to ~32. None for undecodable payloads. */
+  /** EXIF orientation (1-8) of a JPEG payload, 0 when absent or not a
+    * JPEG: walks the marker stream to the APP1 "Exif  "
+    * segment, then the embedded TIFF IFD0 for tag 0x0112. Handles both
+    * byte orders ("II"/"MM"); any malformed structure returns 0 (the
+    * sniff is bytes, not trust). Stops at SOS — EXIF precedes entropy
+    * data by spec, and scanning compressed bytes for 0xFF pairs would
+    * false-positive. */
+  private[operators] def exifOrientation(b: Array[Byte]): Int = {
+    try {
+      if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+        return 0
+      var p = 2
+      while (p + 4 <= b.length && (b(p) & 0xff) == 0xff) {
+        val marker = b(p + 1) & 0xff
+        if (marker == 0xda) return 0 // SOS: no EXIF past here
+        if (marker >= 0xd0 && marker <= 0xd9) { p += 2 }
+        else {
+          val len = ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+          if (len < 2 || p + 2 + len > b.length) return 0
+          if (marker == 0xe1 && len >= 16 &&
+              b(p + 4) == 'E' && b(p + 5) == 'x' && b(p + 6) == 'i' &&
+              b(p + 7) == 'f' && b(p + 8) == 0 && b(p + 9) == 0) {
+            val t = p + 10 // TIFF header
+            val le = b(t) == 'I' && b(t + 1) == 'I'
+            val be = b(t) == 'M' && b(t + 1) == 'M'
+            if (!le && !be) return 0
+            def rd16(o: Int): Int =
+              if (le) (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+              else ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+            def rd32(o: Int): Int =
+              if (le) (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+                ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+              else ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+                ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+            if (rd16(t + 2) != 42) return 0
+            val ifd = t + rd32(t + 4)
+            if (ifd < t || ifd + 2 > b.length) return 0
+            val n = rd16(ifd)
+            var i = 0
+            while (i < n) {
+              val e = ifd + 2 + 12 * i
+              if (e + 12 > b.length) return 0
+              if (rd16(e) == 0x0112) {
+                val v = rd16(e + 8)
+                return if (v >= 1 && v <= 8) v else 0
+              }
+              i += 1
+            }
+            return 0
+          }
+          p += 2 + len
+        }
+      }
+      0
+    } catch { case scala.util.control.NonFatal(_) => 0 }
+  }
+
+  /** Apply an EXIF orientation's DISPLAY transform to a 32x32 grid —
+    * dest(y,x) = the stored cell that belongs there when the image is
+    * viewed correctly. Exact for square images (the grid of a
+    * transformed square image IS the transformed grid); non-square
+    * differ only by box-boundary rounding, inside near-dup
+    * tolerance. */
+  private def orientGrid(g: Array[Double], o: Int): Array[Double] =
+    if (o < 2 || o > 8) g
+    else Array.tabulate(32 * 32) { i =>
+      val y = i / 32; val x = i % 32
+      val (sy, sx) = o match {
+        case 2 => (y, 31 - x)           // mirror horizontal
+        case 3 => (31 - y, 31 - x)      // rotate 180
+        case 4 => (31 - y, x)           // mirror vertical
+        case 5 => (x, y)                // transpose
+        case 6 => (31 - x, y)           // rotate 90 CW
+        case 7 => (31 - x, 31 - y)      // transverse
+        case _ => (x, 31 - y)           // 8: rotate 270 CW
+      }
+      g(sy * 32 + sx)
+    }
+
   /** The 32x32 box-averaged luma grid [[pHash64]] hashes — factored
     * out so orientation variants can transform the grid and share ONE
-    * decode (the flip-tolerant tier). */
+    * decode (the flip-tolerant tier). JPEGs carrying an EXIF
+    * orientation tag are NORMALIZED here ([[exifOrientation]] +
+    * [[orientGrid]]): the dominant phone-camera repost stores rotated
+    * pixels plus the tag, and normalizing at decode lands it via the
+    * PLAIN pHash tier — one probe instead of eight (m116). Untagged
+    * payloads (and all non-JPEG formats) are untouched, so every
+    * existing pinned hash is unchanged. */
   private def grid32(payload: Array[Byte]): Option[Array[Double]] =
     decodeImage(payload).map { img =>
       val luma = lumaPlane(img)
@@ -1158,7 +1389,7 @@ object Multimodal {
         }
         cy += 1
       }
-      g
+      orientGrid(g, exifOrientation(payload))
     }
 
   /** DCT-II 8x8 block + median-threshold bits of a 32x32 grid — the
@@ -1529,6 +1760,67 @@ object Multimodal {
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(out, "png", bos)
     bos.toByteArray
+  }
+
+  /** EXIF-TAGGED camera repost of [[syntheticPng]]: the pattern's
+    * pixels are STORED in camera orientation `orient` (EXIF 1-8 —
+    * e.g. 6 stores the image rotated 90 deg counter-clockwise and the
+    * tag says "rotate 90 CW to view"), JPEG-encoded via javax.imageio,
+    * with a minimal APP1 Exif segment (little-endian TIFF, IFD0, tag
+    * 0x0112) spliced after SOI. The dominant phone-camera repost
+    * class: byte-distinct, pixel-rotated, but self-describing — EXIF
+    * normalization at decode ([[grid32]]) makes its PLAIN pHash land
+    * on the master with no dihedral probes (m116). Square only (the
+    * exactness argument of [[syntheticPngRot]]). */
+  def syntheticJpegExif(id: Long, orient: Int,
+      w: Int = 16, h: Int = 16): Array[Byte] = {
+    require(orient >= 1 && orient <= 8, "EXIF orientation is 1..8")
+    require(w == h, "EXIF fixture is square-only (grid exactness)")
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(syntheticPng(id, w, h)))
+    val n = w
+    val stored = new java.awt.image.BufferedImage(n, n,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // stored(map(y,x)) = master(y,x), where map is the DISPLAY
+    // transform's source lookup — so applying the display transform to
+    // `stored` recovers the master exactly
+    for (y <- 0 until n; x <- 0 until n) {
+      val (sy, sx) = orient match {
+        case 2 => (y, n - 1 - x)
+        case 3 => (n - 1 - y, n - 1 - x)
+        case 4 => (n - 1 - y, x)
+        case 5 => (x, y)
+        case 6 => (n - 1 - x, y)
+        case 7 => (n - 1 - x, n - 1 - y)
+        case 8 => (x, n - 1 - y)
+        case _ => (y, x)
+      }
+      stored.setRGB(sx, sy, img.getRGB(x, y))
+    }
+    // high-quality encode (0.95): the fixture pins pHash DISTANCES, and
+    // default-quality JPEG noise alone costs 2-4 bits on 16x16 patterns
+    // — the EXIF normalization itself is grid-exact, so the remaining
+    // distance should be (small) codec noise, not quantization mush
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(0.95f)
+    writer.write(null, new javax.imageio.IIOImage(stored, null, null), p)
+    writer.dispose(); ios.close()
+    val jpg = bos.toByteArray
+    // APP1 Exif: len 34 = 2(len) + 6(Exif\0\0) + 26(TIFF: hdr 8 +
+    // count 2 + one 12-byte IFD entry + next-IFD 4)
+    val app1 = Array[Byte](
+      0xff.toByte, 0xe1.toByte, 0x00, 0x22,
+      'E'.toByte, 'x'.toByte, 'i'.toByte, 'f'.toByte, 0, 0,
+      'I'.toByte, 'I'.toByte, 42, 0, 8, 0, 0, 0, // LE TIFF, IFD0 at +8
+      1, 0, // one entry
+      0x12, 0x01, 3, 0, 1, 0, 0, 0, orient.toByte, 0, 0, 0,
+      0, 0, 0, 0)
+    jpg.take(2) ++ app1 ++ jpg.drop(2)
   }
 
   /** Horizontally mirrored re-encode of [[syntheticPng]] — the

@@ -820,6 +820,83 @@ object TextDedup {
       }
   }
 
+  /** [[cdcChunks]] with HARD MIN/MAX chunk bounds — the production
+    * LBFS/FastCDC form (closes round-10 gap #2): a predicate boundary
+    * is SUPPRESSED while the running chunk is shorter than `minChunk`
+    * tokens, and a boundary is FORCED once it reaches `maxChunk` —
+    * so a pathological corpus whose window hashes are boundary-dense
+    * (or boundary-free) can no longer degenerate to single-token
+    * (or whole-document) chunks. The boundary set is therefore
+    * STATEFUL — each edge depends on the previous accepted edge — so
+    * the SQL oracle cannot replay it (the [[cdcChunks]] scaladoc
+    * already drew this line); the t79 gate pins a golden instead.
+    *
+    * Re-synchronization survives in the bounded form the way it does
+    * in FastCDC: after master and copy accept one COMMON predicate
+    * boundary (which happens within ~maxChunk tokens of any splice,
+    * since suppression windows realign once a shared boundary is
+    * taken), every subsequent edge is computed from identical local
+    * content AND identical last-edge state, so interior chunks match
+    * again. Same emission contract as [[cdcChunks]]: chunks shorter
+    * than `minTokens` drop (only the final chunk can be, with
+    * minChunk >= minTokens). One mapPartitions pass, no shuffle. */
+  def cdcChunksBounded(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 4, minTokens: Int = 4, nibbles: Int = 1,
+      minChunk: Int = 8, maxChunk: Int = 64)(
+      implicit s: SparkSession): Dataset[CdcChunk] = {
+    import s.implicits._
+    require(window >= 1 && minTokens >= 1, "window and minTokens must be >= 1")
+    require(nibbles >= 1 && nibbles <= 15,
+      "nibbles (boundary probability = nibbles/16) must be in 1..15")
+    require(minChunk >= 1 && maxChunk >= minChunk,
+      "need 1 <= minChunk <= maxChunk")
+    docs.select(col(idCol).cast("long").as("_id"), col(textCol).as("_t"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def hex(b: Array[Byte]): String = graft.evm.Hex.encode(b).substring(2)
+        rows.flatMap { case (id, text) =>
+          val tk = text.split(" ", -1)
+          val n = tk.length
+          if (n == 0) Iterator.empty
+          else {
+            val edges = scala.collection.mutable.ArrayBuffer(0)
+            var last = 0
+            var i = 1
+            while (i <= n) {
+              val run = i - last
+              val predicate = i >= window && {
+                val sb = new java.lang.StringBuilder(tk(i - window))
+                var j = i - window + 1
+                while (j < i) { sb.append(' ').append(tk(j)); j += 1 }
+                md.reset()
+                (md.digest(sb.toString.getBytes("UTF-8"))(15) & 0x0f) < nibbles
+              }
+              if (run >= maxChunk || (predicate && run >= minChunk)) {
+                edges += i
+                last = i
+              }
+              i += 1
+            }
+            if (edges.last != n) edges += n
+            edges.iterator.zip(edges.iterator.drop(1)).flatMap {
+              case (s0, e0) =>
+                val len = e0 - s0
+                if (len < minTokens) Iterator.empty
+                else {
+                  val sb = new java.lang.StringBuilder(tk(s0))
+                  var j = s0 + 1
+                  while (j < e0) { sb.append(' ').append(tk(j)); j += 1 }
+                  md.reset()
+                  Iterator.single(CdcChunk(id, s0 + 1, len,
+                    hex(md.digest(sb.toString.getBytes("UTF-8")))))
+                }
+            }
+          }
+        }
+      }
+  }
+
   /** Document overlap pairs from CDC chunks: shared DISTINCT chunk
     * hashes >= `minShared`, posting-list expansion with the family's
     * distinct-doc df cap. Because chunk boundaries re-synchronize,
@@ -831,10 +908,34 @@ object TextDedup {
   def cdcOverlapPairs(docs: DataFrame, idCol: String, textCol: String,
       window: Int = 4, minTokens: Int = 4, minShared: Int = 2,
       maxDf: Int = 0, nibbles: Int = 1)(
-      implicit s: SparkSession): DataFrame = {
+      implicit s: SparkSession): DataFrame =
+    chunkOverlapPairs(
+      cdcChunks(docs, idCol, textCol, window, minTokens, nibbles).toDF(),
+      minShared, maxDf)
+
+  /** [[cdcOverlapPairs]] over BOUNDED chunks ([[cdcChunksBounded]]) —
+    * the production pairing: same posting-list kernel, chunk
+    * boundaries carry the min/max state. Gate: t79 (pinned golden —
+    * the stateful boundary set is outside SQL replay). */
+  def cdcOverlapPairsBounded(docs: DataFrame, idCol: String,
+      textCol: String, window: Int = 4, minTokens: Int = 4,
+      minShared: Int = 2, maxDf: Int = 0, nibbles: Int = 1,
+      minChunk: Int = 8, maxChunk: Int = 64)(
+      implicit s: SparkSession): DataFrame =
+    chunkOverlapPairs(
+      cdcChunksBounded(docs, idCol, textCol, window, minTokens, nibbles,
+        minChunk, maxChunk).toDF(),
+      minShared, maxDf)
+
+  /** Shared pairing kernel for the CDC chunk families: distinct
+    * (doc, chunk-hash) sets → per-hash posting lists (distinct-doc
+    * `maxDf` cap BEFORE aggregation, the family's skew guard) →
+    * ordered pair expansion → shared DISTINCT chunk count >=
+    * `minShared`. */
+  private def chunkOverlapPairs(chunks: DataFrame, minShared: Int,
+      maxDf: Int): DataFrame = {
     val cs = Materialize.eager(
-      cdcChunks(docs, idCol, textCol, window, minTokens, nibbles).toDF()
-        .select(col("doc_id"), col("ch")).distinct())
+      chunks.select(col("doc_id"), col("ch")).distinct())
     val capped = if (maxDf <= 0) cs
       else cs.join(
         cs.groupBy(col("ch"))
@@ -851,6 +952,128 @@ object TextDedup {
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+  }
+
+  /** Version stamp for the winnowing fingerprint function
+    * ([[winnowFingerprints]] — gram hash, window-min selection, tie
+    * rule): bump when any of those change; existing winnow indexes
+    * must then be rebuilt. Parameter choices (k, w) are NOT covered —
+    * screen with the same (k, w) the index was built with. Stamps are
+    * namespaced per family in thousand blocks (winnow = 2000 + v; the
+    * Multimodal audio/spectral precedent) so cross-family screens
+    * fail fast at every version pair; 2001 = v1. */
+  val WinnowFpVersion: Int = 2001
+
+  /** Persisted WINNOWING fingerprint INDEX — the overlap-detection
+    * member of the incremental-index family (t69 minhash bands / m85
+    * pHash chunks / m113 spectral codes; closes round-10 gap #3):
+    * fingerprint the corpus ONCE into one row per DISTINCT (fp, doc),
+    * write it (bucketed by fp in production, so probes are
+    * shuffle-free), and screen every ingest batch with
+    * [[dedupAgainstWinnowIndex]] — standing corpora stop
+    * re-fingerprinting per run. Rows carry [[WinnowFpVersion]] so a
+    * fingerprint-function change fails fast instead of silently
+    * matching nothing. [[IncrementalIndex.append]]-compatible. */
+  def winnowIndex(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 5)(implicit s: SparkSession): DataFrame =
+    Materialize.eager(
+      winnowFingerprints(docs, idCol, textCol, k, w).toDF()
+        .select(col("doc_id"), col("fp")).distinct())
+      .select(col("fp"), col("doc_id"), lit(WinnowFpVersion).as("fp_ver"))
+
+  /** Screen an ingest batch against a pre-built [[winnowIndex]]: the
+    * batch fingerprints once, equi-joins the index on fp, and a probe
+    * is an overlap-duplicate of the lowest corpus doc sharing
+    * >= `minShared` distinct fingerprints (the [[winnowOverlapPairs]]
+    * metric — by the winnowing guarantee, any shared >= w+k-1-token
+    * run surfaces). Returns one verdict row per batch doc that
+    * produced at least one fingerprint (the family contract: docs too
+    * short to fingerprint are absent, not judged kept). Enforces
+    * [[WinnowFpVersion]]; screen with the (k, w) the index was built
+    * with. */
+  def dedupAgainstWinnowIndex(probes: DataFrame, index: DataFrame,
+      idCol: String, textCol: String, k: Int = 4, w: Int = 5,
+      minShared: Int = 3)(implicit s: SparkSession): DataFrame =
+    screenAgainstFpIndex(
+      Materialize.eager(
+        winnowFingerprints(probes, idCol, textCol, k, w).toDF()
+          .select(col("doc_id"), col("fp")).distinct()),
+      index, "fp", minShared, WinnowFpVersion, "winnowIndex")
+
+  /** Version stamp for the CDC chunk function ([[cdcChunks]] /
+    * [[cdcChunksBounded]] — window hash, boundary predicate, chunk
+    * hash): bump when any of those change. Parameter choices (window,
+    * nibbles, bounds) are NOT covered — screen with the parameters
+    * the index was built with. Namespaced (cdc = 3000 + v); 3001 =
+    * v1. */
+  val CdcFpVersion: Int = 3001
+
+  /** Persisted CDC chunk INDEX — the shift-tolerant exact-span member
+    * of the incremental family (closes round-10 gap #3 for the CDC
+    * side): chunk the corpus ONCE into one row per DISTINCT
+    * (chunk hash, doc), stamped with [[CdcFpVersion]], and screen
+    * ingest batches with [[dedupAgainstCdcIndex]]. Because boundaries
+    * re-synchronize, a corpus span embedded at ANY offset inside a
+    * probe still lands on its source through the index. Bounded
+    * chunking (`minChunk`/`maxChunk` > 0 → [[cdcChunksBounded]])
+    * must be mirrored at screen time. */
+  def cdcChunkIndex(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 4, minTokens: Int = 4, nibbles: Int = 1,
+      minChunk: Int = 0, maxChunk: Int = 0)(
+      implicit s: SparkSession): DataFrame =
+    Materialize.eager(
+      (if (minChunk > 0 || maxChunk > 0)
+        cdcChunksBounded(docs, idCol, textCol, window, minTokens, nibbles,
+          math.max(1, minChunk), if (maxChunk > 0) maxChunk else Int.MaxValue)
+      else cdcChunks(docs, idCol, textCol, window, minTokens, nibbles))
+        .toDF().select(col("doc_id"), col("ch")).distinct())
+      .select(col("ch"), col("doc_id"), lit(CdcFpVersion).as("fp_ver"))
+
+  /** Screen an ingest batch against a pre-built [[cdcChunkIndex]]:
+    * shared DISTINCT chunk hashes >= `minShared` (the
+    * [[cdcOverlapPairs]] metric) → duplicate of the lowest matching
+    * corpus doc. Same contract shape as [[dedupAgainstWinnowIndex]];
+    * enforces [[CdcFpVersion]]. */
+  def dedupAgainstCdcIndex(probes: DataFrame, index: DataFrame,
+      idCol: String, textCol: String, window: Int = 4, minTokens: Int = 4,
+      nibbles: Int = 1, minShared: Int = 2, minChunk: Int = 0,
+      maxChunk: Int = 0)(implicit s: SparkSession): DataFrame =
+    screenAgainstFpIndex(
+      Materialize.eager(
+        (if (minChunk > 0 || maxChunk > 0)
+          cdcChunksBounded(probes, idCol, textCol, window, minTokens,
+            nibbles, math.max(1, minChunk),
+            if (maxChunk > 0) maxChunk else Int.MaxValue)
+        else cdcChunks(probes, idCol, textCol, window, minTokens, nibbles))
+          .toDF().select(col("doc_id"), col("ch")).distinct()),
+      index, "ch", minShared, CdcFpVersion, "cdcChunkIndex")
+
+  /** Shared screen kernel for the fingerprint-set indexes
+    * ([[winnowIndex]] / [[cdcChunkIndex]]): fail-fast version check
+    * (the audio-index pattern — a cross-version screen compiles and
+    * runs but matches NOTHING, the silent-miss failure mode), then
+    * probe-fps x index equi-join on `keyCol`, shared-distinct count
+    * >= minShared, dup_src = lowest matching corpus doc. */
+  private def screenAgainstFpIndex(probeFps: DataFrame, index: DataFrame,
+      keyCol: String, minShared: Int, ver: Int, builder: String): DataFrame = {
+    require(index.columns.contains("fp_ver"),
+      s"index has no fp_ver column: it predates fingerprint version " +
+        s"$ver — rebuild it with $builder before screening")
+    val stale = index.filter(col("fp_ver") =!= lit(ver)).limit(1).collect()
+    require(stale.isEmpty,
+      s"index built by fingerprint version " +
+        s"${stale.headOption.map(_.getAs[Any]("fp_ver")).orNull}, " +
+        s"current is $ver — rebuild it with $builder before screening " +
+        "(cross-version fingerprints never match)")
+    val dup = probeFps.join(
+        index.select(col(keyCol), col("doc_id").as("src")), Seq(keyCol))
+      .groupBy(col("doc_id"), col("src")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minShared)
+      .groupBy(col("doc_id")).agg(min(col("src")).as("dup_src"))
+    probeFps.select(col("doc_id")).distinct()
+      .join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_src").isNull.as("kept"),
+        col("dup_src"))
   }
 
   /** Document overlap pairs from winnowing fingerprints: posting

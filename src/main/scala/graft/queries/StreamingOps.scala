@@ -1114,6 +1114,115 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // ARBITRARY-OFFSET trim + fractional resample — ONSET-ANCHORED
+    // spectral landmarks (closes round-10 gap #1): 10 beat-gated tone
+    // masters at 8 kHz (segMs=96/gateMs=32/permMs=32: every burst is
+    // exactly one 64 ms frame long and levels re-permute every 32 ms),
+    // 10 re-uploads at 44.1 kHz trimmed 50 ms — a multiple of NEITHER
+    // 64 nor 32, so every grid-anchored frame is off the master's grid
+    // and the m110 tier AND the m114 hop=32 tier provably miss
+    // (Round11Spec pins both, with top grid scores < 0.25). Frames
+    // anchored at energy onsets travel with the content through any
+    // trim and any resample; all 10 re-uploads land >= 0.95. Pinned
+    // golden (StrictMath trig).
+    "m115_audio_onset_landmarks" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val wav = udf((id: Long) =>
+        if (id < 20) Multimodal.syntheticWavTones(id, 8000, ms = 1248,
+          gateMs = 32, segMs = 96, permMs = 32)
+        else Multimodal.syntheticWavTones(id - 20, 44100, ms = 1120,
+          offsetMs = 50, gateMs = 32, segMs = 96, permMs = 32))
+      val media = s.range(0, 10).union(s.range(20, 30))
+        .select(col("id").as("doc_id"), wav(col("id")).as("payload"))
+      Multimodal.audioOnsetLandmarkPairs(media, maxDf = 64)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // EXIF orientation NORMALIZATION at decode (closes round-10 gap
+    // #4): 8 PNG masters; 6 probes are EXIF-TAGGED JPEG camera
+    // reposts — pixels stored rotated/mirrored/transposed with the
+    // orientation tag saying how to view them (orientations 6, 8, 3,
+    // 2, 5, 7) — plus 2 unrelated PNGs. Normalizing the tagged
+    // rotation at decode (grid32 reads tag 0x0112 from the APP1 TIFF)
+    // lands every repost via the PLAIN pHash tier, ONE probe instead
+    // of the dihedral eight; without the tag the stored pixels are
+    // provably outside hamming 3 of their master (Round11Spec strips
+    // the APP1 and pins the miss). Remaining distance is high-quality
+    // JPEG codec noise. Pinned golden (JDK JPEG codec leg).
+    "m116_phash_exif" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val orient = Map(0L -> 6, 1L -> 8, 2L -> 3, 3L -> 2, 6L -> 5, 7L -> 7)
+      val img = udf((id: Long) =>
+        if (id >= 20 && id < 30)
+          Multimodal.syntheticJpegExif(id - 20, orient(id - 20))
+        else Multimodal.syntheticPng(id))
+      val media = s.range(0, 8).union(s.range(20, 24)).union(s.range(26, 28))
+        .union(s.range(140, 142))
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      Multimodal.pHashPairs(media, maxDist = 3, maxDf = 64)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // WATERMARKED streaming exact dedup (the bounded-state form of
+    // st65 — closes round-10 verdict task #6): dropDuplicatesWithin-
+    // Watermark keeps a key's state only until the watermark passes
+    // its FIRST event time + the 10-minute horizon, so state is
+    // O(keys per horizon), not O(all keys ever) — the form a 100 TB
+    // stream must run. Five micro-batches probe both sides of the
+    // horizon with REFRESHED-timestamp re-deliveries (the retry shape
+    // whose ingest time moves): E1+E3 at T0; E3 re-delivered at
+    // T0+5min (inside the horizon — dropped by STATE, the cross-batch
+    // dedup); E2 at T0+1h (advances the watermark past E1's expiry);
+    // E1 re-delivered at T0+1h (eviction runs at batch END, so this
+    // batch still sees live state — dropped, and the eviction it
+    // triggers is the point); E1 re-delivered again at T0+1h05 —
+    // state is GONE, the copy re-emits. n=2 for E1 is the PROOF the
+    // state was evicted (bounded memory); every other event stays
+    // exactly-once. The oracle derives both counts from the delivery
+    // structure. A late re-delivery carrying its ORIGINAL timestamp
+    // is dropped by the watermark's late-data filter instead —
+    // either way no duplicate inside the horizon survives.
+    "st88_stream_dedup_watermark" -> ((s, dir) => {
+      import s.implicits._
+      val name = "st88_out"
+      val staged = stagingDir("graft-stream-wmdedup")
+      val base = t(s, dir, "events").select($"event_id", $"user_id",
+        $"event_type")
+      def at(lo: Long, hi: Long, ts: String): DataFrame =
+        base.filter($"event_id" >= lo && $"event_id" < hi)
+          .withColumn("ts", lit(ts).cast("timestamp"))
+      def stage(fname: String, df: DataFrame, ageMs: Long): Unit = {
+        val tmp = staged.resolve(fname + ".tmp")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, staged.resolve(fname))
+        staged.resolve(fname).toFile.deleteOnExit()
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        java.nio.file.Files.setLastModifiedTime(staged.resolve(fname),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - ageMs))
+      }
+      stage("a.parquet",
+        at(0, 20, "2024-01-01 00:00:00")
+          .unionByName(at(40, 60, "2024-01-01 00:00:00")), 480000L)
+      stage("b.parquet", at(40, 60, "2024-01-01 00:05:00"), 360000L)
+      stage("c.parquet", at(20, 40, "2024-01-01 01:00:00"), 240000L)
+      stage("d.parquet", at(0, 20, "2024-01-01 01:00:00"), 120000L)
+      stage("e.parquet", at(0, 20, "2024-01-01 01:05:00"), 0L)
+      val schema = s.read.parquet(staged.toString).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("event_id")
+      val q = stream.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+      s.table(name).groupBy($"event_id").agg(count(lit(1)).as("n"))
+        .orderBy($"event_id")
+    }),
+
     // MKV LACING walk (closes round-9 gap #2: real WebM PCM is
     // routinely laced, and the pre-round-10 walk skipped laced blocks
     // — silently contributing nothing to the audio tier): 10 ids,
@@ -2712,6 +2821,14 @@ object StreamingOps extends QueryPack {
       """SELECT COUNT(DISTINCT md5(text)) AS total_kept,
         CAST(0 AS BIGINT) AS spoofed_kept
         FROM documents WHERE doc_id < 30""",
+    // st88: E1 (ids < 20) re-delivered AFTER the watermark evicted its
+    // state re-emits (n=2 — the bounded-state proof); E3 (40-59)
+    // re-delivered inside the horizon is dropped by state and E2
+    // (20-39) is delivered once — both n=1
+    "st88_stream_dedup_watermark" ->
+      """SELECT event_id,
+        CAST(CASE WHEN event_id < 20 THEN 2 ELSE 1 END AS BIGINT) AS n
+        FROM events WHERE event_id < 60 ORDER BY event_id""",
     // st66 streams documents through the gate; the oracle replays the
     // t47 gate batch-side and aggregates the decisions.
     "st66_stream_quality_gate" ->

@@ -720,6 +720,138 @@ object TextOps extends QueryPack {
         .groupBy(md5($"norm").as("text_hash"))
         .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
         .orderBy($"text_hash")
+    }),
+
+    // BOUNDED content-defined chunking (the production LBFS/FastCDC
+    // form \u2014 closes round-10 gap #2): hard minChunk=6 / maxChunk=24
+    // token bounds over a synthetic corpus with (a) 10 masters,
+    // (b) 5 junk-embedded splices (re-synchronization must survive the
+    // bounds: interior chunks realign after one common accepted
+    // boundary, so every splice still pairs with its master), and
+    // (c) a degenerate single-token-repeated doc whose window hashes
+    // are uniform \u2014 unbounded CDC would carve it into one chunk or
+    // all-minimum slivers; the bounds force every interior chunk into
+    // [6, 24]. The boundary set is STATEFUL (each edge depends on the
+    // previous accepted edge), so the SQL oracle cannot replay it \u2014
+    // pinned golden (the cdcChunks scaladoc draws exactly this line).
+    // Output per doc: chunk count, shortest/longest chunk, and the
+    // lowest master it overlaps with (shared distinct chunks >= 2).
+    "t79_cdc_bounded" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // synthetic, dir-independent corpus: token j of doc i is
+      // w<(i*131 + j*17 + i*j*7) mod 97>, 120 tokens per master — the
+      // i*j cross term keeps two masters' token streams from being
+      // cyclic shifts of each other (a pure-linear formula makes every
+      // master a re-synchronizing near-dup of every other)
+      def tokens(idCol: org.apache.spark.sql.Column, n: Int,
+          tag: String): org.apache.spark.sql.Column =
+        concat_ws(" ", (0 until n).map(j =>
+          concat(lit(tag),
+            (idCol * 131 + j * 17 + idCol * j * 7) % 97)): _*)
+      val masters = s.range(0, 10)
+        .select($"id".as("doc_id"), tokens($"id", 120, "w").as("text"))
+      val spliced = s.range(20, 25)
+        .select($"id".as("doc_id"),
+          concat(tokens($"id", 17, "j"), lit(" "),
+            tokens($"id" - 20, 120, "w"), lit(" "),
+            tokens($"id" + 7, 5, "k")).as("text"))
+      val degen = s.range(30, 31)
+        .select($"id".as("doc_id"),
+          concat_ws(" ", (0 until 150).map(_ => lit("zzz")): _*).as("text"))
+      val corpus = masters.unionByName(spliced).unionByName(degen)
+      val chunks = graft.operators.Materialize.eager(
+        TextDedup.cdcChunksBounded(corpus, "doc_id", "text",
+          nibbles = 2, minChunk = 6, maxChunk = 24).toDF())
+      val stats = chunks.groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_chunks"), min($"n_tokens").as("min_len"),
+          max($"n_tokens").as("max_len"))
+      val dup = TextDedup.cdcOverlapPairsBounded(corpus, "doc_id", "text",
+          nibbles = 2, minChunk = 6, maxChunk = 24, maxDf = 64)
+        .filter($"doc_a" < 10)
+        .groupBy($"doc_b".as("doc_id")).agg(min($"doc_a").as("dup_src"))
+      stats.join(dup, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_chunks", $"min_len", $"max_len", $"dup_src")
+        .orderBy($"doc_id")
+    }),
+
+    // WINNOWING incremental index (the t69/t72 contract at the t76
+    // seam \u2014 closes round-10 gap #3): corpus fingerprinted ONCE into
+    // winnowIndex (version-stamped); batch 1 screens 5 junk-embedded
+    // splices (every one lands on its master by the winnowing
+    // guarantee) + 5 reversed-text fresh docs (kept); the kept probes
+    // APPEND (IncrementalIndex.append) and batch 2's re-splices of the
+    // reversed texts must land on the 2000000-space ids \u2014 through an
+    // index that never re-fingerprinted the corpus. Full SQL replay
+    // (the t76/t77 winnow selection, two screen phases).
+    "t80_winnow_index" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      val docs = t(s, dir, "documents")
+      val index0 = TextDedup.winnowIndex(docs, "doc_id", "text")
+      val b1 = docs.filter($"doc_id" < 5)
+        .select(($"doc_id" + 1000000L).as("doc_id"),
+          concat(lit("junk prefix tokens before the borrowed span "),
+            $"text", lit(" junk suffix after")).as("text"))
+        .unionAll(docs.filter($"doc_id" >= 40 && $"doc_id" < 45)
+          .select(($"doc_id" + 2000000L).as("doc_id"),
+            reverse($"text").as("text")))
+      val v1 = TextDedup.dedupAgainstWinnowIndex(b1, index0, "doc_id", "text")
+      val kept1 = b1.join(v1.filter($"kept").select($"doc_id"),
+        Seq("doc_id"), "left_semi")
+      val index1 = IncrementalIndex.append(index0,
+        TextDedup.winnowIndex(kept1, "doc_id", "text"))
+      val b2 = docs.filter($"doc_id" >= 40 && $"doc_id" < 45)
+        .select(($"doc_id" + 3000000L).as("doc_id"),
+          concat(lit("fresh head junk of the second batch "),
+            reverse($"text"), lit(" second tail junk")).as("text"))
+      val v2 = TextDedup.dedupAgainstWinnowIndex(b2, index1, "doc_id", "text")
+      v1.select(lit(1L).as("batch"), $"doc_id", $"kept", $"dup_src")
+        .unionAll(v2.select(lit(2L).as("batch"), $"doc_id", $"kept",
+          $"dup_src"))
+        .orderBy($"doc_id")
+    }),
+
+    // CDC chunk incremental index (t80's shift-tolerant exact-span
+    // sibling): corpus chunked ONCE into cdcChunkIndex (nibbles=2,
+    // version-stamped); batch 1 screens the 5 splices \u2014 FOUR land,
+    // doc 2's splice carves only one interior chunk and is KEPT (the
+    // honest CDC recall trade t78 documents; winnowing's t80 catches
+    // that one) \u2014 plus 5 reversed fresh docs; kept probes append;
+    // batch 2 re-splices of the reversed texts screen against the
+    // appended index (two carve >= 2 shared interior chunks and land;
+    // the other three are the same chunk-granular recall trade \u2014 t80's
+    // winnowing guarantee catches all five). Full SQL replay
+    // (stateless chunk predicate).
+    "t81_cdc_index" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      val docs = t(s, dir, "documents")
+      val index0 = TextDedup.cdcChunkIndex(docs, "doc_id", "text",
+        nibbles = 2)
+      val b1 = docs.filter($"doc_id" < 5)
+        .select(($"doc_id" + 1000000L).as("doc_id"),
+          concat(lit("junk prefix tokens before the borrowed span "),
+            $"text", lit(" junk suffix after")).as("text"))
+        .unionAll(docs.filter($"doc_id" >= 40 && $"doc_id" < 45)
+          .select(($"doc_id" + 2000000L).as("doc_id"),
+            reverse($"text").as("text")))
+      val v1 = TextDedup.dedupAgainstCdcIndex(b1, index0, "doc_id", "text",
+        nibbles = 2)
+      val kept1 = b1.join(v1.filter($"kept").select($"doc_id"),
+        Seq("doc_id"), "left_semi")
+      val index1 = IncrementalIndex.append(index0,
+        TextDedup.cdcChunkIndex(kept1, "doc_id", "text", nibbles = 2))
+      val b2 = docs.filter($"doc_id" >= 40 && $"doc_id" < 45)
+        .select(($"doc_id" + 3000000L).as("doc_id"),
+          concat(lit("fresh head junk of the second batch "),
+            reverse($"text"), lit(" second tail junk")).as("text"))
+      val v2 = TextDedup.dedupAgainstCdcIndex(b2, index1, "doc_id", "text",
+        nibbles = 2)
+      v1.select(lit(1L).as("batch"), $"doc_id", $"kept", $"dup_src")
+        .unionAll(v2.select(lit(2L).as("batch"), $"doc_id", $"kept",
+          $"dup_src"))
+        .orderBy($"doc_id")
     })
   )
 
@@ -1122,6 +1254,130 @@ object TextOps extends QueryPack {
         JOIN ok ON ok.ch = a.ch
         GROUP BY 1, 2 HAVING COUNT(*) >= 2
         ORDER BY doc_a, doc_b""",
+    // t80: the t76/t77 winnow selection replayed over corpus (grp 0),
+    // batch-1 probes (grp 1: splices + reversed fresh), batch-2
+    // probes (grp 2); screen 1 vs grp 0, append = grp-1 keeps' fps,
+    // screen 2 vs grp 0 + appended — the full t72-shaped loop derived
+    // from first principles
+    "t80_winnow_index" ->
+      """WITH allt AS (
+          SELECT doc_id, text, 0 AS grp FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000,
+            'junk prefix tokens before the borrowed span ' || text ||
+              ' junk suffix after', 1
+          FROM documents WHERE doc_id < 5
+          UNION ALL
+          SELECT doc_id + 2000000, reverse(text), 1
+          FROM documents WHERE doc_id >= 40 AND doc_id < 45
+          UNION ALL
+          SELECT doc_id + 3000000,
+            'fresh head junk of the second batch ' || reverse(text) ||
+              ' second tail junk', 2
+          FROM documents WHERE doc_id >= 40 AND doc_id < 45),
+        w AS (SELECT doc_id, grp, string_split(text, ' ') AS tk FROM allt),
+        g AS (SELECT doc_id, grp, list_transform(range(1, greatest(len(tk)-3,0)+1),
+            i -> md5(tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3])) AS gs
+          FROM w),
+        sel AS (SELECT doc_id, grp, gs,
+          CASE WHEN len(gs) = 0 THEN CAST([] AS BIGINT[])
+            WHEN len(gs) <= 5 THEN
+              [len(gs) + 1 - list_position(list_reverse(gs), list_min(gs))]
+            ELSE list_distinct(list_transform(range(1, len(gs)-5+2),
+              j -> j + 5 - list_position(
+                list_reverse(list_slice(gs, j, j+4)),
+                list_min(list_slice(gs, j, j+4)))))
+          END AS ps FROM g),
+        fpd AS (SELECT DISTINCT doc_id, grp, gs[u.p] AS fp
+          FROM sel, unnest(ps) u(p)),
+        s1 AS (SELECT a.doc_id AS pid, b.doc_id AS src, COUNT(*) AS c
+          FROM fpd a JOIN fpd b ON a.fp = b.fp AND a.grp = 1 AND b.grp = 0
+          GROUP BY 1, 2),
+        v1 AS (SELECT f.doc_id, MIN(s1.src) AS dup_src
+          FROM (SELECT DISTINCT doc_id FROM fpd WHERE grp = 1) f
+          LEFT JOIN s1 ON s1.pid = f.doc_id AND s1.c >= 3
+          GROUP BY 1),
+        idx1 AS (SELECT doc_id, fp FROM fpd WHERE grp = 0
+          UNION ALL
+          SELECT doc_id, fp FROM fpd WHERE grp = 1 AND doc_id IN
+            (SELECT doc_id FROM v1 WHERE dup_src IS NULL)),
+        s2 AS (SELECT a.doc_id AS pid, b.doc_id AS src, COUNT(*) AS c
+          FROM fpd a JOIN idx1 b ON a.fp = b.fp AND a.grp = 2
+          GROUP BY 1, 2),
+        v2 AS (SELECT f.doc_id, MIN(s2.src) AS dup_src
+          FROM (SELECT DISTINCT doc_id FROM fpd WHERE grp = 2) f
+          LEFT JOIN s2 ON s2.pid = f.doc_id AND s2.c >= 3
+          GROUP BY 1)
+        SELECT * FROM (
+          SELECT CAST(1 AS BIGINT) AS batch, doc_id,
+            dup_src IS NULL AS kept, dup_src FROM v1
+          UNION ALL
+          SELECT CAST(2 AS BIGINT), doc_id, dup_src IS NULL, dup_src
+          FROM v2)
+        ORDER BY doc_id""",
+    // t81: the t78 CDC chunking replayed over the same three groups;
+    // screens count shared distinct chunk hashes >= 2
+    "t81_cdc_index" ->
+      """WITH allt AS (
+          SELECT doc_id, text, 0 AS grp FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000,
+            'junk prefix tokens before the borrowed span ' || text ||
+              ' junk suffix after', 1
+          FROM documents WHERE doc_id < 5
+          UNION ALL
+          SELECT doc_id + 2000000, reverse(text), 1
+          FROM documents WHERE doc_id >= 40 AND doc_id < 45
+          UNION ALL
+          SELECT doc_id + 3000000,
+            'fresh head junk of the second batch ' || reverse(text) ||
+              ' second tail junk', 2
+          FROM documents WHERE doc_id >= 40 AND doc_id < 45),
+        w AS (SELECT doc_id, grp, string_split(text, ' ') AS tk FROM allt),
+        bp AS (SELECT doc_id, grp, tk, list_filter(range(4, len(tk)+1),
+            i -> substr(md5(tk[i-3]||' '||tk[i-2]||' '||tk[i-1]||' '||tk[i]),
+              32, 1) IN ('0', '1')) AS bs
+          FROM w),
+        ed AS (SELECT doc_id, grp, tk,
+            list_concat(list_concat([CAST(0 AS BIGINT)], bs),
+              CASE WHEN len(bs) > 0 AND bs[-1] = len(tk)
+                THEN CAST([] AS BIGINT[])
+                ELSE [CAST(len(tk) AS BIGINT)] END) AS es
+          FROM bp),
+        ch0 AS (SELECT doc_id, grp,
+            list_filter(list_transform(range(1, len(es)),
+              j -> CASE WHEN es[j+1] - es[j] >= 4
+                THEN md5(array_to_string(
+                  list_slice(tk, es[j]+1, es[j+1]), ' '))
+                ELSE NULL END), x -> x IS NOT NULL) AS hs
+          FROM ed),
+        fpd AS (SELECT DISTINCT doc_id, grp, u.h AS fp
+          FROM ch0, unnest(hs) u(h)),
+        s1 AS (SELECT a.doc_id AS pid, b.doc_id AS src, COUNT(*) AS c
+          FROM fpd a JOIN fpd b ON a.fp = b.fp AND a.grp = 1 AND b.grp = 0
+          GROUP BY 1, 2),
+        v1 AS (SELECT f.doc_id, MIN(s1.src) AS dup_src
+          FROM (SELECT DISTINCT doc_id FROM fpd WHERE grp = 1) f
+          LEFT JOIN s1 ON s1.pid = f.doc_id AND s1.c >= 2
+          GROUP BY 1),
+        idx1 AS (SELECT doc_id, fp FROM fpd WHERE grp = 0
+          UNION ALL
+          SELECT doc_id, fp FROM fpd WHERE grp = 1 AND doc_id IN
+            (SELECT doc_id FROM v1 WHERE dup_src IS NULL)),
+        s2 AS (SELECT a.doc_id AS pid, b.doc_id AS src, COUNT(*) AS c
+          FROM fpd a JOIN idx1 b ON a.fp = b.fp AND a.grp = 2
+          GROUP BY 1, 2),
+        v2 AS (SELECT f.doc_id, MIN(s2.src) AS dup_src
+          FROM (SELECT DISTINCT doc_id FROM fpd WHERE grp = 2) f
+          LEFT JOIN s2 ON s2.pid = f.doc_id AND s2.c >= 2
+          GROUP BY 1)
+        SELECT * FROM (
+          SELECT CAST(1 AS BIGINT) AS batch, doc_id,
+            dup_src IS NULL AS kept, dup_src FROM v1
+          UNION ALL
+          SELECT CAST(2 AS BIGINT), doc_id, dup_src IS NULL, dup_src
+          FROM v2)
+        ORDER BY doc_id""",
     "t48_decontaminate" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         sh AS (SELECT DISTINCT doc_id, g FROM (

@@ -82,6 +82,12 @@ QUERIES = [
     "st72_stream_phash_dedup",  # streaming pHash chunk-state dedup
     "t68_bpe_batched",   # batched BPE rules (corpus is seed-fixed; 64
                          # data-dependent batches aren't SQL-unrollable)
+    "m115_audio_onset_landmarks", # onset-anchored spectral landmarks
+                           # (arbitrary-offset trim + fractional resample)
+    "m116_phash_exif",   # EXIF orientation normalized at decode (tagged
+                         # camera reposts land via the PLAIN pHash tier)
+    "t79_cdc_bounded",   # hard min/max CDC chunk bounds (stateful
+                         # boundary set — outside SQL replay by design)
 ]
 # e52 is 2000 rows; pin a deterministic 50-row sample (p_partkey % 40 == 0)
 SAMPLE = {"e52_keccak256": "p_partkey % 40 = 0"}
