@@ -367,6 +367,38 @@ object StreamingNearDup {
       }
   }
 
+  /** [[audioSpectralLandmarkVerdicts]] at the ONSET seam — the
+    * streaming member of the m115 tier: state keys on
+    * `Multimodal.spectralOnsetLandmarks`' onset-anchored (slot, code)
+    * landmarks, so a re-delivery trimmed at an ARBITRARY offset (a
+    * multiple of no hop) and fractionally resampled — which every
+    * grid-anchored streaming tier is blind to — still lands in its
+    * master's buckets: onsets travel with the content. Same
+    * id-monotonic determinism contract, [[LandmarkHits]] record, and
+    * `maxBucket` / [[foldBucket]] cap as the spectral sibling;
+    * silence-free audio emits no landmarks and simply passes through
+    * (the grid tiers cover it). */
+  def audioOnsetLandmarkVerdicts(media: DataFrame, idCol: String,
+      payloadCol: String, codesPerOnset: Int = 2,
+      maxBucket: Int = 0): Dataset[LandmarkHits] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val lms = Multimodal.spectralOnsetLandmarks(
+      media.select(col(idCol).cast("long").as("doc_id"),
+        col(payloadCol).as("payload")), codesPerOnset)
+    lms.groupByKey(_.lm)
+      .flatMapGroupsWithState[List[Long], LandmarkHits](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (lm, rows, state: GroupState[List[Long]]) =>
+          val (seen, out) = foldBucket(state.getOption.getOrElse(Nil),
+            rows.toSeq.map(_.doc_id).sorted, maxBucket)(
+            (id, hits) => LandmarkHits(id, lm, hits))
+          state.update(seen)
+          out.iterator
+      }
+  }
+
   /** Streaming VIDEO near-dup under TIME SHIFT — the video analog of
     * [[audioLandmarkVerdicts]], completing the streaming dedup matrix
     * (text bands / image chunks / audio aligned / audio landmarks /

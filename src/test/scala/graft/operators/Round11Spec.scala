@@ -66,6 +66,16 @@ class Round11Spec extends AnyFunSuite with BeforeAndAfterAll {
       & planted).isEmpty, "hop=32 grid landmarks must miss")
     assert((pairs(Multimodal.audioSpectralPairs(media)) & planted).isEmpty,
       "aligned spectral codes must miss")
+    // streaming form: the trimmed re-deliveries land on their masters
+    // with the shipped cap on (the st89 verdict family)
+    val hits = StreamingNearDup.audioOnsetLandmarkVerdicts(
+        media, "doc_id", "payload", maxBucket = 64)
+      .collect().groupBy(_.doc_id)
+      .map { case (id, xs) => (id, xs.flatMap(_.hits)) }
+    (20L until 24L).foreach { id =>
+      assert(hits(id).count(_ == id - 20L) >= 13,
+        s"re-delivery $id: ${hits(id).toSeq}")
+    }
     // silence-free audio has no onsets: the tier drops out instead of
     // fabricating landmarks (the grid tiers cover that corpus)
     val ungated = udf((id: Long) => Multimodal.syntheticWavTones(id, 8000))

@@ -88,6 +88,8 @@ QUERIES = [
                          # camera reposts land via the PLAIN pHash tier)
     "t79_cdc_bounded",   # hard min/max CDC chunk bounds (stateful
                          # boundary set — outside SQL replay by design)
+    "st89_stream_onset_landmark_dedup", # streaming onset-landmark
+                           # audio dedup (arbitrary-offset trim re-delivery)
 ]
 # e52 is 2000 rows; pin a deterministic 50-row sample (p_partkey % 40 == 0)
 SAMPLE = {"e52_keccak256": "p_partkey % 40 = 0"}
