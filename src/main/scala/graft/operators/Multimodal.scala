@@ -1013,18 +1013,27 @@ object Multimodal {
     * an onset travels with the content through any trim AND any
     * resample, so the `codesPerOnset` frames of 64 ms laid out after
     * each onset cover identical absolute-time spans in master and
-    * re-upload, whatever the offset. A landmark packs (frame slot k,
-    * code) as k*65536 + code — positional WITHIN an onset (stronger
-    * than the positionless (code, next) pair), positionless across
-    * onsets. Distinct per doc, one mapPartitions pass, no shuffle —
-    * the family shape. Silence-free audio yields no onsets and drops
-    * out of this tier (the grid tiers still cover it). */
+    * re-upload, whatever the offset.
+    *
+    * ONE landmark per onset, packing ALL `codesPerOnset` frame codes
+    * (16 bits each, slot 0 highest) into a single Long — NOT one
+    * (slot, code) landmark per frame: the 32k-doc ScaleCheck sweep
+    * showed single-code landmarks concentrate on degenerate near-tie
+    * codes (0x5555/0xAAAA alternating-order patterns reach df > 1000),
+    * so the skew cap was eating planted recall at corpus scale, while
+    * the packed joint code keeps df at the handful a real duplicate
+    * family produces. Onsets too close to the end of the audio to fill
+    * every slot emit nothing (deterministic in absolute time — the
+    * min-based scoring absorbs the trailing difference). Distinct per
+    * doc, one mapPartitions pass, no shuffle — the family shape.
+    * Silence-free audio yields no onsets and drops out of this tier
+    * (the grid tiers still cover it). */
   def spectralOnsetLandmarks(media: DataFrame, codesPerOnset: Int = 2,
       threshold: Int = 1024, minSilenceMs: Int = 8)(
       implicit s: SparkSession): Dataset[DocLandmark] = {
     import s.implicits._
-    require(codesPerOnset >= 1 && codesPerOnset < 65536,
-      "codesPerOnset must be in 1..65535 (the landmark packs k*65536+code)")
+    require(codesPerOnset >= 1 && codesPerOnset <= 4,
+      "codesPerOnset must be in 1..4 (16-bit codes pack into one Long)")
     media.select(col("doc_id"), col("payload")).as[MediaRow]
       .mapPartitions(rows => rows.flatMap { r =>
         decodeWav(r.payload) match {
@@ -1036,17 +1045,19 @@ object Multimodal {
             else {
               val lms = scala.collection.mutable.LinkedHashSet.empty[Long]
               energyOnsets(mono, rate, threshold, minSilenceMs).foreach { o =>
+                var lm = 0L
                 var k = 0
-                while (k < codesPerOnset) {
+                var full = true
+                while (k < codesPerOnset && full) {
                   // frame slot k starts k*64 ms after the onset —
                   // absolute-time-derived like the drift-free grid
                   val off = o + (k.toLong * 64L * rate / 1000L).toInt
-                  if (off + frameN <= mono.length) {
-                    lms += k.toLong * 65536L +
-                      spectralCodeAt(mono, rate, off, frameN)
-                  }
+                  if (off + frameN <= mono.length)
+                    lm = lm * 65536L + spectralCodeAt(mono, rate, off, frameN)
+                  else full = false
                   k += 1
                 }
+                if (full) lms += lm
               }
               lms.iterator.map(DocLandmark(r.doc_id, _))
             }

@@ -369,8 +369,8 @@ object StreamingNearDup {
 
   /** [[audioSpectralLandmarkVerdicts]] at the ONSET seam — the
     * streaming member of the m115 tier: state keys on
-    * `Multimodal.spectralOnsetLandmarks`' onset-anchored (slot, code)
-    * landmarks, so a re-delivery trimmed at an ARBITRARY offset (a
+    * `Multimodal.spectralOnsetLandmarks`' onset-anchored packed
+    * joint-code landmarks (one per onset), so a re-delivery trimmed at an ARBITRARY offset (a
     * multiple of no hop) and fractionally resampled — which every
     * grid-anchored streaming tier is blind to — still lands in its
     * master's buckets: onsets travel with the content. Same

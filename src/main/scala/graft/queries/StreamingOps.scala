@@ -1168,7 +1168,8 @@ object StreamingOps extends QueryPack {
     // masters at 8 kHz, micro-batch 2 their 50 ms-trimmed 44.1 kHz
     // re-uploads — the arbitrary-offset compound every grid-anchored
     // streaming tier (st73/st74/st82/st84) is blind to. Onset-anchored
-    // (slot, code) landmark buckets emit earlier sharers; the batch
+    // packed per-onset joint-code landmark buckets emit earlier
+    // sharers; the batch
     // query over the sink scores shared distinct landmarks >= 0.6 over
     // the smaller set (the m115 metric). Pinned golden.
     "st89_stream_onset_landmark_dedup" -> ((s, dir) => {

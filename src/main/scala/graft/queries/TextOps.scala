@@ -852,8 +852,218 @@ object TextOps extends QueryPack {
         .unionAll(v2.select(lit(2L).as("batch"), $"doc_id", $"kept",
           $"dup_src"))
         .orderBy($"doc_id")
+    }),
+
+    // t80's loop through the parquet SINK (the t73 shape at the
+    // winnow seam): the fingerprint index lives in a SinkTable
+    // (orderKeys (doc_id, fp) — append-only ingest, so LWW never
+    // binds; the PLANS note explains why a re-index UPDATE leg needs
+    // delete-by-doc, not key-wise LWW, and stays out of this gate).
+    // Screen batch 1 over the sink files, `compact()` must rewrite
+    // them WITHOUT changing a verdict (batch 11 re-screens and must
+    // equal batch 1 row for row), kept probes append as increment 1,
+    // and batch 2's re-splices land on them — the full
+    // screen -> compact -> append -> screen loop over real files.
+    // Oracle: the t80 replay with batch 1 asserted twice.
+    "t82_winnow_sink_loop" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      val docs = t(s, dir, "documents")
+      val sinkDir = java.nio.file.Files.createTempDirectory("graft-t82-sink")
+      sinkDir.toFile.deleteOnExit()
+      val sink = graft.pipeline.SinkTable(
+        sinkDir.resolve("winnow_index").toString,
+        orderKeys = Seq("doc_id", "fp"))
+      sink.append(TextDedup.winnowIndex(docs, "doc_id", "text"), 0L)
+      val b1 = docs.filter($"doc_id" < 5)
+        .select(($"doc_id" + 1000000L).as("doc_id"),
+          concat(lit("junk prefix tokens before the borrowed span "),
+            $"text", lit(" junk suffix after")).as("text"))
+        .unionAll(docs.filter($"doc_id" >= 40 && $"doc_id" < 45)
+          .select(($"doc_id" + 2000000L).as("doc_id"),
+            reverse($"text").as("text")))
+      // materialize BEFORE compact(): it deletes and rewrites the
+      // sink's files, so a lazy plan over the old files must not
+      // survive past it (the t73 precedent)
+      val v1 = graft.operators.Materialize.eager(
+        TextDedup.dedupAgainstWinnowIndex(b1, sink.read(s), "doc_id", "text"))
+      sink.compact(s)
+      val v1post = graft.operators.Materialize.eager(
+        TextDedup.dedupAgainstWinnowIndex(b1, sink.read(s), "doc_id", "text"))
+      val kept1 = b1.join(v1post.filter($"kept").select($"doc_id"),
+        Seq("doc_id"), "left_semi")
+      sink.append(TextDedup.winnowIndex(kept1, "doc_id", "text"), 1L)
+      val b2 = docs.filter($"doc_id" >= 40 && $"doc_id" < 45)
+        .select(($"doc_id" + 3000000L).as("doc_id"),
+          concat(lit("fresh head junk of the second batch "),
+            reverse($"text"), lit(" second tail junk")).as("text"))
+      val v2 = TextDedup.dedupAgainstWinnowIndex(b2, sink.read(s),
+        "doc_id", "text")
+      v1.select(lit(1L).as("batch"), $"doc_id", $"kept", $"dup_src")
+        .unionAll(v1post.select(lit(11L).as("batch"), $"doc_id", $"kept",
+          $"dup_src"))
+        .unionAll(v2.select(lit(2L).as("batch"), $"doc_id", $"kept",
+          $"dup_src"))
+        .orderBy($"batch", $"doc_id")
+    }),
+
+    // t81's loop through the parquet sink — the CDC sibling of t82
+    // (orderKeys (doc_id, ch)); same screen -> compact -> append ->
+    // screen phases, same honest chunk-granular recall in batch 2.
+    // Oracle: the t81 replay with batch 1 asserted twice.
+    "t83_cdc_sink_loop" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      val docs = t(s, dir, "documents")
+      val sinkDir = java.nio.file.Files.createTempDirectory("graft-t83-sink")
+      sinkDir.toFile.deleteOnExit()
+      val sink = graft.pipeline.SinkTable(
+        sinkDir.resolve("cdc_index").toString,
+        orderKeys = Seq("doc_id", "ch"))
+      sink.append(TextDedup.cdcChunkIndex(docs, "doc_id", "text",
+        nibbles = 2), 0L)
+      val b1 = docs.filter($"doc_id" < 5)
+        .select(($"doc_id" + 1000000L).as("doc_id"),
+          concat(lit("junk prefix tokens before the borrowed span "),
+            $"text", lit(" junk suffix after")).as("text"))
+        .unionAll(docs.filter($"doc_id" >= 40 && $"doc_id" < 45)
+          .select(($"doc_id" + 2000000L).as("doc_id"),
+            reverse($"text").as("text")))
+      val v1 = graft.operators.Materialize.eager(
+        TextDedup.dedupAgainstCdcIndex(b1, sink.read(s), "doc_id", "text",
+          nibbles = 2))
+      sink.compact(s)
+      val v1post = graft.operators.Materialize.eager(
+        TextDedup.dedupAgainstCdcIndex(b1, sink.read(s), "doc_id", "text",
+          nibbles = 2))
+      val kept1 = b1.join(v1post.filter($"kept").select($"doc_id"),
+        Seq("doc_id"), "left_semi")
+      sink.append(TextDedup.cdcChunkIndex(kept1, "doc_id", "text",
+        nibbles = 2), 1L)
+      val b2 = docs.filter($"doc_id" >= 40 && $"doc_id" < 45)
+        .select(($"doc_id" + 3000000L).as("doc_id"),
+          concat(lit("fresh head junk of the second batch "),
+            reverse($"text"), lit(" second tail junk")).as("text"))
+      val v2 = TextDedup.dedupAgainstCdcIndex(b2, sink.read(s),
+        "doc_id", "text", nibbles = 2)
+      v1.select(lit(1L).as("batch"), $"doc_id", $"kept", $"dup_src")
+        .unionAll(v1post.select(lit(11L).as("batch"), $"doc_id", $"kept",
+          $"dup_src"))
+        .unionAll(v2.select(lit(2L).as("batch"), $"doc_id", $"kept",
+          $"dup_src"))
+        .orderBy($"batch", $"doc_id")
     })
   )
+
+  // the t80/t81 replay CTEs (winnow / CDC index screens over corpus +
+  // two probe batches), shared with the sink-loop forms t82/t83 which
+  // must land on identical verdicts with batch 1 asserted twice
+  private val t80ReplayCtes: String =
+    """WITH allt AS (
+          SELECT doc_id, text, 0 AS grp FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000,
+            'junk prefix tokens before the borrowed span ' || text ||
+              ' junk suffix after', 1
+          FROM documents WHERE doc_id < 5
+          UNION ALL
+          SELECT doc_id + 2000000, reverse(text), 1
+          FROM documents WHERE doc_id >= 40 AND doc_id < 45
+          UNION ALL
+          SELECT doc_id + 3000000,
+            'fresh head junk of the second batch ' || reverse(text) ||
+              ' second tail junk', 2
+          FROM documents WHERE doc_id >= 40 AND doc_id < 45),
+        w AS (SELECT doc_id, grp, string_split(text, ' ') AS tk FROM allt),
+        g AS (SELECT doc_id, grp, list_transform(range(1, greatest(len(tk)-3,0)+1),
+            i -> md5(tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3])) AS gs
+          FROM w),
+        sel AS (SELECT doc_id, grp, gs,
+          CASE WHEN len(gs) = 0 THEN CAST([] AS BIGINT[])
+            WHEN len(gs) <= 5 THEN
+              [len(gs) + 1 - list_position(list_reverse(gs), list_min(gs))]
+            ELSE list_distinct(list_transform(range(1, len(gs)-5+2),
+              j -> j + 5 - list_position(
+                list_reverse(list_slice(gs, j, j+4)),
+                list_min(list_slice(gs, j, j+4)))))
+          END AS ps FROM g),
+        fpd AS (SELECT DISTINCT doc_id, grp, gs[u.p] AS fp
+          FROM sel, unnest(ps) u(p)),
+        s1 AS (SELECT a.doc_id AS pid, b.doc_id AS src, COUNT(*) AS c
+          FROM fpd a JOIN fpd b ON a.fp = b.fp AND a.grp = 1 AND b.grp = 0
+          GROUP BY 1, 2),
+        v1 AS (SELECT f.doc_id, MIN(s1.src) AS dup_src
+          FROM (SELECT DISTINCT doc_id FROM fpd WHERE grp = 1) f
+          LEFT JOIN s1 ON s1.pid = f.doc_id AND s1.c >= 3
+          GROUP BY 1),
+        idx1 AS (SELECT doc_id, fp FROM fpd WHERE grp = 0
+          UNION ALL
+          SELECT doc_id, fp FROM fpd WHERE grp = 1 AND doc_id IN
+            (SELECT doc_id FROM v1 WHERE dup_src IS NULL)),
+        s2 AS (SELECT a.doc_id AS pid, b.doc_id AS src, COUNT(*) AS c
+          FROM fpd a JOIN idx1 b ON a.fp = b.fp AND a.grp = 2
+          GROUP BY 1, 2),
+        v2 AS (SELECT f.doc_id, MIN(s2.src) AS dup_src
+          FROM (SELECT DISTINCT doc_id FROM fpd WHERE grp = 2) f
+          LEFT JOIN s2 ON s2.pid = f.doc_id AND s2.c >= 3
+          GROUP BY 1)
+"""
+
+  private val t81ReplayCtes: String =
+    """WITH allt AS (
+          SELECT doc_id, text, 0 AS grp FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000,
+            'junk prefix tokens before the borrowed span ' || text ||
+              ' junk suffix after', 1
+          FROM documents WHERE doc_id < 5
+          UNION ALL
+          SELECT doc_id + 2000000, reverse(text), 1
+          FROM documents WHERE doc_id >= 40 AND doc_id < 45
+          UNION ALL
+          SELECT doc_id + 3000000,
+            'fresh head junk of the second batch ' || reverse(text) ||
+              ' second tail junk', 2
+          FROM documents WHERE doc_id >= 40 AND doc_id < 45),
+        w AS (SELECT doc_id, grp, string_split(text, ' ') AS tk FROM allt),
+        bp AS (SELECT doc_id, grp, tk, list_filter(range(4, len(tk)+1),
+            i -> substr(md5(tk[i-3]||' '||tk[i-2]||' '||tk[i-1]||' '||tk[i]),
+              32, 1) IN ('0', '1')) AS bs
+          FROM w),
+        ed AS (SELECT doc_id, grp, tk,
+            list_concat(list_concat([CAST(0 AS BIGINT)], bs),
+              CASE WHEN len(bs) > 0 AND bs[-1] = len(tk)
+                THEN CAST([] AS BIGINT[])
+                ELSE [CAST(len(tk) AS BIGINT)] END) AS es
+          FROM bp),
+        ch0 AS (SELECT doc_id, grp,
+            list_filter(list_transform(range(1, len(es)),
+              j -> CASE WHEN es[j+1] - es[j] >= 4
+                THEN md5(array_to_string(
+                  list_slice(tk, es[j]+1, es[j+1]), ' '))
+                ELSE NULL END), x -> x IS NOT NULL) AS hs
+          FROM ed),
+        fpd AS (SELECT DISTINCT doc_id, grp, u.h AS fp
+          FROM ch0, unnest(hs) u(h)),
+        s1 AS (SELECT a.doc_id AS pid, b.doc_id AS src, COUNT(*) AS c
+          FROM fpd a JOIN fpd b ON a.fp = b.fp AND a.grp = 1 AND b.grp = 0
+          GROUP BY 1, 2),
+        v1 AS (SELECT f.doc_id, MIN(s1.src) AS dup_src
+          FROM (SELECT DISTINCT doc_id FROM fpd WHERE grp = 1) f
+          LEFT JOIN s1 ON s1.pid = f.doc_id AND s1.c >= 2
+          GROUP BY 1),
+        idx1 AS (SELECT doc_id, fp FROM fpd WHERE grp = 0
+          UNION ALL
+          SELECT doc_id, fp FROM fpd WHERE grp = 1 AND doc_id IN
+            (SELECT doc_id FROM v1 WHERE dup_src IS NULL)),
+        s2 AS (SELECT a.doc_id AS pid, b.doc_id AS src, COUNT(*) AS c
+          FROM fpd a JOIN idx1 b ON a.fp = b.fp AND a.grp = 2
+          GROUP BY 1, 2),
+        v2 AS (SELECT f.doc_id, MIN(s2.src) AS dup_src
+          FROM (SELECT DISTINCT doc_id FROM fpd WHERE grp = 2) f
+          LEFT JOIN s2 ON s2.pid = f.doc_id AND s2.c >= 2
+          GROUP BY 1)
+"""
 
   // the t72 two-phase replay (index update + ingest screens) as CTEs,
   // shared with t73 — which runs the SAME phases through the parquet
@@ -1258,126 +1468,50 @@ object TextOps extends QueryPack {
     // batch-1 probes (grp 1: splices + reversed fresh), batch-2
     // probes (grp 2); screen 1 vs grp 0, append = grp-1 keeps' fps,
     // screen 2 vs grp 0 + appended — the full t72-shaped loop derived
-    // from first principles
-    "t80_winnow_index" ->
-      """WITH allt AS (
-          SELECT doc_id, text, 0 AS grp FROM documents
-          UNION ALL
-          SELECT doc_id + 1000000,
-            'junk prefix tokens before the borrowed span ' || text ||
-              ' junk suffix after', 1
-          FROM documents WHERE doc_id < 5
-          UNION ALL
-          SELECT doc_id + 2000000, reverse(text), 1
-          FROM documents WHERE doc_id >= 40 AND doc_id < 45
-          UNION ALL
-          SELECT doc_id + 3000000,
-            'fresh head junk of the second batch ' || reverse(text) ||
-              ' second tail junk', 2
-          FROM documents WHERE doc_id >= 40 AND doc_id < 45),
-        w AS (SELECT doc_id, grp, string_split(text, ' ') AS tk FROM allt),
-        g AS (SELECT doc_id, grp, list_transform(range(1, greatest(len(tk)-3,0)+1),
-            i -> md5(tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3])) AS gs
-          FROM w),
-        sel AS (SELECT doc_id, grp, gs,
-          CASE WHEN len(gs) = 0 THEN CAST([] AS BIGINT[])
-            WHEN len(gs) <= 5 THEN
-              [len(gs) + 1 - list_position(list_reverse(gs), list_min(gs))]
-            ELSE list_distinct(list_transform(range(1, len(gs)-5+2),
-              j -> j + 5 - list_position(
-                list_reverse(list_slice(gs, j, j+4)),
-                list_min(list_slice(gs, j, j+4)))))
-          END AS ps FROM g),
-        fpd AS (SELECT DISTINCT doc_id, grp, gs[u.p] AS fp
-          FROM sel, unnest(ps) u(p)),
-        s1 AS (SELECT a.doc_id AS pid, b.doc_id AS src, COUNT(*) AS c
-          FROM fpd a JOIN fpd b ON a.fp = b.fp AND a.grp = 1 AND b.grp = 0
-          GROUP BY 1, 2),
-        v1 AS (SELECT f.doc_id, MIN(s1.src) AS dup_src
-          FROM (SELECT DISTINCT doc_id FROM fpd WHERE grp = 1) f
-          LEFT JOIN s1 ON s1.pid = f.doc_id AND s1.c >= 3
-          GROUP BY 1),
-        idx1 AS (SELECT doc_id, fp FROM fpd WHERE grp = 0
-          UNION ALL
-          SELECT doc_id, fp FROM fpd WHERE grp = 1 AND doc_id IN
-            (SELECT doc_id FROM v1 WHERE dup_src IS NULL)),
-        s2 AS (SELECT a.doc_id AS pid, b.doc_id AS src, COUNT(*) AS c
-          FROM fpd a JOIN idx1 b ON a.fp = b.fp AND a.grp = 2
-          GROUP BY 1, 2),
-        v2 AS (SELECT f.doc_id, MIN(s2.src) AS dup_src
-          FROM (SELECT DISTINCT doc_id FROM fpd WHERE grp = 2) f
-          LEFT JOIN s2 ON s2.pid = f.doc_id AND s2.c >= 3
-          GROUP BY 1)
+    // from first principles. CTEs shared with t82, which runs the
+    // SAME phases through the parquet SinkTable and must land on the
+    // identical verdicts (batch 1 asserted twice, pre/post compact).
+    "t80_winnow_index" -> (t80ReplayCtes + """
         SELECT * FROM (
           SELECT CAST(1 AS BIGINT) AS batch, doc_id,
             dup_src IS NULL AS kept, dup_src FROM v1
           UNION ALL
           SELECT CAST(2 AS BIGINT), doc_id, dup_src IS NULL, dup_src
           FROM v2)
-        ORDER BY doc_id""",
+        ORDER BY doc_id"""),
+    "t82_winnow_sink_loop" -> (t80ReplayCtes + """
+        SELECT * FROM (
+          SELECT CAST(1 AS BIGINT) AS batch, doc_id,
+            dup_src IS NULL AS kept, dup_src FROM v1
+          UNION ALL
+          SELECT CAST(11 AS BIGINT), doc_id, dup_src IS NULL, dup_src
+          FROM v1
+          UNION ALL
+          SELECT CAST(2 AS BIGINT), doc_id, dup_src IS NULL, dup_src
+          FROM v2)
+        ORDER BY batch, doc_id"""),
     // t81: the t78 CDC chunking replayed over the same three groups;
-    // screens count shared distinct chunk hashes >= 2
-    "t81_cdc_index" ->
-      """WITH allt AS (
-          SELECT doc_id, text, 0 AS grp FROM documents
-          UNION ALL
-          SELECT doc_id + 1000000,
-            'junk prefix tokens before the borrowed span ' || text ||
-              ' junk suffix after', 1
-          FROM documents WHERE doc_id < 5
-          UNION ALL
-          SELECT doc_id + 2000000, reverse(text), 1
-          FROM documents WHERE doc_id >= 40 AND doc_id < 45
-          UNION ALL
-          SELECT doc_id + 3000000,
-            'fresh head junk of the second batch ' || reverse(text) ||
-              ' second tail junk', 2
-          FROM documents WHERE doc_id >= 40 AND doc_id < 45),
-        w AS (SELECT doc_id, grp, string_split(text, ' ') AS tk FROM allt),
-        bp AS (SELECT doc_id, grp, tk, list_filter(range(4, len(tk)+1),
-            i -> substr(md5(tk[i-3]||' '||tk[i-2]||' '||tk[i-1]||' '||tk[i]),
-              32, 1) IN ('0', '1')) AS bs
-          FROM w),
-        ed AS (SELECT doc_id, grp, tk,
-            list_concat(list_concat([CAST(0 AS BIGINT)], bs),
-              CASE WHEN len(bs) > 0 AND bs[-1] = len(tk)
-                THEN CAST([] AS BIGINT[])
-                ELSE [CAST(len(tk) AS BIGINT)] END) AS es
-          FROM bp),
-        ch0 AS (SELECT doc_id, grp,
-            list_filter(list_transform(range(1, len(es)),
-              j -> CASE WHEN es[j+1] - es[j] >= 4
-                THEN md5(array_to_string(
-                  list_slice(tk, es[j]+1, es[j+1]), ' '))
-                ELSE NULL END), x -> x IS NOT NULL) AS hs
-          FROM ed),
-        fpd AS (SELECT DISTINCT doc_id, grp, u.h AS fp
-          FROM ch0, unnest(hs) u(h)),
-        s1 AS (SELECT a.doc_id AS pid, b.doc_id AS src, COUNT(*) AS c
-          FROM fpd a JOIN fpd b ON a.fp = b.fp AND a.grp = 1 AND b.grp = 0
-          GROUP BY 1, 2),
-        v1 AS (SELECT f.doc_id, MIN(s1.src) AS dup_src
-          FROM (SELECT DISTINCT doc_id FROM fpd WHERE grp = 1) f
-          LEFT JOIN s1 ON s1.pid = f.doc_id AND s1.c >= 2
-          GROUP BY 1),
-        idx1 AS (SELECT doc_id, fp FROM fpd WHERE grp = 0
-          UNION ALL
-          SELECT doc_id, fp FROM fpd WHERE grp = 1 AND doc_id IN
-            (SELECT doc_id FROM v1 WHERE dup_src IS NULL)),
-        s2 AS (SELECT a.doc_id AS pid, b.doc_id AS src, COUNT(*) AS c
-          FROM fpd a JOIN idx1 b ON a.fp = b.fp AND a.grp = 2
-          GROUP BY 1, 2),
-        v2 AS (SELECT f.doc_id, MIN(s2.src) AS dup_src
-          FROM (SELECT DISTINCT doc_id FROM fpd WHERE grp = 2) f
-          LEFT JOIN s2 ON s2.pid = f.doc_id AND s2.c >= 2
-          GROUP BY 1)
+    // screens count shared distinct chunk hashes >= 2. CTEs shared
+    // with t83 (the sink-loop form; batch 1 asserted twice).
+    "t81_cdc_index" -> (t81ReplayCtes + """
         SELECT * FROM (
           SELECT CAST(1 AS BIGINT) AS batch, doc_id,
             dup_src IS NULL AS kept, dup_src FROM v1
           UNION ALL
           SELECT CAST(2 AS BIGINT), doc_id, dup_src IS NULL, dup_src
           FROM v2)
-        ORDER BY doc_id""",
+        ORDER BY doc_id"""),
+    "t83_cdc_sink_loop" -> (t81ReplayCtes + """
+        SELECT * FROM (
+          SELECT CAST(1 AS BIGINT) AS batch, doc_id,
+            dup_src IS NULL AS kept, dup_src FROM v1
+          UNION ALL
+          SELECT CAST(11 AS BIGINT), doc_id, dup_src IS NULL, dup_src
+          FROM v1
+          UNION ALL
+          SELECT CAST(2 AS BIGINT), doc_id, dup_src IS NULL, dup_src
+          FROM v2)
+        ORDER BY batch, doc_id"""),
     "t48_decontaminate" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         sh AS (SELECT DISTINCT doc_id, g FROM (

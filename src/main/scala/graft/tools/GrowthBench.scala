@@ -40,8 +40,10 @@ object GrowthBench {
     "t76_winnow_fingerprints", "t77_winnow_overlap",
     "t78_cdc_overlap",
     // round-11 incremental indexes: corpus index build dominates and
-    // grows with the documents table (probe batches are fixture-sized)
+    // grows with the documents table (probe batches are fixture-sized);
+    // the sink-loop forms add the LWW read + compaction rewrite
     "t80_winnow_index", "t81_cdc_index",
+    "t82_winnow_sink_loop", "t83_cdc_sink_loop",
     "s46_cosine_dup_lsh", "s49_embed_curate",
     "s54_diversity_select", "s56_index_dedup",
     // corpus-proportional legs of the round-9 subtitle bridge: the

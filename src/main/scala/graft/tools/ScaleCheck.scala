@@ -63,6 +63,25 @@ object ScaleCheck {
     }.toDF("doc_id", "payload")
   }
 
+  /** Beat-gated corpus for the ONSET tier sweep: ~1/10 of docs are
+    * 50 ms-trimmed (a multiple of NO analysis hop) 44.1 kHz re-uploads
+    * of an 8 kHz master — the arbitrary-offset compound only the
+    * onset-anchored tier can land; the rest are distinct gated tone
+    * mixtures (segMs=96/gateMs=32/permMs=32, the m115 signal shape:
+    * ~7 onsets per 640 ms master). Pure function of the row id. */
+  def gatedTones(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(0, n).map { id =>
+      val payload =
+        if (id % 10 == 9)
+          Multimodal.syntheticWavTones(id / 10, 44100, ms = 512,
+            offsetMs = 50, gateMs = 32, segMs = 96, permMs = 32)
+        else Multimodal.syntheticWavTones(id, 8000, ms = 640,
+          gateMs = 32, segMs = 96, permMs = 32)
+      (id, payload)
+    }.toDF("doc_id", "payload")
+  }
+
   /** Synthetic event stream: ~50 events per user, timestamps and types
     * pure functions of the id — reproducible like `docs`/`embs`. */
   def events(spark: SparkSession, n: Int): DataFrame = {
@@ -166,6 +185,18 @@ object ScaleCheck {
             .filter(col("match_frac") >= 0))
         run("audioSpectralLandmarkPairs", n / 8)(
           Multimodal.audioSpectralLandmarkPairs(a, maxDf = 500)
+            .filter(col("match_frac") >= 0))
+        a.unpersist()
+      }
+      // onset tier: same corpus-materialized-outside-timings shape as
+      // the spectral sweep; the planted 1/10 trimmed-resample rate
+      // makes expected pair output exactly n/80 per tier
+      if (wanted("audioOnset")) {
+        implicit val sp: SparkSession = spark
+        val a = gatedTones(spark, n / 8).persist()
+        a.count()
+        run("audioOnsetLandmarkPairs", n / 8)(
+          Multimodal.audioOnsetLandmarkPairs(a, maxDf = 500)
             .filter(col("match_frac") >= 0))
         a.unpersist()
       }

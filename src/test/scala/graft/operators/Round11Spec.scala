@@ -72,8 +72,10 @@ class Round11Spec extends AnyFunSuite with BeforeAndAfterAll {
         media, "doc_id", "payload", maxBucket = 64)
       .collect().groupBy(_.doc_id)
       .map { case (id, xs) => (id, xs.flatMap(_.hits)) }
+    // a re-upload carries ~10 joint-code landmarks; >= 7 shared with
+    // its master clears the 0.6 metric with margin
     (20L until 24L).foreach { id =>
-      assert(hits(id).count(_ == id - 20L) >= 13,
+      assert(hits(id).count(_ == id - 20L) >= 7,
         s"re-delivery $id: ${hits(id).toSeq}")
     }
     // silence-free audio has no onsets: the tier drops out instead of
