@@ -539,7 +539,7 @@ object Multimodal {
     * spectral codes. */
   def syntheticWavTones(id: Long, rate: Int, ms: Int = 512,
       offsetMs: Int = 0, gateMs: Int = 0, segMs: Int = 128,
-      permMs: Int = 0): Array[Byte] = {
+      permMs: Int = 0, gainNum: Int = 1, gainDen: Int = 1): Array[Byte] = {
     val bands = 17
     val T = 0.064
     val centers = Array.tabulate(bands)(b =>
@@ -597,8 +597,12 @@ object Multimodal {
           StrictMath.sin(2.0 * StrictMath.PI * centers(b) * t)
         b += 1
       }
+      // gainNum/gainDen scale the CONTINUOUS signal's amplitude (the
+      // re-leveled re-upload class): both muxes of a scaled id sample
+      // the same scaled waveform, so spectral codes — energy-ORDERING
+      // bits — are unchanged while every absolute amplitude is not
       math.max(-32768L, math.min(32767L,
-        math.round(acc / bands * 20000.0))).toInt
+        math.round(acc / bands * 20000.0 * gainNum / gainDen))).toInt
       }
     }, sampleRate = rate)
   }
@@ -1029,11 +1033,14 @@ object Multimodal {
     * Silence-free audio yields no onsets and drops out of this tier
     * (the grid tiers still cover it). */
   def spectralOnsetLandmarks(media: DataFrame, codesPerOnset: Int = 2,
-      threshold: Int = 1024, minSilenceMs: Int = 8)(
+      threshold: Int = 1024, minSilenceMs: Int = 8,
+      thresholdFrac: Double = 0.0)(
       implicit s: SparkSession): Dataset[DocLandmark] = {
     import s.implicits._
     require(codesPerOnset >= 1 && codesPerOnset <= 4,
       "codesPerOnset must be in 1..4 (16-bit codes pack into one Long)")
+    require(thresholdFrac >= 0.0 && thresholdFrac < 1.0,
+      "thresholdFrac must be in [0, 1)")
     media.select(col("doc_id"), col("payload")).as[MediaRow]
       .mapPartitions(rows => rows.flatMap { r =>
         decodeWav(r.payload) match {
@@ -1043,8 +1050,28 @@ object Multimodal {
             val frameN = (rate * 64L / 1000L).toInt
             if (frameN <= 0) Iterator.empty
             else {
+              // thresholdFrac > 0 = ADAPTIVE onset threshold: a
+              // fraction of the payload's own peak amplitude instead
+              // of the absolute `threshold`. A volume-normalized
+              // (re-leveled) re-upload scales every sample by the same
+              // factor, so frac*peak crosses at (near) the same
+              // CONTINUOUS time in master and re-upload — absolute
+              // thresholds find no onsets at all once the peak drops
+              // below them, the failure mode the m117 gate pins.
+              val thr =
+                if (thresholdFrac <= 0.0) threshold
+                else {
+                  var peak = 0
+                  var i = 0
+                  while (i < mono.length) {
+                    val a = math.abs(mono(i).toInt)
+                    if (a > peak) peak = a
+                    i += 1
+                  }
+                  math.max(1, math.round(peak * thresholdFrac).toInt)
+                }
               val lms = scala.collection.mutable.LinkedHashSet.empty[Long]
-              energyOnsets(mono, rate, threshold, minSilenceMs).foreach { o =>
+              energyOnsets(mono, rate, thr, minSilenceMs).foreach { o =>
                 var lm = 0L
                 var k = 0
                 var full = true
@@ -1073,11 +1100,12 @@ object Multimodal {
     * posting-list scoring and `maxDf` cap as the landmark family. */
   def audioOnsetLandmarkPairs(media: DataFrame, minMatch: Double = 0.6,
       codesPerOnset: Int = 2, maxDf: Int = 0, threshold: Int = 1024,
-      minSilenceMs: Int = 8)(implicit s: SparkSession): DataFrame =
+      minSilenceMs: Int = 8, thresholdFrac: Double = 0.0)(
+      implicit s: SparkSession): DataFrame =
     landmarkPairScores(
       Materialize.eager(
         spectralOnsetLandmarks(media, codesPerOnset, threshold,
-          minSilenceMs).toDF()),
+          minSilenceMs, thresholdFrac).toDF()),
       minMatch, maxDf)
 
   /** Version of the audio fingerprint FUNCTION (canonicalization +

@@ -380,13 +380,14 @@ object StreamingNearDup {
     * (the grid tiers cover it). */
   def audioOnsetLandmarkVerdicts(media: DataFrame, idCol: String,
       payloadCol: String, codesPerOnset: Int = 2,
-      maxBucket: Int = 0): Dataset[LandmarkHits] = {
+      maxBucket: Int = 0, thresholdFrac: Double = 0.0): Dataset[LandmarkHits] = {
     val spark = media.sparkSession
     import spark.implicits._
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val lms = Multimodal.spectralOnsetLandmarks(
       media.select(col(idCol).cast("long").as("doc_id"),
-        col(payloadCol).as("payload")), codesPerOnset)
+        col(payloadCol).as("payload")), codesPerOnset,
+      thresholdFrac = thresholdFrac)
     lms.groupByKey(_.lm)
       .flatMapGroupsWithState[List[Long], LandmarkHits](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {

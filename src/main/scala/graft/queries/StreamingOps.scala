@@ -1225,6 +1225,31 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // RE-LEVELED + trimmed + resampled compound — ADAPTIVE onset
+    // threshold (the onset tier's last scope line): re-uploads are
+    // volume-normalized to 1/16 of the master's level, trimmed 50 ms
+    // and muxed at 44.1 kHz. Their peak (~660) sits BELOW the absolute
+    // onset threshold (1024), so the m115 tier finds no onsets at all
+    // on them (Round11Spec pins the zero-landmark miss) — while
+    // thresholdFrac = 0.125 of each payload's own peak crosses at
+    // (near) the same continuous time in master and re-upload, and the
+    // spectral codes are amplitude-ordering bits, so every re-upload
+    // lands. Pinned golden.
+    "m117_audio_onset_releveled" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val wav = udf((id: Long) =>
+        if (id < 20) Multimodal.syntheticWavTones(id, 8000, ms = 1248,
+          gateMs = 32, segMs = 96, permMs = 32)
+        else Multimodal.syntheticWavTones(id - 20, 44100, ms = 1120,
+          offsetMs = 50, gateMs = 32, segMs = 96, permMs = 32,
+          gainNum = 1, gainDen = 16))
+      val media = s.range(0, 10).union(s.range(20, 30))
+        .select(col("id").as("doc_id"), wav(col("id")).as("payload"))
+      Multimodal.audioOnsetLandmarkPairs(media, maxDf = 64,
+          thresholdFrac = 0.125)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // WATERMARKED streaming exact dedup (the bounded-state form of
     // st65 — closes round-10 verdict task #6): dropDuplicatesWithin-
     // Watermark keeps a key's state only until the watermark passes

@@ -86,6 +86,33 @@ class Round11Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.spectralOnsetLandmarks(flat).count() == 0L)
   }
 
+  test("adaptive onset threshold catches re-leveled re-uploads the absolute tier cannot see") {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val wav = udf((id: Long) =>
+      if (id < 20) Multimodal.syntheticWavTones(id, 8000, ms = 1248,
+        gateMs = 32, segMs = 96, permMs = 32)
+      else Multimodal.syntheticWavTones(id - 20, 44100, ms = 1120,
+        offsetMs = 50, gateMs = 32, segMs = 96, permMs = 32,
+        gainNum = 1, gainDen = 16))
+    val media = spark.range(0, 4).union(spark.range(20, 24))
+      .select(col("id").as("doc_id"), wav(col("id")).as("payload"))
+    // the 1/16-leveled re-uploads peak below the absolute threshold:
+    // the m115 tier emits ZERO landmarks for them — not a low score, a
+    // structural miss
+    val quiet = media.filter(col("doc_id") >= 20)
+    assert(Multimodal.spectralOnsetLandmarks(quiet).count() == 0L,
+      "absolute threshold must find no onsets in the quiet re-uploads")
+    // peak-relative threshold restores the tier: every planted pair
+    // lands (spectral code bits are amplitude-ordering, so the
+    // re-level costs nothing once onsets anchor)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+    val planted = (0L until 4L).map(i => (i, i + 20)).toSet
+    assert(pairs(Multimodal.audioOnsetLandmarkPairs(media, maxDf = 64,
+      thresholdFrac = 0.125)) == planted)
+  }
+
   // ---- m116: EXIF orientation normalization at decode ---------------
 
   test("EXIF-tagged reposts land via plain pHash; stripping the tag restores the miss") {

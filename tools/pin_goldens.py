@@ -90,6 +90,8 @@ QUERIES = [
                          # boundary set — outside SQL replay by design)
     "st89_stream_onset_landmark_dedup", # streaming onset-landmark
                            # audio dedup (arbitrary-offset trim re-delivery)
+    "m117_audio_onset_releveled", # adaptive (peak-relative) onset
+                           # threshold: re-leveled+trim+resample compound
 ]
 # e52 is 2000 rows; pin a deterministic 50-row sample (p_partkey % 40 == 0)
 SAMPLE = {"e52_keccak256": "p_partkey % 40 = 0"}
