@@ -1108,6 +1108,83 @@ object Multimodal {
           minSilenceMs, thresholdFrac).toDF()),
       minMatch, maxDf)
 
+  /** Version stamp for the ONSET landmark family
+    * ([[spectralOnsetLandmarks]] — onset detection, frame layout,
+    * joint-code packing): namespaced (onset = 4000 + v; the family
+    * convention) so cross-family screens fail fast at every version
+    * pair; 4001 = v1. Parameter choices (codesPerOnset, thresholds)
+    * are NOT covered — screen with the parameters the index was built
+    * with. */
+  val OnsetFpVersion: Int = 4001
+
+  /** Persisted ONSET-LANDMARK index — the incremental member of the
+    * m115 tier, and the first LANDMARK-keyed index in the audio family
+    * (the m86/m113 indexes key on aligned (frame_idx, code), which an
+    * arbitrary-offset trim shifts wholesale): the corpus is
+    * onset-fingerprinted ONCE into one row per distinct (lm, doc) with
+    * the doc's landmark count riding along, and
+    * [[dedupAgainstAudioOnsetIndex]] screens every ingest batch — a
+    * trimmed, fractionally-resampled, even re-leveled (with
+    * `thresholdFrac`) re-upload of a corpus master is caught with no
+    * corpus re-decode. [[IncrementalIndex.append]]-compatible; stamped
+    * with [[OnsetFpVersion]]. */
+  def audioOnsetLandmarkIndex(media: DataFrame, codesPerOnset: Int = 2,
+      threshold: Int = 1024, minSilenceMs: Int = 8,
+      thresholdFrac: Double = 0.0)(implicit s: SparkSession): DataFrame = {
+    val lms = Materialize.eager(
+      spectralOnsetLandmarks(media, codesPerOnset, threshold,
+        minSilenceMs, thresholdFrac).toDF())
+    lms.join(lms.groupBy(col("doc_id")).agg(count(lit(1)).as("nl")),
+        Seq("doc_id"))
+      .select(col("lm"), col("doc_id"), col("nl"),
+        lit(OnsetFpVersion).as("fp_ver"))
+  }
+
+  /** Screen an ingest batch against a pre-built
+    * [[audioOnsetLandmarkIndex]]: the batch onset-fingerprints once,
+    * equi-joins the index on the joint-code landmark, and a probe is a
+    * duplicate of the lowest corpus doc whose shared distinct
+    * landmarks over the smaller set reach `minMatch` (the m115
+    * metric). Payloads yielding NO landmarks — undecodable bytes, but
+    * equally onset-free audio — are absent from the output, not judged
+    * kept (the family contract; the GRID-index screens cover
+    * onset-free corpora). Enforces [[OnsetFpVersion]]; screen with the
+    * parameters the index was built with. */
+  def dedupAgainstAudioOnsetIndex(media: DataFrame, index: DataFrame,
+      minMatch: Double = 0.6, codesPerOnset: Int = 2,
+      threshold: Int = 1024, minSilenceMs: Int = 8,
+      thresholdFrac: Double = 0.0)(implicit s: SparkSession): DataFrame = {
+    require(index.columns.contains("fp_ver"),
+      s"onset index has no fp_ver column: it predates fingerprint " +
+        s"version $OnsetFpVersion — rebuild it with " +
+        "audioOnsetLandmarkIndex before screening")
+    val stale = index.filter(col("fp_ver") =!= lit(OnsetFpVersion))
+      .limit(1).collect()
+    require(stale.isEmpty,
+      s"onset index built by fingerprint version " +
+        s"${stale.headOption.map(_.getAs[Any]("fp_ver")).orNull}, " +
+        s"current is $OnsetFpVersion — rebuild it with " +
+        "audioOnsetLandmarkIndex before screening (cross-version " +
+        "landmarks never match)")
+    val lms = Materialize.eager(
+      spectralOnsetLandmarks(media, codesPerOnset, threshold,
+        minSilenceMs, thresholdFrac).toDF())
+    val nl = lms.groupBy(col("doc_id")).agg(count(lit(1)).as("nl"))
+    val dup = lms.join(
+        index.select(col("lm"), col("doc_id").as("src"),
+          col("nl").as("nl_src")),
+        Seq("lm"))
+      .groupBy(col("doc_id"), col("src"), col("nl_src"))
+      .agg(count(lit(1)).as("c"))
+      .join(nl, Seq("doc_id"))
+      .filter(col("c").cast("double") / least(col("nl"), col("nl_src"))
+        >= minMatch)
+      .groupBy(col("doc_id")).agg(min(col("src")).as("dup_src"))
+    nl.select(col("doc_id")).join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_src").isNull.as("kept"),
+        col("dup_src"))
+  }
+
   /** Version of the audio fingerprint FUNCTION (canonicalization +
     * code derivation), stamped into every [[audioCodeIndex]] row: a
     * persisted index only matches probes fingerprinted by the SAME

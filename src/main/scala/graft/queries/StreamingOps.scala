@@ -1225,6 +1225,34 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Incremental ONSET-LANDMARK screen against a persisted index —
+    // the first LANDMARK-keyed index in the audio family (m86/m113
+    // key on aligned (frame_idx, code), which any arbitrary-offset
+    // trim shifts wholesale): 8 gated-tone masters onset-indexed
+    // ONCE; the ingest batch carries six 50 ms-trimmed 44.1 kHz
+    // re-uploads (every grid index provably misses them) and two
+    // unrelated gated tones. Joint-code landmarks land each re-upload
+    // on its master through the index; the fp_ver stamp (namespaced
+    // 4001) guards the screen against any stale or cross-family
+    // build. Pinned golden.
+    "m118_onset_index_dedup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val wav = udf((id: Long) =>
+        if (id < 20) Multimodal.syntheticWavTones(id, 8000, ms = 1248,
+          gateMs = 32, segMs = 96, permMs = 32)
+        else if (id < 30) Multimodal.syntheticWavTones(id - 20, 44100,
+          ms = 1120, offsetMs = 50, gateMs = 32, segMs = 96, permMs = 32)
+        else Multimodal.syntheticWavTones(id, 44100, ms = 1120,
+          gateMs = 32, segMs = 96, permMs = 32))
+      val corpus = s.range(0, 8)
+        .select(col("id").as("doc_id"), wav(col("id")).as("payload"))
+      val index = Multimodal.audioOnsetLandmarkIndex(corpus)
+      val probes = s.range(20, 26).union(s.range(130, 132))
+        .select(col("id").as("doc_id"), wav(col("id")).as("payload"))
+      Multimodal.dedupAgainstAudioOnsetIndex(probes, index)
+        .orderBy(col("doc_id"))
+    }),
+
     // RE-LEVELED + trimmed + resampled compound — ADAPTIVE onset
     // threshold (the onset tier's last scope line): re-uploads are
     // volume-normalized to 1/16 of the master's level, trimmed 50 ms

@@ -144,6 +144,52 @@ class Round11Spec extends AnyFunSuite with BeforeAndAfterAll {
       "orientation 1 must hash identically to the untagged encode")
   }
 
+  test("onset-landmark index: append == rebuild; cross-family stamps rejected; grid index misses the trim") {
+    implicit val s: SparkSession = spark
+    val wav = udf((id: Long) =>
+      if (id < 20) Multimodal.syntheticWavTones(id, 8000, ms = 1248,
+        gateMs = 32, segMs = 96, permMs = 32)
+      else Multimodal.syntheticWavTones(id - 20, 44100, ms = 1120,
+        offsetMs = 50, gateMs = 32, segMs = 96, permMs = 32))
+    def audio(ids: Seq[Long]) = {
+      import spark.implicits._
+      ids.toDF("doc_id")
+        .select(col("doc_id"), wav(col("doc_id")).as("payload"))
+    }
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] = {
+      val cs = df.columns.sorted
+      df.select(cs.head, cs.tail: _*).collect().map(_.toSeq).toSet
+    }
+    val app = IncrementalIndex.append(
+      Multimodal.audioOnsetLandmarkIndex(audio(Seq(0L, 1L, 2L))),
+      Multimodal.audioOnsetLandmarkIndex(audio(Seq(3L, 4L))))
+    assert(rows(app) == rows(
+      Multimodal.audioOnsetLandmarkIndex(audio(Seq(0L, 1L, 2L, 3L, 4L)))))
+    // cross-family fail-fast: a SPECTRAL grid index (stamp 1002) can
+    // never be screened by the onset path (4001), and vice versa
+    val corpus = audio(Seq(0L, 1L, 2L))
+    val probes = audio(Seq(20L, 21L))
+    val onsetIdx = Multimodal.audioOnsetLandmarkIndex(corpus)
+    val gridIdx = Multimodal.audioSpectralCodeIndex(corpus)
+    assertThrows[IllegalArgumentException] {
+      Multimodal.dedupAgainstAudioOnsetIndex(probes, gridIdx)
+    }
+    assertThrows[IllegalArgumentException] {
+      Multimodal.dedupAgainstAudioSpectralIndex(probes, onsetIdx)
+    }
+    // the grid index structurally misses the 50 ms trim the onset
+    // index catches
+    val gridScreen = Multimodal.dedupAgainstAudioSpectralIndex(
+      probes, gridIdx).collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    assert(gridScreen.forall(_._2),
+      s"grid index must keep the trimmed probes: ${gridScreen.toSeq}")
+    val onsetScreen = Multimodal.dedupAgainstAudioOnsetIndex(
+      probes, onsetIdx).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toMap
+    assert(onsetScreen == Map(20L -> 0L, 21L -> 1L), s"$onsetScreen")
+  }
+
   // ---- t79: bounded CDC ---------------------------------------------
 
   test("cdcChunksBounded honors min/max bounds and re-synchronizes across a splice") {

@@ -92,6 +92,8 @@ QUERIES = [
                            # audio dedup (arbitrary-offset trim re-delivery)
     "m117_audio_onset_releveled", # adaptive (peak-relative) onset
                            # threshold: re-leveled+trim+resample compound
+    "m118_onset_index_dedup", # incremental screen vs the persisted
+                           # onset-landmark index (landmark-keyed)
 ]
 # e52 is 2000 rows; pin a deterministic 50-row sample (p_partkey % 40 == 0)
 SAMPLE = {"e52_keccak256": "p_partkey % 40 = 0"}
