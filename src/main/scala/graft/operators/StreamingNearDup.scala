@@ -41,6 +41,12 @@ case class LandmarkHits(doc_id: Long, lm: Long, hits: Seq[Long])
 case class VideoLandmarkHits(doc_id: Long, lm_a: Long, lm_b: Long,
     hits: Seq[Long])
 
+/** One string-fingerprint hit record per (document, fingerprint) —
+  * the winnowing / CDC streaming tiers' record: `hits` lists every
+  * earlier document sharing the fingerprint (a winnow gram md5 or a
+  * CDC chunk md5). */
+case class FpHits(doc_id: Long, fp: String, hits: Seq[Long])
+
 /** [[VideoLandmarkHits]] with the probing ORIENTATION (0 = as-is,
   * 1 = mirrored) — the flip-tolerant streaming video tier's record;
   * scoring uses orient-0 rows as the landmark denominator and the best
@@ -395,6 +401,83 @@ object StreamingNearDup {
           val (seen, out) = foldBucket(state.getOption.getOrElse(Nil),
             rows.toSeq.map(_.doc_id).sorted, maxBucket)(
             (id, hits) => LandmarkHits(id, lm, hits))
+          state.update(seen)
+          out.iterator
+      }
+  }
+
+  /** Streaming WINNOWING ingest dedup — the sampled-overlap tier with
+    * a RECALL GUARANTEE in the streaming matrix (st68's MinHash bands
+    * estimate whole-document similarity; winnowing detects any shared
+    * >= w+k-1-token RUN, the junk-embedded splice st68's
+    * whole-signature estimator dilutes away): arriving documents
+    * winnow through the SAME kernel as the batch op
+    * ([[TextDedup.winnowSelect]]), per-fingerprint bucket state holds
+    * the doc_ids seen, and arrivals emit earlier sharers. The consumer
+    * scores shared DISTINCT fingerprints >= minShared (the
+    * [[TextDedup.winnowOverlapPairs]] metric). Fingerprints dedup
+    * BY VALUE inside the kernel pass (one state entry per doc per
+    * bucket — a fingerprint selected at several positions registers
+    * once), so no stateful `distinct` precedes the fold. Same
+    * id-monotonic determinism contract and [[foldBucket]] `maxBucket`
+    * cap (corpus-boilerplate grams are the hot keys) as the family. */
+  def winnowVerdicts(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 5, maxBucket: Int = 0): Dataset[FpHits] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fps = docs
+      .select(col(idCol).cast("long").as("_id"), col(textCol).as("_t"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.flatMap { case (id, text) =>
+          TextDedup.winnowSelect(md, text, k, w)
+            .iterator.map(_._2).distinct.map(fp => (id, fp))
+        }
+      }
+    fps.groupByKey(_._2)
+      .flatMapGroupsWithState[List[Long], FpHits](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (fp, rows, state: GroupState[List[Long]]) =>
+          val (seen, out) = foldBucket(state.getOption.getOrElse(Nil),
+            rows.toSeq.map(_._1).sorted, maxBucket)(
+            (id, hits) => FpHits(id, fp, hits))
+          state.update(seen)
+          out.iterator
+      }
+  }
+
+  /** Streaming CDC ingest dedup — the shift-tolerant exact-span tier
+    * in the streaming matrix, [[winnowVerdicts]]' byte-exact sibling:
+    * arriving documents chunk through the batch kernel
+    * ([[TextDedup.cdcChunksOf]] — boundaries re-synchronize at any
+    * offset, so a corpus span embedded inside junk still shares its
+    * interior chunks), per-chunk-hash bucket state, shared DISTINCT
+    * chunks >= minShared at the consumer (the
+    * [[TextDedup.cdcOverlapPairs]] metric, chunk-granular recall and
+    * all). Same determinism contract and cap as the family. */
+  def cdcChunkVerdicts(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 4, minTokens: Int = 4, nibbles: Int = 1,
+      maxBucket: Int = 0): Dataset[FpHits] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val chs = docs
+      .select(col(idCol).cast("long").as("_id"), col(textCol).as("_t"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.flatMap { case (id, text) =>
+          TextDedup.cdcChunksOf(md, text, window, minTokens, nibbles)
+            .iterator.map(_._3).distinct.map(ch => (id, ch))
+        }
+      }
+    chs.groupByKey(_._2)
+      .flatMapGroupsWithState[List[Long], FpHits](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (ch, rows, state: GroupState[List[Long]]) =>
+          val (seen, out) = foldBucket(state.getOption.getOrElse(Nil),
+            rows.toSeq.map(_._1).sorted, maxBucket)(
+            (id, hits) => FpHits(id, ch, hits))
           state.update(seen)
           out.iterator
       }

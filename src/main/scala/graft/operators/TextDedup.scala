@@ -695,6 +695,53 @@ object TextDedup {
     * 1-based (the oracle's list indexing). The O(n*w) window scan is
     * deliberate: w is single-digit in practice and the branch-free
     * scan beats a deque's allocation churn at these sizes. */
+  /** The per-document winnowing kernel — selected (1-based position,
+    * fingerprint) pairs in selection order. Factored out so the batch
+    * op ([[winnowFingerprints]]) and the streaming verdicts
+    * (`StreamingNearDup.winnowVerdicts`) derive fingerprints from the
+    * IDENTICAL code path (pinned goldens on both sides). */
+  private[operators] def winnowSelect(md: java.security.MessageDigest,
+      text: String, k: Int, w: Int): Seq[(Int, String)] = {
+    val tk = text.split(" ", -1)
+    val n = tk.length - k + 1
+    if (n <= 0) Nil
+    else {
+      val grams = new Array[String](n)
+      var i = 0
+      while (i < n) {
+        val sb = new java.lang.StringBuilder(tk(i))
+        var j = 1
+        while (j < k) { sb.append(' ').append(tk(i + j)); j += 1 }
+        md.reset()
+        grams(i) = graft.evm.Hex
+          .encode(md.digest(sb.toString.getBytes("UTF-8")))
+          .substring(2)
+        i += 1
+      }
+      if (n <= w) {
+        // degenerate: one window over everything
+        var best = 0
+        var p = 1
+        while (p < n) { if (grams(p) <= grams(best)) best = p; p += 1 }
+        Seq((best + 1, grams(best)))
+      } else {
+        val sel = scala.collection.mutable.LinkedHashSet.empty[Int]
+        var jw = 0
+        while (jw + w <= n) {
+          var best = jw
+          var p = jw + 1
+          while (p < jw + w) {
+            if (grams(p) <= grams(best)) best = p // rightmost tie
+            p += 1
+          }
+          sel += best
+          jw += 1
+        }
+        sel.iterator.map(p => (p + 1, grams(p))).toSeq
+      }
+    }
+  }
+
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 4, w: Int = 5)(
       implicit s: SparkSession): Dataset[WinnowFp] = {
@@ -705,44 +752,8 @@ object TextDedup {
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("MD5")
         rows.flatMap { case (id, text) =>
-          val tk = text.split(" ", -1)
-          val n = tk.length - k + 1
-          if (n <= 0) Iterator.empty
-          else {
-            val grams = new Array[String](n)
-            var i = 0
-            while (i < n) {
-              val sb = new java.lang.StringBuilder(tk(i))
-              var j = 1
-              while (j < k) { sb.append(' ').append(tk(i + j)); j += 1 }
-              md.reset()
-              grams(i) = graft.evm.Hex
-                .encode(md.digest(sb.toString.getBytes("UTF-8")))
-                .substring(2)
-              i += 1
-            }
-            if (n <= w) {
-              // degenerate: one window over everything
-              var best = 0
-              var p = 1
-              while (p < n) { if (grams(p) <= grams(best)) best = p; p += 1 }
-              Iterator.single(WinnowFp(id, best + 1, grams(best)))
-            } else {
-              val sel = scala.collection.mutable.LinkedHashSet.empty[Int]
-              var jw = 0
-              while (jw + w <= n) {
-                var best = jw
-                var p = jw + 1
-                while (p < jw + w) {
-                  if (grams(p) <= grams(best)) best = p // rightmost tie
-                  p += 1
-                }
-                sel += best
-                jw += 1
-              }
-              sel.iterator.map(p => WinnowFp(id, p + 1, grams(p)))
-            }
-          }
+          winnowSelect(md, text, k, w).iterator
+            .map { case (p, g) => WinnowFp(id, p, g) }
         }
       }
   }
@@ -771,6 +782,49 @@ object TextDedup {
     * boundary) — that knob belongs at this seam but is deliberately
     * out of the oracle-gated core. One mapPartitions pass, no
     * shuffle. */
+  /** The per-document stateless-CDC kernel — (1-based start, token
+    * count, chunk md5) triples. Factored out so the batch op
+    * ([[cdcChunks]]) and the streaming verdicts
+    * (`StreamingNearDup.cdcChunkVerdicts`) chunk through the IDENTICAL
+    * code path. */
+  private[operators] def cdcChunksOf(md: java.security.MessageDigest,
+      text: String, window: Int, minTokens: Int,
+      nibbles: Int): Seq[(Int, Int, String)] = {
+    def hex(b: Array[Byte]): String = graft.evm.Hex.encode(b).substring(2)
+    val tk = text.split(" ", -1)
+    val n = tk.length
+    if (n == 0) Nil
+    else {
+      // boundary AFTER token i (1-based) iff the window hash's
+      // last nibble is 0
+      val edges = scala.collection.mutable.ArrayBuffer(0)
+      var i = window
+      while (i <= n) {
+        val sb = new java.lang.StringBuilder(tk(i - window))
+        var j = i - window + 1
+        while (j < i) { sb.append(' ').append(tk(j)); j += 1 }
+        md.reset()
+        val h = md.digest(sb.toString.getBytes("UTF-8"))
+        if ((h(15) & 0x0f) < nibbles) edges += i
+        i += 1
+      }
+      if (edges.last != n) edges += n
+      edges.iterator.zip(edges.iterator.drop(1)).flatMap {
+        case (s0, e0) =>
+          val len = e0 - s0
+          if (len < minTokens) Iterator.empty
+          else {
+            val sb = new java.lang.StringBuilder(tk(s0))
+            var j = s0 + 1
+            while (j < e0) { sb.append(' ').append(tk(j)); j += 1 }
+            md.reset()
+            Iterator.single((s0 + 1, len,
+              hex(md.digest(sb.toString.getBytes("UTF-8")))))
+          }
+      }.toSeq
+    }
+  }
+
   def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
       window: Int = 4, minTokens: Int = 4, nibbles: Int = 1)(
       implicit s: SparkSession): Dataset[CdcChunk] = {
@@ -782,40 +836,9 @@ object TextDedup {
       .as[(Long, String)]
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        def hex(b: Array[Byte]): String = graft.evm.Hex.encode(b).substring(2)
         rows.flatMap { case (id, text) =>
-          val tk = text.split(" ", -1)
-          val n = tk.length
-          if (n == 0) Iterator.empty
-          else {
-            // boundary AFTER token i (1-based) iff the window hash's
-            // last nibble is 0
-            val edges = scala.collection.mutable.ArrayBuffer(0)
-            var i = window
-            while (i <= n) {
-              val sb = new java.lang.StringBuilder(tk(i - window))
-              var j = i - window + 1
-              while (j < i) { sb.append(' ').append(tk(j)); j += 1 }
-              md.reset()
-              val h = md.digest(sb.toString.getBytes("UTF-8"))
-              if ((h(15) & 0x0f) < nibbles) edges += i
-              i += 1
-            }
-            if (edges.last != n) edges += n
-            edges.iterator.zip(edges.iterator.drop(1)).flatMap {
-              case (s0, e0) =>
-                val len = e0 - s0
-                if (len < minTokens) Iterator.empty
-                else {
-                  val sb = new java.lang.StringBuilder(tk(s0))
-                  var j = s0 + 1
-                  while (j < e0) { sb.append(' ').append(tk(j)); j += 1 }
-                  md.reset()
-                  Iterator.single(CdcChunk(id, s0 + 1, len,
-                    hex(md.digest(sb.toString.getBytes("UTF-8")))))
-                }
-            }
-          }
+          cdcChunksOf(md, text, window, minTokens, nibbles).iterator
+            .map { case (s0, len, h) => CdcChunk(id, s0, len, h) }
         }
       }
   }

@@ -1225,6 +1225,112 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Streaming WINNOWING ingest dedup — the guaranteed-recall
+    // sampled-overlap tier in the streaming matrix (st68's MinHash
+    // bands estimate WHOLE-document similarity, so a spliced span
+    // inside junk dilutes below its threshold; winnowing detects any
+    // shared >= w+k-1-token run): batch 1 delivers the documents
+    // corpus, batch 2 five junk-embedded splices (every one must land
+    // on its master) plus five reversed fresh docs (kept). Consumer
+    // scores shared DISTINCT fingerprints >= 3 (the t77 metric). The
+    // shipped maxBucket=64 cap is replayed EXACTLY in the oracle: under
+    // id-monotonic delivery a doc emits hits iff its id-rank within
+    // the fingerprint's bucket is <= 64 (row_number in SQL), so the
+    // gate pins the cap's semantics, not just its presence.
+    "st90_stream_winnow_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val name = "st90_out"
+      val staged = stagingDir("graft-stream-winnow")
+      stageCopy(s"$dir/documents.parquet", staged, "a.parquet")
+      val docs = t(s, dir, "documents")
+      val b2 = docs.filter($"doc_id" < 5)
+        .select(($"doc_id" + 1000000L).as("doc_id"),
+          concat(lit("junk prefix tokens before the borrowed span "),
+            $"text", lit(" junk suffix after")).as("text"),
+          $"lang", $"source", $"n_chars")
+        .unionAll(docs.filter($"doc_id" >= 40 && $"doc_id" < 45)
+          .select(($"doc_id" + 2000000L).as("doc_id"),
+            reverse($"text").as("text"), $"lang", $"source", $"n_chars"))
+      val tmp = staged.resolve("mut")
+      b2.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, staged.resolve("b.parquet"))
+      staged.resolve("b.parquet").toFile.deleteOnExit()
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+      java.nio.file.Files.setLastModifiedTime(staged.resolve("a.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 120000))
+      val stream = s.readStream.schema(docsSchema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+        .repartition(col("doc_id"))
+      val hits = graft.operators.StreamingNearDup.winnowVerdicts(
+        stream, "doc_id", "text", maxBucket = 64)
+      val q = hits.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+      val dup = s.table(name)
+        .select(col("doc_id").as("d"), explode(col("hits")).as("src"))
+        .groupBy(col("d"), col("src")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 3)
+        .groupBy(col("d")).agg(min(col("src")).as("dup_src"))
+      s.table(name).select(col("doc_id")).distinct()
+        .join(dup, col("doc_id") === col("d"), "left")
+        .select(col("doc_id"), col("dup_src").isNull.as("kept"),
+          col("dup_src"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Streaming CDC ingest dedup — st90's byte-exact shift-tolerant
+    // sibling: chunk boundaries re-synchronize at any offset, so the
+    // spliced spans share interior chunks; shared DISTINCT chunk
+    // hashes >= 2 (the t78 metric, chunk-granular recall and all —
+    // doc 2's splice carves one interior chunk and stays kept, exactly
+    // as t78/t81 document). Same exact cap replay in the oracle.
+    "st91_stream_cdc_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val name = "st91_out"
+      val staged = stagingDir("graft-stream-cdc")
+      stageCopy(s"$dir/documents.parquet", staged, "a.parquet")
+      val docs = t(s, dir, "documents")
+      val b2 = docs.filter($"doc_id" < 5)
+        .select(($"doc_id" + 1000000L).as("doc_id"),
+          concat(lit("junk prefix tokens before the borrowed span "),
+            $"text", lit(" junk suffix after")).as("text"),
+          $"lang", $"source", $"n_chars")
+        .unionAll(docs.filter($"doc_id" >= 40 && $"doc_id" < 45)
+          .select(($"doc_id" + 2000000L).as("doc_id"),
+            reverse($"text").as("text"), $"lang", $"source", $"n_chars"))
+      val tmp = staged.resolve("mut")
+      b2.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, staged.resolve("b.parquet"))
+      staged.resolve("b.parquet").toFile.deleteOnExit()
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+      java.nio.file.Files.setLastModifiedTime(staged.resolve("a.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 120000))
+      val stream = s.readStream.schema(docsSchema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+        .repartition(col("doc_id"))
+      val hits = graft.operators.StreamingNearDup.cdcChunkVerdicts(
+        stream, "doc_id", "text", nibbles = 2, maxBucket = 64)
+      val q = hits.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+      val dup = s.table(name)
+        .select(col("doc_id").as("d"), explode(col("hits")).as("src"))
+        .groupBy(col("d"), col("src")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2)
+        .groupBy(col("d")).agg(min(col("src")).as("dup_src"))
+      s.table(name).select(col("doc_id")).distinct()
+        .join(dup, col("doc_id") === col("d"), "left")
+        .select(col("doc_id"), col("dup_src").isNull.as("kept"),
+          col("dup_src"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Incremental ONSET-LANDMARK screen against a persisted index —
     // the first LANDMARK-keyed index in the audio family (m86/m113
     // key on aligned (frame_idx, code), which any arbitrary-offset
@@ -2936,6 +3042,96 @@ object StreamingOps extends QueryPack {
       """SELECT COUNT(DISTINCT md5(text)) AS total_kept,
         CAST(0 AS BIGINT) AS spoofed_kept
         FROM documents WHERE doc_id < 30""",
+    // st90: the t76/t77 winnow selection replayed over corpus +
+    // delivered batch 2, with the maxBucket=64 fold replayed EXACTLY:
+    // under id-monotonic delivery an arrival emits hits iff its
+    // id-rank within the fingerprint's bucket is <= 64, and it sees
+    // every lower-id member (all of which registered before it)
+    "st90_stream_winnow_dedup" ->
+      """WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000,
+            'junk prefix tokens before the borrowed span ' || text ||
+              ' junk suffix after'
+          FROM documents WHERE doc_id < 5
+          UNION ALL
+          SELECT doc_id + 2000000, reverse(text)
+          FROM documents WHERE doc_id >= 40 AND doc_id < 45),
+        w AS (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
+        g AS (SELECT doc_id, list_transform(range(1, greatest(len(tk)-3,0)+1),
+            i -> md5(tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3])) AS gs
+          FROM w),
+        sel AS (SELECT doc_id, gs,
+          CASE WHEN len(gs) = 0 THEN CAST([] AS BIGINT[])
+            WHEN len(gs) <= 5 THEN
+              [len(gs) + 1 - list_position(list_reverse(gs), list_min(gs))]
+            ELSE list_distinct(list_transform(range(1, len(gs)-5+2),
+              j -> j + 5 - list_position(
+                list_reverse(list_slice(gs, j, j+4)),
+                list_min(list_slice(gs, j, j+4)))))
+          END AS ps FROM g),
+        fpd AS (SELECT DISTINCT doc_id, gs[u.p] AS fp
+          FROM sel, unnest(ps) u(p)),
+        rk AS (SELECT doc_id, fp,
+            ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+          FROM fpd),
+        p AS (SELECT b.doc_id AS d, a.doc_id AS src, COUNT(*) AS c
+          FROM rk a JOIN rk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            AND b.rn <= 64
+          GROUP BY 1, 2),
+        dup AS (SELECT d, MIN(src) AS dup_src FROM p WHERE c >= 3
+          GROUP BY 1)
+        SELECT f.doc_id, dup.dup_src IS NULL AS kept, dup.dup_src
+        FROM (SELECT DISTINCT doc_id FROM fpd) f
+        LEFT JOIN dup ON dup.d = f.doc_id
+        ORDER BY f.doc_id""",
+    // st91: the t78 CDC chunking replayed over the same delivery with
+    // the identical exact cap replay; shared distinct chunks >= 2
+    "st91_stream_cdc_dedup" ->
+      """WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000,
+            'junk prefix tokens before the borrowed span ' || text ||
+              ' junk suffix after'
+          FROM documents WHERE doc_id < 5
+          UNION ALL
+          SELECT doc_id + 2000000, reverse(text)
+          FROM documents WHERE doc_id >= 40 AND doc_id < 45),
+        w AS (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
+        bp AS (SELECT doc_id, tk, list_filter(range(4, len(tk)+1),
+            i -> substr(md5(tk[i-3]||' '||tk[i-2]||' '||tk[i-1]||' '||tk[i]),
+              32, 1) IN ('0', '1')) AS bs
+          FROM w),
+        ed AS (SELECT doc_id, tk,
+            list_concat(list_concat([CAST(0 AS BIGINT)], bs),
+              CASE WHEN len(bs) > 0 AND bs[-1] = len(tk)
+                THEN CAST([] AS BIGINT[])
+                ELSE [CAST(len(tk) AS BIGINT)] END) AS es
+          FROM bp),
+        ch0 AS (SELECT doc_id,
+            list_filter(list_transform(range(1, len(es)),
+              j -> CASE WHEN es[j+1] - es[j] >= 4
+                THEN md5(array_to_string(
+                  list_slice(tk, es[j]+1, es[j+1]), ' '))
+                ELSE NULL END), x -> x IS NOT NULL) AS hs
+          FROM ed),
+        fpd AS (SELECT DISTINCT doc_id, u.h AS fp
+          FROM ch0, unnest(hs) u(h)),
+        rk AS (SELECT doc_id, fp,
+            ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+          FROM fpd),
+        p AS (SELECT b.doc_id AS d, a.doc_id AS src, COUNT(*) AS c
+          FROM rk a JOIN rk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            AND b.rn <= 64
+          GROUP BY 1, 2),
+        dup AS (SELECT d, MIN(src) AS dup_src FROM p WHERE c >= 2
+          GROUP BY 1)
+        SELECT f.doc_id, dup.dup_src IS NULL AS kept, dup.dup_src
+        FROM (SELECT DISTINCT doc_id FROM fpd) f
+        LEFT JOIN dup ON dup.d = f.doc_id
+        ORDER BY f.doc_id""",
     // st88: E1 (ids < 20) re-delivered AFTER the watermark evicted its
     // state re-emits (n=2 — the bounded-state proof); E3 (40-59)
     // re-delivered inside the horizon is dropped by state and E2
