@@ -1426,13 +1426,18 @@ object Multimodal {
               else ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
                 ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
             if (rd16(t + 2) != 42) return 0
+            // All IFD reads must stay inside the APP1 segment itself —
+            // bounding by b.length alone would let a truncated Exif
+            // body walk into later markers or entropy-coded data and
+            // decode garbage as an orientation.
+            val segEnd = p + 2 + len
             val ifd = t + rd32(t + 4)
-            if (ifd < t || ifd + 2 > b.length) return 0
+            if (ifd < t || ifd + 2 > segEnd) return 0
             val n = rd16(ifd)
             var i = 0
             while (i < n) {
               val e = ifd + 2 + 12 * i
-              if (e + 12 > b.length) return 0
+              if (e + 12 > segEnd) return 0
               if (rd16(e) == 0x0112) {
                 val v = rd16(e + 8)
                 return if (v >= 1 && v <= 8) v else 0

@@ -423,6 +423,8 @@ object StreamingNearDup {
     * cap (corpus-boilerplate grams are the hot keys) as the family. */
   def winnowVerdicts(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 4, w: Int = 5, maxBucket: Int = 0): Dataset[FpHits] = {
+    // same fail-fast contract as the batch sibling (winnowFingerprints)
+    require(k >= 1 && w >= 1, "k and w must be >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
     val fps = docs
@@ -459,6 +461,12 @@ object StreamingNearDup {
   def cdcChunkVerdicts(docs: DataFrame, idCol: String, textCol: String,
       window: Int = 4, minTokens: Int = 4, nibbles: Int = 1,
       maxBucket: Int = 0): Dataset[FpHits] = {
+    // same fail-fast contract as the batch sibling (cdcChunks) —
+    // e.g. nibbles=16 would silently make EVERY position a boundary,
+    // drop all chunks below minTokens, and dedup nothing.
+    require(window >= 1 && minTokens >= 1, "window and minTokens must be >= 1")
+    require(nibbles >= 1 && nibbles <= 15,
+      "nibbles (boundary probability = nibbles/16) must be in 1..15")
     val spark = docs.sparkSession
     import spark.implicits._
     val chs = docs

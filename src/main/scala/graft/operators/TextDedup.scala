@@ -790,7 +790,6 @@ object TextDedup {
   private[operators] def cdcChunksOf(md: java.security.MessageDigest,
       text: String, window: Int, minTokens: Int,
       nibbles: Int): Seq[(Int, Int, String)] = {
-    def hex(b: Array[Byte]): String = graft.evm.Hex.encode(b).substring(2)
     val tk = text.split(" ", -1)
     val n = tk.length
     if (n == 0) Nil
@@ -808,20 +807,32 @@ object TextDedup {
         if ((h(15) & 0x0f) < nibbles) edges += i
         i += 1
       }
-      if (edges.last != n) edges += n
-      edges.iterator.zip(edges.iterator.drop(1)).flatMap {
-        case (s0, e0) =>
-          val len = e0 - s0
-          if (len < minTokens) Iterator.empty
-          else {
-            val sb = new java.lang.StringBuilder(tk(s0))
-            var j = s0 + 1
-            while (j < e0) { sb.append(' ').append(tk(j)); j += 1 }
-            md.reset()
-            Iterator.single((s0 + 1, len,
-              hex(md.digest(sb.toString.getBytes("UTF-8")))))
-          }
-      }.toSeq
+      emitChunks(md, tk, edges, n, minTokens).toSeq
+    }
+  }
+
+  /** Shared edge-list → chunk emission tail for BOTH CDC forms —
+    * appends the tail edge, md5s each [s0, e0) span, drops spans
+    * shorter than `minTokens`. The bounded and unbounded chunkers
+    * must emit identically per their scaladoc contract; this is the
+    * single code path that guarantees it. */
+  private def emitChunks(md: java.security.MessageDigest,
+      tk: Array[String], edges: scala.collection.mutable.ArrayBuffer[Int],
+      n: Int, minTokens: Int): Iterator[(Int, Int, String)] = {
+    def hex(b: Array[Byte]): String = graft.evm.Hex.encode(b).substring(2)
+    if (edges.last != n) edges += n
+    edges.iterator.zip(edges.iterator.drop(1)).flatMap {
+      case (s0, e0) =>
+        val len = e0 - s0
+        if (len < minTokens) Iterator.empty
+        else {
+          val sb = new java.lang.StringBuilder(tk(s0))
+          var j = s0 + 1
+          while (j < e0) { sb.append(' ').append(tk(j)); j += 1 }
+          md.reset()
+          Iterator.single((s0 + 1, len,
+            hex(md.digest(sb.toString.getBytes("UTF-8")))))
+        }
     }
   }
 
@@ -877,7 +888,6 @@ object TextDedup {
       .as[(Long, String)]
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        def hex(b: Array[Byte]): String = graft.evm.Hex.encode(b).substring(2)
         rows.flatMap { case (id, text) =>
           val tk = text.split(" ", -1)
           val n = tk.length
@@ -888,33 +898,25 @@ object TextDedup {
             var i = 1
             while (i <= n) {
               val run = i - last
-              val predicate = i >= window && {
+              // FastCDC min-skip: while the running chunk is below
+              // minChunk no predicate boundary can be accepted, so
+              // skip the window hash entirely (~minChunk/avgChunk of
+              // all MD5 work on the hot path) — result-identical.
+              val predicate = run >= minChunk && i >= window && {
                 val sb = new java.lang.StringBuilder(tk(i - window))
                 var j = i - window + 1
                 while (j < i) { sb.append(' ').append(tk(j)); j += 1 }
                 md.reset()
                 (md.digest(sb.toString.getBytes("UTF-8"))(15) & 0x0f) < nibbles
               }
-              if (run >= maxChunk || (predicate && run >= minChunk)) {
+              if (run >= maxChunk || predicate) {
                 edges += i
                 last = i
               }
               i += 1
             }
-            if (edges.last != n) edges += n
-            edges.iterator.zip(edges.iterator.drop(1)).flatMap {
-              case (s0, e0) =>
-                val len = e0 - s0
-                if (len < minTokens) Iterator.empty
-                else {
-                  val sb = new java.lang.StringBuilder(tk(s0))
-                  var j = s0 + 1
-                  while (j < e0) { sb.append(' ').append(tk(j)); j += 1 }
-                  md.reset()
-                  Iterator.single(CdcChunk(id, s0 + 1, len,
-                    hex(md.digest(sb.toString.getBytes("UTF-8")))))
-                }
-            }
+            emitChunks(md, tk, edges, n, minTokens)
+              .map { case (s0, len, h) => CdcChunk(id, s0, len, h) }
           }
         }
       }

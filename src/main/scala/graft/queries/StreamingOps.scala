@@ -1123,8 +1123,9 @@ object StreamingOps extends QueryPack {
     // and the m110 tier AND the m114 hop=32 tier provably miss
     // (Round11Spec pins both, with top grid scores < 0.25). Frames
     // anchored at energy onsets travel with the content through any
-    // trim and any resample; all 10 re-uploads land >= 0.95. Pinned
-    // golden (StrictMath trig).
+    // trim and any resample; all 10 re-uploads land, measured floor
+    // match_frac = 0.9 (pairs 0-20 and 2-22 — don't tune minMatch
+    // above it). Pinned golden (StrictMath trig).
     "m115_audio_onset_landmarks" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       val wav = udf((id: Long) =>
@@ -1368,7 +1369,8 @@ object StreamingOps extends QueryPack {
     // thresholdFrac = 0.125 of each payload's own peak crosses at
     // (near) the same continuous time in master and re-upload, and the
     // spectral codes are amplitude-ordering bits, so every re-upload
-    // lands. Pinned golden.
+    // lands (measured floor match_frac = 0.8 at pair 0-20 — don't
+    // tune minMatch above it). Pinned golden.
     "m117_audio_onset_releveled" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       val wav = udf((id: Long) =>

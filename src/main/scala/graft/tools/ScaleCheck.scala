@@ -72,9 +72,13 @@ object ScaleCheck {
   def gatedTones(spark: SparkSession, n: Int): DataFrame = {
     import spark.implicits._
     spark.range(0, n).map { id =>
+      // Re-upload masters must themselves be master rows: id - 9 is the
+      // decade's first id (id % 10 == 0), never diverted to the
+      // re-upload branch — so every planted pair has both ends and the
+      // expected pair count is exactly n/10 (no orphaned re-uploads).
       val payload =
         if (id % 10 == 9)
-          Multimodal.syntheticWavTones(id / 10, 44100, ms = 512,
+          Multimodal.syntheticWavTones(id - 9, 44100, ms = 512,
             offsetMs = 50, gateMs = 32, segMs = 96, permMs = 32)
         else Multimodal.syntheticWavTones(id, 8000, ms = 640,
           gateMs = 32, segMs = 96, permMs = 32)
