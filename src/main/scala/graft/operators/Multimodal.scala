@@ -539,7 +539,8 @@ object Multimodal {
     * spectral codes. */
   def syntheticWavTones(id: Long, rate: Int, ms: Int = 512,
       offsetMs: Int = 0, gateMs: Int = 0, segMs: Int = 128,
-      permMs: Int = 0, gainNum: Int = 1, gainDen: Int = 1): Array[Byte] = {
+      permMs: Int = 0, gainNum: Int = 1, gainDen: Int = 1,
+      floorNum: Int = 0, floorDen: Int = 1): Array[Byte] = {
     val bands = 17
     val T = 0.064
     val centers = Array.tabulate(bands)(b =>
@@ -560,6 +561,13 @@ object Multimodal {
       // long, so only onset-aligned frames ever sit fully inside a
       // burst — the construction that makes grid-anchored tiers
       // provably blind to a non-hop-multiple trim.
+      // floorNum/floorDen > 0 add a CONTINUOUS 60 Hz hum at
+      // floorNum/floorDen of the 20000 full scale — the NOISY-FLOOR
+      // variant (m119): the gate is no longer silent, so
+      // threshold-crossing onset detectors (absolute AND peak-frac)
+      // find no sub-threshold run to anchor on, while the hum, being
+      // part of the continuous signal, trims/resamples/re-levels with
+      // everything else.
       // permMs > 0 decouples the amplitude-PERMUTATION period from the
       // gate period: levels re-permute every permMs (e.g. 32 ms), so a
       // 64 ms analysis frame mixes 2-3 distinct level sets weighted by
@@ -571,7 +579,13 @@ object Multimodal {
       val segS = segMs / 1000.0
       val t = i.toDouble / rate + offsetMs / 1000.0
       val seg0 = (t / segS).toInt
-      if (gateMs > 0 && t - seg0 * segS < gateMs / 1000.0) 0
+      val hum =
+        if (floorNum <= 0) 0.0
+        else floorNum.toDouble / floorDen * 20000.0 *
+          StrictMath.sin(2.0 * StrictMath.PI * 60.0 * t)
+      if (gateMs > 0 && t - seg0 * segS < gateMs / 1000.0)
+        math.max(-32768L, math.min(32767L,
+          math.round(hum * gainNum / gainDen))).toInt
       else {
       val seg = if (permMs > 0) (t / (permMs / 1000.0)).toInt else seg0
       // a*b+c mod 17 with a coprime to 17: adjacent b always differ.
@@ -602,7 +616,7 @@ object Multimodal {
       // the same scaled waveform, so spectral codes — energy-ORDERING
       // bits — are unchanged while every absolute amplitude is not
       math.max(-32768L, math.min(32767L,
-        math.round(acc / bands * 20000.0 * gainNum / gainDen))).toInt
+        math.round((acc / bands * 20000.0 + hum) * gainNum / gainDen))).toInt
       }
     }, sampleRate = rate)
   }
@@ -1007,6 +1021,55 @@ object Multimodal {
     out.toArray
   }
 
+  /** ROLLING-RMS energy onsets — the noisy-floor form of
+    * [[energyOnsets]] (closes the round-11 "onset detection needs
+    * sub-threshold spans" scope line): an onset is the first sample
+    * whose amplitude reaches `ratio` x the RMS of the trailing
+    * `rmsMs`-millisecond window, with a `minGapMs` refractory period
+    * after each firing. Every quantity is a property of the
+    * CONTINUOUS waveform measured over millisecond (not sample)
+    * windows, so two muxes at different rates fire within one sample
+    * period of each other and a trim at ANY offset shifts every onset
+    * by exactly the trim — the family invariants. Unlike the
+    * threshold forms, no sub-threshold run is required: a corpus with
+    * a dense noise floor (hum, room tone, tape hiss) still anchors at
+    * its energy bursts, because the floor raises the trailing RMS and
+    * the burst still clears `ratio` x it. Degrades to the silence
+    * case: below `minAbs` amplitude the trailing RMS is floored at
+    * `minAbs`, so silence->burst edges fire exactly as before.
+    * Detection starts once the trailing window is full (the first
+    * `rmsMs` of audio can't fire — deterministic in absolute time, so
+    * master and trim agree on every later onset). */
+  private[operators] def energyOnsetsRolling(mono: Array[Short], rate: Int,
+      ratio: Double = 3.0, rmsMs: Int = 24, minGapMs: Int = 48,
+      minAbs: Int = 64): Array[Int] = {
+    val w = math.max(1, (rate.toLong * rmsMs / 1000L).toInt)
+    val gap = math.max(1, (rate.toLong * minGapMs / 1000L).toInt)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var sumSq = 0L
+    var last = -gap
+    var i = 0
+    while (i < mono.length) {
+      if (i >= w) {
+        // trailing window is (i-w, i-1] — excludes the current sample,
+        // so a burst tests against the floor BEFORE it, not itself
+        val rmsSq = sumSq.toDouble / w
+        val floorSq = minAbs.toDouble * minAbs
+        val thrSq = ratio * ratio * math.max(rmsSq, floorSq)
+        val x = mono(i).toDouble
+        if (x * x >= thrSq && i - last >= gap) { out += i; last = i }
+      }
+      val v = mono(i).toLong
+      sumSq += v * v
+      if (i >= w) {
+        val u = mono(i - w).toLong
+        sumSq -= u * u
+      }
+      i += 1
+    }
+    out.toArray
+  }
+
   /** ONSET-ANCHORED spectral landmarks — the arbitrary-offset trim
     * tier (closes round-10 gap #1): the grid tiers anchor frames at
     * fixed multiples of the hop from SIGNAL START, so a trim at a
@@ -1070,28 +1133,99 @@ object Multimodal {
                   }
                   math.max(1, math.round(peak * thresholdFrac).toInt)
                 }
-              val lms = scala.collection.mutable.LinkedHashSet.empty[Long]
-              energyOnsets(mono, rate, thr, minSilenceMs).foreach { o =>
-                var lm = 0L
-                var k = 0
-                var full = true
-                while (k < codesPerOnset && full) {
-                  // frame slot k starts k*64 ms after the onset —
-                  // absolute-time-derived like the drift-free grid
-                  val off = o + (k.toLong * 64L * rate / 1000L).toInt
-                  if (off + frameN <= mono.length)
-                    lm = lm * 65536L + spectralCodeAt(mono, rate, off, frameN)
-                  else full = false
-                  k += 1
-                }
-                if (full) lms += lm
-              }
-              lms.iterator.map(DocLandmark(r.doc_id, _))
+              packOnsetLandmarks(mono, rate, frameN,
+                energyOnsets(mono, rate, thr, minSilenceMs), codesPerOnset)
+                .map(DocLandmark(r.doc_id, _))
             }
           case _ => Iterator.empty
         }
       })
   }
+
+  /** Shared packing kernel for the onset-landmark family: ONE packed
+    * joint-code landmark per onset — `codesPerOnset` 64 ms frame codes
+    * (slot 0 highest) in a single Long; onsets too near the end to
+    * fill every slot emit nothing; distinct per doc. Both onset
+    * detectors ([[energyOnsets]] threshold forms and
+    * [[energyOnsetsRolling]]) MUST land here so their landmark values
+    * are mutually comparable and the packing can never drift. */
+  private def packOnsetLandmarks(mono: Array[Short], rate: Int,
+      frameN: Int, onsets: Array[Int],
+      codesPerOnset: Int): Iterator[Long] = {
+    val lms = scala.collection.mutable.LinkedHashSet.empty[Long]
+    onsets.foreach { o =>
+      var lm = 0L
+      var k = 0
+      var full = true
+      while (k < codesPerOnset && full) {
+        // frame slot k starts k*64 ms after the onset —
+        // absolute-time-derived like the drift-free grid
+        val off = o + (k.toLong * 64L * rate / 1000L).toInt
+        if (off + frameN <= mono.length)
+          lm = lm * 65536L + spectralCodeAt(mono, rate, off, frameN)
+        else full = false
+        k += 1
+      }
+      if (full) lms += lm
+    }
+    lms.iterator
+  }
+
+  /** [[spectralOnsetLandmarks]] with the ROLLING-RMS onset detector
+    * ([[energyOnsetsRolling]]) — the NOISY-FLOOR member of the onset
+    * tier: audio whose gaps carry a hum / room tone / hiss floor has
+    * no sub-threshold span for the absolute OR peak-relative
+    * thresholds to anchor on (both find ZERO onsets — a structural
+    * miss), while a burst still clears `ratio` x the trailing-RMS
+    * floor at the same CONTINUOUS time in master and re-upload,
+    * whatever the trim offset, mux rate, or gain. Same packed
+    * joint-code landmark values as the threshold form (shared
+    * kernel), same family shape: distinct per doc, one mapPartitions
+    * pass, no shuffle. */
+  def spectralOnsetLandmarksRolling(media: DataFrame,
+      codesPerOnset: Int = 2, ratio: Double = 3.0, rmsMs: Int = 24,
+      minGapMs: Int = 48, minAbs: Int = 64)(
+      implicit s: SparkSession): Dataset[DocLandmark] = {
+    import s.implicits._
+    require(codesPerOnset >= 1 && codesPerOnset <= 4,
+      "codesPerOnset must be in 1..4 (16-bit codes pack into one Long)")
+    require(ratio > 1.0, "ratio must be > 1 (fire above the floor)")
+    require(rmsMs >= 1 && minGapMs >= 1, "rmsMs and minGapMs must be >= 1")
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions(rows => rows.flatMap { r =>
+        decodeWav(r.payload) match {
+          case Some(w) if w.sampleRate > 0 =>
+            val mono = monoMix(w)
+            val rate = w.sampleRate
+            val frameN = (rate * 64L / 1000L).toInt
+            if (frameN <= 0) Iterator.empty
+            else packOnsetLandmarks(mono, rate, frameN,
+              energyOnsetsRolling(mono, rate, ratio, rmsMs, minGapMs,
+                minAbs), codesPerOnset)
+              .map(DocLandmark(r.doc_id, _))
+          case _ => Iterator.empty
+        }
+      })
+  }
+
+  /** Audio near-dup pairs on ROLLING-RMS onset landmarks — the m119
+    * tier: a NOISY-FLOOR corpus (continuous hum under the beat
+    * structure) re-uploaded with an arbitrary-offset trim and a
+    * fractional resample. The absolute (m115) and peak-relative
+    * (m117) onset tiers find zero onsets on such audio — no
+    * sub-threshold span exists — and every grid tier misses the
+    * non-hop-multiple trim by construction; the rolling-RMS detector
+    * anchors at the bursts regardless. Same posting-list scoring and
+    * `maxDf` cap as the landmark family. */
+  def audioOnsetLandmarkPairsRolling(media: DataFrame,
+      minMatch: Double = 0.6, codesPerOnset: Int = 2, maxDf: Int = 0,
+      ratio: Double = 3.0, rmsMs: Int = 24, minGapMs: Int = 48,
+      minAbs: Int = 64)(implicit s: SparkSession): DataFrame =
+    landmarkPairScores(
+      Materialize.eager(
+        spectralOnsetLandmarksRolling(media, codesPerOnset, ratio, rmsMs,
+          minGapMs, minAbs).toDF()),
+      minMatch, maxDf)
 
   /** Audio near-dup pairs on ONSET-ANCHORED spectral landmarks — trim
     * tolerance at ARBITRARY offsets plus rate freedom: the tier for a

@@ -94,6 +94,8 @@ QUERIES = [
                            # threshold: re-leveled+trim+resample compound
     "m118_onset_index_dedup", # incremental screen vs the persisted
                            # onset-landmark index (landmark-keyed)
+    "m119_audio_onset_noisy", # rolling-RMS onset detection: noisy-floor
+                           # (hum under the beats) trim+resample re-uploads
 ]
 # e52 is 2000 rows; pin a deterministic 50-row sample (p_partkey % 40 == 0)
 SAMPLE = {"e52_keccak256": "p_partkey % 40 = 0"}
