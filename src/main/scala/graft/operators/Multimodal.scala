@@ -621,6 +621,87 @@ object Multimodal {
     }, sampleRate = rate)
   }
 
+  /** Beat-gated tone mixture with VARIABLE-length segments — the
+    * SPEED-CHANGE fixture. [[syntheticWavTones]] uses a fixed segMs,
+    * so every onset interval is equal and interval RATIOS carry no
+    * information; here segment k's duration comes from a doc-keyed
+    * avalanched hash over the near-geometric ladder {64, 78, 95, 116,
+    * 142} ms (adjacent log-ratios ~0.198, so under the interval tier's
+    * default qStep = 0.2 every ratio quantizes mid-cell, ~0.43 cells
+    * from any boundary — detection jitter of a full sample period
+    * moves a 64 ms ratio by < 0.03 cells). Each segment opens with a
+    * 32 ms silent gate, then a 17-band tone burst keyed like the tones
+    * generator (levels re-permute every 32 ms of master time). The
+    * signal is a pure function of MASTER time
+    * `tau = t * speedNum/speedDen + offsetMs/1000`:
+    * `speedNum/speedDen` is a PLAYBACK-SPEED factor — tempo and pitch
+    * scale TOGETHER, the classic content-ID-evading speed-up — and
+    * offsetMs trims, rate muxes, gainNum/gainDen re-level, so one
+    * master rendered at (8 kHz, speed 1) and a re-upload at
+    * (44.1 kHz, speed 21/20, trim 50 ms) sample the same continuous
+    * waveform under exactly the similarity the interval tier must
+    * recover. */
+  def syntheticWavBeats(id: Long, rate: Int, ms: Int = 1248,
+      offsetMs: Int = 0, speedNum: Int = 1, speedDen: Int = 1,
+      gainNum: Int = 1, gainDen: Int = 1): Array[Byte] = {
+    require(speedNum >= 1 && speedDen >= 1, "speed must be positive")
+    val bands = 17
+    val T = 0.064
+    val centers = Array.tabulate(bands)(b =>
+      math.max(1L, math.round(300.0 * StrictMath.pow(10.0, b / 16.0) * T))
+        .toDouble / T)
+    // segment-duration ladder (ms); see scaladoc for the geometry
+    val ladder = Array(64, 78, 95, 116, 142)
+    def avalanche(id: Long, k: Long, salt: Long): Long = {
+      var h = (id ^ salt) * -7046029254386353131L +
+        (k + 1L) * -4417276706812531889L
+      h ^= h >>> 30; h *= -4658895280553007687L
+      h ^= h >>> 27; h *= -7723592293110705685L
+      h ^ (h >>> 31)
+    }
+    def segDur(k: Int): Double = {
+      val h = avalanche(id, k.toLong, 0x5b3e9a17c4d20f86L)
+      ladder((((h >>> 24) & 0x7fffffffL) % ladder.length).toInt) / 1000.0
+    }
+    val maxTau = offsetMs / 1000.0 +
+      ms / 1000.0 * speedNum.toDouble / speedDen + 0.2
+    val bounds = scala.collection.mutable.ArrayBuffer(0.0)
+    while (bounds.last <= maxTau)
+      bounds += bounds.last + segDur(bounds.length - 1)
+    val starts = bounds.toArray
+    val n = rate * ms / 1000
+    wavPcm16(Array.tabulate(n) { i =>
+      val tau = i.toDouble / rate * speedNum / speedDen + offsetMs / 1000.0
+      // largest segment start <= tau (starts(0)=0, last > maxTau >= tau)
+      var lo = 0
+      var hi = starts.length - 1
+      while (lo < hi - 1) {
+        val mid = (lo + hi) >>> 1
+        if (starts(mid) <= tau) lo = mid else hi = mid
+      }
+      if (tau - starts(lo) < 0.032) 0
+      else {
+        // level permutation re-keys every 32 ms of master time — the
+        // permMs=32 behavior of the tones generator (see its scaladoc
+        // for why stationary bursts would hand grid tiers unearned
+        // trim-invariance)
+        val h = avalanche(id, (tau / 0.032).toLong, 0L)
+        val a = 1 + (((h >>> 8) & 0x7fffffffL) % 16L).toInt
+        val c = (((h >>> 40) & 0x7fffffffL) % 17L).toInt
+        var acc = 0.0
+        var b = 0
+        while (b < bands) {
+          val lvl = ((a * b + c) % 17) + 1
+          acc += lvl / 17.0 *
+            StrictMath.sin(2.0 * StrictMath.PI * centers(b) * tau)
+          b += 1
+        }
+        math.max(-32768L, math.min(32767L,
+          math.round(acc / bands * 20000.0 * gainNum / gainDen))).toInt
+      }
+    }, sampleRate = rate)
+  }
+
   /** [[syntheticWavTex]] muxed STEREO with L == R — the dual-mono
     * re-upload every channel-layout converter emits: interleaved
     * samples differ from the mono master byte-for-byte, but the
@@ -1303,6 +1384,170 @@ object Multimodal {
     val lms = Materialize.eager(
       spectralOnsetLandmarks(media, codesPerOnset, threshold,
         minSilenceMs, thresholdFrac).toDF())
+    val nl = lms.groupBy(col("doc_id")).agg(count(lit(1)).as("nl"))
+    val dup = lms.join(
+        index.select(col("lm"), col("doc_id").as("src"),
+          col("nl").as("nl_src")),
+        Seq("lm"))
+      .groupBy(col("doc_id"), col("src"), col("nl_src"))
+      .agg(count(lit(1)).as("c"))
+      .join(nl, Seq("doc_id"))
+      .filter(col("c").cast("double") / least(col("nl"), col("nl_src"))
+        >= minMatch)
+      .groupBy(col("doc_id")).agg(min(col("src")).as("dup_src"))
+    nl.select(col("doc_id")).join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_src").isNull.as("kept"),
+        col("dup_src"))
+  }
+
+  /** ONSET-INTERVAL-RATIO codes — the SPEED-CHANGE / TIME-STRETCH
+    * invariant kernel (closes the last audio scope line): a playback
+    * speed-up scales every onset's time by 1/s and a pitch-preserving
+    * time-stretch scales it by the stretch factor, so the RATIO of
+    * successive inter-onset intervals is invariant under BOTH — and
+    * under trim (later windows align), resample (intervals are sample
+    * counts at ONE rate, so ratios are unit-free), and re-level (with
+    * a level-tolerant detector). Every window of `nRatios + 2`
+    * consecutive onsets packs its `nRatios` quantized log-ratios
+    * (`round(ln(i_{k+1}/i_k) / qStep)`, clamped to a signed 6-bit
+    * cell) into one Long, slot 0 highest; windows with any ratio
+    * outside the cell range emit nothing; distinct per doc. A ratio
+    * sitting ON a cell boundary can flip between renderings —
+    * match_frac scoring absorbs isolated flips, and the posting-list
+    * consumer never needs every window to agree. NOTE these codes
+    * carry TIMING structure only (no spectral content, which pitch
+    * scaling destroys) — entropy comes from the onset schedule, so
+    * metronomic audio (equal intervals) hashes to one landmark and
+    * must fall back to the spectral tiers. */
+  private[operators] def intervalRatioCodes(onsets: Array[Int],
+      nRatios: Int, qStep: Double): Iterator[Long] = {
+    val lms = scala.collection.mutable.LinkedHashSet.empty[Long]
+    val nInt = onsets.length - 1 // intervals
+    var j = 0
+    while (j + nRatios + 1 <= nInt) { // window = nRatios+1 intervals
+      var lm = 0L
+      var ok = true
+      var k = 0
+      while (k < nRatios && ok) {
+        val a = (onsets(j + k + 1) - onsets(j + k)).toDouble
+        val b = (onsets(j + k + 2) - onsets(j + k + 1)).toDouble
+        if (a <= 0.0 || b <= 0.0) ok = false
+        else {
+          val q = math.round(StrictMath.log(b / a) / qStep) + 32L
+          if (q < 0L || q > 63L) ok = false
+          else lm = lm * 64L + q
+        }
+        k += 1
+      }
+      if (ok) lms += lm
+      j += 1
+    }
+    lms.iterator
+  }
+
+  /** Interval-ratio landmarks per document — the Dataset form of
+    * [[intervalRatioCodes]] over the [[energyOnsets]] detector: decode
+    * once, detect onsets, emit one row per distinct packed ratio
+    * window. One mapPartitions pass, no shuffle; payloads yielding
+    * fewer than `nRatios + 2` onsets (undecodable, onset-free, or
+    * just short) emit nothing — the family contract (grid tiers cover
+    * onset-free corpora; nothing in the TIMING of metronomic audio
+    * distinguishes docs, see the kernel scaladoc). */
+  def onsetIntervalLandmarks(media: DataFrame, nRatios: Int = 5,
+      qStep: Double = 0.2, threshold: Int = 1024, minSilenceMs: Int = 8)(
+      implicit s: SparkSession): Dataset[DocLandmark] = {
+    import s.implicits._
+    require(nRatios >= 1 && nRatios <= 10,
+      "nRatios must be in 1..10 (6-bit cells pack into one Long)")
+    require(qStep > 0.0, "qStep must be > 0")
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions(rows => rows.flatMap { r =>
+        decodeWav(r.payload) match {
+          case Some(w) if w.sampleRate > 0 =>
+            intervalRatioCodes(
+              energyOnsets(monoMix(w), w.sampleRate, threshold,
+                minSilenceMs), nRatios, qStep)
+              .map(DocLandmark(r.doc_id, _))
+          case _ => Iterator.empty
+        }
+      })
+  }
+
+  /** Audio near-dup pairs on ONSET-INTERVAL-RATIO landmarks — the
+    * m120 tier: a re-upload SPED UP (or slowed down) by a uniform
+    * factor shifts both the onset grid and every tone's pitch, so all
+    * spectral tiers (grid AND onset-anchored — their codes are
+    * band-energy orderings at fixed Hz) structurally miss it, while
+    * interval ratios ride through speed, stretch, trim, mux rate, and
+    * level together. Same posting-list scoring and `maxDf` cap as the
+    * landmark family. */
+  def audioIntervalLandmarkPairs(media: DataFrame, minMatch: Double = 0.6,
+      nRatios: Int = 5, qStep: Double = 0.2, maxDf: Int = 0,
+      threshold: Int = 1024, minSilenceMs: Int = 8)(
+      implicit s: SparkSession): DataFrame =
+    landmarkPairScores(
+      Materialize.eager(
+        onsetIntervalLandmarks(media, nRatios, qStep, threshold,
+          minSilenceMs).toDF()),
+      minMatch, maxDf)
+
+  /** Version stamp for the INTERVAL-RATIO landmark family
+    * ([[onsetIntervalLandmarks]] — onset detection, ratio
+    * quantization, window packing): namespaced (interval = 5000 + v;
+    * the family convention) so cross-family screens fail fast at
+    * every version pair; 5001 = v1. Parameter choices (nRatios,
+    * qStep, thresholds) are NOT covered — screen with the parameters
+    * the index was built with. */
+  val IntervalFpVersion: Int = 5001
+
+  /** Persisted INTERVAL-RATIO landmark index — the incremental member
+    * of the m120 tier: the corpus is interval-fingerprinted ONCE into
+    * one row per distinct (lm, doc) with the doc's landmark count
+    * riding along, and [[dedupAgainstAudioIntervalIndex]] screens
+    * every ingest batch — a sped-up/stretched (plus trimmed,
+    * re-muxed) re-upload of a corpus master is caught with no corpus
+    * re-decode. [[IncrementalIndex.append]]-compatible; stamped with
+    * [[IntervalFpVersion]]. */
+  def audioIntervalLandmarkIndex(media: DataFrame, nRatios: Int = 5,
+      qStep: Double = 0.2, threshold: Int = 1024,
+      minSilenceMs: Int = 8)(implicit s: SparkSession): DataFrame = {
+    val lms = Materialize.eager(
+      onsetIntervalLandmarks(media, nRatios, qStep, threshold,
+        minSilenceMs).toDF())
+    lms.join(lms.groupBy(col("doc_id")).agg(count(lit(1)).as("nl")),
+        Seq("doc_id"))
+      .select(col("lm"), col("doc_id"), col("nl"),
+        lit(IntervalFpVersion).as("fp_ver"))
+  }
+
+  /** Screen an ingest batch against a pre-built
+    * [[audioIntervalLandmarkIndex]]: the batch fingerprints once,
+    * equi-joins the index on the packed ratio-window landmark, and a
+    * probe is a duplicate of the lowest corpus doc whose shared
+    * distinct landmarks over the smaller set reach `minMatch`.
+    * Payloads yielding NO landmarks are absent from the output, not
+    * judged kept (the family contract). Enforces
+    * [[IntervalFpVersion]]; screen with the parameters the index was
+    * built with. */
+  def dedupAgainstAudioIntervalIndex(media: DataFrame, index: DataFrame,
+      minMatch: Double = 0.6, nRatios: Int = 5, qStep: Double = 0.2,
+      threshold: Int = 1024, minSilenceMs: Int = 8)(
+      implicit s: SparkSession): DataFrame = {
+    require(index.columns.contains("fp_ver"),
+      s"interval index has no fp_ver column: it predates fingerprint " +
+        s"version $IntervalFpVersion — rebuild it with " +
+        "audioIntervalLandmarkIndex before screening")
+    val stale = index.filter(col("fp_ver") =!= lit(IntervalFpVersion))
+      .limit(1).collect()
+    require(stale.isEmpty,
+      s"interval index built by fingerprint version " +
+        s"${stale.headOption.map(_.getAs[Any]("fp_ver")).orNull}, " +
+        s"current is $IntervalFpVersion — rebuild it with " +
+        "audioIntervalLandmarkIndex before screening (cross-version " +
+        "landmarks never match)")
+    val lms = Materialize.eager(
+      onsetIntervalLandmarks(media, nRatios, qStep, threshold,
+        minSilenceMs).toDF())
     val nl = lms.groupBy(col("doc_id")).agg(count(lit(1)).as("nl"))
     val dup = lms.join(
         index.select(col("lm"), col("doc_id").as("src"),

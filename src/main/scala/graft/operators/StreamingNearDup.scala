@@ -406,6 +406,40 @@ object StreamingNearDup {
       }
   }
 
+  /** [[audioOnsetLandmarkVerdicts]] at the INTERVAL-RATIO seam — the
+    * streaming member of the m120 tier: state keys on
+    * `Multimodal.onsetIntervalLandmarks`' packed ratio-window
+    * landmarks, so a re-delivery SPED UP or TIME-STRETCHED by a
+    * uniform factor — which shifts both the onset grid and every
+    * tone's pitch, blinding all spectral streaming tiers (grid AND
+    * onset-anchored) — still lands in its master's buckets: ratios of
+    * successive inter-onset intervals ride through speed, stretch,
+    * trim, mux rate, and level together. Same id-monotonic
+    * determinism contract, [[LandmarkHits]] record, and `maxBucket` /
+    * [[foldBucket]] cap as the family; metronomic audio (equal
+    * intervals — no timing entropy) passes through to the spectral
+    * tiers. */
+  def audioIntervalLandmarkVerdicts(media: DataFrame, idCol: String,
+      payloadCol: String, nRatios: Int = 5, qStep: Double = 0.2,
+      maxBucket: Int = 0): Dataset[LandmarkHits] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val lms = Multimodal.onsetIntervalLandmarks(
+      media.select(col(idCol).cast("long").as("doc_id"),
+        col(payloadCol).as("payload")), nRatios, qStep)
+    lms.groupByKey(_.lm)
+      .flatMapGroupsWithState[List[Long], LandmarkHits](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (lm, rows, state: GroupState[List[Long]]) =>
+          val (seen, out) = foldBucket(state.getOption.getOrElse(Nil),
+            rows.toSeq.map(_.doc_id).sorted, maxBucket)(
+            (id, hits) => LandmarkHits(id, lm, hits))
+          state.update(seen)
+          out.iterator
+      }
+  }
+
   /** Streaming WINNOWING ingest dedup — the sampled-overlap tier with
     * a RECALL GUARANTEE in the streaming matrix (st68's MinHash bands
     * estimate whole-document similarity; winnowing detects any shared

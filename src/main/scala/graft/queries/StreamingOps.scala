@@ -1413,6 +1413,117 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // SPEED-CHANGE / TIME-STRETCH audio dedup — ONSET-INTERVAL-RATIO
+    // landmarks (closes the last audio scope line): 10 variable-
+    // segment beat masters at 8 kHz; re-uploads are SPED UP 5%
+    // (speed 21/20 — tempo AND pitch scale together, the classic
+    // content-ID evasion), trimmed 50 ms, and muxed at 44.1 kHz.
+    // Every spectral tier — grid and onset-anchored alike — misses
+    // them structurally (codes are band-energy orderings at fixed Hz,
+    // and 5% shifts each tone several Goertzel main lobes;
+    // Round11cSpec pins zero cross-pairs for both), while the ratio
+    // of successive inter-onset intervals is invariant under speed,
+    // stretch, trim, mux rate, and level together. All 10 land at
+    // match_frac 1.0 — every re-upload ratio window exists in its
+    // master (quantized mid-cell by the fixture's geometric segment
+    // ladder). Pinned golden (StrictMath trig).
+    "m120_audio_speed_neardup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val wav = udf((id: Long) =>
+        if (id < 20) Multimodal.syntheticWavBeats(id, 8000, ms = 1248)
+        else Multimodal.syntheticWavBeats(id - 20, 44100, ms = 1000,
+          offsetMs = 50, speedNum = 21, speedDen = 20))
+      val media = s.range(0, 10).union(s.range(20, 30))
+        .select(col("id").as("doc_id"), wav(col("id")).as("payload"))
+      Multimodal.audioIntervalLandmarkPairs(media, maxDf = 64)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Incremental screen vs the persisted INTERVAL-RATIO landmark
+    // index — the m120 tier's index member (the m118 contract shape):
+    // 8 beat masters indexed once (IntervalFpVersion-stamped), then
+    // an ingest batch of 6 sped-up (21/20) trimmed 44.1 kHz
+    // re-uploads plus 2 fresh beat docs screens against it with no
+    // corpus re-decode. Round11cSpec pins append == rebuild and the
+    // cross-family version fail-fast both directions. Pinned golden.
+    "m121_interval_index_dedup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val wav = udf((id: Long) =>
+        if (id < 20) Multimodal.syntheticWavBeats(id, 8000, ms = 1248)
+        else if (id < 30) Multimodal.syntheticWavBeats(id - 20, 44100,
+          ms = 1000, offsetMs = 50, speedNum = 21, speedDen = 20)
+        else Multimodal.syntheticWavBeats(id, 44100, ms = 1000))
+      val corpus = s.range(0, 8)
+        .select(col("id").as("doc_id"), wav(col("id")).as("payload"))
+      val index = Multimodal.audioIntervalLandmarkIndex(corpus)
+      val probes = s.range(20, 26).union(s.range(130, 132))
+        .select(col("id").as("doc_id"), wav(col("id")).as("payload"))
+      Multimodal.dedupAgainstAudioIntervalIndex(probes, index)
+        .orderBy(col("doc_id"))
+    }),
+
+    // STREAMING speed-change audio dedup (the m120 tier in the
+    // streaming matrix): micro-batch 1 delivers 10 variable-segment
+    // beat masters at 8 kHz, micro-batch 2 their 5% sped-up, 50 ms-
+    // trimmed 44.1 kHz re-uploads — the compound every spectral
+    // streaming tier (grid st73/st74/st82/st84 AND onset st89) is
+    // blind to. Packed interval-ratio landmark buckets emit earlier
+    // sharers; the batch query over the sink scores shared distinct
+    // landmarks >= 0.6 over the smaller set (the m120 metric).
+    // Pinned golden.
+    "st92_stream_speed_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val name = "st92_out"
+      val staged = stagingDir("graft-stream-speed")
+      val wav = udf((id: Long) =>
+        if (id < 1000000L) Multimodal.syntheticWavBeats(id, 8000,
+          ms = 1248)
+        else Multimodal.syntheticWavBeats(id - 1000000L, 44100,
+          ms = 1000, offsetMs = 50, speedNum = 21, speedDen = 20))
+      def stageBatch(ids: org.apache.spark.sql.Dataset[java.lang.Long],
+          fname: String, ageMs: Long): Unit = {
+        val tmp = staged.resolve(fname + ".tmp")
+        ids.toDF("doc_id").select(col("doc_id"), wav(col("doc_id")).as("payload"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, staged.resolve(fname))
+        staged.resolve(fname).toFile.deleteOnExit()
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        java.nio.file.Files.setLastModifiedTime(staged.resolve(fname),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - ageMs))
+      }
+      stageBatch(s.range(0, 10).as[java.lang.Long], "a.parquet", 120000L)
+      stageBatch(s.range(1000000L, 1000010L).as[java.lang.Long], "b.parquet", 0L)
+      val mediaSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("payload", BinaryType)))
+      val stream = s.readStream.schema(mediaSchema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+        .repartition(col("doc_id"))
+      val hits = graft.operators.StreamingNearDup.audioIntervalLandmarkVerdicts(
+        stream, "doc_id", "payload", maxBucket = 64)
+      val q = hits.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+      val nl = s.table(name).groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("nl"))
+      val nlSrc = s.table(name).select(col("doc_id").as("src_id"))
+        .groupBy(col("src_id")).agg(count(lit(1)).as("nl_src"))
+      val dup = s.table(name)
+        .select(col("doc_id").as("d"), explode(col("hits")).as("src"))
+        .groupBy(col("d"), col("src")).agg(count(lit(1)).as("c"))
+        .join(nl, col("d") === nl("doc_id")).drop("doc_id")
+        .join(nlSrc, col("src") === col("src_id"))
+        .filter(col("c").cast("double") / least(col("nl"), col("nl_src"))
+          >= 0.6)
+        .groupBy(col("d")).agg(min(col("src")).as("dup_src"))
+      nl.join(dup, col("doc_id") === col("d"), "left")
+        .select(col("doc_id"), col("dup_src").isNull.as("kept"),
+          col("dup_src"))
+        .orderBy(col("doc_id"))
+    }),
+
     // WATERMARKED streaming exact dedup (the bounded-state form of
     // st65 — closes round-10 verdict task #6): dropDuplicatesWithin-
     // Watermark keeps a key's state only until the watermark passes

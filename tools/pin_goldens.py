@@ -96,6 +96,12 @@ QUERIES = [
                            # onset-landmark index (landmark-keyed)
     "m119_audio_onset_noisy", # rolling-RMS onset detection: noisy-floor
                            # (hum under the beats) trim+resample re-uploads
+    "m120_audio_speed_neardup", # onset-interval-ratio landmarks:
+                           # 5% speed-change (tempo+pitch) re-uploads
+    "m121_interval_index_dedup", # incremental screen vs the persisted
+                           # interval-ratio landmark index
+    "st92_stream_speed_dedup", # streaming speed-change dedup (interval-
+                           # ratio landmark buckets)
 ]
 # e52 is 2000 rows; pin a deterministic 50-row sample (p_partkey % 40 == 0)
 SAMPLE = {"e52_keccak256": "p_partkey % 40 = 0"}
