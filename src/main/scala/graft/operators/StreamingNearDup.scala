@@ -406,6 +406,42 @@ object StreamingNearDup {
       }
   }
 
+  /** [[audioOnsetLandmarkVerdicts]] with the ROLLING-RMS detector —
+    * the streaming member of the m119 tier: state keys on
+    * `Multimodal.spectralOnsetLandmarksRolling`'s packed joint-code
+    * landmarks, whose onsets fire at `ratio` x the trailing-RMS floor
+    * instead of a fixed or peak-relative threshold — so a NOISY-FLOOR
+    * re-delivery (hum / room tone under the beat structure), which
+    * both threshold streaming tiers structurally miss (no
+    * sub-threshold span anywhere, zero landmarks), still lands in its
+    * master's buckets at any trim offset and mux rate. Landmark
+    * values are comparable with the threshold tier's (shared packing
+    * kernel). Same id-monotonic determinism contract,
+    * [[LandmarkHits]] record, and `maxBucket` / [[foldBucket]] cap as
+    * the family. */
+  def audioOnsetLandmarkVerdictsRolling(media: DataFrame, idCol: String,
+      payloadCol: String, codesPerOnset: Int = 2, ratio: Double = 3.0,
+      rmsMs: Int = 24, minGapMs: Int = 48, minAbs: Int = 64,
+      maxBucket: Int = 0): Dataset[LandmarkHits] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val lms = Multimodal.spectralOnsetLandmarksRolling(
+      media.select(col(idCol).cast("long").as("doc_id"),
+        col(payloadCol).as("payload")), codesPerOnset, ratio, rmsMs,
+      minGapMs, minAbs)
+    lms.groupByKey(_.lm)
+      .flatMapGroupsWithState[List[Long], LandmarkHits](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (lm, rows, state: GroupState[List[Long]]) =>
+          val (seen, out) = foldBucket(state.getOption.getOrElse(Nil),
+            rows.toSeq.map(_.doc_id).sorted, maxBucket)(
+            (id, hits) => LandmarkHits(id, lm, hits))
+          state.update(seen)
+          out.iterator
+      }
+  }
+
   /** [[audioOnsetLandmarkVerdicts]] at the INTERVAL-RATIO seam — the
     * streaming member of the m120 tier: state keys on
     * `Multimodal.onsetIntervalLandmarks`' packed ratio-window

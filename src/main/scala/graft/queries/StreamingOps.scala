@@ -1524,6 +1524,72 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // STREAMING noisy-floor audio dedup (the m119 tier in the
+    // streaming matrix): micro-batch 1 delivers 10 beat-gated tone
+    // masters over a continuous 60 Hz hum floor at 8 kHz, micro-batch
+    // 2 their 50 ms-trimmed 44.1 kHz re-deliveries — audio with NO
+    // sub-threshold span anywhere, so the threshold streaming onset
+    // tier (st89) finds zero landmarks on every doc (Round11bSpec
+    // pins the batch-side structural miss). Rolling-RMS onsets anchor
+    // at the bursts (3x the trailing 24 ms RMS — a continuous-
+    // waveform property); the batch query over the sink scores shared
+    // distinct landmarks >= 0.6 over the smaller set. Pinned golden.
+    "st93_stream_noisy_onset_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val name = "st93_out"
+      val staged = stagingDir("graft-stream-noisy")
+      val wav = udf((id: Long) =>
+        if (id < 1000000L) Multimodal.syntheticWavTones(id, 8000,
+          ms = 1248, gateMs = 32, segMs = 96, permMs = 32,
+          floorNum = 1, floorDen = 16)
+        else Multimodal.syntheticWavTones(id - 1000000L, 44100,
+          ms = 1120, offsetMs = 50, gateMs = 32, segMs = 96,
+          permMs = 32, floorNum = 1, floorDen = 16))
+      def stageBatch(ids: org.apache.spark.sql.Dataset[java.lang.Long],
+          fname: String, ageMs: Long): Unit = {
+        val tmp = staged.resolve(fname + ".tmp")
+        ids.toDF("doc_id").select(col("doc_id"), wav(col("doc_id")).as("payload"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, staged.resolve(fname))
+        staged.resolve(fname).toFile.deleteOnExit()
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        java.nio.file.Files.setLastModifiedTime(staged.resolve(fname),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - ageMs))
+      }
+      stageBatch(s.range(0, 10).as[java.lang.Long], "a.parquet", 120000L)
+      stageBatch(s.range(1000000L, 1000010L).as[java.lang.Long], "b.parquet", 0L)
+      val mediaSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("payload", BinaryType)))
+      val stream = s.readStream.schema(mediaSchema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+        .repartition(col("doc_id"))
+      val hits = graft.operators.StreamingNearDup
+        .audioOnsetLandmarkVerdictsRolling(
+          stream, "doc_id", "payload", maxBucket = 64)
+      val q = hits.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+      val nl = s.table(name).groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("nl"))
+      val nlSrc = s.table(name).select(col("doc_id").as("src_id"))
+        .groupBy(col("src_id")).agg(count(lit(1)).as("nl_src"))
+      val dup = s.table(name)
+        .select(col("doc_id").as("d"), explode(col("hits")).as("src"))
+        .groupBy(col("d"), col("src")).agg(count(lit(1)).as("c"))
+        .join(nl, col("d") === nl("doc_id")).drop("doc_id")
+        .join(nlSrc, col("src") === col("src_id"))
+        .filter(col("c").cast("double") / least(col("nl"), col("nl_src"))
+          >= 0.6)
+        .groupBy(col("d")).agg(min(col("src")).as("dup_src"))
+      nl.join(dup, col("doc_id") === col("d"), "left")
+        .select(col("doc_id"), col("dup_src").isNull.as("kept"),
+          col("dup_src"))
+        .orderBy(col("doc_id"))
+    }),
+
     // WATERMARKED streaming exact dedup (the bounded-state form of
     // st65 — closes round-10 verdict task #6): dropDuplicatesWithin-
     // Watermark keeps a key's state only until the watermark passes

@@ -102,6 +102,8 @@ QUERIES = [
                            # interval-ratio landmark index
     "st92_stream_speed_dedup", # streaming speed-change dedup (interval-
                            # ratio landmark buckets)
+    "st93_stream_noisy_onset_dedup", # streaming noisy-floor dedup
+                           # (rolling-RMS onset landmark buckets)
 ]
 # e52 is 2000 rows; pin a deterministic 50-row sample (p_partkey % 40 == 0)
 SAMPLE = {"e52_keccak256": "p_partkey % 40 = 0"}
