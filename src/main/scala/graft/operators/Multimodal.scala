@@ -2724,18 +2724,24 @@ object Multimodal {
       global0: Boolean = false, intro: Int = 0,
       frameOffset: Int = 0, audioId: Long = -1L,
       audioSamples: Int = 0, mirrorX: Boolean = false,
-      rotQ: Int = 0): Array[Byte] = {
+      rotQ: Int = 0, rateNum: Int = 1, rateDen: Int = 1): Array[Byte] = {
     // rotQ renders every frame turned rotQ clockwise quarter turns
     // (DIB leg; square frames) — composed AFTER mirrorX, so
     // mirrorX+rotQ is the rotate(mirror(frame)) dihedral compound
     require(rotQ == 0 || (!mjpeg && w == h),
       "frame rotation: DIB leg, square frames only")
+    require(rateNum >= 1 && rateDen >= 1, "rate must be positive")
     val rowBytes = (w * 3 + 3) & ~3
     val frameChunks = (0 until nFrames).map { f0 =>
       // `frameOffset` renders frame f of THIS container as frame
       // f+offset of the base stream — the leading-TRIM fixture for the
-      // video landmark tier (cut k frames off the front, bit-exact)
-      val f = f0 + frameOffset
+      // video landmark tier (cut k frames off the front, bit-exact).
+      // rateNum/rateDen remap the base index as floor(f*rateNum/
+      // rateDen) — the index arithmetic every naive FRAME-RATE
+      // converter does: 5/4 DROPS every 5th base frame (30->24 fps),
+      // 4/5 DUPLICATES every 4th (24->30 fps). Defaults reproduce the
+      // old stream bit-exactly.
+      val f = frameOffset + (f0.toLong * rateNum / rateDen).toInt
       // frames below `intro` render with a fixed sentinel id — a
       // SHARED intro/title sequence across otherwise-unrelated videos,
       // the hot-bucket fixture for videoNearDupPairs' maxDf cap (the
@@ -4368,8 +4374,17 @@ object Multimodal {
 
   def videoLandmarkPairs(media: DataFrame, every: Int = 2,
       minMatch: Double = 0.6, maxDf: Int = 0)(
-      implicit s: SparkSession): DataFrame = {
-    val lms = Materialize.eager(videoLandmarks(media, every).toDF())
+      implicit s: SparkSession): DataFrame =
+    videoLandmarkPairScoresExact(
+      Materialize.eager(videoLandmarks(media, every).toDF()),
+      minMatch, maxDf)
+
+  /** Shared exact-landmark posting-list scorer for the video landmark
+    * family ((lm_a, lm_b) equality buckets, distinct-pair count over
+    * the smaller doc's landmark set, `maxDf` hot-bucket cap before
+    * pair expansion — the scale guard). */
+  private def videoLandmarkPairScoresExact(lms: DataFrame,
+      minMatch: Double, maxDf: Int): DataFrame = {
     val sizes = lms.groupBy(col("doc_id")).agg(count(lit(1)).as("nl"))
     val bucketed =
       if (maxDf <= 0) lms
@@ -4393,6 +4408,72 @@ object Multimodal {
           .as("match_frac"))
       .filter(col("match_frac") >= minMatch)
   }
+
+  /** SKIP-TOLERANT video landmarks — the FRAME-RATE-CONVERSION tier's
+    * kernel: a naive fps converter remaps base frame indexes as
+    * floor(f * num/den), DROPPING frames on a down-conversion and
+    * DUPLICATING them on an up-conversion. Consecutive-pair landmarks
+    * ([[videoLandmarks]]) break structurally: at the default
+    * `every = 2` a single drop flips the sampling PARITY of every
+    * later frame, so the hash sequence itself changes wholesale. Here
+    * (a) adjacent IDENTICAL hashes collapse first — a duplicated
+    * frame is bit-exact, so up-conversion collapses back to the
+    * master sequence (re-encode noise lands in the hamming-tolerant
+    * sibling's domain, [[videoLandmarkPairsTolerant]]); (b) every
+    * pair (h_i, h_j) with j - i <= `gap` is a landmark, so a dropped
+    * frame's bridging pair still exists in the master's gap-2 set.
+    * Default `every = 1`: rate tolerance and sampling stride compose
+    * badly (the parity flip above), so the rate tier hashes every
+    * frame and bounds cost by `gap` instead. Distinct per doc, one
+    * mapPartitions pass, no shuffle. */
+  def videoLandmarksSkip(media: DataFrame, gap: Int = 2, every: Int = 1)(
+      implicit s: SparkSession): Dataset[VideoLandmark] = {
+    import s.implicits._
+    require(gap >= 1, "gap must be >= 1")
+    require(every >= 1, "every must be >= 1")
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions(rows => rows.flatMap { r =>
+        containerFrames(r.payload) match {
+          case Some(fs) =>
+            val raw = fs.iterator.zipWithIndex.filter(_._2 % every == 0)
+              .flatMap(f => pHash64(f._1)).toArray
+            val hs = scala.collection.mutable.ArrayBuffer.empty[Long]
+            raw.foreach(h => if (hs.isEmpty || hs.last != h) hs += h)
+            val lms = scala.collection.mutable.LinkedHashSet.empty[(Long, Long)]
+            var i = 0
+            while (i < hs.length) {
+              var j = i + 1
+              while (j <= i + gap && j < hs.length) {
+                lms += ((hs(i), hs(j)))
+                j += 1
+              }
+              i += 1
+            }
+            lms.iterator.map { case (a, b) => VideoLandmark(r.doc_id, a, b) }
+          case None => Iterator.empty
+        }
+      })
+  }
+
+  /** Video near-dup pairs tolerant of FRAME-RATE CONVERSION — the
+    * m122 tier: a 30->24 fps re-upload (every 5th frame dropped) or a
+    * 24->30 one (every 4th duplicated), possibly also leading-trimmed,
+    * scores against its master on [[videoLandmarksSkip]]'s
+    * run-collapsed gap-pairs, where the consecutive-pair tier at its
+    * default stride provably collapses below threshold (parity flip —
+    * Round11dSpec pins the miss). Down-conversion floor: a probe
+    * gap-2 pair bridging a drop spans base gap 3, outside the
+    * master's gap-2 set, so ~1/4 of probe landmarks miss per dropped-
+    * frame period (measured floor 0.773585 at 5/4 — don't tune
+    * minMatch above it); up-conversion collapses exactly (1.0,
+    * Round11dSpec asserts it). Same exact-landmark
+    * posting-list scorer and `maxDf` cap as the family. */
+  def videoLandmarkPairsSkip(media: DataFrame, minMatch: Double = 0.6,
+      gap: Int = 2, every: Int = 1, maxDf: Int = 0)(
+      implicit s: SparkSession): DataFrame =
+    videoLandmarkPairScoresExact(
+      Materialize.eager(videoLandmarksSkip(media, gap, every).toDF()),
+      minMatch, maxDf)
 
   /** Persisted video index for incremental dedup — the t69/s56/m85/m86
     * contract at the VIDEO tier, completing the incremental-index

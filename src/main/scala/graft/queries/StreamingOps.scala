@@ -1590,6 +1590,34 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // FRAME-RATE-CONVERTED video dedup — SKIP-TOLERANT run-collapsed
+    // landmarks (the rate-conversion re-upload class): ids 20-23 are
+    // 30->24-style DOWN-conversions (every 5th base frame dropped,
+    // floor(f*5/4) index remapping) of masters 0-3, ids 24-27 are
+    // 24->30-style UP-conversions (every 4th duplicated, floor(f*4/5))
+    // of masters 4-7, all leading-trimmed 4 frames; plus 2 fresh
+    // decoys. A single drop flips the sampling parity of every later
+    // frame, so the consecutive-pair tier at its default stride
+    // misses both directions structurally (Round11dSpec pins zero
+    // cross-pairs); run-collapse makes duplication exact (1.0) and
+    // gap-2 pairs bridge drops (floor 0.773585 — don't tune minMatch
+    // above it). Pinned golden (DIB + StrictMath DCT).
+    "m122_video_rate_neardup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val avi = udf((id: Long) =>
+        if (id < 20) Multimodal.syntheticAvi(id, 40)
+        else if (id < 24) Multimodal.syntheticAvi(id - 20, 28,
+          frameOffset = 4, rateNum = 5, rateDen = 4)
+        else if (id < 28) Multimodal.syntheticAvi(id - 20, 40,
+          frameOffset = 4, rateNum = 4, rateDen = 5)
+        else Multimodal.syntheticAvi(id, 40))
+      val media = s.range(0, 8).union(s.range(20, 28))
+        .union(s.range(140, 142))
+        .select(col("id").as("doc_id"), avi(col("id")).as("payload"))
+      Multimodal.videoLandmarkPairsSkip(media, maxDf = 64)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // WATERMARKED streaming exact dedup (the bounded-state form of
     // st65 — closes round-10 verdict task #6): dropDuplicatesWithin-
     // Watermark keeps a key's state only until the watermark passes

@@ -104,6 +104,8 @@ QUERIES = [
                            # ratio landmark buckets)
     "st93_stream_noisy_onset_dedup", # streaming noisy-floor dedup
                            # (rolling-RMS onset landmark buckets)
+    "m122_video_rate_neardup", # frame-rate-converted video dedup
+                           # (skip-tolerant run-collapsed landmarks)
 ]
 # e52 is 2000 rows; pin a deterministic 50-row sample (p_partkey % 40 == 0)
 SAMPLE = {"e52_keccak256": "p_partkey % 40 = 0"}
