@@ -4475,6 +4475,77 @@ object Multimodal {
       Materialize.eager(videoLandmarksSkip(media, gap, every).toDF()),
       minMatch, maxDf)
 
+  /** Version stamp for the SKIP-LANDMARK video family
+    * ([[videoLandmarksSkip]] — run collapse, gap-pair layout):
+    * namespaced (video-skip = 6000 + v; the family convention) so
+    * cross-family screens fail fast at every version pair; 6001 = v1.
+    * Parameter choices (gap, every) are NOT covered — screen with the
+    * parameters the index was built with. */
+  val VideoSkipFpVersion: Int = 6001
+
+  /** Persisted SKIP-LANDMARK video index — the incremental member of
+    * the m122 tier: the corpus is fingerprinted ONCE into one row per
+    * distinct ((lm_a, lm_b), doc) with the doc's landmark count
+    * riding along, and [[dedupAgainstVideoSkipIndex]] screens every
+    * ingest batch — a frame-rate-converted (and leading-trimmed)
+    * re-upload of a corpus master is caught with no corpus re-decode,
+    * where the aligned [[videoChunkIndex]] (frame_idx keys) and the
+    * consecutive-pair landmarks both break.
+    * [[IncrementalIndex.append]]-compatible; stamped with
+    * [[VideoSkipFpVersion]]. */
+  def videoSkipLandmarkIndex(media: DataFrame, gap: Int = 2,
+      every: Int = 1)(implicit s: SparkSession): DataFrame = {
+    val lms = Materialize.eager(
+      videoLandmarksSkip(media, gap, every).toDF())
+    lms.join(lms.groupBy(col("doc_id")).agg(count(lit(1)).as("nl")),
+        Seq("doc_id"))
+      .select(col("lm_a"), col("lm_b"), col("doc_id"), col("nl"),
+        lit(VideoSkipFpVersion).as("fp_ver"))
+  }
+
+  /** Screen an ingest batch against a pre-built
+    * [[videoSkipLandmarkIndex]]: the batch fingerprints once,
+    * equi-joins the index on the (lm_a, lm_b) landmark, and a probe
+    * is a duplicate of the lowest corpus doc whose shared distinct
+    * landmarks over the smaller set reach `minMatch` (the m122
+    * metric — keep it at or below the 0.773585 down-conversion
+    * floor). Payloads yielding NO landmarks are absent from the
+    * output, not judged kept (the family contract). Enforces
+    * [[VideoSkipFpVersion]]; screen with the parameters the index was
+    * built with. */
+  def dedupAgainstVideoSkipIndex(media: DataFrame, index: DataFrame,
+      minMatch: Double = 0.6, gap: Int = 2, every: Int = 1)(
+      implicit s: SparkSession): DataFrame = {
+    require(index.columns.contains("fp_ver"),
+      s"video skip index has no fp_ver column: it predates fingerprint " +
+        s"version $VideoSkipFpVersion — rebuild it with " +
+        "videoSkipLandmarkIndex before screening")
+    val stale = index.filter(col("fp_ver") =!= lit(VideoSkipFpVersion))
+      .limit(1).collect()
+    require(stale.isEmpty,
+      s"video skip index built by fingerprint version " +
+        s"${stale.headOption.map(_.getAs[Any]("fp_ver")).orNull}, " +
+        s"current is $VideoSkipFpVersion — rebuild it with " +
+        "videoSkipLandmarkIndex before screening (cross-version " +
+        "landmarks never match)")
+    val lms = Materialize.eager(
+      videoLandmarksSkip(media, gap, every).toDF())
+    val nl = lms.groupBy(col("doc_id")).agg(count(lit(1)).as("nl"))
+    val dup = lms.join(
+        index.select(col("lm_a"), col("lm_b"), col("doc_id").as("src"),
+          col("nl").as("nl_src")),
+        Seq("lm_a", "lm_b"))
+      .groupBy(col("doc_id"), col("src"), col("nl_src"))
+      .agg(count(lit(1)).as("c"))
+      .join(nl, Seq("doc_id"))
+      .filter(col("c").cast("double") / least(col("nl"), col("nl_src"))
+        >= minMatch)
+      .groupBy(col("doc_id")).agg(min(col("src")).as("dup_src"))
+    nl.select(col("doc_id")).join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_src").isNull.as("kept"),
+        col("dup_src"))
+  }
+
   /** Persisted video index for incremental dedup — the t69/s56/m85/m86
     * contract at the VIDEO tier, completing the incremental-index
     * family across all five modalities: sampled-frame pHashes chunk

@@ -593,6 +593,40 @@ object StreamingNearDup {
       }
   }
 
+  /** [[videoLandmarkVerdicts]] at the SKIP-LANDMARK seam — the
+    * streaming member of the m122 tier: state keys on
+    * [[Multimodal.videoLandmarksSkip]]'s run-collapsed gap-pair
+    * landmarks, so a re-delivery that was FRAME-RATE CONVERTED
+    * (frames dropped on a down-conversion, duplicated on an
+    * up-conversion — either of which flips the sampling parity the
+    * consecutive-pair streaming tier depends on) still lands in its
+    * master's buckets: duplication collapses away and drops bridge
+    * through the gap-2 pairs. Same id-monotonic determinism contract,
+    * [[VideoLandmarkHits]] record, and `maxBucket` / [[foldBucket]]
+    * cap as the consecutive sibling; consumers scoring against the
+    * m122 metric should keep minMatch at or below the 0.773585
+    * down-conversion floor. */
+  def videoSkipLandmarkVerdicts(media: DataFrame, idCol: String,
+      payloadCol: String, gap: Int = 2, every: Int = 1,
+      maxBucket: Int = 0): Dataset[VideoLandmarkHits] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val lms = Multimodal.videoLandmarksSkip(
+      media.select(col(idCol).cast("long").as("doc_id"),
+        col(payloadCol).as("payload")), gap, every)
+    lms.groupByKey(l => (l.lm_a, l.lm_b))
+      .flatMapGroupsWithState[List[Long], VideoLandmarkHits](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((a, b), rows, state: GroupState[List[Long]]) =>
+          val (seen, out) = foldBucket(state.getOption.getOrElse(Nil),
+            rows.toSeq.map(_.doc_id).sorted, maxBucket)(
+            (id, hits) => VideoLandmarkHits(id, a, b, hits))
+          state.update(seen)
+          out.iterator
+      }
+  }
+
   /** [[videoLandmarkVerdicts]] tolerant to HORIZONTAL MIRRORING — the
     * streaming flip tier for video: every arrival probes landmark
     * buckets with BOTH orientations' landmark sets (one decode via

@@ -1618,6 +1618,97 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Incremental screen vs the persisted SKIP-LANDMARK video index —
+    // the m122 tier's index member (the m118/m121 contract shape): 8
+    // base AVIs indexed once (VideoSkipFpVersion-stamped), then an
+    // ingest batch of 4 down-converted (5/4) + 2 up-converted (4/5)
+    // trimmed re-uploads plus 2 fresh videos screens against it with
+    // no corpus re-decode — where the aligned videoChunkIndex
+    // (frame_idx keys) and consecutive-pair landmarks both break.
+    // Pinned golden.
+    "m123_video_rate_index_dedup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val avi = udf((id: Long) =>
+        if (id < 20) Multimodal.syntheticAvi(id, 40)
+        else if (id < 24) Multimodal.syntheticAvi(id - 20, 28,
+          frameOffset = 4, rateNum = 5, rateDen = 4)
+        else if (id < 26) Multimodal.syntheticAvi(id - 20, 40,
+          frameOffset = 4, rateNum = 4, rateDen = 5)
+        else Multimodal.syntheticAvi(id, 40))
+      val corpus = s.range(0, 8)
+        .select(col("id").as("doc_id"), avi(col("id")).as("payload"))
+      val index = Multimodal.videoSkipLandmarkIndex(corpus)
+      val probes = s.range(20, 26).union(s.range(130, 132))
+        .select(col("id").as("doc_id"), avi(col("id")).as("payload"))
+      Multimodal.dedupAgainstVideoSkipIndex(probes, index)
+        .orderBy(col("doc_id"))
+    }),
+
+    // STREAMING frame-rate-converted video dedup (the m122 tier in
+    // the streaming matrix): micro-batch 1 delivers 10 base AVIs,
+    // micro-batch 2 their rate-converted re-uploads — ids ending
+    // 0-4 down-converted (5/4, every 5th base frame dropped), 5-9
+    // up-converted (4/5, every 4th duplicated), all leading-trimmed 4
+    // frames. One dropped frame flips the sampling parity every
+    // consecutive-pair streaming tier (st75) depends on; run-collapsed
+    // gap-pair buckets emit earlier sharers regardless. The batch
+    // query over the sink scores shared distinct landmarks >= 0.6
+    // over the smaller set (below the 0.773585 down-conversion
+    // floor). Pinned golden.
+    "st94_stream_video_rate_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val name = "st94_out"
+      val staged = stagingDir("graft-stream-vrate")
+      val avi = udf((id: Long) =>
+        if (id < 1000000L) Multimodal.syntheticAvi(id, 40)
+        else if ((id - 1000000L) % 10 < 5) Multimodal.syntheticAvi(
+          id - 1000000L, 28, frameOffset = 4, rateNum = 5, rateDen = 4)
+        else Multimodal.syntheticAvi(id - 1000000L, 40,
+          frameOffset = 4, rateNum = 4, rateDen = 5))
+      def stageBatch(ids: org.apache.spark.sql.Dataset[java.lang.Long],
+          fname: String, ageMs: Long): Unit = {
+        val tmp = staged.resolve(fname + ".tmp")
+        ids.toDF("doc_id").select(col("doc_id"), avi(col("doc_id")).as("payload"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, staged.resolve(fname))
+        staged.resolve(fname).toFile.deleteOnExit()
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        java.nio.file.Files.setLastModifiedTime(staged.resolve(fname),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - ageMs))
+      }
+      stageBatch(s.range(0, 10).as[java.lang.Long], "a.parquet", 120000L)
+      stageBatch(s.range(1000000L, 1000010L).as[java.lang.Long], "b.parquet", 0L)
+      val mediaSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("payload", BinaryType)))
+      val stream = s.readStream.schema(mediaSchema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+        .repartition(col("doc_id"))
+      val hits = graft.operators.StreamingNearDup.videoSkipLandmarkVerdicts(
+        stream, "doc_id", "payload", maxBucket = 64)
+      val q = hits.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+      val nl = s.table(name).groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("nl"))
+      val nlSrc = s.table(name).select(col("doc_id").as("src_id"))
+        .groupBy(col("src_id")).agg(count(lit(1)).as("nl_src"))
+      val dup = s.table(name)
+        .select(col("doc_id").as("d"), explode(col("hits")).as("src"))
+        .groupBy(col("d"), col("src")).agg(count(lit(1)).as("c"))
+        .join(nl, col("d") === nl("doc_id")).drop("doc_id")
+        .join(nlSrc, col("src") === col("src_id"))
+        .filter(col("c").cast("double") / least(col("nl"), col("nl_src"))
+          >= 0.6)
+        .groupBy(col("d")).agg(min(col("src")).as("dup_src"))
+      nl.join(dup, col("doc_id") === col("d"), "left")
+        .select(col("doc_id"), col("dup_src").isNull.as("kept"),
+          col("dup_src"))
+        .orderBy(col("doc_id"))
+    }),
+
     // WATERMARKED streaming exact dedup (the bounded-state form of
     // st65 — closes round-10 verdict task #6): dropDuplicatesWithin-
     // Watermark keeps a key's state only until the watermark passes

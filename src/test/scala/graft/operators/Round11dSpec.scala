@@ -63,4 +63,42 @@ class Round11dSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(up.forall(_ == 1.0),
       s"up-conversion (duplication) should collapse exactly: ${up.toSeq}")
   }
+
+  test("skip index: screen catches both conversions; append == rebuild; version enforced") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val masters = (0L until 6L).map(id =>
+      (id, Multimodal.syntheticAvi(id, 40))).toDF("doc_id", "payload")
+    val late = (6L until 8L).map(id =>
+      (id, Multimodal.syntheticAvi(id, 40))).toDF("doc_id", "payload")
+    val probes = ((20L until 23L).map(id =>
+      (id, Multimodal.syntheticAvi(id - 20, 28, frameOffset = 4,
+        rateNum = 5, rateDen = 4))) ++
+      (23L until 26L).map(id =>
+        (id, Multimodal.syntheticAvi(id - 20, 40, frameOffset = 4,
+          rateNum = 4, rateDen = 5))) ++
+      Seq(128L, 129L).map(id => (id, Multimodal.syntheticAvi(id, 40))))
+      .toDF("doc_id", "payload")
+
+    val idx = Multimodal.videoSkipLandmarkIndex(masters)
+    val verdicts = Multimodal.dedupAgainstVideoSkipIndex(probes, idx)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert((20L until 26L).forall(id => verdicts(id) == false),
+      s"rate-converted probes not all caught: $verdicts")
+    assert(verdicts(128L) && verdicts(129L), s"decoys not kept: $verdicts")
+
+    val appended = idx.unionByName(Multimodal.videoSkipLandmarkIndex(late))
+    val rebuilt = Multimodal.videoSkipLandmarkIndex(
+      masters.unionByName(late))
+    assert(appended.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(appended).isEmpty,
+      "append != rebuild for the video skip index")
+
+    val foreign = idx.withColumn("fp_ver",
+      lit(Multimodal.IntervalFpVersion))
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.dedupAgainstVideoSkipIndex(probes, foreign).collect()
+    }
+    assert(e.getMessage.contains("rebuild"))
+  }
 }

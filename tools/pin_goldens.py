@@ -106,6 +106,10 @@ QUERIES = [
                            # (rolling-RMS onset landmark buckets)
     "m122_video_rate_neardup", # frame-rate-converted video dedup
                            # (skip-tolerant run-collapsed landmarks)
+    "m123_video_rate_index_dedup", # incremental screen vs the persisted
+                           # skip-landmark video index
+    "st94_stream_video_rate_dedup", # streaming frame-rate-converted
+                           # video dedup (skip-landmark buckets)
 ]
 # e52 is 2000 rows; pin a deterministic 50-row sample (p_partkey % 40 == 0)
 SAMPLE = {"e52_keccak256": "p_partkey % 40 = 0"}
