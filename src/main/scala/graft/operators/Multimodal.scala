@@ -643,7 +643,13 @@ object Multimodal {
     * recover. */
   def syntheticWavBeats(id: Long, rate: Int, ms: Int = 1248,
       offsetMs: Int = 0, speedNum: Int = 1, speedDen: Int = 1,
-      gainNum: Int = 1, gainDen: Int = 1): Array[Byte] = {
+      gainNum: Int = 1, gainDen: Int = 1,
+      uniformSegMs: Int = 0): Array[Byte] = {
+    // uniformSegMs > 0 makes every segment that long — the METRONOMIC
+    // variant (m124): all inter-onset intervals equal, so the
+    // interval-ratio tier carries zero timing entropy (every doc
+    // hashes to the one all-ratios-1 landmark) and discrimination
+    // must come from pitch-class-invariant spectral content
     require(speedNum >= 1 && speedDen >= 1, "speed must be positive")
     val bands = 17
     val T = 0.064
@@ -659,10 +665,12 @@ object Multimodal {
       h ^= h >>> 27; h *= -7723592293110705685L
       h ^ (h >>> 31)
     }
-    def segDur(k: Int): Double = {
-      val h = avalanche(id, k.toLong, 0x5b3e9a17c4d20f86L)
-      ladder((((h >>> 24) & 0x7fffffffL) % ladder.length).toInt) / 1000.0
-    }
+    def segDur(k: Int): Double =
+      if (uniformSegMs > 0) uniformSegMs / 1000.0
+      else {
+        val h = avalanche(id, k.toLong, 0x5b3e9a17c4d20f86L)
+        ladder((((h >>> 24) & 0x7fffffffL) % ladder.length).toInt) / 1000.0
+      }
     val maxTau = offsetMs / 1000.0 +
       ms / 1000.0 * speedNum.toDouble / speedDen + 0.2
     val bounds = scala.collection.mutable.ArrayBuffer(0.0)
@@ -1563,6 +1571,157 @@ object Multimodal {
       .select(col("doc_id"), col("dup_src").isNull.as("kept"),
         col("dup_src"))
   }
+
+  /** Semitone-spaced constant-Q analysis bank for the PITCH-SHIFT
+    * tier: 52 centers at 200 * 2^(k/12) Hz (k = 0..51, topping out at
+    * ~3805 Hz — below every Nyquist down to 8 kHz, and several
+    * semitones ABOVE the 300-3000 Hz content band the audio tiers
+    * analyze, so a +1-semitone shift keeps the topmost content and
+    * its smoothing neighborhood inside the bank). Musical pitch
+    * shifts are integer semitones, so the dominant shift class
+    * translates the bank EXACTLY by k steps. */
+  private val ChromaBands = 52
+  private lazy val chromaCenters: Array[Double] =
+    Array.tabulate(ChromaBands)(k =>
+      200.0 * StrictMath.pow(2.0, k / 12.0))
+
+  /** Shift-invariant CONSTANT-Q spectral code for the frame starting
+    * at sample `off` — the pitch-class kernel (the m124 tier): band
+    * k's energy is a Goertzel at [[chromaCenters]](k) over `cyc`
+    * CYCLES of that center (window T_k = cyc/f_k seconds — constant
+    * Q), so the analysis bandwidth is a constant FRACTION of the
+    * center and the whole energy vector translates by exactly one
+    * band per semitone of pitch shift: under a speed change s, band
+    * k+1's window T_k/s covers the identical master-time span band k's
+    * did, and under pitch-shift-only the content is stationary. The
+    * code anchors at the LOWEST band whose energy reaches half the
+    * maximum (the first strong partial — a pure function of the
+    * energy PATTERN, so it translates with the shift; anchoring at
+    * the ARGMAX instead would sit the window at the top of the
+    * content, where a shift pushes it off the bank) and takes 15
+    * upward adjacent-band orderings relative to it — positions never
+    * enter the code, so an integer-semitone shift leaves it
+    * bit-identical as long as the window stays in-bank (enforced: a
+    * frame whose window would cross the top returns -1, and its
+    * shifted twin does too except exactly at the one boundary band —
+    * match_frac absorbs that). Amplitude-scale invariant (orderings),
+    * rate-free (windows in cycles, energies normalized by squared
+    * sample count). Returns -1 for a frame that is silent or runs off
+    * the payload end. Non-integer-semitone shifts split energy
+    * between adjacent bands and degrade gracefully through
+    * match_frac rather than structurally. */
+  private[operators] def chromaCodeAt(mono: Array[Short], rate: Int,
+      off: Int, cyc: Int): Int = {
+    val e = new Array[Double](ChromaBands)
+    var k = 0
+    while (k < ChromaBands) {
+      val f = chromaCenters(k)
+      val n = math.max(8, (cyc * rate / f).toInt)
+      if (off + n <= mono.length) {
+        val wf = 2.0 * StrictMath.PI * f / rate
+        val cw = StrictMath.cos(wf)
+        val sw = StrictMath.sin(wf)
+        val coeff = 2.0 * cw
+        var s1 = 0.0
+        var s2 = 0.0
+        var i = 0
+        while (i < n) {
+          val s0 = mono(off + i) + coeff * s1 - s2
+          s2 = s1; s1 = s0
+          i += 1
+        }
+        val re = s1 - s2 * cw
+        val im = s2 * sw
+        e(k) = (re * re + im * im) / (n.toDouble * n)
+      } else e(k) = -1.0
+      k += 1
+    }
+    // smooth over +-1 band before anchoring and comparing: a partial
+    // sitting between two centers splits its energy rendition-
+    // dependently, and raw between-partial bands are near-zero so
+    // their orderings are discretization noise — the 3-band sum is a
+    // pure function of the energy pattern, so it translates with the
+    // shift exactly like the raw vector
+    val sm = new Array[Double](ChromaBands)
+    var i = 1
+    while (i < ChromaBands - 1) {
+      sm(i) = e(i - 1) + e(i) + e(i + 1)
+      i += 1
+    }
+    var mx = 0.0
+    i = 1
+    while (i < ChromaBands - 1) { if (sm(i) > mx) mx = sm(i); i += 1 }
+    if (mx <= 1.0) return -1 // silent or out-of-range frame
+    var m = 1
+    while (m < ChromaBands - 1 && sm(m) < mx / 2) m += 1
+    if (m + 16 >= ChromaBands) return -1 // window would cross the top
+    // bits compare smoothed bands THREE steps apart, not adjacent —
+    // a 3-semitone gap spans into the next partial's region, so the
+    // ordering is energy-driven, not noise-driven
+    var code = 0
+    var j = 0
+    while (j < 13) {
+      if (sm(m + j + 3) > sm(m + j)) code |= 1 << j
+      j += 1
+    }
+    code
+  }
+
+  /** PITCH-CLASS landmarks — onset-anchored constant-Q codes for the
+    * METRONOMIC corpus (the class where [[onsetIntervalLandmarks]] is
+    * degenerate: equal inter-onset intervals quantize every ratio to
+    * the same cell, so all docs share the one all-ratios-1 landmark
+    * and timing carries zero discrimination — while every fixed-Hz
+    * spectral tier breaks under the pitch scaling itself). One
+    * [[chromaCodeAt]] code per onset IS the landmark (not a
+    * consecutive pair: the anchor's half-max threshold can jitter one
+    * band between independent renditions, and pairing would compound
+    * each flipped code into two lost landmarks — set membership
+    * keeps one flip at one loss), so values ride through trim, mux
+    * rate, level, and integer-semitone pitch/speed shifts together.
+    * Distinct per doc, one mapPartitions pass, no shuffle; onset-free
+    * audio emits nothing (family contract). 15-bit codes are coarser
+    * keys than the other landmark tiers' — at corpus scale keep the
+    * `maxDf` cap on (hot codes are pruned before pair expansion,
+    * recall rides on the remaining set). */
+  def chromaOnsetLandmarks(media: DataFrame, cyc: Int = 12,
+      threshold: Int = 1024, minSilenceMs: Int = 8)(
+      implicit s: SparkSession): Dataset[DocLandmark] = {
+    import s.implicits._
+    require(cyc >= 4 && cyc <= 64,
+      "cyc must be in 4..64 (analysis bandwidth = center/cyc)")
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions(rows => rows.flatMap { r =>
+        decodeWav(r.payload) match {
+          case Some(w) if w.sampleRate > 0 =>
+            val mono = monoMix(w)
+            val rate = w.sampleRate
+            val lms = scala.collection.mutable.LinkedHashSet.empty[Long]
+            energyOnsets(mono, rate, threshold, minSilenceMs).foreach { o =>
+              val c = chromaCodeAt(mono, rate, o, cyc)
+              if (c >= 0) lms += c.toLong
+            }
+            lms.iterator.map(DocLandmark(r.doc_id, _))
+          case _ => Iterator.empty
+        }
+      })
+  }
+
+  /** Audio near-dup pairs on PITCH-CLASS landmarks — the m124 tier: a
+    * metronomic corpus re-uploaded with an integer-semitone pitch
+    * shift (or speed change), trimmed, and re-muxed. The interval
+    * tier is degenerate here (one shared landmark — all-pairs false
+    * positives behind any cap) and the fixed-Hz spectral tiers break
+    * under the scaling; argmax-anchored constant-Q orderings ride
+    * through. Same posting-list scoring and `maxDf` cap as the
+    * landmark family. */
+  def audioChromaLandmarkPairs(media: DataFrame, minMatch: Double = 0.6,
+      cyc: Int = 12, maxDf: Int = 0, threshold: Int = 1024,
+      minSilenceMs: Int = 8)(implicit s: SparkSession): DataFrame =
+    landmarkPairScores(
+      Materialize.eager(
+        chromaOnsetLandmarks(media, cyc, threshold, minSilenceMs).toDF()),
+      minMatch, maxDf)
 
   /** Version of the audio fingerprint FUNCTION (canonicalization +
     * code derivation), stamped into every [[audioCodeIndex]] row: a

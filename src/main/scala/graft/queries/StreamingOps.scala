@@ -1618,6 +1618,35 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // PITCH-SHIFTED metronomic audio — CONSTANT-Q CHROMA landmarks
+    // (the class where BOTH new round-11 audio tiers fail: uniform
+    // 96 ms segments make every inter-onset interval equal, so the
+    // interval-ratio tier collapses to one shared landmark — zero
+    // discrimination, all-pairs degenerate (Round11eSpec pins 190/190
+    // false positives) — and a one-SEMITONE speed-up (196/185 ~
+    // 2^(1/12) to 4 ppm) scales every frequency so the fixed-Hz
+    // spectral onset tier pins zero cross-pairs). Constant-Q band
+    // energies (cyc cycles per center — bandwidth a constant fraction
+    // of frequency) translate by exactly one band per semitone;
+    // anchoring at the lowest half-max band and comparing smoothed
+    // bands 3 steps apart makes the 13-bit code shift-invariant. All
+    // 10 trimmed 44.1 kHz semitone re-uploads land, floor match_frac
+    // 0.727273 (pair 7-27 — don't tune minMatch above it). Pinned
+    // golden (StrictMath trig).
+    "m124_audio_pitch_chroma" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val wav = udf((id: Long) =>
+        if (id < 20) Multimodal.syntheticWavBeats(id, 8000, ms = 1248,
+          uniformSegMs = 96)
+        else Multimodal.syntheticWavBeats(id - 20, 44100, ms = 1000,
+          offsetMs = 50, speedNum = 196, speedDen = 185,
+          uniformSegMs = 96))
+      val media = s.range(0, 10).union(s.range(20, 30))
+        .select(col("id").as("doc_id"), wav(col("id")).as("payload"))
+      Multimodal.audioChromaLandmarkPairs(media, maxDf = 64)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Incremental screen vs the persisted SKIP-LANDMARK video index —
     // the m122 tier's index member (the m118/m121 contract shape): 8
     // base AVIs indexed once (VideoSkipFpVersion-stamped), then an

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-11 continuation: the PITCH-CLASS (constant-Q chroma) tier —
+  * integer-semitone pitch/speed-shifted re-uploads of METRONOMIC
+  * audio, the class where the interval-ratio tier is degenerate and
+  * every fixed-Hz spectral tier breaks. */
+class Round11eSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** The m124 fixture: metronomic beats (uniform 96 ms segments);
+    * re-uploads sped up one SEMITONE (196/185 ~ 2^(1/12) to 4 ppm),
+    * trimmed 50 ms, muxed at 44.1 kHz. */
+  private def corpus: DataFrame = {
+    val s = spark
+    import s.implicits._
+    val rows =
+      (0L until 10L).map(id => (id, Multimodal.syntheticWavBeats(id, 8000,
+        ms = 1248, uniformSegMs = 96))) ++
+      (20L until 30L).map(id => (id, Multimodal.syntheticWavBeats(id - 20,
+        44100, ms = 1000, offsetMs = 50, speedNum = 196, speedDen = 185,
+        uniformSegMs = 96)))
+    rows.toDF("doc_id", "payload")
+  }
+
+  test("interval tier is DEGENERATE on a metronomic corpus (one shared landmark, zero discrimination)") {
+    implicit val s: SparkSession = spark
+    val lms = Multimodal.onsetIntervalLandmarks(corpus).collect()
+    val values = lms.map(_.lm).toSet
+    info(s"distinct interval landmarks across 20 docs: ${values.size}")
+    assert(values.size == 1,
+      s"metronomic corpus should collapse to the all-ratios-1 landmark, got $values")
+    // every doc pairs with every other — all-pairs false positives
+    val pairs = Multimodal.audioIntervalLandmarkPairs(corpus, maxDf = 64)
+      .count()
+    assert(pairs == 190L,
+      s"expected the degenerate all-pairs result (190), got $pairs")
+  }
+
+  test("fixed-Hz spectral onset tier misses the semitone-shifted copies") {
+    implicit val s: SparkSession = spark
+    val cross = Multimodal.audioOnsetLandmarkPairs(corpus, maxDf = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a < 10 && b >= 20 }
+    info(s"onset-spectral cross pairs: ${cross.toSeq}")
+    assert(cross.isEmpty,
+      s"fixed-Hz onset tier matched pitch-shifted pairs: ${cross.toSeq}")
+  }
+
+  test("chroma tier lands all 10 semitone-shifted re-uploads, nothing else") {
+    implicit val s: SparkSession = spark
+    val pairs = Multimodal.audioChromaLandmarkPairs(corpus, maxDf = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    info(pairs.sortBy(_._1).map { case (a, b, f) => s"($a,$b,$f)" }
+      .mkString(", "))
+    assert(pairs.map { case (a, b, _) => (a, b) }.toSet ==
+      (0L until 10L).map(i => (i, i + 20L)).toSet,
+      s"expected exactly the 10 master-reupload pairs, got ${pairs.toSeq}")
+  }
+}

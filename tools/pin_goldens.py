@@ -110,6 +110,8 @@ QUERIES = [
                            # skip-landmark video index
     "st94_stream_video_rate_dedup", # streaming frame-rate-converted
                            # video dedup (skip-landmark buckets)
+    "m124_audio_pitch_chroma", # constant-Q chroma landmarks: semitone
+                           # pitch/speed-shifted metronomic re-uploads
 ]
 # e52 is 2000 rows; pin a deterministic 50-row sample (p_partkey % 40 == 0)
 SAMPLE = {"e52_keccak256": "p_partkey % 40 = 0"}
