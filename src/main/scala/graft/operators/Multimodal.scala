@@ -1723,6 +1723,80 @@ object Multimodal {
         chromaOnsetLandmarks(media, cyc, threshold, minSilenceMs).toDF()),
       minMatch, maxDf)
 
+  /** Version stamp for the PITCH-CLASS landmark family
+    * ([[chromaOnsetLandmarks]] — bank layout, constant-Q window,
+    * smoothing, anchor rule, code layout): namespaced (chroma =
+    * 7000 + v; the family convention) so cross-family screens fail
+    * fast at every version pair; 7001 = v1. Parameter choices (cyc,
+    * thresholds) are NOT covered — screen with the parameters the
+    * index was built with. */
+  val ChromaFpVersion: Int = 7001
+
+  /** Persisted PITCH-CLASS landmark index — the incremental member of
+    * the m124 tier: the corpus is chroma-fingerprinted ONCE into one
+    * row per distinct (code, doc) with the doc's landmark count
+    * riding along, and [[dedupAgainstAudioChromaIndex]] screens every
+    * ingest batch — a semitone-shifted (plus trimmed, re-muxed,
+    * re-leveled) re-upload of a metronomic corpus master is caught
+    * with no corpus re-decode. [[IncrementalIndex.append]]-compatible;
+    * stamped with [[ChromaFpVersion]]. */
+  def audioChromaLandmarkIndex(media: DataFrame, cyc: Int = 12,
+      threshold: Int = 1024, minSilenceMs: Int = 8)(
+      implicit s: SparkSession): DataFrame = {
+    val lms = Materialize.eager(
+      chromaOnsetLandmarks(media, cyc, threshold, minSilenceMs).toDF())
+    lms.join(lms.groupBy(col("doc_id")).agg(count(lit(1)).as("nl")),
+        Seq("doc_id"))
+      .select(col("lm"), col("doc_id"), col("nl"),
+        lit(ChromaFpVersion).as("fp_ver"))
+  }
+
+  /** Screen an ingest batch against a pre-built
+    * [[audioChromaLandmarkIndex]]: the batch fingerprints once,
+    * equi-joins the index on the 13-bit chroma code, and a probe is a
+    * duplicate of the lowest corpus doc whose shared distinct codes
+    * over the smaller set reach `minMatch` (the m124 metric — keep it
+    * at or below the 0.727273 fixture floor). 13-bit codes are
+    * coarser keys than the other landmark indexes', so at corpus
+    * scale hot codes make wide join buckets — the index side is
+    * pre-aggregated per (code, doc), bounding each bucket at the
+    * corpus' doc count per code, and `minMatch` does the rest.
+    * Payloads yielding NO landmarks are absent from the output, not
+    * judged kept (the family contract). Enforces [[ChromaFpVersion]];
+    * screen with the parameters the index was built with. */
+  def dedupAgainstAudioChromaIndex(media: DataFrame, index: DataFrame,
+      minMatch: Double = 0.6, cyc: Int = 12, threshold: Int = 1024,
+      minSilenceMs: Int = 8)(implicit s: SparkSession): DataFrame = {
+    require(index.columns.contains("fp_ver"),
+      s"chroma index has no fp_ver column: it predates fingerprint " +
+        s"version $ChromaFpVersion — rebuild it with " +
+        "audioChromaLandmarkIndex before screening")
+    val stale = index.filter(col("fp_ver") =!= lit(ChromaFpVersion))
+      .limit(1).collect()
+    require(stale.isEmpty,
+      s"chroma index built by fingerprint version " +
+        s"${stale.headOption.map(_.getAs[Any]("fp_ver")).orNull}, " +
+        s"current is $ChromaFpVersion — rebuild it with " +
+        "audioChromaLandmarkIndex before screening (cross-version " +
+        "landmarks never match)")
+    val lms = Materialize.eager(
+      chromaOnsetLandmarks(media, cyc, threshold, minSilenceMs).toDF())
+    val nl = lms.groupBy(col("doc_id")).agg(count(lit(1)).as("nl"))
+    val dup = lms.join(
+        index.select(col("lm"), col("doc_id").as("src"),
+          col("nl").as("nl_src")),
+        Seq("lm"))
+      .groupBy(col("doc_id"), col("src"), col("nl_src"))
+      .agg(count(lit(1)).as("c"))
+      .join(nl, Seq("doc_id"))
+      .filter(col("c").cast("double") / least(col("nl"), col("nl_src"))
+        >= minMatch)
+      .groupBy(col("doc_id")).agg(min(col("src")).as("dup_src"))
+    nl.select(col("doc_id")).join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_src").isNull.as("kept"),
+        col("dup_src"))
+  }
+
   /** Version of the audio fingerprint FUNCTION (canonicalization +
     * code derivation), stamped into every [[audioCodeIndex]] row: a
     * persisted index only matches probes fingerprinted by the SAME

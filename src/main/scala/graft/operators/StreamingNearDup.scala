@@ -442,6 +442,38 @@ object StreamingNearDup {
       }
   }
 
+  /** [[audioOnsetLandmarkVerdicts]] at the PITCH-CLASS seam — the
+    * streaming member of the m124 tier: state keys on
+    * `Multimodal.chromaOnsetLandmarks`' constant-Q chroma codes, so a
+    * METRONOMIC re-delivery shifted by integer semitones (pitch or
+    * speed) — degenerate for the interval streaming tier (zero timing
+    * entropy) and invisible to every fixed-Hz spectral streaming
+    * tier — still lands in its master's buckets. 13-bit codes are
+    * coarse keys, so real corpora make hot buckets: run with
+    * `maxBucket` ON (the [[foldBucket]] cap bounds state and emission
+    * per code). Same id-monotonic determinism contract and
+    * [[LandmarkHits]] record as the family. */
+  def audioChromaLandmarkVerdicts(media: DataFrame, idCol: String,
+      payloadCol: String, cyc: Int = 12,
+      maxBucket: Int = 0): Dataset[LandmarkHits] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val lms = Multimodal.chromaOnsetLandmarks(
+      media.select(col(idCol).cast("long").as("doc_id"),
+        col(payloadCol).as("payload")), cyc)
+    lms.groupByKey(_.lm)
+      .flatMapGroupsWithState[List[Long], LandmarkHits](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (lm, rows, state: GroupState[List[Long]]) =>
+          val (seen, out) = foldBucket(state.getOption.getOrElse(Nil),
+            rows.toSeq.map(_.doc_id).sorted, maxBucket)(
+            (id, hits) => LandmarkHits(id, lm, hits))
+          state.update(seen)
+          out.iterator
+      }
+  }
+
   /** [[audioOnsetLandmarkVerdicts]] at the INTERVAL-RATIO seam — the
     * streaming member of the m120 tier: state keys on
     * `Multimodal.onsetIntervalLandmarks`' packed ratio-window

@@ -1647,6 +1647,94 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Incremental screen vs the persisted PITCH-CLASS chroma index —
+    // the m124 tier's index member (the m118/m121/m123 contract
+    // shape): 8 metronomic masters indexed once (ChromaFpVersion-
+    // stamped), then an ingest batch of 6 semitone-sped trimmed
+    // 44.1 kHz re-uploads plus 2 fresh metronomic docs screens
+    // against it with no corpus re-decode. Pinned golden.
+    "m125_chroma_index_dedup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val wav = udf((id: Long) =>
+        if (id < 20) Multimodal.syntheticWavBeats(id, 8000, ms = 1248,
+          uniformSegMs = 96)
+        else if (id < 30) Multimodal.syntheticWavBeats(id - 20, 44100,
+          ms = 1000, offsetMs = 50, speedNum = 196, speedDen = 185,
+          uniformSegMs = 96)
+        else Multimodal.syntheticWavBeats(id, 44100, ms = 1000,
+          uniformSegMs = 96))
+      val corpus = s.range(0, 8)
+        .select(col("id").as("doc_id"), wav(col("id")).as("payload"))
+      val index = Multimodal.audioChromaLandmarkIndex(corpus)
+      val probes = s.range(20, 26).union(s.range(130, 132))
+        .select(col("id").as("doc_id"), wav(col("id")).as("payload"))
+      Multimodal.dedupAgainstAudioChromaIndex(probes, index)
+        .orderBy(col("doc_id"))
+    }),
+
+    // STREAMING pitch-shifted metronomic audio dedup (the m124 tier
+    // in the streaming matrix): micro-batch 1 delivers 10 metronomic
+    // masters at 8 kHz, micro-batch 2 their one-semitone-sped
+    // (196/185), 50 ms-trimmed 44.1 kHz re-uploads — degenerate for
+    // the interval streaming tier and invisible to every fixed-Hz
+    // spectral streaming tier. Chroma-code buckets emit earlier
+    // sharers; the batch query over the sink scores shared distinct
+    // codes >= 0.6 over the smaller set (below the 0.727273 floor).
+    // Pinned golden.
+    "st95_stream_pitch_chroma_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val name = "st95_out"
+      val staged = stagingDir("graft-stream-chroma")
+      val wav = udf((id: Long) =>
+        if (id < 1000000L) Multimodal.syntheticWavBeats(id, 8000,
+          ms = 1248, uniformSegMs = 96)
+        else Multimodal.syntheticWavBeats(id - 1000000L, 44100,
+          ms = 1000, offsetMs = 50, speedNum = 196, speedDen = 185,
+          uniformSegMs = 96))
+      def stageBatch(ids: org.apache.spark.sql.Dataset[java.lang.Long],
+          fname: String, ageMs: Long): Unit = {
+        val tmp = staged.resolve(fname + ".tmp")
+        ids.toDF("doc_id").select(col("doc_id"), wav(col("doc_id")).as("payload"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, staged.resolve(fname))
+        staged.resolve(fname).toFile.deleteOnExit()
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        java.nio.file.Files.setLastModifiedTime(staged.resolve(fname),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - ageMs))
+      }
+      stageBatch(s.range(0, 10).as[java.lang.Long], "a.parquet", 120000L)
+      stageBatch(s.range(1000000L, 1000010L).as[java.lang.Long], "b.parquet", 0L)
+      val mediaSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("payload", BinaryType)))
+      val stream = s.readStream.schema(mediaSchema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+        .repartition(col("doc_id"))
+      val hits = graft.operators.StreamingNearDup.audioChromaLandmarkVerdicts(
+        stream, "doc_id", "payload", maxBucket = 64)
+      val q = hits.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+      val nl = s.table(name).groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("nl"))
+      val nlSrc = s.table(name).select(col("doc_id").as("src_id"))
+        .groupBy(col("src_id")).agg(count(lit(1)).as("nl_src"))
+      val dup = s.table(name)
+        .select(col("doc_id").as("d"), explode(col("hits")).as("src"))
+        .groupBy(col("d"), col("src")).agg(count(lit(1)).as("c"))
+        .join(nl, col("d") === nl("doc_id")).drop("doc_id")
+        .join(nlSrc, col("src") === col("src_id"))
+        .filter(col("c").cast("double") / least(col("nl"), col("nl_src"))
+          >= 0.6)
+        .groupBy(col("d")).agg(min(col("src")).as("dup_src"))
+      nl.join(dup, col("doc_id") === col("d"), "left")
+        .select(col("doc_id"), col("dup_src").isNull.as("kept"),
+          col("dup_src"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Incremental screen vs the persisted SKIP-LANDMARK video index —
     // the m122 tier's index member (the m118/m121 contract shape): 8
     // base AVIs indexed once (VideoSkipFpVersion-stamped), then an

@@ -69,4 +69,43 @@ class Round11eSpec extends AnyFunSuite with BeforeAndAfterAll {
       (0L until 10L).map(i => (i, i + 20L)).toSet,
       s"expected exactly the 10 master-reupload pairs, got ${pairs.toSeq}")
   }
+
+  test("chroma index: screen catches the semitone shift; append == rebuild; version enforced") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val masters = (0L until 8L).map(id =>
+      (id, Multimodal.syntheticWavBeats(id, 8000, ms = 1248,
+        uniformSegMs = 96))).toDF("doc_id", "payload")
+    val late = (8L until 10L).map(id =>
+      (id, Multimodal.syntheticWavBeats(id, 8000, ms = 1248,
+        uniformSegMs = 96))).toDF("doc_id", "payload")
+    val probes = ((20L until 26L).map(id =>
+      (id, Multimodal.syntheticWavBeats(id - 20, 44100, ms = 1000,
+        offsetMs = 50, speedNum = 196, speedDen = 185,
+        uniformSegMs = 96))) ++
+      Seq(128L, 129L).map(id =>
+        (id, Multimodal.syntheticWavBeats(id, 44100, ms = 1000,
+          uniformSegMs = 96))))
+      .toDF("doc_id", "payload")
+
+    val idx = Multimodal.audioChromaLandmarkIndex(masters)
+    val verdicts = Multimodal.dedupAgainstAudioChromaIndex(probes, idx)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert((20L until 26L).forall(id => verdicts(id) == false),
+      s"semitone-shifted probes not all caught: $verdicts")
+    assert(verdicts(128L) && verdicts(129L), s"decoys not kept: $verdicts")
+
+    val appended = idx.unionByName(Multimodal.audioChromaLandmarkIndex(late))
+    val rebuilt = Multimodal.audioChromaLandmarkIndex(
+      masters.unionByName(late))
+    assert(appended.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(appended).isEmpty,
+      "append != rebuild for the chroma index")
+
+    val foreign = idx.withColumn("fp_ver", lit(Multimodal.OnsetFpVersion))
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.dedupAgainstAudioChromaIndex(probes, foreign).collect()
+    }
+    assert(e.getMessage.contains("rebuild"))
+  }
 }

@@ -112,6 +112,10 @@ QUERIES = [
                            # video dedup (skip-landmark buckets)
     "m124_audio_pitch_chroma", # constant-Q chroma landmarks: semitone
                            # pitch/speed-shifted metronomic re-uploads
+    "m125_chroma_index_dedup", # incremental screen vs the persisted
+                           # pitch-class chroma index
+    "st95_stream_pitch_chroma_dedup", # streaming pitch-shifted
+                           # metronomic dedup (chroma-code buckets)
 ]
 # e52 is 2000 rows; pin a deterministic 50-row sample (p_partkey % 40 == 0)
 SAMPLE = {"e52_keccak256": "p_partkey % 40 = 0"}
