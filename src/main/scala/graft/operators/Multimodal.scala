@@ -1353,10 +1353,18 @@ object Multimodal {
     * with [[OnsetFpVersion]]. */
   def audioOnsetLandmarkIndex(media: DataFrame, codesPerOnset: Int = 2,
       threshold: Int = 1024, minSilenceMs: Int = 8,
-      thresholdFrac: Double = 0.0)(implicit s: SparkSession): DataFrame = {
+      thresholdFrac: Double = 0.0, rolling: Boolean = false)(
+      implicit s: SparkSession): DataFrame = {
+    // rolling = true builds the index with the ROLLING-RMS detector
+    // (the m119 tier, default knobs) — the standing-corpus form for
+    // NOISY floors, where the threshold detectors find no onsets at
+    // all. Landmark VALUES are comparable across detectors (shared
+    // packing kernel), but detector choice is a parameter like the
+    // thresholds: screen with the detector the index was built with.
     val lms = Materialize.eager(
-      spectralOnsetLandmarks(media, codesPerOnset, threshold,
-        minSilenceMs, thresholdFrac).toDF())
+      (if (rolling) spectralOnsetLandmarksRolling(media, codesPerOnset)
+       else spectralOnsetLandmarks(media, codesPerOnset, threshold,
+         minSilenceMs, thresholdFrac)).toDF())
     lms.join(lms.groupBy(col("doc_id")).agg(count(lit(1)).as("nl")),
         Seq("doc_id"))
       .select(col("lm"), col("doc_id"), col("nl"),
@@ -1376,7 +1384,8 @@ object Multimodal {
   def dedupAgainstAudioOnsetIndex(media: DataFrame, index: DataFrame,
       minMatch: Double = 0.6, codesPerOnset: Int = 2,
       threshold: Int = 1024, minSilenceMs: Int = 8,
-      thresholdFrac: Double = 0.0)(implicit s: SparkSession): DataFrame = {
+      thresholdFrac: Double = 0.0, rolling: Boolean = false)(
+      implicit s: SparkSession): DataFrame = {
     require(index.columns.contains("fp_ver"),
       s"onset index has no fp_ver column: it predates fingerprint " +
         s"version $OnsetFpVersion — rebuild it with " +
@@ -1390,8 +1399,9 @@ object Multimodal {
         "audioOnsetLandmarkIndex before screening (cross-version " +
         "landmarks never match)")
     val lms = Materialize.eager(
-      spectralOnsetLandmarks(media, codesPerOnset, threshold,
-        minSilenceMs, thresholdFrac).toDF())
+      (if (rolling) spectralOnsetLandmarksRolling(media, codesPerOnset)
+       else spectralOnsetLandmarks(media, codesPerOnset, threshold,
+         minSilenceMs, thresholdFrac)).toDF())
     val nl = lms.groupBy(col("doc_id")).agg(count(lit(1)).as("nl"))
     val dup = lms.join(
         index.select(col("lm"), col("doc_id").as("src"),
@@ -1585,6 +1595,21 @@ object Multimodal {
     Array.tabulate(ChromaBands)(k =>
       200.0 * StrictMath.pow(2.0, k / 12.0))
 
+  /** The bank at `div` divisions per octave — the SUB-SEMITONE
+    * generalization (m126): same 200 Hz bottom and same ~3805 Hz top
+    * as the semitone bank ((51*div)/12 + 1 centers, exactly the
+    * semitone layout at div = 12), with every musical distance in the
+    * code (smoothing radius, comparison stride, window span) scaled
+    * by q = div/12 so the code geometry is identical in CENTS at any
+    * density. A pitch factor of 2^(k/div) translates this bank by
+    * exactly k steps: div = 24 makes QUARTER-tone shifts exact —
+    * the class the semitone bank splits across two bands. */
+  private def chromaCentersAt(div: Int): Array[Double] = {
+    val bands = 51 * div / 12 + 1
+    Array.tabulate(bands)(k =>
+      200.0 * StrictMath.pow(2.0, k.toDouble / div))
+  }
+
   /** Shift-invariant CONSTANT-Q spectral code for the frame starting
     * at sample `off` — the pitch-class kernel (the m124 tier): band
     * k's energy is a Goertzel at [[chromaCenters]](k) over `cyc`
@@ -1611,11 +1636,17 @@ object Multimodal {
     * between adjacent bands and degrade gracefully through
     * match_frac rather than structurally. */
   private[operators] def chromaCodeAt(mono: Array[Short], rate: Int,
-      off: Int, cyc: Int): Int = {
-    val e = new Array[Double](ChromaBands)
+      off: Int, cyc: Int, div: Int = 12): Int = {
+    require(div >= 12 && div <= 48 && div % 12 == 0,
+      "div must be a multiple of 12 in 12..48 (code geometry scales " +
+        "by q = div/12 so distances stay fixed in cents)")
+    val centers = if (div == 12) chromaCenters else chromaCentersAt(div)
+    val bands = centers.length
+    val q = div / 12
+    val e = new Array[Double](bands)
     var k = 0
-    while (k < ChromaBands) {
-      val f = chromaCenters(k)
+    while (k < bands) {
+      val f = centers(k)
       val n = math.max(8, (cyc * rate / f).toInt)
       if (off + n <= mono.length) {
         val wf = 2.0 * StrictMath.PI * f / rate
@@ -1636,32 +1667,35 @@ object Multimodal {
       } else e(k) = -1.0
       k += 1
     }
-    // smooth over +-1 band before anchoring and comparing: a partial
-    // sitting between two centers splits its energy rendition-
-    // dependently, and raw between-partial bands are near-zero so
-    // their orderings are discretization noise — the 3-band sum is a
-    // pure function of the energy pattern, so it translates with the
-    // shift exactly like the raw vector
-    val sm = new Array[Double](ChromaBands)
-    var i = 1
-    while (i < ChromaBands - 1) {
-      sm(i) = e(i - 1) + e(i) + e(i + 1)
+    // smooth over +-1 SEMITONE (q bands) before anchoring and
+    // comparing: a partial sitting between two centers splits its
+    // energy rendition-dependently, and raw between-partial bands are
+    // near-zero so their orderings are discretization noise — the
+    // windowed sum is a pure function of the energy pattern, so it
+    // translates with the shift exactly like the raw vector
+    val sm = new Array[Double](bands)
+    var i = q
+    while (i < bands - q) {
+      var s = 0.0
+      var d = -q
+      while (d <= q) { s += e(i + d); d += 1 }
+      sm(i) = s
       i += 1
     }
     var mx = 0.0
-    i = 1
-    while (i < ChromaBands - 1) { if (sm(i) > mx) mx = sm(i); i += 1 }
+    i = q
+    while (i < bands - q) { if (sm(i) > mx) mx = sm(i); i += 1 }
     if (mx <= 1.0) return -1 // silent or out-of-range frame
-    var m = 1
-    while (m < ChromaBands - 1 && sm(m) < mx / 2) m += 1
-    if (m + 16 >= ChromaBands) return -1 // window would cross the top
-    // bits compare smoothed bands THREE steps apart, not adjacent —
-    // a 3-semitone gap spans into the next partial's region, so the
-    // ordering is energy-driven, not noise-driven
+    var m = q
+    while (m < bands - q && sm(m) < mx / 2) m += 1
+    if (m + 16 * q >= bands) return -1 // window would cross the top
+    // bits compare smoothed bands THREE SEMITONES (3q bands) apart,
+    // not adjacent — a 3-semitone gap spans into the next partial's
+    // region, so the ordering is energy-driven, not noise-driven
     var code = 0
     var j = 0
     while (j < 13) {
-      if (sm(m + j + 3) > sm(m + j)) code |= 1 << j
+      if (sm(m + (j + 3) * q) > sm(m + j * q)) code |= 1 << j
       j += 1
     }
     code
@@ -1685,7 +1719,7 @@ object Multimodal {
     * `maxDf` cap on (hot codes are pruned before pair expansion,
     * recall rides on the remaining set). */
   def chromaOnsetLandmarks(media: DataFrame, cyc: Int = 12,
-      threshold: Int = 1024, minSilenceMs: Int = 8)(
+      threshold: Int = 1024, minSilenceMs: Int = 8, div: Int = 12)(
       implicit s: SparkSession): Dataset[DocLandmark] = {
     import s.implicits._
     require(cyc >= 4 && cyc <= 64,
@@ -1698,7 +1732,7 @@ object Multimodal {
             val rate = w.sampleRate
             val lms = scala.collection.mutable.LinkedHashSet.empty[Long]
             energyOnsets(mono, rate, threshold, minSilenceMs).foreach { o =>
-              val c = chromaCodeAt(mono, rate, o, cyc)
+              val c = chromaCodeAt(mono, rate, o, cyc, div)
               if (c >= 0) lms += c.toLong
             }
             lms.iterator.map(DocLandmark(r.doc_id, _))
@@ -1717,10 +1751,12 @@ object Multimodal {
     * landmark family. */
   def audioChromaLandmarkPairs(media: DataFrame, minMatch: Double = 0.6,
       cyc: Int = 12, maxDf: Int = 0, threshold: Int = 1024,
-      minSilenceMs: Int = 8)(implicit s: SparkSession): DataFrame =
+      minSilenceMs: Int = 8, div: Int = 12)(
+      implicit s: SparkSession): DataFrame =
     landmarkPairScores(
       Materialize.eager(
-        chromaOnsetLandmarks(media, cyc, threshold, minSilenceMs).toDF()),
+        chromaOnsetLandmarks(media, cyc, threshold, minSilenceMs, div)
+          .toDF()),
       minMatch, maxDf)
 
   /** Version stamp for the PITCH-CLASS landmark family
@@ -1728,7 +1764,7 @@ object Multimodal {
     * smoothing, anchor rule, code layout): namespaced (chroma =
     * 7000 + v; the family convention) so cross-family screens fail
     * fast at every version pair; 7001 = v1. Parameter choices (cyc,
-    * thresholds) are NOT covered — screen with the parameters the
+    * div, thresholds) are NOT covered — screen with the parameters the
     * index was built with. */
   val ChromaFpVersion: Int = 7001
 
@@ -1741,10 +1777,11 @@ object Multimodal {
     * with no corpus re-decode. [[IncrementalIndex.append]]-compatible;
     * stamped with [[ChromaFpVersion]]. */
   def audioChromaLandmarkIndex(media: DataFrame, cyc: Int = 12,
-      threshold: Int = 1024, minSilenceMs: Int = 8)(
+      threshold: Int = 1024, minSilenceMs: Int = 8, div: Int = 12)(
       implicit s: SparkSession): DataFrame = {
     val lms = Materialize.eager(
-      chromaOnsetLandmarks(media, cyc, threshold, minSilenceMs).toDF())
+      chromaOnsetLandmarks(media, cyc, threshold, minSilenceMs, div)
+        .toDF())
     lms.join(lms.groupBy(col("doc_id")).agg(count(lit(1)).as("nl")),
         Seq("doc_id"))
       .select(col("lm"), col("doc_id"), col("nl"),
@@ -1766,7 +1803,8 @@ object Multimodal {
     * screen with the parameters the index was built with. */
   def dedupAgainstAudioChromaIndex(media: DataFrame, index: DataFrame,
       minMatch: Double = 0.6, cyc: Int = 12, threshold: Int = 1024,
-      minSilenceMs: Int = 8)(implicit s: SparkSession): DataFrame = {
+      minSilenceMs: Int = 8, div: Int = 12)(
+      implicit s: SparkSession): DataFrame = {
     require(index.columns.contains("fp_ver"),
       s"chroma index has no fp_ver column: it predates fingerprint " +
         s"version $ChromaFpVersion — rebuild it with " +
@@ -1780,7 +1818,8 @@ object Multimodal {
         "audioChromaLandmarkIndex before screening (cross-version " +
         "landmarks never match)")
     val lms = Materialize.eager(
-      chromaOnsetLandmarks(media, cyc, threshold, minSilenceMs).toDF())
+      chromaOnsetLandmarks(media, cyc, threshold, minSilenceMs, div)
+        .toDF())
     val nl = lms.groupBy(col("doc_id")).agg(count(lit(1)).as("nl"))
     val dup = lms.join(
         index.select(col("lm"), col("doc_id").as("src"),

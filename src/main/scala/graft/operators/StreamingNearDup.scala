@@ -454,14 +454,14 @@ object StreamingNearDup {
     * per code). Same id-monotonic determinism contract and
     * [[LandmarkHits]] record as the family. */
   def audioChromaLandmarkVerdicts(media: DataFrame, idCol: String,
-      payloadCol: String, cyc: Int = 12,
+      payloadCol: String, cyc: Int = 12, div: Int = 12,
       maxBucket: Int = 0): Dataset[LandmarkHits] = {
     val spark = media.sparkSession
     import spark.implicits._
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val lms = Multimodal.chromaOnsetLandmarks(
       media.select(col(idCol).cast("long").as("doc_id"),
-        col(payloadCol).as("payload")), cyc)
+        col(payloadCol).as("payload")), cyc, div = div)
     lms.groupByKey(_.lm)
       .flatMapGroupsWithState[List[Long], LandmarkHits](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {

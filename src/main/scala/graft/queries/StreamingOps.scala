@@ -1647,6 +1647,63 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // QUARTER-tone pitch shift — SUB-SEMITONE chroma bank (the
+    // arbitrary-shift hardening of m124): a 176/171 speed-up
+    // (~2^(1/24), 60 ppm off a true quarter-tone) is HALF a band step
+    // for the semitone bank — energy splits across two bands and the
+    // m124 tier finds ZERO cross pairs (Round11eSpec pins the
+    // structural miss) — but exactly ONE step for the div=24 bank,
+    // whose code geometry is the same in CENTS (smoothing radius,
+    // stride, and window all scale by div/12). All 10 land, floor
+    // match_frac 0.6 (pair 6-26 — the >= 0.6 filter keeps it, exact
+    // StrictMath determinism is what the golden pins). Pinned golden.
+    "m126_audio_quarter_tone" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val wav = udf((id: Long) =>
+        if (id < 20) Multimodal.syntheticWavBeats(id, 8000, ms = 1248,
+          uniformSegMs = 96)
+        else Multimodal.syntheticWavBeats(id - 20, 44100, ms = 1000,
+          offsetMs = 50, speedNum = 176, speedDen = 171,
+          uniformSegMs = 96))
+      val media = s.range(0, 10).union(s.range(20, 30))
+        .select(col("id").as("doc_id"), wav(col("id")).as("payload"))
+      Multimodal.audioChromaLandmarkPairs(media, maxDf = 64, div = 24)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Incremental screen vs a ROLLING-detector onset index — the m119
+    // tier's standing-corpus member (rolling=true on the m118 index
+    // contract): 8 NOISY-floor masters (60 Hz hum under the beats)
+    // indexed once with the rolling-RMS detector — a threshold-built
+    // index of this corpus would be EMPTY (zero onsets anywhere;
+    // Round11bSpec pins the structural miss) — then 6 trimmed
+    // 44.1 kHz noisy re-uploads plus 2 fresh noisy docs screen
+    // against it with no corpus re-decode. Landmark values share the
+    // threshold tier's packing kernel; detector choice is a build
+    // parameter (screen with what you built with). Pinned golden.
+    "m127_rolling_onset_index_dedup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val wav = udf((id: Long) =>
+        if (id < 20) Multimodal.syntheticWavTones(id, 8000, ms = 1248,
+          gateMs = 32, segMs = 96, permMs = 32, floorNum = 1,
+          floorDen = 16)
+        else if (id < 30) Multimodal.syntheticWavTones(id - 20, 44100,
+          ms = 1120, offsetMs = 50, gateMs = 32, segMs = 96,
+          permMs = 32, floorNum = 1, floorDen = 16)
+        else Multimodal.syntheticWavTones(id, 44100, ms = 1120,
+          gateMs = 32, segMs = 96, permMs = 32, floorNum = 1,
+          floorDen = 16))
+      val corpus = s.range(0, 8)
+        .select(col("id").as("doc_id"), wav(col("id")).as("payload"))
+      val index = Multimodal.audioOnsetLandmarkIndex(corpus,
+        rolling = true)
+      val probes = s.range(20, 26).union(s.range(130, 132))
+        .select(col("id").as("doc_id"), wav(col("id")).as("payload"))
+      Multimodal.dedupAgainstAudioOnsetIndex(probes, index,
+          rolling = true)
+        .orderBy(col("doc_id"))
+    }),
+
     // Incremental screen vs the persisted PITCH-CLASS chroma index —
     // the m124 tier's index member (the m118/m121/m123 contract
     // shape): 8 metronomic masters indexed once (ChromaFpVersion-

@@ -43,6 +43,29 @@ class Round11bSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(frac == 0, s"peak-frac tier found $frac landmarks on noisy floor")
   }
 
+  test("rolling-built onset index screens a noisy corpus the threshold-built index is EMPTY on") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val masters = (0L until 8L).map(id => (id, noisy(id, 8000, 1248)))
+      .toDF("doc_id", "payload")
+    val probes = ((20L until 26L).map(id =>
+      (id, noisy(id - 20, 44100, 1120, offsetMs = 50))) ++
+      Seq(128L, 129L).map(id => (id, noisy(id, 44100, 1120))))
+      .toDF("doc_id", "payload")
+    // the threshold detector finds no onsets on this corpus at all —
+    // a threshold-built index is EMPTY, the structural miss in index form
+    assert(Multimodal.audioOnsetLandmarkIndex(masters).count() == 0L,
+      "threshold-built index of a noisy corpus should be empty")
+    val idx = Multimodal.audioOnsetLandmarkIndex(masters, rolling = true)
+    assert(idx.count() > 0L)
+    val verdicts = Multimodal.dedupAgainstAudioOnsetIndex(probes, idx,
+        rolling = true)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert((20L until 26L).forall(id => verdicts(id) == false),
+      s"noisy re-uploads not all caught: $verdicts")
+    assert(verdicts(128L) && verdicts(129L), s"decoys not kept: $verdicts")
+  }
+
   test("rolling-RMS onset tier lands all 10 noisy trimmed+resampled re-uploads") {
     implicit val s: SparkSession = spark
     val pairs = Multimodal.audioOnsetLandmarkPairsRolling(noisyCorpus,

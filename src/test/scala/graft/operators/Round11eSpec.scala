@@ -70,6 +70,42 @@ class Round11eSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected exactly the 10 master-reupload pairs, got ${pairs.toSeq}")
   }
 
+  /** The m126 fixture: a QUARTER-tone speed-up (176/171 ~ 2^(1/24) to
+    * 60 ppm) — half a band step for the semitone bank, a whole step
+    * for the 24-division bank. */
+  private def quarterCorpus: DataFrame = {
+    val s = spark
+    import s.implicits._
+    val rows =
+      (0L until 10L).map(id => (id, Multimodal.syntheticWavBeats(id, 8000,
+        ms = 1248, uniformSegMs = 96))) ++
+      (20L until 30L).map(id => (id, Multimodal.syntheticWavBeats(id - 20,
+        44100, ms = 1000, offsetMs = 50, speedNum = 176, speedDen = 171,
+        uniformSegMs = 96)))
+    rows.toDF("doc_id", "payload")
+  }
+
+  test("24-division bank lands the quarter-tone shift the semitone bank degrades on") {
+    implicit val s: SparkSession = spark
+    val semitone = Multimodal.audioChromaLandmarkPairs(quarterCorpus,
+        maxDf = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a < 10 && b >= 20 }
+    val quarter = Multimodal.audioChromaLandmarkPairs(quarterCorpus,
+        maxDf = 64, div = 24)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => a < 10 && b >= 20 }
+    info(s"semitone-bank cross pairs: ${semitone.length}; " +
+      s"24-division: ${quarter.sortBy(_._1).map { case (a, b, f) =>
+        s"($a,$b,$f)" }.mkString(", ")}")
+    assert(quarter.map { case (a, b, _) => (a, b) }.toSet ==
+      (0L until 10L).map(i => (i, i + 20L)).toSet,
+      s"24-division bank should land all 10, got ${quarter.toSeq}")
+    assert(semitone.length < quarter.length,
+      s"semitone bank should degrade on a half-band shift " +
+        s"(got ${semitone.length} vs ${quarter.length})")
+  }
+
   test("chroma index: screen catches the semitone shift; append == rebuild; version enforced") {
     implicit val s: SparkSession = spark
     import s.implicits._

@@ -116,6 +116,10 @@ QUERIES = [
                            # pitch-class chroma index
     "st95_stream_pitch_chroma_dedup", # streaming pitch-shifted
                            # metronomic dedup (chroma-code buckets)
+    "m126_audio_quarter_tone", # sub-semitone (div=24) chroma bank:
+                           # quarter-tone shifts the semitone bank misses
+    "m127_rolling_onset_index_dedup", # rolling-detector onset index:
+                           # standing NOISY corpus, incremental screen
 ]
 # e52 is 2000 rows; pin a deterministic 50-row sample (p_partkey % 40 == 0)
 SAMPLE = {"e52_keccak256": "p_partkey % 40 = 0"}
