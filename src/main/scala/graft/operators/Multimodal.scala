@@ -2205,6 +2205,78 @@ object Multimodal {
   private[operators] def pHash64(payload: Array[Byte]): Option[Long] =
     grid32(payload).map(pHashOfGrid)
 
+  /** The CANONICAL CROP WINDOWS of an image, as (x0, y0, x1, y1)
+    * fractions of (w, h) in eighths — the crop-tolerant tier's probe
+    * set: 0 = full, 1 = center 75%, 2 = center 50%, 3-6 = the four
+    * 50% quadrants (TL, TR, BL, BR). These are the structured crops
+    * real re-uploads overwhelmingly are (thumbnail center crops,
+    * aspect-ratio letterbox removal, crop-to-quadrant-subject);
+    * arbitrary-offset crops are OUT of this tier's scope by design
+    * (catching them needs content-anchored keypoints — no CV
+    * libraries in scope) and the m128 gate pins one as a non-match. */
+  private val CropWindows: Array[(Int, Int, Int, Int)] = Array(
+    (0, 0, 8, 8), (1, 1, 7, 7), (2, 2, 6, 6),
+    (0, 0, 4, 4), (4, 0, 8, 4), (0, 4, 4, 8), (4, 4, 8, 8))
+
+  /** 32x32 box-average of the luma sub-rect [x0, x1) x [y0, y1) —
+    * [[grid32]]'s kernel over a window. Cell boundaries are derived
+    * from the WINDOW size with the same integer arithmetic as the
+    * full grid, so a payload containing exactly those pixels (the
+    * crop re-upload) produces the IDENTICAL grid — window hash equals
+    * crop hash exactly, not just within tolerance. */
+  private def grid32Window(luma: Array[Byte], w: Int, h: Int,
+      x0: Int, y0: Int, x1: Int, y1: Int): Array[Double] = {
+    val ww = x1 - x0
+    val wh = y1 - y0
+    val g = new Array[Double](32 * 32)
+    var cy = 0
+    while (cy < 32) {
+      val cy0 = y0 + cy * wh / 32
+      val cy1 = y0 + math.max((cy + 1) * wh / 32, cy * wh / 32 + 1)
+      var cx = 0
+      while (cx < 32) {
+        val cx0 = x0 + cx * ww / 32
+        val cx1 = x0 + math.max((cx + 1) * ww / 32, cx * ww / 32 + 1)
+        var s = 0L
+        var y = cy0
+        while (y < math.min(cy1, y1)) {
+          var x = cx0
+          while (x < math.min(cx1, x1)) { s += luma(y * w + x) & 0xff; x += 1 }
+          y += 1
+        }
+        val n = (math.min(cy1, y1) - cy0).toLong * (math.min(cx1, x1) - cx0)
+        g(cy * 32 + cx) = if (n > 0) s.toDouble / n else 0.0
+        cx += 1
+      }
+      cy += 1
+    }
+    g
+  }
+
+  /** All seven [[CropWindows]] hashes from ONE decode — the
+    * crop-tolerant tier's table: window 0 reproduces [[pHash64]]
+    * bit-exactly (same gridding arithmetic), and a re-upload cropped
+    * to window k of a master hashes (as a whole image) EXACTLY to the
+    * master's window-k hash — the crop IS those pixels, and the grid
+    * cell boundaries match by construction. EXIF orientation applies
+    * to every window grid like the full hash. */
+  private[operators] def pHash64CropWindows(
+      payload: Array[Byte]): Option[Seq[(Int, Long)]] =
+    decodeImage(payload).map { img =>
+      val luma = lumaPlane(img)
+      val w = img.getWidth
+      val h = img.getHeight
+      val o = exifOrientation(payload)
+      CropWindows.toIndexedSeq.zipWithIndex.map { case ((fx0, fy0, fx1, fy1), win) =>
+        val g = grid32Window(luma, w, h,
+          fx0 * w / 8, fy0 * h / 8, fx1 * w / 8, fy1 * h / 8)
+        (win, pHashOfGrid(orientGrid(g, o)))
+      }
+    }
+
+  private[operators] val pHashCropWindowsUdf =
+    udf((payload: Array[Byte]) => pHash64CropWindows(payload))
+
   /** (as-is hash, horizontally-mirrored hash) from ONE decode — the
     * flip-tolerant tier's probe: a mirrored repost's as-is hash equals
     * the original's mirrored hash, so probing both orientations
@@ -2477,6 +2549,87 @@ object Multimodal {
       .filter(col("dist") <= maxDist)
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(min(col("dist")).as("dist"))
+  }
+
+  /** Image near-dup pairs tolerant of STRUCTURED CROPS — the m128
+    * tier: a re-upload cropped to one of the [[CropWindows]] (center
+    * 75%/50%, any 50% quadrant — the thumbnail / letterbox-removal /
+    * crop-to-subject classes) hashes, as a whole image, EXACTLY to
+    * its master's corresponding window hash, which the plain pHash
+    * tier misses wholesale (the crop resamples a sub-rect over the
+    * full 32x32 grid — nothing aligns). Every doc contributes its 7
+    * window hashes to the chunk posting lists (the dihedral tier's
+    * 8-orientation shape); candidate pairs require window 0 (the
+    * full-image hash) on at least one side — a crop is a FULL image
+    * matching a WINDOW of its master, and window-vs-window pairs
+    * (sub-crops of different docs) carry no crop-dedup semantics.
+    * Distinct-doc `maxDf` cap before expansion (window rows never
+    * inflate the count). Output carries which window matched:
+    * (doc_a, doc_b, win_a, win_b, dist), min dist per window combo.
+    * Arbitrary-offset crops are out of scope (see [[CropWindows]]) —
+    * the gate pins one as a non-match. */
+  def pHashPairsCropTolerant(media: DataFrame, maxDist: Int = 3,
+      maxDf: Int = 0): DataFrame = {
+    require(maxDist < 4, "4 x 16-bit chunks guarantee recall only for maxDist <= 3")
+    val hashed = Materialize.eager(
+      media.select(col("doc_id"), pHashCropWindowsUdf(col("payload")).as("hs")))
+      .filter(col("hs").isNotNull)
+    val rows = hashed.select(col("doc_id"), explode(col("hs")).as("wh"))
+      .select(col("doc_id"), col("wh._1").as("win"), col("wh._2").as("h"))
+    val chunks = rows.select(col("doc_id"), col("win"), col("h"), posexplode(
+        array((0 until 4).map(c =>
+          shiftright(col("h"), c * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .select(col("doc_id"), col("win"), col("h"), col("pos").as("chunk"),
+        col("col").as("ckey"))
+    val capped = if (maxDf <= 0) chunks
+      else chunks.join(
+        chunks.groupBy(col("chunk"), col("ckey"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .filter(col("df") <= maxDf)
+          .select(col("chunk"), col("ckey")),
+        Seq("chunk", "ckey"), "left_semi")
+    val kept = capped.groupBy(col("chunk"), col("ckey"))
+      .agg(collect_list(struct(col("doc_id"), col("win"), col("h"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    val ds = array_sort(col("ds"))
+    kept.select(explode(flatten(transform(ds, (x, i) =>
+        transform(slice(ds, i + lit(2), greatest(size(ds) - i - 1, lit(0))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .filter(col("p.a.doc_id") =!= col("p.b.doc_id"))
+      .filter(col("p.a.win") === 0 || col("p.b.win") === 0)
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        col("p.a.win").as("win_a"), col("p.b.win").as("win_b"),
+        bit_count(col("p.a.h").bitwiseXOR(col("p.b.h"))).as("dist"))
+      .filter(col("dist") <= maxDist)
+      .groupBy(col("doc_a"), col("doc_b"), col("win_a"), col("win_b"))
+      .agg(min(col("dist")).as("dist"))
+  }
+
+  /** A CROP of [[syntheticPng]]'s pixel field — the m128 fixture:
+    * renders pixels (x0..x1) x (y0..y1) of master `id`'s (w, h)
+    * field, so the payload contains EXACTLY the pixels of that
+    * window (PNG is lossless) and its whole-image pHash equals the
+    * master's window hash bit-for-bit when the rect matches a
+    * [[CropWindows]] entry. */
+  def syntheticPngCrop(id: Long, x0: Int, y0: Int, x1: Int, y1: Int,
+      w: Int = 64, h: Int = 64): Array[Byte] = {
+    require(x0 >= 0 && y0 >= 0 && x1 <= w && y1 <= h && x0 < x1 && y0 < y1,
+      "crop rect must be inside the master")
+    val img = new java.awt.image.BufferedImage(x1 - x0, y1 - y0,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = y0
+    while (y < y1) {
+      var x = x0
+      while (x < x1) {
+        val r = ((id * 7 + x * 13 + y * 31) % 256).toInt
+        val g = ((id * 11 + x * 3 + y * 17) % 256).toInt
+        val b = ((id * 5 + x * 29 + y * 7) % 256).toInt
+        img.setRGB(x - x0, y - y0, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    encodePng(img)
   }
 
   /** Quarter-turn-rotated re-encode of [[syntheticPng]] — the

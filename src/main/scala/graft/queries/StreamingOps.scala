@@ -1671,6 +1671,40 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // STRUCTURED-CROP image dedup — canonical-window hashes (the one
+    // common image re-upload class with no tier until now): a crop
+    // resamples a SUB-RECT over the full 32x32 pHash grid, so nothing
+    // aligns and the plain tier misses wholesale (Round11fSpec pins
+    // zero cross-pairs); but a crop to a canonical window (center
+    // 75%/50%, any 50% quadrant — thumbnails, letterbox removal,
+    // crop-to-subject) IS exactly those pixels, and the window
+    // gridding shares the full grid's integer arithmetic, so the
+    // crop's whole-image hash equals the master's window hash
+    // BIT-EXACTLY (dist 0, PNG lossless). 7 window hashes per doc
+    // from one decode (the dihedral tier's posting shape); candidates
+    // require the full-image hash on one side. Probe 26 is an
+    // arbitrary-offset crop — OUT of scope by design (content-
+    // anchored keypoints would need CV libs) — pinned as a non-match.
+    "m128_phash_crop_pairs" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val img = udf((id: Long) =>
+        if (id < 20) Multimodal.syntheticPng(id, 64, 64)
+        else if (id == 20L) Multimodal.syntheticPngCrop(0, 16, 16, 48, 48)
+        else if (id == 21L) Multimodal.syntheticPngCrop(1, 16, 16, 48, 48)
+        else if (id == 22L) Multimodal.syntheticPngCrop(2, 0, 0, 32, 32)
+        else if (id == 23L) Multimodal.syntheticPngCrop(3, 32, 0, 64, 32)
+        else if (id == 24L) Multimodal.syntheticPngCrop(4, 8, 8, 56, 56)
+        else if (id == 25L) Multimodal.syntheticPngCrop(5, 32, 32, 64, 64)
+        else if (id == 26L) Multimodal.syntheticPngCrop(6, 20, 12, 52, 44)
+        else if (id == 27L) Multimodal.syntheticPngCrop(7, 0, 32, 32, 64)
+        else Multimodal.syntheticPng(id, 64, 64))
+      val media = s.range(0, 8).union(s.range(20, 28))
+        .union(s.range(140, 142))
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      Multimodal.pHashPairsCropTolerant(media, maxDist = 3, maxDf = 64)
+        .orderBy(col("doc_a"), col("doc_b"), col("win_a"), col("win_b"))
+    }),
+
     // Incremental screen vs a ROLLING-detector onset index — the m119
     // tier's standing-corpus member (rolling=true on the m118 index
     // contract): 8 NOISY-floor masters (60 Hz hum under the beats)

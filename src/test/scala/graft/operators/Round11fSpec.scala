@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-11 continuation: the CROP-TOLERANT image tier — structured
+  * crops (center / quadrant, the thumbnail and crop-to-subject
+  * classes) via canonical-window hashes from one decode. */
+class Round11fSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** The m128 fixture: 8 64x64 masters; probes are lossless PNG crops
+    * of their pixel fields — six on canonical windows, ONE (id 26) at
+    * an arbitrary offset that matches no window (the scope edge). */
+  private def corpus: DataFrame = {
+    val s = spark
+    import s.implicits._
+    val rows =
+      (0L until 8L).map(id => (id, Multimodal.syntheticPng(id, 64, 64))) ++
+      Seq(
+        20L -> Multimodal.syntheticPngCrop(0, 16, 16, 48, 48), // win 2
+        21L -> Multimodal.syntheticPngCrop(1, 16, 16, 48, 48), // win 2
+        22L -> Multimodal.syntheticPngCrop(2, 0, 0, 32, 32),   // win 3
+        23L -> Multimodal.syntheticPngCrop(3, 32, 0, 64, 32),  // win 4
+        24L -> Multimodal.syntheticPngCrop(4, 8, 8, 56, 56),   // win 1
+        25L -> Multimodal.syntheticPngCrop(5, 32, 32, 64, 64), // win 6
+        26L -> Multimodal.syntheticPngCrop(6, 20, 12, 52, 44), // no win
+        27L -> Multimodal.syntheticPngCrop(7, 0, 32, 32, 64)   // win 5
+      ) ++
+      Seq(140L, 141L).map(id => (id, Multimodal.syntheticPng(id, 64, 64)))
+    rows.toDF("doc_id", "payload")
+  }
+
+  test("window 0 reproduces pHash64 bit-exactly") {
+    val png = Multimodal.syntheticPng(5, 64, 64)
+    val full = Multimodal.pHash64(png).get
+    val win0 = Multimodal.pHash64CropWindows(png).get
+      .find(_._1 == 0).get._2
+    assert(full == win0, f"full $full%016x != window-0 $win0%016x")
+  }
+
+  test("plain pHash tier misses every crop") {
+    val cross = Multimodal.pHashPairs(corpus, maxDist = 3, maxDf = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a < 8 && b >= 20 }
+    info(s"plain-tier cross pairs: ${cross.toSeq}")
+    assert(cross.isEmpty, s"plain pHash matched crops: ${cross.toSeq}")
+  }
+
+  test("crop tier lands every canonical-window crop at dist 0; arbitrary offset misses") {
+    val rows = Multimodal.pHashPairsCropTolerant(corpus, maxDist = 3,
+        maxDf = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getInt(3), r.getInt(4)))
+    info(rows.sortBy(_._1).map { case (a, b, wa, wb, d) =>
+      s"($a,$b,w$wa-w$wb,d$d)" }.mkString(", "))
+    val expected = Set(
+      (0L, 20L, 2, 0, 0), (1L, 21L, 2, 0, 0), (2L, 22L, 3, 0, 0),
+      (3L, 23L, 4, 0, 0), (4L, 24L, 1, 0, 0), (5L, 25L, 6, 0, 0),
+      (7L, 27L, 5, 0, 0))
+    assert(rows.toSet == expected,
+      s"expected exactly the 7 window crops at dist 0, got ${rows.toSeq}")
+    assert(!rows.exists { case (a, b, _, _, _) => b == 26L || a == 26L },
+      "arbitrary-offset crop should not match (out of scope by design)")
+  }
+}

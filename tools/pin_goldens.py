@@ -120,6 +120,8 @@ QUERIES = [
                            # quarter-tone shifts the semitone bank misses
     "m127_rolling_onset_index_dedup", # rolling-detector onset index:
                            # standing NOISY corpus, incremental screen
+    "m128_phash_crop_pairs", # crop-tolerant image dedup: canonical-
+                           # window hashes (center/quadrant crops)
 ]
 # e52 is 2000 rows; pin a deterministic 50-row sample (p_partkey % 40 == 0)
 SAMPLE = {"e52_keccak256": "p_partkey % 40 = 0"}
