@@ -2873,6 +2873,70 @@ object Multimodal {
         col("dup_src"))
   }
 
+  /** Persisted CROP-WINDOW pHash index — the incremental member of
+    * the m128 tier: the corpus decodes ONCE into all seven
+    * [[CropWindows]] hashes per image (28 chunk rows — the dihedral
+    * screen's 8x probe-side factor moved to the INDEX side, because
+    * crop asymmetry runs the other way: the CORPUS holds the masters
+    * whose windows a future crop will equal, while the probe is a
+    * whole image with one hash). [[dedupAgainstPHashCropIndex]]
+    * screens every ingest batch at 4 probe rows per image — a
+    * structured-crop re-upload of a corpus master is caught with no
+    * corpus re-decode. Same unstamped layout family as
+    * [[pHashChunkIndex]] (the pHash function is the version). */
+  def pHashCropWindowIndex(media: DataFrame): DataFrame =
+    Materialize.eager(
+      media.select(col("doc_id"), pHashCropWindowsUdf(col("payload")).as("hs")))
+      .filter(col("hs").isNotNull)
+      .select(col("doc_id"), explode(col("hs")).as("wh"))
+      .select(col("doc_id"), col("wh._1").as("win"), col("wh._2").as("ph"))
+      .select(col("doc_id"), col("win"), col("ph"), posexplode(
+        array((0 until 4).map(c =>
+          shiftright(col("ph"), c * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .select(col("pos").as("chunk"), col("col").as("ckey"),
+        col("doc_id"), col("win"), col("ph"))
+
+  /** Screen an ingest batch against a pre-built
+    * [[pHashCropWindowIndex]]: the batch decodes + hashes once (FULL
+    * hash only — a crop arrives as a whole image), equi-joins the
+    * index on (chunk, ckey), and verifies candidates with one
+    * `bit_count` against the window hash carried in the index row —
+    * so a batch image that is a structured crop (or a plain near-dup:
+    * window 0 is in the index too) of any corpus master is caught.
+    * Verdict rows (doc_id, kept, dup_src); hashless payloads absent
+    * (the family contract). `maxDf` counts DISTINCT corpus docs per
+    * bucket (window rows never inflate the count — the
+    * orientation-tier lesson). */
+  def dedupAgainstPHashCropIndex(media: DataFrame, index: DataFrame,
+      maxDist: Int = 3, maxDf: Int = 0): DataFrame = {
+    require(maxDist < 4, "4 x 16-bit chunks guarantee recall only for maxDist <= 3")
+    val hashed = Materialize.eager(
+      media.select(col("doc_id"), pHashUdf(col("payload")).as("ph")))
+      .filter(col("ph").isNotNull)
+    val chunks = hashed.select(col("doc_id"), col("ph"), posexplode(
+      array((0 until 4).map(c =>
+        shiftright(col("ph"), c * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .select(col("doc_id"), col("ph"), col("pos").as("chunk"),
+        col("col").as("ckey"))
+    val probed = if (maxDf <= 0) index
+      else index.join(
+        index.groupBy(col("chunk"), col("ckey"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .filter(col("df") <= maxDf)
+          .select(col("chunk"), col("ckey")),
+        Seq("chunk", "ckey"), "left_semi")
+    val dup = chunks.join(
+        probed.select(col("chunk"), col("ckey"), col("doc_id").as("src"),
+          col("ph").as("cph")),
+        Seq("chunk", "ckey"))
+      .dropDuplicates("doc_id", "src", "cph")
+      .filter(bit_count(col("ph").bitwiseXOR(col("cph"))) <= maxDist)
+      .groupBy(col("doc_id")).agg(min(col("src")).as("dup_src"))
+    hashed.select(col("doc_id")).join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_src").isNull.as("kept"),
+        col("dup_src"))
+  }
+
   /** [[syntheticPng]] with a small planted edit (a +delta luma patch on
     * a 3x3 corner block) — the perceptual-near-duplicate fixture for
     * the pHash gate: same texture, slightly different pixels. */

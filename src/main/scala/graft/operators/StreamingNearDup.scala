@@ -41,6 +41,15 @@ case class LandmarkHits(doc_id: Long, lm: Long, hits: Seq[Long])
 case class VideoLandmarkHits(doc_id: Long, lm_a: Long, lm_b: Long,
     hits: Seq[Long])
 
+/** One image crop-tier verdict per (document, window, pHash chunk) —
+  * the streaming crop tier's record: `win` is the CANONICAL CROP
+  * WINDOW (0 = the whole image — the row whose verdict says "this
+  * arrival is a crop or near-dup of dup_src"; 1-6 = the master-side
+  * window registrations, emitted for symmetry and ignorable).
+  * Consumers score win = 0 rows. */
+case class CropChunkVerdict(doc_id: Long, win: Int, chunk: Int,
+    dup_src: Option[Long])
+
 /** One string-fingerprint hit record per (document, fingerprint) —
   * the winnowing / CDC streaming tiers' record: `hits` lists every
   * earlier document sharing the fingerprint (a winnow gram md5 or a
@@ -863,6 +872,50 @@ object StreamingNearDup {
           state.update(seen)
           arrivals.zip(verdicts).map { case ((id, _, _), v) =>
             ChunkVerdict(id, chunk, v)
+          }.iterator
+      }
+  }
+
+  /** [[pHashVerdicts]] tolerant to STRUCTURED CROPS — the streaming
+    * member of the m128 tier: every arrival registers ALL seven
+    * canonical-window hashes (`Multimodal.pHash64CropWindows`, one
+    * decode) into chunk-bucket state — 28 rows x 16 B = 448 B per doc,
+    * the price of being crop-matchable as a future master — and its
+    * window-0 (whole image) hash doubles as the PROBE: a later
+    * arrival that is a center/quadrant crop of an earlier master
+    * hashes bit-exactly to that master's registered window, so its
+    * win = 0 verdict names the master. Window 1-6 rows also emit (one
+    * record per (doc, win, chunk) — no duplicate keys); consumers
+    * score win = 0. Same id-monotonic determinism contract and
+    * `maxBucket` / [[foldProbe]] cap as the family; same-doc
+    * window-vs-window self-matches are excluded by id. */
+  def pHashCropVerdicts(media: DataFrame, idCol: String,
+      payloadCol: String, maxDist: Int = 3,
+      maxBucket: Int = 0): Dataset[CropChunkVerdict] = {
+    require(maxDist < 4, "4 x 16-bit chunks guarantee recall only for maxDist <= 3")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val hashed = media.select(col(idCol).cast("long").as("doc_id"),
+        Multimodal.pHashCropWindowsUdf(col(payloadCol)).as("hs"))
+      .filter(col("hs").isNotNull)
+    val rows = hashed.select(col("doc_id"), explode(col("hs")).as("wh"))
+      .select(col("doc_id"), col("wh._1").as("win"), col("wh._2").as("h"))
+    val chunked = rows.select(col("doc_id"), col("win"), col("h"),
+        posexplode(array((0 until 4).map(c =>
+          shiftright(col("h"), c * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .as[(Long, Int, Long, Int, Long)]
+    chunked.groupByKey { case (_, _, _, chunk, key) => (chunk, key) }
+      .flatMapGroupsWithState[List[(Long, Long)], CropChunkVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((chunk, _), rows, state: GroupState[List[(Long, Long)]]) =>
+          val rs = rows.toSeq.sortBy(r => (r._1, r._2))
+          val arrivals = rs.map { case (id, _, h, _, _) => (id, h, true) }
+          val (seen, verdicts) = foldProbe(state.getOption.getOrElse(Nil),
+            arrivals, maxBucket)(
+            (h, eh) => java.lang.Long.bitCount(h ^ eh) <= maxDist)
+          state.update(seen)
+          rs.zip(verdicts).map { case ((id, win, _, _, _), v) =>
+            CropChunkVerdict(id, win, chunk, v)
           }.iterator
       }
   }

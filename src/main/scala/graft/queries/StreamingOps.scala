@@ -1705,6 +1705,94 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"), col("win_a"), col("win_b"))
     }),
 
+    // Incremental screen vs the persisted CROP-WINDOW pHash index —
+    // the m128 tier's index member: 8 masters decode once into all 7
+    // window hashes (28 chunk rows each — crop asymmetry puts the
+    // window fan-out on the INDEX side, probes stay at 4 rows), then
+    // an ingest batch of 6 structured crops plus 2 fresh images
+    // screens with full-image hashes only. Probe 26's arbitrary-
+    // offset crop stays kept (the scope edge, in the golden). Pinned
+    // golden.
+    "m129_crop_index_dedup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val img = udf((id: Long) =>
+        if (id < 20) Multimodal.syntheticPng(id, 64, 64)
+        else if (id == 20L) Multimodal.syntheticPngCrop(0, 16, 16, 48, 48)
+        else if (id == 21L) Multimodal.syntheticPngCrop(1, 0, 0, 32, 32)
+        else if (id == 22L) Multimodal.syntheticPngCrop(2, 32, 0, 64, 32)
+        else if (id == 23L) Multimodal.syntheticPngCrop(3, 8, 8, 56, 56)
+        else if (id == 24L) Multimodal.syntheticPngCrop(4, 0, 32, 32, 64)
+        else if (id == 25L) Multimodal.syntheticPngCrop(5, 32, 32, 64, 64)
+        else if (id == 26L) Multimodal.syntheticPngCrop(6, 20, 12, 52, 44)
+        else Multimodal.syntheticPng(id, 64, 64))
+      val corpus = s.range(0, 8)
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      val index = Multimodal.pHashCropWindowIndex(corpus)
+      val probes = s.range(20, 27).union(s.range(140, 142))
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      Multimodal.dedupAgainstPHashCropIndex(probes, index, maxDf = 64)
+        .orderBy(col("doc_id"))
+    }),
+
+    // STREAMING crop-tolerant image dedup (the m128 tier in the
+    // streaming matrix): micro-batch 1 delivers 8 masters — each
+    // arrival registers all 7 canonical-window hashes into chunk
+    // state (448 B/doc, the price of being crop-matchable later) —
+    // micro-batch 2 their structured crops, whose whole-image hashes
+    // land bit-exactly in the masters' window buckets. The plain
+    // streaming tier (st72) would find nothing (the crop's full hash
+    // aligns with no master hash). win = 0 rows carry the verdicts.
+    // Pinned golden.
+    "st96_stream_crop_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val name = "st96_out"
+      val staged = stagingDir("graft-stream-crop")
+      val img = udf((id: Long) =>
+        if (id < 1000000L) Multimodal.syntheticPng(id, 64, 64)
+        else {
+          val m = id - 1000000L
+          (m % 4) match {
+            case 0 => Multimodal.syntheticPngCrop(m, 16, 16, 48, 48)
+            case 1 => Multimodal.syntheticPngCrop(m, 0, 0, 32, 32)
+            case 2 => Multimodal.syntheticPngCrop(m, 8, 8, 56, 56)
+            case _ => Multimodal.syntheticPngCrop(m, 32, 32, 64, 64)
+          }
+        })
+      def stageBatch(ids: org.apache.spark.sql.Dataset[java.lang.Long],
+          fname: String, ageMs: Long): Unit = {
+        val tmp = staged.resolve(fname + ".tmp")
+        ids.toDF("doc_id").select(col("doc_id"), img(col("doc_id")).as("payload"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, staged.resolve(fname))
+        staged.resolve(fname).toFile.deleteOnExit()
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        java.nio.file.Files.setLastModifiedTime(staged.resolve(fname),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - ageMs))
+      }
+      stageBatch(s.range(0, 8).as[java.lang.Long], "a.parquet", 120000L)
+      stageBatch(s.range(1000000L, 1000008L).as[java.lang.Long], "b.parquet", 0L)
+      val mediaSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("payload", BinaryType)))
+      val stream = s.readStream.schema(mediaSchema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+        .repartition(col("doc_id"))
+      val verdicts = graft.operators.StreamingNearDup.pHashCropVerdicts(
+        stream, "doc_id", "payload", maxBucket = 64)
+      val q = verdicts.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+      s.table(name)
+        .filter(col("win") === 0)
+        .groupBy(col("doc_id"))
+        .agg(min(col("dup_src")).as("dup_src"))
+        .select(col("doc_id"), col("dup_src").isNull.as("kept"),
+          col("dup_src"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Incremental screen vs a ROLLING-detector onset index — the m119
     // tier's standing-corpus member (rolling=true on the m118 index
     // contract): 8 NOISY-floor masters (60 Hz hum under the beats)

@@ -122,6 +122,10 @@ QUERIES = [
                            # standing NOISY corpus, incremental screen
     "m128_phash_crop_pairs", # crop-tolerant image dedup: canonical-
                            # window hashes (center/quadrant crops)
+    "m129_crop_index_dedup", # incremental screen vs the persisted
+                           # crop-window pHash index
+    "st96_stream_crop_dedup", # streaming crop-tolerant image dedup
+                           # (window hashes in chunk-bucket state)
 ]
 # e52 is 2000 rows; pin a deterministic 50-row sample (p_partkey % 40 == 0)
 SAMPLE = {"e52_keccak256": "p_partkey % 40 = 0"}
