@@ -3213,13 +3213,22 @@ object Multimodal {
       global0: Boolean = false, intro: Int = 0,
       frameOffset: Int = 0, audioId: Long = -1L,
       audioSamples: Int = 0, mirrorX: Boolean = false,
-      rotQ: Int = 0, rateNum: Int = 1, rateDen: Int = 1): Array[Byte] = {
+      rotQ: Int = 0, rateNum: Int = 1, rateDen: Int = 1,
+      srcX0: Int = 0, srcY0: Int = 0): Array[Byte] = {
     // rotQ renders every frame turned rotQ clockwise quarter turns
     // (DIB leg; square frames) — composed AFTER mirrorX, so
     // mirrorX+rotQ is the rotate(mirror(frame)) dihedral compound
     require(rotQ == 0 || (!mjpeg && w == h),
       "frame rotation: DIB leg, square frames only")
     require(rateNum >= 1 && rateDen >= 1, "rate must be positive")
+    // srcX0/srcY0 render this container's (w, h) frames as the window
+    // at that offset of the base pixel field — the video CROP fixture
+    // (every frame contains exactly those pixels of the master's
+    // frame, the m130 contract); orientation knobs keep their plain
+    // meaning by staying mutually exclusive with the offset
+    require((srcX0 == 0 && srcY0 == 0) || (!mirrorX && rotQ == 0 && !mjpeg),
+      "source offset (crop): DIB leg only, no mirror/rotation")
+    require(srcX0 >= 0 && srcY0 >= 0, "source offset must be >= 0")
     val rowBytes = (w * 3 + 3) & ~3
     val frameChunks = (0 until nFrames).map { f0 =>
       // `frameOffset` renders frame f of THIS container as frame
@@ -3251,7 +3260,8 @@ object Multimodal {
             case 3 => (w - 1 - y, x)
             case _ => (x, y)
           }
-          val rgb = aviPixel(fid, f, if (mirrorX) w - 1 - sx else sx, sy,
+          val rgb = aviPixel(fid, f,
+            srcX0 + (if (mirrorX) w - 1 - sx else sx), srcY0 + sy,
             delta, global0)
           val o = (h - 1 - y) * rowBytes + x * 3
           px(o) = (rgb & 0xff).toByte
@@ -4963,6 +4973,98 @@ object Multimodal {
     videoLandmarkPairScoresExact(
       Materialize.eager(videoLandmarksSkip(media, gap, every).toDF()),
       minMatch, maxDf)
+
+  case class VideoLandmarkW(doc_id: Long, win: Int, lm_a: Long, lm_b: Long)
+
+  /** CROP-WINDOW video landmarks — the m130 tier's kernel: every
+    * sampled frame decodes ONCE into its seven [[CropWindows]] hashes
+    * ([[pHash64CropWindows]] — window gridding shares the full grid's
+    * arithmetic, so a center/quadrant-cropped rendition's full-frame
+    * hash equals the master's window hash bit-exactly), and each
+    * window CHANNEL forms its own consecutive-pair landmark sequence.
+    * A video cropped to window k of a master (even leading-trimmed)
+    * emits a window-0 channel that is a subsequence of the master's
+    * window-k channel — while every whole-frame tier (aligned,
+    * landmark, tolerant, dihedral, skip) misses wholesale: a crop
+    * changes every frame hash. Distinct per (doc, window), one
+    * mapPartitions pass, no shuffle. */
+  def videoLandmarksCrop(media: DataFrame, every: Int = 2)(
+      implicit s: SparkSession): Dataset[VideoLandmarkW] = {
+    import s.implicits._
+    require(every >= 1, "every must be >= 1")
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions(rows => rows.flatMap { r =>
+        containerFrames(r.payload) match {
+          case Some(fs) =>
+            val whs = fs.iterator.zipWithIndex.filter(_._2 % every == 0)
+              .flatMap(f => pHash64CropWindows(f._1)).toArray
+            val lms = scala.collection.mutable.LinkedHashSet
+              .empty[(Int, Long, Long)]
+            var win = 0
+            while (win < 7) {
+              val hs = whs.flatMap(_.collectFirst {
+                case (w, h) if w == win => h
+              })
+              var i = 0
+              while (i + 1 < hs.length) {
+                lms += ((win, hs(i), hs(i + 1)))
+                i += 1
+              }
+              win += 1
+            }
+            lms.iterator.map { case (w, a, b) =>
+              VideoLandmarkW(r.doc_id, w, a, b) }
+          case None => Iterator.empty
+        }
+      })
+  }
+
+  /** Video near-dup pairs tolerant of STRUCTURED CROPS — the m130
+    * tier: a re-upload cropped to a canonical window of its master
+    * (thumbnail center crop, letterbox removal, crop-to-subject) and
+    * possibly leading-trimmed scores against it on matching window
+    * CHANNELS: candidates bucket by the landmark pair, require the
+    * full-frame channel (win 0) on one side (window-vs-window pairs
+    * carry no crop semantics), and score shared distinct landmarks
+    * over the SMALLER of the two channels' landmark counts — channel
+    * counts, not whole-doc counts, or the 7x window fan-out would
+    * dilute every match below threshold. Distinct-doc `maxDf` before
+    * expansion. Output (doc_a, doc_b, win_a, win_b, match_frac).
+    * Arbitrary-offset crops out of scope (see [[CropWindows]]). */
+  def videoLandmarkPairsCrop(media: DataFrame, minMatch: Double = 0.6,
+      every: Int = 2, maxDf: Int = 0)(
+      implicit s: SparkSession): DataFrame = {
+    val lms = Materialize.eager(videoLandmarksCrop(media, every).toDF())
+    val sizes = lms.groupBy(col("doc_id"), col("win"))
+      .agg(count(lit(1)).as("nl"))
+    val bucketed =
+      if (maxDf <= 0) lms
+      else lms.join(
+        lms.groupBy(col("lm_a"), col("lm_b"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .filter(col("df") <= maxDf).select(col("lm_a"), col("lm_b")),
+        Seq("lm_a", "lm_b"), "left_semi")
+    val kept = bucketed.groupBy(col("lm_a"), col("lm_b"))
+      .agg(collect_list(struct(col("doc_id"), col("win"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    val ds = array_sort(col("ds"))
+    val pairs = kept.select(explode(flatten(transform(ds, (x, i) =>
+        transform(slice(ds, i + lit(2), greatest(size(ds) - i - 1, lit(0))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .filter(col("p.a.doc_id") =!= col("p.b.doc_id"))
+      .filter(col("p.a.win") === 0 || col("p.b.win") === 0)
+    pairs.groupBy(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        col("p.a.win").as("win_a"), col("p.b.win").as("win_b"))
+      .agg(count(lit(1)).as("c"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("win").as("win_a"),
+        col("nl").as("na")), Seq("doc_a", "win_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("win").as("win_b"),
+        col("nl").as("nb")), Seq("doc_b", "win_b"))
+      .select(col("doc_a"), col("doc_b"), col("win_a"), col("win_b"),
+        round(col("c").cast("double") / least(col("na"), col("nb")), 6)
+          .as("match_frac"))
+      .filter(col("match_frac") >= minMatch)
+  }
 
   /** Version stamp for the SKIP-LANDMARK video family
     * ([[videoLandmarksSkip]] — run collapse, gap-pair layout):

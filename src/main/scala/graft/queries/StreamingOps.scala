@@ -1705,6 +1705,39 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"), col("win_a"), col("win_b"))
     }),
 
+    // CROPPED-video dedup — per-frame crop-window landmark CHANNELS
+    // (the m128 windows lifted to video): a cropped re-upload changes
+    // EVERY frame hash, so all whole-frame tiers (aligned, landmark,
+    // tolerant, dihedral, skip) miss wholesale (Round11fSpec pins
+    // zero cross-pairs); but each frame's 7 window hashes from one
+    // decode form per-window landmark channels, and a center/quadrant
+    // crop's full-frame channel is a subsequence of its master's
+    // window-k channel — bit-exact (DIB pixels are the window), so
+    // the 2-frame trim rides along and all 4 land at match_frac 1.0.
+    // Scoring is per-CHANNEL (shared distinct landmarks over the
+    // smaller channel count — whole-doc counts would dilute 7x);
+    // candidates need the full-frame channel on one side. Pinned
+    // golden (DIB + StrictMath DCT).
+    "m130_video_crop_neardup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val avi = udf((id: Long) =>
+        if (id < 20) Multimodal.syntheticAvi(id, 24, w = 32, h = 32)
+        else if (id == 20L) Multimodal.syntheticAvi(0, 20, w = 16, h = 16,
+          frameOffset = 2, srcX0 = 8, srcY0 = 8)
+        else if (id == 21L) Multimodal.syntheticAvi(1, 20, w = 16, h = 16,
+          frameOffset = 2, srcX0 = 0, srcY0 = 0)
+        else if (id == 22L) Multimodal.syntheticAvi(2, 20, w = 24, h = 24,
+          frameOffset = 2, srcX0 = 4, srcY0 = 4)
+        else if (id == 23L) Multimodal.syntheticAvi(3, 20, w = 16, h = 16,
+          frameOffset = 2, srcX0 = 16, srcY0 = 16)
+        else Multimodal.syntheticAvi(id, 24, w = 32, h = 32))
+      val media = s.range(0, 6).union(s.range(20, 24))
+        .union(s.range(140, 142))
+        .select(col("id").as("doc_id"), avi(col("id")).as("payload"))
+      Multimodal.videoLandmarkPairsCrop(media, every = 1, maxDf = 64)
+        .orderBy(col("doc_a"), col("doc_b"), col("win_a"), col("win_b"))
+    }),
+
     // Incremental screen vs the persisted CROP-WINDOW pHash index —
     // the m128 tier's index member: 8 masters decode once into all 7
     // window hashes (28 chunk rows each — crop asymmetry puts the

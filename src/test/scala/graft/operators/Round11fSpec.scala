@@ -73,4 +73,50 @@ class Round11fSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!rows.exists { case (a, b, _, _, _) => b == 26L || a == 26L },
       "arbitrary-offset crop should not match (out of scope by design)")
   }
+
+  /** The m130 fixture: 32x32 24-frame masters; probes are DIB window
+    * renders (center 50%/75%, TL quadrant), leading-trimmed 2 frames. */
+  private def videoCorpus: DataFrame = {
+    val s = spark
+    import s.implicits._
+    val rows =
+      (0L until 6L).map(id =>
+        (id, Multimodal.syntheticAvi(id, 24, w = 32, h = 32))) ++
+      Seq(
+        20L -> Multimodal.syntheticAvi(0, 20, w = 16, h = 16,
+          frameOffset = 2, srcX0 = 8, srcY0 = 8),  // win 2 (center 50%)
+        21L -> Multimodal.syntheticAvi(1, 20, w = 16, h = 16,
+          frameOffset = 2, srcX0 = 0, srcY0 = 0),  // win 3 (TL quadrant)
+        22L -> Multimodal.syntheticAvi(2, 20, w = 24, h = 24,
+          frameOffset = 2, srcX0 = 4, srcY0 = 4),  // win 1 (center 75%)
+        23L -> Multimodal.syntheticAvi(3, 20, w = 16, h = 16,
+          frameOffset = 2, srcX0 = 16, srcY0 = 16) // win 6 (BR quadrant)
+      ) ++
+      Seq(140L, 141L).map(id =>
+        (id, Multimodal.syntheticAvi(id, 24, w = 32, h = 32)))
+    rows.toDF("doc_id", "payload")
+  }
+
+  test("whole-frame video tiers miss a cropped re-upload; crop channels land it") {
+    implicit val s: SparkSession = spark
+    val plain = Multimodal.videoLandmarkPairs(videoCorpus, every = 1,
+        maxDf = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a < 6 && b >= 20 }
+    info(s"whole-frame tier cross pairs: ${plain.toSeq}")
+    assert(plain.isEmpty,
+      s"whole-frame landmarks matched crops: ${plain.toSeq}")
+    val rows = Multimodal.videoLandmarkPairsCrop(videoCorpus, every = 1,
+        maxDf = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getInt(3), r.getDouble(4)))
+    info(rows.sortBy(_._1).map { case (a, b, wa, wb, f) =>
+      s"($a,$b,w$wa-w$wb,$f)" }.mkString(", "))
+    assert(rows.map { case (a, b, wa, wb, _) => (a, b, wa, wb) }.toSet ==
+      Set((0L, 20L, 2, 0), (1L, 21L, 3, 0), (2L, 22L, 1, 0),
+        (3L, 23L, 6, 0)),
+      s"expected the 4 window-channel crop pairs, got ${rows.toSeq}")
+    assert(rows.forall(_._5 == 1.0),
+      s"trimmed crop channels should match exactly: ${rows.toSeq}")
+  }
 }

@@ -126,6 +126,8 @@ QUERIES = [
                            # crop-window pHash index
     "st96_stream_crop_dedup", # streaming crop-tolerant image dedup
                            # (window hashes in chunk-bucket state)
+    "m130_video_crop_neardup", # cropped-video dedup: per-frame crop-
+                           # window landmark channels
 ]
 # e52 is 2000 rows; pin a deterministic 50-row sample (p_partkey % 40 == 0)
 SAMPLE = {"e52_keccak256": "p_partkey % 40 = 0"}
