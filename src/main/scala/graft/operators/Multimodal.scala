@@ -5066,6 +5066,78 @@ object Multimodal {
       .filter(col("match_frac") >= minMatch)
   }
 
+  /** Version stamp for the CROP-WINDOW video landmark family
+    * ([[videoLandmarksCrop]] — window set, per-frame hashing, channel
+    * pairing): namespaced (video-crop = 8000 + v; the family
+    * convention) so cross-family screens fail fast at every version
+    * pair; 8001 = v1. Parameter choices (every) are NOT covered —
+    * screen with the parameters the index was built with. */
+  val VideoCropFpVersion: Int = 8001
+
+  /** Persisted CROP-WINDOW video landmark index — the incremental
+    * member of the m130 tier: the corpus decodes ONCE into all seven
+    * per-frame window channels, one row per distinct
+    * ((win, lm_a, lm_b), doc) with that CHANNEL's landmark count
+    * riding along (per-channel counts, the m130 scoring), and
+    * [[dedupAgainstVideoCropIndex]] screens every ingest batch using
+    * its full-frame channel only — a center/quadrant-cropped (and
+    * trimmed) re-upload of a corpus master is caught with no corpus
+    * re-decode, where every whole-frame video index misses.
+    * [[IncrementalIndex.append]]-compatible; stamped with
+    * [[VideoCropFpVersion]]. */
+  def videoCropLandmarkIndex(media: DataFrame, every: Int = 2)(
+      implicit s: SparkSession): DataFrame = {
+    val lms = Materialize.eager(videoLandmarksCrop(media, every).toDF())
+    lms.join(lms.groupBy(col("doc_id"), col("win"))
+        .agg(count(lit(1)).as("nl")),
+        Seq("doc_id", "win"))
+      .select(col("win"), col("lm_a"), col("lm_b"), col("doc_id"),
+        col("nl"), lit(VideoCropFpVersion).as("fp_ver"))
+  }
+
+  /** Screen an ingest batch against a pre-built
+    * [[videoCropLandmarkIndex]]: the batch fingerprints once, keeps
+    * its FULL-FRAME channel (win 0 — a cropped re-upload arrives as a
+    * whole video), equi-joins the index on the landmark pair across
+    * ALL index windows, and a probe is a duplicate of the lowest
+    * corpus doc for which some window channel shares >= `minMatch` of
+    * the smaller channel's distinct landmarks (the m130 metric).
+    * Payloads yielding NO landmarks are absent from the output (the
+    * family contract). Enforces [[VideoCropFpVersion]]; screen with
+    * the parameters the index was built with. */
+  def dedupAgainstVideoCropIndex(media: DataFrame, index: DataFrame,
+      minMatch: Double = 0.6, every: Int = 2)(
+      implicit s: SparkSession): DataFrame = {
+    require(index.columns.contains("fp_ver"),
+      s"video crop index has no fp_ver column: it predates fingerprint " +
+        s"version $VideoCropFpVersion — rebuild it with " +
+        "videoCropLandmarkIndex before screening")
+    val stale = index.filter(col("fp_ver") =!= lit(VideoCropFpVersion))
+      .limit(1).collect()
+    require(stale.isEmpty,
+      s"video crop index built by fingerprint version " +
+        s"${stale.headOption.map(_.getAs[Any]("fp_ver")).orNull}, " +
+        s"current is $VideoCropFpVersion — rebuild it with " +
+        "videoCropLandmarkIndex before screening (cross-version " +
+        "landmarks never match)")
+    val lms = Materialize.eager(videoLandmarksCrop(media, every).toDF())
+      .filter(col("win") === 0)
+    val nl = lms.groupBy(col("doc_id")).agg(count(lit(1)).as("nl"))
+    val dup = lms.join(
+        index.select(col("lm_a"), col("lm_b"), col("win").as("src_win"),
+          col("doc_id").as("src"), col("nl").as("nl_src")),
+        Seq("lm_a", "lm_b"))
+      .groupBy(col("doc_id"), col("src"), col("src_win"), col("nl_src"))
+      .agg(count(lit(1)).as("c"))
+      .join(nl, Seq("doc_id"))
+      .filter(col("c").cast("double") / least(col("nl"), col("nl_src"))
+        >= minMatch)
+      .groupBy(col("doc_id")).agg(min(col("src")).as("dup_src"))
+    nl.select(col("doc_id")).join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_src").isNull.as("kept"),
+        col("dup_src"))
+  }
+
   /** Version stamp for the SKIP-LANDMARK video family
     * ([[videoLandmarksSkip]] — run collapse, gap-pair layout):
     * namespaced (video-skip = 6000 + v; the family convention) so

@@ -63,6 +63,13 @@ case class FpHits(doc_id: Long, fp: String, hits: Seq[Long])
 case class VideoLandmarkHitsO(doc_id: Long, orient: Int, lm_a: Long,
     lm_b: Long, hits: Seq[Long])
 
+/** [[VideoLandmarkHits]] with the CROP WINDOW the landmark came from
+  * (0 = full-frame channel — the rows a crop verdict scores; 1-6 =
+  * master-side window registrations) — the streaming crop-video
+  * tier's record. */
+case class VideoLandmarkHitsW(doc_id: Long, win: Int, lm_a: Long,
+    lm_b: Long, hits: Seq[Long])
+
 /** Streaming NEAR-dup dedup across micro-batches — the ingest-pipeline
   * operator st65's exact `dropDuplicates` cannot express: a re-delivered
   * document that was also EDITED (tail appended, boilerplate injected)
@@ -663,6 +670,50 @@ object StreamingNearDup {
           val (seen, out) = foldBucket(state.getOption.getOrElse(Nil),
             rows.toSeq.map(_.doc_id).sorted, maxBucket)(
             (id, hits) => VideoLandmarkHits(id, a, b, hits))
+          state.update(seen)
+          out.iterator
+      }
+  }
+
+  /** [[videoLandmarkVerdicts]] at the CROP-WINDOW seam — the
+    * streaming member of the m130 tier: every arrival registers ALL
+    * seven per-frame window channels' landmarks
+    * (`Multimodal.videoLandmarksCrop`, one decode per frame) into
+    * bucket state — the 7x fan-out is the price of being
+    * crop-matchable as a future master — so a later re-delivery
+    * cropped to a canonical window, whose full-frame channel every
+    * whole-frame streaming video tier cannot see at all, lands in
+    * its master's window-channel buckets bit-exactly. Emits
+    * [[VideoLandmarkHitsW]]; consumers score win = 0 rows against
+    * the probe's full-frame channel count (the m130 per-channel
+    * metric). Same id-monotonic determinism contract and `maxBucket`
+    * / [[foldBucket]] cap as the family. */
+  def videoCropLandmarkVerdicts(media: DataFrame, idCol: String,
+      payloadCol: String, every: Int = 2,
+      maxBucket: Int = 0): Dataset[VideoLandmarkHitsW] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val lms = Multimodal.videoLandmarksCrop(
+      media.select(col(idCol).cast("long").as("doc_id"),
+        col(payloadCol).as("payload")), every)
+    lms.groupByKey(l => (l.lm_a, l.lm_b))
+      .flatMapGroupsWithState[List[Long], VideoLandmarkHitsW](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((a, b), rows, state: GroupState[List[Long]]) =>
+          val rs = rows.toSeq.sortBy(r => (r.doc_id, r.win))
+          var seen = state.getOption.getOrElse(Nil)
+          var n = seen.size
+          val out = rs.map { r =>
+            val capped = maxBucket > 0 && n >= maxBucket
+            val hits =
+              if (capped) Nil else seen.filter(_ != r.doc_id).distinct
+            if (!capped && !seen.contains(r.doc_id)) {
+              seen = r.doc_id :: seen
+              n += 1
+            }
+            VideoLandmarkHitsW(r.doc_id, r.win, a, b, hits)
+          }
           state.update(seen)
           out.iterator
       }

@@ -1738,6 +1738,103 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"), col("win_a"), col("win_b"))
     }),
 
+    // Incremental screen vs the persisted CROP-WINDOW video landmark
+    // index — the m130 tier's index member: 6 masters decode once
+    // into all 7 per-frame window channels (VideoCropFpVersion-
+    // stamped, per-CHANNEL landmark counts in-row), then an ingest
+    // batch of 4 cropped+trimmed re-uploads plus 2 fresh videos
+    // screens using full-frame channels only — no corpus re-decode,
+    // where every whole-frame video index misses. Pinned golden.
+    "m131_video_crop_index_dedup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val avi = udf((id: Long) =>
+        if (id < 20) Multimodal.syntheticAvi(id, 24, w = 32, h = 32)
+        else if (id == 20L) Multimodal.syntheticAvi(0, 20, w = 16, h = 16,
+          frameOffset = 2, srcX0 = 8, srcY0 = 8)
+        else if (id == 21L) Multimodal.syntheticAvi(1, 20, w = 16, h = 16,
+          frameOffset = 2, srcX0 = 0, srcY0 = 0)
+        else if (id == 22L) Multimodal.syntheticAvi(2, 20, w = 24, h = 24,
+          frameOffset = 2, srcX0 = 4, srcY0 = 4)
+        else if (id == 23L) Multimodal.syntheticAvi(3, 20, w = 16, h = 16,
+          frameOffset = 2, srcX0 = 16, srcY0 = 16)
+        else Multimodal.syntheticAvi(id, 24, w = 32, h = 32))
+      val corpus = s.range(0, 6)
+        .select(col("id").as("doc_id"), avi(col("id")).as("payload"))
+      val index = Multimodal.videoCropLandmarkIndex(corpus, every = 1)
+      val probes = s.range(20, 24).union(s.range(130, 132))
+        .select(col("id").as("doc_id"), avi(col("id")).as("payload"))
+      Multimodal.dedupAgainstVideoCropIndex(probes, index, every = 1)
+        .orderBy(col("doc_id"))
+    }),
+
+    // STREAMING cropped-video dedup (the m130 tier in the streaming
+    // matrix): micro-batch 1 delivers 6 masters — each registers all
+    // 7 per-frame window channels into landmark-bucket state —
+    // micro-batch 2 their cropped+trimmed re-uploads, whose
+    // full-frame channels land bit-exactly in the masters' window
+    // buckets (every whole-frame streaming video tier sees nothing:
+    // a crop changes every frame hash). Consumer scores win=0 rows:
+    // shared distinct landmarks over the probe's full-frame channel
+    // count >= 0.6. Pinned golden.
+    "st97_stream_video_crop_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val name = "st97_out"
+      val staged = stagingDir("graft-stream-vcrop")
+      val avi = udf((id: Long) =>
+        if (id < 1000000L) Multimodal.syntheticAvi(id, 24, w = 32, h = 32)
+        else {
+          val m = id - 1000000L
+          (m % 4) match {
+            case 0 => Multimodal.syntheticAvi(m, 20, w = 16, h = 16,
+              frameOffset = 2, srcX0 = 8, srcY0 = 8)
+            case 1 => Multimodal.syntheticAvi(m, 20, w = 16, h = 16,
+              frameOffset = 2, srcX0 = 0, srcY0 = 0)
+            case 2 => Multimodal.syntheticAvi(m, 20, w = 24, h = 24,
+              frameOffset = 2, srcX0 = 4, srcY0 = 4)
+            case _ => Multimodal.syntheticAvi(m, 20, w = 16, h = 16,
+              frameOffset = 2, srcX0 = 16, srcY0 = 16)
+          }
+        })
+      def stageBatch(ids: org.apache.spark.sql.Dataset[java.lang.Long],
+          fname: String, ageMs: Long): Unit = {
+        val tmp = staged.resolve(fname + ".tmp")
+        ids.toDF("doc_id").select(col("doc_id"), avi(col("doc_id")).as("payload"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, staged.resolve(fname))
+        staged.resolve(fname).toFile.deleteOnExit()
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        java.nio.file.Files.setLastModifiedTime(staged.resolve(fname),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - ageMs))
+      }
+      stageBatch(s.range(0, 6).as[java.lang.Long], "a.parquet", 120000L)
+      stageBatch(s.range(1000000L, 1000004L).as[java.lang.Long], "b.parquet", 0L)
+      val mediaSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("payload", BinaryType)))
+      val stream = s.readStream.schema(mediaSchema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+        .repartition(col("doc_id"))
+      val hits = graft.operators.StreamingNearDup.videoCropLandmarkVerdicts(
+        stream, "doc_id", "payload", every = 1, maxBucket = 64)
+      val q = hits.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+      val win0 = s.table(name).filter(col("win") === 0)
+      val nl = win0.groupBy(col("doc_id")).agg(count(lit(1)).as("nl"))
+      val dup = win0
+        .select(col("doc_id").as("d"), explode(col("hits")).as("src"))
+        .groupBy(col("d"), col("src")).agg(count(lit(1)).as("c"))
+        .join(nl, col("d") === nl("doc_id")).drop("doc_id")
+        .filter(col("c").cast("double") / col("nl") >= 0.6)
+        .groupBy(col("d")).agg(min(col("src")).as("dup_src"))
+      nl.join(dup, col("doc_id") === col("d"), "left")
+        .select(col("doc_id"), col("dup_src").isNull.as("kept"),
+          col("dup_src"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Incremental screen vs the persisted CROP-WINDOW pHash index —
     // the m128 tier's index member: 8 masters decode once into all 7
     // window hashes (28 chunk rows each — crop asymmetry puts the

@@ -119,4 +119,33 @@ class Round11fSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall(_._5 == 1.0),
       s"trimmed crop channels should match exactly: ${rows.toSeq}")
   }
+
+  test("video crop index: append == rebuild; cross-family stamp rejected") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val masters = (0L until 4L).map(id =>
+      (id, Multimodal.syntheticAvi(id, 24, w = 32, h = 32)))
+      .toDF("doc_id", "payload")
+    val late = (4L until 6L).map(id =>
+      (id, Multimodal.syntheticAvi(id, 24, w = 32, h = 32)))
+      .toDF("doc_id", "payload")
+    val idx = Multimodal.videoCropLandmarkIndex(masters, every = 1)
+    val appended = idx.unionByName(
+      Multimodal.videoCropLandmarkIndex(late, every = 1))
+    val rebuilt = Multimodal.videoCropLandmarkIndex(
+      masters.unionByName(late), every = 1)
+    assert(appended.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(appended).isEmpty,
+      "append != rebuild for the video crop index")
+    val probes = Seq(20L -> Multimodal.syntheticAvi(0, 20, w = 16,
+      h = 16, frameOffset = 2, srcX0 = 8, srcY0 = 8))
+      .toDF("doc_id", "payload")
+    val foreign = idx.withColumn("fp_ver",
+      lit(Multimodal.VideoSkipFpVersion))
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.dedupAgainstVideoCropIndex(probes, foreign,
+        every = 1).collect()
+    }
+    assert(e.getMessage.contains("rebuild"))
+  }
 }

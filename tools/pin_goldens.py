@@ -128,6 +128,10 @@ QUERIES = [
                            # (window hashes in chunk-bucket state)
     "m130_video_crop_neardup", # cropped-video dedup: per-frame crop-
                            # window landmark channels
+    "m131_video_crop_index_dedup", # incremental screen vs the persisted
+                           # crop-window video landmark index
+    "st97_stream_video_crop_dedup", # streaming cropped-video dedup
+                           # (window-channel landmark buckets)
 ]
 # e52 is 2000 rows; pin a deterministic 50-row sample (p_partkey % 40 == 0)
 SAMPLE = {"e52_keccak256": "p_partkey % 40 = 0"}
