@@ -2218,6 +2218,15 @@ object Multimodal {
     (0, 0, 8, 8), (1, 1, 7, 7), (2, 2, 6, 6),
     (0, 0, 4, 4), (4, 0, 8, 4), (0, 4, 4, 8), (4, 4, 8, 8))
 
+  /** The EXTENDED ladder (windows 7-15): nine 2/3-size windows on a
+    * 3x3 anchor grid in SIXTHS — the rule-of-thirds recomposition
+    * crops (off-center crop-to-subject) the base 7 don't cover.
+    * Window 7 + gy*3 + gx anchors at (gx/6, gy/6). Opt-in via
+    * `extended = true` on the crop ops: 16 hashes per decode instead
+    * of 7, the same linear posting-cost trade as the base set. */
+  private val CropWindowsThirds: Array[(Int, Int, Int, Int)] =
+    (for (gy <- 0 to 2; gx <- 0 to 2) yield (gx, gy, gx + 4, gy + 4)).toArray
+
   /** 32x32 box-average of the luma sub-rect [x0, x1) x [y0, y1) —
     * [[grid32]]'s kernel over a window. Cell boundaries are derived
     * from the WINDOW size with the same integer arithmetic as the
@@ -2260,22 +2269,33 @@ object Multimodal {
     * master's window-k hash — the crop IS those pixels, and the grid
     * cell boundaries match by construction. EXIF orientation applies
     * to every window grid like the full hash. */
-  private[operators] def pHash64CropWindows(
-      payload: Array[Byte]): Option[Seq[(Int, Long)]] =
+  private[operators] def pHash64CropWindows(payload: Array[Byte],
+      extended: Boolean = false): Option[Seq[(Int, Long)]] =
     decodeImage(payload).map { img =>
       val luma = lumaPlane(img)
       val w = img.getWidth
       val h = img.getHeight
       val o = exifOrientation(payload)
-      CropWindows.toIndexedSeq.zipWithIndex.map { case ((fx0, fy0, fx1, fy1), win) =>
-        val g = grid32Window(luma, w, h,
-          fx0 * w / 8, fy0 * h / 8, fx1 * w / 8, fy1 * h / 8)
-        (win, pHashOfGrid(orientGrid(g, o)))
+      val base = CropWindows.toIndexedSeq.zipWithIndex.map {
+        case ((fx0, fy0, fx1, fy1), win) =>
+          val g = grid32Window(luma, w, h,
+            fx0 * w / 8, fy0 * h / 8, fx1 * w / 8, fy1 * h / 8)
+          (win, pHashOfGrid(orientGrid(g, o)))
+      }
+      if (!extended) base
+      else base ++ CropWindowsThirds.toIndexedSeq.zipWithIndex.map {
+        case ((fx0, fy0, fx1, fy1), i) =>
+          val g = grid32Window(luma, w, h,
+            fx0 * w / 6, fy0 * h / 6, fx1 * w / 6, fy1 * h / 6)
+          (7 + i, pHashOfGrid(orientGrid(g, o)))
       }
     }
 
   private[operators] val pHashCropWindowsUdf =
     udf((payload: Array[Byte]) => pHash64CropWindows(payload))
+
+  private[operators] val pHashCropWindowsExtUdf =
+    udf((payload: Array[Byte]) => pHash64CropWindows(payload, extended = true))
 
   /** (as-is hash, horizontally-mirrored hash) from ONE decode — the
     * flip-tolerant tier's probe: a mirrored repost's as-is hash equals
@@ -2569,10 +2589,13 @@ object Multimodal {
     * Arbitrary-offset crops are out of scope (see [[CropWindows]]) —
     * the gate pins one as a non-match. */
   def pHashPairsCropTolerant(media: DataFrame, maxDist: Int = 3,
-      maxDf: Int = 0): DataFrame = {
+      maxDf: Int = 0, extended: Boolean = false): DataFrame = {
+    // extended = true adds the 3x3 thirds ladder ([[CropWindowsThirds]]
+    // — rule-of-thirds recomposition crops) at 16 hashes per decode
     require(maxDist < 4, "4 x 16-bit chunks guarantee recall only for maxDist <= 3")
+    val wUdf = if (extended) pHashCropWindowsExtUdf else pHashCropWindowsUdf
     val hashed = Materialize.eager(
-      media.select(col("doc_id"), pHashCropWindowsUdf(col("payload")).as("hs")))
+      media.select(col("doc_id"), wUdf(col("payload")).as("hs")))
       .filter(col("hs").isNotNull)
     val rows = hashed.select(col("doc_id"), explode(col("hs")).as("wh"))
       .select(col("doc_id"), col("wh._1").as("win"), col("wh._2").as("h"))

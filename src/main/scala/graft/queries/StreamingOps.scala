@@ -1705,6 +1705,31 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"), col("win_a"), col("win_b"))
     }),
 
+    // RULE-OF-THIRDS recomposition crops — the EXTENDED crop-window
+    // ladder (m132): off-center 2/3-size crops on a 3x3 anchor grid
+    // in SIXTHS, the crop-to-subject class the base 7-window set
+    // misses structurally (Round11fSpec pins zero base-set cross
+    // pairs); extended=true adds windows 7-15 at 16 hashes per
+    // decode, and each thirds crop lands bit-exactly on its anchor
+    // window (dist 0, PNG lossless, 48x48 masters divisible by both
+    // fraction bases). Pinned golden.
+    "m132_phash_thirds_crop" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val img = udf((id: Long) =>
+        if (id < 20) Multimodal.syntheticPng(id, 48, 48)
+        else if (id == 20L) Multimodal.syntheticPngCrop(0, 8, 0, 40, 32, 48, 48)
+        else if (id == 21L) Multimodal.syntheticPngCrop(1, 16, 16, 48, 48, 48, 48)
+        else if (id == 22L) Multimodal.syntheticPngCrop(2, 0, 8, 32, 40, 48, 48)
+        else if (id == 23L) Multimodal.syntheticPngCrop(3, 8, 8, 40, 40, 48, 48)
+        else Multimodal.syntheticPng(id, 48, 48))
+      val media = s.range(0, 6).union(s.range(20, 24))
+        .union(s.range(140, 142))
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      Multimodal.pHashPairsCropTolerant(media, maxDist = 3, maxDf = 64,
+          extended = true)
+        .orderBy(col("doc_a"), col("doc_b"), col("win_a"), col("win_b"))
+    }),
+
     // CROPPED-video dedup — per-frame crop-window landmark CHANNELS
     // (the m128 windows lifted to video): a cropped re-upload changes
     // EVERY frame hash, so all whole-frame tiers (aligned, landmark,

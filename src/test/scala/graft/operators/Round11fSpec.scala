@@ -74,6 +74,44 @@ class Round11fSpec extends AnyFunSuite with BeforeAndAfterAll {
       "arbitrary-offset crop should not match (out of scope by design)")
   }
 
+  /** The m132 fixture: 48x48 masters (divisible by both the eighths
+    * and sixths bases); probes are off-center 2/3-size crops on the
+    * thirds anchor grid — outside the base 7-window set. */
+  private def thirdsCorpus: DataFrame = {
+    val s = spark
+    import s.implicits._
+    val rows =
+      (0L until 6L).map(id => (id, Multimodal.syntheticPng(id, 48, 48))) ++
+      Seq(
+        20L -> Multimodal.syntheticPngCrop(0, 8, 0, 40, 32, 48, 48),   // win 8
+        21L -> Multimodal.syntheticPngCrop(1, 16, 16, 48, 48, 48, 48), // win 15
+        22L -> Multimodal.syntheticPngCrop(2, 0, 8, 32, 40, 48, 48),   // win 10
+        23L -> Multimodal.syntheticPngCrop(3, 8, 8, 40, 40, 48, 48)    // win 11
+      ) ++
+      Seq(140L, 141L).map(id => (id, Multimodal.syntheticPng(id, 48, 48)))
+    rows.toDF("doc_id", "payload")
+  }
+
+  test("thirds ladder lands off-center 2/3 crops the base window set misses") {
+    val base = Multimodal.pHashPairsCropTolerant(thirdsCorpus,
+        maxDist = 3, maxDf = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a < 6 && b >= 20 }
+    info(s"base-set cross pairs: ${base.toSeq}")
+    assert(base.isEmpty,
+      s"base window set matched thirds crops: ${base.toSeq}")
+    val ext = Multimodal.pHashPairsCropTolerant(thirdsCorpus,
+        maxDist = 3, maxDf = 64, extended = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getInt(3), r.getInt(4)))
+    info(ext.sortBy(_._1).map { case (a, b, wa, wb, d) =>
+      s"($a,$b,w$wa-w$wb,d$d)" }.mkString(", "))
+    assert(ext.toSet == Set(
+      (0L, 20L, 8, 0, 0), (1L, 21L, 15, 0, 0), (2L, 22L, 10, 0, 0),
+      (3L, 23L, 11, 0, 0)),
+      s"expected the 4 thirds-window crops at dist 0, got ${ext.toSeq}")
+  }
+
   /** The m130 fixture: 32x32 24-frame masters; probes are DIB window
     * renders (center 50%/75%, TL quadrant), leading-trimmed 2 frames. */
   private def videoCorpus: DataFrame = {

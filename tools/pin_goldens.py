@@ -132,6 +132,8 @@ QUERIES = [
                            # crop-window video landmark index
     "st97_stream_video_crop_dedup", # streaming cropped-video dedup
                            # (window-channel landmark buckets)
+    "m132_phash_thirds_crop", # extended thirds crop-window ladder:
+                           # rule-of-thirds recomposition crops
 ]
 # e52 is 2000 rows; pin a deterministic 50-row sample (p_partkey % 40 == 0)
 SAMPLE = {"e52_keccak256": "p_partkey % 40 = 0"}
