@@ -135,8 +135,40 @@ final case class SinkTable(
   def compact(spark: SparkSession): Unit = {
     val w = Window.partitionBy(orderKeys.map(col): _*)
       .orderBy(col("_ingest_seq").desc)
-    val kept = readRaw(spark)
-      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+    rewrite(spark, readRaw(spark)
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn"))
+  }
+
+  /** Delete-by-DOC compaction — the UPDATE leg for HASH-KEYED index
+    * sinks ([[graft.operators.TextDedup.winnowIndex]] /
+    * `cdcChunkIndex`: rows keyed by content hash). Key-wise LWW
+    * ([[compact]] / [[read]]) replaces a row only when a NEWER row
+    * shares its order key; re-indexing an edited document changes the
+    * doc's KEY SET, so its old hash rows share no key with the new
+    * ones and survive every key-wise merge — stale rows that keep
+    * matching probes against content the corpus no longer has. This
+    * pass applies the [[graft.operators.IncrementalIndex.append]]
+    * delete-by-doc rule at compaction time instead: per `docCol`
+    * value, only rows of that doc's LATEST `_ingest_seq` batch
+    * survive (an index builder emits a doc's whole entry set in one
+    * batch, so latest-batch == current entry set). Append-only
+    * corpora never need this — every doc has one batch and the pass
+    * degenerates to a rewrite.
+    *
+    * Scale shape: one window shuffle partitioned by doc over the sink
+    * being rewritten anyway — the same single-shuffle cost as
+    * [[compact]], with `_ingest_seq` retained so later appends keep
+    * their precedence. */
+  def compactByDoc(spark: SparkSession, docCol: String): Unit = {
+    val w = Window.partitionBy(col(docCol))
+    rewrite(spark, readRaw(spark)
+      .withColumn("_max_seq", max(col("_ingest_seq")).over(w))
+      .filter(col("_ingest_seq") === col("_max_seq")).drop("_max_seq"))
+  }
+
+  /** Overwrite the sink's files with `kept` via tmp-dir + rename (the
+    * shared tail of both compaction passes). */
+  private def rewrite(spark: SparkSession, kept: DataFrame): Unit = {
     val tmp = path + "_compact"
     val writer = kept.write.mode("overwrite")
     (if (kept.columns.contains("_part")) writer.partitionBy("_part") else writer)

@@ -857,8 +857,8 @@ object TextOps extends QueryPack {
     // t80's loop through the parquet SINK (the t73 shape at the
     // winnow seam): the fingerprint index lives in a SinkTable
     // (orderKeys (doc_id, fp) — append-only ingest, so LWW never
-    // binds; the PLANS note explains why a re-index UPDATE leg needs
-    // delete-by-doc, not key-wise LWW, and stays out of this gate).
+    // binds; the re-index UPDATE leg needs delete-by-doc, not
+    // key-wise LWW, and has its own gate: t84).
     // Screen batch 1 over the sink files, `compact()` must rewrite
     // them WITHOUT changing a verdict (batch 11 re-screens and must
     // equal batch 1 row for row), kept probes append as increment 1,
@@ -949,6 +949,107 @@ object TextOps extends QueryPack {
       v1.select(lit(1L).as("batch"), $"doc_id", $"kept", $"dup_src")
         .unionAll(v1post.select(lit(11L).as("batch"), $"doc_id", $"kept",
           $"dup_src"))
+        .unionAll(v2.select(lit(2L).as("batch"), $"doc_id", $"kept",
+          $"dup_src"))
+        .orderBy($"batch", $"doc_id")
+    }),
+
+    // The UPDATE leg the t82 comment keeps out of its gate: re-indexing
+    // an EDITED document changes the doc's hash-KEY set, so key-wise
+    // LWW (compact()/read() on orderKeys (doc_id, fp)) can never retire
+    // the old rows — batch 1 screens against the stale+fresh union and
+    // a probe borrowing the RETIRED text still dups (the hazard,
+    // pinned). SinkTable.compactByDoc then applies the
+    // IncrementalIndex.append delete-by-doc rule at compaction time
+    // (latest _ingest_seq batch per doc survives), and batch 2
+    // re-screens the SAME probes: retired-text probes KEPT, current-
+    // text probes dup to the edited doc, unedited-doc controls
+    // unchanged. Oracle: full SQL replay — winnow fingerprints over
+    // originals + edited versions, screened vs the stale union and the
+    // post-update index.
+    "t84_winnow_update_loop" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      val docs = t(s, dir, "documents")
+      val sinkDir = java.nio.file.Files.createTempDirectory("graft-t84-sink")
+      sinkDir.toFile.deleteOnExit()
+      val sink = graft.pipeline.SinkTable(
+        sinkDir.resolve("winnow_index").toString,
+        orderKeys = Seq("doc_id", "fp"))
+      sink.append(TextDedup.winnowIndex(docs, "doc_id", "text"), 0L)
+      // edit docs 10-14 in place: entirely new body, disjoint fps
+      val edited = docs.filter($"doc_id" >= 10 && $"doc_id" < 15)
+        .select($"doc_id",
+          concat(lit("edited replacement body "), reverse($"text"))
+            .as("text"))
+      sink.append(TextDedup.winnowIndex(edited, "doc_id", "text"), 1L)
+      val probes = docs.filter($"doc_id" >= 10 && $"doc_id" < 15)
+        .select(($"doc_id" + 1000000L).as("doc_id"),
+          concat(lit("junk prefix tokens before the borrowed span "),
+            $"text", lit(" junk suffix after")).as("text"))
+        .unionAll(docs.filter($"doc_id" >= 10 && $"doc_id" < 15)
+          .select(($"doc_id" + 2000000L).as("doc_id"),
+            concat(lit("junk prefix tokens before the borrowed span "),
+              lit("edited replacement body "), reverse($"text"),
+              lit(" junk suffix after")).as("text")))
+        .unionAll(docs.filter($"doc_id" < 5)
+          .select(($"doc_id" + 3000000L).as("doc_id"),
+            concat(lit("junk prefix tokens before the borrowed span "),
+              $"text", lit(" junk suffix after")).as("text")))
+      // materialize BEFORE compactByDoc(): it rewrites the sink files
+      val v1 = graft.operators.Materialize.eager(
+        TextDedup.dedupAgainstWinnowIndex(probes, sink.read(s),
+          "doc_id", "text"))
+      sink.compactByDoc(s, "doc_id")
+      val v2 = TextDedup.dedupAgainstWinnowIndex(probes, sink.read(s),
+        "doc_id", "text")
+      v1.select(lit(1L).as("batch"), $"doc_id", $"kept", $"dup_src")
+        .unionAll(v2.select(lit(2L).as("batch"), $"doc_id", $"kept",
+          $"dup_src"))
+        .orderBy($"batch", $"doc_id")
+    }),
+
+    // t84's CDC sibling (orderKeys (doc_id, ch)): same edit →
+    // re-index → stale-union screen → compactByDoc → re-screen
+    // phases, chunk-hash keyed. Oracle: the t81 chunking replayed
+    // over originals + edits with both index states.
+    "t85_cdc_update_loop" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      val docs = t(s, dir, "documents")
+      val sinkDir = java.nio.file.Files.createTempDirectory("graft-t85-sink")
+      sinkDir.toFile.deleteOnExit()
+      val sink = graft.pipeline.SinkTable(
+        sinkDir.resolve("cdc_index").toString,
+        orderKeys = Seq("doc_id", "ch"))
+      sink.append(TextDedup.cdcChunkIndex(docs, "doc_id", "text",
+        nibbles = 2), 0L)
+      val edited = docs.filter($"doc_id" >= 10 && $"doc_id" < 15)
+        .select($"doc_id",
+          concat(lit("edited replacement body "), reverse($"text"))
+            .as("text"))
+      sink.append(TextDedup.cdcChunkIndex(edited, "doc_id", "text",
+        nibbles = 2), 1L)
+      val probes = docs.filter($"doc_id" >= 10 && $"doc_id" < 15)
+        .select(($"doc_id" + 1000000L).as("doc_id"),
+          concat(lit("junk prefix tokens before the borrowed span "),
+            $"text", lit(" junk suffix after")).as("text"))
+        .unionAll(docs.filter($"doc_id" >= 10 && $"doc_id" < 15)
+          .select(($"doc_id" + 2000000L).as("doc_id"),
+            concat(lit("junk prefix tokens before the borrowed span "),
+              lit("edited replacement body "), reverse($"text"),
+              lit(" junk suffix after")).as("text")))
+        .unionAll(docs.filter($"doc_id" < 5)
+          .select(($"doc_id" + 3000000L).as("doc_id"),
+            concat(lit("junk prefix tokens before the borrowed span "),
+              $"text", lit(" junk suffix after")).as("text")))
+      val v1 = graft.operators.Materialize.eager(
+        TextDedup.dedupAgainstCdcIndex(probes, sink.read(s),
+          "doc_id", "text", nibbles = 2))
+      sink.compactByDoc(s, "doc_id")
+      val v2 = TextDedup.dedupAgainstCdcIndex(probes, sink.read(s),
+        "doc_id", "text", nibbles = 2)
+      v1.select(lit(1L).as("batch"), $"doc_id", $"kept", $"dup_src")
         .unionAll(v2.select(lit(2L).as("batch"), $"doc_id", $"kept",
           $"dup_src"))
         .orderBy($"batch", $"doc_id")
@@ -1061,6 +1162,128 @@ object TextOps extends QueryPack {
           GROUP BY 1, 2),
         v2 AS (SELECT f.doc_id, MIN(s2.src) AS dup_src
           FROM (SELECT DISTINCT doc_id FROM fpd WHERE grp = 2) f
+          LEFT JOIN s2 ON s2.pid = f.doc_id AND s2.c >= 2
+          GROUP BY 1)
+"""
+
+  // the t84/t85 replay CTEs (index UPDATE leg): grp 0 = corpus
+  // originals, grp 3 = edited versions of docs 10-14 (same doc_ids,
+  // disjoint content), grp 1 = probes (retired text / current text /
+  // unedited control). v1 screens vs the stale+fresh union (what
+  // key-wise LWW leaves behind), v2 vs the delete-by-doc result.
+  private val t84ReplayCtes: String =
+    """WITH allt AS (
+          SELECT doc_id, text, 0 AS grp FROM documents
+          UNION ALL
+          SELECT doc_id, 'edited replacement body ' || reverse(text), 3
+          FROM documents WHERE doc_id >= 10 AND doc_id < 15
+          UNION ALL
+          SELECT doc_id + 1000000,
+            'junk prefix tokens before the borrowed span ' || text ||
+              ' junk suffix after', 1
+          FROM documents WHERE doc_id >= 10 AND doc_id < 15
+          UNION ALL
+          SELECT doc_id + 2000000,
+            'junk prefix tokens before the borrowed span ' ||
+              'edited replacement body ' || reverse(text) ||
+              ' junk suffix after', 1
+          FROM documents WHERE doc_id >= 10 AND doc_id < 15
+          UNION ALL
+          SELECT doc_id + 3000000,
+            'junk prefix tokens before the borrowed span ' || text ||
+              ' junk suffix after', 1
+          FROM documents WHERE doc_id < 5),
+        w AS (SELECT doc_id, grp, string_split(text, ' ') AS tk FROM allt),
+        g AS (SELECT doc_id, grp, list_transform(range(1, greatest(len(tk)-3,0)+1),
+            i -> md5(tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3])) AS gs
+          FROM w),
+        sel AS (SELECT doc_id, grp, gs,
+          CASE WHEN len(gs) = 0 THEN CAST([] AS BIGINT[])
+            WHEN len(gs) <= 5 THEN
+              [len(gs) + 1 - list_position(list_reverse(gs), list_min(gs))]
+            ELSE list_distinct(list_transform(range(1, len(gs)-5+2),
+              j -> j + 5 - list_position(
+                list_reverse(list_slice(gs, j, j+4)),
+                list_min(list_slice(gs, j, j+4)))))
+          END AS ps FROM g),
+        fpd AS (SELECT DISTINCT doc_id, grp, gs[u.p] AS fp
+          FROM sel, unnest(ps) u(p)),
+        idxs AS (SELECT DISTINCT doc_id, fp FROM fpd WHERE grp IN (0, 3)),
+        idxp AS (SELECT doc_id, fp FROM fpd
+          WHERE grp = 3 OR (grp = 0 AND (doc_id < 10 OR doc_id >= 15))),
+        s1 AS (SELECT a.doc_id AS pid, b.doc_id AS src, COUNT(*) AS c
+          FROM fpd a JOIN idxs b ON a.fp = b.fp AND a.grp = 1
+          GROUP BY 1, 2),
+        v1 AS (SELECT f.doc_id, MIN(s1.src) AS dup_src
+          FROM (SELECT DISTINCT doc_id FROM fpd WHERE grp = 1) f
+          LEFT JOIN s1 ON s1.pid = f.doc_id AND s1.c >= 3
+          GROUP BY 1),
+        s2 AS (SELECT a.doc_id AS pid, b.doc_id AS src, COUNT(*) AS c
+          FROM fpd a JOIN idxp b ON a.fp = b.fp AND a.grp = 1
+          GROUP BY 1, 2),
+        v2 AS (SELECT f.doc_id, MIN(s2.src) AS dup_src
+          FROM (SELECT DISTINCT doc_id FROM fpd WHERE grp = 1) f
+          LEFT JOIN s2 ON s2.pid = f.doc_id AND s2.c >= 3
+          GROUP BY 1)
+"""
+
+  private val t85ReplayCtes: String =
+    """WITH allt AS (
+          SELECT doc_id, text, 0 AS grp FROM documents
+          UNION ALL
+          SELECT doc_id, 'edited replacement body ' || reverse(text), 3
+          FROM documents WHERE doc_id >= 10 AND doc_id < 15
+          UNION ALL
+          SELECT doc_id + 1000000,
+            'junk prefix tokens before the borrowed span ' || text ||
+              ' junk suffix after', 1
+          FROM documents WHERE doc_id >= 10 AND doc_id < 15
+          UNION ALL
+          SELECT doc_id + 2000000,
+            'junk prefix tokens before the borrowed span ' ||
+              'edited replacement body ' || reverse(text) ||
+              ' junk suffix after', 1
+          FROM documents WHERE doc_id >= 10 AND doc_id < 15
+          UNION ALL
+          SELECT doc_id + 3000000,
+            'junk prefix tokens before the borrowed span ' || text ||
+              ' junk suffix after', 1
+          FROM documents WHERE doc_id < 5),
+        w AS (SELECT doc_id, grp, string_split(text, ' ') AS tk FROM allt),
+        bp AS (SELECT doc_id, grp, tk, list_filter(range(4, len(tk)+1),
+            i -> substr(md5(tk[i-3]||' '||tk[i-2]||' '||tk[i-1]||' '||tk[i]),
+              32, 1) IN ('0', '1')) AS bs
+          FROM w),
+        ed AS (SELECT doc_id, grp, tk,
+            list_concat(list_concat([CAST(0 AS BIGINT)], bs),
+              CASE WHEN len(bs) > 0 AND bs[-1] = len(tk)
+                THEN CAST([] AS BIGINT[])
+                ELSE [CAST(len(tk) AS BIGINT)] END) AS es
+          FROM bp),
+        ch0 AS (SELECT doc_id, grp,
+            list_filter(list_transform(range(1, len(es)),
+              j -> CASE WHEN es[j+1] - es[j] >= 4
+                THEN md5(array_to_string(
+                  list_slice(tk, es[j]+1, es[j+1]), ' '))
+                ELSE NULL END), x -> x IS NOT NULL) AS hs
+          FROM ed),
+        fpd AS (SELECT DISTINCT doc_id, grp, u.h AS fp
+          FROM ch0, unnest(hs) u(h)),
+        idxs AS (SELECT DISTINCT doc_id, fp FROM fpd WHERE grp IN (0, 3)),
+        idxp AS (SELECT doc_id, fp FROM fpd
+          WHERE grp = 3 OR (grp = 0 AND (doc_id < 10 OR doc_id >= 15))),
+        s1 AS (SELECT a.doc_id AS pid, b.doc_id AS src, COUNT(*) AS c
+          FROM fpd a JOIN idxs b ON a.fp = b.fp AND a.grp = 1
+          GROUP BY 1, 2),
+        v1 AS (SELECT f.doc_id, MIN(s1.src) AS dup_src
+          FROM (SELECT DISTINCT doc_id FROM fpd WHERE grp = 1) f
+          LEFT JOIN s1 ON s1.pid = f.doc_id AND s1.c >= 2
+          GROUP BY 1),
+        s2 AS (SELECT a.doc_id AS pid, b.doc_id AS src, COUNT(*) AS c
+          FROM fpd a JOIN idxp b ON a.fp = b.fp AND a.grp = 1
+          GROUP BY 1, 2),
+        v2 AS (SELECT f.doc_id, MIN(s2.src) AS dup_src
+          FROM (SELECT DISTINCT doc_id FROM fpd WHERE grp = 1) f
           LEFT JOIN s2 ON s2.pid = f.doc_id AND s2.c >= 2
           GROUP BY 1)
 """
@@ -1508,6 +1731,29 @@ object TextOps extends QueryPack {
           UNION ALL
           SELECT CAST(11 AS BIGINT), doc_id, dup_src IS NULL, dup_src
           FROM v1
+          UNION ALL
+          SELECT CAST(2 AS BIGINT), doc_id, dup_src IS NULL, dup_src
+          FROM v2)
+        ORDER BY batch, doc_id"""),
+    // t84: the t80 winnowing replayed over originals (grp 0) + edited
+    // versions (grp 3, same doc_ids) + probes (grp 1). Batch 1
+    // screens vs the stale+fresh UNION (key-wise LWW can't retire
+    // hash-keyed rows), batch 2 vs the post-compactByDoc index
+    // (edited docs keep ONLY their grp-3 rows).
+    "t84_winnow_update_loop" -> (t84ReplayCtes + """
+        SELECT * FROM (
+          SELECT CAST(1 AS BIGINT) AS batch, doc_id,
+            dup_src IS NULL AS kept, dup_src FROM v1
+          UNION ALL
+          SELECT CAST(2 AS BIGINT), doc_id, dup_src IS NULL, dup_src
+          FROM v2)
+        ORDER BY batch, doc_id"""),
+    // t85: the CDC sibling — t81's chunking over the same three
+    // groups, shared distinct chunk hashes >= 2.
+    "t85_cdc_update_loop" -> (t85ReplayCtes + """
+        SELECT * FROM (
+          SELECT CAST(1 AS BIGINT) AS batch, doc_id,
+            dup_src IS NULL AS kept, dup_src FROM v1
           UNION ALL
           SELECT CAST(2 AS BIGINT), doc_id, dup_src IS NULL, dup_src
           FROM v2)

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-11 continuation: the hash-keyed-index UPDATE leg —
+  * `SinkTable.compactByDoc` applies the `IncrementalIndex.append`
+  * delete-by-doc rule at compaction time, retiring ALL of a
+  * re-indexed doc's old rows even though key-wise LWW (which matches
+  * on the full order key, content hash included) never could. The
+  * t84/t85 gates replay the full screen semantics; this spec pins the
+  * sink mechanics. */
+class Round11gSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def tmpSink(name: String): graft.pipeline.SinkTable = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-$name")
+    dir.toFile.deleteOnExit()
+    graft.pipeline.SinkTable(dir.resolve("idx").toString,
+      orderKeys = Seq("doc_id", "fp"))
+  }
+
+  test("compactByDoc retires a re-indexed doc's old hash rows; key-wise compact does not") {
+    val s = spark
+    import s.implicits._
+    val sink = tmpSink("cbd")
+    // doc 1 -> {A, B}, doc 2 -> {C}; then doc 1 re-indexed -> {D, E}
+    sink.append(Seq((1L, "A"), (1L, "B"), (2L, "C")).toDF("doc_id", "fp"), 0L)
+    sink.append(Seq((1L, "D"), (1L, "E")).toDF("doc_id", "fp"), 1L)
+    // key-wise LWW view: old keys share no new row, so they survive
+    sink.compact(s)
+    val lww = sink.read(s).as[(Long, String)].collect().toSet
+    assert(lww == Set((1L, "A"), (1L, "B"), (1L, "D"), (1L, "E"), (2L, "C")),
+      s"key-wise compact should keep stale rows, got $lww")
+    sink.compactByDoc(s, "doc_id")
+    val got = sink.read(s).as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "D"), (1L, "E"), (2L, "C")),
+      s"delete-by-doc should retire doc 1's old rows, got $got")
+  }
+
+  test("compactByDoc keeps _ingest_seq: later appends still win LWW") {
+    val s = spark
+    import s.implicits._
+    val sink = tmpSink("cbd-seq")
+    sink.append(Seq((1L, "A", 10L), (2L, "C", 20L))
+      .toDF("doc_id", "fp", "v"), 0L)
+    sink.append(Seq((1L, "D", 11L)).toDF("doc_id", "fp", "v"), 1L)
+    sink.compactByDoc(s, "doc_id")
+    // duplicate ORDER KEY from a later run must still supersede
+    sink.append(Seq((2L, "C", 21L)).toDF("doc_id", "fp", "v"), 2L)
+    val got = sink.read(s).as[(Long, String, Long)].collect().toSet
+    assert(got == Set((1L, "D", 11L), (2L, "C", 21L)),
+      s"post-compaction LWW broken: $got")
+  }
+
+  test("compactByDoc on an append-only sink is a pure rewrite") {
+    val s = spark
+    import s.implicits._
+    val sink = tmpSink("cbd-app")
+    sink.append(Seq((1L, "A"), (2L, "B")).toDF("doc_id", "fp"), 0L)
+    sink.append(Seq((3L, "C")).toDF("doc_id", "fp"), 1L)
+    val before = sink.read(s).as[(Long, String)].collect().toSet
+    sink.compactByDoc(s, "doc_id")
+    val after = sink.read(s).as[(Long, String)].collect().toSet
+    assert(before == after, s"append-only corpora must be unchanged: $after")
+  }
+}
