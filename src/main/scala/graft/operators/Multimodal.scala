@@ -2906,10 +2906,18 @@ object Multimodal {
     * screens every ingest batch at 4 probe rows per image — a
     * structured-crop re-upload of a corpus master is caught with no
     * corpus re-decode. Same unstamped layout family as
-    * [[pHashChunkIndex]] (the pHash function is the version). */
-  def pHashCropWindowIndex(media: DataFrame): DataFrame =
+    * [[pHashChunkIndex]] (the pHash function is the version).
+    * `extended = true` registers the [[CropWindowsThirds]] ladder too
+    * (windows 7-15, 64 chunk rows/doc) — the rule-of-thirds
+    * recomposition class; the SCREEN side is identical either way (a
+    * crop arrives as a whole image with one hash), so base and
+    * extended indexes differ only in which crops they can catch. */
+  def pHashCropWindowIndex(media: DataFrame,
+      extended: Boolean = false): DataFrame =
     Materialize.eager(
-      media.select(col("doc_id"), pHashCropWindowsUdf(col("payload")).as("hs")))
+      media.select(col("doc_id"),
+        (if (extended) pHashCropWindowsExtUdf else pHashCropWindowsUdf)(
+          col("payload")).as("hs")))
       .filter(col("hs").isNotNull)
       .select(col("doc_id"), explode(col("hs")).as("wh"))
       .select(col("doc_id"), col("wh._1").as("win"), col("wh._2").as("ph"))

@@ -939,15 +939,20 @@ object StreamingNearDup {
     * record per (doc, win, chunk) — no duplicate keys); consumers
     * score win = 0. Same id-monotonic determinism contract and
     * `maxBucket` / [[foldProbe]] cap as the family; same-doc
-    * window-vs-window self-matches are excluded by id. */
+    * window-vs-window self-matches are excluded by id.
+    * `extended = true` registers the thirds ladder too (windows
+    * 7-15, 16 hashes per decode — 64 state rows/doc), catching
+    * rule-of-thirds recomposition re-deliveries the base window set
+    * misses structurally. */
   def pHashCropVerdicts(media: DataFrame, idCol: String,
       payloadCol: String, maxDist: Int = 3,
-      maxBucket: Int = 0): Dataset[CropChunkVerdict] = {
+      maxBucket: Int = 0, extended: Boolean = false): Dataset[CropChunkVerdict] = {
     require(maxDist < 4, "4 x 16-bit chunks guarantee recall only for maxDist <= 3")
     val spark = media.sparkSession
     import spark.implicits._
     val hashed = media.select(col(idCol).cast("long").as("doc_id"),
-        Multimodal.pHashCropWindowsUdf(col(payloadCol)).as("hs"))
+        (if (extended) Multimodal.pHashCropWindowsExtUdf
+         else Multimodal.pHashCropWindowsUdf)(col(payloadCol)).as("hs"))
       .filter(col("hs").isNotNull)
     val rows = hashed.select(col("doc_id"), explode(col("hs")).as("wh"))
       .select(col("doc_id"), col("wh._1").as("win"), col("wh._2").as("h"))

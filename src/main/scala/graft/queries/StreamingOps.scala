@@ -1730,6 +1730,42 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"), col("win_a"), col("win_b"))
     }),
 
+    // The thirds ladder as an INDEX member (extended=true on the m129
+    // contract): the same 6 masters indexed both ways; phase 1
+    // screens the 4 rule-of-thirds crops (+2 fresh decoys) against
+    // the BASE 7-window index — every crop KEPT (the structural miss
+    // Round11fSpec pins for the pairs op, here through the index
+    // path) — phase 2 against the extended index, where each crop
+    // lands bit-exactly on its registered anchor window. The probe
+    // side is identical in both phases (whole-image hash, 4 chunk
+    // rows); only the index fans out 28 -> 64 rows/doc. Pinned
+    // golden.
+    "m133_thirds_crop_index" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val img = udf((id: Long) =>
+        if (id < 20) Multimodal.syntheticPng(id, 48, 48)
+        else if (id == 20L) Multimodal.syntheticPngCrop(0, 8, 0, 40, 32, 48, 48)
+        else if (id == 21L) Multimodal.syntheticPngCrop(1, 16, 16, 48, 48, 48, 48)
+        else if (id == 22L) Multimodal.syntheticPngCrop(2, 0, 8, 32, 40, 48, 48)
+        else if (id == 23L) Multimodal.syntheticPngCrop(3, 8, 8, 40, 40, 48, 48)
+        else Multimodal.syntheticPng(id, 48, 48))
+      val corpus = s.range(0, 6)
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      val base = Multimodal.pHashCropWindowIndex(corpus)
+      val ext = Multimodal.pHashCropWindowIndex(corpus, extended = true)
+      val probes = s.range(20, 24).union(s.range(140, 142))
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      val v1 = Multimodal.dedupAgainstPHashCropIndex(probes, base,
+        maxDf = 64)
+      val v2 = Multimodal.dedupAgainstPHashCropIndex(probes, ext,
+        maxDf = 64)
+      v1.select(lit(1L).as("phase"), col("doc_id"), col("kept"),
+          col("dup_src"))
+        .unionAll(v2.select(lit(2L).as("phase"), col("doc_id"),
+          col("kept"), col("dup_src")))
+        .orderBy(col("phase"), col("doc_id"))
+    }),
+
     // CROPPED-video dedup — per-frame crop-window landmark CHANNELS
     // (the m128 windows lifted to video): a cropped re-upload changes
     // EVERY frame hash, so all whole-frame tiers (aligned, landmark,
@@ -1936,6 +1972,64 @@ object StreamingOps extends QueryPack {
         .repartition(col("doc_id"))
       val verdicts = graft.operators.StreamingNearDup.pHashCropVerdicts(
         stream, "doc_id", "payload", maxBucket = 64)
+      val q = verdicts.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+      s.table(name)
+        .filter(col("win") === 0)
+        .groupBy(col("doc_id"))
+        .agg(min(col("dup_src")).as("dup_src"))
+        .select(col("doc_id"), col("dup_src").isNull.as("kept"),
+          col("dup_src"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // STREAMING thirds-ladder crop dedup (extended=true on the st96
+    // contract): micro-batch 1 delivers 6 masters — each registers
+    // all 16 window hashes (base 7 + thirds 9, 64 state rows/doc) —
+    // micro-batch 2 their RULE-OF-THIRDS recomposition crops, which
+    // the base window state is structurally blind to (Round11fSpec);
+    // each crop's whole-image hash lands bit-exactly in its master's
+    // thirds-window bucket. win = 0 rows carry the verdicts. Pinned
+    // golden.
+    "st98_stream_thirds_crop_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val name = "st98_out"
+      val staged = stagingDir("graft-stream-thirds-crop")
+      val img = udf((id: Long) =>
+        if (id < 1000000L) Multimodal.syntheticPng(id, 48, 48)
+        else {
+          val m = id - 1000000L
+          (m % 4) match {
+            case 0 => Multimodal.syntheticPngCrop(m, 8, 0, 40, 32, 48, 48)
+            case 1 => Multimodal.syntheticPngCrop(m, 16, 16, 48, 48, 48, 48)
+            case 2 => Multimodal.syntheticPngCrop(m, 0, 8, 32, 40, 48, 48)
+            case _ => Multimodal.syntheticPngCrop(m, 8, 8, 40, 40, 48, 48)
+          }
+        })
+      def stageBatch(ids: org.apache.spark.sql.Dataset[java.lang.Long],
+          fname: String, ageMs: Long): Unit = {
+        val tmp = staged.resolve(fname + ".tmp")
+        ids.toDF("doc_id").select(col("doc_id"), img(col("doc_id")).as("payload"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, staged.resolve(fname))
+        staged.resolve(fname).toFile.deleteOnExit()
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        java.nio.file.Files.setLastModifiedTime(staged.resolve(fname),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - ageMs))
+      }
+      stageBatch(s.range(0, 6).as[java.lang.Long], "a.parquet", 120000L)
+      stageBatch(s.range(1000000L, 1000006L).as[java.lang.Long], "b.parquet", 0L)
+      val mediaSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("payload", BinaryType)))
+      val stream = s.readStream.schema(mediaSchema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+        .repartition(col("doc_id"))
+      val verdicts = graft.operators.StreamingNearDup.pHashCropVerdicts(
+        stream, "doc_id", "payload", maxBucket = 64, extended = true)
       val q = verdicts.toDF().writeStream.outputMode("append")
         .format("memory").queryName(name).start()
       try { q.processAllAvailable() } finally q.stop()

@@ -63,6 +63,29 @@ class Round11gSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"post-compaction LWW broken: $got")
   }
 
+  test("extended crop index: base-window rows identical, thirds rows additive; append == rebuild") {
+    val s = spark
+    import s.implicits._
+    val media = (0L until 4L).map(id =>
+      (id, Multimodal.syntheticPng(id, 48, 48))).toDF("doc_id", "payload")
+    val base = Multimodal.pHashCropWindowIndex(media).collect().toSet
+    val ext = Multimodal.pHashCropWindowIndex(media, extended = true)
+      .collect().toSet
+    assert(ext.filter(_.getAs[Int]("win") < 7) == base,
+      "extended index must carry the base windows bit-identically")
+    assert(ext.exists(_.getAs[Int]("win") >= 7),
+      "extended index must add thirds-window rows")
+    val late = Seq((4L, Multimodal.syntheticPng(4L, 48, 48)))
+      .toDF("doc_id", "payload")
+    val appended = Multimodal.pHashCropWindowIndex(media, extended = true)
+      .unionByName(Multimodal.pHashCropWindowIndex(late, extended = true))
+    val rebuilt = Multimodal.pHashCropWindowIndex(
+      media.unionByName(late), extended = true)
+    assert(appended.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(appended).isEmpty,
+      "append != rebuild for the extended crop index")
+  }
+
   test("compactByDoc on an append-only sink is a pure rewrite") {
     val s = spark
     import s.implicits._
