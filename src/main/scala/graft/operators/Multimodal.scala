@@ -5018,21 +5018,28 @@ object Multimodal {
     * window-k channel — while every whole-frame tier (aligned,
     * landmark, tolerant, dihedral, skip) misses wholesale: a crop
     * changes every frame hash. Distinct per (doc, window), one
-    * mapPartitions pass, no shuffle. */
-  def videoLandmarksCrop(media: DataFrame, every: Int = 2)(
+    * mapPartitions pass, no shuffle. `extended = true` adds the
+    * [[CropWindowsThirds]] channels (windows 7-15) per frame — the
+    * rule-of-thirds recomposition class, the same opt-in trade as
+    * the image tier (m132/m133): 16 channels per decode instead of
+    * 7. Like `every`, a build parameter under [[VideoCropFpVersion]]
+    * — screen/score with what you built with. */
+  def videoLandmarksCrop(media: DataFrame, every: Int = 2,
+      extended: Boolean = false)(
       implicit s: SparkSession): Dataset[VideoLandmarkW] = {
     import s.implicits._
     require(every >= 1, "every must be >= 1")
+    val nWin = if (extended) 16 else 7
     media.select(col("doc_id"), col("payload")).as[MediaRow]
       .mapPartitions(rows => rows.flatMap { r =>
         containerFrames(r.payload) match {
           case Some(fs) =>
             val whs = fs.iterator.zipWithIndex.filter(_._2 % every == 0)
-              .flatMap(f => pHash64CropWindows(f._1)).toArray
+              .flatMap(f => pHash64CropWindows(f._1, extended)).toArray
             val lms = scala.collection.mutable.LinkedHashSet
               .empty[(Int, Long, Long)]
             var win = 0
-            while (win < 7) {
+            while (win < nWin) {
               val hs = whs.flatMap(_.collectFirst {
                 case (w, h) if w == win => h
               })
@@ -5061,11 +5068,13 @@ object Multimodal {
     * counts, not whole-doc counts, or the 7x window fan-out would
     * dilute every match below threshold. Distinct-doc `maxDf` before
     * expansion. Output (doc_a, doc_b, win_a, win_b, match_frac).
+    * `extended = true` scores the thirds channels too (the m134 leg).
     * Arbitrary-offset crops out of scope (see [[CropWindows]]). */
   def videoLandmarkPairsCrop(media: DataFrame, minMatch: Double = 0.6,
-      every: Int = 2, maxDf: Int = 0)(
+      every: Int = 2, maxDf: Int = 0, extended: Boolean = false)(
       implicit s: SparkSession): DataFrame = {
-    val lms = Materialize.eager(videoLandmarksCrop(media, every).toDF())
+    val lms = Materialize.eager(
+      videoLandmarksCrop(media, every, extended).toDF())
     val sizes = lms.groupBy(col("doc_id"), col("win"))
       .agg(count(lit(1)).as("nl"))
     val bucketed =
@@ -5115,10 +5124,14 @@ object Multimodal {
     * trimmed) re-upload of a corpus master is caught with no corpus
     * re-decode, where every whole-frame video index misses.
     * [[IncrementalIndex.append]]-compatible; stamped with
-    * [[VideoCropFpVersion]]. */
-  def videoCropLandmarkIndex(media: DataFrame, every: Int = 2)(
+    * [[VideoCropFpVersion]]. `extended = true` registers the thirds
+    * channels (windows 7-15) too; the SCREEN side needs no knob — a
+    * probe uses only its full-frame channel either way. */
+  def videoCropLandmarkIndex(media: DataFrame, every: Int = 2,
+      extended: Boolean = false)(
       implicit s: SparkSession): DataFrame = {
-    val lms = Materialize.eager(videoLandmarksCrop(media, every).toDF())
+    val lms = Materialize.eager(
+      videoLandmarksCrop(media, every, extended).toDF())
     lms.join(lms.groupBy(col("doc_id"), col("win"))
         .agg(count(lit(1)).as("nl")),
         Seq("doc_id", "win"))

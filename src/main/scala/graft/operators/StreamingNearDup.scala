@@ -687,16 +687,19 @@ object StreamingNearDup {
     * [[VideoLandmarkHitsW]]; consumers score win = 0 rows against
     * the probe's full-frame channel count (the m130 per-channel
     * metric). Same id-monotonic determinism contract and `maxBucket`
-    * / [[foldBucket]] cap as the family. */
+    * / [[foldBucket]] cap as the family. `extended = true` registers
+    * the thirds channels (windows 7-15) per arrival — rule-of-thirds
+    * recomposition re-deliveries land where the base window state is
+    * structurally blind. */
   def videoCropLandmarkVerdicts(media: DataFrame, idCol: String,
       payloadCol: String, every: Int = 2,
-      maxBucket: Int = 0): Dataset[VideoLandmarkHitsW] = {
+      maxBucket: Int = 0, extended: Boolean = false): Dataset[VideoLandmarkHitsW] = {
     val spark = media.sparkSession
     import spark.implicits._
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val lms = Multimodal.videoLandmarksCrop(
       media.select(col(idCol).cast("long").as("doc_id"),
-        col(payloadCol).as("payload")), every)
+        col(payloadCol).as("payload")), every, extended)
     lms.groupByKey(l => (l.lm_a, l.lm_b))
       .flatMapGroupsWithState[List[Long], VideoLandmarkHitsW](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {

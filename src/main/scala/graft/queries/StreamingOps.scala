@@ -1896,6 +1896,115 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // The thirds ladder for VIDEO (extended=true on the m131
+    // contract, the m133 two-phase shape): 6 48x48 masters indexed
+    // both ways; phase 1 screens 4 rule-of-thirds-cropped + trimmed
+    // re-uploads (+2 fresh decoys) against the BASE 7-channel index —
+    // every crop KEPT (off-center 2/3-size windows are in no base
+    // channel) — phase 2 against the extended index (16 channels per
+    // frame), where each crop's full-frame channel is a subsequence
+    // of its master's thirds channel, bit-exact DIB pixels. Probe
+    // cost identical in both phases (full-frame channel only).
+    // Pinned golden.
+    "m134_video_thirds_index" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val avi = udf((id: Long) =>
+        if (id < 20) Multimodal.syntheticAvi(id, 24, w = 48, h = 48)
+        else if (id == 20L) Multimodal.syntheticAvi(0, 20, w = 32, h = 32,
+          frameOffset = 2, srcX0 = 8, srcY0 = 0)
+        else if (id == 21L) Multimodal.syntheticAvi(1, 20, w = 32, h = 32,
+          frameOffset = 2, srcX0 = 16, srcY0 = 16)
+        else if (id == 22L) Multimodal.syntheticAvi(2, 20, w = 32, h = 32,
+          frameOffset = 2, srcX0 = 0, srcY0 = 8)
+        else if (id == 23L) Multimodal.syntheticAvi(3, 20, w = 32, h = 32,
+          frameOffset = 2, srcX0 = 8, srcY0 = 8)
+        else Multimodal.syntheticAvi(id, 24, w = 48, h = 48))
+      val corpus = s.range(0, 6)
+        .select(col("id").as("doc_id"), avi(col("id")).as("payload"))
+      val base = Multimodal.videoCropLandmarkIndex(corpus, every = 1)
+      val ext = Multimodal.videoCropLandmarkIndex(corpus, every = 1,
+        extended = true)
+      val probes = s.range(20, 24).union(s.range(130, 132))
+        .select(col("id").as("doc_id"), avi(col("id")).as("payload"))
+      val v1 = Multimodal.dedupAgainstVideoCropIndex(probes, base,
+        every = 1)
+      val v2 = Multimodal.dedupAgainstVideoCropIndex(probes, ext,
+        every = 1)
+      v1.select(lit(1L).as("phase"), col("doc_id"), col("kept"),
+          col("dup_src"))
+        .unionAll(v2.select(lit(2L).as("phase"), col("doc_id"),
+          col("kept"), col("dup_src")))
+        .orderBy(col("phase"), col("doc_id"))
+    }),
+
+    // STREAMING thirds-cropped video dedup (extended=true on the st97
+    // contract): micro-batch 1 delivers 6 48x48 masters — each
+    // registers all 16 per-frame window channels into landmark-bucket
+    // state — micro-batch 2 their rule-of-thirds-cropped + trimmed
+    // re-uploads, structurally invisible to the base 7-channel state;
+    // each crop's full-frame channel lands bit-exactly in its
+    // master's thirds-window buckets. Consumer scores win=0 rows over
+    // the probe's full-frame channel count >= 0.6. Pinned golden.
+    "st99_stream_video_thirds_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val name = "st99_out"
+      val staged = stagingDir("graft-stream-vthirds")
+      val avi = udf((id: Long) =>
+        if (id < 1000000L) Multimodal.syntheticAvi(id, 24, w = 48, h = 48)
+        else {
+          val m = id - 1000000L
+          (m % 4) match {
+            case 0 => Multimodal.syntheticAvi(m, 20, w = 32, h = 32,
+              frameOffset = 2, srcX0 = 8, srcY0 = 0)
+            case 1 => Multimodal.syntheticAvi(m, 20, w = 32, h = 32,
+              frameOffset = 2, srcX0 = 16, srcY0 = 16)
+            case 2 => Multimodal.syntheticAvi(m, 20, w = 32, h = 32,
+              frameOffset = 2, srcX0 = 0, srcY0 = 8)
+            case _ => Multimodal.syntheticAvi(m, 20, w = 32, h = 32,
+              frameOffset = 2, srcX0 = 8, srcY0 = 8)
+          }
+        })
+      def stageBatch(ids: org.apache.spark.sql.Dataset[java.lang.Long],
+          fname: String, ageMs: Long): Unit = {
+        val tmp = staged.resolve(fname + ".tmp")
+        ids.toDF("doc_id").select(col("doc_id"), avi(col("doc_id")).as("payload"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, staged.resolve(fname))
+        staged.resolve(fname).toFile.deleteOnExit()
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        java.nio.file.Files.setLastModifiedTime(staged.resolve(fname),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - ageMs))
+      }
+      stageBatch(s.range(0, 6).as[java.lang.Long], "a.parquet", 120000L)
+      stageBatch(s.range(1000000L, 1000004L).as[java.lang.Long], "b.parquet", 0L)
+      val mediaSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("payload", BinaryType)))
+      val stream = s.readStream.schema(mediaSchema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+        .repartition(col("doc_id"))
+      val hits = graft.operators.StreamingNearDup.videoCropLandmarkVerdicts(
+        stream, "doc_id", "payload", every = 1, maxBucket = 64,
+        extended = true)
+      val q = hits.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+      val win0 = s.table(name).filter(col("win") === 0)
+      val nl = win0.groupBy(col("doc_id")).agg(count(lit(1)).as("nl"))
+      val dup = win0
+        .select(col("doc_id").as("d"), explode(col("hits")).as("src"))
+        .groupBy(col("d"), col("src")).agg(count(lit(1)).as("c"))
+        .join(nl, col("d") === nl("doc_id")).drop("doc_id")
+        .filter(col("c").cast("double") / col("nl") >= 0.6)
+        .groupBy(col("d")).agg(min(col("src")).as("dup_src"))
+      nl.join(dup, col("doc_id") === col("d"), "left")
+        .select(col("doc_id"), col("dup_src").isNull.as("kept"),
+          col("dup_src"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Incremental screen vs the persisted CROP-WINDOW pHash index —
     // the m128 tier's index member: 8 masters decode once into all 7
     // window hashes (28 chunk rows each — crop asymmetry puts the

@@ -86,6 +86,37 @@ class Round11gSpec extends AnyFunSuite with BeforeAndAfterAll {
       "append != rebuild for the extended crop index")
   }
 
+  test("extended video-crop landmarks: base channels identical; base pairs blind to thirds crops") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val media = (0L until 3L).map(id =>
+        (id, Multimodal.syntheticAvi(id, 24, w = 48, h = 48)))
+      .toDF("doc_id", "payload")
+    val base = Multimodal.videoLandmarksCrop(media, every = 1)
+      .collect().toSet
+    val ext = Multimodal.videoLandmarksCrop(media, every = 1,
+      extended = true).collect().toSet
+    assert(ext.filter(_.win < 7) == base,
+      "extended landmarks must carry the base channels bit-identically")
+    assert(ext.exists(_.win >= 7),
+      "extended landmarks must add thirds channels")
+    val corpus = media.unionByName(
+      Seq((20L, Multimodal.syntheticAvi(0, 20, w = 32, h = 32,
+        frameOffset = 2, srcX0 = 8, srcY0 = 0)))
+        .toDF("doc_id", "payload"))
+    val basePairs = Multimodal.videoLandmarkPairsCrop(corpus, every = 1,
+      maxDf = 64).collect()
+    assert(basePairs.isEmpty,
+      s"base window set must be blind to a thirds crop: ${basePairs.toSeq}")
+    val extPairs = Multimodal.videoLandmarkPairsCrop(corpus, every = 1,
+      maxDf = 64, extended = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getInt(2), r.getInt(3)))
+    assert(extPairs.exists { case (a, b, wa, wb) =>
+      a == 0L && b == 20L && (wa >= 7 || wb >= 7) },
+      s"thirds crop must land on its anchor channel: ${extPairs.toSeq}")
+  }
+
   test("compactByDoc on an append-only sink is a pure rewrite") {
     val s = spark
     import s.implicits._
