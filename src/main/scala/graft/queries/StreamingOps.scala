@@ -2209,6 +2209,42 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // The sub-semitone bank as an INDEX member (div=24 on the m125
+    // contract, the m133 two-phase shape): 8 metronomic masters
+    // indexed at BOTH divisions; phase 1 screens 6 QUARTER-TONE-sped
+    // (176/171), 50 ms-trimmed 44.1 kHz re-uploads (+2 fresh decoys)
+    // against the div=12 index — every probe KEPT (a quarter tone is
+    // half a band step for the semitone bank: energy splits, the
+    // structural miss m126 pins for the pairs op) — phase 2 against
+    // the div=24 index, where a quarter tone is exactly one band
+    // step. Probes fingerprint at the division they screen against
+    // (the build-parameter contract). Pinned golden.
+    "m135_quarter_tone_index" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val wav = udf((id: Long) =>
+        if (id < 20) Multimodal.syntheticWavBeats(id, 8000, ms = 1248,
+          uniformSegMs = 96)
+        else if (id < 30) Multimodal.syntheticWavBeats(id - 20, 44100,
+          ms = 1000, offsetMs = 50, speedNum = 176, speedDen = 171,
+          uniformSegMs = 96)
+        else Multimodal.syntheticWavBeats(id, 44100, ms = 1000,
+          uniformSegMs = 96))
+      val corpus = s.range(0, 8)
+        .select(col("id").as("doc_id"), wav(col("id")).as("payload"))
+      val base = Multimodal.audioChromaLandmarkIndex(corpus)
+      val fine = Multimodal.audioChromaLandmarkIndex(corpus, div = 24)
+      val probes = s.range(20, 26).union(s.range(130, 132))
+        .select(col("id").as("doc_id"), wav(col("id")).as("payload"))
+      val v1 = Multimodal.dedupAgainstAudioChromaIndex(probes, base)
+      val v2 = Multimodal.dedupAgainstAudioChromaIndex(probes, fine,
+        div = 24)
+      v1.select(lit(1L).as("phase"), col("doc_id"), col("kept"),
+          col("dup_src"))
+        .unionAll(v2.select(lit(2L).as("phase"), col("doc_id"),
+          col("kept"), col("dup_src")))
+        .orderBy(col("phase"), col("doc_id"))
+    }),
+
     // STREAMING pitch-shifted metronomic audio dedup (the m124 tier
     // in the streaming matrix): micro-batch 1 delivers 10 metronomic
     // masters at 8 kHz, micro-batch 2 their one-semitone-sped
@@ -2251,6 +2287,67 @@ object StreamingOps extends QueryPack {
         .repartition(col("doc_id"))
       val hits = graft.operators.StreamingNearDup.audioChromaLandmarkVerdicts(
         stream, "doc_id", "payload", maxBucket = 64)
+      val q = hits.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+      val nl = s.table(name).groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("nl"))
+      val nlSrc = s.table(name).select(col("doc_id").as("src_id"))
+        .groupBy(col("src_id")).agg(count(lit(1)).as("nl_src"))
+      val dup = s.table(name)
+        .select(col("doc_id").as("d"), explode(col("hits")).as("src"))
+        .groupBy(col("d"), col("src")).agg(count(lit(1)).as("c"))
+        .join(nl, col("d") === nl("doc_id")).drop("doc_id")
+        .join(nlSrc, col("src") === col("src_id"))
+        .filter(col("c").cast("double") / least(col("nl"), col("nl_src"))
+          >= 0.6)
+        .groupBy(col("d")).agg(min(col("src")).as("dup_src"))
+      nl.join(dup, col("doc_id") === col("d"), "left")
+        .select(col("doc_id"), col("dup_src").isNull.as("kept"),
+          col("dup_src"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // STREAMING quarter-tone metronomic audio dedup (div=24 on the
+    // st95 contract): micro-batch 1 delivers 10 metronomic masters at
+    // 8 kHz, micro-batch 2 their QUARTER-TONE-sped (176/171),
+    // 50 ms-trimmed 44.1 kHz re-uploads — half a band step for the
+    // semitone streaming tier (st95's bank pins zero cross-pairs on
+    // this class via m126's fixture), exactly one step at div=24.
+    // Same chroma-bucket state and scoring as st95. Pinned golden.
+    "st100_stream_quarter_tone_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val name = "st100_out"
+      val staged = stagingDir("graft-stream-qtone")
+      val wav = udf((id: Long) =>
+        if (id < 1000000L) Multimodal.syntheticWavBeats(id, 8000,
+          ms = 1248, uniformSegMs = 96)
+        else Multimodal.syntheticWavBeats(id - 1000000L, 44100,
+          ms = 1000, offsetMs = 50, speedNum = 176, speedDen = 171,
+          uniformSegMs = 96))
+      def stageBatch(ids: org.apache.spark.sql.Dataset[java.lang.Long],
+          fname: String, ageMs: Long): Unit = {
+        val tmp = staged.resolve(fname + ".tmp")
+        ids.toDF("doc_id").select(col("doc_id"), wav(col("doc_id")).as("payload"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, staged.resolve(fname))
+        staged.resolve(fname).toFile.deleteOnExit()
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        java.nio.file.Files.setLastModifiedTime(staged.resolve(fname),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - ageMs))
+      }
+      stageBatch(s.range(0, 10).as[java.lang.Long], "a.parquet", 120000L)
+      stageBatch(s.range(1000000L, 1000010L).as[java.lang.Long], "b.parquet", 0L)
+      val mediaSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("payload", BinaryType)))
+      val stream = s.readStream.schema(mediaSchema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+        .repartition(col("doc_id"))
+      val hits = graft.operators.StreamingNearDup.audioChromaLandmarkVerdicts(
+        stream, "doc_id", "payload", div = 24, maxBucket = 64)
       val q = hits.toDF().writeStream.outputMode("append")
         .format("memory").queryName(name).start()
       try { q.processAllAvailable() } finally q.stop()

@@ -117,6 +117,29 @@ class Round11gSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"thirds crop must land on its anchor channel: ${extPairs.toSeq}")
   }
 
+  test("div=24 chroma index: append == rebuild; div=12 bit-identical to default") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val masters = (0L until 4L).map(id =>
+        (id, Multimodal.syntheticWavBeats(id, 8000, ms = 1248,
+          uniformSegMs = 96)))
+      .toDF("doc_id", "payload")
+    val late = Seq((4L, Multimodal.syntheticWavBeats(4L, 8000, ms = 1248,
+        uniformSegMs = 96)))
+      .toDF("doc_id", "payload")
+    val dflt = Multimodal.audioChromaLandmarkIndex(masters).collect().toSet
+    val d12 = Multimodal.audioChromaLandmarkIndex(masters, div = 12)
+      .collect().toSet
+    assert(d12 == dflt, "div=12 must be bit-identical to the default bank")
+    val appended = Multimodal.audioChromaLandmarkIndex(masters, div = 24)
+      .unionByName(Multimodal.audioChromaLandmarkIndex(late, div = 24))
+    val rebuilt = Multimodal.audioChromaLandmarkIndex(
+      masters.unionByName(late), div = 24)
+    assert(appended.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(appended).isEmpty,
+      "append != rebuild for the div=24 chroma index")
+  }
+
   test("compactByDoc on an append-only sink is a pure rewrite") {
     val s = spark
     import s.implicits._
