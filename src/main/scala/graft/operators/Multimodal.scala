@@ -2968,6 +2968,214 @@ object Multimodal {
         col("dup_src"))
   }
 
+  /** Content-anchored PEAK-PATCH hashes — the ARBITRARY-OFFSET crop
+    * tier the canonical-window family (m128-m134) declares out of
+    * scope, without CV libraries: the image analog of the audio
+    * tier's onset anchoring (m115 — anchors travel with the CONTENT,
+    * not the sampling grid). Kernel: 3x3 box-SUM smoothing of the
+    * luma plane (integer-exact, no rounding), a peak = STRICT local
+    * maximum of the smoothed field over a Chebyshev `radius`
+    * neighborhood, and each peak's landmark = FNV-1a 64 hash of the
+    * raw (2*patch+1)^2-pixel square centered on it. Everything a
+    * peak's detection and hash depend on lies within
+    * margin = max(radius+2, patch) of it, and candidates keep that
+    * support inside the image — so a LOSSLESS crop at ANY offset
+    * reproduces every surviving peak's hash bit-exactly: detection
+    * compares the same smoothed values, the patch is the same bytes.
+    * (A crop's peak set is a subset of its master's — border peaks
+    * fall away — which is why the pair metric scores over the
+    * SMALLER set.) `k > 0` keeps the k strongest peaks, ranked by
+    * smoothed value desc with ties broken by patch hash —
+    * COORDINATE-FREE, so the ranking itself survives the crop's
+    * coordinate shift; k = 0 keeps all peaks (the default: ~w*h/
+    * (2*radius+1)^2 landmarks on textured content, the bound the
+    * strict-max spacing gives). */
+  private[operators] def peakPatchHashes(payload: Array[Byte],
+      radius: Int = 2, patch: Int = 4, k: Int = 0): Option[Seq[Long]] =
+    decodeImage(payload).map { img =>
+      val w = img.getWidth
+      val h = img.getHeight
+      val luma = lumaPlane(img)
+      // smoothed plane (3x3 box sums), defined on [1, w-1) x [1, h-1)
+      val sm = new Array[Int](w * h)
+      var y = 1
+      while (y < h - 1) {
+        var x = 1
+        while (x < w - 1) {
+          var s = 0
+          var dy = -1
+          while (dy <= 1) {
+            var dx = -1
+            while (dx <= 1) { s += luma((y + dy) * w + (x + dx)) & 0xff; dx += 1 }
+            dy += 1
+          }
+          sm(y * w + x) = s
+          x += 1
+        }
+        y += 1
+      }
+      val margin = math.max(radius + 2, patch)
+      val peaks = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+      y = margin
+      while (y < h - margin) {
+        var x = margin
+        while (x < w - margin) {
+          val v = sm(y * w + x)
+          var isMax = true
+          var dy = -radius
+          while (isMax && dy <= radius) {
+            var dx = -radius
+            while (isMax && dx <= radius) {
+              if ((dx != 0 || dy != 0) && sm((y + dy) * w + (x + dx)) >= v)
+                isMax = false
+              dx += 1
+            }
+            dy += 1
+          }
+          if (isMax) {
+            var hsh = 0xcbf29ce484222325L
+            var py = y - patch
+            while (py <= y + patch) {
+              var px = x - patch
+              while (px <= x + patch) {
+                hsh ^= (luma(py * w + px) & 0xffL)
+                hsh *= 0x100000001b3L
+                px += 1
+              }
+              py += 1
+            }
+            peaks += ((v, hsh))
+          }
+          x += 1
+        }
+        y += 1
+      }
+      val ranked =
+        if (k <= 0) peaks
+        else peaks.sortBy { case (v, hsh) => (-v, hsh) }.take(k)
+      ranked.map(_._2).distinct.toSeq
+    }
+
+  /** One (doc_id, lm) posting row per distinct peak-patch hash — the
+    * [[peakPatchHashes]] tier's landmark table, one decode per image,
+    * no shuffle. */
+  def imagePeakLandmarks(media: DataFrame, radius: Int = 2,
+      patch: Int = 4, k: Int = 0)(implicit s: SparkSession): DataFrame = {
+    val u = udf((p: Array[Byte]) => peakPatchHashes(p, radius, patch, k))
+    media.select(col("doc_id"), u(col("payload")).as("hs"))
+      .filter(col("hs").isNotNull)
+      .select(col("doc_id"), explode(col("hs")).as("lm"))
+  }
+
+  /** Image near-dup pairs tolerant of ARBITRARY-OFFSET crops — the
+    * scope edge every canonical-window gate (m128/m129/st96) pins as
+    * a NON-match, closed content-side: candidates bucket by shared
+    * peak-patch landmark (distinct-doc `maxDf` cap BEFORE pair
+    * expansion, the family shape), and a pair scores shared distinct
+    * landmarks over the SMALLER landmark set — a crop keeps a subset
+    * of its master's peaks bit-exactly, so crop-vs-master sits near
+    * 1.0 while unrelated noise images share nothing. Output (doc_a,
+    * doc_b, match_frac). What stays out: LOSSY re-encodes (JPEG
+    * quantization perturbs patch bytes — the pHash tiers own that
+    * class) and crops so tight no interior peak survives. */
+  def imagePeakPairs(media: DataFrame, minMatch: Double = 0.6,
+      maxDf: Int = 0, radius: Int = 2, patch: Int = 4, k: Int = 0)(
+      implicit s: SparkSession): DataFrame = {
+    val lms = Materialize.eager(
+      imagePeakLandmarks(media, radius, patch, k))
+    val nl = lms.groupBy(col("doc_id")).agg(count(lit(1)).as("nl"))
+    val capped =
+      if (maxDf <= 0) lms
+      else lms.join(
+        lms.groupBy(col("lm"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .filter(col("df") <= maxDf).select(col("lm")),
+        Seq("lm"), "left_semi")
+    val kept = capped.groupBy(col("lm"))
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    val ds = array_sort(col("ds"))
+    kept.select(explode(flatten(transform(ds, (x, i) =>
+        transform(slice(ds, i + lit(2), greatest(size(ds) - i - 1, lit(0))),
+          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .filter(col("p.doc_a") =!= col("p.doc_b"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+      .join(nl.select(col("doc_id").as("doc_a"), col("nl").as("na")),
+        Seq("doc_a"))
+      .join(nl.select(col("doc_id").as("doc_b"), col("nl").as("nb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("c").cast("double") / least(col("na"), col("nb")), 6)
+          .as("match_frac"))
+      .filter(col("match_frac") >= minMatch)
+  }
+
+  /** Version stamp for the PEAK-PATCH landmark family
+    * ([[peakPatchHashes]] — smoothing kernel, strict-max rule, patch
+    * hash): namespaced (peak = 9000 + v; the family convention) so
+    * cross-family screens fail fast at every version pair; 9001 = v1.
+    * Parameter choices (radius, patch, k) are NOT covered — screen
+    * with the parameters the index was built with. */
+  val PeakFpVersion: Int = 9001
+
+  /** Persisted PEAK-PATCH landmark index — the incremental member of
+    * the m136 tier: the corpus decodes ONCE into one row per distinct
+    * (peak-patch hash, doc) with the doc's landmark count riding
+    * along, and [[dedupAgainstImagePeakIndex]] screens every ingest
+    * batch — an arbitrary-offset lossless crop of a corpus master is
+    * caught with no corpus re-decode, the class the canonical-window
+    * index (m129) is structurally blind to.
+    * [[IncrementalIndex.append]]-compatible; stamped with
+    * [[PeakFpVersion]]. */
+  def imagePeakIndex(media: DataFrame, radius: Int = 2, patch: Int = 4,
+      k: Int = 0)(implicit s: SparkSession): DataFrame = {
+    val lms = Materialize.eager(imagePeakLandmarks(media, radius, patch, k))
+    lms.join(lms.groupBy(col("doc_id")).agg(count(lit(1)).as("nl")),
+        Seq("doc_id"))
+      .select(col("lm"), col("doc_id"), col("nl"),
+        lit(PeakFpVersion).as("fp_ver"))
+  }
+
+  /** Screen an ingest batch against a pre-built [[imagePeakIndex]]:
+    * the batch decodes once, equi-joins the index on the peak-patch
+    * hash, and a probe is a duplicate of the lowest corpus doc whose
+    * shared distinct landmarks over the smaller set reach `minMatch`
+    * (the m136 metric). Payloads yielding NO landmarks are absent
+    * from the output, not judged kept (the family contract). Enforces
+    * [[PeakFpVersion]]; screen with the parameters the index was
+    * built with. */
+  def dedupAgainstImagePeakIndex(media: DataFrame, index: DataFrame,
+      minMatch: Double = 0.6, radius: Int = 2, patch: Int = 4,
+      k: Int = 0)(implicit s: SparkSession): DataFrame = {
+    require(index.columns.contains("fp_ver"),
+      s"peak index has no fp_ver column: it predates fingerprint " +
+        s"version $PeakFpVersion — rebuild it with imagePeakIndex " +
+        "before screening")
+    val stale = index.filter(col("fp_ver") =!= lit(PeakFpVersion))
+      .limit(1).collect()
+    require(stale.isEmpty,
+      s"peak index built by fingerprint version " +
+        s"${stale.headOption.map(_.getAs[Any]("fp_ver")).orNull}, " +
+        s"current is $PeakFpVersion — rebuild it with imagePeakIndex " +
+        "before screening (cross-version landmarks never match)")
+    val lms = Materialize.eager(imagePeakLandmarks(media, radius, patch, k))
+    val nl = lms.groupBy(col("doc_id")).agg(count(lit(1)).as("nl"))
+    val dup = lms.join(
+        index.select(col("lm"), col("doc_id").as("src"),
+          col("nl").as("nl_src")),
+        Seq("lm"))
+      .groupBy(col("doc_id"), col("src"), col("nl_src"))
+      .agg(count(lit(1)).as("c"))
+      .join(nl, Seq("doc_id"))
+      .filter(col("c").cast("double") / least(col("nl"), col("nl_src"))
+        >= minMatch)
+      .groupBy(col("doc_id")).agg(min(col("src")).as("dup_src"))
+    nl.select(col("doc_id")).join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_src").isNull.as("kept"),
+        col("dup_src"))
+  }
+
   /** [[syntheticPng]] with a small planted edit (a +delta luma patch on
     * a 3x3 corner block) — the perceptual-near-duplicate fixture for
     * the pHash gate: same texture, slightly different pixels. */

@@ -490,6 +490,38 @@ object StreamingNearDup {
       }
   }
 
+  /** STREAMING arbitrary-offset crop image dedup — the m136
+    * peak-patch tier in the streaming matrix: every arrival's
+    * content-anchored peak-patch landmarks
+    * (`Multimodal.imagePeakLandmarks`, one decode) key bucket state,
+    * so a later re-delivery cropped at ANY offset — the class the
+    * canonical-window streaming tier (st96) is structurally blind
+    * to — lands bit-exactly in its master's buckets. Emits
+    * [[LandmarkHits]]; consumers score shared distinct landmarks over
+    * the smaller set (the m136 metric). Same id-monotonic determinism
+    * contract and `maxBucket` / [[foldBucket]] cap as the family. */
+  def imagePeakVerdicts(media: DataFrame, idCol: String,
+      payloadCol: String, radius: Int = 2, patch: Int = 4, k: Int = 0,
+      maxBucket: Int = 0): Dataset[LandmarkHits] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val lms = Multimodal.imagePeakLandmarks(
+      media.select(col(idCol).cast("long").as("doc_id"),
+        col(payloadCol).as("payload")), radius, patch, k)
+      .as[(Long, Long)]
+    lms.groupByKey(_._2)
+      .flatMapGroupsWithState[List[Long], LandmarkHits](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (lm, rows, state: GroupState[List[Long]]) =>
+          val (seen, out) = foldBucket(state.getOption.getOrElse(Nil),
+            rows.toSeq.map(_._1).sorted, maxBucket)(
+            (id, hits) => LandmarkHits(id, lm, hits))
+          state.update(seen)
+          out.iterator
+      }
+  }
+
   /** [[audioOnsetLandmarkVerdicts]] at the INTERVAL-RATIO seam — the
     * streaming member of the m120 tier: state keys on
     * `Multimodal.onsetIntervalLandmarks`' packed ratio-window

@@ -1730,6 +1730,125 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"), col("win_a"), col("win_b"))
     }),
 
+    // ARBITRARY-OFFSET crop image dedup — content-anchored PEAK-PATCH
+    // landmarks (the scope edge every canonical-window gate pins as a
+    // non-match, closed content-side; the audio onset-anchoring trick
+    // in 2D): a strict local maximum of the 3x3-box-smoothed luma and
+    // its 9x9 raw-pixel patch depend only on pixels within a fixed
+    // margin of the peak, so a LOSSLESS crop at ANY offset — probe 20
+    // is the exact (20,12,52,44) crop m128 pins as a MISS for the
+    // window tier — reproduces every interior peak's hash bit-exactly
+    // and scores ~1.0 over the crop's (smaller) landmark set. Decoys
+    // share nothing (81-byte noise patches never collide). Pinned
+    // golden.
+    "m136_peak_crop_pairs" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val img = udf((id: Long) =>
+        if (id < 20) Multimodal.syntheticPng(id, 64, 64)
+        else if (id == 20L) Multimodal.syntheticPngCrop(6, 20, 12, 52, 44)
+        else if (id == 21L) Multimodal.syntheticPngCrop(0, 11, 7, 43, 39)
+        else if (id == 22L) Multimodal.syntheticPngCrop(1, 5, 21, 37, 53)
+        else if (id == 23L) Multimodal.syntheticPngCrop(2, 17, 3, 49, 35)
+        else Multimodal.syntheticPng(id, 64, 64))
+      val media = s.range(0, 8).union(s.range(20, 24))
+        .union(s.range(140, 142))
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      Multimodal.imagePeakPairs(media, minMatch = 0.6, maxDf = 64)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Incremental screen vs the persisted PEAK-PATCH landmark index —
+    // the m136 tier's index member (PeakFpVersion-stamped, the m125
+    // contract shape): 8 masters decode once into their content-
+    // anchored peak sets, then an ingest batch of 4 ARBITRARY-OFFSET
+    // crops plus 2 fresh images screens against it with no corpus
+    // re-decode — the class the canonical-window index (m129) pins
+    // as a non-match. Pinned golden.
+    "m137_peak_index_dedup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val img = udf((id: Long) =>
+        if (id < 20) Multimodal.syntheticPng(id, 64, 64)
+        else if (id == 20L) Multimodal.syntheticPngCrop(0, 19, 13, 51, 45)
+        else if (id == 21L) Multimodal.syntheticPngCrop(1, 9, 23, 41, 55)
+        else if (id == 22L) Multimodal.syntheticPngCrop(2, 23, 5, 55, 37)
+        else if (id == 23L) Multimodal.syntheticPngCrop(3, 13, 17, 45, 49)
+        else Multimodal.syntheticPng(id, 64, 64))
+      val corpus = s.range(0, 8)
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      val index = Multimodal.imagePeakIndex(corpus)
+      val probes = s.range(20, 24).union(s.range(130, 132))
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      Multimodal.dedupAgainstImagePeakIndex(probes, index)
+        .orderBy(col("doc_id"))
+    }),
+
+    // STREAMING arbitrary-offset crop image dedup (the m136 tier in
+    // the streaming matrix): micro-batch 1 delivers 6 masters — each
+    // registers its content-anchored peak-patch landmarks into bucket
+    // state — micro-batch 2 their arbitrary-offset crops, which the
+    // canonical-window streaming tier (st96) is structurally blind
+    // to; each crop's surviving interior peaks land bit-exactly in
+    // its master's buckets at ~1.0 over the crop's set. Pinned
+    // golden.
+    "st101_stream_peak_crop_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val name = "st101_out"
+      val staged = stagingDir("graft-stream-peak")
+      val img = udf((id: Long) =>
+        if (id < 1000000L) Multimodal.syntheticPng(id, 64, 64)
+        else {
+          val m = id - 1000000L
+          (m % 4) match {
+            case 0 => Multimodal.syntheticPngCrop(m, 19, 13, 51, 45)
+            case 1 => Multimodal.syntheticPngCrop(m, 9, 23, 41, 55)
+            case 2 => Multimodal.syntheticPngCrop(m, 23, 5, 55, 37)
+            case _ => Multimodal.syntheticPngCrop(m, 13, 17, 45, 49)
+          }
+        })
+      def stageBatch(ids: org.apache.spark.sql.Dataset[java.lang.Long],
+          fname: String, ageMs: Long): Unit = {
+        val tmp = staged.resolve(fname + ".tmp")
+        ids.toDF("doc_id").select(col("doc_id"), img(col("doc_id")).as("payload"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, staged.resolve(fname))
+        staged.resolve(fname).toFile.deleteOnExit()
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        java.nio.file.Files.setLastModifiedTime(staged.resolve(fname),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - ageMs))
+      }
+      stageBatch(s.range(0, 6).as[java.lang.Long], "a.parquet", 120000L)
+      stageBatch(s.range(1000000L, 1000006L).as[java.lang.Long], "b.parquet", 0L)
+      val mediaSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("payload", BinaryType)))
+      val stream = s.readStream.schema(mediaSchema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+        .repartition(col("doc_id"))
+      val hits = graft.operators.StreamingNearDup.imagePeakVerdicts(
+        stream, "doc_id", "payload", maxBucket = 64)
+      val q = hits.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+      val nl = s.table(name).groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("nl"))
+      val nlSrc = s.table(name).select(col("doc_id").as("src_id"))
+        .groupBy(col("src_id")).agg(count(lit(1)).as("nl_src"))
+      val dup = s.table(name)
+        .select(col("doc_id").as("d"), explode(col("hits")).as("src"))
+        .groupBy(col("d"), col("src")).agg(count(lit(1)).as("c"))
+        .join(nl, col("d") === nl("doc_id")).drop("doc_id")
+        .join(nlSrc, col("src") === col("src_id"))
+        .filter(col("c").cast("double") / least(col("nl"), col("nl_src"))
+          >= 0.6)
+        .groupBy(col("d")).agg(min(col("src")).as("dup_src"))
+      nl.join(dup, col("doc_id") === col("d"), "left")
+        .select(col("doc_id"), col("dup_src").isNull.as("kept"),
+          col("dup_src"))
+        .orderBy(col("doc_id"))
+    }),
+
     // The thirds ladder as an INDEX member (extended=true on the m129
     // contract): the same 6 masters indexed both ways; phase 1
     // screens the 4 rule-of-thirds crops (+2 fresh decoys) against
