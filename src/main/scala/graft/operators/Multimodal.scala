@@ -3080,9 +3080,18 @@ object Multimodal {
     * class) and crops so tight no interior peak survives. */
   def imagePeakPairs(media: DataFrame, minMatch: Double = 0.6,
       maxDf: Int = 0, radius: Int = 2, patch: Int = 4, k: Int = 0)(
-      implicit s: SparkSession): DataFrame = {
-    val lms = Materialize.eager(
-      imagePeakLandmarks(media, radius, patch, k))
+      implicit s: SparkSession): DataFrame =
+    peakLandmarkPairScores(
+      Materialize.eager(imagePeakLandmarks(media, radius, patch, k)),
+      minMatch, maxDf)
+
+  /** Shared pair scorer for the peak-landmark frames (image m136 /
+    * video m138): posting-list join on the landmark with a
+    * distinct-doc `maxDf` cap BEFORE pair expansion, shared distinct
+    * landmarks over the SMALLER set >= minMatch. Input: distinct
+    * (doc_id, lm) rows. */
+  private def peakLandmarkPairScores(lms: DataFrame, minMatch: Double,
+      maxDf: Int): DataFrame = {
     val nl = lms.groupBy(col("doc_id")).agg(count(lit(1)).as("nl"))
     val capped =
       if (maxDf <= 0) lms
@@ -3110,6 +3119,48 @@ object Multimodal {
           .as("match_frac"))
       .filter(col("match_frac") >= minMatch)
   }
+
+  /** PEAK-PATCH landmarks for VIDEO — the m136 tier lifted to the
+    * frame sequence (the m138 leg): every sampled frame decodes once
+    * into its content-anchored peak hashes, pooled DISTINCT per doc.
+    * A re-upload cropped at ANY offset (and leading-trimmed —
+    * pooling is order-free) keeps each shared frame's interior peaks
+    * bit-exactly, while every whole-frame and canonical-window video
+    * tier misses: a non-window crop changes every frame hash AND
+    * aligns with no window channel. One mapPartitions pass, no
+    * shuffle. */
+  def videoPeakLandmarks(media: DataFrame, every: Int = 2,
+      radius: Int = 2, patch: Int = 4, k: Int = 0)(
+      implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    require(every >= 1, "every must be >= 1")
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions(rows => rows.flatMap { r =>
+        containerFrames(r.payload) match {
+          case Some(fs) =>
+            val set = scala.collection.mutable.LinkedHashSet.empty[Long]
+            fs.iterator.zipWithIndex.filter(_._2 % every == 0)
+              .flatMap(f =>
+                peakPatchHashes(f._1, radius, patch, k).getOrElse(Nil))
+              .foreach(set += _)
+            set.iterator.map(lm => (r.doc_id, lm))
+          case None => Iterator.empty
+        }
+      }).toDF("doc_id", "lm")
+  }
+
+  /** Video near-dup pairs tolerant of ARBITRARY-OFFSET crops — the
+    * m138 tier: [[videoPeakLandmarks]] posting rows through the
+    * shared peak scorer; a cropped (+trimmed) re-upload sits near
+    * 1.0 over its pooled peak set. Same lossy scope line as the
+    * image tier (DIB frames are lossless; compressed codecs are the
+    * declared container scope line). */
+  def videoPeakPairs(media: DataFrame, minMatch: Double = 0.6,
+      every: Int = 2, maxDf: Int = 0, radius: Int = 2, patch: Int = 4,
+      k: Int = 0)(implicit s: SparkSession): DataFrame =
+    peakLandmarkPairScores(
+      Materialize.eager(videoPeakLandmarks(media, every, radius, patch, k)),
+      minMatch, maxDf)
 
   /** Version stamp for the PEAK-PATCH landmark family
     * ([[peakPatchHashes]] — smoothing kernel, strict-max rule, patch

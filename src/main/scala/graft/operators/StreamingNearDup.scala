@@ -522,6 +522,38 @@ object StreamingNearDup {
       }
   }
 
+  /** STREAMING arbitrary-offset crop VIDEO dedup — the m138 tier in
+    * the streaming matrix: every arrival's pooled per-frame
+    * peak-patch landmarks (`Multimodal.videoPeakLandmarks`, one
+    * decode per sampled frame) key bucket state, so a later
+    * re-delivery cropped at ANY offset (and trimmed) lands bit-
+    * exactly in its master's buckets — the class both the whole-frame
+    * streaming tiers and the canonical-window streaming tier (st97/
+    * st99) are blind to. Emits [[LandmarkHits]]; same contract as
+    * [[imagePeakVerdicts]]. */
+  def videoPeakVerdicts(media: DataFrame, idCol: String,
+      payloadCol: String, every: Int = 2, radius: Int = 2,
+      patch: Int = 4, k: Int = 0,
+      maxBucket: Int = 0): Dataset[LandmarkHits] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val lms = Multimodal.videoPeakLandmarks(
+      media.select(col(idCol).cast("long").as("doc_id"),
+        col(payloadCol).as("payload")), every, radius, patch, k)
+      .as[(Long, Long)]
+    lms.groupByKey(_._2)
+      .flatMapGroupsWithState[List[Long], LandmarkHits](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (lm, rows, state: GroupState[List[Long]]) =>
+          val (seen, out) = foldBucket(state.getOption.getOrElse(Nil),
+            rows.toSeq.map(_._1).sorted, maxBucket)(
+            (id, hits) => LandmarkHits(id, lm, hits))
+          state.update(seen)
+          out.iterator
+      }
+  }
+
   /** [[audioOnsetLandmarkVerdicts]] at the INTERVAL-RATIO seam — the
     * streaming member of the m120 tier: state keys on
     * `Multimodal.onsetIntervalLandmarks`' packed ratio-window

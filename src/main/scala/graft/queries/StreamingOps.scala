@@ -1757,6 +1757,114 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // ARBITRARY-OFFSET crop VIDEO dedup — the peak-patch tier lifted
+    // to the frame sequence (m138): probes are cropped at offsets on
+    // no canonical-window anchor AND leading-trimmed, so every
+    // whole-frame tier and the window-channel tier (m130, incl. its
+    // extended thirds ladder) miss structurally (Round11hSpec pins
+    // it); pooled per-frame peak landmarks ride through both — each
+    // shared frame's interior peaks are the same bytes at any crop
+    // offset, and pooling is order-free so the trim costs only the
+    // trimmed frames' unique peaks. Master ids {0,1,10,11} and decoys
+    // {200,201} are SPACED deliberately: the aviPixel generator is
+    // LINEAR mod 256, so id pairs at delta 2 (and faintly 4) render
+    // literal (f,x,y)-TRANSLATIONS of each other — content a
+    // translation-invariant anchor CORRECTLY matches (~0.35 at
+    // delta 2, measured). Fixture degeneracy, not an operator trait;
+    // real corpora don't ship linearly-related pixel fields. Pinned
+    // golden.
+    "m138_video_peak_crop_neardup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val avi = udf((id: Long) =>
+        if (id < 20) Multimodal.syntheticAvi(id, 24, w = 48, h = 48)
+        else if (id == 20L) Multimodal.syntheticAvi(0, 20, w = 28, h = 24,
+          frameOffset = 2, srcX0 = 7, srcY0 = 11)
+        else if (id == 21L) Multimodal.syntheticAvi(1, 20, w = 28, h = 24,
+          frameOffset = 2, srcX0 = 13, srcY0 = 5)
+        else if (id == 22L) Multimodal.syntheticAvi(10, 20, w = 28, h = 24,
+          frameOffset = 2, srcX0 = 3, srcY0 = 19)
+        else if (id == 23L) Multimodal.syntheticAvi(11, 20, w = 28, h = 24,
+          frameOffset = 2, srcX0 = 17, srcY0 = 9)
+        else Multimodal.syntheticAvi(id, 24, w = 48, h = 48))
+      val media = Seq(0L, 1L, 10L, 11L).toDF("id")
+        .union(s.range(20, 24).toDF("id"))
+        .union(Seq(200L, 201L).toDF("id"))
+        .select(col("id").as("doc_id"), avi(col("id")).as("payload"))
+      Multimodal.videoPeakPairs(media, every = 1, maxDf = 64)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // STREAMING arbitrary-offset crop video dedup (the m138 tier in
+    // the streaming matrix): micro-batch 1 delivers 4 masters (ids
+    // spaced per the m138 linear-generator note) — each registers its
+    // pooled per-frame peak landmarks into bucket state — micro-batch
+    // 2 their arbitrary-offset cropped + trimmed re-uploads;
+    // shared-frame interior peaks land bit-exactly. Pinned golden.
+    "st102_stream_video_peak_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val name = "st102_out"
+      val staged = stagingDir("graft-stream-vpeak")
+      val avi = udf((id: Long) =>
+        if (id < 1000000L) Multimodal.syntheticAvi(id, 24, w = 48, h = 48)
+        else {
+          val m = Seq(0L, 1L, 10L, 11L)((id - 1000000L).toInt % 4)
+          ((id - 1000000L) % 4) match {
+            case 0 => Multimodal.syntheticAvi(m, 20, w = 28, h = 24,
+              frameOffset = 2, srcX0 = 7, srcY0 = 11)
+            case 1 => Multimodal.syntheticAvi(m, 20, w = 28, h = 24,
+              frameOffset = 2, srcX0 = 13, srcY0 = 5)
+            case 2 => Multimodal.syntheticAvi(m, 20, w = 28, h = 24,
+              frameOffset = 2, srcX0 = 3, srcY0 = 19)
+            case _ => Multimodal.syntheticAvi(m, 20, w = 28, h = 24,
+              frameOffset = 2, srcX0 = 17, srcY0 = 9)
+          }
+        })
+      def stageBatch(ids: org.apache.spark.sql.Dataset[java.lang.Long],
+          fname: String, ageMs: Long): Unit = {
+        val tmp = staged.resolve(fname + ".tmp")
+        ids.toDF("doc_id").select(col("doc_id"), avi(col("doc_id")).as("payload"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, staged.resolve(fname))
+        staged.resolve(fname).toFile.deleteOnExit()
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        java.nio.file.Files.setLastModifiedTime(staged.resolve(fname),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - ageMs))
+      }
+      stageBatch(Seq(0L, 1L, 10L, 11L).map(java.lang.Long.valueOf).toDS(),
+        "a.parquet", 120000L)
+      stageBatch(s.range(1000000L, 1000004L).as[java.lang.Long], "b.parquet", 0L)
+      val mediaSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("payload", BinaryType)))
+      val stream = s.readStream.schema(mediaSchema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+        .repartition(col("doc_id"))
+      val hits = graft.operators.StreamingNearDup.videoPeakVerdicts(
+        stream, "doc_id", "payload", every = 1, maxBucket = 64)
+      val q = hits.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+      val nl = s.table(name).groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("nl"))
+      val nlSrc = s.table(name).select(col("doc_id").as("src_id"))
+        .groupBy(col("src_id")).agg(count(lit(1)).as("nl_src"))
+      val dup = s.table(name)
+        .select(col("doc_id").as("d"), explode(col("hits")).as("src"))
+        .groupBy(col("d"), col("src")).agg(count(lit(1)).as("c"))
+        .join(nl, col("d") === nl("doc_id")).drop("doc_id")
+        .join(nlSrc, col("src") === col("src_id"))
+        .filter(col("c").cast("double") / least(col("nl"), col("nl_src"))
+          >= 0.6)
+        .groupBy(col("d")).agg(min(col("src")).as("dup_src"))
+      nl.join(dup, col("doc_id") === col("d"), "left")
+        .select(col("doc_id"), col("dup_src").isNull.as("kept"),
+          col("dup_src"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Incremental screen vs the persisted PEAK-PATCH landmark index —
     // the m136 tier's index member (PeakFpVersion-stamped, the m125
     // contract shape): 8 masters decode once into their content-

@@ -69,6 +69,39 @@ class Round11hSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"unexpected peak pairs: ${pairs.toSeq}")
   }
 
+  test("window-channel video tier (even extended) is blind to arbitrary-offset video crops") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val corpus = (Seq(0L, 1L, 10L, 11L).map(id =>
+        (id, Multimodal.syntheticAvi(id, 24, w = 48, h = 48))) ++
+      Seq(20L -> Multimodal.syntheticAvi(0, 20, w = 28, h = 24,
+        frameOffset = 2, srcX0 = 7, srcY0 = 11)))
+      .toDF("doc_id", "payload")
+    val cross = Multimodal.videoLandmarkPairsCrop(corpus, every = 1,
+        maxDf = 64, extended = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => b == 20L || a == 20L }
+    assert(cross.isEmpty,
+      s"window-channel tier must miss arbitrary-offset video crops: ${cross.toSeq}")
+  }
+
+  test("a cropped+trimmed video's pooled peak hashes are a subset of its master's") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val media = Seq(
+      (0L, Multimodal.syntheticAvi(0, 24, w = 48, h = 48)),
+      (20L, Multimodal.syntheticAvi(0, 20, w = 28, h = 24,
+        frameOffset = 2, srcX0 = 7, srcY0 = 11)))
+      .toDF("doc_id", "payload")
+    val lms = Multimodal.videoPeakLandmarks(media, every = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val master = lms.filter(_._1 == 0L).map(_._2).toSet
+    val crop = lms.filter(_._1 == 20L).map(_._2).toSet
+    assert(crop.nonEmpty && crop.subsetOf(master),
+      s"video crop peaks must reproduce master peaks bit-exactly " +
+        s"(missing: ${(crop -- master).take(3)})")
+  }
+
   test("peak index: append == rebuild; cross-family stamp rejected") {
     implicit val s: SparkSession = spark
     import s.implicits._
