@@ -3180,13 +3180,37 @@ object Multimodal {
     * [[IncrementalIndex.append]]-compatible; stamped with
     * [[PeakFpVersion]]. */
   def imagePeakIndex(media: DataFrame, radius: Int = 2, patch: Int = 4,
-      k: Int = 0)(implicit s: SparkSession): DataFrame = {
-    val lms = Materialize.eager(imagePeakLandmarks(media, radius, patch, k))
+      k: Int = 0)(implicit s: SparkSession): DataFrame =
+    peakIndexOf(Materialize.eager(imagePeakLandmarks(media, radius, patch, k)))
+
+  /** Persisted PEAK-PATCH index for VIDEO — the m138 tier's
+    * incremental member: one row per distinct (pooled peak hash, doc)
+    * with the doc's pooled landmark count riding along. SAME
+    * [[PeakFpVersion]] as the image index — the hashes come from the
+    * one shared kernel, so values are comparable across media kinds
+    * (the m127 shared-kernel precedent); `every`/`radius`/`patch`/`k`
+    * are build parameters, screen with what you built with. */
+  def videoPeakIndex(media: DataFrame, every: Int = 2, radius: Int = 2,
+      patch: Int = 4, k: Int = 0)(implicit s: SparkSession): DataFrame =
+    peakIndexOf(
+      Materialize.eager(videoPeakLandmarks(media, every, radius, patch, k)))
+
+  /** Screen an ingest batch of VIDEOS against a pre-built
+    * [[videoPeakIndex]]: same metric and contract as
+    * [[dedupAgainstImagePeakIndex]], probe landmarks pooled per doc
+    * from the sampled frames. */
+  def dedupAgainstVideoPeakIndex(media: DataFrame, index: DataFrame,
+      minMatch: Double = 0.6, every: Int = 2, radius: Int = 2,
+      patch: Int = 4, k: Int = 0)(implicit s: SparkSession): DataFrame =
+    screenPeakIndex(
+      Materialize.eager(videoPeakLandmarks(media, every, radius, patch, k)),
+      index, minMatch, "videoPeakIndex")
+
+  private def peakIndexOf(lms: DataFrame): DataFrame =
     lms.join(lms.groupBy(col("doc_id")).agg(count(lit(1)).as("nl")),
         Seq("doc_id"))
       .select(col("lm"), col("doc_id"), col("nl"),
         lit(PeakFpVersion).as("fp_ver"))
-  }
 
   /** Screen an ingest batch against a pre-built [[imagePeakIndex]]:
     * the batch decodes once, equi-joins the index on the peak-patch
@@ -3198,19 +3222,27 @@ object Multimodal {
     * built with. */
   def dedupAgainstImagePeakIndex(media: DataFrame, index: DataFrame,
       minMatch: Double = 0.6, radius: Int = 2, patch: Int = 4,
-      k: Int = 0)(implicit s: SparkSession): DataFrame = {
+      k: Int = 0)(implicit s: SparkSession): DataFrame =
+    screenPeakIndex(
+      Materialize.eager(imagePeakLandmarks(media, radius, patch, k)),
+      index, minMatch, "imagePeakIndex")
+
+  /** Shared screen kernel for the peak-landmark indexes (image m137 /
+    * video m139): fail-fast version check, landmark equi-join,
+    * shared-distinct over the smaller set >= minMatch. */
+  private def screenPeakIndex(lms: DataFrame, index: DataFrame,
+      minMatch: Double, builder: String): DataFrame = {
     require(index.columns.contains("fp_ver"),
       s"peak index has no fp_ver column: it predates fingerprint " +
-        s"version $PeakFpVersion — rebuild it with imagePeakIndex " +
+        s"version $PeakFpVersion — rebuild it with $builder " +
         "before screening")
     val stale = index.filter(col("fp_ver") =!= lit(PeakFpVersion))
       .limit(1).collect()
     require(stale.isEmpty,
       s"peak index built by fingerprint version " +
         s"${stale.headOption.map(_.getAs[Any]("fp_ver")).orNull}, " +
-        s"current is $PeakFpVersion — rebuild it with imagePeakIndex " +
+        s"current is $PeakFpVersion — rebuild it with $builder " +
         "before screening (cross-version landmarks never match)")
-    val lms = Materialize.eager(imagePeakLandmarks(media, radius, patch, k))
     val nl = lms.groupBy(col("doc_id")).agg(count(lit(1)).as("nl"))
     val dup = lms.join(
         index.select(col("lm"), col("doc_id").as("src"),

@@ -1865,6 +1865,37 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Incremental screen vs the persisted VIDEO peak index — the m138
+    // tier's index member (m137's contract at the video seam, same
+    // PeakFpVersion via the shared kernel): 4 masters (ids spaced per
+    // the m138 linear-generator note) pooled-peak-indexed once, then
+    // an ingest batch of 4 arbitrary-offset cropped + trimmed
+    // re-uploads plus 2 fresh videos screens against it with no
+    // corpus re-decode. Pinned golden.
+    "m139_video_peak_index_dedup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val avi = udf((id: Long) =>
+        if (id < 20) Multimodal.syntheticAvi(id, 24, w = 48, h = 48)
+        else if (id == 20L) Multimodal.syntheticAvi(0, 20, w = 28, h = 24,
+          frameOffset = 2, srcX0 = 7, srcY0 = 11)
+        else if (id == 21L) Multimodal.syntheticAvi(1, 20, w = 28, h = 24,
+          frameOffset = 2, srcX0 = 13, srcY0 = 5)
+        else if (id == 22L) Multimodal.syntheticAvi(10, 20, w = 28, h = 24,
+          frameOffset = 2, srcX0 = 3, srcY0 = 19)
+        else if (id == 23L) Multimodal.syntheticAvi(11, 20, w = 28, h = 24,
+          frameOffset = 2, srcX0 = 17, srcY0 = 9)
+        else Multimodal.syntheticAvi(id, 24, w = 48, h = 48))
+      val corpus = Seq(0L, 1L, 10L, 11L).toDF("id")
+        .select(col("id").as("doc_id"), avi(col("id")).as("payload"))
+      val index = Multimodal.videoPeakIndex(corpus, every = 1)
+      val probes = s.range(20, 24).toDF("id")
+        .union(Seq(200L, 201L).toDF("id"))
+        .select(col("id").as("doc_id"), avi(col("id")).as("payload"))
+      Multimodal.dedupAgainstVideoPeakIndex(probes, index, every = 1)
+        .orderBy(col("doc_id"))
+    }),
+
     // Incremental screen vs the persisted PEAK-PATCH landmark index —
     // the m136 tier's index member (PeakFpVersion-stamped, the m125
     // contract shape): 8 masters decode once into their content-

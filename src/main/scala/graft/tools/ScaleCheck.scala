@@ -99,6 +99,28 @@ object ScaleCheck {
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(col("us")))
   }
 
+  /** Image corpus for the PEAK-PATCH tier sweep: ~1/10 of docs are
+    * ARBITRARY-OFFSET 32x32 lossless crops of a master (offsets a
+    * pure function of the id, on no canonical-window anchor), the
+    * rest distinct 64x64 noise images. Planted pair = (id-9, id), so
+    * expected recall numerator is exactly n/10. The linear
+    * syntheticPng generator aliases SOME master id deltas into
+    * translated fields (the m138 lesson) — those extra true-shared-
+    * content pairs are excluded by the planted-pair filter and their
+    * posting-list load is capped by maxDf like any hot bucket. */
+  def pngs(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(0, n).map { id =>
+      val payload =
+        if (id % 10 == 9) {
+          val dx = 3 + (id % 17).toInt
+          val dy = 5 + (id % 13).toInt
+          Multimodal.syntheticPngCrop(id - 9, dx, dy, dx + 32, dy + 32)
+        } else Multimodal.syntheticPng(id, 64, 64)
+      (id, payload)
+    }.toDF("doc_id", "payload")
+  }
+
   def main(args: Array[String]): Unit = {
     val base = args.headOption.filter(_.forall(_.isDigit)).map(_.toInt).getOrElse(30000)
     // optional further args: only run ops whose name contains one of them
@@ -202,6 +224,19 @@ object ScaleCheck {
         run("audioOnsetLandmarkPairs", n / 8)(
           Multimodal.audioOnsetLandmarkPairs(a, maxDf = 500)
             .filter(col("match_frac") >= 0))
+        a.unpersist()
+      }
+      // peak-patch tier: corpus materialized outside the timings like
+      // the audio sweeps; the filter keeps only the n/10 PLANTED
+      // arbitrary-offset crop pairs so out= is the recall numerator
+      if (wanted("imagePeak")) {
+        implicit val sp: SparkSession = spark
+        val a = pngs(spark, n / 8).persist()
+        a.count()
+        run("imagePeakPairs(planted)", n / 8)(
+          Multimodal.imagePeakPairs(a, minMatch = 0.6, maxDf = 500)
+            .filter(col("doc_b") - col("doc_a") === 9 &&
+              col("doc_b") % 10 === 9))
         a.unpersist()
       }
       d.unpersist(); e.unpersist()
