@@ -1865,6 +1865,77 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // STREAM-STATIC peak index screen (the st85 shape at the peak
+    // seam): a standing corpus' peak index BROADCASTS — no state
+    // store at all — and every micro-batch of arrivals equi-joins its
+    // own peak landmarks against it; arbitrary-offset crop
+    // re-uploads of corpus masters dup mid-stream with no corpus
+    // re-decode and O(index) executor memory instead of O(stream)
+    // state. Pinned golden.
+    "st103_stream_peak_index_screen" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      val name = "st103_out"
+      val staged = stagingDir("graft-stream-peakidx")
+      val img = udf((id: Long) =>
+        if (id < 1000000L) Multimodal.syntheticPng(id, 64, 64)
+        else {
+          val m = id - 1000000L
+          (m % 4) match {
+            case 0 => Multimodal.syntheticPngCrop(m, 19, 13, 51, 45)
+            case 1 => Multimodal.syntheticPngCrop(m, 9, 23, 41, 55)
+            case 2 => Multimodal.syntheticPngCrop(m, 23, 5, 55, 37)
+            case _ => Multimodal.syntheticPngCrop(m, 13, 17, 45, 49)
+          }
+        })
+      val corpus = s.range(0, 8)
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      val index = Multimodal.imagePeakIndex(corpus)
+        .select(col("lm"), col("doc_id").as("src"), col("nl").as("nl_src"))
+      def stageBatch(ids: org.apache.spark.sql.Dataset[java.lang.Long],
+          fname: String, ageMs: Long): Unit = {
+        val tmp = staged.resolve(fname + ".tmp")
+        ids.toDF("doc_id").select(col("doc_id"), img(col("doc_id")).as("payload"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, staged.resolve(fname))
+        staged.resolve(fname).toFile.deleteOnExit()
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        java.nio.file.Files.setLastModifiedTime(staged.resolve(fname),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - ageMs))
+      }
+      stageBatch(s.range(1000000L, 1000004L).as[java.lang.Long],
+        "a.parquet", 120000L)
+      stageBatch(s.range(1000004L, 1000006L).as[java.lang.Long]
+        .union(s.range(140L, 142L).as[java.lang.Long]), "b.parquet", 0L)
+      val mediaSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("payload", BinaryType)))
+      val stream = s.readStream.schema(mediaSchema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+        .repartition(col("doc_id"))
+      val lms = Multimodal.imagePeakLandmarks(stream)
+      val joined = lms.join(broadcast(index), Seq("lm"), "left")
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+      val nl = s.table(name).groupBy(col("doc_id"))
+        .agg(countDistinct(col("lm")).as("nl"))
+      val dup = s.table(name).filter(col("src").isNotNull)
+        .select(col("doc_id").as("d"), col("src"), col("nl_src"))
+        .groupBy(col("d"), col("src"), col("nl_src"))
+        .agg(count(lit(1)).as("c"))
+        .join(nl, col("d") === nl("doc_id")).drop("doc_id")
+        .filter(col("c").cast("double") / least(col("nl"), col("nl_src"))
+          >= 0.6)
+        .groupBy(col("d")).agg(min(col("src")).as("dup_src"))
+      nl.join(dup, col("doc_id") === col("d"), "left")
+        .select(col("doc_id"), col("dup_src").isNull.as("kept"),
+          col("dup_src"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Incremental screen vs the persisted VIDEO peak index — the m138
     // tier's index member (m137's contract at the video seam, same
     // PeakFpVersion via the shared kernel): 4 masters (ids spaced per
