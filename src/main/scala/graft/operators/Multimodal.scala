@@ -2659,6 +2659,33 @@ object Multimodal {
     * phone-orientation repost fixture: PNG is lossless and the image
     * square, so the rotated image's as-is pHash equals the original's
     * correspondingly-rotated hash exactly. */
+  /** Dihedral-8 lossless re-encode of ANY PNG payload — the compound
+    * fixture helper (rotate/mirror a [[syntheticPngCrop]] for the
+    * rotated-arbitrary-crop class): horizontal mirror first when
+    * `orient >= 4`, then `orient % 4` clockwise quarter turns (the
+    * [[syntheticPngRotFlip]] convention). */
+  def pngDihedral(payload: Array[Byte], orient: Int): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    val w = img.getWidth
+    val h = img.getHeight
+    val q = orient % 4
+    val out = new java.awt.image.BufferedImage(
+      if (q % 2 == 1) h else w, if (q % 2 == 1) w else h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val sx = if (orient >= 4) w - 1 - x else x
+      val (nx, ny) = q match {
+        case 1 => (h - 1 - y, x)
+        case 2 => (w - 1 - x, h - 1 - y)
+        case 3 => (y, w - 1 - x)
+        case _ => (x, y)
+      }
+      out.setRGB(nx, ny, img.getRGB(sx, y))
+    }
+    encodePng(out)
+  }
+
   def syntheticPngRot(id: Long, quarterTurns: Int,
       w: Int = 16, h: Int = 16): Array[Byte] = {
     val img = javax.imageio.ImageIO.read(
@@ -2996,64 +3023,118 @@ object Multimodal {
       val w = img.getWidth
       val h = img.getHeight
       val luma = lumaPlane(img)
-      // smoothed plane (3x3 box sums), defined on [1, w-1) x [1, h-1)
-      val sm = new Array[Int](w * h)
-      var y = 1
-      while (y < h - 1) {
-        var x = 1
-        while (x < w - 1) {
-          var s = 0
-          var dy = -1
-          while (dy <= 1) {
-            var dx = -1
-            while (dx <= 1) { s += luma((y + dy) * w + (x + dx)) & 0xff; dx += 1 }
-            dy += 1
-          }
-          sm(y * w + x) = s
-          x += 1
+      val peaks = peakCells(luma, w, h, radius, patch)
+        .map { case (x, y, v) =>
+          (v, patchHashOriented(luma, w, x, y, patch, 0))
         }
-        y += 1
-      }
-      val margin = math.max(radius + 2, patch)
-      val peaks = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
-      y = margin
-      while (y < h - margin) {
-        var x = margin
-        while (x < w - margin) {
-          val v = sm(y * w + x)
-          var isMax = true
-          var dy = -radius
-          while (isMax && dy <= radius) {
-            var dx = -radius
-            while (isMax && dx <= radius) {
-              if ((dx != 0 || dy != 0) && sm((y + dy) * w + (x + dx)) >= v)
-                isMax = false
-              dx += 1
-            }
-            dy += 1
-          }
-          if (isMax) {
-            var hsh = 0xcbf29ce484222325L
-            var py = y - patch
-            while (py <= y + patch) {
-              var px = x - patch
-              while (px <= x + patch) {
-                hsh ^= (luma(py * w + px) & 0xffL)
-                hsh *= 0x100000001b3L
-                px += 1
-              }
-              py += 1
-            }
-            peaks += ((v, hsh))
-          }
-          x += 1
-        }
-        y += 1
-      }
       val ranked =
         if (k <= 0) peaks
         else peaks.sortBy { case (v, hsh) => (-v, hsh) }.take(k)
       ranked.map(_._2).distinct.toSeq
+    }
+
+  /** The peak-detection core shared by the plain and dihedral hash
+    * forms: strict local maxima (x, y, smoothed value) of the 3x3
+    * box-SUM plane over a Chebyshev `radius` neighborhood, with full
+    * support margin. */
+  private def peakCells(luma: Array[Byte], w: Int, h: Int,
+      radius: Int, patch: Int): scala.collection.mutable.ArrayBuffer[(Int, Int, Int)] = {
+    // smoothed plane (3x3 box sums), defined on [1, w-1) x [1, h-1)
+    val sm = new Array[Int](w * h)
+    var y = 1
+    while (y < h - 1) {
+      var x = 1
+      while (x < w - 1) {
+        var s = 0
+        var dy = -1
+        while (dy <= 1) {
+          var dx = -1
+          while (dx <= 1) { s += luma((y + dy) * w + (x + dx)) & 0xff; dx += 1 }
+          dy += 1
+        }
+        sm(y * w + x) = s
+        x += 1
+      }
+      y += 1
+    }
+    val margin = math.max(radius + 2, patch)
+    val peaks = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+    y = margin
+    while (y < h - margin) {
+      var x = margin
+      while (x < w - margin) {
+        val v = sm(y * w + x)
+        var isMax = true
+        var dy = -radius
+        while (isMax && dy <= radius) {
+          var dx = -radius
+          while (isMax && dx <= radius) {
+            if ((dx != 0 || dy != 0) && sm((y + dy) * w + (x + dx)) >= v)
+              isMax = false
+            dx += 1
+          }
+          dy += 1
+        }
+        if (isMax) peaks += ((x, y, v))
+        x += 1
+      }
+      y += 1
+    }
+    peaks
+  }
+
+  /** FNV-1a 64 of the (2*patch+1)^2 square centered at (x, y), read
+    * out under dihedral element `o` (0 = natural row-major — the
+    * [[peakPatchHashes]] order bit-for-bit; 1-3 = quarter turns;
+    * 4-7 = mirrored then turned). The 8 readouts form the full
+    * dihedral group, so for ANY rotation/mirror `g` applied to the
+    * IMAGE, the transformed image's NATURAL readout of a surviving
+    * peak equals the original's readout under the group element
+    * undoing `g` — the probe-side orientation fan the flip/rot/
+    * dihedral pHash tiers use, at the patch seam. */
+  private def patchHashOriented(luma: Array[Byte], w: Int, x: Int,
+      y: Int, patch: Int, o: Int): Long = {
+    var hsh = 0xcbf29ce484222325L
+    var j = -patch
+    while (j <= patch) {
+      var i = -patch
+      while (i <= patch) {
+        val (si, sj) = o match {
+          case 1 => (j, -i)
+          case 2 => (-i, -j)
+          case 3 => (-j, i)
+          case 4 => (-i, j)
+          case 5 => (j, i)
+          case 6 => (i, -j)
+          case 7 => (-j, -i)
+          case _ => (i, j)
+        }
+        hsh ^= (luma((y + sj) * w + (x + si)) & 0xffL)
+        hsh *= 0x100000001b3L
+        i += 1
+      }
+      j += 1
+    }
+    hsh
+  }
+
+  /** All 8 dihedral readouts per peak — the ROTATED/MIRRORED +
+    * arbitrary-crop compound's probe table: (orient, hash) rows,
+    * orient 0 bit-identical to [[peakPatchHashes]]. Peak DETECTION is
+    * dihedral-invariant (box smoothing, Chebyshev neighborhood, and
+    * margins are all square-symmetric), so a rotated crop's natural
+    * peaks are exactly the master's surviving peaks — only the
+    * readout order changes, and one of the 8 undoes it. */
+  private[operators] def peakPatchHashesDihedral(payload: Array[Byte],
+      radius: Int = 2, patch: Int = 4): Option[Seq[(Int, Long)]] =
+    decodeImage(payload).map { img =>
+      val w = img.getWidth
+      val h = img.getHeight
+      val luma = lumaPlane(img)
+      val cells = peakCells(luma, w, h, radius, patch)
+      (0 until 8).flatMap(o =>
+        cells.map { case (x, y, _) =>
+          (o, patchHashOriented(luma, w, x, y, patch, o)) }.distinct)
     }
 
   /** One (doc_id, lm) posting row per distinct peak-patch hash — the
@@ -3065,6 +3146,63 @@ object Multimodal {
     media.select(col("doc_id"), u(col("payload")).as("hs"))
       .filter(col("hs").isNotNull)
       .select(col("doc_id"), explode(col("hs")).as("lm"))
+  }
+
+  /** One (doc_id, orient, lm) row per dihedral readout of each peak —
+    * the compound tier's probe table ([[peakPatchHashesDihedral]]). */
+  def imagePeakLandmarksOriented(media: DataFrame, radius: Int = 2,
+      patch: Int = 4)(implicit s: SparkSession): DataFrame = {
+    val u = udf((p: Array[Byte]) => peakPatchHashesDihedral(p, radius, patch))
+    media.select(col("doc_id"), u(col("payload")).as("hs"))
+      .filter(col("hs").isNotNull)
+      .select(col("doc_id"), explode(col("hs")).as("oh"))
+      .select(col("doc_id"), col("oh._1").as("orient"), col("oh._2").as("lm"))
+  }
+
+  /** [[imagePeakPairs]] extended to the ROTATED/MIRRORED + arbitrary-
+    * crop COMPOUND (the m140 leg): candidates bucket by landmark with
+    * the lower doc's ORIENT-0 hashes on one side and any of the
+    * higher doc's 8 readouts on the other (the dihedral pHash tiers'
+    * asymmetric probe shape — state/index stay as-is-sized), scored
+    * per orientation over the smaller orient-0 peak count. A repost
+    * that is cropped at ANY offset AND rotated/mirrored lands at the
+    * orientation undoing the transform; the plain peak tier (exact
+    * readout) and every window tier miss it. Output (doc_a, doc_b,
+    * orient, match_frac). */
+  def imagePeakPairsDihedral(media: DataFrame, minMatch: Double = 0.6,
+      maxDf: Int = 0, radius: Int = 2, patch: Int = 4)(
+      implicit s: SparkSession): DataFrame = {
+    val lms = Materialize.eager(
+      imagePeakLandmarksOriented(media, radius, patch))
+    val n0 = lms.filter(col("orient") === 0)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("nl"))
+    val capped =
+      if (maxDf <= 0) lms
+      else lms.join(
+        lms.groupBy(col("lm"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .filter(col("df") <= maxDf).select(col("lm")),
+        Seq("lm"), "left_semi")
+    val kept = capped.groupBy(col("lm"))
+      .agg(collect_list(struct(col("doc_id"), col("orient"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    val ds = array_sort(col("ds"))
+    kept.select(explode(flatten(transform(ds, (x, i) =>
+        transform(slice(ds, i + lit(2), greatest(size(ds) - i - 1, lit(0))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .filter(col("p.a.doc_id") < col("p.b.doc_id"))
+      .filter(col("p.a.orient") === 0)
+      .groupBy(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        col("p.b.orient").as("orient"))
+      .agg(count(lit(1)).as("c"))
+      .join(n0.select(col("doc_id").as("doc_a"), col("nl").as("na")),
+        Seq("doc_a"))
+      .join(n0.select(col("doc_id").as("doc_b"), col("nl").as("nb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("orient"),
+        round(col("c").cast("double") / least(col("na"), col("nb")), 6)
+          .as("match_frac"))
+      .filter(col("match_frac") >= minMatch)
   }
 
   /** Image near-dup pairs tolerant of ARBITRARY-OFFSET crops — the

@@ -1865,6 +1865,35 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // ROTATED/MIRRORED + ARBITRARY-CROP compound image dedup — the
+    // m136 peak tier crossed with the dihedral-8 probe fan (m140):
+    // probes are arbitrary-offset crops THEN rotated/mirrored, a
+    // compound the plain peak tier (exact readout order) and every
+    // window/pHash tier miss structurally (Round11hSpec pins both).
+    // Peak DETECTION is dihedral-invariant, so only the patch readout
+    // changes — the probe fans its 8 readouts and the orientation
+    // undoing the transform lands every interior peak at 1.0. Pinned
+    // golden (orient column = the detected group element).
+    "m140_peak_dihedral_crop_pairs" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val img = udf((id: Long) =>
+        if (id < 20) Multimodal.syntheticPng(id, 64, 64)
+        else if (id == 20L) Multimodal.pngDihedral(
+          Multimodal.syntheticPngCrop(6, 20, 12, 52, 44), 1)
+        else if (id == 21L) Multimodal.pngDihedral(
+          Multimodal.syntheticPngCrop(0, 11, 7, 43, 39), 2)
+        else if (id == 22L) Multimodal.pngDihedral(
+          Multimodal.syntheticPngCrop(1, 5, 21, 37, 53), 4)
+        else if (id == 23L) Multimodal.pngDihedral(
+          Multimodal.syntheticPngCrop(2, 17, 3, 49, 35), 6)
+        else Multimodal.syntheticPng(id, 64, 64))
+      val media = s.range(0, 8).union(s.range(20, 24))
+        .union(s.range(140, 142))
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      Multimodal.imagePeakPairsDihedral(media, minMatch = 0.6, maxDf = 64)
+        .orderBy(col("doc_a"), col("doc_b"), col("orient"))
+    }),
+
     // STREAM-STATIC peak index screen (the st85 shape at the peak
     // seam): a standing corpus' peak index BROADCASTS — no state
     // store at all — and every micro-batch of arrivals equi-joins its

@@ -102,6 +102,26 @@ class Round11hSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"(missing: ${(crop -- master).take(3)})")
   }
 
+  test("plain peak tier misses a rotated crop; dihedral orient-0 is bit-identical to plain") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val rotCrop = Multimodal.pngDihedral(
+      Multimodal.syntheticPngCrop(6, 20, 12, 52, 44), 1)
+    val media = Seq(
+      (6L, Multimodal.syntheticPng(6, 64, 64)), (20L, rotCrop))
+      .toDF("doc_id", "payload")
+    val plain = Multimodal.imagePeakPairs(media, minMatch = 0.05,
+      maxDf = 64).collect()
+    assert(plain.isEmpty,
+      s"plain peak tier must miss the rotated crop: ${plain.toSeq}")
+    val png = Multimodal.syntheticPng(3, 64, 64)
+    val o0 = Multimodal.peakPatchHashesDihedral(png).get
+      .filter(_._1 == 0).map(_._2)
+    val base = Multimodal.peakPatchHashes(png).get
+    assert(o0 == base,
+      "dihedral orient-0 readout must reproduce the plain hashes bit-for-bit")
+  }
+
   test("peak index: append == rebuild; cross-family stamp rejected") {
     implicit val s: SparkSession = spark
     import s.implicits._
