@@ -36,6 +36,12 @@ case class FrameHits(doc_id: Long, frame_idx: Int, hits: Seq[Long])
   * the time-shift-tolerant streaming analog of [[FrameHits]]. */
 case class LandmarkHits(doc_id: Long, lm: Long, hits: Seq[Long])
 
+/** [[LandmarkHits]] with the probe readout's dihedral element — the
+  * streaming record of the oriented peak tier (st104): orient 0 rows
+  * registered state, 1-7 are probe-only readouts. */
+case class LandmarkHitsO(doc_id: Long, orient: Int, lm: Long,
+    hits: Seq[Long])
+
 /** One video-landmark hit record per (document, landmark): the
   * landmark is the pair of consecutive sampled-frame pHashes. */
 case class VideoLandmarkHits(doc_id: Long, lm_a: Long, lm_b: Long,
@@ -549,6 +555,45 @@ object StreamingNearDup {
           val (seen, out) = foldBucket(state.getOption.getOrElse(Nil),
             rows.toSeq.map(_._1).sorted, maxBucket)(
             (id, hits) => LandmarkHits(id, lm, hits))
+          state.update(seen)
+          out.iterator
+      }
+  }
+
+  /** [[imagePeakVerdicts]] extended to the ROTATED/MIRRORED +
+    * arbitrary-crop compound — the m140 tier in the streaming matrix:
+    * every arrival probes landmark buckets with all 8 dihedral patch
+    * READOUTS (`Multimodal.imagePeakLandmarksOriented`, one decode —
+    * peak detection is dihedral-invariant), but only orient-0
+    * landmarks enter state, so per-doc state is unchanged and a
+    * rotated crop re-delivery lands in its master's buckets at the
+    * element undoing the transform. Same-doc orientation self-matches
+    * excluded; same id-monotonic determinism contract and `maxBucket`
+    * cap as the family. */
+  def imagePeakVerdictsDihedral(media: DataFrame, idCol: String,
+      payloadCol: String, radius: Int = 2, patch: Int = 4,
+      maxBucket: Int = 0): Dataset[LandmarkHitsO] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val lms = Multimodal.imagePeakLandmarksOriented(
+      media.select(col(idCol).cast("long").as("doc_id"),
+        col(payloadCol).as("payload")), radius, patch)
+      .as[(Long, Int, Long)]
+    lms.groupByKey(_._3)
+      .flatMapGroupsWithState[List[Long], LandmarkHitsO](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (lm, rows, state: GroupState[List[Long]]) =>
+          var seen = state.getOption.getOrElse(Nil)
+          var n = seen.size
+          val out = rows.toSeq.sortBy(r => (r._1, r._2)).map { r =>
+            val capped = maxBucket > 0 && n >= maxBucket
+            val hits = if (capped) Nil else seen.filter(_ != r._1)
+            if (!capped && r._2 == 0 && !seen.contains(r._1)) {
+              seen = r._1 :: seen; n += 1
+            }
+            LandmarkHitsO(r._1, r._2, lm, hits)
+          }
           state.update(seen)
           out.iterator
       }

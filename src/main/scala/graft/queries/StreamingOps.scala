@@ -1894,6 +1894,80 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"), col("orient"))
     }),
 
+    // STREAMING rotated + arbitrary-crop compound image dedup (the
+    // m140 tier in the streaming matrix): micro-batch 1 delivers 6
+    // masters — orient-0 landmarks enter bucket state — micro-batch 2
+    // their crops rotated/mirrored after cropping; each re-delivery's
+    // 8 patch readouts probe the buckets and the element undoing its
+    // transform lands every interior peak. Consumer scores the BEST
+    // orientation's hit count over the probe's orient-0 landmark
+    // count. Pinned golden.
+    "st104_stream_peak_dihedral_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val name = "st104_out"
+      val staged = stagingDir("graft-stream-peakdih")
+      val img = udf((id: Long) =>
+        if (id < 1000000L) Multimodal.syntheticPng(id, 64, 64)
+        else {
+          val m = id - 1000000L
+          (m % 4) match {
+            case 0 => Multimodal.pngDihedral(
+              Multimodal.syntheticPngCrop(m, 19, 13, 51, 45), 1)
+            case 1 => Multimodal.pngDihedral(
+              Multimodal.syntheticPngCrop(m, 9, 23, 41, 55), 2)
+            case 2 => Multimodal.pngDihedral(
+              Multimodal.syntheticPngCrop(m, 23, 5, 55, 37), 4)
+            case _ => Multimodal.pngDihedral(
+              Multimodal.syntheticPngCrop(m, 13, 17, 45, 49), 7)
+          }
+        })
+      def stageBatch(ids: org.apache.spark.sql.Dataset[java.lang.Long],
+          fname: String, ageMs: Long): Unit = {
+        val tmp = staged.resolve(fname + ".tmp")
+        ids.toDF("doc_id").select(col("doc_id"), img(col("doc_id")).as("payload"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, staged.resolve(fname))
+        staged.resolve(fname).toFile.deleteOnExit()
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        java.nio.file.Files.setLastModifiedTime(staged.resolve(fname),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - ageMs))
+      }
+      stageBatch(s.range(0, 6).as[java.lang.Long], "a.parquet", 120000L)
+      stageBatch(s.range(1000000L, 1000006L).as[java.lang.Long], "b.parquet", 0L)
+      val mediaSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("payload", BinaryType)))
+      val stream = s.readStream.schema(mediaSchema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+        .repartition(col("doc_id"))
+      val hits = graft.operators.StreamingNearDup.imagePeakVerdictsDihedral(
+        stream, "doc_id", "payload", maxBucket = 64)
+      val q = hits.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+      val nl = s.table(name).filter(col("orient") === 0)
+        .groupBy(col("doc_id")).agg(countDistinct(col("lm")).as("nl"))
+      val nlSrc = s.table(name).filter(col("orient") === 0)
+        .select(col("doc_id").as("src_id"), col("lm"))
+        .groupBy(col("src_id")).agg(countDistinct(col("lm")).as("nl_src"))
+      val dup = s.table(name)
+        .select(col("doc_id").as("d"), col("orient"),
+          explode(col("hits")).as("src"))
+        .groupBy(col("d"), col("orient"), col("src"))
+        .agg(count(lit(1)).as("c"))
+        .join(nl, col("d") === nl("doc_id")).drop("doc_id")
+        .join(nlSrc, col("src") === col("src_id"))
+        .filter(col("c").cast("double") / least(col("nl"), col("nl_src"))
+          >= 0.6)
+        .groupBy(col("d")).agg(min(col("src")).as("dup_src"))
+      nl.join(dup, col("doc_id") === col("d"), "left")
+        .select(col("doc_id"), col("dup_src").isNull.as("kept"),
+          col("dup_src"))
+        .orderBy(col("doc_id"))
+    }),
+
     // STREAM-STATIC peak index screen (the st85 shape at the peak
     // seam): a standing corpus' peak index BROADCASTS — no state
     // store at all — and every micro-batch of arrivals equi-joins its
