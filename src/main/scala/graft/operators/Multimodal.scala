@@ -3037,7 +3037,7 @@ object Multimodal {
     * forms: strict local maxima (x, y, smoothed value) of the 3x3
     * box-SUM plane over a Chebyshev `radius` neighborhood, with full
     * support margin. */
-  private def peakCells(luma: Array[Byte], w: Int, h: Int,
+  private[operators] def peakCells(luma: Array[Byte], w: Int, h: Int,
       radius: Int, patch: Int): scala.collection.mutable.ArrayBuffer[(Int, Int, Int)] = {
     // smoothed plane (3x3 box sums), defined on [1, w-1) x [1, h-1)
     val sm = new Array[Int](w * h)
@@ -3299,6 +3299,140 @@ object Multimodal {
     peakLandmarkPairScores(
       Materialize.eager(videoPeakLandmarks(media, every, radius, patch, k)),
       minMatch, maxDf)
+
+  /** Gray-coded 4-bit quantization table: adjacent luma levels differ
+    * by ONE bit, so a quantization-boundary crossing under JPEG noise
+    * costs one hamming bit, not up to four. */
+  private val grayCode4: Array[Long] =
+    Array(0, 1, 3, 2, 6, 7, 5, 4, 12, 13, 15, 14, 10, 11, 9, 8)
+
+  /** 64-bit GRAY-MEAN descriptor per peak — the LOSSY-tolerant form
+    * of the peak tier (the m141 leg): a 4x4 grid of box means over
+    * the (2*patchDesc+1)^2 neighborhood, each mean quantized to 16
+    * luma levels and GRAY-coded into 4 bits (16 cells x 4 b = 64 b).
+    * Cell boundaries derive from PATCH-LOCAL coordinates with the
+    * [[grid32Window]] integer arithmetic, so a lossless translation
+    * (any crop) reproduces the descriptor BIT-EXACTLY (dist 0);
+    * JPEG quantization noise — which kills the exact patch hashes
+    * wholesale — averages out inside the cells and flips <= ~2 bits
+    * at encode quality >= 0.88 (measured; one bit per cell whose
+    * mean sits on a 16-level boundary). Peak POSITIONS hold exactly
+    * at quality >= 0.9. Mean VALUES (not mean-relative signs) carry
+    * the content's phase, keeping unrelated patches far. Rows are
+    * (peak_idx, descriptor): the index is detection-order identity
+    * for distinct-matched counting, never compared across images. */
+  private[operators] def peakBlockDescriptors(payload: Array[Byte],
+      radius: Int = 2, patchDesc: Int = 8): Option[Seq[(Int, Long)]] =
+    decodeImage(payload).map { img =>
+      val w = img.getWidth
+      val h = img.getHeight
+      val luma = lumaPlane(img)
+      val s = 2 * patchDesc + 1
+      peakCells(luma, w, h, radius, patchDesc).zipWithIndex.map {
+        case ((x, y, _), idx) =>
+          var b = 0L
+          var cy = 0
+          while (cy < 4) {
+            var cx = 0
+            while (cx < 4) {
+              val x0 = x - patchDesc + cx * s / 4
+              val x1 = x - patchDesc + math.max((cx + 1) * s / 4, cx * s / 4 + 1)
+              val y0 = y - patchDesc + cy * s / 4
+              val y1 = y - patchDesc + math.max((cy + 1) * s / 4, cy * s / 4 + 1)
+              var acc = 0L
+              var n = 0
+              var yy = y0
+              while (yy < y1) {
+                var xx = x0
+                while (xx < x1) { acc += luma(yy * w + xx) & 0xff; n += 1; xx += 1 }
+                yy += 1
+              }
+              val lvl = math.min(15, (acc.toDouble / n / 16).toInt)
+              b |= (grayCode4(lvl) << ((cy * 4 + cx) * 4))
+              cx += 1
+            }
+            cy += 1
+          }
+          (idx, b)
+      }.toSeq
+    }
+
+  /** Image near-dup pairs tolerant of LOSSY (JPEG re-encoded)
+    * arbitrary-offset crops — the class the exact-hash peak tier
+    * (m136) declares out: peaks anchor as before (positions hold
+    * under quantization at quality >= ~0.9), descriptors match within
+    * hamming `maxDist` via the pHash 4x16-bit chunk recall guarantee,
+    * and a pair scores DISTINCT matched peaks over the SMALLER side's
+    * peak count. Pick `maxDist` by corpus self-similarity: 1 suffices
+    * for quality >= ~0.92 (the m141 gate; the synthetic family's
+    * near-aliased patches start colliding at 2-3), 2-3 buys margin at
+    * lower qualities on corpora with genuinely independent content.
+    * What stays out: qualities low enough to move the peaks
+    * themselves (~< 0.85). */
+  def imagePeakPairsLossy(media: DataFrame, minMatch: Double = 0.5,
+      maxDist: Int = 3, maxDf: Int = 0, radius: Int = 2,
+      patchDesc: Int = 8)(implicit s: SparkSession): DataFrame = {
+    require(maxDist < 4, "4 x 16-bit chunks guarantee recall only for maxDist <= 3")
+    val u = udf((p: Array[Byte]) => peakBlockDescriptors(p, radius, patchDesc))
+    val rows = Materialize.eager(
+      media.select(col("doc_id"), u(col("payload")).as("ds")))
+      .filter(col("ds").isNotNull)
+      .select(col("doc_id"), explode(col("ds")).as("pd"))
+      .select(col("doc_id"), col("pd._1").as("pk"), col("pd._2").as("d"))
+    val nl = rows.groupBy(col("doc_id")).agg(count(lit(1)).as("nl"))
+    val chunks = rows.select(col("doc_id"), col("pk"), col("d"), posexplode(
+        array((0 until 4).map(c =>
+          shiftright(col("d"), c * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .select(col("doc_id"), col("pk"), col("d"), col("pos").as("chunk"),
+        col("col").as("ckey"))
+    val capped =
+      if (maxDf <= 0) chunks
+      else chunks.join(
+        chunks.groupBy(col("chunk"), col("ckey"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .filter(col("df") <= maxDf).select(col("chunk"), col("ckey")),
+        Seq("chunk", "ckey"), "left_semi")
+    val cand = capped.select(col("doc_id").as("doc_a"), col("pk").as("pk_a"),
+        col("d").as("da"), col("chunk"), col("ckey"))
+      .join(capped.select(col("doc_id").as("doc_b"), col("pk").as("pk_b"),
+        col("d").as("db"), col("chunk"), col("ckey")),
+        Seq("chunk", "ckey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "pk_a", "doc_b", "pk_b")
+      .filter(bit_count(col("da").bitwiseXOR(col("db"))) <= maxDist)
+    cand.groupBy(col("doc_a"), col("doc_b"))
+      .agg(countDistinct(col("pk_a")).as("ca"),
+        countDistinct(col("pk_b")).as("cb"))
+      .join(nl.select(col("doc_id").as("doc_a"), col("nl").as("na")),
+        Seq("doc_a"))
+      .join(nl.select(col("doc_id").as("doc_b"), col("nl").as("nb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(when(col("na") <= col("nb"),
+            col("ca").cast("double") / col("na"))
+          .otherwise(col("cb").cast("double") / col("nb")), 6)
+          .as("match_frac"))
+      .filter(col("match_frac") >= minMatch)
+  }
+
+  /** Lossy JPEG re-encode of any image payload at the given quality —
+    * the m141 fixture helper (javax.imageio writer, explicit
+    * compression quality). */
+  def jpegReencode(payload: Array[Byte], quality: Float): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = w.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    w.setOutput(ios)
+    w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    ios.close()
+    w.dispose()
+    bos.toByteArray
+  }
 
   /** Version stamp for the PEAK-PATCH landmark family
     * ([[peakPatchHashes]] — smoothing kernel, strict-max rule, patch

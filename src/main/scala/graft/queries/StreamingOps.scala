@@ -1894,6 +1894,36 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"), col("orient"))
     }),
 
+    // LOSSY (JPEG re-encoded) arbitrary-offset crop dedup — the last
+    // crop class standing (m141): the exact-hash peak tier dies
+    // wholesale under quantization (every patch byte perturbs —
+    // Round11hSpec pins zero exact-hash survival at q=0.92), but peak
+    // POSITIONS hold and the 8x8 block-mean descriptor flips <= 2
+    // bits, inside the hamming-3 chunk guarantee. Probes are crops at
+    // arbitrary offsets re-encoded as JPEG at quality 0.92 — the
+    // thumbnail-pipeline compound (crop + lossy save) real re-uploads
+    // overwhelmingly are. Pinned golden.
+    "m141_peak_lossy_crop_pairs" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val img = udf((id: Long) =>
+        if (id < 20) Multimodal.syntheticPng(id, 64, 64)
+        else if (id == 20L) Multimodal.jpegReencode(
+          Multimodal.syntheticPngCrop(6, 20, 12, 52, 44), 0.92f)
+        else if (id == 21L) Multimodal.jpegReencode(
+          Multimodal.syntheticPngCrop(0, 11, 7, 43, 39), 0.92f)
+        else if (id == 22L) Multimodal.jpegReencode(
+          Multimodal.syntheticPngCrop(1, 5, 21, 37, 53), 0.92f)
+        else if (id == 23L) Multimodal.jpegReencode(
+          Multimodal.syntheticPngCrop(2, 17, 3, 49, 35), 0.92f)
+        else Multimodal.syntheticPng(id, 64, 64))
+      val media = s.range(0, 8).union(s.range(20, 24))
+        .union(s.range(140, 142))
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      Multimodal.imagePeakPairsLossy(media, minMatch = 0.75, maxDist = 1,
+        maxDf = 64)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // STREAMING rotated + arbitrary-crop compound image dedup (the
     // m140 tier in the streaming matrix): micro-batch 1 delivers 6
     // masters — orient-0 landmarks enter bucket state — micro-batch 2

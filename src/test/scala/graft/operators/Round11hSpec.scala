@@ -122,6 +122,28 @@ class Round11hSpec extends AnyFunSuite with BeforeAndAfterAll {
       "dihedral orient-0 readout must reproduce the plain hashes bit-for-bit")
   }
 
+  test("exact-hash peak tier dies under JPEG; gray-mean descriptors are translation-exact") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val crop = Multimodal.syntheticPngCrop(6, 20, 12, 52, 44)
+    val lossy = Multimodal.jpegReencode(crop, 0.92f)
+    val media = Seq(
+      (6L, Multimodal.syntheticPng(6, 64, 64)), (20L, lossy))
+      .toDF("doc_id", "payload")
+    val exact = Multimodal.imagePeakPairs(media, minMatch = 0.05,
+      maxDf = 64).collect()
+    assert(exact.isEmpty,
+      s"exact-hash peak tier must die under JPEG: ${exact.toSeq}")
+    // lossless translation: the crop's descriptor multiset is a
+    // subset of the master's, at distance ZERO
+    val master = Multimodal.peakBlockDescriptors(
+      Multimodal.syntheticPng(6, 64, 64)).get.map(_._2).toSet
+    val cropDs = Multimodal.peakBlockDescriptors(crop).get.map(_._2).toSet
+    assert(cropDs.nonEmpty && cropDs.subsetOf(master),
+      s"lossless-crop descriptors must be bit-exact subsets " +
+        s"(missing: ${(cropDs -- master).take(3)})")
+  }
+
   test("peak index: append == rebuild; cross-family stamp rejected") {
     implicit val s: SparkSession = spark
     import s.implicits._
