@@ -3415,6 +3415,97 @@ object Multimodal {
       .filter(col("match_frac") >= minMatch)
   }
 
+  /** Version stamp for the GRAY-MEAN peak descriptor family
+    * ([[peakBlockDescriptors]] — detection core, cell grid,
+    * quantization, gray table): namespaced (peak-desc = 10000 + v);
+    * 10001 = v1. Distinct from the exact-hash peak family's 9001 —
+    * the two produce incomparable values and must never cross-screen.
+    * Parameters (radius, patchDesc, maxDist) are build/screen
+    * choices, not covered. */
+  val PeakDescFpVersion: Int = 10001
+
+  /** Persisted GRAY-MEAN descriptor index — the incremental member of
+    * the m141 lossy-crop tier: one row per (descriptor chunk slot,
+    * chunk value, doc, peak) — the [[pHashChunkIndex]] layout at the
+    * peak seam, 4 rows per peak — with the doc's peak count riding
+    * along, stamped [[PeakDescFpVersion]].
+    * [[dedupAgainstImagePeakLossyIndex]] screens an ingest batch: a
+    * JPEG-saved crop of a corpus master is caught with no corpus
+    * re-decode. [[IncrementalIndex.append]]-compatible. */
+  def imagePeakLossyIndex(media: DataFrame, radius: Int = 2,
+      patchDesc: Int = 8)(implicit s: SparkSession): DataFrame = {
+    val u = udf((p: Array[Byte]) => peakBlockDescriptors(p, radius, patchDesc))
+    val rows = Materialize.eager(
+      media.select(col("doc_id"), u(col("payload")).as("ds")))
+      .filter(col("ds").isNotNull)
+      .select(col("doc_id"), explode(col("ds")).as("pd"))
+      .select(col("doc_id"), col("pd._1").as("pk"), col("pd._2").as("d"))
+    rows.join(rows.groupBy(col("doc_id")).agg(count(lit(1)).as("nl")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("pk"), col("d"), col("nl"), posexplode(
+        array((0 until 4).map(c =>
+          shiftright(col("d"), c * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .select(col("pos").as("chunk"), col("col").as("ckey"),
+        col("doc_id"), col("pk"), col("d"), col("nl"),
+        lit(PeakDescFpVersion).as("fp_ver"))
+  }
+
+  /** Screen an ingest batch against a pre-built
+    * [[imagePeakLossyIndex]]: the batch computes its descriptors
+    * once, equi-joins the index on (chunk slot, chunk value),
+    * verifies candidates with one `bit_count` <= maxDist, and a probe
+    * duplicates the lowest corpus doc whose DISTINCT matched peaks
+    * over the smaller side reach `minMatch` (the m141 metric; screen
+    * with the maxDist you validated for your quality floor).
+    * Enforces [[PeakDescFpVersion]]. */
+  def dedupAgainstImagePeakLossyIndex(media: DataFrame, index: DataFrame,
+      minMatch: Double = 0.75, maxDist: Int = 1, radius: Int = 2,
+      patchDesc: Int = 8)(implicit s: SparkSession): DataFrame = {
+    require(maxDist < 4, "4 x 16-bit chunks guarantee recall only for maxDist <= 3")
+    require(index.columns.contains("fp_ver"),
+      s"peak-desc index has no fp_ver column: it predates fingerprint " +
+        s"version $PeakDescFpVersion — rebuild it with " +
+        "imagePeakLossyIndex before screening")
+    val stale = index.filter(col("fp_ver") =!= lit(PeakDescFpVersion))
+      .limit(1).collect()
+    require(stale.isEmpty,
+      s"peak-desc index built by fingerprint version " +
+        s"${stale.headOption.map(_.getAs[Any]("fp_ver")).orNull}, " +
+        s"current is $PeakDescFpVersion — rebuild it with " +
+        "imagePeakLossyIndex before screening (cross-version " +
+        "descriptors never match)")
+    val u = udf((p: Array[Byte]) => peakBlockDescriptors(p, radius, patchDesc))
+    val rows = Materialize.eager(
+      media.select(col("doc_id"), u(col("payload")).as("ds")))
+      .filter(col("ds").isNotNull)
+      .select(col("doc_id"), explode(col("ds")).as("pd"))
+      .select(col("doc_id"), col("pd._1").as("pk"), col("pd._2").as("d"))
+    val nl = rows.groupBy(col("doc_id")).agg(count(lit(1)).as("nl"))
+    val chunks = rows.select(col("doc_id"), col("pk"), col("d"), posexplode(
+        array((0 until 4).map(c =>
+          shiftright(col("d"), c * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .select(col("doc_id"), col("pk"), col("d"), col("pos").as("chunk"),
+        col("col").as("ckey"))
+    val cand = chunks.join(
+        index.select(col("chunk"), col("ckey"), col("doc_id").as("src"),
+          col("pk").as("pk_src"), col("d").as("d_src"),
+          col("nl").as("nl_src")),
+        Seq("chunk", "ckey"))
+      .dropDuplicates("doc_id", "pk", "src", "pk_src")
+      .filter(bit_count(col("d").bitwiseXOR(col("d_src"))) <= maxDist)
+    val dup = cand.groupBy(col("doc_id"), col("src"), col("nl_src"))
+      .agg(countDistinct(col("pk")).as("cp"),
+        countDistinct(col("pk_src")).as("cs"))
+      .join(nl, Seq("doc_id"))
+      .filter(when(col("nl") <= col("nl_src"),
+          col("cp").cast("double") / col("nl"))
+        .otherwise(col("cs").cast("double") / col("nl_src")) >= minMatch)
+      .groupBy(col("doc_id")).agg(min(col("src")).as("dup_src"))
+    nl.select(col("doc_id")).join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_src").isNull.as("kept"),
+        col("dup_src"))
+  }
+
   /** Lossy JPEG re-encode of any image payload at the given quality —
     * the m141 fixture helper (javax.imageio writer, explicit
     * compression quality). */

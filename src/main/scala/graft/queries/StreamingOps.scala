@@ -1924,6 +1924,34 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Incremental screen vs the persisted GRAY-MEAN descriptor index
+    // — the m141 lossy-crop tier's index member (PeakDescFpVersion-
+    // stamped, pHashChunkIndex layout at the peak seam): 8 masters
+    // descriptor-indexed once, then an ingest batch of 4 JPEG-q0.92
+    // arbitrary-offset crops plus 2 fresh images screens against it
+    // with no corpus re-decode. Pinned golden.
+    "m142_peak_lossy_index_dedup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val img = udf((id: Long) =>
+        if (id < 20) Multimodal.syntheticPng(id, 64, 64)
+        else if (id == 20L) Multimodal.jpegReencode(
+          Multimodal.syntheticPngCrop(6, 20, 12, 52, 44), 0.92f)
+        else if (id == 21L) Multimodal.jpegReencode(
+          Multimodal.syntheticPngCrop(0, 11, 7, 43, 39), 0.92f)
+        else if (id == 22L) Multimodal.jpegReencode(
+          Multimodal.syntheticPngCrop(1, 5, 21, 37, 53), 0.92f)
+        else if (id == 23L) Multimodal.jpegReencode(
+          Multimodal.syntheticPngCrop(2, 17, 3, 49, 35), 0.92f)
+        else Multimodal.syntheticPng(id, 64, 64))
+      val corpus = s.range(0, 8)
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      val index = Multimodal.imagePeakLossyIndex(corpus)
+      val probes = s.range(20, 24).union(s.range(130, 132))
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      Multimodal.dedupAgainstImagePeakLossyIndex(probes, index)
+        .orderBy(col("doc_id"))
+    }),
+
     // STREAMING rotated + arbitrary-crop compound image dedup (the
     // m140 tier in the streaming matrix): micro-batch 1 delivers 6
     // masters — orient-0 landmarks enter bucket state — micro-batch 2

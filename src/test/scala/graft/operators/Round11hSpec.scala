@@ -144,6 +144,30 @@ class Round11hSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"(missing: ${(cropDs -- master).take(3)})")
   }
 
+  test("peak-desc index: append == rebuild; exact-family stamp rejected") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val masters = (0L until 4L).map(id =>
+      (id, Multimodal.syntheticPng(id, 64, 64))).toDF("doc_id", "payload")
+    val late = Seq((4L, Multimodal.syntheticPng(4L, 64, 64)))
+      .toDF("doc_id", "payload")
+    val appended = Multimodal.imagePeakLossyIndex(masters)
+      .unionByName(Multimodal.imagePeakLossyIndex(late))
+    val rebuilt = Multimodal.imagePeakLossyIndex(masters.unionByName(late))
+    assert(appended.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(appended).isEmpty,
+      "append != rebuild for the peak-desc index")
+    val probes = Seq((20L, Multimodal.jpegReencode(
+      Multimodal.syntheticPngCrop(0, 11, 7, 43, 39), 0.92f)))
+      .toDF("doc_id", "payload")
+    val foreign = Multimodal.imagePeakLossyIndex(masters)
+      .withColumn("fp_ver", lit(Multimodal.PeakFpVersion))
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.dedupAgainstImagePeakLossyIndex(probes, foreign).collect()
+    }
+    assert(e.getMessage.contains("rebuild"))
+  }
+
   test("peak index: append == rebuild; cross-family stamp rejected") {
     implicit val s: SparkSession = spark
     import s.implicits._
