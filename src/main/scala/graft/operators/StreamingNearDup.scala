@@ -42,6 +42,13 @@ case class LandmarkHits(doc_id: Long, lm: Long, hits: Seq[Long])
 case class LandmarkHitsO(doc_id: Long, orient: Int, lm: Long,
     hits: Seq[Long])
 
+/** One row per (document, peak, descriptor chunk slot) — the
+  * streaming record of the LOSSY peak tier (st105): `hits` lists
+  * earlier docs whose registered descriptor in this bucket sits
+  * within the hamming tolerance. */
+case class PeakDescHits(doc_id: Long, pk: Int, chunk: Int,
+    hits: Seq[Long])
+
 /** One video-landmark hit record per (document, landmark): the
   * landmark is the pair of consecutive sampled-frame pHashes. */
 case class VideoLandmarkHits(doc_id: Long, lm_a: Long, lm_b: Long,
@@ -593,6 +600,54 @@ object StreamingNearDup {
               seen = r._1 :: seen; n += 1
             }
             LandmarkHitsO(r._1, r._2, lm, hits)
+          }
+          state.update(seen)
+          out.iterator
+      }
+  }
+
+  /** STREAMING lossy (JPEG) arbitrary-crop image dedup — the m141
+    * tier in the streaming matrix: every arrival's gray-mean peak
+    * descriptors (`Multimodal.peakBlockDescriptors`, one decode)
+    * register per 16-bit chunk bucket, and probe the bucket's earlier
+    * entries within hamming `maxDist` (the pHash streaming shape with
+    * per-PEAK rows); a JPEG-saved crop re-delivery lands in its
+    * master's buckets. Emits [[PeakDescHits]]; consumers count
+    * DISTINCT matched peaks per (doc, src) over the probe's peak
+    * count (the m141 metric). Same id-monotonic determinism contract;
+    * `maxBucket` caps registered entries per bucket. */
+  def imagePeakLossyVerdicts(media: DataFrame, idCol: String,
+      payloadCol: String, maxDist: Int = 1, radius: Int = 2,
+      patchDesc: Int = 8, maxBucket: Int = 0): Dataset[PeakDescHits] = {
+    require(maxDist < 4, "4 x 16-bit chunks guarantee recall only for maxDist <= 3")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val u = udf((p: Array[Byte]) =>
+      Multimodal.peakBlockDescriptors(p, radius, patchDesc))
+    val rows = media.select(col(idCol).cast("long").as("doc_id"),
+        u(col(payloadCol)).as("ds"))
+      .filter(col("ds").isNotNull)
+      .select(col("doc_id"), explode(col("ds")).as("pd"))
+      .select(col("doc_id"), col("pd._1").as("pk"), col("pd._2").as("d"))
+    val chunked = rows.select(col("doc_id"), col("pk"), col("d"),
+        posexplode(array((0 until 4).map(c =>
+          shiftright(col("d"), c * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .as[(Long, Int, Long, Int, Long)]
+    chunked.groupByKey { case (_, _, _, chunk, key) => (chunk, key) }
+      .flatMapGroupsWithState[List[(Long, Long)], PeakDescHits](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((chunk, _), rows, state: GroupState[List[(Long, Long)]]) =>
+          var seen = state.getOption.getOrElse(Nil)
+          var n = seen.size
+          val out = rows.toSeq.sortBy(r => (r._1, r._2)).map { r =>
+            val capped = maxBucket > 0 && n >= maxBucket
+            val hits =
+              if (capped) Nil
+              else seen.filter(e => e._1 != r._1 &&
+                java.lang.Long.bitCount(e._2 ^ r._3) <= maxDist)
+                .map(_._1).distinct
+            if (!capped) { seen = (r._1, r._3) :: seen; n += 1 }
+            PeakDescHits(r._1, r._2, chunk, hits)
           }
           state.update(seen)
           out.iterator

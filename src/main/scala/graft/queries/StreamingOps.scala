@@ -1952,6 +1952,75 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // STREAMING lossy (JPEG) arbitrary-crop image dedup (the m141
+    // tier in the streaming matrix): micro-batch 1 delivers 6
+    // masters — gray-mean peak descriptors register per chunk
+    // bucket — micro-batch 2 their JPEG-q0.92 arbitrary-offset crop
+    // re-deliveries; each crop's surviving peaks land within
+    // hamming-1 of the master's registered descriptors. Consumer
+    // counts distinct matched peaks over the probe's peak count
+    // >= 0.75. Pinned golden.
+    "st105_stream_peak_lossy_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val name = "st105_out"
+      val staged = stagingDir("graft-stream-peaklossy")
+      val img = udf((id: Long) =>
+        if (id < 1000000L) Multimodal.syntheticPng(id, 64, 64)
+        else {
+          val m = id - 1000000L
+          (m % 4) match {
+            case 0 => Multimodal.jpegReencode(
+              Multimodal.syntheticPngCrop(m, 19, 13, 51, 45), 0.92f)
+            case 1 => Multimodal.jpegReencode(
+              Multimodal.syntheticPngCrop(m, 9, 23, 41, 55), 0.92f)
+            case 2 => Multimodal.jpegReencode(
+              Multimodal.syntheticPngCrop(m, 23, 5, 55, 37), 0.92f)
+            case _ => Multimodal.jpegReencode(
+              Multimodal.syntheticPngCrop(m, 13, 17, 45, 49), 0.92f)
+          }
+        })
+      def stageBatch(ids: org.apache.spark.sql.Dataset[java.lang.Long],
+          fname: String, ageMs: Long): Unit = {
+        val tmp = staged.resolve(fname + ".tmp")
+        ids.toDF("doc_id").select(col("doc_id"), img(col("doc_id")).as("payload"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, staged.resolve(fname))
+        staged.resolve(fname).toFile.deleteOnExit()
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        java.nio.file.Files.setLastModifiedTime(staged.resolve(fname),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - ageMs))
+      }
+      stageBatch(s.range(0, 6).as[java.lang.Long], "a.parquet", 120000L)
+      stageBatch(s.range(1000000L, 1000006L).as[java.lang.Long], "b.parquet", 0L)
+      val mediaSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("payload", BinaryType)))
+      val stream = s.readStream.schema(mediaSchema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+        .repartition(col("doc_id"))
+      val hits = graft.operators.StreamingNearDup.imagePeakLossyVerdicts(
+        stream, "doc_id", "payload", maxDist = 1, maxBucket = 64)
+      val q = hits.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+      val nl = s.table(name).groupBy(col("doc_id"))
+        .agg(countDistinct(col("pk")).as("nl"))
+      val dup = s.table(name)
+        .select(col("doc_id").as("d"), col("pk"),
+          explode(col("hits")).as("src"))
+        .groupBy(col("d"), col("src"))
+        .agg(countDistinct(col("pk")).as("c"))
+        .join(nl, col("d") === nl("doc_id")).drop("doc_id")
+        .filter(col("c").cast("double") / col("nl") >= 0.75)
+        .groupBy(col("d")).agg(min(col("src")).as("dup_src"))
+      nl.join(dup, col("doc_id") === col("d"), "left")
+        .select(col("doc_id"), col("dup_src").isNull.as("kept"),
+          col("dup_src"))
+        .orderBy(col("doc_id"))
+    }),
+
     // STREAMING rotated + arbitrary-crop compound image dedup (the
     // m140 tier in the streaming matrix): micro-batch 1 delivers 6
     // masters — orient-0 landmarks enter bucket state — micro-batch 2
