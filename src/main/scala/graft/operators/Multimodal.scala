@@ -3171,9 +3171,19 @@ object Multimodal {
     * orient, match_frac). */
   def imagePeakPairsDihedral(media: DataFrame, minMatch: Double = 0.6,
       maxDf: Int = 0, radius: Int = 2, patch: Int = 4)(
-      implicit s: SparkSession): DataFrame = {
-    val lms = Materialize.eager(
-      imagePeakLandmarksOriented(media, radius, patch))
+      implicit s: SparkSession): DataFrame =
+    orientedLandmarkPairScores(
+      Materialize.eager(imagePeakLandmarksOriented(media, radius, patch)),
+      minMatch, maxDf)
+
+  /** Shared pair scorer for the ORIENTED landmark frames (peak-patch
+    * m140 / constellation m145): lower doc's orient-0 landmarks on
+    * one side, any of the higher doc's 8 readouts on the other,
+    * distinct-doc `maxDf` cap BEFORE pair expansion, scored per
+    * orientation over the smaller orient-0 landmark count. Input:
+    * distinct (doc_id, orient, lm) rows. */
+  private def orientedLandmarkPairScores(lms: DataFrame,
+      minMatch: Double, maxDf: Int): DataFrame = {
     val n0 = lms.filter(col("orient") === 0)
       .groupBy(col("doc_id")).agg(count(lit(1)).as("nl"))
     val capped =
@@ -3620,6 +3630,520 @@ object Multimodal {
     nl.select(col("doc_id")).join(dup, Seq("doc_id"), "left")
       .select(col("doc_id"), col("dup_src").isNull.as("kept"),
         col("dup_src"))
+  }
+
+  // ---- IMAGE: similarity-invariant peak constellations (crop+RESIZE) --
+
+  /** Coarse-scale peak cells for the SIMILARITY-INVARIANT
+    * constellation tier: strict local maxima of the
+    * (2*smoothR+1)^2 box-SUM of the luma plane (integral-image,
+    * integer-exact) over a Chebyshev `radius` neighborhood, with
+    * full support margin. The wide window (default 9x9 vs the patch
+    * tier's 3x3) targets BLOB CENTERS of large-scale structure —
+    * positions that move by ~the resampling subpixel error under a
+    * moderate uniform resize, where the fine-scale peak field is
+    * destroyed outright by interpolation. */
+  private[operators] def coarsePeakCells(luma: Array[Byte], w: Int,
+      h: Int, smoothR: Int, radius: Int,
+      minAvg: Int = 24): scala.collection.mutable.ArrayBuffer[(Int, Int, Int)] = {
+    val ii = new Array[Int]((w + 1) * (h + 1))
+    var y = 0
+    while (y < h) {
+      var rowSum = 0
+      var x = 0
+      while (x < w) {
+        rowSum += luma(y * w + x) & 0xff
+        ii((y + 1) * (w + 1) + (x + 1)) = ii(y * (w + 1) + (x + 1)) + rowSum
+        x += 1
+      }
+      y += 1
+    }
+    @inline def boxSum(x: Int, yy: Int): Int = {
+      val x0 = x - smoothR; val x1 = x + smoothR + 1
+      val y0 = yy - smoothR; val y1 = yy + smoothR + 1
+      ii(y1 * (w + 1) + x1) - ii(y0 * (w + 1) + x1) -
+        ii(y1 * (w + 1) + x0) + ii(y0 * (w + 1) + x0)
+    }
+    val margin = smoothR + radius
+    // prominence floor: a strict maximum of the near-flat FLOOR field
+    // (blob tails + encode rounding) is real but resampling-fragile —
+    // requiring a minimum window AVERAGE keeps only structure peaks,
+    // whose centers interpolation re-finds within subpixel error
+    val minFloor = minAvg * (2 * smoothR + 1) * (2 * smoothR + 1)
+    val peaks = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+    y = margin
+    while (y < h - margin) {
+      var x = margin
+      while (x < w - margin) {
+        val v = boxSum(x, y)
+        // maximum under a TOTAL order (value, then raster position):
+        // a flat apex whose adjacent box-sums TIE after int rounding
+        // has no strict maximum at all — both cells suppress each
+        // other and the blob vanishes, on whichever side of a resize
+        // the tie happens to land (subpixel phase decides). Breaking
+        // ties toward the earlier raster cell keeps exactly one peak
+        // per plateau, trading blob LOSS for <=1px position jitter,
+        // which the constellation quantizer already absorbs.
+        var isMax = true
+        var dy = -radius
+        while (isMax && dy <= radius) {
+          var dx = -radius
+          while (isMax && dx <= radius) {
+            if (dx != 0 || dy != 0) {
+              val nv = boxSum(x + dx, y + dy)
+              if (nv > v || (nv == v && (dy < 0 || (dy == 0 && dx < 0))))
+                isMax = false
+            }
+            dx += 1
+          }
+          dy += 1
+        }
+        if (isMax && v >= minFloor) peaks += ((x, y, v))
+        x += 1
+      }
+      y += 1
+    }
+    peaks
+  }
+
+  /** Similarity-invariant constellation codes over the `kTop`
+    * strongest coarse peaks: for each anchor peak A and each pair
+    * (B, C) of its `nNear` nearest co-peaks (ordered by distance, so
+    * |AB| <= |AC| up to jitter), pack three quantized invariants of
+    * the triangle — round(log(|AC|/|AB|)/qStepR) (scale cancels in
+    * the ratio; the audio interval tier's quantizer, m120, in 2D)
+    * and the two DIRECTION angles of A->B / A->C in `nAng` bins
+    * (translation+uniform-scale invariant; deliberately NOT
+    * rotation-normalized — the dihedral fan covers rotations, this
+    * tier covers the crop+resize compound, which never rotates).
+    * Quantization is plain rounding with no boundary fan: resampling
+    * jitter flips SOME codes and the pair metric absorbs it via
+    * match_frac over many landmarks, exactly the interval tier's
+    * robustness model. All transcendentals via StrictMath —
+    * bit-reproducible across JVMs, so codes are index-stable. */
+  private[operators] def constellationCodes(
+      cells: scala.collection.Seq[(Int, Int, Int)], kTop: Int,
+      nNear: Int, qStepR: Double, nAng: Int): Iterator[Long] =
+    constellationCodesOriented(cells, kTop, nNear, qStepR, nAng,
+      orients = 1).map(_._2)
+
+  /** Dihedral element `o` applied to a peak-delta VECTOR (x, y) —
+    * the linear parts of the 8 square symmetries (0 = identity,
+    * 1-3 quarter turns, 4-7 reflections). Distances are invariant
+    * (isometries), so only the angle/chirality components of a
+    * constellation code change under the fan. */
+  @inline private def dihVecX(x: Int, y: Int, o: Int): Int = (o: @annotation.switch) match {
+    case 1 => y; case 2 => -x; case 3 => -y
+    case 4 => -x; case 5 => y; case 6 => x; case 7 => -y
+    case _ => x
+  }
+  @inline private def dihVecY(x: Int, y: Int, o: Int): Int = (o: @annotation.switch) match {
+    case 1 => -x; case 2 => -y; case 3 => x
+    case 4 => y; case 5 => x; case 6 => -y; case 7 => -x
+    case _ => y
+  }
+
+  /** [[constellationCodes]] under the first `orients` dihedral
+    * readouts — (orient, code) rows, orient 0 bit-identical to the
+    * natural codes. Peak detection and triple SELECTION happen once
+    * (both are dihedral-invariant up to plateau/neighbor tie-breaks);
+    * only the direction angles and the chirality bit transform, via
+    * [[dihVecX]]/[[dihVecY]] on the two triangle vectors. For ANY
+    * rotation/mirror `g` applied to the IMAGE, the transformed
+    * image's readout under the element undoing `g` equals the
+    * original's natural codes — the probe-side orientation fan the
+    * dihedral pHash/peak tiers use, at the constellation seam. */
+  private[operators] def constellationCodesOriented(
+      cells: scala.collection.Seq[(Int, Int, Int)], kTop: Int,
+      nNear: Int, qStepR: Double, nAng: Int,
+      orients: Int = 8): Iterator[(Int, Long)] = {
+    val top = cells.sortBy { case (x, y, v) => (-v, x, y) }.take(kTop)
+    val lms = scala.collection.mutable.LinkedHashSet.empty[(Int, Long)]
+    val binW = 2.0 * math.Pi / nAng
+    top.foreach { case (ax, ay, _) =>
+      val nbrs = top.iterator
+        .filter { case (bx, by, _) => bx != ax || by != ay }
+        .map { case (bx, by, _) =>
+          val dx = (bx - ax).toDouble; val dy = (by - ay).toDouble
+          (dx * dx + dy * dy, bx, by)
+        }.toArray.sortBy { case (d2, bx, by) => (d2, bx, by) }
+        .take(nNear)
+      var i = 0
+      while (i < nbrs.length) {
+        var j = i + 1
+        while (j < nbrs.length) {
+          val (d2b, bx, by) = nbrs(i)
+          val (d2c, cx, cy) = nbrs(j)
+          val qr = math.round(
+            StrictMath.log(StrictMath.sqrt(d2c / d2b)) / qStepR)
+          val dbcx = (cx - bx).toDouble; val dbcy = (cy - by).toDouble
+          val d2bc = dbcx * dbcx + dbcy * dbcy
+          val qd =
+            if (d2bc <= 0.0) -1L
+            else math.round(
+              StrictMath.log(StrictMath.sqrt(d2bc / d2b)) / qStepR) + 32L
+          if (qr >= 0L && qr <= 63L && qd >= 0L && qd <= 63L) {
+            var o = 0
+            while (o < orients) {
+              val abx = dihVecX(bx - ax, by - ay, o)
+              val aby = dihVecY(bx - ax, by - ay, o)
+              val acx = dihVecX(cx - ax, cy - ay, o)
+              val acy = dihVecY(cx - ax, cy - ay, o)
+              val angB = StrictMath.atan2(aby.toDouble, abx.toDouble)
+              val angC = StrictMath.atan2(acy.toDouble, acx.toDouble)
+              val qa = (((angB + math.Pi) / binW).toLong % nAng + nAng) % nAng
+              val qb = (((angC + math.Pi) / binW).toLong % nAng + nAng) % nAng
+              // chirality of the triple (sign of AB x AC): similarity-
+              // invariant, and jitter-stable except for near-collinear
+              // triples — one more bit against the structural collisions
+              // of nearest-neighbor triangle shapes. Flips under the
+              // four reflections (det -1), which is exactly what makes
+              // the mirrored readouts distinct.
+              val qs = if (abx.toLong * acy - aby.toLong * acx > 0L) 1L
+                else 0L
+              lms += ((o,
+                (((qr * 64L + qd) * nAng + qa) * nAng + qb) * 2L + qs))
+              o += 1
+            }
+          }
+          j += 1
+        }
+        i += 1
+      }
+    }
+    lms.iterator
+  }
+
+  /** Constellation landmarks per document — decode once, coarse peak
+    * detection, similarity-invariant triple codes. One mapPartitions
+    * pass, no shuffle; payloads that are undecodable or yield fewer
+    * than 3 coarse peaks emit nothing (the family contract — the
+    * exact peak tier covers unresized content, pHash covers
+    * structureless content). */
+  def imageScaleLandmarks(media: DataFrame, kTop: Int = 16,
+      nNear: Int = 15, qStepR: Double = 0.15, nAng: Int = 24,
+      smoothR: Int = 4, radius: Int = 6, minAvg: Int = 24)(
+      implicit s: SparkSession): Dataset[DocLandmark] = {
+    import s.implicits._
+    require(kTop >= 3, "kTop must be >= 3 (a constellation is a triple)")
+    require(nNear >= 2 && nNear <= 16, "nNear must be in 2..16")
+    require(qStepR > 0.0, "qStepR must be > 0")
+    require(nAng >= 4 && nAng <= 64, "nAng must be in 4..64")
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions(rows => rows.flatMap { r =>
+        decodeImage(r.payload) match {
+          case Some(img) =>
+            constellationCodes(
+              coarsePeakCells(lumaPlane(img), img.getWidth,
+                img.getHeight, smoothR, radius, minAvg), kTop, nNear,
+              qStepR, nAng).map(DocLandmark(r.doc_id, _))
+          case None => Iterator.empty
+        }
+      })
+  }
+
+  /** Image near-dup pairs on similarity-invariant peak
+    * CONSTELLATIONS — the crop+RESIZE compound (the most common image
+    * re-upload shape: crop to subject, then scale to a standard
+    * width), which every prior image tier misses STRUCTURALLY: the
+    * canonical-window hashes (m128) assume anchor-aligned rects, the
+    * exact peak-patch tier (m136) hashes raw pixel bytes that
+    * interpolation rewrites wholesale, and the lossy descriptor tier
+    * (m141) quantizes blocks at FIXED pixel scale. Direction angles
+    * and log distance ratios of coarse-peak triples ride through
+    * translation AND uniform scale together. Same posting-list
+    * scoring and `maxDf` cap as the landmark family; score over the
+    * SMALLER landmark set (a crop's constellations are a subset of
+    * its master's, up to quantization jitter). */
+  def imageScalePairs(media: DataFrame, minMatch: Double = 0.3,
+      maxDf: Int = 0, kTop: Int = 16, nNear: Int = 15,
+      qStepR: Double = 0.15, nAng: Int = 24, smoothR: Int = 4,
+      radius: Int = 6, minAvg: Int = 24)(
+      implicit s: SparkSession): DataFrame =
+    peakLandmarkPairScores(
+      Materialize.eager(
+        imageScaleLandmarks(media, kTop, nNear, qStepR, nAng, smoothR,
+          radius, minAvg).toDF()),
+      minMatch, maxDf)
+
+  /** Version stamp for the CONSTELLATION landmark family
+    * ([[imageScaleLandmarks]] — coarse peak detection, triple
+    * selection, invariant quantization, packing): namespaced
+    * (constellation = 11000 + v) so cross-family screens fail fast at
+    * every version pair; 11001 = v1. Parameter choices (kTop, nNear,
+    * qStepR, nAng, smoothR, radius) are NOT covered — screen with
+    * the parameters the index was built with. */
+  val ScaleFpVersion: Int = 11001
+
+  /** Persisted CONSTELLATION landmark index — the incremental member
+    * of the scale tier: the corpus fingerprints ONCE into one row per
+    * distinct (lm, doc) with the doc's landmark count riding along,
+    * and [[dedupAgainstImageScaleIndex]] screens every ingest batch —
+    * a cropped-and-RESIZED re-upload of a corpus master is caught
+    * with no corpus re-decode. [[IncrementalIndex.append]]-compatible;
+    * stamped with [[ScaleFpVersion]]. */
+  def imageScaleLandmarkIndex(media: DataFrame, kTop: Int = 16,
+      nNear: Int = 15, qStepR: Double = 0.15, nAng: Int = 24,
+      smoothR: Int = 4, radius: Int = 6, minAvg: Int = 24)(
+      implicit s: SparkSession): DataFrame = {
+    val lms = Materialize.eager(
+      imageScaleLandmarks(media, kTop, nNear, qStepR, nAng, smoothR,
+        radius, minAvg).toDF())
+    lms.join(lms.groupBy(col("doc_id")).agg(count(lit(1)).as("nl")),
+        Seq("doc_id"))
+      .select(col("lm"), col("doc_id"), col("nl"),
+        lit(ScaleFpVersion).as("fp_ver"))
+  }
+
+  /** Screen an ingest batch against a pre-built
+    * [[imageScaleLandmarkIndex]]: the batch fingerprints once,
+    * equi-joins the index on the constellation code, and a probe is a
+    * duplicate of the lowest corpus doc whose shared distinct
+    * landmarks over the smaller set reach `minMatch`. Payloads
+    * yielding NO landmarks are absent from the output, not judged
+    * kept (the family contract). Enforces [[ScaleFpVersion]]; screen
+    * with the parameters the index was built with. */
+  def dedupAgainstImageScaleIndex(media: DataFrame, index: DataFrame,
+      minMatch: Double = 0.3, kTop: Int = 16, nNear: Int = 15,
+      qStepR: Double = 0.15, nAng: Int = 24, smoothR: Int = 4,
+      radius: Int = 6, minAvg: Int = 24)(
+      implicit s: SparkSession): DataFrame = {
+    require(index.columns.contains("fp_ver"),
+      s"constellation index has no fp_ver column: it predates " +
+        s"fingerprint version $ScaleFpVersion — rebuild it with " +
+        "imageScaleLandmarkIndex before screening")
+    val stale = index.filter(col("fp_ver") =!= lit(ScaleFpVersion))
+      .limit(1).collect()
+    require(stale.isEmpty,
+      s"constellation index built by fingerprint version " +
+        s"${stale.headOption.map(_.getAs[Any]("fp_ver")).orNull}, " +
+        s"current is $ScaleFpVersion — rebuild it with " +
+        "imageScaleLandmarkIndex before screening (cross-version " +
+        "landmarks never match)")
+    val lms = Materialize.eager(
+      imageScaleLandmarks(media, kTop, nNear, qStepR, nAng, smoothR,
+        radius, minAvg).toDF())
+    val nl = lms.groupBy(col("doc_id")).agg(count(lit(1)).as("nl"))
+    val dup = lms.join(
+        index.select(col("lm"), col("doc_id").as("src"),
+          col("nl").as("nl_src")),
+        Seq("lm"))
+      .groupBy(col("doc_id"), col("src"), col("nl_src"))
+      .agg(count(lit(1)).as("c"))
+      .join(nl, Seq("doc_id"))
+      .filter(col("c").cast("double") / least(col("nl"), col("nl_src"))
+        >= minMatch)
+      .groupBy(col("doc_id")).agg(min(col("src")).as("dup_src"))
+    nl.select(col("doc_id")).join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_src").isNull.as("kept"),
+        col("dup_src"))
+  }
+
+  /** One (doc_id, orient, lm) row per dihedral readout of each
+    * constellation code — the ROTATED/MIRRORED + crop + RESIZE
+    * compound's probe table ([[constellationCodesOriented]], one
+    * decode and one peak-detection pass for all 8 readouts: only the
+    * angle/chirality components transform). */
+  def imageScaleLandmarksOriented(media: DataFrame, kTop: Int = 16,
+      nNear: Int = 15, qStepR: Double = 0.15, nAng: Int = 24,
+      smoothR: Int = 4, radius: Int = 6, minAvg: Int = 24)(
+      implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    require(kTop >= 3, "kTop must be >= 3 (a constellation is a triple)")
+    require(nNear >= 2 && nNear <= 16, "nNear must be in 2..16")
+    require(qStepR > 0.0, "qStepR must be > 0")
+    require(nAng >= 4 && nAng <= 64, "nAng must be in 4..64")
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions(rows => rows.flatMap { r =>
+        decodeImage(r.payload) match {
+          case Some(img) =>
+            constellationCodesOriented(
+              coarsePeakCells(lumaPlane(img), img.getWidth,
+                img.getHeight, smoothR, radius, minAvg), kTop, nNear,
+              qStepR, nAng).map { case (o, lm) => (r.doc_id, o, lm) }
+          case None => Iterator.empty
+        }
+      }).toDF("doc_id", "orient", "lm")
+  }
+
+  /** [[imageScalePairs]] extended to the FULL similarity compound —
+    * rotated/mirrored AND cropped at any offset AND uniformly
+    * RESIZED (m145): the one image re-upload shape no prior tier
+    * covers end-to-end — the dihedral peak tier (m140) needs exact
+    * pixel bytes (interpolation kills it), the plain constellation
+    * tier (m143) is deliberately not rotation-normalized. Candidates
+    * bucket by constellation code with the lower doc's ORIENT-0 codes
+    * on one side and any of the higher doc's 8 angle-readouts on the
+    * other (the m140 asymmetric probe shape — state/index stay
+    * as-is-sized), scored per orientation over the smaller orient-0
+    * landmark count at the scale tier's jitter-absorbing threshold.
+    * Output (doc_a, doc_b, orient, match_frac). */
+  def imageScalePairsDihedral(media: DataFrame, minMatch: Double = 0.3,
+      maxDf: Int = 0, kTop: Int = 16, nNear: Int = 15,
+      qStepR: Double = 0.15, nAng: Int = 24, smoothR: Int = 4,
+      radius: Int = 6, minAvg: Int = 24)(
+      implicit s: SparkSession): DataFrame =
+    orientedLandmarkPairScores(
+      Materialize.eager(
+        imageScaleLandmarksOriented(media, kTop, nNear, qStepR, nAng,
+          smoothR, radius, minAvg)),
+      minMatch, maxDf)
+
+  /** Screen an ingest batch against a pre-built
+    * [[imageScaleLandmarkIndex]] with the full DIHEDRAL probe fan —
+    * the m146 member: the index stays orient-0-sized (built once by
+    * the plain builder, unchanged), the BATCH fingerprints all 8
+    * angle-readouts from its one decode, and a probe is a duplicate
+    * of the lowest corpus doc reached by ANY orientation at
+    * `minMatch` over the smaller of (probe's per-orientation landmark
+    * count, master's count). Payloads yielding NO landmarks are
+    * absent from the output (the family contract). Enforces
+    * [[ScaleFpVersion]]. */
+  def dedupAgainstImageScaleIndexDihedral(media: DataFrame,
+      index: DataFrame, minMatch: Double = 0.3, kTop: Int = 16,
+      nNear: Int = 15, qStepR: Double = 0.15, nAng: Int = 24,
+      smoothR: Int = 4, radius: Int = 6, minAvg: Int = 24)(
+      implicit s: SparkSession): DataFrame = {
+    require(index.columns.contains("fp_ver"),
+      s"constellation index has no fp_ver column: it predates " +
+        s"fingerprint version $ScaleFpVersion — rebuild it with " +
+        "imageScaleLandmarkIndex before screening")
+    val stale = index.filter(col("fp_ver") =!= lit(ScaleFpVersion))
+      .limit(1).collect()
+    require(stale.isEmpty,
+      s"constellation index built by fingerprint version " +
+        s"${stale.headOption.map(_.getAs[Any]("fp_ver")).orNull}, " +
+        s"current is $ScaleFpVersion — rebuild it with " +
+        "imageScaleLandmarkIndex before screening (cross-version " +
+        "landmarks never match)")
+    val lms = Materialize.eager(
+      imageScaleLandmarksOriented(media, kTop, nNear, qStepR, nAng,
+        smoothR, radius, minAvg))
+    val nlo = lms.groupBy(col("doc_id"), col("orient"))
+      .agg(count(lit(1)).as("nl"))
+    val dup = lms.join(
+        index.select(col("lm"), col("doc_id").as("src"),
+          col("nl").as("nl_src")),
+        Seq("lm"))
+      .groupBy(col("doc_id"), col("orient"), col("src"), col("nl_src"))
+      .agg(count(lit(1)).as("c"))
+      .join(nlo, Seq("doc_id", "orient"))
+      .filter(col("c").cast("double") / least(col("nl"), col("nl_src"))
+        >= minMatch)
+      .groupBy(col("doc_id")).agg(min(col("src")).as("dup_src"))
+    nlo.select(col("doc_id")).distinct().join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_src").isNull.as("kept"),
+        col("dup_src"))
+  }
+
+  /** Crop-then-RESIZE re-encode of any PNG payload — the scale tier's
+    * fixture transform: pixels (x0..x1) x (y0..y1) resampled to
+    * (outW, outH) by our OWN bilinear kernel (pure doubles +
+    * final round — deterministic across JVMs, unlike
+    * Graphics2D's platform-delegated scaling), PNG-encoded
+    * (lossless, so the resample is the ONLY pixel change). Source
+    * coordinates clamp at the crop edges (half-pixel centers). */
+  def pngCropResize(payload: Array[Byte], x0: Int, y0: Int, x1: Int,
+      y1: Int, outW: Int, outH: Int): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    require(x0 >= 0 && y0 >= 0 && x1 <= img.getWidth &&
+      y1 <= img.getHeight && x0 < x1 && y0 < y1,
+      "crop rect must be inside the source")
+    val cw = x1 - x0; val ch = y1 - y0
+    val out = new java.awt.image.BufferedImage(outW, outH,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var oy = 0
+    while (oy < outH) {
+      val sy = y0 + (oy + 0.5) * ch / outH - 0.5
+      val iy = math.max(y0, math.min(y1 - 2, StrictMath.floor(sy).toInt))
+      val fy = math.max(0.0, math.min(1.0, sy - iy))
+      var ox = 0
+      while (ox < outW) {
+        val sx = x0 + (ox + 0.5) * cw / outW - 0.5
+        val ix = math.max(x0, math.min(x1 - 2, StrictMath.floor(sx).toInt))
+        val fx = math.max(0.0, math.min(1.0, sx - ix))
+        val p00 = img.getRGB(ix, iy); val p10 = img.getRGB(ix + 1, iy)
+        val p01 = img.getRGB(ix, iy + 1); val p11 = img.getRGB(ix + 1, iy + 1)
+        @inline def ch8(p: Int, s: Int): Double = ((p >> s) & 0xff).toDouble
+        @inline def lerp(s: Int): Int = math.round(
+          (1 - fy) * ((1 - fx) * ch8(p00, s) + fx * ch8(p10, s)) +
+            fy * ((1 - fx) * ch8(p01, s) + fx * ch8(p11, s))).toInt
+        out.setRGB(ox, oy, (lerp(16) << 16) | (lerp(8) << 8) | lerp(0))
+        ox += 1
+      }
+      oy += 1
+    }
+    encodePng(out)
+  }
+
+  /** Deterministic SMOOTH-BLOB test image for doc `id`: a sum of
+    * Gaussian bumps at LCG-derived positions/widths/heights on a dark
+    * floor, gray RGB, PNG-encoded. The scale tier's fixture — the
+    * modular-arithmetic textures ([[syntheticPng]]) are pure
+    * high-frequency fields that ALIAS under resampling (no peak
+    * survives a resize, of any detector), while blob centers are
+    * large-scale structure that coarse peak detection re-finds within
+    * subpixel error at any moderate scale factor. */
+  def syntheticPngBlobs(id: Long, w: Int = 128, h: Int = 128,
+      nBlobs: Int = 10, minSep: Double = 22.0): Array[Byte] = {
+    var st = id * 0x9E3779B97F4A7C15L + 0x632BE59BD9B4E019L
+    @inline def nxt(): Long = {
+      st = st * 6364136223846793005L + 1442695040888963407L
+      st >>> 16
+    }
+    val cx = new Array[Double](nBlobs)
+    val cy = new Array[Double](nBlobs)
+    val sg = new Array[Double](nBlobs)
+    val am = new Array[Double](nBlobs)
+    // rejection-sample centers to >= minSep apart: overlapping bumps
+    // merge (or clip) into PLATEAUS that have no strict maximum at
+    // all, and a plateau's apparent center is resampling-unstable —
+    // separation is what makes blob center == detected peak
+    var i = 0
+    var attempts = 0
+    while (i < nBlobs && attempts < 10000) {
+      val x = 14.0 + (nxt() % 1000).toDouble * (w - 28) / 1000.0
+      val y = 14.0 + (nxt() % 1000).toDouble * (h - 28) / 1000.0
+      var ok = true
+      var j = 0
+      while (ok && j < i) {
+        val dx = x - cx(j); val dy = y - cy(j)
+        if (dx * dx + dy * dy < minSep * minSep) ok = false
+        j += 1
+      }
+      if (ok) {
+        cx(i) = x; cy(i) = y
+        sg(i) = 4.5 + (nxt() % 1000).toDouble * 3.0 / 1000.0
+        am(i) = 70.0 + (nxt() % 1000).toDouble * 110.0 / 1000.0
+        i += 1
+      }
+      attempts += 1
+    }
+    require(i == nBlobs,
+      s"blob placement failed after $attempts attempts — lower " +
+        "nBlobs or minSep for this canvas")
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var v = 8.0
+        var b = 0
+        while (b < nBlobs) {
+          val dx = x - cx(b); val dy = y - cy(b)
+          v += am(b) * StrictMath.exp(
+            -(dx * dx + dy * dy) / (2.0 * sg(b) * sg(b)))
+          b += 1
+        }
+        val g = math.min(255, math.round(v).toInt)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    encodePng(img)
   }
 
   /** [[syntheticPng]] with a small planted edit (a +delta luma patch on

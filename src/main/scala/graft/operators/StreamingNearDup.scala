@@ -503,6 +503,86 @@ object StreamingNearDup {
       }
   }
 
+  /** STREAMING crop+RESIZE image dedup — the similarity-invariant
+    * constellation tier (m143) in the streaming matrix: every
+    * arrival's coarse-peak triple codes
+    * (`Multimodal.imageScaleLandmarks`, one decode) key bucket state,
+    * so a later re-delivery cropped at ANY offset AND uniformly
+    * rescaled — the compound every exact-pixel streaming tier (st101/
+    * st104/st105) is structurally blind to — lands in its master's
+    * buckets up to quantization jitter. Emits [[LandmarkHits]];
+    * consumers score shared distinct landmarks over the smaller set
+    * at the tier's LOWER default threshold (~0.3 — resampling flips
+    * some codes, the m120 robustness model). Same id-monotonic
+    * determinism contract and `maxBucket` / [[foldBucket]] cap as the
+    * family. */
+  def imageScaleVerdicts(media: DataFrame, idCol: String,
+      payloadCol: String, kTop: Int = 16, nNear: Int = 15,
+      qStepR: Double = 0.15, nAng: Int = 24, smoothR: Int = 4,
+      radius: Int = 6, minAvg: Int = 24,
+      maxBucket: Int = 0): Dataset[LandmarkHits] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val lms = Multimodal.imageScaleLandmarks(
+      media.select(col(idCol).cast("long").as("doc_id"),
+        col(payloadCol).as("payload")), kTop, nNear, qStepR, nAng,
+      smoothR, radius, minAvg)
+      .as[(Long, Long)]
+    lms.groupByKey(_._2)
+      .flatMapGroupsWithState[List[Long], LandmarkHits](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (lm, rows, state: GroupState[List[Long]]) =>
+          val (seen, out) = foldBucket(state.getOption.getOrElse(Nil),
+            rows.toSeq.map(_._1).sorted, maxBucket)(
+            (id, hits) => LandmarkHits(id, lm, hits))
+          state.update(seen)
+          out.iterator
+      }
+  }
+
+  /** [[imageScaleVerdicts]] extended to the FULL similarity
+    * compound — the m145 tier in the streaming matrix: every arrival
+    * probes constellation buckets with all 8 dihedral ANGLE-readouts
+    * (`Multimodal.imageScaleLandmarksOriented`, one decode and one
+    * peak-detection pass — only angles/chirality transform), but only
+    * orient-0 codes enter state, so per-doc state is unchanged and a
+    * re-delivery that is rotated/mirrored AND cropped AND rescaled
+    * lands in its master's buckets at the element undoing the
+    * transform. Emits [[LandmarkHitsO]]; same id-monotonic
+    * determinism contract and `maxBucket` cap as the family. */
+  def imageScaleVerdictsDihedral(media: DataFrame, idCol: String,
+      payloadCol: String, kTop: Int = 16, nNear: Int = 15,
+      qStepR: Double = 0.15, nAng: Int = 24, smoothR: Int = 4,
+      radius: Int = 6, minAvg: Int = 24,
+      maxBucket: Int = 0): Dataset[LandmarkHitsO] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val lms = Multimodal.imageScaleLandmarksOriented(
+      media.select(col(idCol).cast("long").as("doc_id"),
+        col(payloadCol).as("payload")), kTop, nNear, qStepR, nAng,
+      smoothR, radius, minAvg)
+      .as[(Long, Int, Long)]
+    lms.groupByKey(_._3)
+      .flatMapGroupsWithState[List[Long], LandmarkHitsO](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (lm, rows, state: GroupState[List[Long]]) =>
+          var seen = state.getOption.getOrElse(Nil)
+          var n = seen.size
+          val out = rows.toSeq.sortBy(r => (r._1, r._2)).map { r =>
+            val capped = maxBucket > 0 && n >= maxBucket
+            val hits = if (capped) Nil else seen.filter(_ != r._1)
+            if (!capped && r._2 == 0 && !seen.contains(r._1)) {
+              seen = r._1 :: seen; n += 1
+            }
+            LandmarkHitsO(r._1, r._2, lm, hits)
+          }
+          state.update(seen)
+          out.iterator
+      }
+  }
+
   /** STREAMING arbitrary-offset crop image dedup — the m136
     * peak-patch tier in the streaming matrix: every arrival's
     * content-anchored peak-patch landmarks

@@ -2021,6 +2021,138 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // CROP+RESIZE image dedup — similarity-invariant peak
+    // CONSTELLATIONS (m143): probes are cropped at arbitrary offsets
+    // AND uniformly rescaled (up 1.33x/1.17x/1.5x, down 0.83x), the
+    // most common real re-upload compound, which every exact-pixel
+    // tier (m128 windows, m136 patches, m141 descriptors) misses
+    // structurally — interpolation rewrites every byte (Round11iSpec
+    // pins the exact tier at zero pairs on this corpus). Direction
+    // angles + log distance ratios of coarse-peak triples ride
+    // through translation and scale together; quantization jitter
+    // flips some codes, so true pairs land at 0.6-1.0 over the
+    // probe's (smaller) set vs noise <= 0.25, gated at 0.4. Blob
+    // fixtures, not the modular textures — those alias under
+    // resampling (no detector's peaks survive). Pinned golden.
+    "m143_scale_crop_pairs" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val img = udf((id: Long) =>
+        if (id == 20L) Multimodal.pngCropResize(
+          Multimodal.syntheticPngBlobs(0), 20, 12, 116, 108, 128, 128)
+        else if (id == 21L) Multimodal.pngCropResize(
+          Multimodal.syntheticPngBlobs(1), 8, 16, 104, 112, 112, 112)
+        else if (id == 22L) Multimodal.pngCropResize(
+          Multimodal.syntheticPngBlobs(2), 16, 16, 112, 112, 80, 80)
+        else if (id == 23L) Multimodal.pngCropResize(
+          Multimodal.syntheticPngBlobs(3), 24, 8, 120, 104, 144, 144)
+        else Multimodal.syntheticPngBlobs(id))
+      val media = s.range(0, 8).union(s.range(20, 24))
+        .union(s.range(140, 142))
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      Multimodal.imageScalePairs(media, minMatch = 0.4, maxDf = 64)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Persisted CONSTELLATION index + batch ingest screen (m144) —
+    // the m143 tier's index member (ScaleFpVersion-stamped, the m137
+    // contract shape): 8 blob masters fingerprint once into their
+    // triple codes, then an ingest batch of 4 crop+RESIZE
+    // re-uploads plus 2 fresh images screens against it with no
+    // corpus re-decode — the class the exact peak index (m137) is
+    // blind to. Pinned golden.
+    "m144_scale_index_dedup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val img = udf((id: Long) =>
+        if (id == 20L) Multimodal.pngCropResize(
+          Multimodal.syntheticPngBlobs(0), 20, 12, 116, 108, 128, 128)
+        else if (id == 21L) Multimodal.pngCropResize(
+          Multimodal.syntheticPngBlobs(1), 8, 16, 104, 112, 112, 112)
+        else if (id == 22L) Multimodal.pngCropResize(
+          Multimodal.syntheticPngBlobs(2), 16, 16, 112, 112, 80, 80)
+        else if (id == 23L) Multimodal.pngCropResize(
+          Multimodal.syntheticPngBlobs(3), 24, 8, 120, 104, 144, 144)
+        else Multimodal.syntheticPngBlobs(id))
+      val corpus = s.range(0, 8)
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      val index = Multimodal.imageScaleLandmarkIndex(corpus)
+      val probes = s.range(20, 24).union(s.range(130, 132))
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      Multimodal.dedupAgainstImageScaleIndex(probes, index,
+          minMatch = 0.4)
+        .orderBy(col("doc_id"))
+    }),
+
+    // STREAMING crop+RESIZE image dedup (the m143 tier in the
+    // streaming matrix): micro-batch 1 delivers 6 blob masters —
+    // constellation codes enter bucket state — micro-batch 2 their
+    // cropped-and-rescaled re-deliveries, which every exact-pixel
+    // streaming tier (st101/st104/st105) is structurally blind to;
+    // each probe's surviving triples land in its master's buckets at
+    // 0.6-1.0 over the probe's set. Consumer scores shared distinct
+    // landmarks over the smaller set >= 0.4. Pinned golden.
+    "st106_stream_scale_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val name = "st106_out"
+      val staged = stagingDir("graft-stream-scale")
+      val img = udf((id: Long) =>
+        if (id < 1000000L) Multimodal.syntheticPngBlobs(id)
+        else {
+          val m = id - 1000000L
+          (m % 4) match {
+            case 0 => Multimodal.pngCropResize(
+              Multimodal.syntheticPngBlobs(m), 20, 12, 116, 108, 128, 128)
+            case 1 => Multimodal.pngCropResize(
+              Multimodal.syntheticPngBlobs(m), 8, 16, 104, 112, 112, 112)
+            case 2 => Multimodal.pngCropResize(
+              Multimodal.syntheticPngBlobs(m), 16, 16, 112, 112, 80, 80)
+            case _ => Multimodal.pngCropResize(
+              Multimodal.syntheticPngBlobs(m), 24, 8, 120, 104, 144, 144)
+          }
+        })
+      def stageBatch(ids: org.apache.spark.sql.Dataset[java.lang.Long],
+          fname: String, ageMs: Long): Unit = {
+        val tmp = staged.resolve(fname + ".tmp")
+        ids.toDF("doc_id").select(col("doc_id"), img(col("doc_id")).as("payload"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, staged.resolve(fname))
+        staged.resolve(fname).toFile.deleteOnExit()
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        java.nio.file.Files.setLastModifiedTime(staged.resolve(fname),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - ageMs))
+      }
+      stageBatch(s.range(0, 6).as[java.lang.Long], "a.parquet", 120000L)
+      stageBatch(s.range(1000000L, 1000006L).as[java.lang.Long], "b.parquet", 0L)
+      val mediaSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("payload", BinaryType)))
+      val stream = s.readStream.schema(mediaSchema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+        .repartition(col("doc_id"))
+      val hits = graft.operators.StreamingNearDup.imageScaleVerdicts(
+        stream, "doc_id", "payload", maxBucket = 64)
+      val q = hits.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+      val nl = s.table(name).groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("nl"))
+      val nlSrc = s.table(name).select(col("doc_id").as("src_id"))
+        .groupBy(col("src_id")).agg(count(lit(1)).as("nl_src"))
+      val dup = s.table(name)
+        .select(col("doc_id").as("d"), explode(col("hits")).as("src"))
+        .groupBy(col("d"), col("src")).agg(count(lit(1)).as("c"))
+        .join(nl, col("d") === nl("doc_id")).drop("doc_id")
+        .join(nlSrc, col("src") === col("src_id"))
+        .filter(col("c").cast("double") / least(col("nl"), col("nl_src"))
+          >= 0.4)
+        .groupBy(col("d")).agg(min(col("src")).as("dup_src"))
+      nl.join(dup, col("doc_id") === col("d"), "left")
+        .select(col("doc_id"), col("dup_src").isNull.as("kept"),
+          col("dup_src"))
+        .orderBy(col("doc_id"))
+    }),
+
     // STREAMING rotated + arbitrary-crop compound image dedup (the
     // m140 tier in the streaming matrix): micro-batch 1 delivers 6
     // masters — orient-0 landmarks enter bucket state — micro-batch 2
