@@ -2153,6 +2153,136 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // FULL similarity-compound image dedup — the dihedral ANGLE fan
+    // over constellation codes (m145): probes are cropped at
+    // arbitrary offsets AND uniformly rescaled AND rotated/mirrored
+    // (quarter turn, half turn, mirrored turn, pure mirror) — the one
+    // compound no prior tier covers end-to-end (m140 needs exact
+    // pixel bytes, m143 is rotation-variant; Round11jSpec pins both
+    // at zero pairs on this corpus). Distances are dihedral-
+    // invariant, so the 8 readouts reuse the one decode + peak pass;
+    // the readout undoing the transform recovers the m143 match
+    // levels. Pinned golden.
+    "m145_scale_dihedral_pairs" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val img = udf((id: Long) =>
+        if (id == 20L) Multimodal.pngDihedral(Multimodal.pngCropResize(
+          Multimodal.syntheticPngBlobs(0), 20, 12, 116, 108, 128, 128), 1)
+        else if (id == 21L) Multimodal.pngDihedral(Multimodal.pngCropResize(
+          Multimodal.syntheticPngBlobs(1), 8, 16, 104, 112, 112, 112), 2)
+        else if (id == 22L) Multimodal.pngDihedral(Multimodal.pngCropResize(
+          Multimodal.syntheticPngBlobs(2), 16, 16, 112, 112, 80, 80), 5)
+        else if (id == 23L) Multimodal.pngDihedral(Multimodal.pngCropResize(
+          Multimodal.syntheticPngBlobs(3), 24, 8, 120, 104, 144, 144), 4)
+        else Multimodal.syntheticPngBlobs(id))
+      val media = s.range(0, 8).union(s.range(20, 24))
+        .union(s.range(140, 142))
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      Multimodal.imageScalePairsDihedral(media, minMatch = 0.4,
+          maxDf = 64)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Dihedral probe fan against the PLAIN constellation index
+    // (m146): the index is the m144 artifact unchanged
+    // (orient-0-sized — state/index never pay the 8x), only the
+    // ingest batch fans its angle readouts; rotated+cropped+rescaled
+    // re-uploads of corpus masters are caught where the plain screen
+    // provably keeps them (Round11jSpec). Pinned golden.
+    "m146_scale_index_dihedral" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val img = udf((id: Long) =>
+        if (id == 20L) Multimodal.pngDihedral(Multimodal.pngCropResize(
+          Multimodal.syntheticPngBlobs(0), 20, 12, 116, 108, 128, 128), 1)
+        else if (id == 21L) Multimodal.pngDihedral(Multimodal.pngCropResize(
+          Multimodal.syntheticPngBlobs(1), 8, 16, 104, 112, 112, 112), 5)
+        else if (id == 22L) Multimodal.pngDihedral(Multimodal.pngCropResize(
+          Multimodal.syntheticPngBlobs(2), 16, 16, 112, 112, 80, 80), 7)
+        else Multimodal.syntheticPngBlobs(id))
+      val corpus = s.range(0, 8)
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      val index = Multimodal.imageScaleLandmarkIndex(corpus)
+      val probes = s.range(20, 23).union(s.range(130, 132))
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      Multimodal.dedupAgainstImageScaleIndexDihedral(probes, index,
+          minMatch = 0.4)
+        .orderBy(col("doc_id"))
+    }),
+
+    // STREAMING full-compound image dedup (the m145 tier in the
+    // streaming matrix): micro-batch 1 delivers 6 blob masters —
+    // orient-0 constellation codes enter bucket state — micro-batch 2
+    // their cropped+rescaled+rotated/mirrored re-deliveries; each
+    // probe's 8 angle readouts probe the buckets and the element
+    // undoing its transform lands. Consumer scores the best
+    // orientation's distinct-landmark hits over the smaller orient-0
+    // count at the scale tier's 0.4 gate. Pinned golden.
+    "st107_stream_scale_dihedral_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val name = "st107_out"
+      val staged = stagingDir("graft-stream-scaledih")
+      val img = udf((id: Long) =>
+        if (id < 1000000L) Multimodal.syntheticPngBlobs(id)
+        else {
+          val m = id - 1000000L
+          (m % 4) match {
+            case 0 => Multimodal.pngDihedral(Multimodal.pngCropResize(
+              Multimodal.syntheticPngBlobs(m), 20, 12, 116, 108, 128, 128), 1)
+            case 1 => Multimodal.pngDihedral(Multimodal.pngCropResize(
+              Multimodal.syntheticPngBlobs(m), 8, 16, 104, 112, 112, 112), 2)
+            case 2 => Multimodal.pngDihedral(Multimodal.pngCropResize(
+              Multimodal.syntheticPngBlobs(m), 16, 16, 112, 112, 80, 80), 5)
+            case _ => Multimodal.pngDihedral(Multimodal.pngCropResize(
+              Multimodal.syntheticPngBlobs(m), 24, 8, 120, 104, 144, 144), 4)
+          }
+        })
+      def stageBatch(ids: org.apache.spark.sql.Dataset[java.lang.Long],
+          fname: String, ageMs: Long): Unit = {
+        val tmp = staged.resolve(fname + ".tmp")
+        ids.toDF("doc_id").select(col("doc_id"), img(col("doc_id")).as("payload"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, staged.resolve(fname))
+        staged.resolve(fname).toFile.deleteOnExit()
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        java.nio.file.Files.setLastModifiedTime(staged.resolve(fname),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - ageMs))
+      }
+      stageBatch(s.range(0, 6).as[java.lang.Long], "a.parquet", 120000L)
+      stageBatch(s.range(1000000L, 1000006L).as[java.lang.Long], "b.parquet", 0L)
+      val mediaSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("payload", BinaryType)))
+      val stream = s.readStream.schema(mediaSchema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+        .repartition(col("doc_id"))
+      val hits = graft.operators.StreamingNearDup.imageScaleVerdictsDihedral(
+        stream, "doc_id", "payload", maxBucket = 64)
+      val q = hits.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+      val nl = s.table(name).filter(col("orient") === 0)
+        .groupBy(col("doc_id")).agg(countDistinct(col("lm")).as("nl"))
+      val nlSrc = s.table(name).filter(col("orient") === 0)
+        .select(col("doc_id").as("src_id"), col("lm"))
+        .groupBy(col("src_id")).agg(countDistinct(col("lm")).as("nl_src"))
+      val dup = s.table(name)
+        .select(col("doc_id").as("d"), col("orient"),
+          explode(col("hits")).as("src"))
+        .groupBy(col("d"), col("orient"), col("src"))
+        .agg(count(lit(1)).as("c"))
+        .join(nl, col("d") === nl("doc_id")).drop("doc_id")
+        .join(nlSrc, col("src") === col("src_id"))
+        .filter(col("c").cast("double") / least(col("nl"), col("nl_src"))
+          >= 0.4)
+        .groupBy(col("d")).agg(min(col("src")).as("dup_src"))
+      nl.join(dup, col("doc_id") === col("d"), "left")
+        .select(col("doc_id"), col("dup_src").isNull.as("kept"),
+          col("dup_src"))
+        .orderBy(col("doc_id"))
+    }),
+
     // STREAMING rotated + arbitrary-crop compound image dedup (the
     // m140 tier in the streaming matrix): micro-batch 1 delivers 6
     // masters — orient-0 landmarks enter bucket state — micro-batch 2
