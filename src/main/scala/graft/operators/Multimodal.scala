@@ -3907,22 +3907,29 @@ object Multimodal {
       minMatch: Double = 0.3, kTop: Int = 16, nNear: Int = 15,
       qStepR: Double = 0.15, nAng: Int = 24, smoothR: Int = 4,
       radius: Int = 6, minAvg: Int = 24)(
-      implicit s: SparkSession): DataFrame = {
+      implicit s: SparkSession): DataFrame =
+    screenScaleIndex(
+      Materialize.eager(
+        imageScaleLandmarks(media, kTop, nNear, qStepR, nAng, smoothR,
+          radius, minAvg).toDF()),
+      index, minMatch, "imageScaleLandmarkIndex")
+
+  /** Shared screen kernel for the constellation indexes (image m144 /
+    * video m148): fail-fast [[ScaleFpVersion]] check, landmark
+    * equi-join, shared-distinct over the smaller set >= minMatch. */
+  private def screenScaleIndex(lms: DataFrame, index: DataFrame,
+      minMatch: Double, builder: String): DataFrame = {
     require(index.columns.contains("fp_ver"),
       s"constellation index has no fp_ver column: it predates " +
         s"fingerprint version $ScaleFpVersion — rebuild it with " +
-        "imageScaleLandmarkIndex before screening")
+        s"$builder before screening")
     val stale = index.filter(col("fp_ver") =!= lit(ScaleFpVersion))
       .limit(1).collect()
     require(stale.isEmpty,
       s"constellation index built by fingerprint version " +
         s"${stale.headOption.map(_.getAs[Any]("fp_ver")).orNull}, " +
-        s"current is $ScaleFpVersion — rebuild it with " +
-        "imageScaleLandmarkIndex before screening (cross-version " +
-        "landmarks never match)")
-    val lms = Materialize.eager(
-      imageScaleLandmarks(media, kTop, nNear, qStepR, nAng, smoothR,
-        radius, minAvg).toDF())
+        s"current is $ScaleFpVersion — rebuild it with $builder " +
+        "before screening (cross-version landmarks never match)")
     val nl = lms.groupBy(col("doc_id")).agg(count(lit(1)).as("nl"))
     val dup = lms.join(
         index.select(col("lm"), col("doc_id").as("src"),
@@ -4036,6 +4043,89 @@ object Multimodal {
         col("dup_src"))
   }
 
+  // ---- VIDEO: the constellation tier per sampled frame (m147/m148) --
+
+  /** Constellation landmarks pooled per VIDEO document — the m138
+    * pooling shape at the constellation seam: every `every`-th
+    * container frame decodes once, coarse peaks + triple codes per
+    * frame, DISTINCT codes pooled per doc (order-free, so a leading
+    * trim costs only the trimmed frames' unique codes). Closes the
+    * cropped-then-RESCALED video re-upload (the 1080p->720p repost
+    * shape) that the exact-pixel video peak tier (m138) and every
+    * whole-frame/window tier miss structurally — interpolation
+    * rewrites every frame byte. */
+  def videoScaleLandmarks(media: DataFrame, every: Int = 2,
+      kTop: Int = 16, nNear: Int = 15, qStepR: Double = 0.15,
+      nAng: Int = 24, smoothR: Int = 4, radius: Int = 6,
+      minAvg: Int = 24)(implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    require(every >= 1, "every must be >= 1")
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions(rows => rows.flatMap { r =>
+        containerFrames(r.payload) match {
+          case Some(fs) =>
+            val set = scala.collection.mutable.LinkedHashSet.empty[Long]
+            fs.iterator.zipWithIndex.filter(_._2 % every == 0)
+              .foreach { f =>
+                decodeImage(f._1).foreach { img =>
+                  constellationCodes(
+                    coarsePeakCells(lumaPlane(img), img.getWidth,
+                      img.getHeight, smoothR, radius, minAvg), kTop,
+                    nNear, qStepR, nAng).foreach(set += _)
+                }
+              }
+            set.iterator.map(lm => (r.doc_id, lm))
+          case None => Iterator.empty
+        }
+      }).toDF("doc_id", "lm")
+  }
+
+  /** Video near-dup pairs on pooled constellation codes — the m147
+    * tier: [[videoScaleLandmarks]] posting rows through the shared
+    * peak scorer at the scale tier's jitter-absorbing threshold; a
+    * cropped+rescaled (+trimmed) re-upload scores over the smaller
+    * pooled set. */
+  def videoScalePairs(media: DataFrame, minMatch: Double = 0.3,
+      every: Int = 2, maxDf: Int = 0, kTop: Int = 16, nNear: Int = 15,
+      qStepR: Double = 0.15, nAng: Int = 24, smoothR: Int = 4,
+      radius: Int = 6, minAvg: Int = 24)(
+      implicit s: SparkSession): DataFrame =
+    peakLandmarkPairScores(
+      Materialize.eager(videoScaleLandmarks(media, every, kTop, nNear,
+        qStepR, nAng, smoothR, radius, minAvg)),
+      minMatch, maxDf)
+
+  /** Persisted VIDEO constellation index — the m148 member: same
+    * [[ScaleFpVersion]] stamp as the image index via the shared code
+    * kernel (the m139 shared-kernel precedent); `every` and the
+    * detection/quantization knobs are build parameters — screen with
+    * the parameters the index was built with. */
+  def videoScaleLandmarkIndex(media: DataFrame, every: Int = 2,
+      kTop: Int = 16, nNear: Int = 15, qStepR: Double = 0.15,
+      nAng: Int = 24, smoothR: Int = 4, radius: Int = 6,
+      minAvg: Int = 24)(implicit s: SparkSession): DataFrame = {
+    val lms = Materialize.eager(videoScaleLandmarks(media, every, kTop,
+      nNear, qStepR, nAng, smoothR, radius, minAvg))
+    lms.join(lms.groupBy(col("doc_id")).agg(count(lit(1)).as("nl")),
+        Seq("doc_id"))
+      .select(col("lm"), col("doc_id"), col("nl"),
+        lit(ScaleFpVersion).as("fp_ver"))
+  }
+
+  /** Screen an ingest batch of videos against a pre-built
+    * [[videoScaleLandmarkIndex]] — a cropped+rescaled re-upload of a
+    * corpus master is caught with no corpus re-decode. Same contract
+    * as the image screen ([[screenScaleIndex]]). */
+  def dedupAgainstVideoScaleIndex(media: DataFrame, index: DataFrame,
+      minMatch: Double = 0.3, every: Int = 2, kTop: Int = 16,
+      nNear: Int = 15, qStepR: Double = 0.15, nAng: Int = 24,
+      smoothR: Int = 4, radius: Int = 6, minAvg: Int = 24)(
+      implicit s: SparkSession): DataFrame =
+    screenScaleIndex(
+      Materialize.eager(videoScaleLandmarks(media, every, kTop, nNear,
+        qStepR, nAng, smoothR, radius, minAvg)),
+      index, minMatch, "videoScaleLandmarkIndex")
+
   /** Crop-then-RESIZE re-encode of any PNG payload — the scale tier's
     * fixture transform: pixels (x0..x1) x (y0..y1) resampled to
     * (outW, outH) by our OWN bilinear kernel (pure doubles +
@@ -4044,9 +4134,19 @@ object Multimodal {
     * (lossless, so the resample is the ONLY pixel change). Source
     * coordinates clamp at the crop edges (half-pixel centers). */
   def pngCropResize(payload: Array[Byte], x0: Int, y0: Int, x1: Int,
-      y1: Int, outW: Int, outH: Int): Array[Byte] = {
-    val img = javax.imageio.ImageIO.read(
-      new java.io.ByteArrayInputStream(payload))
+      y1: Int, outW: Int, outH: Int): Array[Byte] =
+    encodePng(cropResizeRgb(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload)), x0, y0, x1, y1,
+      outW, outH))
+
+  /** The scale-tier fixtures' shared bilinear kernel: pixels
+    * (x0..x1) x (y0..y1) of `img` resampled to (outW, outH) — pure
+    * doubles + final round, deterministic across JVMs (unlike
+    * Graphics2D's platform-delegated scaling). Source coordinates
+    * clamp at the crop edges (half-pixel centers). */
+  private def cropResizeRgb(img: java.awt.image.BufferedImage, x0: Int,
+      y0: Int, x1: Int, y1: Int, outW: Int,
+      outH: Int): java.awt.image.BufferedImage = {
     require(x0 >= 0 && y0 >= 0 && x1 <= img.getWidth &&
       y1 <= img.getHeight && x0 < x1 && y0 < y1,
       "crop rect must be inside the source")
@@ -4074,7 +4174,7 @@ object Multimodal {
       }
       oy += 1
     }
-    encodePng(out)
+    out
   }
 
   /** Deterministic SMOOTH-BLOB test image for doc `id`: a sum of
@@ -4086,7 +4186,15 @@ object Multimodal {
     * large-scale structure that coarse peak detection re-finds within
     * subpixel error at any moderate scale factor. */
   def syntheticPngBlobs(id: Long, w: Int = 128, h: Int = 128,
-      nBlobs: Int = 10, minSep: Double = 22.0): Array[Byte] = {
+      nBlobs: Int = 10, minSep: Double = 22.0): Array[Byte] =
+    encodePng(blobImage(id, w, h, nBlobs, minSep))
+
+  /** The blob renderer behind [[syntheticPngBlobs]] and
+    * [[syntheticAviBlobs]] — seeded Gaussian bumps on a dark floor,
+    * rejection-separated so every blob is an isolated strict
+    * maximum. */
+  private def blobImage(id: Long, w: Int, h: Int, nBlobs: Int,
+      minSep: Double): java.awt.image.BufferedImage = {
     var st = id * 0x9E3779B97F4A7C15L + 0x632BE59BD9B4E019L
     @inline def nxt(): Long = {
       st = st * 6364136223846793005L + 1442695040888963407L
@@ -4143,7 +4251,80 @@ object Multimodal {
       }
       y += 1
     }
-    encodePng(img)
+    img
+  }
+
+  /** Uncompressed 24-bit DIB AVI from arbitrary frames — the
+    * transform-fixture muxer ([[aviCropResizeDib]]): same RIFF layout
+    * as [[syntheticAvi]]'s DIB leg, so [[containerFrames]] reads the
+    * frames back bit-exactly as BMPs. All frames must share one
+    * size. */
+  private def aviFromImages(
+      frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+    require(frames.nonEmpty, "aviFromImages needs at least one frame")
+    val w = frames.head.getWidth
+    val h = frames.head.getHeight
+    require(frames.forall(f => f.getWidth == w && f.getHeight == h),
+      "all frames must share one size")
+    val rowBytes = (w * 3 + 3) & ~3
+    val frameChunks = frames.map { img =>
+      val px = new Array[Byte](rowBytes * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val o = (h - 1 - y) * rowBytes + x * 3
+          px(o) = (rgb & 0xff).toByte
+          px(o + 1) = ((rgb >> 8) & 0xff).toByte
+          px(o + 2) = ((rgb >> 16) & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      riffChunk("00db", px)
+    }
+    val strf = riffChunk("strf", leBytes(Seq(
+      40, w, h, 1 | (24 << 16), 0, rowBytes * h, 0, 0, 0, 0)))
+    val strh = riffChunk("strh",
+      fourcc("vids") ++ fourcc("    ") ++
+        leBytes(Seq(0, 0, 0, 1, 25, 0, frames.length, 0, 0, 0)) ++
+        leBytes(Seq(0, w | (h << 16))))
+    val strl = riffChunk("LIST", fourcc("strl") ++ strh ++ strf)
+    val avih = riffChunk("avih", leBytes(Seq(
+      40000, 0, 0, 0, frames.length, 0, 1, 0, w, h, 0, 0, 0, 0)))
+    val hdrl = riffChunk("LIST", fourcc("hdrl") ++ avih ++ strl)
+    val movi = riffChunk("LIST",
+      fourcc("movi") ++ frameChunks.reduce(_ ++ _))
+    riffChunk("RIFF", fourcc("AVI ") ++ hdrl ++ movi)
+  }
+
+  /** Deterministic SMOOTH-BLOB AVI for doc `id` — the VIDEO scale
+    * tier's fixture ([[syntheticPngBlobs]] per frame): frame f
+    * renders the blob field seeded by (id, f), so every frame has its
+    * own isolated large-scale structure and the modular-texture
+    * aliasing problem ([[syntheticAvi]]'s pixel formula is a pure
+    * high-frequency field) never arises. Seeds are spaced so no two
+    * (id, f) pairs collide for f < 2^20. */
+  def syntheticAviBlobs(id: Long, nFrames: Int, w: Int = 96,
+      h: Int = 96, nBlobs: Int = 8, minSep: Double = 20.0): Array[Byte] =
+    aviFromImages((0 until nFrames).map(f =>
+      blobImage(id * 1048573L + f * 7919L, w, h, nBlobs, minSep)))
+
+  /** Crop-then-RESIZE re-mux of any decodable video payload — the
+    * video scale tier's fixture transform: every frame (from
+    * `fromFrame` on — the leading-TRIM compound) through the
+    * [[cropResizeRgb]] bilinear kernel, re-muxed as uncompressed DIB
+    * AVI. The resample is the ONLY pixel change (DIB is lossless). */
+  def aviCropResizeDib(payload: Array[Byte], x0: Int, y0: Int, x1: Int,
+      y1: Int, outW: Int, outH: Int, fromFrame: Int = 0): Array[Byte] = {
+    val fs = containerFrames(payload).getOrElse(
+      throw new IllegalArgumentException("undecodable video payload"))
+    require(fromFrame >= 0 && fromFrame < fs.length,
+      "fromFrame must land inside the stream")
+    aviFromImages(fs.drop(fromFrame).map(b =>
+      cropResizeRgb(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(b)), x0, y0, x1, y1, outW, outH)))
   }
 
   /** [[syntheticPng]] with a small planted edit (a +delta luma patch on

@@ -2283,6 +2283,131 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Crop+RESIZE VIDEO dedup — pooled per-frame constellation codes
+    // (m147): probes are cropped at arbitrary offsets AND uniformly
+    // rescaled (up 1.2x/1.4x, down 0.89x), one also TRIMMED two
+    // leading frames — the 1080p->720p repost shape, which the
+    // exact-pixel video peak tier (m138) misses structurally
+    // (Round11kSpec pins it at zero pairs on this corpus; the pooled
+    // distinct codes are order-free, so the trim costs only the
+    // trimmed frames' unique codes). Blob-frame fixtures — the
+    // modular aviPixel textures alias under resampling. Pinned
+    // golden.
+    "m147_video_scale_pairs" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val img = udf((id: Long) =>
+        if (id == 20L) Multimodal.aviCropResizeDib(
+          Multimodal.syntheticAviBlobs(0, 6), 12, 8, 92, 88, 96, 96)
+        else if (id == 21L) Multimodal.aviCropResizeDib(
+          Multimodal.syntheticAviBlobs(1, 6), 8, 8, 88, 88, 112, 112)
+        else if (id == 22L) Multimodal.aviCropResizeDib(
+          Multimodal.syntheticAviBlobs(2, 6), 16, 12, 88, 84, 64, 64)
+        else if (id == 23L) Multimodal.aviCropResizeDib(
+          Multimodal.syntheticAviBlobs(3, 6), 12, 8, 92, 88, 96, 96, 2)
+        else Multimodal.syntheticAviBlobs(id, 6))
+      val media = s.range(0, 6).union(s.range(20, 24))
+        .union(s.range(140, 142))
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      Multimodal.videoScalePairs(media, minMatch = 0.4, maxDf = 64)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Persisted VIDEO constellation index + batch ingest screen
+    // (m148) — the m147 tier's index member (same ScaleFpVersion as
+    // the image index via the shared code kernel, the m139
+    // precedent): 6 blob-frame masters fingerprint once, then an
+    // ingest batch of 3 crop+RESIZE re-uploads plus 2 fresh videos
+    // screens with no corpus re-decode. Pinned golden.
+    "m148_video_scale_index_dedup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val img = udf((id: Long) =>
+        if (id == 20L) Multimodal.aviCropResizeDib(
+          Multimodal.syntheticAviBlobs(0, 6), 12, 8, 92, 88, 96, 96)
+        else if (id == 21L) Multimodal.aviCropResizeDib(
+          Multimodal.syntheticAviBlobs(1, 6), 8, 8, 88, 88, 112, 112)
+        else if (id == 22L) Multimodal.aviCropResizeDib(
+          Multimodal.syntheticAviBlobs(2, 6), 16, 12, 88, 84, 64, 64)
+        else Multimodal.syntheticAviBlobs(id, 6))
+      val corpus = s.range(0, 6)
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      val index = Multimodal.videoScaleLandmarkIndex(corpus)
+      val probes = s.range(20, 23).union(s.range(130, 132))
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      Multimodal.dedupAgainstVideoScaleIndex(probes, index,
+          minMatch = 0.4)
+        .orderBy(col("doc_id"))
+    }),
+
+    // STREAMING crop+RESIZE video dedup (the m147 tier in the
+    // streaming matrix): micro-batch 1 delivers 6 blob-frame
+    // masters — pooled constellation codes enter bucket state —
+    // micro-batch 2 their cropped-and-rescaled re-deliveries (one
+    // trimmed), which the exact-pixel video peak stream (st102) is
+    // structurally blind to. Consumer scores shared distinct
+    // landmarks over the smaller pooled set >= 0.4. Pinned golden.
+    "st108_stream_video_scale_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val name = "st108_out"
+      val staged = stagingDir("graft-stream-vidscale")
+      val img = udf((id: Long) =>
+        if (id < 1000000L) Multimodal.syntheticAviBlobs(id, 6)
+        else {
+          val m = id - 1000000L
+          (m % 4) match {
+            case 0 => Multimodal.aviCropResizeDib(
+              Multimodal.syntheticAviBlobs(m, 6), 12, 8, 92, 88, 96, 96)
+            case 1 => Multimodal.aviCropResizeDib(
+              Multimodal.syntheticAviBlobs(m, 6), 8, 8, 88, 88, 112, 112)
+            case 2 => Multimodal.aviCropResizeDib(
+              Multimodal.syntheticAviBlobs(m, 6), 16, 12, 88, 84, 64, 64)
+            case _ => Multimodal.aviCropResizeDib(
+              Multimodal.syntheticAviBlobs(m, 6), 12, 8, 92, 88, 96, 96, 2)
+          }
+        })
+      def stageBatch(ids: org.apache.spark.sql.Dataset[java.lang.Long],
+          fname: String, ageMs: Long): Unit = {
+        val tmp = staged.resolve(fname + ".tmp")
+        ids.toDF("doc_id").select(col("doc_id"), img(col("doc_id")).as("payload"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, staged.resolve(fname))
+        staged.resolve(fname).toFile.deleteOnExit()
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        java.nio.file.Files.setLastModifiedTime(staged.resolve(fname),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - ageMs))
+      }
+      stageBatch(s.range(0, 6).as[java.lang.Long], "a.parquet", 120000L)
+      stageBatch(s.range(1000000L, 1000006L).as[java.lang.Long], "b.parquet", 0L)
+      val mediaSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("payload", BinaryType)))
+      val stream = s.readStream.schema(mediaSchema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+        .repartition(col("doc_id"))
+      val hits = graft.operators.StreamingNearDup.videoScaleVerdicts(
+        stream, "doc_id", "payload", maxBucket = 64)
+      val q = hits.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+      val nl = s.table(name).groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("nl"))
+      val nlSrc = s.table(name).select(col("doc_id").as("src_id"))
+        .groupBy(col("src_id")).agg(count(lit(1)).as("nl_src"))
+      val dup = s.table(name)
+        .select(col("doc_id").as("d"), explode(col("hits")).as("src"))
+        .groupBy(col("d"), col("src")).agg(count(lit(1)).as("c"))
+        .join(nl, col("d") === nl("doc_id")).drop("doc_id")
+        .join(nlSrc, col("src") === col("src_id"))
+        .filter(col("c").cast("double") / least(col("nl"), col("nl_src"))
+          >= 0.4)
+        .groupBy(col("d")).agg(min(col("src")).as("dup_src"))
+      nl.join(dup, col("doc_id") === col("d"), "left")
+        .select(col("doc_id"), col("dup_src").isNull.as("kept"),
+          col("dup_src"))
+        .orderBy(col("doc_id"))
+    }),
+
     // STREAMING rotated + arbitrary-crop compound image dedup (the
     // m140 tier in the streaming matrix): micro-batch 1 delivers 6
     // masters — orient-0 landmarks enter bucket state — micro-batch 2
