@@ -2283,6 +2283,33 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // FULL thumbnail-pipeline compound (m149): crop at an arbitrary
+    // offset + uniform rescale + LOSSY JPEG save (one probe at q0.85)
+    // — the single most common real image re-upload shape. The
+    // coarse 9x9 box-sum peaks absorb JPEG quantization noise, so
+    // the constellation tier's match levels are within ~0.02 of the
+    // lossless compound (m143), while the fixed-pixel-scale lossy
+    // descriptor tier (m141) is provably blind (Round11iSpec pins it
+    // at zero pairs on this corpus). Pinned golden.
+    "m149_scale_lossy_pairs" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val img = udf((id: Long) =>
+        if (id == 20L) Multimodal.jpegReencode(Multimodal.pngCropResize(
+          Multimodal.syntheticPngBlobs(0), 20, 12, 116, 108, 128, 128), 0.92f)
+        else if (id == 21L) Multimodal.jpegReencode(Multimodal.pngCropResize(
+          Multimodal.syntheticPngBlobs(1), 8, 16, 104, 112, 112, 112), 0.92f)
+        else if (id == 22L) Multimodal.jpegReencode(Multimodal.pngCropResize(
+          Multimodal.syntheticPngBlobs(2), 16, 16, 112, 112, 80, 80), 0.92f)
+        else if (id == 23L) Multimodal.jpegReencode(Multimodal.pngCropResize(
+          Multimodal.syntheticPngBlobs(3), 24, 8, 120, 104, 144, 144), 0.85f)
+        else Multimodal.syntheticPngBlobs(id))
+      val media = s.range(0, 8).union(s.range(20, 24))
+        .union(s.range(140, 142))
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      Multimodal.imageScalePairs(media, minMatch = 0.4, maxDf = 64)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Crop+RESIZE VIDEO dedup — pooled per-frame constellation codes
     // (m147): probes are cropped at arbitrary offsets AND uniformly
     // rescaled (up 1.2x/1.4x, down 0.89x), one also TRIMMED two

@@ -134,6 +134,52 @@ class Round11iSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("rebuild"))
   }
 
+  test("the tier survives the full thumbnail compound: crop + resize + JPEG") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val media = ((0L until 8L).map(id =>
+      (id, Multimodal.syntheticPngBlobs(id))) ++
+      Seq(
+        20L -> Multimodal.jpegReencode(Multimodal.pngCropResize(
+          Multimodal.syntheticPngBlobs(0), 20, 12, 116, 108, 128, 128), 0.92f),
+        21L -> Multimodal.jpegReencode(Multimodal.pngCropResize(
+          Multimodal.syntheticPngBlobs(1), 8, 16, 104, 112, 112, 112), 0.92f),
+        22L -> Multimodal.jpegReencode(Multimodal.pngCropResize(
+          Multimodal.syntheticPngBlobs(2), 16, 16, 112, 112, 80, 80), 0.92f),
+        23L -> Multimodal.jpegReencode(Multimodal.pngCropResize(
+          Multimodal.syntheticPngBlobs(3), 24, 8, 120, 104, 144, 144), 0.85f)
+      ) ++ Seq(140L, 141L).map(id =>
+        (id, Multimodal.syntheticPngBlobs(id))))
+      .toDF("doc_id", "payload")
+    // the lossy DESCRIPTOR tier (fixed pixel scale) has NO SIGNAL on
+    // the resized compound: smooth blob fields make gray-mean
+    // descriptors collide broadly across unrelated docs, and no true
+    // pair scores above that noise floor — this tier owns the class
+    val trueSet = Set((0L, 20L), (1L, 21L), (2L, 22L), (3L, 23L))
+    val desc = Multimodal.imagePeakPairsLossy(media, minMatch = 0.3,
+        maxDist = 3, maxDf = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val (descTrue, descNoise) =
+      desc.partition(p => trueSet.contains((p._1, p._2)))
+    assert(descTrue.size < trueSet.size,
+      s"descriptor tier unexpectedly finds all resized pairs: " +
+        s"${desc.toSeq}")
+    assert(descTrue.forall(t => descNoise.exists(_._3 >= t._3)),
+      s"descriptor tier must not SEPARATE resized true pairs from " +
+        s"its blob-corpus noise floor: true=${descTrue.toSeq} " +
+        s"noise=${descNoise.toSeq}")
+    val pairs = Multimodal.imageScalePairs(media, minMatch = 0.4,
+        maxDf = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet ==
+      Set((0L, 20L), (1L, 21L), (2L, 22L), (3L, 23L)),
+      s"unexpected lossy-compound pairs: ${pairs.toSeq}")
+    assert(pairs.forall(_._3 >= 0.6),
+      s"JPEG at q>=0.85 must cost at most ~0.02 match_frac over the " +
+        s"lossless compound (coarse box-sum peaks absorb the " +
+        s"quantization noise): ${pairs.toSeq}")
+  }
+
   test("a plain (unresized) arbitrary crop also lands — the tier subsumes translation") {
     implicit val s: SparkSession = spark
     import s.implicits._
