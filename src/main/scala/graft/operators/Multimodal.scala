@@ -3183,7 +3183,7 @@ object Multimodal {
     * orientation over the smaller orient-0 landmark count. Input:
     * distinct (doc_id, orient, lm) rows. */
   private def orientedLandmarkPairScores(lms: DataFrame,
-      minMatch: Double, maxDf: Int): DataFrame = {
+      minMatch: Double, maxDf: Int, minShared: Int = 0): DataFrame = {
     val n0 = lms.filter(col("orient") === 0)
       .groupBy(col("doc_id")).agg(count(lit(1)).as("nl"))
     val capped =
@@ -3205,6 +3205,8 @@ object Multimodal {
       .groupBy(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
         col("p.b.orient").as("orient"))
       .agg(count(lit(1)).as("c"))
+      // the same ABSOLUTE evidence floor as peakLandmarkPairScores
+      .filter(col("c") >= math.max(1, minShared))
       .join(n0.select(col("doc_id").as("doc_a"), col("nl").as("na")),
         Seq("doc_a"))
       .join(n0.select(col("doc_id").as("doc_b"), col("nl").as("nb")),
@@ -3239,7 +3241,7 @@ object Multimodal {
     * landmarks over the SMALLER set >= minMatch. Input: distinct
     * (doc_id, lm) rows. */
   private def peakLandmarkPairScores(lms: DataFrame, minMatch: Double,
-      maxDf: Int): DataFrame = {
+      maxDf: Int, minShared: Int = 0): DataFrame = {
     val nl = lms.groupBy(col("doc_id")).agg(count(lit(1)).as("nl"))
     val capped =
       if (maxDf <= 0) lms
@@ -3258,6 +3260,14 @@ object Multimodal {
       .filter(col("p.doc_a") =!= col("p.doc_b"))
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("c"))
+      // minShared: an ABSOLUTE evidence floor under the relative
+      // metric — a doc whose payload yields only a handful of
+      // landmarks (a crop retaining 3 coarse peaks = 3 codes) can
+      // spuriously reach match_frac 1.0 on structurally-common codes
+      // alone; requiring c >= minShared prunes those the way
+      // audio-fingerprint systems require a minimum absolute hit
+      // count. 0 (default) preserves the pure relative metric.
+      .filter(col("c") >= math.max(1, minShared))
       .join(nl.select(col("doc_id").as("doc_a"), col("nl").as("na")),
         Seq("doc_a"))
       .join(nl.select(col("doc_id").as("doc_b"), col("nl").as("nb")),
@@ -3707,20 +3717,23 @@ object Multimodal {
   }
 
   /** Similarity-invariant constellation codes over the `kTop`
-    * strongest coarse peaks: for each anchor peak A and each pair
-    * (B, C) of its `nNear` nearest co-peaks (ordered by distance, so
-    * |AB| <= |AC| up to jitter), pack three quantized invariants of
-    * the triangle — round(log(|AC|/|AB|)/qStepR) (scale cancels in
-    * the ratio; the audio interval tier's quantizer, m120, in 2D)
-    * and the two DIRECTION angles of A->B / A->C in `nAng` bins
+    * strongest coarse peaks: for each anchor peak A and each ordered
+    * triple (B, C, D) of its `nNear` nearest co-peaks (ordered by
+    * distance, so |AB| <= |AC| <= |AD| up to jitter), pack the
+    * quantized invariants of the QUAD — round(log(|AC|/|AB|)/qStepR)
+    * and round(log(|AD|/|AB|)/qStepR) (scale cancels in the ratios;
+    * the audio interval tier's quantizer, m120, in 2D) and the three
+    * DIRECTION angles of A->B / A->C / A->D in `nAng` bins
     * (translation+uniform-scale invariant; deliberately NOT
     * rotation-normalized — the dihedral fan covers rotations, this
-    * tier covers the crop+resize compound, which never rotates).
-    * Quantization is plain rounding with no boundary fan: resampling
-    * jitter flips SOME codes and the pair metric absorbs it via
-    * match_frac over many landmarks, exactly the interval tier's
-    * robustness model. All transcendentals via StrictMath —
-    * bit-reproducible across JVMs, so codes are index-stable. */
+    * tier covers the crop+resize compound, which never rotates) plus
+    * two chirality bits. Quantization is plain rounding with no
+    * boundary fan: resampling jitter flips SOME codes and the pair
+    * metric absorbs it via match_frac over many landmarks, exactly
+    * the interval tier's robustness model. All transcendentals via
+    * StrictMath — bit-reproducible across JVMs, so codes are
+    * index-stable. See [[constellationCodesOriented]] for why quads,
+    * not triples (corpus-scale code entropy). */
   private[operators] def constellationCodes(
       cells: scala.collection.Seq[(Int, Int, Int)], kTop: Int,
       nNear: Int, qStepR: Double, nAng: Int): Iterator[Long] =
@@ -3745,14 +3758,27 @@ object Multimodal {
 
   /** [[constellationCodes]] under the first `orients` dihedral
     * readouts — (orient, code) rows, orient 0 bit-identical to the
-    * natural codes. Peak detection and triple SELECTION happen once
+    * natural codes. Peak detection and QUAD selection happen once
     * (both are dihedral-invariant up to plateau/neighbor tie-breaks);
-    * only the direction angles and the chirality bit transform, via
-    * [[dihVecX]]/[[dihVecY]] on the two triangle vectors. For ANY
+    * only the direction angles and the chirality bits transform, via
+    * [[dihVecX]]/[[dihVecY]] on the three quad vectors. For ANY
     * rotation/mirror `g` applied to the IMAGE, the transformed
     * image's readout under the element undoing `g` equals the
     * original's natural codes — the probe-side orientation fan the
-    * dihedral pHash/peak tiers use, at the constellation seam. */
+    * dihedral pHash/peak tiers use, at the constellation seam.
+    *
+    * The code is a QUAD (anchor A + 3 distance-ordered co-peaks
+    * B, C, D), not a triple: the v1 triple form (two log-ratios +
+    * two angles + chirality) had ~1e5 EFFECTIVE values on natural
+    * peak layouts — nearest-neighbor triangles are structurally
+    * common — and the 32k-doc ScaleCheck sweep collapsed to ~0%
+    * planted recall as virtually every code blew past the maxDf hot-
+    * bucket cap (the audioOnset single-code-skew lesson, in 2D).
+    * Quads pack two independent log distance-ratios
+    * (|AC|/|AB|, |AD|/|AB|), THREE direction angles, and two
+    * chirality bits — ~5e6 effective values, holding average df at
+    * single digits at the 32k tier with per-pair jitter still
+    * absorbed by match_frac over many codes. */
   private[operators] def constellationCodesOriented(
       cells: scala.collection.Seq[(Int, Int, Int)], kTop: Int,
       nNear: Int, qStepR: Double, nAng: Int,
@@ -3772,39 +3798,45 @@ object Multimodal {
       while (i < nbrs.length) {
         var j = i + 1
         while (j < nbrs.length) {
-          val (d2b, bx, by) = nbrs(i)
-          val (d2c, cx, cy) = nbrs(j)
-          val qr = math.round(
-            StrictMath.log(StrictMath.sqrt(d2c / d2b)) / qStepR)
-          val dbcx = (cx - bx).toDouble; val dbcy = (cy - by).toDouble
-          val d2bc = dbcx * dbcx + dbcy * dbcy
-          val qd =
-            if (d2bc <= 0.0) -1L
-            else math.round(
-              StrictMath.log(StrictMath.sqrt(d2bc / d2b)) / qStepR) + 32L
-          if (qr >= 0L && qr <= 63L && qd >= 0L && qd <= 63L) {
-            var o = 0
-            while (o < orients) {
-              val abx = dihVecX(bx - ax, by - ay, o)
-              val aby = dihVecY(bx - ax, by - ay, o)
-              val acx = dihVecX(cx - ax, cy - ay, o)
-              val acy = dihVecY(cx - ax, cy - ay, o)
-              val angB = StrictMath.atan2(aby.toDouble, abx.toDouble)
-              val angC = StrictMath.atan2(acy.toDouble, acx.toDouble)
-              val qa = (((angB + math.Pi) / binW).toLong % nAng + nAng) % nAng
-              val qb = (((angC + math.Pi) / binW).toLong % nAng + nAng) % nAng
-              // chirality of the triple (sign of AB x AC): similarity-
-              // invariant, and jitter-stable except for near-collinear
-              // triples — one more bit against the structural collisions
-              // of nearest-neighbor triangle shapes. Flips under the
-              // four reflections (det -1), which is exactly what makes
-              // the mirrored readouts distinct.
-              val qs = if (abx.toLong * acy - aby.toLong * acx > 0L) 1L
-                else 0L
-              lms += ((o,
-                (((qr * 64L + qd) * nAng + qa) * nAng + qb) * 2L + qs))
-              o += 1
+          var k = j + 1
+          while (k < nbrs.length) {
+            val (d2b, bx, by) = nbrs(i)
+            val (d2c, cx, cy) = nbrs(j)
+            val (d2d, dx, dy) = nbrs(k)
+            val qr1 = math.round(
+              StrictMath.log(StrictMath.sqrt(d2c / d2b)) / qStepR)
+            val qr2 = math.round(
+              StrictMath.log(StrictMath.sqrt(d2d / d2b)) / qStepR)
+            if (qr1 >= 0L && qr1 <= 63L && qr2 >= 0L && qr2 <= 63L) {
+              var o = 0
+              while (o < orients) {
+                val abx = dihVecX(bx - ax, by - ay, o)
+                val aby = dihVecY(bx - ax, by - ay, o)
+                val acx = dihVecX(cx - ax, cy - ay, o)
+                val acy = dihVecY(cx - ax, cy - ay, o)
+                val adx = dihVecX(dx - ax, dy - ay, o)
+                val ady = dihVecY(dx - ax, dy - ay, o)
+                val angB = StrictMath.atan2(aby.toDouble, abx.toDouble)
+                val angC = StrictMath.atan2(acy.toDouble, acx.toDouble)
+                val angD = StrictMath.atan2(ady.toDouble, adx.toDouble)
+                val qa = (((angB + math.Pi) / binW).toLong % nAng + nAng) % nAng
+                val qb = (((angC + math.Pi) / binW).toLong % nAng + nAng) % nAng
+                val qc = (((angD + math.Pi) / binW).toLong % nAng + nAng) % nAng
+                // chirality of (AB, AC) and (AB, AD): similarity-
+                // invariant, jitter-stable except near-collinear; both
+                // flip under the four reflections (det -1), which is
+                // exactly what keeps the mirrored readouts distinct
+                val s1 = if (abx.toLong * acy - aby.toLong * acx > 0L) 1L
+                  else 0L
+                val s2 = if (abx.toLong * ady - aby.toLong * adx > 0L) 1L
+                  else 0L
+                lms += ((o,
+                  ((((qr1 * 64L + qr2) * nAng + qa) * nAng + qb) * nAng
+                    + qc) * 4L + s1 * 2L + s2))
+                o += 1
+              }
             }
+            k += 1
           }
           j += 1
         }
@@ -3817,16 +3849,16 @@ object Multimodal {
   /** Constellation landmarks per document — decode once, coarse peak
     * detection, similarity-invariant triple codes. One mapPartitions
     * pass, no shuffle; payloads that are undecodable or yield fewer
-    * than 3 coarse peaks emit nothing (the family contract — the
+    * than 4 coarse peaks emit nothing (the family contract — the
     * exact peak tier covers unresized content, pHash covers
     * structureless content). */
   def imageScaleLandmarks(media: DataFrame, kTop: Int = 16,
-      nNear: Int = 15, qStepR: Double = 0.15, nAng: Int = 24,
+      nNear: Int = 8, qStepR: Double = 0.15, nAng: Int = 24,
       smoothR: Int = 4, radius: Int = 6, minAvg: Int = 24)(
       implicit s: SparkSession): Dataset[DocLandmark] = {
     import s.implicits._
-    require(kTop >= 3, "kTop must be >= 3 (a constellation is a triple)")
-    require(nNear >= 2 && nNear <= 16, "nNear must be in 2..16")
+    require(kTop >= 4, "kTop must be >= 4 (a constellation is a quad)")
+    require(nNear >= 3 && nNear <= 16, "nNear must be in 3..16 (a quad needs three co-peaks)")
     require(qStepR > 0.0, "qStepR must be > 0")
     require(nAng >= 4 && nAng <= 64, "nAng must be in 4..64")
     media.select(col("doc_id"), col("payload")).as[MediaRow]
@@ -3856,24 +3888,26 @@ object Multimodal {
     * SMALLER landmark set (a crop's constellations are a subset of
     * its master's, up to quantization jitter). */
   def imageScalePairs(media: DataFrame, minMatch: Double = 0.3,
-      maxDf: Int = 0, kTop: Int = 16, nNear: Int = 15,
+      maxDf: Int = 0, kTop: Int = 16, nNear: Int = 8,
       qStepR: Double = 0.15, nAng: Int = 24, smoothR: Int = 4,
-      radius: Int = 6, minAvg: Int = 24)(
+      radius: Int = 6, minAvg: Int = 24, minShared: Int = 0)(
       implicit s: SparkSession): DataFrame =
     peakLandmarkPairScores(
       Materialize.eager(
         imageScaleLandmarks(media, kTop, nNear, qStepR, nAng, smoothR,
           radius, minAvg).toDF()),
-      minMatch, maxDf)
+      minMatch, maxDf, minShared)
 
   /** Version stamp for the CONSTELLATION landmark family
     * ([[imageScaleLandmarks]] — coarse peak detection, triple
     * selection, invariant quantization, packing): namespaced
     * (constellation = 11000 + v) so cross-family screens fail fast at
-    * every version pair; 11001 = v1. Parameter choices (kTop, nNear,
-    * qStepR, nAng, smoothR, radius) are NOT covered — screen with
-    * the parameters the index was built with. */
-  val ScaleFpVersion: Int = 11001
+    * every version pair; 11002 = v2 (QUAD codes — v1's triple codes
+    * saturated their effective value space at corpus scale and never
+    * shipped past a round-11 working commit). Parameter choices
+    * (kTop, nNear, qStepR, nAng, smoothR, radius) are NOT covered —
+    * screen with the parameters the index was built with. */
+  val ScaleFpVersion: Int = 11002
 
   /** Persisted CONSTELLATION landmark index — the incremental member
     * of the scale tier: the corpus fingerprints ONCE into one row per
@@ -3883,7 +3917,7 @@ object Multimodal {
     * with no corpus re-decode. [[IncrementalIndex.append]]-compatible;
     * stamped with [[ScaleFpVersion]]. */
   def imageScaleLandmarkIndex(media: DataFrame, kTop: Int = 16,
-      nNear: Int = 15, qStepR: Double = 0.15, nAng: Int = 24,
+      nNear: Int = 8, qStepR: Double = 0.15, nAng: Int = 24,
       smoothR: Int = 4, radius: Int = 6, minAvg: Int = 24)(
       implicit s: SparkSession): DataFrame = {
     val lms = Materialize.eager(
@@ -3904,21 +3938,22 @@ object Multimodal {
     * kept (the family contract). Enforces [[ScaleFpVersion]]; screen
     * with the parameters the index was built with. */
   def dedupAgainstImageScaleIndex(media: DataFrame, index: DataFrame,
-      minMatch: Double = 0.3, kTop: Int = 16, nNear: Int = 15,
+      minMatch: Double = 0.3, kTop: Int = 16, nNear: Int = 8,
       qStepR: Double = 0.15, nAng: Int = 24, smoothR: Int = 4,
-      radius: Int = 6, minAvg: Int = 24)(
+      radius: Int = 6, minAvg: Int = 24, minShared: Int = 0)(
       implicit s: SparkSession): DataFrame =
     screenScaleIndex(
       Materialize.eager(
         imageScaleLandmarks(media, kTop, nNear, qStepR, nAng, smoothR,
           radius, minAvg).toDF()),
-      index, minMatch, "imageScaleLandmarkIndex")
+      index, minMatch, "imageScaleLandmarkIndex", minShared)
 
   /** Shared screen kernel for the constellation indexes (image m144 /
     * video m148): fail-fast [[ScaleFpVersion]] check, landmark
     * equi-join, shared-distinct over the smaller set >= minMatch. */
   private def screenScaleIndex(lms: DataFrame, index: DataFrame,
-      minMatch: Double, builder: String): DataFrame = {
+      minMatch: Double, builder: String,
+      minShared: Int = 0): DataFrame = {
     require(index.columns.contains("fp_ver"),
       s"constellation index has no fp_ver column: it predates " +
         s"fingerprint version $ScaleFpVersion — rebuild it with " +
@@ -3937,6 +3972,8 @@ object Multimodal {
         Seq("lm"))
       .groupBy(col("doc_id"), col("src"), col("nl_src"))
       .agg(count(lit(1)).as("c"))
+      // the same ABSOLUTE evidence floor as peakLandmarkPairScores
+      .filter(col("c") >= math.max(1, minShared))
       .join(nl, Seq("doc_id"))
       .filter(col("c").cast("double") / least(col("nl"), col("nl_src"))
         >= minMatch)
@@ -3952,12 +3989,12 @@ object Multimodal {
     * decode and one peak-detection pass for all 8 readouts: only the
     * angle/chirality components transform). */
   def imageScaleLandmarksOriented(media: DataFrame, kTop: Int = 16,
-      nNear: Int = 15, qStepR: Double = 0.15, nAng: Int = 24,
+      nNear: Int = 8, qStepR: Double = 0.15, nAng: Int = 24,
       smoothR: Int = 4, radius: Int = 6, minAvg: Int = 24)(
       implicit s: SparkSession): DataFrame = {
     import s.implicits._
-    require(kTop >= 3, "kTop must be >= 3 (a constellation is a triple)")
-    require(nNear >= 2 && nNear <= 16, "nNear must be in 2..16")
+    require(kTop >= 4, "kTop must be >= 4 (a constellation is a quad)")
+    require(nNear >= 3 && nNear <= 16, "nNear must be in 3..16 (a quad needs three co-peaks)")
     require(qStepR > 0.0, "qStepR must be > 0")
     require(nAng >= 4 && nAng <= 64, "nAng must be in 4..64")
     media.select(col("doc_id"), col("payload")).as[MediaRow]
@@ -3986,15 +4023,15 @@ object Multimodal {
     * landmark count at the scale tier's jitter-absorbing threshold.
     * Output (doc_a, doc_b, orient, match_frac). */
   def imageScalePairsDihedral(media: DataFrame, minMatch: Double = 0.3,
-      maxDf: Int = 0, kTop: Int = 16, nNear: Int = 15,
+      maxDf: Int = 0, kTop: Int = 16, nNear: Int = 8,
       qStepR: Double = 0.15, nAng: Int = 24, smoothR: Int = 4,
-      radius: Int = 6, minAvg: Int = 24)(
+      radius: Int = 6, minAvg: Int = 24, minShared: Int = 0)(
       implicit s: SparkSession): DataFrame =
     orientedLandmarkPairScores(
       Materialize.eager(
         imageScaleLandmarksOriented(media, kTop, nNear, qStepR, nAng,
           smoothR, radius, minAvg)),
-      minMatch, maxDf)
+      minMatch, maxDf, minShared)
 
   /** Screen an ingest batch against a pre-built
     * [[imageScaleLandmarkIndex]] with the full DIHEDRAL probe fan —
@@ -4008,8 +4045,9 @@ object Multimodal {
     * [[ScaleFpVersion]]. */
   def dedupAgainstImageScaleIndexDihedral(media: DataFrame,
       index: DataFrame, minMatch: Double = 0.3, kTop: Int = 16,
-      nNear: Int = 15, qStepR: Double = 0.15, nAng: Int = 24,
-      smoothR: Int = 4, radius: Int = 6, minAvg: Int = 24)(
+      nNear: Int = 8, qStepR: Double = 0.15, nAng: Int = 24,
+      smoothR: Int = 4, radius: Int = 6, minAvg: Int = 24,
+      minShared: Int = 0)(
       implicit s: SparkSession): DataFrame = {
     require(index.columns.contains("fp_ver"),
       s"constellation index has no fp_ver column: it predates " +
@@ -4034,6 +4072,8 @@ object Multimodal {
         Seq("lm"))
       .groupBy(col("doc_id"), col("orient"), col("src"), col("nl_src"))
       .agg(count(lit(1)).as("c"))
+      // the same ABSOLUTE evidence floor as peakLandmarkPairScores
+      .filter(col("c") >= math.max(1, minShared))
       .join(nlo, Seq("doc_id", "orient"))
       .filter(col("c").cast("double") / least(col("nl"), col("nl_src"))
         >= minMatch)
@@ -4043,11 +4083,255 @@ object Multimodal {
         col("dup_src"))
   }
 
+  // ---- IMAGE: rotation-invariant constellations (ANY angle) --------
+
+  /** ROTATION-invariant constellation codes — the full 2D similarity
+    * group (translation + uniform scale + rotation at ANY angle +
+    * optional reflection via the pair metric's jitter absorption is
+    * NOT included: reflection flips chirality, so mirrored re-uploads
+    * go through the dihedral fan): per anchor A and distance-ordered
+    * co-peak triple (B, C, D), pack THREE log distance-ratios
+    * (|AC|/|AB|, |AD|/|AB|, |BC|/|AB| — the third recovers the
+    * entropy the dropped absolute angle cost, keeping effective
+    * values in the millions; the v1-triple saturation lesson) and two
+    * angle DIFFERENCES (ang(AC)-ang(AB), ang(AD)-ang(AB), both mod
+    * 2*pi — rotation cancels in the difference) plus two chirality
+    * bits. Small skews (the scanned-page / phone-photo class, 1-10
+    * degrees) and arbitrary large rotations land identically; the
+    * dihedral fan (90-degree grid) is structurally blind to both. */
+  private[operators] def constellationCodesRot(
+      cells: scala.collection.Seq[(Int, Int, Int)], kTop: Int,
+      nNear: Int, qStepR: Double, nAng: Int): Iterator[Long] = {
+    val top = cells.sortBy { case (x, y, v) => (-v, x, y) }.take(kTop)
+    val lms = scala.collection.mutable.LinkedHashSet.empty[Long]
+    val binW = 2.0 * math.Pi / nAng
+    val twoPi = 2.0 * math.Pi
+    top.foreach { case (ax, ay, _) =>
+      val nbrs = top.iterator
+        .filter { case (bx, by, _) => bx != ax || by != ay }
+        .map { case (bx, by, _) =>
+          val dx = (bx - ax).toDouble; val dy = (by - ay).toDouble
+          (dx * dx + dy * dy, bx, by)
+        }.toArray.sortBy { case (d2, bx, by) => (d2, bx, by) }
+        .take(nNear)
+      var i = 0
+      while (i < nbrs.length) {
+        var j = i + 1
+        while (j < nbrs.length) {
+          var k = j + 1
+          while (k < nbrs.length) {
+            val (d2b, bx, by) = nbrs(i)
+            val (d2c, cx, cy) = nbrs(j)
+            val (d2d, dx, dy) = nbrs(k)
+            val qr1 = math.round(
+              StrictMath.log(StrictMath.sqrt(d2c / d2b)) / qStepR)
+            val qr2 = math.round(
+              StrictMath.log(StrictMath.sqrt(d2d / d2b)) / qStepR)
+            val dbcx = (cx - bx).toDouble; val dbcy = (cy - by).toDouble
+            val d2bc = dbcx * dbcx + dbcy * dbcy
+            val qr3 =
+              if (d2bc <= 0.0) -1L
+              else math.round(
+                StrictMath.log(StrictMath.sqrt(d2bc / d2b)) / qStepR) + 32L
+            if (qr1 >= 0L && qr1 <= 63L && qr2 >= 0L && qr2 <= 63L &&
+              qr3 >= 0L && qr3 <= 63L) {
+              val angB = StrictMath.atan2((by - ay).toDouble,
+                (bx - ax).toDouble)
+              val angC = StrictMath.atan2((cy - ay).toDouble,
+                (cx - ax).toDouble)
+              val angD = StrictMath.atan2((dy - ay).toDouble,
+                (dx - ax).toDouble)
+              @inline def diffBin(a: Double): Long = {
+                val d = ((a - angB) % twoPi + twoPi) % twoPi
+                (d / binW).toLong % nAng
+              }
+              val q1 = diffBin(angC)
+              val q2 = diffBin(angD)
+              val s1 = if ((bx - ax).toLong * (cy - ay) -
+                (by - ay).toLong * (cx - ax) > 0L) 1L else 0L
+              val s2 = if ((bx - ax).toLong * (dy - ay) -
+                (by - ay).toLong * (dx - ax) > 0L) 1L else 0L
+              lms += ((((qr1 * 64L + qr2) * 64L + qr3) * nAng + q1) * nAng
+                + q2) * 4L + s1 * 2L + s2
+            }
+            k += 1
+          }
+          j += 1
+        }
+        i += 1
+      }
+    }
+    lms.iterator
+  }
+
+  /** Rotation-invariant constellation landmarks per document — the
+    * [[imageScaleLandmarks]] contract at the [[constellationCodesRot]]
+    * seam. */
+  def imageRotScaleLandmarks(media: DataFrame, kTop: Int = 16,
+      nNear: Int = 8, qStepR: Double = 0.15, nAng: Int = 24,
+      smoothR: Int = 4, radius: Int = 6, minAvg: Int = 24)(
+      implicit s: SparkSession): Dataset[DocLandmark] = {
+    import s.implicits._
+    require(kTop >= 4, "kTop must be >= 4 (a constellation is a quad)")
+    require(nNear >= 3 && nNear <= 16, "nNear must be in 3..16 (a quad needs three co-peaks)")
+    require(qStepR > 0.0, "qStepR must be > 0")
+    require(nAng >= 4 && nAng <= 64, "nAng must be in 4..64")
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions(rows => rows.flatMap { r =>
+        decodeImage(r.payload) match {
+          case Some(img) =>
+            constellationCodesRot(
+              coarsePeakCells(lumaPlane(img), img.getWidth,
+                img.getHeight, smoothR, radius, minAvg), kTop, nNear,
+              qStepR, nAng).map(DocLandmark(r.doc_id, _))
+          case None => Iterator.empty
+        }
+      })
+  }
+
+  /** Image near-dup pairs invariant under the FULL similarity group —
+    * translation + uniform scale + rotation at ANY angle (m150): the
+    * skewed-scan / tilted-phone-photo re-upload class, where the
+    * dihedral fan (90-degree grid) is structurally blind and every
+    * exact-pixel tier died already at the resample. Same posting-list
+    * scoring, `maxDf` cap, and `minShared` evidence floor as the
+    * scale family. Mirrored re-uploads stay with the dihedral fan
+    * (reflection flips the chirality bits here by design — folding
+    * them out would halve the code entropy). */
+  def imageRotScalePairs(media: DataFrame, minMatch: Double = 0.3,
+      maxDf: Int = 0, kTop: Int = 16, nNear: Int = 8,
+      qStepR: Double = 0.15, nAng: Int = 24, smoothR: Int = 4,
+      radius: Int = 6, minAvg: Int = 24, minShared: Int = 0)(
+      implicit s: SparkSession): DataFrame =
+    peakLandmarkPairScores(
+      Materialize.eager(
+        imageRotScaleLandmarks(media, kTop, nNear, qStepR, nAng,
+          smoothR, radius, minAvg).toDF()),
+      minMatch, maxDf, minShared)
+
+  /** Version stamp for the ROTATION-invariant constellation family —
+    * namespaced (12000 + v) so cross-family screens fail fast;
+    * 12001 = v1. */
+  val RotScaleFpVersion: Int = 12001
+
+  /** Persisted rotation-invariant constellation index — the
+    * [[imageScaleLandmarkIndex]] contract with [[RotScaleFpVersion]]. */
+  def imageRotScaleLandmarkIndex(media: DataFrame, kTop: Int = 16,
+      nNear: Int = 8, qStepR: Double = 0.15, nAng: Int = 24,
+      smoothR: Int = 4, radius: Int = 6, minAvg: Int = 24)(
+      implicit s: SparkSession): DataFrame = {
+    val lms = Materialize.eager(
+      imageRotScaleLandmarks(media, kTop, nNear, qStepR, nAng, smoothR,
+        radius, minAvg).toDF())
+    lms.join(lms.groupBy(col("doc_id")).agg(count(lit(1)).as("nl")),
+        Seq("doc_id"))
+      .select(col("lm"), col("doc_id"), col("nl"),
+        lit(RotScaleFpVersion).as("fp_ver"))
+  }
+
+  /** Screen an ingest batch against a pre-built
+    * [[imageRotScaleLandmarkIndex]] — a re-upload rotated at ANY
+    * angle (and rescaled, and cropped) is caught with no corpus
+    * re-decode. Enforces [[RotScaleFpVersion]]. */
+  def dedupAgainstImageRotScaleIndex(media: DataFrame, index: DataFrame,
+      minMatch: Double = 0.3, kTop: Int = 16, nNear: Int = 8,
+      qStepR: Double = 0.15, nAng: Int = 24, smoothR: Int = 4,
+      radius: Int = 6, minAvg: Int = 24, minShared: Int = 0)(
+      implicit s: SparkSession): DataFrame = {
+    require(index.columns.contains("fp_ver"),
+      s"rot-constellation index has no fp_ver column: it predates " +
+        s"fingerprint version $RotScaleFpVersion — rebuild it with " +
+        "imageRotScaleLandmarkIndex before screening")
+    val stale = index.filter(col("fp_ver") =!= lit(RotScaleFpVersion))
+      .limit(1).collect()
+    require(stale.isEmpty,
+      s"rot-constellation index built by fingerprint version " +
+        s"${stale.headOption.map(_.getAs[Any]("fp_ver")).orNull}, " +
+        s"current is $RotScaleFpVersion — rebuild it with " +
+        "imageRotScaleLandmarkIndex before screening (cross-version " +
+        "landmarks never match)")
+    val lms = Materialize.eager(
+      imageRotScaleLandmarks(media, kTop, nNear, qStepR, nAng, smoothR,
+        radius, minAvg).toDF())
+    val nl = lms.groupBy(col("doc_id")).agg(count(lit(1)).as("nl"))
+    val dup = lms.join(
+        index.select(col("lm"), col("doc_id").as("src"),
+          col("nl").as("nl_src")),
+        Seq("lm"))
+      .groupBy(col("doc_id"), col("src"), col("nl_src"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= math.max(1, minShared))
+      .join(nl, Seq("doc_id"))
+      .filter(col("c").cast("double") / least(col("nl"), col("nl_src"))
+        >= minMatch)
+      .groupBy(col("doc_id")).agg(min(col("src")).as("dup_src"))
+    nl.select(col("doc_id")).join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_src").isNull.as("kept"),
+        col("dup_src"))
+  }
+
+  /** Rotate-about-center (+ uniform scale) re-encode of any PNG
+    * payload — the rotation tier's fixture transform: every output
+    * pixel inverse-maps through rotation by `degrees` and scale
+    * `factor` around the canvas center, bilinear-sampled with the
+    * [[cropResizeRgb]] determinism contract (pure doubles + final
+    * round, StrictMath trig); source coordinates outside the canvas
+    * render the blob fixtures' dark floor (8), so no new structure
+    * enters at the corners. */
+  def pngRotateResize(payload: Array[Byte], degrees: Double,
+      factor: Double = 1.0): Array[Byte] = {
+    require(factor > 0.0, "scale factor must be > 0")
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    val w = img.getWidth
+    val h = img.getHeight
+    val outW = math.max(1, math.round(w * factor).toInt)
+    val outH = math.max(1, math.round(h * factor).toInt)
+    val rad = degrees * math.Pi / 180.0
+    val cosA = StrictMath.cos(rad)
+    val sinA = StrictMath.sin(rad)
+    val cxS = (w - 1) / 2.0; val cyS = (h - 1) / 2.0
+    val cxO = (outW - 1) / 2.0; val cyO = (outH - 1) / 2.0
+    val out = new java.awt.image.BufferedImage(outW, outH,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var oy = 0
+    while (oy < outH) {
+      var ox = 0
+      while (ox < outW) {
+        // inverse map: un-scale, then un-rotate
+        val rx = (ox - cxO) / factor
+        val ry = (oy - cyO) / factor
+        val sx = cosA * rx + sinA * ry + cxS
+        val sy = -sinA * rx + cosA * ry + cyS
+        val rgb =
+          if (sx < 0 || sy < 0 || sx > w - 1 || sy > h - 1)
+            (8 << 16) | (8 << 8) | 8
+          else {
+            val ix = math.min(w - 2, StrictMath.floor(sx).toInt)
+            val iy = math.min(h - 2, StrictMath.floor(sy).toInt)
+            val fx = math.max(0.0, math.min(1.0, sx - ix))
+            val fy = math.max(0.0, math.min(1.0, sy - iy))
+            val p00 = img.getRGB(ix, iy); val p10 = img.getRGB(ix + 1, iy)
+            val p01 = img.getRGB(ix, iy + 1); val p11 = img.getRGB(ix + 1, iy + 1)
+            @inline def ch8(p: Int, s: Int): Double = ((p >> s) & 0xff).toDouble
+            @inline def lerp(s: Int): Int = math.round(
+              (1 - fy) * ((1 - fx) * ch8(p00, s) + fx * ch8(p10, s)) +
+                fy * ((1 - fx) * ch8(p01, s) + fx * ch8(p11, s))).toInt
+            (lerp(16) << 16) | (lerp(8) << 8) | lerp(0)
+          }
+        out.setRGB(ox, oy, rgb)
+        ox += 1
+      }
+      oy += 1
+    }
+    encodePng(out)
+  }
+
   // ---- VIDEO: the constellation tier per sampled frame (m147/m148) --
 
   /** Constellation landmarks pooled per VIDEO document — the m138
     * pooling shape at the constellation seam: every `every`-th
-    * container frame decodes once, coarse peaks + triple codes per
+    * container frame decodes once, coarse peaks + quad codes per
     * frame, DISTINCT codes pooled per doc (order-free, so a leading
     * trim costs only the trimmed frames' unique codes). Closes the
     * cropped-then-RESCALED video re-upload (the 1080p->720p repost
@@ -4055,7 +4339,7 @@ object Multimodal {
     * whole-frame/window tier miss structurally — interpolation
     * rewrites every frame byte. */
   def videoScaleLandmarks(media: DataFrame, every: Int = 2,
-      kTop: Int = 16, nNear: Int = 15, qStepR: Double = 0.15,
+      kTop: Int = 16, nNear: Int = 8, qStepR: Double = 0.15,
       nAng: Int = 24, smoothR: Int = 4, radius: Int = 6,
       minAvg: Int = 24)(implicit s: SparkSession): DataFrame = {
     import s.implicits._
@@ -4086,14 +4370,14 @@ object Multimodal {
     * cropped+rescaled (+trimmed) re-upload scores over the smaller
     * pooled set. */
   def videoScalePairs(media: DataFrame, minMatch: Double = 0.3,
-      every: Int = 2, maxDf: Int = 0, kTop: Int = 16, nNear: Int = 15,
+      every: Int = 2, maxDf: Int = 0, kTop: Int = 16, nNear: Int = 8,
       qStepR: Double = 0.15, nAng: Int = 24, smoothR: Int = 4,
-      radius: Int = 6, minAvg: Int = 24)(
+      radius: Int = 6, minAvg: Int = 24, minShared: Int = 0)(
       implicit s: SparkSession): DataFrame =
     peakLandmarkPairScores(
       Materialize.eager(videoScaleLandmarks(media, every, kTop, nNear,
         qStepR, nAng, smoothR, radius, minAvg)),
-      minMatch, maxDf)
+      minMatch, maxDf, minShared)
 
   /** Persisted VIDEO constellation index — the m148 member: same
     * [[ScaleFpVersion]] stamp as the image index via the shared code
@@ -4101,7 +4385,7 @@ object Multimodal {
     * detection/quantization knobs are build parameters — screen with
     * the parameters the index was built with. */
   def videoScaleLandmarkIndex(media: DataFrame, every: Int = 2,
-      kTop: Int = 16, nNear: Int = 15, qStepR: Double = 0.15,
+      kTop: Int = 16, nNear: Int = 8, qStepR: Double = 0.15,
       nAng: Int = 24, smoothR: Int = 4, radius: Int = 6,
       minAvg: Int = 24)(implicit s: SparkSession): DataFrame = {
     val lms = Materialize.eager(videoScaleLandmarks(media, every, kTop,
@@ -4118,13 +4402,14 @@ object Multimodal {
     * as the image screen ([[screenScaleIndex]]). */
   def dedupAgainstVideoScaleIndex(media: DataFrame, index: DataFrame,
       minMatch: Double = 0.3, every: Int = 2, kTop: Int = 16,
-      nNear: Int = 15, qStepR: Double = 0.15, nAng: Int = 24,
-      smoothR: Int = 4, radius: Int = 6, minAvg: Int = 24)(
+      nNear: Int = 8, qStepR: Double = 0.15, nAng: Int = 24,
+      smoothR: Int = 4, radius: Int = 6, minAvg: Int = 24,
+      minShared: Int = 0)(
       implicit s: SparkSession): DataFrame =
     screenScaleIndex(
       Materialize.eager(videoScaleLandmarks(media, every, kTop, nNear,
         qStepR, nAng, smoothR, radius, minAvg)),
-      index, minMatch, "videoScaleLandmarkIndex")
+      index, minMatch, "videoScaleLandmarkIndex", minShared)
 
   /** Crop-then-RESIZE re-encode of any PNG payload — the scale tier's
     * fixture transform: pixels (x0..x1) x (y0..y1) resampled to

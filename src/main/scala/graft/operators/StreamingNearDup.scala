@@ -517,7 +517,7 @@ object StreamingNearDup {
     * determinism contract and `maxBucket` / [[foldBucket]] cap as the
     * family. */
   def imageScaleVerdicts(media: DataFrame, idCol: String,
-      payloadCol: String, kTop: Int = 16, nNear: Int = 15,
+      payloadCol: String, kTop: Int = 16, nNear: Int = 8,
       qStepR: Double = 0.15, nAng: Int = 24, smoothR: Int = 4,
       radius: Int = 6, minAvg: Int = 24,
       maxBucket: Int = 0): Dataset[LandmarkHits] = {
@@ -525,6 +525,40 @@ object StreamingNearDup {
     import spark.implicits._
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val lms = Multimodal.imageScaleLandmarks(
+      media.select(col(idCol).cast("long").as("doc_id"),
+        col(payloadCol).as("payload")), kTop, nNear, qStepR, nAng,
+      smoothR, radius, minAvg)
+      .as[(Long, Long)]
+    lms.groupByKey(_._2)
+      .flatMapGroupsWithState[List[Long], LandmarkHits](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (lm, rows, state: GroupState[List[Long]]) =>
+          val (seen, out) = foldBucket(state.getOption.getOrElse(Nil),
+            rows.toSeq.map(_._1).sorted, maxBucket)(
+            (id, hits) => LandmarkHits(id, lm, hits))
+          state.update(seen)
+          out.iterator
+      }
+  }
+
+  /** STREAMING arbitrary-angle rotation dedup — the m150 tier in the
+    * streaming matrix: every arrival's ROTATION-invariant
+    * constellation codes (`Multimodal.imageRotScaleLandmarks`, one
+    * decode) key bucket state, so a later re-delivery rotated at ANY
+    * angle (a 3-degree scan skew or a 33-degree tilt alike) and
+    * rescaled lands in its master's buckets — the class the dihedral
+    * streaming fan (st107, 90-degree grid) is structurally blind to.
+    * Emits [[LandmarkHits]]; same id-monotonic determinism contract
+    * and `maxBucket` cap as the family. */
+  def imageRotScaleVerdicts(media: DataFrame, idCol: String,
+      payloadCol: String, kTop: Int = 16, nNear: Int = 8,
+      qStepR: Double = 0.15, nAng: Int = 24, smoothR: Int = 4,
+      radius: Int = 6, minAvg: Int = 24,
+      maxBucket: Int = 0): Dataset[LandmarkHits] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val lms = Multimodal.imageRotScaleLandmarks(
       media.select(col(idCol).cast("long").as("doc_id"),
         col(payloadCol).as("payload")), kTop, nNear, qStepR, nAng,
       smoothR, radius, minAvg)
@@ -552,7 +586,7 @@ object StreamingNearDup {
     * transform. Emits [[LandmarkHitsO]]; same id-monotonic
     * determinism contract and `maxBucket` cap as the family. */
   def imageScaleVerdictsDihedral(media: DataFrame, idCol: String,
-      payloadCol: String, kTop: Int = 16, nNear: Int = 15,
+      payloadCol: String, kTop: Int = 16, nNear: Int = 8,
       qStepR: Double = 0.15, nAng: Int = 24, smoothR: Int = 4,
       radius: Int = 6, minAvg: Int = 24,
       maxBucket: Int = 0): Dataset[LandmarkHitsO] = {
@@ -659,7 +693,7 @@ object StreamingNearDup {
     * family. */
   def videoScaleVerdicts(media: DataFrame, idCol: String,
       payloadCol: String, every: Int = 2, kTop: Int = 16,
-      nNear: Int = 15, qStepR: Double = 0.15, nAng: Int = 24,
+      nNear: Int = 8, qStepR: Double = 0.15, nAng: Int = 24,
       smoothR: Int = 4, radius: Int = 6, minAvg: Int = 24,
       maxBucket: Int = 0): Dataset[LandmarkHits] = {
     val spark = media.sparkSession

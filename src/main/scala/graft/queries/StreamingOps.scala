@@ -2028,7 +2028,7 @@ object StreamingOps extends QueryPack {
     // tier (m128 windows, m136 patches, m141 descriptors) misses
     // structurally — interpolation rewrites every byte (Round11iSpec
     // pins the exact tier at zero pairs on this corpus). Direction
-    // angles + log distance ratios of coarse-peak triples ride
+    // angles + log distance ratios of coarse-peak QUADS ride
     // through translation and scale together; quantization jitter
     // flips some codes, so true pairs land at 0.6-1.0 over the
     // probe's (smaller) set vs noise <= 0.25, gated at 0.4. Blob
@@ -2056,7 +2056,7 @@ object StreamingOps extends QueryPack {
     // Persisted CONSTELLATION index + batch ingest screen (m144) —
     // the m143 tier's index member (ScaleFpVersion-stamped, the m137
     // contract shape): 8 blob masters fingerprint once into their
-    // triple codes, then an ingest batch of 4 crop+RESIZE
+    // quad codes, then an ingest batch of 4 crop+RESIZE
     // re-uploads plus 2 fresh images screens against it with no
     // corpus re-decode — the class the exact peak index (m137) is
     // blind to. Pinned golden.
@@ -2087,7 +2087,7 @@ object StreamingOps extends QueryPack {
     // constellation codes enter bucket state — micro-batch 2 their
     // cropped-and-rescaled re-deliveries, which every exact-pixel
     // streaming tier (st101/st104/st105) is structurally blind to;
-    // each probe's surviving triples land in its master's buckets at
+    // each probe's surviving quads land in its master's buckets at
     // 0.6-1.0 over the probe's set. Consumer scores shared distinct
     // landmarks over the smaller set >= 0.4. Pinned golden.
     "st106_stream_scale_dedup" -> ((s, dir) => {
@@ -2573,6 +2573,81 @@ object StreamingOps extends QueryPack {
         .join(nl, col("d") === nl("doc_id")).drop("doc_id")
         .filter(col("c").cast("double") / least(col("nl"), col("nl_src"))
           >= 0.6)
+        .groupBy(col("d")).agg(min(col("src")).as("dup_src"))
+      nl.join(dup, col("doc_id") === col("d"), "left")
+        .select(col("doc_id"), col("dup_src").isNull.as("kept"),
+          col("dup_src"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // STREAM-STATIC constellation index screen (the st103 shape at
+    // the scale seam): a standing corpus' constellation index
+    // BROADCASTS — no state store at all — and every micro-batch of
+    // arrivals equi-joins its own quad codes against it;
+    // crop+RESIZE re-uploads of corpus masters dup mid-stream with no
+    // corpus re-decode and O(index) executor memory instead of
+    // O(stream) state. Pinned golden.
+    "st109_stream_scale_index_screen" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      val name = "st109_out"
+      val staged = stagingDir("graft-stream-scaleidx")
+      val img = udf((id: Long) =>
+        if (id < 1000000L) Multimodal.syntheticPngBlobs(id)
+        else {
+          val m = id - 1000000L
+          (m % 4) match {
+            case 0 => Multimodal.pngCropResize(
+              Multimodal.syntheticPngBlobs(m), 20, 12, 116, 108, 128, 128)
+            case 1 => Multimodal.pngCropResize(
+              Multimodal.syntheticPngBlobs(m), 8, 16, 104, 112, 112, 112)
+            case 2 => Multimodal.pngCropResize(
+              Multimodal.syntheticPngBlobs(m), 16, 16, 112, 112, 80, 80)
+            case _ => Multimodal.pngCropResize(
+              Multimodal.syntheticPngBlobs(m), 24, 8, 120, 104, 144, 144)
+          }
+        })
+      val corpus = s.range(0, 8)
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      val index = Multimodal.imageScaleLandmarkIndex(corpus)
+        .select(col("lm"), col("doc_id").as("src"), col("nl").as("nl_src"))
+      def stageBatch(ids: org.apache.spark.sql.Dataset[java.lang.Long],
+          fname: String, ageMs: Long): Unit = {
+        val tmp = staged.resolve(fname + ".tmp")
+        ids.toDF("doc_id").select(col("doc_id"), img(col("doc_id")).as("payload"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, staged.resolve(fname))
+        staged.resolve(fname).toFile.deleteOnExit()
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        java.nio.file.Files.setLastModifiedTime(staged.resolve(fname),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - ageMs))
+      }
+      stageBatch(s.range(1000000L, 1000004L).as[java.lang.Long],
+        "a.parquet", 120000L)
+      stageBatch(s.range(1000004L, 1000006L).as[java.lang.Long]
+        .union(s.range(140L, 142L).as[java.lang.Long]), "b.parquet", 0L)
+      val mediaSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("payload", BinaryType)))
+      val stream = s.readStream.schema(mediaSchema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+        .repartition(col("doc_id"))
+      val lms = Multimodal.imageScaleLandmarks(stream).toDF()
+      val joined = lms.join(broadcast(index), Seq("lm"), "left")
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+      val nl = s.table(name).groupBy(col("doc_id"))
+        .agg(countDistinct(col("lm")).as("nl"))
+      val dup = s.table(name).filter(col("src").isNotNull)
+        .select(col("doc_id").as("d"), col("src"), col("nl_src"))
+        .groupBy(col("d"), col("src"), col("nl_src"))
+        .agg(count(lit(1)).as("c"))
+        .join(nl, col("d") === nl("doc_id")).drop("doc_id")
+        .filter(col("c").cast("double") / least(col("nl"), col("nl_src"))
+          >= 0.4)
         .groupBy(col("d")).agg(min(col("src")).as("dup_src"))
       nl.join(dup, col("doc_id") === col("d"), "left")
         .select(col("doc_id"), col("dup_src").isNull.as("kept"),

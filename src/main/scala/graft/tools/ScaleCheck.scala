@@ -121,6 +121,35 @@ object ScaleCheck {
     }.toDF("doc_id", "payload")
   }
 
+  /** Blob-image corpus for the CONSTELLATION tier sweep: ~1/10 of
+    * docs are crop+RESIZE re-uploads of a master (crop offsets a pure
+    * function of the id; 104x104 of the m143-geometry 128x128 10-blob
+    * masters, resampled to 88/96/116/128 px by id — every pixel byte
+    * rewritten, down- AND up-scales), the rest distinct blob images.
+    * Planted pair = (id-9, id), recall numerator exactly n/10. The
+    * crop offsets (10..14) keep all but the border-margin blob
+    * CENTERS (centers live in [14, 114)), so probes retain ~7-10 of
+    * 10 peaks — the operating envelope the tier is parameterized for
+    * (real images are >= ~100 px); a first sweep at 80x80/6-blob
+    * fixtures measured the degradation cliff instead: probes kept
+    * 3-6 peaks (3-60 codes) and single quantization flips dropped
+    * recall to ~60%, scale-stable but structurally fixture-starved. */
+  def blobPngs(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(0, n).map { id =>
+      val payload =
+        if (id % 10 == 9) {
+          val dx = 10 + (id % 5).toInt
+          val dy = 10 + (id % 4).toInt
+          val out = Array(88, 96, 116, 128)((id % 4).toInt)
+          Multimodal.pngCropResize(
+            Multimodal.syntheticPngBlobs(id - 9),
+            dx, dy, dx + 104, dy + 104, out, out)
+        } else Multimodal.syntheticPngBlobs(id)
+      (id, payload)
+    }.toDF("doc_id", "payload")
+  }
+
   def main(args: Array[String]): Unit = {
     val base = args.headOption.filter(_.forall(_.isDigit)).map(_.toInt).getOrElse(30000)
     // optional further args: only run ops whose name contains one of them
@@ -235,6 +264,28 @@ object ScaleCheck {
         a.count()
         run("imagePeakPairs(planted)", n / 8)(
           Multimodal.imagePeakPairs(a, minMatch = 0.6, maxDf = 500)
+            .filter(col("doc_b") - col("doc_a") === 9 &&
+              col("doc_b") % 10 === 9))
+        a.unpersist()
+      }
+      // constellation tier: corpus materialized outside the timings;
+      // the filter keeps only the n/10 PLANTED crop+resize pairs so
+      // out= is the recall numerator
+      if (wanted("imageScale")) {
+        implicit val sp: SparkSession = spark
+        val a = blobPngs(spark, n / 8).persist()
+        a.count()
+        run("imageScalePairs(planted)", n / 8)(
+          Multimodal.imageScalePairs(a, minMatch = 0.4, maxDf = 500)
+            .filter(col("doc_b") - col("doc_a") === 9 &&
+              col("doc_b") % 10 === 9))
+        // the minShared=24 evidence floor prunes the code-starved
+        // probes (5-peak crops: 20 correlated quads that can reach
+        // spurious 0.65-0.75 against generic layouts); the recall
+        // delta vs the plain line is exactly those probes
+        run("imageScalePairs(minShared)", n / 8)(
+          Multimodal.imageScalePairs(a, minMatch = 0.4, maxDf = 500,
+            minShared = 24)
             .filter(col("doc_b") - col("doc_a") === 9 &&
               col("doc_b") % 10 === 9))
         a.unpersist()

@@ -7,7 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Round-11 continuation: the crop+RESIZE compound — similarity-
   * invariant peak CONSTELLATIONS (m143/m144/st106). Direction angles
-  * and log distance ratios of coarse-peak triples are invariant under
+  * and log distance ratios of coarse-peak quads are invariant under
   * translation + uniform scale, so a re-upload cropped at any offset
   * AND rescaled lands, where every exact-pixel tier (window hashes,
   * peak patches, gray-mean descriptors) is structurally blind:
@@ -86,9 +86,10 @@ class Round11iSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.map(p => (p._1, p._2)).toSet ==
       Set((0L, 20L), (1L, 21L), (2L, 22L), (3L, 23L)),
       s"unexpected scale pairs: ${pairs.toSeq}")
-    assert(pairs.forall(_._3 >= 0.6),
-      s"true pairs must score >= 0.6 (quantization-jitter headroom " +
-        s"over the 0.4 gate): ${pairs.toSeq}")
+    assert(pairs.forall(_._3 >= 0.48),
+      s"true pairs must score >= 0.48 (quantization-jitter headroom " +
+        s"over the 0.4 gate; quad codes carry five quantized values, " +
+        s"so per-code survival sits lower than triples): ${pairs.toSeq}")
     // sub-threshold structure exists (shared shape statistics), but
     // stays well under the gate — the operating envelope
     val loose = Multimodal.imageScalePairs(corpus, minMatch = 0.1,
@@ -174,8 +175,8 @@ class Round11iSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.map(p => (p._1, p._2)).toSet ==
       Set((0L, 20L), (1L, 21L), (2L, 22L), (3L, 23L)),
       s"unexpected lossy-compound pairs: ${pairs.toSeq}")
-    assert(pairs.forall(_._3 >= 0.6),
-      s"JPEG at q>=0.85 must cost at most ~0.02 match_frac over the " +
+    assert(pairs.forall(_._3 >= 0.48),
+      s"JPEG at q>=0.85 must cost at most ~0.06 match_frac over the " +
         s"lossless compound (coarse box-sum peaks absorb the " +
         s"quantization noise): ${pairs.toSeq}")
   }

@@ -52,9 +52,9 @@ class Round11jSpec extends AnyFunSuite with BeforeAndAfterAll {
     val cells = Multimodal.coarsePeakCells(Multimodal.lumaPlane(img),
       img.getWidth, img.getHeight, 4, 6)
     val natural = Multimodal.constellationCodes(
-      cells, 16, 15, 0.15, 24).toSet
+      cells, 16, 8, 0.15, 24).toSet
     val oriented = Multimodal.constellationCodesOriented(
-      cells, 16, 15, 0.15, 24).toSeq
+      cells, 16, 8, 0.15, 24).toSeq
     assert(oriented.filter(_._1 == 0).map(_._2).toSet == natural,
       "orient-0 readout must equal the natural constellation codes")
     // and the 8 readouts are genuinely distinct views (reflections
@@ -88,8 +88,8 @@ class Round11jSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.map(p => (p._1, p._2)).toSet ==
       Set((0L, 20L), (1L, 21L), (2L, 22L), (3L, 23L)),
       s"unexpected compound pairs: ${pairs.toSeq}")
-    assert(pairs.forall(_._4 >= 0.6),
-      s"true pairs must score >= 0.6: ${pairs.toSeq}")
+    assert(pairs.forall(_._4 >= 0.48),
+      s"true pairs must score >= 0.48: ${pairs.toSeq}")
     assert(pairs.forall(_._3 != 0),
       s"a dihedral-transformed probe must land at a NON-identity " +
         s"readout: ${pairs.toSeq}")

@@ -74,8 +74,8 @@ class Round11kSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.map(p => (p._1, p._2)).toSet ==
       Set((0L, 20L), (1L, 21L), (2L, 22L), (3L, 23L)),
       s"unexpected video scale pairs: ${pairs.toSeq}")
-    assert(pairs.forall(_._3 >= 0.55),
-      s"true pairs must score >= 0.55: ${pairs.toSeq}")
+    assert(pairs.forall(_._3 >= 0.49),
+      s"true pairs must score >= 0.49: ${pairs.toSeq}")
     val loose = Multimodal.videoScalePairs(corpus, minMatch = 0.1,
         maxDf = 64)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
