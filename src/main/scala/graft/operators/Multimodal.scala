@@ -4090,15 +4090,33 @@ object Multimodal {
     * optional reflection via the pair metric's jitter absorption is
     * NOT included: reflection flips chirality, so mirrored re-uploads
     * go through the dihedral fan): per anchor A and distance-ordered
-    * co-peak triple (B, C, D), pack THREE log distance-ratios
-    * (|AC|/|AB|, |AD|/|AB|, |BC|/|AB| — the third recovers the
-    * entropy the dropped absolute angle cost, keeping effective
-    * values in the millions; the v1-triple saturation lesson) and two
-    * angle DIFFERENCES (ang(AC)-ang(AB), ang(AD)-ang(AB), both mod
-    * 2*pi — rotation cancels in the difference) plus two chirality
-    * bits. Small skews (the scanned-page / phone-photo class, 1-10
+    * co-peak QUADRUPLE (B, C, D, E — a 5-point code), pack three log
+    * distance-ratios (|AC|/|AB|, |AD|/|AB|, |AE|/|AB|), three angle
+    * DIFFERENCES (ang(AC)-ang(AB), ang(AD)-ang(AB), ang(AE)-ang(AB),
+    * all mod 2*pi — rotation cancels in the difference) and three
+    * chirality bits. Five points, not four: dropping the absolute
+    * angle costs so much entropy that 4-point rot codes measured only
+    * ~80k DISTINCT values over a 32k-doc corpus (17M postings — 63%
+    * of posting mass above the maxDf cap, recall collapse at corpus
+    * scale), and re-quantizing finer traded the collapse for jitter
+    * flips; the fifth point multiplies entropy by ~600 at unchanged
+    * per-value stability. Small skews (the scanned-page / phone-photo class, 1-10
     * degrees) and arbitrary large rotations land identically; the
-    * dihedral fan (90-degree grid) is structurally blind to both. */
+    * dihedral fan (90-degree grid) is structurally blind to both.
+    *
+    * Co-peaks are selected by VALUE rank (not nearest-distance, the
+    * quad tier's choice): the rot code drops one absolute angle, and
+    * with nearest-neighbor selection the surviving invariants
+    * concentrate so badly (ratios near 1, correlated differences)
+    * that the 32k-doc sweep collapsed through the maxDf cap exactly
+    * like the v1 triples. Value-ranked co-peaks span the whole
+    * canvas, spreading each log-ratio over ~15 bins instead of ~3 —
+    * AND long distances make both the ratio and angle jitter
+    * proportionally smaller (0.7 px on a 60 px baseline is 0.012 rad
+    * against 15-degree bins). Box-sum values are rotation-invariant,
+    * so the value ranking itself survives the transform up to
+    * resampling jitter on near-ties; the chosen triple is then
+    * canonically ordered by distance from the anchor. */
   private[operators] def constellationCodesRot(
       cells: scala.collection.Seq[(Int, Int, Int)], kTop: Int,
       nNear: Int, qStepR: Double, nAng: Int): Iterator[Long] = {
@@ -4109,50 +4127,52 @@ object Multimodal {
     top.foreach { case (ax, ay, _) =>
       val nbrs = top.iterator
         .filter { case (bx, by, _) => bx != ax || by != ay }
+        .take(nNear)
         .map { case (bx, by, _) =>
           val dx = (bx - ax).toDouble; val dy = (by - ay).toDouble
           (dx * dx + dy * dy, bx, by)
         }.toArray.sortBy { case (d2, bx, by) => (d2, bx, by) }
-        .take(nNear)
       var i = 0
       while (i < nbrs.length) {
         var j = i + 1
         while (j < nbrs.length) {
           var k = j + 1
           while (k < nbrs.length) {
-            val (d2b, bx, by) = nbrs(i)
-            val (d2c, cx, cy) = nbrs(j)
-            val (d2d, dx, dy) = nbrs(k)
-            val qr1 = math.round(
-              StrictMath.log(StrictMath.sqrt(d2c / d2b)) / qStepR)
-            val qr2 = math.round(
-              StrictMath.log(StrictMath.sqrt(d2d / d2b)) / qStepR)
-            val dbcx = (cx - bx).toDouble; val dbcy = (cy - by).toDouble
-            val d2bc = dbcx * dbcx + dbcy * dbcy
-            val qr3 =
-              if (d2bc <= 0.0) -1L
-              else math.round(
-                StrictMath.log(StrictMath.sqrt(d2bc / d2b)) / qStepR) + 32L
-            if (qr1 >= 0L && qr1 <= 63L && qr2 >= 0L && qr2 <= 63L &&
-              qr3 >= 0L && qr3 <= 63L) {
-              val angB = StrictMath.atan2((by - ay).toDouble,
-                (bx - ax).toDouble)
-              val angC = StrictMath.atan2((cy - ay).toDouble,
-                (cx - ax).toDouble)
-              val angD = StrictMath.atan2((dy - ay).toDouble,
-                (dx - ax).toDouble)
-              @inline def diffBin(a: Double): Long = {
-                val d = ((a - angB) % twoPi + twoPi) % twoPi
-                (d / binW).toLong % nAng
+            var l = k + 1
+            while (l < nbrs.length) {
+              val (d2b, bx, by) = nbrs(i)
+              val (d2c, cx, cy) = nbrs(j)
+              val (d2d, dx, dy) = nbrs(k)
+              val (d2e, ex, ey) = nbrs(l)
+              val qr1 = math.round(
+                StrictMath.log(StrictMath.sqrt(d2c / d2b)) / qStepR)
+              val qr2 = math.round(
+                StrictMath.log(StrictMath.sqrt(d2d / d2b)) / qStepR)
+              val qr3 = math.round(
+                StrictMath.log(StrictMath.sqrt(d2e / d2b)) / qStepR)
+              if (qr1 >= 0L && qr1 <= 63L && qr2 >= 0L && qr2 <= 63L &&
+                qr3 >= 0L && qr3 <= 63L) {
+                val angB = StrictMath.atan2((by - ay).toDouble,
+                  (bx - ax).toDouble)
+                @inline def diffBin(py: Int, px: Int): Long = {
+                  val a = StrictMath.atan2((py - ay).toDouble,
+                    (px - ax).toDouble)
+                  val d = ((a - angB) % twoPi + twoPi) % twoPi
+                  (d / binW).toLong % nAng
+                }
+                val q1 = diffBin(cy, cx)
+                val q2 = diffBin(dy, dx)
+                val q3 = diffBin(ey, ex)
+                val s1 = if ((bx - ax).toLong * (cy - ay) -
+                  (by - ay).toLong * (cx - ax) > 0L) 1L else 0L
+                val s2 = if ((bx - ax).toLong * (dy - ay) -
+                  (by - ay).toLong * (dx - ax) > 0L) 1L else 0L
+                val s3 = if ((bx - ax).toLong * (ey - ay) -
+                  (by - ay).toLong * (ex - ax) > 0L) 1L else 0L
+                lms += ((((((qr1 * 64L + qr2) * 64L + qr3) * nAng + q1)
+                  * nAng + q2) * nAng + q3) * 8L + s1 * 4L + s2 * 2L + s3)
               }
-              val q1 = diffBin(angC)
-              val q2 = diffBin(angD)
-              val s1 = if ((bx - ax).toLong * (cy - ay) -
-                (by - ay).toLong * (cx - ax) > 0L) 1L else 0L
-              val s2 = if ((bx - ax).toLong * (dy - ay) -
-                (by - ay).toLong * (dx - ax) > 0L) 1L else 0L
-              lms += ((((qr1 * 64L + qr2) * 64L + qr3) * nAng + q1) * nAng
-                + q2) * 4L + s1 * 2L + s2
+              l += 1
             }
             k += 1
           }
@@ -4172,8 +4192,8 @@ object Multimodal {
       smoothR: Int = 4, radius: Int = 6, minAvg: Int = 24)(
       implicit s: SparkSession): Dataset[DocLandmark] = {
     import s.implicits._
-    require(kTop >= 4, "kTop must be >= 4 (a constellation is a quad)")
-    require(nNear >= 3 && nNear <= 16, "nNear must be in 3..16 (a quad needs three co-peaks)")
+    require(kTop >= 5, "kTop must be >= 5 (a rot constellation is a 5-point code)")
+    require(nNear >= 4 && nNear <= 16, "nNear must be in 4..16 (a rot code needs four co-peaks)")
     require(qStepR > 0.0, "qStepR must be > 0")
     require(nAng >= 4 && nAng <= 64, "nAng must be in 4..64")
     media.select(col("doc_id"), col("payload")).as[MediaRow]
@@ -4198,7 +4218,7 @@ object Multimodal {
     * scale family. Mirrored re-uploads stay with the dihedral fan
     * (reflection flips the chirality bits here by design — folding
     * them out would halve the code entropy). */
-  def imageRotScalePairs(media: DataFrame, minMatch: Double = 0.3,
+  def imageRotScalePairs(media: DataFrame, minMatch: Double = 0.2,
       maxDf: Int = 0, kTop: Int = 16, nNear: Int = 8,
       qStepR: Double = 0.15, nAng: Int = 24, smoothR: Int = 4,
       radius: Int = 6, minAvg: Int = 24, minShared: Int = 0)(
@@ -4234,7 +4254,7 @@ object Multimodal {
     * angle (and rescaled, and cropped) is caught with no corpus
     * re-decode. Enforces [[RotScaleFpVersion]]. */
   def dedupAgainstImageRotScaleIndex(media: DataFrame, index: DataFrame,
-      minMatch: Double = 0.3, kTop: Int = 16, nNear: Int = 8,
+      minMatch: Double = 0.2, kTop: Int = 16, nNear: Int = 8,
       qStepR: Double = 0.15, nAng: Int = 24, smoothR: Int = 4,
       radius: Int = 6, minAvg: Int = 24, minShared: Int = 0)(
       implicit s: SparkSession): DataFrame = {

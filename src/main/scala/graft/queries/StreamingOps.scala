@@ -2310,6 +2310,130 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // ARBITRARY-ANGLE rotation dedup (m150): rotation-invariant
+    // constellation codes — angle DIFFERENCES relative to the A->B
+    // direction (rotation cancels in the difference) with a third
+    // distance ratio recovering the dropped angle's entropy. Probes
+    // are rotated 17 deg / -8 deg + 1.2x / 33 deg + 0.9x / 3 deg (the
+    // scanned-page skew) — the class the dihedral fan (90-degree
+    // grid, Round11lSpec pins it at zero pairs on this corpus) and
+    // every exact-pixel tier miss structurally. Mirrors stay with the
+    // dihedral fan (chirality flips here by design). Pinned golden.
+    "m150_rot_scale_pairs" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val img = udf((id: Long) =>
+        if (id == 20L) Multimodal.pngRotateResize(
+          Multimodal.syntheticPngBlobs(0), 17.0)
+        else if (id == 21L) Multimodal.pngRotateResize(
+          Multimodal.syntheticPngBlobs(1), -8.0, 1.2)
+        else if (id == 22L) Multimodal.pngRotateResize(
+          Multimodal.syntheticPngBlobs(2), 33.0, 0.9)
+        else if (id == 23L) Multimodal.pngRotateResize(
+          Multimodal.syntheticPngBlobs(3), 3.0)
+        else Multimodal.syntheticPngBlobs(id))
+      val media = s.range(0, 8).union(s.range(20, 24))
+        .union(s.range(140, 142))
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      Multimodal.imageRotScalePairs(media, minMatch = 0.2, maxDf = 64)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Persisted rotation-invariant index + batch ingest screen
+    // (m151) — the m150 tier's index member (RotScaleFpVersion=12001,
+    // incomparable with the plain-scale family's 11002 — Round11lSpec
+    // pins the cross-family rejection): 8 blob masters fingerprint
+    // once, then an ingest batch of 3 rotated re-uploads plus 2 fresh
+    // images screens with no corpus re-decode. Pinned golden.
+    "m151_rot_scale_index_dedup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val img = udf((id: Long) =>
+        if (id == 20L) Multimodal.pngRotateResize(
+          Multimodal.syntheticPngBlobs(0), 17.0)
+        else if (id == 21L) Multimodal.pngRotateResize(
+          Multimodal.syntheticPngBlobs(1), -8.0, 1.2)
+        else if (id == 22L) Multimodal.pngRotateResize(
+          Multimodal.syntheticPngBlobs(2), 3.0)
+        else Multimodal.syntheticPngBlobs(id))
+      val corpus = s.range(0, 8)
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      val index = Multimodal.imageRotScaleLandmarkIndex(corpus)
+      val probes = s.range(20, 23).union(s.range(130, 132))
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      Multimodal.dedupAgainstImageRotScaleIndex(probes, index,
+          minMatch = 0.2)
+        .orderBy(col("doc_id"))
+    }),
+
+    // STREAMING arbitrary-angle rotation dedup (the m150 tier in the
+    // streaming matrix): micro-batch 1 delivers 6 blob masters —
+    // rotation-invariant codes enter bucket state — micro-batch 2
+    // their rotated (+rescaled) re-deliveries, which the dihedral
+    // streaming fan (st107) is structurally blind to. Consumer scores
+    // shared distinct landmarks over the smaller set >= 0.3. Pinned
+    // golden.
+    "st110_stream_rot_scale_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val name = "st110_out"
+      val staged = stagingDir("graft-stream-rotscale")
+      val img = udf((id: Long) =>
+        if (id < 1000000L) Multimodal.syntheticPngBlobs(id)
+        else {
+          val m = id - 1000000L
+          (m % 4) match {
+            case 0 => Multimodal.pngRotateResize(
+              Multimodal.syntheticPngBlobs(m), 17.0)
+            case 1 => Multimodal.pngRotateResize(
+              Multimodal.syntheticPngBlobs(m), -8.0, 1.2)
+            case 2 => Multimodal.pngRotateResize(
+              Multimodal.syntheticPngBlobs(m), 33.0, 0.9)
+            case _ => Multimodal.pngRotateResize(
+              Multimodal.syntheticPngBlobs(m), 3.0)
+          }
+        })
+      def stageBatch(ids: org.apache.spark.sql.Dataset[java.lang.Long],
+          fname: String, ageMs: Long): Unit = {
+        val tmp = staged.resolve(fname + ".tmp")
+        ids.toDF("doc_id").select(col("doc_id"), img(col("doc_id")).as("payload"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, staged.resolve(fname))
+        staged.resolve(fname).toFile.deleteOnExit()
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        java.nio.file.Files.setLastModifiedTime(staged.resolve(fname),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - ageMs))
+      }
+      stageBatch(s.range(0, 6).as[java.lang.Long], "a.parquet", 120000L)
+      stageBatch(s.range(1000000L, 1000006L).as[java.lang.Long], "b.parquet", 0L)
+      val mediaSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("payload", BinaryType)))
+      val stream = s.readStream.schema(mediaSchema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+        .repartition(col("doc_id"))
+      val hits = graft.operators.StreamingNearDup.imageRotScaleVerdicts(
+        stream, "doc_id", "payload", maxBucket = 64)
+      val q = hits.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+      val nl = s.table(name).groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("nl"))
+      val nlSrc = s.table(name).select(col("doc_id").as("src_id"))
+        .groupBy(col("src_id")).agg(count(lit(1)).as("nl_src"))
+      val dup = s.table(name)
+        .select(col("doc_id").as("d"), explode(col("hits")).as("src"))
+        .groupBy(col("d"), col("src")).agg(count(lit(1)).as("c"))
+        .join(nl, col("d") === nl("doc_id")).drop("doc_id")
+        .join(nlSrc, col("src") === col("src_id"))
+        .filter(col("c").cast("double") / least(col("nl"), col("nl_src"))
+          >= 0.2)
+        .groupBy(col("d")).agg(min(col("src")).as("dup_src"))
+      nl.join(dup, col("doc_id") === col("d"), "left")
+        .select(col("doc_id"), col("dup_src").isNull.as("kept"),
+          col("dup_src"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Crop+RESIZE VIDEO dedup — pooled per-frame constellation codes
     // (m147): probes are cropped at arbitrary offsets AND uniformly
     // rescaled (up 1.2x/1.4x, down 0.89x), one also TRIMMED two

@@ -150,6 +150,23 @@ object ScaleCheck {
     }.toDF("doc_id", "payload")
   }
 
+  /** [[blobPngs]] with ROTATED probes: ~1/10 of docs are re-uploads
+    * rotated by an id-derived arbitrary angle (3..48 deg, never a
+    * multiple of 90) and scaled 0.9/1.0/1.15 — the m150 class. */
+  def rotPngs(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(0, n).map { id =>
+      val payload =
+        if (id % 10 == 9) {
+          val deg = 3.0 + (id % 46).toDouble
+          val fac = Array(0.9, 1.0, 1.15)((id % 3).toInt)
+          Multimodal.pngRotateResize(
+            Multimodal.syntheticPngBlobs(id - 9), deg, fac)
+        } else Multimodal.syntheticPngBlobs(id)
+      (id, payload)
+    }.toDF("doc_id", "payload")
+  }
+
   def main(args: Array[String]): Unit = {
     val base = args.headOption.filter(_.forall(_.isDigit)).map(_.toInt).getOrElse(30000)
     // optional further args: only run ops whose name contains one of them
@@ -286,6 +303,24 @@ object ScaleCheck {
         run("imageScalePairs(minShared)", n / 8)(
           Multimodal.imageScalePairs(a, minMatch = 0.4, maxDf = 500,
             minShared = 24)
+            .filter(col("doc_b") - col("doc_a") === 9 &&
+              col("doc_b") % 10 === 9))
+        a.unpersist()
+      }
+      // rotation-invariant tier: the rot codes drop one angle (24x
+      // less nominal entropy than the quads), so this sweep is the
+      // saturation guard for THIS family at corpus scale
+      if (wanted("imageRot")) {
+        implicit val sp: SparkSession = spark
+        val a = rotPngs(spark, n / 8).persist()
+        a.count()
+        run("imageRotScalePairs(planted)", n / 8)(
+          Multimodal.imageRotScalePairs(a, minMatch = 0.2, maxDf = 500)
+            .filter(col("doc_b") - col("doc_a") === 9 &&
+              col("doc_b") % 10 === 9))
+        run("imageRotScalePairs(minShared)", n / 8)(
+          Multimodal.imageRotScalePairs(a, minMatch = 0.2, maxDf = 500,
+            minShared = 8)
             .filter(col("doc_b") - col("doc_a") === 9 &&
               col("doc_b") % 10 === 9))
         a.unpersist()
