@@ -4083,6 +4083,119 @@ object Multimodal {
         col("dup_src"))
   }
 
+  // ---- IMAGE: aspect-squeeze hypothesis fan (anisotropic resize) ---
+
+  /** One (doc_id, hyp, lm) row per ASPECT-HYPOTHESIS readout of each
+    * constellation code — the anisotropic-resize (aspect-squeeze)
+    * compound's probe table: a 4:3 master displayed/reposted at 16:9
+    * stretches every x by 4/3, which breaks BOTH distances and
+    * angles, so no similarity-invariant code can ride through it.
+    * Instead the probe re-detects its peaks, then for each hypothesis
+    * factor g re-renders the peak GEOMETRY with x scaled by g
+    * (rounding to the integer grid costs <= 0.5 px — inside the
+    * family's jitter model) and emits the plain quad codes of that
+    * geometry: the hypothesis undoing the squeeze reproduces the
+    * master's natural codes. hyps(0) MUST be 1.0 (the identity row is
+    * what registers in state/indexes — the m140/m145 asymmetric fan
+    * shape). Peak detection happens ONCE; hypotheses only transform
+    * coordinates. */
+  def imageScaleLandmarksAspect(media: DataFrame,
+      hyps: Seq[Double] = Seq(1.0, 0.75, 4.0 / 3.0), kTop: Int = 16,
+      nNear: Int = 8, qStepR: Double = 0.15, nAng: Int = 24,
+      smoothR: Int = 4, radius: Int = 6, minAvg: Int = 24)(
+      implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    require(hyps.nonEmpty && hyps.head == 1.0,
+      "hyps(0) must be the identity 1.0 (the registering readout)")
+    require(hyps.forall(g => g > 0.0), "hypothesis factors must be > 0")
+    require(kTop >= 4, "kTop must be >= 4 (a constellation is a quad)")
+    require(nNear >= 3 && nNear <= 16, "nNear must be in 3..16 (a quad needs three co-peaks)")
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions(rows => rows.flatMap { r =>
+        decodeImage(r.payload) match {
+          case Some(img) =>
+            val cells = coarsePeakCells(lumaPlane(img), img.getWidth,
+              img.getHeight, smoothR, radius, minAvg)
+            hyps.iterator.zipWithIndex.flatMap { case (g, hi) =>
+              val t =
+                if (g == 1.0) cells
+                else cells.map { case (x, y, v) =>
+                  (math.round(g * x).toInt, y, v) }
+              constellationCodes(t, kTop, nNear, qStepR, nAng)
+                .map(lm => (r.doc_id, hi, lm))
+            }
+          case None => Iterator.empty
+        }
+      }).toDF("doc_id", "orient", "lm")
+  }
+
+  /** [[imageScalePairs]] extended to ANISOTROPIC resize — the
+    * aspect-squeeze class (m152): candidates bucket by quad code with
+    * the lower doc's IDENTITY codes on one side and any of the higher
+    * doc's aspect-hypothesis readouts on the other (the m140/m145
+    * asymmetric shape — state/index stay as-is-sized), scored per
+    * hypothesis over the smaller identity code count. Output (doc_a,
+    * doc_b, orient, match_frac) where orient is the hypothesis INDEX
+    * into `hyps`. The default hypothesis set covers the two dominant
+    * display conversions (4:3 <-> 16:9 in both directions); add
+    * factors for corpus-specific squeezes — cost is one extra
+    * geometry pass per hypothesis, not an extra decode. */
+  def imageScalePairsAspect(media: DataFrame, minMatch: Double = 0.3,
+      maxDf: Int = 0, hyps: Seq[Double] = Seq(1.0, 0.75, 4.0 / 3.0),
+      kTop: Int = 16, nNear: Int = 8, qStepR: Double = 0.15,
+      nAng: Int = 24, smoothR: Int = 4, radius: Int = 6,
+      minAvg: Int = 24, minShared: Int = 0)(
+      implicit s: SparkSession): DataFrame =
+    orientedLandmarkPairScores(
+      Materialize.eager(
+        imageScaleLandmarksAspect(media, hyps, kTop, nNear, qStepR,
+          nAng, smoothR, radius, minAvg)),
+      minMatch, maxDf, minShared)
+
+  /** Screen an ingest batch against the PLAIN [[imageScaleLandmarkIndex]]
+    * with the aspect-hypothesis fan — the index is the m144 artifact
+    * unchanged; only the batch fans its readouts. A probe is a
+    * duplicate of the lowest corpus doc reached by ANY hypothesis at
+    * `minMatch`. Enforces [[ScaleFpVersion]]. */
+  def dedupAgainstImageScaleIndexAspect(media: DataFrame,
+      index: DataFrame, minMatch: Double = 0.3,
+      hyps: Seq[Double] = Seq(1.0, 0.75, 4.0 / 3.0), kTop: Int = 16,
+      nNear: Int = 8, qStepR: Double = 0.15, nAng: Int = 24,
+      smoothR: Int = 4, radius: Int = 6, minAvg: Int = 24,
+      minShared: Int = 0)(implicit s: SparkSession): DataFrame = {
+    require(index.columns.contains("fp_ver"),
+      s"constellation index has no fp_ver column: it predates " +
+        s"fingerprint version $ScaleFpVersion — rebuild it with " +
+        "imageScaleLandmarkIndex before screening")
+    val stale = index.filter(col("fp_ver") =!= lit(ScaleFpVersion))
+      .limit(1).collect()
+    require(stale.isEmpty,
+      s"constellation index built by fingerprint version " +
+        s"${stale.headOption.map(_.getAs[Any]("fp_ver")).orNull}, " +
+        s"current is $ScaleFpVersion — rebuild it with " +
+        "imageScaleLandmarkIndex before screening (cross-version " +
+        "landmarks never match)")
+    val lms = Materialize.eager(
+      imageScaleLandmarksAspect(media, hyps, kTop, nNear, qStepR,
+        nAng, smoothR, radius, minAvg))
+    val nlo = lms.groupBy(col("doc_id"), col("orient"))
+      .agg(count(lit(1)).as("nl"))
+    val dup = lms.join(
+        index.select(col("lm"), col("doc_id").as("src"),
+          col("nl").as("nl_src")),
+        Seq("lm"))
+      .groupBy(col("doc_id"), col("orient"), col("src"), col("nl_src"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= math.max(1, minShared))
+      .join(nlo, Seq("doc_id", "orient"))
+      .filter(col("c").cast("double") / least(col("nl"), col("nl_src"))
+        >= minMatch)
+      .groupBy(col("doc_id")).agg(min(col("src")).as("dup_src"))
+    nlo.select(col("doc_id")).distinct().join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_src").isNull.as("kept"),
+        col("dup_src"))
+  }
+
   // ---- IMAGE: rotation-invariant constellations (ANY angle) --------
 
   /** ROTATION-invariant constellation codes — the full 2D similarity

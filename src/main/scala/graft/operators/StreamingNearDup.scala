@@ -541,6 +541,48 @@ object StreamingNearDup {
       }
   }
 
+  /** STREAMING aspect-squeeze dedup — the m152 tier in the streaming
+    * matrix: every arrival probes quad-code buckets with its
+    * aspect-HYPOTHESIS readouts (`Multimodal.imageScaleLandmarksAspect`
+    * — peak detection once, hypotheses transform geometry only), but
+    * only the identity readout (orient 0, hyps(0)=1.0) enters state,
+    * so per-doc state is unchanged and a 4:3<->16:9 re-delivery lands
+    * at the hypothesis undoing the squeeze. Emits [[LandmarkHitsO]];
+    * same id-monotonic determinism contract and `maxBucket` cap as
+    * the family. */
+  def imageScaleVerdictsAspect(media: DataFrame, idCol: String,
+      payloadCol: String,
+      hyps: Seq[Double] = Seq(1.0, 0.75, 4.0 / 3.0), kTop: Int = 16,
+      nNear: Int = 8, qStepR: Double = 0.15, nAng: Int = 24,
+      smoothR: Int = 4, radius: Int = 6, minAvg: Int = 24,
+      maxBucket: Int = 0): Dataset[LandmarkHitsO] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val lms = Multimodal.imageScaleLandmarksAspect(
+      media.select(col(idCol).cast("long").as("doc_id"),
+        col(payloadCol).as("payload")), hyps, kTop, nNear, qStepR,
+      nAng, smoothR, radius, minAvg)
+      .as[(Long, Int, Long)]
+    lms.groupByKey(_._3)
+      .flatMapGroupsWithState[List[Long], LandmarkHitsO](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (lm, rows, state: GroupState[List[Long]]) =>
+          var seen = state.getOption.getOrElse(Nil)
+          var n = seen.size
+          val out = rows.toSeq.sortBy(r => (r._1, r._2)).map { r =>
+            val capped = maxBucket > 0 && n >= maxBucket
+            val hits = if (capped) Nil else seen.filter(_ != r._1)
+            if (!capped && r._2 == 0 && !seen.contains(r._1)) {
+              seen = r._1 :: seen; n += 1
+            }
+            LandmarkHitsO(r._1, r._2, lm, hits)
+          }
+          state.update(seen)
+          out.iterator
+      }
+  }
+
   /** STREAMING arbitrary-angle rotation dedup — the m150 tier in the
     * streaming matrix: every arrival's ROTATION-invariant
     * constellation codes (`Multimodal.imageRotScaleLandmarks`, one

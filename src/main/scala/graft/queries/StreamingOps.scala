@@ -2434,6 +2434,125 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // ANISOTROPIC resize (aspect-squeeze) dedup (m152): 4:3 <-> 16:9
+    // display conversions squeeze x by 0.75 / stretch by 4/3 — which
+    // breaks distances AND angles, so the plain scale tier and the
+    // rot tier are both structurally blind (Round11mSpec pins both at
+    // zero pairs). The probe-side HYPOTHESIS fan re-renders the peak
+    // geometry under each inverse factor (one decode, one detection
+    // pass); the hypothesis undoing the squeeze reproduces the
+    // master's quad codes. Output orient = hypothesis index (1=0.75,
+    // 2=4/3). Pinned golden.
+    "m152_aspect_pairs" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val img = udf((id: Long) =>
+        if (id == 20L) Multimodal.pngCropResize(
+          Multimodal.syntheticPngBlobs(0), 0, 0, 128, 128, 96, 128)
+        else if (id == 21L) Multimodal.pngCropResize(
+          Multimodal.syntheticPngBlobs(1), 0, 0, 128, 128, 171, 128)
+        else if (id == 22L) Multimodal.pngCropResize(
+          Multimodal.syntheticPngBlobs(2), 0, 0, 128, 128, 96, 128)
+        else if (id == 23L) Multimodal.pngCropResize(
+          Multimodal.syntheticPngBlobs(3), 0, 0, 128, 128, 171, 128)
+        else Multimodal.syntheticPngBlobs(id))
+      val media = s.range(0, 8).union(s.range(20, 24))
+        .union(s.range(140, 142))
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      Multimodal.imageScalePairsAspect(media, minMatch = 0.3,
+          maxDf = 64)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Aspect-hypothesis fan against the PLAIN constellation index
+    // (m153): the m144 artifact unchanged — only the ingest batch
+    // fans its readouts; squeezed re-uploads of corpus masters are
+    // caught where the plain screen provably keeps them. Pinned
+    // golden.
+    "m153_aspect_index_dedup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val img = udf((id: Long) =>
+        if (id == 20L) Multimodal.pngCropResize(
+          Multimodal.syntheticPngBlobs(0), 0, 0, 128, 128, 96, 128)
+        else if (id == 21L) Multimodal.pngCropResize(
+          Multimodal.syntheticPngBlobs(1), 0, 0, 128, 128, 171, 128)
+        else Multimodal.syntheticPngBlobs(id))
+      val corpus = s.range(0, 8)
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      val index = Multimodal.imageScaleLandmarkIndex(corpus)
+      val probes = s.range(20, 22).union(s.range(130, 132))
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      Multimodal.dedupAgainstImageScaleIndexAspect(probes, index,
+          minMatch = 0.3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // STREAMING aspect-squeeze dedup (the m152 tier in the streaming
+    // matrix): micro-batch 1 delivers 6 blob masters — identity
+    // readouts enter bucket state — micro-batch 2 their squeezed
+    // (0.75 / 4:3-stretched) re-deliveries; each probe's undoing
+    // hypothesis lands in its master's buckets. Consumer scores the
+    // best hypothesis' distinct-landmark hits over the smaller
+    // identity count at the 0.3 gate. Pinned golden.
+    "st111_stream_aspect_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val name = "st111_out"
+      val staged = stagingDir("graft-stream-aspect")
+      val img = udf((id: Long) =>
+        if (id < 1000000L) Multimodal.syntheticPngBlobs(id)
+        else {
+          val m = id - 1000000L
+          if (m % 2 == 0) Multimodal.pngCropResize(
+            Multimodal.syntheticPngBlobs(m), 0, 0, 128, 128, 96, 128)
+          else Multimodal.pngCropResize(
+            Multimodal.syntheticPngBlobs(m), 0, 0, 128, 128, 171, 128)
+        })
+      def stageBatch(ids: org.apache.spark.sql.Dataset[java.lang.Long],
+          fname: String, ageMs: Long): Unit = {
+        val tmp = staged.resolve(fname + ".tmp")
+        ids.toDF("doc_id").select(col("doc_id"), img(col("doc_id")).as("payload"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, staged.resolve(fname))
+        staged.resolve(fname).toFile.deleteOnExit()
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        java.nio.file.Files.setLastModifiedTime(staged.resolve(fname),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - ageMs))
+      }
+      stageBatch(s.range(0, 6).as[java.lang.Long], "a.parquet", 120000L)
+      stageBatch(s.range(1000000L, 1000006L).as[java.lang.Long], "b.parquet", 0L)
+      val mediaSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("payload", BinaryType)))
+      val stream = s.readStream.schema(mediaSchema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+        .repartition(col("doc_id"))
+      val hits = graft.operators.StreamingNearDup.imageScaleVerdictsAspect(
+        stream, "doc_id", "payload", maxBucket = 64)
+      val q = hits.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+      val nl = s.table(name).filter(col("orient") === 0)
+        .groupBy(col("doc_id")).agg(countDistinct(col("lm")).as("nl"))
+      val nlSrc = s.table(name).filter(col("orient") === 0)
+        .select(col("doc_id").as("src_id"), col("lm"))
+        .groupBy(col("src_id")).agg(countDistinct(col("lm")).as("nl_src"))
+      val dup = s.table(name)
+        .select(col("doc_id").as("d"), col("orient"),
+          explode(col("hits")).as("src"))
+        .groupBy(col("d"), col("orient"), col("src"))
+        .agg(count(lit(1)).as("c"))
+        .join(nl, col("d") === nl("doc_id")).drop("doc_id")
+        .join(nlSrc, col("src") === col("src_id"))
+        .filter(col("c").cast("double") / least(col("nl"), col("nl_src"))
+          >= 0.3)
+        .groupBy(col("d")).agg(min(col("src")).as("dup_src"))
+      nl.join(dup, col("doc_id") === col("d"), "left")
+        .select(col("doc_id"), col("dup_src").isNull.as("kept"),
+          col("dup_src"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Crop+RESIZE VIDEO dedup — pooled per-frame constellation codes
     // (m147): probes are cropped at arbitrary offsets AND uniformly
     // rescaled (up 1.2x/1.4x, down 0.89x), one also TRIMMED two
