@@ -3952,18 +3952,18 @@ object Multimodal {
     * video m148): fail-fast [[ScaleFpVersion]] check, landmark
     * equi-join, shared-distinct over the smaller set >= minMatch. */
   private def screenScaleIndex(lms: DataFrame, index: DataFrame,
-      minMatch: Double, builder: String,
-      minShared: Int = 0): DataFrame = {
+      minMatch: Double, builder: String, minShared: Int = 0,
+      fpVer: Int = ScaleFpVersion): DataFrame = {
     require(index.columns.contains("fp_ver"),
       s"constellation index has no fp_ver column: it predates " +
-        s"fingerprint version $ScaleFpVersion — rebuild it with " +
+        s"fingerprint version $fpVer — rebuild it with " +
         s"$builder before screening")
-    val stale = index.filter(col("fp_ver") =!= lit(ScaleFpVersion))
+    val stale = index.filter(col("fp_ver") =!= lit(fpVer))
       .limit(1).collect()
     require(stale.isEmpty,
       s"constellation index built by fingerprint version " +
         s"${stale.headOption.map(_.getAs[Any]("fp_ver")).orNull}, " +
-        s"current is $ScaleFpVersion — rebuild it with $builder " +
+        s"current is $fpVer — rebuild it with $builder " +
         "before screening (cross-version landmarks never match)")
     val nl = lms.groupBy(col("doc_id")).agg(count(lit(1)).as("nl"))
     val dup = lms.join(
@@ -4543,6 +4543,102 @@ object Multimodal {
       Materialize.eager(videoScaleLandmarks(media, every, kTop, nNear,
         qStepR, nAng, smoothR, radius, minAvg)),
       index, minMatch, "videoScaleLandmarkIndex", minShared)
+
+  /** ROTATION-invariant constellation landmarks pooled per VIDEO
+    * document — the m147 pooling shape at the [[constellationCodesRot]]
+    * seam: a re-upload rotated at ANY angle (the sideways-phone
+    * class), rescaled, and/or trimmed lands where the plain video
+    * constellation tier (rotation-variant) and every exact-pixel
+    * video tier miss. One container walk, codes pooled DISTINCT. */
+  def videoRotScaleLandmarks(media: DataFrame, every: Int = 2,
+      kTop: Int = 16, nNear: Int = 8, qStepR: Double = 0.15,
+      nAng: Int = 24, smoothR: Int = 4, radius: Int = 6,
+      minAvg: Int = 24)(implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    require(every >= 1, "every must be >= 1")
+    require(kTop >= 5, "kTop must be >= 5 (a rot constellation is a 5-point code)")
+    require(nNear >= 4 && nNear <= 16, "nNear must be in 4..16 (a rot code needs four co-peaks)")
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions(rows => rows.flatMap { r =>
+        containerFrames(r.payload) match {
+          case Some(fs) =>
+            val set = scala.collection.mutable.LinkedHashSet.empty[Long]
+            fs.iterator.zipWithIndex.filter(_._2 % every == 0)
+              .foreach { f =>
+                decodeImage(f._1).foreach { img =>
+                  constellationCodesRot(
+                    coarsePeakCells(lumaPlane(img), img.getWidth,
+                      img.getHeight, smoothR, radius, minAvg), kTop,
+                    nNear, qStepR, nAng).foreach(set += _)
+                }
+              }
+            set.iterator.map(lm => (r.doc_id, lm))
+          case None => Iterator.empty
+        }
+      }).toDF("doc_id", "lm")
+  }
+
+  /** Video near-dup pairs invariant under rotation at ANY angle +
+    * uniform scale + trim (m154): [[videoRotScaleLandmarks]] posting
+    * rows through the shared peak scorer at the rot tier's 0.2
+    * operating gate. */
+  def videoRotScalePairs(media: DataFrame, minMatch: Double = 0.2,
+      every: Int = 2, maxDf: Int = 0, kTop: Int = 16, nNear: Int = 8,
+      qStepR: Double = 0.15, nAng: Int = 24, smoothR: Int = 4,
+      radius: Int = 6, minAvg: Int = 24, minShared: Int = 0)(
+      implicit s: SparkSession): DataFrame =
+    peakLandmarkPairScores(
+      Materialize.eager(videoRotScaleLandmarks(media, every, kTop,
+        nNear, qStepR, nAng, smoothR, radius, minAvg)),
+      minMatch, maxDf, minShared)
+
+  /** Persisted any-angle VIDEO rotation index — the m154 tier's
+    * incremental member: same [[RotScaleFpVersion]] stamp as the image
+    * rot index via the shared code kernel (the m139/m148 precedent). */
+  def videoRotScaleLandmarkIndex(media: DataFrame, every: Int = 2,
+      kTop: Int = 16, nNear: Int = 8, qStepR: Double = 0.15,
+      nAng: Int = 24, smoothR: Int = 4, radius: Int = 6,
+      minAvg: Int = 24)(implicit s: SparkSession): DataFrame = {
+    val lms = Materialize.eager(videoRotScaleLandmarks(media, every,
+      kTop, nNear, qStepR, nAng, smoothR, radius, minAvg))
+    lms.join(lms.groupBy(col("doc_id")).agg(count(lit(1)).as("nl")),
+        Seq("doc_id"))
+      .select(col("lm"), col("doc_id"), col("nl"),
+        lit(RotScaleFpVersion).as("fp_ver"))
+  }
+
+  /** Screen an ingest batch of videos against a pre-built
+    * [[videoRotScaleLandmarkIndex]] — a re-upload rotated at ANY
+    * angle, rescaled, and/or trimmed is caught with no corpus
+    * re-decode. Enforces [[RotScaleFpVersion]]. */
+  def dedupAgainstVideoRotScaleIndex(media: DataFrame,
+      index: DataFrame, minMatch: Double = 0.2, every: Int = 2,
+      kTop: Int = 16, nNear: Int = 8, qStepR: Double = 0.15,
+      nAng: Int = 24, smoothR: Int = 4, radius: Int = 6,
+      minAvg: Int = 24, minShared: Int = 0)(
+      implicit s: SparkSession): DataFrame =
+    screenScaleIndex(
+      Materialize.eager(videoRotScaleLandmarks(media, every, kTop,
+        nNear, qStepR, nAng, smoothR, radius, minAvg)),
+      index, minMatch, "videoRotScaleLandmarkIndex", minShared,
+      RotScaleFpVersion)
+
+  /** Rotate-about-center (+ uniform scale) re-mux of any decodable
+    * video payload — the video rotation tier's fixture transform:
+    * every frame (from `fromFrame` on) through the [[pngRotateResize]]
+    * inverse-map bilinear kernel, re-muxed as uncompressed DIB AVI. */
+  def aviRotateResizeDib(payload: Array[Byte], degrees: Double,
+      factor: Double = 1.0, fromFrame: Int = 0): Array[Byte] = {
+    val fs = containerFrames(payload).getOrElse(
+      throw new IllegalArgumentException("undecodable video payload"))
+    require(fromFrame >= 0 && fromFrame < fs.length,
+      "fromFrame must land inside the stream")
+    aviFromImages(fs.drop(fromFrame).map { b =>
+      val png = pngRotateResize(encodePng(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(b))), degrees, factor)
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    })
+  }
 
   /** Crop-then-RESIZE re-encode of any PNG payload — the scale tier's
     * fixture transform: pixels (x0..x1) x (y0..y1) resampled to

@@ -758,6 +758,39 @@ object StreamingNearDup {
       }
   }
 
+  /** STREAMING any-angle-rotated video dedup — the m154 tier in the
+    * streaming matrix: every arrival's pooled per-frame ROTATION-
+    * invariant constellation codes (`Multimodal.videoRotScaleLandmarks`,
+    * one container walk) key bucket state, so a later re-delivery
+    * rotated at ANY angle (the sideways-phone class), rescaled and/or
+    * trimmed lands in its master's buckets. Emits [[LandmarkHits]];
+    * consumers score at the rot tier's 0.2 gate. Same id-monotonic
+    * determinism contract and `maxBucket` cap as the family. */
+  def videoRotScaleVerdicts(media: DataFrame, idCol: String,
+      payloadCol: String, every: Int = 2, kTop: Int = 16,
+      nNear: Int = 8, qStepR: Double = 0.15, nAng: Int = 24,
+      smoothR: Int = 4, radius: Int = 6, minAvg: Int = 24,
+      maxBucket: Int = 0): Dataset[LandmarkHits] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val lms = Multimodal.videoRotScaleLandmarks(
+      media.select(col(idCol).cast("long").as("doc_id"),
+        col(payloadCol).as("payload")), every, kTop, nNear, qStepR,
+      nAng, smoothR, radius, minAvg)
+      .as[(Long, Long)]
+    lms.groupByKey(_._2)
+      .flatMapGroupsWithState[List[Long], LandmarkHits](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (lm, rows, state: GroupState[List[Long]]) =>
+          val (seen, out) = foldBucket(state.getOption.getOrElse(Nil),
+            rows.toSeq.map(_._1).sorted, maxBucket)(
+            (id, hits) => LandmarkHits(id, lm, hits))
+          state.update(seen)
+          out.iterator
+      }
+  }
+
   /** [[imagePeakVerdicts]] extended to the ROTATED/MIRRORED +
     * arbitrary-crop compound — the m140 tier in the streaming matrix:
     * every arrival probes landmark buckets with all 8 dihedral patch

@@ -2553,6 +2553,125 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Any-angle-rotated VIDEO dedup (m154): pooled per-frame
+    // ROTATION-invariant constellation codes — the sideways-phone /
+    // tilted re-render class (17 deg / -8 deg + 1.2x / 90 deg /
+    // 33 deg + 2-frame trim), which the rotation-variant video
+    // constellation tier provably misses (Round11nSpec). Pinned
+    // golden.
+    "m154_video_rot_pairs" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val img = udf((id: Long) =>
+        if (id == 20L) Multimodal.aviRotateResizeDib(
+          Multimodal.syntheticAviBlobs(0, 6), 17.0)
+        else if (id == 21L) Multimodal.aviRotateResizeDib(
+          Multimodal.syntheticAviBlobs(1, 6), -8.0, 1.2)
+        else if (id == 22L) Multimodal.aviRotateResizeDib(
+          Multimodal.syntheticAviBlobs(2, 6), 90.0)
+        else if (id == 23L) Multimodal.aviRotateResizeDib(
+          Multimodal.syntheticAviBlobs(3, 6), 33.0, 1.0, 2)
+        else Multimodal.syntheticAviBlobs(id, 6))
+      val media = s.range(0, 6).union(s.range(20, 24))
+        .union(s.range(140, 142))
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      Multimodal.videoRotScalePairs(media, minMatch = 0.2, maxDf = 64)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Persisted any-angle VIDEO rotation index + ingest screen (m155)
+    // — the m154 tier's index member (RotScaleFpVersion via the
+    // shared kernel): 6 blob-frame masters fingerprint once, then an
+    // ingest batch of 3 rotated re-uploads plus 2 fresh videos
+    // screens with no corpus re-decode. Pinned golden.
+    "m155_video_rot_index_dedup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val img = udf((id: Long) =>
+        if (id == 20L) Multimodal.aviRotateResizeDib(
+          Multimodal.syntheticAviBlobs(0, 6), 17.0)
+        else if (id == 21L) Multimodal.aviRotateResizeDib(
+          Multimodal.syntheticAviBlobs(1, 6), -8.0, 1.2)
+        else if (id == 22L) Multimodal.aviRotateResizeDib(
+          Multimodal.syntheticAviBlobs(2, 6), 90.0)
+        else Multimodal.syntheticAviBlobs(id, 6))
+      val corpus = s.range(0, 6)
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      val index = Multimodal.videoRotScaleLandmarkIndex(corpus)
+      val probes = s.range(20, 23).union(s.range(130, 132))
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      Multimodal.dedupAgainstVideoRotScaleIndex(probes, index,
+          minMatch = 0.2)
+        .orderBy(col("doc_id"))
+    }),
+
+    // STREAMING any-angle-rotated video dedup (the m154 tier in the
+    // streaming matrix): micro-batch 1 delivers 6 blob-frame
+    // masters — pooled rotation-invariant codes enter bucket state —
+    // micro-batch 2 their rotated (+rescaled/trimmed) re-deliveries.
+    // Consumer scores shared distinct landmarks over the smaller
+    // pooled set >= 0.2. Pinned golden.
+    "st112_stream_video_rot_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val name = "st112_out"
+      val staged = stagingDir("graft-stream-vidrot")
+      val img = udf((id: Long) =>
+        if (id < 1000000L) Multimodal.syntheticAviBlobs(id, 6)
+        else {
+          val m = id - 1000000L
+          (m % 4) match {
+            case 0 => Multimodal.aviRotateResizeDib(
+              Multimodal.syntheticAviBlobs(m, 6), 17.0)
+            case 1 => Multimodal.aviRotateResizeDib(
+              Multimodal.syntheticAviBlobs(m, 6), -8.0, 1.2)
+            case 2 => Multimodal.aviRotateResizeDib(
+              Multimodal.syntheticAviBlobs(m, 6), 90.0)
+            case _ => Multimodal.aviRotateResizeDib(
+              Multimodal.syntheticAviBlobs(m, 6), 33.0, 1.0, 2)
+          }
+        })
+      def stageBatch(ids: org.apache.spark.sql.Dataset[java.lang.Long],
+          fname: String, ageMs: Long): Unit = {
+        val tmp = staged.resolve(fname + ".tmp")
+        ids.toDF("doc_id").select(col("doc_id"), img(col("doc_id")).as("payload"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, staged.resolve(fname))
+        staged.resolve(fname).toFile.deleteOnExit()
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        java.nio.file.Files.setLastModifiedTime(staged.resolve(fname),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - ageMs))
+      }
+      stageBatch(s.range(0, 6).as[java.lang.Long], "a.parquet", 120000L)
+      stageBatch(s.range(1000000L, 1000006L).as[java.lang.Long], "b.parquet", 0L)
+      val mediaSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("payload", BinaryType)))
+      val stream = s.readStream.schema(mediaSchema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+        .repartition(col("doc_id"))
+      val hits = graft.operators.StreamingNearDup.videoRotScaleVerdicts(
+        stream, "doc_id", "payload", maxBucket = 64)
+      val q = hits.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+      val nl = s.table(name).groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("nl"))
+      val nlSrc = s.table(name).select(col("doc_id").as("src_id"))
+        .groupBy(col("src_id")).agg(count(lit(1)).as("nl_src"))
+      val dup = s.table(name)
+        .select(col("doc_id").as("d"), explode(col("hits")).as("src"))
+        .groupBy(col("d"), col("src")).agg(count(lit(1)).as("c"))
+        .join(nl, col("d") === nl("doc_id")).drop("doc_id")
+        .join(nlSrc, col("src") === col("src_id"))
+        .filter(col("c").cast("double") / least(col("nl"), col("nl_src"))
+          >= 0.2)
+        .groupBy(col("d")).agg(min(col("src")).as("dup_src"))
+      nl.join(dup, col("doc_id") === col("d"), "left")
+        .select(col("doc_id"), col("dup_src").isNull.as("kept"),
+          col("dup_src"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Crop+RESIZE VIDEO dedup — pooled per-frame constellation codes
     // (m147): probes are cropped at arbitrary offsets AND uniformly
     // rescaled (up 1.2x/1.4x, down 0.89x), one also TRIMMED two
