@@ -4592,6 +4592,128 @@ object Multimodal {
         nNear, qStepR, nAng, smoothR, radius, minAvg)),
       minMatch, maxDf, minShared)
 
+  /** Aspect-HYPOTHESIS constellation landmarks pooled per VIDEO
+    * document — the anamorphic-rip class (a 4:3 master re-encoded at
+    * 16:9 stretches every frame's x by 4/3): per sampled frame the
+    * peak geometry re-renders under each inverse factor
+    * (detection once per frame), distinct (hypothesis, code) rows
+    * pooled per doc. hyps(0) MUST be 1.0 (the identity rows are what
+    * register in state/indexes). */
+  def videoScaleLandmarksAspect(media: DataFrame,
+      hyps: Seq[Double] = Seq(1.0, 0.75, 4.0 / 3.0), every: Int = 2,
+      kTop: Int = 16, nNear: Int = 8, qStepR: Double = 0.15,
+      nAng: Int = 24, smoothR: Int = 4, radius: Int = 6,
+      minAvg: Int = 24)(implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    require(hyps.nonEmpty && hyps.head == 1.0,
+      "hyps(0) must be the identity 1.0 (the registering readout)")
+    require(hyps.forall(g => g > 0.0), "hypothesis factors must be > 0")
+    require(every >= 1, "every must be >= 1")
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions(rows => rows.flatMap { r =>
+        containerFrames(r.payload) match {
+          case Some(fs) =>
+            val set = scala.collection.mutable.LinkedHashSet.empty[(Int, Long)]
+            fs.iterator.zipWithIndex.filter(_._2 % every == 0)
+              .foreach { f =>
+                decodeImage(f._1).foreach { img =>
+                  val cells = coarsePeakCells(lumaPlane(img),
+                    img.getWidth, img.getHeight, smoothR, radius, minAvg)
+                  hyps.iterator.zipWithIndex.foreach { case (g, hi) =>
+                    val t =
+                      if (g == 1.0) cells
+                      else cells.map { case (x, y, v) =>
+                        (math.round(g * x).toInt, y, v) }
+                    constellationCodes(t, kTop, nNear, qStepR, nAng)
+                      .foreach(lm => set += ((hi, lm)))
+                  }
+                }
+              }
+            set.iterator.map { case (hi, lm) => (r.doc_id, hi, lm) }
+          case None => Iterator.empty
+        }
+      }).toDF("doc_id", "orient", "lm")
+  }
+
+  /** Video near-dup pairs tolerant of ANAMORPHIC re-encodes (m156):
+    * the m152 aspect fan pooled per sampled frame, through the shared
+    * oriented scorer — lower doc's identity codes vs any of the
+    * higher doc's hypothesis readouts, orient = hypothesis index. */
+  def videoScalePairsAspect(media: DataFrame, minMatch: Double = 0.3,
+      maxDf: Int = 0, hyps: Seq[Double] = Seq(1.0, 0.75, 4.0 / 3.0),
+      every: Int = 2, kTop: Int = 16, nNear: Int = 8,
+      qStepR: Double = 0.15, nAng: Int = 24, smoothR: Int = 4,
+      radius: Int = 6, minAvg: Int = 24, minShared: Int = 0)(
+      implicit s: SparkSession): DataFrame =
+    orientedLandmarkPairScores(
+      Materialize.eager(
+        videoScaleLandmarksAspect(media, hyps, every, kTop, nNear,
+          qStepR, nAng, smoothR, radius, minAvg)),
+      minMatch, maxDf, minShared)
+
+  /** Screen an ingest batch of videos against the PLAIN
+    * [[videoScaleLandmarkIndex]] with the aspect-hypothesis fan —
+    * anamorphic re-rips of corpus masters are caught with no corpus
+    * re-decode; the index is the m148 artifact unchanged. Enforces
+    * [[ScaleFpVersion]]. */
+  def dedupAgainstVideoScaleIndexAspect(media: DataFrame,
+      index: DataFrame, minMatch: Double = 0.3,
+      hyps: Seq[Double] = Seq(1.0, 0.75, 4.0 / 3.0), every: Int = 2,
+      kTop: Int = 16, nNear: Int = 8, qStepR: Double = 0.15,
+      nAng: Int = 24, smoothR: Int = 4, radius: Int = 6,
+      minAvg: Int = 24, minShared: Int = 0)(
+      implicit s: SparkSession): DataFrame = {
+    require(index.columns.contains("fp_ver"),
+      s"constellation index has no fp_ver column: it predates " +
+        s"fingerprint version $ScaleFpVersion — rebuild it with " +
+        "videoScaleLandmarkIndex before screening")
+    val stale = index.filter(col("fp_ver") =!= lit(ScaleFpVersion))
+      .limit(1).collect()
+    require(stale.isEmpty,
+      s"constellation index built by fingerprint version " +
+        s"${stale.headOption.map(_.getAs[Any]("fp_ver")).orNull}, " +
+        s"current is $ScaleFpVersion — rebuild it with " +
+        "videoScaleLandmarkIndex before screening (cross-version " +
+        "landmarks never match)")
+    val lms = Materialize.eager(
+      videoScaleLandmarksAspect(media, hyps, every, kTop, nNear,
+        qStepR, nAng, smoothR, radius, minAvg))
+    val nlo = lms.groupBy(col("doc_id"), col("orient"))
+      .agg(count(lit(1)).as("nl"))
+    val dup = lms.join(
+        index.select(col("lm"), col("doc_id").as("src"),
+          col("nl").as("nl_src")),
+        Seq("lm"))
+      .groupBy(col("doc_id"), col("orient"), col("src"), col("nl_src"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= math.max(1, minShared))
+      .join(nlo, Seq("doc_id", "orient"))
+      .filter(col("c").cast("double") / least(col("nl"), col("nl_src"))
+        >= minMatch)
+      .groupBy(col("doc_id")).agg(min(col("src")).as("dup_src"))
+    nlo.select(col("doc_id")).distinct().join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_src").isNull.as("kept"),
+        col("dup_src"))
+  }
+
+  /** Anamorphic re-mux of any decodable video payload — x scaled by
+    * `fx` per frame through the bilinear kernel ([[cropResizeRgb]]
+    * full-rect form), re-muxed as uncompressed DIB AVI. */
+  def aviAspectDib(payload: Array[Byte], fx: Double,
+      fromFrame: Int = 0): Array[Byte] = {
+    require(fx > 0.0, "aspect factor must be > 0")
+    val fs = containerFrames(payload).getOrElse(
+      throw new IllegalArgumentException("undecodable video payload"))
+    require(fromFrame >= 0 && fromFrame < fs.length,
+      "fromFrame must land inside the stream")
+    aviFromImages(fs.drop(fromFrame).map { b =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(b))
+      cropResizeRgb(img, 0, 0, img.getWidth, img.getHeight,
+        math.max(1, math.round(img.getWidth * fx).toInt), img.getHeight)
+    })
+  }
+
   /** Persisted any-angle VIDEO rotation index — the m154 tier's
     * incremental member: same [[RotScaleFpVersion]] stamp as the image
     * rot index via the shared code kernel (the m139/m148 precedent). */

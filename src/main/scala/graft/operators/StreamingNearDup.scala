@@ -758,6 +758,47 @@ object StreamingNearDup {
       }
   }
 
+  /** STREAMING anamorphic video dedup — the m156 tier in the
+    * streaming matrix: every arrival probes quad-code buckets with
+    * its pooled per-frame aspect-HYPOTHESIS readouts
+    * (`Multimodal.videoScaleLandmarksAspect`), but only the identity
+    * readout enters state; an anamorphic re-delivery lands at the
+    * hypothesis undoing its squeeze. Emits [[LandmarkHitsO]]; same
+    * id-monotonic determinism contract and `maxBucket` cap as the
+    * family. */
+  def videoScaleVerdictsAspect(media: DataFrame, idCol: String,
+      payloadCol: String,
+      hyps: Seq[Double] = Seq(1.0, 0.75, 4.0 / 3.0), every: Int = 2,
+      kTop: Int = 16, nNear: Int = 8, qStepR: Double = 0.15,
+      nAng: Int = 24, smoothR: Int = 4, radius: Int = 6,
+      minAvg: Int = 24, maxBucket: Int = 0): Dataset[LandmarkHitsO] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val lms = Multimodal.videoScaleLandmarksAspect(
+      media.select(col(idCol).cast("long").as("doc_id"),
+        col(payloadCol).as("payload")), hyps, every, kTop, nNear,
+      qStepR, nAng, smoothR, radius, minAvg)
+      .as[(Long, Int, Long)]
+    lms.groupByKey(_._3)
+      .flatMapGroupsWithState[List[Long], LandmarkHitsO](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (lm, rows, state: GroupState[List[Long]]) =>
+          var seen = state.getOption.getOrElse(Nil)
+          var n = seen.size
+          val out = rows.toSeq.sortBy(r => (r._1, r._2)).map { r =>
+            val capped = maxBucket > 0 && n >= maxBucket
+            val hits = if (capped) Nil else seen.filter(_ != r._1)
+            if (!capped && r._2 == 0 && !seen.contains(r._1)) {
+              seen = r._1 :: seen; n += 1
+            }
+            LandmarkHitsO(r._1, r._2, lm, hits)
+          }
+          state.update(seen)
+          out.iterator
+      }
+  }
+
   /** STREAMING any-angle-rotated video dedup — the m154 tier in the
     * streaming matrix: every arrival's pooled per-frame ROTATION-
     * invariant constellation codes (`Multimodal.videoRotScaleLandmarks`,

@@ -2672,6 +2672,119 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // ANAMORPHIC video dedup (m156): the aspect-hypothesis fan pooled
+    // per sampled frame — a 4:3 master re-ripped at 16:9 (or the
+    // reverse), one probe also trimmed two frames; the plain AND
+    // rotation-invariant video constellation tiers are both
+    // structurally blind (Round11oSpec pins both at zero pairs).
+    // Pinned golden.
+    "m156_video_aspect_pairs" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val img = udf((id: Long) =>
+        if (id == 20L) Multimodal.aviAspectDib(
+          Multimodal.syntheticAviBlobs(0, 6), 0.75)
+        else if (id == 21L) Multimodal.aviAspectDib(
+          Multimodal.syntheticAviBlobs(1, 6), 4.0 / 3.0)
+        else if (id == 22L) Multimodal.aviAspectDib(
+          Multimodal.syntheticAviBlobs(2, 6), 0.75, 2)
+        else if (id == 23L) Multimodal.aviAspectDib(
+          Multimodal.syntheticAviBlobs(3, 6), 4.0 / 3.0)
+        else Multimodal.syntheticAviBlobs(id, 6))
+      val media = s.range(0, 6).union(s.range(20, 24))
+        .union(s.range(140, 142))
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      Multimodal.videoScalePairsAspect(media, minMatch = 0.3,
+          maxDf = 64)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Video aspect fan against the PLAIN video constellation index
+    // (m157): the m148 artifact unchanged — anamorphic re-rips of
+    // corpus masters are caught where the plain screen provably keeps
+    // them (Round11oSpec). Pinned golden.
+    "m157_video_aspect_index_dedup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val img = udf((id: Long) =>
+        if (id == 20L) Multimodal.aviAspectDib(
+          Multimodal.syntheticAviBlobs(0, 6), 0.75)
+        else if (id == 21L) Multimodal.aviAspectDib(
+          Multimodal.syntheticAviBlobs(1, 6), 4.0 / 3.0)
+        else Multimodal.syntheticAviBlobs(id, 6))
+      val corpus = s.range(0, 6)
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      val index = Multimodal.videoScaleLandmarkIndex(corpus)
+      val probes = s.range(20, 22).union(s.range(130, 132))
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      Multimodal.dedupAgainstVideoScaleIndexAspect(probes, index,
+          minMatch = 0.3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // STREAMING anamorphic video dedup (the m156 tier in the
+    // streaming matrix): identity readouts register, the hypothesis
+    // fan probes; each squeezed re-delivery lands at the undoing
+    // factor. Consumer scores the best hypothesis over the smaller
+    // identity count at the 0.3 gate. Pinned golden.
+    "st113_stream_video_aspect_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val name = "st113_out"
+      val staged = stagingDir("graft-stream-vidaspect")
+      val img = udf((id: Long) =>
+        if (id < 1000000L) Multimodal.syntheticAviBlobs(id, 6)
+        else {
+          val m = id - 1000000L
+          if (m % 2 == 0) Multimodal.aviAspectDib(
+            Multimodal.syntheticAviBlobs(m, 6), 0.75)
+          else Multimodal.aviAspectDib(
+            Multimodal.syntheticAviBlobs(m, 6), 4.0 / 3.0)
+        })
+      def stageBatch(ids: org.apache.spark.sql.Dataset[java.lang.Long],
+          fname: String, ageMs: Long): Unit = {
+        val tmp = staged.resolve(fname + ".tmp")
+        ids.toDF("doc_id").select(col("doc_id"), img(col("doc_id")).as("payload"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, staged.resolve(fname))
+        staged.resolve(fname).toFile.deleteOnExit()
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        java.nio.file.Files.setLastModifiedTime(staged.resolve(fname),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - ageMs))
+      }
+      stageBatch(s.range(0, 6).as[java.lang.Long], "a.parquet", 120000L)
+      stageBatch(s.range(1000000L, 1000006L).as[java.lang.Long], "b.parquet", 0L)
+      val mediaSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("payload", BinaryType)))
+      val stream = s.readStream.schema(mediaSchema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+        .repartition(col("doc_id"))
+      val hits = graft.operators.StreamingNearDup.videoScaleVerdictsAspect(
+        stream, "doc_id", "payload", maxBucket = 64)
+      val q = hits.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+      val nl = s.table(name).filter(col("orient") === 0)
+        .groupBy(col("doc_id")).agg(countDistinct(col("lm")).as("nl"))
+      val nlSrc = s.table(name).filter(col("orient") === 0)
+        .select(col("doc_id").as("src_id"), col("lm"))
+        .groupBy(col("src_id")).agg(countDistinct(col("lm")).as("nl_src"))
+      val dup = s.table(name)
+        .select(col("doc_id").as("d"), col("orient"),
+          explode(col("hits")).as("src"))
+        .groupBy(col("d"), col("orient"), col("src"))
+        .agg(count(lit(1)).as("c"))
+        .join(nl, col("d") === nl("doc_id")).drop("doc_id")
+        .join(nlSrc, col("src") === col("src_id"))
+        .filter(col("c").cast("double") / least(col("nl"), col("nl_src"))
+          >= 0.3)
+        .groupBy(col("d")).agg(min(col("src")).as("dup_src"))
+      nl.join(dup, col("doc_id") === col("d"), "left")
+        .select(col("doc_id"), col("dup_src").isNull.as("kept"),
+          col("dup_src"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Crop+RESIZE VIDEO dedup — pooled per-frame constellation codes
     // (m147): probes are cropped at arbitrary offsets AND uniformly
     // rescaled (up 1.2x/1.4x, down 0.89x), one also TRIMMED two
