@@ -644,7 +644,14 @@ object Multimodal {
   def syntheticWavBeats(id: Long, rate: Int, ms: Int = 1248,
       offsetMs: Int = 0, speedNum: Int = 1, speedDen: Int = 1,
       gainNum: Int = 1, gainDen: Int = 1,
-      uniformSegMs: Int = 0): Array[Byte] = {
+      uniformSegMs: Int = 0, pitchNum: Int = 1,
+      pitchDen: Int = 1): Array[Byte] = {
+    // pitchNum/pitchDen scales every band FREQUENCY (tone content)
+    // WITHOUT touching the envelope times — the pure PITCH-SHIFT
+    // re-render (autotune / key-change), as opposed to
+    // speedNum/speedDen which scales tempo and pitch together.
+    // Defaults reproduce the old signal bit-exactly.
+    require(pitchNum >= 1 && pitchDen >= 1, "pitch must be positive")
     // uniformSegMs > 0 makes every segment that long — the METRONOMIC
     // variant (m124): all inter-onset intervals equal, so the
     // interval-ratio tier carries zero timing entropy (every doc
@@ -700,8 +707,8 @@ object Multimodal {
         var b = 0
         while (b < bands) {
           val lvl = ((a * b + c) % 17) + 1
-          acc += lvl / 17.0 *
-            StrictMath.sin(2.0 * StrictMath.PI * centers(b) * tau)
+          acc += lvl / 17.0 * StrictMath.sin(2.0 * StrictMath.PI *
+            (centers(b) * pitchNum / pitchDen) * tau)
           b += 1
         }
         math.max(-32768L, math.min(32767L,
@@ -781,7 +788,7 @@ object Multimodal {
     * spectral leg's job — [[spectralFrameCodes]] / the m106 gate).
     * canonRate <= 0 disables the rate leg (the downmix always runs —
     * an interleaved fingerprint is never the right comparison). */
-  private def monoMix(w: WavPcm): Array[Short] =
+  private[operators] def monoMix(w: WavPcm): Array[Short] =
     if (w.channels <= 1) w.samples
     else {
       val ch = w.channels
@@ -1635,8 +1642,16 @@ object Multimodal {
     * the payload end. Non-integer-semitone shifts split energy
     * between adjacent bands and degrade gracefully through
     * match_frac rather than structurally. */
+  /** The anchor-band position of [[chromaCodeAt]] alone — diagnostic
+    * hook for phase-robustness analysis of true (envelope-preserving)
+    * pitch shifts. */
+  private[operators] def chromaAnchorAt(mono: Array[Short], rate: Int,
+      off: Int, cyc: Int, div: Int = 12): Int =
+    chromaCodeAt(mono, rate, off, cyc, div, anchorOnly = true)
+
   private[operators] def chromaCodeAt(mono: Array[Short], rate: Int,
-      off: Int, cyc: Int, div: Int = 12): Int = {
+      off: Int, cyc: Int, div: Int = 12,
+      anchorOnly: Boolean = false): Int = {
     require(div >= 12 && div <= 48 && div % 12 == 0,
       "div must be a multiple of 12 in 12..48 (code geometry scales " +
         "by q = div/12 so distances stay fixed in cents)")
@@ -1689,6 +1704,7 @@ object Multimodal {
     var m = q
     while (m < bands - q && sm(m) < mx / 2) m += 1
     if (m + 16 * q >= bands) return -1 // window would cross the top
+    if (anchorOnly) return m
     // bits compare smoothed bands THREE SEMITONES (3q bands) apart,
     // not adjacent — a 3-semitone gap spans into the next partial's
     // region, so the ordering is energy-driven, not noise-driven

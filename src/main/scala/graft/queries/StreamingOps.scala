@@ -1439,6 +1439,28 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // TIME-STRETCH + PITCH-SHIFT COMPOUND, timing-rich corpus (m158):
+    // re-uploads are sped up 5% (tempo+pitch together) AND pitch-
+    // shifted a further semitone (the new pitchNum knob — envelope
+    // untouched), trimmed 50 ms, muxed at 44.1 kHz. The gate PINS the
+    // structural fact that the compound is NOT a gap: onset detection
+    // reads the energy ENVELOPE, which a pure pitch shift never
+    // moves, so the interval-ratio tier is provably indifferent to
+    // the pitch leg and the compound reduces to the m120 speed case.
+    // Pinned golden.
+    "m158_audio_compound_interval" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val wav = udf((id: Long) =>
+        if (id < 20) Multimodal.syntheticWavBeats(id, 8000, ms = 1248)
+        else Multimodal.syntheticWavBeats(id - 20, 44100, ms = 1000,
+          offsetMs = 50, speedNum = 21, speedDen = 20,
+          pitchNum = 196, pitchDen = 185))
+      val media = s.range(0, 10).union(s.range(20, 30))
+        .select(col("id").as("doc_id"), wav(col("id")).as("payload"))
+      Multimodal.audioIntervalLandmarkPairs(media, maxDf = 64)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Incremental screen vs the persisted INTERVAL-RATIO landmark
     // index — the m120 tier's index member (the m118 contract shape):
     // 8 beat masters indexed once (IntervalFpVersion-stamped), then
