@@ -162,9 +162,7 @@ object Bench {
         s""""failed":[${onlyFailed.map("\"" + _ + "\"").mkString(",")}],""" +
         s""""sf":"${jesc(sfDir)}"}"""
       java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
-      println(json)
-      spark.stop()
-      sys.exit(if (onlyFailed.nonEmpty) 3 else 0)
+      emitAndHalt(spark, json, if (onlyFailed.nonEmpty) 3 else 0)
     }
 
     val pipelineQueries = Set("e56_blocks_pipeline", "e59_erc20_balances",
@@ -347,8 +345,25 @@ object Bench {
       s""""sum_sec":${r3(results.map(_._2).sum)},""" +
       s""""ext_cores":${r3(extConc)},"contended_rerun":$rerun,""" +
       s""""full":"${jesc(outPath)}","sf":"${jesc(sfDir)}"}"""
-    println(summary)
-    spark.stop()
-    if (failed.nonEmpty) sys.exit(3)
+    emitAndHalt(spark, summary, if (failed.nonEmpty) 3 else 0)
+  }
+
+  /** Print `line` as the LAST thing this JVM ever writes, then halt.
+    *
+    * The driver parses the final stdout line as the bench summary, so
+    * ordering is: stop Spark first (its INFO/WARN chatter lands on
+    * stderr before the summary), flush, print, flush, then
+    * `Runtime.halt` — which skips shutdown hooks (Spark's
+    * ShutdownHookManager would otherwise log after the summary) and
+    * any lingering non-daemon threads. Temp-dir cleanup is the only
+    * thing the skipped hooks would have done; acceptable for a bench
+    * process. */
+  private def emitAndHalt(spark: SparkSession, line: String, code: Int): Nothing = {
+    try spark.stop() catch { case _: Throwable => () }
+    System.err.flush()
+    println(line)
+    System.out.flush()
+    Runtime.getRuntime.halt(code)
+    throw new IllegalStateException("unreachable")
   }
 }
