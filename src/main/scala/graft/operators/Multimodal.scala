@@ -1344,8 +1344,20 @@ object Multimodal {
     * convention) so cross-family screens fail fast at every version
     * pair; 4001 = v1. Parameter choices (codesPerOnset, thresholds)
     * are NOT covered — screen with the parameters the index was built
-    * with. */
+    * with. The DETECTOR is covered: the rolling-RMS detector yields a
+    * different landmark SET than the threshold detectors on the same
+    * audio (values are comparable, anchors are not), so a
+    * cross-detector screen would pass an un-namespaced gate and then
+    * match nothing — the silent-miss mode the stamp exists for. 4001 =
+    * threshold family (absolute and peak-relative), 4002 = rolling-RMS
+    * ([[OnsetRollingFpVersion]]). */
   val OnsetFpVersion: Int = 4001
+
+  /** [[OnsetFpVersion]]'s rolling-RMS sibling: stamped on indexes
+    * built with `rolling = true` so a threshold-built screen against a
+    * rolling-built index (or vice versa) fails fast with a rebuild
+    * instruction instead of silently matching nothing. */
+  val OnsetRollingFpVersion: Int = 4002
 
   /** Persisted ONSET-LANDMARK index — the incremental member of the
     * m115 tier, and the first LANDMARK-keyed index in the audio family
@@ -1360,22 +1372,28 @@ object Multimodal {
     * with [[OnsetFpVersion]]. */
   def audioOnsetLandmarkIndex(media: DataFrame, codesPerOnset: Int = 2,
       threshold: Int = 1024, minSilenceMs: Int = 8,
-      thresholdFrac: Double = 0.0, rolling: Boolean = false)(
+      thresholdFrac: Double = 0.0, rolling: Boolean = false,
+      ratio: Double = 3.0, rmsMs: Int = 24, minGapMs: Int = 48,
+      minAbs: Int = 64)(
       implicit s: SparkSession): DataFrame = {
     // rolling = true builds the index with the ROLLING-RMS detector
-    // (the m119 tier, default knobs) — the standing-corpus form for
-    // NOISY floors, where the threshold detectors find no onsets at
-    // all. Landmark VALUES are comparable across detectors (shared
-    // packing kernel), but detector choice is a parameter like the
-    // thresholds: screen with the detector the index was built with.
+    // (the m119 tier; ratio/rmsMs/minGapMs/minAbs are its knobs) — the
+    // standing-corpus form for NOISY floors, where the threshold
+    // detectors find no onsets at all. Landmark VALUES are comparable
+    // across detectors (shared packing kernel), but detector choice
+    // changes the landmark SET, so it is encoded in the stamp
+    // (4001 threshold / 4002 rolling) — a cross-detector screen fails
+    // fast instead of matching nothing.
     val lms = Materialize.eager(
-      (if (rolling) spectralOnsetLandmarksRolling(media, codesPerOnset)
+      (if (rolling) spectralOnsetLandmarksRolling(media, codesPerOnset,
+         ratio, rmsMs, minGapMs, minAbs)
        else spectralOnsetLandmarks(media, codesPerOnset, threshold,
          minSilenceMs, thresholdFrac)).toDF())
     lms.join(lms.groupBy(col("doc_id")).agg(count(lit(1)).as("nl")),
         Seq("doc_id"))
       .select(col("lm"), col("doc_id"), col("nl"),
-        lit(OnsetFpVersion).as("fp_ver"))
+        lit(if (rolling) OnsetRollingFpVersion else OnsetFpVersion)
+          .as("fp_ver"))
   }
 
   /** Screen an ingest batch against a pre-built
@@ -1391,22 +1409,29 @@ object Multimodal {
   def dedupAgainstAudioOnsetIndex(media: DataFrame, index: DataFrame,
       minMatch: Double = 0.6, codesPerOnset: Int = 2,
       threshold: Int = 1024, minSilenceMs: Int = 8,
-      thresholdFrac: Double = 0.0, rolling: Boolean = false)(
+      thresholdFrac: Double = 0.0, rolling: Boolean = false,
+      ratio: Double = 3.0, rmsMs: Int = 24, minGapMs: Int = 48,
+      minAbs: Int = 64)(
       implicit s: SparkSession): DataFrame = {
+    // the expected stamp follows the DETECTOR this screen will probe
+    // with — a threshold screen against a rolling-built index (or vice
+    // versa) is a cross-detector mismatch and must fail fast
+    val ver = if (rolling) OnsetRollingFpVersion else OnsetFpVersion
     require(index.columns.contains("fp_ver"),
       s"onset index has no fp_ver column: it predates fingerprint " +
-        s"version $OnsetFpVersion — rebuild it with " +
+        s"version $ver — rebuild it with " +
         "audioOnsetLandmarkIndex before screening")
-    val stale = index.filter(col("fp_ver") =!= lit(OnsetFpVersion))
+    val stale = index.filter(col("fp_ver") =!= lit(ver))
       .limit(1).collect()
     require(stale.isEmpty,
       s"onset index built by fingerprint version " +
         s"${stale.headOption.map(_.getAs[Any]("fp_ver")).orNull}, " +
-        s"current is $OnsetFpVersion — rebuild it with " +
-        "audioOnsetLandmarkIndex before screening (cross-version " +
-        "landmarks never match)")
+        s"current is $ver (detector-encoded: 4001 threshold / 4002 " +
+        "rolling) — rebuild it with audioOnsetLandmarkIndex before " +
+        "screening (cross-version landmarks never match)")
     val lms = Materialize.eager(
-      (if (rolling) spectralOnsetLandmarksRolling(media, codesPerOnset)
+      (if (rolling) spectralOnsetLandmarksRolling(media, codesPerOnset,
+         ratio, rmsMs, minGapMs, minAbs)
        else spectralOnsetLandmarks(media, codesPerOnset, threshold,
          minSilenceMs, thresholdFrac)).toDF())
     val nl = lms.groupBy(col("doc_id")).agg(count(lit(1)).as("nl"))
@@ -1651,10 +1676,12 @@ object Multimodal {
 
   private[operators] def chromaCodeAt(mono: Array[Short], rate: Int,
       off: Int, cyc: Int, div: Int = 12,
-      anchorOnly: Boolean = false): Int = {
+      anchorOnly: Boolean = false, folds: Int = 1): Int = {
     require(div >= 12 && div <= 48 && div % 12 == 0,
       "div must be a multiple of 12 in 12..48 (code geometry scales " +
         "by q = div/12 so distances stay fixed in cents)")
+    require(folds >= 1 && folds <= 32,
+      "folds must be in 1..32 (total window = folds * cyc cycles)")
     val centers = if (div == 12) chromaCenters else chromaCentersAt(div)
     val bands = centers.length
     val q = div / 12
@@ -1662,23 +1689,47 @@ object Multimodal {
     var k = 0
     while (k < bands) {
       val f = centers(k)
-      val n = math.max(8, (cyc * rate / f).toInt)
+      // folds > 1 = the PHASE-INSENSITIVE form (m159): band energy is
+      // the MEAN POWER over `folds` consecutive cyc-cycle sub-windows
+      // instead of one window's power. A single short window's power
+      // carries cross-terms between concurrent tones leaking into the
+      // same band; those terms' phase advances by 2*pi*df*(cyc/f)
+      // per sub-window (df = tone separation), so the mean cancels
+      // them toward zero while each tone's own power adds coherently
+      // — which is exactly what a TRUE (envelope-preserving) pitch
+      // shift needs: it scales tone frequencies without the time
+      // axis, scrambling inter-tone phase relationships that a speed
+      // change preserves, so single-window powers are rendition-
+      // dependent there (the m158 measured gap: 2/10 survival).
+      // Sub-windows tile contiguously in probe time, so under a speed
+      // change each band-(k+q) sub-window still covers the master-time
+      // span band k's did — the constant-Q translation property folds
+      // through unchanged. folds = 1 is bit-exact legacy behavior.
+      val n1 = math.max(8, (cyc * rate / f).toInt)
+      val n = n1 * folds
       if (off + n <= mono.length) {
         val wf = 2.0 * StrictMath.PI * f / rate
         val cw = StrictMath.cos(wf)
         val sw = StrictMath.sin(wf)
         val coeff = 2.0 * cw
-        var s1 = 0.0
-        var s2 = 0.0
-        var i = 0
-        while (i < n) {
-          val s0 = mono(off + i) + coeff * s1 - s2
-          s2 = s1; s1 = s0
-          i += 1
+        var p = 0.0
+        var w = 0
+        while (w < folds) {
+          val base = off + w * n1
+          var s1 = 0.0
+          var s2 = 0.0
+          var i = 0
+          while (i < n1) {
+            val s0 = mono(base + i) + coeff * s1 - s2
+            s2 = s1; s1 = s0
+            i += 1
+          }
+          val re = s1 - s2 * cw
+          val im = s2 * sw
+          p += (re * re + im * im) / (n1.toDouble * n1)
+          w += 1
         }
-        val re = s1 - s2 * cw
-        val im = s2 * sw
-        e(k) = (re * re + im * im) / (n.toDouble * n)
+        e(k) = p / folds
       } else e(k) = -1.0
       k += 1
     }
@@ -1730,12 +1781,13 @@ object Multimodal {
     * keeps one flip at one loss), so values ride through trim, mux
     * rate, level, and integer-semitone pitch/speed shifts together.
     * Distinct per doc, one mapPartitions pass, no shuffle; onset-free
-    * audio emits nothing (family contract). 15-bit codes are coarser
+    * audio emits nothing (family contract). 13-bit codes are coarser
     * keys than the other landmark tiers' — at corpus scale keep the
     * `maxDf` cap on (hot codes are pruned before pair expansion,
     * recall rides on the remaining set). */
   def chromaOnsetLandmarks(media: DataFrame, cyc: Int = 12,
-      threshold: Int = 1024, minSilenceMs: Int = 8, div: Int = 12)(
+      threshold: Int = 1024, minSilenceMs: Int = 8, div: Int = 12,
+      folds: Int = 1)(
       implicit s: SparkSession): Dataset[DocLandmark] = {
     import s.implicits._
     require(cyc >= 4 && cyc <= 64,
@@ -1748,7 +1800,7 @@ object Multimodal {
             val rate = w.sampleRate
             val lms = scala.collection.mutable.LinkedHashSet.empty[Long]
             energyOnsets(mono, rate, threshold, minSilenceMs).foreach { o =>
-              val c = chromaCodeAt(mono, rate, o, cyc, div)
+              val c = chromaCodeAt(mono, rate, o, cyc, div, folds = folds)
               if (c >= 0) lms += c.toLong
             }
             lms.iterator.map(DocLandmark(r.doc_id, _))
@@ -1767,12 +1819,12 @@ object Multimodal {
     * landmark family. */
   def audioChromaLandmarkPairs(media: DataFrame, minMatch: Double = 0.6,
       cyc: Int = 12, maxDf: Int = 0, threshold: Int = 1024,
-      minSilenceMs: Int = 8, div: Int = 12)(
+      minSilenceMs: Int = 8, div: Int = 12, folds: Int = 1)(
       implicit s: SparkSession): DataFrame =
     landmarkPairScores(
       Materialize.eager(
-        chromaOnsetLandmarks(media, cyc, threshold, minSilenceMs, div)
-          .toDF()),
+        chromaOnsetLandmarks(media, cyc, threshold, minSilenceMs, div,
+          folds).toDF()),
       minMatch, maxDf)
 
   /** Version stamp for the PITCH-CLASS landmark family
@@ -1793,11 +1845,12 @@ object Multimodal {
     * with no corpus re-decode. [[IncrementalIndex.append]]-compatible;
     * stamped with [[ChromaFpVersion]]. */
   def audioChromaLandmarkIndex(media: DataFrame, cyc: Int = 12,
-      threshold: Int = 1024, minSilenceMs: Int = 8, div: Int = 12)(
+      threshold: Int = 1024, minSilenceMs: Int = 8, div: Int = 12,
+      folds: Int = 1)(
       implicit s: SparkSession): DataFrame = {
     val lms = Materialize.eager(
-      chromaOnsetLandmarks(media, cyc, threshold, minSilenceMs, div)
-        .toDF())
+      chromaOnsetLandmarks(media, cyc, threshold, minSilenceMs, div,
+        folds).toDF())
     lms.join(lms.groupBy(col("doc_id")).agg(count(lit(1)).as("nl")),
         Seq("doc_id"))
       .select(col("lm"), col("doc_id"), col("nl"),
@@ -1819,7 +1872,7 @@ object Multimodal {
     * screen with the parameters the index was built with. */
   def dedupAgainstAudioChromaIndex(media: DataFrame, index: DataFrame,
       minMatch: Double = 0.6, cyc: Int = 12, threshold: Int = 1024,
-      minSilenceMs: Int = 8, div: Int = 12)(
+      minSilenceMs: Int = 8, div: Int = 12, folds: Int = 1)(
       implicit s: SparkSession): DataFrame = {
     require(index.columns.contains("fp_ver"),
       s"chroma index has no fp_ver column: it predates fingerprint " +
@@ -1834,8 +1887,8 @@ object Multimodal {
         "audioChromaLandmarkIndex before screening (cross-version " +
         "landmarks never match)")
     val lms = Materialize.eager(
-      chromaOnsetLandmarks(media, cyc, threshold, minSilenceMs, div)
-        .toDF())
+      chromaOnsetLandmarks(media, cyc, threshold, minSilenceMs, div,
+        folds).toDF())
     val nl = lms.groupBy(col("doc_id")).agg(count(lit(1)).as("nl"))
     val dup = lms.join(
         index.select(col("lm"), col("doc_id").as("src"),
@@ -1850,6 +1903,280 @@ object Multimodal {
     nl.select(col("doc_id")).join(dup, Seq("doc_id"), "left")
       .select(col("doc_id"), col("dup_src").isNull.as("kept"),
         col("dup_src"))
+  }
+
+  /** PHASE-INSENSITIVE folded constant-Q profile at one onset — the
+    * m159 kernel. Per band: mean POWER over `folds` consecutive
+    * Hann-windowed cyc-cycle sub-windows, then the family's
+    * +-1-semitone smoothing. Two deliberate differences from the
+    * [[chromaCodeAt]] window: (a) the Hann taper kills the
+    * rectangular window's side lobes, so a neighboring tone's AM
+    * sidebands leak far less into a band, and (b) averaging power
+    * over sub-windows cancels the residual cross-tone interference
+    * terms, whose phase advances by 2*pi*df*(cyc/f) per sub-window —
+    * the terms a TRUE (envelope-preserving) pitch shift scrambles,
+    * because it scales tone frequencies without the time axis (a
+    * speed change is a time-scaled waveform copy, which is why the
+    * single-window tier survives it but measured only 2/10 here —
+    * the m158 analysis). Measured on the metronomic fixture: mean
+    * per-band |log energy ratio| between a master's profile
+    * (shifted one band) and its true-pitch twin's drops from 0.372
+    * (rectangular, one window) to 0.137 (Hann, folds = 4).
+    * Sub-windows tile contiguously, so the constant-Q translation
+    * property under speed changes folds through unchanged. Bands
+    * whose window runs off the payload carry -1 sentinels. */
+  private[operators] def chromaFoldedProfile(mono: Array[Short],
+      rate: Int, off: Int, cyc: Int = 12,
+      folds: Int = 4): Array[Double] = {
+    val centers = chromaCenters
+    val e = new Array[Double](centers.length)
+    var k = 0
+    while (k < centers.length) {
+      val f = centers(k)
+      val n1 = math.max(8, (cyc * rate / f).toInt)
+      val n = n1 * folds
+      if (off + n <= mono.length) {
+        var p = 0.0
+        var w = 0
+        while (w < folds) {
+          val base = off + w * n1
+          var re = 0.0; var im = 0.0
+          var i = 0
+          while (i < n1) {
+            val ph = 2.0 * StrictMath.PI * f * i / rate
+            val wt = 0.5 - 0.5 * StrictMath.cos(2.0 * StrictMath.PI * i / n1)
+            re += mono(base + i) * wt * StrictMath.cos(ph)
+            im -= mono(base + i) * wt * StrictMath.sin(ph)
+            i += 1
+          }
+          re /= n1; im /= n1
+          p += re * re + im * im
+          w += 1
+        }
+        e(k) = p / folds
+      } else e(k) = -1.0
+      k += 1
+    }
+    val sm = new Array[Double](e.length)
+    sm(0) = -1.0; sm(sm.length - 1) = -1.0
+    var i = 1
+    while (i < e.length - 1) {
+      sm(i) =
+        if (e(i - 1) < 0 || e(i) < 0 || e(i + 1) < 0) -1.0
+        else e(i - 1) + e(i) + e(i + 1)
+      i += 1
+    }
+    sm
+  }
+
+  /** Margin-adaptive MULTIPROBE codes for one folded profile — the
+    * m159 CANDIDATE stage. Even the folded kernel's residual +-14%
+    * band noise flips a few of the 13 orderings per onset, so exact
+    * single-code matching cannot carry recall (0.9^13 ~ 0.25 — the
+    * measured single-window survival). Instead the INDEX side of a
+    * pair emits, per candidate anchor (local maxima within
+    * e^{-tau} of the half-max rule's threshold, lowest 3), the code
+    * plus every variant over its <= maxWild lowest-|margin| bits —
+    * a bit that flips between renditions almost always had a small
+    * margin — while the PROBE side contributes only its primary
+    * code. One shared code nominates a candidate pair; scoring is
+    * the VERIFY tier's job ([[chromaPeakPearson]]), because the
+    * fixed comparison grid carries only ~5 bits of content entropy
+    * per onset and code overlap alone cannot separate true pairs
+    * from a level-pattern collision (measured false floor 0.56+ —
+    * the reason this tier is candidate+verify, not
+    * match_frac-scored). Returns (primary, expanded); primary = -1
+    * when the profile is silent/out-of-range. */
+  private[operators] def chromaMultiprobeCodes(sm: Array[Double],
+      tau: Double = 0.3, maxWild: Int = 3,
+      maxAnchors: Int = 3): (Int, Array[Int]) = {
+    val bands = sm.length
+    var mx = 0.0
+    var i = 1
+    while (i < bands - 1) { if (sm(i) > mx) mx = sm(i); i += 1 }
+    if (mx <= 1.0) return (-1, Array.empty)
+    val half = mx / 2
+    val lo = half * math.exp(-tau)
+    val anchors = (2 until bands - 2).filter(j =>
+      sm(j) >= lo && sm(j) >= sm(j - 1) && sm(j) >= sm(j + 1))
+    val primaryAnchor = anchors.find(j => sm(j) >= half).getOrElse(-1)
+    if (primaryAnchor < 0 || primaryAnchor + 16 >= bands)
+      return (-1, Array.empty)
+    def ln(v: Double) = if (v <= 0) -30.0 else math.log(v)
+    def codeAndMargins(m: Int): (Int, Array[Double]) = {
+      var code = 0
+      val d = new Array[Double](13)
+      var j = 0
+      while (j < 13) {
+        d(j) = ln(sm(m + j + 3)) - ln(sm(m + j))
+        if (d(j) > 0) code |= 1 << j
+        j += 1
+      }
+      (code, d)
+    }
+    val (pCode, _) = codeAndMargins(primaryAnchor)
+    val expanded = scala.collection.mutable.LinkedHashSet.empty[Int]
+    anchors.take(maxAnchors).foreach { m =>
+      if (m + 16 < bands) {
+        val (c, d) = codeAndMargins(m)
+        val wild = d.zipWithIndex.filter(x => math.abs(x._1) < tau)
+          .sortBy(x => math.abs(x._1)).take(maxWild).map(_._2)
+        var mask = 0
+        while (mask < (1 << wild.length)) {
+          var cc = c
+          var b = 0
+          while (b < wild.length) {
+            if ((mask & (1 << b)) != 0) cc ^= 1 << wild(b)
+            b += 1
+          }
+          expanded += cc
+          mask += 1
+        }
+      }
+    }
+    (pCode, expanded.toArray)
+  }
+
+  /** VERIFY metric for the m159 tier: pooled Pearson correlation of
+    * log peak heights between two docs' per-onset folded profiles,
+    * maximized over onset alignment (|delta| <= alignRange — the trim
+    * offset in onset units) and band shift (|s| <= maxShift — the
+    * pitch/speed translation in semitones). Peaks are taken from A's
+    * profile only and B is sampled at the shifted band, so the tone
+    * GRID the whole corpus shares contributes no correlation of its
+    * own — only the per-segment level pattern does, which is exactly
+    * the doc-identity signal. A true rendition pair reads
+    * b ~ a + const with +-0.14 log noise over a ~5.7 log-range of
+    * levels (Pearson 0.94+ measured, pure pitch AND stretch+pitch
+    * compound); an unrelated pair's levels are independent (0.75
+    * measured ceiling over 45 cherry-picked hypotheses). Requires
+    * >= 8 pooled samples; returns 0 otherwise. */
+  private[operators] def chromaPeakPearson(pa: Array[Array[Double]],
+      pb: Array[Array[Double]], maxShift: Int = 4,
+      alignRange: Int = 4): Double = {
+    def samples(a: Array[Double], b: Array[Double],
+        s: Int): Seq[(Double, Double)] = {
+      var mx = 0.0
+      var k = 0
+      while (k < a.length) { if (a(k) > mx) mx = a(k); k += 1 }
+      if (mx <= 1.0) Nil
+      else (2 until a.length - 2).flatMap { j =>
+        if (a(j) >= mx / 256 && a(j) >= a(j - 1) && a(j) > a(j + 1) &&
+            j + s >= 1 && j + s < b.length && b(j + s) > 0)
+          Some((math.log(a(j)), math.log(b(j + s))))
+        else None
+      }
+    }
+    def pearson(xs: Seq[(Double, Double)]): Double = {
+      val n = xs.length
+      if (n < 8) return 0.0
+      var mxx = 0.0; var myy = 0.0
+      xs.foreach { case (x, y) => mxx += x; myy += y }
+      val mx = mxx / n; val my = myy / n
+      var num = 0.0; var dx = 0.0; var dy = 0.0
+      xs.foreach { case (x, y) =>
+        num += (x - mx) * (y - my); dx += (x - mx) * (x - mx)
+        dy += (y - my) * (y - my)
+      }
+      if (dx <= 0 || dy <= 0) 0.0 else num / math.sqrt(dx * dy)
+    }
+    var best = 0.0
+    var d = -alignRange
+    while (d <= alignRange) {
+      var s = -maxShift
+      while (s <= maxShift) {
+        val xs = pb.indices.flatMap { i =>
+          val j = i + d
+          if (j >= 0 && j < pa.length) samples(pa(j), pb(i), s) else Nil
+        }
+        val r = pearson(xs)
+        if (r > best) best = r
+        s += 1
+      }
+      d += 1
+    }
+    best
+  }
+
+  private case class ChromaDocFp(doc_id: Long,
+      profiles: Seq[Seq[Double]], primary: Seq[Int], expanded: Seq[Int])
+
+  /** Audio near-dup pairs for the METRONOMIC TRUE-PITCH class — the
+    * m159 tier, closing the one measured recall gap of round 11
+    * (m158 analysis: a true envelope-preserving pitch shift on
+    * metronomic audio scrambles inter-tone phases; single-window
+    * chroma codes survive 2/10 and every other tier is structurally
+    * blind). CANDIDATE+VERIFY architecture — the audio analog of the
+    * aspect-fan's verify tier: [[chromaMultiprobeCodes]] nominates
+    * pairs through a bucketed posting-list join (probe PRIMARY code
+    * vs corpus EXPANDED codes, hot codes dropped by `maxDf` DISTINCT
+    * docs before pair expansion — no all-pairs path), then
+    * [[chromaPeakPearson]] scores each candidate on the two docs'
+    * per-onset folded profiles, maximized over trim alignment and
+    * pitch/speed band shift. Output (doc_a, doc_b, score), doc_a <
+    * doc_b, score >= minScore; docs yielding no profiles emit
+    * nothing (family contract). Catches pure pitch shifts AND the
+    * time-stretch + pitch compound (both measured 10/10 at the 0.85
+    * default, false ceiling 0.75); the single-window tier
+    * ([[audioChromaLandmarkPairs]]) remains the integer-semitone
+    * SPEED-rendition member whose exact codes need no verify pass.
+    * 100 TB shape: profiles are ~5 KB/doc computed once; candidate
+    * volume is bounded by maxDf x postings; verification is per
+    * CANDIDATE pair, never per doc pair. */
+  def audioChromaVerifiedPairs(media: DataFrame, minScore: Double = 0.85,
+      cyc: Int = 12, folds: Int = 4, tau: Double = 0.3, maxDf: Int = 64,
+      maxShift: Int = 4, alignRange: Int = 4, threshold: Int = 1024,
+      minSilenceMs: Int = 8)(implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    require(folds >= 1 && folds <= 32, "folds must be in 1..32")
+    require(maxShift >= 0 && alignRange >= 0, "ranges must be >= 0")
+    val fps = Materialize.eager(
+      media.select(col("doc_id"), col("payload")).as[MediaRow]
+        .mapPartitions(rows => rows.flatMap { r =>
+          decodeWav(r.payload) match {
+            case Some(w) if w.sampleRate > 0 =>
+              val mono = monoMix(w)
+              val rate = w.sampleRate
+              val profiles = energyOnsets(mono, rate, threshold,
+                minSilenceMs).map(o =>
+                chromaFoldedProfile(mono, rate, o, cyc, folds))
+              val codes = profiles.map(p =>
+                chromaMultiprobeCodes(p, tau)).filter(_._1 >= 0)
+              if (codes.isEmpty) None
+              else Some(ChromaDocFp(r.doc_id,
+                profiles.map(_.toSeq).toSeq,
+                codes.map(_._1).distinct.toSeq,
+                codes.flatMap(_._2).distinct.toSeq))
+            case _ => None
+          }
+        }).toDF())
+    val prim = fps.select(col("doc_id"),
+      explode(col("primary")).as("code"))
+    val expd = fps.select(col("doc_id"),
+      explode(col("expanded")).as("code"))
+    // hot-code guard on the EXPANDED posting side, by DISTINCT docs
+    val cold = expd.groupBy(col("code"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") <= maxDf || lit(maxDf) <= 0)
+      .select(col("code"))
+    val cands = prim.join(expd.join(cold, Seq("code"), "left_semi")
+        .select(col("code"), col("doc_id").as("other")),
+        Seq("code"))
+      .filter(col("doc_id") =!= col("other"))
+      .select(least(col("doc_id"), col("other")).as("doc_a"),
+        greatest(col("doc_id"), col("other")).as("doc_b"))
+      .distinct()
+    val scoreUdf = udf((pa: Seq[Seq[Double]], pb: Seq[Seq[Double]]) =>
+      chromaPeakPearson(pa.map(_.toArray).toArray,
+        pb.map(_.toArray).toArray, maxShift, alignRange))
+    cands
+      .join(fps.select(col("doc_id").as("doc_a"),
+        col("profiles").as("pa")), Seq("doc_a"))
+      .join(fps.select(col("doc_id").as("doc_b"),
+        col("profiles").as("pb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(scoreUdf(col("pa"), col("pb")), 6).as("score"))
+      .filter(col("score") >= minScore)
   }
 
   /** Version of the audio fingerprint FUNCTION (canonicalization +
@@ -2847,7 +3174,43 @@ object Multimodal {
         array((0 until 4).map(c =>
           shiftright(col("ph"), c * 16).bitwiseAND(lit(0xffffL))): _*)))
       .select(col("pos").as("chunk"), col("col").as("ckey"),
-        col("doc_id"), col("ph"))
+        col("doc_id"), col("ph"), lit(PHashFpVersion).as("fp_ver"))
+
+  /** Version stamp for the pHash INDEX family ([[pHashChunkIndex]],
+    * [[pHashCropWindowIndex]] — everything [[pHash64]]'s value depends
+    * on: grid decode, EXIF orientation normalization, DCT, median
+    * split). Namespaced (phash = 13000 + v). 13001 is the retroactive
+    * name for the UNSTAMPED pre-EXIF-normalization generation (rounds
+    * <= 10 — no fp_ver column); 13002 = the round-11
+    * EXIF-orientation-normalized [[pHash64]]. A standing index or
+    * streaming checkpoint built before that change silently stops
+    * matching EXIF-tagged-JPEG probes — the silent-miss mode this
+    * stamp exists to surface (the spectral family's identical
+    * situation got SpectralFpVersion 1002). Streaming pHash state
+    * lives in checkpoints, not index tables, so it cannot carry the
+    * stamp: on a pHash-affecting bump, restart those streams from a
+    * fresh checkpoint (CHANGELOG state-schema note). */
+  val PHashFpVersion: Int = 13002
+
+  /** Fail-fast stamp gate shared by the pHash index screens — the
+    * [[screenAgainstCodeIndex]] pattern: an unstamped (pre-13002)
+    * or cross-version index throws with a rebuild instruction instead
+    * of compiling, running, and matching nothing. The probe is a
+    * `limit(1)` over a constant column — parquet min/max stats prune
+    * it to a metadata read on a real deployment. */
+  private def requirePHashStamp(index: DataFrame, builder: String): Unit = {
+    require(index.columns.contains("fp_ver"),
+      s"pHash index has no fp_ver column: it predates fingerprint " +
+        s"version $PHashFpVersion (EXIF orientation normalization) — " +
+        s"rebuild it with $builder before screening")
+    val stale = index.filter(col("fp_ver") =!= lit(PHashFpVersion))
+      .limit(1).collect()
+    require(stale.isEmpty,
+      s"pHash index built by fingerprint version " +
+        s"${stale.headOption.map(_.getAs[Any]("fp_ver")).orNull}, " +
+        s"current is $PHashFpVersion — rebuild it with $builder " +
+        "before screening (cross-version hashes match only by luck)")
+  }
 
   /** Screen an ingest batch of images against a pre-built
     * [[pHashChunkIndex]]: the batch decodes + hashes once, equi-joins
@@ -2870,6 +3233,7 @@ object Multimodal {
   def dedupAgainstPHashIndex(media: DataFrame, index: DataFrame,
       maxDist: Int = 3, maxDf: Int = 0): DataFrame = {
     require(maxDist < 4, "4 x 16-bit chunks guarantee recall only for maxDist <= 3")
+    requirePHashStamp(index, "pHashChunkIndex")
     val hashed = Materialize.eager(
       media.select(col("doc_id"), pHashUdf(col("payload")).as("ph")))
       .filter(col("ph").isNotNull)
@@ -2911,6 +3275,7 @@ object Multimodal {
   def dedupAgainstPHashIndexDihedral(media: DataFrame, index: DataFrame,
       maxDist: Int = 3, maxDf: Int = 0): DataFrame = {
     require(maxDist < 4, "4 x 16-bit chunks guarantee recall only for maxDist <= 3")
+    requirePHashStamp(index, "pHashChunkIndex")
     val hashed = Materialize.eager(
       media.select(col("doc_id"), pHashDihedralUdf(col("payload")).as("hs")))
       .filter(col("hs").isNotNull)
@@ -2948,8 +3313,9 @@ object Multimodal {
     * whole image with one hash). [[dedupAgainstPHashCropIndex]]
     * screens every ingest batch at 4 probe rows per image — a
     * structured-crop re-upload of a corpus master is caught with no
-    * corpus re-decode. Same unstamped layout family as
-    * [[pHashChunkIndex]] (the pHash function is the version).
+    * corpus re-decode. Same stamped layout family as
+    * [[pHashChunkIndex]] ([[PHashFpVersion]] covers the pHash
+    * function — grid decode, EXIF normalization, DCT).
     * `extended = true` registers the [[CropWindowsThirds]] ladder too
     * (windows 7-15, 64 chunk rows/doc) — the rule-of-thirds
     * recomposition class; the SCREEN side is identical either way (a
@@ -2968,7 +3334,8 @@ object Multimodal {
         array((0 until 4).map(c =>
           shiftright(col("ph"), c * 16).bitwiseAND(lit(0xffffL))): _*)))
       .select(col("pos").as("chunk"), col("col").as("ckey"),
-        col("doc_id"), col("win"), col("ph"))
+        col("doc_id"), col("win"), col("ph"),
+        lit(PHashFpVersion).as("fp_ver"))
 
   /** Screen an ingest batch against a pre-built
     * [[pHashCropWindowIndex]]: the batch decodes + hashes once (FULL
@@ -2984,6 +3351,7 @@ object Multimodal {
   def dedupAgainstPHashCropIndex(media: DataFrame, index: DataFrame,
       maxDist: Int = 3, maxDf: Int = 0): DataFrame = {
     require(maxDist < 4, "4 x 16-bit chunks guarantee recall only for maxDist <= 3")
+    requirePHashStamp(index, "pHashCropWindowIndex")
     val hashed = Materialize.eager(
       media.select(col("doc_id"), pHashUdf(col("payload")).as("ph")))
       .filter(col("ph").isNotNull)
@@ -4144,6 +4512,94 @@ object Multimodal {
         }
       }).toDF("doc_id", "orient", "lm")
   }
+
+  /** Normalize a peak cloud to ISOTROPIC second moments — the m160
+    * kernel (unknown-anisotropy estimation): an anisotropic resize by
+    * g scales every peak x by g, so the cloud's x-spread scales by
+    * exactly g while y-spread is untouched — sqrt(varX/varY) measures
+    * the doc's squeeze state up to its own natural anisotropy, and
+    * mapping EVERY doc (master at index time, probe at screen time)
+    * to the canonical isotropic frame — x scaled by (varY/varX)^(1/4),
+    * y by the inverse, so the geometric mean scale is preserved and
+    * per-axis rounding error stays near half a pixel — sends a master
+    * and its arbitrarily-squeezed re-render to the SAME normalized
+    * geometry without ever knowing g. This replaces the aspect fan's
+    * exact-hypothesis enumeration for squeezes OUTSIDE the
+    * display-conversion set (the fan's log-ratio bins absorb only
+    * ~±7% around each hypothesis — the round-11 declared limit);
+    * the fan remains the verify tier for its exact factors.
+    * Estimator noise comes only from peak-set differences between
+    * renditions (border losses, merges): a few peaks of ~10-16 move
+    * the moment ratio by low single-digit percent, which the
+    * constellation quantizer's angle bins (15 degrees) absorb. */
+  private[operators] def isotropicNormalize(
+      cells: scala.collection.mutable.ArrayBuffer[(Int, Int, Int)]
+      ): scala.collection.mutable.ArrayBuffer[(Int, Int, Int)] = {
+    val n = cells.length
+    if (n < 3) return cells
+    var sx = 0.0; var sy = 0.0
+    cells.foreach { case (x, y, _) => sx += x; sy += y }
+    val mx = sx / n; val my = sy / n
+    var vx = 0.0; var vy = 0.0
+    cells.foreach { case (x, y, _) =>
+      vx += (x - mx) * (x - mx); vy += (y - my) * (y - my)
+    }
+    if (vx <= 0.0 || vy <= 0.0) return cells
+    val fx = StrictMath.pow(vy / vx, 0.25)
+    val fy = 1.0 / fx
+    cells.map { case (x, y, v) =>
+      (math.round(fx * x).toInt, math.round(fy * y).toInt, v)
+    }
+  }
+
+  /** Constellation codes over the ISOTROPIC-NORMALIZED peak cloud —
+    * the UNKNOWN-anisotropy member of the scale family (m160): every
+    * doc's geometry is [[isotropicNormalize]]d before quad coding, so
+    * a squeeze by ANY factor (not just the fan's hypotheses) cancels
+    * on both sides. A distinct landmark family from
+    * [[imageScaleLandmarks]] (normalized masters code differently
+    * than natural ones — never mix the two in one index). */
+  def imageScaleLandmarksNormalized(media: DataFrame, kTop: Int = 16,
+      nNear: Int = 8, qStepR: Double = 0.15, nAng: Int = 24,
+      smoothR: Int = 4, radius: Int = 6, minAvg: Int = 24)(
+      implicit s: SparkSession): Dataset[DocLandmark] = {
+    import s.implicits._
+    require(kTop >= 4, "kTop must be >= 4 (a constellation is a quad)")
+    require(nNear >= 3 && nNear <= 16, "nNear must be in 3..16 (a quad needs three co-peaks)")
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions(rows => rows.flatMap { r =>
+        decodeImage(r.payload) match {
+          case Some(img) =>
+            constellationCodes(
+              isotropicNormalize(coarsePeakCells(lumaPlane(img),
+                img.getWidth, img.getHeight, smoothR, radius, minAvg)),
+              kTop, nNear, qStepR, nAng).map(DocLandmark(r.doc_id, _))
+          case None => Iterator.empty
+        }
+      })
+  }
+
+  /** Image near-dup pairs under UNKNOWN anisotropic resize — the m160
+    * tier: both docs' peak clouds are moment-normalized to isotropic
+    * before quad coding, so an off-fan squeeze (e.g. 1.37:1, outside
+    * every display-conversion hypothesis and outside the fan's ~±7%
+    * absorption) lands without enumerating factors. Same posting-list
+    * scoring, `maxDf` hot-code cap, and smaller-set match_frac as the
+    * scale family. Compared to [[imageScalePairsAspect]]: the fan
+    * stays the exact-hypothesis VERIFY tier for known display
+    * conversions (its identity readout doubles as the index shape);
+    * this tier trades a few percent of estimator noise for factor
+    * freedom. */
+  def imageScalePairsNormalized(media: DataFrame, minMatch: Double = 0.3,
+      maxDf: Int = 0, kTop: Int = 16, nNear: Int = 8,
+      qStepR: Double = 0.15, nAng: Int = 24, smoothR: Int = 4,
+      radius: Int = 6, minAvg: Int = 24, minShared: Int = 0)(
+      implicit s: SparkSession): DataFrame =
+    peakLandmarkPairScores(
+      Materialize.eager(
+        imageScaleLandmarksNormalized(media, kTop, nNear, qStepR, nAng,
+          smoothR, radius, minAvg).toDF()),
+      minMatch, maxDf, minShared)
 
   /** [[imageScalePairs]] extended to ANISOTROPIC resize — the
     * aspect-squeeze class (m152): candidates bucket by quad code with

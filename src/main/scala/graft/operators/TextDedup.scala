@@ -1045,7 +1045,8 @@ object TextDedup {
   def cdcChunkIndex(docs: DataFrame, idCol: String, textCol: String,
       window: Int = 4, minTokens: Int = 4, nibbles: Int = 1,
       minChunk: Int = 0, maxChunk: Int = 0)(
-      implicit s: SparkSession): DataFrame =
+      implicit s: SparkSession): DataFrame = {
+    requireBoundedCdcParams(minChunk, maxChunk, minTokens)
     Materialize.eager(
       (if (minChunk > 0 || maxChunk > 0)
         cdcChunksBounded(docs, idCol, textCol, window, minTokens, nibbles,
@@ -1053,6 +1054,22 @@ object TextDedup {
       else cdcChunks(docs, idCol, textCol, window, minTokens, nibbles))
         .toDF().select(col("doc_id"), col("ch")).distinct())
       .select(col("ch"), col("doc_id"), lit(CdcFpVersion).as("fp_ver"))
+  }
+
+  /** Guard for the bounded-CDC entry points: [[cdcChunksBounded]]'s
+    * documented invariant — only a doc's FINAL chunk may be shorter
+    * than `minTokens` — holds only when `minChunk >= minTokens`. A
+    * smaller minChunk compiles and runs, but interior chunks below
+    * minTokens silently drop from the index, weakening the
+    * shared-chunk overlap metric with no error; fail fast instead. */
+  private def requireBoundedCdcParams(minChunk: Int, maxChunk: Int,
+      minTokens: Int): Unit =
+    if (minChunk > 0 || maxChunk > 0)
+      require(minChunk >= minTokens,
+        s"bounded CDC chunking needs minChunk >= minTokens " +
+          s"(got minChunk=$minChunk, minTokens=$minTokens): interior " +
+          "chunks shorter than minTokens are dropped, so a smaller " +
+          "minChunk silently weakens the overlap metric")
 
   /** Screen an ingest batch against a pre-built [[cdcChunkIndex]]:
     * shared DISTINCT chunk hashes >= `minShared` (the
@@ -1062,7 +1079,8 @@ object TextDedup {
   def dedupAgainstCdcIndex(probes: DataFrame, index: DataFrame,
       idCol: String, textCol: String, window: Int = 4, minTokens: Int = 4,
       nibbles: Int = 1, minShared: Int = 2, minChunk: Int = 0,
-      maxChunk: Int = 0)(implicit s: SparkSession): DataFrame =
+      maxChunk: Int = 0)(implicit s: SparkSession): DataFrame = {
+    requireBoundedCdcParams(minChunk, maxChunk, minTokens)
     screenAgainstFpIndex(
       Materialize.eager(
         (if (minChunk > 0 || maxChunk > 0)
@@ -1072,6 +1090,7 @@ object TextDedup {
         else cdcChunks(probes, idCol, textCol, window, minTokens, nibbles))
           .toDF().select(col("doc_id"), col("ch")).distinct()),
       index, "ch", minShared, CdcFpVersion, "cdcChunkIndex")
+  }
 
   /** Shared screen kernel for the fingerprint-set indexes
     * ([[winnowIndex]] / [[cdcChunkIndex]]): fail-fast version check

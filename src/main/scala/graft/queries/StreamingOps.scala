@@ -1461,6 +1461,35 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // TIME-STRETCH + TRUE-PITCH COMPOUND on a METRONOMIC corpus
+    // (m159 — closes the round-11 measured gap): equal inter-onset
+    // intervals make the interval tier degenerate, and a TRUE
+    // (envelope-preserving) pitch shift scrambles inter-tone phases,
+    // so single-window chroma codes survive 2/10 (the m158
+    // analysis). The verified tier nominates candidates through
+    // margin-multiprobe folded-Hann chroma codes and scores each
+    // candidate by pooled Pearson of log peak heights over
+    // trim-alignment x band-shift hypotheses — all 10 compound
+    // re-uploads (5% speed + a further true semitone + 50 ms trim +
+    // 44.1 kHz mux) land at 0.94+, decoys and cross pairs emit
+    // nothing at the 0.85 gate. Pinned golden.
+    "m159_audio_pitch_verified" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val wav = udf((id: Long) =>
+        if (id < 20) Multimodal.syntheticWavBeats(id, 8000, ms = 1248,
+          uniformSegMs = 96)
+        else if (id < 128) Multimodal.syntheticWavBeats(id - 40, 44100,
+          ms = 1000, offsetMs = 50, speedNum = 21, speedDen = 20,
+          pitchNum = 196, pitchDen = 185, uniformSegMs = 96)
+        else Multimodal.syntheticWavBeats(id, 44100, ms = 1000,
+          uniformSegMs = 96))
+      val media = s.range(0, 10).union(s.range(40, 50))
+        .union(s.range(128, 132))
+        .select(col("id").as("doc_id"), wav(col("id")).as("payload"))
+      Multimodal.audioChromaVerifiedPairs(media)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Incremental screen vs the persisted INTERVAL-RATIO landmark
     // index — the m120 tier's index member (the m118 contract shape):
     // 8 beat masters indexed once (IntervalFpVersion-stamped), then
@@ -2490,6 +2519,35 @@ object StreamingOps extends QueryPack {
     // fans its readouts; squeezed re-uploads of corpus masters are
     // caught where the plain screen provably keeps them. Pinned
     // golden.
+    // UNKNOWN-anisotropy resize (m160 — closes the round-11 scope
+    // line): squeeze factors OUTSIDE the display-conversion fan
+    // (1.196:1 squeeze and 1.164:1 widen — both > 10% from every
+    // default hypothesis, and the fan's log-ratio bins absorb only
+    // ~±7%, so m152-at-default-fan provably misses both; pinned as
+    // contrast in Round12Spec). The moment-normalized tier maps every
+    // doc's peak cloud to isotropic second moments before quad
+    // coding, so the factor cancels without enumeration. Pinned
+    // golden.
+    "m160_aspect_norm_pairs" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val img = udf((id: Long) =>
+        if (id == 20L) Multimodal.pngCropResize(
+          Multimodal.syntheticPngBlobs(0), 0, 0, 128, 128, 107, 128)
+        else if (id == 21L) Multimodal.pngCropResize(
+          Multimodal.syntheticPngBlobs(1), 0, 0, 128, 128, 107, 128)
+        else if (id == 22L) Multimodal.pngCropResize(
+          Multimodal.syntheticPngBlobs(2), 0, 0, 128, 128, 149, 128)
+        else if (id == 23L) Multimodal.pngCropResize(
+          Multimodal.syntheticPngBlobs(3), 0, 0, 128, 128, 149, 128)
+        else Multimodal.syntheticPngBlobs(id))
+      val media = s.range(0, 8).union(s.range(20, 24))
+        .union(s.range(140, 142))
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      Multimodal.imageScalePairsNormalized(media, minMatch = 0.3,
+          maxDf = 64)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     "m153_aspect_index_dedup" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       val img = udf((id: Long) =>
