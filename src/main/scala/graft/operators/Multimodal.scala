@@ -223,6 +223,35 @@ object Multimodal {
     encodePng(img)
   }
 
+  /** Id-seeded STRUCTURELESS texture — every pixel an independent
+    * avalanche-hashed gray value (no blobs, no lattice: unlike
+    * [[syntheticPng]]'s linear-congruential pattern, whose local
+    * maxima sit on an id-independent lattice, two ids here share no
+    * geometry). The m161 fixture: the class where any coarse-peak
+    * detector finds only noise maxima that resampling rewrites
+    * wholesale, so the constellation tier cannot own it and the
+    * pHash tier owns exactly the unresized re-encodes. */
+  def syntheticPngTexture(id: Long, w: Int = 64, h: Int = 64): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var hv = (id * -7046029254386353131L) ^
+          ((y.toLong * w + x) * -4417276706812531889L)
+        hv ^= hv >>> 30; hv *= -4658895280553007687L
+        hv ^= hv >>> 27; hv *= -7723592293110705685L
+        hv ^= hv >>> 31
+        val g = (hv & 0xffL).toInt
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    encodePng(img)
+  }
+
   /** All frames of a multi-image GIF via the JDK reader (the one
     * animated format `javax.imageio` decodes natively), COMPOSITED the
     * way a GIF player renders them: each stored raster draws at its

@@ -3210,6 +3210,182 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // STRUCTURELESS-image contrast gate (m161 — pins the round-11
+    // declared scope line with a fixture instead of asserting it):
+    // independent random textures ([[syntheticPngTexture]] — no
+    // blobs, no shared lattice) re-encoded (JPEG q0.95) vs resampled
+    // (64->80, a non-integer grid mapping). Measured: the pHash tier
+    // owns the unresized re-encode (hamming 0) AND integer-ratio
+    // upsamples (64->96 = exact 3x box at the 32-grid, hamming <= 2),
+    // but non-integer resampling aliases the texture wholesale
+    // (hamming 4-8 > maxDist) — those probes stay KEPT; the
+    // constellation tier's noise maxima are rewritten by the same
+    // resampling, so master<->resample pairs score 0.01-0.05, far
+    // under the 0.3 gate — the 'scale' tier rows are pinned EMPTY.
+    // Pinned golden.
+    "m161_texture_scope_gate" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val img = udf((id: Long) =>
+        if (id < 20) Multimodal.syntheticPngTexture(id, 64, 64)
+        else if (id < 40) Multimodal.jpegReencode(
+          Multimodal.syntheticPngTexture(id - 20, 64, 64), 0.95f)
+        else Multimodal.pngCropResize(
+          Multimodal.syntheticPngTexture(id - 40, 64, 64),
+          0, 0, 64, 64, 80, 80))
+      val masters = s.range(0, 4)
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      val probes = s.range(20, 24).union(s.range(40, 44))
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      val phash = Multimodal.dedupAgainstPHashIndex(probes,
+          Multimodal.pHashChunkIndex(masters))
+        .select(lit("phash").as("tier"), col("doc_id"), col("kept"),
+          col("dup_src"))
+      val all = masters.unionByName(probes.filter(col("doc_id") >= 40))
+      val scale = Multimodal.imageScalePairs(all, minMatch = 0.3,
+          maxDf = 64)
+        .select(lit("scale").as("tier"), col("doc_a").as("doc_id"),
+          lit(false).as("kept"), col("doc_b").as("dup_src"))
+      phash.unionByName(scale).orderBy(col("tier"), col("doc_id"))
+    }),
+
+    // STREAM-STATIC winnow index screen (st114 — the st103 shape at
+    // the text seam, closing the round-11 verdict's matrix gap: the
+    // winnow family had batch index legs (t80) and stream-stream
+    // dedup (st90) but no broadcast screen): a standing corpus'
+    // winnowIndex BROADCASTS — no state store at all — and every
+    // micro-batch of arrivals equi-joins its own fingerprints
+    // against it; a probe embedding a corpus span behind junk
+    // prefix/suffix dups mid-stream (the winnowing guarantee: any
+    // shared >= w+k-1-token run surfaces), reversed-text arrivals
+    // stay kept. O(index) executor memory instead of O(stream)
+    // state. Pinned golden.
+    "st114_stream_winnow_index_screen" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      val name = "st114_out"
+      val staged = stagingDir("graft-stream-winnowidx")
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter($"doc_id" < 40)
+        .select($"doc_id", $"text")
+      val index = graft.operators.TextDedup.winnowIndex(
+        corpus, "doc_id", "text")
+        .select(col("fp"), col("doc_id").as("src"))
+      def stage(df: org.apache.spark.sql.DataFrame, fname: String,
+          ageMs: Long): Unit = {
+        val tmp = staged.resolve(fname + ".tmp")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, staged.resolve(fname))
+        staged.resolve(fname).toFile.deleteOnExit()
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        java.nio.file.Files.setLastModifiedTime(staged.resolve(fname),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - ageMs))
+      }
+      stage(docs.filter($"doc_id" < 5)
+        .select(($"doc_id" + 1000000L).as("doc_id"),
+          concat(lit("junk prefix tokens before the borrowed span "),
+            $"text", lit(" junk suffix after")).as("text"),
+          $"lang", $"source", $"n_chars"), "a.parquet", 120000L)
+      stage(docs.filter($"doc_id" >= 20 && $"doc_id" < 23)
+        .select(($"doc_id" + 1000000L).as("doc_id"),
+          concat(lit("another junk lead "), $"text").as("text"),
+          $"lang", $"source", $"n_chars")
+        .unionAll(docs.filter($"doc_id" >= 40 && $"doc_id" < 45)
+          .select(($"doc_id" + 2000000L).as("doc_id"),
+            reverse($"text").as("text"), $"lang", $"source",
+            $"n_chars")), "b.parquet", 0L)
+      val stream = s.readStream.schema(docsSchema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+        .repartition(col("doc_id"))
+      val fps = graft.operators.TextDedup.winnowFingerprints(
+        stream, "doc_id", "text").toDF()
+      val joined = fps.select(col("doc_id"), col("fp"))
+        .join(broadcast(index), Seq("fp"), "left")
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+      val dup = s.table(name).filter(col("src").isNotNull)
+        .select(col("doc_id").as("d"), col("src"), col("fp"))
+        .groupBy(col("d"), col("src"))
+        .agg(countDistinct(col("fp")).as("c"))
+        .filter(col("c") >= 3)
+        .groupBy(col("d")).agg(min(col("src")).as("dup_src"))
+      s.table(name).select(col("doc_id")).distinct()
+        .join(dup, col("doc_id") === col("d"), "left")
+        .select(col("doc_id"), col("dup_src").isNull.as("kept"),
+          col("dup_src"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // STREAM-STATIC CDC chunk index screen (st115 — st114's
+    // byte-exact shift-tolerant sibling, the cdcChunkIndex in
+    // broadcast position): content-defined boundaries re-synchronize
+    // after any prefix edit, so a corpus span embedded at an
+    // arbitrary offset inside an arrival still shares >= minShared
+    // distinct chunk hashes with its source through the broadcast
+    // index. Pinned golden.
+    "st115_stream_cdc_index_screen" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      val name = "st115_out"
+      val staged = stagingDir("graft-stream-cdcidx")
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter($"doc_id" < 40)
+        .select($"doc_id", $"text")
+      val index = graft.operators.TextDedup.cdcChunkIndex(
+        corpus, "doc_id", "text", nibbles = 2)
+        .select(col("ch"), col("doc_id").as("src"))
+      def stage(df: org.apache.spark.sql.DataFrame, fname: String,
+          ageMs: Long): Unit = {
+        val tmp = staged.resolve(fname + ".tmp")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, staged.resolve(fname))
+        staged.resolve(fname).toFile.deleteOnExit()
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        java.nio.file.Files.setLastModifiedTime(staged.resolve(fname),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - ageMs))
+      }
+      stage(docs.filter($"doc_id" < 5)
+        .select(($"doc_id" + 1000000L).as("doc_id"),
+          concat(lit("junk prefix tokens before the borrowed span "),
+            $"text", lit(" junk suffix after")).as("text"),
+          $"lang", $"source", $"n_chars"), "a.parquet", 120000L)
+      stage(docs.filter($"doc_id" >= 20 && $"doc_id" < 23)
+        .select(($"doc_id" + 1000000L).as("doc_id"),
+          concat(lit("another junk lead "), $"text").as("text"),
+          $"lang", $"source", $"n_chars")
+        .unionAll(docs.filter($"doc_id" >= 40 && $"doc_id" < 45)
+          .select(($"doc_id" + 2000000L).as("doc_id"),
+            reverse($"text").as("text"), $"lang", $"source",
+            $"n_chars")), "b.parquet", 0L)
+      val stream = s.readStream.schema(docsSchema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+        .repartition(col("doc_id"))
+      val chunks = graft.operators.TextDedup.cdcChunks(
+        stream, "doc_id", "text", nibbles = 2).toDF()
+      val joined = chunks.select(col("doc_id"), col("ch"))
+        .join(broadcast(index), Seq("ch"), "left")
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+      val dup = s.table(name).filter(col("src").isNotNull)
+        .select(col("doc_id").as("d"), col("src"), col("ch"))
+        .groupBy(col("d"), col("src"))
+        .agg(countDistinct(col("ch")).as("c"))
+        .filter(col("c") >= 2)
+        .groupBy(col("d")).agg(min(col("src")).as("dup_src"))
+      s.table(name).select(col("doc_id")).distinct()
+        .join(dup, col("doc_id") === col("d"), "left")
+        .select(col("doc_id"), col("dup_src").isNull.as("kept"),
+          col("dup_src"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Incremental screen vs the persisted VIDEO peak index — the m138
     // tier's index member (m137's contract at the video seam, same
     // PeakFpVersion via the shared kernel): 4 masters (ids spaced per

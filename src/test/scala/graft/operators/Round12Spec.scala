@@ -125,6 +125,26 @@ class Round12Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(falsePairs.isEmpty, s"false pairs: $falsePairs")
   }
 
+  test("structureless-texture scope line is measured, not asserted (m161)") {
+    def tex(id: Long) = Multimodal.syntheticPngTexture(id, 64, 64)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    for (id <- 0L until 4L) {
+      val m = Multimodal.pHash64(tex(id)).get
+      // unresized re-encode: pHash owns it
+      assert(ham(m, Multimodal.pHash64(
+        Multimodal.jpegReencode(tex(id), 0.95f)).get) <= 3)
+      // integer-ratio upsample (64->96 = exact 3x box at the 32 grid):
+      // pHash ALSO owns it — the positive half of the scope line
+      assert(ham(m, Multimodal.pHash64(Multimodal.pngCropResize(
+        tex(id), 0, 0, 64, 64, 96, 96)).get) <= 3)
+      // non-integer resample (64->80): aliased wholesale — the gap
+      assert(ham(m, Multimodal.pHash64(Multimodal.pngCropResize(
+        tex(id), 0, 0, 64, 64, 80, 80)).get) > 3,
+        s"id=$id: 64->80 resample unexpectedly inside maxDist — " +
+          "the m161 scope line would be stale")
+    }
+  }
+
   test("folds=1 keeps chromaCodeAt bit-exact legacy behavior") {
     val mono = Multimodal.monoMix(Multimodal.decodeWav(
       Multimodal.syntheticWavBeats(3L, 8000, ms = 1248,
