@@ -252,15 +252,25 @@ object Bench {
     var (wall, results, extConc) = concurrentPass()
     var rerun = false
     var wallFirst = wall
-    if (extConc > maxExt) {
-      // the pass ran while another process held >maxExt cores: its
-      // numbers overstate the engine. Wait for quiet and re-run ONCE —
-      // the artifact records both walls so the decision is auditable.
-      System.err.println(f"[bench] concurrent pass contended (ext $extConc%.2f cores) - re-running once")
+    // the pass ran while another process held >maxExt cores: its
+    // numbers overstate the engine. Wait for quiet and re-run — up to
+    // maxReruns times (round-11's official artifact recorded ext 2.2
+    // cores even after its single re-run; the budget is now 2 by
+    // default and env-tunable). The artifact records the first wall
+    // and the rerun flag so the decision is auditable.
+    val maxReruns =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_RERUNS", "2").toInt
+    var attempts = 0
+    while (extConc > maxExt && attempts < maxReruns) {
+      attempts += 1
+      System.err.println(f"[bench] concurrent pass contended (ext $extConc%.2f cores) - re-running ($attempts/$maxReruns)")
       rerun = true
-      awaitExternalIdle(maxExt, maxWait, "rerun")
+      awaitExternalIdle(maxExt, maxWait, s"rerun$attempts")
       val (w2, r2, e2) = concurrentPass()
-      wall = w2; results = r2; extConc = e2
+      // keep the better-conditioned pass (lower external load), the
+      // isolated-retime rule: a rerun that landed on a BUSIER window
+      // must not replace a cleaner first pass
+      if (e2 <= extConc) { wall = w2; results = r2; extConc = e2 }
     }
 
     // sequential re-timings: the slowest queries by lane time PLUS the

@@ -43,6 +43,27 @@ object StreamingOps extends QueryPack {
     StructField("lang", StringType), StructField("source", StringType),
     StructField("n_chars", LongType)))
 
+  /** Session-scoped DRAIN harness for the st gates: a cloned
+    * SparkSession (shared SparkContext, own conf/catalog) with a
+    * small shuffle-partition count. Stateful micro-batches create one
+    * state-store instance + checkpoint commit PER SHUFFLE PARTITION
+    * per operator per batch, so at the bench session's 32 partitions
+    * a 5-batch fixture drain pays 160 state commits for rows that fit
+    * in one; measured on the st88 shape at local[32]: 6.8-11.4 s at
+    * 32 partitions vs 2.4-2.7 s at 4. Results are partition-count
+    * invariant (every gate is a deterministic aggregation over the
+    * drained table — the CORRECTNESS runner already executes at 4),
+    * so only wall clock changes. Memory-sink tables register in the
+    * clone's catalog; each gate does ALL its work through the clone,
+    * which also isolates concurrently-running lanes' catalogs.
+    * GRAFT_STREAM_SHUFFLE overrides the partition count. */
+  private def streamSession(s: SparkSession): SparkSession = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("GRAFT_STREAM_SHUFFLE", "4"))
+    ss
+  }
+
   /** Temp staging dir for the file-source queries, registered for
     * JVM-exit cleanup (files registered as they are staged — without
     * this every run leaked one copied parquet per staged query). */
@@ -88,7 +109,7 @@ object StreamingOps extends QueryPack {
     StructField("event_type", StringType)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "st61_stream_window" -> ((s, dir) => {
+    "st61_stream_window" -> ((s0, dir) => { val s = streamSession(s0)
       val name = "st61_out"
       // the file source requires a directory — stage the table into one
       val staged = stagingDir("graft-stream-events")
@@ -106,7 +127,7 @@ object StreamingOps extends QueryPack {
         .orderBy(col("day_start"), col("event_type"))
     }),
 
-    "st62_sessionize" -> ((s, dir) => {
+    "st62_sessionize" -> ((s0, dir) => { val s = streamSession(s0)
       implicit val sp: SparkSession = s
       Sessionize.sessions(t(s, dir, "events"), gapSeconds = 1800).toDF()
         .orderBy(col("user_id"), col("session_seq"))
@@ -118,7 +139,7 @@ object StreamingOps extends QueryPack {
     // from st62 by design: session_window opens a new session at
     // gap >= 30min (window overlap), the stateful walk at gap > 30min —
     // the oracle encodes the >= form.
-    "st64_stream_session_window" -> ((s, dir) => {
+    "st64_stream_session_window" -> ((s0, dir) => { val s = streamSession(s0)
       val name = "st64_out"
       val staged = stagingDir("graft-stream-sess")
       stageCopy(s"$dir/events.parquet", staged, "events.parquet")
@@ -146,7 +167,7 @@ object StreamingOps extends QueryPack {
     // scale the same plan runs with dropDuplicatesWithinWatermark so
     // state is evicted past the re-delivery horizon; the unbounded
     // form here keeps the oracle exact.
-    "st65_stream_dedup" -> ((s, dir) => {
+    "st65_stream_dedup" -> ((s0, dir) => { val s = streamSession(s0)
       val name = "st65_out"
       val staged = stagingDir("graft-stream-dedup")
       stageCopy(s"$dir/events.parquet", staged, "a.parquet")
@@ -170,7 +191,7 @@ object StreamingOps extends QueryPack {
     // md5(normalizeConfusables(text)) drops every spoof and keeps
     // every new document; the output counts are batch-split-invariant
     // and the oracle derives them from the corpus alone.
-    "st86_stream_confusable_dedup" -> ((s, dir) => {
+    "st86_stream_confusable_dedup" -> ((s0, dir) => { val s = streamSession(s0)
       import s.implicits._
       val name = "st86_out"
       val staged = stagingDir("graft-stream-confus")
@@ -219,7 +240,7 @@ object StreamingOps extends QueryPack {
     // the memory sink's gate decisions aggregate to exactly the batch
     // oracle. Demonstrates the text operators compose with readStream
     // unchanged — same Column expressions, same results.
-    "st66_stream_quality_gate" -> ((s, dir) => {
+    "st66_stream_quality_gate" -> ((s0, dir) => { val s = streamSession(s0)
       val name = "st66_out"
       val staged = stagingDir("graft-stream-gate")
       stageCopy(s"$dir/documents.parquet", staged, "documents.parquet")
@@ -243,7 +264,7 @@ object StreamingOps extends QueryPack {
     // screen (explode + broadcast-semi-join; no streaming state at
     // all). The memory sink's hit rows aggregate to exactly the batch
     // oracle's per-doc contaminated-instance counts.
-    "st67_stream_decontaminate" -> ((s, dir) => {
+    "st67_stream_decontaminate" -> ((s0, dir) => { val s = streamSession(s0)
       val name = "st67_out"
       val staged = stagingDir("graft-stream-decon")
       stageCopy(s"$dir/documents.parquet", staged, "documents.parquet")
@@ -273,7 +294,7 @@ object StreamingOps extends QueryPack {
     // offsets both broken; every one must hit by the winnowing
     // guarantee), batch 2 ten unrelated corpus docs (hits only where
     // the corpus genuinely shares text). Full SQL replay.
-    "st87_stream_winnow_decontam" -> ((s, dir) => {
+    "st87_stream_winnow_decontam" -> ((s0, dir) => { val s = streamSession(s0)
       import s.implicits._
       implicit val sp: SparkSession = s
       val name = "st87_out"
@@ -324,7 +345,7 @@ object StreamingOps extends QueryPack {
     // the verdict fold is id-ordered, so the oracle replays the whole
     // ladder: signatures, band buckets, >= 8-of-16 component agreement
     // against any lower-id document sharing a band.
-    "st68_stream_neardup" -> ((s, dir) => {
+    "st68_stream_neardup" -> ((s0, dir) => { val s = streamSession(s0)
       import s.implicits._
       val name = "st68_out"
       val staged = stagingDir("graft-stream-neardup")
@@ -374,7 +395,7 @@ object StreamingOps extends QueryPack {
     // member of the behavioral family (windowFunnel's cursor is NOT
     // order-free; this one composes with late data for free). The
     // sink's final per-user bits must decode to the batch oracle.
-    "st70_stream_retention" -> ((s, dir) => {
+    "st70_stream_retention" -> ((s0, dir) => { val s = streamSession(s0)
       import s.implicits._
       import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
       val name = "st70_out"
@@ -421,7 +442,7 @@ object StreamingOps extends QueryPack {
     // bit-for-bit. The streaming-native aggregation shape for
     // billion-key distinct counts (bounded state per key where exact
     // countDistinct state is unbounded).
-    "st71_stream_hll" -> ((s, dir) => {
+    "st71_stream_hll" -> ((s0, dir) => { val s = streamSession(s0)
       val name = "st71_out"
       val staged = stageSplitByParity(s, dir, "graft-stream-hll")
       val regs = graft.functions.HllSketch.hllRegisters
@@ -450,7 +471,7 @@ object StreamingOps extends QueryPack {
     // build), arriving vectors get IVF-assigned and int8-quantized as
     // a stateless streaming map (same operators as s44/s47, unchanged
     // over readStream). The memory sink must equal the batch replay.
-    "st69_stream_embed_ingest" -> ((s, dir) => {
+    "st69_stream_embed_ingest" -> ((s0, dir) => { val s = streamSession(s0)
       val name = "st69_out"
       val staged = stagingDir("graft-stream-embed")
       stageCopy(s"$dir/embeddings.parquet", staged, "embeddings.parquet")
@@ -480,7 +501,7 @@ object StreamingOps extends QueryPack {
     }),
 
     // Chain pipeline catches up as the tip advances — pinned golden.
-    "st63_tip_catchup" -> ((s, _) => {
+    "st63_tip_catchup" -> ((s0, _) => { val s = streamSession(s0)
       import graft.pipeline.{EthereumPipelines, PipelineRunner, SinkTable}
       val path = java.nio.file.Files.createTempDirectory("graft-q-catchup")
         .resolve("sink").toString
@@ -890,7 +911,7 @@ object StreamingOps extends QueryPack {
     // them; rate-free spectral codes land every one. Consumer scores
     // shared frames >= 0.8 over the smaller sequence (the st73
     // metric). Pinned golden.
-    "st84_stream_spectral_dedup" -> ((s, dir) => {
+    "st84_stream_spectral_dedup" -> ((s0, dir) => { val s = streamSession(s0)
       import s.implicits._
       val name = "st84_out"
       val staged = stagingDir("graft-stream-spec")
@@ -970,7 +991,7 @@ object StreamingOps extends QueryPack {
     // re-uploads of corpus masters, batch 2 three more plus two
     // unrelated tones — every re-upload lands, decoys are kept.
     // Pinned golden.
-    "st85_stream_spectral_index_screen" -> ((s, dir) => {
+    "st85_stream_spectral_index_screen" -> ((s0, dir) => { val s = streamSession(s0)
       import s.implicits._
       implicit val sp: SparkSession = s
       val name = "st85_out"
@@ -1062,7 +1083,7 @@ object StreamingOps extends QueryPack {
     // landmark buckets emit earlier sharers; the batch query over the
     // sink scores shared distinct landmarks >= 0.6 over the smaller
     // set (the m110 metric). Pinned golden.
-    "st82_stream_spectral_landmark_dedup" -> ((s, dir) => {
+    "st82_stream_spectral_landmark_dedup" -> ((s0, dir) => { val s = streamSession(s0)
       import s.implicits._
       val name = "st82_out"
       val staged = stagingDir("graft-stream-slm")
@@ -1173,7 +1194,7 @@ object StreamingOps extends QueryPack {
     // sharers; the batch
     // query over the sink scores shared distinct landmarks >= 0.6 over
     // the smaller set (the m115 metric). Pinned golden.
-    "st89_stream_onset_landmark_dedup" -> ((s, dir) => {
+    "st89_stream_onset_landmark_dedup" -> ((s0, dir) => { val s = streamSession(s0)
       import s.implicits._
       val name = "st89_out"
       val staged = stagingDir("graft-stream-onset")
@@ -1238,7 +1259,7 @@ object StreamingOps extends QueryPack {
     // id-monotonic delivery a doc emits hits iff its id-rank within
     // the fingerprint's bucket is <= 64 (row_number in SQL), so the
     // gate pins the cap's semantics, not just its presence.
-    "st90_stream_winnow_dedup" -> ((s, dir) => {
+    "st90_stream_winnow_dedup" -> ((s0, dir) => { val s = streamSession(s0)
       import s.implicits._
       val name = "st90_out"
       val staged = stagingDir("graft-stream-winnow")
@@ -1288,7 +1309,7 @@ object StreamingOps extends QueryPack {
     // hashes >= 2 (the t78 metric, chunk-granular recall and all —
     // doc 2's splice carves one interior chunk and stays kept, exactly
     // as t78/t81 document). Same exact cap replay in the oracle.
-    "st91_stream_cdc_dedup" -> ((s, dir) => {
+    "st91_stream_cdc_dedup" -> ((s0, dir) => { val s = streamSession(s0)
       import s.implicits._
       val name = "st91_out"
       val staged = stagingDir("graft-stream-cdc")
@@ -1522,7 +1543,7 @@ object StreamingOps extends QueryPack {
     // sharers; the batch query over the sink scores shared distinct
     // landmarks >= 0.6 over the smaller set (the m120 metric).
     // Pinned golden.
-    "st92_stream_speed_dedup" -> ((s, dir) => {
+    "st92_stream_speed_dedup" -> ((s0, dir) => { val s = streamSession(s0)
       import s.implicits._
       val name = "st92_out"
       val staged = stagingDir("graft-stream-speed")
@@ -1585,7 +1606,7 @@ object StreamingOps extends QueryPack {
     // at the bursts (3x the trailing 24 ms RMS — a continuous-
     // waveform property); the batch query over the sink scores shared
     // distinct landmarks >= 0.6 over the smaller set. Pinned golden.
-    "st93_stream_noisy_onset_dedup" -> ((s, dir) => {
+    "st93_stream_noisy_onset_dedup" -> ((s0, dir) => { val s = streamSession(s0)
       import s.implicits._
       val name = "st93_out"
       val staged = stagingDir("graft-stream-noisy")
@@ -1852,7 +1873,7 @@ object StreamingOps extends QueryPack {
     // pooled per-frame peak landmarks into bucket state — micro-batch
     // 2 their arbitrary-offset cropped + trimmed re-uploads;
     // shared-frame interior peaks land bit-exactly. Pinned golden.
-    "st102_stream_video_peak_dedup" -> ((s, dir) => {
+    "st102_stream_video_peak_dedup" -> ((s0, dir) => { val s = streamSession(s0)
       import s.implicits._
       val name = "st102_out"
       val staged = stagingDir("graft-stream-vpeak")
@@ -2011,7 +2032,7 @@ object StreamingOps extends QueryPack {
     // hamming-1 of the master's registered descriptors. Consumer
     // counts distinct matched peaks over the probe's peak count
     // >= 0.75. Pinned golden.
-    "st105_stream_peak_lossy_dedup" -> ((s, dir) => {
+    "st105_stream_peak_lossy_dedup" -> ((s0, dir) => { val s = streamSession(s0)
       import s.implicits._
       val name = "st105_out"
       val staged = stagingDir("graft-stream-peaklossy")
@@ -2141,7 +2162,7 @@ object StreamingOps extends QueryPack {
     // each probe's surviving quads land in its master's buckets at
     // 0.6-1.0 over the probe's set. Consumer scores shared distinct
     // landmarks over the smaller set >= 0.4. Pinned golden.
-    "st106_stream_scale_dedup" -> ((s, dir) => {
+    "st106_stream_scale_dedup" -> ((s0, dir) => { val s = streamSession(s0)
       import s.implicits._
       val name = "st106_out"
       val staged = stagingDir("graft-stream-scale")
@@ -2268,7 +2289,7 @@ object StreamingOps extends QueryPack {
     // undoing its transform lands. Consumer scores the best
     // orientation's distinct-landmark hits over the smaller orient-0
     // count at the scale tier's 0.4 gate. Pinned golden.
-    "st107_stream_scale_dihedral_dedup" -> ((s, dir) => {
+    "st107_stream_scale_dihedral_dedup" -> ((s0, dir) => { val s = streamSession(s0)
       import s.implicits._
       val name = "st107_out"
       val staged = stagingDir("graft-stream-scaledih")
@@ -2422,7 +2443,7 @@ object StreamingOps extends QueryPack {
     // streaming fan (st107) is structurally blind to. Consumer scores
     // shared distinct landmarks over the smaller set >= 0.3. Pinned
     // golden.
-    "st110_stream_rot_scale_dedup" -> ((s, dir) => {
+    "st110_stream_rot_scale_dedup" -> ((s0, dir) => { val s = streamSession(s0)
       import s.implicits._
       val name = "st110_out"
       val staged = stagingDir("graft-stream-rotscale")
@@ -2573,7 +2594,7 @@ object StreamingOps extends QueryPack {
     // hypothesis lands in its master's buckets. Consumer scores the
     // best hypothesis' distinct-landmark hits over the smaller
     // identity count at the 0.3 gate. Pinned golden.
-    "st111_stream_aspect_dedup" -> ((s, dir) => {
+    "st111_stream_aspect_dedup" -> ((s0, dir) => { val s = streamSession(s0)
       import s.implicits._
       val name = "st111_out"
       val staged = stagingDir("graft-stream-aspect")
@@ -2689,7 +2710,7 @@ object StreamingOps extends QueryPack {
     // micro-batch 2 their rotated (+rescaled/trimmed) re-deliveries.
     // Consumer scores shared distinct landmarks over the smaller
     // pooled set >= 0.2. Pinned golden.
-    "st112_stream_video_rot_dedup" -> ((s, dir) => {
+    "st112_stream_video_rot_dedup" -> ((s0, dir) => { val s = streamSession(s0)
       import s.implicits._
       val name = "st112_out"
       val staged = stagingDir("graft-stream-vidrot")
@@ -2805,7 +2826,7 @@ object StreamingOps extends QueryPack {
     // fan probes; each squeezed re-delivery lands at the undoing
     // factor. Consumer scores the best hypothesis over the smaller
     // identity count at the 0.3 gate. Pinned golden.
-    "st113_stream_video_aspect_dedup" -> ((s, dir) => {
+    "st113_stream_video_aspect_dedup" -> ((s0, dir) => { val s = streamSession(s0)
       import s.implicits._
       val name = "st113_out"
       val staged = stagingDir("graft-stream-vidaspect")
@@ -2927,7 +2948,7 @@ object StreamingOps extends QueryPack {
     // trimmed), which the exact-pixel video peak stream (st102) is
     // structurally blind to. Consumer scores shared distinct
     // landmarks over the smaller pooled set >= 0.4. Pinned golden.
-    "st108_stream_video_scale_dedup" -> ((s, dir) => {
+    "st108_stream_video_scale_dedup" -> ((s0, dir) => { val s = streamSession(s0)
       import s.implicits._
       val name = "st108_out"
       val staged = stagingDir("graft-stream-vidscale")
@@ -2998,7 +3019,7 @@ object StreamingOps extends QueryPack {
     // transform lands every interior peak. Consumer scores the BEST
     // orientation's hit count over the probe's orient-0 landmark
     // count. Pinned golden.
-    "st104_stream_peak_dihedral_dedup" -> ((s, dir) => {
+    "st104_stream_peak_dihedral_dedup" -> ((s0, dir) => { val s = streamSession(s0)
       import s.implicits._
       val name = "st104_out"
       val staged = stagingDir("graft-stream-peakdih")
@@ -3071,7 +3092,7 @@ object StreamingOps extends QueryPack {
     // re-uploads of corpus masters dup mid-stream with no corpus
     // re-decode and O(index) executor memory instead of O(stream)
     // state. Pinned golden.
-    "st103_stream_peak_index_screen" -> ((s, dir) => {
+    "st103_stream_peak_index_screen" -> ((s0, dir) => { val s = streamSession(s0)
       import s.implicits._
       implicit val sp: SparkSession = s
       val name = "st103_out"
@@ -3142,7 +3163,7 @@ object StreamingOps extends QueryPack {
     // crop+RESIZE re-uploads of corpus masters dup mid-stream with no
     // corpus re-decode and O(index) executor memory instead of
     // O(stream) state. Pinned golden.
-    "st109_stream_scale_index_screen" -> ((s, dir) => {
+    "st109_stream_scale_index_screen" -> ((s0, dir) => { val s = streamSession(s0)
       import s.implicits._
       implicit val sp: SparkSession = s
       val name = "st109_out"
@@ -3259,7 +3280,7 @@ object StreamingOps extends QueryPack {
     // shared >= w+k-1-token run surfaces), reversed-text arrivals
     // stay kept. O(index) executor memory instead of O(stream)
     // state. Pinned golden.
-    "st114_stream_winnow_index_screen" -> ((s, dir) => {
+    "st114_stream_winnow_index_screen" -> ((s0, dir) => { val s = streamSession(s0)
       import s.implicits._
       implicit val sp: SparkSession = s
       val name = "st114_out"
@@ -3326,7 +3347,7 @@ object StreamingOps extends QueryPack {
     // arbitrary offset inside an arrival still shares >= minShared
     // distinct chunk hashes with its source through the broadcast
     // index. Pinned golden.
-    "st115_stream_cdc_index_screen" -> ((s, dir) => {
+    "st115_stream_cdc_index_screen" -> ((s0, dir) => { val s = streamSession(s0)
       import s.implicits._
       implicit val sp: SparkSession = s
       val name = "st115_out"
@@ -3450,7 +3471,7 @@ object StreamingOps extends QueryPack {
     // to; each crop's surviving interior peaks land bit-exactly in
     // its master's buckets at ~1.0 over the crop's set. Pinned
     // golden.
-    "st101_stream_peak_crop_dedup" -> ((s, dir) => {
+    "st101_stream_peak_crop_dedup" -> ((s0, dir) => { val s = streamSession(s0)
       import s.implicits._
       val name = "st101_out"
       val staged = stagingDir("graft-stream-peak")
@@ -3616,7 +3637,7 @@ object StreamingOps extends QueryPack {
     // a crop changes every frame hash). Consumer scores win=0 rows:
     // shared distinct landmarks over the probe's full-frame channel
     // count >= 0.6. Pinned golden.
-    "st97_stream_video_crop_dedup" -> ((s, dir) => {
+    "st97_stream_video_crop_dedup" -> ((s0, dir) => { val s = streamSession(s0)
       import s.implicits._
       val name = "st97_out"
       val staged = stagingDir("graft-stream-vcrop")
@@ -3724,7 +3745,7 @@ object StreamingOps extends QueryPack {
     // each crop's full-frame channel lands bit-exactly in its
     // master's thirds-window buckets. Consumer scores win=0 rows over
     // the probe's full-frame channel count >= 0.6. Pinned golden.
-    "st99_stream_video_thirds_dedup" -> ((s, dir) => {
+    "st99_stream_video_thirds_dedup" -> ((s0, dir) => { val s = streamSession(s0)
       import s.implicits._
       val name = "st99_out"
       val staged = stagingDir("graft-stream-vthirds")
@@ -3822,7 +3843,7 @@ object StreamingOps extends QueryPack {
     // streaming tier (st72) would find nothing (the crop's full hash
     // aligns with no master hash). win = 0 rows carry the verdicts.
     // Pinned golden.
-    "st96_stream_crop_dedup" -> ((s, dir) => {
+    "st96_stream_crop_dedup" -> ((s0, dir) => { val s = streamSession(s0)
       import s.implicits._
       val name = "st96_out"
       val staged = stagingDir("graft-stream-crop")
@@ -3880,7 +3901,7 @@ object StreamingOps extends QueryPack {
     // each crop's whole-image hash lands bit-exactly in its master's
     // thirds-window bucket. win = 0 rows carry the verdicts. Pinned
     // golden.
-    "st98_stream_thirds_crop_dedup" -> ((s, dir) => {
+    "st98_stream_thirds_crop_dedup" -> ((s0, dir) => { val s = streamSession(s0)
       import s.implicits._
       val name = "st98_out"
       val staged = stagingDir("graft-stream-thirds-crop")
@@ -4033,7 +4054,7 @@ object StreamingOps extends QueryPack {
     // sharers; the batch query over the sink scores shared distinct
     // codes >= 0.6 over the smaller set (below the 0.727273 floor).
     // Pinned golden.
-    "st95_stream_pitch_chroma_dedup" -> ((s, dir) => {
+    "st95_stream_pitch_chroma_dedup" -> ((s0, dir) => { val s = streamSession(s0)
       import s.implicits._
       val name = "st95_out"
       val staged = stagingDir("graft-stream-chroma")
@@ -4094,7 +4115,7 @@ object StreamingOps extends QueryPack {
     // semitone streaming tier (st95's bank pins zero cross-pairs on
     // this class via m126's fixture), exactly one step at div=24.
     // Same chroma-bucket state and scoring as st95. Pinned golden.
-    "st100_stream_quarter_tone_dedup" -> ((s, dir) => {
+    "st100_stream_quarter_tone_dedup" -> ((s0, dir) => { val s = streamSession(s0)
       import s.implicits._
       val name = "st100_out"
       val staged = stagingDir("graft-stream-qtone")
@@ -4185,7 +4206,7 @@ object StreamingOps extends QueryPack {
     // query over the sink scores shared distinct landmarks >= 0.6
     // over the smaller set (below the 0.773585 down-conversion
     // floor). Pinned golden.
-    "st94_stream_video_rate_dedup" -> ((s, dir) => {
+    "st94_stream_video_rate_dedup" -> ((s0, dir) => { val s = streamSession(s0)
       import s.implicits._
       val name = "st94_out"
       val staged = stagingDir("graft-stream-vrate")
@@ -4258,7 +4279,7 @@ object StreamingOps extends QueryPack {
     // structure. A late re-delivery carrying its ORIGINAL timestamp
     // is dropped by the watermark's late-data filter instead —
     // either way no duplicate inside the horizon survives.
-    "st88_stream_dedup_watermark" -> ((s, dir) => {
+    "st88_stream_dedup_watermark" -> ((s0, dir) => { val s = streamSession(s0)
       import s.implicits._
       val name = "st88_out"
       val staged = stagingDir("graft-stream-wmdedup")
@@ -4386,7 +4407,7 @@ object StreamingOps extends QueryPack {
     // only as-is landmarks enter state; scoring takes the best
     // orientation's hit count over the orient-0 landmark denominator.
     // Pinned golden.
-    "st79_stream_video_flip_dedup" -> ((s, dir) => {
+    "st79_stream_video_flip_dedup" -> ((s0, dir) => { val s = streamSession(s0)
       import s.implicits._
       val name = "st79_out"
       val staged = stagingDir("graft-stream-vflip")
@@ -4449,7 +4470,7 @@ object StreamingOps extends QueryPack {
     // as-is landmark state are all blind; the 8-orientation landmark
     // probes land every re-delivery on its source. Only orient-0
     // landmarks enter state. Pinned golden.
-    "st83_stream_video_dihedral_dedup" -> ((s, dir) => {
+    "st83_stream_video_dihedral_dedup" -> ((s0, dir) => { val s = streamSession(s0)
       import s.implicits._
       val name = "st83_out"
       val staged = stagingDir("graft-stream-vdih")
@@ -4514,7 +4535,7 @@ object StreamingOps extends QueryPack {
     // drifts past hamming 3 and is kept — the m85 precedent). Only
     // as-is hashes enter state; rotated probes land in their source's
     // buckets by construction. Pinned golden.
-    "st80_stream_phash_rot_dedup" -> ((s, dir) => {
+    "st80_stream_phash_rot_dedup" -> ((s0, dir) => { val s = streamSession(s0)
       import s.implicits._
       val name = "st80_out"
       val staged = stagingDir("graft-stream-phrot")
@@ -4566,7 +4587,7 @@ object StreamingOps extends QueryPack {
     // variants (nine land; variant 1000010 drifts past hamming 3 and
     // is kept — the m85 precedent). Only as-is hashes enter state
     // (4 x 16 B per doc, unchanged). Pinned golden.
-    "st81_stream_phash_dihedral_dedup" -> ((s, dir) => {
+    "st81_stream_phash_dihedral_dedup" -> ((s0, dir) => { val s = streamSession(s0)
       import s.implicits._
       val name = "st81_out"
       val staged = stagingDir("graft-stream-phdih")
@@ -4618,7 +4639,7 @@ object StreamingOps extends QueryPack {
     // hashes enter state (4 x 16 B per doc, unchanged); mirrored
     // probes land in their source's buckets by construction. Pinned
     // golden.
-    "st78_stream_phash_flip_dedup" -> ((s, dir) => {
+    "st78_stream_phash_flip_dedup" -> ((s0, dir) => { val s = streamSession(s0)
       import s.implicits._
       val name = "st78_out"
       val staged = stagingDir("graft-stream-phflip")
@@ -4854,7 +4875,7 @@ object StreamingOps extends QueryPack {
     // batch scoring pass — the st73 "score over the sink" contract
     // applied to two tiers at once. Pinned golden (JDK JPEG codec leg
     // in the frame tier).
-    "st77_stream_video_joint" -> ((s, dir) => {
+    "st77_stream_video_joint" -> ((s0, dir) => { val s = streamSession(s0)
       implicit val sp: SparkSession = s
       val staged = stagingDir("graft-stream-joint")
       val mk = udf((id: Long) => id match {
@@ -4947,7 +4968,7 @@ object StreamingOps extends QueryPack {
     // each batch joins the static `documents` corpus — no state needed,
     // the static side is the membership set. Oracle = the documents
     // self-join replay over the 10 planted ids.
-    "st76_stream_subtitle_decontam" -> ((s, dir) => {
+    "st76_stream_subtitle_decontam" -> ((s0, dir) => { val s = streamSession(s0)
       implicit val sp: SparkSession = s
       val name = "st76_out"
       val staged = stagingDir("graft-stream-subs")
@@ -5138,7 +5159,7 @@ object StreamingOps extends QueryPack {
     // 128 samples = 2 hops cut) under new ids — st73's aligned state
     // sees nothing, landmark-bucket state catches every one. Oracle =
     // the m80 landmark replay + the dedup decision.
-    "st74_stream_audio_landmark_dedup" -> ((s, dir) => {
+    "st74_stream_audio_landmark_dedup" -> ((s0, dir) => { val s = streamSession(s0)
       import s.implicits._
       val name = "st74_out"
       val staged = stagingDir("graft-stream-lm")
@@ -5197,7 +5218,7 @@ object StreamingOps extends QueryPack {
     // AVIs, batch 2 their leading-2-frame-CUT re-uploads under new ids
     // — landmark-bucket state catches what aligned matching can't see
     // in any tier. Pinned golden (pHash path).
-    "st75_stream_video_landmark_dedup" -> ((s, dir) => {
+    "st75_stream_video_landmark_dedup" -> ((s0, dir) => { val s = streamSession(s0)
       import s.implicits._
       val name = "st75_out"
       val staged = stagingDir("graft-stream-vlm")
@@ -5287,7 +5308,7 @@ object StreamingOps extends QueryPack {
     // lightly-EDITED re-uploads under new ids — exact dedup can't
     // catch them, pHash chunk-bucket state does. Codec + StrictMath
     // DCT path — pinned golden gate.
-    "st72_stream_phash_dedup" -> ((s, dir) => {
+    "st72_stream_phash_dedup" -> ((s0, dir) => { val s = streamSession(s0)
       import s.implicits._
       val name = "st72_out"
       val staged = stagingDir("graft-stream-phash")
@@ -5336,7 +5357,7 @@ object StreamingOps extends QueryPack {
     // the batch query over the sink scores aligned agreement >= 0.8
     // over the smaller fingerprint — the m79 metric, so the oracle is
     // the same integer SQL replay with a dedup decision on top.
-    "st73_stream_audio_dedup" -> ((s, dir) => {
+    "st73_stream_audio_dedup" -> ((s0, dir) => { val s = streamSession(s0)
       import s.implicits._
       val name = "st73_out"
       val staged = stagingDir("graft-stream-audio")
