@@ -5251,7 +5251,8 @@ object Multimodal {
     * every frame (from `fromFrame` on) through the [[pngRotateResize]]
     * inverse-map bilinear kernel, re-muxed as uncompressed DIB AVI. */
   def aviRotateResizeDib(payload: Array[Byte], degrees: Double,
-      factor: Double = 1.0, fromFrame: Int = 0): Array[Byte] = {
+      factor: Double = 1.0, fromFrame: Int = 0,
+      audioId: Long = -1L, audioSamples: Int = 0): Array[Byte] = {
     val fs = containerFrames(payload).getOrElse(
       throw new IllegalArgumentException("undecodable video payload"))
     require(fromFrame >= 0 && fromFrame < fs.length,
@@ -5260,7 +5261,7 @@ object Multimodal {
       val png = pngRotateResize(encodePng(javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(b))), degrees, factor)
       javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
-    })
+    }, audioId, audioSamples)
   }
 
   /** Crop-then-RESIZE re-encode of any PNG payload — the scale tier's
@@ -5391,13 +5392,54 @@ object Multimodal {
     img
   }
 
+  /** Optional PCM16 mono 8 kHz audio stream for an AVI mux: the
+    * (strl header LIST, movi '01wb' chunks) pair, empty when
+    * `audioSamples <= 0`. The sample formula and the two-chunk
+    * interleave are [[syntheticAvi]]'s audio leg verbatim (factored so
+    * the transform muxers can plant "same audio" across frame
+    * transforms — the joint-fusion fixtures), so the SAME audioId on
+    * two containers is the bit-exact same track and the oracle
+    * regenerates the samples arithmetically (the m79/m80 contract). */
+  private def aviAudioParts(audioId: Long,
+      audioSamples: Int): (Array[Byte], Array[Byte]) = {
+    if (audioSamples <= 0) (Array.emptyByteArray, Array.emptyByteArray)
+    else {
+      val le16b = (v: Int) => Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+      val wf = le16b(1) ++ le16b(1) ++ leBytes(Seq(8000, 16000)) ++
+        le16b(2) ++ le16b(16)
+      val astrh = riffChunk("strh",
+        fourcc("auds") ++ fourcc("    ") ++
+          leBytes(Seq(0, 0, 0, 1, 8000, 0, audioSamples, 0, 0, 0)) ++
+          leBytes(Seq(0, 0)))
+      val strl = riffChunk("LIST",
+        fourcc("strl") ++ astrh ++ riffChunk("strf", wf))
+      val pcm = new Array[Byte](audioSamples * 2)
+      var n = 0
+      while (n < audioSamples) {
+        val s = (((audioId * 40503L + 12289L) * (n + 7L) * (n + 13L)) % 65536L
+          - 32768L).toInt
+        pcm(2 * n) = (s & 0xff).toByte
+        pcm(2 * n + 1) = ((s >> 8) & 0xff).toByte
+        n += 1
+      }
+      val half = (audioSamples / 2) * 2 // split on a sample boundary
+      val chunks =
+        riffChunk("01wb", java.util.Arrays.copyOfRange(pcm, 0, half)) ++
+          riffChunk("01wb", java.util.Arrays.copyOfRange(pcm, half, pcm.length))
+      (strl, chunks)
+    }
+  }
+
   /** Uncompressed 24-bit DIB AVI from arbitrary frames — the
     * transform-fixture muxer ([[aviCropResizeDib]]): same RIFF layout
     * as [[syntheticAvi]]'s DIB leg, so [[containerFrames]] reads the
     * frames back bit-exactly as BMPs. All frames must share one
-    * size. */
+    * size. `audioId`/`audioSamples` plant [[syntheticAvi]]'s PCM16
+    * audio stream alongside the transformed frames — the joint-fusion
+    * fixture knob (same audioId = bit-exact same track). */
   private def aviFromImages(
-      frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+      frames: Seq[java.awt.image.BufferedImage],
+      audioId: Long = -1L, audioSamples: Int = 0): Array[Byte] = {
     require(frames.nonEmpty, "aviFromImages needs at least one frame")
     val w = frames.head.getWidth
     val h = frames.head.getHeight
@@ -5428,11 +5470,13 @@ object Multimodal {
         leBytes(Seq(0, 0, 0, 1, 25, 0, frames.length, 0, 0, 0)) ++
         leBytes(Seq(0, w | (h << 16))))
     val strl = riffChunk("LIST", fourcc("strl") ++ strh ++ strf)
+    val (audioStrl, audioChunks) = aviAudioParts(audioId, audioSamples)
+    val nStr = if (audioSamples > 0) 2 else 1
     val avih = riffChunk("avih", leBytes(Seq(
-      40000, 0, 0, 0, frames.length, 0, 1, 0, w, h, 0, 0, 0, 0)))
-    val hdrl = riffChunk("LIST", fourcc("hdrl") ++ avih ++ strl)
+      40000, 0, 0, 0, frames.length, 0, nStr, 0, w, h, 0, 0, 0, 0)))
+    val hdrl = riffChunk("LIST", fourcc("hdrl") ++ avih ++ strl ++ audioStrl)
     val movi = riffChunk("LIST",
-      fourcc("movi") ++ frameChunks.reduce(_ ++ _))
+      fourcc("movi") ++ frameChunks.reduce(_ ++ _) ++ audioChunks)
     riffChunk("RIFF", fourcc("AVI ") ++ hdrl ++ movi)
   }
 
@@ -5444,9 +5488,11 @@ object Multimodal {
     * high-frequency field) never arises. Seeds are spaced so no two
     * (id, f) pairs collide for f < 2^20. */
   def syntheticAviBlobs(id: Long, nFrames: Int, w: Int = 96,
-      h: Int = 96, nBlobs: Int = 8, minSep: Double = 20.0): Array[Byte] =
+      h: Int = 96, nBlobs: Int = 8, minSep: Double = 20.0,
+      audioId: Long = -1L, audioSamples: Int = 0): Array[Byte] =
     aviFromImages((0 until nFrames).map(f =>
-      blobImage(id * 1048573L + f * 7919L, w, h, nBlobs, minSep)))
+      blobImage(id * 1048573L + f * 7919L, w, h, nBlobs, minSep)),
+      audioId, audioSamples)
 
   /** Crop-then-RESIZE re-mux of any decodable video payload — the
     * video scale tier's fixture transform: every frame (from
@@ -5813,30 +5859,7 @@ object Multimodal {
     // regenerates the samples arithmetically (the m79/m80 contract).
     // PCM is split across two '01wb' chunks to exercise the
     // concatenating movi walk, the interleaving every real muxer does.
-    val le16b = (v: Int) => Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
-    val audioStrl = if (audioSamples <= 0) Array.emptyByteArray else {
-      val wf = le16b(1) ++ le16b(1) ++ leBytes(Seq(8000, 16000)) ++
-        le16b(2) ++ le16b(16)
-      val astrh = riffChunk("strh",
-        fourcc("auds") ++ fourcc("    ") ++
-          leBytes(Seq(0, 0, 0, 1, 8000, 0, audioSamples, 0, 0, 0)) ++
-          leBytes(Seq(0, 0)))
-      riffChunk("LIST", fourcc("strl") ++ astrh ++ riffChunk("strf", wf))
-    }
-    val audioChunks = if (audioSamples <= 0) Array.emptyByteArray else {
-      val pcm = new Array[Byte](audioSamples * 2)
-      var n = 0
-      while (n < audioSamples) {
-        val s = (((audioId * 40503L + 12289L) * (n + 7L) * (n + 13L)) % 65536L
-          - 32768L).toInt
-        pcm(2 * n) = (s & 0xff).toByte
-        pcm(2 * n + 1) = ((s >> 8) & 0xff).toByte
-        n += 1
-      }
-      val half = (audioSamples / 2) * 2 // split on a sample boundary
-      riffChunk("01wb", java.util.Arrays.copyOfRange(pcm, 0, half)) ++
-        riffChunk("01wb", java.util.Arrays.copyOfRange(pcm, half, pcm.length))
-    }
+    val (audioStrl, audioChunks) = aviAudioParts(audioId, audioSamples)
     val nStr = if (audioSamples > 0) 2 else 1
     val avih = riffChunk("avih", leBytes(Seq(
       40000, 0, 0, 0, nFrames, 0, nStr, 0, w, h, 0, 0, 0, 0)))
@@ -7849,6 +7872,46 @@ object Multimodal {
       maxDf: Int = 0)(implicit s: SparkSession): DataFrame = {
     val frames = videoNearDupPairs(media, every = every,
         minMatch = minFrame, maxDf = maxDf)
+      .withColumnRenamed("match_frac", "frame_frac")
+    val audio = audioLandmarkPairs(videoAudioTracks(media),
+        minMatch = minAudio, maxDf = maxDf)
+      .withColumnRenamed("match_frac", "audio_frac")
+    frames.join(audio, Seq("doc_a", "doc_b"), "full_outer")
+      .select(col("doc_a"), col("doc_b"),
+        coalesce(col("frame_frac"), lit(0.0)).as("frame_frac"),
+        coalesce(col("audio_frac"), lit(0.0)).as("audio_frac"),
+        when(col("frame_frac").isNotNull && col("audio_frac").isNotNull,
+            lit("reupload"))
+          .when(col("frame_frac").isNotNull, lit("same_video"))
+          .otherwise(lit("same_audio")).as("verdict"))
+  }
+
+  /** JOINT audio+video verdict at the ROTATION-invariant constellation
+    * seam — [[videoJointNearDup]]'s fusion shape re-pointed at the
+    * m154 frame tier (the PLANS round-12 candidate): classifies
+    * re-uploads whose FRAMES are rotated at ANY angle, rescaled,
+    * and/or trimmed — where the aligned pHash frame tier of
+    * [[videoJointNearDup]] provably misses every pair — with the audio
+    * track kept or replaced. Frame evidence comes from
+    * [[videoRotScalePairs]] (pooled rotation-invariant constellation
+    * codes), audio evidence from [[audioLandmarkPairs]] over
+    * [[videoAudioTracks]]; the same full-outer fusion yields
+    *  - "reupload"   — rotated/rescaled frames AND the same track
+    *  - "same_video" — frames match, audio replaced (re-dub of a
+    *                   tilted re-render)
+    *  - "same_audio" — track matches under fresh frames (reaction
+    *                   video / slideshow over the same music).
+    *
+    * Scale shape: both legs are the already-capped pair generators
+    * (constellation posting buckets and landmark buckets, each with
+    * maxDf skew caps BEFORE pair expansion); the fusion joins two
+    * above-threshold candidate sets on the pair key — no cross
+    * product, no new shuffle beyond the two ladders' own. */
+  def videoJointRotNearDup(media: DataFrame, minFrame: Double = 0.2,
+      minAudio: Double = 0.6, every: Int = 2, maxDf: Int = 0,
+      minShared: Int = 0)(implicit s: SparkSession): DataFrame = {
+    val frames = videoRotScalePairs(media, minMatch = minFrame,
+        every = every, maxDf = maxDf, minShared = minShared)
       .withColumnRenamed("match_frac", "frame_frac")
     val audio = audioLandmarkPairs(videoAudioTracks(media),
         minMatch = minAudio, maxDf = maxDf)

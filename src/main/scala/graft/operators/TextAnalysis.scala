@@ -427,6 +427,94 @@ object TextAnalysis {
       length(redacted).as("n_chars_redacted"))
   }
 
+  /** Canonical form of an absolute http(s) URL — the dedup key of
+    * every web-crawl curation stage (two crawls of one page differ in
+    * scheme/host case, a default port, a trailing slash, tracker
+    * params, and the fragment; URL-keyed exact dedup without
+    * canonicalization misses all of them). Rules, each a documented
+    * crawl-dedup standard:
+    *  - scheme and host lowercase; a leading `www.` label stripped
+    *    when at least two labels follow (`www.com` itself survives)
+    *  - the scheme's default port dropped (`:443` on https, `:80` on
+    *    http); any other port KEPT (a real distinct origin)
+    *  - path case preserved (paths are case-sensitive), one trailing
+    *    slash stripped (never the root `/`; an empty path becomes `/`)
+    *  - query params split on `&`, `utm_*` trackers and empties
+    *    dropped, the rest SORTED (param order is transport noise),
+    *    the `?` itself dropped when nothing survives
+    *  - the fragment dropped (client-side only).
+    * Pure regex/array expressions in the Java-regex/RE2 common subset
+    * (the [[piiScrub]] contract) — codegen'd, no shuffle, replayable
+    * verbatim in the DuckDB oracle. */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    // strip a leading www. LABEL only when >= 2 labels follow —
+    // `www.com` is a registrable name, not tracker noise (group
+    // capture, not lookahead: the Java/RE2 common subset)
+    val host = regexp_replace(
+      lower(regexp_extract(hostport, "^([^:]*)", 1)),
+      "^www\\.([^.]+\\..*)", "$1")
+    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val keepPort = (port =!= "") &&
+      !((scheme === "https" && port === "443") ||
+        (scheme === "http" && port === "80"))
+    val rest = regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    val path0 = regexp_extract(rest, "^([^?]*)", 1)
+    val path = when(path0 === "", lit("/"))
+      .otherwise(regexp_replace(path0, "(.)/$", "$1"))
+    val query = regexp_extract(rest, "\\?(.*)$", 1)
+    val kept = array_join(array_sort(filter(split(query, "&"),
+      p => p =!= "" && !startswith(p, lit("utm_")))), "&")
+    concat(scheme, lit("://"), host,
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")), path,
+      when(kept =!= "", concat(lit("?"), kept)).otherwise(lit("")))
+  }
+
+  /** Registered domain of a canonical URL's host by the 2-label
+    * heuristic (`a.b.site.com` → `site.com`). Scope line: a real
+    * public-suffix list is DATA (multi-label suffixes like `co.uk`
+    * need the published table); the heuristic is exact on gTLD hosts
+    * and the suffix table plugs in as a broadcast join, not a code
+    * change. */
+  def registeredDomain(urlCanon: Column): Column = {
+    val host = regexp_extract(
+      regexp_extract(urlCanon, "^[a-z][a-z0-9+.-]*://([^/?#]*)", 1),
+      "^([^:]*)", 1)
+    regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+  }
+
+  /** URL-level curation: canonicalize each document's URL, extract its
+    * registered domain, and rank documents WITHIN each domain by a
+    * deterministic content-blind hash — the per-domain cap every
+    * web-scale training mix applies so no single site dominates
+    * (`kept = domain_rank <= cap`). Emits the audit columns
+    * (url_canon, domain, domain_rank, kept); the caller drops
+    * `kept = false` rows or joins the verdict back.
+    *
+    * Scale shape: canonicalization is a map stage; the cap is ONE
+    * shuffle on domain + a per-domain sort. Ranking by md5(id) (not
+    * crawl order) makes the kept set a uniform sample, stable under
+    * re-partitioning and incremental re-runs. A pathological
+    * mega-domain serializes its own rank sort; since only ranks
+    * `<= cap` matter, pre-capping each shuffle partition to its local
+    * top-cap by hash (a mapPartitions top-k before the window) bounds
+    * that tail if a corpus ever hits it — the plan here keeps the
+    * declarative window, which AQE handles to the same shape. */
+  def urlDomainCap(docs: DataFrame, idCol: String, urlCol: String,
+      cap: Int): DataFrame = {
+    require(cap >= 1, "cap must be >= 1")
+    val canon = canonicalizeUrl(col(urlCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("domain"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs.select(col(idCol).as("doc_id"), canon.as("url_canon"),
+        registeredDomain(canon).as("domain"))
+      .withColumn("domain_rank", row_number().over(w))
+      .withColumn("kept", col("domain_rank") <= cap)
+  }
+
   /** Exact-quota dataset mixing: select per-source document counts that
     * realize target proportions `weights` (integer percents) at the
     * largest total the corpus supports. The budget is the bottleneck

@@ -4377,6 +4377,37 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // JOINT fusion at the ROT-constellation seam (m162 — the m95
+    // verdict re-pointed at the m154 frame tier): re-uploads whose
+    // frames are rotated at any angle / rescaled, with the track kept
+    // or replaced — (0,20) 17-deg rotation + same track ("reupload"),
+    // (1,21) fresh frames over master 1's track ("same_audio"),
+    // (2,22) -8-deg + 1.2x under a replaced track ("same_video");
+    // 23 unrelated, must not pair. The ALIGNED m95 tier provably
+    // degrades/misses the rotated frame legs (Round12Spec contrast).
+    // Pinned golden (JDK Graphics2D rotation leg in the fixtures).
+    "m162_video_joint_rot" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val mk = udf((id: Long) => id match {
+        case 20L => Multimodal.aviRotateResizeDib(
+          Multimodal.syntheticAviBlobs(0, 6), 17.0,
+          audioId = 0L, audioSamples = 320)
+        case 21L => Multimodal.syntheticAviBlobs(21, 6,
+          audioId = 1L, audioSamples = 384)
+        case 22L => Multimodal.aviRotateResizeDib(
+          Multimodal.syntheticAviBlobs(2, 6), -8.0, 1.2,
+          audioId = 99L, audioSamples = 320)
+        case 23L => Multimodal.syntheticAviBlobs(23, 6,
+          audioId = 98L, audioSamples = 320)
+        case i => Multimodal.syntheticAviBlobs(i, 6,
+          audioId = i, audioSamples = (320 + (i % 4) * 64).toInt)
+      })
+      val media = s.range(0, 4).union(s.range(20, 24))
+        .select(col("id").as("doc_id"), mk(col("id")).as("payload"))
+      Multimodal.videoJointRotNearDup(media, maxDf = 64)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // SUBTITLE-track extraction dedup — the video→TEXT bridge (the
     // m88/m91/m94 extraction pattern, third modality): 10 MKVs whose
     // "S_TEXT/UTF8" cue stream id is doc_id % 5; extraction

@@ -455,6 +455,35 @@ object TextOps extends QueryPack {
         .orderBy($"doc_id")
     }),
 
+    // URL canonicalization + registered domain + per-domain cap over
+    // deterministically constructed crawl URLs (the corpus has no URL
+    // column, so both engines build the same messy URL from
+    // (doc_id, source): scheme/host case noise, www., default and
+    // non-default ports, trailing slashes, utm_ trackers, unsorted
+    // params, fragments — every class the canonicalizer exists for).
+    "t86_url_domain_cap" -> ((s, dir) => {
+      import s.implicits._
+      val url = concat(
+        when($"doc_id" % 2 === 0, lit("HTTPS://")).otherwise(lit("http://")),
+        when($"doc_id" % 3 === 0, lit("WWW.")).otherwise(lit("")),
+        lit("Docs."), $"source",
+        when($"doc_id" % 11 === 0, lit(".COM:8080"))
+          .when($"doc_id" % 2 === 0, lit(".COM:443"))
+          .otherwise(lit(".com:80")),
+        lit("/Wiki/Page-"), $"doc_id".cast("string"),
+        when($"doc_id" % 4 === 0, lit("/")).otherwise(lit("")),
+        lit("?utm_source=feed&z="), ($"doc_id" % 7).cast("string"),
+        lit("&a="), ($"doc_id" % 3).cast("string"),
+        when($"doc_id" % 5 === 0, lit("&utm_campaign=x")).otherwise(lit("")),
+        when($"doc_id" % 6 === 0,
+          concat(lit("#sec-"), ($"doc_id" % 4).cast("string")))
+          .otherwise(lit("")))
+      TextAnalysis.urlDomainCap(
+          t(s, dir, "documents").select($"doc_id", url.as("url")),
+          "doc_id", "url", cap = 10)
+        .orderBy($"doc_id")
+    }),
+
     // exact-quota dataset mixing toward integer target weights; the
     // selected set is a pure function of (seed, ids), replayed by the
     // oracle's identical integer budget/quota arithmetic.
@@ -2002,6 +2031,59 @@ object TextOps extends QueryPack {
           CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
             / len(toks) AS mean_pretoken_len
         FROM p ORDER BY doc_id""",
+    // the oracle rebuilds the same messy URLs, then replays the
+    // canonicalizer rule-for-rule (the regexes are in the Java/RE2
+    // common subset) and the per-domain cap with the same
+    // hash-ordered row_number
+    "t86_url_domain_cap" ->
+      """WITH u AS (SELECT doc_id,
+          (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'http://' END) ||
+          (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+          'Docs.' || source ||
+          (CASE WHEN doc_id % 11 = 0 THEN '.COM:8080'
+                WHEN doc_id % 2 = 0 THEN '.COM:443' ELSE '.com:80' END) ||
+          '/Wiki/Page-' || CAST(doc_id AS VARCHAR) ||
+          (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+          '?utm_source=feed&z=' || CAST(doc_id % 7 AS VARCHAR) ||
+          '&a=' || CAST(doc_id % 3 AS VARCHAR) ||
+          (CASE WHEN doc_id % 5 = 0 THEN '&utm_campaign=x' ELSE '' END) ||
+          (CASE WHEN doc_id % 6 = 0 THEN '#sec-' || CAST(doc_id % 4 AS VARCHAR)
+                ELSE '' END) AS url
+        FROM documents),
+        c AS (SELECT doc_id,
+          lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+          regexp_replace(lower(regexp_extract(regexp_extract(url,
+            '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^([^:]*)', 1)),
+            '^www\.([^.]+\..*)', '\1') AS host,
+          regexp_extract(regexp_extract(url,
+            '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), ':([0-9]+)$', 1) AS port,
+          regexp_extract(regexp_extract(url,
+            '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1), '^([^?]*)', 1) AS path0,
+          regexp_extract(regexp_extract(url,
+            '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1), '\?(.*)$', 1) AS query
+        FROM u),
+        k AS (SELECT doc_id, scheme || '://' || host ||
+          (CASE WHEN port <> '' AND NOT ((scheme = 'https' AND port = '443')
+                OR (scheme = 'http' AND port = '80'))
+            THEN ':' || port ELSE '' END) ||
+          (CASE WHEN path0 = '' THEN '/'
+            ELSE regexp_replace(path0, '(.)/$', '\1') END) ||
+          (CASE WHEN q <> '' THEN '?' || q ELSE '' END) AS url_canon
+        FROM (SELECT *, array_to_string(list_sort(list_filter(
+            string_split(query, '&'),
+            p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&') AS q FROM c)),
+        d AS (SELECT doc_id, url_canon,
+          regexp_extract(regexp_extract(regexp_extract(url_canon,
+            '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1), '^([^:]*)', 1),
+            '([^.]+\.[^.]+)$', 1) AS domain
+        FROM k),
+        r AS (SELECT doc_id, url_canon, domain,
+          CAST(row_number() OVER (PARTITION BY domain
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS domain_rank
+        FROM d)
+        SELECT doc_id, url_canon, domain, domain_rank,
+          domain_rank <= 10 AS kept
+        FROM r ORDER BY doc_id""",
     // the oracle rebuilds the same injected-PII text, then replays the
     // two-stage redaction (emails first) with RE2 'g' replaces — the
     // patterns are restricted to the Java-regex/RE2 common subset

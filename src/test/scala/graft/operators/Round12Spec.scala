@@ -145,6 +145,101 @@ class Round12Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  /** Joint-fusion fixture corpus at the ROT seam: masters 0-3 are blob
+    * videos each carrying its own PCM track; 20 is master 0 rotated
+    * 17 deg with the SAME track (reupload), 21 is fresh frames over
+    * master 1's track (same_audio), 22 is master 2 rotated -8 deg +
+    * 1.2x under a REPLACED track (same_video), 23 is unrelated. */
+  private def jointRotMedia: DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    def mk(id: Long): Array[Byte] = id match {
+      case 20L => Multimodal.aviRotateResizeDib(
+        Multimodal.syntheticAviBlobs(0, 6), 17.0,
+        audioId = 0L, audioSamples = 320)
+      case 21L => Multimodal.syntheticAviBlobs(21, 6,
+        audioId = 1L, audioSamples = 384)
+      case 22L => Multimodal.aviRotateResizeDib(
+        Multimodal.syntheticAviBlobs(2, 6), -8.0, 1.2,
+        audioId = 99L, audioSamples = 320)
+      case 23L => Multimodal.syntheticAviBlobs(23, 6,
+        audioId = 98L, audioSamples = 320)
+      case i => Multimodal.syntheticAviBlobs(i, 6,
+        audioId = i, audioSamples = (320 + (i % 4) * 64).toInt)
+    }
+    ((0L until 4L) ++ (20L until 24L)).map(id => (id, mk(id)))
+      .toDF("doc_id", "payload")
+  }
+
+  test("joint fusion at the rot-constellation seam classifies tilted re-uploads (m162)") {
+    implicit val s: SparkSession = spark
+    val out = Multimodal.videoJointRotNearDup(jointRotMedia, maxDf = 64)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getString(4)))
+      .toMap
+    info(s"verdicts: ${out.toSeq.sortBy(_._1).mkString(" ")}")
+    assert(out.get((0L, 20L)).contains("reupload"), s"got $out")
+    assert(out.get((1L, 21L)).contains("same_audio"), s"got $out")
+    assert(out.get((2L, 22L)).contains("same_video"), s"got $out")
+    assert(!out.keySet.exists(p => p._1 == 23L || p._2 == 23L),
+      s"unrelated doc paired: $out")
+    assert(out.size == 3, s"unexpected extra pairs: $out")
+    // the ALIGNED fusion tier (m95) provably misses both rotated
+    // frame legs — (0,20) degrades to same_audio, (2,22) vanishes
+    val aligned = Multimodal.videoJointNearDup(jointRotMedia)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getString(4)))
+      .toMap
+    assert(aligned.get((0L, 20L)).forall(_ == "same_audio"),
+      s"aligned tier unexpectedly caught rotated frames: $aligned")
+    assert(!aligned.contains((2L, 22L)),
+      s"aligned tier unexpectedly caught the rotated re-dub: $aligned")
+  }
+
+  test("audio-carrying transform muxes keep frames AND track bit-exact (the m162 fixture contract)") {
+    // same audioId on a blob mux and syntheticAvi = the same PCM track
+    val a = Multimodal.containerAudioWav(
+      Multimodal.syntheticAviBlobs(7, 4, audioId = 5L, audioSamples = 320))
+    val b = Multimodal.containerAudioWav(
+      Multimodal.syntheticAvi(7, 4, audioId = 5L, audioSamples = 320))
+    assert(a.isDefined && b.isDefined && java.util.Arrays.equals(a.get, b.get))
+    // the audio knob changes no frame byte
+    val plain = Multimodal.containerFrames(
+      Multimodal.syntheticAviBlobs(7, 4)).get
+    val withAudio = Multimodal.containerFrames(
+      Multimodal.syntheticAviBlobs(7, 4, audioId = 5L,
+        audioSamples = 320)).get
+    assert(plain.length == withAudio.length &&
+      plain.zip(withAudio).forall(p => java.util.Arrays.equals(p._1, p._2)))
+  }
+
+  test("URL canonicalizer edge cases (t86 operator)") {
+    val sp = spark
+    import sp.implicits._
+    val cases = Seq(
+      // scheme/host case + www + default port + trailing slash + utm + fragment
+      ("HTTPS://WWW.Docs.Site.COM:443/A/b/?utm_x=1&b=2&a=1#f",
+        "https://docs.site.com/A/b?a=1&b=2"),
+      // non-default port KEPT; param order sorted
+      ("http://site.com:8080/p?z=1&a=2", "http://site.com:8080/p?a=2&z=1"),
+      // bare host -> root path; no query
+      ("http://Site.com", "http://site.com/"),
+      // root slash never stripped; all-utm query drops the '?'
+      ("https://site.com/?utm_a=1&utm_b=2", "https://site.com/"),
+      // a leading www. label strips only when >= 2 labels follow:
+      // www.com is a registrable name and must survive whole
+      ("http://www.x.com/q", "http://x.com/q"),
+      ("http://WWW.com/q", "http://www.com/q"))
+    val got = cases.map(_._1).toDF("url")
+      .select(TextAnalysis.canonicalizeUrl($"url").as("c"))
+      .collect().map(_.getString(0))
+    cases.zip(got).foreach { case ((in, want), g) =>
+      assert(g == want, s"canonicalizeUrl($in) = $g, want $want") }
+    val doms = got.toSeq.toDF("u")
+      .select(TextAnalysis.registeredDomain($"u").as("d"))
+      .collect().map(_.getString(0))
+    assert(doms.toSeq == Seq("site.com", "site.com", "site.com",
+      "site.com", "x.com", "www.com"), doms.toSeq.toString)
+  }
+
   test("folds=1 keeps chromaCodeAt bit-exact legacy behavior") {
     val mono = Multimodal.monoMix(Multimodal.decodeWav(
       Multimodal.syntheticWavBeats(3L, 8000, ms = 1248,

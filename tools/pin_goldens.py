@@ -37,6 +37,9 @@ QUERIES = [
                            # unknown-size Segment legs), aligned tier
     "m95_video_joint",     # audio+video fusion verdict (reupload /
                            # same_audio / same_video classification)
+    "m162_video_joint_rot", # the fusion verdict at the rotation-
+                           # invariant constellation seam (tilted /
+                           # rescaled re-uploads, track kept/replaced)
     "st77_stream_video_joint", # the fusion verdict in the streaming
                            # matrix (two tiers over one staged stream)
     "m100_video_index_dedup", # incremental video dedup vs the
@@ -134,6 +137,53 @@ QUERIES = [
                            # (window-channel landmark buckets)
     "m132_phash_thirds_crop", # extended thirds crop-window ladder:
                            # rule-of-thirds recomposition crops
+    "m133_thirds_crop_index",
+    "st98_stream_thirds_crop_dedup",
+    "m136_peak_crop_pairs",
+    "m138_video_peak_crop_neardup",
+    "st102_stream_video_peak_dedup",
+    "m145_scale_dihedral_pairs",
+    "m146_scale_index_dihedral",
+    "st107_stream_scale_dihedral_dedup",
+    "m149_scale_lossy_pairs",
+    "m158_audio_compound_interval",
+    "m159_audio_pitch_verified",
+    "m160_aspect_norm_pairs",
+    "m156_video_aspect_pairs",
+    "m157_video_aspect_index_dedup",
+    "st113_stream_video_aspect_dedup",
+    "m154_video_rot_pairs",
+    "m155_video_rot_index_dedup",
+    "st112_stream_video_rot_dedup",
+    "m152_aspect_pairs",
+    "m153_aspect_index_dedup",
+    "st111_stream_aspect_dedup",
+    "m150_rot_scale_pairs",
+    "m151_rot_scale_index_dedup",
+    "st110_stream_rot_scale_dedup",
+    "st109_stream_scale_index_screen",
+    "m161_texture_scope_gate",
+    "st114_stream_winnow_index_screen",
+    "st115_stream_cdc_index_screen",
+    "m147_video_scale_pairs",
+    "m148_video_scale_index_dedup",
+    "st108_stream_video_scale_dedup",
+    "m140_peak_dihedral_crop_pairs",
+    "st105_stream_peak_lossy_dedup",
+    "m143_scale_crop_pairs",
+    "m144_scale_index_dedup",
+    "st106_stream_scale_dedup",
+    "m142_peak_lossy_index_dedup",
+    "m141_peak_lossy_crop_pairs",
+    "st104_stream_peak_dihedral_dedup",
+    "st103_stream_peak_index_screen",
+    "m139_video_peak_index_dedup",
+    "m137_peak_index_dedup",
+    "st101_stream_peak_crop_dedup",
+    "m135_quarter_tone_index",
+    "st100_stream_quarter_tone_dedup",
+    "m134_video_thirds_index",
+    "st99_stream_video_thirds_dedup",
 ]
 # e52 is 2000 rows; pin a deterministic 50-row sample (p_partkey % 40 == 0)
 SAMPLE = {"e52_keccak256": "p_partkey % 40 = 0"}
