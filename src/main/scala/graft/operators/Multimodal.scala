@@ -3800,18 +3800,32 @@ object Multimodal {
     * for quality >= ~0.92 (the m141 gate; the synthetic family's
     * near-aliased patches start colliding at 2-3), 2-3 buys margin at
     * lower qualities on corpora with genuinely independent content.
-    * What stays out: qualities low enough to move the peaks
-    * themselves (~< 0.85). */
+    * Qualities low enough to move the fine peaks themselves (~< 0.85)
+    * stay out of THIS tier — but are covered, measured in round 12,
+    * by the coarse-anchored constellation tier at a class-specific
+    * gate ([[imageScalePairs]] at minMatch 0.2 lands q 0.3-0.7 crops
+    * and crop+resizes, the m163 gate): coarse box-sum blob centers
+    * hold position under quantization that scrambles the 3x3 field. */
   def imagePeakPairsLossy(media: DataFrame, minMatch: Double = 0.5,
       maxDist: Int = 3, maxDf: Int = 0, radius: Int = 2,
       patchDesc: Int = 8)(implicit s: SparkSession): DataFrame = {
-    require(maxDist < 4, "4 x 16-bit chunks guarantee recall only for maxDist <= 3")
     val u = udf((p: Array[Byte]) => peakBlockDescriptors(p, radius, patchDesc))
     val rows = Materialize.eager(
       media.select(col("doc_id"), u(col("payload")).as("ds")))
       .filter(col("ds").isNotNull)
       .select(col("doc_id"), explode(col("ds")).as("pd"))
       .select(col("doc_id"), col("pd._1").as("pk"), col("pd._2").as("d"))
+    descriptorChunkPairScores(rows, minMatch, maxDist, maxDf)
+  }
+
+  /** Shared pair scorer of the gray-mean descriptor tiers: `rows` is
+    * (doc_id, pk, d) with d a 64-bit descriptor; candidates via the
+    * pHash 4x16-bit chunk equi-join (complete for hamming <= 3),
+    * verified with one bit_count, scored as DISTINCT matched peaks
+    * over the SMALLER side's peak count. */
+  private def descriptorChunkPairScores(rows: DataFrame,
+      minMatch: Double, maxDist: Int, maxDf: Int): DataFrame = {
+    require(maxDist < 4, "4 x 16-bit chunks guarantee recall only for maxDist <= 3")
     val nl = rows.groupBy(col("doc_id")).agg(count(lit(1)).as("nl"))
     val chunks = rows.select(col("doc_id"), col("pk"), col("d"), posexplode(
         array((0 until 4).map(c =>

@@ -2382,6 +2382,34 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // DEEP-lossy (JPEG q 0.5-0.7) arbitrary crops and crop+resizes —
+    // the class BOTH descriptor tiers declare out (below ~0.85 the
+    // fine 3x3 peaks move; m141 anchors break) — via the SAME
+    // constellation tier as m149 at the measured class gate 0.2:
+    // coarse box-sum blob centers hold position under quantization
+    // that scrambles the fine field (round-12 measurement: true
+    // fracs >= ~0.28 down to q0.3, false ceiling ~0.1 on the blob
+    // corpus — the 0.2 gate splits them; m149's 0.4 gate drops the
+    // deepest probes, the Round12Spec contrast). Pinned golden.
+    "m163_scale_deep_lossy_pairs" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val img = udf((id: Long) =>
+        if (id == 20L) Multimodal.jpegReencode(Multimodal.pngCropResize(
+          Multimodal.syntheticPngBlobs(0), 9, 13, 105, 117, 96, 104), 0.6f)
+        else if (id == 21L) Multimodal.jpegReencode(Multimodal.pngCropResize(
+          Multimodal.syntheticPngBlobs(1), 15, 7, 111, 103, 128, 128), 0.5f)
+        else if (id == 22L) Multimodal.jpegReencode(Multimodal.pngCropResize(
+          Multimodal.syntheticPngBlobs(2), 5, 21, 101, 125, 80, 80), 0.7f)
+        else if (id == 23L) Multimodal.jpegReencode(Multimodal.pngCropResize(
+          Multimodal.syntheticPngBlobs(3), 11, 11, 119, 119, 144, 144), 0.5f)
+        else Multimodal.syntheticPngBlobs(id))
+      val media = s.range(0, 8).union(s.range(20, 24))
+        .union(s.range(140, 142))
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      Multimodal.imageScalePairs(media, minMatch = 0.2, maxDf = 64)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // ARBITRARY-ANGLE rotation dedup (m150): rotation-invariant
     // constellation codes — angle DIFFERENCES relative to the A->B
     // direction (rotation cancels in the difference) with a third

@@ -211,6 +211,62 @@ class Round12Spec extends AnyFunSuite with BeforeAndAfterAll {
       plain.zip(withAudio).forall(p => java.util.Arrays.equals(p._1, p._2)))
   }
 
+  /** Deep-lossy fixture corpus: masters 0-7, probes 20-23 arbitrary
+    * crops of 0-3 (two same-size, two resized) JPEG re-encoded at
+    * q 0.5-0.7 — below every descriptor tier's floor — decoys 140+. */
+  private def deepLossyMedia: DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val rows =
+      (0L until 8L).map(id => (id, Multimodal.syntheticPngBlobs(id))) ++
+      Seq(
+        20L -> Multimodal.jpegReencode(Multimodal.pngCropResize(
+          Multimodal.syntheticPngBlobs(0), 9, 13, 105, 117, 96, 104), 0.6f),
+        21L -> Multimodal.jpegReencode(Multimodal.pngCropResize(
+          Multimodal.syntheticPngBlobs(1), 15, 7, 111, 103, 128, 128), 0.5f),
+        22L -> Multimodal.jpegReencode(Multimodal.pngCropResize(
+          Multimodal.syntheticPngBlobs(2), 5, 21, 101, 125, 80, 80), 0.7f),
+        23L -> Multimodal.jpegReencode(Multimodal.pngCropResize(
+          Multimodal.syntheticPngBlobs(3), 11, 11, 119, 119, 144, 144), 0.5f)) ++
+      (140L until 142L).map(id => (id, Multimodal.syntheticPngBlobs(id)))
+    rows.toDF("doc_id", "payload")
+  }
+
+  test("constellation tier at the 0.2 class gate lands DEEP-lossy crops the 0.4 gate drops (m163)") {
+    implicit val s: SparkSession = spark
+    val at02 = Multimodal.imageScalePairs(deepLossyMedia, minMatch = 0.2,
+        maxDf = 64).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val caught = (0L until 4L).count(id => at02.contains((id, id + 20)))
+    info(s"0.2 gate: $caught/4, pairs ${at02.toSeq.sortBy(_._1)}")
+    assert(caught == 4, s"deep-lossy probes missed at 0.2: $at02")
+    val falsePairs = at02.keySet.filterNot { case (a, b) => b - a == 20 && a < 4 }
+    assert(falsePairs.isEmpty, s"false pairs above the 0.2 gate: $falsePairs")
+    // the m149 operating gate (0.4, tuned for q >= 0.85) drops part
+    // of the class (probe 22's 80x80 downscale at q0.7 scores 0.308)
+    // — the reason the class gets its own measured gate
+    val at04 = Multimodal.imageScalePairs(deepLossyMedia, minMatch = 0.4,
+        maxDf = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val caught04 = (0L until 4L).count(id => at04((id, id + 20)))
+    info(s"0.4 gate: $caught04/4")
+    assert(caught04 < 4,
+      s"m149's 0.4 gate unexpectedly covers ALL deep-lossy probes — " +
+        "re-measure the m163 scope line")
+    // the fine descriptor tier at its m141 operating point misses the
+    // RESIZED legs structurally (patch pixels resample) and holds only
+    // sporadically on deep-lossy same-size crops (probe 20's q0.6
+    // survives; the q0.5/0.7 legs do not)
+    val fine = Multimodal.imagePeakPairsLossy(deepLossyMedia,
+        minMatch = 0.5, maxDist = 1, maxDf = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fineCaught = (0L until 4L).count(id => fine((id, id + 20)))
+    info(s"fine tier at m141 point: $fineCaught/4")
+    assert(fineCaught <= 1,
+      s"fine descriptor tier unexpectedly covers deep-lossy ($fineCaught/4) — " +
+        "re-measure the m163 scope line")
+  }
+
   test("URL canonicalizer edge cases (t86 operator)") {
     val sp = spark
     import sp.implicits._

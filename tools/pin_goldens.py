@@ -146,6 +146,7 @@ QUERIES = [
     "m146_scale_index_dihedral",
     "st107_stream_scale_dihedral_dedup",
     "m149_scale_lossy_pairs",
+    "m163_scale_deep_lossy_pairs",
     "m158_audio_compound_interval",
     "m159_audio_pitch_verified",
     "m160_aspect_norm_pairs",
@@ -222,8 +223,12 @@ def sql_for(name):
         f"CAST({c} AS {t}) AS {c}" for c, t in zip(cols, types))
     values = ",\n".join(
         "  (" + ", ".join(lit(v) for v in r) + ")" for r in rows)
+    # ORDER BY every column: the driver's compare sorts rows before
+    # hashing, so order is cosmetic — but a two-column prefix can tie
+    # (the m140 orient rows), and a total order keeps the emitted
+    # golden deterministic without hand-edits after regeneration
     return (f"SELECT {casts} FROM (VALUES\n{values}\n)"
-            f" AS t({', '.join(cols)}) ORDER BY {cols[0]}, {cols[1]}")
+            f" AS t({', '.join(cols)}) ORDER BY {', '.join(cols)}")
 
 entries = []
 for name in QUERIES:
