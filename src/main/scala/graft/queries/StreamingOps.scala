@@ -1511,6 +1511,32 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // NON-integer-semitone TRUE pitch on metronomic audio — the gap
+    // line PLANS carried after m159 ("the verify tier's shift scan
+    // only probes integer band offsets") measured CLOSED at default
+    // knobs: a HALF-semitone envelope-preserving shift (35/34, between
+    // every cyc=12 band) lands 8/8 at scores 0.95+ with zero false
+    // pairs — the pooled Pearson verify correlates log peak heights at
+    // resolved partials, not band-aligned energies, so a fractional
+    // band offset only attenuates, it does not scramble. Pinned
+    // golden.
+    "m164_audio_half_tone_verified" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val wav = udf((id: Long) =>
+        if (id < 20) Multimodal.syntheticWavBeats(id, 8000, ms = 1248,
+          uniformSegMs = 96)
+        else if (id < 128) Multimodal.syntheticWavBeats(id - 20, 44100,
+          ms = 1000, offsetMs = 50, pitchNum = 35, pitchDen = 34,
+          uniformSegMs = 96)
+        else Multimodal.syntheticWavBeats(id, 44100, ms = 1000,
+          uniformSegMs = 96))
+      val media = s.range(0, 8).union(s.range(20, 28))
+        .union(s.range(140, 144))
+        .select(col("id").as("doc_id"), wav(col("id")).as("payload"))
+      Multimodal.audioChromaVerifiedPairs(media)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Incremental screen vs the persisted INTERVAL-RATIO landmark
     // index — the m120 tier's index member (the m118 contract shape):
     // 8 beat masters indexed once (IntervalFpVersion-stamped), then

@@ -267,6 +267,40 @@ class Round12Spec extends AnyFunSuite with BeforeAndAfterAll {
         "re-measure the m163 scope line")
   }
 
+  test("verified chroma tier covers HALF-semitone true pitch at default knobs (m164)") {
+    implicit val s: SparkSession = spark
+    val sp = spark
+    import sp.implicits._
+    val rows =
+      (0L until 8L).map(id => (id, Multimodal.syntheticWavBeats(id, 8000,
+        ms = 1248, uniformSegMs = 96))) ++
+      (20L until 28L).map(id => (id, Multimodal.syntheticWavBeats(id - 20,
+        44100, ms = 1000, offsetMs = 50, pitchNum = 35, pitchDen = 34,
+        uniformSegMs = 96))) ++
+      (140L until 144L).map(id => (id, Multimodal.syntheticWavBeats(id,
+        44100, ms = 1000, uniformSegMs = 96)))
+    val m = rows.toDF("doc_id", "payload")
+    val got = Multimodal.audioChromaVerifiedPairs(m)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    val caught = (0L until 8L).count(id => got.contains((id, id + 20)))
+    info(s"half-semitone caught: $caught/8, " +
+      s"scores ${(0L until 8L).map(id => got.getOrElse((id, id + 20), 0.0))}")
+    assert(caught == 8, s"half-semitone pairs missed: $got")
+    val falsePairs = got.keySet.filterNot { case (a, b) => b - a == 20 && a < 8 }
+    assert(falsePairs.isEmpty, s"false pairs: $falsePairs")
+    // the single-window chroma CODE tier splits energy between bands
+    // on a fractional shift — its survival stays partial (the m158
+    // contrast shape), which is why the verify tier owns this class
+    val codes = Multimodal.audioChromaLandmarkPairs(m, maxDf = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val codeCaught = (0L until 8L).count(id => codes((id, id + 20)))
+    info(s"single-window code tier: $codeCaught/8")
+    assert(codeCaught <= 5,
+      s"code tier unexpectedly covers half-semitone ($codeCaught/8) — " +
+        "re-pin the m164 contrast")
+  }
+
   test("URL canonicalizer edge cases (t86 operator)") {
     val sp = spark
     import sp.implicits._

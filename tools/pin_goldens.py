@@ -149,6 +149,7 @@ QUERIES = [
     "m163_scale_deep_lossy_pairs",
     "m158_audio_compound_interval",
     "m159_audio_pitch_verified",
+    "m164_audio_half_tone_verified",
     "m160_aspect_norm_pairs",
     "m156_video_aspect_pairs",
     "m157_video_aspect_index_dedup",
