@@ -5044,6 +5044,96 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // STREAMING joint fusion at the ROT-constellation seam (st116 —
+    // st77 re-pointed at the m162 tiers): batch 1 delivers 4 blob
+    // masters each carrying its own PCM track, batch 2 the m162 probe
+    // shapes — 17-deg rotation + same track (reupload), fresh frames
+    // over master 1's track (same_audio), -8-deg + 1.2x under a
+    // replaced track (same_video), one unrelated. The two tiers drain
+    // CONCURRENTLY over their own source instances (the st77
+    // optimization); per-tier sink scoring at each tier's operating
+    // gate, then the same verdict fusion. Pinned golden.
+    "st116_stream_video_joint_rot" -> ((s0, dir) => { val s = streamSession(s0)
+      implicit val sp: SparkSession = s
+      val staged = stagingDir("graft-stream-jointrot")
+      val mk = udf((id: Long) => id match {
+        case 20L => Multimodal.aviRotateResizeDib(
+          Multimodal.syntheticAviBlobs(0, 6), 17.0,
+          audioId = 0L, audioSamples = 320)
+        case 21L => Multimodal.syntheticAviBlobs(21, 6,
+          audioId = 1L, audioSamples = 384)
+        case 22L => Multimodal.aviRotateResizeDib(
+          Multimodal.syntheticAviBlobs(2, 6), -8.0, 1.2,
+          audioId = 99L, audioSamples = 320)
+        case 23L => Multimodal.syntheticAviBlobs(23, 6,
+          audioId = 98L, audioSamples = 320)
+        case i => Multimodal.syntheticAviBlobs(i, 6,
+          audioId = i, audioSamples = (320 + (i % 4) * 64).toInt)
+      })
+      def stageBatch(ids: DataFrame, fname: String, ageMs: Long): Unit = {
+        val tmp = staged.resolve(fname + ".tmp")
+        ids.select(col("doc_id"), mk(col("doc_id")).as("payload"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, staged.resolve(fname))
+        staged.resolve(fname).toFile.deleteOnExit()
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        java.nio.file.Files.setLastModifiedTime(staged.resolve(fname),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - ageMs))
+      }
+      stageBatch(s.range(0, 4).select(col("id").as("doc_id")),
+        "a.parquet", 120000L)
+      stageBatch(s.range(20, 24).select(col("id").as("doc_id")),
+        "b.parquet", 0L)
+      val mediaSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("payload", BinaryType)))
+      def freshStream = s.readStream.schema(mediaSchema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+        .repartition(col("doc_id"))
+      val qv = graft.operators.StreamingNearDup.videoRotScaleVerdicts(
+          freshStream, "doc_id", "payload", maxBucket = 64)
+        .toDF().writeStream.outputMode("append")
+        .format("memory").queryName("st116_v").start()
+      val qa = graft.operators.StreamingNearDup.audioLandmarkVerdicts(
+          Multimodal.videoAudioTracks(freshStream), "doc_id", "payload",
+          maxBucket = 64)
+        .toDF().writeStream.outputMode("append")
+        .format("memory").queryName("st116_a").start()
+      try { qv.processAllAvailable(); qa.processAllAvailable() }
+      finally { qv.stop(); qa.stop() }
+      def dupOf(name: String, gate: Double): DataFrame = {
+        val nl = s.table(name).groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("nl"))
+        val nlSrc = s.table(name).select(col("doc_id").as("src_id"))
+          .groupBy(col("src_id")).agg(count(lit(1)).as("nl_src"))
+        s.table(name)
+          .select(col("doc_id").as("d"), explode(col("hits")).as("src"))
+          .groupBy(col("d"), col("src")).agg(count(lit(1)).as("c"))
+          .join(nl, col("d") === nl("doc_id")).drop("doc_id")
+          .join(nlSrc, col("src") === col("src_id"))
+          .filter(col("c").cast("double") / least(col("nl"), col("nl_src"))
+            >= gate)
+          .groupBy(col("d")).agg(min(col("src")).as("dup_src"))
+      }
+      val ids = s.range(0, 4).union(s.range(20, 24))
+        .select(col("id").as("doc_id"))
+      val v = dupOf("st116_v", 0.2)
+        .select(col("d").as("doc_id"), col("dup_src").as("video_src"))
+      val a = dupOf("st116_a", 0.6)
+        .select(col("d").as("doc_id"), col("dup_src").as("audio_src"))
+      ids.join(v, Seq("doc_id"), "left").join(a, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("video_src").isNotNull && col("audio_src").isNotNull,
+              lit("reupload"))
+            .when(col("audio_src").isNotNull, lit("same_audio"))
+            .when(col("video_src").isNotNull, lit("same_video"))
+            .otherwise(lit("kept")).as("verdict"),
+          col("video_src"), col("audio_src"))
+        .orderBy(col("doc_id"))
+    }),
+
     // STREAMING subtitle decontamination — the m97 check as a
     // STREAM-STATIC equi-join, the Structured-Streaming-native
     // decontamination form: media payloads arrive in micro-batches

@@ -42,6 +42,8 @@ QUERIES = [
                            # rescaled re-uploads, track kept/replaced)
     "st77_stream_video_joint", # the fusion verdict in the streaming
                            # matrix (two tiers over one staged stream)
+    "st116_stream_video_joint_rot", # the rot-seam fusion verdict
+                           # in the streaming matrix (m162 tiers)
     "m100_video_index_dedup", # incremental video dedup vs the
                            # persisted (frame_idx, chunk, ckey) index
     "m102_phash_flip_pairs", # flip-tolerant image near-dup (mirrored
