@@ -4622,6 +4622,52 @@ object Multimodal {
       })
   }
 
+  /** Luma-weighted x-spread / y-spread moments of an image — the
+    * squeeze estimator of the CANONICAL tier: weights are
+    * max(0, luma - mean) (the structure above the floor; a constant
+    * floor would pull both spreads toward the uniform w/sqrt(12) and
+    * dilute the estimate), and the returned factor s = sdY/sdX
+    * rescales x so the canonical rendering has equal spreads. An
+    * anisotropic resize by g multiplies sdX by 1/g and leaves sdY, so
+    * master and squeezed probe both land on the SAME canonical frame
+    * (up to resampling noise the quad quantizer absorbs); a UNIFORM
+    * resize scales both spreads equally and cancels. */
+  private[operators] def lumaMomentScale(luma: Array[Byte], w: Int,
+      h: Int): Double = {
+    var sum = 0L
+    var i = 0
+    while (i < luma.length) { sum += luma(i) & 0xff; i += 1 }
+    val mean = sum.toDouble / luma.length
+    var tw = 0.0; var mx = 0.0; var my = 0.0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = (luma(y * w + x) & 0xff) - mean
+        if (v > 0) { tw += v; mx += v * x; my += v * y }
+        x += 1
+      }
+      y += 1
+    }
+    if (tw <= 0) return 1.0
+    val cx = mx / tw; val cy = my / tw
+    var vx = 0.0; var vy = 0.0
+    y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = (luma(y * w + x) & 0xff) - mean
+        if (v > 0) {
+          val dx = x - cx; val dy = y - cy
+          vx += v * dx * dx; vy += v * dy * dy
+        }
+        x += 1
+      }
+      y += 1
+    }
+    if (vx <= 0 || vy <= 0) 1.0 else math.sqrt(vy / vx)
+  }
+
   /** Image near-dup pairs under UNKNOWN anisotropic resize — the m160
     * tier: both docs' peak clouds are moment-normalized to isotropic
     * before quad coding, so an off-fan squeeze (e.g. 1.37:1, outside
@@ -4632,7 +4678,11 @@ object Multimodal {
     * stays the exact-hypothesis VERIFY tier for known display
     * conversions (its identity readout doubles as the index shape);
     * this tier trades a few percent of estimator noise for factor
-    * freedom. */
+    * freedom. STRONG squeezes (~>= 1.5:1) stay out of THIS tier:
+    * neighboring blobs merge under the squeeze, the detected peak SET
+    * itself is damaged, and no post-detection geometry fix can
+    * resurrect it — [[imageScalePairsCanonical]] covers that class by
+    * resampling the IMAGE to moment-isotropic BEFORE detection. */
   def imageScalePairsNormalized(media: DataFrame, minMatch: Double = 0.3,
       maxDf: Int = 0, kTop: Int = 16, nNear: Int = 8,
       qStepR: Double = 0.15, nAng: Int = 24, smoothR: Int = 4,
@@ -4641,6 +4691,68 @@ object Multimodal {
     peakLandmarkPairScores(
       Materialize.eager(
         imageScaleLandmarksNormalized(media, kTop, nNear, qStepR, nAng,
+          smoothR, radius, minAvg).toDF()),
+      minMatch, maxDf, minShared)
+
+  /** Constellation landmarks over the CANONICAL (moment-isotropic)
+    * rendering — the STRONG-squeeze tier: [[lumaMomentScale]]
+    * estimates the x-rescale that equalizes the luma spreads, the
+    * image itself resamples through the deterministic bilinear kernel
+    * ([[cropResizeRgb]]), and detection + quad coding run on the
+    * canonical pixels. Because detection happens AFTER de-squeezing,
+    * blobs that MERGED under a >= ~1.5:1 squeeze separate again —
+    * the class where both the peak-cloud normalization (m160) and
+    * the explicit hypothesis fan (m152) lose the peak set itself
+    * (round-12 measurement: at 1.5-1.7:1 both score < 0.07 on half
+    * the blob corpus). Near-identity estimates skip the resample
+    * (|s - 1| <= ~2% — one quantizer step at the default qStepR),
+    * keeping masters' codes bit-identical to the plain scale tier's
+    * on isotropic-moment content. */
+  def imageScaleLandmarksCanonical(media: DataFrame, kTop: Int = 16,
+      nNear: Int = 8, qStepR: Double = 0.15, nAng: Int = 24,
+      smoothR: Int = 4, radius: Int = 6, minAvg: Int = 24)(
+      implicit s: SparkSession): Dataset[DocLandmark] = {
+    import s.implicits._
+    require(kTop >= 4, "kTop must be >= 4 (a constellation is a quad)")
+    require(nNear >= 3 && nNear <= 16, "nNear must be in 3..16 (a quad needs three co-peaks)")
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions(rows => rows.flatMap { r =>
+        decodeImage(r.payload) match {
+          case Some(img0) =>
+            val w0 = img0.getWidth; val h0 = img0.getHeight
+            val sc = lumaMomentScale(lumaPlane(img0), w0, h0)
+            // always UPSCALE the squeezed axis (x when sc >= 1, y
+            // otherwise): downscaling the wide axis instead would
+            // shrink the canonical rendering below the fixed detector
+            // scale and merge blobs all over again (a y-squeezed probe
+            // measured 0.264 under x-downscaling vs 1.0 here)
+            val img =
+              if (math.abs(sc - 1.0) <= 0.02) img0
+              else if (sc >= 1.0) cropResizeRgb(img0, 0, 0, w0, h0,
+                math.min(4 * w0, math.round(w0 * sc).toInt), h0)
+              else cropResizeRgb(img0, 0, 0, w0, h0, w0,
+                math.min(4 * h0, math.round(h0 / sc).toInt))
+            constellationCodes(
+              coarsePeakCells(lumaPlane(img), img.getWidth,
+                img.getHeight, smoothR, radius, minAvg),
+              kTop, nNear, qStepR, nAng).map(DocLandmark(r.doc_id, _))
+          case None => Iterator.empty
+        }
+      })
+  }
+
+  /** Image near-dup pairs under STRONG unknown anisotropic resize
+    * (the >= ~1.5:1 class) via [[imageScaleLandmarksCanonical]] —
+    * same posting-list scoring, hot-code cap, and smaller-set
+    * match_frac as the scale family. */
+  def imageScalePairsCanonical(media: DataFrame, minMatch: Double = 0.3,
+      maxDf: Int = 0, kTop: Int = 16, nNear: Int = 8,
+      qStepR: Double = 0.15, nAng: Int = 24, smoothR: Int = 4,
+      radius: Int = 6, minAvg: Int = 24, minShared: Int = 0)(
+      implicit s: SparkSession): DataFrame =
+    peakLandmarkPairScores(
+      Materialize.eager(
+        imageScaleLandmarksCanonical(media, kTop, nNear, qStepR, nAng,
           smoothR, radius, minAvg).toDF()),
       minMatch, maxDf, minShared)
 

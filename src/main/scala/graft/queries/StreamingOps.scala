@@ -2827,6 +2827,38 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // UNKNOWN STRONG (>= ~1.5:1) squeezes — the class the default
+    // hypothesis fan misses whole (an unknown factor is, by
+    // definition, not in the set — 0/4 at 1.5-1.7:1) and the
+    // peak-cloud normalization (m160) drops in part (blobs merge
+    // under the squeeze and the detected peak set itself is damaged;
+    // 3/4 here, doc-dependent) — via the CANONICAL tier (m165): the
+    // luma-moment squeeze estimate resamples the IMAGE to isotropic
+    // (always upscaling the squeezed axis) BEFORE detection, so
+    // merged blobs separate again. The fan WITH the true factor
+    // enumerated still covers (spec-pinned) — it stays the verify
+    // tier for known display conversions. Probes: 1.6:1 x-squeeze, 1.5:1 squeeze + 0.8x
+    // uniform, 1.7:1 + JPEG q0.85, 1.6:1 VERTICAL squeeze. Pinned
+    // golden.
+    "m165_scale_strong_squeeze" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val img = udf((id: Long) =>
+        if (id == 20L) Multimodal.pngCropResize(
+          Multimodal.syntheticPngBlobs(0), 0, 0, 128, 128, 80, 128)
+        else if (id == 21L) Multimodal.pngCropResize(
+          Multimodal.syntheticPngBlobs(1), 0, 0, 128, 128, 68, 102)
+        else if (id == 22L) Multimodal.jpegReencode(Multimodal.pngCropResize(
+          Multimodal.syntheticPngBlobs(2), 0, 0, 128, 128, 75, 128), 0.85f)
+        else if (id == 23L) Multimodal.pngCropResize(
+          Multimodal.syntheticPngBlobs(3), 0, 0, 128, 128, 128, 80)
+        else Multimodal.syntheticPngBlobs(id))
+      val media = s.range(0, 8).union(s.range(20, 24))
+        .union(s.range(140, 142))
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      Multimodal.imageScalePairsCanonical(media, minMatch = 0.3, maxDf = 64)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // ANAMORPHIC video dedup (m156): the aspect-hypothesis fan pooled
     // per sampled frame — a 4:3 master re-ripped at 16:9 (or the
     // reverse), one probe also trimmed two frames; the plain AND

@@ -301,6 +301,80 @@ class Round12Spec extends AnyFunSuite with BeforeAndAfterAll {
         "re-pin the m164 contrast")
   }
 
+  test("canonical tier lands UNKNOWN strong squeezes (m165): default fan 0/4, m160 partial, canonical 4/4") {
+    implicit val s: SparkSession = spark
+    val sp = spark
+    import sp.implicits._
+    val rows =
+      (0L until 8L).map(id => (id, Multimodal.syntheticPngBlobs(id))) ++
+      Seq(
+        20L -> Multimodal.pngCropResize(
+          Multimodal.syntheticPngBlobs(0), 0, 0, 128, 128, 80, 128),
+        21L -> Multimodal.pngCropResize(
+          Multimodal.syntheticPngBlobs(1), 0, 0, 128, 128, 68, 102),
+        22L -> Multimodal.jpegReencode(Multimodal.pngCropResize(
+          Multimodal.syntheticPngBlobs(2), 0, 0, 128, 128, 75, 128), 0.85f),
+        23L -> Multimodal.pngCropResize(
+          Multimodal.syntheticPngBlobs(3), 0, 0, 128, 128, 128, 80)) ++
+      (140L until 142L).map(id => (id, Multimodal.syntheticPngBlobs(id)))
+    val m = rows.toDF("doc_id", "payload")
+    val canon = Multimodal.imageScalePairsCanonical(m, minMatch = 0.3,
+        maxDf = 64).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val caught = (0L until 4L).count(id => canon.contains((id, id + 20)))
+    info(s"canonical: $caught/4, pairs ${canon.toSeq.sortBy(_._1)}")
+    assert(caught == 4, s"strong squeezes missed: $canon")
+    val falsePairs = canon.keySet.filterNot { case (a, b) => b - a == 20 && a < 4 }
+    assert(falsePairs.isEmpty, s"false pairs: $falsePairs")
+    // contrast: the peak-cloud normalization (m160) loses the peak set
+    // under the merge for PART of the class (doc-dependent — which
+    // blobs sit close enough to fuse): at least one probe drops
+    val norm = Multimodal.imageScalePairsNormalized(m, minMatch = 0.3,
+        maxDf = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val normCaught = (0L until 4L).count(id => norm((id, id + 20)))
+    info(s"m160 normalized tier: $normCaught/4")
+    assert(normCaught < 4,
+      s"m160 tier unexpectedly covers ALL strong squeezes — " +
+        "re-measure the m165 scope line")
+    // contrast: the fan at its DEFAULT display-conversion hypotheses
+    // (an UNKNOWN factor means nobody added 1.6 to the set) misses the
+    // whole class — 1.6:1 sits > 7% from every default readout
+    val fanDefault = Multimodal.imageScalePairsAspect(m, minMatch = 0.3,
+        maxDf = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fanDefCaught = (0L until 4L).count(id => fanDefault((id, id + 20)))
+    info(s"m152 fan at default hyps: $fanDefCaught/4")
+    assert(fanDefCaught == 0,
+      s"default fan unexpectedly covers 1.5-1.7:1 squeezes " +
+        s"($fanDefCaught/4) — re-pick the m165 factors")
+    // and WITH the true factor enumerated the fan still covers — the
+    // PLANS verify-tier claim holds; the canonical tier's new ground
+    // is strictly the UNKNOWN-factor strong class
+    val fanTrue = Multimodal.imageScalePairsAspect(m, minMatch = 0.3,
+        maxDf = 64, hyps = Seq(1.0, 1.6, 1.0 / 1.6)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fanTrueCaught = (0L until 4L).count(id => fanTrue((id, id + 20)))
+    info(s"m152 fan at true factors: $fanTrueCaught/4")
+    assert(fanTrueCaught == 4,
+      s"fan WITH the true factors should stay the verify tier " +
+        s"($fanTrueCaught/4) — the m152 contract regressed")
+    // the canonical tier must keep covering the MODERATE off-fan class
+    // (the m160 fixtures) — it supersedes, not complements
+    val rows2 =
+      (0L until 8L).map(id => (id, Multimodal.syntheticPngBlobs(id))) ++
+      Seq(20L -> 107, 21L -> 107, 22L -> 149, 23L -> 149).map {
+        case (id, w) => (id, Multimodal.pngCropResize(
+          Multimodal.syntheticPngBlobs(id - 20), 0, 0, 128, 128, w, 128))
+      } ++
+      (140L until 142L).map(id => (id, Multimodal.syntheticPngBlobs(id)))
+    val c2 = Multimodal.imageScalePairsCanonical(rows2.toDF("doc_id", "payload"),
+        minMatch = 0.3, maxDf = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0L until 4L).forall(id => c2((id, id + 20))),
+      s"canonical tier lost the m160 moderate class: $c2")
+  }
+
   test("URL canonicalizer edge cases (t86 operator)") {
     val sp = spark
     import sp.implicits._

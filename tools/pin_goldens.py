@@ -149,6 +149,8 @@ QUERIES = [
     "st107_stream_scale_dihedral_dedup",
     "m149_scale_lossy_pairs",
     "m163_scale_deep_lossy_pairs",
+    "m165_scale_strong_squeeze", # canonical (moment-isotropic
+                           # resample before detection) squeeze tier
     "m158_audio_compound_interval",
     "m159_audio_pitch_verified",
     "m164_audio_half_tone_verified",
