@@ -4756,6 +4756,51 @@ object Multimodal {
           smoothR, radius, minAvg).toDF()),
       minMatch, maxDf, minShared)
 
+  /** Version stamp for the CANONICAL (moment-isotropic) constellation
+    * family ([[imageScaleLandmarksCanonical]] — squeeze estimator,
+    * resample kernel, detection core, quad packing): namespaced
+    * (canonical = 11100 + v); 11101 = v1. Distinct from the plain
+    * constellation family's 11002 — canonical codes of anisotropic
+    * content never match plain codes, so cross-family screens must
+    * fail fast. Parameters are build choices, not covered. */
+  val CanonFpVersion: Int = 11101
+
+  /** Persisted CANONICAL constellation index — the incremental member
+    * of the m165 tier: corpus masters fingerprint once on their
+    * moment-isotropic renderings, and
+    * [[dedupAgainstImageCanonicalIndex]] screens every ingest batch —
+    * a re-upload squeezed by an UNKNOWN strong factor is caught with
+    * no corpus re-decode. [[IncrementalIndex.append]]-compatible;
+    * stamped [[CanonFpVersion]]. */
+  def imageCanonicalLandmarkIndex(media: DataFrame, kTop: Int = 16,
+      nNear: Int = 8, qStepR: Double = 0.15, nAng: Int = 24,
+      smoothR: Int = 4, radius: Int = 6, minAvg: Int = 24)(
+      implicit s: SparkSession): DataFrame = {
+    val lms = Materialize.eager(
+      imageScaleLandmarksCanonical(media, kTop, nNear, qStepR, nAng,
+        smoothR, radius, minAvg).toDF())
+    lms.join(lms.groupBy(col("doc_id")).agg(count(lit(1)).as("nl")),
+        Seq("doc_id"))
+      .select(col("lm"), col("doc_id"), col("nl"),
+        lit(CanonFpVersion).as("fp_ver"))
+  }
+
+  /** Screen an ingest batch against a pre-built
+    * [[imageCanonicalLandmarkIndex]] — same contract as the plain
+    * scale screen ([[dedupAgainstImageScaleIndex]]), both sides on
+    * their canonical renderings. Enforces [[CanonFpVersion]]. */
+  def dedupAgainstImageCanonicalIndex(media: DataFrame,
+      index: DataFrame, minMatch: Double = 0.3, kTop: Int = 16,
+      nNear: Int = 8, qStepR: Double = 0.15, nAng: Int = 24,
+      smoothR: Int = 4, radius: Int = 6, minAvg: Int = 24,
+      minShared: Int = 0)(implicit s: SparkSession): DataFrame =
+    screenScaleIndex(
+      Materialize.eager(
+        imageScaleLandmarksCanonical(media, kTop, nNear, qStepR, nAng,
+          smoothR, radius, minAvg).toDF()),
+      index, minMatch, "imageCanonicalLandmarkIndex", minShared,
+      CanonFpVersion)
+
   /** [[imageScalePairs]] extended to ANISOTROPIC resize — the
     * aspect-squeeze class (m152): candidates bucket by quad code with
     * the lower doc's IDENTITY codes on one side and any of the higher

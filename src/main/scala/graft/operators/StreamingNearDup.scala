@@ -541,6 +541,44 @@ object StreamingNearDup {
       }
   }
 
+  /** STREAMING unknown-strong-squeeze dedup — the CANONICAL tier
+    * (m165) in the streaming matrix: every arrival fingerprints on
+    * its moment-isotropic rendering
+    * (`Multimodal.imageScaleLandmarksCanonical` — squeeze estimate +
+    * one deterministic bilinear resample, then one detection pass),
+    * so a later re-delivery squeezed by an UNKNOWN >= ~1.5:1 factor —
+    * where the aspect-hypothesis streaming tier is blind (the factor
+    * is not in its set) and squeeze-merged blobs break the
+    * cloud-normalized geometry — lands in its master's buckets. Emits
+    * [[LandmarkHits]]; consumers score shared distinct landmarks over
+    * the smaller set at the tier's 0.3 gate. Same id-monotonic
+    * determinism contract and `maxBucket` / [[foldBucket]] cap as the
+    * family. */
+  def imageCanonicalVerdicts(media: DataFrame, idCol: String,
+      payloadCol: String, kTop: Int = 16, nNear: Int = 8,
+      qStepR: Double = 0.15, nAng: Int = 24, smoothR: Int = 4,
+      radius: Int = 6, minAvg: Int = 24,
+      maxBucket: Int = 0): Dataset[LandmarkHits] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val lms = Multimodal.imageScaleLandmarksCanonical(
+      media.select(col(idCol).cast("long").as("doc_id"),
+        col(payloadCol).as("payload")), kTop, nNear, qStepR, nAng,
+      smoothR, radius, minAvg)
+      .as[(Long, Long)]
+    lms.groupByKey(_._2)
+      .flatMapGroupsWithState[List[Long], LandmarkHits](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (lm, rows, state: GroupState[List[Long]]) =>
+          val (seen, out) = foldBucket(state.getOption.getOrElse(Nil),
+            rows.toSeq.map(_._1).sorted, maxBucket)(
+            (id, hits) => LandmarkHits(id, lm, hits))
+          state.update(seen)
+          out.iterator
+      }
+  }
+
   /** STREAMING aspect-squeeze dedup — the m152 tier in the streaming
     * matrix: every arrival probes quad-code buckets with its
     * aspect-HYPOTHESIS readouts (`Multimodal.imageScaleLandmarksAspect`

@@ -2859,6 +2859,34 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Persisted CANONICAL constellation index + ingest screen (m166)
+    // — the m165 tier's incremental member (CanonFpVersion): 8 blob
+    // masters fingerprint once on their moment-isotropic renderings,
+    // then an ingest batch of 4 unknown-strong-squeeze re-uploads
+    // (the m165 probe shapes) plus 2 fresh docs screens with no
+    // corpus re-decode. Pinned golden.
+    "m166_canonical_index_dedup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val img = udf((id: Long) =>
+        if (id == 20L) Multimodal.pngCropResize(
+          Multimodal.syntheticPngBlobs(0), 0, 0, 128, 128, 80, 128)
+        else if (id == 21L) Multimodal.pngCropResize(
+          Multimodal.syntheticPngBlobs(1), 0, 0, 128, 128, 68, 102)
+        else if (id == 22L) Multimodal.jpegReencode(Multimodal.pngCropResize(
+          Multimodal.syntheticPngBlobs(2), 0, 0, 128, 128, 75, 128), 0.85f)
+        else if (id == 23L) Multimodal.pngCropResize(
+          Multimodal.syntheticPngBlobs(3), 0, 0, 128, 128, 128, 80)
+        else Multimodal.syntheticPngBlobs(id))
+      val corpus = s.range(0, 8)
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      val index = Multimodal.imageCanonicalLandmarkIndex(corpus)
+      val probes = s.range(20, 24).union(s.range(130, 132))
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      Multimodal.dedupAgainstImageCanonicalIndex(probes, index,
+          minMatch = 0.3)
+        .orderBy(col("doc_id"))
+    }),
+
     // ANAMORPHIC video dedup (m156): the aspect-hypothesis fan pooled
     // per sampled frame — a 4:3 master re-ripped at 16:9 (or the
     // reverse), one probe also trimmed two frames; the plain AND
@@ -5073,6 +5101,78 @@ object StreamingOps extends QueryPack {
             .when(col("video_src").isNotNull, lit("same_video"))
             .otherwise(lit("kept")).as("verdict"),
           col("video_src"), col("audio_src"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // STREAMING unknown-strong-squeeze dedup (st117 — the m165
+    // canonical tier in the streaming matrix): micro-batch 1 delivers
+    // 6 blob masters (canonical codes enter bucket state),
+    // micro-batch 2 their 1.5-1.7:1 squeezed re-deliveries (one
+    // +uniform, one +JPEG, one vertical — the m165 shapes), which the
+    // aspect-hypothesis streaming tier is structurally blind to at
+    // any default set. Consumer scores shared distinct landmarks over
+    // the smaller set at the tier's 0.3 gate. Pinned golden.
+    "st117_stream_canonical_dedup" -> ((s0, dir) => { val s = streamSession(s0)
+      import s.implicits._
+      val name = "st117_out"
+      val staged = stagingDir("graft-stream-canon")
+      val img = udf((id: Long) =>
+        if (id < 1000000L) Multimodal.syntheticPngBlobs(id)
+        else {
+          val m = id - 1000000L
+          (m % 4) match {
+            case 0 => Multimodal.pngCropResize(
+              Multimodal.syntheticPngBlobs(m), 0, 0, 128, 128, 80, 128)
+            case 1 => Multimodal.pngCropResize(
+              Multimodal.syntheticPngBlobs(m), 0, 0, 128, 128, 68, 102)
+            case 2 => Multimodal.jpegReencode(Multimodal.pngCropResize(
+              Multimodal.syntheticPngBlobs(m), 0, 0, 128, 128, 75, 128),
+              0.85f)
+            case _ => Multimodal.pngCropResize(
+              Multimodal.syntheticPngBlobs(m), 0, 0, 128, 128, 128, 80)
+          }
+        })
+      def stageBatch(ids: org.apache.spark.sql.Dataset[java.lang.Long],
+          fname: String, ageMs: Long): Unit = {
+        val tmp = staged.resolve(fname + ".tmp")
+        ids.toDF("doc_id").select(col("doc_id"), img(col("doc_id")).as("payload"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, staged.resolve(fname))
+        staged.resolve(fname).toFile.deleteOnExit()
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        java.nio.file.Files.setLastModifiedTime(staged.resolve(fname),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - ageMs))
+      }
+      stageBatch(s.range(0, 6).as[java.lang.Long], "a.parquet", 120000L)
+      stageBatch(s.range(1000000L, 1000006L).as[java.lang.Long], "b.parquet", 0L)
+      val mediaSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("payload", BinaryType)))
+      val stream = s.readStream.schema(mediaSchema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+        .repartition(col("doc_id"))
+      val hits = graft.operators.StreamingNearDup.imageCanonicalVerdicts(
+        stream, "doc_id", "payload", maxBucket = 64)
+      val q = hits.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+      val nl = s.table(name).groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("nl"))
+      val nlSrc = s.table(name).select(col("doc_id").as("src_id"))
+        .groupBy(col("src_id")).agg(count(lit(1)).as("nl_src"))
+      val dup = s.table(name)
+        .select(col("doc_id").as("d"), explode(col("hits")).as("src"))
+        .groupBy(col("d"), col("src")).agg(count(lit(1)).as("c"))
+        .join(nl, col("d") === nl("doc_id")).drop("doc_id")
+        .join(nlSrc, col("src") === col("src_id"))
+        .filter(col("c").cast("double") / least(col("nl"), col("nl_src"))
+          >= 0.3)
+        .groupBy(col("d")).agg(min(col("src")).as("dup_src"))
+      nl.join(dup, col("doc_id") === col("d"), "left")
+        .select(col("doc_id"), col("dup_src").isNull.as("kept"),
+          col("dup_src"))
         .orderBy(col("doc_id"))
     }),
 

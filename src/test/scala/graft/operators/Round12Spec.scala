@@ -375,6 +375,41 @@ class Round12Spec extends AnyFunSuite with BeforeAndAfterAll {
       s"canonical tier lost the m160 moderate class: $c2")
   }
 
+  test("canonical index stamps its own family and cross-screens fail fast (m166)") {
+    implicit val s: SparkSession = spark
+    val sp = spark
+    import sp.implicits._
+    val corpus = (0L until 4L)
+      .map(id => (id, Multimodal.syntheticPngBlobs(id)))
+      .toDF("doc_id", "payload")
+    val canonIdx = Multimodal.imageCanonicalLandmarkIndex(corpus)
+    assert(canonIdx.select("fp_ver").distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(Multimodal.CanonFpVersion))
+    val plainIdx = Multimodal.imageScaleLandmarkIndex(corpus)
+    val probe = Seq((20L, Multimodal.syntheticPngBlobs(0L)))
+      .toDF("doc_id", "payload")
+    // canonical screen vs plain index: reject
+    val e1 = intercept[IllegalArgumentException] {
+      Multimodal.dedupAgainstImageCanonicalIndex(probe, plainIdx).collect()
+    }
+    assert(e1.getMessage.contains("imageCanonicalLandmarkIndex"))
+    // plain screen vs canonical index: reject
+    val e2 = intercept[IllegalArgumentException] {
+      Multimodal.dedupAgainstImageScaleIndex(probe, canonIdx).collect()
+    }
+    assert(e2.getMessage.contains("imageScaleLandmarkIndex"))
+    // append == rebuild on the canonical index
+    val more = (4L until 6L)
+      .map(id => (id, Multimodal.syntheticPngBlobs(id)))
+      .toDF("doc_id", "payload")
+    val appended = canonIdx.unionByName(
+      Multimodal.imageCanonicalLandmarkIndex(more))
+    val rebuilt = Multimodal.imageCanonicalLandmarkIndex(
+      corpus.unionByName(more))
+    assert(appended.select("lm", "doc_id", "nl", "fp_ver").collect().toSet ==
+      rebuilt.select("lm", "doc_id", "nl", "fp_ver").collect().toSet)
+  }
+
   test("URL canonicalizer edge cases (t86 operator)") {
     val sp = spark
     import sp.implicits._

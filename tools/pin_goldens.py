@@ -151,6 +151,10 @@ QUERIES = [
     "m163_scale_deep_lossy_pairs",
     "m165_scale_strong_squeeze", # canonical (moment-isotropic
                            # resample before detection) squeeze tier
+    "m166_canonical_index_dedup", # canonical index + unknown-
+                           # squeeze ingest screen (CanonFpVersion)
+    "st117_stream_canonical_dedup", # the canonical tier in the
+                           # streaming matrix (squeezed re-delivery)
     "m158_audio_compound_interval",
     "m159_audio_pitch_verified",
     "m164_audio_half_tone_verified",
