@@ -4708,6 +4708,32 @@ object Multimodal {
     * (|s - 1| <= ~2% — one quantizer step at the default qStepR),
     * keeping masters' codes bit-identical to the plain scale tier's
     * on isotropic-moment content. */
+  /** Canonical-rendering constellation codes of ONE decoded image —
+    * the shared kernel of the m165 family (pairs, index, streaming,
+    * and the video pooling): moment estimate, conditional resample,
+    * detection, quad coding. */
+  private def canonicalCodes(img0: java.awt.image.BufferedImage,
+      kTop: Int, nNear: Int, qStepR: Double, nAng: Int, smoothR: Int,
+      radius: Int, minAvg: Int): Iterator[Long] = {
+    val w0 = img0.getWidth; val h0 = img0.getHeight
+    val sc = lumaMomentScale(lumaPlane(img0), w0, h0)
+    // always UPSCALE the squeezed axis (x when sc >= 1, y
+    // otherwise): downscaling the wide axis instead would
+    // shrink the canonical rendering below the fixed detector
+    // scale and merge blobs all over again (a y-squeezed probe
+    // measured 0.264 under x-downscaling vs 1.0 here)
+    val img =
+      if (math.abs(sc - 1.0) <= 0.02) img0
+      else if (sc >= 1.0) cropResizeRgb(img0, 0, 0, w0, h0,
+        math.min(4 * w0, math.round(w0 * sc).toInt), h0)
+      else cropResizeRgb(img0, 0, 0, w0, h0, w0,
+        math.min(4 * h0, math.round(h0 / sc).toInt))
+    constellationCodes(
+      coarsePeakCells(lumaPlane(img), img.getWidth,
+        img.getHeight, smoothR, radius, minAvg),
+      kTop, nNear, qStepR, nAng)
+  }
+
   def imageScaleLandmarksCanonical(media: DataFrame, kTop: Int = 16,
       nNear: Int = 8, qStepR: Double = 0.15, nAng: Int = 24,
       smoothR: Int = 4, radius: Int = 6, minAvg: Int = 24)(
@@ -4719,27 +4745,60 @@ object Multimodal {
       .mapPartitions(rows => rows.flatMap { r =>
         decodeImage(r.payload) match {
           case Some(img0) =>
-            val w0 = img0.getWidth; val h0 = img0.getHeight
-            val sc = lumaMomentScale(lumaPlane(img0), w0, h0)
-            // always UPSCALE the squeezed axis (x when sc >= 1, y
-            // otherwise): downscaling the wide axis instead would
-            // shrink the canonical rendering below the fixed detector
-            // scale and merge blobs all over again (a y-squeezed probe
-            // measured 0.264 under x-downscaling vs 1.0 here)
-            val img =
-              if (math.abs(sc - 1.0) <= 0.02) img0
-              else if (sc >= 1.0) cropResizeRgb(img0, 0, 0, w0, h0,
-                math.min(4 * w0, math.round(w0 * sc).toInt), h0)
-              else cropResizeRgb(img0, 0, 0, w0, h0, w0,
-                math.min(4 * h0, math.round(h0 / sc).toInt))
-            constellationCodes(
-              coarsePeakCells(lumaPlane(img), img.getWidth,
-                img.getHeight, smoothR, radius, minAvg),
-              kTop, nNear, qStepR, nAng).map(DocLandmark(r.doc_id, _))
+            canonicalCodes(img0, kTop, nNear, qStepR, nAng, smoothR,
+              radius, minAvg).map(DocLandmark(r.doc_id, _))
           case None => Iterator.empty
         }
       })
   }
+
+  /** CANONICAL constellation landmarks pooled per VIDEO document —
+    * the m165 tier lifted to the frame sequence (the m147 pooling
+    * shape): every sampled frame renders to its own moment-isotropic
+    * canonical before detection, so an ANAMORPHIC rip at an UNKNOWN
+    * factor (the class the m156 aspect fan covers only for enumerated
+    * display conversions) lands where both the plain and fan video
+    * constellation tiers miss. One container walk, codes pooled
+    * DISTINCT; per-frame estimates are independent, which a constant
+    * anamorphic squeeze leaves aligned across frames. */
+  def videoScaleLandmarksCanonical(media: DataFrame, every: Int = 2,
+      kTop: Int = 16, nNear: Int = 8, qStepR: Double = 0.15,
+      nAng: Int = 24, smoothR: Int = 4, radius: Int = 6,
+      minAvg: Int = 24)(implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    require(every >= 1, "every must be >= 1")
+    require(kTop >= 4, "kTop must be >= 4 (a constellation is a quad)")
+    require(nNear >= 3 && nNear <= 16, "nNear must be in 3..16 (a quad needs three co-peaks)")
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions(rows => rows.flatMap { r =>
+        containerFrames(r.payload) match {
+          case Some(fs) =>
+            val set = scala.collection.mutable.LinkedHashSet.empty[Long]
+            fs.iterator.zipWithIndex.filter(_._2 % every == 0)
+              .foreach { f =>
+                decodeImage(f._1).foreach { img =>
+                  canonicalCodes(img, kTop, nNear, qStepR, nAng,
+                    smoothR, radius, minAvg).foreach(set += _)
+                }
+              }
+            set.iterator.map(lm => (r.doc_id, lm))
+          case None => Iterator.empty
+        }
+      }).toDF("doc_id", "lm")
+  }
+
+  /** Video near-dup pairs under UNKNOWN anamorphic re-encodes (m167)
+    * via [[videoScaleLandmarksCanonical]] — the shared peak scorer at
+    * the canonical tier's 0.3 gate. */
+  def videoScalePairsCanonical(media: DataFrame, minMatch: Double = 0.3,
+      every: Int = 2, maxDf: Int = 0, kTop: Int = 16, nNear: Int = 8,
+      qStepR: Double = 0.15, nAng: Int = 24, smoothR: Int = 4,
+      radius: Int = 6, minAvg: Int = 24, minShared: Int = 0)(
+      implicit s: SparkSession): DataFrame =
+    peakLandmarkPairScores(
+      Materialize.eager(videoScaleLandmarksCanonical(media, every,
+        kTop, nNear, qStepR, nAng, smoothR, radius, minAvg)),
+      minMatch, maxDf, minShared)
 
   /** Image near-dup pairs under STRONG unknown anisotropic resize
     * (the >= ~1.5:1 class) via [[imageScaleLandmarksCanonical]] —

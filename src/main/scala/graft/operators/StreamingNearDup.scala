@@ -579,6 +579,40 @@ object StreamingNearDup {
       }
   }
 
+  /** STREAMING unknown-anamorphic VIDEO dedup — the m167 tier in the
+    * streaming matrix: every arriving video pools canonical
+    * (moment-isotropic per frame) constellation codes
+    * (`Multimodal.videoScaleLandmarksCanonical`, one container walk)
+    * into bucket state, so an anamorphic rip at an UNKNOWN factor
+    * lands in its master's buckets where the aspect-fan streaming
+    * tier is blind. Emits [[LandmarkHits]]; consumers score at the
+    * canonical tier's 0.3 gate. Same contract and `maxBucket` cap as
+    * the family. */
+  def videoCanonicalVerdicts(media: DataFrame, idCol: String,
+      payloadCol: String, every: Int = 2, kTop: Int = 16,
+      nNear: Int = 8, qStepR: Double = 0.15, nAng: Int = 24,
+      smoothR: Int = 4, radius: Int = 6, minAvg: Int = 24,
+      maxBucket: Int = 0): Dataset[LandmarkHits] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val lms = Multimodal.videoScaleLandmarksCanonical(
+      media.select(col(idCol).cast("long").as("doc_id"),
+        col(payloadCol).as("payload")), every, kTop, nNear, qStepR,
+      nAng, smoothR, radius, minAvg)
+      .as[(Long, Long)]
+    lms.groupByKey(_._2)
+      .flatMapGroupsWithState[List[Long], LandmarkHits](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (lm, rows, state: GroupState[List[Long]]) =>
+          val (seen, out) = foldBucket(state.getOption.getOrElse(Nil),
+            rows.toSeq.map(_._1).sorted, maxBucket)(
+            (id, hits) => LandmarkHits(id, lm, hits))
+          state.update(seen)
+          out.iterator
+      }
+  }
+
   /** STREAMING aspect-squeeze dedup — the m152 tier in the streaming
     * matrix: every arrival probes quad-code buckets with its
     * aspect-HYPOTHESIS readouts (`Multimodal.imageScaleLandmarksAspect`

@@ -2887,6 +2887,97 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // UNKNOWN-anamorphic VIDEO dedup (m167 — the m165 canonical tier
+    // lifted to the frame sequence): 1.6:1 horizontal and vertical
+    // anamorphic rips plus a 1.7:1 + 2-frame-trim compound, factors
+    // deliberately outside the m156 fan's default display-conversion
+    // set (fan-best measures 0.05-0.09 vs canonical 0.52-0.87; false
+    // ceiling 0.018). Per-frame moment-isotropic canonicals pooled
+    // distinct, one container walk. Pinned golden.
+    "m167_video_canonical_pairs" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val img = udf((id: Long) =>
+        if (id == 20L) Multimodal.aviCropResizeDib(
+          Multimodal.syntheticAviBlobs(0, 6), 0, 0, 96, 96, 60, 96)
+        else if (id == 21L) Multimodal.aviCropResizeDib(
+          Multimodal.syntheticAviBlobs(1, 6), 0, 0, 96, 96, 96, 60)
+        else if (id == 22L) Multimodal.aviCropResizeDib(
+          Multimodal.syntheticAviBlobs(2, 6), 0, 0, 96, 96, 56, 90, 2)
+        else Multimodal.syntheticAviBlobs(id, 6))
+      val media = s.range(0, 6).union(s.range(20, 23))
+        .union(s.range(140, 142))
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      Multimodal.videoScalePairsCanonical(media, minMatch = 0.3,
+          maxDf = 64)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // STREAMING unknown-anamorphic video dedup (st118 — the m167 tier
+    // in the streaming matrix): micro-batch 1 delivers 6 blob-video
+    // masters, micro-batch 2 their anamorphic re-deliveries at
+    // factors outside any default fan. Consumer scores at the
+    // canonical 0.3 gate. Pinned golden.
+    "st118_stream_video_canonical_dedup" -> ((s0, dir) => { val s = streamSession(s0)
+      import s.implicits._
+      val name = "st118_out"
+      val staged = stagingDir("graft-stream-vcanon")
+      val img = udf((id: Long) =>
+        if (id < 1000000L) Multimodal.syntheticAviBlobs(id, 6)
+        else {
+          val m = id - 1000000L
+          (m % 3) match {
+            case 0 => Multimodal.aviCropResizeDib(
+              Multimodal.syntheticAviBlobs(m, 6), 0, 0, 96, 96, 60, 96)
+            case 1 => Multimodal.aviCropResizeDib(
+              Multimodal.syntheticAviBlobs(m, 6), 0, 0, 96, 96, 96, 60)
+            case _ => Multimodal.aviCropResizeDib(
+              Multimodal.syntheticAviBlobs(m, 6), 0, 0, 96, 96, 56, 90, 2)
+          }
+        })
+      def stageBatch(ids: org.apache.spark.sql.Dataset[java.lang.Long],
+          fname: String, ageMs: Long): Unit = {
+        val tmp = staged.resolve(fname + ".tmp")
+        ids.toDF("doc_id").select(col("doc_id"), img(col("doc_id")).as("payload"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, staged.resolve(fname))
+        staged.resolve(fname).toFile.deleteOnExit()
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        java.nio.file.Files.setLastModifiedTime(staged.resolve(fname),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - ageMs))
+      }
+      stageBatch(s.range(0, 6).as[java.lang.Long], "a.parquet", 120000L)
+      stageBatch(s.range(1000000L, 1000006L).as[java.lang.Long], "b.parquet", 0L)
+      val mediaSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("payload", BinaryType)))
+      val stream = s.readStream.schema(mediaSchema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+        .repartition(col("doc_id"))
+      val hits = graft.operators.StreamingNearDup.videoCanonicalVerdicts(
+        stream, "doc_id", "payload", maxBucket = 64)
+      val q = hits.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+      val nl = s.table(name).groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("nl"))
+      val nlSrc = s.table(name).select(col("doc_id").as("src_id"))
+        .groupBy(col("src_id")).agg(count(lit(1)).as("nl_src"))
+      val dup = s.table(name)
+        .select(col("doc_id").as("d"), explode(col("hits")).as("src"))
+        .groupBy(col("d"), col("src")).agg(count(lit(1)).as("c"))
+        .join(nl, col("d") === nl("doc_id")).drop("doc_id")
+        .join(nlSrc, col("src") === col("src_id"))
+        .filter(col("c").cast("double") / least(col("nl"), col("nl_src"))
+          >= 0.3)
+        .groupBy(col("d")).agg(min(col("src")).as("dup_src"))
+      nl.join(dup, col("doc_id") === col("d"), "left")
+        .select(col("doc_id"), col("dup_src").isNull.as("kept"),
+          col("dup_src"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ANAMORPHIC video dedup (m156): the aspect-hypothesis fan pooled
     // per sampled frame — a 4:3 master re-ripped at 16:9 (or the
     // reverse), one probe also trimmed two frames; the plain AND

@@ -410,6 +410,41 @@ class Round12Spec extends AnyFunSuite with BeforeAndAfterAll {
       rebuilt.select("lm", "doc_id", "nl", "fp_ver").collect().toSet)
   }
 
+  test("video canonical tier lands unknown anamorphic rips the default fan misses (m167)") {
+    implicit val s: SparkSession = spark
+    val sp = spark
+    import sp.implicits._
+    val rows =
+      (0L until 6L).map(id => (id, Multimodal.syntheticAviBlobs(id, 6))) ++
+      Seq(
+        20L -> Multimodal.aviCropResizeDib(
+          Multimodal.syntheticAviBlobs(0, 6), 0, 0, 96, 96, 60, 96),
+        21L -> Multimodal.aviCropResizeDib(
+          Multimodal.syntheticAviBlobs(1, 6), 0, 0, 96, 96, 96, 60),
+        22L -> Multimodal.aviCropResizeDib(
+          Multimodal.syntheticAviBlobs(2, 6), 0, 0, 96, 96, 56, 90, 2)) ++
+      (140L until 142L).map(id => (id, Multimodal.syntheticAviBlobs(id, 6)))
+    val m = rows.toDF("doc_id", "payload")
+    val canon = Multimodal.videoScalePairsCanonical(m, minMatch = 0.3,
+        maxDf = 64).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val caught = (0L until 3L).count(id => canon.contains((id, id + 20)))
+    info(s"video canonical: $caught/3, ${canon.toSeq.sortBy(_._1)}")
+    assert(caught == 3, s"anamorphic probes missed: $canon")
+    val falsePairs = canon.keySet.filterNot { case (a, b) => b - a == 20 && a < 3 }
+    assert(falsePairs.isEmpty, s"false pairs: $falsePairs")
+    // the m156 fan at its default display-conversion set is blind to
+    // these factors (1.6:1 / 1.7:1 are > 7% off 4:3<->16:9)
+    val fan = Multimodal.videoScalePairsAspect(m, minMatch = 0.3,
+        maxDf = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fanCaught = (0L until 3L).count(id => fan((id, id + 20)))
+    info(s"m156 default fan: $fanCaught/3")
+    assert(fanCaught == 0,
+      s"default video fan unexpectedly covers 1.6:1 anamorphic " +
+        s"($fanCaught/3) — re-pick the m167 factors")
+  }
+
   test("URL canonicalizer edge cases (t86 operator)") {
     val sp = spark
     import sp.implicits._

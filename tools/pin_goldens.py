@@ -155,6 +155,9 @@ QUERIES = [
                            # squeeze ingest screen (CanonFpVersion)
     "st117_stream_canonical_dedup", # the canonical tier in the
                            # streaming matrix (squeezed re-delivery)
+    "m167_video_canonical_pairs", # unknown-anamorphic video via
+                           # per-frame canonical pooling
+    "st118_stream_video_canonical_dedup", # its streaming member
     "m158_audio_compound_interval",
     "m159_audio_pitch_verified",
     "m164_audio_half_tone_verified",
