@@ -8116,6 +8116,43 @@ object Multimodal {
           .otherwise(lit("same_audio")).as("verdict"))
   }
 
+  /** JOINT incremental screen at the rot seam — the m162 verdict with
+    * NO corpus re-decode: an ingest batch of videos classifies
+    * against two PERSISTED indexes (the m155 rot-constellation frame
+    * index and the m85-layout audio code index over the corpus's
+    * extracted tracks). Each leg is its family's screen
+    * ([[dedupAgainstVideoRotScaleIndex]] /
+    * [[dedupAgainstAudioIndex]] — both fail fast on stamps), and the
+    * verdicts fuse per probe:
+    *  - "reupload"   — rotated/rescaled frames AND the track both
+    *                   match a corpus master
+    *  - "same_video" — frames match, track replaced
+    *  - "same_audio" — track matches under fresh frames
+    *  - "kept"       — neither leg fires (including undecodable
+    *                   payloads and videos with no audio track — a
+    *                   leg with nothing to say never blocks ingest).
+    * Two index equi-joins, no pair expansion, batch-sized output. */
+  def videoJointRotIndexScreen(media: DataFrame, videoIndex: DataFrame,
+      audioIndex: DataFrame, minFrame: Double = 0.2,
+      minAudio: Double = 0.8, every: Int = 2, minShared: Int = 0)(
+      implicit s: SparkSession): DataFrame = {
+    val v = dedupAgainstVideoRotScaleIndex(media, videoIndex,
+        minMatch = minFrame, every = every, minShared = minShared)
+      .select(col("doc_id"), col("dup_src").as("video_src"))
+    val a = dedupAgainstAudioIndex(videoAudioTracks(media), audioIndex,
+        minMatch = minAudio)
+      .select(col("doc_id"), col("dup_src").as("audio_src"))
+    media.select(col("doc_id"))
+      .join(v, Seq("doc_id"), "left").join(a, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("video_src").isNotNull && col("audio_src").isNotNull,
+            lit("reupload"))
+          .when(col("audio_src").isNotNull, lit("same_audio"))
+          .when(col("video_src").isNotNull, lit("same_video"))
+          .otherwise(lit("kept")).as("verdict"),
+        col("video_src"), col("audio_src"))
+  }
+
   /** JOINT audio+video verdict at the ROTATION-invariant constellation
     * seam — [[videoJointNearDup]]'s fusion shape re-pointed at the
     * m154 frame tier (the PLANS round-12 candidate): classifies

@@ -4613,6 +4613,40 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // JOINT incremental screen at the rot seam (m168): the m162
+    // verdict against PERSISTED indexes — 4 masters fingerprint once
+    // (m155 rot frame index + audio code index over their extracted
+    // tracks), then the m162 probe batch classifies with no corpus
+    // re-decode: 20 reupload, 21 same_audio, 22 same_video, 23 and
+    // two fresh docs kept. Pinned golden.
+    "m168_video_joint_rot_index" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val mk = udf((id: Long) => id match {
+        case 20L => Multimodal.aviRotateResizeDib(
+          Multimodal.syntheticAviBlobs(0, 6), 17.0,
+          audioId = 0L, audioSamples = 320)
+        case 21L => Multimodal.syntheticAviBlobs(21, 6,
+          audioId = 1L, audioSamples = 384)
+        case 22L => Multimodal.aviRotateResizeDib(
+          Multimodal.syntheticAviBlobs(2, 6), -8.0, 1.2,
+          audioId = 99L, audioSamples = 320)
+        case 23L => Multimodal.syntheticAviBlobs(23, 6,
+          audioId = 98L, audioSamples = 320)
+        case i => Multimodal.syntheticAviBlobs(i, 6,
+          audioId = i, audioSamples = (320 + (i % 4) * 64).toInt)
+      })
+      val corpus = s.range(0, 4)
+        .select(col("id").as("doc_id"), mk(col("id")).as("payload"))
+      val videoIndex = Multimodal.videoRotScaleLandmarkIndex(corpus)
+      val audioIndex = Multimodal.audioCodeIndex(
+        Multimodal.videoAudioTracks(corpus))
+      val probes = s.range(20, 24).union(s.range(130, 132))
+        .select(col("id").as("doc_id"), mk(col("id")).as("payload"))
+      Multimodal.videoJointRotIndexScreen(probes, videoIndex,
+          audioIndex)
+        .orderBy(col("doc_id"))
+    }),
+
     // SUBTITLE-track extraction dedup — the video→TEXT bridge (the
     // m88/m91/m94 extraction pattern, third modality): 10 MKVs whose
     // "S_TEXT/UTF8" cue stream id is doc_id % 5; extraction

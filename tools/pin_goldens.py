@@ -44,6 +44,8 @@ QUERIES = [
                            # matrix (two tiers over one staged stream)
     "st116_stream_video_joint_rot", # the rot-seam fusion verdict
                            # in the streaming matrix (m162 tiers)
+    "m168_video_joint_rot_index", # the fused verdict vs persisted
+                           # indexes (no corpus re-decode)
     "m100_video_index_dedup", # incremental video dedup vs the
                            # persisted (frame_idx, chunk, ckey) index
     "m102_phash_flip_pairs", # flip-tolerant image near-dup (mirrored
