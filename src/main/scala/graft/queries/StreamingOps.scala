@@ -5391,6 +5391,70 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // STREAMING URL-canonical exact dedup (st119 — the t86
+    // canonicalizer at the stream seam): micro-batch 1 delivers 50
+    // pages under one URL dressing (scheme/host case, www., default
+    // port, trailing slash, utm_ trackers, fragment), micro-batch 2
+    // re-crawls the SAME 50 pages under a different dressing (lower
+    // case, params reordered, a different tracker) plus 20 genuinely
+    // new pages. Raw-string dedup would keep every re-crawl;
+    // dropDuplicates on the CANONICAL key drops all 50 and keeps the
+    // 20. Delivery is id-ordered, so kept = min doc_id per canonical
+    // key — full SQL replay.
+    "st119_stream_url_dedup" -> ((s0, dir) => { val s = streamSession(s0)
+      import s.implicits._
+      val name = "st119_out"
+      val staged = stagingDir("graft-stream-url")
+      def srcLbl(page: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        concat(lit("src"), (page % 20).cast("string"))
+      def urlA(page: org.apache.spark.sql.Column): org.apache.spark.sql.Column = concat(
+        lit("HTTPS://WWW.Docs."), srcLbl(page),
+        lit(".COM:443/Wiki/Page-"), page.cast("string"),
+        lit("/?utm_source=feed&a=1&b=2#x"))
+      def urlB(page: org.apache.spark.sql.Column): org.apache.spark.sql.Column = concat(
+        lit("https://docs."), srcLbl(page),
+        lit(".com/Wiki/Page-"), page.cast("string"),
+        lit("?b=2&a=1&utm_campaign=z"))
+      def stageBatch(df: DataFrame, fname: String, ageMs: Long): Unit = {
+        val tmp = staged.resolve(fname + ".tmp")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, staged.resolve(fname))
+        staged.resolve(fname).toFile.deleteOnExit()
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        java.nio.file.Files.setLastModifiedTime(staged.resolve(fname),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - ageMs))
+      }
+      stageBatch(s.range(0, 50).select(col("id").as("doc_id"),
+        urlA(col("id")).as("url")), "a.parquet", 120000L)
+      stageBatch(
+        s.range(1000000L, 1000050L).select(col("id").as("doc_id"),
+            urlB(col("id") - 1000000L).as("url"))
+          .unionByName(s.range(2000000L, 2000020L)
+            .select(col("id").as("doc_id"),
+              urlB(col("id") - 2000000L + 50L).as("url"))),
+        "b.parquet", 0L)
+      val urlSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("url", StringType)))
+      val stream = s.readStream.schema(urlSchema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+        .select(col("doc_id"),
+          graft.operators.TextAnalysis.canonicalizeUrl(col("url"))
+            .as("url_canon"))
+        .dropDuplicates("url_canon")
+      val q = stream.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+      val ids = s.range(0, 50).union(s.range(1000000L, 1000050L))
+        .union(s.range(2000000L, 2000020L)).select(col("id").as("doc_id"))
+      ids.join(s.table(name).select(col("doc_id"), lit(true).as("hit")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("hit"), lit(false)).as("kept"))
+        .orderBy(col("doc_id"))
+    }),
+
     // STREAMING subtitle decontamination — the m97 check as a
     // STREAM-STATIC equi-join, the Structured-Streaming-native
     // decontamination form: media payloads arrive in micro-batches
@@ -6298,6 +6362,54 @@ object StreamingOps extends QueryPack {
       """SELECT event_type, COUNT(*) AS n,
         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         FROM events GROUP BY event_type ORDER BY event_type""",
+    // st119: both URL dressings synthesized arithmetically, the
+    // canonicalizer replayed rule-for-rule (the t86 CTE shape), and
+    // kept = min doc_id per canonical key (delivery is id-ordered)
+    "st119_stream_url_dedup" ->
+      """WITH pages AS (
+          SELECT CAST(id AS BIGINT) AS doc_id, 0 AS batch,
+            CAST(id AS BIGINT) AS page FROM range(0, 50) t(id)
+          UNION ALL
+          SELECT CAST(id + 1000000 AS BIGINT), 1, CAST(id AS BIGINT)
+          FROM range(0, 50) t(id)
+          UNION ALL
+          SELECT CAST(id + 2000000 AS BIGINT), 1, CAST(id + 50 AS BIGINT)
+          FROM range(0, 20) t(id)),
+        u AS (SELECT doc_id,
+          CASE WHEN batch = 0 THEN
+            'HTTPS://WWW.Docs.src' || CAST(page % 20 AS VARCHAR) ||
+            '.COM:443/Wiki/Page-' || CAST(page AS VARCHAR) ||
+            '/?utm_source=feed&a=1&b=2#x'
+          ELSE
+            'https://docs.src' || CAST(page % 20 AS VARCHAR) ||
+            '.com/Wiki/Page-' || CAST(page AS VARCHAR) ||
+            '?b=2&a=1&utm_campaign=z'
+          END AS url FROM pages),
+        c AS (SELECT doc_id,
+          lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+          regexp_replace(lower(regexp_extract(regexp_extract(url,
+            '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^([^:]*)', 1)),
+            '^www\.([^.]+\..*)', '\1') AS host,
+          regexp_extract(regexp_extract(url,
+            '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), ':([0-9]+)$', 1) AS port,
+          regexp_extract(regexp_extract(url,
+            '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1), '^([^?]*)', 1) AS path0,
+          regexp_extract(regexp_extract(url,
+            '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1), '\?(.*)$', 1) AS query
+        FROM u),
+        k AS (SELECT doc_id, scheme || '://' || host ||
+          (CASE WHEN port <> '' AND NOT ((scheme = 'https' AND port = '443')
+                OR (scheme = 'http' AND port = '80'))
+            THEN ':' || port ELSE '' END) ||
+          (CASE WHEN path0 = '' THEN '/'
+            ELSE regexp_replace(path0, '(.)/$', '\1') END) ||
+          (CASE WHEN q <> '' THEN '?' || q ELSE '' END) AS url_canon
+        FROM (SELECT *, array_to_string(list_sort(list_filter(
+            string_split(query, '&'),
+            p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&') AS q FROM c))
+        SELECT doc_id,
+          doc_id = min(doc_id) OVER (PARTITION BY url_canon) AS kept
+        FROM k ORDER BY doc_id""",
     // winnowing replayed on both sides: delivery docs (spliced + raw)
     // winnow per instance, the eval probe set distinct; hits join on
     // the fingerprint hash
