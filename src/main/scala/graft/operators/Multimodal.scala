@@ -4800,6 +4800,233 @@ object Multimodal {
         kTop, nNear, qStepR, nAng, smoothR, radius, minAvg)),
       minMatch, maxDf, minShared)
 
+  /** Luma-weighted PRINCIPAL-AXIS angle (radians, the major
+    * covariance eigenvector's angle to the x axis) — the rotation
+    * half of the FULL-AFFINE whitening: theta =
+    * atan2(2*vxy, vxx - vyy) / 2 diagonalizes the central second
+    * moments, so rotating by -theta maps the principal axes onto
+    * x/y and the axis-aligned [[lumaMomentScale]] step can finish
+    * the whitening. Near-degenerate eigenvalues make theta
+    * ill-defined — harmless, because the downstream codes are
+    * rotation-invariant and ANY whitening rotation is acceptable. */
+  private[operators] def lumaPrincipalAngle(luma: Array[Byte], w: Int,
+      h: Int): Double = {
+    var sum = 0L
+    var i = 0
+    while (i < luma.length) { sum += luma(i) & 0xff; i += 1 }
+    val mean = sum.toDouble / luma.length
+    var tw = 0.0; var mx = 0.0; var my = 0.0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = (luma(y * w + x) & 0xff) - mean
+        if (v > 0) { tw += v; mx += v * x; my += v * y }
+        x += 1
+      }
+      y += 1
+    }
+    if (tw <= 0) return 0.0
+    val cx = mx / tw; val cy = my / tw
+    var vx = 0.0; var vy = 0.0; var vxy = 0.0
+    y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = (luma(y * w + x) & 0xff) - mean
+        if (v > 0) {
+          val dx = x - cx; val dy = y - cy
+          vx += v * dx * dx; vy += v * dy * dy; vxy += v * dx * dy
+        }
+        x += 1
+      }
+      y += 1
+    }
+    0.5 * StrictMath.atan2(2.0 * vxy, vx - vy)
+  }
+
+  /** FULL-AFFINE canonical constellation landmarks — rotation x
+    * anisotropic squeeze x uniform scale, ALL unknown (the
+    * anamorphic rip of a tilted re-render — the compound every prior
+    * tier measures 0/4 on: the rot-invariant codes assume uniform
+    * scale, and the axis-aligned canonical tier assumes unrotated
+    * axes). Whitening: rotate by the luma-covariance principal angle
+    * ([[lumaPrincipalAngle]] — the rotation that diagonalizes the
+    * second moments), then equalize the now-axis-aligned spreads
+    * ([[lumaMomentScale]], upscaling the squeezed axis). Master and
+    * probe both land on an isotropic-covariance rendering; whitening
+    * is defined only up to a residual ROTATION, so the codes are the
+    * ROTATION-INVARIANT 5-point form ([[constellationCodesRot]]),
+    * which also absorbs the residual uniform scale. Rotation clipping
+    * costs corner peaks only (same-canvas inverse-map kernel); the
+    * relative metric rides on the surviving interior set. */
+  def imageScaleLandmarksAffine(media: DataFrame, kTop: Int = 16,
+      nNear: Int = 8, qStepR: Double = 0.15, nAng: Int = 24,
+      smoothR: Int = 4, radius: Int = 6, minAvg: Int = 24)(
+      implicit s: SparkSession): Dataset[DocLandmark] = {
+    import s.implicits._
+    require(kTop >= 5, "kTop must be >= 5 (a rot constellation is a 5-point code)")
+    require(nNear >= 4 && nNear <= 16, "nNear must be in 4..16 (a rot code needs four co-peaks)")
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions(rows => rows.flatMap { r =>
+        decodeImage(r.payload) match {
+          case Some(img0) =>
+            affineCanonicalCodesRot(img0, kTop, nNear, qStepR, nAng,
+              smoothR, radius, minAvg).map(DocLandmark(r.doc_id, _))
+          case None => Iterator.empty
+        }
+      })
+  }
+
+  /** The full-affine whitening + rot-code kernel of ONE decoded
+    * image ([[imageScaleLandmarksAffine]]). */
+  /** Luma-weighted central covariance (vxx, vyy, vxy), normalized by
+    * total weight — the FULL second-moment matrix behind
+    * [[lumaPrincipalAngle]]/[[lumaMomentScale]], for the one-shot
+    * symmetric whitening. */
+  private def lumaCovariance(luma: Array[Byte], w: Int,
+      h: Int): (Double, Double, Double) = {
+    var sum = 0L
+    var i = 0
+    while (i < luma.length) { sum += luma(i) & 0xff; i += 1 }
+    val mean = sum.toDouble / luma.length
+    var tw = 0.0; var mx = 0.0; var my = 0.0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = (luma(y * w + x) & 0xff) - mean
+        if (v > 0) { tw += v; mx += v * x; my += v * y }
+        x += 1
+      }
+      y += 1
+    }
+    if (tw <= 0) return (1.0, 1.0, 0.0)
+    val cx = mx / tw; val cy = my / tw
+    var vx = 0.0; var vy = 0.0; var vxy = 0.0
+    y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = (luma(y * w + x) & 0xff) - mean
+        if (v > 0) {
+          val dx = x - cx; val dy = y - cy
+          vx += v * dx * dx; vy += v * dy * dy; vxy += v * dx * dy
+        }
+        x += 1
+      }
+      y += 1
+    }
+    (vx / tw, vy / tw, vxy / tw)
+  }
+
+  /** ONE-SHOT symmetric whitening resample: warp `img` by
+    * W = sqrt(lmax) * C^(-1/2) (C the luma covariance, closed-form
+    * 2x2 SPD square root), so the output's covariance is isotropic at
+    * the LARGER eigenvalue's scale — upscale-only, no resolution
+    * loss. C^(-1/2) is the UNIQUE symmetric whitener: two whitened
+    * renderings of affinely-related content differ by a pure
+    * rotation, which the rot-invariant codes absorb. (An iterated
+    * rotate-then-equalize scheme was measured DIVERGENT here: once
+    * the spreads equalize, the principal angle is vxy noise at
+    * +-45 deg and every same-canvas re-rotation clips more content —
+    * the probe's code set collapsed to 105 of 699.) Output canvas =
+    * bounding box of the warped source corners (clamped 4x per axis),
+    * inverse-map bilinear, out-of-source fill near-black. */
+  private[operators] def affineWhitenRgb(
+      img: java.awt.image.BufferedImage): java.awt.image.BufferedImage = {
+    val w = img.getWidth; val h = img.getHeight
+    val (a, b, c) = lumaCovariance(lumaPlane(img), w, h)
+    val det = a * b - c * c
+    if (det <= 1e-9) return img
+    val sdet = StrictMath.sqrt(det)
+    val tr = a + b
+    val denom = StrictMath.sqrt(tr + 2.0 * sdet)
+    // sqrt(C) = (C + sqrt(det) I) / sqrt(trace + 2 sqrt(det))
+    val s00 = (a + sdet) / denom; val s11 = (b + sdet) / denom
+    val s01 = c / denom
+    // W0 = inv(sqrt(C)); scale by sqrt(lmax) so min singular value of
+    // W is 1 (never downsample)
+    val sdetS = s00 * s11 - s01 * s01
+    val i00 = s11 / sdetS; val i11 = s00 / sdetS; val i01 = -s01 / sdetS
+    val lmax = tr / 2.0 + StrictMath.sqrt(
+      (a - b) * (a - b) / 4.0 + c * c)
+    val g = StrictMath.sqrt(lmax)
+    val w00 = g * i00; val w01 = g * i01
+    val w10 = g * i01; val w11 = g * i11
+    if (math.abs(w00 - 1.0) < 0.02 && math.abs(w11 - 1.0) < 0.02 &&
+      math.abs(w01) < 0.02) return img
+    // output bounds: warped corners, centered
+    val cxS = (w - 1) / 2.0; val cyS = (h - 1) / 2.0
+    val xs = for (px <- Seq(0.0, w - 1.0); py <- Seq(0.0, h - 1.0))
+      yield w00 * (px - cxS) + w01 * (py - cyS)
+    val ys = for (px <- Seq(0.0, w - 1.0); py <- Seq(0.0, h - 1.0))
+      yield w10 * (px - cxS) + w11 * (py - cyS)
+    val outW = math.max(8, math.min(4 * w,
+      StrictMath.ceil(xs.max - xs.min + 1).toInt))
+    val outH = math.max(8, math.min(4 * h,
+      StrictMath.ceil(ys.max - ys.min + 1).toInt))
+    // inverse of W (for out -> src)
+    val wdet = w00 * w11 - w01 * w10
+    val n00 = w11 / wdet; val n01 = -w01 / wdet
+    val n10 = -w10 / wdet; val n11 = w00 / wdet
+    val cxO = (outW - 1) / 2.0; val cyO = (outH - 1) / 2.0
+    val out = new java.awt.image.BufferedImage(outW, outH,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var oy = 0
+    while (oy < outH) {
+      var ox = 0
+      while (ox < outW) {
+        val rx = ox - cxO; val ry = oy - cyO
+        val sx = n00 * rx + n01 * ry + cxS
+        val sy = n10 * rx + n11 * ry + cyS
+        val rgb =
+          if (sx < 0 || sy < 0 || sx > w - 1 || sy > h - 1)
+            (8 << 16) | (8 << 8) | 8
+          else {
+            val ix = math.min(w - 2, StrictMath.floor(sx).toInt)
+            val iy = math.min(h - 2, StrictMath.floor(sy).toInt)
+            val fx = math.max(0.0, math.min(1.0, sx - ix))
+            val fy = math.max(0.0, math.min(1.0, sy - iy))
+            val p00 = img.getRGB(ix, iy); val p10 = img.getRGB(ix + 1, iy)
+            val p01 = img.getRGB(ix, iy + 1); val p11 = img.getRGB(ix + 1, iy + 1)
+            @inline def ch8(p: Int, s: Int): Double = ((p >> s) & 0xff).toDouble
+            @inline def lerp(s: Int): Int = math.round(
+              (1 - fy) * ((1 - fx) * ch8(p00, s) + fx * ch8(p10, s)) +
+                fy * ((1 - fx) * ch8(p01, s) + fx * ch8(p11, s))).toInt
+            (lerp(16) << 16) | (lerp(8) << 8) | lerp(0)
+          }
+        out.setRGB(ox, oy, rgb)
+        ox += 1
+      }
+      oy += 1
+    }
+    out
+  }
+
+  private def affineCanonicalCodesRot(img0: java.awt.image.BufferedImage,
+      kTop: Int, nNear: Int, qStepR: Double, nAng: Int, smoothR: Int,
+      radius: Int, minAvg: Int): Iterator[Long] = {
+    val img = affineWhitenRgb(img0)
+    constellationCodesRot(
+      coarsePeakCells(lumaPlane(img), img.getWidth, img.getHeight,
+        smoothR, radius, minAvg), kTop, nNear, qStepR, nAng)
+  }
+
+  /** Image near-dup pairs under the FULL-AFFINE compound (m169) via
+    * [[imageScaleLandmarksAffine]] — the shared peak scorer at the
+    * rot tier's lower operating gate. */
+  def imageScalePairsAffine(media: DataFrame, minMatch: Double = 0.2,
+      maxDf: Int = 0, kTop: Int = 16, nNear: Int = 8,
+      qStepR: Double = 0.15, nAng: Int = 24, smoothR: Int = 4,
+      radius: Int = 6, minAvg: Int = 24, minShared: Int = 0)(
+      implicit s: SparkSession): DataFrame =
+    peakLandmarkPairScores(
+      Materialize.eager(
+        imageScaleLandmarksAffine(media, kTop, nNear, qStepR, nAng,
+          smoothR, radius, minAvg).toDF()),
+      minMatch, maxDf, minShared)
+
   /** Image near-dup pairs under STRONG unknown anisotropic resize
     * (the >= ~1.5:1 class) via [[imageScaleLandmarksCanonical]] —
     * same posting-list scoring, hot-code cap, and smaller-set
@@ -5143,10 +5370,19 @@ object Multimodal {
     * render the blob fixtures' dark floor (8), so no new structure
     * enters at the corners. */
   def pngRotateResize(payload: Array[Byte], degrees: Double,
-      factor: Double = 1.0): Array[Byte] = {
+      factor: Double = 1.0): Array[Byte] =
+    encodePng(rotateResizeRgb(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload)), degrees, factor))
+
+  /** The rotation kernel behind [[pngRotateResize]], at the image
+    * level (shared with the affine-canonical tier): rotate about
+    * center `degrees` clockwise + uniform `factor`, inverse-map
+    * bilinear, same-size canvas scaled by `factor`, out-of-source
+    * pixels filled near-black. Pure doubles + final round —
+    * deterministic across JVMs. */
+  private def rotateResizeRgb(img: java.awt.image.BufferedImage,
+      degrees: Double, factor: Double = 1.0): java.awt.image.BufferedImage = {
     require(factor > 0.0, "scale factor must be > 0")
-    val img = javax.imageio.ImageIO.read(
-      new java.io.ByteArrayInputStream(payload))
     val w = img.getWidth
     val h = img.getHeight
     val outW = math.max(1, math.round(w * factor).toInt)
@@ -5188,7 +5424,7 @@ object Multimodal {
       }
       oy += 1
     }
-    encodePng(out)
+    out
   }
 
   // ---- VIDEO: the constellation tier per sampled frame (m147/m148) --

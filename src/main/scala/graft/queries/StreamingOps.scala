@@ -2887,6 +2887,37 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // FULL-AFFINE image dedup (m169): rotation x anisotropic squeeze
+    // x uniform scale, ALL unknown — the anamorphic rip of a tilted
+    // re-render, which the rot-invariant tier (uniform-scale model),
+    // the axis-aligned canonical tier, and the cloud normalization
+    // all measure 0/4 on (Round12Spec contrast). One-shot SYMMETRIC
+    // whitening (W = sqrt(lmax) * C^(-1/2) of the luma covariance,
+    // closed-form 2x2, upscale-only, single resample): two whitened
+    // renderings of affinely-related content differ by a pure
+    // rotation, absorbed by the rotation-invariant 5-point codes.
+    // Probes at 20 deg + 1.6:1, -11 deg + 1.6:1, 20 deg + 1.5:1,
+    // 33 deg + 1.6:1. Pinned golden.
+    "m169_affine_pairs" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val img = udf((id: Long) => {
+        def probe(src: Long, deg: Double, outW: Int): Array[Byte] =
+          Multimodal.pngCropResize(Multimodal.pngRotateResize(
+            Multimodal.syntheticPngBlobs(src), deg), 0, 0, 128, 128,
+            outW, 128)
+        if (id == 20L) probe(0, 20.0, 80)
+        else if (id == 21L) probe(1, -11.0, 80)
+        else if (id == 22L) probe(2, 20.0, 85)
+        else if (id == 23L) probe(3, 33.0, 80)
+        else Multimodal.syntheticPngBlobs(id)
+      })
+      val media = s.range(0, 8).union(s.range(20, 24))
+        .union(s.range(140, 142))
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      Multimodal.imageScalePairsAffine(media, minMatch = 0.25, maxDf = 64)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // UNKNOWN-anamorphic VIDEO dedup (m167 — the m165 canonical tier
     // lifted to the frame sequence): 1.6:1 horizontal and vertical
     // anamorphic rips plus a 1.7:1 + 2-frame-trim compound, factors

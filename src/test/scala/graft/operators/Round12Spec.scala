@@ -445,6 +445,56 @@ class Round12Spec extends AnyFunSuite with BeforeAndAfterAll {
         s"($fanCaught/3) — re-pick the m167 factors")
   }
 
+  test("symmetric-whitening tier lands the FULL-AFFINE compound every prior tier misses (m169)") {
+    implicit val s: SparkSession = spark
+    val sp = spark
+    import sp.implicits._
+    def probe(src: Long, deg: Double, outW: Int): Array[Byte] =
+      Multimodal.pngCropResize(Multimodal.pngRotateResize(
+        Multimodal.syntheticPngBlobs(src), deg), 0, 0, 128, 128, outW, 128)
+    val rows =
+      (0L until 8L).map(id => (id, Multimodal.syntheticPngBlobs(id))) ++
+      Seq(20L -> probe(0, 20.0, 80), 21L -> probe(1, -11.0, 80),
+        22L -> probe(2, 20.0, 85), 23L -> probe(3, 33.0, 80)) ++
+      (140L until 142L).map(id => (id, Multimodal.syntheticPngBlobs(id)))
+    val m = rows.toDF("doc_id", "payload")
+    val affine = Multimodal.imageScalePairsAffine(m, minMatch = 0.25,
+        maxDf = 64).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val caught = (0L until 4L).count(id => affine.contains((id, id + 20)))
+    info(s"affine tier: $caught/4, ${affine.toSeq.sortBy(_._1)}")
+    assert(caught == 4, s"affine compounds missed: $affine")
+    val falsePairs = affine.keySet.filterNot { case (a, b) => b - a == 20 && a < 4 }
+    assert(falsePairs.isEmpty, s"false pairs: $falsePairs")
+    // contrast: every prior tier is structurally blind to the compound
+    def caughtBy(df: DataFrame): Int = {
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (0L until 4L).count(id => got((id, id + 20)))
+    }
+    val rot = caughtBy(Multimodal.imageRotScalePairs(m, minMatch = 0.15, maxDf = 64))
+    val canon = caughtBy(Multimodal.imageScalePairsCanonical(m, minMatch = 0.2, maxDf = 64))
+    val norm = caughtBy(Multimodal.imageScalePairsNormalized(m, minMatch = 0.2, maxDf = 64))
+    info(s"contrast: rotInv=$rot/4 canonical=$canon/4 cloudNorm=$norm/4")
+    assert(rot == 0 && canon == 0 && norm == 0,
+      s"a prior tier unexpectedly covers the affine compound " +
+        s"(rot=$rot canon=$canon norm=$norm) — re-measure the m169 scope")
+    // and the affine tier also covers the SIMPLER classes (rotation
+    // only, squeeze only both axes, rotation+uniform scale)
+    val rows2 =
+      (0L until 8L).map(id => (id, Multimodal.syntheticPngBlobs(id))) ++
+      Seq(
+        20L -> Multimodal.pngRotateResize(Multimodal.syntheticPngBlobs(0), 17.0),
+        21L -> Multimodal.pngCropResize(Multimodal.syntheticPngBlobs(1), 0, 0, 128, 128, 80, 128),
+        22L -> Multimodal.pngRotateResize(Multimodal.syntheticPngBlobs(2), -8.0, 1.2),
+        23L -> Multimodal.pngCropResize(Multimodal.syntheticPngBlobs(3), 0, 0, 128, 128, 128, 80)) ++
+      (140L until 142L).map(id => (id, Multimodal.syntheticPngBlobs(id)))
+    val simple = Multimodal.imageScalePairsAffine(rows2.toDF("doc_id", "payload"),
+        minMatch = 0.25, maxDf = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0L until 4L).forall(id => simple((id, id + 20))),
+      s"affine tier lost a simpler class: $simple")
+  }
+
   test("URL canonicalizer edge cases (t86 operator)") {
     val sp = spark
     import sp.implicits._
@@ -472,6 +522,38 @@ class Round12Spec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getString(0))
     assert(doms.toSeq == Seq("site.com", "site.com", "site.com",
       "site.com", "x.com", "www.com"), doms.toSeq.toString)
+  }
+
+  test("URL canonicalization is idempotent over generated messy URLs (property)") {
+    val sp = spark
+    import sp.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val scheme = Gen.oneOf("http://", "HTTPS://", "https://", "HTTP://")
+    val host = for {
+      www <- Gen.oneOf("", "www.", "WWW.")
+      labels <- Gen.choose(2, 4)
+      parts <- Gen.listOfN(labels, Gen.oneOf("Docs", "img", "CDN", "a1", "site", "x"))
+    } yield www + parts.mkString(".")
+    val port = Gen.oneOf("", ":80", ":443", ":8080", ":9443")
+    val path = Gen.oneOf("", "/", "/A/b", "/A/b/", "/Wiki/Page-7", "/p/q/r/")
+    val query = Gen.oneOf("", "?", "?a=1", "?utm_x=1", "?b=2&a=1&utm_s=0",
+      "?z=9&utm_a=1&a=2&", "?&&a=1")
+    val frag = Gen.oneOf("", "#f", "#sec-2")
+    val url = for {
+      s0 <- scheme; h <- host; p <- port; pa <- path; q <- query; f <- frag
+    } yield s0 + h + p + pa + q + f
+    val urls = (0 until 300).flatMap(i =>
+      url.apply(Gen.Parameters.default, Seed(i.toLong))).distinct
+    val once = urls.toDF("url")
+      .select(TextAnalysis.canonicalizeUrl($"url").as("c"))
+      .collect().map(_.getString(0))
+    val twice = once.toSeq.toDF("url")
+      .select(TextAnalysis.canonicalizeUrl($"url").as("c"))
+      .collect().map(_.getString(0))
+    once.zip(twice).zip(urls).foreach { case ((a, b), in) =>
+      assert(a == b, s"not idempotent: $in -> $a -> $b") }
+    info(s"${urls.size} generated URLs, all idempotent")
   }
 
   test("folds=1 keeps chromaCodeAt bit-exact legacy behavior") {

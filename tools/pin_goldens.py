@@ -160,6 +160,8 @@ QUERIES = [
     "m167_video_canonical_pairs", # unknown-anamorphic video via
                            # per-frame canonical pooling
     "st118_stream_video_canonical_dedup", # its streaming member
+    "m169_affine_pairs",   # full-affine (rot x squeeze x scale)
+                           # via one-shot symmetric whitening
     "m158_audio_compound_interval",
     "m159_audio_pitch_verified",
     "m164_audio_half_tone_verified",
