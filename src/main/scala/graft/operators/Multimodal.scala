@@ -5027,6 +5027,93 @@ object Multimodal {
           smoothR, radius, minAvg).toDF()),
       minMatch, maxDf, minShared)
 
+  /** Version stamp for the AFFINE-whitened rot-code family
+    * ([[imageScaleLandmarksAffine]] — whitener, resample kernel,
+    * detection, 5-point rot packing): namespaced (affine = 11200 + v);
+    * 11201 = v1. Distinct from the plain rot family — whitened codes
+    * of anisotropic content never match unwhitened ones. */
+  val AffineFpVersion: Int = 11201
+
+  /** Persisted AFFINE landmark index — the incremental member of the
+    * m169 tier: corpus masters fingerprint once on their whitened
+    * renderings, and [[dedupAgainstImageAffineIndex]] screens every
+    * ingest batch — a re-upload rotated AND squeezed by unknown
+    * factors is caught with no corpus re-decode.
+    * [[IncrementalIndex.append]]-compatible; stamped
+    * [[AffineFpVersion]]. */
+  def imageAffineLandmarkIndex(media: DataFrame, kTop: Int = 16,
+      nNear: Int = 8, qStepR: Double = 0.15, nAng: Int = 24,
+      smoothR: Int = 4, radius: Int = 6, minAvg: Int = 24)(
+      implicit s: SparkSession): DataFrame = {
+    val lms = Materialize.eager(
+      imageScaleLandmarksAffine(media, kTop, nNear, qStepR, nAng,
+        smoothR, radius, minAvg).toDF())
+    lms.join(lms.groupBy(col("doc_id")).agg(count(lit(1)).as("nl")),
+        Seq("doc_id"))
+      .select(col("lm"), col("doc_id"), col("nl"),
+        lit(AffineFpVersion).as("fp_ver"))
+  }
+
+  /** Screen an ingest batch against a pre-built
+    * [[imageAffineLandmarkIndex]] — same contract as the scale
+    * screens, both sides whitened. Enforces [[AffineFpVersion]]. */
+  def dedupAgainstImageAffineIndex(media: DataFrame, index: DataFrame,
+      minMatch: Double = 0.25, kTop: Int = 16, nNear: Int = 8,
+      qStepR: Double = 0.15, nAng: Int = 24, smoothR: Int = 4,
+      radius: Int = 6, minAvg: Int = 24, minShared: Int = 0)(
+      implicit s: SparkSession): DataFrame =
+    screenScaleIndex(
+      Materialize.eager(
+        imageScaleLandmarksAffine(media, kTop, nNear, qStepR, nAng,
+          smoothR, radius, minAvg).toDF()),
+      index, minMatch, "imageAffineLandmarkIndex", minShared,
+      AffineFpVersion)
+
+  /** AFFINE-whitened rot codes pooled per VIDEO document — the m169
+    * tier lifted to the frame sequence: every sampled frame whitens
+    * to its own isotropic-covariance rendering before detection, so a
+    * video that was TILTED and anamorphically re-ripped (both factors
+    * unknown) lands where the rot-invariant and canonical video tiers
+    * are structurally blind. One container walk, codes pooled
+    * DISTINCT. */
+  def videoAffineLandmarks(media: DataFrame, every: Int = 2,
+      kTop: Int = 16, nNear: Int = 8, qStepR: Double = 0.15,
+      nAng: Int = 24, smoothR: Int = 4, radius: Int = 6,
+      minAvg: Int = 24)(implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    require(every >= 1, "every must be >= 1")
+    require(kTop >= 5, "kTop must be >= 5 (a rot constellation is a 5-point code)")
+    require(nNear >= 4 && nNear <= 16, "nNear must be in 4..16 (a rot code needs four co-peaks)")
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions(rows => rows.flatMap { r =>
+        containerFrames(r.payload) match {
+          case Some(fs) =>
+            val set = scala.collection.mutable.LinkedHashSet.empty[Long]
+            fs.iterator.zipWithIndex.filter(_._2 % every == 0)
+              .foreach { f =>
+                decodeImage(f._1).foreach { img =>
+                  affineCanonicalCodesRot(img, kTop, nNear, qStepR,
+                    nAng, smoothR, radius, minAvg).foreach(set += _)
+                }
+              }
+            set.iterator.map(lm => (r.doc_id, lm))
+          case None => Iterator.empty
+        }
+      }).toDF("doc_id", "lm")
+  }
+
+  /** Video near-dup pairs under the FULL-AFFINE compound (m171) via
+    * [[videoAffineLandmarks]]. */
+  def videoAffinePairs(media: DataFrame, minMatch: Double = 0.25,
+      every: Int = 2, maxDf: Int = 0, kTop: Int = 16, nNear: Int = 8,
+      qStepR: Double = 0.15, nAng: Int = 24, smoothR: Int = 4,
+      radius: Int = 6, minAvg: Int = 24, minShared: Int = 0)(
+      implicit s: SparkSession): DataFrame =
+    peakLandmarkPairScores(
+      Materialize.eager(videoAffineLandmarks(media, every, kTop, nNear,
+        qStepR, nAng, smoothR, radius, minAvg)),
+      minMatch, maxDf, minShared)
+
   /** Image near-dup pairs under STRONG unknown anisotropic resize
     * (the >= ~1.5:1 class) via [[imageScaleLandmarksCanonical]] —
     * same posting-list scoring, hot-code cap, and smaller-set

@@ -579,6 +579,40 @@ object StreamingNearDup {
       }
   }
 
+  /** STREAMING full-affine image dedup — the m169 tier in the
+    * streaming matrix: every arrival fingerprints on its
+    * symmetric-whitened rendering
+    * (`Multimodal.imageScaleLandmarksAffine` — one closed-form
+    * whitening resample, then rot-invariant codes), so a later
+    * re-delivery rotated AND squeezed by unknown factors lands in its
+    * master's buckets where every prior streaming tier is blind.
+    * Emits [[LandmarkHits]]; consumers score at the tier's 0.25 gate.
+    * Same contract and `maxBucket` cap as the family. */
+  def imageAffineVerdicts(media: DataFrame, idCol: String,
+      payloadCol: String, kTop: Int = 16, nNear: Int = 8,
+      qStepR: Double = 0.15, nAng: Int = 24, smoothR: Int = 4,
+      radius: Int = 6, minAvg: Int = 24,
+      maxBucket: Int = 0): Dataset[LandmarkHits] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val lms = Multimodal.imageScaleLandmarksAffine(
+      media.select(col(idCol).cast("long").as("doc_id"),
+        col(payloadCol).as("payload")), kTop, nNear, qStepR, nAng,
+      smoothR, radius, minAvg)
+      .as[(Long, Long)]
+    lms.groupByKey(_._2)
+      .flatMapGroupsWithState[List[Long], LandmarkHits](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (lm, rows, state: GroupState[List[Long]]) =>
+          val (seen, out) = foldBucket(state.getOption.getOrElse(Nil),
+            rows.toSeq.map(_._1).sorted, maxBucket)(
+            (id, hits) => LandmarkHits(id, lm, hits))
+          state.update(seen)
+          out.iterator
+      }
+  }
+
   /** STREAMING unknown-anamorphic VIDEO dedup — the m167 tier in the
     * streaming matrix: every arriving video pools canonical
     * (moment-isotropic per frame) constellation codes

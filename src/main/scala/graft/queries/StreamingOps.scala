@@ -2918,6 +2918,127 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Persisted AFFINE index + ingest screen (m170 — the m169 tier's
+    // incremental member, AffineFpVersion): 8 masters fingerprint
+    // once on their whitened renderings, then the m169 probe batch
+    // plus 2 fresh docs screens with no corpus re-decode. Pinned
+    // golden.
+    "m170_affine_index_dedup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val img = udf((id: Long) => {
+        def probe(src: Long, deg: Double, outW: Int): Array[Byte] =
+          Multimodal.pngCropResize(Multimodal.pngRotateResize(
+            Multimodal.syntheticPngBlobs(src), deg), 0, 0, 128, 128,
+            outW, 128)
+        if (id == 20L) probe(0, 20.0, 80)
+        else if (id == 21L) probe(1, -11.0, 80)
+        else if (id == 22L) probe(2, 20.0, 85)
+        else if (id == 23L) probe(3, 33.0, 80)
+        else Multimodal.syntheticPngBlobs(id)
+      })
+      val corpus = s.range(0, 8)
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      val index = Multimodal.imageAffineLandmarkIndex(corpus)
+      val probes = s.range(20, 24).union(s.range(130, 132))
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      Multimodal.dedupAgainstImageAffineIndex(probes, index,
+          minMatch = 0.25)
+        .orderBy(col("doc_id"))
+    }),
+
+    // STREAMING full-affine image dedup (st120 — the m169 tier in the
+    // streaming matrix): micro-batch 1 delivers 6 blob masters
+    // (whitened rot codes enter bucket state), micro-batch 2 their
+    // rotated+squeezed re-deliveries. Consumer scores at the 0.25
+    // gate. Pinned golden.
+    "st120_stream_affine_dedup" -> ((s0, dir) => { val s = streamSession(s0)
+      import s.implicits._
+      val name = "st120_out"
+      val staged = stagingDir("graft-stream-affine")
+      val img = udf((id: Long) =>
+        if (id < 1000000L) Multimodal.syntheticPngBlobs(id)
+        else {
+          val m = id - 1000000L
+          val (deg, outW) = (m % 4) match {
+            case 0 => (20.0, 80)
+            case 1 => (-11.0, 80)
+            case 2 => (20.0, 85)
+            case _ => (33.0, 80)
+          }
+          Multimodal.pngCropResize(Multimodal.pngRotateResize(
+            Multimodal.syntheticPngBlobs(m), deg), 0, 0, 128, 128,
+            outW, 128)
+        })
+      def stageBatch(ids: org.apache.spark.sql.Dataset[java.lang.Long],
+          fname: String, ageMs: Long): Unit = {
+        val tmp = staged.resolve(fname + ".tmp")
+        ids.toDF("doc_id").select(col("doc_id"), img(col("doc_id")).as("payload"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, staged.resolve(fname))
+        staged.resolve(fname).toFile.deleteOnExit()
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        java.nio.file.Files.setLastModifiedTime(staged.resolve(fname),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - ageMs))
+      }
+      stageBatch(s.range(0, 6).as[java.lang.Long], "a.parquet", 120000L)
+      stageBatch(s.range(1000000L, 1000006L).as[java.lang.Long], "b.parquet", 0L)
+      val mediaSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("payload", BinaryType)))
+      val stream = s.readStream.schema(mediaSchema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+        .repartition(col("doc_id"))
+      val hits = graft.operators.StreamingNearDup.imageAffineVerdicts(
+        stream, "doc_id", "payload", maxBucket = 64)
+      val q = hits.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+      val nl = s.table(name).groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("nl"))
+      val nlSrc = s.table(name).select(col("doc_id").as("src_id"))
+        .groupBy(col("src_id")).agg(count(lit(1)).as("nl_src"))
+      val dup = s.table(name)
+        .select(col("doc_id").as("d"), explode(col("hits")).as("src"))
+        .groupBy(col("d"), col("src")).agg(count(lit(1)).as("c"))
+        .join(nl, col("d") === nl("doc_id")).drop("doc_id")
+        .join(nlSrc, col("src") === col("src_id"))
+        .filter(col("c").cast("double") / least(col("nl"), col("nl_src"))
+          >= 0.25)
+        .groupBy(col("d")).agg(min(col("src")).as("dup_src"))
+      nl.join(dup, col("doc_id") === col("d"), "left")
+        .select(col("doc_id"), col("dup_src").isNull.as("kept"),
+          col("dup_src"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // FULL-AFFINE video dedup (m171 — the m169 whitening pooled per
+    // sampled frame): videos TILTED and anamorphically re-ripped at
+    // unknown factors (17 deg + 1.6:1, -8 deg + 1.6:1 vertical,
+    // 20 deg + 1.5:1 + 2-frame trim) — the rot-invariant and
+    // canonical video tiers are both structurally blind
+    // (Round12Spec contrast). Pinned golden.
+    "m171_video_affine_pairs" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val img = udf((id: Long) => {
+        def probe(src: Long, deg: Double, ow: Int, oh: Int,
+            from: Int): Array[Byte] =
+          Multimodal.aviCropResizeDib(Multimodal.aviRotateResizeDib(
+            Multimodal.syntheticAviBlobs(src, 6), deg), 0, 0, 96, 96,
+            ow, oh, from)
+        if (id == 20L) probe(0, 17.0, 60, 96, 0)
+        else if (id == 21L) probe(1, -8.0, 96, 60, 0)
+        else if (id == 22L) probe(2, 20.0, 64, 96, 2)
+        else Multimodal.syntheticAviBlobs(id, 6)
+      })
+      val media = s.range(0, 6).union(s.range(20, 23))
+        .union(s.range(140, 142))
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      Multimodal.videoAffinePairs(media, minMatch = 0.25, maxDf = 64)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // UNKNOWN-anamorphic VIDEO dedup (m167 — the m165 canonical tier
     // lifted to the frame sequence): 1.6:1 horizontal and vertical
     // anamorphic rips plus a 1.7:1 + 2-frame-trim compound, factors

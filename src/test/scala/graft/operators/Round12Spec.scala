@@ -495,6 +495,55 @@ class Round12Spec extends AnyFunSuite with BeforeAndAfterAll {
       s"affine tier lost a simpler class: $simple")
   }
 
+  test("video affine tier lands tilted anamorphic rips; prior video tiers blind; index fail-fast (m170/m171)") {
+    implicit val s: SparkSession = spark
+    val sp = spark
+    import sp.implicits._
+    def probe(src: Long, deg: Double, ow: Int, oh: Int, from: Int): Array[Byte] =
+      Multimodal.aviCropResizeDib(Multimodal.aviRotateResizeDib(
+        Multimodal.syntheticAviBlobs(src, 6), deg), 0, 0, 96, 96, ow, oh, from)
+    val rows =
+      (0L until 6L).map(id => (id, Multimodal.syntheticAviBlobs(id, 6))) ++
+      Seq(20L -> probe(0, 17.0, 60, 96, 0), 21L -> probe(1, -8.0, 96, 60, 0),
+        22L -> probe(2, 20.0, 64, 96, 2)) ++
+      (140L until 142L).map(id => (id, Multimodal.syntheticAviBlobs(id, 6)))
+    val m = rows.toDF("doc_id", "payload")
+    val affine = Multimodal.videoAffinePairs(m, minMatch = 0.25, maxDf = 64)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val caught = (0L until 3L).count(id => affine.contains((id, id + 20)))
+    info(s"video affine: $caught/3, ${affine.toSeq.sortBy(_._1)}")
+    assert(caught == 3, s"tilted anamorphic probes missed: $affine")
+    val falsePairs = affine.keySet.filterNot { case (a, b) => b - a == 20 && a < 3 }
+    assert(falsePairs.isEmpty, s"false pairs: $falsePairs")
+    def caughtBy(df: DataFrame): Int = {
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (0L until 3L).count(id => got((id, id + 20)))
+    }
+    val rot = caughtBy(Multimodal.videoRotScalePairs(m, minMatch = 0.15, maxDf = 64))
+    val canon = caughtBy(Multimodal.videoScalePairsCanonical(m, minMatch = 0.2, maxDf = 64))
+    info(s"contrast: videoRot=$rot/3 videoCanonical=$canon/3")
+    assert(rot == 0 && canon == 0,
+      s"a prior video tier unexpectedly covers the affine compound " +
+        s"(rot=$rot canon=$canon) — re-measure the m171 scope")
+    // affine index: stamps its family, rejects cross-family screens
+    val corpus = (0L until 4L)
+      .map(id => (id, Multimodal.syntheticPngBlobs(id))).toDF("doc_id", "payload")
+    val affIdx = Multimodal.imageAffineLandmarkIndex(corpus)
+    assert(affIdx.select("fp_ver").distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(Multimodal.AffineFpVersion))
+    val probeDf = Seq((20L, Multimodal.syntheticPngBlobs(0L)))
+      .toDF("doc_id", "payload")
+    val e1 = intercept[IllegalArgumentException] {
+      Multimodal.dedupAgainstImageAffineIndex(probeDf,
+        Multimodal.imageScaleLandmarkIndex(corpus)).collect()
+    }
+    assert(e1.getMessage.contains("imageAffineLandmarkIndex"))
+    val e2 = intercept[IllegalArgumentException] {
+      Multimodal.dedupAgainstImageScaleIndex(probeDf, affIdx).collect()
+    }
+    assert(e2.getMessage.contains("imageScaleLandmarkIndex"))
+  }
+
   test("URL canonicalizer edge cases (t86 operator)") {
     val sp = spark
     import sp.implicits._

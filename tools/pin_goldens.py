@@ -162,6 +162,9 @@ QUERIES = [
     "st118_stream_video_canonical_dedup", # its streaming member
     "m169_affine_pairs",   # full-affine (rot x squeeze x scale)
                            # via one-shot symmetric whitening
+    "m170_affine_index_dedup", # affine index + ingest screen
+    "st120_stream_affine_dedup", # the affine tier streaming member
+    "m171_video_affine_pairs", # tilted anamorphic VIDEO rips
     "m158_audio_compound_interval",
     "m159_audio_pitch_verified",
     "m164_audio_half_tone_verified",
