@@ -167,6 +167,29 @@ object ScaleCheck {
     }.toDF("doc_id", "payload")
   }
 
+  /** Blob-image corpus with ~1/10 planted FULL-AFFINE re-uploads
+    * (rotation 3-48 deg x squeeze 1.3-1.7:1, alternating axis) — the
+    * m169 tier's saturation/recall sweep corpus. */
+  def affinePngs(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(0, n).map { id =>
+      val payload =
+        if (id % 10 == 9) {
+          val deg = 3.0 + (id % 46).toDouble
+          val sq = Array(1.3, 1.5, 1.7)((id % 3).toInt)
+          val rot = Multimodal.pngRotateResize(
+            Multimodal.syntheticPngBlobs(id - 9), deg)
+          if (id % 2 == 0)
+            Multimodal.pngCropResize(rot, 0, 0, 128, 128,
+              math.round(128 / sq).toInt, 128)
+          else
+            Multimodal.pngCropResize(rot, 0, 0, 128, 128, 128,
+              math.round(128 / sq).toInt)
+        } else Multimodal.syntheticPngBlobs(id)
+      (id, payload)
+    }.toDF("doc_id", "payload")
+  }
+
   def main(args: Array[String]): Unit = {
     val base = args.headOption.filter(_.forall(_.isDigit)).map(_.toInt).getOrElse(30000)
     // optional further args: only run ops whose name contains one of them
@@ -320,6 +343,25 @@ object ScaleCheck {
               col("doc_b") % 10 === 9))
         run("imageRotScalePairs(minShared)", n / 8)(
           Multimodal.imageRotScalePairs(a, minMatch = 0.2, maxDf = 500,
+            minShared = 8)
+            .filter(col("doc_b") - col("doc_a") === 9 &&
+              col("doc_b") % 10 === 9))
+        a.unpersist()
+      }
+      // affine-whitened tier: the m169 sweep — whitened rot codes
+      // share the rot family's entropy, but the WHITENING runs per
+      // image and the planted compound (rotation x 1.3-1.7:1 squeeze)
+      // must stay recallable at corpus scale under the same maxDf cap
+      if (wanted("imageAffine")) {
+        implicit val sp: SparkSession = spark
+        val a = affinePngs(spark, n / 8).persist()
+        a.count()
+        run("imageAffinePairs(planted)", n / 8)(
+          Multimodal.imageScalePairsAffine(a, minMatch = 0.25, maxDf = 500)
+            .filter(col("doc_b") - col("doc_a") === 9 &&
+              col("doc_b") % 10 === 9))
+        run("imageAffinePairs(minShared)", n / 8)(
+          Multimodal.imageScalePairsAffine(a, minMatch = 0.25, maxDf = 500,
             minShared = 8)
             .filter(col("doc_b") - col("doc_a") === 9 &&
               col("doc_b") % 10 === 9))
