@@ -5102,6 +5102,68 @@ object Multimodal {
       }).toDF("doc_id", "lm")
   }
 
+  /** Persisted CANONICAL video index — the m167 tier's incremental
+    * member: same [[CanonFpVersion]] stamp as the image index via the
+    * shared whitened-code kernel (the m148 shared-kernel precedent).
+    * [[dedupAgainstVideoCanonicalIndex]] screens an ingest batch —
+    * an anamorphic rip at an unknown factor is caught with no corpus
+    * re-decode. */
+  def videoCanonicalLandmarkIndex(media: DataFrame, every: Int = 2,
+      kTop: Int = 16, nNear: Int = 8, qStepR: Double = 0.15,
+      nAng: Int = 24, smoothR: Int = 4, radius: Int = 6,
+      minAvg: Int = 24)(implicit s: SparkSession): DataFrame = {
+    val lms = Materialize.eager(videoScaleLandmarksCanonical(media,
+      every, kTop, nNear, qStepR, nAng, smoothR, radius, minAvg))
+    lms.join(lms.groupBy(col("doc_id")).agg(count(lit(1)).as("nl")),
+        Seq("doc_id"))
+      .select(col("lm"), col("doc_id"), col("nl"),
+        lit(CanonFpVersion).as("fp_ver"))
+  }
+
+  /** Screen an ingest batch of videos against a pre-built
+    * [[videoCanonicalLandmarkIndex]]. Enforces [[CanonFpVersion]]. */
+  def dedupAgainstVideoCanonicalIndex(media: DataFrame,
+      index: DataFrame, minMatch: Double = 0.3, every: Int = 2,
+      kTop: Int = 16, nNear: Int = 8, qStepR: Double = 0.15,
+      nAng: Int = 24, smoothR: Int = 4, radius: Int = 6,
+      minAvg: Int = 24, minShared: Int = 0)(
+      implicit s: SparkSession): DataFrame =
+    screenScaleIndex(
+      Materialize.eager(videoScaleLandmarksCanonical(media, every,
+        kTop, nNear, qStepR, nAng, smoothR, radius, minAvg)),
+      index, minMatch, "videoCanonicalLandmarkIndex", minShared,
+      CanonFpVersion)
+
+  /** Persisted AFFINE video index — the m171 tier's incremental
+    * member ([[AffineFpVersion]] via the shared whitened rot-code
+    * kernel). [[dedupAgainstVideoAffineIndex]] screens an ingest
+    * batch — a tilted anamorphic rip at unknown factors is caught
+    * with no corpus re-decode. */
+  def videoAffineLandmarkIndex(media: DataFrame, every: Int = 2,
+      kTop: Int = 16, nNear: Int = 8, qStepR: Double = 0.15,
+      nAng: Int = 24, smoothR: Int = 4, radius: Int = 6,
+      minAvg: Int = 24)(implicit s: SparkSession): DataFrame = {
+    val lms = Materialize.eager(videoAffineLandmarks(media, every,
+      kTop, nNear, qStepR, nAng, smoothR, radius, minAvg))
+    lms.join(lms.groupBy(col("doc_id")).agg(count(lit(1)).as("nl")),
+        Seq("doc_id"))
+      .select(col("lm"), col("doc_id"), col("nl"),
+        lit(AffineFpVersion).as("fp_ver"))
+  }
+
+  /** Screen an ingest batch of videos against a pre-built
+    * [[videoAffineLandmarkIndex]]. Enforces [[AffineFpVersion]]. */
+  def dedupAgainstVideoAffineIndex(media: DataFrame, index: DataFrame,
+      minMatch: Double = 0.25, every: Int = 2, kTop: Int = 16,
+      nNear: Int = 8, qStepR: Double = 0.15, nAng: Int = 24,
+      smoothR: Int = 4, radius: Int = 6, minAvg: Int = 24,
+      minShared: Int = 0)(implicit s: SparkSession): DataFrame =
+    screenScaleIndex(
+      Materialize.eager(videoAffineLandmarks(media, every, kTop,
+        nNear, qStepR, nAng, smoothR, radius, minAvg)),
+      index, minMatch, "videoAffineLandmarkIndex", minShared,
+      AffineFpVersion)
+
   /** Video near-dup pairs under the FULL-AFFINE compound (m171) via
     * [[videoAffineLandmarks]]. */
   def videoAffinePairs(media: DataFrame, minMatch: Double = 0.25,

@@ -3039,6 +3039,59 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Persisted CANONICAL video index + ingest screen (m172 — the
+    // m167 tier's incremental member, CanonFpVersion via the shared
+    // kernel): 6 blob-video masters fingerprint once, then the m167
+    // anamorphic probe batch plus 2 fresh videos screens with no
+    // corpus re-decode. Pinned golden.
+    "m172_video_canonical_index" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val img = udf((id: Long) =>
+        if (id == 20L) Multimodal.aviCropResizeDib(
+          Multimodal.syntheticAviBlobs(0, 6), 0, 0, 96, 96, 60, 96)
+        else if (id == 21L) Multimodal.aviCropResizeDib(
+          Multimodal.syntheticAviBlobs(1, 6), 0, 0, 96, 96, 96, 60)
+        else if (id == 22L) Multimodal.aviCropResizeDib(
+          Multimodal.syntheticAviBlobs(2, 6), 0, 0, 96, 96, 56, 90, 2)
+        else Multimodal.syntheticAviBlobs(id, 6))
+      val corpus = s.range(0, 6)
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      val index = Multimodal.videoCanonicalLandmarkIndex(corpus)
+      val probes = s.range(20, 23).union(s.range(130, 132))
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      Multimodal.dedupAgainstVideoCanonicalIndex(probes, index,
+          minMatch = 0.3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Persisted AFFINE video index + ingest screen (m173 — the m171
+    // tier's incremental member, AffineFpVersion via the shared
+    // kernel): 6 masters fingerprint once on per-frame whitened
+    // renderings, then the m171 tilted-anamorphic probe batch plus 2
+    // fresh videos screens with no corpus re-decode. Pinned golden.
+    "m173_video_affine_index" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val img = udf((id: Long) => {
+        def probe(src: Long, deg: Double, ow: Int, oh: Int,
+            from: Int): Array[Byte] =
+          Multimodal.aviCropResizeDib(Multimodal.aviRotateResizeDib(
+            Multimodal.syntheticAviBlobs(src, 6), deg), 0, 0, 96, 96,
+            ow, oh, from)
+        if (id == 20L) probe(0, 17.0, 60, 96, 0)
+        else if (id == 21L) probe(1, -8.0, 96, 60, 0)
+        else if (id == 22L) probe(2, 20.0, 64, 96, 2)
+        else Multimodal.syntheticAviBlobs(id, 6)
+      })
+      val corpus = s.range(0, 6)
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      val index = Multimodal.videoAffineLandmarkIndex(corpus)
+      val probes = s.range(20, 23).union(s.range(130, 132))
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      Multimodal.dedupAgainstVideoAffineIndex(probes, index,
+          minMatch = 0.25)
+        .orderBy(col("doc_id"))
+    }),
+
     // UNKNOWN-anamorphic VIDEO dedup (m167 — the m165 canonical tier
     // lifted to the frame sequence): 1.6:1 horizontal and vertical
     // anamorphic rips plus a 1.7:1 + 2-frame-trim compound, factors

@@ -165,6 +165,8 @@ QUERIES = [
     "m170_affine_index_dedup", # affine index + ingest screen
     "st120_stream_affine_dedup", # the affine tier streaming member
     "m171_video_affine_pairs", # tilted anamorphic VIDEO rips
+    "m172_video_canonical_index", # canonical video index screen
+    "m173_video_affine_index", # affine video index screen
     "m158_audio_compound_interval",
     "m159_audio_pitch_verified",
     "m164_audio_half_tone_verified",
