@@ -4852,6 +4852,109 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // STREAM-STATIC fused index screen (st121 — the m168 verdict at
+    // the st103 broadcast seam): arrivals' rot-constellation frame
+    // landmarks AND extracted-track audio codes equi-join two
+    // BROADCAST standing-corpus indexes — no state store at all, two
+    // stateless map-side joins — and the per-arrival leg scores fuse
+    // to reupload / same_video / same_audio / kept mid-stream with no
+    // corpus re-decode. Batch 1 delivers the rotated-reupload and
+    // reaction-video shapes, batch 2 the re-dub and an unrelated
+    // video. Pinned golden.
+    "st121_stream_joint_index_screen" -> ((s0, dir) => { val s = streamSession(s0)
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      val staged = stagingDir("graft-stream-jointidx")
+      val mk = udf((id: Long) => id match {
+        case 20L => Multimodal.aviRotateResizeDib(
+          Multimodal.syntheticAviBlobs(0, 6), 17.0,
+          audioId = 0L, audioSamples = 320)
+        case 21L => Multimodal.syntheticAviBlobs(21, 6,
+          audioId = 1L, audioSamples = 384)
+        case 22L => Multimodal.aviRotateResizeDib(
+          Multimodal.syntheticAviBlobs(2, 6), -8.0, 1.2,
+          audioId = 99L, audioSamples = 320)
+        case 23L => Multimodal.syntheticAviBlobs(23, 6,
+          audioId = 98L, audioSamples = 320)
+        case i => Multimodal.syntheticAviBlobs(i, 6,
+          audioId = i, audioSamples = (320 + (i % 4) * 64).toInt)
+      })
+      val corpus = s.range(0, 4)
+        .select(col("id").as("doc_id"), mk(col("id")).as("payload"))
+      val vIndex = Multimodal.videoRotScaleLandmarkIndex(corpus)
+        .select(col("lm"), col("doc_id").as("src"), col("nl").as("nl_src"))
+      val aIndex = Multimodal.audioCodeIndex(
+          Multimodal.videoAudioTracks(corpus))
+        .select(col("frame_idx"), col("code"),
+          col("doc_id").as("src"), col("nf").as("nf_src"))
+      def stageBatch(ids: DataFrame, fname: String, ageMs: Long): Unit = {
+        val tmp = staged.resolve(fname + ".tmp")
+        ids.select(col("doc_id"), mk(col("doc_id")).as("payload"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, staged.resolve(fname))
+        staged.resolve(fname).toFile.deleteOnExit()
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        java.nio.file.Files.setLastModifiedTime(staged.resolve(fname),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - ageMs))
+      }
+      stageBatch(s.range(20, 22).select(col("id").as("doc_id")),
+        "a.parquet", 120000L)
+      stageBatch(s.range(22, 24).select(col("id").as("doc_id")),
+        "b.parquet", 0L)
+      val mediaSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("payload", BinaryType)))
+      def freshStream = s.readStream.schema(mediaSchema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+        .repartition(col("doc_id"))
+      val qv = Multimodal.videoRotScaleLandmarks(freshStream)
+        .join(broadcast(vIndex), Seq("lm"), "left")
+        .writeStream.outputMode("append")
+        .format("memory").queryName("st121_v").start()
+      val qa = Multimodal.audioFingerprint(
+          Multimodal.videoAudioTracks(freshStream)).toDF()
+        .join(broadcast(aIndex), Seq("frame_idx", "code"), "left")
+        .writeStream.outputMode("append")
+        .format("memory").queryName("st121_a").start()
+      try { qv.processAllAvailable(); qa.processAllAvailable() }
+      finally { qv.stop(); qa.stop() }
+      val vnl = s.table("st121_v").groupBy(col("doc_id"))
+        .agg(countDistinct(col("lm")).as("nl"))
+      val vdup = s.table("st121_v").filter(col("src").isNotNull)
+        .select(col("doc_id").as("d"), col("lm"), col("src"), col("nl_src"))
+        .groupBy(col("d"), col("src"), col("nl_src"))
+        .agg(countDistinct(col("lm")).as("c"))
+        .join(vnl, col("d") === vnl("doc_id")).drop("doc_id")
+        .filter(col("c").cast("double") / least(col("nl"), col("nl_src"))
+          >= 0.2)
+        .groupBy(col("d")).agg(min(col("src")).as("video_src"))
+        .select(col("d").as("doc_id"), col("video_src"))
+      val anf = s.table("st121_a").groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("nf"))
+      val adup = s.table("st121_a").filter(col("src").isNotNull)
+        .select(col("doc_id").as("d"), col("src"), col("nf_src"))
+        .groupBy(col("d"), col("src"), col("nf_src"))
+        .agg(count(lit(1)).as("c"))
+        .join(anf, col("d") === anf("doc_id")).drop("doc_id")
+        .filter(col("c").cast("double") / least(col("nf"), col("nf_src"))
+          >= 0.8)
+        .groupBy(col("d")).agg(min(col("src")).as("audio_src"))
+        .select(col("d").as("doc_id"), col("audio_src"))
+      s.range(20, 24).select(col("id").as("doc_id"))
+        .join(vdup, Seq("doc_id"), "left")
+        .join(adup, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("video_src").isNotNull && col("audio_src").isNotNull,
+              lit("reupload"))
+            .when(col("audio_src").isNotNull, lit("same_audio"))
+            .when(col("video_src").isNotNull, lit("same_video"))
+            .otherwise(lit("kept")).as("verdict"),
+          col("video_src"), col("audio_src"))
+        .orderBy(col("doc_id"))
+    }),
+
     // SUBTITLE-track extraction dedup — the video→TEXT bridge (the
     // m88/m91/m94 extraction pattern, third modality): 10 MKVs whose
     // "S_TEXT/UTF8" cue stream id is doc_id % 5; extraction

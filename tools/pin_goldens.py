@@ -46,6 +46,8 @@ QUERIES = [
                            # in the streaming matrix (m162 tiers)
     "m168_video_joint_rot_index", # the fused verdict vs persisted
                            # indexes (no corpus re-decode)
+    "st121_stream_joint_index_screen", # the fused verdict as a
+                           # stream-static two-index broadcast screen
     "m100_video_index_dedup", # incremental video dedup vs the
                            # persisted (frame_idx, chunk, ckey) index
     "m102_phash_flip_pairs", # flip-tolerant image near-dup (mirrored
