@@ -5763,6 +5763,82 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // STREAMING embedding dedup vs a BROADCAST SRP index (st122 —
+    // the s56 incremental screen at the stream-static seam, filling
+    // the streaming matrix's embedding-DEDUP gap: st69 only ingests).
+    // Arrivals hash with the index's planes (srpBucketIndex is a pure
+    // projection, streaming-safe), equi-join the broadcast index on
+    // (tbl, bucket) — no state store — and score exact cosine
+    // batch-side over the sink. Batch 1 delivers 20 scaled (x1.25,
+    // direction-preserving) re-uploads of corpus vectors, batch 2 ten
+    // more plus ten NEGATED decoys (cosine -1 to their source). Full
+    // SQL replay (the SRP planes are md5-derived).
+    "st122_stream_embed_index_screen" -> ((s0, dir) => { val s = streamSession(s0)
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      val name = "st122_out"
+      val staged = stagingDir("graft-stream-embidx")
+      val emb = t(s, dir, "embeddings")
+      val bits = graft.operators.Similarity.deriveSrpBits(emb.count())
+      val index = graft.operators.Similarity.srpBucketIndex(emb, 64, bits)
+        .select(col("tbl"), col("bucket"), col("vec_id").as("src"),
+          col("v").as("cv"), col("nrm").as("cn"))
+      def scaled(df: DataFrame, off: Long): DataFrame =
+        df.select(($"vec_id" + off).as("vec_id"),
+          transform($"embedding",
+            x => (x.cast("double") * 1.25).cast("float")).as("embedding"))
+      def negated(df: DataFrame, off: Long): DataFrame =
+        df.select(($"vec_id" + off).as("vec_id"),
+          transform($"embedding",
+            x => (-x.cast("double")).cast("float")).as("embedding"))
+      def stageBatch(df: DataFrame, fname: String, ageMs: Long): Unit = {
+        val tmp = staged.resolve(fname + ".tmp")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, staged.resolve(fname))
+        staged.resolve(fname).toFile.deleteOnExit()
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        java.nio.file.Files.setLastModifiedTime(staged.resolve(fname),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - ageMs))
+      }
+      stageBatch(scaled(emb.filter($"vec_id" < 20), 1000000L),
+        "a.parquet", 120000L)
+      stageBatch(
+        scaled(emb.filter($"vec_id" >= 20 && $"vec_id" < 30), 1000000L)
+          .unionByName(negated(
+            emb.filter($"vec_id" >= 100 && $"vec_id" < 110), 2000000L)),
+        "b.parquet", 0L)
+      val embSchema = StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType))))
+      val stream = s.readStream.schema(embSchema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+        .repartition(col("vec_id"))
+      val keyed = graft.operators.Similarity.srpBucketIndex(stream, 64, bits)
+      val q = keyed.join(broadcast(index), Seq("tbl", "bucket"), "left")
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+      val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+        aggregate(zip_with(a, b,
+          (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, x) => acc + x)
+      val dup = s.table(name).filter(col("src").isNotNull)
+        .select(col("vec_id").as("pid"), col("src"), col("v"),
+          col("cv"), col("nrm"), col("cn"))
+        .dropDuplicates("pid", "src")
+        .filter(round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6)
+          >= 0.4)
+        .groupBy(col("pid")).agg(min(col("src")).as("dup_src"))
+      s.table(name).select(col("vec_id")).distinct()
+        .join(dup, col("vec_id") === col("pid"), "left")
+        .select(col("vec_id"), col("dup_src").isNull.as("kept"),
+          col("dup_src"))
+        .orderBy(col("vec_id"))
+    }),
+
     // STREAMING subtitle decontamination — the m97 check as a
     // STREAM-STATIC equi-join, the Structured-Streaming-native
     // decontamination form: media payloads arrive in micro-batches
@@ -6670,6 +6746,58 @@ object StreamingOps extends QueryPack {
       """SELECT event_type, COUNT(*) AS n,
         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         FROM events GROUP BY event_type ORDER BY event_type""",
+    // st122: the s56 oracle shape with the staged probe set — scaled
+    // re-uploads of vec_id 0-29 (+1000000) and negated decoys of
+    // 100-109 (+2000000); SRP planes are md5-derived, the whole
+    // screen replays in SQL
+    "st122_stream_embed_index_screen" ->
+      """WITH nb AS (
+          SELECT GREATEST(6, LEAST(48,
+              CASE WHEN m <= 1 THEN 6 ELSE length(bin(m - 1)) END)) AS bits
+          FROM (SELECT (count(*) + 7) // 8 AS m FROM embeddings)),
+        probes AS (SELECT vec_id + 1000000 AS vec_id,
+            list_transform(embedding, x ->
+              CAST(CAST(x AS DOUBLE) * 1.25 AS FLOAT)) AS embedding
+          FROM embeddings WHERE vec_id < 30
+          UNION ALL
+          SELECT vec_id + 2000000,
+            list_transform(embedding, x ->
+              CAST(-CAST(x AS DOUBLE) AS FLOAT))
+          FROM embeddings WHERE vec_id >= 100 AND vec_id < 110),
+        alle AS (SELECT vec_id, embedding FROM embeddings
+          UNION ALL SELECT vec_id, embedding FROM probes),
+        planes AS (
+          SELECT s, j, list_transform(range(0, 64), i ->
+            2.0 * ((CAST('0x' || substr(md5('srp:' || s || ':' || j || ':' || i), 1, 16) AS UBIGINT) >> 11)
+                   / 9007199254740992.0) - 1.0) AS p
+          FROM range(42, 46) ts(s), range(0, 48) t(j), nb WHERE t.j < nb.bits),
+        sgn AS (SELECT e.vec_id, pl.s, pl.j,
+            CASE WHEN list_sum(list_transform(range(1, 65), i ->
+                CAST(e.embedding[i] AS DOUBLE) * pl.p[i])) >= 0
+              THEN (CAST(1 AS BIGINT) << pl.j) ELSE 0 END AS bit
+          FROM alle e, planes pl),
+        buckets AS (SELECT vec_id, s, CAST(SUM(bit) AS BIGINT) AS bucket
+          FROM sgn GROUP BY vec_id, s),
+        cand AS (SELECT DISTINCT l.vec_id AS pid, e.vec_id AS src
+          FROM buckets l JOIN buckets e
+            ON l.s = e.s AND l.bucket = e.bucket
+            AND l.vec_id >= 1000000 AND e.vec_id < 1000000),
+        scored AS (SELECT cand.pid, cand.src,
+            round(list_sum(list_transform(range(1, 65), i ->
+                CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(range(1, 65), i ->
+                  CAST(x.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(1, 65), i ->
+                  CAST(y.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE))))),
+              6) AS cs
+          FROM cand
+          JOIN alle x ON x.vec_id = cand.pid
+          JOIN alle y ON y.vec_id = cand.src),
+        dup AS (SELECT pid, MIN(src) AS dup_src FROM scored
+          WHERE cs >= 0.4 GROUP BY pid)
+        SELECT p.vec_id, d.dup_src IS NULL AS kept, d.dup_src
+        FROM probes p LEFT JOIN dup d ON d.pid = p.vec_id
+        ORDER BY p.vec_id""",
     // st119: both URL dressings synthesized arithmetically, the
     // canonicalizer replayed rule-for-rule (the t86 CTE shape), and
     // kept = min doc_id per canonical key (delivery is id-ordered)
