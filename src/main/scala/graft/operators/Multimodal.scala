@@ -3809,6 +3809,9 @@ object Multimodal {
   def imagePeakPairsLossy(media: DataFrame, minMatch: Double = 0.5,
       maxDist: Int = 3, maxDf: Int = 0, radius: Int = 2,
       patchDesc: Int = 8)(implicit s: SparkSession): DataFrame = {
+    // fail fast BEFORE the eager decode+descriptor pass — the shared
+    // scorer re-checks, but only after the expensive materialization
+    require(maxDist < 4, "4 x 16-bit chunks guarantee recall only for maxDist <= 3")
     val u = udf((p: Array[Byte]) => peakBlockDescriptors(p, radius, patchDesc))
     val rows = Materialize.eager(
       media.select(col("doc_id"), u(col("payload")).as("ds")))
@@ -4935,8 +4938,18 @@ object Multimodal {
     * inverse-map bilinear, out-of-source fill near-black. */
   private[operators] def affineWhitenRgb(
       img: java.awt.image.BufferedImage): java.awt.image.BufferedImage = {
+    val (a, b, c) = lumaCovariance(lumaPlane(img), img.getWidth, img.getHeight)
+    whitenRgbByCov(img, a, b, c)
+  }
+
+  /** The one-shot symmetric-whitening warp of [[affineWhitenRgb]]
+    * with the 2x2 covariance (a=vxx, b=vyy, c=vxy) supplied by the
+    * CALLER — the shared resample kernel of the global-covariance
+    * (m169) and peak-local-covariance (m174) whiteners; only the
+    * covariance ESTIMATOR differs between the tiers. */
+  private[operators] def whitenRgbByCov(img: java.awt.image.BufferedImage,
+      a: Double, b: Double, c: Double): java.awt.image.BufferedImage = {
     val w = img.getWidth; val h = img.getHeight
-    val (a, b, c) = lumaCovariance(lumaPlane(img), w, h)
     val det = a * b - c * c
     if (det <= 1e-9) return img
     val sdet = StrictMath.sqrt(det)
@@ -4952,10 +4965,21 @@ object Multimodal {
     val lmax = tr / 2.0 + StrictMath.sqrt(
       (a - b) * (a - b) / 4.0 + c * c)
     val g = StrictMath.sqrt(lmax)
-    val w00 = g * i00; val w01 = g * i01
-    val w10 = g * i01; val w11 = g * i11
+    warpRgbByW(img, g * i00, g * i01, g * i01, g * i11)
+  }
+
+  /** Warp `img` by an arbitrary 2x2 matrix W about the canvas center —
+    * the shared resample of the whitening family: output canvas =
+    * bounding box of the warped source corners (clamped 4x per axis),
+    * inverse-map bilinear, out-of-source fill near-black. Identity
+    * within 2% is a no-op (keeps isotropic masters' codes bit-identical
+    * to the unwhitened families'). */
+  private[operators] def warpRgbByW(img: java.awt.image.BufferedImage,
+      w00: Double, w01: Double, w10: Double,
+      w11: Double): java.awt.image.BufferedImage = {
+    val w = img.getWidth; val h = img.getHeight
     if (math.abs(w00 - 1.0) < 0.02 && math.abs(w11 - 1.0) < 0.02 &&
-      math.abs(w01) < 0.02) return img
+      math.abs(w01) < 0.02 && math.abs(w10) < 0.02) return img
     // output bounds: warped corners, centered
     val cxS = (w - 1) / 2.0; val cyS = (h - 1) / 2.0
     val xs = for (px <- Seq(0.0, w - 1.0); py <- Seq(0.0, h - 1.0))
@@ -5068,6 +5092,205 @@ object Multimodal {
           smoothR, radius, minAvg).toDF()),
       index, minMatch, "imageAffineLandmarkIndex", minShared,
       AffineFpVersion)
+
+  /** Quantized AFFINE-INVARIANT local-frame codes — geometric
+    * hashing with an affine basis (the classic model-based-vision
+    * construction: Lamdan & Wolfson's geometric hashing, public
+    * literature): for each anchor peak a, an (oriented) pair of its
+    * nearest co-peaks (e1, e2) spans an affine basis, and any other
+    * co-peak p = a + u*e1 + v*e2 has coordinates (u, v) that are
+    * EXACTLY invariant under every orientation-preserving affine map
+    * (rotation x anisotropic squeeze x uniform scale x shear, all
+    * unknown) — no whitening, no estimator, no hypothesis fan. The
+    * round-13 design lesson pinned by the estimator experiments: a
+    * k-NN displacement covariance CANNOT drive whitening, because
+    * nearest-neighbor SELECTION concentrates along the compressed
+    * axis and overwhelms the geometric elongation with the opposite
+    * sign — the iteration diverges (measured: a near-isotropic
+    * master's "whitener" walked to a 1.88:1 stretch in 3 steps, and
+    * whitened-frame code overlap on an EXACT cloud-level affine pair
+    * was 1-13 of 360). Exact invariants need no estimate at all.
+    *
+    * Locality = crop robustness: bases and coded points are all
+    * drawn from the anchor's nNear NEAREST co-peaks, so an interior
+    * anchor's codes survive any crop that keeps its neighborhood;
+    * border anchors die with their cut neighbors (the class price).
+    * Chirality: bases are oriented det > 0, so codes are invariant
+    * only under orientation-PRESERVING maps — a mirrored re-upload
+    * stays with the dihedral fan.
+    *
+    * One code per (anchor, oriented conditioned basis pair from the
+    * nBasis nearest, unordered pair of OTHER near co-peaks),
+    * packing the two points' quantized (u, v) in canonical
+    * (lexicographic) order — an ordering that is a pure function of
+    * the invariant coordinates and therefore itself affine-invariant.
+    * Ill-conditioned bases (|sin| < ~14 deg) are skipped: their
+    * coordinates amplify the half-pixel detection jitter past the
+    * quantizer. */
+  private[operators] def affineFrameCodes(
+      cells: scala.collection.Seq[(Int, Int, Int)], kTop: Int,
+      nNear: Int, nBasis: Int, qStep: Double): Iterator[Long] = {
+    val top = cells.sortBy { case (x, y, v) => (-v, x, y) }.take(kTop)
+    val lms = scala.collection.mutable.LinkedHashSet.empty[Long]
+    top.foreach { case (ax, ay, _) =>
+      val nbrs = top.iterator
+        .filter { case (bx, by, _) => bx != ax || by != ay }
+        .map { case (bx, by, _) =>
+          val dx = (bx - ax).toDouble; val dy = (by - ay).toDouble
+          (dx * dx + dy * dy, dx, dy)
+        }.toArray.sortBy { case (d2, dx, dy) => (d2, dx, dy) }
+        .take(nNear)
+      val nb = math.min(nBasis, nbrs.length)
+      var i = 0
+      while (i < nb) {
+        var j = i + 1
+        while (j < nb) {
+          var (_, e1x, e1y) = nbrs(i)
+          var (_, e2x, e2y) = nbrs(j)
+          var det = e1x * e2y - e1y * e2x
+          if (det < 0) { // orient the basis: det > 0 (chirality-fixed)
+            val tx = e1x; val ty = e1y
+            e1x = e2x; e1y = e2y; e2x = tx; e2y = ty
+            det = -det
+          }
+          val n1 = StrictMath.sqrt(e1x * e1x + e1y * e1y)
+          val n2 = StrictMath.sqrt(e2x * e2x + e2y * e2y)
+          // conditioning floor: |sin(angle)| >= 0.25
+          if (det >= 0.25 * n1 * n2) {
+            // quantized frame coords of every OTHER near co-peak
+            val pts = new scala.collection.mutable.ArrayBuffer[(Long, Long)]
+            var k = 0
+            while (k < nbrs.length) {
+              if (k != i && k != j) {
+                val (_, px, py) = nbrs(k)
+                val u = (px * e2y - py * e2x) / det
+                val v = (-px * e1y + py * e1x) / det
+                val qu = math.round(u / qStep)
+                val qv = math.round(v / qStep)
+                if (qu >= -31 && qu <= 32 && qv >= -31 && qv <= 32)
+                  pts += ((qu, qv))
+              }
+              k += 1
+            }
+            // one code per unordered TRIPLE in canonical (lex) order —
+            // the ordering is a pure function of the invariant
+            // coordinates, so it is itself affine-invariant; triples
+            // (36 packed bits) over pairs (24) buy the decoy-collision
+            // margin the 32k sweep needs (measured below 2-point codes
+            // at decoy frac 0.03-0.06 vs planted 0.10-0.26 — too thin)
+            var x = 0
+            while (x < pts.length) {
+              var y = x + 1
+              while (y < pts.length) {
+                var z = y + 1
+                while (z < pts.length) {
+                  val s3 = Seq(pts(x), pts(y), pts(z)).sorted
+                  if (s3(0) != s3(1) && s3(1) != s3(2)) {
+                    lms += (((((s3(0)._1 + 31L) * 64L + (s3(0)._2 + 31L))
+                      * 64L + (s3(1)._1 + 31L)) * 64L + (s3(1)._2 + 31L))
+                      * 64L + (s3(2)._1 + 31L)) * 64L + (s3(2)._2 + 31L)
+                  }
+                  z += 1
+                }
+                y += 1
+              }
+              x += 1
+            }
+          }
+          j += 1
+        }
+        i += 1
+      }
+    }
+    lms.iterator
+  }
+
+  /** AFFINE-FRAME landmarks — the CROP x rotation x anisotropic-
+    * squeeze compound (m174): [[affineFrameCodes]] per decoded image.
+    * Squeeze scope: detection runs on the squeezed pixels, so the
+    * tier covers squeezes up to where neighboring blobs MERGE in the
+    * data (~1.5:1, the m160/m165 boundary); past that, de-squeezing
+    * before detection needs exactly the global estimate a crop
+    * denies — the class stays a declared limit. A distinct landmark
+    * family from every constellation tier (different code space);
+    * never mix families in one index. */
+  def imageAffineFrameLandmarks(media: DataFrame, kTop: Int = 48,
+      nNear: Int = 8, nBasis: Int = 4, qStep: Double = 0.3,
+      smoothR: Int = 4, radius: Int = 6, minAvg: Int = 24)(
+      implicit s: SparkSession): Dataset[DocLandmark] = {
+    import s.implicits._
+    require(nNear >= 4 && nNear <= 16,
+      "nNear must be in 4..16 (a frame code needs 2 basis + 2 coded co-peaks)")
+    require(nBasis >= 2 && nBasis <= nNear, "nBasis must be in 2..nNear")
+    require(qStep > 0.0, "qStep must be > 0")
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions(rows => rows.flatMap { r =>
+        decodeImage(r.payload) match {
+          case Some(img) =>
+            affineFrameCodes(
+              coarsePeakCells(lumaPlane(img), img.getWidth,
+                img.getHeight, smoothR, radius, minAvg),
+              kTop, nNear, nBasis, qStep).map(DocLandmark(r.doc_id, _))
+          case None => Iterator.empty
+        }
+      })
+  }
+
+  /** Image near-dup pairs under the CROP x FULL-AFFINE compound
+    * (m174) via [[imageAffineFrameLandmarks]] — the shared
+    * posting-list scorer (distinct shared codes over the smaller
+    * side's code count). Default gate (minMatch 0.02 AND minShared
+    * 16) from the measured operating point at qStep 0.3: worst
+    * planted 75%-crop x 17 deg x 1.4:1 compound scored 0.0398 with
+    * 53 shared codes; the worst fresh decoy 4 shared (~0.003) —
+    * a ~10x margin on both axes. */
+  def imageAffineFramePairs(media: DataFrame, minMatch: Double = 0.02,
+      maxDf: Int = 0, kTop: Int = 48, nNear: Int = 8, nBasis: Int = 4,
+      qStep: Double = 0.3, smoothR: Int = 4, radius: Int = 6,
+      minAvg: Int = 24, minShared: Int = 16)(
+      implicit s: SparkSession): DataFrame =
+    peakLandmarkPairScores(
+      Materialize.eager(
+        imageAffineFrameLandmarks(media, kTop, nNear, nBasis, qStep,
+          smoothR, radius, minAvg).toDF()),
+      minMatch, maxDf, minShared)
+
+  /** Version stamp for the affine-frame family ([[affineFrameCodes]]
+    * — basis selection, conditioning floor, coordinate quantizer,
+    * pair packing): namespaced (affine-frame = 11400 + v);
+    * 11401 = v1. */
+  val AffineFrameFpVersion: Int = 11401
+
+  /** Persisted AFFINE-FRAME landmark index — the m174 tier's
+    * incremental member, [[IncrementalIndex.append]]-compatible,
+    * stamped [[AffineFrameFpVersion]]. */
+  def imageAffineFrameIndex(media: DataFrame, kTop: Int = 48,
+      nNear: Int = 8, nBasis: Int = 4, qStep: Double = 0.3,
+      smoothR: Int = 4, radius: Int = 6, minAvg: Int = 24)(
+      implicit s: SparkSession): DataFrame = {
+    val lms = Materialize.eager(
+      imageAffineFrameLandmarks(media, kTop, nNear, nBasis, qStep,
+        smoothR, radius, minAvg).toDF())
+    lms.join(lms.groupBy(col("doc_id")).agg(count(lit(1)).as("nl")),
+        Seq("doc_id"))
+      .select(col("lm"), col("doc_id"), col("nl"),
+        lit(AffineFrameFpVersion).as("fp_ver"))
+  }
+
+  /** Screen an ingest batch against a pre-built
+    * [[imageAffineFrameIndex]] — same contract as the constellation
+    * screens. Enforces [[AffineFrameFpVersion]]. */
+  def dedupAgainstImageAffineFrameIndex(media: DataFrame,
+      index: DataFrame, minMatch: Double = 0.02, kTop: Int = 48,
+      nNear: Int = 8, nBasis: Int = 4, qStep: Double = 0.3,
+      smoothR: Int = 4, radius: Int = 6, minAvg: Int = 24,
+      minShared: Int = 16)(implicit s: SparkSession): DataFrame =
+    screenScaleIndex(
+      Materialize.eager(
+        imageAffineFrameLandmarks(media, kTop, nNear, nBasis, qStep,
+          smoothR, radius, minAvg).toDF()),
+      index, minMatch, "imageAffineFrameIndex", minShared,
+      AffineFrameFpVersion)
 
   /** AFFINE-whitened rot codes pooled per VIDEO document — the m169
     * tier lifted to the frame sequence: every sampled frame whitens

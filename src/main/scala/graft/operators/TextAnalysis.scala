@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text analysis operators for training-data pipelines: token stats,
@@ -483,6 +483,113 @@ object TextAnalysis {
       regexp_extract(urlCanon, "^[a-z][a-z0-9+.-]*://([^/?#]*)", 1),
       "^([^:]*)", 1)
     regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+  }
+
+  /** Compact subset of the published Public Suffix List (the
+    * multi-label ccTLD suffixes under which names are registered one
+    * level deeper — `site.co.uk`, not `co.uk`). Single-label TLDs are
+    * deliberately absent: for them the 2-label heuristic of
+    * [[registeredDomain]] is already exact, so the table only needs
+    * the entries where the heuristic is WRONG. This is data, not code:
+    * a production deployment swaps in the full published list (~9k
+    * suffix rows — still broadcast-trivial) without touching the plan.
+    * Wildcard rules (`*.ck`) and exceptions (`!www.ck`) are out of
+    * scope for the subset; they'd add one more broadcast column, not
+    * a new shuffle. */
+  val publicSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "ltd.uk",
+    "plc.uk", "sch.uk", "nhs.uk", "police.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz",
+    "geek.nz", "gen.nz", "maori.nz", "iwi.nz",
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "ad.jp", "ed.jp", "go.jp",
+    "gr.jp", "lg.jp",
+    "com.br", "net.br", "org.br", "gov.br", "edu.br", "art.br", "adv.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn", "mil.cn",
+    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in", "gov.in",
+    "ac.in", "edu.in", "res.in", "mil.in",
+    "co.kr", "or.kr", "ne.kr", "re.kr", "pe.kr", "go.kr", "ac.kr",
+    "ms.kr", "hs.kr",
+    "co.za", "net.za", "org.za", "web.za", "gov.za", "ac.za", "edu.za",
+    "com.mx", "net.mx", "org.mx", "gob.mx", "edu.mx",
+    "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar", "int.ar",
+    "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr", "bel.tr",
+    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg", "per.sg",
+    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk", "idv.hk",
+    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw", "idv.tw",
+    "com.my", "net.my", "org.my", "edu.my", "gov.my", "mil.my",
+    "co.id", "or.id", "net.id", "web.id", "ac.id", "sch.id", "go.id",
+    "my.id", "biz.id",
+    "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "in.ua",
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "waw.pl",
+    "co.il", "org.il", "net.il", "ac.il", "gov.il", "muni.il", "k12.il",
+    "com.eg", "net.eg", "org.eg", "edu.eg", "gov.eg", "sci.eg",
+    "com.sa", "net.sa", "org.sa", "edu.sa", "gov.sa", "med.sa", "pub.sa",
+    "co.th", "in.th", "or.th", "ac.th", "go.th", "net.th", "mi.th",
+    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn", "biz.vn", "int.vn",
+    "com.ph", "net.ph", "org.ph", "edu.ph", "gov.ph", "ngo.ph",
+    "com.pk", "net.pk", "org.pk", "edu.pk", "gov.pk", "fam.pk",
+    "com.ng", "net.ng", "org.ng", "edu.ng", "gov.ng", "sch.ng",
+    "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke", "sc.ke", "me.ke",
+  )
+
+  /** SQL `(VALUES ...)` body for [[publicSuffixes]] — the oracle's
+    * copy of the table is GENERATED from the same Seq so the two
+    * engines can never drift. */
+  def publicSuffixesValuesSql: String =
+    publicSuffixes.map(s => s"('$s')").mkString(", ")
+
+  /** Suffix-table form of [[registeredDomain]] + per-domain cap: the
+    * registered domain is the label immediately below the longest
+    * matching public suffix. With the subset table (all 2-label
+    * suffixes), a host whose last-2 labels match a suffix registers at
+    * 3 labels (`news.site.co.uk` → `site.co.uk`); otherwise the
+    * 2-label heuristic stands (`a.b.site.com` → `site.com`). Both
+    * verdicts are emitted (`domain` table-form, `domain_h` heuristic)
+    * with their own rank/kept pairs so the divergence is auditable —
+    * under the heuristic every `*.co.uk` registrant collapses into ONE
+    * `co.uk` mega-domain and the cap throttles them collectively.
+    *
+    * Scale shape: the suffix table is static kilobytes → a broadcast
+    * hash join (zero added shuffle; `.explain` shows
+    * BroadcastHashJoin with the scan untouched). The two caps are two
+    * window shuffles; a deployment that only wants the table verdict
+    * drops `domain_h` and pays exactly [[urlDomainCap]]'s single
+    * shuffle. A host that IS a bare public suffix (`co.uk` itself,
+    * no registrant label) keeps the suffix as its domain — same as
+    * the heuristic, and what the published algorithm does absent a
+    * registrable name. */
+  def urlDomainCapPsl(spark: SparkSession, docs: DataFrame, idCol: String,
+      urlCol: String, cap: Int): DataFrame = {
+    require(cap >= 1, "cap must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val canon = canonicalizeUrl(col(urlCol))
+    val host = regexp_extract(
+      regexp_extract(col("url_canon"), "^[a-z][a-z0-9+.-]*://([^/?#]*)", 1),
+      "^([^:]*)", 1)
+    val suffixes = spark.createDataFrame(
+      publicSuffixes.map(Tuple1(_))).toDF("suffix")
+    val joined = docs
+      .select(col(idCol).as("doc_id"), canon.as("url_canon"))
+      .withColumn("last2", regexp_extract(host, "([^.]+\\.[^.]+)$", 1))
+      .withColumn("last3",
+        regexp_extract(host, "([^.]+\\.[^.]+\\.[^.]+)$", 1))
+      .join(broadcast(suffixes), col("last2") === col("suffix"), "left")
+      .withColumn("domain",
+        when(col("suffix").isNotNull && col("last3") =!= "", col("last3"))
+          .otherwise(col("last2")))
+      .withColumn("domain_h", col("last2"))
+    val hashOrd = Seq(md5(col("doc_id").cast("string")), col("doc_id"))
+    val byPsl = Window.partitionBy(col("domain")).orderBy(hashOrd: _*)
+    val byH = Window.partitionBy(col("domain_h")).orderBy(hashOrd: _*)
+    joined
+      .withColumn("domain_rank", row_number().over(byPsl))
+      .withColumn("kept", col("domain_rank") <= cap)
+      .withColumn("rank_h", row_number().over(byH))
+      .withColumn("kept_h", col("rank_h") <= cap)
+      .select(col("doc_id"), col("url_canon"), col("domain"),
+        col("domain_rank"), col("kept"), col("domain_h"), col("rank_h"),
+        col("kept_h"))
   }
 
   /** URL-level curation: canonicalize each document's URL, extract its

@@ -2946,6 +2946,71 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // CROP x FULL-AFFINE image dedup (m174 — the round-12 verdict's
+    // top user-hittable recall gap): a re-upload that was CROPPED and
+    // tilted and anamorphically squeezed, all unknown. The m169
+    // whitening is structurally out (the crop changes the luma
+    // covariance estimate itself) and every crop ladder assumes
+    // axis-aligned geometry (Round13Spec pins both at 0/10 on this
+    // corpus). Codes are EXACT affine invariants: per anchor peak,
+    // oriented pairs of its nearest co-peaks span an affine basis and
+    // the other near co-peaks' basis coordinates ride through any
+    // orientation-preserving affine map — geometric hashing, no
+    // estimator (the round-13 design lesson: k-NN displacement
+    // covariance whitening DIVERGES — selection bias has the opposite
+    // sign of the geometry). Probes: central-75% crop re-rendered at
+    // source size, rotations {17, -23, 9, 33} deg, squeezes
+    // {1.4, 1.3, 1.45, 1.35}:1. Pinned golden.
+    "m174_affine_frame_pairs" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val img = udf((id: Long) => {
+        def blobs(seed: Long): Array[Byte] =
+          Multimodal.syntheticPngBlobs(seed, 256, 256, 24, 22.0)
+        def probe(src: Long, deg: Double, outW: Int): Array[Byte] =
+          Multimodal.pngCropResize(Multimodal.pngRotateResize(
+            Multimodal.pngCropResize(blobs(src), 32, 32, 224, 224,
+              256, 256), deg), 0, 0, 256, 256, outW, 256)
+        if (id == 20L) probe(0, 17.0, 183)
+        else if (id == 21L) probe(1, -23.0, 197)
+        else if (id == 22L) probe(2, 9.0, 177)
+        else if (id == 23L) probe(3, 33.0, 190)
+        else blobs(id)
+      })
+      val media = s.range(0, 8).union(s.range(20, 24))
+        .union(s.range(140, 142))
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      Multimodal.imageAffineFramePairs(media, maxDf = 64)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Persisted AFFINE-FRAME index + ingest screen (m176 — the m174
+    // tier's incremental member, AffineFrameFpVersion): 8 masters
+    // fingerprint once, then the m174 probe batch plus 2 fresh docs
+    // screens with no corpus re-decode. Pinned golden.
+    "m176_affine_frame_index" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val img = udf((id: Long) => {
+        def blobs(seed: Long): Array[Byte] =
+          Multimodal.syntheticPngBlobs(seed, 256, 256, 24, 22.0)
+        def probe(src: Long, deg: Double, outW: Int): Array[Byte] =
+          Multimodal.pngCropResize(Multimodal.pngRotateResize(
+            Multimodal.pngCropResize(blobs(src), 32, 32, 224, 224,
+              256, 256), deg), 0, 0, 256, 256, outW, 256)
+        if (id == 20L) probe(0, 17.0, 183)
+        else if (id == 21L) probe(1, -23.0, 197)
+        else if (id == 22L) probe(2, 9.0, 177)
+        else if (id == 23L) probe(3, 33.0, 190)
+        else blobs(id)
+      })
+      val corpus = s.range(0, 8)
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      val index = Multimodal.imageAffineFrameIndex(corpus)
+      val probes = s.range(20, 24).union(s.range(130, 132))
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      Multimodal.dedupAgainstImageAffineFrameIndex(probes, index)
+        .orderBy(col("doc_id"))
+    }),
+
     // STREAMING full-affine image dedup (st120 — the m169 tier in the
     // streaming matrix): micro-batch 1 delivers 6 blob masters
     // (whitened rot codes enter bucket state), micro-batch 2 their

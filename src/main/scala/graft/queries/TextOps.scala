@@ -484,6 +484,28 @@ object TextOps extends QueryPack {
         .orderBy($"doc_id")
     }),
 
+    // public-suffix-table registered domains: hosts under multi-label
+    // ccTLD suffixes (news.<src>.co.uk, blog.<src>.com.au, <src>.co.jp)
+    // where the 2-label heuristic PROVABLY mis-groups — it collapses
+    // every *.co.uk registrant into one `co.uk` mega-domain (kept_h
+    // throttles them collectively) while the broadcast suffix table
+    // registers each at 3 labels. gTLD hosts (www.<src>.com,
+    // cdn.<src>.org) take the heuristic path in both engines.
+    "t87_url_domain_psl" -> ((s, dir) => {
+      import s.implicits._
+      val url = concat(lit("http://"),
+        when($"doc_id" % 5 === 0, concat(lit("News."), $"source", lit(".co.uk")))
+          .when($"doc_id" % 5 === 1, concat(lit("blog."), $"source", lit(".com.au")))
+          .when($"doc_id" % 5 === 2, concat($"source", lit(".co.jp")))
+          .when($"doc_id" % 5 === 3, concat(lit("www."), $"source", lit(".com")))
+          .otherwise(concat(lit("cdn."), $"source", lit(".org"))),
+        lit("/p-"), $"doc_id".cast("string"))
+      TextAnalysis.urlDomainCapPsl(s,
+          t(s, dir, "documents").select($"doc_id", url.as("url")),
+          "doc_id", "url", cap = 4)
+        .orderBy($"doc_id")
+    }),
+
     // exact-quota dataset mixing toward integer target weights; the
     // selected set is a pure function of (seed, ids), replayed by the
     // oracle's identical integer budget/quota arithmetic.
@@ -2083,6 +2105,41 @@ object TextOps extends QueryPack {
         FROM d)
         SELECT doc_id, url_canon, domain, domain_rank,
           domain_rank <= 10 AS kept
+        FROM r ORDER BY doc_id""",
+    // the oracle's suffix table is GENERATED from the same Scala Seq
+    // (publicSuffixesValuesSql) — the two engines share one list by
+    // construction; the rest replays host canonicalization, the
+    // longest-suffix registration rule, and both hash-ordered caps
+    "t87_url_domain_psl" ->
+      s"""WITH u AS (SELECT doc_id,
+          (CASE WHEN doc_id % 5 = 0 THEN 'News.' || source || '.co.uk'
+                WHEN doc_id % 5 = 1 THEN 'blog.' || source || '.com.au'
+                WHEN doc_id % 5 = 2 THEN source || '.co.jp'
+                WHEN doc_id % 5 = 3 THEN 'www.' || source || '.com'
+                ELSE 'cdn.' || source || '.org' END) AS rawhost
+        FROM documents),
+        h AS (SELECT doc_id,
+          regexp_replace(lower(rawhost), '^www\\.([^.]+\\..*)', '\\1') AS host
+        FROM u),
+        d AS (SELECT doc_id,
+          'http://' || host || '/p-' || CAST(doc_id AS VARCHAR) AS url_canon,
+          regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS last2,
+          regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$$', 1) AS last3
+        FROM h),
+        psl(suffix) AS (VALUES ${graft.operators.TextAnalysis.publicSuffixesValuesSql}),
+        j AS (SELECT doc_id, url_canon,
+          CASE WHEN suffix IS NOT NULL AND last3 <> '' THEN last3
+               ELSE last2 END AS domain,
+          last2 AS domain_h
+        FROM d LEFT JOIN psl ON last2 = suffix),
+        r AS (SELECT doc_id, url_canon, domain, domain_h,
+          CAST(row_number() OVER (PARTITION BY domain
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS domain_rank,
+          CAST(row_number() OVER (PARTITION BY domain_h
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rank_h
+        FROM j)
+        SELECT doc_id, url_canon, domain, domain_rank,
+          domain_rank <= 4 AS kept, domain_h, rank_h, rank_h <= 4 AS kept_h
         FROM r ORDER BY doc_id""",
     // the oracle rebuilds the same injected-PII text, then replays the
     // two-stage redaction (emails first) with RE2 'g' replaces — the

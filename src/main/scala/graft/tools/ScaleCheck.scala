@@ -179,7 +179,10 @@ object ScaleCheck {
           val sq = Array(1.3, 1.5, 1.7)((id % 3).toInt)
           val rot = Multimodal.pngRotateResize(
             Multimodal.syntheticPngBlobs(id - 9), deg)
-          if (id % 2 == 0)
+          // planted ids all satisfy id % 10 == 9 (always odd), so the
+          // axis parity must vary across PLANTS, not raw ids — (id/10)
+          // alternates per plant and sweeps both squeeze axes
+          if ((id / 10) % 2 == 0)
             Multimodal.pngCropResize(rot, 0, 0, 128, 128,
               math.round(128 / sq).toInt, 128)
           else

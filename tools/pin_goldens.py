@@ -169,6 +169,8 @@ QUERIES = [
     "m171_video_affine_pairs", # tilted anamorphic VIDEO rips
     "m172_video_canonical_index", # canonical video index screen
     "m173_video_affine_index", # affine video index screen
+    "m174_affine_frame_pairs", # crop x affine geometric-hash pairs
+    "m176_affine_frame_index", # crop x affine index screen
     "m158_audio_compound_interval",
     "m159_audio_pitch_verified",
     "m164_audio_half_tone_verified",
