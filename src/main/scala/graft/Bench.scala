@@ -325,8 +325,11 @@ object Bench {
     // WHICH query absorbed the contention)
     // the whole BPE-induction family is pinned so round-over-round
     // induction cost stays trackable even when lane packing hides it
+    // (round-12: t65's 0.56->4.29s lane move was unadjudicatable
+    // because it lacked an isolated figure — all five BPE queries are
+    // pinned now)
     val alwaysIsolated = Set("t64_bpe_merges", "t57_bigram_lm", "t58_joint_curation",
-      "t68_bpe_batched", "t70_bpe_roundtrip", "t71_bpe_vocab4k")
+      "t65_bpe_encode", "t68_bpe_batched", "t70_bpe_roundtrip", "t71_bpe_vocab4k")
     val ok = results.filter(_._3)
     val slowest = ok.sortBy(-_._2).take(nIsolated).map(_._1)
     val family = ok.map(_._1).filter(n => pipelineQueries(n) || n.startsWith("st"))

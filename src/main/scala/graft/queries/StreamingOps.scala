@@ -1160,6 +1160,35 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // STATIONARY-audio contrast gate (m175 — fixture-pins the one
+    // declared scope line without a measured gate, mirroring m161's
+    // shape for images): burst-free constant-level tone beds have NO
+    // energy onsets, so the onset-anchored tier emits NOTHING on them
+    // — pinned as zero "onset" rows — while the rate-free
+    // spectral-landmark grid tier owns the class' non-pitch-scaled
+    // transforms: a frame-aligned 128 ms trim re-encoded at 44.1 kHz
+    // lands every planted pair (the m110 compound). Masters 6-7 stay
+    // unpaired (no spurious pairs on fresh stationary beds). Pinned
+    // golden.
+    "m175_stationary_audio_gate" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val wav = udf((id: Long) =>
+        if (id < 20) Multimodal.syntheticWavTones(id, 8000, ms = 640)
+        else Multimodal.syntheticWavTones(id - 20, 44100, ms = 512,
+          offsetMs = 128))
+      val media = s.range(0, 8).union(s.range(20, 26))
+        .select(col("id").as("doc_id"), wav(col("id")).as("payload"))
+      val onset = Multimodal.audioOnsetLandmarkPairs(media, maxDf = 64)
+        .select(lit("onset").as("tier"), col("doc_a"), col("doc_b"),
+          col("match_frac"))
+      val spectral = Multimodal.audioSpectralLandmarkPairs(media,
+          maxDf = 64)
+        .select(lit("spectral").as("tier"), col("doc_a"), col("doc_b"),
+          col("match_frac"))
+      onset.unionByName(spectral)
+        .orderBy(col("tier"), col("doc_a"), col("doc_b"))
+    }),
+
     // EXIF orientation NORMALIZATION at decode (closes round-10 gap
     // #4): 8 PNG masters; 6 probes are EXIF-TAGGED JPEG camera
     // reposts — pixels stored rotated/mirrored/transposed with the
@@ -5831,6 +5860,79 @@ object StreamingOps extends QueryPack {
     // STREAMING embedding dedup vs a BROADCAST SRP index (st122 —
     // the s56 incremental screen at the stream-static seam, filling
     // the streaming matrix's embedding-DEDUP gap: st69 only ingests).
+    // STREAM-STATIC affine-frame index screen (st123 — the m174 tier
+    // in the streaming matrix, at the st103/st121 broadcast seam): a
+    // standing corpus' imageAffineFrameIndex BROADCASTS — no state
+    // store — and every micro-batch of image arrivals computes its
+    // affine-frame landmarks (a pure mapPartitions, streaming-safe)
+    // and equi-joins them against it; a re-upload that was CROPPED,
+    // tilted, AND anamorphically squeezed mid-stream is flagged with
+    // no corpus re-decode, fresh arrivals stay kept. Scored at the
+    // m174 gate (minMatch 0.02 AND >= 16 shared codes) batch-side
+    // over the sink. Pinned golden.
+    "st123_stream_affine_frame_screen" -> ((s0, dir) => { val s = streamSession(s0)
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      val staged = stagingDir("graft-stream-afridx")
+      val img = udf((id: Long) => {
+        def blobs(seed: Long): Array[Byte] =
+          Multimodal.syntheticPngBlobs(seed, 256, 256, 24, 22.0)
+        def probe(src: Long, deg: Double, outW: Int): Array[Byte] =
+          Multimodal.pngCropResize(Multimodal.pngRotateResize(
+            Multimodal.pngCropResize(blobs(src), 32, 32, 224, 224,
+              256, 256), deg), 0, 0, 256, 256, outW, 256)
+        if (id == 20L) probe(0, 17.0, 183)
+        else if (id == 22L) probe(2, -23.0, 197)
+        else blobs(id)
+      })
+      val corpus = s.range(0, 4)
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      val index = Multimodal.imageAffineFrameIndex(corpus)
+        .select(col("lm"), col("doc_id").as("src"), col("nl").as("nl_src"))
+      def stageBatch(ids: Seq[Long], fname: String, ageMs: Long): Unit = {
+        val tmp = staged.resolve(fname + ".tmp")
+        s.createDataset(ids).toDF("doc_id")
+          .select(col("doc_id"), img(col("doc_id")).as("payload"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, staged.resolve(fname))
+        staged.resolve(fname).toFile.deleteOnExit()
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        java.nio.file.Files.setLastModifiedTime(staged.resolve(fname),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - ageMs))
+      }
+      stageBatch(Seq(20L, 130L), "a.parquet", 120000L)
+      stageBatch(Seq(22L, 131L), "b.parquet", 0L)
+      val mediaSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("payload", BinaryType)))
+      val stream = s.readStream.schema(mediaSchema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+        .repartition(col("doc_id"))
+      val q = Multimodal.imageAffineFrameLandmarks(stream).toDF()
+        .join(broadcast(index), Seq("lm"), "left")
+        .writeStream.outputMode("append")
+        .format("memory").queryName("st123_lm").start()
+      try q.processAllAvailable() finally q.stop()
+      val nl = s.table("st123_lm").groupBy(col("doc_id"))
+        .agg(countDistinct(col("lm")).as("nl"))
+      val dup = s.table("st123_lm").filter(col("src").isNotNull)
+        .select(col("doc_id").as("d"), col("lm"), col("src"), col("nl_src"))
+        .groupBy(col("d"), col("src"), col("nl_src"))
+        .agg(countDistinct(col("lm")).as("c"))
+        .join(nl, col("d") === nl("doc_id")).drop("doc_id")
+        .filter(col("c") >= 16 &&
+          col("c").cast("double") / least(col("nl"), col("nl_src")) >= 0.02)
+        .groupBy(col("d")).agg(min(col("src")).as("dup_src"))
+        .select(col("d").as("doc_id"), col("dup_src"))
+      s.createDataset(Seq(20L, 22L, 130L, 131L)).toDF("doc_id")
+        .join(dup, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("dup_src").isNull.as("kept"),
+          col("dup_src"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Arrivals hash with the index's planes (srpBucketIndex is a pure
     // projection, streaming-safe), equi-join the broadcast index on
     // (tbl, bucket) — no state store — and score exact cosine

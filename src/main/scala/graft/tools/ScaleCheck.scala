@@ -193,6 +193,59 @@ object ScaleCheck {
     }.toDF("doc_id", "payload")
   }
 
+  /** Blob-image corpus with ~1/10 planted CROP x FULL-AFFINE
+    * re-uploads (central-75% crop re-rendered at source size, then
+    * rotation 3-48 deg, then squeeze 1.3-1.7:1 alternating axis per
+    * plant) — the m174 tier's saturation/recall sweep corpus. 256px
+    * 24-blob masters: the compound probe loses border peaks to the
+    * crop, the rotation clip, AND the detector margin, so the 128px
+    * 10-blob fixtures leave too few peaks for any 5-point family. */
+  def cropAffinePngs(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(0, n).map { id =>
+      val payload =
+        if (id % 10 == 9) {
+          val deg = 3.0 + (id % 46).toDouble
+          val sq = Array(1.3, 1.5, 1.7)((id % 3).toInt)
+          val crop = Multimodal.pngCropResize(
+            Multimodal.syntheticPngBlobs(id - 9, 256, 256, 24, 22.0),
+            32, 32, 224, 224, 256, 256)
+          val rot = Multimodal.pngRotateResize(crop, deg)
+          if ((id / 10) % 2 == 0)
+            Multimodal.pngCropResize(rot, 0, 0, 256, 256,
+              math.round(256 / sq).toInt, 256)
+          else
+            Multimodal.pngCropResize(rot, 0, 0, 256, 256, 256,
+              math.round(256 / sq).toInt)
+        } else Multimodal.syntheticPngBlobs(id, 256, 256, 24, 22.0)
+      (id, payload)
+    }.toDF("doc_id", "payload")
+  }
+
+  /** 256-canvas variant of [[affinePngs]] (NO crop — rotation x
+    * squeeze only) on the same rich-structure masters, so the
+    * affine-frame tier's no-crop recall is measured on the corpus
+    * class its gate fixtures use. */
+  def affinePngs256(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(0, n).map { id =>
+      val payload =
+        if (id % 10 == 9) {
+          val deg = 3.0 + (id % 46).toDouble
+          val sq = Array(1.3, 1.5, 1.7)((id % 3).toInt)
+          val rot = Multimodal.pngRotateResize(
+            Multimodal.syntheticPngBlobs(id - 9, 256, 256, 24, 22.0), deg)
+          if ((id / 10) % 2 == 0)
+            Multimodal.pngCropResize(rot, 0, 0, 256, 256,
+              math.round(256 / sq).toInt, 256)
+          else
+            Multimodal.pngCropResize(rot, 0, 0, 256, 256, 256,
+              math.round(256 / sq).toInt)
+        } else Multimodal.syntheticPngBlobs(id, 256, 256, 24, 22.0)
+      (id, payload)
+    }.toDF("doc_id", "payload")
+  }
+
   def main(args: Array[String]): Unit = {
     val base = args.headOption.filter(_.forall(_.isDigit)).map(_.toInt).getOrElse(30000)
     // optional further args: only run ops whose name contains one of them
@@ -369,6 +422,34 @@ object ScaleCheck {
             .filter(col("doc_b") - col("doc_a") === 9 &&
               col("doc_b") % 10 === 9))
         a.unpersist()
+      }
+      // affine-FRAME tier (m174): exact affine invariants, no
+      // whitening — swept on BOTH corpus classes: the no-crop
+      // rotation x squeeze compound (the m169 recall bar: the round-12
+      // verdict set >= 85% at 2k/8k/32k) and the full crop x affine
+      // compound the tier exists for. Both lines also expose the
+      // spurious-pair count (out= minus planted) under the same maxDf
+      // cap — the saturation guard for the 36-bit triple codes.
+      if (wanted("imageAffineFrame")) {
+        implicit val sp: SparkSession = spark
+        val a = affinePngs256(spark, n / 8).persist()
+        a.count()
+        run("imageAffineFramePairs(planted)", n / 8)(
+          Multimodal.imageAffineFramePairs(a, maxDf = 500)
+            .filter(col("doc_b") - col("doc_a") === 9 &&
+              col("doc_b") % 10 === 9))
+        run("imageAffineFramePairs(all)", n / 8)(
+          Multimodal.imageAffineFramePairs(a, maxDf = 500))
+        a.unpersist()
+        val c = cropAffinePngs(spark, n / 8).persist()
+        c.count()
+        run("imageAffineFramePairs(cropPlanted)", n / 8)(
+          Multimodal.imageAffineFramePairs(c, maxDf = 500)
+            .filter(col("doc_b") - col("doc_a") === 9 &&
+              col("doc_b") % 10 === 9))
+        run("imageAffineFramePairs(cropAll)", n / 8)(
+          Multimodal.imageAffineFramePairs(c, maxDf = 500))
+        c.unpersist()
       }
       d.unpersist(); e.unpersist()
     }

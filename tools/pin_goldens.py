@@ -171,6 +171,8 @@ QUERIES = [
     "m173_video_affine_index", # affine video index screen
     "m174_affine_frame_pairs", # crop x affine geometric-hash pairs
     "m176_affine_frame_index", # crop x affine index screen
+    "st123_stream_affine_frame_screen", # its stream-static member
+    "m175_stationary_audio_gate", # stationary-audio scope gate
     "m158_audio_compound_interval",
     "m159_audio_pitch_verified",
     "m164_audio_half_tone_verified",
