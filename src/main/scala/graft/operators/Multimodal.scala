@@ -5292,6 +5292,85 @@ object Multimodal {
       index, minMatch, "imageAffineFrameIndex", minShared,
       AffineFrameFpVersion)
 
+  /** AFFINE-FRAME codes pooled per VIDEO document — the m174 tier
+    * lifted to the frame sequence (m177): every sampled frame's exact
+    * affine-invariant local-frame codes pool DISTINCT, so a video
+    * that was CROPPED, tilted, and anamorphically re-ripped (all
+    * unknown) lands where the whitened video tiers (m171) are
+    * structurally out (the crop changes their covariance estimate).
+    * One container walk. */
+  def videoAffineFrameLandmarks(media: DataFrame, every: Int = 2,
+      kTop: Int = 48, nNear: Int = 8, nBasis: Int = 4,
+      qStep: Double = 0.3, smoothR: Int = 4, radius: Int = 6,
+      minAvg: Int = 24)(implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    require(every >= 1, "every must be >= 1")
+    require(nNear >= 4 && nNear <= 16,
+      "nNear must be in 4..16 (a frame code needs 2 basis + 2 coded co-peaks)")
+    require(nBasis >= 2 && nBasis <= nNear, "nBasis must be in 2..nNear")
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions(rows => rows.flatMap { r =>
+        containerFrames(r.payload) match {
+          case Some(fs) =>
+            val set = scala.collection.mutable.LinkedHashSet.empty[Long]
+            fs.iterator.zipWithIndex.filter(_._2 % every == 0)
+              .foreach { f =>
+                decodeImage(f._1).foreach { img =>
+                  affineFrameCodes(
+                    coarsePeakCells(lumaPlane(img), img.getWidth,
+                      img.getHeight, smoothR, radius, minAvg),
+                    kTop, nNear, nBasis, qStep).foreach(set += _)
+                }
+              }
+            set.iterator.map(lm => (r.doc_id, lm))
+          case None => Iterator.empty
+        }
+      }).toDF("doc_id", "lm")
+  }
+
+  /** Video near-dup pairs under the CROP x FULL-AFFINE compound
+    * (m177) via [[videoAffineFrameLandmarks]] — the m174 gate over
+    * pooled per-video code sets. */
+  def videoAffineFramePairs(media: DataFrame, minMatch: Double = 0.02,
+      every: Int = 2, maxDf: Int = 0, kTop: Int = 48, nNear: Int = 8,
+      nBasis: Int = 4, qStep: Double = 0.3, smoothR: Int = 4,
+      radius: Int = 6, minAvg: Int = 24, minShared: Int = 16)(
+      implicit s: SparkSession): DataFrame =
+    peakLandmarkPairScores(
+      Materialize.eager(videoAffineFrameLandmarks(media, every, kTop,
+        nNear, nBasis, qStep, smoothR, radius, minAvg)),
+      minMatch, maxDf, minShared)
+
+  /** Persisted AFFINE-FRAME video index — the m177 tier's
+    * incremental member ([[AffineFrameFpVersion]] via the shared
+    * code kernel). [[dedupAgainstVideoAffineFrameIndex]] screens an
+    * ingest batch with no corpus re-decode. */
+  def videoAffineFrameIndex(media: DataFrame, every: Int = 2,
+      kTop: Int = 48, nNear: Int = 8, nBasis: Int = 4,
+      qStep: Double = 0.3, smoothR: Int = 4, radius: Int = 6,
+      minAvg: Int = 24)(implicit s: SparkSession): DataFrame = {
+    val lms = Materialize.eager(videoAffineFrameLandmarks(media, every,
+      kTop, nNear, nBasis, qStep, smoothR, radius, minAvg))
+    lms.join(lms.groupBy(col("doc_id")).agg(count(lit(1)).as("nl")),
+        Seq("doc_id"))
+      .select(col("lm"), col("doc_id"), col("nl"),
+        lit(AffineFrameFpVersion).as("fp_ver"))
+  }
+
+  /** Screen an ingest batch of videos against a pre-built
+    * [[videoAffineFrameIndex]]. Enforces [[AffineFrameFpVersion]]. */
+  def dedupAgainstVideoAffineFrameIndex(media: DataFrame,
+      index: DataFrame, minMatch: Double = 0.02, every: Int = 2,
+      kTop: Int = 48, nNear: Int = 8, nBasis: Int = 4,
+      qStep: Double = 0.3, smoothR: Int = 4, radius: Int = 6,
+      minAvg: Int = 24, minShared: Int = 16)(
+      implicit s: SparkSession): DataFrame =
+    screenScaleIndex(
+      Materialize.eager(videoAffineFrameLandmarks(media, every, kTop,
+        nNear, nBasis, qStep, smoothR, radius, minAvg)),
+      index, minMatch, "videoAffineFrameIndex", minShared,
+      AffineFrameFpVersion)
+
   /** AFFINE-whitened rot codes pooled per VIDEO document — the m169
     * tier lifted to the frame sequence: every sampled frame whitens
     * to its own isotropic-covariance rendering before detection, so a

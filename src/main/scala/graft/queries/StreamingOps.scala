@@ -3133,6 +3133,66 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // CROP x FULL-AFFINE video dedup (m177 — the m174 tier lifted to
+    // the frame sequence): a video that was CROPPED, tilted, AND
+    // anamorphically re-ripped, all factors unknown — the m171
+    // whitened video tier is structurally out (the crop changes its
+    // covariance estimate). Exact affine-invariant local-frame codes
+    // per sampled frame, pooled DISTINCT per doc, scored at the m174
+    // gate. 192px 18-blob frames (the compound probe loses border
+    // peaks to crop + rotation clip + detector margin). Probes:
+    // central-75% crop re-rendered at source size, rotations
+    // {17, -23, 9} deg, squeezes {1.4, 1.3, 1.45}:1; one probe also
+    // leading-TRIMMED 2 frames. Pinned golden.
+    "m177_video_affine_frame_pairs" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val img = udf((id: Long) => {
+        def master(src: Long): Array[Byte] =
+          Multimodal.syntheticAviBlobs(src, 6, 192, 192, 18, 22.0)
+        def probe(src: Long, deg: Double, ow: Int, from: Int): Array[Byte] =
+          Multimodal.aviCropResizeDib(Multimodal.aviRotateResizeDib(
+            Multimodal.aviCropResizeDib(master(src), 24, 24, 168, 168,
+              192, 192), deg), 0, 0, 192, 192, ow, 192, from)
+        if (id == 20L) probe(0, 17.0, 137, 0)
+        else if (id == 21L) probe(1, -23.0, 148, 0)
+        else if (id == 22L) probe(2, 9.0, 132, 2)
+        else master(id)
+      })
+      val media = s.range(0, 6).union(s.range(20, 23))
+        .union(s.range(140, 142))
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      Multimodal.videoAffineFramePairs(media, maxDf = 64)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Persisted AFFINE-FRAME video index + ingest screen (m178 — the
+    // m177 tier's incremental member, AffineFrameFpVersion via the
+    // shared code kernel): 6 video masters fingerprint once, then the
+    // m177 probe batch plus 2 fresh videos screens with no corpus
+    // re-decode. Pinned golden.
+    "m178_video_affine_frame_index" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val img = udf((id: Long) => {
+        def master(src: Long): Array[Byte] =
+          Multimodal.syntheticAviBlobs(src, 6, 192, 192, 18, 22.0)
+        def probe(src: Long, deg: Double, ow: Int, from: Int): Array[Byte] =
+          Multimodal.aviCropResizeDib(Multimodal.aviRotateResizeDib(
+            Multimodal.aviCropResizeDib(master(src), 24, 24, 168, 168,
+              192, 192), deg), 0, 0, 192, 192, ow, 192, from)
+        if (id == 20L) probe(0, 17.0, 137, 0)
+        else if (id == 21L) probe(1, -23.0, 148, 0)
+        else if (id == 22L) probe(2, 9.0, 132, 2)
+        else master(id)
+      })
+      val corpus = s.range(0, 6)
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      val index = Multimodal.videoAffineFrameIndex(corpus)
+      val probes = s.range(20, 23).union(s.range(130, 132))
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      Multimodal.dedupAgainstVideoAffineFrameIndex(probes, index)
+        .orderBy(col("doc_id"))
+    }),
+
     // Persisted CANONICAL video index + ingest screen (m172 — the
     // m167 tier's incremental member, CanonFpVersion via the shared
     // kernel): 6 blob-video masters fingerprint once, then the m167

@@ -172,6 +172,8 @@ QUERIES = [
     "m174_affine_frame_pairs", # crop x affine geometric-hash pairs
     "m176_affine_frame_index", # crop x affine index screen
     "st123_stream_affine_frame_screen", # its stream-static member
+    "m177_video_affine_frame_pairs", # crop x affine VIDEO rips
+    "m178_video_affine_frame_index", # its video index screen
     "m175_stationary_audio_gate", # stationary-audio scope gate
     "m158_audio_compound_interval",
     "m159_audio_pitch_verified",
