@@ -5129,9 +5129,20 @@ object Multimodal {
     * quantizer. */
   private[operators] def affineFrameCodes(
       cells: scala.collection.Seq[(Int, Int, Int)], kTop: Int,
-      nNear: Int, nBasis: Int, qStep: Double): Iterator[Long] = {
+      nNear: Int, nBasis: Int, qStep: Double): Iterator[Long] =
+    affineFrameCodesAnchored(cells, kTop, nNear, nBasis, qStep)
+      .map(_._1)
+
+  /** [[affineFrameCodes]] keeping, per DISTINCT code, the (x, y) of
+    * the FIRST anchor that emitted it — the correspondence seed of
+    * the verified tier (m179): a matched code between two docs
+    * yields a point-pair hypothesis (anchor_a <-> anchor_b) for the
+    * affine fit. */
+  private[operators] def affineFrameCodesAnchored(
+      cells: scala.collection.Seq[(Int, Int, Int)], kTop: Int,
+      nNear: Int, nBasis: Int, qStep: Double): Iterator[(Long, Int, Int)] = {
     val top = cells.sortBy { case (x, y, v) => (-v, x, y) }.take(kTop)
-    val lms = scala.collection.mutable.LinkedHashSet.empty[Long]
+    val lms = new AnchoredCodeSet
     top.foreach { case (ax, ay, _) =>
       val nbrs = top.iterator
         .filter { case (bx, by, _) => bx != ax || by != ay }
@@ -5186,9 +5197,10 @@ object Multimodal {
                 while (z < pts.length) {
                   val s3 = Seq(pts(x), pts(y), pts(z)).sorted
                   if (s3(0) != s3(1) && s3(1) != s3(2)) {
-                    lms += (((((s3(0)._1 + 31L) * 64L + (s3(0)._2 + 31L))
+                    lms.add((((((s3(0)._1 + 31L) * 64L + (s3(0)._2 + 31L))
                       * 64L + (s3(1)._1 + 31L)) * 64L + (s3(1)._2 + 31L))
-                      * 64L + (s3(2)._1 + 31L)) * 64L + (s3(2)._2 + 31L)
+                      * 64L + (s3(2)._1 + 31L)) * 64L + (s3(2)._2 + 31L),
+                      ax, ay)
                   }
                   z += 1
                 }
@@ -5203,6 +5215,19 @@ object Multimodal {
       }
     }
     lms.iterator
+  }
+
+  /** Insertion-ordered distinct (code -> first anchor) accumulator of
+    * [[affineFrameCodesAnchored]]. */
+  private final class AnchoredCodeSet {
+    private val m = new java.util.LinkedHashMap[Long, (Int, Int)]
+    def add(code: Long, ax: Int, ay: Int): Unit =
+      if (!m.containsKey(code)) m.put(code, (ax, ay))
+    def iterator: Iterator[(Long, Int, Int)] = {
+      import scala.jdk.CollectionConverters._
+      m.entrySet().iterator().asScala.map(e =>
+        (e.getKey, e.getValue._1, e.getValue._2))
+    }
   }
 
   /** AFFINE-FRAME landmarks — the CROP x rotation x anisotropic-
@@ -5370,6 +5395,232 @@ object Multimodal {
         nNear, nBasis, qStep, smoothR, radius, minAvg)),
       index, minMatch, "videoAffineFrameIndex", minShared,
       AffineFrameFpVersion)
+
+  /** VERIFIED affine-frame pairs (m179) — the m159 candidate+verify
+    * pattern lifted to images: [[affineFrameCodesAnchored]] codes
+    * nominate pairs at a LOW gate (the measured m174 recall ceiling:
+    * planted compound pairs missed by the default gate score
+    * 0.006-0.019 — just under it — while the 32k decoy tail also
+    * reaches 0.02, so no single-threshold cut separates them), then
+    * each candidate is verified GEOMETRICALLY: the matched codes'
+    * anchor pairs are correspondence hypotheses, a trimmed
+    * least-squares affine fit (6 params, translation included — crops
+    * shift centers) maps one anchor cloud onto the other, and the
+    * verified score is the aligned fraction over the smaller cloud.
+    * A true re-upload aligns its whole shared field (frac ~0.8-1.0);
+    * a decoy's correspondences are quantizer coincidences that no
+    * single affine map can satisfy (frac ~0). Verification is
+    * per-candidate O(|corr| + |cloud|^2) driver-free arithmetic in a
+    * UDF — candidates are already capped by the code gate, so the
+    * verify stage adds no shuffle beyond the two cloud joins. */
+  def imageAffineFramePairsVerified(media: DataFrame,
+      candMinMatch: Double = 0.004, candMinShared: Int = 4,
+      verifyMinFrac: Double = 0.5, verifyMinAligned: Int = 9,
+      tolPx: Double = 3.0, maxDf: Int = 0,
+      kTop: Int = 48, nNear: Int = 8, nBasis: Int = 4,
+      qStep: Double = 0.3, smoothR: Int = 4, radius: Int = 6,
+      minAvg: Int = 24)(implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    require(verifyMinFrac >= 0.0 && verifyMinFrac <= 1.0,
+      "verifyMinFrac must be in [0, 1]")
+    require(tolPx > 0.0, "tolPx must be > 0")
+    val lms = Materialize.eager(
+      media.select(col("doc_id"), col("payload")).as[MediaRow]
+        .mapPartitions(rows => rows.flatMap { r =>
+          decodeImage(r.payload) match {
+            case Some(img) =>
+              affineFrameCodesAnchored(
+                coarsePeakCells(lumaPlane(img), img.getWidth,
+                  img.getHeight, smoothR, radius, minAvg),
+                kTop, nNear, nBasis, qStep)
+                .map { case (lm, ax, ay) => (r.doc_id, lm, ax, ay) }
+            case None => Iterator.empty
+          }
+        }).toDF("doc_id", "lm", "ax", "ay"))
+    val capped =
+      if (maxDf <= 0) lms
+      else lms.join(
+        lms.groupBy(col("lm"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .filter(col("df") <= maxDf).select(col("lm")),
+        Seq("lm"), "left_semi")
+    val nl = lms.groupBy(col("doc_id")).agg(count(lit(1)).as("nl"))
+    // anchor cloud per doc = its DISTINCT landmark anchors (a subset
+    // of the detected peaks — every peak with a conditioned basis)
+    val clouds = lms.select(col("doc_id"), col("ax"), col("ay"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("ax"), col("ay"))).as("cloud"))
+    val a = capped.select(col("lm"), col("doc_id").as("doc_a"),
+      col("ax").as("axa"), col("ay").as("aya"))
+    val b = capped.select(col("lm"), col("doc_id").as("doc_b"),
+      col("ax").as("axb"), col("ay").as("ayb"))
+    val cand = a.join(b, Seq("lm")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(countDistinct(col("lm")).as("c"),
+        collect_list(struct(col("axa"), col("aya"), col("axb"),
+          col("ayb"))).as("corr"))
+      .filter(col("c") >= math.max(1, candMinShared))
+      .join(nl.select(col("doc_id").as("doc_a"), col("nl").as("na")),
+        Seq("doc_a"))
+      .join(nl.select(col("doc_id").as("doc_b"), col("nl").as("nb")),
+        Seq("doc_b"))
+      .filter(col("c").cast("double") / least(col("na"), col("nb"))
+        >= candMinMatch)
+    val verify = udf((corr: Seq[org.apache.spark.sql.Row],
+        ca: Seq[org.apache.spark.sql.Row],
+        cb: Seq[org.apache.spark.sql.Row]) => {
+      // canonical order: collect_list is partition-order-dependent,
+      // and the RANSAC walk (and its tie-breaks) must be a pure
+      // function of the SET of correspondences, or the verdict would
+      // change under repartitioning (golden-compare poison)
+      val pairs = corr.map(r => (r.getInt(0).toDouble,
+        r.getInt(1).toDouble, r.getInt(2).toDouble,
+        r.getInt(3).toDouble)).distinct.sorted.toArray
+      val n = pairs.length
+      if (n < 3) 0.0
+      else {
+        // RANSAC over correspondence TRIPLES: the candidate gate is
+        // deliberately low, so a candidate's correspondence set can be
+        // mostly quantizer coincidences — least squares (even trimmed)
+        // is poisoned by them (measured: planted recall DROPPED under
+        // LS verify), while one clean triple reveals the true map.
+        // Each solvable triple's map is scored directly by the
+        // alignment objective below.
+        // Conditioning guards reject the degenerate fits a decoy can
+        // "win" with (a collapse maps every point near one target).
+        @inline def mapOk(m00: Double, m01: Double, m10: Double,
+            m11: Double): Boolean = {
+          val det = m00 * m11 - m01 * m10
+          if (det <= 0.05 || det > 20.0) false
+          else {
+            // singular values of M via eigen of M^T M
+            val g00 = m00 * m00 + m10 * m10
+            val g11 = m01 * m01 + m11 * m11
+            val g01 = m00 * m01 + m10 * m11
+            val tr = g00 + g11
+            val d = StrictMath.sqrt(math.max(0.0,
+              (g00 - g11) * (g00 - g11) / 4.0 + g01 * g01))
+            val smax2 = tr / 2.0 + d; val smin2 = math.max(1e-12, tr / 2.0 - d)
+            smax2 / smin2 <= 16.0 // aspect distortion cap 4:1
+          }
+        }
+        def solve3(i: Int, j: Int, k: Int): Option[Array[Double]] = {
+          val (x1, y1, u1, v1) = pairs(i)
+          val (x2, y2, u2, v2) = pairs(j)
+          val (x3, y3, u3, v3) = pairs(k)
+          val det = (x2 - x1) * (y3 - y1) - (x3 - x1) * (y2 - y1)
+          if (math.abs(det) < 25.0) None // near-collinear source triple
+          else {
+            val m00 = ((u2 - u1) * (y3 - y1) - (u3 - u1) * (y2 - y1)) / det
+            val m01 = ((u3 - u1) * (x2 - x1) - (u2 - u1) * (x3 - x1)) / det
+            val m10 = ((v2 - v1) * (y3 - y1) - (v3 - v1) * (y2 - y1)) / det
+            val m11 = ((v3 - v1) * (x2 - x1) - (v2 - v1) * (x3 - x1)) / det
+            if (!mapOk(m00, m01, m10, m11)) None
+            else Some(Array(m00, m01, u1 - m00 * x1 - m01 * y1,
+              m10, m11, v1 - m10 * x1 - m11 * y1))
+          }
+        }
+        // score a candidate map by the TRUE objective — the injective
+        // aligned count of the anchor clouds — not by correspondence
+        // inliers: tiny correspondence sets tie at 3 inliers and the
+        // tie-break picked whichever conditioned-but-wrong map came
+        // first (measured: a borderline pair flipped 1.0 -> 0.33
+        // purely on enumeration order)
+        val pa = ca.map(r => (r.getInt(0).toDouble,
+          r.getInt(1).toDouble)).toArray
+        val pb = cb.map(r => (r.getInt(0).toDouble,
+          r.getInt(1).toDouble)).toArray
+        val tol2 = tolPx * tolPx
+        val used = new Array[Boolean](pb.length)
+        def alignedCount(f: Array[Double]): Int = {
+          // INJECTIVE greedy: each target anchor absorbs at most one
+          // mapped source anchor, so a near-degenerate map (or a
+          // dense target cluster) cannot inflate the score by
+          // many-to-one matching
+          java.util.Arrays.fill(used, false)
+          var aligned = 0
+          var a = 0
+          while (a < pa.length) {
+            val x = pa(a)._1; val y = pa(a)._2
+            val u = f(0) * x + f(1) * y + f(2)
+            val v = f(3) * x + f(4) * y + f(5)
+            var bi = -1; var bd = tol2
+            var i = 0
+            while (i < pb.length) {
+              if (!used(i)) {
+                val dx = pb(i)._1 - u; val dy = pb(i)._2 - v
+                val d2 = dx * dx + dy * dy
+                if (d2 <= bd) { bd = d2; bi = i }
+              }
+              i += 1
+            }
+            if (bi >= 0) { used(bi) = true; aligned += 1 }
+            a += 1
+          }
+          aligned
+        }
+        // deterministic triple enumeration: all triples when small,
+        // a seeded LCG sample otherwise
+        var bestAligned = 0
+        if (n <= 14) {
+          var i = 0
+          while (i < n) {
+            var j = i + 1
+            while (j < n) {
+              var k = j + 1
+              while (k < n) {
+                solve3(i, j, k).foreach { f =>
+                  val c = alignedCount(f)
+                  if (c > bestAligned) bestAligned = c
+                }
+                k += 1
+              }
+              j += 1
+            }
+            i += 1
+          }
+        } else {
+          var st = 0x9E3779B97F4A7C15L ^ n.toLong
+          @inline def nx(m: Int): Int = {
+            st = st * 6364136223846793005L + 1442695040888963407L
+            (((st >>> 17) % m + m) % m).toInt
+          }
+          var t = 0
+          while (t < 512) {
+            val i = nx(n); val j = nx(n); val k = nx(n)
+            if (i != j && j != k && i != k)
+              solve3(i, j, k).foreach { f =>
+                val c = alignedCount(f)
+                if (c > bestAligned) bestAligned = c
+              }
+            t += 1
+          }
+        }
+        // ABSOLUTE floor on top of the fraction: any solvable
+        // correspondence triple aligns its own 3 anchors by
+        // construction, so a small-cloud decoy needs only a few
+        // chance alignments to fake a passing fraction — and because
+        // the verifier MAXIMIZES alignment over hundreds of candidate
+        // maps, the decoy tail grows with corpus size (measured at
+        // floor 7: extras 2/29/420 at 2k/8k/32k). The (9, 0.5)
+        // operating point measured 766/800 planted with ZERO extras
+        // at 8k; true pairs align 9-20 anchors.
+        if (bestAligned < verifyMinAligned) 0.0
+        else bestAligned.toDouble /
+          math.max(1, math.min(pa.length, pb.length))
+      }
+    })
+    cand
+      .join(clouds.select(col("doc_id").as("doc_a"),
+        col("cloud").as("cloud_a")), Seq("doc_a"))
+      .join(clouds.select(col("doc_id").as("doc_b"),
+        col("cloud").as("cloud_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(least(verify(col("corr"), col("cloud_a"), col("cloud_b")),
+          lit(1.0)), 6).as("match_frac"))
+      .filter(col("match_frac") >= verifyMinFrac)
+  }
 
   /** AFFINE-whitened rot codes pooled per VIDEO document — the m169
     * tier lifted to the frame sequence: every sampled frame whitens

@@ -3165,6 +3165,43 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // VERIFIED crop x affine pairs (m179 — the m159 candidate+verify
+    // pattern lifted to images): affine-frame codes nominate at a LOW
+    // gate (measured: missed planted compounds score 0.006-0.019,
+    // just under m174's gate, while the 32k decoy tail also reaches
+    // it — no single threshold separates), then RANSAC over matched-
+    // code anchor correspondences fits the affine map (conditioning-
+    // guarded) and the verdict is the INJECTIVE aligned count AND
+    // fraction of the anchor clouds (the absolute floor exists
+    // because any solvable triple aligns its own 3 anchors for free).
+    // Probes: two MEASURED gray-zone compounds the m174 code gate
+    // drops (70% crop x 23 deg at code 0.0161; 66% crop x 17 deg at
+    // 0.0085 — the verify tier's reason to exist, spec-pinned in
+    // Round13Spec) plus two standard m174-class compounds both tiers
+    // land. Pinned golden.
+    "m179_affine_frame_verified" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val img = udf((id: Long) => {
+        def blobs(seed: Long): Array[Byte] =
+          Multimodal.syntheticPngBlobs(seed, 256, 256, 24, 22.0)
+        def probe(src: Long, c0: Int, c1: Int, deg: Double,
+            outW: Int): Array[Byte] =
+          Multimodal.pngCropResize(Multimodal.pngRotateResize(
+            Multimodal.pngCropResize(blobs(src), c0, c0, c1, c1,
+              256, 256), deg), 0, 0, 256, 256, outW, 256)
+        if (id == 20L) probe(3, 38, 218, -23.0, 197) // gray: code 0.0161
+        else if (id == 21L) probe(6, 44, 212, 17.0, 183) // gray: 0.0085
+        else if (id == 22L) probe(0, 32, 224, 17.0, 183) // m174-class
+        else if (id == 23L) probe(1, 40, 216, 33.0, 169) // m174-class
+        else blobs(id)
+      })
+      val media = s.range(0, 8).union(s.range(20, 24))
+        .union(s.range(140, 142))
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      Multimodal.imageAffineFramePairsVerified(media, maxDf = 64)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Persisted AFFINE-FRAME video index + ingest screen (m178 — the
     // m177 tier's incremental member, AffineFrameFpVersion via the
     // shared code kernel): 6 video masters fingerprint once, then the

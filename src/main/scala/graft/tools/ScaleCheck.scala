@@ -449,6 +449,15 @@ object ScaleCheck {
               col("doc_b") % 10 === 9))
         run("imageAffineFramePairs(cropAll)", n / 8)(
           Multimodal.imageAffineFramePairs(c, maxDf = 500))
+        // the VERIFIED tier (m179): candidate gate low, RANSAC
+        // geometric verification — recall and precision both above
+        // the code-gate tier by construction; the sweep pins both
+        run("imageAffineFrameVerified(cropPlanted)", n / 8)(
+          Multimodal.imageAffineFramePairsVerified(c, maxDf = 500)
+            .filter(col("doc_b") - col("doc_a") === 9 &&
+              col("doc_b") % 10 === 9))
+        run("imageAffineFrameVerified(cropAll)", n / 8)(
+          Multimodal.imageAffineFramePairsVerified(c, maxDf = 500))
         c.unpersist()
       }
       d.unpersist(); e.unpersist()

@@ -108,6 +108,93 @@ class Round13Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spurious == 0, s"spurious pairs: $spurious")
   }
 
+  test("affineFrameCodes property: invariant under random orientation-preserving affine maps; mirrors excluded") {
+    // exact cloud-level transforms (no resampling, no detection): the
+    // ONLY loss is integer-grid rounding flipping quantizer bins, so
+    // overlap must stay high across the whole well-conditioned
+    // orientation-preserving group — and collapse for mirrors
+    // (chirality is part of the code by design)
+    var st = 0xC0FFEEL
+    def nxt(): Double = {
+      st = st * 6364136223846793005L + 1442695040888963407L
+      ((st >>> 16) % 10000).toDouble / 10000.0
+    }
+    def codesOf(cs: Seq[(Int, Int, Int)]) =
+      Multimodal.affineFrameCodes(cs, 48, 8, 4, 0.3).toSet
+    var worst = 1.0
+    for (trial <- 0 until 20) {
+      // random well-separated cloud: 20 points on a 400-grid, >= 25 apart
+      val pts = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+      while (pts.length < 20) {
+        val x = 40 + (nxt() * 320).toInt; val y = 40 + (nxt() * 320).toInt
+        if (pts.forall { case (px, py, _) =>
+          (px - x) * (px - x) + (py - y) * (py - y) >= 625 })
+          pts += ((x, y, 100 + (nxt() * 100).toInt))
+      }
+      val th = nxt() * 2 * math.Pi
+      val s1 = 0.8 + nxt() * 0.7; val s2 = 0.8 + nxt() * 0.7
+      val sh = (nxt() - 0.5) * 0.4 // shear too — full affine group
+      val a00 = s1 * StrictMath.cos(th) + sh * StrictMath.sin(th)
+      val a01 = -s2 * StrictMath.sin(th)
+      val a10 = s1 * StrictMath.sin(th) - sh * StrictMath.cos(th)
+      val a11 = s2 * StrictMath.cos(th)
+      // ensure orientation-preserving (det > 0); flip a sign if not
+      val det = a00 * a11 - a01 * a10
+      val (b00, b01, b10, b11) =
+        if (det > 0) (a00, a01, a10, a11) else (-a00, -a01, a10, a11)
+      val mapped = pts.map { case (x, y, v) =>
+        (math.round(b00 * x + b01 * y).toInt,
+          math.round(b10 * x + b11 * y).toInt, v) }.toSeq
+      val base = codesOf(pts.toSeq)
+      val inter = (base intersect codesOf(mapped)).size
+      val frac = inter.toDouble / base.size
+      worst = math.min(worst, frac)
+      // mirror: same map with det < 0
+      val mirrored = pts.map { case (x, y, v) =>
+        (math.round(-b00 * x - b01 * y).toInt,
+          math.round(b10 * x + b11 * y).toInt, v) }.toSeq
+      val mi = (base intersect codesOf(mirrored)).size
+      assert(mi <= base.size / 20,
+        s"trial $trial: mirror overlap $mi of ${base.size} — chirality leak")
+    }
+    info(f"worst overlap across 20 random affine maps: ${worst}%.3f")
+    assert(worst >= 0.10,
+      f"affine invariance too lossy under rounding: worst $worst%.3f")
+  }
+
+  test("m179 verify tier lands harder compounds the m174 code gate drops; decoys still zero") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    def blobs(seed: Long) =
+      Multimodal.syntheticPngBlobs(seed, 256, 256, nBlobs = 24, minSep = 22.0)
+    // the MEASURED gray zone (diag15 matrix): compounds whose code
+    // evidence sits at 0.0085-0.0161, under the m174 0.02 gate
+    def probe(src: Long, c0: Int, c1: Int, deg: Double, outW: Int) =
+      Multimodal.pngCropResize(Multimodal.pngRotateResize(
+        Multimodal.pngCropResize(blobs(src), c0, c0, c1, c1, 256, 256),
+        deg), 0, 0, 256, 256, outW, 256)
+    val rows =
+      (0 until 8).map(i => (i.toLong, blobs(i.toLong))) ++
+      Seq((123L, probe(3, 38, 218, -23.0, 197)),   // 70% crop x 23 deg
+        (126L, probe(6, 44, 212, 17.0, 183))) ++   // 66% crop x 17 deg
+      (0 until 6).map(i => (200L + i, blobs(3000L + i)))
+    val media = rows.toDF("doc_id", "payload")
+    def planted(df: org.apache.spark.sql.DataFrame): Long =
+      df.filter($"doc_b" >= 120 && $"doc_b" < 130 &&
+        $"doc_b" - $"doc_a" === 120).select($"doc_a", $"doc_b")
+        .distinct().count()
+    val code = planted(Multimodal.imageAffineFramePairs(media, maxDf = 64))
+    val verified = planted(
+      Multimodal.imageAffineFramePairsVerified(media, maxDf = 64))
+    val spurious = Multimodal.imageAffineFramePairsVerified(media, maxDf = 64)
+      .filter(!($"doc_b" >= 120 && $"doc_b" < 130 &&
+        $"doc_b" - $"doc_a" === 120)).count()
+    info(s"codeGate=$code verified=$verified spurious=$spurious of 2")
+    assert(verified == 2, s"verified recall: $verified/2")
+    assert(code == 0, s"these probes must sit UNDER the code gate, got $code")
+    assert(spurious == 0, s"spurious verified pairs: $spurious")
+  }
+
   test("urlDomainCapPsl broadcasts the suffix table (no shuffle added by the join)") {
     val s = spark
     import s.implicits._

@@ -174,6 +174,7 @@ QUERIES = [
     "st123_stream_affine_frame_screen", # its stream-static member
     "m177_video_affine_frame_pairs", # crop x affine VIDEO rips
     "m178_video_affine_frame_index", # its video index screen
+    "m179_affine_frame_verified", # RANSAC-verified gray-zone pairs
     "m175_stationary_audio_gate", # stationary-audio scope gate
     "m158_audio_compound_interval",
     "m159_audio_pitch_verified",
