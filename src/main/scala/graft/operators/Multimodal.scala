@@ -5396,78 +5396,16 @@ object Multimodal {
       index, minMatch, "videoAffineFrameIndex", minShared,
       AffineFrameFpVersion)
 
-  /** VERIFIED affine-frame pairs (m179) — the m159 candidate+verify
-    * pattern lifted to images: [[affineFrameCodesAnchored]] codes
-    * nominate pairs at a LOW gate (the measured m174 recall ceiling:
-    * planted compound pairs missed by the default gate score
-    * 0.006-0.019 — just under it — while the 32k decoy tail also
-    * reaches 0.02, so no single-threshold cut separates them), then
-    * each candidate is verified GEOMETRICALLY: the matched codes'
-    * anchor pairs are correspondence hypotheses, a trimmed
-    * least-squares affine fit (6 params, translation included — crops
-    * shift centers) maps one anchor cloud onto the other, and the
-    * verified score is the aligned fraction over the smaller cloud.
-    * A true re-upload aligns its whole shared field (frac ~0.8-1.0);
-    * a decoy's correspondences are quantizer coincidences that no
-    * single affine map can satisfy (frac ~0). Verification is
-    * per-candidate O(|corr| + |cloud|^2) driver-free arithmetic in a
-    * UDF — candidates are already capped by the code gate, so the
-    * verify stage adds no shuffle beyond the two cloud joins. */
-  def imageAffineFramePairsVerified(media: DataFrame,
-      candMinMatch: Double = 0.004, candMinShared: Int = 4,
-      verifyMinFrac: Double = 0.5, verifyMinAligned: Int = 9,
-      tolPx: Double = 3.0, maxDf: Int = 0,
-      kTop: Int = 48, nNear: Int = 8, nBasis: Int = 4,
-      qStep: Double = 0.3, smoothR: Int = 4, radius: Int = 6,
-      minAvg: Int = 24)(implicit s: SparkSession): DataFrame = {
-    import s.implicits._
-    require(verifyMinFrac >= 0.0 && verifyMinFrac <= 1.0,
-      "verifyMinFrac must be in [0, 1]")
-    require(tolPx > 0.0, "tolPx must be > 0")
-    val lms = Materialize.eager(
-      media.select(col("doc_id"), col("payload")).as[MediaRow]
-        .mapPartitions(rows => rows.flatMap { r =>
-          decodeImage(r.payload) match {
-            case Some(img) =>
-              affineFrameCodesAnchored(
-                coarsePeakCells(lumaPlane(img), img.getWidth,
-                  img.getHeight, smoothR, radius, minAvg),
-                kTop, nNear, nBasis, qStep)
-                .map { case (lm, ax, ay) => (r.doc_id, lm, ax, ay) }
-            case None => Iterator.empty
-          }
-        }).toDF("doc_id", "lm", "ax", "ay"))
-    val capped =
-      if (maxDf <= 0) lms
-      else lms.join(
-        lms.groupBy(col("lm"))
-          .agg(countDistinct(col("doc_id")).as("df"))
-          .filter(col("df") <= maxDf).select(col("lm")),
-        Seq("lm"), "left_semi")
-    val nl = lms.groupBy(col("doc_id")).agg(count(lit(1)).as("nl"))
-    // anchor cloud per doc = its DISTINCT landmark anchors (a subset
-    // of the detected peaks — every peak with a conditioned basis)
-    val clouds = lms.select(col("doc_id"), col("ax"), col("ay"))
-      .distinct()
-      .groupBy(col("doc_id"))
-      .agg(collect_list(struct(col("ax"), col("ay"))).as("cloud"))
-    val a = capped.select(col("lm"), col("doc_id").as("doc_a"),
-      col("ax").as("axa"), col("ay").as("aya"))
-    val b = capped.select(col("lm"), col("doc_id").as("doc_b"),
-      col("ax").as("axb"), col("ay").as("ayb"))
-    val cand = a.join(b, Seq("lm")).filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(countDistinct(col("lm")).as("c"),
-        collect_list(struct(col("axa"), col("aya"), col("axb"),
-          col("ayb"))).as("corr"))
-      .filter(col("c") >= math.max(1, candMinShared))
-      .join(nl.select(col("doc_id").as("doc_a"), col("nl").as("na")),
-        Seq("doc_a"))
-      .join(nl.select(col("doc_id").as("doc_b"), col("nl").as("nb")),
-        Seq("doc_b"))
-      .filter(col("c").cast("double") / least(col("na"), col("nb"))
-        >= candMinMatch)
-    val verify = udf((corr: Seq[org.apache.spark.sql.Row],
+  /** The geometric verifier of the affine-frame VERIFIED tier
+    * (m179/m180/st124), as a reusable UDF: RANSAC over the matched
+    * codes' anchor-correspondence SET (canonically sorted — the
+    * verdict must be invariant under repartitioning), maps scored
+    * directly by the INJECTIVE greedy alignment of the two anchor
+    * clouds, with an ABSOLUTE aligned floor. Returns the aligned
+    * fraction over the smaller cloud, or 0.0 below the floor. */
+  private def affineCloudVerifyUdf(tolPx: Double, verifyMinAligned: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((corr: Seq[org.apache.spark.sql.Row],
         ca: Seq[org.apache.spark.sql.Row],
         cb: Seq[org.apache.spark.sql.Row]) => {
       // canonical order: collect_list is partition-order-dependent,
@@ -5611,6 +5549,69 @@ object Multimodal {
           math.max(1, math.min(pa.length, pb.length))
       }
     })
+
+  /** VERIFIED affine-frame pairs (m179) — the m159 candidate+verify
+    * pattern lifted to images: [[affineFrameCodesAnchored]] codes
+    * nominate pairs at a LOW gate (the measured m174 recall ceiling:
+    * planted compound pairs missed by the default gate score
+    * 0.006-0.019 — just under it — while the 32k decoy tail also
+    * reaches 0.02, so no single-threshold cut separates them), then
+    * each candidate is verified GEOMETRICALLY: the matched codes'
+    * anchor pairs are correspondence hypotheses, a trimmed
+    * least-squares affine fit (6 params, translation included — crops
+    * shift centers) maps one anchor cloud onto the other, and the
+    * verified score is the aligned fraction over the smaller cloud.
+    * A true re-upload aligns its whole shared field (frac ~0.8-1.0);
+    * a decoy's correspondences are quantizer coincidences that no
+    * single affine map can satisfy (frac ~0). Verification is
+    * per-candidate O(|corr| + |cloud|^2) driver-free arithmetic in a
+    * UDF — candidates are already capped by the code gate, so the
+    * verify stage adds no shuffle beyond the two cloud joins. */
+  def imageAffineFramePairsVerified(media: DataFrame,
+      candMinMatch: Double = 0.004, candMinShared: Int = 4,
+      verifyMinFrac: Double = 0.5, verifyMinAligned: Int = 9,
+      tolPx: Double = 3.0, maxDf: Int = 0,
+      kTop: Int = 48, nNear: Int = 8, nBasis: Int = 4,
+      qStep: Double = 0.3, smoothR: Int = 4, radius: Int = 6,
+      minAvg: Int = 24)(implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    require(verifyMinFrac >= 0.0 && verifyMinFrac <= 1.0,
+      "verifyMinFrac must be in [0, 1]")
+    require(tolPx > 0.0, "tolPx must be > 0")
+    val lms = Materialize.eager(
+      imageAffineFrameLandmarksAnchored(media, kTop, nNear, nBasis,
+        qStep, smoothR, radius, minAvg))
+    val capped =
+      if (maxDf <= 0) lms
+      else lms.join(
+        lms.groupBy(col("lm"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .filter(col("df") <= maxDf).select(col("lm")),
+        Seq("lm"), "left_semi")
+    val nl = lms.groupBy(col("doc_id")).agg(count(lit(1)).as("nl"))
+    // anchor cloud per doc = its DISTINCT landmark anchors (a subset
+    // of the detected peaks — every peak with a conditioned basis)
+    val clouds = lms.select(col("doc_id"), col("ax"), col("ay"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("ax"), col("ay"))).as("cloud"))
+    val a = capped.select(col("lm"), col("doc_id").as("doc_a"),
+      col("ax").as("axa"), col("ay").as("aya"))
+    val b = capped.select(col("lm"), col("doc_id").as("doc_b"),
+      col("ax").as("axb"), col("ay").as("ayb"))
+    val cand = a.join(b, Seq("lm")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(countDistinct(col("lm")).as("c"),
+        collect_list(struct(col("axa"), col("aya"), col("axb"),
+          col("ayb"))).as("corr"))
+      .filter(col("c") >= math.max(1, candMinShared))
+      .join(nl.select(col("doc_id").as("doc_a"), col("nl").as("na")),
+        Seq("doc_a"))
+      .join(nl.select(col("doc_id").as("doc_b"), col("nl").as("nb")),
+        Seq("doc_b"))
+      .filter(col("c").cast("double") / least(col("na"), col("nb"))
+        >= candMinMatch)
+    val verify = affineCloudVerifyUdf(tolPx, verifyMinAligned)
     cand
       .join(clouds.select(col("doc_id").as("doc_a"),
         col("cloud").as("cloud_a")), Seq("doc_a"))
@@ -5620,6 +5621,124 @@ object Multimodal {
         round(least(verify(col("corr"), col("cloud_a"), col("cloud_b")),
           lit(1.0)), 6).as("match_frac"))
       .filter(col("match_frac") >= verifyMinFrac)
+  }
+
+  /** ANCHORED affine-frame landmarks — one (doc_id, lm, ax, ay) row
+    * per distinct code with the FIRST emitting anchor's coordinates:
+    * the raw table behind the verified tier (m179/m180/st124). A pure
+    * mapPartitions projection — streaming-safe (st124 runs it on a
+    * file stream). */
+  def imageAffineFrameLandmarksAnchored(media: DataFrame, kTop: Int = 48,
+      nNear: Int = 8, nBasis: Int = 4, qStep: Double = 0.3,
+      smoothR: Int = 4, radius: Int = 6, minAvg: Int = 24)(
+      implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions(rows => rows.flatMap { r =>
+        decodeImage(r.payload) match {
+          case Some(img) =>
+            affineFrameCodesAnchored(
+              coarsePeakCells(lumaPlane(img), img.getWidth,
+                img.getHeight, smoothR, radius, minAvg),
+              kTop, nNear, nBasis, qStep)
+              .map { case (lm, ax, ay) => (r.doc_id, lm, ax, ay) }
+          case None => Iterator.empty
+        }
+      }).toDF("doc_id", "lm", "ax", "ay")
+  }
+
+  /** The affine-frame geometric verifier as a PUBLIC UDF (the st124
+    * streaming member applies it batch-side over its sink): see
+    * [[affineCloudVerifyUdf]] for the contract. */
+  def affineCloudVerifier(tolPx: Double = 3.0,
+      verifyMinAligned: Int = 9): org.apache.spark.sql.expressions.UserDefinedFunction =
+    affineCloudVerifyUdf(tolPx, verifyMinAligned)
+
+  /** Persisted ANCHORED affine-frame index — the verified screen's
+    * standing-corpus artifact: the plain [[imageAffineFrameIndex]]
+    * rows PLUS each code's anchor (ax, ay), so a screen can both
+    * equi-join candidates AND reconstruct per-master anchor clouds
+    * without touching the corpus media. Same [[AffineFrameFpVersion]]
+    * stamp (the code space is identical);
+    * [[IncrementalIndex.append]]-compatible. */
+  def imageAffineFrameAnchorIndex(media: DataFrame, kTop: Int = 48,
+      nNear: Int = 8, nBasis: Int = 4, qStep: Double = 0.3,
+      smoothR: Int = 4, radius: Int = 6, minAvg: Int = 24)(
+      implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    val lms = Materialize.eager(
+      imageAffineFrameLandmarksAnchored(media, kTop, nNear, nBasis,
+        qStep, smoothR, radius, minAvg))
+    lms.join(lms.groupBy(col("doc_id")).agg(count(lit(1)).as("nl")),
+        Seq("doc_id"))
+      .select(col("lm"), col("ax"), col("ay"), col("doc_id"), col("nl"),
+        lit(AffineFrameFpVersion).as("fp_ver"))
+  }
+
+  /** Screen an ingest batch against a pre-built
+    * [[imageAffineFrameAnchorIndex]] with GEOMETRIC VERIFICATION
+    * (m180 — the m179 verdict at the incremental seam): candidates
+    * nominate at the LOW code gate, each (probe, master) candidate is
+    * RANSAC-verified from the matched codes' anchor correspondences
+    * against the clouds both sides' tables already carry, and a probe
+    * is a duplicate of the lowest verified master. Catches the
+    * gray-zone compounds the plain [[dedupAgainstImageAffineFrameIndex]]
+    * screen drops, at the same <= 1-in-32k spurious level the m179
+    * sweep measured. Enforces [[AffineFrameFpVersion]] and the anchor
+    * columns. */
+  def dedupAgainstImageAffineFrameIndexVerified(media: DataFrame,
+      index: DataFrame, candMinMatch: Double = 0.004,
+      candMinShared: Int = 4, verifyMinFrac: Double = 0.5,
+      verifyMinAligned: Int = 9, tolPx: Double = 3.0, kTop: Int = 48,
+      nNear: Int = 8, nBasis: Int = 4, qStep: Double = 0.3,
+      smoothR: Int = 4, radius: Int = 6, minAvg: Int = 24)(
+      implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    require(index.columns.contains("fp_ver") &&
+      index.columns.contains("ax") && index.columns.contains("ay"),
+      "verified screening needs an ANCHORED index (fp_ver + ax/ay " +
+        "columns) — build it with imageAffineFrameAnchorIndex")
+    val stale = index.filter(col("fp_ver") =!= lit(AffineFrameFpVersion))
+      .limit(1).collect()
+    require(stale.isEmpty,
+      s"affine-frame index built by fingerprint version " +
+        s"${stale.headOption.map(_.getAs[Any]("fp_ver")).orNull}, " +
+        s"current is $AffineFrameFpVersion — rebuild it with " +
+        "imageAffineFrameAnchorIndex before screening (cross-version " +
+        "landmarks never match)")
+    val lms = Materialize.eager(
+      imageAffineFrameLandmarksAnchored(media, kTop, nNear, nBasis,
+        qStep, smoothR, radius, minAvg))
+    val nl = lms.groupBy(col("doc_id")).agg(count(lit(1)).as("nl"))
+    val cloudsProbe = lms.select(col("doc_id"), col("ax"), col("ay"))
+      .distinct().groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("ax"), col("ay"))).as("cloud_a"))
+    val cloudsSrc = index
+      .select(col("doc_id").as("src"), col("ax"), col("ay"))
+      .distinct().groupBy(col("src"))
+      .agg(collect_list(struct(col("ax"), col("ay"))).as("cloud_b"))
+    val cand = lms
+      .join(index.select(col("lm"), col("ax").as("axb"),
+        col("ay").as("ayb"), col("doc_id").as("src"),
+        col("nl").as("nl_src")), Seq("lm"))
+      .groupBy(col("doc_id"), col("src"), col("nl_src"))
+      .agg(countDistinct(col("lm")).as("c"),
+        collect_list(struct(col("ax"), col("ay"), col("axb"),
+          col("ayb"))).as("corr"))
+      .filter(col("c") >= math.max(1, candMinShared))
+      .join(nl, Seq("doc_id"))
+      .filter(col("c").cast("double") / least(col("nl"), col("nl_src"))
+        >= candMinMatch)
+    val verify = affineCloudVerifyUdf(tolPx, verifyMinAligned)
+    val dup = cand
+      .join(cloudsProbe, Seq("doc_id"))
+      .join(cloudsSrc, Seq("src"))
+      .filter(verify(col("corr"), col("cloud_a"), col("cloud_b"))
+        >= verifyMinFrac)
+      .groupBy(col("doc_id")).agg(min(col("src")).as("dup_src"))
+    nl.select(col("doc_id")).join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_src").isNull.as("kept"),
+        col("dup_src"))
   }
 
   /** AFFINE-whitened rot codes pooled per VIDEO document — the m169

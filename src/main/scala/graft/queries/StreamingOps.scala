@@ -3202,6 +3202,43 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // VERIFIED index screen (m180 — the m179 verdict at the
+    // incremental seam): one pinned output carries BOTH screens'
+    // verdicts over the same probe batch — the PLAIN code-gate screen
+    // (tier "code") drops the two measured gray-zone compounds, the
+    // VERIFIED screen (tier "verified", RANSAC against the ANCHORED
+    // index's clouds, no corpus re-decode) lands them; fresh probes
+    // stay kept under both. The scope contrast is the golden itself.
+    "m180_affine_frame_verified_screen" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val img = udf((id: Long) => {
+        def blobs(seed: Long): Array[Byte] =
+          Multimodal.syntheticPngBlobs(seed, 256, 256, 24, 22.0)
+        def probe(src: Long, c0: Int, c1: Int, deg: Double,
+            outW: Int): Array[Byte] =
+          Multimodal.pngCropResize(Multimodal.pngRotateResize(
+            Multimodal.pngCropResize(blobs(src), c0, c0, c1, c1,
+              256, 256), deg), 0, 0, 256, 256, outW, 256)
+        if (id == 20L) probe(3, 38, 218, -23.0, 197) // gray: code 0.0161
+        else if (id == 21L) probe(6, 44, 212, 17.0, 183) // gray: 0.0085
+        else if (id == 22L) probe(0, 32, 224, 17.0, 183) // m174-class
+        else blobs(id)
+      })
+      val corpus = s.range(0, 8)
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      val probes = s.range(20, 23).union(s.range(130, 132))
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      val plain = Multimodal.dedupAgainstImageAffineFrameIndex(probes,
+          Multimodal.imageAffineFrameIndex(corpus))
+        .select(lit("code").as("tier"), col("doc_id"), col("kept"),
+          col("dup_src"))
+      val verified = Multimodal.dedupAgainstImageAffineFrameIndexVerified(
+          probes, Multimodal.imageAffineFrameAnchorIndex(corpus))
+        .select(lit("verified").as("tier"), col("doc_id"), col("kept"),
+          col("dup_src"))
+      plain.unionByName(verified).orderBy(col("tier"), col("doc_id"))
+    }),
+
     // Persisted AFFINE-FRAME video index + ingest screen (m178 — the
     // m177 tier's incremental member, AffineFrameFpVersion via the
     // shared code kernel): 6 video masters fingerprint once, then the
@@ -5957,6 +5994,101 @@ object StreamingOps extends QueryPack {
     // STREAMING embedding dedup vs a BROADCAST SRP index (st122 —
     // the s56 incremental screen at the stream-static seam, filling
     // the streaming matrix's embedding-DEDUP gap: st69 only ingests).
+    // STREAM-STATIC VERIFIED affine-frame screen (st124 — the m180
+    // verdict mid-stream): arrivals' ANCHORED landmarks equi-join the
+    // broadcast anchored index (stateless map-side join, no state
+    // store); the RANSAC verification runs batch-side over the sink —
+    // candidates at the LOW code gate, clouds from the sink's and the
+    // index's own distinct anchors, no corpus re-decode. A GRAY-ZONE
+    // compound (under the plain code gate — the class st123 is
+    // structurally blind to) is flagged mid-stream; fresh arrivals
+    // stay kept. Pinned golden.
+    "st124_stream_affine_verified_screen" -> ((s0, dir) => { val s = streamSession(s0)
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      val staged = stagingDir("graft-stream-afvidx")
+      val img = udf((id: Long) => {
+        def blobs(seed: Long): Array[Byte] =
+          Multimodal.syntheticPngBlobs(seed, 256, 256, 24, 22.0)
+        def probe(src: Long, c0: Int, c1: Int, deg: Double,
+            outW: Int): Array[Byte] =
+          Multimodal.pngCropResize(Multimodal.pngRotateResize(
+            Multimodal.pngCropResize(blobs(src), c0, c0, c1, c1,
+              256, 256), deg), 0, 0, 256, 256, outW, 256)
+        if (id == 20L) probe(3, 38, 218, -23.0, 197) // gray-zone
+        else if (id == 22L) probe(6, 44, 212, 17.0, 183) // gray-zone
+        else blobs(id)
+      })
+      val corpus = s.range(0, 8)
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      val index = Multimodal.imageAffineFrameAnchorIndex(corpus)
+        .select(col("lm"), col("ax").as("axb"), col("ay").as("ayb"),
+          col("doc_id").as("src"), col("nl").as("nl_src"))
+      def stageBatch(ids: Seq[Long], fname: String, ageMs: Long): Unit = {
+        val tmp = staged.resolve(fname + ".tmp")
+        s.createDataset(ids).toDF("doc_id")
+          .select(col("doc_id"), img(col("doc_id")).as("payload"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, staged.resolve(fname))
+        staged.resolve(fname).toFile.deleteOnExit()
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        java.nio.file.Files.setLastModifiedTime(staged.resolve(fname),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - ageMs))
+      }
+      stageBatch(Seq(20L, 130L), "a.parquet", 120000L)
+      stageBatch(Seq(22L, 131L), "b.parquet", 0L)
+      val mediaSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("payload", BinaryType)))
+      val stream = s.readStream.schema(mediaSchema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+        .repartition(col("doc_id"))
+      val q = Multimodal.imageAffineFrameLandmarksAnchored(stream)
+        .join(broadcast(index), Seq("lm"), "left")
+        .writeStream.outputMode("append")
+        .format("memory").queryName("st124_lm").start()
+      try q.processAllAvailable() finally q.stop()
+      // the memory sink view self-joins three ways (counts, clouds,
+      // candidates) — rename the key per derivative, the st121 idiom,
+      // or Catalyst fails resolving the conflicting view references
+      val sunk = s.table("st124_lm")
+      val nl = sunk.groupBy(col("doc_id")).agg(count(lit(1)).as("nl"))
+      val cloudsProbe = sunk.select(col("doc_id").as("dp"), col("ax"),
+          col("ay"))
+        .distinct().groupBy(col("dp"))
+        .agg(collect_list(struct(col("ax"), col("ay"))).as("cloud_a"))
+      val cloudsSrc = index
+        .select(col("src").as("sp"), col("axb").as("ax"),
+          col("ayb").as("ay"))
+        .distinct().groupBy(col("sp"))
+        .agg(collect_list(struct(col("ax"), col("ay"))).as("cloud_b"))
+      val cand = sunk.filter(col("src").isNotNull)
+        .select(col("doc_id").as("d"), col("src"), col("nl_src"),
+          col("lm"), col("ax"), col("ay"), col("axb"), col("ayb"))
+        .groupBy(col("d"), col("src"), col("nl_src"))
+        .agg(countDistinct(col("lm")).as("c"),
+          collect_list(struct(col("ax"), col("ay"), col("axb"),
+            col("ayb"))).as("corr"))
+        .filter(col("c") >= 4)
+        .join(nl, col("d") === nl("doc_id")).drop("doc_id")
+        .filter(col("c").cast("double") / least(col("nl"), col("nl_src"))
+          >= 0.004)
+      val dup = cand
+        .join(cloudsProbe, col("d") === cloudsProbe("dp"))
+        .join(cloudsSrc, col("src") === cloudsSrc("sp"))
+        .filter(Multimodal.affineCloudVerifier()(col("corr"),
+          col("cloud_a"), col("cloud_b")) >= 0.5)
+        .groupBy(col("d")).agg(min(col("src")).as("dup_src"))
+        .select(col("d").as("doc_id"), col("dup_src"))
+      s.createDataset(Seq(20L, 22L, 130L, 131L)).toDF("doc_id")
+        .join(dup, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("dup_src").isNull.as("kept"),
+          col("dup_src"))
+        .orderBy(col("doc_id"))
+    }),
+
     // STREAM-STATIC affine-frame index screen (st123 — the m174 tier
     // in the streaming matrix, at the st103/st121 broadcast seam): a
     // standing corpus' imageAffineFrameIndex BROADCASTS — no state

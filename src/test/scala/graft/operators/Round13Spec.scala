@@ -195,6 +195,23 @@ class Round13Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spurious == 0, s"spurious verified pairs: $spurious")
   }
 
+  test("verified tier is invariant under repartitioning (canonical correspondence order)") {
+    // collect_list order is partition-dependent; the verify UDF must
+    // be a pure function of the correspondence SET or the golden
+    // compare (and any cluster resize) would flip verdicts
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val media = cropAffineMedia(6)
+    def run(parts: Int) =
+      Multimodal.imageAffineFramePairsVerified(media.repartition(parts))
+        .orderBy($"doc_a", $"doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq
+    val a = run(1); val b = run(7)
+    assert(a == b, s"repartitioning changed the verified verdicts:\n$a\nvs\n$b")
+    assert(a.nonEmpty, "fixture must produce at least one verified pair")
+  }
+
   test("urlDomainCapPsl broadcasts the suffix table (no shuffle added by the join)") {
     val s = spark
     import s.implicits._

@@ -175,6 +175,8 @@ QUERIES = [
     "m177_video_affine_frame_pairs", # crop x affine VIDEO rips
     "m178_video_affine_frame_index", # its video index screen
     "m179_affine_frame_verified", # RANSAC-verified gray-zone pairs
+    "m180_affine_frame_verified_screen", # both screens contrasted
+    "st124_stream_affine_verified_screen", # verified screen mid-stream
     "m175_stationary_audio_gate", # stationary-audio scope gate
     "m158_audio_compound_interval",
     "m159_audio_pitch_verified",
