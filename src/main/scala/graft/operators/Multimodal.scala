@@ -5623,6 +5623,49 @@ object Multimodal {
       .filter(col("match_frac") >= verifyMinFrac)
   }
 
+  /** MIRROR readout of a packed affine-frame code — a pure
+    * Long -> Long transform: a mirrored rendering's displacements are
+    * R d with det(R) < 0, so the oriented basis pair SWAPS (e1, e2)
+    * and every coded co-peak's invariant coordinates swap (u, v) <->
+    * (v, u); unpack the three points, swap, re-sort canonically,
+    * repack. No second detection pass, no second code pass — the
+    * mirror fan is free arithmetic on the identity codes (m181:
+    * mirror x crop x rotation x squeeze, the compound the
+    * chirality-fixed base family excludes by design and the dihedral
+    * fans' 90-degree grid cannot reach). */
+  private[operators] def mirrorAffineFrameCode(lm: Long): Long = {
+    var v = lm
+    val f = new Array[Long](6)
+    var i = 5
+    while (i >= 0) { f(i) = v % 64L; v /= 64L; i -= 1 }
+    // fields are (qu1,qv1,qu2,qv2,qu3,qv3) each +31; swap u<->v per point
+    val pts = Seq((f(1), f(0)), (f(3), f(2)), (f(5), f(4))).sorted
+    ((((pts(0)._1 * 64L + pts(0)._2) * 64L + pts(1)._1) * 64L +
+      pts(1)._2) * 64L + pts(2)._1) * 64L + pts(2)._2
+  }
+
+  /** Image near-dup pairs under the MIRROR x CROP x FULL-AFFINE
+    * compound (m181): the lower doc's identity codes bucket against
+    * the higher doc's identity AND mirror readouts (the m140/m145
+    * asymmetric fan shape — indexes and state stay identity-sized),
+    * scored per readout over the smaller identity code count. orient
+    * 1 = mirrored. */
+  def imageAffineFramePairsChiral(media: DataFrame,
+      minMatch: Double = 0.02, maxDf: Int = 0, kTop: Int = 48,
+      nNear: Int = 8, nBasis: Int = 4, qStep: Double = 0.3,
+      smoothR: Int = 4, radius: Int = 6, minAvg: Int = 24,
+      minShared: Int = 16)(implicit s: SparkSession): DataFrame = {
+    val mir = udf((lm: Long) => mirrorAffineFrameCode(lm))
+    val id0 = Materialize.eager(
+      imageAffineFrameLandmarks(media, kTop, nNear, nBasis, qStep,
+        smoothR, radius, minAvg).toDF())
+    val lms = id0.select(col("doc_id"), lit(0).as("orient"), col("lm"))
+      .unionByName(id0.select(col("doc_id"), lit(1).as("orient"),
+        mir(col("lm")).as("lm")))
+    orientedLandmarkPairScores(Materialize.eager(lms), minMatch, maxDf,
+      minShared)
+  }
+
   /** ANCHORED affine-frame landmarks — one (doc_id, lm, ax, ay) row
     * per distinct code with the FIRST emitting anchor's coordinates:
     * the raw table behind the verified tier (m179/m180/st124). A pure

@@ -3202,6 +3202,39 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // MIRROR x CROP x FULL-AFFINE image dedup (m181): the base
+    // affine-frame family is chirality-FIXED by design (oriented
+    // bases, det > 0), so a mirrored re-upload of a cropped, tilted,
+    // squeezed image is invisible to it — and to the dihedral fans,
+    // whose 90-degree grid cannot reach arbitrary-angle compounds. A
+    // mirrored rendering's invariant coordinates swap (u, v) exactly,
+    // so the MIRROR readout is a pure Long->Long repack of the
+    // identity codes (no second detection or code pass); the m140/
+    // m145 asymmetric fan shape keeps indexes identity-sized. orient
+    // 1 = landed via the mirror readout. Pinned golden.
+    "m181_affine_frame_chiral" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val img = udf((id: Long) => {
+        def blobs(seed: Long): Array[Byte] =
+          Multimodal.syntheticPngBlobs(seed, 256, 256, 24, 22.0)
+        def probe(src: Long, deg: Double, outW: Int): Array[Byte] =
+          Multimodal.pngDihedral(
+            Multimodal.pngCropResize(Multimodal.pngRotateResize(
+              Multimodal.pngCropResize(blobs(src), 32, 32, 224, 224,
+                256, 256), deg), 0, 0, 256, 256, outW, 256), 4)
+        if (id == 20L) probe(0, 17.0, 183)
+        else if (id == 21L) probe(1, -23.0, 197)
+        else if (id == 22L) probe(2, 9.0, 177)
+        else if (id == 23L) probe(3, 33.0, 190)
+        else blobs(id)
+      })
+      val media = s.range(0, 8).union(s.range(20, 24))
+        .union(s.range(140, 142))
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      Multimodal.imageAffineFramePairsChiral(media, maxDf = 64)
+        .orderBy(col("doc_a"), col("doc_b"), col("orient"))
+    }),
+
     // VERIFIED index screen (m180 — the m179 verdict at the
     // incremental seam): one pinned output carries BOTH screens'
     // verdicts over the same probe batch — the PLAIN code-gate screen

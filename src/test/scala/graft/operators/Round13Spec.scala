@@ -212,6 +212,43 @@ class Round13Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.nonEmpty, "fixture must produce at least one verified pair")
   }
 
+  test("m181 chiral readout lands MIRRORED crop x affine compounds the base family excludes") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    def blobs(seed: Long) =
+      Multimodal.syntheticPngBlobs(seed, 256, 256, nBlobs = 24, minSep = 22.0)
+    // mirror (dihedral orient 4) AFTER the crop+rot+squeeze compound
+    def probe(src: Long, deg: Double, outW: Int) =
+      Multimodal.pngDihedral(
+        Multimodal.pngCropResize(Multimodal.pngRotateResize(
+          Multimodal.pngCropResize(blobs(src), 32, 32, 224, 224, 256, 256),
+          deg), 0, 0, 256, 256, outW, 256), 4)
+    val rows =
+      (0 until 6).map(i => (i.toLong, blobs(i.toLong))) ++
+      (0 until 6).map(i => (100L + i, probe(i.toLong,
+        Seq(17.0, -23.0, 9.0, 33.0, 13.0, 27.0)(i),
+        Seq(183, 197, 177, 190, 183, 171)(i)))) ++
+      (0 until 4).map(i => (200L + i, blobs(4000L + i)))
+    val media = rows.toDF("doc_id", "payload")
+    def planted(df: org.apache.spark.sql.DataFrame): Long =
+      df.filter($"doc_b" - $"doc_a" === 100 && $"doc_b" < 200)
+        .select($"doc_a", $"doc_b").distinct().count()
+    val base = planted(Multimodal.imageAffineFramePairs(media))
+    val chiral = planted(Multimodal.imageAffineFramePairsChiral(media))
+    val out = Multimodal.imageAffineFramePairsChiral(media)
+    val spurious = out
+      .filter(!($"doc_b" - $"doc_a" === 100 && $"doc_b" < 200))
+      .select($"doc_a", $"doc_b").distinct().count()
+    // every landed pair must come through the MIRROR readout
+    val orients = out.filter($"doc_b" - $"doc_a" === 100 && $"doc_b" < 200)
+      .select($"orient").distinct().as[Int].collect().toSet
+    info(s"base=$base chiral=$chiral spurious=$spurious orients=$orients of 6")
+    assert(base == 0, s"chirality-fixed base family must be blind, got $base")
+    assert(chiral >= 5, s"chiral recall too low: $chiral/6")
+    assert(spurious == 0, s"spurious chiral pairs: $spurious")
+    assert(orients == Set(1), s"mirrored compounds must land via orient 1, got $orients")
+  }
+
   test("urlDomainCapPsl broadcasts the suffix table (no shuffle added by the join)") {
     val s = spark
     import s.implicits._
