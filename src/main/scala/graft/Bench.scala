@@ -290,6 +290,10 @@ object Bench {
     }
 
     val throttled0 = cgroupThrottledSec()
+    // gc_sec must be a DELTA over the measured window like
+    // cpu_throttled_sec — the MXBean figure is JVM-lifetime cumulative
+    // and would otherwise include dataset generation / pre-pass work
+    val gc0 = gcSec()
     var (wall, results, extConc, selfConc) = concurrentPass()
     var rerun = false
     var wallFirst = wall
@@ -388,7 +392,7 @@ object Bench {
       s""""contended_rerun":$rerun,"wall_first":${r3(wallFirst)},""" +
       s""""load_after":${r3(loadAfter)},""" +
       s""""jvm_cpus":${Runtime.getRuntime.availableProcessors},""" +
-      s""""self_cores":${r3(selfConc)},"gc_sec":${r3(gcSec())},""" +
+      s""""self_cores":${r3(selfConc)},"gc_sec":${r3(gcSec() - gc0)},""" +
       s""""cpu_throttled_sec":${r3(cgroupThrottledSec() - throttled0)},""" +
       s""""cpu_quota":"${jesc(cgroupCpuMax())}",""" +
       s""""lanes":${sys.env.getOrElse("SPARK_GRAFT_BENCH_LANES", "10").toInt},"sf":"${jesc(sfDir)}"}"""
@@ -403,7 +407,7 @@ object Bench {
       s""""sum_sec":${r3(results.map(_._2).sum)},""" +
       s""""ext_cores":${r3(extConc)},"contended_rerun":$rerun,""" +
       s""""jvm_cpus":${Runtime.getRuntime.availableProcessors},""" +
-      s""""self_cores":${r3(selfConc)},"gc_sec":${r3(gcSec())},""" +
+      s""""self_cores":${r3(selfConc)},"gc_sec":${r3(gcSec() - gc0)},""" +
       s""""cpu_throttled_sec":${r3(cgroupThrottledSec() - throttled0)},""" +
       s""""full":"${jesc(outPath)}","sf":"${jesc(sfDir)}"}"""
     emitAndHalt(spark, summary, if (failed.nonEmpty) 3 else 0)

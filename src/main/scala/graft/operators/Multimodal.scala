@@ -5402,8 +5402,13 @@ object Multimodal {
     * verdict must be invariant under repartitioning), maps scored
     * directly by the INJECTIVE greedy alignment of the two anchor
     * clouds, with an ABSOLUTE aligned floor. Returns the aligned
-    * fraction over the smaller cloud, or 0.0 below the floor. */
-  private def affineCloudVerifyUdf(tolPx: Double, verifyMinAligned: Int)
+    * fraction over the smaller cloud, or 0.0 below the floor.
+    * `detSign` selects the admitted map chirality: +1 verifies
+    * orientation-PRESERVING candidates (det in (0.05, 20]), -1
+    * orientation-REVERSING ones (the m183 mirror compound — det in
+    * [-20, -0.05)); the conditioning cap is sign-blind. */
+  private def affineCloudVerifyUdf(tolPx: Double, verifyMinAligned: Int,
+      detSign: Int = 1)
       : org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((corr: Seq[org.apache.spark.sql.Row],
         ca: Seq[org.apache.spark.sql.Row],
@@ -5429,7 +5434,7 @@ object Multimodal {
         // "win" with (a collapse maps every point near one target).
         @inline def mapOk(m00: Double, m01: Double, m10: Double,
             m11: Double): Boolean = {
-          val det = m00 * m11 - m01 * m10
+          val det = (m00 * m11 - m01 * m10) * detSign
           if (det <= 0.05 || det > 20.0) false
           else {
             // singular values of M via eigen of M^T M
@@ -5465,10 +5470,15 @@ object Multimodal {
         // tie-break picked whichever conditioned-but-wrong map came
         // first (measured: a borderline pair flipped 1.0 -> 0.33
         // purely on enumeration order)
+        // the clouds too: pa/pb come straight from collect_list, and
+        // the injective greedy below is iteration-order dependent
+        // (which source claims a contested target; d2 ties resolve by
+        // index) — sort canonically so alignedCount is a pure
+        // function of the cloud SETS, same as `pairs`
         val pa = ca.map(r => (r.getInt(0).toDouble,
-          r.getInt(1).toDouble)).toArray
+          r.getInt(1).toDouble)).distinct.sorted.toArray
         val pb = cb.map(r => (r.getInt(0).toDouble,
-          r.getInt(1).toDouble)).toArray
+          r.getInt(1).toDouble)).distinct.sorted.toArray
         val tol2 = tolPx * tolPx
         val used = new Array[Boolean](pb.length)
         def alignedCount(f: Array[Double]): Int = {
@@ -5694,8 +5704,9 @@ object Multimodal {
     * streaming member applies it batch-side over its sink): see
     * [[affineCloudVerifyUdf]] for the contract. */
   def affineCloudVerifier(tolPx: Double = 3.0,
-      verifyMinAligned: Int = 9): org.apache.spark.sql.expressions.UserDefinedFunction =
-    affineCloudVerifyUdf(tolPx, verifyMinAligned)
+      verifyMinAligned: Int = 9, detSign: Int = 1)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    affineCloudVerifyUdf(tolPx, verifyMinAligned, detSign)
 
   /** Persisted ANCHORED affine-frame index — the verified screen's
     * standing-corpus artifact: the plain [[imageAffineFrameIndex]]

@@ -537,7 +537,14 @@ object TextAnalysis {
     * copy of the table is GENERATED from the same Seq so the two
     * engines can never drift. */
   def publicSuffixesValuesSql: String =
-    publicSuffixes.map(s => s"('$s')").mkString(", ")
+    publicSuffixes.map(s => s"('${sqlQuote(s)}')").mkString(", ")
+
+  /** Single-quote escape for strings interpolated into generated SQL
+    * VALUES bodies. The hardcoded subset is quote-free, but the table
+    * is documented as a data swap point (the full published list),
+    * so the generator must not break — or inject — on a quoted
+    * entry. */
+  private def sqlQuote(s: String): String = s.replace("'", "''")
 
   /** Suffix-table form of [[registeredDomain]] + per-domain cap: the
     * registered domain is the label immediately below the longest

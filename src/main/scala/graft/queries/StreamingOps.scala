@@ -6087,7 +6087,13 @@ object StreamingOps extends QueryPack {
       // candidates) — rename the key per derivative, the st121 idiom,
       // or Catalyst fails resolving the conflicting view references
       val sunk = s.table("st124_lm")
-      val nl = sunk.groupBy(col("doc_id")).agg(count(lit(1)).as("nl"))
+      // nl = DISTINCT landmarks: the sink rows are post-join, so a
+      // probe landmark matching several index masters is duplicated —
+      // count(1) would inflate nl and deflate c/least(nl, nl_src),
+      // dropping true candidates (st123 and the batch verified screen
+      // both count landmarks pre-join)
+      val nl = sunk.groupBy(col("doc_id"))
+        .agg(countDistinct(col("lm")).as("nl"))
       val cloudsProbe = sunk.select(col("doc_id").as("dp"), col("ax"),
           col("ay"))
         .distinct().groupBy(col("dp"))
