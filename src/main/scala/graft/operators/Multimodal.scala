@@ -3599,13 +3599,7 @@ object Multimodal {
       minMatch: Double, maxDf: Int, minShared: Int = 0): DataFrame = {
     val n0 = lms.filter(col("orient") === 0)
       .groupBy(col("doc_id")).agg(count(lit(1)).as("nl"))
-    val capped =
-      if (maxDf <= 0) lms
-      else lms.join(
-        lms.groupBy(col("lm"))
-          .agg(countDistinct(col("doc_id")).as("df"))
-          .filter(col("df") <= maxDf).select(col("lm")),
-        Seq("lm"), "left_semi")
+    val capped = applyDfCap(lms, maxDf)
     val kept = capped.groupBy(col("lm"))
       .agg(collect_list(struct(col("doc_id"), col("orient"))).as("ds"))
       .filter(size(col("ds")) >= 2)
@@ -3648,21 +3642,80 @@ object Multimodal {
       Materialize.eager(imagePeakLandmarks(media, radius, patch, k)),
       minMatch, maxDf)
 
+  /** Hot-code backstop for the landmark pair scorers: when a caller
+    * passes maxDf <= 0 ("uncapped"), the scorers historically built
+    * `collect_list(doc_id)` per code with NO bound — on measured
+    * corpora fine (avg df stays low even at 32k docs), but ONE
+    * degenerate code shared by k docs inflates a single aggregation
+    * row to k entries and the pair explode to k^2 with no cap and no
+    * trace. [[applyDfCap]] therefore always bounds the posting list:
+    * the caller's maxDf when given, else this auto-cap. 4096 is far
+    * above any identifying code's df (the families' measured 32k-doc
+    * sweeps stay in the tens even for their hottest codes) yet bounds
+    * the worst single-row blowup at ~16M struct entries instead of
+    * unbounded. Codes dropped by the AUTO cap are counted in the
+    * [[hotCodesDropped]] accumulator and logged per code, so an
+    * adversarial corpus self-reports instead of silently losing
+    * recall. Test hook: private[graft] so a spec can lower it; 0
+    * disables the auto-cap entirely (never the explicit maxDf). */
+  @volatile private[graft] var hotCodeAutoCap: Int = 4096
+
+  @transient private lazy val hotLog =
+    org.slf4j.LoggerFactory.getLogger("graft.operators.Multimodal")
+
+  private val hotCodeAccs =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.util.LongAccumulator]
+
+  /** Count of codes dropped by the AUTO posting cap in this Spark
+    * application (diagnostic: task retries may overcount). */
+  private[graft] def hotCodesDropped(s: SparkSession)
+      : org.apache.spark.util.LongAccumulator =
+    hotCodeAccs.computeIfAbsent(s.sparkContext.applicationId,
+      _ => s.sparkContext.longAccumulator("graft.hotCodesDropped"))
+
+  /** Distinct-doc posting cap BEFORE pair expansion — explicit maxDf
+    * when > 0, [[hotCodeAutoCap]] (with accumulator + warn per
+    * dropped code) otherwise. Input needs (doc_id, lm) columns;
+    * extra columns ride through. */
+  private def applyDfCap(lms: DataFrame, maxDf: Int): DataFrame = {
+    val auto = maxDf <= 0
+    val cap = if (auto) hotCodeAutoCap else maxDf
+    if (cap <= 0) return lms
+    val dfs = lms.groupBy(col("lm"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val keep =
+      if (!auto) dfs.filter(col("df") <= cap)
+      else {
+        val acc = hotCodesDropped(lms.sparkSession)
+        val keepUdf = udf((lm: String, df: Long) => {
+          val ok = df <= cap
+          if (!ok) {
+            acc.add(1L)
+            hotLog.warn(
+              s"auto posting cap: dropping hot code $lm (df=$df > " +
+                s"$cap distinct docs) — carries no identification " +
+                "signal; raise maxDf explicitly to keep it")
+          }
+          ok
+        })
+        // lm stringified: the landmark column's physical type varies
+        // by family (packed Long vs int code)
+        dfs.filter(keepUdf(col("lm").cast("string"), col("df")))
+      }
+    lms.join(keep.select(col("lm")), Seq("lm"), "left_semi")
+  }
+
   /** Shared pair scorer for the peak-landmark frames (image m136 /
     * video m138): posting-list join on the landmark with a
-    * distinct-doc `maxDf` cap BEFORE pair expansion, shared distinct
+    * distinct-doc `maxDf` cap BEFORE pair expansion (auto-capped at
+    * [[hotCodeAutoCap]] when maxDf <= 0), shared distinct
     * landmarks over the SMALLER set >= minMatch. Input: distinct
     * (doc_id, lm) rows. */
   private def peakLandmarkPairScores(lms: DataFrame, minMatch: Double,
       maxDf: Int, minShared: Int = 0): DataFrame = {
     val nl = lms.groupBy(col("doc_id")).agg(count(lit(1)).as("nl"))
-    val capped =
-      if (maxDf <= 0) lms
-      else lms.join(
-        lms.groupBy(col("lm"))
-          .agg(countDistinct(col("doc_id")).as("df"))
-          .filter(col("df") <= maxDf).select(col("lm")),
-        Seq("lm"), "left_semi")
+    val capped = applyDfCap(lms, maxDf)
     val kept = capped.groupBy(col("lm"))
       .agg(collect_list(col("doc_id")).as("ds"))
       .filter(size(col("ds")) >= 2)
@@ -5591,13 +5644,7 @@ object Multimodal {
     val lms = Materialize.eager(
       imageAffineFrameLandmarksAnchored(media, kTop, nNear, nBasis,
         qStep, smoothR, radius, minAvg))
-    val capped =
-      if (maxDf <= 0) lms
-      else lms.join(
-        lms.groupBy(col("lm"))
-          .agg(countDistinct(col("doc_id")).as("df"))
-          .filter(col("df") <= maxDf).select(col("lm")),
-        Seq("lm"), "left_semi")
+    val capped = applyDfCap(lms, maxDf)
     val nl = lms.groupBy(col("doc_id")).agg(count(lit(1)).as("nl"))
     // anchor cloud per doc = its DISTINCT landmark anchors (a subset
     // of the detected peaks — every peak with a conditioned basis)
