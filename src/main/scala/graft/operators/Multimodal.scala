@@ -5449,6 +5449,72 @@ object Multimodal {
       index, minMatch, "videoAffineFrameIndex", minShared,
       AffineFrameFpVersion)
 
+  /** ANCHORED affine-frame codes pooled per VIDEO document — the
+    * verified tier's raw table for the frame sequence (m182): every
+    * sampled frame's codes pool DISTINCT with the FIRST emitting
+    * anchor's (x, y). Anchors from DIFFERENT frames share one pixel
+    * coordinate system and the re-rip transform (crop/rotate/squeeze)
+    * is applied uniformly to every frame, so ONE affine map relates
+    * all cross-rendition anchor pairs regardless of which frame
+    * emitted them; a code whose first-emitting frame differs between
+    * renditions (trim, near-duplicate frames) yields an OUTLIER
+    * correspondence, which is exactly what the RANSAC verify absorbs.
+    * One container walk. */
+  def videoAffineFrameLandmarksAnchored(media: DataFrame,
+      every: Int = 2, kTop: Int = 48, nNear: Int = 8, nBasis: Int = 4,
+      qStep: Double = 0.3, smoothR: Int = 4, radius: Int = 6,
+      minAvg: Int = 24)(implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    require(every >= 1, "every must be >= 1")
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions(rows => rows.flatMap { r =>
+        containerFrames(r.payload) match {
+          case Some(fs) =>
+            val set = new AnchoredCodeSet
+            fs.iterator.zipWithIndex.filter(_._2 % every == 0)
+              .foreach { f =>
+                decodeImage(f._1).foreach { img =>
+                  affineFrameCodesAnchored(
+                    coarsePeakCells(lumaPlane(img), img.getWidth,
+                      img.getHeight, smoothR, radius, minAvg),
+                    kTop, nNear, nBasis, qStep).foreach { case (lm, ax, ay) =>
+                    set.add(lm, ax, ay)
+                  }
+                }
+              }
+            set.iterator.map { case (lm, ax, ay) => (r.doc_id, lm, ax, ay) }
+          case None => Iterator.empty
+        }
+      }).toDF("doc_id", "lm", "ax", "ay")
+  }
+
+  /** VERIFIED crop x affine video pairs (m182 — the m179 verdict at
+    * the frame sequence): [[videoAffineFrameLandmarks]]' code gate
+    * measured the same fragility the image tier did (gray-zone
+    * compounds score just under the m177 gate while the decoy tail
+    * reaches it), so candidates nominate at a LOW gate over the
+    * pooled per-video code sets and each candidate is RANSAC-verified
+    * from the matched codes' pooled anchor correspondences — the
+    * rendering transform is one affine map across ALL frames, so the
+    * pooled anchor clouds align exactly like the image member's.
+    * verifyMinFrac sits LOWER than the image default: a leading trim
+    * removes whole frames' anchors from the shared field (a 2-of-6
+    * frame trim caps the aligned fraction near 2/3), while a decoy's
+    * verified fraction stays pinned at ~0 by the same absolute floor. */
+  def videoAffineFramePairsVerified(media: DataFrame,
+      candMinMatch: Double = 0.004, candMinShared: Int = 4,
+      verifyMinFrac: Double = 0.4, verifyMinAligned: Int = 9,
+      tolPx: Double = 3.0, maxDf: Int = 0, every: Int = 2,
+      kTop: Int = 48, nNear: Int = 8, nBasis: Int = 4,
+      qStep: Double = 0.3, smoothR: Int = 4, radius: Int = 6,
+      minAvg: Int = 24)(implicit s: SparkSession): DataFrame =
+    affineFramePairsVerifiedFrom(
+      Materialize.eager(
+        videoAffineFrameLandmarksAnchored(media, every, kTop, nNear,
+          nBasis, qStep, smoothR, radius, minAvg)),
+      candMinMatch, candMinShared, verifyMinFrac, verifyMinAligned,
+      tolPx, maxDf)
+
   /** The geometric verifier of the affine-frame VERIFIED tier
     * (m179/m180/st124), as a reusable UDF: RANSAC over the matched
     * codes' anchor-correspondence SET (canonically sorted — the
@@ -5636,14 +5702,24 @@ object Multimodal {
       tolPx: Double = 3.0, maxDf: Int = 0,
       kTop: Int = 48, nNear: Int = 8, nBasis: Int = 4,
       qStep: Double = 0.3, smoothR: Int = 4, radius: Int = 6,
-      minAvg: Int = 24)(implicit s: SparkSession): DataFrame = {
-    import s.implicits._
+      minAvg: Int = 24)(implicit s: SparkSession): DataFrame =
+    affineFramePairsVerifiedFrom(
+      Materialize.eager(
+        imageAffineFrameLandmarksAnchored(media, kTop, nNear, nBasis,
+          qStep, smoothR, radius, minAvg)),
+      candMinMatch, candMinShared, verifyMinFrac, verifyMinAligned,
+      tolPx, maxDf)
+
+  /** Candidate + RANSAC-verify stage of the verified affine-frame
+    * tier over an ANCHORED landmark table (doc_id, lm, ax, ay) —
+    * shared by the image (m179) and video (m182) members: the media
+    * extractors differ, the geometry does not. */
+  private def affineFramePairsVerifiedFrom(lms: DataFrame,
+      candMinMatch: Double, candMinShared: Int, verifyMinFrac: Double,
+      verifyMinAligned: Int, tolPx: Double, maxDf: Int): DataFrame = {
     require(verifyMinFrac >= 0.0 && verifyMinFrac <= 1.0,
       "verifyMinFrac must be in [0, 1]")
     require(tolPx > 0.0, "tolPx must be > 0")
-    val lms = Materialize.eager(
-      imageAffineFrameLandmarksAnchored(media, kTop, nNear, nBasis,
-        qStep, smoothR, radius, minAvg))
     val capped = applyDfCap(lms, maxDf)
     val nl = lms.groupBy(col("doc_id")).agg(count(lit(1)).as("nl"))
     // anchor cloud per doc = its DISTINCT landmark anchors (a subset

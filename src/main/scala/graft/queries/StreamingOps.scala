@@ -3300,6 +3300,43 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // VERIFIED crop x affine VIDEO pairs (m182 — the m179 verdict at
+    // the frame sequence): the m177 code gate inherits the image
+    // tier's measured fragility (gray-zone compounds score just under
+    // minMatch 0.02 / minShared 16), so candidates nominate at the
+    // LOW gate over pooled per-video code sets and each candidate is
+    // RANSAC-verified from the pooled anchor correspondences — the
+    // re-rip transform is ONE affine map across all frames, so the
+    // pooled clouds align like the image member's; a trim only costs
+    // the trimmed frames' anchors (verifyMinFrac 0.4). Probes: two
+    // MEASURED gray-zone compounds the m177 gate drops (64% crop x
+    // 17 deg x 1.3:1 at code 0.012/15 shared; 64% x 9 deg x 1.3:1 at
+    // 0.018/34 — under one or both gate axes, spec-pinned in
+    // Round14Spec) plus two m177-class compounds both tiers land, one
+    // leading-TRIMMED 2 frames. Pinned golden.
+    "m182_video_affine_frame_verified" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val img = udf((id: Long) => {
+        def master(src: Long): Array[Byte] =
+          Multimodal.syntheticAviBlobs(src, 6, 192, 192, 18, 22.0)
+        def probe(src: Long, m: Int, deg: Double, ow: Int,
+            from: Int): Array[Byte] =
+          Multimodal.aviCropResizeDib(Multimodal.aviRotateResizeDib(
+            Multimodal.aviCropResizeDib(master(src), m, m, 192 - m,
+              192 - m, 192, 192), deg), 0, 0, 192, 192, ow, 192, from)
+        if (id == 20L) probe(0, 36, 17.0, 148, 0)       // gray: 0.012/15
+        else if (id == 21L) probe(2, 36, 9.0, 148, 0)   // gray: 0.018/34
+        else if (id == 22L) probe(0, 24, -23.0, 148, 0) // m177-class
+        else if (id == 23L) probe(1, 24, 17.0, 137, 2)  // m177, trimmed
+        else master(id)
+      })
+      val media = s.range(0, 6).union(s.range(20, 24))
+        .union(s.range(140, 142))
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      Multimodal.videoAffineFramePairsVerified(media, maxDf = 64)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Persisted CANONICAL video index + ingest screen (m172 — the
     // m167 tier's incremental member, CanonFpVersion via the shared
     // kernel): 6 blob-video masters fingerprint once, then the m167

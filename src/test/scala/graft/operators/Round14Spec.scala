@@ -53,4 +53,51 @@ class Round14Spec extends AnyFunSuite with BeforeAndAfterAll {
         s"pairs (45 hot + 1 benign), got $uncapped")
     } finally Multimodal.hotCodeAutoCap = saved
   }
+
+  /** m182 media: 6 video masters, two MEASURED gray-zone crop x
+    * affine compounds (under the m177 code gate), two m177-class
+    * compounds (one leading-trimmed), two fresh decoys. */
+  private def m182Media(s: SparkSession): org.apache.spark.sql.DataFrame = {
+    val img = udf((id: Long) => {
+      def master(src: Long): Array[Byte] =
+        Multimodal.syntheticAviBlobs(src, 6, 192, 192, 18, 22.0)
+      def probe(src: Long, m: Int, deg: Double, ow: Int,
+          from: Int): Array[Byte] =
+        Multimodal.aviCropResizeDib(Multimodal.aviRotateResizeDib(
+          Multimodal.aviCropResizeDib(master(src), m, m, 192 - m,
+            192 - m, 192, 192), deg), 0, 0, 192, 192, ow, 192, from)
+      if (id == 20L) probe(0, 36, 17.0, 148, 0)
+      else if (id == 21L) probe(2, 36, 9.0, 148, 0)
+      else if (id == 22L) probe(0, 24, -23.0, 148, 0)
+      else if (id == 23L) probe(1, 24, 17.0, 137, 2)
+      else master(id)
+    })
+    s.range(0, 6).union(s.range(20, 24)).union(s.range(140, 142))
+      .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+  }
+
+  test("m182: RANSAC verify lands the gray-zone video compounds the m177 code gate drops") {
+    val s = spark
+    implicit val sp: SparkSession = s
+    val media = m182Media(s).cache()
+    try {
+      // the scope contrast: the code gate (m177 defaults) misses both
+      // gray-zone compounds but lands the m177-class ones
+      val code = Multimodal.videoAffineFramePairs(media, maxDf = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(!code((0L, 20L)) && !code((2L, 21L)),
+        s"gray-zone compounds must be UNDER the code gate, got $code")
+      assert(code((0L, 22L)) && code((1L, 23L)),
+        s"m177-class compounds must land the code gate, got $code")
+      // the verified tier lands all four; decoys stay out
+      val ver = Multimodal.videoAffineFramePairsVerified(media, maxDf = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+      for (k <- Seq((0L, 20L), (2L, 21L), (0L, 22L), (1L, 23L)))
+        assert(ver.getOrElse(k, 0.0) >= 0.4,
+          s"$k must verify >= 0.4, got ${ver.get(k)} (all: $ver)")
+      assert(!ver.keys.exists(k => k._1 >= 140L || k._2 >= 140L),
+        s"fresh decoys must not verify, got $ver")
+    } finally media.unpersist()
+  }
 }

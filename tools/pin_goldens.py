@@ -178,6 +178,8 @@ QUERIES = [
     "m180_affine_frame_verified_screen", # both screens contrasted
     "st124_stream_affine_verified_screen", # verified screen mid-stream
     "m181_affine_frame_chiral", # mirrored compounds via (u,v) swap
+    "m182_video_affine_frame_verified", # RANSAC-verified gray-zone
+                           # video compounds (pooled anchor clouds)
     "m175_stationary_audio_gate", # stationary-audio scope gate
     "m158_audio_compound_interval",
     "m159_audio_pitch_verified",
