@@ -5799,6 +5799,80 @@ object Multimodal {
       minShared)
   }
 
+  /** VERIFIED chiral affine-frame pairs (m183 — the m179 verdict on
+    * the MIRROR compound): m181's chiral code gate inherits exactly
+    * the identity gate's gray-zone fragility (the mirror readout is
+    * pure arithmetic on the identity codes, so a mirrored rendering
+    * of a gray-zone compound scores the same just-under-gate
+    * fraction), so candidates nominate at the LOW gate over the
+    * m181 asymmetric fan (lower doc identity codes vs higher doc
+    * identity AND mirror readouts — the mirror readout keeps its
+    * identity code's PHYSICAL anchor) and each candidate is
+    * RANSAC-verified with the admitted map chirality matched to its
+    * readout: orient 0 candidates need an orientation-PRESERVING
+    * affine (det > 0, the m179 verifier), orient 1 candidates an
+    * orientation-REVERSING one (det < 0) — a mirrored re-upload's
+    * anchor clouds are related by exactly such a map, while a decoy
+    * can no more satisfy a det < 0 map than a det > 0 one. Output
+    * (doc_a, doc_b, orient, match_frac >= verifyMinFrac). */
+  def imageAffineFramePairsChiralVerified(media: DataFrame,
+      candMinMatch: Double = 0.004, candMinShared: Int = 4,
+      verifyMinFrac: Double = 0.5, verifyMinAligned: Int = 9,
+      tolPx: Double = 3.0, maxDf: Int = 0, kTop: Int = 48,
+      nNear: Int = 8, nBasis: Int = 4, qStep: Double = 0.3,
+      smoothR: Int = 4, radius: Int = 6, minAvg: Int = 24)(
+      implicit s: SparkSession): DataFrame = {
+    require(verifyMinFrac >= 0.0 && verifyMinFrac <= 1.0,
+      "verifyMinFrac must be in [0, 1]")
+    require(tolPx > 0.0, "tolPx must be > 0")
+    val mir = udf((lm: Long) => mirrorAffineFrameCode(lm))
+    val id0 = Materialize.eager(
+      imageAffineFrameLandmarksAnchored(media, kTop, nNear, nBasis,
+        qStep, smoothR, radius, minAvg))
+    val fan = Materialize.eager(
+      id0.select(col("doc_id"), lit(0).as("orient"), col("lm"),
+          col("ax"), col("ay"))
+        .unionByName(id0.select(col("doc_id"), lit(1).as("orient"),
+          mir(col("lm")).as("lm"), col("ax"), col("ay"))))
+    val capped = applyDfCap(fan, maxDf)
+    val nl = id0.groupBy(col("doc_id")).agg(count(lit(1)).as("nl"))
+    val clouds = id0.select(col("doc_id"), col("ax"), col("ay"))
+      .distinct().groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("ax"), col("ay"))).as("cloud"))
+    val a = capped.filter(col("orient") === 0)
+      .select(col("lm"), col("doc_id").as("doc_a"),
+        col("ax").as("axa"), col("ay").as("aya"))
+    val b = capped.select(col("lm"), col("doc_id").as("doc_b"),
+      col("orient"), col("ax").as("axb"), col("ay").as("ayb"))
+    val cand = a.join(b, Seq("lm")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("orient"))
+      .agg(countDistinct(col("lm")).as("c"),
+        collect_list(struct(col("axa"), col("aya"), col("axb"),
+          col("ayb"))).as("corr"))
+      .filter(col("c") >= math.max(1, candMinShared))
+      .join(nl.select(col("doc_id").as("doc_a"), col("nl").as("na")),
+        Seq("doc_a"))
+      .join(nl.select(col("doc_id").as("doc_b"), col("nl").as("nb")),
+        Seq("doc_b"))
+      .filter(col("c").cast("double") / least(col("na"), col("nb"))
+        >= candMinMatch)
+    val verId = affineCloudVerifyUdf(tolPx, verifyMinAligned, 1)
+    val verMir = affineCloudVerifyUdf(tolPx, verifyMinAligned, -1)
+    cand
+      .join(clouds.select(col("doc_id").as("doc_a"),
+        col("cloud").as("cloud_a")), Seq("doc_a"))
+      .join(clouds.select(col("doc_id").as("doc_b"),
+        col("cloud").as("cloud_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("orient"),
+        round(least(
+          when(col("orient") === 1,
+            verMir(col("corr"), col("cloud_a"), col("cloud_b")))
+            .otherwise(
+              verId(col("corr"), col("cloud_a"), col("cloud_b"))),
+          lit(1.0)), 6).as("match_frac"))
+      .filter(col("match_frac") >= verifyMinFrac)
+  }
+
   /** ANCHORED affine-frame landmarks — one (doc_id, lm, ax, ay) row
     * per distinct code with the FIRST emitting anchor's coordinates:
     * the raw table behind the verified tier (m179/m180/st124). A pure

@@ -3235,6 +3235,41 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"), col("orient"))
     }),
 
+    // VERIFIED chiral pairs (m183 — the m179 verdict on the MIRROR
+    // compound): m181's code gate inherits the identity gate's
+    // gray-zone fragility verbatim (the mirror readout is pure code
+    // arithmetic), so candidates nominate at the LOW gate over the
+    // m181 asymmetric fan and verify with the map chirality MATCHED
+    // to the readout (orient 1 admits det < 0 affines only). Probes:
+    // the two m179 gray-zone compounds MIRRORED (the m181 gate drops
+    // them — Round14Spec pins the contrast, plus m179's own zero
+    // rows on this corpus: the identity verified tier is chirality-
+    // fixed by design) and two m174-class mirrored compounds both
+    // tiers land. Pinned golden.
+    "m183_affine_frame_chiral_verified" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val img = udf((id: Long) => {
+        def blobs(seed: Long): Array[Byte] =
+          Multimodal.syntheticPngBlobs(seed, 256, 256, 24, 22.0)
+        def probe(src: Long, c0: Int, c1: Int, deg: Double,
+            outW: Int): Array[Byte] =
+          Multimodal.pngDihedral(
+            Multimodal.pngCropResize(Multimodal.pngRotateResize(
+              Multimodal.pngCropResize(blobs(src), c0, c0, c1, c1,
+                256, 256), deg), 0, 0, 256, 256, outW, 256), 4)
+        if (id == 20L) probe(3, 38, 218, -23.0, 197)      // gray-zone
+        else if (id == 21L) probe(6, 44, 212, 17.0, 183)  // gray-zone
+        else if (id == 22L) probe(0, 32, 224, 17.0, 183)  // m174-class
+        else if (id == 23L) probe(1, 40, 216, 33.0, 169)  // m174-class
+        else blobs(id)
+      })
+      val media = s.range(0, 8).union(s.range(20, 24))
+        .union(s.range(140, 142))
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      Multimodal.imageAffineFramePairsChiralVerified(media, maxDf = 64)
+        .orderBy(col("doc_a"), col("doc_b"), col("orient"))
+    }),
+
     // VERIFIED index screen (m180 — the m179 verdict at the
     // incremental seam): one pinned output carries BOTH screens'
     // verdicts over the same probe batch — the PLAIN code-gate screen

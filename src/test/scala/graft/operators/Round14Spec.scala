@@ -100,4 +100,67 @@ class Round14Spec extends AnyFunSuite with BeforeAndAfterAll {
         s"fresh decoys must not verify, got $ver")
     } finally media.unpersist()
   }
+
+  /** m183 media: 8 blob masters, MIRRORED crop x affine probes — two
+    * gray-zone compounds (the m179 fixtures, mirrored: the mirror
+    * readout is pure code arithmetic so they score the same
+    * just-under-gate fractions) and two m174-class ones — plus two
+    * fresh decoys. */
+  private def m183Media(s: SparkSession): org.apache.spark.sql.DataFrame = {
+    val img = udf((id: Long) => {
+      def blobs(seed: Long): Array[Byte] =
+        Multimodal.syntheticPngBlobs(seed, 256, 256, 24, 22.0)
+      def probe(src: Long, c0: Int, c1: Int, deg: Double,
+          outW: Int): Array[Byte] =
+        Multimodal.pngDihedral(
+          Multimodal.pngCropResize(Multimodal.pngRotateResize(
+            Multimodal.pngCropResize(blobs(src), c0, c0, c1, c1,
+              256, 256), deg), 0, 0, 256, 256, outW, 256), 4)
+      if (id == 20L) probe(3, 38, 218, -23.0, 197)      // gray-zone
+      else if (id == 21L) probe(6, 44, 212, 17.0, 183)  // gray-zone
+      else if (id == 22L) probe(0, 32, 224, 17.0, 183)  // m174-class
+      else if (id == 23L) probe(1, 40, 216, 33.0, 169)  // m174-class
+      else blobs(id)
+    })
+    s.range(0, 8).union(s.range(20, 24)).union(s.range(140, 142))
+      .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+  }
+
+  test("m183: chirality-matched verify lands mirrored gray-zone compounds; m179 and m181 alone do not") {
+    val s = spark
+    implicit val sp: SparkSession = s
+    val media = m183Media(s).cache()
+    try {
+      // contrast 1: the identity verified tier (m179) is chirality-
+      // fixed BY DESIGN — zero pairs against mirrored probes
+      val m179 = Multimodal.imageAffineFramePairsVerified(media,
+        maxDf = 64).collect()
+      assert(m179.isEmpty,
+        s"m179 must be blind to mirrored renderings, got ${m179.mkString(", ")}")
+      // contrast 2: the chiral CODE gate (m181) drops the gray-zone
+      // compounds (same just-under-gate scores as their unmirrored
+      // m179 twins) but lands the m174-class ones
+      val code = Multimodal.imageAffineFramePairsChiral(media, maxDf = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(!code((3L, 20L)) && !code((6L, 21L)),
+        s"gray-zone mirrored compounds must be under the m181 gate, got $code")
+      assert(code((0L, 22L)) && code((1L, 23L)),
+        s"m174-class mirrored compounds must land the m181 gate, got $code")
+      // m183: all four verify at orient 1 with det < 0 maps
+      val ver = Multimodal.imageAffineFramePairsChiralVerified(media,
+          maxDf = 64)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)) -> r.getDouble(3))
+        .toMap
+      for (k <- Seq((3L, 20L, 1), (6L, 21L, 1), (0L, 22L, 1), (1L, 23L, 1)))
+        assert(ver.getOrElse(k, 0.0) >= 0.5,
+          s"$k must verify >= 0.5, got ${ver.get(k)} (all: $ver)")
+      assert(!ver.keys.exists(k => k._1 >= 140L || k._2 >= 140L),
+        s"fresh decoys must not verify, got $ver")
+      // no mirrored probe verifies through the det>0 path: the
+      // chirality constraint is doing the admitting, not slack
+      assert(!ver.keys.exists(k => k._3 == 0 && k._2 >= 20L && k._2 <= 23L),
+        s"mirrored probes must land via orient 1 only, got $ver")
+    } finally media.unpersist()
+  }
 }

@@ -180,6 +180,8 @@ QUERIES = [
     "m181_affine_frame_chiral", # mirrored compounds via (u,v) swap
     "m182_video_affine_frame_verified", # RANSAC-verified gray-zone
                            # video compounds (pooled anchor clouds)
+    "m183_affine_frame_chiral_verified", # chirality-matched verify
+                           # (det<0 maps) on mirrored gray-zone compounds
     "m175_stationary_audio_gate", # stationary-audio scope gate
     "m158_audio_compound_interval",
     "m159_audio_pitch_verified",
