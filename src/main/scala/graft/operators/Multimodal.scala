@@ -5285,13 +5285,18 @@ object Multimodal {
 
   /** AFFINE-FRAME landmarks — the CROP x rotation x anisotropic-
     * squeeze compound (m174): [[affineFrameCodes]] per decoded image.
-    * Squeeze scope: detection runs on the squeezed pixels, so the
-    * tier covers squeezes up to where neighboring blobs MERGE in the
-    * data (~1.5:1, the m160/m165 boundary); past that, de-squeezing
-    * before detection needs exactly the global estimate a crop
-    * denies — the class stays a declared limit. A distinct landmark
-    * family from every constellation tier (different code space);
-    * never mix families in one index. */
+    * Squeeze scope (REVISED by round-14 measurement): the codes are
+    * exact affine invariants, so the binding limits are detection
+    * (blob merge on the squeezed pixels — data-density dependent:
+    * ~1.5:1 on the dense 128px m160/m165 class) and the nearest-
+    * neighbor/conditioning selection (NOT affine-invariant — on the
+    * 256px 24-blob gate class recall holds 12/12 through 2.5:1 and
+    * drops to 4/12 over 3.0-4.0:1). Past the selection boundary the
+    * DE-SQUEEZE fan ([[imageAffineFrameLandmarksSqueezeFan]], m184)
+    * re-renders the detected cloud per hypothesis factor; de-squeezing
+    * the pixels themselves would need the global estimate a crop
+    * denies. A distinct landmark family from every constellation tier
+    * (different code space); never mix families in one index. */
   def imageAffineFrameLandmarks(media: DataFrame, kTop: Int = 48,
       nNear: Int = 8, nBasis: Int = 4, qStep: Double = 0.3,
       smoothR: Int = 4, radius: Int = 6, minAvg: Int = 24)(
@@ -5798,6 +5803,94 @@ object Multimodal {
     orientedLandmarkPairScores(Materialize.eager(lms), minMatch, maxDf,
       minShared)
   }
+
+  /** AFFINE-FRAME landmarks with a DE-SQUEEZE hypothesis fan (m184 —
+    * the crop x EXTREME-squeeze compound). MEASURED boundary
+    * adjudication first (round 14, 256px 24-blob gate class,
+    * central-75% crop x {17, -23} deg x both axes): the base tier's
+    * identity codes are exact affine invariants, and on this class
+    * its detection and enough of its nearest-neighbor sets survive
+    * through 2.5:1 — base recall is 12/12 at 1.7-2.5:1, so the old
+    * "~1.5:1 declared limit" (inherited from the denser 128px
+    * m160/m165 corpus) does NOT bind here. What DOES break past
+    * ~3:1 is the NEIGHBOR-SELECTION and conditioning geometry (which
+    * co-peaks are "nearest" and which bases pass the |sin| floor are
+    * not affine-invariant — base drops to 4/12 over 3.0-4.0:1), and
+    * de-squeezing the PIXELS first needs exactly the global estimate
+    * a crop denies. The m152 fan shape at this seam: peaks detect
+    * ONCE on the squeezed rendering, then each hypothesis factor g
+    * re-renders the peak GEOMETRY (x*g or y*g — the squeeze axis is
+    * also unknown, so each factor fans both) and emits that
+    * geometry's frame codes: the hypothesis undoing the squeeze
+    * reproduces the master's natural codes up to <= 0.5*g px of grid
+    * rounding, inside the family's jitter model. Measured: fan 9/12
+    * over 3.0-4.0:1 with ZERO spurious at the m174 gate (matched-
+    * hypothesis readouts score 2-4x the identity readout). hyps(0)
+    * MUST be 1.0 (the identity row registers in indexes/state — the
+    * asymmetric fan shape); orient = 0 identity, 2*hi-1 / 2*hi the
+    * hi-th factor's x / y readout. What stays out: squeezes so deep
+    * the blobs MERGE at detection (nothing to re-render — the
+    * remaining 3/12), and factors off the fan by more than the
+    * quantizer's absorption. */
+  def imageAffineFrameLandmarksSqueezeFan(media: DataFrame,
+      hyps: Seq[Double] = Seq(1.0, 3.0, 3.5, 4.0), kTop: Int = 48,
+      nNear: Int = 8, nBasis: Int = 4, qStep: Double = 0.3,
+      smoothR: Int = 4, radius: Int = 6, minAvg: Int = 24)(
+      implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    require(hyps.nonEmpty && hyps.head == 1.0,
+      "hyps(0) must be the identity 1.0 (the registering readout)")
+    require(hyps.forall(g => g > 0.0), "hypothesis factors must be > 0")
+    require(nNear >= 4 && nNear <= 16,
+      "nNear must be in 4..16 (a frame code needs 2 basis + 2 coded co-peaks)")
+    require(nBasis >= 2 && nBasis <= nNear, "nBasis must be in 2..nNear")
+    require(qStep > 0.0, "qStep must be > 0")
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions(rows => rows.flatMap { r =>
+        decodeImage(r.payload) match {
+          case Some(img) =>
+            val cells = coarsePeakCells(lumaPlane(img), img.getWidth,
+              img.getHeight, smoothR, radius, minAvg)
+            hyps.iterator.zipWithIndex.flatMap { case (g, hi) =>
+              if (hi == 0)
+                affineFrameCodes(cells, kTop, nNear, nBasis, qStep)
+                  .map(lm => (r.doc_id, 0, lm))
+              else {
+                val dx = cells.map { case (x, y, v) =>
+                  (math.round(g * x).toInt, y, v) }
+                val dy = cells.map { case (x, y, v) =>
+                  (x, math.round(g * y).toInt, v) }
+                affineFrameCodes(dx, kTop, nNear, nBasis, qStep)
+                  .map(lm => (r.doc_id, 2 * hi - 1, lm)) ++
+                  affineFrameCodes(dy, kTop, nNear, nBasis, qStep)
+                    .map(lm => (r.doc_id, 2 * hi, lm))
+              }
+            }
+          case None => Iterator.empty
+        }
+      }).toDF("doc_id", "orient", "lm")
+  }
+
+  /** Image near-dup pairs under the CROP x ROTATION x EXTREME-SQUEEZE
+    * compound (m184) via [[imageAffineFrameLandmarksSqueezeFan]] —
+    * the m181 asymmetric scorer shape: the lower doc's IDENTITY codes
+    * bucket against the higher doc's identity and de-squeeze
+    * readouts, scored per readout over the smaller identity code
+    * count. The base tier (m174) holds through ~2.5:1 on the gate
+    * class and drops to 4/12 over 3.0-4.0:1 (measured — see the
+    * landmark scaladoc); the fan lands 9/12 there at the same gate
+    * with zero spurious. */
+  def imageAffineFramePairsSqueezeFan(media: DataFrame,
+      minMatch: Double = 0.02, maxDf: Int = 0,
+      hyps: Seq[Double] = Seq(1.0, 3.0, 3.5, 4.0), kTop: Int = 48,
+      nNear: Int = 8, nBasis: Int = 4, qStep: Double = 0.3,
+      smoothR: Int = 4, radius: Int = 6, minAvg: Int = 24,
+      minShared: Int = 16)(implicit s: SparkSession): DataFrame =
+    orientedLandmarkPairScores(
+      Materialize.eager(
+        imageAffineFrameLandmarksSqueezeFan(media, hyps, kTop, nNear,
+          nBasis, qStep, smoothR, radius, minAvg)),
+      minMatch, maxDf, minShared)
 
   /** VERIFIED chiral affine-frame pairs (m183 — the m179 verdict on
     * the MIRROR compound): m181's chiral code gate inherits exactly

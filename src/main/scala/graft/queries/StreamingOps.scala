@@ -3270,6 +3270,48 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"), col("orient"))
     }),
 
+    // CROP x ROTATION x EXTREME-SQUEEZE image dedup (m184 — the m152
+    // de-squeeze hypothesis fan at the affine-frame seam): measured
+    // boundary first — the base m174 tier's exact affine invariants
+    // hold 12/12 through 2.5:1 on this gate class (the old ~1.5:1
+    // line came from the denser 128px corpus), then its nearest-
+    // neighbor/conditioning selection breaks: 4/12 over 3.0-4.0:1.
+    // The fan re-renders the DETECTED peak cloud per hypothesis
+    // factor (both axes — the squeeze axis is unknown; detection
+    // runs once, no extra decode) and lands 9/12 there at the same
+    // gate with zero spurious. Probes: four measured base-tier
+    // misses (3.0-4.0:1 x {17, -23} deg x both axes on a central-75%
+    // crop); Round14Spec pins the base 0/4 contrast AND the revised
+    // 2.0:1 base-LANDS boundary. Pinned golden.
+    "m184_affine_frame_squeeze_fan" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val img = udf((id: Long) => {
+        def blobs(seed: Long): Array[Byte] =
+          Multimodal.syntheticPngBlobs(seed, 256, 256, 24, 22.0)
+        def probe(src: Long, deg: Double, sq: Double,
+            ax: Int): Array[Byte] = {
+          val rot = Multimodal.pngRotateResize(Multimodal.pngCropResize(
+            blobs(src), 32, 32, 224, 224, 256, 256), deg)
+          if (ax == 0)
+            Multimodal.pngCropResize(rot, 0, 0, 256, 256,
+              math.round(256 / sq).toInt, 256)
+          else
+            Multimodal.pngCropResize(rot, 0, 0, 256, 256, 256,
+              math.round(256 / sq).toInt)
+        }
+        if (id == 20L) probe(0, -23.0, 3.0, 0)
+        else if (id == 21L) probe(0, 17.0, 3.5, 0)
+        else if (id == 22L) probe(5, -23.0, 3.5, 1)
+        else if (id == 23L) probe(3, -23.0, 4.0, 1)
+        else blobs(id)
+      })
+      val media = s.range(0, 6).union(s.range(20, 24))
+        .union(s.range(140, 142))
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      Multimodal.imageAffineFramePairsSqueezeFan(media, maxDf = 64)
+        .orderBy(col("doc_a"), col("doc_b"), col("orient"))
+    }),
+
     // VERIFIED index screen (m180 — the m179 verdict at the
     // incremental seam): one pinned output carries BOTH screens'
     // verdicts over the same probe batch — the PLAIN code-gate screen

@@ -163,4 +163,57 @@ class Round14Spec extends AnyFunSuite with BeforeAndAfterAll {
         s"mirrored probes must land via orient 1 only, got $ver")
     } finally media.unpersist()
   }
+
+  test("m184: de-squeeze fan lands the 3.0-4.0:1 compounds the base tier drops; base holds at 2:1") {
+    val s = spark
+    implicit val sp: SparkSession = s
+    val img = udf((id: Long) => {
+      def blobs(seed: Long): Array[Byte] =
+        Multimodal.syntheticPngBlobs(seed, 256, 256, 24, 22.0)
+      def probe(src: Long, deg: Double, sq: Double, ax: Int): Array[Byte] = {
+        val rot = Multimodal.pngRotateResize(Multimodal.pngCropResize(
+          blobs(src), 32, 32, 224, 224, 256, 256), deg)
+        if (ax == 0)
+          Multimodal.pngCropResize(rot, 0, 0, 256, 256,
+            math.round(256 / sq).toInt, 256)
+        else
+          Multimodal.pngCropResize(rot, 0, 0, 256, 256, 256,
+            math.round(256 / sq).toInt)
+      }
+      if (id == 20L) probe(0, -23.0, 3.0, 0)
+      else if (id == 21L) probe(0, 17.0, 3.5, 0)
+      else if (id == 22L) probe(5, -23.0, 3.5, 1)
+      else if (id == 23L) probe(3, -23.0, 4.0, 1)
+      else if (id == 24L) probe(4, -23.0, 2.0, 0) // boundary witness
+      else blobs(id)
+    })
+    val media = s.range(0, 6).union(s.range(20, 25))
+      .union(s.range(140, 142))
+      .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      .cache()
+    try {
+      val planted = Seq((0L, 20L), (0L, 21L), (5L, 22L), (3L, 23L))
+      // the measured scope contrast: the base tier drops all four
+      // extreme compounds but HOLDS at 2:1 (the revised boundary —
+      // the old ~1.5:1 declared limit does not bind on this class)
+      val base = Multimodal.imageAffineFramePairs(media, maxDf = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      planted.foreach(k => assert(!base(k),
+        s"$k must be UNDER the base m174 gate, got $base"))
+      assert(base((4L, 24L)),
+        s"the 2:1 compound must LAND the base gate (revised boundary), got $base")
+      // the fan lands all four extreme compounds; no cross-source pair
+      val fan = Multimodal.imageAffineFramePairsSqueezeFan(media,
+          maxDf = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      planted.foreach(k => assert(fan(k),
+        s"$k must land the de-squeeze fan, got $fan"))
+      def srcOf(id: Long): Long = id match {
+        case 20L | 21L => 0L; case 22L => 5L; case 23L => 3L; case 24L => 4L
+        case x => x
+      }
+      assert(!fan.exists(k => srcOf(k._1) != srcOf(k._2)),
+        s"no unrelated pair may land the fan gate, got $fan")
+    } finally media.unpersist()
+  }
 }

@@ -182,6 +182,8 @@ QUERIES = [
                            # video compounds (pooled anchor clouds)
     "m183_affine_frame_chiral_verified", # chirality-matched verify
                            # (det<0 maps) on mirrored gray-zone compounds
+    "m184_affine_frame_squeeze_fan", # de-squeeze hypothesis fan:
+                           # crop x rotation x 3.0-4.0:1 extreme squeeze
     "m175_stationary_audio_gate", # stationary-audio scope gate
     "m158_audio_compound_interval",
     "m159_audio_pitch_verified",
