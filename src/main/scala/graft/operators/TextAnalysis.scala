@@ -599,6 +599,156 @@ object TextAnalysis {
         col("kept_h"))
   }
 
+  /** FULL Public-Suffix-List rule set, in the published list's own
+    * syntax (https://publicsuffix.org/list/ — the format is three rule
+    * kinds, matched label-by-label from the right):
+    *  - plain rules (`co.uk`, `pref.aichi.jp`) — the host's public
+    *    suffix candidate is the rule itself;
+    *  - wildcard rules (`*.ck`) — `*` matches exactly one label, so
+    *    every `<anything>.ck` is a public suffix;
+    *  - exception rules (`!www.ck`) — the named host is NOT a public
+    *    suffix despite a covering wildcard; its public suffix is the
+    *    rule minus its leftmost label.
+    * Prevailing rule: a matching exception wins outright; otherwise
+    * the rule with the most labels; otherwise the implicit `*` (the
+    * last label alone). Registered domain = public suffix plus one
+    * label (the host itself when no registrant label exists).
+    *
+    * This Seq is a curated subset of the published list that covers
+    * every RULE KIND the full file uses — all of [[publicSuffixes]]
+    * as plain rules, the real `*.ck`/`!www.ck` pair, the Japanese
+    * city wildcard+exception blocks, and >2-label plain rules. The
+    * full ~9k-row published file parses into exactly this shape
+    * (one rule string per non-comment line), so a production
+    * deployment swaps the data without touching the plan — still
+    * broadcast-trivial kilobytes. */
+  val publicSuffixRules: Seq[String] =
+    publicSuffixes ++ Seq(
+      // wildcard + exception blocks (verbatim rule syntax)
+      "*.ck", "!www.ck",
+      "*.bd", "*.er", "*.fk", "*.kh", "*.mm", "*.np", "*.pg",
+      "*.kawasaki.jp", "!city.kawasaki.jp",
+      "*.kitakyushu.jp", "!city.kitakyushu.jp",
+      "*.kobe.jp", "!city.kobe.jp",
+      "*.nagoya.jp", "!city.nagoya.jp",
+      "*.sapporo.jp", "!city.sapporo.jp",
+      "*.sendai.jp", "!city.sendai.jp",
+      "*.yokohama.jp", "!city.yokohama.jp",
+      // >2-label plain rules
+      "pref.aichi.jp", "pref.akita.jp", "pref.osaka.jp",
+      "city.osaka.jp", "city.kyoto.jp",
+      "act.edu.au", "nsw.edu.au", "qld.edu.au", "vic.edu.au",
+      "k12.ca.us", "k12.ny.us", "cc.ca.us", "lib.ca.us")
+
+  /** [[publicSuffixRules]] compiled to match-table rows:
+    * `(key, kind, psLen)` where `key` is the equality-join tail (the
+    * rule for plain/exception rules, the rule minus `*.` for
+    * wildcards), `kind` is p/w/e, and `psLen` is the public-suffix
+    * label count the match implies (wildcard: key labels + 1 for the
+    * `*`; exception: key labels - 1 — the rule minus its leftmost
+    * label). */
+  def publicSuffixRuleRows: Seq[(String, String, Int)] =
+    publicSuffixRules.map { r =>
+      val nl = (s: String) => s.count(_ == '.') + 1
+      if (r.startsWith("!")) { val k = r.drop(1); (k, "e", nl(k) - 1) }
+      else if (r.startsWith("*.")) { val k = r.drop(2); (k, "w", nl(k) + 1) }
+      else (r, "p", nl(r))
+    }
+
+  /** Longest host tail any rule key can match — the candidate-tail
+    * explosion bound (a data swap that adds deeper rules raises it
+    * automatically). */
+  def publicSuffixMaxTail: Int =
+    publicSuffixRuleRows.map(_._1.count(_ == '.') + 1).max
+
+  /** SQL `(VALUES ...)` body for [[publicSuffixRuleRows]] — the
+    * oracle's rule table is GENERATED from the same Seq so the two
+    * engines can never drift. */
+  def publicSuffixRulesValuesSql: String =
+    publicSuffixRuleRows.map { case (k, kind, l) =>
+      s"('${sqlQuote(k)}', '$kind', $l)" }.mkString(", ")
+
+  /** FULL-PSL form of [[urlDomainCapPsl]]: registered domains under
+    * the complete published-algorithm semantics — wildcard rules,
+    * exception rules, >2-label suffixes, longest-match — plus the
+    * t87 subset-table verdict (`domain_sub`) kept as the fallback
+    * tier so the divergence is auditable (under the 2-label subset,
+    * every `*.pref.aichi.jp` registrant collapses into one
+    * `aichi.jp` mega-domain and every `<name>.ck` site into its
+    * parent's bucket; the full rules register each one level deeper).
+    *
+    * Execution shape: host labels explode into their last-j tails
+    * (j <= [[publicSuffixMaxTail]], a compile-time-small constant —
+    * ~5 for the full published file), which equi-join the BROADCAST
+    * rule table on the tail key; a wildcard row also requires one
+    * registrant label beyond the key (`n >= psLen`), an exception
+    * row wins outright, otherwise max(psLen) prevails, default 1
+    * (the implicit `*` rule). One map-side explode (bounded fan-out
+    * = maxTail), one broadcast hash join, one groupBy(doc_id) — the
+    * same aggregate shuffle the cap window needs anyway; no
+    * all-pairs, no UDF. The two caps are two window shuffles, as in
+    * t87. */
+  def urlDomainCapPslFull(spark: SparkSession, docs: DataFrame,
+      idCol: String, urlCol: String, cap: Int): DataFrame = {
+    require(cap >= 1, "cap must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val canon = canonicalizeUrl(col(urlCol))
+    val hostOf = regexp_extract(
+      regexp_extract(col("url_canon"), "^[a-z][a-z0-9+.-]*://([^/?#]*)", 1),
+      "^([^:]*)", 1)
+    val maxTail = publicSuffixMaxTail
+    val base = docs
+      .select(col(idCol).as("doc_id"), canon.as("url_canon"))
+      .withColumn("host", hostOf)
+      .withColumn("n", size(split(col("host"), "\\.")))
+    val rules = spark.createDataFrame(publicSuffixRuleRows)
+      .toDF("key", "kind", "ps_len")
+    // last-j tails of the host, j = 1..min(n, maxTail): the only
+    // strings any rule key can equal — an equi-join key, so the rule
+    // probe stays a BroadcastHashJoin (never a nested loop)
+    val cand = base
+      .select(col("doc_id"), col("n"), explode(transform(
+        sequence(lit(1), least(col("n"), lit(maxTail))),
+        j => array_join(slice(split(col("host"), "\\."), -j, j), ".")))
+        .as("tail"))
+      .join(broadcast(rules), col("tail") === col("key"))
+      // a wildcard's `*` must consume a real label beyond the key
+      .filter(col("kind") =!= "w" || col("n") >= col("ps_len"))
+      .groupBy(col("doc_id"))
+      .agg(
+        max(when(col("kind") === "e", col("ps_len"))).as("e_len"),
+        max(when(col("kind") =!= "e", col("ps_len"))).as("m_len"))
+    val subset = spark.createDataFrame(
+      publicSuffixes.map(Tuple1(_))).toDF("suffix")
+    val scored = base
+      .join(cand, Seq("doc_id"), "left")
+      .withColumn("ps_len", coalesce(col("e_len"), col("m_len"), lit(1)))
+      .withColumn("labels", split(col("host"), "\\."))
+      .withColumn("domain",
+        when(col("n") > col("ps_len"),
+          array_join(slice(col("labels"), col("n") - col("ps_len"),
+            col("ps_len") + lit(1)), "."))
+          .otherwise(col("host")))
+      .withColumn("last2", regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1))
+      .withColumn("last3",
+        regexp_extract(col("host"), "([^.]+\\.[^.]+\\.[^.]+)$", 1))
+      .join(broadcast(subset), col("last2") === col("suffix"), "left")
+      .withColumn("domain_sub",
+        when(col("suffix").isNotNull && col("last3") =!= "", col("last3"))
+          .otherwise(col("last2")))
+    val hashOrd = Seq(md5(col("doc_id").cast("string")), col("doc_id"))
+    val byFull = Window.partitionBy(col("domain")).orderBy(hashOrd: _*)
+    val bySub = Window.partitionBy(col("domain_sub")).orderBy(hashOrd: _*)
+    scored
+      .withColumn("domain_rank", row_number().over(byFull))
+      .withColumn("kept", col("domain_rank") <= cap)
+      .withColumn("rank_sub", row_number().over(bySub))
+      .withColumn("kept_sub", col("rank_sub") <= cap)
+      .select(col("doc_id"), col("url_canon"), col("domain"),
+        col("domain_rank"), col("kept"), col("domain_sub"),
+        col("rank_sub"), col("kept_sub"))
+  }
+
   /** URL-level curation: canonicalize each document's URL, extract its
     * registered domain, and rank documents WITHIN each domain by a
     * deterministic content-blind hash — the per-domain cap every

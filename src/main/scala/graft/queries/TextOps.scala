@@ -506,6 +506,33 @@ object TextOps extends QueryPack {
         .orderBy($"doc_id")
     }),
 
+    // FULL published-algorithm PSL registered domains (wildcards,
+    // exceptions, >2-label rules, longest-match) over hosts hitting
+    // every rule kind: `shop.<src>.ck` (wildcard — each site registers
+    // under its own `<src>.ck`, where the 2-label subset collapses the
+    // lot), `a.www.ck` (exception — !www.ck beats *.ck, so www.ck IS
+    // the registrant), `x.pref.aichi.jp` (3-label plain rule — subset
+    // mis-groups to `aichi.jp`), `b.city.kobe.jp` (exception under the
+    // *.kobe.jp city wildcard), `<src>.ck` bare (host IS a public
+    // suffix — no registrant label, host kept as its own domain),
+    // plus co.uk/gTLD hosts where both forms agree.
+    "t88_url_domain_psl_full" -> ((s, dir) => {
+      import s.implicits._
+      val url = concat(lit("http://"),
+        when($"doc_id" % 7 === 0, concat(lit("shop."), $"source", lit(".ck")))
+          .when($"doc_id" % 7 === 1, lit("a.www.ck"))
+          .when($"doc_id" % 7 === 2, concat($"source", lit(".pref.aichi.jp")))
+          .when($"doc_id" % 7 === 3, concat(lit("news."), $"source", lit(".co.uk")))
+          .when($"doc_id" % 7 === 4, concat(lit("www."), $"source", lit(".com")))
+          .when($"doc_id" % 7 === 5, concat($"source", lit(".ck")))
+          .otherwise(lit("b.city.kobe.jp")),
+        lit("/p-"), $"doc_id".cast("string"))
+      TextAnalysis.urlDomainCapPslFull(s,
+          t(s, dir, "documents").select($"doc_id", url.as("url")),
+          "doc_id", "url", cap = 3)
+        .orderBy($"doc_id")
+    }),
+
     // exact-quota dataset mixing toward integer target weights; the
     // selected set is a pure function of (seed, ids), replayed by the
     // oracle's identical integer budget/quota arithmetic.
@@ -2140,6 +2167,66 @@ object TextOps extends QueryPack {
         FROM j)
         SELECT doc_id, url_canon, domain, domain_rank,
           domain_rank <= 4 AS kept, domain_h, rank_h, rank_h <= 4 AS kept_h
+        FROM r ORDER BY doc_id""",
+    // FULL-PSL oracle: the rule table (key, kind, ps_len) AND the
+    // subset table are GENERATED from the same Scala Seqs, and the
+    // published algorithm — exception wins, else longest match, else
+    // the implicit `*` — is replayed as the same exploded-tail
+    // equi-join + per-doc max the Spark plan runs
+    "t88_url_domain_psl_full" ->
+      s"""WITH u AS (SELECT doc_id,
+          (CASE WHEN doc_id % 7 = 0 THEN 'shop.' || source || '.ck'
+                WHEN doc_id % 7 = 1 THEN 'a.www.ck'
+                WHEN doc_id % 7 = 2 THEN source || '.pref.aichi.jp'
+                WHEN doc_id % 7 = 3 THEN 'news.' || source || '.co.uk'
+                WHEN doc_id % 7 = 4 THEN 'www.' || source || '.com'
+                WHEN doc_id % 7 = 5 THEN source || '.ck'
+                ELSE 'b.city.kobe.jp' END) AS rawhost
+        FROM documents),
+        h AS (SELECT doc_id,
+          regexp_replace(rawhost, '^www\\.([^.]+\\..*)', '\\1') AS host
+        FROM u),
+        d AS (SELECT doc_id,
+          'http://' || host || '/p-' || CAST(doc_id AS VARCHAR) AS url_canon,
+          host, string_split(host, '.') AS labels,
+          len(string_split(host, '.')) AS n
+        FROM h),
+        rules(key, kind, ps_len) AS (VALUES ${
+          graft.operators.TextAnalysis.publicSuffixRulesValuesSql}),
+        cand AS (SELECT doc_id, n,
+          array_to_string(list_slice(labels, n - j + 1, n), '.') AS tail
+        FROM d, LATERAL (SELECT unnest(range(1, least(n, ${
+          graft.operators.TextAnalysis.publicSuffixMaxTail}) + 1)) AS j) t(j)),
+        m AS (SELECT doc_id,
+          max(CASE WHEN kind = 'e' THEN ps_len END) AS e_len,
+          max(CASE WHEN kind <> 'e' AND (kind <> 'w' OR n >= ps_len)
+              THEN ps_len END) AS m_len
+        FROM cand JOIN rules ON tail = key GROUP BY doc_id),
+        p AS (SELECT d.doc_id AS doc_id, url_canon, host, labels, n,
+          COALESCE(e_len, m_len, 1) AS ps_len,
+          regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS last2,
+          regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$$', 1) AS last3
+        FROM d LEFT JOIN m ON d.doc_id = m.doc_id),
+        psl(suffix) AS (VALUES ${
+          graft.operators.TextAnalysis.publicSuffixesValuesSql}),
+        q AS (SELECT doc_id, url_canon,
+          CASE WHEN n > ps_len
+               THEN array_to_string(list_slice(labels, n - ps_len, n), '.')
+               ELSE host END AS domain,
+          CASE WHEN suffix IS NOT NULL AND last3 <> '' THEN last3
+               ELSE last2 END AS domain_sub
+        FROM p LEFT JOIN psl ON last2 = suffix),
+        r AS (SELECT doc_id, url_canon, domain, domain_sub,
+          CAST(row_number() OVER (PARTITION BY domain
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT)
+            AS domain_rank,
+          CAST(row_number() OVER (PARTITION BY domain_sub
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT)
+            AS rank_sub
+        FROM q)
+        SELECT doc_id, url_canon, domain, domain_rank,
+          domain_rank <= 3 AS kept, domain_sub, rank_sub,
+          rank_sub <= 3 AS kept_sub
         FROM r ORDER BY doc_id""",
     // the oracle rebuilds the same injected-PII text, then replays the
     // two-stage redaction (emails first) with RE2 'g' replaces — the

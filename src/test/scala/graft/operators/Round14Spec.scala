@@ -216,4 +216,40 @@ class Round14Spec extends AnyFunSuite with BeforeAndAfterAll {
         s"no unrelated pair may land the fan gate, got $fan")
     } finally media.unpersist()
   }
+
+  test("t88: full PSL semantics — wildcard, exception precedence, bare suffix, deep rules") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "http://shop.site3.ck/x"),     // *.ck wildcard: ps = site3.ck
+      (1L, "http://a.www.ck/x"),          // !www.ck beats *.ck
+      (2L, "http://www.ck/x"),            // exception host itself
+      (3L, "http://site9.ck/x"),          // bare wildcard ps: host IS ps
+      (4L, "http://x.pref.aichi.jp/x"),   // 3-label plain rule
+      (5L, "http://b.city.kobe.jp/x"),    // !city.kobe.jp under *.kobe.jp
+      (6L, "http://deep.blog.kobe.jp/x"), // *.kobe.jp: ps = blog.kobe.jp
+      (7L, "http://news.site1.co.uk/x"),  // plain 2-label, both forms agree
+      (8L, "http://plain.example.com/x")  // implicit * rule
+    ).toDF("doc_id", "url")
+    val out = TextAnalysis.urlDomainCapPslFull(s, docs, "doc_id", "url",
+        cap = 3)
+      .orderBy($"doc_id")
+      .select($"doc_id", $"domain", $"domain_sub")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val expect = Seq(
+      (0L, "shop.site3.ck", "site3.ck"),
+      (1L, "www.ck", "www.ck"),
+      (2L, "www.ck", "www.ck"),
+      (3L, "site9.ck", "site9.ck"),
+      (4L, "x.pref.aichi.jp", "aichi.jp"),
+      (5L, "city.kobe.jp", "kobe.jp"),
+      (6L, "deep.blog.kobe.jp", "kobe.jp"),
+      (7L, "site1.co.uk", "site1.co.uk"),
+      (8L, "example.com", "example.com"))
+    assert(out.toSeq == expect,
+      s"full-PSL domains diverged:\n got ${out.mkString("\n ")}")
+    // the subset PROVABLY mis-groups where the full form separates:
+    // docs 5 and 6 share domain_sub (kobe.jp) but not domain
+    assert(out(5)._3 == out(6)._3 && out(5)._2 != out(6)._2)
+  }
 }
