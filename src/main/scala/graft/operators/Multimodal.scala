@@ -5520,6 +5520,33 @@ object Multimodal {
       candMinMatch, candMinShared, verifyMinFrac, verifyMinAligned,
       tolPx, maxDf)
 
+  /** Video near-dup pairs under the MIRROR x CROP x FULL-AFFINE
+    * compound (m187 — m181's chiral readout at the frame sequence):
+    * the affine-frame family is chirality-FIXED by design (oriented
+    * bases, det > 0), so a mirrored re-rip is invisible to m177 —
+    * and a mirrored rendering's invariant coordinates swap (u, v)
+    * exactly PER FRAME, so the pooled video mirror readout is the
+    * same pure Long->Long repack of the pooled identity codes (no
+    * second container walk, no second detection). The m140/m145
+    * asymmetric fan shape keeps indexes and state identity-sized;
+    * orient 1 = landed via the mirror readout. */
+  def videoAffineFramePairsChiral(media: DataFrame,
+      minMatch: Double = 0.02, every: Int = 2, maxDf: Int = 0,
+      kTop: Int = 48, nNear: Int = 8, nBasis: Int = 4,
+      qStep: Double = 0.3, smoothR: Int = 4, radius: Int = 6,
+      minAvg: Int = 24, minShared: Int = 16)(
+      implicit s: SparkSession): DataFrame = {
+    val mir = udf((lm: Long) => mirrorAffineFrameCode(lm))
+    val id0 = Materialize.eager(
+      videoAffineFrameLandmarks(media, every, kTop, nNear, nBasis,
+        qStep, smoothR, radius, minAvg))
+    val lms = id0.select(col("doc_id"), lit(0).as("orient"), col("lm"))
+      .unionByName(id0.select(col("doc_id"), lit(1).as("orient"),
+        mir(col("lm")).as("lm")))
+    orientedLandmarkPairScores(Materialize.eager(lms), minMatch, maxDf,
+      minShared)
+  }
+
   /** The geometric verifier of the affine-frame VERIFIED tier
     * (m179/m180/st124), as a reusable UDF: RANSAC over the matched
     * codes' anchor-correspondence SET (canonically sorted — the
@@ -5804,6 +5831,25 @@ object Multimodal {
       minShared)
   }
 
+  /** (doc_id, orient, lm) CHIRAL fan of the affine-frame codes —
+    * orient 0 the identity code, 1 its mirror repack
+    * ([[mirrorAffineFrameCode]], pure Long arithmetic). One decode
+    * pass, then a pure per-row explode — STREAMING-SAFE (st125 runs
+    * it on a file stream against a broadcast identity index). */
+  def imageAffineFrameLandmarksChiral(media: DataFrame, kTop: Int = 48,
+      nNear: Int = 8, nBasis: Int = 4, qStep: Double = 0.3,
+      smoothR: Int = 4, radius: Int = 6, minAvg: Int = 24)(
+      implicit s: SparkSession): DataFrame = {
+    val mir = udf((lm: Long) => mirrorAffineFrameCode(lm))
+    imageAffineFrameLandmarks(media, kTop, nNear, nBasis, qStep,
+        smoothR, radius, minAvg).toDF()
+      .select(col("doc_id"), explode(array(
+        struct(lit(0).as("orient"), col("lm").as("lm")),
+        struct(lit(1).as("orient"), mir(col("lm")).as("lm")))).as("r"))
+      .select(col("doc_id"), col("r.orient").as("orient"),
+        col("r.lm").as("lm"))
+  }
+
   /** AFFINE-FRAME landmarks with a DE-SQUEEZE hypothesis fan (m184 —
     * the crop x EXTREME-squeeze compound). MEASURED boundary
     * adjudication first (round 14, 256px 24-blob gate class,
@@ -5892,6 +5938,55 @@ object Multimodal {
           nBasis, qStep, smoothR, radius, minAvg)),
       minMatch, maxDf, minShared)
 
+  /** Screen an ingest batch against a pre-built (IDENTITY)
+    * [[imageAffineFrameIndex]] with the m184 DE-SQUEEZE hypothesis
+    * fan on the PROBE side (m189 — the fan's incremental member): the
+    * index stays identity-sized (the asymmetric fan shape — masters
+    * register once, per [[imageAffineFrameIndex]]), while each probe
+    * emits its identity codes plus each hypothesis factor's
+    * re-rendered readouts and ANY readout clearing the m174 gate
+    * flags the probe. An extreme-squeeze re-upload arriving at ingest
+    * time is caught with no corpus re-decode and no index rebuild.
+    * Enforces [[AffineFrameFpVersion]]. */
+  def dedupAgainstImageAffineFrameIndexSqueezeFan(media: DataFrame,
+      index: DataFrame, minMatch: Double = 0.02,
+      hyps: Seq[Double] = Seq(1.0, 3.0, 3.5, 4.0), kTop: Int = 48,
+      nNear: Int = 8, nBasis: Int = 4, qStep: Double = 0.3,
+      smoothR: Int = 4, radius: Int = 6, minAvg: Int = 24,
+      minShared: Int = 16)(implicit s: SparkSession): DataFrame = {
+    require(index.columns.contains("fp_ver"),
+      s"affine-frame index has no fp_ver column: it predates " +
+        s"fingerprint version $AffineFrameFpVersion — rebuild it " +
+        "with imageAffineFrameIndex before screening")
+    val stale = index.filter(col("fp_ver") =!= lit(AffineFrameFpVersion))
+      .limit(1).collect()
+    require(stale.isEmpty,
+      s"affine-frame index built by fingerprint version " +
+        s"${stale.headOption.map(_.getAs[Any]("fp_ver")).orNull}, " +
+        s"current is $AffineFrameFpVersion — rebuild it with " +
+        "imageAffineFrameIndex before screening (cross-version " +
+        "landmarks never match)")
+    val lms = Materialize.eager(
+      imageAffineFrameLandmarksSqueezeFan(media, hyps, kTop, nNear,
+        nBasis, qStep, smoothR, radius, minAvg))
+    val nlo = lms.groupBy(col("doc_id"), col("orient"))
+      .agg(count(lit(1)).as("nl"))
+    val dup = lms.join(
+        index.select(col("lm"), col("doc_id").as("src"),
+          col("nl").as("nl_src")),
+        Seq("lm"))
+      .groupBy(col("doc_id"), col("orient"), col("src"), col("nl_src"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= math.max(1, minShared))
+      .join(nlo, Seq("doc_id", "orient"))
+      .filter(col("c").cast("double") / least(col("nl"), col("nl_src"))
+        >= minMatch)
+      .groupBy(col("doc_id")).agg(min(col("src")).as("dup_src"))
+    nlo.select(col("doc_id")).distinct().join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_src").isNull.as("kept"),
+        col("dup_src"))
+  }
+
   /** VERIFIED chiral affine-frame pairs (m183 — the m179 verdict on
     * the MIRROR compound): m181's chiral code gate inherits exactly
     * the identity gate's gray-zone fragility (the mirror readout is
@@ -5914,14 +6009,55 @@ object Multimodal {
       tolPx: Double = 3.0, maxDf: Int = 0, kTop: Int = 48,
       nNear: Int = 8, nBasis: Int = 4, qStep: Double = 0.3,
       smoothR: Int = 4, radius: Int = 6, minAvg: Int = 24)(
+      implicit s: SparkSession): DataFrame =
+    affineFramePairsChiralVerifiedFrom(
+      Materialize.eager(
+        imageAffineFrameLandmarksAnchored(media, kTop, nNear, nBasis,
+          qStep, smoothR, radius, minAvg)),
+      candMinMatch, candMinShared, verifyMinFrac, verifyMinAligned,
+      tolPx, maxDf)
+
+  /** VERIFIED chiral affine-frame pairs for VIDEO (m188 — m183's
+    * chirality-matched candidate+verify at the frame sequence): the
+    * m187 chiral code gate inherits the identity gate's gray-zone
+    * fragility verbatim (the mirror readout is pure code arithmetic
+    * on the pooled frame codes), so candidates nominate at the LOW
+    * gate over the asymmetric mirror fan of POOLED per-video anchored
+    * codes and verify with the map chirality matched to the readout —
+    * the re-rip transform (mirror x crop x rotation x squeeze) is ONE
+    * orientation-reversing affine across all frames, so the pooled
+    * anchor clouds align under exactly one det < 0 map, like the
+    * m182 identity member's det > 0 one. verifyMinFrac 0.4 = the
+    * video default (a trim costs the trimmed frames' anchors). */
+  def videoAffineFramePairsChiralVerified(media: DataFrame,
+      candMinMatch: Double = 0.004, candMinShared: Int = 4,
+      verifyMinFrac: Double = 0.4, verifyMinAligned: Int = 9,
+      tolPx: Double = 3.0, maxDf: Int = 0, every: Int = 2,
+      kTop: Int = 48, nNear: Int = 8, nBasis: Int = 4,
+      qStep: Double = 0.3, smoothR: Int = 4, radius: Int = 6,
+      minAvg: Int = 24)(implicit s: SparkSession): DataFrame =
+    affineFramePairsChiralVerifiedFrom(
+      Materialize.eager(
+        videoAffineFrameLandmarksAnchored(media, every, kTop, nNear,
+          nBasis, qStep, smoothR, radius, minAvg)),
+      candMinMatch, candMinShared, verifyMinFrac, verifyMinAligned,
+      tolPx, maxDf)
+
+  /** The m183 chirality-matched candidate+verify composition from any
+    * ANCHORED landmark table (image m183 / video m188 share it): the
+    * lower doc's identity codes bucket against the higher doc's
+    * identity AND mirror readouts, candidates nominate at the low
+    * gate, and each verifies under [[affineCloudVerifyUdf]] with the
+    * admitted chirality matched to its readout (orient 0: det > 0,
+    * orient 1: det < 0). */
+  private def affineFramePairsChiralVerifiedFrom(id0: DataFrame,
+      candMinMatch: Double, candMinShared: Int, verifyMinFrac: Double,
+      verifyMinAligned: Int, tolPx: Double, maxDf: Int)(
       implicit s: SparkSession): DataFrame = {
     require(verifyMinFrac >= 0.0 && verifyMinFrac <= 1.0,
       "verifyMinFrac must be in [0, 1]")
     require(tolPx > 0.0, "tolPx must be > 0")
     val mir = udf((lm: Long) => mirrorAffineFrameCode(lm))
-    val id0 = Materialize.eager(
-      imageAffineFrameLandmarksAnchored(media, kTop, nNear, nBasis,
-        qStep, smoothR, radius, minAvg))
     val fan = Materialize.eager(
       id0.select(col("doc_id"), lit(0).as("orient"), col("lm"),
           col("ax"), col("ay"))
@@ -6893,6 +7029,25 @@ object Multimodal {
         new java.io.ByteArrayInputStream(b))), degrees, factor)
       javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
     }, audioId, audioSamples)
+  }
+
+  /** Per-frame DIHEDRAL re-mux of any decodable video payload — the
+    * chiral video tier's fixture transform (m187/m188): every frame
+    * (from `fromFrame` on — the trim compound composes) through
+    * [[pngDihedral]]'s exact pixel permutation (orient 4 = horizontal
+    * mirror), re-muxed as uncompressed DIB AVI. Lossless: the
+    * permutation is the ONLY pixel change. */
+  def aviDihedralDib(payload: Array[Byte], orient: Int,
+      fromFrame: Int = 0): Array[Byte] = {
+    val fs = containerFrames(payload).getOrElse(
+      throw new IllegalArgumentException("undecodable video payload"))
+    require(fromFrame >= 0 && fromFrame < fs.length,
+      "fromFrame must land inside the stream")
+    aviFromImages(fs.drop(fromFrame).map { b =>
+      val png = pngDihedral(encodePng(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(b))), orient)
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    })
   }
 
   /** Crop-then-RESIZE re-encode of any PNG payload — the scale tier's

@@ -3312,6 +3312,43 @@ object StreamingOps extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"), col("orient"))
     }),
 
+    // DATA-PROPORTIONAL affine-frame growth member (m185): the
+    // ScaleCheck crop x affine corpus (256px 24-blob masters, ~1/10
+    // planted central-75%-crop x rotation x squeeze re-uploads) sized
+    // by the data dir's documents count, reduced to the recall/
+    // spurious aggregate. This puts the tier in GrowthBench's 10x
+    // set — wall grows with the corpus (decode + code join are both
+    // linear), output stays one row. Pinned golden at sf0.01 (n=500:
+    // the recall numerator is deterministic — generation is a pure
+    // function of the row id).
+    "m185_affine_frame_growth" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val n = t(s, dir, "documents").count().toInt
+      val media = graft.tools.ScaleCheck.cropAffinePngs(s, n)
+      val planted = col("doc_b") - col("doc_a") === 9 &&
+        col("doc_b") % 10 === 9
+      Multimodal.imageAffineFramePairs(media, maxDf = 500)
+        .agg(lit(n).as("corpus_n"),
+          sum(when(planted, 1).otherwise(0)).as("planted_found"),
+          sum(when(!planted, 1).otherwise(0)).as("spurious"))
+    }),
+
+    // m185's VERIFIED sibling (m186): the m179 RANSAC tier over the
+    // same data-proportional corpus — recall strictly above the code
+    // gate with the spurious tail verified away, per-candidate
+    // arithmetic only. GrowthBench member; pinned golden at sf0.01.
+    "m186_affine_frame_verified_growth" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val n = t(s, dir, "documents").count().toInt
+      val media = graft.tools.ScaleCheck.cropAffinePngs(s, n)
+      val planted = col("doc_b") - col("doc_a") === 9 &&
+        col("doc_b") % 10 === 9
+      Multimodal.imageAffineFramePairsVerified(media, maxDf = 500)
+        .agg(lit(n).as("corpus_n"),
+          sum(when(planted, 1).otherwise(0)).as("planted_found"),
+          sum(when(!planted, 1).otherwise(0)).as("spurious"))
+    }),
+
     // VERIFIED index screen (m180 — the m179 verdict at the
     // incremental seam): one pinned output carries BOTH screens'
     // verdicts over the same probe batch — the PLAIN code-gate screen
@@ -3412,6 +3449,118 @@ object StreamingOps extends QueryPack {
         .select(col("id").as("doc_id"), img(col("id")).as("payload"))
       Multimodal.videoAffineFramePairsVerified(media, maxDf = 64)
         .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // MIRROR x CROP x FULL-AFFINE video dedup (m187 — m181's chiral
+    // readout at the frame sequence): a mirrored re-rip of a cropped,
+    // tilted, squeezed video is invisible to the chirality-fixed m177
+    // tier (Round14Spec pins its zero rows on this corpus), while the
+    // pooled mirror readout — the same pure Long->Long repack, per
+    // frame — lands every planted compound at orient 1 with no second
+    // container walk. Probes: three m177-class mirrored compounds
+    // (one leading-trimmed) over 6 masters, plus 2 fresh decoys.
+    // Pinned golden.
+    "m187_video_affine_frame_chiral" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val img = udf((id: Long) => {
+        def master(src: Long): Array[Byte] =
+          Multimodal.syntheticAviBlobs(src, 6, 192, 192, 18, 22.0)
+        def probe(src: Long, m: Int, deg: Double, ow: Int,
+            from: Int): Array[Byte] =
+          Multimodal.aviDihedralDib(
+            Multimodal.aviCropResizeDib(Multimodal.aviRotateResizeDib(
+              Multimodal.aviCropResizeDib(master(src), m, m, 192 - m,
+                192 - m, 192, 192), deg), 0, 0, 192, 192, ow, 192,
+              from), 4)
+        if (id == 20L) probe(0, 24, -23.0, 148, 0)
+        else if (id == 21L) probe(1, 24, 17.0, 137, 2) // trimmed
+        else if (id == 22L) probe(2, 24, 9.0, 148, 0)
+        else master(id)
+      })
+      val media = s.range(0, 6).union(s.range(20, 23))
+        .union(s.range(140, 142))
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      Multimodal.videoAffineFramePairsChiral(media, maxDf = 64)
+        .orderBy(col("doc_a"), col("doc_b"), col("orient"))
+    }),
+
+    // VERIFIED chiral video pairs (m188 — m183 at the frame
+    // sequence): the m187 code gate inherits the identity gate's
+    // gray-zone fragility verbatim, so the two m182 gray-zone
+    // compounds MIRRORED (m187 drops them — Round14Spec pins the
+    // contrast, plus m182's own zero rows: the identity verified
+    // tier is chirality-fixed by design) nominate at the LOW gate
+    // and verify under the det < 0 map their readout implies; two
+    // m177-class mirrored compounds land both tiers. Pinned golden.
+    "m188_video_affine_frame_chiral_verified" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val img = udf((id: Long) => {
+        def master(src: Long): Array[Byte] =
+          Multimodal.syntheticAviBlobs(src, 6, 192, 192, 18, 22.0)
+        def probe(src: Long, m: Int, deg: Double, ow: Int,
+            from: Int): Array[Byte] =
+          Multimodal.aviDihedralDib(
+            Multimodal.aviCropResizeDib(Multimodal.aviRotateResizeDib(
+              Multimodal.aviCropResizeDib(master(src), m, m, 192 - m,
+                192 - m, 192, 192), deg), 0, 0, 192, 192, ow, 192,
+              from), 4)
+        if (id == 20L) probe(0, 36, 17.0, 148, 0)       // gray-zone
+        else if (id == 21L) probe(2, 36, 9.0, 148, 0)   // gray-zone
+        else if (id == 22L) probe(3, 24, -23.0, 148, 0) // m177-class
+        else if (id == 23L) probe(1, 24, 17.0, 137, 2)  // trimmed
+        else master(id)
+      })
+      val media = s.range(0, 6).union(s.range(20, 24))
+        .union(s.range(140, 142))
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      Multimodal.videoAffineFramePairsChiralVerified(media, maxDf = 64)
+        .orderBy(col("doc_a"), col("doc_b"), col("orient"))
+    }),
+
+    // DE-SQUEEZE fan at the incremental seam (m189 — m184's index
+    // member): masters register ONCE in the identity affine-frame
+    // index; each ingest probe emits its identity codes plus the
+    // hypothesis readouts, so a crop x rotation x EXTREME-squeeze
+    // re-upload is flagged at ingest with no index rebuild. One
+    // golden carries BOTH screens' verdicts: the PLAIN screen (tier
+    // "code") misses all four extreme compounds, the FAN screen
+    // (tier "fan") flags them; fresh probes stay kept under both.
+    "m189_affine_frame_squeeze_fan_index" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val img = udf((id: Long) => {
+        def blobs(seed: Long): Array[Byte] =
+          Multimodal.syntheticPngBlobs(seed, 256, 256, 24, 22.0)
+        def probe(src: Long, deg: Double, sq: Double,
+            ax: Int): Array[Byte] = {
+          val rot = Multimodal.pngRotateResize(Multimodal.pngCropResize(
+            blobs(src), 32, 32, 224, 224, 256, 256), deg)
+          if (ax == 0)
+            Multimodal.pngCropResize(rot, 0, 0, 256, 256,
+              math.round(256 / sq).toInt, 256)
+          else
+            Multimodal.pngCropResize(rot, 0, 0, 256, 256, 256,
+              math.round(256 / sq).toInt)
+        }
+        if (id == 20L) probe(0, -23.0, 3.0, 0)
+        else if (id == 21L) probe(0, 17.0, 3.5, 0)
+        else if (id == 22L) probe(5, -23.0, 3.5, 1)
+        else if (id == 23L) probe(3, -23.0, 4.0, 1)
+        else blobs(id)
+      })
+      val corpus = s.range(0, 6)
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      val index = Multimodal.imageAffineFrameIndex(corpus)
+      val probes = s.range(20, 24).union(s.range(140, 142))
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      val plain = Multimodal.dedupAgainstImageAffineFrameIndex(probes,
+          index)
+        .select(lit("code").as("tier"), col("doc_id"), col("kept"),
+          col("dup_src"))
+      val fan = Multimodal.dedupAgainstImageAffineFrameIndexSqueezeFan(
+          probes, index)
+        .select(lit("fan").as("tier"), col("doc_id"), col("kept"),
+          col("dup_src"))
+      plain.unionByName(fan).orderBy(col("tier"), col("doc_id"))
     }),
 
     // Persisted CANONICAL video index + ingest screen (m172 — the
@@ -6312,6 +6461,82 @@ object StreamingOps extends QueryPack {
         .join(dup, Seq("doc_id"), "left")
         .select(col("doc_id"), col("dup_src").isNull.as("kept"),
           col("dup_src"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // STREAM-STATIC CHIRAL affine-frame screen (st125 — the m181
+    // mirror readout at the st123 broadcast seam): the standing
+    // corpus' IDENTITY index broadcasts unchanged (the asymmetric fan
+    // shape — masters never mirror), and every arrival emits its
+    // identity codes PLUS their mirror repacks (one decode, then pure
+    // Long arithmetic — streaming-safe), so a re-upload that was
+    // MIRRORED and cropped and tilted and squeezed mid-stream is
+    // flagged with no state store and no corpus re-decode. Scored
+    // batch-side per readout at the m181 gate over the identity code
+    // count. Pinned golden.
+    "st125_stream_affine_chiral_screen" -> ((s0, dir) => { val s = streamSession(s0)
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      val staged = stagingDir("graft-stream-chiridx")
+      val img = udf((id: Long) => {
+        def blobs(seed: Long): Array[Byte] =
+          Multimodal.syntheticPngBlobs(seed, 256, 256, 24, 22.0)
+        def probe(src: Long, deg: Double, outW: Int): Array[Byte] =
+          Multimodal.pngDihedral(
+            Multimodal.pngCropResize(Multimodal.pngRotateResize(
+              Multimodal.pngCropResize(blobs(src), 32, 32, 224, 224,
+                256, 256), deg), 0, 0, 256, 256, outW, 256), 4)
+        if (id == 20L) probe(0, 17.0, 183)
+        else if (id == 22L) probe(2, -23.0, 197)
+        else blobs(id)
+      })
+      val corpus = s.range(0, 4)
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      val index = Multimodal.imageAffineFrameIndex(corpus)
+        .select(col("lm"), col("doc_id").as("src"), col("nl").as("nl_src"))
+      def stageBatch(ids: Seq[Long], fname: String, ageMs: Long): Unit = {
+        val tmp = staged.resolve(fname + ".tmp")
+        s.createDataset(ids).toDF("doc_id")
+          .select(col("doc_id"), img(col("doc_id")).as("payload"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, staged.resolve(fname))
+        staged.resolve(fname).toFile.deleteOnExit()
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        java.nio.file.Files.setLastModifiedTime(staged.resolve(fname),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - ageMs))
+      }
+      stageBatch(Seq(20L, 130L), "a.parquet", 120000L)
+      stageBatch(Seq(22L, 131L), "b.parquet", 0L)
+      val mediaSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("payload", BinaryType)))
+      val stream = s.readStream.schema(mediaSchema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+        .repartition(col("doc_id"))
+      val q = Multimodal.imageAffineFrameLandmarksChiral(stream)
+        .join(broadcast(index), Seq("lm"), "left")
+        .writeStream.outputMode("append")
+        .format("memory").queryName("st125_lm").start()
+      try q.processAllAvailable() finally q.stop()
+      val nl = s.table("st125_lm").filter(col("orient") === 0)
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("lm")).as("nl"))
+      val dup = s.table("st125_lm").filter(col("src").isNotNull)
+        .select(col("doc_id").as("d"), col("orient"), col("lm"),
+          col("src"), col("nl_src"))
+        .groupBy(col("d"), col("orient"), col("src"), col("nl_src"))
+        .agg(countDistinct(col("lm")).as("c"))
+        .join(nl, col("d") === nl("doc_id")).drop("doc_id")
+        .filter(col("c") >= 16 &&
+          col("c").cast("double") / least(col("nl"), col("nl_src")) >= 0.02)
+        .groupBy(col("d")).agg(min(col("src")).as("dup_src"),
+          max(col("orient")).as("via_orient"))
+      s.createDataset(Seq(20L, 22L, 130L, 131L)).toDF("doc_id")
+        .join(dup, col("doc_id") === dup("d"), "left").drop("d")
+        .select(col("doc_id"), col("dup_src").isNull.as("kept"),
+          col("dup_src"), col("via_orient"))
         .orderBy(col("doc_id"))
     }),
 

@@ -49,7 +49,11 @@ object GrowthBench {
     // corpus-proportional legs of the round-9 subtitle bridge: the
     // probe side is fixture-sized, the documents side (bands, shingle
     // verify, equality join) grows with the corpus
-    "m97_subtitle_decontam", "m98_subtitle_neardup")
+    "m97_subtitle_decontam", "m98_subtitle_neardup",
+    // affine-frame family (round 14): the crop x affine corpus is
+    // sized by the documents count, so decode + code join + (m186)
+    // RANSAC verify all grow with the data
+    "m185_affine_frame_growth", "m186_affine_frame_verified_growth")
 
   private def r3(d: Double): Double = math.rint(d * 1000) / 1000
 

@@ -217,6 +217,59 @@ class Round14Spec extends AnyFunSuite with BeforeAndAfterAll {
     } finally media.unpersist()
   }
 
+  test("m187/m188: mirrored video compounds — identity tiers blind, chiral code gate lands the clear class, chirality-matched verify lands the gray zone") {
+    val s = spark
+    implicit val sp: SparkSession = s
+    val img = udf((id: Long) => {
+      def master(src: Long): Array[Byte] =
+        Multimodal.syntheticAviBlobs(src, 6, 192, 192, 18, 22.0)
+      def probe(src: Long, m: Int, deg: Double, ow: Int,
+          from: Int): Array[Byte] =
+        Multimodal.aviDihedralDib(
+          Multimodal.aviCropResizeDib(Multimodal.aviRotateResizeDib(
+            Multimodal.aviCropResizeDib(master(src), m, m, 192 - m,
+              192 - m, 192, 192), deg), 0, 0, 192, 192, ow, 192,
+            from), 4)
+      if (id == 20L) probe(0, 36, 17.0, 148, 0)       // gray-zone
+      else if (id == 21L) probe(2, 36, 9.0, 148, 0)   // gray-zone
+      else if (id == 22L) probe(3, 24, -23.0, 148, 0) // m177-class
+      else if (id == 23L) probe(1, 24, 17.0, 137, 2)  // trimmed
+      else master(id)
+    })
+    val media = s.range(0, 6).union(s.range(20, 24))
+      .union(s.range(140, 142))
+      .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      .cache()
+    try {
+      // the identity tiers are chirality-FIXED by design: zero rows
+      // on an all-mirrored probe batch (code gate AND verified)
+      val idPairs = Multimodal.videoAffineFramePairs(media, maxDf = 64)
+        .collect().toSeq
+      assert(idPairs.isEmpty,
+        s"m177 must be blind to mirrored re-rips, got $idPairs")
+      assert(Multimodal.videoAffineFramePairsVerified(media, maxDf = 64)
+        .count() == 0, "m182 must be blind to mirrored re-rips")
+      // the chiral CODE gate lands the m177-class compounds at
+      // orient 1 and inherits the gray-zone drops
+      val code = Multimodal.videoAffineFramePairsChiral(media, maxDf = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSet
+      assert(code((3L, 22L, 1)) && code((1L, 23L, 1)),
+        s"chiral code gate must land the m177-class compounds, got $code")
+      assert(!code.exists(p => p._2 == 20L || p._2 == 21L),
+        s"gray-zone compounds must stay UNDER the chiral code gate, got $code")
+      // the chirality-matched verify lands all four, nothing else
+      val ver = Multimodal.videoAffineFramePairsChiralVerified(media,
+          maxDf = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSet
+      val want = Set((0L, 20L, 1), (2L, 21L, 1), (3L, 22L, 1),
+        (1L, 23L, 1))
+      assert(ver == want,
+        s"chiral verify must land exactly the planted compounds, got $ver")
+    } finally media.unpersist()
+  }
+
   test("t88: full PSL semantics — wildcard, exception precedence, bare suffix, deep rules") {
     val s = spark
     import s.implicits._

@@ -184,6 +184,16 @@ QUERIES = [
                            # (det<0 maps) on mirrored gray-zone compounds
     "m184_affine_frame_squeeze_fan", # de-squeeze hypothesis fan:
                            # crop x rotation x 3.0-4.0:1 extreme squeeze
+    "m185_affine_frame_growth",  # data-proportional recall aggregate
+    "m186_affine_frame_verified_growth", # RANSAC tier, same corpus
+    "m187_video_affine_frame_chiral", # mirrored video re-rips via the
+                           # pooled mirror repack (orient 1)
+    "m188_video_affine_frame_chiral_verified", # chirality-matched
+                           # RANSAC on mirrored gray-zone video
+    "m189_affine_frame_squeeze_fan_index", # de-squeeze fan at the
+                           # incremental seam (code vs fan tiers)
+    "st125_stream_affine_chiral_screen", # mirror fan vs broadcast
+                           # identity index, stateless
     "m175_stationary_audio_gate", # stationary-audio scope gate
     "m158_audio_compound_interval",
     "m159_audio_pitch_verified",
