@@ -5953,7 +5953,39 @@ object Multimodal {
       hyps: Seq[Double] = Seq(1.0, 3.0, 3.5, 4.0), kTop: Int = 48,
       nNear: Int = 8, nBasis: Int = 4, qStep: Double = 0.3,
       smoothR: Int = 4, radius: Int = 6, minAvg: Int = 24,
-      minShared: Int = 16)(implicit s: SparkSession): DataFrame = {
+      minShared: Int = 16)(implicit s: SparkSession): DataFrame =
+    screenAffineFrameOriented(
+      Materialize.eager(
+        imageAffineFrameLandmarksSqueezeFan(media, hyps, kTop, nNear,
+          nBasis, qStep, smoothR, radius, minAvg)),
+      index, minMatch, minShared)
+
+  /** Screen an ingest batch against a pre-built (IDENTITY)
+    * [[imageAffineFrameIndex]] with the m181 MIRROR readout on the
+    * PROBE side (m190 — the chiral tier's incremental member): the
+    * index stays identity-sized (masters never mirror), each probe
+    * emits its identity codes plus their mirror repacks (pure Long
+    * arithmetic), and ANY readout clearing the m174 gate flags the
+    * probe — a mirrored crop x affine re-upload is caught at ingest
+    * with no index rebuild. Enforces [[AffineFrameFpVersion]]. */
+  def dedupAgainstImageAffineFrameIndexChiral(media: DataFrame,
+      index: DataFrame, minMatch: Double = 0.02, kTop: Int = 48,
+      nNear: Int = 8, nBasis: Int = 4, qStep: Double = 0.3,
+      smoothR: Int = 4, radius: Int = 6, minAvg: Int = 24,
+      minShared: Int = 16)(implicit s: SparkSession): DataFrame =
+    screenAffineFrameOriented(
+      Materialize.eager(
+        imageAffineFrameLandmarksChiral(media, kTop, nNear, nBasis,
+          qStep, smoothR, radius, minAvg)),
+      index, minMatch, minShared)
+
+  /** Shared oriented-fan screen of the affine-frame family (squeeze
+    * fan m189 / chiral m190): per-(probe, orient) readout counts
+    * score against the identity index, any readout clearing the gate
+    * flags the probe. The fp_ver guard is the same contract as
+    * [[screenScaleIndex]]. */
+  private def screenAffineFrameOriented(lms: DataFrame,
+      index: DataFrame, minMatch: Double, minShared: Int): DataFrame = {
     require(index.columns.contains("fp_ver"),
       s"affine-frame index has no fp_ver column: it predates " +
         s"fingerprint version $AffineFrameFpVersion — rebuild it " +
@@ -5966,9 +5998,6 @@ object Multimodal {
         s"current is $AffineFrameFpVersion — rebuild it with " +
         "imageAffineFrameIndex before screening (cross-version " +
         "landmarks never match)")
-    val lms = Materialize.eager(
-      imageAffineFrameLandmarksSqueezeFan(media, hyps, kTop, nNear,
-        nBasis, qStep, smoothR, radius, minAvg))
     val nlo = lms.groupBy(col("doc_id"), col("orient"))
       .agg(count(lit(1)).as("nl"))
     val dup = lms.join(

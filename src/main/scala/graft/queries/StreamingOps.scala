@@ -3315,15 +3315,19 @@ object StreamingOps extends QueryPack {
     // DATA-PROPORTIONAL affine-frame growth member (m185): the
     // ScaleCheck crop x affine corpus (256px 24-blob masters, ~1/10
     // planted central-75%-crop x rotation x squeeze re-uploads) sized
-    // by the data dir's documents count, reduced to the recall/
-    // spurious aggregate. This puts the tier in GrowthBench's 10x
-    // set — wall grows with the corpus (decode + code join are both
-    // linear), output stays one row. Pinned golden at sf0.01 (n=500:
-    // the recall numerator is deterministic — generation is a pure
+    // by the data dir's documents count (a fixed 1/10 sample, floored
+    // at the sf0.01 count so the pinned golden is the full 500-doc
+    // corpus — per-image decode dominates this family, and the
+    // growth artifact needs the LINEAR ratio, not the largest
+    // absolute corpus), reduced to the recall/spurious aggregate.
+    // This puts the tier in GrowthBench's 10x set — wall grows with
+    // the corpus (generation + decode + code join are all linear),
+    // output stays one row. Pinned golden at sf0.01 (n=500: the
+    // recall numerator is deterministic — generation is a pure
     // function of the row id).
     "m185_affine_frame_growth" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      val n = t(s, dir, "documents").count().toInt
+      val n = math.max(500, t(s, dir, "documents").count().toInt / 10)
       val media = graft.tools.ScaleCheck.cropAffinePngs(s, n)
       val planted = col("doc_b") - col("doc_a") === 9 &&
         col("doc_b") % 10 === 9
@@ -3339,7 +3343,7 @@ object StreamingOps extends QueryPack {
     // arithmetic only. GrowthBench member; pinned golden at sf0.01.
     "m186_affine_frame_verified_growth" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      val n = t(s, dir, "documents").count().toInt
+      val n = math.max(500, t(s, dir, "documents").count().toInt / 10)
       val media = graft.tools.ScaleCheck.cropAffinePngs(s, n)
       val planted = col("doc_b") - col("doc_a") === 9 &&
         col("doc_b") % 10 === 9
@@ -3561,6 +3565,46 @@ object StreamingOps extends QueryPack {
         .select(lit("fan").as("tier"), col("doc_id"), col("kept"),
           col("dup_src"))
       plain.unionByName(fan).orderBy(col("tier"), col("doc_id"))
+    }),
+
+    // CHIRAL readout at the incremental seam (m190 — m181's index
+    // member): masters register ONCE in the identity index; each
+    // ingest probe emits its identity codes plus their mirror
+    // repacks, so a MIRRORED crop x affine re-upload is flagged at
+    // ingest with no index rebuild. One golden carries BOTH screens:
+    // the identity screen (tier "code") keeps (misses) every mirrored
+    // compound — chirality-fixed by design — while the chiral screen
+    // (tier "chiral") flags them; fresh probes stay kept under both.
+    "m190_affine_frame_chiral_index" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val img = udf((id: Long) => {
+        def blobs(seed: Long): Array[Byte] =
+          Multimodal.syntheticPngBlobs(seed, 256, 256, 24, 22.0)
+        def probe(src: Long, deg: Double, outW: Int): Array[Byte] =
+          Multimodal.pngDihedral(
+            Multimodal.pngCropResize(Multimodal.pngRotateResize(
+              Multimodal.pngCropResize(blobs(src), 32, 32, 224, 224,
+                256, 256), deg), 0, 0, 256, 256, outW, 256), 4)
+        if (id == 20L) probe(0, 17.0, 183)
+        else if (id == 21L) probe(1, -23.0, 197)
+        else if (id == 22L) probe(2, 9.0, 177)
+        else if (id == 23L) probe(3, 33.0, 190)
+        else blobs(id)
+      })
+      val corpus = s.range(0, 8)
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      val index = Multimodal.imageAffineFrameIndex(corpus)
+      val probes = s.range(20, 24).union(s.range(140, 142))
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      val plain = Multimodal.dedupAgainstImageAffineFrameIndex(probes,
+          index)
+        .select(lit("code").as("tier"), col("doc_id"), col("kept"),
+          col("dup_src"))
+      val chiral = Multimodal.dedupAgainstImageAffineFrameIndexChiral(
+          probes, index)
+        .select(lit("chiral").as("tier"), col("doc_id"), col("kept"),
+          col("dup_src"))
+      plain.unionByName(chiral).orderBy(col("tier"), col("doc_id"))
     }),
 
     // Persisted CANONICAL video index + ingest screen (m172 — the
@@ -6524,6 +6568,87 @@ object StreamingOps extends QueryPack {
         .groupBy(col("doc_id"))
         .agg(countDistinct(col("lm")).as("nl"))
       val dup = s.table("st125_lm").filter(col("src").isNotNull)
+        .select(col("doc_id").as("d"), col("orient"), col("lm"),
+          col("src"), col("nl_src"))
+        .groupBy(col("d"), col("orient"), col("src"), col("nl_src"))
+        .agg(countDistinct(col("lm")).as("c"))
+        .join(nl, col("d") === nl("doc_id")).drop("doc_id")
+        .filter(col("c") >= 16 &&
+          col("c").cast("double") / least(col("nl"), col("nl_src")) >= 0.02)
+        .groupBy(col("d")).agg(min(col("src")).as("dup_src"),
+          max(col("orient")).as("via_orient"))
+      s.createDataset(Seq(20L, 22L, 130L, 131L)).toDF("doc_id")
+        .join(dup, col("doc_id") === dup("d"), "left").drop("d")
+        .select(col("doc_id"), col("dup_src").isNull.as("kept"),
+          col("dup_src"), col("via_orient"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // STREAM-STATIC DE-SQUEEZE fan screen (st126 — the m184 fan at
+    // the st123 broadcast seam): the standing corpus' IDENTITY index
+    // broadcasts unchanged, and every arrival detects peaks ONCE then
+    // emits each hypothesis factor's re-rendered frame codes (the fan
+    // kernel is a pure mapPartitions — streaming-safe), so a crop x
+    // rotation x EXTREME-squeeze re-upload arriving mid-stream is
+    // flagged with no state store and no corpus re-decode; fresh
+    // arrivals stay kept. Scored batch-side per readout at the m174
+    // gate over the identity code count. Pinned golden.
+    "st126_stream_affine_squeeze_fan_screen" -> ((s0, dir) => { val s = streamSession(s0)
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      val staged = stagingDir("graft-stream-sqfanidx")
+      val img = udf((id: Long) => {
+        def blobs(seed: Long): Array[Byte] =
+          Multimodal.syntheticPngBlobs(seed, 256, 256, 24, 22.0)
+        def probe(src: Long, deg: Double, sq: Double,
+            ax: Int): Array[Byte] = {
+          val rot = Multimodal.pngRotateResize(Multimodal.pngCropResize(
+            blobs(src), 32, 32, 224, 224, 256, 256), deg)
+          if (ax == 0)
+            Multimodal.pngCropResize(rot, 0, 0, 256, 256,
+              math.round(256 / sq).toInt, 256)
+          else
+            Multimodal.pngCropResize(rot, 0, 0, 256, 256, 256,
+              math.round(256 / sq).toInt)
+        }
+        if (id == 20L) probe(0, -23.0, 3.0, 0)
+        else if (id == 22L) probe(2, 17.0, 3.5, 1)
+        else blobs(id)
+      })
+      val corpus = s.range(0, 4)
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      val index = Multimodal.imageAffineFrameIndex(corpus)
+        .select(col("lm"), col("doc_id").as("src"), col("nl").as("nl_src"))
+      def stageBatch(ids: Seq[Long], fname: String, ageMs: Long): Unit = {
+        val tmp = staged.resolve(fname + ".tmp")
+        s.createDataset(ids).toDF("doc_id")
+          .select(col("doc_id"), img(col("doc_id")).as("payload"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, staged.resolve(fname))
+        staged.resolve(fname).toFile.deleteOnExit()
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        java.nio.file.Files.setLastModifiedTime(staged.resolve(fname),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - ageMs))
+      }
+      stageBatch(Seq(20L, 130L), "a.parquet", 120000L)
+      stageBatch(Seq(22L, 131L), "b.parquet", 0L)
+      val mediaSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("payload", BinaryType)))
+      val stream = s.readStream.schema(mediaSchema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+        .repartition(col("doc_id"))
+      val q = Multimodal.imageAffineFrameLandmarksSqueezeFan(stream)
+        .join(broadcast(index), Seq("lm"), "left")
+        .writeStream.outputMode("append")
+        .format("memory").queryName("st126_lm").start()
+      try q.processAllAvailable() finally q.stop()
+      val nl = s.table("st126_lm").filter(col("orient") === 0)
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("lm")).as("nl"))
+      val dup = s.table("st126_lm").filter(col("src").isNotNull)
         .select(col("doc_id").as("d"), col("orient"), col("lm"),
           col("src"), col("nl_src"))
         .groupBy(col("d"), col("orient"), col("src"), col("nl_src"))

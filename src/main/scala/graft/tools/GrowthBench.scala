@@ -81,6 +81,14 @@ object GrowthBench {
           fn(spark, dir).write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         }
+        // drop whatever the query left persisted (Materialize.eager
+        // localCheckpoints live until the ContextCleaner notices);
+        // accumulated stale blocks showed up as warm-slower-than-cold
+        // GC spikes on UNRELATED later queries at the 10x dir — each
+        // timing must not pay its predecessors' heap
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        System.gc()
         println(f"[growth] $dir $name%-26s cold=${times(0)}%7.2f warm=${times(1)}%7.2f")
         name -> times
       }

@@ -194,6 +194,10 @@ QUERIES = [
                            # incremental seam (code vs fan tiers)
     "st125_stream_affine_chiral_screen", # mirror fan vs broadcast
                            # identity index, stateless
+    "m190_affine_frame_chiral_index", # chiral readout at the
+                           # incremental seam (code vs chiral tiers)
+    "st126_stream_affine_squeeze_fan_screen", # de-squeeze fan vs
+                           # broadcast identity index, stateless
     "m175_stationary_audio_gate", # stationary-audio scope gate
     "m158_audio_compound_interval",
     "m159_audio_pitch_verified",
