@@ -6016,6 +6016,83 @@ object Multimodal {
         col("dup_src"))
   }
 
+  /** [[imageAffineFrameLandmarksSqueezeFan]] pooled per VIDEO
+    * document (m191 — the de-squeeze fan at the frame sequence):
+    * every sampled frame's peaks detect ONCE, each hypothesis factor
+    * re-renders that frame's peak GEOMETRY (both axes — the squeeze
+    * axis is unknown; no second decode) and the readout's frame
+    * codes pool DISTINCT per (doc, orient). The re-rip squeeze is
+    * uniform across frames, so the matched hypothesis reproduces
+    * every frame's natural codes and the pooled readout scores like
+    * the image member's. One container walk. */
+  def videoAffineFrameLandmarksSqueezeFan(media: DataFrame,
+      hyps: Seq[Double] = Seq(1.0, 3.0, 3.5, 4.0), every: Int = 2,
+      kTop: Int = 48, nNear: Int = 8, nBasis: Int = 4,
+      qStep: Double = 0.3, smoothR: Int = 4, radius: Int = 6,
+      minAvg: Int = 24)(implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    require(every >= 1, "every must be >= 1")
+    require(hyps.nonEmpty && hyps.head == 1.0,
+      "hyps(0) must be the identity 1.0 (the registering readout)")
+    require(hyps.forall(g => g > 0.0), "hypothesis factors must be > 0")
+    require(nNear >= 4 && nNear <= 16,
+      "nNear must be in 4..16 (a frame code needs 2 basis + 2 coded co-peaks)")
+    require(nBasis >= 2 && nBasis <= nNear, "nBasis must be in 2..nNear")
+    require(qStep > 0.0, "qStep must be > 0")
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions(rows => rows.flatMap { r =>
+        containerFrames(r.payload) match {
+          case Some(fs) =>
+            val sets = scala.collection.mutable.LinkedHashMap
+              .empty[Int, scala.collection.mutable.LinkedHashSet[Long]]
+            fs.iterator.zipWithIndex.filter(_._2 % every == 0)
+              .foreach { f =>
+                decodeImage(f._1).foreach { img =>
+                  val cells = coarsePeakCells(lumaPlane(img),
+                    img.getWidth, img.getHeight, smoothR, radius, minAvg)
+                  hyps.iterator.zipWithIndex.foreach { case (g, hi) =>
+                    def add(orient: Int,
+                        cs: scala.collection.Seq[(Int, Int, Int)]): Unit = {
+                      val set = sets.getOrElseUpdate(orient,
+                        scala.collection.mutable.LinkedHashSet.empty[Long])
+                      affineFrameCodes(cs, kTop, nNear, nBasis, qStep)
+                        .foreach(set += _)
+                    }
+                    if (hi == 0) add(0, cells)
+                    else {
+                      add(2 * hi - 1, cells.map { case (x, y, v) =>
+                        (math.round(g * x).toInt, y, v) })
+                      add(2 * hi, cells.map { case (x, y, v) =>
+                        (x, math.round(g * y).toInt, v) })
+                    }
+                  }
+                }
+              }
+            sets.iterator.flatMap { case (orient, set) =>
+              set.iterator.map(lm => (r.doc_id, orient, lm)) }
+          case None => Iterator.empty
+        }
+      }).toDF("doc_id", "orient", "lm")
+  }
+
+  /** Video near-dup pairs under the CROP x ROTATION x EXTREME-SQUEEZE
+    * compound (m191 — m184's fan at the frame sequence), the m181
+    * asymmetric scorer shape: the lower doc's pooled IDENTITY codes
+    * bucket against the higher doc's identity and de-squeeze
+    * readouts. */
+  def videoAffineFramePairsSqueezeFan(media: DataFrame,
+      minMatch: Double = 0.02, maxDf: Int = 0,
+      hyps: Seq[Double] = Seq(1.0, 3.0, 3.5, 4.0), every: Int = 2,
+      kTop: Int = 48, nNear: Int = 8, nBasis: Int = 4,
+      qStep: Double = 0.3, smoothR: Int = 4, radius: Int = 6,
+      minAvg: Int = 24, minShared: Int = 16)(
+      implicit s: SparkSession): DataFrame =
+    orientedLandmarkPairScores(
+      Materialize.eager(
+        videoAffineFrameLandmarksSqueezeFan(media, hyps, every, kTop,
+          nNear, nBasis, qStep, smoothR, radius, minAvg)),
+      minMatch, maxDf, minShared)
+
   /** VERIFIED chiral affine-frame pairs (m183 — the m179 verdict on
     * the MIRROR compound): m181's chiral code gate inherits exactly
     * the identity gate's gray-zone fragility (the mirror readout is

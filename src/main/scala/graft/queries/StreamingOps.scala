@@ -3607,6 +3607,48 @@ object StreamingOps extends QueryPack {
       plain.unionByName(chiral).orderBy(col("tier"), col("doc_id"))
     }),
 
+    // CROP x ROTATION x EXTREME-SQUEEZE video dedup (m191 — m184's
+    // de-squeeze fan at the frame sequence): per-frame peaks detect
+    // once, each hypothesis factor re-renders every frame's peak
+    // geometry (no second decode) and the readout's codes pool per
+    // video. 256px 24-blob frames (the measured m184 envelope — at
+    // the 192px 18-blob fixture class, 3:1 squeezes merge blobs at
+    // detection and NOTHING lands, fan or base). Probes: 3.0-4.0:1 x
+    // {17, -23, 9} deg x both axes over a central-75% crop, one
+    // leading-trimmed; the fan lands five, the base tier only the
+    // 3.5:1 vertical (the boundary class), and the 4.0:1 x 9 deg
+    // vertical stays out — the same measured cliff as the image
+    // member. Pinned golden.
+    "m191_video_affine_frame_squeeze_fan" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val img = udf((id: Long) => {
+        def master(src: Long): Array[Byte] =
+          Multimodal.syntheticAviBlobs(src, 6, 256, 256, 24, 22.0)
+        def probe(src: Long, deg: Double, sq: Double, ax: Int,
+            from: Int): Array[Byte] = {
+          val rot = Multimodal.aviRotateResizeDib(
+            Multimodal.aviCropResizeDib(master(src), 32, 32, 224,
+              224, 256, 256), deg)
+          if (ax == 0) Multimodal.aviCropResizeDib(rot, 0, 0, 256,
+            256, math.round(256 / sq).toInt, 256, from)
+          else Multimodal.aviCropResizeDib(rot, 0, 0, 256, 256, 256,
+            math.round(256 / sq).toInt, from)
+        }
+        if (id == 20L) probe(0, -23.0, 3.0, 0, 0)
+        else if (id == 21L) probe(1, 17.0, 3.5, 0, 0)
+        else if (id == 22L) probe(2, -23.0, 3.5, 1, 0)
+        else if (id == 23L) probe(3, 17.0, 3.0, 1, 2) // trimmed
+        else if (id == 24L) probe(4, -23.0, 4.0, 0, 0)
+        else if (id == 25L) probe(5, 9.0, 4.0, 1, 0)  // measured miss
+        else master(id)
+      })
+      val media = s.range(0, 6).union(s.range(20, 26))
+        .union(s.range(140, 142))
+        .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      Multimodal.videoAffineFramePairsSqueezeFan(media, maxDf = 64)
+        .orderBy(col("doc_a"), col("doc_b"), col("orient"))
+    }),
+
     // Persisted CANONICAL video index + ingest screen (m172 — the
     // m167 tier's incremental member, CanonFpVersion via the shared
     // kernel): 6 blob-video masters fingerprint once, then the m167

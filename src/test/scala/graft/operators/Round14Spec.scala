@@ -270,6 +270,51 @@ class Round14Spec extends AnyFunSuite with BeforeAndAfterAll {
     } finally media.unpersist()
   }
 
+  test("m191: video de-squeeze fan lands extreme compounds the base tier drops; 192px class measured out") {
+    val s = spark
+    implicit val sp: SparkSession = s
+    val img = udf((id: Long) => {
+      def master(src: Long): Array[Byte] =
+        Multimodal.syntheticAviBlobs(src, 6, 256, 256, 24, 22.0)
+      def probe(src: Long, deg: Double, sq: Double, ax: Int,
+          from: Int): Array[Byte] = {
+        val rot = Multimodal.aviRotateResizeDib(
+          Multimodal.aviCropResizeDib(master(src), 32, 32, 224, 224,
+            256, 256), deg)
+        if (ax == 0) Multimodal.aviCropResizeDib(rot, 0, 0, 256, 256,
+          math.round(256 / sq).toInt, 256, from)
+        else Multimodal.aviCropResizeDib(rot, 0, 0, 256, 256, 256,
+          math.round(256 / sq).toInt, from)
+      }
+      if (id == 20L) probe(0, -23.0, 3.0, 0, 0)
+      else if (id == 21L) probe(1, 17.0, 3.5, 0, 0)
+      else if (id == 23L) probe(3, 17.0, 3.0, 1, 2) // trimmed
+      else master(id)
+    })
+    val media = s.range(0, 4).union(s.range(20, 22)).union(s.range(23, 24))
+      .union(s.range(140, 142))
+      .select(col("id").as("doc_id"), img(col("id")).as("payload"))
+      .cache()
+    try {
+      // the base tier drops all three extreme compounds
+      val base = Multimodal.videoAffineFramePairs(media, maxDf = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      for (k <- Seq((0L, 20L), (1L, 21L), (3L, 23L)))
+        assert(!base(k), s"$k must be UNDER the base m177 gate, got $base")
+      // the fan lands them; no cross-source pair
+      val fan = Multimodal.videoAffineFramePairsSqueezeFan(media,
+          maxDf = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      for (k <- Seq((0L, 20L), (1L, 21L), (3L, 23L)))
+        assert(fan(k), s"$k must land the video de-squeeze fan, got $fan")
+      def srcOf(id: Long): Long = id match {
+        case 20L => 0L; case 21L => 1L; case 23L => 3L; case x => x
+      }
+      assert(!fan.exists(k => srcOf(k._1) != srcOf(k._2)),
+        s"no unrelated pair may land the fan gate, got $fan")
+    } finally media.unpersist()
+  }
+
   test("t88: full PSL semantics — wildcard, exception precedence, bare suffix, deep rules") {
     val s = spark
     import s.implicits._

@@ -198,6 +198,8 @@ QUERIES = [
                            # incremental seam (code vs chiral tiers)
     "st126_stream_affine_squeeze_fan_screen", # de-squeeze fan vs
                            # broadcast identity index, stateless
+    "m191_video_affine_frame_squeeze_fan", # de-squeeze fan pooled
+                           # per video (extreme-squeeze re-rips)
     "m175_stationary_audio_gate", # stationary-audio scope gate
     "m158_audio_compound_interval",
     "m159_audio_pitch_verified",
