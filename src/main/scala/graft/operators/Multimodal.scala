@@ -3036,9 +3036,18 @@ object Multimodal {
     * rotated-arbitrary-crop class): horizontal mirror first when
     * `orient >= 4`, then `orient % 4` clockwise quarter turns (the
     * [[syntheticPngRotFlip]] convention). */
-  def pngDihedral(payload: Array[Byte], orient: Int): Array[Byte] = {
-    val img = javax.imageio.ImageIO.read(
-      new java.io.ByteArrayInputStream(payload))
+  def pngDihedral(payload: Array[Byte], orient: Int): Array[Byte] =
+    encodePng(dihedralRgb(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload)), orient))
+
+  /** The dihedral-8 pixel permutation itself (mirror-then-quarter-
+    * turns, the [[syntheticPngRotFlip]] convention) on a decoded
+    * image — the shared kernel of [[pngDihedral]] and
+    * [[aviDihedralDib]], so the AVI fixture transform permutes frames
+    * directly instead of round-tripping each through PNG
+    * encode/decode. */
+  private def dihedralRgb(img: java.awt.image.BufferedImage,
+      orient: Int): java.awt.image.BufferedImage = {
     val w = img.getWidth
     val h = img.getHeight
     val q = orient % 4
@@ -3055,7 +3064,7 @@ object Multimodal {
       }
       out.setRGB(nx, ny, img.getRGB(sx, y))
     }
-    encodePng(out)
+    out
   }
 
   def syntheticPngRot(id: Long, quarterTurns: Int,
@@ -4547,8 +4556,14 @@ object Multimodal {
     val lms = Materialize.eager(
       imageScaleLandmarksOriented(media, kTop, nNear, qStepR, nAng,
         smoothR, radius, minAvg))
-    val nlo = lms.groupBy(col("doc_id"), col("orient"))
-      .agg(count(lit(1)).as("nl"))
+    // every readout scores over the IDENTITY (orient 0) code count —
+    // the convention the family's pair scorer
+    // (orientedLandmarkPairScores) uses and its gates were calibrated
+    // on: a readout's own code count can differ from identity
+    // (quantizer-range dropouts), and a small per-orient nl inflates
+    // c/least(nl, nl_src) into false flags near the gate
+    val nl0 = lms.filter(col("orient") === 0)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("nl"))
     val dup = lms.join(
         index.select(col("lm"), col("doc_id").as("src"),
           col("nl").as("nl_src")),
@@ -4557,11 +4572,11 @@ object Multimodal {
       .agg(count(lit(1)).as("c"))
       // the same ABSOLUTE evidence floor as peakLandmarkPairScores
       .filter(col("c") >= math.max(1, minShared))
-      .join(nlo, Seq("doc_id", "orient"))
+      .join(nl0, Seq("doc_id"))
       .filter(col("c").cast("double") / least(col("nl"), col("nl_src"))
         >= minMatch)
       .groupBy(col("doc_id")).agg(min(col("src")).as("dup_src"))
-    nlo.select(col("doc_id")).distinct().join(dup, Seq("doc_id"), "left")
+    lms.select(col("doc_id")).distinct().join(dup, Seq("doc_id"), "left")
       .select(col("doc_id"), col("dup_src").isNull.as("kept"),
         col("dup_src"))
   }
@@ -5998,8 +6013,15 @@ object Multimodal {
         s"current is $AffineFrameFpVersion — rebuild it with " +
         "imageAffineFrameIndex before screening (cross-version " +
         "landmarks never match)")
-    val nlo = lms.groupBy(col("doc_id"), col("orient"))
-      .agg(count(lit(1)).as("nl"))
+    // every readout scores over the IDENTITY (orient 0) code count —
+    // the convention the m174 minMatch gate was calibrated on and the
+    // one orientedLandmarkPairScores and st125/st126 use: a
+    // hypothesis readout's own code count can differ from identity
+    // (quantizer-range dropouts), and a small per-orient nl inflates
+    // c/least(nl, nl_src) into false flags near the gate that the
+    // identity-count convention avoids
+    val nl0 = lms.filter(col("orient") === 0)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("nl"))
     val dup = lms.join(
         index.select(col("lm"), col("doc_id").as("src"),
           col("nl").as("nl_src")),
@@ -6007,11 +6029,11 @@ object Multimodal {
       .groupBy(col("doc_id"), col("orient"), col("src"), col("nl_src"))
       .agg(count(lit(1)).as("c"))
       .filter(col("c") >= math.max(1, minShared))
-      .join(nlo, Seq("doc_id", "orient"))
+      .join(nl0, Seq("doc_id"))
       .filter(col("c").cast("double") / least(col("nl"), col("nl_src"))
         >= minMatch)
       .groupBy(col("doc_id")).agg(min(col("src")).as("dup_src"))
-    nlo.select(col("doc_id")).distinct().join(dup, Seq("doc_id"), "left")
+    lms.select(col("doc_id")).distinct().join(dup, Seq("doc_id"), "left")
       .select(col("doc_id"), col("dup_src").isNull.as("kept"),
         col("dup_src"))
   }
@@ -6543,8 +6565,14 @@ object Multimodal {
     val lms = Materialize.eager(
       imageScaleLandmarksAspect(media, hyps, kTop, nNear, qStepR,
         nAng, smoothR, radius, minAvg))
-    val nlo = lms.groupBy(col("doc_id"), col("orient"))
-      .agg(count(lit(1)).as("nl"))
+    // every readout scores over the IDENTITY (orient 0) code count —
+    // the convention the family's pair scorer
+    // (orientedLandmarkPairScores) uses and its gates were calibrated
+    // on: a readout's own code count can differ from identity
+    // (quantizer-range dropouts), and a small per-orient nl inflates
+    // c/least(nl, nl_src) into false flags near the gate
+    val nl0 = lms.filter(col("orient") === 0)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("nl"))
     val dup = lms.join(
         index.select(col("lm"), col("doc_id").as("src"),
           col("nl").as("nl_src")),
@@ -6552,11 +6580,11 @@ object Multimodal {
       .groupBy(col("doc_id"), col("orient"), col("src"), col("nl_src"))
       .agg(count(lit(1)).as("c"))
       .filter(col("c") >= math.max(1, minShared))
-      .join(nlo, Seq("doc_id", "orient"))
+      .join(nl0, Seq("doc_id"))
       .filter(col("c").cast("double") / least(col("nl"), col("nl_src"))
         >= minMatch)
       .groupBy(col("doc_id")).agg(min(col("src")).as("dup_src"))
-    nlo.select(col("doc_id")).distinct().join(dup, Seq("doc_id"), "left")
+    lms.select(col("doc_id")).distinct().join(dup, Seq("doc_id"), "left")
       .select(col("doc_id"), col("dup_src").isNull.as("kept"),
         col("dup_src"))
   }
@@ -7052,8 +7080,14 @@ object Multimodal {
     val lms = Materialize.eager(
       videoScaleLandmarksAspect(media, hyps, every, kTop, nNear,
         qStepR, nAng, smoothR, radius, minAvg))
-    val nlo = lms.groupBy(col("doc_id"), col("orient"))
-      .agg(count(lit(1)).as("nl"))
+    // every readout scores over the IDENTITY (orient 0) code count —
+    // the convention the family's pair scorer
+    // (orientedLandmarkPairScores) uses and its gates were calibrated
+    // on: a readout's own code count can differ from identity
+    // (quantizer-range dropouts), and a small per-orient nl inflates
+    // c/least(nl, nl_src) into false flags near the gate
+    val nl0 = lms.filter(col("orient") === 0)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("nl"))
     val dup = lms.join(
         index.select(col("lm"), col("doc_id").as("src"),
           col("nl").as("nl_src")),
@@ -7061,11 +7095,11 @@ object Multimodal {
       .groupBy(col("doc_id"), col("orient"), col("src"), col("nl_src"))
       .agg(count(lit(1)).as("c"))
       .filter(col("c") >= math.max(1, minShared))
-      .join(nlo, Seq("doc_id", "orient"))
+      .join(nl0, Seq("doc_id"))
       .filter(col("c").cast("double") / least(col("nl"), col("nl_src"))
         >= minMatch)
       .groupBy(col("doc_id")).agg(min(col("src")).as("dup_src"))
-    nlo.select(col("doc_id")).distinct().join(dup, Seq("doc_id"), "left")
+    lms.select(col("doc_id")).distinct().join(dup, Seq("doc_id"), "left")
       .select(col("doc_id"), col("dup_src").isNull.as("kept"),
         col("dup_src"))
   }
@@ -7150,9 +7184,8 @@ object Multimodal {
     require(fromFrame >= 0 && fromFrame < fs.length,
       "fromFrame must land inside the stream")
     aviFromImages(fs.drop(fromFrame).map { b =>
-      val png = pngDihedral(encodePng(javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(b))), orient)
-      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      dihedralRgb(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(b)), orient)
     })
   }
 

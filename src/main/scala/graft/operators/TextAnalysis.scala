@@ -640,33 +640,66 @@ object TextAnalysis {
       "act.edu.au", "nsw.edu.au", "qld.edu.au", "vic.edu.au",
       "k12.ca.us", "k12.ny.us", "cc.ca.us", "lib.ca.us")
 
-  /** [[publicSuffixRules]] compiled to match-table rows:
-    * `(key, kind, psLen)` where `key` is the equality-join tail (the
-    * rule for plain/exception rules, the rule minus `*.` for
-    * wildcards), `kind` is p/w/e, and `psLen` is the public-suffix
-    * label count the match implies (wildcard: key labels + 1 for the
-    * `*`; exception: key labels - 1 — the rule minus its leftmost
+  /** The COMPLETE published Public Suffix List, shipped as library
+    * data (`src/main/resources/public_suffix_list.dat`, the verbatim
+    * https://publicsuffix.org/list/ file as distributed by the OS
+    * `publicsuffix` package — ~9.5k rules including the unicode IDN
+    * entries, both the ICANN and private-domain sections, exactly as
+    * the published algorithm consumes them). Parsed per the published
+    * format: comment lines start `//`, blank lines are separators,
+    * each rule is the line up to the first whitespace. This is the
+    * default rule table of [[urlDomainCapPslFull]];
+    * [[publicSuffixRules]] stays as the curated, auditable fallback
+    * subset. */
+  lazy val publishedSuffixRules: Seq[String] = {
+    val in = getClass.getResourceAsStream("/public_suffix_list.dat")
+    require(in != null,
+      "public_suffix_list.dat missing from the classpath — the " +
+        "published PSL ships as a library resource")
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.takeWhile(!_.isWhitespace))
+      .filter(l => l.nonEmpty && !l.startsWith("//"))
+      .toVector
+    finally in.close()
+  }
+
+  /** A rule set compiled to match-table rows: `(key, kind, psLen)`
+    * where `key` is the equality-join tail (the rule for
+    * plain/exception rules, the rule minus `*.` for wildcards),
+    * `kind` is p/w/e, and `psLen` is the public-suffix label count
+    * the match implies (wildcard: key labels + 1 for the `*`;
+    * exception: key labels - 1 — the rule minus its leftmost
     * label). */
-  def publicSuffixRuleRows: Seq[(String, String, Int)] =
-    publicSuffixRules.map { r =>
+  def suffixRuleRows(rules: Seq[String]): Seq[(String, String, Int)] =
+    rules.map { r =>
       val nl = (s: String) => s.count(_ == '.') + 1
       if (r.startsWith("!")) { val k = r.drop(1); (k, "e", nl(k) - 1) }
       else if (r.startsWith("*.")) { val k = r.drop(2); (k, "w", nl(k) + 1) }
       else (r, "p", nl(r))
     }
 
+  /** [[publicSuffixRules]] (the curated subset) compiled via
+    * [[suffixRuleRows]]. */
+  def publicSuffixRuleRows: Seq[(String, String, Int)] =
+    suffixRuleRows(publicSuffixRules)
+
   /** Longest host tail any rule key can match — the candidate-tail
     * explosion bound (a data swap that adds deeper rules raises it
-    * automatically). */
-  def publicSuffixMaxTail: Int =
-    publicSuffixRuleRows.map(_._1.count(_ == '.') + 1).max
+    * automatically; the full published file reads 5). */
+  def suffixMaxTail(rules: Seq[String]): Int =
+    suffixRuleRows(rules).map(_._1.count(_ == '.') + 1).max
 
-  /** SQL `(VALUES ...)` body for [[publicSuffixRuleRows]] — the
-    * oracle's rule table is GENERATED from the same Seq so the two
-    * engines can never drift. */
-  def publicSuffixRulesValuesSql: String =
-    publicSuffixRuleRows.map { case (k, kind, l) =>
+  def publicSuffixMaxTail: Int = suffixMaxTail(publicSuffixRules)
+
+  /** SQL `(VALUES ...)` body for a compiled rule set — the oracle's
+    * rule table is GENERATED from the same Seq so the two engines can
+    * never drift. */
+  def suffixRulesValuesSql(rules: Seq[String]): String =
+    suffixRuleRows(rules).map { case (k, kind, l) =>
       s"('${sqlQuote(k)}', '$kind', $l)" }.mkString(", ")
+
+  def publicSuffixRulesValuesSql: String =
+    suffixRulesValuesSql(publicSuffixRules)
 
   /** FULL-PSL form of [[urlDomainCapPsl]]: registered domains under
     * the complete published-algorithm semantics — wildcard rules,
@@ -689,19 +722,20 @@ object TextAnalysis {
     * all-pairs, no UDF. The two caps are two window shuffles, as in
     * t87. */
   def urlDomainCapPslFull(spark: SparkSession, docs: DataFrame,
-      idCol: String, urlCol: String, cap: Int): DataFrame = {
+      idCol: String, urlCol: String, cap: Int,
+      ruleSet: Seq[String] = publishedSuffixRules): DataFrame = {
     require(cap >= 1, "cap must be >= 1")
     import org.apache.spark.sql.expressions.Window
     val canon = canonicalizeUrl(col(urlCol))
     val hostOf = regexp_extract(
       regexp_extract(col("url_canon"), "^[a-z][a-z0-9+.-]*://([^/?#]*)", 1),
       "^([^:]*)", 1)
-    val maxTail = publicSuffixMaxTail
+    val maxTail = suffixMaxTail(ruleSet)
     val base = docs
       .select(col(idCol).as("doc_id"), canon.as("url_canon"))
       .withColumn("host", hostOf)
       .withColumn("n", size(split(col("host"), "\\.")))
-    val rules = spark.createDataFrame(publicSuffixRuleRows)
+    val rules = spark.createDataFrame(suffixRuleRows(ruleSet))
       .toDF("key", "kind", "ps_len")
     // last-j tails of the host, j = 1..min(n, maxTail): the only
     // strings any rule key can equal — an equi-join key, so the rule

@@ -6617,8 +6617,14 @@ object StreamingOps extends QueryPack {
         .join(nl, col("d") === nl("doc_id")).drop("doc_id")
         .filter(col("c") >= 16 &&
           col("c").cast("double") / least(col("nl"), col("nl_src")) >= 0.02)
-        .groupBy(col("d")).agg(min(col("src")).as("dup_src"),
-          max(col("orient")).as("via_orient"))
+        // aggregate the (src, orient) pair ATOMICALLY: a probe
+        // matching several sources via different orients must report
+        // the orient OF THE WINNING SOURCE, not an independent max —
+        // min(struct) picks the lowest src, then its lowest orient
+        .groupBy(col("d"))
+        .agg(min(struct(col("src"), col("orient"))).as("w"))
+        .select(col("d"), col("w.src").as("dup_src"),
+          col("w.orient").as("via_orient"))
       s.createDataset(Seq(20L, 22L, 130L, 131L)).toDF("doc_id")
         .join(dup, col("doc_id") === dup("d"), "left").drop("d")
         .select(col("doc_id"), col("dup_src").isNull.as("kept"),
@@ -6698,8 +6704,14 @@ object StreamingOps extends QueryPack {
         .join(nl, col("d") === nl("doc_id")).drop("doc_id")
         .filter(col("c") >= 16 &&
           col("c").cast("double") / least(col("nl"), col("nl_src")) >= 0.02)
-        .groupBy(col("d")).agg(min(col("src")).as("dup_src"),
-          max(col("orient")).as("via_orient"))
+        // aggregate the (src, orient) pair ATOMICALLY: a probe
+        // matching several sources via different orients must report
+        // the orient OF THE WINNING SOURCE, not an independent max —
+        // min(struct) picks the lowest src, then its lowest orient
+        .groupBy(col("d"))
+        .agg(min(struct(col("src"), col("orient"))).as("w"))
+        .select(col("d"), col("w.src").as("dup_src"),
+          col("w.orient").as("via_orient"))
       s.createDataset(Seq(20L, 22L, 130L, 131L)).toDF("doc_id")
         .join(dup, col("doc_id") === dup("d"), "left").drop("d")
         .select(col("doc_id"), col("dup_src").isNull.as("kept"),

@@ -506,25 +506,33 @@ object TextOps extends QueryPack {
         .orderBy($"doc_id")
     }),
 
-    // FULL published-algorithm PSL registered domains (wildcards,
-    // exceptions, >2-label rules, longest-match) over hosts hitting
-    // every rule kind: `shop.<src>.ck` (wildcard — each site registers
-    // under its own `<src>.ck`, where the 2-label subset collapses the
-    // lot), `a.www.ck` (exception — !www.ck beats *.ck, so www.ck IS
-    // the registrant), `x.pref.aichi.jp` (3-label plain rule — subset
-    // mis-groups to `aichi.jp`), `b.city.kobe.jp` (exception under the
-    // *.kobe.jp city wildcard), `<src>.ck` bare (host IS a public
+    // FULL published-PSL registered domains — the rule table is the
+    // COMPLETE ~9.5k-row publicsuffix.org file shipped as library
+    // data (src/main/resources/public_suffix_list.dat), algorithm per
+    // the published spec (wildcards, exceptions, >2-label rules,
+    // exception-wins-else-longest-match). Hosts hit every rule kind:
+    // `shop.<src>.ck` (wildcard — each site registers under its own
+    // `<src>.ck`, where the 2-label subset collapses the lot),
+    // `a.www.ck` (exception — !www.ck beats *.ck, so www.ck IS the
+    // registrant), `x.pref.aichi.jp` (3-label plain rule — subset
+    // mis-groups to `aichi.jp`), `b.city.kobe.jp` (exception under
+    // the *.kobe.jp city wildcard), `<src>.ck` bare (host IS a public
     // suffix — no registrant label, host kept as its own domain),
-    // plus co.uk/gTLD hosts where both forms agree.
+    // `<src>.github.io` (a private-domain rule OUTSIDE the curated
+    // subset — the real-world contrast: the full file registers each
+    // site owner separately, the subset collapses every site into one
+    // `github.io` mega-domain and the cap throttles them
+    // collectively), plus co.uk/gTLD hosts where both forms agree.
     "t88_url_domain_psl_full" -> ((s, dir) => {
       import s.implicits._
       val url = concat(lit("http://"),
-        when($"doc_id" % 7 === 0, concat(lit("shop."), $"source", lit(".ck")))
-          .when($"doc_id" % 7 === 1, lit("a.www.ck"))
-          .when($"doc_id" % 7 === 2, concat($"source", lit(".pref.aichi.jp")))
-          .when($"doc_id" % 7 === 3, concat(lit("news."), $"source", lit(".co.uk")))
-          .when($"doc_id" % 7 === 4, concat(lit("www."), $"source", lit(".com")))
-          .when($"doc_id" % 7 === 5, concat($"source", lit(".ck")))
+        when($"doc_id" % 8 === 0, concat(lit("shop."), $"source", lit(".ck")))
+          .when($"doc_id" % 8 === 1, lit("a.www.ck"))
+          .when($"doc_id" % 8 === 2, concat($"source", lit(".pref.aichi.jp")))
+          .when($"doc_id" % 8 === 3, concat(lit("news."), $"source", lit(".co.uk")))
+          .when($"doc_id" % 8 === 4, concat(lit("www."), $"source", lit(".com")))
+          .when($"doc_id" % 8 === 5, concat($"source", lit(".ck")))
+          .when($"doc_id" % 8 === 6, concat($"source", lit(".github.io")))
           .otherwise(lit("b.city.kobe.jp")),
         lit("/p-"), $"doc_id".cast("string"))
       TextAnalysis.urlDomainCapPslFull(s,
@@ -2168,19 +2176,21 @@ object TextOps extends QueryPack {
         SELECT doc_id, url_canon, domain, domain_rank,
           domain_rank <= 4 AS kept, domain_h, rank_h, rank_h <= 4 AS kept_h
         FROM r ORDER BY doc_id""",
-    // FULL-PSL oracle: the rule table (key, kind, ps_len) AND the
-    // subset table are GENERATED from the same Scala Seqs, and the
+    // FULL-PSL oracle: the rule table (key, kind, ps_len) is GENERATED
+    // from the SAME published ~9.5k-row file the Spark side broadcasts
+    // (and the subset table from the same curated Seq), and the
     // published algorithm — exception wins, else longest match, else
     // the implicit `*` — is replayed as the same exploded-tail
     // equi-join + per-doc max the Spark plan runs
     "t88_url_domain_psl_full" ->
       s"""WITH u AS (SELECT doc_id,
-          (CASE WHEN doc_id % 7 = 0 THEN 'shop.' || source || '.ck'
-                WHEN doc_id % 7 = 1 THEN 'a.www.ck'
-                WHEN doc_id % 7 = 2 THEN source || '.pref.aichi.jp'
-                WHEN doc_id % 7 = 3 THEN 'news.' || source || '.co.uk'
-                WHEN doc_id % 7 = 4 THEN 'www.' || source || '.com'
-                WHEN doc_id % 7 = 5 THEN source || '.ck'
+          (CASE WHEN doc_id % 8 = 0 THEN 'shop.' || source || '.ck'
+                WHEN doc_id % 8 = 1 THEN 'a.www.ck'
+                WHEN doc_id % 8 = 2 THEN source || '.pref.aichi.jp'
+                WHEN doc_id % 8 = 3 THEN 'news.' || source || '.co.uk'
+                WHEN doc_id % 8 = 4 THEN 'www.' || source || '.com'
+                WHEN doc_id % 8 = 5 THEN source || '.ck'
+                WHEN doc_id % 8 = 6 THEN source || '.github.io'
                 ELSE 'b.city.kobe.jp' END) AS rawhost
         FROM documents),
         h AS (SELECT doc_id,
@@ -2192,11 +2202,13 @@ object TextOps extends QueryPack {
           len(string_split(host, '.')) AS n
         FROM h),
         rules(key, kind, ps_len) AS (VALUES ${
-          graft.operators.TextAnalysis.publicSuffixRulesValuesSql}),
+          graft.operators.TextAnalysis.suffixRulesValuesSql(
+            graft.operators.TextAnalysis.publishedSuffixRules)}),
         cand AS (SELECT doc_id, n,
           array_to_string(list_slice(labels, n - j + 1, n), '.') AS tail
         FROM d, LATERAL (SELECT unnest(range(1, least(n, ${
-          graft.operators.TextAnalysis.publicSuffixMaxTail}) + 1)) AS j) t(j)),
+          graft.operators.TextAnalysis.suffixMaxTail(
+            graft.operators.TextAnalysis.publishedSuffixRules)}) + 1)) AS j) t(j)),
         m AS (SELECT doc_id,
           max(CASE WHEN kind = 'e' THEN ps_len END) AS e_len,
           max(CASE WHEN kind <> 'e' AND (kind <> 'w' OR n >= ps_len)

@@ -74,6 +74,12 @@ object GrowthBench {
     val results = dirs.map { dir =>
       dir -> run.map { name =>
         val fn = graft.SparkEntry.queries(name)
+        // RDD ids persisted BEFORE this query: the post-timing cleanup
+        // must only drop what the query itself leaked — unpersisting
+        // everything would also evict Dataset/table caches created
+        // outside the timed run while CacheManager still records their
+        // plans as cached, silently recomputing later uses
+        val pre = spark.sparkContext.getPersistentRDDs.keySet
         // cold + warm: first run pays codegen/scan setup, second is the
         // data-proportional number the growth ratio uses
         val times = (0 until 2).map { _ =>
@@ -86,8 +92,9 @@ object GrowthBench {
         // accumulated stale blocks showed up as warm-slower-than-cold
         // GC spikes on UNRELATED later queries at the 10x dir — each
         // timing must not pay its predecessors' heap
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = true))
+        spark.sparkContext.getPersistentRDDs
+          .foreach { case (id, rdd) =>
+            if (!pre.contains(id)) rdd.unpersist(blocking = true) }
         System.gc()
         println(f"[growth] $dir $name%-26s cold=${times(0)}%7.2f warm=${times(1)}%7.2f")
         name -> times

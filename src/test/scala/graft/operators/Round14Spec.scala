@@ -329,8 +329,10 @@ class Round14Spec extends AnyFunSuite with BeforeAndAfterAll {
       (7L, "http://news.site1.co.uk/x"),  // plain 2-label, both forms agree
       (8L, "http://plain.example.com/x")  // implicit * rule
     ).toDF("doc_id", "url")
+    // rule-KIND semantics over the curated rule set (it has the
+    // demonstration rule pref.aichi.jp the published file lacks)
     val out = TextAnalysis.urlDomainCapPslFull(s, docs, "doc_id", "url",
-        cap = 3)
+        cap = 3, ruleSet = TextAnalysis.publicSuffixRules)
       .orderBy($"doc_id")
       .select($"doc_id", $"domain", $"domain_sub")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
@@ -349,5 +351,40 @@ class Round14Spec extends AnyFunSuite with BeforeAndAfterAll {
     // the subset PROVABLY mis-groups where the full form separates:
     // docs 5 and 6 share domain_sub (kobe.jp) but not domain
     assert(out(5)._3 == out(6)._3 && out(5)._2 != out(6)._2)
+  }
+
+  test("t88: the SHIPPED published PSL file — size, rule kinds, real-world rules") {
+    val s = spark
+    import s.implicits._
+    val rules = TextAnalysis.publishedSuffixRules
+    // the real file: ~9.5k rules, all three kinds, no comment residue
+    assert(rules.size > 9000, s"published PSL too small: ${rules.size}")
+    assert(rules.forall(r => r.nonEmpty && !r.startsWith("//")))
+    assert(rules.contains("*.ck") && rules.contains("!www.ck"))
+    assert(rules.contains("co.uk") && rules.contains("github.io"))
+    assert(TextAnalysis.suffixMaxTail(rules) == 5)
+    // real-world rules the curated subset LACKS, resolved correctly
+    // by default (published) rules: github.io separates site owners
+    // (the subset collapses them into one github.io mega-domain), and
+    // the real jp geographic rules register x.pref.aichi.jp AT
+    // pref.aichi.jp (no pref.aichi.jp rule exists in the real file —
+    // aichi.jp is the longest match)
+    val docs = Seq(
+      (0L, "http://alice.github.io/x"),
+      (1L, "http://bob.github.io/x"),
+      (2L, "http://x.pref.aichi.jp/x"),
+      (3L, "http://handa.aichi.jp/x")  // a real city rule, bare suffix
+    ).toDF("doc_id", "url")
+    val out = TextAnalysis.urlDomainCapPslFull(s, docs, "doc_id", "url",
+        cap = 3)
+      .orderBy($"doc_id")
+      .select($"doc_id", $"domain", $"domain_sub")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(out.toSeq == Seq(
+      (0L, "alice.github.io", "github.io"),
+      (1L, "bob.github.io", "github.io"),
+      (2L, "pref.aichi.jp", "aichi.jp"),
+      (3L, "handa.aichi.jp", "aichi.jp")),
+      s"published-PSL domains diverged:\n got ${out.mkString("\n ")}")
   }
 }
