@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: media as opaque `binary` payloads with
@@ -3608,10 +3608,17 @@ object Multimodal {
       minMatch: Double, maxDf: Int, minShared: Int = 0): DataFrame = {
     val n0 = lms.filter(col("orient") === 0)
       .groupBy(col("doc_id")).agg(count(lit(1)).as("nl"))
-    val capped = applyDfCap(lms, maxDf)
-    val kept = capped.groupBy(col("lm"))
+    // the df cap applies to the posting row itself (rows are distinct
+    // per (doc, orient, lm), so the distinct-DOC df needs the in-row
+    // dedup) — one groupBy(lm) instead of applyDfCap's count
+    // aggregation + semi-join back + re-group (two extra full-table
+    // shuffles on the same key)
+    val kept = lms.groupBy(col("lm"))
       .agg(collect_list(struct(col("doc_id"), col("orient"))).as("ds"))
-      .filter(size(col("ds")) >= 2)
+      .filter(size(col("ds")) >= 2 &&
+        dfCapKeep(lms.sparkSession, col("lm"),
+          size(array_distinct(transform(col("ds"),
+            x => x.getField("doc_id")))), maxDf))
     val ds = array_sort(col("ds"))
     kept.select(explode(flatten(transform(ds, (x, i) =>
         transform(slice(ds, i + lit(2), greatest(size(ds) - i - 1, lit(0))),
@@ -3657,7 +3664,7 @@ object Multimodal {
     * corpora fine (avg df stays low even at 32k docs), but ONE
     * degenerate code shared by k docs inflates a single aggregation
     * row to k entries and the pair explode to k^2 with no cap and no
-    * trace. [[applyDfCap]] therefore always bounds the posting list:
+    * trace. [[dfCapKeep]] therefore always bounds the posting list:
     * the caller's maxDf when given, else this auto-cap. 4096 is far
     * above any identifying code's df (the families' measured 32k-doc
     * sweeps stay in the tens even for their hottest codes) yet bounds
@@ -3683,38 +3690,6 @@ object Multimodal {
     hotCodeAccs.computeIfAbsent(s.sparkContext.applicationId,
       _ => s.sparkContext.longAccumulator("graft.hotCodesDropped"))
 
-  /** Distinct-doc posting cap BEFORE pair expansion — explicit maxDf
-    * when > 0, [[hotCodeAutoCap]] (with accumulator + warn per
-    * dropped code) otherwise. Input needs (doc_id, lm) columns;
-    * extra columns ride through. */
-  private def applyDfCap(lms: DataFrame, maxDf: Int): DataFrame = {
-    val auto = maxDf <= 0
-    val cap = if (auto) hotCodeAutoCap else maxDf
-    if (cap <= 0) return lms
-    val dfs = lms.groupBy(col("lm"))
-      .agg(countDistinct(col("doc_id")).as("df"))
-    val keep =
-      if (!auto) dfs.filter(col("df") <= cap)
-      else {
-        val acc = hotCodesDropped(lms.sparkSession)
-        val keepUdf = udf((lm: String, df: Long) => {
-          val ok = df <= cap
-          if (!ok) {
-            acc.add(1L)
-            hotLog.warn(
-              s"auto posting cap: dropping hot code $lm (df=$df > " +
-                s"$cap distinct docs) — carries no identification " +
-                "signal; raise maxDf explicitly to keep it")
-          }
-          ok
-        })
-        // lm stringified: the landmark column's physical type varies
-        // by family (packed Long vs int code)
-        dfs.filter(keepUdf(col("lm").cast("string"), col("df")))
-      }
-    lms.join(keep.select(col("lm")), Seq("lm"), "left_semi")
-  }
-
   /** Shared pair scorer for the peak-landmark frames (image m136 /
     * video m138): posting-list join on the landmark with a
     * distinct-doc `maxDf` cap BEFORE pair expansion (auto-capped at
@@ -3724,10 +3699,14 @@ object Multimodal {
   private def peakLandmarkPairScores(lms: DataFrame, minMatch: Double,
       maxDf: Int, minShared: Int = 0): DataFrame = {
     val nl = lms.groupBy(col("doc_id")).agg(count(lit(1)).as("nl"))
-    val capped = applyDfCap(lms, maxDf)
-    val kept = capped.groupBy(col("lm"))
+    // rows are distinct (doc_id, lm), so the posting size IS the
+    // code's distinct-doc df and the cap filters in-row — one
+    // groupBy(lm) instead of applyDfCap's count aggregation +
+    // semi-join back + re-group (two extra full-table shuffles)
+    val kept = lms.groupBy(col("lm"))
       .agg(collect_list(col("doc_id")).as("ds"))
-      .filter(size(col("ds")) >= 2)
+      .filter(size(col("ds")) >= 2 &&
+        dfCapKeep(lms.sparkSession, col("lm"), size(col("ds")), maxDf))
     val ds = array_sort(col("ds"))
     kept.select(explode(flatten(transform(ds, (x, i) =>
         transform(slice(ds, i + lit(2), greatest(size(ds) - i - 1, lit(0))),
@@ -4021,9 +4000,15 @@ object Multimodal {
   /** Lossy JPEG re-encode of any image payload at the given quality —
     * the m141 fixture helper (javax.imageio writer, explicit
     * compression quality). */
-  def jpegReencode(payload: Array[Byte], quality: Float): Array[Byte] = {
-    val img = javax.imageio.ImageIO.read(
-      new java.io.ByteArrayInputStream(payload))
+  def jpegReencode(payload: Array[Byte], quality: Float): Array[Byte] =
+    jpegEncode(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload)), quality)
+
+  /** The JPEG writer core behind [[jpegReencode]] and
+    * [[syntheticJpegTextured]] — explicit compression quality on a
+    * decoded image, no intermediate container round-trip. */
+  private def jpegEncode(img: java.awt.image.BufferedImage,
+      quality: Float): Array[Byte] = {
     val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
     val p = w.getDefaultWriteParam
     p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
@@ -5757,17 +5742,59 @@ object Multimodal {
       candMinMatch, candMinShared, verifyMinFrac, verifyMinAligned,
       tolPx, maxDf)
 
+  /** The distinct-doc posting cap as a keep-PREDICATE over a
+    * per-code posting row whose distinct-doc count is already in
+    * hand (`dfCol`) — explicit maxDf when > 0, [[hotCodeAutoCap]]
+    * (with the accumulator + warn per dropped code) otherwise. The
+    * cap applies where the posting list is built (the scorers all
+    * group by code anyway), instead of the former standalone
+    * count-aggregation + semi-join-back stage, which re-shuffled the
+    * full landmark table twice per scorer on the same key. */
+  private def dfCapKeep(s: SparkSession, lmCol: Column, dfCol: Column,
+      maxDf: Int): Column = {
+    val auto = maxDf <= 0
+    val cap = if (auto) hotCodeAutoCap else maxDf
+    if (cap <= 0) lit(true)
+    else if (!auto) dfCol <= cap
+    else {
+      val acc = hotCodesDropped(s)
+      val keepUdf = udf((lm: String, df: Int) => {
+        val ok = df <= cap
+        if (!ok) {
+          acc.add(1L)
+          hotLog.warn(
+            s"auto posting cap: dropping hot code $lm (df=$df > " +
+              s"$cap distinct docs) — carries no identification " +
+              "signal; raise maxDf explicitly to keep it")
+        }
+        ok
+      })
+      keepUdf(lmCol.cast("string"), dfCol.cast("int"))
+    }
+  }
+
   /** Candidate + RANSAC-verify stage of the verified affine-frame
     * tier over an ANCHORED landmark table (doc_id, lm, ax, ay) —
     * shared by the image (m179) and video (m182) members: the media
-    * extractors differ, the geometry does not. */
+    * extractors differ, the geometry does not.
+    *
+    * Candidate shape (round 15): ONE groupBy(lm) builds per-code
+    * posting lists — rows are distinct (doc, lm), so the list size
+    * IS the code's distinct-doc df and the cap filters the posting
+    * row directly ([[dfCapKeep]]) — and the pair fan-out happens
+    * in-row (the [[peakLandmarkPairScores]] explode idiom). The
+    * former shape (applyDfCap's count-agg + semi-join back, then a
+    * two-sided self-join on lm) re-shuffled the full anchored table
+    * ~5x and was the round-14 growth artifact's one super-linear
+    * entry (m186: per-doc wall x1.6 per corpus decade); this shape
+    * shuffles it twice (postings, then pair aggregation), the same
+    * plan the unverified tier rides to a FALLING per-doc cost. */
   private def affineFramePairsVerifiedFrom(lms: DataFrame,
       candMinMatch: Double, candMinShared: Int, verifyMinFrac: Double,
       verifyMinAligned: Int, tolPx: Double, maxDf: Int): DataFrame = {
     require(verifyMinFrac >= 0.0 && verifyMinFrac <= 1.0,
       "verifyMinFrac must be in [0, 1]")
     require(tolPx > 0.0, "tolPx must be > 0")
-    val capped = applyDfCap(lms, maxDf)
     val nl = lms.groupBy(col("doc_id")).agg(count(lit(1)).as("nl"))
     // anchor cloud per doc = its DISTINCT landmark anchors (a subset
     // of the detected peaks — every peak with a conditioned basis)
@@ -5775,15 +5802,23 @@ object Multimodal {
       .distinct()
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("ax"), col("ay"))).as("cloud"))
-    val a = capped.select(col("lm"), col("doc_id").as("doc_a"),
-      col("ax").as("axa"), col("ay").as("aya"))
-    val b = capped.select(col("lm"), col("doc_id").as("doc_b"),
-      col("ax").as("axb"), col("ay").as("ayb"))
-    val cand = a.join(b, Seq("lm")).filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(countDistinct(col("lm")).as("c"),
-        collect_list(struct(col("axa"), col("aya"), col("axb"),
-          col("ayb"))).as("corr"))
+    val posted = lms.groupBy(col("lm"))
+      .agg(collect_list(struct(col("doc_id"), col("ax"), col("ay")))
+        .as("ps"))
+      .filter(size(col("ps")) >= 2 &&
+        dfCapKeep(lms.sparkSession, col("lm"), size(col("ps")), maxDf))
+    val ds = array_sort(col("ps"))
+    val cand = posted.select(explode(flatten(transform(ds, (x, i) =>
+        transform(slice(ds, i + lit(2), greatest(size(ds) - i - 1, lit(0))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .filter(col("p.a.doc_id") < col("p.b.doc_id"))
+      .groupBy(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"))
+      // one posting row per (doc, code) ⇒ each shared code yields this
+      // pair exactly once: count(1) == the former countDistinct(lm)
+      .agg(count(lit(1)).as("c"),
+        collect_list(struct(col("p.a.ax").as("axa"),
+          col("p.a.ay").as("aya"), col("p.b.ax").as("axb"),
+          col("p.b.ay").as("ayb"))).as("corr"))
       .filter(col("c") >= math.max(1, candMinShared))
       .join(nl.select(col("doc_id").as("doc_a"), col("nl").as("na")),
         Seq("doc_a"))
@@ -6191,21 +6226,36 @@ object Multimodal {
           col("ax"), col("ay"))
         .unionByName(id0.select(col("doc_id"), lit(1).as("orient"),
           mir(col("lm")).as("lm"), col("ax"), col("ay"))))
-    val capped = applyDfCap(fan, maxDf)
     val nl = id0.groupBy(col("doc_id")).agg(count(lit(1)).as("nl"))
     val clouds = id0.select(col("doc_id"), col("ax"), col("ay"))
       .distinct().groupBy(col("doc_id"))
       .agg(collect_list(struct(col("ax"), col("ay"))).as("cloud"))
-    val a = capped.filter(col("orient") === 0)
-      .select(col("lm"), col("doc_id").as("doc_a"),
-        col("ax").as("axa"), col("ay").as("aya"))
-    val b = capped.select(col("lm"), col("doc_id").as("doc_b"),
-      col("orient"), col("ax").as("axb"), col("ay").as("ayb"))
-    val cand = a.join(b, Seq("lm")).filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"), col("orient"))
-      .agg(countDistinct(col("lm")).as("c"),
-        collect_list(struct(col("axa"), col("aya"), col("axb"),
-          col("ayb"))).as("corr"))
+    // the posting-list candidate shape of
+    // [[affineFramePairsVerifiedFrom]], asymmetric (the a-side is
+    // identity-only): fan rows are distinct per (doc, orient, lm),
+    // so the code's distinct-DOC df needs the in-row dedup before
+    // the cap predicate
+    val posted = fan.groupBy(col("lm"))
+      .agg(collect_list(struct(col("doc_id"), col("orient"),
+        col("ax"), col("ay"))).as("ps"))
+      .filter(size(col("ps")) >= 2 &&
+        dfCapKeep(s, col("lm"),
+          size(array_distinct(transform(col("ps"),
+            x => x.getField("doc_id")))), maxDf))
+    val ds = array_sort(col("ps"))
+    val cand = posted.select(explode(flatten(transform(ds, (x, i) =>
+        transform(slice(ds, i + lit(2), greatest(size(ds) - i - 1, lit(0))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      // a = the LOWER doc's identity codes (ds sorts by doc_id
+      // first, so the lower doc is always the x element)
+      .filter(col("p.a.doc_id") < col("p.b.doc_id") &&
+        col("p.a.orient") === 0)
+      .groupBy(col("p.a.doc_id").as("doc_a"),
+        col("p.b.doc_id").as("doc_b"), col("p.b.orient").as("orient"))
+      .agg(count(lit(1)).as("c"),
+        collect_list(struct(col("p.a.ax").as("axa"),
+          col("p.a.ay").as("aya"), col("p.b.ax").as("axb"),
+          col("p.b.ay").as("ayb"))).as("corr"))
       .filter(col("c") >= math.max(1, candMinShared))
       .join(nl.select(col("doc_id").as("doc_a"), col("nl").as("na")),
         Seq("doc_a"))
@@ -7251,6 +7301,63 @@ object Multimodal {
   def syntheticPngBlobs(id: Long, w: Int = 128, h: Int = 128,
       nBlobs: Int = 10, minSep: Double = 22.0): Array[Byte] =
     encodePng(blobImage(id, w, h, nBlobs, minSep))
+
+  /** PHOTOGRAPHIC-texture master for doc `id`: the [[blobImage]]
+    * structure (the plantable peaks) layered with what a camera
+    * frame carries and the clean blob fixtures deliberately omit —
+    * a low-frequency illumination gradient, mid-frequency smooth
+    * value noise (bilinear-interpolated seeded lattice, the
+    * cloud/surface texture class), and per-pixel sensor grain —
+    * then LOSSY JPEG-encoded, so the payload also carries real 8x8
+    * quantization artifacts. The affine-frame family's recall and
+    * spurious numbers on this class are the photo-world measurement
+    * the blob-world sweeps cannot give: texture shifts peak values,
+    * seeds spurious weak peaks, and JPEG noise perturbs every pixel
+    * the detector smooths over. Deterministic for fixed (id, params)
+    * on a fixed JVM (the pinned-golden contract; the JDK's JPEG
+    * writer is pure-Java and stable within a JVM version). */
+  def syntheticJpegTextured(id: Long, w: Int = 256, h: Int = 256,
+      nBlobs: Int = 24, minSep: Double = 22.0,
+      quality: Float = 0.8f): Array[Byte] = {
+    val img = blobImage(id, w, h, nBlobs, minSep)
+    // texture layers seeded independently of the blob stream so the
+    // same id never correlates structure with texture
+    var st = id * 0xC2B2AE3D27D4EB4FL + 0x165667B19E3779F9L
+    @inline def nxt(): Long = {
+      st = st * 6364136223846793005L + 1442695040888963407L
+      st >>> 16
+    }
+    // illumination gradient: +-20 gray levels corner to corner
+    val gx = ((nxt() % 1000).toDouble / 1000.0 - 0.5) * 40.0
+    val gy = ((nxt() % 1000).toDouble / 1000.0 - 0.5) * 40.0
+    // value-noise lattice (16 px): amplitude +-10, smooth — survives
+    // the detector's box smoothing attenuated, the spurious-peak seed
+    val lw = w / 16 + 2; val lh = h / 16 + 2
+    val lat = Array.fill(lh, lw)(((nxt() % 2001).toDouble - 1000.0) / 100.0)
+    @inline def grain(x: Int, y: Int): Double = {
+      // per-pixel hash noise, +-4: sensor grain (mostly smoothed out)
+      val hsh = (x * 0x9E3779B1L + y * 0x85EBCA77L + id * 0xC2B2AE35L)
+      (((hsh ^ (hsh >>> 13)) & 0xff) - 127.5) / 16.0
+    }
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val base = img.getRGB(x, y) & 0xff
+        val fx = x / 16.0; val fy = y / 16.0
+        val ix = fx.toInt; val iy = fy.toInt
+        val tx = fx - ix; val ty = fy - iy
+        val vn = (1 - ty) * ((1 - tx) * lat(iy)(ix) + tx * lat(iy)(ix + 1)) +
+          ty * ((1 - tx) * lat(iy + 1)(ix) + tx * lat(iy + 1)(ix + 1))
+        val v = base + gx * x / w + gy * y / h + vn + grain(x, y)
+        val g = math.max(0, math.min(255, math.round(v).toInt))
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    jpegEncode(img, quality)
+  }
 
   /** The blob renderer behind [[syntheticPngBlobs]] and
     * [[syntheticAviBlobs]] — seeded Gaussian bumps on a dark floor,

@@ -3353,6 +3353,34 @@ object StreamingOps extends QueryPack {
           sum(when(!planted, 1).otherwise(0)).as("spurious"))
     }),
 
+    // PHOTOGRAPHIC-texture member (m192): the m185/m186 planted
+    // compounds over JPEG-textured masters (blob structure layered
+    // with illumination gradient, value-noise texture, sensor grain,
+    // then lossy-encoded — and the re-upload saved lossy too), so the
+    // affine-frame family's headline recall/spurious numbers are
+    // MEASURED off blob-world: texture shifts peak values, seeds
+    // spurious weak peaks, and JPEG noise perturbs every pixel the
+    // detector smooths. One pinned row per tier — the code gate and
+    // the RANSAC verify — over the same corpus (measured at n=500:
+    // code 40/50 planted, verified 48/50, zero spurious on both; the
+    // blob-world verified pin is 49/50). GrowthBench member; pinned
+    // golden at sf0.01.
+    "m192_affine_frame_textured_growth" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val n = math.max(500, t(s, dir, "documents").count().toInt / 10)
+      val media = graft.tools.ScaleCheck.cropAffineJpegTextured(s, n)
+      val planted = col("doc_b") - col("doc_a") === 9 &&
+        col("doc_b") % 10 === 9
+      def tier(name: String, pairs: DataFrame): DataFrame =
+        pairs.agg(lit(name).as("tier"), lit(n).as("corpus_n"),
+          sum(when(planted, 1).otherwise(0)).as("planted_found"),
+          sum(when(!planted, 1).otherwise(0)).as("spurious"))
+      tier("code", Multimodal.imageAffineFramePairs(media, maxDf = 500))
+        .unionByName(tier("verified",
+          Multimodal.imageAffineFramePairsVerified(media, maxDf = 500)))
+        .orderBy(col("tier"))
+    }),
+
     // VERIFIED index screen (m180 — the m179 verdict at the
     // incremental seam): one pinned output carries BOTH screens'
     // verdicts over the same probe batch — the PLAIN code-gate screen

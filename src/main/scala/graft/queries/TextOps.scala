@@ -67,6 +67,20 @@ object TextOps extends QueryPack {
     * before it would smear a full induction into that number. */
   def resetMergeMemo(): Unit = mergeRulesCache.clear()
 
+  /** Bench hook: drop the shared pair cache CATALOG-CONSISTENTLY
+    * (Dataset.unpersist, so CacheManager stops recording the plan as
+    * cached) and clear the memo. The bench's isolated phase starts
+    * from a clean heap — leaked blocks from the 300+-query concurrent
+    * pass were inflating UNRELATED isolated timings (round-15 A/B:
+    * the r13->r14 one-sided isolated drift tracked suite size, not
+    * code) — and re-prewarms before timing a pair-cache consumer. */
+  def resetPairsCache(): Unit = {
+    pairsCache.values.forEach { f =>
+      if (f.isDone && !f.isCompletedExceptionally) f.join().unpersist()
+    }
+    pairsCache.clear()
+  }
+
   /** Synthetic keys with PLANTED distance-1 mutations for t63 and the
     * ScaleCheck sweep (one definition, so the gated query and the
     * growth curve can't drift apart): every 5th doc carries its

@@ -1,0 +1,59 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.{Materialize, Multimodal}
+
+/** Cold+warm timing of the m185/m186 affine-frame growth pair at
+  * arbitrary corpus sizes — the focused iteration loop for the
+  * round-14 growth artifact's one super-linear entry (m186 per-doc
+  * wall x1.6 per corpus decade, attributed by measurement to the
+  * applyDfCap + two-sided self-join candidate shape). GrowthBench
+  * remains the artifact of record; this tool exists so a candidate
+  * rewrite can be timed without paying the full 40-query sweep.
+  *
+  * Usage: DiagM186 <n> [<n2> ...]
+  */
+object DiagM186 {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    implicit val s: SparkSession = spark
+
+    val textured = args.contains("textured")
+    args.filter(_.forall(_.isDigit)).foreach { a =>
+      val n = a.toInt
+      println(s"[diag] ===== corpus n=$n textured=$textured =====")
+      for (q <- Seq("m185", "m186")) {
+        val times = (0 until 2).map { _ =>
+          val t0 = System.nanoTime()
+          val media =
+            if (textured) ScaleCheck.cropAffineJpegTextured(spark, n)
+            else ScaleCheck.cropAffinePngs(spark, n)
+          val planted = col("doc_b") - col("doc_a") === 9 &&
+            col("doc_b") % 10 === 9
+          val pairs =
+            if (q == "m185") Multimodal.imageAffineFramePairs(media, maxDf = 500)
+            else Multimodal.imageAffineFramePairsVerified(media, maxDf = 500)
+          val row = pairs.agg(lit(n).as("corpus_n"),
+              sum(when(planted, 1).otherwise(0)).as("planted_found"),
+              sum(when(!planted, 1).otherwise(0)).as("spurious"))
+            .collect()(0)
+          println(s"[diag]   $q planted=${row.get(1)} spurious=${row.get(2)}")
+          (System.nanoTime() - t0) / 1e9
+        }
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        System.gc()
+        println(f"[diag] $q n=$n cold=${times(0)}%7.2f warm=${times(1)}%7.2f per-doc-warm=${times(1) * 1000 / n}%6.2f ms")
+      }
+    }
+    spark.stop()
+  }
+}

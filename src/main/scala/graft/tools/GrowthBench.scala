@@ -52,8 +52,10 @@ object GrowthBench {
     "m97_subtitle_decontam", "m98_subtitle_neardup",
     // affine-frame family (round 14): the crop x affine corpus is
     // sized by the documents count, so decode + code join + (m186)
-    // RANSAC verify all grow with the data
-    "m185_affine_frame_growth", "m186_affine_frame_verified_growth")
+    // RANSAC verify all grow with the data; m192 (round 15) is the
+    // same planted class over JPEG-textured photo-world masters
+    "m185_affine_frame_growth", "m186_affine_frame_verified_growth",
+    "m192_affine_frame_textured_growth")
 
   private def r3(d: Double): Double = math.rint(d * 1000) / 1000
 

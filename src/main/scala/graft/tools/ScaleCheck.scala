@@ -222,6 +222,37 @@ object ScaleCheck {
     }.toDF("doc_id", "payload")
   }
 
+  /** PHOTOGRAPHIC-texture variant of [[cropAffinePngs]]: the same
+    * planted crop x rotation x squeeze compounds over
+    * [[Multimodal.syntheticJpegTextured]] masters (blob structure +
+    * illumination gradient + value-noise texture + sensor grain,
+    * lossy JPEG), with the re-upload itself saved lossy (quality
+    * 0.8) — the photo-world measurement class for the affine-frame
+    * family, vs the clean blob-world class every other sweep uses. */
+  def cropAffineJpegTextured(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(0, n).map { id =>
+      val payload =
+        if (id % 10 == 9) {
+          val deg = 3.0 + (id % 46).toDouble
+          val sq = Array(1.3, 1.5, 1.7)((id % 3).toInt)
+          val crop = Multimodal.pngCropResize(
+            Multimodal.syntheticJpegTextured(id - 9),
+            32, 32, 224, 224, 256, 256)
+          val rot = Multimodal.pngRotateResize(crop, deg)
+          val sqz =
+            if ((id / 10) % 2 == 0)
+              Multimodal.pngCropResize(rot, 0, 0, 256, 256,
+                math.round(256 / sq).toInt, 256)
+            else
+              Multimodal.pngCropResize(rot, 0, 0, 256, 256, 256,
+                math.round(256 / sq).toInt)
+          Multimodal.jpegReencode(sqz, 0.8f)
+        } else Multimodal.syntheticJpegTextured(id)
+      (id, payload)
+    }.toDF("doc_id", "payload")
+  }
+
   /** 256-canvas variant of [[affinePngs]] (NO crop — rotation x
     * squeeze only) on the same rich-structure masters, so the
     * affine-frame tier's no-crop recall is measured on the corpus
@@ -459,6 +490,27 @@ object ScaleCheck {
         run("imageAffineFrameVerified(cropAll)", n / 8)(
           Multimodal.imageAffineFramePairsVerified(c, maxDf = 500))
         c.unpersist()
+        // PHOTOGRAPHIC-texture class (round 15): the same planted
+        // compounds over JPEG-textured masters — gradient + value
+        // noise + grain + 8x8 quantization artifacts. The sweep
+        // measures the photo-world operating point of both tiers
+        // (code gate and RANSAC verify) so the family's headline
+        // recall is not blob-world-only.
+        val j = cropAffineJpegTextured(spark, n / 8).persist()
+        j.count()
+        run("imageAffineFramePairs(texPlanted)", n / 8)(
+          Multimodal.imageAffineFramePairs(j, maxDf = 500)
+            .filter(col("doc_b") - col("doc_a") === 9 &&
+              col("doc_b") % 10 === 9))
+        run("imageAffineFramePairs(texAll)", n / 8)(
+          Multimodal.imageAffineFramePairs(j, maxDf = 500))
+        run("imageAffineFrameVerified(texPlanted)", n / 8)(
+          Multimodal.imageAffineFramePairsVerified(j, maxDf = 500)
+            .filter(col("doc_b") - col("doc_a") === 9 &&
+              col("doc_b") % 10 === 9))
+        run("imageAffineFrameVerified(texAll)", n / 8)(
+          Multimodal.imageAffineFramePairsVerified(j, maxDf = 500))
+        j.unpersist()
       }
       d.unpersist(); e.unpersist()
     }
