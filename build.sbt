@@ -35,7 +35,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // SPARK_DRIVER_XMS pins the forked JVM's initial heap (growth/bench
+  // runs set it = Xmx: ParallelGC's adaptive sizing shrinks the heap
+  // after the tools' between-timing System.gc() and the next timing
+  // pays the re-expansion — measured as spurious warm-slower-than-cold
+  // inversions on the image-fixture queries). JAVA_TOOL_OPTIONS can't
+  // carry it: sbt's own launcher JVM would inherit it and die at init.
+  sys.env.get("SPARK_DRIVER_XMS").map(x => s"-Xms$x").toSeq
 // ClusterMaterializeSpec runs a local-cluster[2,1,1024] harness whose
 // SparkContext must not share a JVM with the other suites (SparkContext
 // is a process-global singleton: any concurrent suite's getOrCreate

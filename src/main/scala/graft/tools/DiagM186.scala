@@ -26,10 +26,50 @@ object DiagM186 {
     spark.sparkContext.setLogLevel("ERROR")
     implicit val s: SparkSession = spark
 
+    // dfstats mode: quantify code-space saturation of the ScaleCheck
+    // blob fixture class at corpus size n — df distribution of the
+    // anchored affine-frame codes and the implied candidate-pair row
+    // count Sum(df^2)/2 under a cap. At 50k docs the 36-bit code
+    // space saturates and the capped pair explode crossed 74 GB of
+    // shuffle spill (the measured 100x wall); these numbers put the
+    // wall on the fixture class, not the operator.
+    if (args.contains("dfstats")) {
+      args.filter(_.forall(_.isDigit)).foreach { a =>
+        val n = a.toInt
+        val media = ScaleCheck.cropAffinePngs(spark, n)
+        val lms = Materialize.eager(
+          Multimodal.imageAffineFrameLandmarksAnchored(media))
+        val dfs = lms.groupBy(col("lm"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+        val stats = dfs.agg(
+          count(lit(1)).as("codes"),
+          sum(col("df")).as("postings"),
+          max(col("df")).as("max_df"),
+          sum(when(col("df") >= 2, col("df") * col("df")) / 2).as("pairs_uncapped"),
+          sum(when(col("df").between(2, 500), col("df") * col("df")) / 2)
+            .as("pairs_cap500"),
+          sum(when(col("df").between(2, 64), col("df") * col("df")) / 2)
+            .as("pairs_cap64"),
+          sum(when(col("df") > 500, 1).otherwise(0)).as("codes_over_500"),
+          sum(when(col("df") > 64, 1).otherwise(0)).as("codes_over_64"))
+          .collect()(0)
+        println(s"[diag] dfstats n=$n $stats")
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        System.gc()
+      }
+      spark.stop(); return
+    }
     val textured = args.contains("textured")
+    // cap=<k> overrides the df cap (default 500, the gate queries'
+    // value) — the saturation-tuning demonstration: on a corpus whose
+    // code space has saturated, lowering the cap restores a bounded
+    // pair explode at the cost of the saturated codes' (nil) signal
+    val cap = args.find(_.startsWith("cap="))
+      .map(_.drop(4).toInt).getOrElse(500)
     args.filter(_.forall(_.isDigit)).foreach { a =>
       val n = a.toInt
-      println(s"[diag] ===== corpus n=$n textured=$textured =====")
+      println(s"[diag] ===== corpus n=$n textured=$textured cap=$cap =====")
       for (q <- Seq("m185", "m186")) {
         val times = (0 until 2).map { _ =>
           val t0 = System.nanoTime()
@@ -39,8 +79,8 @@ object DiagM186 {
           val planted = col("doc_b") - col("doc_a") === 9 &&
             col("doc_b") % 10 === 9
           val pairs =
-            if (q == "m185") Multimodal.imageAffineFramePairs(media, maxDf = 500)
-            else Multimodal.imageAffineFramePairsVerified(media, maxDf = 500)
+            if (q == "m185") Multimodal.imageAffineFramePairs(media, maxDf = cap)
+            else Multimodal.imageAffineFramePairsVerified(media, maxDf = cap)
           val row = pairs.agg(lit(n).as("corpus_n"),
               sum(when(planted, 1).otherwise(0)).as("planted_found"),
               sum(when(!planted, 1).otherwise(0)).as("spurious"))

@@ -72,33 +72,44 @@ object GrowthBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // GROWTH_ONLY=<substr,substr> restricts the set — the 100x decade
+    // runs time only the shuffle-dominated trio, not the full sweep
+    val onlyF = sys.env.get("GROWTH_ONLY").map(_.split(",").toSeq)
     val run = names.filter(graft.SparkEntry.queries.contains)
+      .filter(n => onlyF.forall(_.exists(n.contains)))
     val results = dirs.map { dir =>
       dir -> run.map { name =>
         val fn = graft.SparkEntry.queries(name)
-        // RDD ids persisted BEFORE this query: the post-timing cleanup
-        // must only drop what the query itself leaked — unpersisting
-        // everything would also evict Dataset/table caches created
-        // outside the timed run while CacheManager still records their
-        // plans as cached, silently recomputing later uses
-        val pre = spark.sparkContext.getPersistentRDDs.keySet
         // cold + warm: first run pays codegen/scan setup, second is the
-        // data-proportional number the growth ratio uses
+        // data-proportional number the growth ratio uses. Cleanup runs
+        // AFTER EACH iteration (outside the timed window): every fn()
+        // call rebuilds its own Materialize.eager checkpoints, so the
+        // warm run never legitimately reuses the cold run's leaked
+        // blocks — but at the 10x dir those blocks are multi-GB and
+        // holding them THROUGH the warm run read as warm-slower-than-
+        // cold GC inversions (round-15: t57 4.75 cold / 10.0 warm,
+        // m185 24.3 / 61.5 — both clean when each run starts from a
+        // drained heap). The cleanup itself only drops ids the run
+        // added (the round-14 ADVICE rule: never evict caches created
+        // outside the timed query).
         val times = (0 until 2).map { _ =>
+          val pre = spark.sparkContext.getPersistentRDDs.keySet
           val t0 = System.nanoTime()
           fn(spark, dir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
+          val sec = (System.nanoTime() - t0) / 1e9
+          spark.sparkContext.getPersistentRDDs
+            .foreach { case (id, rdd) =>
+              if (!pre.contains(id)) rdd.unpersist(blocking = true) }
+          System.gc()
+          sec
         }
-        // drop whatever the query left persisted (Materialize.eager
-        // localCheckpoints live until the ContextCleaner notices);
-        // accumulated stale blocks showed up as warm-slower-than-cold
-        // GC spikes on UNRELATED later queries at the 10x dir — each
-        // timing must not pay its predecessors' heap
-        spark.sparkContext.getPersistentRDDs
-          .foreach { case (id, rdd) =>
-            if (!pre.contains(id)) rdd.unpersist(blocking = true) }
-        System.gc()
-        println(f"[growth] $dir $name%-26s cold=${times(0)}%7.2f warm=${times(1)}%7.2f")
+        val left = spark.sparkContext.getPersistentRDDs.size
+        val mem = {
+          val s = spark.sparkContext.getExecutorMemoryStatus.values
+            .foldLeft((0L, 0L)) { case ((t, f), (mt, mf)) => (t + mt, f + mf) }
+          f"${(s._1 - s._2) / 1e9}%.1f"
+        }
+        println(f"[growth] $dir $name%-26s cold=${times(0)}%7.2f warm=${times(1)}%7.2f residentRdds=$left memUsedGB=$mem")
         name -> times
       }
     }
