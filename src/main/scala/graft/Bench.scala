@@ -160,8 +160,17 @@ object Bench {
       // isolated under a single shared pool)
       spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool)
       val t0 = System.nanoTime()
+      // scoped release (round 16): every Materialize.eager checkpoint a
+      // query creates dies with the query, not with the ContextCleaner —
+      // the accumulated leaked blocks were the measured mechanism behind
+      // two rounds of end-of-suite bench drift
       val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        try {
+          graft.operators.Materialize.scoped {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          }
+          true
+        }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
@@ -356,20 +365,22 @@ object Bench {
     // external load first (our own previous pass no longer pollutes the
     // signal the way it polluted loadavg)
     awaitExternalIdle(maxExt, 60, "isolated")
-    // clean-heap isolated phase (round-15): the concurrent pass leaks
-    // every query's Materialize.eager localCheckpoints (the
-    // ContextCleaner lags), and at 335 queries the accumulated blocks
-    // tax UNRELATED isolated timings with GC pressure — the r13->r14
-    // interleaved A/B measured the one-sided isolated drift as
-    // suite-state, not code. Drop the shared pair cache catalog-
-    // consistently first, then every leaked RDD, then GC; pair-cache
-    // consumers re-prewarm before their timing (same basis as lanes).
+    // Leak ASSERT (round-16): Materialize.scoped now releases every
+    // query's eager checkpoints at query exit, so after the concurrent
+    // pass the only persistent RDD left should be the shared pair
+    // cache. Count anything else into the artifact (leaked_rdds_pass)
+    // instead of the round-15 defensive unpersist-all + System.gc —
+    // the scoped lifecycle is the fix; this field proves it holds.
     graft.queries.TextOps.resetPairsCache()
-    spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = true))
-    System.gc()
+    val leakedAfterPass = spark.sparkContext.getPersistentRDDs.toSeq
+    leakedAfterPass.foreach { case (id, rdd) =>
+      System.err.println(s"[bench] LEAKED persistent RDD after pass: " +
+        s"id=$id ${rdd.name}")
+      rdd.unpersist(blocking = true)
+    }
     val pairConsumersIso = Set("t36_ngram_jaccard", "t41_dedup_clusters",
       "t42_dedup_resolve")
+    var leakedIsolated = 0
     val isoJiff = cpuJiffies(); val isoT0 = System.nanoTime()
     // ext_cores is measured PER QUERY in this pass, and any query that
     // ran while another process held >maxExt cores is re-timed once
@@ -390,13 +401,18 @@ object Bench {
       val j0 = cpuJiffies(); val t0 = System.nanoTime()
       val sec = time(name, SparkEntry.queries(name))._1
       val ext = extCores(j0, (System.nanoTime() - t0) / 1e9)
-      // drop what this query leaked (GrowthBench's diff idiom — never
-      // evict caches created outside the timed run) so the NEXT
-      // isolated timing doesn't pay this one's heap
+      // leak assert: the scoped release should leave nothing behind —
+      // count and drop any survivor (never caches created OUTSIDE the
+      // timed run, e.g. the prewarmed pair set)
       spark.sparkContext.getPersistentRDDs
         .foreach { case (id, rdd) =>
-          if (!pre.contains(id)) rdd.unpersist(blocking = true) }
-      System.gc()
+          if (!pre.contains(id)) {
+            leakedIsolated += 1
+            System.err.println(s"[bench] LEAKED persistent RDD after " +
+              s"isolated $name: id=$id ${rdd.name}")
+            rdd.unpersist(blocking = true)
+          }
+        }
       (sec, ext)
     }
     val isolatedFull = isoNames.map { name =>
@@ -435,6 +451,8 @@ object Bench {
       s""""self_cores":${r3(selfConc)},"gc_sec":${r3(gcConc)},""" +
       s""""cpu_throttled_sec":${r3(cgroupThrottledSec() - throttled0)},""" +
       s""""cpu_quota":"${jesc(cgroupCpuMax())}",""" +
+      s""""leaked_rdds_pass":${leakedAfterPass.size},""" +
+      s""""leaked_rdds_isolated":$leakedIsolated,""" +
       s""""lanes":${sys.env.getOrElse("SPARK_GRAFT_BENCH_LANES", "10").toInt},"sf":"${jesc(sfDir)}"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
     // The full ~200-entry JSON overflows the driver's stdout capture
