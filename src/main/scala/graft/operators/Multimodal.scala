@@ -3606,6 +3606,13 @@ object Multimodal {
     * distinct (doc_id, orient, lm) rows. */
   private def orientedLandmarkPairScores(lms: DataFrame,
       minMatch: Double, maxDf: Int, minShared: Int = 0): DataFrame = {
+    // AutoDf solves over the IDENTITY readout (orient 0): the mirror
+    // fan repacks the same codes, so identity df is the honest
+    // distribution and the solved cap compares 1:1 with the
+    // un-oriented scorers'
+    val (cap, solvedCap) = resolveDfCap(
+      lms.filter(col("orient") === 0).select(col("doc_id"), col("lm")),
+      maxDf, 16)
     val n0 = lms.filter(col("orient") === 0)
       .groupBy(col("doc_id")).agg(count(lit(1)).as("nl"))
     // the df cap applies to the posting row itself (rows are distinct
@@ -3618,7 +3625,7 @@ object Multimodal {
       .filter(size(col("ds")) >= 2 &&
         dfCapKeep(lms.sparkSession, col("lm"),
           size(array_distinct(transform(col("ds"),
-            x => x.getField("doc_id")))), maxDf))
+            x => x.getField("doc_id")))), cap, solvedCap))
     val ds = array_sort(col("ds"))
     kept.select(explode(flatten(transform(ds, (x, i) =>
         transform(slice(ds, i + lit(2), greatest(size(ds) - i - 1, lit(0))),
@@ -3698,6 +3705,9 @@ object Multimodal {
     * (doc_id, lm) rows. */
   private def peakLandmarkPairScores(lms: DataFrame, minMatch: Double,
       maxDf: Int, minShared: Int = 0): DataFrame = {
+    // AutoDf: one extra pass over the (already materialized) landmark
+    // table solves the cap from the measured df distribution
+    val (cap, solvedCap) = resolveDfCap(lms, maxDf, 16)
     val nl = lms.groupBy(col("doc_id")).agg(count(lit(1)).as("nl"))
     // rows are distinct (doc_id, lm), so the posting size IS the
     // code's distinct-doc df and the cap filters in-row — one
@@ -3706,7 +3716,8 @@ object Multimodal {
     val kept = lms.groupBy(col("lm"))
       .agg(collect_list(col("doc_id")).as("ds"))
       .filter(size(col("ds")) >= 2 &&
-        dfCapKeep(lms.sparkSession, col("lm"), size(col("ds")), maxDf))
+        dfCapKeep(lms.sparkSession, col("lm"), size(col("ds")), cap,
+          solvedCap))
     val ds = array_sort(col("ds"))
     kept.select(explode(flatten(transform(ds, (x, i) =>
         transform(slice(ds, i + lit(2), greatest(size(ds) - i - 1, lit(0))),
@@ -5742,18 +5753,156 @@ object Multimodal {
       candMinMatch, candMinShared, verifyMinFrac, verifyMinAligned,
       tolPx, maxDf)
 
+  /** BOTH affine-frame tiers — the m174 code gate and the m179 RANSAC
+    * verify — off ONE decode and ONE landmark pass (round 16; the
+    * m192 gate previously ran [[imageAffineFramePairs]] AND
+    * [[imageAffineFramePairsVerified]] over the same corpus, paying
+    * the dominant linear cost — decode + detection + coding — twice).
+    * [[affineFrameCodes]] is by construction the anchored extractor's
+    * code column ([[affineFrameCodesAnchored]] `.map(_._1)`), so the
+    * anchored table's (doc_id, lm) projection IS the plain landmark
+    * table: the code tier scores bit-identically to the two-decode
+    * path, the verified tier reads the same materialized table, and
+    * only the decode count changes. Returns (code pairs, verified
+    * pairs) — both lazy plans over one eager checkpoint, so consume
+    * them within the checkpoint's lifetime (one query). */
+  def imageAffineFrameTiers(media: DataFrame, minMatch: Double = 0.02,
+      minShared: Int = 16, candMinMatch: Double = 0.004,
+      candMinShared: Int = 4, verifyMinFrac: Double = 0.5,
+      verifyMinAligned: Int = 9, tolPx: Double = 3.0, maxDf: Int = 0,
+      kTop: Int = 48, nNear: Int = 8, nBasis: Int = 4,
+      qStep: Double = 0.3, smoothR: Int = 4, radius: Int = 6,
+      minAvg: Int = 24)(implicit s: SparkSession)
+      : (DataFrame, DataFrame) = {
+    val anchored = Materialize.eager(
+      imageAffineFrameLandmarksAnchored(media, kTop, nNear, nBasis,
+        qStep, smoothR, radius, minAvg))
+    (peakLandmarkPairScores(anchored.select(col("doc_id"), col("lm")),
+        minMatch, maxDf, minShared),
+      affineFramePairsVerifiedFrom(anchored, candMinMatch,
+        candMinShared, verifyMinFrac, verifyMinAligned, tolPx, maxDf))
+  }
+
+  /** [[imageAffineFrameTiers]] for VIDEO — one container walk feeds
+    * both the m177 code gate and the m182 RANSAC verify (the anchored
+    * pooled table's (doc_id, lm) projection is exactly
+    * [[videoAffineFrameLandmarks]]: both extractors pool DISTINCT
+    * codes per doc in first-emission order). */
+  def videoAffineFrameTiers(media: DataFrame, minMatch: Double = 0.02,
+      minShared: Int = 16, candMinMatch: Double = 0.004,
+      candMinShared: Int = 4, verifyMinFrac: Double = 0.4,
+      verifyMinAligned: Int = 9, tolPx: Double = 3.0, maxDf: Int = 0,
+      every: Int = 2, kTop: Int = 48, nNear: Int = 8, nBasis: Int = 4,
+      qStep: Double = 0.3, smoothR: Int = 4, radius: Int = 6,
+      minAvg: Int = 24)(implicit s: SparkSession)
+      : (DataFrame, DataFrame) = {
+    val anchored = Materialize.eager(
+      videoAffineFrameLandmarksAnchored(media, every, kTop, nNear,
+        nBasis, qStep, smoothR, radius, minAvg))
+    (peakLandmarkPairScores(anchored.select(col("doc_id"), col("lm")),
+        minMatch, maxDf, minShared),
+      affineFramePairsVerifiedFrom(anchored, candMinMatch,
+        candMinShared, verifyMinFrac, verifyMinAligned, tolPx, maxDf))
+  }
+
+  /** Sentinel for `maxDf`: SOLVE the cap from the measured df
+    * distribution and the configured shuffle budget
+    * ([[solveDfCap]]) — the SCALE.md:385-398 deployment rule promoted
+    * into the operator, so a 100-TB user does not hand-pick a cap
+    * from a separate dfstats run. */
+  val AutoDf: Int = -1
+
+  /** Conf key for the pair-explode shuffle budget [[solveDfCap]]
+    * solves against (bytes). Default 16 GiB — sized to local[32]'s
+    * measured comfort zone (the 50k saturated blob fixture solves to
+    * the cap-64 operating point: 6.4e8 corr rows x ~32 B ~ 20 GB was
+    * flat per-doc, the cap-500 2.7e9-row explode spilled 74 GB and
+    * was not); a cluster deployment sets it to the shuffle capacity
+    * actually provisioned. */
+  val PairBudgetConf = "spark.graft.pair.shuffleBudgetBytes"
+
+  /** Solve the largest df cap whose pair explode fits `budgetBytes`
+    * (<= 0: read [[PairBudgetConf]]): codes over the cap are DROPPED
+    * by [[dfCapKeep]], so cost(c) = Sum over codes with 2 <= df <= c
+    * of df^2/2 * pairRowBytes — monotone in c, solved exactly from a
+    * ONE-PASS bounded histogram (exact counts for df <= 4096, one
+    * geometric bin per octave above — driver rows <= 4096 + ~20, at
+    * any corpus size). `lms` must be distinct (doc, lm) rows, the
+    * scorer-input contract. Returns the largest observed df when
+    * even the uncapped explode fits, and 2 (with a warn) when no cap
+    * fits — never a value whose explode the budget cannot hold. */
+  def solveDfCap(lms: DataFrame, pairRowBytes: Int,
+      budgetBytes: Long = 0L): Int = {
+    require(pairRowBytes > 0, "pairRowBytes must be > 0")
+    val s = lms.sparkSession
+    val budget = if (budgetBytes > 0) budgetBytes
+      else s.conf.get(PairBudgetConf, (16L << 30).toString).toLong
+    require(budget > 0, s"$PairBudgetConf must be > 0")
+    val pivot = 4096L
+    val dfT = lms.groupBy(col("lm")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+    val hist = dfT.select(
+        when(col("df") <= pivot, col("df"))
+          .otherwise(-ceil(log(2.0,
+            col("df").cast("double") / pivot)).cast("long")).as("bin"),
+        col("df"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("df") * col("df")).as("s2"), max(col("df")).as("mx"))
+      .collect()
+    if (hist.isEmpty) return 0 // no pairable code at all: uncapped
+    // candidate caps in ascending cost order: every exact df value,
+    // then every geometric bin's ACTUAL max (bins hold disjoint df
+    // ranges, so cost at a bin max = exact region + all lower bins —
+    // exact, not a bound)
+    val cands = (hist.filter(_.getLong(0) > 0)
+        .map(r => (r.getLong(0), r.getLong(2))) ++
+      hist.filter(_.getLong(0) < 0).sortBy(_.getLong(3))
+        .map(r => (r.getLong(3), r.getLong(2))))
+      .sortBy(_._1)
+    val maxObserved = cands.last._1
+    var cum = 0.0
+    var solved = 0L
+    cands.foreach { case (cap, s2) =>
+      cum += s2.toDouble
+      if (cum / 2.0 * pairRowBytes <= budget) solved = cap
+    }
+    val out =
+      if (solved == maxObserved) math.min(maxObserved, Int.MaxValue.toLong).toInt
+      else if (solved >= 2) solved.toInt
+      else { // even the smallest pairable codes blow the budget
+        hotLog.warn(s"solveDfCap: no cap fits budget $budget B at row " +
+          s"width $pairRowBytes B - returning 2 (minimum pairable df)")
+        2
+      }
+    hotLog.info(s"solveDfCap: cap=$out (budget=$budget B, row=" +
+      s"$pairRowBytes B, max observed df=$maxObserved)")
+    out
+  }
+
+  /** Resolve a caller's maxDf: [[AutoDf]] solves from the data (and
+    * the solved cap self-reports drops via [[hotCodesDropped]], like
+    * the backstop auto-cap); anything else passes through. */
+  private def resolveDfCap(lms: DataFrame, maxDf: Int,
+      pairRowBytes: Int): (Int, Boolean) =
+    if (maxDf == AutoDf) (solveDfCap(lms, pairRowBytes), true)
+    else (maxDf, false)
+
   /** The distinct-doc posting cap as a keep-PREDICATE over a
     * per-code posting row whose distinct-doc count is already in
     * hand (`dfCol`) — explicit maxDf when > 0, [[hotCodeAutoCap]]
-    * (with the accumulator + warn per dropped code) otherwise. The
-    * cap applies where the posting list is built (the scorers all
-    * group by code anyway), instead of the former standalone
-    * count-aggregation + semi-join-back stage, which re-shuffled the
-    * full landmark table twice per scorer on the same key. */
+    * (with the accumulator + warn per dropped code) otherwise;
+    * `report` forces the accumulator path for a cap the operator
+    * SOLVED itself ([[AutoDf]]), which must self-report like the
+    * backstop. The cap applies where the posting list is built (the
+    * scorers all group by code anyway), instead of the former
+    * standalone count-aggregation + semi-join-back stage, which
+    * re-shuffled the full landmark table twice per scorer on the
+    * same key. */
   private def dfCapKeep(s: SparkSession, lmCol: Column, dfCol: Column,
-      maxDf: Int): Column = {
-    val auto = maxDf <= 0
-    val cap = if (auto) hotCodeAutoCap else maxDf
+      maxDf: Int, report: Boolean = false): Column = {
+    val auto = maxDf <= 0 || report
+    val cap = if (maxDf <= 0) hotCodeAutoCap else maxDf
     if (cap <= 0) lit(true)
     else if (!auto) dfCol <= cap
     else {
@@ -5776,7 +5925,11 @@ object Multimodal {
   /** Candidate + RANSAC-verify stage of the verified affine-frame
     * tier over an ANCHORED landmark table (doc_id, lm, ax, ay) —
     * shared by the image (m179) and video (m182) members: the media
-    * extractors differ, the geometry does not.
+    * extractors differ, the geometry does not. PUBLIC (round 16): a
+    * caller holding a materialized anchored table (e.g. to
+    * [[solveDfCap]] a budgeted cap first, or to feed several tiers
+    * off one decode) runs the verify stage directly — the m193
+    * auto-cap gate is exactly that composition.
     *
     * Candidate shape (round 15): ONE groupBy(lm) builds per-code
     * posting lists — rows are distinct (doc, lm), so the list size
@@ -5789,12 +5942,17 @@ object Multimodal {
     * entry (m186: per-doc wall x1.6 per corpus decade); this shape
     * shuffles it twice (postings, then pair aggregation), the same
     * plan the unverified tier rides to a FALLING per-doc cost. */
-  private def affineFramePairsVerifiedFrom(lms: DataFrame,
-      candMinMatch: Double, candMinShared: Int, verifyMinFrac: Double,
-      verifyMinAligned: Int, tolPx: Double, maxDf: Int): DataFrame = {
+  def affineFramePairsVerifiedFrom(lms: DataFrame,
+      candMinMatch: Double = 0.004, candMinShared: Int = 4,
+      verifyMinFrac: Double = 0.5, verifyMinAligned: Int = 9,
+      tolPx: Double = 3.0, maxDf: Int = 0): DataFrame = {
     require(verifyMinFrac >= 0.0 && verifyMinFrac <= 1.0,
       "verifyMinFrac must be in [0, 1]")
     require(tolPx > 0.0, "tolPx must be > 0")
+    // AutoDf: the verified tier's pair rows carry the 4-int anchor
+    // correspondence on top of the pair key — solve at the wider row
+    val (cap, solvedCap) = resolveDfCap(
+      lms.select(col("doc_id"), col("lm")), maxDf, 32)
     val nl = lms.groupBy(col("doc_id")).agg(count(lit(1)).as("nl"))
     // anchor cloud per doc = its DISTINCT landmark anchors (a subset
     // of the detected peaks — every peak with a conditioned basis)
@@ -5806,7 +5964,8 @@ object Multimodal {
       .agg(collect_list(struct(col("doc_id"), col("ax"), col("ay")))
         .as("ps"))
       .filter(size(col("ps")) >= 2 &&
-        dfCapKeep(lms.sparkSession, col("lm"), size(col("ps")), maxDf))
+        dfCapKeep(lms.sparkSession, col("lm"), size(col("ps")), cap,
+          solvedCap))
     val ds = array_sort(col("ps"))
     val cand = posted.select(explode(flatten(transform(ds, (x, i) =>
         transform(slice(ds, i + lit(2), greatest(size(ds) - i - 1, lit(0))),

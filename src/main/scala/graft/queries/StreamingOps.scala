@@ -3375,10 +3375,44 @@ object StreamingOps extends QueryPack {
         pairs.agg(lit(name).as("tier"), lit(n).as("corpus_n"),
           sum(when(planted, 1).otherwise(0)).as("planted_found"),
           sum(when(!planted, 1).otherwise(0)).as("spurious"))
-      tier("code", Multimodal.imageAffineFramePairs(media, maxDf = 500))
-        .unionByName(tier("verified",
-          Multimodal.imageAffineFramePairsVerified(media, maxDf = 500)))
+      // one decode for both tiers (round 16): the anchored landmark
+      // table feeds the code gate AND the RANSAC verify — decode is
+      // the dominant linear cost on a media corpus, and the former
+      // two-decode shape paid it twice for byte-identical output
+      val (code, verified) =
+        Multimodal.imageAffineFrameTiers(media, maxDf = 500)
+      tier("code", code)
+        .unionByName(tier("verified", verified))
         .orderBy(col("tier"))
+    }),
+
+    // AUTO-CAP gate (m193 — SCALE.md's df-cap deployment rule
+    // promoted into the operator): the verified tier at a cap the
+    // engine SOLVED from the measured df distribution and a byte
+    // budget, not a hand knob. One anchored decode; solveDfCap reads
+    // its df histogram (one pass, bounded driver rows), picks the
+    // largest cap whose corr-row explode fits 14 MiB at width 32 —
+    // deliberately tight: this fixture's UNCAPPED explode is
+    // 15,074,048 B (measured histogram, n=500: 471,064 pair rows), so
+    // the solver must BIND at an INTERIOR cap (11 — cum 14,650,592 B;
+    // cap 12 would cost 14,775,008 B > 14 MiB), not the floor, and
+    // the pinned row proves the solved operating point keeps the
+    // verified tier's recall with zero spurious. The solved cap is
+    // pinned IN the output (self-reporting beats an accumulator).
+    "m193_affine_frame_autocap" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val n = 500
+      val media = graft.tools.ScaleCheck.cropAffinePngs(s, n)
+      val planted = col("doc_b") - col("doc_a") === 9 &&
+        col("doc_b") % 10 === 9
+      val anchored = graft.operators.Materialize.eager(
+        Multimodal.imageAffineFrameLandmarksAnchored(media))
+      val cap = Multimodal.solveDfCap(
+        anchored.select(col("doc_id"), col("lm")), 32, 14L << 20)
+      Multimodal.affineFramePairsVerifiedFrom(anchored, maxDf = cap)
+        .agg(lit(n).as("corpus_n"), lit(cap).as("solved_cap"),
+          sum(when(planted, 1).otherwise(0)).as("planted_found"),
+          sum(when(!planted, 1).otherwise(0)).as("spurious"))
     }),
 
     // VERIFIED index screen (m180 — the m179 verdict at the
