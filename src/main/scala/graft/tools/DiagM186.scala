@@ -61,35 +61,69 @@ object DiagM186 {
       spark.stop(); return
     }
     val textured = args.contains("textured")
+    // autocap mode: maxDf = AutoDf end-to-end — the engine solves the
+    // cap from the measured df distribution and the DEFAULT budget
+    // (spark.graft.pair.shuffleBudgetBytes, 16 GiB), then m185/m186
+    // run at the solved cap. The round-15 verdict's acceptance: at
+    // the 50k saturated blob fixture this must reproduce the cap-64
+    // operating point (flat per-doc, verified >= 90% recall, 0
+    // spurious) WITHOUT a hand knob.
+    val autocap = args.contains("autocap")
     // cap=<k> overrides the df cap (default 500, the gate queries'
     // value) — the saturation-tuning demonstration: on a corpus whose
     // code space has saturated, lowering the cap restores a bounded
     // pair explode at the cost of the saturated codes' (nil) signal
-    val cap = args.find(_.startsWith("cap="))
+    val cap0 = args.find(_.startsWith("cap="))
       .map(_.drop(4).toInt).getOrElse(500)
+    val cap = if (autocap) Multimodal.AutoDf else cap0
     args.filter(_.forall(_.isDigit)).foreach { a =>
       val n = a.toInt
-      println(s"[diag] ===== corpus n=$n textured=$textured cap=$cap =====")
+      println(s"[diag] ===== corpus n=$n textured=$textured cap=" +
+        s"${if (autocap) "auto" else cap0} =====")
+      if (autocap) {
+        // report the solved caps once, visibly (the runs below solve
+        // again internally — same pure function of the same data)
+        val media =
+          if (textured) ScaleCheck.cropAffineJpegTextured(spark, n)
+          else ScaleCheck.cropAffinePngs(spark, n)
+        Materialize.scoped {
+          val lms = Materialize.eager(
+            Multimodal.imageAffineFrameLandmarksAnchored(media))
+            .select(col("doc_id"), col("lm"))
+          println(s"[diag] solved cap (code tier, w16)     = " +
+            Multimodal.solveDfCap(lms, 16))
+          println(s"[diag] solved cap (verified tier, w32) = " +
+            Multimodal.solveDfCap(lms, 32))
+        }
+      }
       for (q <- Seq("m185", "m186")) {
         val times = (0 until 2).map { _ =>
           val t0 = System.nanoTime()
-          val media =
-            if (textured) ScaleCheck.cropAffineJpegTextured(spark, n)
-            else ScaleCheck.cropAffinePngs(spark, n)
-          val planted = col("doc_b") - col("doc_a") === 9 &&
-            col("doc_b") % 10 === 9
-          val pairs =
-            if (q == "m185") Multimodal.imageAffineFramePairs(media, maxDf = cap)
-            else Multimodal.imageAffineFramePairsVerified(media, maxDf = cap)
-          val row = pairs.agg(lit(n).as("corpus_n"),
-              sum(when(planted, 1).otherwise(0)).as("planted_found"),
-              sum(when(!planted, 1).otherwise(0)).as("spurious"))
-            .collect()(0)
-          println(s"[diag]   $q planted=${row.get(1)} spurious=${row.get(2)}")
+          // scoped: the run's eager checkpoints die at the timing
+          // boundary (round 16) — the diff-clean below should find
+          // nothing and says so when it does
+          Materialize.scoped {
+            val media =
+              if (textured) ScaleCheck.cropAffineJpegTextured(spark, n)
+              else ScaleCheck.cropAffinePngs(spark, n)
+            val planted = col("doc_b") - col("doc_a") === 9 &&
+              col("doc_b") % 10 === 9
+            val pairs =
+              if (q == "m185") Multimodal.imageAffineFramePairs(media, maxDf = cap)
+              else Multimodal.imageAffineFramePairsVerified(media, maxDf = cap)
+            val row = pairs.agg(lit(n).as("corpus_n"),
+                sum(when(planted, 1).otherwise(0)).as("planted_found"),
+                sum(when(!planted, 1).otherwise(0)).as("spurious"))
+              .collect()(0)
+            println(s"[diag]   $q planted=${row.get(1)} spurious=${row.get(2)}")
+          }
           (System.nanoTime() - t0) / 1e9
         }
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = true))
+        val leaked = spark.sparkContext.getPersistentRDDs
+        if (leaked.nonEmpty) {
+          println(s"[diag] LEAKED persistent RDDs: ${leaked.keySet}")
+          leaked.values.foreach(_.unpersist(blocking = true))
+        }
         System.gc()
         println(f"[diag] $q n=$n cold=${times(0)}%7.2f warm=${times(1)}%7.2f per-doc-warm=${times(1) * 1000 / n}%6.2f ms")
       }

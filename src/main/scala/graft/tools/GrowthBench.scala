@@ -95,11 +95,20 @@ object GrowthBench {
         val times = (0 until 2).map { _ =>
           val pre = spark.sparkContext.getPersistentRDDs.keySet
           val t0 = System.nanoTime()
-          fn(spark, dir).write.format("noop").mode("overwrite").save()
+          // scoped (round 16): the run's eager checkpoints release at
+          // the timing boundary itself; the diff below is an assert
+          // that it held, not the cleanup mechanism anymore
+          graft.operators.Materialize.scoped {
+            fn(spark, dir).write.format("noop").mode("overwrite").save()
+          }
           val sec = (System.nanoTime() - t0) / 1e9
           spark.sparkContext.getPersistentRDDs
             .foreach { case (id, rdd) =>
-              if (!pre.contains(id)) rdd.unpersist(blocking = true) }
+              if (!pre.contains(id)) {
+                println(s"[growth] LEAKED persistent RDD after $name: id=$id")
+                rdd.unpersist(blocking = true)
+              }
+            }
           System.gc()
           sec
         }
