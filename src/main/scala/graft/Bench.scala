@@ -151,6 +151,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the scoped release deliberately unpersists locally-checkpointed
+    // RDDs at query exit; Spark warns per block ("cannot be recomputed
+    // after unpersisting") — correct in general, noise here (nothing
+    // reads a checkpoint after its query's scope closes)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
 
     def time(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         pool: String = "default"): (Double, Boolean) = {
@@ -282,19 +288,41 @@ object Bench {
       // and wall noise masked real drift. A dedicated phase on an
       // otherwise-idle machine keeps family lane times within ~2x of
       // isolated while the wall stays inclusive of every byte of work.
-      val (pipeSeq, pureSeq) = SparkEntry.queries.toSeq
+      val sorted = SparkEntry.queries.toSeq
         .sortBy { case (n, _) =>
           (if (pairConsumers(n)) Int.MaxValue else heavyFirst.getOrElse(n, 1000), n)
         }
-        .partition { case (n, _) => pipelineQueries(n) }
+      val (pipeSeq, rest) = sorted.partition { case (n, _) => pipelineQueries(n) }
+      // The st gates run as their own LIGHT PHASE, OVERLAPPED with the
+      // pipeline phase (round 16). Mixed into the bulk lanes their
+      // micro-batch jobs queued FIFO behind heavy scan stages (r15:
+      // lane median 3.07 s vs isolated 1.91 s) — measured to be
+      // scheduler queuing, not checkpoint IO (tmpfs moved nothing).
+      // The shapes measured before landing here: a SERIALIZED st phase
+      // fixed the tail (median 2.96, p90 3.68) at sum parity but cost
+      // +18 s wall (the gates had been filling bulk-pass scheduler
+      // gaps); per-gate FAIR pools (66 pools) and one weighted
+      // minShare pool both made the heavy lanes globally slower (sum
+      // 841 -> 926/1019). Overlapping the light gates with the pipe
+      // family's commit-barrier idle gaps keeps both phases' lane
+      // numbers readable without the serialization cost.
+      val (stSeq, pureSeq) = rest.partition { case (n, _) => n.startsWith("st") }
       val pureResults = pureSeq.map { case (name, fn) =>
         name -> pool.submit(new java.util.concurrent.Callable[(Double, Boolean)] {
           def call(): (Double, Boolean) = time(name, fn)
         })
       }.map { case (name, fut) => val (sec, ok) = fut.get(); (name, sec, ok) }
       pool.shutdown()
+      val stLanes = math.max(1,
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_ST_LANES", "5").toInt)
+      val stPool = java.util.concurrent.Executors.newFixedThreadPool(stLanes)
       val pipePool = java.util.concurrent.Executors.newFixedThreadPool(pipeLanes)
-      val pipeResults = pipeSeq.map { case (name, fn) =>
+      val stFuts = stSeq.map { case (name, fn) =>
+        name -> stPool.submit(new java.util.concurrent.Callable[(Double, Boolean)] {
+          def call(): (Double, Boolean) = time(name, fn, s"st-$name")
+        })
+      }
+      val pipeFuts = pipeSeq.map { case (name, fn) =>
         name -> pipePool.submit(new java.util.concurrent.Callable[(Double, Boolean)] {
           // per-query FAIR pools within the phase: FAIR schedules
           // ACROSS pools but FIFO within one, so a single shared
@@ -302,9 +330,13 @@ object Bench {
           // jobs behind each other
           def call(): (Double, Boolean) = time(name, fn, s"pipe-$name")
         })
-      }.map { case (name, fut) => val (sec, ok) = fut.get(); (name, sec, ok) }
-      pipePool.shutdown()
-      val results = pureResults ++ pipeResults
+      }
+      val stResults = stFuts.map { case (name, fut) =>
+        val (sec, ok) = fut.get(); (name, sec, ok) }
+      val pipeResults = pipeFuts.map { case (name, fut) =>
+        val (sec, ok) = fut.get(); (name, sec, ok) }
+      stPool.shutdown(); pipePool.shutdown()
+      val results = pureResults ++ stResults ++ pipeResults
       val wall = (System.nanoTime() - wall0) / 1e9
       val selfCores =
         if (jiff0 == ((0L, 0L)) || wall <= 0) 0.0

@@ -58,11 +58,16 @@ object DedupCluster {
       throw new IllegalStateException(
         s"label propagation did not converge after $maxIter iterations; " +
           "raise maxIter (components with diameter > maxIter exist)")
-    // pin the result, then free the intermediates it was built from
-    labels.count()
+    // hand the result off through an eager materialization (scope-
+    // released at query exit) and free EVERYTHING the loop persisted —
+    // returning the persisted `labels` itself leaked one cached RDD
+    // per call with no owner to unpersist it (round-16 bench leak
+    // assert caught it)
+    val out = Materialize.eager(labels)
     adj.unpersist(blocking = false)
     edges.unpersist(blocking = false)
-    labels
+    labels.unpersist(blocking = false)
+    out
   }
 
   /** Full dedup resolution: docs + near-dup pairs + a quality score →

@@ -52,10 +52,14 @@ object TextOps extends QueryPack {
   private def learnedMerges(s: SparkSession, dir: String): Seq[(Int, String, String, Long)] =
     mergeRulesCache.computeIfAbsent(dir, _ =>
       java.util.concurrent.CompletableFuture.supplyAsync { () =>
-        TextAnalysis.bpeMergeRules(t(s, dir, "documents"), "text", merges = 3)
-          .collect()
-          .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
-          .toSeq
+        // scoped: the induction's round-state checkpoints die with the
+        // build — only the collected driver-side rule list escapes
+        graft.operators.Materialize.scoped {
+          TextAnalysis.bpeMergeRules(t(s, dir, "documents"), "text", merges = 3)
+            .collect()
+            .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+            .toSeq
+        }
       }).join()
 
   /** Bench hook: drop the memoized merge rules so an ISOLATED re-timing
