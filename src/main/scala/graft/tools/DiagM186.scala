@@ -96,7 +96,10 @@ object DiagM186 {
             Multimodal.solveDfCap(lms, 32))
         }
       }
-      for (q <- Seq("m185", "m186")) {
+      // only=m185|m186 restricts to one tier (a failed long run at the
+      // 50k sizes retries without re-paying the other tier)
+      val onlyQ = args.find(_.startsWith("only=")).map(_.drop(5))
+      for (q <- Seq("m185", "m186") if onlyQ.forall(_ == q)) {
         val times = (0 until 2).map { _ =>
           val t0 = System.nanoTime()
           // scoped: the run's eager checkpoints die at the timing
