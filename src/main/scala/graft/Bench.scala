@@ -151,12 +151,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // the scoped release deliberately unpersists locally-checkpointed
-    // RDDs at query exit; Spark warns per block ("cannot be recomputed
-    // after unpersisting") — correct in general, noise here (nothing
-    // reads a checkpoint after its query's scope closes)
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
+    // message-matching filter for the one expected per-block warning
+    // the scoped release triggers — the rdd package keeps its WARN
+    // signal (see LogNoise)
+    LogNoise.muteUnpersistWarning()
 
     def time(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         pool: String = "default"): (Double, Boolean) = {
@@ -524,6 +522,11 @@ object Bench {
     }
     val isolatedForkCold =
       scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // fork failures (timeout / non-zero exit / unparseable JSON) are a
+    // COVERAGE hole in the isolated artifact — record them
+    // machine-readably (mirroring `failed`) instead of only a stderr
+    // line, and fail the run below like a failed concurrent query
+    val forkFailed = scala.collection.mutable.ArrayBuffer.empty[String]
     val isolatedFull =
       if (forkIso) isoNames.flatMap { name =>
         forkOne(name) match {
@@ -542,7 +545,9 @@ object Bench {
               }
             isolatedForkCold(name) = c
             Some((name, w, e, rt))
-          case None => None
+          case None =>
+            forkFailed += name
+            None
         }
       }
       else isoNames.map { name =>
@@ -572,7 +577,9 @@ object Bench {
       s""""isolated":${jmap(isolated)},""" +
       s""""isolated_mode":"${if (forkIso) "fork" else "inproc"}",""" +
       (if (forkIso)
-        s""""isolated_cold":${jmap(isolatedForkCold.toSeq)},""" else "") +
+        s""""isolated_cold":${jmap(isolatedForkCold.toSeq)},""" +
+        s""""fork_failed":[${forkFailed.map("\"" + _ + "\"").mkString(",")}],"""
+      else "") +
       s""""isolated_ext":${jmap(isolatedExt)},""" +
       s""""isolated_retimed":[${isolatedRetimed.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""failed":[${failed.map("\"" + _ + "\"").mkString(",")}],""" +
@@ -595,13 +602,17 @@ object Bench {
     val summary =
       s"""{"metric":"total","value":${r3(wall)},"unit":"sec",""" +
       s""""n":${results.size},"failed":[${failed.map("\"" + _ + "\"").mkString(",")}],""" +
+      (if (forkIso)
+        s""""fork_failed":[${forkFailed.map("\"" + _ + "\"").mkString(",")}],"""
+      else "") +
       s""""sum_sec":${r3(results.map(_._2).sum)},""" +
       s""""ext_cores":${r3(extConc)},"contended_rerun":$rerun,""" +
       s""""jvm_cpus":${Runtime.getRuntime.availableProcessors},""" +
       s""""self_cores":${r3(selfConc)},"gc_sec":${r3(gcConc)},""" +
       s""""cpu_throttled_sec":${r3(cgroupThrottledSec() - throttled0)},""" +
       s""""full":"${jesc(outPath)}","sf":"${jesc(sfDir)}"}"""
-    emitAndHalt(spark, summary, if (failed.nonEmpty) 3 else 0)
+    emitAndHalt(spark, summary,
+      if (failed.nonEmpty) 3 else if (forkFailed.nonEmpty) 4 else 0)
   }
 
   /** Print `line` as the LAST thing this JVM ever writes, then halt.

@@ -23,10 +23,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // scope-released local checkpoints trip a per-block Spark warning
-    // ("cannot be recomputed after unpersisting") — deliberate here
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
+    // message-matching filter for the one expected per-block warning
+    // the scoped release triggers — the rdd package keeps its WARN
+    // signal (see LogNoise)
+    LogNoise.muteUnpersistWarning()
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       if (keep(name) && !oracleOnly) {

@@ -3606,13 +3606,13 @@ object Multimodal {
     * distinct (doc_id, orient, lm) rows. */
   private def orientedLandmarkPairScores(lms: DataFrame,
       minMatch: Double, maxDf: Int, minShared: Int = 0): DataFrame = {
-    // AutoDf solves over the IDENTITY readout (orient 0): the mirror
-    // fan repacks the same codes, so identity df is the honest
-    // distribution and the solved cap compares 1:1 with the
-    // un-oriented scorers'
+    // AutoDf solves over distinct (doc, lm) across ALL orientations —
+    // the exact basis the cap predicate below enforces (a mirrored
+    // readout generally lands on a DIFFERENT code value than its
+    // identity source, so an identity-only histogram would undercount
+    // the enforced df and the solved cap could overrun the budget)
     val (cap, solvedCap) = resolveDfCap(
-      lms.filter(col("orient") === 0).select(col("doc_id"), col("lm")),
-      maxDf, 16)
+      lms.select(col("doc_id"), col("lm")).distinct(), maxDf, 16)
     val n0 = lms.filter(col("orient") === 0)
       .groupBy(col("doc_id")).agg(count(lit(1)).as("nl"))
     // the df cap applies to the posting row itself (rows are distinct
@@ -5939,9 +5939,24 @@ object Multimodal {
     * former shape (applyDfCap's count-agg + semi-join back, then a
     * two-sided self-join on lm) re-shuffled the full anchored table
     * ~5x and was the round-14 growth artifact's one super-linear
-    * entry (m186: per-doc wall x1.6 per corpus decade); this shape
-    * shuffles it twice (postings, then pair aggregation), the same
-    * plan the unverified tier rides to a FALLING per-doc cost. */
+    * entry (m186: per-doc wall x1.6 per corpus decade).
+    *
+    * COUNT-FIRST, GATHER-LATER (round 17): the former single pair
+    * aggregation collected the 4-int anchor correspondence for EVERY
+    * candidate pair — object-aggregation state proportional to the
+    * whole pair explode (the budget's worth of bytes, deserialized),
+    * which is what OOM'd a 24 GB heap at the 50k textured decade
+    * (local[n] holds all tasks' state in one JVM; a fixed shuffle
+    * partition count gives the same per-task growth on a cluster).
+    * Now pass 1 aggregates COUNTS only — fixed-width codegen'd state
+    * that spills — over pair rows carrying just (doc_a, doc_b), and
+    * pass 2 re-explodes the (persisted, posting-sized) code table to
+    * gather correspondences for the pairs that SURVIVED the shared /
+    * minMatch gates — corr mass ∝ surviving near-dup pairs, not the
+    * explode. Per-task aggregation state is now corpus-independent
+    * at a fixed byte budget, and the big shuffle dropped from 32 B to
+    * 16 B rows, so the same [[AutoDf]] budget solves a ~√2 higher
+    * cap (recall back at no extra bytes). */
   def affineFramePairsVerifiedFrom(lms: DataFrame,
       candMinMatch: Double = 0.004, candMinShared: Int = 4,
       verifyMinFrac: Double = 0.5, verifyMinAligned: Int = 9,
@@ -5949,10 +5964,10 @@ object Multimodal {
     require(verifyMinFrac >= 0.0 && verifyMinFrac <= 1.0,
       "verifyMinFrac must be in [0, 1]")
     require(tolPx > 0.0, "tolPx must be > 0")
-    // AutoDf: the verified tier's pair rows carry the 4-int anchor
-    // correspondence on top of the pair key — solve at the wider row
+    // AutoDf: pass 1's pair rows are two longs — solve at width 16
+    // (the corr payload only ever materializes for survivors)
     val (cap, solvedCap) = resolveDfCap(
-      lms.select(col("doc_id"), col("lm")), maxDf, 32)
+      lms.select(col("doc_id"), col("lm")), maxDf, 16)
     val nl = lms.groupBy(col("doc_id")).agg(count(lit(1)).as("nl"))
     // anchor cloud per doc = its DISTINCT landmark anchors (a subset
     // of the detected peaks — every peak with a conditioned basis)
@@ -5960,24 +5975,27 @@ object Multimodal {
       .distinct()
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("ax"), col("ay"))).as("cloud"))
-    val posted = lms.groupBy(col("lm"))
+    // persisted: both passes explode from it, and it is posting-sized
+    // (one row per code), never pair-sized
+    val posted = Materialize.eager(lms.groupBy(col("lm"))
       .agg(collect_list(struct(col("doc_id"), col("ax"), col("ay")))
         .as("ps"))
       .filter(size(col("ps")) >= 2 &&
         dfCapKeep(lms.sparkSession, col("lm"), size(col("ps")), cap,
-          solvedCap))
+          solvedCap)))
     val ds = array_sort(col("ps"))
-    val cand = posted.select(explode(flatten(transform(ds, (x, i) =>
-        transform(slice(ds, i + lit(2), greatest(size(ds) - i - 1, lit(0))),
-          y => struct(x.as("a"), y.as("b")))))).as("p"))
+    val pairRows = posted.select(
+        explode(flatten(transform(ds, (x, i) =>
+          transform(slice(ds, i + lit(2), greatest(size(ds) - i - 1, lit(0))),
+            y => struct(x.as("a"), y.as("b")))))).as("p"))
       .filter(col("p.a.doc_id") < col("p.b.doc_id"))
-      .groupBy(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"))
-      // one posting row per (doc, code) ⇒ each shared code yields this
-      // pair exactly once: count(1) == the former countDistinct(lm)
-      .agg(count(lit(1)).as("c"),
-        collect_list(struct(col("p.a.ax").as("axa"),
-          col("p.a.ay").as("aya"), col("p.b.ax").as("axb"),
-          col("p.b.ay").as("ayb"))).as("corr"))
+    // pass 1: count-only — one posting row per (doc, code) ⇒ each
+    // shared code yields this pair exactly once: count(1) == the
+    // former countDistinct(lm). Fixed-width hash aggregation.
+    val surv = pairRows
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("c"))
       .filter(col("c") >= math.max(1, candMinShared))
       .join(nl.select(col("doc_id").as("doc_a"), col("nl").as("na")),
         Seq("doc_a"))
@@ -5985,6 +6003,18 @@ object Multimodal {
         Seq("doc_b"))
       .filter(col("c").cast("double") / least(col("na"), col("nb"))
         >= candMinMatch)
+    // pass 2: correspondences for SURVIVORS only (semi-join keeps the
+    // collect_list state at near-dup mass; AQE broadcasts the small
+    // survivor side)
+    val cand = pairRows
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        struct(col("p.a.ax").as("axa"), col("p.a.ay").as("aya"),
+          col("p.b.ax").as("axb"), col("p.b.ay").as("ayb")).as("co"))
+      .join(surv.select(col("doc_a"), col("doc_b")),
+        Seq("doc_a", "doc_b"), "left_semi")
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(collect_list(col("co")).as("corr"))
+      .join(surv, Seq("doc_a", "doc_b"))
     val verify = affineCloudVerifyUdf(tolPx, verifyMinAligned)
     cand
       .join(clouds.select(col("doc_id").as("doc_a"),
@@ -6380,11 +6410,10 @@ object Multimodal {
       "verifyMinFrac must be in [0, 1]")
     require(tolPx > 0.0, "tolPx must be > 0")
     val mir = udf((lm: Long) => mirrorAffineFrameCode(lm))
-    val fan = Materialize.eager(
-      id0.select(col("doc_id"), lit(0).as("orient"), col("lm"),
-          col("ax"), col("ay"))
-        .unionByName(id0.select(col("doc_id"), lit(1).as("orient"),
-          mir(col("lm")).as("lm"), col("ax"), col("ay"))))
+    val fan = id0.select(col("doc_id"), lit(0).as("orient"), col("lm"),
+        col("ax"), col("ay"))
+      .unionByName(id0.select(col("doc_id"), lit(1).as("orient"),
+        mir(col("lm")).as("lm"), col("ax"), col("ay")))
     val nl = id0.groupBy(col("doc_id")).agg(count(lit(1)).as("nl"))
     val clouds = id0.select(col("doc_id"), col("ax"), col("ay"))
       .distinct().groupBy(col("doc_id"))
@@ -6393,28 +6422,31 @@ object Multimodal {
     // [[affineFramePairsVerifiedFrom]], asymmetric (the a-side is
     // identity-only): fan rows are distinct per (doc, orient, lm),
     // so the code's distinct-DOC df needs the in-row dedup before
-    // the cap predicate
-    val posted = fan.groupBy(col("lm"))
+    // the cap predicate. Persisted (it replaced the former fan
+    // eager): both count and gather passes explode from it.
+    val posted = Materialize.eager(fan.groupBy(col("lm"))
       .agg(collect_list(struct(col("doc_id"), col("orient"),
         col("ax"), col("ay"))).as("ps"))
       .filter(size(col("ps")) >= 2 &&
         dfCapKeep(s, col("lm"),
           size(array_distinct(transform(col("ps"),
-            x => x.getField("doc_id")))), maxDf))
+            x => x.getField("doc_id")))), maxDf)))
     val ds = array_sort(col("ps"))
-    val cand = posted.select(explode(flatten(transform(ds, (x, i) =>
+    // a = the LOWER doc's identity codes (ds sorts by doc_id first,
+    // so the lower doc is always the x element)
+    val pairRows = posted.select(explode(flatten(transform(ds, (x, i) =>
         transform(slice(ds, i + lit(2), greatest(size(ds) - i - 1, lit(0))),
           y => struct(x.as("a"), y.as("b")))))).as("p"))
-      // a = the LOWER doc's identity codes (ds sorts by doc_id
-      // first, so the lower doc is always the x element)
       .filter(col("p.a.doc_id") < col("p.b.doc_id") &&
         col("p.a.orient") === 0)
-      .groupBy(col("p.a.doc_id").as("doc_a"),
+    // count-first, gather-later (round 17) — see
+    // [[affineFramePairsVerifiedFrom]] for the mechanism; the pair
+    // key here additionally carries the b-side orientation
+    val surv = pairRows
+      .select(col("p.a.doc_id").as("doc_a"),
         col("p.b.doc_id").as("doc_b"), col("p.b.orient").as("orient"))
-      .agg(count(lit(1)).as("c"),
-        collect_list(struct(col("p.a.ax").as("axa"),
-          col("p.a.ay").as("aya"), col("p.b.ax").as("axb"),
-          col("p.b.ay").as("ayb"))).as("corr"))
+      .groupBy(col("doc_a"), col("doc_b"), col("orient"))
+      .agg(count(lit(1)).as("c"))
       .filter(col("c") >= math.max(1, candMinShared))
       .join(nl.select(col("doc_id").as("doc_a"), col("nl").as("na")),
         Seq("doc_a"))
@@ -6422,6 +6454,16 @@ object Multimodal {
         Seq("doc_b"))
       .filter(col("c").cast("double") / least(col("na"), col("nb"))
         >= candMinMatch)
+    val cand = pairRows
+      .select(col("p.a.doc_id").as("doc_a"),
+        col("p.b.doc_id").as("doc_b"), col("p.b.orient").as("orient"),
+        struct(col("p.a.ax").as("axa"), col("p.a.ay").as("aya"),
+          col("p.b.ax").as("axb"), col("p.b.ay").as("ayb")).as("co"))
+      .join(surv.select(col("doc_a"), col("doc_b"), col("orient")),
+        Seq("doc_a", "doc_b", "orient"), "left_semi")
+      .groupBy(col("doc_a"), col("doc_b"), col("orient"))
+      .agg(collect_list(col("co")).as("corr"))
+      .join(surv, Seq("doc_a", "doc_b", "orient"))
     val verId = affineCloudVerifyUdf(tolPx, verifyMinAligned, 1)
     val verMir = affineCloudVerifyUdf(tolPx, verifyMinAligned, -1)
     cand
@@ -6534,18 +6576,30 @@ object Multimodal {
       .select(col("doc_id").as("src"), col("ax"), col("ay"))
       .distinct().groupBy(col("src"))
       .agg(collect_list(struct(col("ax"), col("ay"))).as("cloud_b"))
-    val cand = lms
+    // count-first, gather-later (round 17) — see
+    // [[affineFramePairsVerifiedFrom]]: the correspondence lists only
+    // materialize for (probe, src) pairs past the shared/minMatch
+    // gates, so aggregation state stays at near-dup mass however hot
+    // the index's codes are
+    val joined = lms
       .join(index.select(col("lm"), col("ax").as("axb"),
         col("ay").as("ayb"), col("doc_id").as("src"),
         col("nl").as("nl_src")), Seq("lm"))
+    val surv = joined
       .groupBy(col("doc_id"), col("src"), col("nl_src"))
-      .agg(countDistinct(col("lm")).as("c"),
-        collect_list(struct(col("ax"), col("ay"), col("axb"),
-          col("ayb"))).as("corr"))
+      .agg(countDistinct(col("lm")).as("c"))
       .filter(col("c") >= math.max(1, candMinShared))
       .join(nl, Seq("doc_id"))
       .filter(col("c").cast("double") / least(col("nl"), col("nl_src"))
         >= candMinMatch)
+    val cand = joined
+      .select(col("doc_id"), col("src"),
+        struct(col("ax"), col("ay"), col("axb"), col("ayb")).as("co"))
+      .join(surv.select(col("doc_id"), col("src")),
+        Seq("doc_id", "src"), "left_semi")
+      .groupBy(col("doc_id"), col("src"))
+      .agg(collect_list(col("co")).as("corr"))
+      .join(surv, Seq("doc_id", "src"))
     val verify = affineCloudVerifyUdf(tolPx, verifyMinAligned)
     val dup = cand
       .join(cloudsProbe, Seq("doc_id"))

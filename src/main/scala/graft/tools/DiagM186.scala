@@ -36,7 +36,9 @@ object DiagM186 {
     if (args.contains("dfstats")) {
       args.filter(_.forall(_.isDigit)).foreach { a =>
         val n = a.toInt
-        val media = ScaleCheck.cropAffinePngs(spark, n)
+        val media =
+          if (args.contains("textured")) ScaleCheck.cropAffineJpegTextured(spark, n)
+          else ScaleCheck.cropAffinePngs(spark, n)
         val lms = Materialize.eager(
           Multimodal.imageAffineFrameLandmarksAnchored(media))
         val dfs = lms.groupBy(col("lm"))
@@ -54,6 +56,20 @@ object DiagM186 {
           sum(when(col("df") > 64, 1).otherwise(0)).as("codes_over_64"))
           .collect()(0)
         println(s"[diag] dfstats n=$n $stats")
+        // exact per-df census + cumulative pair bytes at w16 — the
+        // budget-calibration curve for interior-binding autocap gates
+        if (args.contains("census")) {
+          val rows = dfs.filter(col("df") >= 2).groupBy(col("df"))
+            .agg(count(lit(1)).as("codes"),
+              sum(col("df") * col("df")).as("s2"))
+            .orderBy(col("df")).collect()
+          var cum = 0L
+          rows.foreach { r =>
+            cum += r.getLong(2) / 2 * 16
+            println(s"[diag]   df=${r.getLong(0)} codes=${r.getLong(1)} " +
+              s"cumPairBytesW16<=$cum")
+          }
+        }
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = true))
         System.gc()
@@ -76,6 +92,14 @@ object DiagM186 {
     val cap0 = args.find(_.startsWith("cap="))
       .map(_.drop(4).toInt).getOrElse(500)
     val cap = if (autocap) Multimodal.AutoDf else cap0
+    // budget=<bytes> pins the autocap byte budget (default 16 GiB) —
+    // the slope measurement wants a budget that BINDS at every
+    // measured corpus size, so per-doc cost is read at constant
+    // pair-mass, the regime a 100-TB deployment actually runs in
+    args.find(_.startsWith("budget=")).map(_.drop(7)).foreach { b =>
+      println(s"[diag] pair budget = $b bytes")
+      spark.conf.set(Multimodal.PairBudgetConf, b)
+    }
     args.filter(_.forall(_.isDigit)).foreach { a =>
       val n = a.toInt
       println(s"[diag] ===== corpus n=$n textured=$textured cap=" +
@@ -90,15 +114,23 @@ object DiagM186 {
           val lms = Materialize.eager(
             Multimodal.imageAffineFrameLandmarksAnchored(media))
             .select(col("doc_id"), col("lm"))
-          println(s"[diag] solved cap (code tier, w16)     = " +
+          // round 17: the verified tier's count-first candidate pass
+          // shuffles 16 B rows too, so both tiers solve at w16
+          println(s"[diag] solved cap (both tiers, w16) = " +
             Multimodal.solveDfCap(lms, 16))
-          println(s"[diag] solved cap (verified tier, w32) = " +
-            Multimodal.solveDfCap(lms, 32))
         }
       }
       // only=m185|m186 restricts to one tier (a failed long run at the
       // 50k sizes retries without re-paying the other tier)
       val onlyQ = args.find(_.startsWith("only=")).map(_.drop(5))
+      onlyQ.foreach { q =>
+        if (q != "m185" && q != "m186") {
+          System.err.println(
+            s"[diag] unknown only=$q (valid: m185, m186) — refusing " +
+              "to run an empty measurement loop")
+          spark.stop(); sys.exit(2)
+        }
+      }
       for (q <- Seq("m185", "m186") if onlyQ.forall(_ == q)) {
         val times = (0 until 2).map { _ =>
           val t0 = System.nanoTime()
