@@ -569,6 +569,16 @@ object Bench {
 
     val loadAfter = loadAvg1()
     val failed = results.filter(!_._3).map(_._1)
+    // per-lane medians of the CONCURRENT pass — the st-lane bar
+    // (<= 2.5 s median) is judged off the artifact of record, so the
+    // artifact computes it itself instead of leaving it to a
+    // post-processor (round-17 verdict task 4)
+    def median(xs: Seq[Double]): Double =
+      if (xs.isEmpty) 0.0
+      else { val s = xs.sorted; s((s.size - 1) / 2) }
+    val laneMedians = results.groupBy(_._1.takeWhile(_.isLetter))
+      .map { case (l, rs) => l -> median(rs.map(_._2)) }
+      .toSeq.sortBy(_._1)
     def jmap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val json =
@@ -583,6 +593,7 @@ object Bench {
       s""""isolated_ext":${jmap(isolatedExt)},""" +
       s""""isolated_retimed":[${isolatedRetimed.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""failed":[${failed.map("\"" + _ + "\"").mkString(",")}],""" +
+      s""""lane_medians":${jmap(laneMedians)},""" +
       s""""sum_sec":${r3(results.map(_._2).sum)},""" +
       s""""ext_cores":${r3(extConc)},"ext_cores_isolated":${r3(extIso)},""" +
       s""""contended_rerun":$rerun,"wall_first":${r3(wallFirst)},""" +
@@ -605,6 +616,7 @@ object Bench {
       (if (forkIso)
         s""""fork_failed":[${forkFailed.map("\"" + _ + "\"").mkString(",")}],"""
       else "") +
+      s""""st_median":${r3(laneMedians.toMap.getOrElse("st", 0.0))},""" +
       s""""sum_sec":${r3(results.map(_._2).sum)},""" +
       s""""ext_cores":${r3(extConc)},"contended_rerun":$rerun,""" +
       s""""jvm_cpus":${Runtime.getRuntime.availableProcessors},""" +

@@ -3415,6 +3415,34 @@ object StreamingOps extends QueryPack {
           sum(when(!planted, 1).otherwise(0)).as("spurious"))
     }),
 
+    // TEXTURED auto-cap gate (m194 — round-17: the 50k textured
+    // acceptance, which lived only in DiagM186 logs, scaled into a
+    // standing suite pin on the photo-world fixture class). Same
+    // composition as m193 but over the lossy-JPEG textured corpus,
+    // solved at width 16 — the verified tier's count-first candidate
+    // pass shuffles (doc_a, doc_b) rows only — under a budget chosen
+    // to BIND at an interior cap: this fixture's uncapped w16 explode
+    // is 8,900,640 B (census: 556,290 pair rows at n=500), so 8 MiB
+    // solves to cap 8 (cum 8,199,696 B; cap 9 would cost 8,399,920 B)
+    // — neither the floor (2) nor the max observed df (22). The
+    // pinned row proves the interior-solved operating point holds the
+    // textured class's verified recall with zero spurious.
+    "m194_affine_frame_textured_autocap" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val n = 500
+      val media = graft.tools.ScaleCheck.cropAffineJpegTextured(s, n)
+      val planted = col("doc_b") - col("doc_a") === 9 &&
+        col("doc_b") % 10 === 9
+      val anchored = graft.operators.Materialize.eager(
+        Multimodal.imageAffineFrameLandmarksAnchored(media))
+      val cap = Multimodal.solveDfCap(
+        anchored.select(col("doc_id"), col("lm")), 16, 8L << 20)
+      Multimodal.affineFramePairsVerifiedFrom(anchored, maxDf = cap)
+        .agg(lit(n).as("corpus_n"), lit(cap).as("solved_cap"),
+          sum(when(planted, 1).otherwise(0)).as("planted_found"),
+          sum(when(!planted, 1).otherwise(0)).as("spurious"))
+    }),
+
     // VERIFIED index screen (m180 — the m179 verdict at the
     // incremental seam): one pinned output carries BOTH screens'
     // verdicts over the same probe batch — the PLAIN code-gate screen

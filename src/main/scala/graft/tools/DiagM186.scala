@@ -131,8 +131,12 @@ object DiagM186 {
           spark.stop(); sys.exit(2)
         }
       }
+      // iters=1 for single-shot attribution sweeps (recall is
+      // deterministic; only the warm timing needs the second pass)
+      val iters = args.find(_.startsWith("iters="))
+        .map(_.drop(6).toInt).getOrElse(2)
       for (q <- Seq("m185", "m186") if onlyQ.forall(_ == q)) {
-        val times = (0 until 2).map { _ =>
+        val times = (0 until iters).map { _ =>
           val t0 = System.nanoTime()
           // scoped: the run's eager checkpoints die at the timing
           // boundary (round 16) — the diff-clean below should find
@@ -160,7 +164,8 @@ object DiagM186 {
           leaked.values.foreach(_.unpersist(blocking = true))
         }
         System.gc()
-        println(f"[diag] $q n=$n cold=${times(0)}%7.2f warm=${times(1)}%7.2f per-doc-warm=${times(1) * 1000 / n}%6.2f ms")
+        val warm = times.last
+        println(f"[diag] $q n=$n cold=${times(0)}%7.2f warm=$warm%7.2f per-doc-warm=${warm * 1000 / n}%6.2f ms")
       }
     }
     spark.stop()
