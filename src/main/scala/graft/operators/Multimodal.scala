@@ -5193,8 +5193,9 @@ object Multimodal {
     * quantizer. */
   private[operators] def affineFrameCodes(
       cells: scala.collection.Seq[(Int, Int, Int)], kTop: Int,
-      nNear: Int, nBasis: Int, qStep: Double): Iterator[Long] =
-    affineFrameCodesAnchored(cells, kTop, nNear, nBasis, qStep)
+      nNear: Int, nBasis: Int, qStep: Double,
+      nPts: Int = 3): Iterator[Long] =
+    affineFrameCodesAnchored(cells, kTop, nNear, nBasis, qStep, nPts)
       .map(_._1)
 
   /** [[affineFrameCodes]] keeping, per DISTINCT code, the (x, y) of
@@ -5204,7 +5205,9 @@ object Multimodal {
     * affine fit. */
   private[operators] def affineFrameCodesAnchored(
       cells: scala.collection.Seq[(Int, Int, Int)], kTop: Int,
-      nNear: Int, nBasis: Int, qStep: Double): Iterator[(Long, Int, Int)] = {
+      nNear: Int, nBasis: Int, qStep: Double,
+      nPts: Int = 3): Iterator[(Long, Int, Int)] = {
+    require(nPts == 3 || nPts == 4, "nPts must be 3 or 4")
     val top = cells.sortBy { case (x, y, v) => (-v, x, y) }.take(kTop)
     val lms = new AnchoredCodeSet
     top.foreach { case (ax, ay, _) =>
@@ -5259,12 +5262,36 @@ object Multimodal {
               while (y < pts.length) {
                 var z = y + 1
                 while (z < pts.length) {
-                  val s3 = Seq(pts(x), pts(y), pts(z)).sorted
-                  if (s3(0) != s3(1) && s3(1) != s3(2)) {
-                    lms.add((((((s3(0)._1 + 31L) * 64L + (s3(0)._2 + 31L))
-                      * 64L + (s3(1)._1 + 31L)) * 64L + (s3(1)._2 + 31L))
-                      * 64L + (s3(2)._1 + 31L)) * 64L + (s3(2)._2 + 31L),
-                      ax, ay)
+                  if (nPts == 3) {
+                    val s3 = Seq(pts(x), pts(y), pts(z)).sorted
+                    if (s3(0) != s3(1) && s3(1) != s3(2)) {
+                      lms.add((((((s3(0)._1 + 31L) * 64L + (s3(0)._2 + 31L))
+                        * 64L + (s3(1)._1 + 31L)) * 64L + (s3(1)._2 + 31L))
+                        * 64L + (s3(2)._1 + 31L)) * 64L + (s3(2)._2 + 31L),
+                        ax, ay)
+                    }
+                  } else {
+                    // nPts = 4 (experimental, round-17 selectivity
+                    // measurement): one code per unordered QUAD, 48
+                    // packed bits — rarer accidental coincidences on
+                    // generic texture layouts at the price of p^4 (vs
+                    // p^3) per-code jitter survival for true pairs
+                    var w = z + 1
+                    while (w < pts.length) {
+                      val s4 = Seq(pts(x), pts(y), pts(z), pts(w)).sorted
+                      if (s4(0) != s4(1) && s4(1) != s4(2) &&
+                          s4(2) != s4(3)) {
+                        var c = 0L
+                        var q = 0
+                        while (q < 4) {
+                          c = (c * 64L + (s4(q)._1 + 31L)) * 64L +
+                            (s4(q)._2 + 31L)
+                          q += 1
+                        }
+                        lms.add(c, ax, ay)
+                      }
+                      w += 1
+                    }
                   }
                   z += 1
                 }
@@ -5310,7 +5337,8 @@ object Multimodal {
     * (different code space); never mix families in one index. */
   def imageAffineFrameLandmarks(media: DataFrame, kTop: Int = 48,
       nNear: Int = 8, nBasis: Int = 4, qStep: Double = 0.3,
-      smoothR: Int = 4, radius: Int = 6, minAvg: Int = 24)(
+      smoothR: Int = 4, radius: Int = 6, minAvg: Int = 24,
+      nPts: Int = 3)(
       implicit s: SparkSession): Dataset[DocLandmark] = {
     import s.implicits._
     require(nNear >= 4 && nNear <= 16,
@@ -5324,7 +5352,7 @@ object Multimodal {
             affineFrameCodes(
               coarsePeakCells(lumaPlane(img), img.getWidth,
                 img.getHeight, smoothR, radius, minAvg),
-              kTop, nNear, nBasis, qStep).map(DocLandmark(r.doc_id, _))
+              kTop, nNear, nBasis, qStep, nPts).map(DocLandmark(r.doc_id, _))
           case None => Iterator.empty
         }
       })
@@ -5341,12 +5369,12 @@ object Multimodal {
   def imageAffineFramePairs(media: DataFrame, minMatch: Double = 0.02,
       maxDf: Int = 0, kTop: Int = 48, nNear: Int = 8, nBasis: Int = 4,
       qStep: Double = 0.3, smoothR: Int = 4, radius: Int = 6,
-      minAvg: Int = 24, minShared: Int = 16)(
+      minAvg: Int = 24, minShared: Int = 16, nPts: Int = 3)(
       implicit s: SparkSession): DataFrame =
     peakLandmarkPairScores(
       Materialize.eager(
         imageAffineFrameLandmarks(media, kTop, nNear, nBasis, qStep,
-          smoothR, radius, minAvg).toDF()),
+          smoothR, radius, minAvg, nPts).toDF()),
       minMatch, maxDf, minShared)
 
   /** Version stamp for the affine-frame family ([[affineFrameCodes]]
@@ -5745,11 +5773,12 @@ object Multimodal {
       tolPx: Double = 3.0, maxDf: Int = 0,
       kTop: Int = 48, nNear: Int = 8, nBasis: Int = 4,
       qStep: Double = 0.3, smoothR: Int = 4, radius: Int = 6,
-      minAvg: Int = 24)(implicit s: SparkSession): DataFrame =
+      minAvg: Int = 24, nPts: Int = 3)(
+      implicit s: SparkSession): DataFrame =
     affineFramePairsVerifiedFrom(
       Materialize.eager(
         imageAffineFrameLandmarksAnchored(media, kTop, nNear, nBasis,
-          qStep, smoothR, radius, minAvg)),
+          qStep, smoothR, radius, minAvg, nPts)),
       candMinMatch, candMinShared, verifyMinFrac, verifyMinAligned,
       tolPx, maxDf)
 
@@ -6488,7 +6517,8 @@ object Multimodal {
     * file stream). */
   def imageAffineFrameLandmarksAnchored(media: DataFrame, kTop: Int = 48,
       nNear: Int = 8, nBasis: Int = 4, qStep: Double = 0.3,
-      smoothR: Int = 4, radius: Int = 6, minAvg: Int = 24)(
+      smoothR: Int = 4, radius: Int = 6, minAvg: Int = 24,
+      nPts: Int = 3)(
       implicit s: SparkSession): DataFrame = {
     import s.implicits._
     media.select(col("doc_id"), col("payload")).as[MediaRow]
@@ -6498,7 +6528,7 @@ object Multimodal {
             affineFrameCodesAnchored(
               coarsePeakCells(lumaPlane(img), img.getWidth,
                 img.getHeight, smoothR, radius, minAvg),
-              kTop, nNear, nBasis, qStep)
+              kTop, nNear, nBasis, qStep, nPts)
               .map { case (lm, ax, ay) => (r.doc_id, lm, ax, ay) }
           case None => Iterator.empty
         }

@@ -33,6 +33,16 @@ object DiagM186 {
     // space saturates and the capped pair explode crossed 74 GB of
     // shuffle spill (the measured 100x wall); these numbers put the
     // wall on the fixture class, not the operator.
+    // pts=4: emit 4-point (48-bit) codes instead of the production
+    // triples — the round-17 selectivity experiment (accidental df
+    // mass vs per-code jitter survival on the textured class)
+    val nPts = args.find(_.startsWith("pts="))
+      .map(_.drop(4).toInt).getOrElse(3)
+    // qstep=<v>: coordinate quantizer width (default 0.3, the
+    // production value) — the knob that trades per-point jitter
+    // survival against cell collisions in the pts=4 experiment
+    val qStep = args.find(_.startsWith("qstep="))
+      .map(_.drop(6).toDouble).getOrElse(0.3)
     if (args.contains("dfstats")) {
       args.filter(_.forall(_.isDigit)).foreach { a =>
         val n = a.toInt
@@ -40,7 +50,8 @@ object DiagM186 {
           if (args.contains("textured")) ScaleCheck.cropAffineJpegTextured(spark, n)
           else ScaleCheck.cropAffinePngs(spark, n)
         val lms = Materialize.eager(
-          Multimodal.imageAffineFrameLandmarksAnchored(media))
+          Multimodal.imageAffineFrameLandmarksAnchored(media,
+            qStep = qStep, nPts = nPts))
         val dfs = lms.groupBy(col("lm"))
           .agg(countDistinct(col("doc_id")).as("df"))
         val stats = dfs.agg(
@@ -112,7 +123,8 @@ object DiagM186 {
           else ScaleCheck.cropAffinePngs(spark, n)
         Materialize.scoped {
           val lms = Materialize.eager(
-            Multimodal.imageAffineFrameLandmarksAnchored(media))
+            Multimodal.imageAffineFrameLandmarksAnchored(media,
+              qStep = qStep, nPts = nPts))
             .select(col("doc_id"), col("lm"))
           // round 17: the verified tier's count-first candidate pass
           // shuffles 16 B rows too, so both tiers solve at w16
@@ -148,8 +160,10 @@ object DiagM186 {
             val planted = col("doc_b") - col("doc_a") === 9 &&
               col("doc_b") % 10 === 9
             val pairs =
-              if (q == "m185") Multimodal.imageAffineFramePairs(media, maxDf = cap)
-              else Multimodal.imageAffineFramePairsVerified(media, maxDf = cap)
+              if (q == "m185") Multimodal.imageAffineFramePairs(media,
+                maxDf = cap, qStep = qStep, nPts = nPts)
+              else Multimodal.imageAffineFramePairsVerified(media,
+                maxDf = cap, qStep = qStep, nPts = nPts)
             val row = pairs.agg(lit(n).as("corpus_n"),
                 sum(when(planted, 1).otherwise(0)).as("planted_found"),
                 sum(when(!planted, 1).otherwise(0)).as("spurious"))
