@@ -126,7 +126,11 @@ object PipelineRunner {
     // ONE tip probe per loop turn (tip.sql is an RPC round-trip; probing
     // again after each pass doubled per-iteration latency). followTip
     // sleeps between polls and gives up after `maxIdlePolls` stalled
-    // polls (MaxValue = daemon-style follow-forever).
+    // polls (MaxValue = daemon-style follow-forever). Run-to-tip-once
+    // (followTip=false) probes the tip exactly ONCE — AvailableNow
+    // semantics: process what was available at start, don't pay a
+    // second probe (for SQL-template pipelines that probe is a full
+    // scalar query over the source view) just to learn nothing moved.
     while (continue) {
       val tip = defn.tip(spark)
       if (from > tip) {
@@ -150,7 +154,8 @@ object PipelineRunner {
           totalBatches += batches.length
           totalItems += batches.map(b => b.end - b.start + 1).sum
           from = batches.last.end + 1
-          if (conf.stopAfterBatches.exists(totalBatches >= _)) continue = false
+          if (!conf.followTip ||
+              conf.stopAfterBatches.exists(totalBatches >= _)) continue = false
         }
       }
     }

@@ -129,4 +129,28 @@ class PipelinePropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(covered.max >= 15L, s"tip-follow should pass the moving tip, got ${covered.max}")
     assert(r.items == covered.size)
   }
+
+  test("run-to-tip-once probes the tip exactly once (AvailableNow)") {
+    // round 17: the second probe after a completed pass always read a
+    // static tip and only terminated the loop — for SQL-template
+    // pipelines each probe is a full scalar query over the source view
+    // (measured 0.3-1.1 s per run in the e-lane split), so the
+    // run-to-tip-once contract now means literally one probe
+    val sink = new MemSink
+    val probes = new AtomicInteger()
+    val d = new PipelineRunner.Definition {
+      def resume(s: SparkSession): Option[Long] = sink.maxEnd.map(_ + 1)
+      def tip(s: SparkSession): Long = { probes.incrementAndGet(); 15L }
+      def transform(s: SparkSession, b: Batch): DataFrame =
+        s.range(b.start, b.end + 1).toDF("n")
+      def commit(s: SparkSession, b: Batch, df: DataFrame): Unit =
+        sink.commits.add((b.number, b.start, b.end))
+    }
+    val r = PipelineRunner.run(spark, d, Config(maxBatchSize = 4))
+    assert(probes.get() == 1, s"expected one tip probe, saw ${probes.get()}")
+    assert(r.items == 16L && r.batches == 4L)
+    val covered = sink.commits.toArray(Array.empty[(Long, Long, Long)])
+      .flatMap { case (_, s, e) => s to e }.toSet
+    assert(covered == (0L to 15L).toSet)
+  }
 }
