@@ -420,11 +420,17 @@ object Bench {
 
     // ---- fresh-JVM isolated mode (SPARK_GRAFT_BENCH_FORK_ISOLATED=1):
     // each isolated query runs in its OWN forked JVM via the BENCH_ONLY
-    // runner (2 iters: cold incl. session startup, then warm — the warm
-    // figure is the published one). No end-of-suite JVM/heap state can
-    // touch the numbers, so isolated figures compare across rounds with
-    // no hygiene caveats. Costs one JVM+session startup per query —
-    // default off; the round's local artifact is taken with it on.
+    // runner (3 iters: cold incl. session startup, then two warms — the
+    // published warm figure is the MIN of the two). No end-of-suite
+    // JVM/heap state can touch the numbers, so isolated figures compare
+    // across rounds with no hygiene caveats. Min-of-2-warms (round 17):
+    // the FIRST fork after the concurrent pass deterministically read
+    // 2.5-4x its standalone warm on two closing runs (m193 12.86/12.88
+    // vs 4.5-5.5 standalone, same command, child-measured ext ~0 both
+    // times) — a post-pass window penalty a single warm iteration
+    // cannot see past; the second warm iteration recovers it. Costs one
+    // extra warm iteration per fork. Default off; the round's local
+    // artifact is taken with it on.
     val forkIso =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_FORK_ISOLATED", "0") == "1"
     // the same module options build.sbt hands every forked run JVM
@@ -456,7 +462,7 @@ object Bench {
           .foreach(cmd.add)
         val pb = new ProcessBuilder(cmd)
         pb.environment().put("SPARK_GRAFT_BENCH_ONLY", name)
-        pb.environment().put("SPARK_GRAFT_BENCH_ITERS", "2")
+        pb.environment().put("SPARK_GRAFT_BENCH_ITERS", "3")
         pb.environment().put("SPARK_GRAFT_BENCH_OUT", outFile.toString)
         pb.environment().put("SPARK_GRAFT_BENCH_MAX_WAIT_SEC", "30")
         pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
@@ -479,7 +485,8 @@ object Bench {
           e <- """"ext_cores":\{"[^"]*":([0-9.eE+\-]+)""".r.findFirstMatchIn(txt)
           ts = q.group(1).split(",").map(_.trim.toDouble)
           if ts.nonEmpty
-        } yield (ts.head, ts.last, e.group(1).toDouble)
+        } yield (ts.head, if (ts.length > 1) ts.tail.min else ts.head,
+          e.group(1).toDouble)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] fork-isolated $name error: $e")
