@@ -856,6 +856,75 @@ object TextAnalysis {
       .select(col("doc_id"), col(srcCol).as("source"), col("sample_rank"))
   }
 
+  /** Top-k corpus-wide adjacent-pair counts of a space-tokenized
+    * `text` column — the per-round count pass both BPE inductions
+    * share. Round 17 (guide §1.2 "per-task work", §4.2 batch
+    * kernels): the former posexplode + hash-agg shape materialized
+    * one generator row PER TOKEN before the partial aggregation and
+    * was measured at 91% of the whole batched induction (DiagBpe:
+    * count 6.9 s of 7.2 s warm at sf0.1, 5 rounds). This kernel
+    * keeps the same partial-aggregation semantics — a per-partition
+    * HashMap in a tight loop, drained at a bound, partials summed by
+    * the same groupBy — and re-measures at ~6x faster per round with
+    * the head bit-identical (the diag asserts parity every round).
+    * Java's `split(" ", -1)` matches Spark's `split(text, ' ')`
+    * (same regex, same -1 limit), so pair sets agree on every input
+    * including empty strings and double spaces.
+    *
+    * Memory bound (round 18): partials are emitted as LAZY chunks —
+    * the output iterator consumes input only until the map hits the
+    * bound, drains it as one chunk, and continues when Spark pulls
+    * the next chunk. Heap per task is therefore one ~2^20-entry map
+    * plus the chunk being drained, regardless of total pair volume
+    * (the round-17 shape buffered every drained partial in an eager
+    * builder until the partition was fully consumed, so its bound
+    * capped nothing). Duplicates across chunks sum out in the
+    * groupBy below.
+    *
+    * `private[operators]` so DiagBpe times THIS kernel, not a copy
+    * with a drifted flush threshold. */
+  private[operators] def adjacentPairHead(cur: DataFrame, k: Int)
+      : Array[org.apache.spark.sql.Row] = {
+    val spark = cur.sparkSession
+    import spark.implicits._
+    cur.select(col("text")).as[String].mapPartitions { it =>
+      val m = new java.util.HashMap[String, Array[Long]]()
+      def drain(): Iterator[(String, String, Long)] = {
+        val arr = new Array[(String, String, Long)](m.size)
+        var j = 0
+        m.forEach { (key, v) =>
+          val sp = key.indexOf(' ')
+          arr(j) = (key.substring(0, sp), key.substring(sp + 1), v(0))
+          j += 1
+        }
+        m.clear()
+        arr.iterator
+      }
+      new Iterator[Iterator[(String, String, Long)]] {
+        def hasNext: Boolean = it.hasNext || m.size > 0
+        def next(): Iterator[(String, String, Long)] = {
+          while (it.hasNext && m.size <= (1 << 20)) {
+            val text = it.next()
+            if (text != null) {
+              val t = text.split(" ", -1)
+              var i = 0
+              while (i + 1 < t.length) {
+                val key = t(i) + " " + t(i + 1)
+                val v = m.get(key)
+                if (v eq null) m.put(key, Array(1L)) else v(0) += 1L
+                i += 1
+              }
+            }
+          }
+          drain()
+        }
+      }.flatten
+    }.toDF("a", "b", "n")
+      .groupBy(col("a"), col("b")).agg(sum(col("n")).as("n"))
+      .orderBy(col("n").desc, col("a"), col("b"))
+      .limit(k).collect()
+  }
+
   /** BPE merge-rule induction over the corpus (the iterative half of
     * subword-vocabulary training; `bpePretokenStats` covers the
     * pretokenizer half): for `merges` rounds, count adjacent token
@@ -875,59 +944,6 @@ object TextAnalysis {
     * list — production trainers batch non-interacting merges per round
     * the same way), and one map-only corpus rewrite. k rounds = k
     * corpus passes; nothing quadratic, no shuffle besides the count. */
-  /** Top-k corpus-wide adjacent-pair counts of a space-tokenized
-    * `text` column — the per-round count pass both BPE inductions
-    * share. Round 17 (guide §1.2 "per-task work", §4.2 batch
-    * kernels): the former posexplode + hash-agg shape materialized
-    * one generator row PER TOKEN before the partial aggregation and
-    * was measured at 91% of the whole batched induction (DiagBpe:
-    * count 6.9 s of 7.2 s warm at sf0.1, 5 rounds). This kernel
-    * keeps the same partial-aggregation semantics — a per-partition
-    * HashMap in a tight loop, flushed at a bound so per-task memory
-    * stays partial-agg-like on any corpus, partials summed by the
-    * same groupBy — and re-measures at ~6x faster per round with the
-    * head bit-identical (the diag asserts parity every round).
-    * Java's `split(" ", -1)` matches Spark's `split(text, ' ')`
-    * (same regex, same -1 limit), so pair sets agree on every input
-    * including empty strings and double spaces. */
-  private def adjacentPairHead(cur: DataFrame, k: Int)
-      : Array[org.apache.spark.sql.Row] = {
-    val spark = cur.sparkSession
-    import spark.implicits._
-    cur.select(col("text")).as[String].mapPartitions { it =>
-      val m = new java.util.HashMap[String, Array[Long]]()
-      val out = Iterator.newBuilder[(String, String, Long)]
-      def flush(): Unit = {
-        m.forEach { (key, v) =>
-          val sp = key.indexOf(' ')
-          out += ((key.substring(0, sp), key.substring(sp + 1), v(0)))
-        }
-        m.clear()
-      }
-      it.foreach { text =>
-        if (text != null) {
-          val t = text.split(" ", -1)
-          var i = 0
-          while (i + 1 < t.length) {
-            val key = t(i) + " " + t(i + 1)
-            val v = m.get(key)
-            if (v eq null) m.put(key, Array(1L)) else v(0) += 1L
-            i += 1
-          }
-          // bound per-task state: emit partials and clear (the same
-          // robustness valve as hash-agg spill, at zero disk cost —
-          // duplicates sum out in the groupBy below)
-          if (m.size > (1 << 20)) flush()
-        }
-      }
-      flush()
-      out.result()
-    }.toDF("a", "b", "n")
-      .groupBy(col("a"), col("b")).agg(sum(col("n")).as("n"))
-      .orderBy(col("n").desc, col("a"), col("b"))
-      .limit(k).collect()
-  }
-
   def bpeMergeRules(docs: DataFrame, textCol: String,
       merges: Int = 3): DataFrame = {
     val spark = docs.sparkSession

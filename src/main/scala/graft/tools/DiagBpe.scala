@@ -37,43 +37,13 @@ object DiagBpe {
 
     val docs = graft.queries.Util.t(spark, dir, "documents")
 
-    /** Prototype kernel count: per-partition HashMap over adjacent
-      * pairs (tight loop, no per-token row materialization), flushed
-      * at a bound so memory stays partial-agg-like; exact same counts
-      * as the posexplode + hash-agg shape. */
+    /** Kernel count — the PRODUCTION kernel itself (round 18: a local
+      * copy here had drifted to a 1<<21 flush bound vs the library's
+      * 1<<20, so the diag timed a slightly different kernel; calling
+      * TextAnalysis.adjacentPairHead directly makes drift impossible). */
     def kernelPairHead(cur: org.apache.spark.sql.DataFrame,
-        k: Int): Array[org.apache.spark.sql.Row] = {
-      import spark.implicits._
-      cur.select(col("text")).as[String].mapPartitions { it =>
-        val m = new java.util.HashMap[String, Array[Long]]()
-        val out = Iterator.newBuilder[(String, String, Long)]
-        def flush(): Unit = {
-          m.forEach { (k, v) =>
-            val sp = k.indexOf(' ')
-            out += ((k.substring(0, sp), k.substring(sp + 1), v(0)))
-          }
-          m.clear()
-        }
-        it.foreach { text =>
-          if (text != null) {
-            val t = text.split(" ", -1)
-            var i = 0
-            while (i + 1 < t.length) {
-              val key = t(i) + " " + t(i + 1)
-              val v = m.get(key)
-              if (v eq null) m.put(key, Array(1L)) else v(0) += 1L
-              i += 1
-            }
-            if (m.size > (1 << 21)) flush()
-          }
-        }
-        flush()
-        out.result()
-      }.toDF("a", "b", "n")
-        .groupBy(col("a"), col("b")).agg(sum(col("n")).as("n"))
-        .orderBy(col("n").desc, col("a"), col("b"))
-        .limit(k).collect()
-    }
+        k: Int): Array[org.apache.spark.sql.Row] =
+      TextAnalysis.adjacentPairHead(cur, k)
 
     // `explain` mode: print the formatted plans of BOTH count shapes
     // over the raw corpus (the declared BPE queries run the induction
