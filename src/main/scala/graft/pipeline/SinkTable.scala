@@ -53,9 +53,20 @@ final case class SinkTable(
 
   /** Append one batch (idempotent under re-runs thanks to read-side dedup). */
   def append(df: DataFrame, ingestSeq: Long): Unit = {
-    // the sizing count must not recompute the transform: persist unless
-    // the caller (e.g. PipelineRunner's buffer) already did
-    val needPersist = df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    // The sizing count must not recompute the transform: persist unless
+    // the input already reads materialized data — either the caller
+    // persisted this very frame (PipelineRunner's buffer), or the plan
+    // reads an InMemoryRelation (the commit stage's insert-select over
+    // the persisted buffer view). Round 18 (guide §5): the old
+    // storage-level-only check re-persisted every insert-select — a
+    // redundant second in-memory materialization of each batch, since
+    // the count and the write both just re-project the cached buffer.
+    val readsCache = df.queryExecution.optimizedPlan.exists {
+      case _: org.apache.spark.sql.execution.columnar.InMemoryRelation => true
+      case _ => false
+    }
+    val needPersist =
+      df.storageLevel == org.apache.spark.storage.StorageLevel.NONE && !readsCache
     val base = if (needPersist)
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else df
     try {
@@ -97,8 +108,15 @@ final case class SinkTable(
     * partition-local, which matches ReplacingMergeTree: ClickHouse merges
     * (and therefore replaces) only within a partition too. No-op when the
     * sink was written without a partition column. */
-  def readPruned(spark: SparkSession, parts: Option[Seq[String]]): DataFrame = {
-    val raw0 = readRaw(spark)
+  def readPruned(spark: SparkSession, parts: Option[Seq[String]]): DataFrame =
+    dedupOnRead(readRaw(spark), parts)
+
+  /** Dedup-on-read over an ALREADY-RESOLVED raw frame. `spark.read
+    * .parquet` re-lists the directory and re-reads footers on every
+    * call; callers that probe/transform many times per run (SqlPipeline)
+    * pin one [[readRaw]] resolution and derive every per-batch pruned
+    * view from it through here (round 18, guide §6 file listing). */
+  def dedupOnRead(raw0: DataFrame, parts: Option[Seq[String]]): DataFrame = {
     val raw = parts match {
       case Some(ps) if raw0.columns.contains("_part") =>
         raw0.filter(col("_part").isin(ps: _*))

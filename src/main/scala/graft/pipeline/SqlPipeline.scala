@@ -239,15 +239,35 @@ object SqlPipeline {
       override def transformConf: Map[String, String] =
         transformStage.map(_.sparkConf).getOrElse(Map.empty)
 
+      /** ONE resolved file index per tip-probe (round 18, guide §6):
+        * `spark.read.parquet` re-lists the source directory and re-reads
+        * footers on every call, and this ran on every tip probe, resume,
+        * AND per-batch transform — 30-80 ms each, a listing per batch at
+        * scale (DiagPipeline measured it dominating e-lane machinery).
+        * The raw resolution is pinned here and refreshed only by `tip()`
+        * — the freshness boundary: a follow-mode poll must see newly
+        * landed source files, while transforms within a pass process the
+        * snapshot their tip was probed against. Keyed by session: a
+        * Definition can be driven from more than one session in tests. */
+      private val pinnedRaw =
+        new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
+
       /** For export mode, prune the source view to the `_part` (yyyyMM)
         * partitions covering the batch's epoch-day range — every 1-day
-        * batch would otherwise scan the ENTIRE upstream sink. */
+        * batch would otherwise scan the ENTIRE upstream sink. Pruning
+        * derives from the pinned raw frame (`dedupOnRead`), so per-batch
+        * views cost no extra listing. */
       private def registerSource(spark: SparkSession,
-          batch: Option[PipelineRunner.Batch] = None): Unit =
+          batch: Option[PipelineRunner.Batch] = None,
+          refresh: Boolean = false): Unit =
         sourceTab.foreach { s =>
-          val pruned = batch.filter(_ => spec.isExport).map(b =>
-            s.readPruned(spark, Some(s.monthsOfDayRange(b.start, b.end))))
-          pruned.getOrElse(s.read(spark)).createOrReplaceTempView("source")
+          val raw =
+            if (refresh) {
+              val r = s.readRaw(spark); pinnedRaw.put(spark, r); r
+            } else pinnedRaw.computeIfAbsent(spark, sp => s.readRaw(sp))
+          val parts = batch.filter(_ => spec.isExport)
+            .map(b => s.monthsOfDayRange(b.start, b.end))
+          s.dedupOnRead(raw, parts).createOrReplaceTempView("source")
         }
 
       /** Export target as a probe-able `target` view (the reference's
@@ -274,7 +294,7 @@ object SqlPipeline {
       }
 
       def tip(spark: SparkSession): Long = {
-        registerSource(spark)
+        registerSource(spark, refresh = true)
         scalarLong(spark, stripLeading(rendered("tip.sql")))
           .getOrElse(throw new IllegalStateException("tip.sql returned null"))
       }
