@@ -3683,6 +3683,16 @@ object Multimodal {
     * disables the auto-cap entirely (never the explicit maxDf). */
   @volatile private[graft] var hotCodeAutoCap: Int = 4096
 
+  /** Survivor-pair bound under which the verified tier's gather pass
+    * pre-filters its re-explode to survivor docs (round 18 — see
+    * [[affineFramePairsVerifiedFrom]]). The filter probes a literal
+    * sorted id array per posting entry, so its worst-case extra cost
+    * is entries x 2*threshold long-compares — bounded small by this
+    * constant; corpora whose survivor mass exceeds it take the
+    * unconditional re-explode exactly as round 17 shipped it.
+    * Test hook: private[graft] so a spec can force either path. */
+  @volatile private[graft] var survivorGatherMaxPairs: Long = 256L
+
   @transient private lazy val hotLog =
     org.slf4j.LoggerFactory.getLogger("graft.operators.Multimodal")
 
@@ -6021,7 +6031,11 @@ object Multimodal {
     // pass 1: count-only — one posting row per (doc, code) ⇒ each
     // shared code yields this pair exactly once: count(1) == the
     // former countDistinct(lm). Fixed-width hash aggregation.
-    val surv = pairRows
+    // Materialized (round 18): survivors are near-dup mass — small by
+    // construction — and the set is read three times below (threshold
+    // count, pass-2 semi-join, final stats join); the r17 shape
+    // recomputed the whole pass-1 aggregation for two of those.
+    val surv = Materialize.eager(pairRows
       .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("c"))
@@ -6031,11 +6045,39 @@ object Multimodal {
       .join(nl.select(col("doc_id").as("doc_b"), col("nl").as("nb")),
         Seq("doc_b"))
       .filter(col("c").cast("double") / least(col("na"), col("nb"))
-        >= candMinMatch)
+        >= candMinMatch))
+    // SURVIVOR-AWARE GATHER (round 18, guide §2.4 remove work
+    // outright): when pass 1 leaves only a handful of survivor PAIRS
+    // (the fixture/growth gates: m186 read 1.34x of r16 at n=500 from
+    // the unconditional re-explode), pass 2's explode is pre-filtered
+    // to the survivor DOCS' posting entries — the pair fan-out then
+    // covers only docs that can appear in a surviving pair, instead of
+    // re-exploding the whole posting table and semi-joining ~all of it
+    // away. The filter is a literal sorted id array probed per posting
+    // entry, so its cost is bounded by entries x 2*threshold
+    // comparisons; above the threshold the r17 full re-explode runs
+    // unchanged (the 50k-decade behavior the growth artifact prices).
+    // Row-identical either way: the per-pair semi-join below still
+    // gates exact survivor pairs, and dropping non-survivor docs'
+    // entries can drop no surviving pair's correspondence.
+    val gatherRows =
+      if (surv.count() <= survivorGatherMaxPairs) {
+        val ids = surv.select(col("doc_a"))
+          .unionAll(surv.select(col("doc_b")))
+          .distinct().collect().map(_.getLong(0)).sorted.toSeq
+        val kds = filter(ds, x =>
+          array_contains(typedlit(ids), x.getField("doc_id")))
+        posted.select(
+            explode(flatten(transform(kds, (x, i) =>
+              transform(slice(kds, i + lit(2),
+                  greatest(size(kds) - i - 1, lit(0))),
+                y => struct(x.as("a"), y.as("b")))))).as("p"))
+          .filter(col("p.a.doc_id") < col("p.b.doc_id"))
+      } else pairRows
     // pass 2: correspondences for SURVIVORS only (semi-join keeps the
     // collect_list state at near-dup mass; AQE broadcasts the small
     // survivor side)
-    val cand = pairRows
+    val cand = gatherRows
       .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
         struct(col("p.a.ax").as("axa"), col("p.a.ay").as("aya"),
           col("p.b.ax").as("axb"), col("p.b.ay").as("ayb")).as("co"))
@@ -6470,8 +6512,12 @@ object Multimodal {
         col("p.a.orient") === 0)
     // count-first, gather-later (round 17) — see
     // [[affineFramePairsVerifiedFrom]] for the mechanism; the pair
-    // key here additionally carries the b-side orientation
-    val surv = pairRows
+    // key here additionally carries the b-side orientation.
+    // Materialized + survivor-aware gather (round 18): same as the
+    // identity tier — survivors are near-dup mass, the set is read
+    // three times, and a small survivor set pre-filters the gather
+    // explode to survivor docs' entries.
+    val surv = Materialize.eager(pairRows
       .select(col("p.a.doc_id").as("doc_a"),
         col("p.b.doc_id").as("doc_b"), col("p.b.orient").as("orient"))
       .groupBy(col("doc_a"), col("doc_b"), col("orient"))
@@ -6482,8 +6528,22 @@ object Multimodal {
       .join(nl.select(col("doc_id").as("doc_b"), col("nl").as("nb")),
         Seq("doc_b"))
       .filter(col("c").cast("double") / least(col("na"), col("nb"))
-        >= candMinMatch)
-    val cand = pairRows
+        >= candMinMatch))
+    val gatherRows =
+      if (surv.count() <= survivorGatherMaxPairs) {
+        val ids = surv.select(col("doc_a"))
+          .unionAll(surv.select(col("doc_b")))
+          .distinct().collect().map(_.getLong(0)).sorted.toSeq
+        val kds = filter(ds, x =>
+          array_contains(typedlit(ids), x.getField("doc_id")))
+        posted.select(explode(flatten(transform(kds, (x, i) =>
+            transform(slice(kds, i + lit(2),
+                greatest(size(kds) - i - 1, lit(0))),
+              y => struct(x.as("a"), y.as("b")))))).as("p"))
+          .filter(col("p.a.doc_id") < col("p.b.doc_id") &&
+            col("p.a.orient") === 0)
+      } else pairRows
+    val cand = gatherRows
       .select(col("p.a.doc_id").as("doc_a"),
         col("p.b.doc_id").as("doc_b"), col("p.b.orient").as("orient"),
         struct(col("p.a.ax").as("axa"), col("p.a.ay").as("aya"),
@@ -6615,13 +6675,16 @@ object Multimodal {
       .join(index.select(col("lm"), col("ax").as("axb"),
         col("ay").as("ayb"), col("doc_id").as("src"),
         col("nl").as("nl_src")), Seq("lm"))
-    val surv = joined
+    // materialized (round 18): survivors are near-dup mass and the
+    // set is read twice below — the r17 shape recomputed the whole
+    // candidate aggregation for the final stats join
+    val surv = Materialize.eager(joined
       .groupBy(col("doc_id"), col("src"), col("nl_src"))
       .agg(countDistinct(col("lm")).as("c"))
       .filter(col("c") >= math.max(1, candMinShared))
       .join(nl, Seq("doc_id"))
       .filter(col("c").cast("double") / least(col("nl"), col("nl_src"))
-        >= candMinMatch)
+        >= candMinMatch))
     val cand = joined
       .select(col("doc_id"), col("src"),
         struct(col("ax"), col("ay"), col("axb"), col("ayb")).as("co"))
